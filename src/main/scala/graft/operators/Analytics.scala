@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/analytics operator inventory (SURVEY.md §2.2).
+  *
+  * Numeric determinism policy: every aggregated double measure is cast to
+  * DECIMAL before summing (exact, partition-order-independent arithmetic),
+  * and only then cast back to double — so the result hashes identically to
+  * the DuckDB oracle regardless of partitioning. Ratios are computed as
+  * double division of exact aggregates, rounded to a fixed scale. Every
+  * query ends in an explicit ORDER BY on its key columns.
+  *
+  * Scale notes are given per query; dims (nation/region) are broadcast,
+  * facts shuffle on their natural keys, and AQE handles skew/coalesce.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: multi-key hash aggregate with
+    * computed measures. Map-side partial aggregation collapses ~6M rows/
+    * partition to 6 groups before the shuffle — scales linearly. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").as("sum_qty"),
+        expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").as("sum_base_price"),
+        // per-row product in double (bit-identical across engines), then
+        // decimal cast so the SUM itself is order-independent and exact
+        expr("cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double)").as("sum_disc_price"),
+        expr("cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,6))) as double)").as("sum_charge"),
+        expr("round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*), 6)").as("avg_qty"),
+        expr("round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*), 6)").as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** Star join: orders ⋈ customer ⋈ nation ⋈ region, revenue per nation.
+    * nation/region are tiny → broadcast; customer is a small dim that AQE
+    * will also broadcast; orders shuffles only for the final aggregate. */
+  def q2RevenueByNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name".as("region_name"), $"n_name".as("nation_name"))
+      .agg(
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"region_name", $"nation_name")
+
+  /** Top-K by aggregate: per-order lineitem revenue, top 10. The sort is
+    * a TakeOrderedAndProject (per-partition top-K + driver merge of K·P
+    * rows), not a global sort — constant memory at any scale. */
+  def q3TopkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,6)) - cast(l_discount as decimal(18,6)))) as double)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+
+  /** TPC-H Q6-style selective scan: range + predicate filters that all
+    * push down to the parquet scan (verified in PlanSpec). */
+  def q4FilterRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= expr("timestamp'1996-01-01 00:00:00'") &&
+        $"l_shipdate" < expr("timestamp'1998-01-01 00:00:00'") &&
+        $"l_discount" >= 0.03 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(
+        expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,6))) as double)").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Window functions: per-customer order sequence + running total.
+    * Single shuffle on o_custkey; both window functions share one
+    * partitioning/ordering so Spark evaluates them in one Window op. */
+  def q5WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_total",
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) over (partition by o_custkey order by o_orderdate, o_orderkey rows between unbounded preceding and current row) as double)"))
+      .select($"o_custkey", $"o_orderkey", $"rn", $"run_total")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Exact distinct count per group (expands to two-phase aggregate). */
+  def q6DistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+
+  /** HLL sketch distinct (rows-only check: sketch internals differ from
+    * DuckDB's approx_count_distinct, so no value oracle). At 100 TB this
+    * is the one you run: fixed-size sketch, no distinct shuffle. */
+  def q6bApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+      .orderBy($"event_type")
+
+  /** Left-semi + left-anti joins (existence tests without row blowup). */
+  def q7SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val semi = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", lit(true).as("has_orders"))
+    val anti = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", lit(false).as("has_orders"))
+    semi.unionAll(anti).orderBy($"c_custkey")
+  }
+
+  /** ROLLUP hierarchical aggregate over segment × priority. */
+  def q8Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .rollup($"c_mktsegment", $"o_orderpriority")
+      .agg(
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce($"c_mktsegment", lit("ALL")).as("mktsegment"),
+        coalesce($"o_orderpriority", lit("ALL")).as("orderpriority"),
+        $"revenue", $"n_orders")
+      .orderBy($"mktsegment", $"orderpriority")
+
+  /** Scalar-subquery filter: orders above the global average price.
+    * The average is computed as exact-decimal sum / count so the
+    * threshold is identical across engines and partitionings. */
+  def q9AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("graft_orders_q9")
+    spark.sql(
+      """select o_orderkey, o_totalprice from graft_orders_q9
+        |where o_totalprice > (select cast(sum(cast(o_totalprice as decimal(18,2))) as double) / count(*) from graft_orders_q9)
+        |order by o_orderkey""".stripMargin)
+  }
+
+  /** Set operation: customers ordering in both 1995 and 1996 (INTERSECT). */
+  def q10RepeatBuyers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val y95 = o.filter(expr("year(o_orderdate) = 1995")).select($"o_custkey")
+    val y96 = o.filter(expr("year(o_orderdate) = 1996")).select($"o_custkey")
+    y95.intersect(y96).orderBy($"o_custkey")
+  }
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: event counts per day × type. Pivot values are declared
+    * statically (no driver-side distinct scan). */
+  def q11PivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .pivot("event_type", EventTypes)
+      .count()
+    EventTypes.foldLeft(pivoted)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy($"day")
+  }
+
+  /** JSON extraction from the props column + aggregate by extracted key. */
+  def q12JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k_val", expr("cast(get_json_object(props, '$.k') as bigint)"))
+      .groupBy(expr("k_val % 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sum_value"))
+      .orderBy($"k_bucket")
+
+  /** As-of join: for each event, the latest order of the same user at or
+    * before the event timestamp. Composed from an equi-join on user (the
+    * shuffle key) + range predicate + max-aggregate — Spark's sort-merge
+    * join handles the equi part; the range predicate filters within the
+    * per-user group, so cost is |events per user| × |orders per user|,
+    * bounded by the user cardinality, not the table product. */
+  def q13AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts")
+    val o = Tables.orders(spark, dir).select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    e.join(o, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts", "left")
+      .groupBy($"event_id", $"user_id")
+      .agg(max($"o_orderdate").as("last_order_ts"), count($"o_orderkey").as("n_prior_orders"))
+      .orderBy($"event_id")
+  }
+
+  /** Gap-based sessionization (30 min idle → new session) via window
+    * lag + running sum; single shuffle on user_id. */
+  def q14Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("new_sess",
+        when(lag($"ts_us", 1).over(byUser).isNull, 1L)
+          .when($"ts_us" - lag($"ts_us", 1).over(byUser) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(byUser))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts_us").as("start_us"), max($"ts_us").as("end_us"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Tumbling 1-hour aggregate — the batch twin of the streaming
+    * windowed count (streaming.Streams.tumblingCounts). */
+  def q15TumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sum_value"))
+      .orderBy($"hour", $"event_type")
+
+  // Spark 2.13 shorthand for col("...") used above
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+}

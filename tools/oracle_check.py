@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify, runs the matching oracle SQL in
+DuckDB (tables = parquet files in sfDir) and compares: row count, column
+names, and a hash of all values with columns sorted by name (rows compared
+in sorted order, floats rounded to 9 significant-ish decimals to absorb
+read-path representation differences — the engine itself must produce
+bit-stable doubles, this only guards the compare).
+"""
+import sys, json, glob, os, math
+import duckdb
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v): vals.append("NaN")
+                else: vals.append(repr(round(v, 9)))
+            else:
+                vals.append(repr(v))
+        out.append("|".join(vals))
+    out.sort()
+    return out
+
+def main():
+    sf, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf, "*.parquet")):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for key in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, key)
+        if not os.path.isdir(d):
+            continue
+        spark_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+        scols, srows = spark_rel.columns, spark_rel.fetchall()
+        if key not in oracle:
+            print(f"[rows-only] {key}: {len(srows)} rows")
+            continue
+        try:
+            orel = con.sql(oracle[key])
+            ocols, orows = orel.columns, orel.fetchall()
+        except Exception as e:
+            print(f"[FAIL] {key}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_rows = len(srows) == len(orows)
+        ok_vals = ok_cols and ok_rows and canon(srows, scols) == canon(orows, ocols)
+        if ok_cols and ok_rows and ok_vals:
+            print(f"[ok] {key}: {len(srows)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"[FAIL] {key}: cols_match={ok_cols} rows {len(srows)}vs{len(orows)} vals={ok_vals}")
+            if not ok_cols:
+                print(f"   spark cols: {sorted(scols)}\n   oracle cols: {sorted(ocols)}")
+            elif not ok_vals:
+                a, b = canon(srows, scols), canon(orows, ocols)
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                for x, y in diff:
+                    print(f"   spark:  {x}\n   oracle: {y}")
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
