@@ -79,7 +79,7 @@ object Analytics {
   def q5WindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     Tables.orders(spark, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
       .withColumn("run_total",
         expr("cast(sum(cast(o_totalprice as decimal(18,2))) over (partition by o_custkey order by o_orderdate, o_orderkey rows between unbounded preceding and current row) as double)"))
       .select($"o_custkey", $"o_orderkey", $"rn", $"run_total")
