@@ -30,6 +30,20 @@ object SparkEntry {
     "q15_tumbling_agg" -> (Analytics.q15TumblingAgg _),
     "odns_typing" -> (OdnsOps.odnsTyping _),
     "odns_scan_date" -> (OdnsOps.odnsScanDate _),
+    "dd_exact" -> (Dedup.ddExact _),
+    "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
+    "dd_simhash" -> (Dedup.ddSimhash _),
+    "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
+    "dd_embed_cos" -> (Dedup.ddEmbedCos _),
+    "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
+    "sim_ivf_ann" -> (Similarity.simIvfAnn _),
+    "sim_lsh_ann" -> (Similarity.simLshAnn _),
+    "txt_quality" -> (TextAnalysis.txtQuality _),
+    "txt_langid" -> (TextAnalysis.txtLangid _),
+    "txt_tokens" -> (TextAnalysis.txtTokens _),
+    "txt_fingerprint" -> (TextAnalysis.txtFingerprint _),
+    "mm_binary_meta" -> (Multimodal.mmBinaryMeta _),
+    "mm_decode_stub" -> (Multimodal.mmDecodeStub _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -151,5 +165,149 @@ object SparkEntry {
       """SELECT regexp_extract('tcp_scan_' || cast(cast(ts as date) as varchar) || '.csv.gz', '\d{4}-\d{2}-\d{2}') AS scan_date,
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_minhash_lsh" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), sig AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')) m
+        | FROM sh
+        |), bands AS (
+        | SELECT doc_id, b, md5(m[2*b+1] || m[2*b+2] || ':' || cast(b as varchar)) bh
+        | FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |)
+        |SELECT a.doc_id doc_a, b.doc_id doc_b
+        |FROM bands a JOIN bands b ON a.bh = b.bh AND a.b = b.b AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS (
+        | SELECT doc_id, unnest(shingles) s FROM sh
+        |), sizes AS (
+        | SELECT doc_id, count(*) n FROM rows_ GROUP BY 1
+        |), inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT da AS doc_a, db AS doc_b,
+        | round(cast(ninter as double) / (sa.n + sb.n - ninter), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        |WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |ORDER BY 1, 2""".stripMargin,
+    "dd_embed_cos" ->
+      """WITH s AS (
+        | SELECT a.vec_id va, b.vec_id vb,
+        |  list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(a.embedding[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(b.embedding[i] as double) * cast(b.embedding[i] as double))))) cosim
+        | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT va AS vec_a, vb AS vec_b, round(cosim, 6) AS score
+        |FROM s WHERE cosim >= 0.3 ORDER BY 1, 2""".stripMargin,
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        | SELECT q.qid, e.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+        |), r AS (
+        | SELECT qid query_id, vec_id, cosim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM s
+        |)
+        |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, round(cosim, 6) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sim_ivf_ann" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (
+        | SELECT label, list(c ORDER BY i) cv FROM cent GROUP BY 1
+        |), q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+        |cellscore AS (
+        | SELECT q.qid, cv.label,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cv.cv[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cv.cv[i] * cv.cv[i])))) cs
+        | FROM q CROSS JOIN centv cv
+        |), cells AS (
+        | SELECT qid, label FROM (
+        |  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, label) rn FROM cellscore
+        | ) WHERE rn <= 2
+        |), s AS (
+        | SELECT q.qid, e.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM q JOIN cells ON cells.qid = q.qid JOIN embeddings e ON e.label = cells.label
+        | WHERE e.vec_id <> q.qid
+        |), r AS (
+        | SELECT qid query_id, vec_id, cosim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM s
+        |)
+        |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, round(cosim, 6) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "txt_quality" ->
+      """WITH t AS (
+        | SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |)
+        |SELECT doc_id,
+        | cast(len(toks) as bigint) AS n_tokens,
+        | cast(length(text) as bigint) AS n_chars_measured,
+        | round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / length(text), 6) AS punct_ratio,
+        | round(cast(len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a', 'is'))) as double) / len(toks), 6) AS stopword_ratio,
+        | round(0.4 * least(cast(1 as double), cast(len(toks) as bigint) / 20.0)
+        |     + 0.3 * (1 - round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / length(text), 6))
+        |     + 0.3 * (1 - round(cast(len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a', 'is'))) as double) / len(toks), 6)), 6) AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "txt_langid" ->
+      """WITH t AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |), s AS (
+        | SELECT doc_id,
+        |  cast(len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht'))) as bigint) s_de,
+        |  cast(len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a', 'is'))) as bigint) s_en,
+        |  cast(len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y', 'los'))) as bigint) s_es,
+        |  cast(len(list_filter(toks, x -> x IN ('le', 'les', 'et', 'des', 'un', 'une'))) as bigint) s_fr
+        | FROM t
+        |)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr,
+        | CASE WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+        |      WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+        |      WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "txt_tokens" ->
+      """SELECT doc_id,
+        | cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) AS n_ws_tokens,
+        | cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) as bigint) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """WITH t AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) shingles
+        | FROM t WHERE len(toks) >= 3
+        |)
+        |SELECT doc_id, cast(len(shingles) as bigint) AS n_shingles,
+        | list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fingerprint
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        | cast(octet_length(cast(text as blob)) as bigint) AS n_bytes,
+        | md5(text) AS payload_md5,
+        | substring(hex(cast(text as blob)), 1, 16) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

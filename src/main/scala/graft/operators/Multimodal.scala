@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY.md §2.3 #39-40): opaque binary
+  * payloads + typed metadata, with decode/feature-extraction plumbing.
+  *
+  * The documents table stands in for a media table: its text bytes play
+  * the role of an encoded image/audio payload. The *decode* itself is a
+  * deterministic stub (no media libs in this container) — but the Spark
+  * plumbing around it is the real thing: binary column, batch-shaped
+  * partition iteration, typed Dataset out.
+  */
+object Multimodal {
+
+  /** Binary payload + metadata projection, oracle-checked: byte length,
+    * content digest, and a hex preview of the leading bytes. */
+  def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        expr("cast(octet_length(payload) as bigint)").as("n_bytes"),
+        md5(col("text")).as("payload_md5"),
+        expr("substring(hex(payload), 1, 16)").as("head_hex"))
+      .orderBy(col("doc_id"))
+
+  /** One decoded media record per document. */
+  case class MediaFeature(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, n_frames: Int, kind: String)
+
+  /** Decode/feature-extract plumbing via mapPartitions: the iterator is
+    * the batch boundary where a real implementation would hand byte
+    * buffers to a native decoder (libjpeg/ffmpeg) once per batch. The
+    * stub derives deterministic fake dimensions from the payload bytes;
+    * everything around it — binary encoder in, case-class encoder out,
+    * per-partition batching, no driver collect — is production-shaped.
+    * Rows-only check + MultimodalSpec. */
+  def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { batch =>
+      // real impl: initialize the native decoder once per partition here
+      batch.map { case (id, bytes) =>
+        val n = bytes.length
+        // ??? decode(bytes) — stubbed: deterministic pseudo-dimensions
+        val w = 64 + (n % 577)
+        val h = 64 + ((n * 31) % 421)
+        val frames = 1 + (bytes.headOption.map(_ & 0x7f).getOrElse(0) % 8)
+        MediaFeature(id, n, w, h, frames, if (n % 2 == 0) "image" else "audio")
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+}

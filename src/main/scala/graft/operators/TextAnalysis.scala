@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators over `documents` (SURVEY.md §2.3 #35-38).
+  * Pure per-row projections — no shuffle except the final ORDER BY for
+  * oracle determinism; at scale these run as a single map stage fused
+  * into the scan. */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "and", "of", "to", "a", "is")
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Per-doc stats + composite quality score (length, punctuation,
+    * stopword density) — the standard pre-training quality gates. */
+  def txtQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextOps.tokens("text"))
+      .withColumn("n_tokens", expr("cast(size(toks) as bigint)"))
+      .withColumn("n_chars_measured", expr("cast(length(text) as bigint)"))
+      .withColumn("punct_ratio", expr(
+        "round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '')) as double) / length(text), 6)"))
+      .withColumn("stopword_ratio", expr(
+        s"round(cast(size(filter(toks, x -> x IN ${inList(Stopwords)})) as double) / size(toks), 6)"))
+      .withColumn("quality_score", expr(
+        "round(0.4 * least(cast(1 as double), n_tokens / 20.0) + 0.3 * (1 - punct_ratio) + 0.3 * (1 - stopword_ratio), 6)"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars_measured"),
+        col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  private val LangStops: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une"))
+
+  /** Stopword-overlap language ID; argmax with lexicographic tie-break
+    * (the CASE chain gives ties to the alphabetically first language,
+    * identically in both engines). */
+  def txtLangid(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", TextOps.tokens("text"))
+    val scored = LangStops.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", expr(
+        s"cast(size(filter(toks, x -> x IN ${inList(words)})) as bigint)"))
+    }
+    scored
+      .withColumn("pred_lang", expr(
+        """CASE WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+          |     WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+          |     WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END""".stripMargin))
+      .select(col("doc_id"), col("s_de"), col("s_en"), col("s_es"), col("s_fr"),
+        col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks). */
+  def txtTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_ws_tokens", expr(
+        "cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .withColumn("n_bpe_tokens", expr(
+        "cast(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) as bigint)"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: min-hash over 3-gram shingles (the k=1
+    * winnow) — a stable content signature robust to word order at the
+    * edges; equal fingerprints ⇒ shared rare shingle. */
+  def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.withShingles(Tables.documents(spark, dir))
+      .withColumn("fingerprint", expr("array_min(transform(shingles, s -> md5(s)))"))
+      .withColumn("n_shingles", expr("cast(size(shingles) as bigint)"))
+      .select(col("doc_id"), col("n_shingles"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("dd_exact groups every doc and keeps the min doc_id") {
+    val rows = Dedup.ddExact(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500L)
+    assert(rows.forall(r => r.getAs[Long]("keeper") >= 0))
+  }
+
+  test("minhash candidates are a superset of high-jaccard pairs") {
+    val cand = Dedup.ddMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = Dedup.ddNgramJaccard(spark, sf0001).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(cand.nonEmpty)
+    // every very-near-dup (j >= 0.8) must be caught by LSH banding
+    val nearDups = exact.filter(_._2 >= 0.8).keySet
+    assert(nearDups.nonEmpty, "fixture should contain near-dups")
+    assert(nearDups.subsetOf(cand),
+      s"LSH missed near-dups: ${nearDups -- cand}")
+  }
+
+  test("simhash: identical text => identical hash; hamming distance sane") {
+    val rows = Dedup.ddSimhash(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(rows.size == 500)
+    // near-dup pairs (from jaccard) should be hamming-closer than random
+    val near = Dedup.ddNgramJaccard(spark, sf0001).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    if (near.nonEmpty) {
+      val nearDist = near.map { case (a, b) => ham(rows(a), rows(b)) }
+      val ids = rows.keys.toArray.sorted
+      val randDist = ids.take(50).zip(ids.reverse.take(50))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => ham(rows(a), rows(b)) }
+      assert(nearDist.sum.toDouble / nearDist.length <
+        randDist.sum.toDouble / randDist.length)
+    }
+  }
+
+  test("embed near-dup pairs stay within label blocks and above threshold") {
+    val pairs = Dedup.ddEmbedCos(spark, sf0001).collect()
+    assert(pairs.forall(_.getAs[Double]("score") >= 0.3))
+    val labels = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    assert(pairs.forall(r =>
+      labels(r.getAs[Long]("vec_a")) == labels(r.getAs[Long]("vec_b"))))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+      r.getAs[Long]("vec_id"))).toSeq
+
+  test("brute force returns k ranked neighbors per query, no self-match") {
+    val rows = Similarity.simTopkBruteforce(spark, sf0001).collect()
+    assert(rows.length == 50) // 5 queries × k=10
+    assert(rows.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("query_id")))
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+      val scores = ranked.map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sorted.reverse))
+    }
+  }
+
+  test("IVF ANN achieves useful recall vs brute force") {
+    val exact = resultSet(Similarity.simTopkBruteforce(spark, sf0001))
+      .map { case (q, _, v) => (q, v) }.toSet
+    val approx = resultSet(Similarity.simIvfAnn(spark, sf0001))
+      .map { case (q, _, v) => (q, v) }.toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.2f")
+    // the synthetic embeddings have weak label-cluster structure
+    // (within-label cosine <= 0.47), so nprobe=2 of 10 cells bounds
+    // recall near nprobe/ncells; assert we at least clear that floor
+    assert(recall >= 0.15, s"IVF recall below chance floor: $recall")
+  }
+
+  test("LSH ANN buckets give non-empty results and sane recall") {
+    val approx = resultSet(Similarity.simLshAnn(spark, sf0001))
+    assert(approx.nonEmpty)
+    val exact = resultSet(Similarity.simTopkBruteforce(spark, sf0001))
+      .map { case (q, _, v) => (q, v) }.toSet
+    val hits = approx.map { case (q, _, v) => (q, v) }.toSet & exact
+    info(s"LSH returned ${approx.size} results, ${hits.size} overlap with exact top-10")
+    // sign-bucket LSH on near-orthogonal vectors is coarse; just require signal
+    assert(hits.nonEmpty)
+  }
+}
