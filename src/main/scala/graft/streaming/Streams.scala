@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.sinks.JdbcSink
+import graft.sources.OdnsCsv
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Structured Streaming surface (SURVEY.md §2.4).
+  *
+  * The reference is a poll-the-archive-dir batch loop; its streaming twin
+  * is a file-source stream over the same directory: each newly landed
+  * archive becomes a micro-batch, exactly-once via checkpointing — no
+  * cron, no processed/ directory bookkeeping (zipFileUtils.py:60-69
+  * becomes the checkpoint log).
+  */
+object Streams {
+
+  /** Streaming ODNS ingest: watch an archive dir, apply the same typed
+    * transform as the batch reader. */
+  def odnsStream(spark: SparkSession, protocol: String, dir: String): DataFrame = {
+    val raw = spark.readStream
+      .option("sep", ";")
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 16) // bound micro-batch size at scale
+      .schema(StructType(OdnsCsv.csvColumns(protocol)
+        .map(StructField(_, StringType, nullable = true))))
+      .csv(dir)
+      .withColumn("_src", input_file_name())
+    OdnsCsv.typed(raw, protocol)
+  }
+
+  /** Watermarked tumbling 1-hour aggregate — the streaming twin of
+    * Analytics.q15TumblingAgg. Late events beyond 2h are dropped and
+    * state is bounded, so this runs forever at any rate. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Declarative gap-based sessionization — the streaming twin of
+    * Analytics.q14Sessionize, via the built-in session_window (state
+    * merged by Spark, bounded by the watermark). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running totals
+    * with a processing-time idle timeout that flushes and drops state —
+    * the pattern for any bespoke state machine the built-in windows
+    * can't express. State per key is O(1); scale-out is by key hash. */
+  def userRunningTotals(events: Dataset[UserEvent],
+      idleTimeout: String = "1 hour"): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+            val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+              case ((cn, cv), e) => (cn + 1, cv + e.value)
+            }
+            val next = UserTotal(uid, n, v)
+            state.update(next)
+            state.setTimeoutDuration(idleTimeout)
+            next
+          }
+      }
+  }
+
+  /** Stream → JDBC via foreachBatch: each micro-batch appends through
+    * the same batched JDBC writer as the batch pipeline, giving
+    * at-least-once into an idempotent target (dedupe on a key upstream
+    * or use refreshPartition per batch window for exactly-once). */
+  def toJdbc(df: DataFrame, target: JdbcSink.Target, checkpointDir: String,
+      batchSize: Int = JdbcSink.DefaultBatchSize): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        JdbcSink.append(batch, target, batchSize)
+      }
+      .start()
+}
