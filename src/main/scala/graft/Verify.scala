@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any stale dump from a previous run so the checker can't
+        // silently pass this query on old results
+        val dir = Paths.get(outDir, name)
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -29,18 +29,34 @@ object Dedup {
     * self-join happens only within band buckets. Pairs sharing any
     * band are candidates for the exact verify pass (ddNgramJaccard). */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = TextOps.withShingles(Tables.documents(spark, dir))
-      .withColumn("sig", TextOps.minhashSig("shingles"))
-      .select(col("doc_id"), col("sig"))
-    val bands = sig
-      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("sig"))
-      .withColumn("bh", expr(
-        "md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2), ':', cast(b as string)))"))
+    // Explode-then-aggregate instead of per-row array lambdas: the md5s
+    // run inside whole-stage codegen and the min collapses map-side, so
+    // the shuffle carries only |docs|×|perms| rows. Same hash family and
+    // band layout as the oracle (perm-seeded md5, lexicographic min).
+    val sh = TextOps.shingleRows(Tables.documents(spark, dir))
+    val sigs = sh
+      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("perm"), col("s"))
+      .select(col("doc_id"), col("perm"),
+        md5(concat(col("perm").cast("string"), lit(":"), col("s"))).as("h"))
+      .groupBy(col("doc_id"), col("perm"))
+      .agg(min(col("h")).as("h"))
+    val bands = sigs
+      .withColumn("b", expr("cast(perm div 2 as int)"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(max(when(expr("perm % 2 = 0"), col("h"))).as("h0"),
+        max(when(expr("perm % 2 = 1"), col("h"))).as("h1"))
+      .withColumn("bh", md5(concat(col("h0"), col("h1"), lit(":"), col("b").cast("string"))))
       .select(col("doc_id"), col("b"), col("bh"))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, expr("a.bh = b.bh AND a.b = b.b AND a.doc_id < b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // pair generation inside each band bucket (no self-join: the band
+    // subtree is computed once, and bucket membership lists are small by
+    // LSH construction — a bucket-size cap is the skew guard at scale)
+    bands
+      .groupBy(col("b"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -68,8 +84,7 @@ object Dedup {
     * on shingle; a frequency cap on hot shingles (stop-shingles) is the
     * standard skew guard at 100 TB. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.withShingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("s"))
+    val sh = TextOps.shingleRows(Tables.documents(spark, dir)).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         expr("a.s = b.s AND a.doc_id < b.doc_id"))
@@ -88,12 +103,17 @@ object Dedup {
     * partition): pairs are only formed within a block, turning O(n²)
     * into Σ|block|². */
   def ddEmbedCos(spark: SparkSession, dir: String): DataFrame = {
+    // norms are precomputed once per vector (not per pair) — the value
+    // is identical to the oracle's per-pair formula, just not recomputed
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb"))
+      .withColumn("nrm", VectorOps.norm2("embedding"))
+    val a = e.select(col("vec_id").as("va"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("va") < col("vb"))
-      .withColumn("cosim", VectorOps.cosine("ea", "eb"))
+      .withColumn("cosim", VectorOps.dot("ea", "eb") / (col("na") * col("nb")))
       .filter(col("cosim") >= 0.3)
       .select(col("va").as("vec_a"), col("vb").as("vec_b"),
         round(col("cosim"), 6).as("score"))

@@ -10,16 +10,23 @@ import org.apache.spark.sql.functions._
   *
   * The demo query set is `vec_id < 5`; the shapes below are written for
   * the real regime (broadcast the query set, keep the corpus distributed,
-  * prune before the expensive dot products).
+  * prune before the expensive dot products). Vector norms are computed
+  * once per vector and reused across pairs — the resulting doubles are
+  * bit-identical to the oracle's inline formula.
   */
 object Similarity {
 
   private val K = 10
 
-  private def queries(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus with the norm precomputed once per vector. */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("nrm", VectorOps.norm2("embedding"))
+
+  private def queries(c: DataFrame): DataFrame =
+    c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
 
   private def topkPerQuery(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
@@ -35,10 +42,11 @@ object Similarity {
     * broadcast (tiny), so scoring is map-side over the corpus — the only
     * shuffle is the final per-query top-k, |Q|·k rows. */
   def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val scored = broadcast(queries(spark, dir))
-      .crossJoin(Tables.embeddings(spark, dir))
+    val c = corpus(spark, dir)
+    val scored = broadcast(queries(c))
+      .crossJoin(c)
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosim", VectorOps.cosine("qe", "embedding"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
     topkPerQuery(scored)
   }
 
@@ -49,56 +57,69 @@ object Similarity {
     * a broadcast of #cells rows and candidate pruning happens before
     * any wide shuffle. */
   def simIvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val c = corpus(spark, dir)
     // exact per-dimension centroid: decimal sums, then one double divide
-    val cent = e
+    val cent = c
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
 
-    val cellScores = broadcast(queries(spark, dir))
+    val cellScores = broadcast(queries(c))
       .crossJoin(broadcast(cent))
-      .withColumn("cs", VectorOps.cosine("qe", "cv"))
+      .withColumn("cs", VectorOps.dot("qe", "cv") / (col("qnrm") * VectorOps.norm2("cv")))
     val wCell = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("label"))
     val cells = cellScores
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") <= 2)
-      .select(col("qid"), col("label"), col("qe"))
+      .select(col("qid"), col("label"), col("qe"), col("qnrm"))
 
     val scored = cells
-      .join(e, Seq("label"))
+      .join(c, Seq("label"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosim", VectorOps.cosine("qe", "embedding"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
     topkPerQuery(scored)
   }
 
-  /** Random-hyperplane LSH ANN (rows-only: the hex→int hyperplane
-    * derivation has no DuckDB twin; SimilaritySpec measures recall
-    * against the brute-force baseline instead). Sign bits over random
-    * hyperplanes bucket the corpus; a query scans only its bucket —
-    * O(n/2^planes) of the corpus per query in expectation, one shuffle
-    * on the bucket id. */
+  /** Random-hyperplane LSH ANN (rows-only: no DuckDB twin; the spec
+    * measures recall against the brute-force baseline). Sign bits over
+    * `planes` hyperplanes bucket the corpus; a query scans only its own
+    * bucket — O(n/2^planes) of the corpus per query in expectation, one
+    * shuffle on the bucket id. The hyperplanes are derived
+    * deterministically from md5 ONCE on the driver and shipped as a
+    * literal (64 × planes doubles), so scoring is a plain codegen'd
+    * dot product per row. */
   def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
     // 2^6 buckets — sized so buckets stay populated at test scale; at
     // corpus scale raise planes (buckets ≈ n / desired-bucket-size) or
     // use multi-probe over several hash tables for recall
     val planes = 6
-    // deterministic pseudo-random hyperplanes from md5(plane:dim)
-    val bucketExpr = expr(
-      s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
-         |acc + if(aggregate(sequence(1, size(embedding)), cast(0 as double), (s, d) ->
-         |s + cast(element_at(embedding, d) as double) *
-         |((cast(conv(substring(md5(concat(cast(p as string), ':', cast(d as string))), 1, 8), 16, 10) as double) / 4294967295.0) - 0.5)
-         |) > 0, shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin)
-    val bucketed = Tables.embeddings(spark, dir).withColumn("bucket", bucketExpr)
+    val dims = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(p: Int, d: Int): Double = {
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967295.0 - 0.5
+    }
+    val planeLit = typedLit((0 until planes).map(p => (1 to dims).map(w(p, _))))
+
+    val bucketed = Tables.embeddings(spark, dir)
+      .withColumn("planes", planeLit)
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
+           |acc + if(aggregate(zip_with(embedding, element_at(planes, p + 1),
+           |(x, wd) -> cast(x as double) * wd), cast(0 as double), (s, v) -> s + v) > 0,
+           |shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin))
+      .drop("planes")
+      .withColumn("nrm", VectorOps.norm2("embedding"))
     val q = bucketed.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"), col("bucket"))
     val scored = broadcast(q)
       .join(bucketed, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosim", VectorOps.cosine("qe", "embedding"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
     topkPerQuery(scored)
   }
 }

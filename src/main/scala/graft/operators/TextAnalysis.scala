@@ -73,9 +73,8 @@ object TextAnalysis {
     * winnow) — a stable content signature robust to word order at the
     * edges; equal fingerprints ⇒ shared rare shingle. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextOps.withShingles(Tables.documents(spark, dir))
-      .withColumn("fingerprint", expr("array_min(transform(shingles, s -> md5(s)))"))
-      .withColumn("n_shingles", expr("cast(size(shingles) as bigint)"))
-      .select(col("doc_id"), col("n_shingles"), col("fingerprint"))
+    TextOps.shingleRows(Tables.documents(spark, dir))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), min(md5(col("s"))).as("fingerprint"))
       .orderBy(col("doc_id"))
 }

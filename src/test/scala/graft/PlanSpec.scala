@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape assertions: the properties that make these operators viable
+  * at 100 TB — filter pushdown to the scan, column pruning, broadcast
+  * joins for dims, no cartesian products — must be visible in the
+  * physical plan, not assumed. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q4: range + predicate filters push down to the parquet scan") {
+    val p = plan(Analytics.q4FilterRange(spark, sf0001))
+    assert(p.contains("PushedFilters"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"), s"missing pushdown: $pushed")
+  }
+
+  test("q1: scan is pruned to the referenced columns only") {
+    val p = plan(Analytics.q1PricingSummary(spark, sf0001))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("q2: dimension joins are broadcast, not shuffled") {
+    val p = plan(Analytics.q2RevenueByNation(spark, sf0001))
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q13 as-of join uses an equi-join on the user key (no cartesian)") {
+    val p = plan(Analytics.q13AsofJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of join degenerated:\n$p")
+  }
+
+  test("minhash LSH plan has no joins at all (bucket-local pairing)") {
+    val p = plan(Dedup.ddMinhashLsh(spark, sf0001))
+    assert(!p.contains("Join"), s"unexpected join in LSH plan:\n$p")
+  }
+
+  test("brute-force similarity broadcasts the query side") {
+    val p = plan(Similarity.simTopkBruteforce(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen covers the scan-heavy operators") {
+    // AQE reports codegen spans only on the executed plan
+    val df = Analytics.q1PricingSummary(spark, sf0001)
+    df.collect()
+    // codegen stages render as "*(n) Operator" in the executed plan tree
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+}
