@@ -28,6 +28,11 @@ object SparkEntry {
     "q13_asof_join" -> (Analytics.q13AsofJoin _),
     "q14_sessionize" -> (Analytics.q14Sessionize _),
     "q15_tumbling_agg" -> (Analytics.q15TumblingAgg _),
+    "q16_full_outer" -> (Analytics.q16FullOuter _),
+    "q17_percentiles" -> (Analytics.q17Percentiles _),
+    "q18_cube" -> (Analytics.q18Cube _),
+    "q19_string_ops" -> (Analytics.q19StringOps _),
+    "q20_filtered_agg" -> (Analytics.q20FilteredAgg _),
     "odns_typing" -> (OdnsOps.odnsTyping _),
     "odns_scan_date" -> (OdnsOps.odnsScanDate _),
     "dd_exact" -> (Dedup.ddExact _),
@@ -154,6 +159,39 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q16_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey, count(*) n_cust FROM customer GROUP BY 1),
+        |sn AS (SELECT s_nationkey, count(*) n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q17_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        | coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q19_string_ops" ->
+      """SELECT p_partkey, upper(p_brand) AS u_brand,
+        | substring(p_name, 1, 10) AS name10,
+        | cast(length(p_name) as bigint) AS n_chars,
+        | replace(p_type, ' ', '_') AS type_slug
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q20_filtered_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        | cast(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) as bigint) AS n_big
+        |FROM orders GROUP BY 1 HAVING count(*) > 10 ORDER BY 1""".stripMargin,
     "odns_typing" ->
       """SELECT
         | count(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f')) AS n_ts_parsed,

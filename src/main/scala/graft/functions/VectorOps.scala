@@ -1,26 +1,34 @@
 package graft.functions
 
+import org.apache.spark.sql.graft.VectorExpressions
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
-/** Vector math over `array<float>` columns using Catalyst higher-order
-  * functions — codegen'd, no UDFs, no driver involvement.
+/** Vector math over array columns.
   *
-  * Determinism: products are computed in double and summed left-to-right
-  * in array order (`aggregate` is a sequential fold), which matches the
-  * DuckDB oracle's `list_sum(list_transform(...))` evaluation exactly —
-  * bit-identical results on both engines.
+  * Float-vector paths use the native codegen'd Catalyst expressions
+  * (graft.expressions); mixed/double arrays fall back to higher-order
+  * functions. Both accumulate products in double, left-to-right in array
+  * order, matching the DuckDB oracle's `list_sum(list_transform(...))`
+  * bit-for-bit.
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ in double, sequential fold over array order. */
-  def dot(a: String, b: String): Column = expr(
+  /** Σ aᵢ·bᵢ for two `array<float>` columns — native codegen loop. */
+  def dot(a: String, b: String): Column = VectorExpressions.dot(col(a), col(b))
+
+  /** |a| for an `array<float>` column — native codegen loop. */
+  def norm2(a: String): Column = VectorExpressions.norm(col(a))
+
+  /** HOF fallback for arrays of any numeric element type (e.g. the
+    * double-typed centroid vectors). */
+  def dotHof(a: String, b: String): Column = expr(
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
 
-  def norm2(a: String): Column = expr(
+  def norm2Hof(a: String): Column = expr(
     s"sqrt(aggregate($a, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
 
-  /** Cosine similarity dot/(|a|·|b|), same formula text as the oracle. */
+  /** Cosine similarity dot/(|a|·|b|) for float vectors. */
   def cosine(a: String, b: String): Column =
     dot(a, b).divide(norm2(a).multiply(norm2(b)))
 }

@@ -208,6 +208,69 @@ object Analytics {
         expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sum_value"))
       .orderBy($"hour", $"event_type")
 
+  /** Full outer join: per-nation customer/supplier counts, either side
+    * may be absent. Pre-aggregated inputs keep the join tiny. */
+  def q16FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir).groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(spark, dir).groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  /** Exact percentiles (sort-based, linear interpolation) per group.
+    * At scale prefer approx_percentile; this is the exact twin with a
+    * deterministic result for the oracle. */
+  def q17Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("ps"),
+        count(lit(1)).as("n"))
+      .select($"o_orderpriority",
+        expr("round(element_at(ps, 1), 4)").as("p25"),
+        expr("round(element_at(ps, 2), 4)").as("p50"),
+        expr("round(element_at(ps, 3), 4)").as("p75"),
+        $"n")
+      .orderBy($"o_orderpriority")
+
+  /** CUBE aggregate over segment × status (all 4 grouping combinations). */
+  def q18Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderstatus")
+      .agg(
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce($"c_mktsegment", lit("ALL")).as("mktsegment"),
+        coalesce($"o_orderstatus", lit("ALL")).as("orderstatus"),
+        $"revenue", $"n_orders")
+      .orderBy($"mktsegment", $"orderstatus")
+
+  /** String function coverage: case, substring, length, replace. */
+  def q19StringOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        upper($"p_brand").as("u_brand"),
+        expr("substring(p_name, 1, 10)").as("name10"),
+        expr("cast(length(p_name) as bigint)").as("n_chars"),
+        expr("replace(p_type, ' ', '_')").as("type_slug"))
+      .orderBy($"p_partkey")
+
+  /** Conditional (FILTER-style) aggregation + HAVING. */
+  def q20FilteredAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
+        expr("cast(sum(case when o_totalprice > 100000 then 1 else 0 end) as bigint)").as("n_big"))
+      .filter($"n" > 10)
+      .orderBy($"o_orderpriority")
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

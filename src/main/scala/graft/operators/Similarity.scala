@@ -68,7 +68,8 @@ object Similarity {
 
     val cellScores = broadcast(queries(c))
       .crossJoin(broadcast(cent))
-      .withColumn("cs", VectorOps.dot("qe", "cv") / (col("qnrm") * VectorOps.norm2("cv")))
+      // centroid vectors are array<double> → HOF path, same arithmetic
+      .withColumn("cs", VectorOps.dotHof("qe", "cv") / (col("qnrm") * VectorOps.norm2Hof("cv")))
     val wCell = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("label"))
     val cells = cellScores
       .withColumn("rn", row_number().over(wCell))

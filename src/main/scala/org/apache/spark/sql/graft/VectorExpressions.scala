@@ -1,0 +1,111 @@
+// Hosted inside the spark.sql package hierarchy because the extension
+// surface (AbstractDataType, ExpressionUtils.column) is private[sql] —
+// the established pattern for libraries shipping native expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for float-vector math — the hot inner loop
+  * of the similarity/dedup operators. The higher-order-function
+  * formulation (`aggregate(zip_with(...))`) is interpreted per element
+  * with boxing; these generate a tight primitive Java loop inside
+  * whole-stage codegen instead.
+  *
+  * Determinism contract (must match the DuckDB oracle bit-for-bit): each
+  * float is widened to double, products accumulate left-to-right in array
+  * order — exactly the sequential fold the oracle's
+  * `list_sum(list_transform(...))` performs.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(Σ vᵢ²) with the same sequential-double accumulation. */
+case class FloatVecNorm(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVecDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def norm(a: Column): Column =
+    ExpressionUtils.column(FloatVecNorm(ExpressionUtils.expression(a)))
+}

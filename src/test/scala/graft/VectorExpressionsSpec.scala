@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** The native codegen expressions must be bit-identical to the HOF
+  * formulation (which is what the DuckDB oracle mirrors). */
+class VectorExpressionsSpec extends SparkSpec {
+
+  private def embPairs = {
+    val e = Tables.embeddings(spark, sf0001)
+    e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("vb"), col("embedding").as("eb")))
+      .filter(col("va") < col("vb")).limit(2000)
+  }
+
+  test("native dot is bit-identical to the HOF fold") {
+    val n = embPairs
+      .withColumn("d_native", VectorOps.dot("ea", "eb"))
+      .withColumn("d_hof", VectorOps.dotHof("ea", "eb"))
+      .filter(col("d_native") =!= col("d_hof"))
+      .count()
+    assert(n == 0)
+  }
+
+  test("native norm is bit-identical to the HOF fold") {
+    val n = Tables.embeddings(spark, sf0001)
+      .withColumn("n_native", VectorOps.norm2("embedding"))
+      .withColumn("n_hof", VectorOps.norm2Hof("embedding"))
+      .filter(col("n_native") =!= col("n_hof"))
+      .count()
+    assert(n == 0)
+  }
+
+  test("null and empty arrays are handled") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(1.0f))),
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float]))).toDF("a", "b")
+    val out = df.select(
+      VectorOps.dot("a", "b").as("d"), VectorOps.norm2("a").as("n")).collect()
+    assert(out(0).getDouble(0) == 11.0 && math.abs(out(0).getDouble(1) - math.sqrt(5.0)) < 1e-12)
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    assert(out(2).getDouble(0) == 0.0 && out(2).getDouble(1) == 0.0)
+  }
+}
