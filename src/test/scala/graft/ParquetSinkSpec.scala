@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.ParquetSink
+import graft.sources.OdnsCsv
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+class ParquetSinkSpec extends SparkSpec {
+
+  private def odnsDf(n: Int) = {
+    val dir = Files.createTempDirectory("lake_src")
+    OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-01.csv.gz",
+      OdnsFixtures.TcpHeader, OdnsFixtures.tcpRows(n))
+    OdnsCsv.read(spark, "tcp", dir.toString)
+  }
+
+  test("partitioned write prunes partitions at read time") {
+    val out = Files.createTempDirectory("lake_out").toString + "/odns"
+    ParquetSink.writePartitioned(odnsDf(6), out, Seq("protocol", "scan_date"))
+    val back = spark.read.parquet(out).filter(col("protocol") === "tcp")
+    assert(back.count() == 6)
+    val plan = back.queryExecution.explainString(FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("protocol"), s"no partition pruning: $pf")
+  }
+
+  test("dynamic partition refresh replaces only matching partitions") {
+    val out = Files.createTempDirectory("lake_refresh").toString + "/odns"
+    val df = odnsDf(6)
+    ParquetSink.writePartitioned(df, out, Seq("protocol"))
+    // fake a second protocol partition by rewriting the column
+    ParquetSink.refreshPartitions(
+      df.withColumn("protocol", lit("udp")), out, Seq("protocol"))
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("protocol") === "tcp").count() == 6) // untouched
+    assert(back.filter(col("protocol") === "udp").count() == 6)
+    // refresh tcp with fewer rows — replaces, doesn't accumulate
+    ParquetSink.refreshPartitions(df.limit(2), out, Seq("protocol"))
+    assert(spark.read.parquet(out).filter(col("protocol") === "tcp").count() == 2)
+  }
+
+  test("clustered write co-locates keys and keeps row order within files") {
+    val out = Files.createTempDirectory("lake_cluster").toString + "/docs"
+    ParquetSink.writeClustered(Tables.documents(spark, sf0001), out, "lang", 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+    assert(back.select("lang").distinct().count() == 5)
+  }
+}
