@@ -40,6 +40,8 @@ object SparkEntry {
     "dd_simhash" -> (Dedup.ddSimhash _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
     "dd_embed_cos" -> (Dedup.ddEmbedCos _),
+    "dd_components" -> (Dedup.ddComponents _),
+    "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
     "sim_lsh_ann" -> (Similarity.simLshAnn _),
@@ -242,6 +244,43 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         |WHERE ninter * 5 >= (sa.n + sb.n - ninter)
         |ORDER BY 1, 2""".stripMargin,
+    "dd_components" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |),
+        |edges AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach AS (
+        | SELECT a AS n, a AS m FROM edges
+        | UNION
+        | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+        |)
+        |SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_top_terms" ->
+      """WITH tok AS (
+        | SELECT lang, doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term FROM documents
+        |), tf AS (SELECT lang, term, count(*) tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) df FROM tok GROUP BY 1),
+        |nd AS (SELECT count(*) n FROM documents),
+        |scored AS (
+        | SELECT lang, tf.term, tf, df,
+        |  cast(tf as double) * (SELECT n FROM nd) / df AS score
+        | FROM tf JOIN df ON tf.term = df.term
+        |)
+        |SELECT lang, cast(rnk as bigint) AS rank, term, tf, df, round(score, 6) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) rnk FROM scored)
+        |WHERE rnk <= 5 ORDER BY lang, rank""".stripMargin,
     "dd_embed_cos" ->
       """WITH s AS (
         | SELECT a.vec_id va, b.vec_id vb,

@@ -99,6 +99,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over the near-dup pair graph (ddNgramJaccard
+    * edges): every document in a component shares a ≥0.2-Jaccard chain —
+    * the cluster you keep one representative from. Iterative min-label
+    * propagation; each round is one join + aggregate, lineage truncated
+    * per round, converging in O(cluster diameter) rounds (near-dup
+    * clusters are shallow). The driver sees only a scalar per round —
+    * this is the simple form of the large-star/small-star CC algorithm
+    * used at web scale. */
+  def ddComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ddNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("n")).distinct()
+      .withColumn("lbl", col("n"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges.join(labels, col("b") === col("n"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("nbr"))
+      val next = labels.join(nbrMin, col("n") === col("a"), "left")
+        .select(col("n"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("x").join(labels.as("y"), col("x.n") === col("y.n"))
+        .filter(col("x.lbl") =!= col("y.lbl")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("n").as("doc_id"), col("lbl").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup, blocked by label (an IVF-style coarse
     * partition): pairs are only formed within a block, turning O(n²)
     * into Σ|block|². */

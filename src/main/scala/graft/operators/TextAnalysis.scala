@@ -69,6 +69,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF top terms per language. The idf uses the log-free rational
+    * form tf·N/df (multiplication and division are IEEE-exact-rounded,
+    * so Spark and DuckDB agree bit-for-bit; libm `ln` would not).
+    * Shape: two shuffles (term stats), broadcast of the doc count, then
+    * a per-lang top-k window. */
+  def txtTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("lang"), col("doc_id"),
+      explode(TextOps.tokens("text")).as("term"))
+    val tf = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_total") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Document fingerprint: min-hash over 3-gram shingles (the k=1
     * winnow) — a stable content signature robust to word order at the
     * edges; equal fingerprints ⇒ shared rare shingle. */
