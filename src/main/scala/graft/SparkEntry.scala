@@ -33,6 +33,8 @@ object SparkEntry {
     "q18_cube" -> (Analytics.q18Cube _),
     "q19_string_ops" -> (Analytics.q19StringOps _),
     "q20_filtered_agg" -> (Analytics.q20FilteredAgg _),
+    "q21_ntile" -> (Analytics.q21Ntile _),
+    "sim_kmeans_step" -> (Similarity.simKmeansStep _),
     "odns_typing" -> (OdnsOps.odnsTyping _),
     "odns_scan_date" -> (OdnsOps.odnsScanDate _),
     "dd_exact" -> (Dedup.ddExact _),
@@ -194,6 +196,30 @@ object SparkEntry {
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
         | cast(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) as bigint) AS n_big
         |FROM orders GROUP BY 1 HAVING count(*) > 10 ORDER BY 1""".stripMargin,
+    "q21_ntile" ->
+      """SELECT o_orderpriority, bucket, count(*) AS n,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM (
+        | SELECT o_orderpriority, o_totalprice,
+        |  cast(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) as bigint) AS bucket
+        | FROM orders
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sim_kmeans_step" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, e.label, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, label, clabel new_label, dist,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |)
+        |SELECT vec_id, label, new_label, round(dist, 6) AS dist
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "odns_typing" ->
       """SELECT
         | count(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f')) AS n_ts_parsed,

@@ -261,6 +261,19 @@ object Analytics {
         expr("replace(p_type, ' ', '_')").as("type_slug"))
       .orderBy($"p_partkey")
 
+  /** NTILE quartile bucketing per group + per-bucket stats. */
+  def q21Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("bucket", ntile(4).over(w).cast("bigint"))
+      .groupBy($"o_orderpriority", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+      .orderBy($"o_orderpriority", $"bucket")
+  }
+
   /** Conditional (FILTER-style) aggregation + HAVING. */
   def q20FilteredAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -83,6 +83,33 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  /** One Lloyd iteration of k-means over the embeddings (cells seeded
+    * from the label column): exact-decimal centroids, then every vector
+    * reassigned to its nearest centroid by squared euclidean distance
+    * (tie-break on the smaller cell id). The full algorithm is this
+    * operator iterated — each round is one broadcast of k centroids and
+    * one map-side scan, the canonical distributed k-means shape. */
+  def simKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val dists = e.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(embedding, cv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), cast(0 as double), (acc, v) -> acc + v)"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("clabel"))
+    dists
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("new_label"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Random-hyperplane LSH ANN (rows-only: no DuckDB twin; the spec
     * measures recall against the brute-force baseline). Sign bits over
     * `planes` hyperplanes bucket the corpus; a query scans only its own

@@ -34,6 +34,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall below chance floor: $recall")
   }
 
+  test("k-means step assigns every vector to a valid nearest cell") {
+    val rows = Similarity.simKmeansStep(spark, sf0001).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getAs[Double]("dist") >= 0.0))
+    assert(rows.forall(r => (0 to 9).contains(r.getAs[Int]("new_label"))))
+    // a Lloyd step can only keep or reduce each point's distance to its
+    // own (seed) centroid, so some points must stay put
+    val stayed = rows.count(r => r.getAs[Int]("label") == r.getAs[Int]("new_label"))
+    assert(stayed > 0)
+  }
+
   test("LSH ANN buckets give non-empty results and sane recall") {
     val approx = resultSet(Similarity.simLshAnn(spark, sf0001))
     assert(approx.nonEmpty)
