@@ -53,6 +53,7 @@ object SparkEntry {
     "txt_fingerprint" -> (TextAnalysis.txtFingerprint _),
     "mm_binary_meta" -> (Multimodal.mmBinaryMeta _),
     "mm_decode_stub" -> (Multimodal.mmDecodeStub _),
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.mmFrameSample(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -406,6 +407,14 @@ object SparkEntry {
         |SELECT doc_id, cast(len(shingles) as bigint) AS n_shingles,
         | list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, n_frames, frame_idx, frame_idx * 40 AS frame_ts_ms
+        |FROM (
+        | SELECT doc_id,
+        |  cast(1 + octet_length(cast(text as blob)) % 8 as bigint) AS n_frames,
+        |  unnest(range(0, 1 + octet_length(cast(text as blob)) % 8, 3)) AS frame_idx
+        | FROM documents
+        |) ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         | cast(octet_length(cast(text as blob)) as bigint) AS n_bytes,

@@ -27,6 +27,20 @@ object Multimodal {
         expr("substring(hex(payload), 1, 16)").as("head_hex"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling over pseudo-video payloads: one row per sampled
+    * frame with a per-frame byte slice — the explode-shaped plumbing a
+    * real video pipeline uses (decode once, emit k frames), with the
+    * decoder stubbed deterministically. At scale this is a Generate
+    * (no shuffle), and frame payloads stay columnar binary. */
+  def mmFrameSample(spark: SparkSession, dir: String, everyNth: Int = 3): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_frames", expr("cast(1 + pmod(octet_length(payload), 8) as bigint)"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr(s"sequence(cast(0 as bigint), n_frames - 1, cast($everyNth as bigint))")).as("frame_idx"))
+      .withColumn("frame_ts_ms", col("frame_idx") * 40) // 25 fps stub
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** One decoded media record per document. */
   case class MediaFeature(doc_id: Long, n_bytes: Int, width: Int,
       height: Int, n_frames: Int, kind: String)
