@@ -86,6 +86,22 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-stream interval join: for each purchase, the
+    * error events of the same user in the preceding hour (fraud/debug
+    * correlation shape). Both sides' state is bounded by watermark +
+    * interval; the join is keyed on user_id so it scales by key hash. */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    purchases.join(errors,
+      expr("""user_id = e_user AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts < p_ts"""))
+      .select(col("user_id"), col("p_ts"), col("p_value"), col("e_ts"))
+  }
+
   /** Stream → JDBC via foreachBatch: each micro-batch appends through
     * the same batched JDBC writer as the batch pipeline, giving
     * at-least-once into an idempotent target (dedupe on a key upstream

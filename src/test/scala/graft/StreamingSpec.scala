@@ -65,6 +65,20 @@ class StreamingSpec extends SparkSpec {
     assert(out(2L).n_events == 1)
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    runToMemory(Streams.purchaseErrorJoin(eventsStream()), "ss_join")
+    val streamed = spark.sql("select * from ss_join").count()
+    // batch twin of the same interval join
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val batch = p.join(e, org.apache.spark.sql.functions.expr(
+      "user_id = e_user AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts < p_ts")).count()
+    assert(streamed == batch && batch > 0)
+  }
+
   test("foreachBatch JDBC sink lands micro-batches in Derby") {
     val dir = Files.createTempDirectory("stream_jdbc")
     OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-03.csv.gz",
