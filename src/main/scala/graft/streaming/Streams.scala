@@ -86,6 +86,16 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup on a key: state bounded by the watermark —
+    * duplicates arriving within the watermark window are dropped, the
+    * streaming half of the batch ddExact operator (at-least-once
+    * upstream → effectively-once downstream). */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked stream-stream interval join: for each purchase, the
     * error events of the same user in the preceding hour (fraud/debug
     * correlation shape). Both sides' state is bounded by watermark +

@@ -65,6 +65,20 @@ class StreamingSpec extends SparkSpec {
     assert(out(2L).n_events == 1)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    // stage events twice -> every event_id appears in two files
+    val src = Files.createTempDirectory("stream_dup")
+    val ev = Tables.events(spark, sf0001)
+    ev.write.mode("overwrite").parquet(src.toString + "/a")
+    ev.write.mode("overwrite").parquet(src.toString + "/b")
+    val stream = spark.readStream.schema(ev.schema)
+      .parquet(src.toString + "/*")
+    runToMemory(Streams.dedupByKey(stream, Seq("event_id")), "dedup_stream")
+    assert(spark.sql("select * from dedup_stream").count() == 1000L)
+    assert(spark.sql("select count(distinct event_id) from dedup_stream")
+      .collect().head.getLong(0) == 1000L)
+  }
+
   test("stream-stream interval join matches its batch twin") {
     runToMemory(Streams.purchaseErrorJoin(eventsStream()), "ss_join")
     val streamed = spark.sql("select * from ss_join").count()
