@@ -29,10 +29,15 @@ object Similarity {
         col("nrm").as("qnrm"))
 
   private def topkPerQuery(scored: DataFrame): DataFrame = {
+    // custom TopKPerGroup operator prunes to K rows per query with
+    // bounded heaps (partial pass before the shuffle), then a window
+    // over the surviving |Q|·K rows assigns ranks — same selection
+    // semantics as row_number()<=K but without sorting whole groups
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("qid"), Seq("cosim" -> true, "vec_id" -> false), K)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
-    scored
+    pruned
       .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= K)
       .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
         round(col("cosim"), 6).as("score"))
       .orderBy(col("query_id"), col("rank"))

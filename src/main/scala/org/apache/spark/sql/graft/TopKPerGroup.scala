@@ -1,0 +1,117 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Top-K-per-group as a first-class operator (SURVEY.md §4: custom
+  * LogicalPlan + SparkStrategy + SparkPlan, the (c)-tier extension).
+  *
+  * The window formulation (`row_number() OVER (PARTITION BY g ORDER BY
+  * o) <= k`) sorts EVERY group's rows; this operator keeps a bounded
+  * k-row buffer per group instead — O(n·log k) with O(groups·k) memory,
+  * and it runs twice: a partial pass before the shuffle (a combiner, so
+  * the exchange carries at most partitions×groups×k rows) and a final
+  * pass after clustering by group. Selection semantics are identical to
+  * the window form given a total sort order (tie-broken), so results are
+  * oracle-stable.
+  */
+case class TopKPerGroupPlan(groupCols: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupCols))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupExprs = groupCols
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ordering = GenerateOrdering.generate(sortOrder, childOutput)
+      // per group: ascending-sorted buffer of at most k rows under
+      // `ordering` (the first k of the total order = the top k)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val buf = heaps.getOrElseUpdate(key.copy(), new mutable.ArrayBuffer[InternalRow](limit + 1))
+        if (buf.length < limit || ordering.compare(row, buf.last) < 0) {
+          val copy = row.copy()
+          var i = buf.length
+          buf.append(copy)
+          // insertion into sorted position (k is small)
+          while (i > 0 && ordering.compare(copy, buf(i - 1)) < 0) {
+            buf(i) = buf(i - 1); buf(i - 1) = copy; i -= 1
+          }
+          if (buf.length > limit) buf.remove(limit)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as partial + final exec (combiner style). */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(groups, order, k, child) =>
+      TopKPerGroupExec(groups, order, k, partial = false,
+        TopKPerGroupExec(groups, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Sort key: column name + direction (desc=true). Nulls ordering is
+    * the Spark default for the direction (asc→nulls first, desc→nulls
+    * last), matching `col.asc`/`col.desc` in the window formulation. */
+  type SortKey = (String, Boolean)
+
+  /** Top `k` rows per group of `df`, ordered by `order` (must be a
+    * total order — include a tie-break column). Columns are resolved by
+    * name against the analyzed child so the plan ships fully resolved
+    * attribute references to executors. Registers the planner strategy
+    * on first use via the public experimental hook. */
+  def perGroup(df: DataFrame, groupCols: Seq[String], order: Seq[SortKey],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute =
+      analyzed.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $n in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val sortOrder = order.map { case (n, desc) =>
+      SortOrder(attr(n),
+        if (desc) org.apache.spark.sql.catalyst.expressions.Descending
+        else org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      TopKPerGroupPlan(groupCols.map(attr), sortOrder, k, analyzed))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopK
+
+class TopKPerGroupSpec extends SparkSpec {
+
+  test("custom operator selects exactly the window-formulation rows") {
+    val li = Tables.lineitem(spark, sf0001)
+    val viaWindow = li
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))))
+      .filter(col("rn") <= 7).drop("rn")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .collect().map(_.toString).sorted
+    val viaCustom = TopK.perGroup(li, Seq("l_returnflag"),
+        Seq("l_extendedprice" -> true, "l_orderkey" -> false, "l_linenumber" -> false), 7)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .collect().map(_.toString).sorted
+    assert(viaCustom.sameElements(viaWindow))
+  }
+
+  test("physical plan contains the partial+final TopKPerGroup execs") {
+    val df = TopK.perGroup(Tables.orders(spark, sf0001),
+      Seq("o_custkey"), Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    // both the pre-shuffle partial and post-shuffle final instances
+    assert("TopKPerGroup".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("k larger than any group degenerates to the full input") {
+    val n = TopK.perGroup(Tables.orders(spark, sf0001),
+      Seq("o_custkey"), Seq("o_orderkey" -> false), 1000000).count()
+    assert(n == Tables.orders(spark, sf0001).count())
+  }
+}
