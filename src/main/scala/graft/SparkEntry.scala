@@ -34,6 +34,10 @@ object SparkEntry {
     "q19_string_ops" -> (Analytics.q19StringOps _),
     "q20_filtered_agg" -> (Analytics.q20FilteredAgg _),
     "q21_ntile" -> (Analytics.q21Ntile _),
+    "q22_correlated_subq" -> (Analytics.q22CorrelatedSubquery _),
+    "q23_time_rollup" -> (Analytics.q23TimeRollup _),
+    "q24_collect_arrays" -> (Analytics.q24CollectArrays _),
+    "txt_normalize" -> (TextAnalysis.txtNormalize _),
     "sim_kmeans_step" -> (Similarity.simKmeansStep _),
     "odns_typing" -> (OdnsOps.odnsTyping _),
     "odns_scan_date" -> (OdnsOps.odnsScanDate _),
@@ -205,6 +209,30 @@ object SparkEntry {
         |  cast(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) as bigint) AS bucket
         | FROM orders
         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q22_correlated_subq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (
+        | SELECT cast(sum(cast(o_totalprice as decimal(18,2))) as double) / count(*)
+        | FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q23_time_rollup" ->
+      """SELECT coalesce(yr, -1) AS yr, coalesce(qtr, -1) AS qtr,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue,
+        | count(*) AS n_orders
+        |FROM (SELECT cast(year(o_orderdate) as bigint) yr,
+        |             cast(quarter(o_orderdate) as bigint) qtr, o_totalprice FROM orders)
+        |GROUP BY ROLLUP(yr, qtr) ORDER BY 1, 2""".stripMargin,
+    "q24_collect_arrays" ->
+      """SELECT o_custkey, cast(len(ks) as bigint) AS n,
+        | ks[1] AS first_key, ks[-1] AS last_key
+        |FROM (SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) ks FROM orders GROUP BY 1)
+        |ORDER BY o_custkey""".stripMargin,
+    "txt_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_md5,
+        | cast(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) as bigint) AS n_clean_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sim_kmeans_step" ->
       """WITH dims AS (SELECT unnest(range(1, 65)) i),
         |cent AS (

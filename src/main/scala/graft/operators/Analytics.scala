@@ -284,6 +284,43 @@ object Analytics {
       .filter($"n" > 10)
       .orderBy($"o_orderpriority")
 
+  /** Correlated scalar subquery: orders above their own customer's
+    * average (exact-decimal per-customer threshold). Catalyst rewrites
+    * the correlation into an aggregate + join — no per-row subquery
+    * execution. */
+  def q22CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_q22")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM graft_orders_q22 o
+        |WHERE o_totalprice > (
+        |  SELECT cast(sum(cast(o_totalprice as decimal(18,2))) as double) / count(*)
+        |  FROM graft_orders_q22 i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Time-dimension ROLLUP: revenue by year → quarter. */
+  def q23TimeRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("yr", expr("cast(year(o_orderdate) as bigint)"))
+      .withColumn("qtr", expr("cast(quarter(o_orderdate) as bigint)"))
+      .rollup($"yr", $"qtr")
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce($"yr", lit(-1L)).as("yr"),
+        coalesce($"qtr", lit(-1L)).as("qtr"), $"revenue", $"n_orders")
+      .orderBy($"yr", $"qtr")
+
+  /** Nested types: per-customer sorted order-key array + array stats. */
+  def q24CollectArrays(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sort_array(collect_list($"o_orderkey")).as("order_keys"))
+      .select($"o_custkey",
+        expr("cast(size(order_keys) as bigint)").as("n"),
+        element_at($"order_keys", 1).as("first_key"),
+        element_at($"order_keys", -1).as("last_key"))
+      .orderBy($"o_custkey")
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

@@ -69,6 +69,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Normalization for dedup/training: lowercase, strip non-alnum,
+    * squash whitespace — the canonical text-cleaning pass, as a pure
+    * codegen projection. */
+  def txtNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("clean", expr(
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+      .select(col("doc_id"), col("clean"),
+        md5(col("clean")).as("clean_md5"),
+        expr("cast(length(clean) as bigint)").as("n_clean_chars"))
+      .orderBy(col("doc_id"))
+
   /** TF-IDF top terms per language. The idf uses the log-free rational
     * form tf·N/df (multiplication and division are IEEE-exact-rounded,
     * so Spark and DuckDB agree bit-for-bit; libm `ln` would not).
