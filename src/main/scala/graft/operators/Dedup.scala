@@ -112,20 +112,23 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("n")).distinct()
-      .withColumn("lbl", col("n"))
+    // seed with round 1 fused in: label = min(self, direct neighbors)
+    var labels = edges.groupBy(col("a")).agg(min(col("b")).as("mb"))
+      .select(col("a").as("n"), least(col("a"), col("mb")).as("lbl"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val nbrMin = edges.join(labels, col("b") === col("n"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nbr"))
+      // carry the old label through so convergence is a filter on the
+      // checkpointed result, not another join
       val next = labels.join(nbrMin, col("n") === col("a"), "left")
-        .select(col("n"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .select(col("n"), col("lbl").as("old_lbl"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      val changed = next.as("x").join(labels.as("y"), col("x.n") === col("y.n"))
-        .filter(col("x.lbl") =!= col("y.lbl")).count()
-      labels = next
+      val changed = next.filter(col("lbl") =!= col("old_lbl")).count()
+      labels = next.select(col("n"), col("lbl"))
       converged = changed == 0
       rounds += 1
     }

@@ -41,6 +41,22 @@ class OdnsCsvSpec extends SparkSpec {
     assert(df.filter(col("asn_arecord").isNull).count() == 4)
   }
 
+  test("malformed rows degrade to nulls, never crash the read") {
+    val dir = Files.createTempDirectory("odns_bad")
+    val goodRows = OdnsFixtures.tcpRows(2)
+    val badRows = Seq(
+      "only;three;fields",                       // too few columns
+      OdnsFixtures.tcpRows(1).head + ";extra1;extra2", // too many columns
+      "")                                        // blank line
+    OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-01.csv.gz",
+      OdnsFixtures.TcpHeader, goodRows ++ badRows)
+    val df = OdnsCsv.read(spark, "tcp", dir.toString)
+    val rows = df.collect() // must not throw (PERMISSIVE mode)
+    assert(rows.length >= goodRows.length)
+    // the well-formed rows are intact
+    assert(df.filter(col("timestamp_request").isNotNull).count() >= 2)
+  }
+
   test("multiple archives read in one pass with per-file scan_date") {
     val dir = Files.createTempDirectory("odns_multi")
     OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-01.csv.gz",
