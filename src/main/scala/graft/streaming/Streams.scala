@@ -86,6 +86,52 @@ object Streams {
       }
   }
 
+  case class SessionEvent(user_id: Long, ts_us: Long)
+  case class SessionState(start_us: Long, last_us: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Custom stateful sessionizer via flatMapGroupsWithState: emits a
+    * session row when a 30-minute gap closes it, carrying open-session
+    * state per user with a processing-time idle timeout as the flush
+    * path. This is the escape hatch for session semantics session_window
+    * can't express (e.g. cap on session length, custom merge rules);
+    * state is O(1) per user and sharded by key hash. */
+  def sessionizeStateful(events: Dataset[SessionEvent],
+      gapUs: Long = 1800L * 1000000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start_us, s.last_us, s.n))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                  cur = Some(SessionState(s.start_us, e.ts_us, s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start_us, s.last_us, s.n)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration("1 hour")
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup on a key: state bounded by the watermark —
     * duplicates arriving within the watermark window are dropped, the
     * streaming half of the batch ddExact operator (at-least-once

@@ -93,6 +93,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch > 0)
   }
 
+  test("stateful sessionizer closes sessions on gap, matches batch counts") {
+    import org.apache.spark.sql.functions.unix_micros
+    // batch-mode exercise of the state function: all events in one group
+    // batch -> emitted rows are the CLOSED sessions; the last session per
+    // user stays open in state
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Streams.SessionEvent]
+    val closed = Streams.sessionizeStateful(ev).collect()
+    val batchSessions = graft.operators.Analytics.q14Sessionize(spark, sf0001)
+    val totalSessions = batchSessions.count()
+    val nUsers = batchSessions.select("user_id").distinct().count()
+    // closed sessions = all sessions minus the one still open per user
+    assert(closed.length.toLong == totalSessions - nUsers)
+    closed.foreach { s =>
+      assert(s.end_us >= s.start_us && s.n_events >= 1)
+    }
+  }
+
   test("foreachBatch JDBC sink lands micro-batches in Derby") {
     val dir = Files.createTempDirectory("stream_jdbc")
     OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-03.csv.gz",
