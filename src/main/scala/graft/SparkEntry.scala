@@ -37,6 +37,7 @@ object SparkEntry {
     "q22_correlated_subq" -> (Analytics.q22CorrelatedSubquery _),
     "q23_time_rollup" -> (Analytics.q23TimeRollup _),
     "q24_collect_arrays" -> (Analytics.q24CollectArrays _),
+    "q25_null_semantics" -> (Analytics.q25NullSemantics _),
     "txt_normalize" -> (TextAnalysis.txtNormalize _),
     "sim_kmeans_step" -> (Similarity.simKmeansStep _),
     "odns_typing" -> (OdnsOps.odnsTyping _),
@@ -227,6 +228,13 @@ object SparkEntry {
         | ks[1] AS first_key, ks[-1] AS last_key
         |FROM (SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) ks FROM orders GROUP BY 1)
         |ORDER BY o_custkey""".stripMargin,
+    "q25_null_semantics" ->
+      """SELECT count(*) AS n_rows,
+        | count(nullif(event_type, 'error')) AS n_non_error,
+        | cast(sum(cast(nullif(value, value) as decimal(18,2))) as double) AS sum_all_null,
+        | count(distinct nullif(event_type, 'error')) AS n_distinct_non_error,
+        | max(nullif(event_type, 'view')) AS max_et
+        |FROM events""".stripMargin,
     "txt_normalize" ->
       """SELECT doc_id,
         | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean,

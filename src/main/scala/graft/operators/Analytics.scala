@@ -321,6 +321,18 @@ object Analytics {
         element_at($"order_keys", -1).as("last_key"))
       .orderBy($"o_custkey")
 
+  /** Null-semantics coverage: count skips nulls, SUM of all-null is
+    * NULL, DISTINCT excludes nulls, MAX ignores nulls — identical
+    * three-valued-logic behavior to the oracle. */
+  def q25NullSemantics(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("count(nullif(event_type, 'error'))").as("n_non_error"),
+        expr("cast(sum(cast(nullif(value, value) as decimal(18,2))) as double)").as("sum_all_null"),
+        expr("count(distinct nullif(event_type, 'error'))").as("n_distinct_non_error"),
+        expr("max(nullif(event_type, 'view'))").as("max_et"))
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
