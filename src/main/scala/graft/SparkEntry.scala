@@ -38,6 +38,8 @@ object SparkEntry {
     "q23_time_rollup" -> (Analytics.q23TimeRollup _),
     "q24_collect_arrays" -> (Analytics.q24CollectArrays _),
     "q25_null_semantics" -> (Analytics.q25NullSemantics _),
+    "q26_grouping_sets" -> (Analytics.q26GroupingSets _),
+    "q27_range_frame" -> (Analytics.q27RangeFrame _),
     "txt_normalize" -> (TextAnalysis.txtNormalize _),
     "sim_kmeans_step" -> (Similarity.simKmeansStep _),
     "odns_typing" -> (OdnsOps.odnsTyping _),
@@ -235,6 +237,24 @@ object SparkEntry {
         | count(distinct nullif(event_type, 'error')) AS n_distinct_non_error,
         | max(nullif(event_type, 'view')) AS max_et
         |FROM events""".stripMargin,
+    "q26_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        | coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        |ORDER BY 1, 2""".stripMargin,
+    "q27_range_frame" ->
+      """SELECT o_custkey, round(max(rev30), 4) AS max_rev30, count(*) AS n
+        |FROM (
+        | SELECT o_custkey,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY od
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) as double) rev30
+        | FROM (SELECT o_custkey, o_totalprice,
+        |        epoch_us(o_orderdate) // 86400000000 AS od FROM orders)
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_normalize" ->
       """SELECT doc_id,
         | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean,

@@ -321,6 +321,33 @@ object Analytics {
         element_at($"order_keys", -1).as("last_key"))
       .orderBy($"o_custkey")
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube). */
+  def q26GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_q26")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue,
+        |       count(*) AS n
+        |FROM graft_orders_q26
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Moving 30-day revenue per customer via a RANGE window frame over
+    * epoch days (numeric range frames behave identically across
+    * engines). */
+  def q27RangeFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("od", expr("cast(unix_date(cast(o_orderdate as date)) as bigint)"))
+      .withColumn("rev30", expr(
+        """cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+          |  PARTITION BY o_custkey ORDER BY od
+          |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) as double)""".stripMargin))
+      .groupBy($"o_custkey")
+      .agg(expr("round(max(rev30), 4)").as("max_rev30"), count(lit(1)).as("n"))
+      .orderBy($"o_custkey")
+
   /** Null-semantics coverage: count skips nulls, SUM of all-null is
     * NULL, DISTINCT excludes nulls, MAX ignores nulls — identical
     * three-valued-logic behavior to the oracle. */

@@ -83,6 +83,58 @@ object JdbcSink {
     append(df, target, batchSize)
   }
 
+  /** Keyed upsert (update-else-insert per row, batched per partition) —
+    * the sink for streaming aggregations in update mode: re-emitted
+    * keys overwrite their previous values, so retries and late updates
+    * are idempotent. Each partition opens one connection; column order
+    * follows the DataFrame schema. For stores with native MERGE/
+    * ON CONFLICT, swap the two statements for the single-statement
+    * form — the partition plumbing stays the same. */
+  def upsert(df: DataFrame, target: Target, keyCols: Seq[String],
+      batchSize: Int = 1000): Unit = {
+    val cols = df.columns.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains), s"bad keys: $keyCols")
+    (cols ++ keyCols).foreach(c =>
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad column: $c"))
+    val valCols = cols.filterNot(keyCols.contains)
+    val updateSql = s"UPDATE ${target.table} SET " +
+      valCols.map(c => s"$c = ?").mkString(", ") +
+      " WHERE " + keyCols.map(c => s"$c = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO ${target.table} (${cols.mkString(", ")}) VALUES " +
+      cols.map(_ => "?").mkString("(", ", ", ")")
+    val url = target.url
+    val props = target.properties
+    val schema = df.schema
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val upd = conn.prepareStatement(updateSql)
+        val ins = conn.prepareStatement(insertSql)
+        try {
+          var pending = 0
+          rows.foreach { row =>
+            valCols.zipWithIndex.foreach { case (c, i) =>
+              upd.setObject(i + 1, row.get(schema.fieldIndex(c)))
+            }
+            keyCols.zipWithIndex.foreach { case (c, i) =>
+              upd.setObject(valCols.length + i + 1, row.get(schema.fieldIndex(c)))
+            }
+            if (upd.executeUpdate() == 0) {
+              cols.zipWithIndex.foreach { case (c, i) =>
+                ins.setObject(i + 1, row.get(schema.fieldIndex(c)))
+              }
+              ins.executeUpdate()
+            }
+            pending += 1
+            if (pending >= batchSize) { conn.commit(); pending = 0 }
+          }
+          conn.commit()
+        } finally { upd.close(); ins.close() }
+      } finally conn.close()
+    }
+  }
+
   def tableExists(target: Target): Boolean = {
     val conn = target.connection()
     try {

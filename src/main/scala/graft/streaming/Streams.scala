@@ -158,6 +158,21 @@ object Streams {
       .select(col("user_id"), col("p_ts"), col("p_value"), col("e_ts"))
   }
 
+  /** Streaming aggregation → JDBC via foreachBatch upsert: update-mode
+    * batches re-emit changed keys, and the keyed upsert makes the sink
+    * idempotent — the exactly-once-observable pattern for dashboards /
+    * summary tables fed by a stream. */
+  def aggToJdbcUpsert(agg: DataFrame, target: JdbcSink.Target,
+      keyCols: Seq[String], checkpointDir: String): StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        JdbcSink.upsert(batch, target, keyCols)
+      }
+      .start()
+
   /** Stream → JDBC via foreachBatch: each micro-batch appends through
     * the same batched JDBC writer as the batch pipeline, giving
     * at-least-once into an idempotent target (dedupe on a key upstream

@@ -112,6 +112,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("update-mode aggregation upserts into Derby idempotently") {
+    val dbDir = Files.createTempDirectory("derby").resolve("upsert_db")
+    val target = JdbcSink.Target(s"jdbc:derby:$dbDir;create=true", "etype_counts")
+    val conn = target.connection()
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE etype_counts (event_type VARCHAR(32) PRIMARY KEY, n BIGINT)")
+      st.close()
+    } finally conn.close()
+    val counts = eventsStream().groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(col("event_id")).as("n"))
+    val ck = Files.createTempDirectory("ck_upsert").toString
+    Streams.aggToJdbcUpsert(counts, target, Seq("event_type"), ck)
+      .awaitTermination(120000)
+    assert(JdbcSink.count(target) == 5) // one row per event type, not per batch
+    // feeding the SAME data through a fresh stream re-upserts, row count stable
+    val ck2 = Files.createTempDirectory("ck_upsert2").toString
+    Streams.aggToJdbcUpsert(counts, target, Seq("event_type"), ck2)
+      .awaitTermination(120000)
+    assert(JdbcSink.count(target) == 5)
+    // and values equal the batch truth
+    val back = spark.read.format("jdbc")
+      .option("url", target.url).option("dbtable", target.table).load()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Tables.events(spark, sf0001).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == truth)
+  }
+
   test("foreachBatch JDBC sink lands micro-batches in Derby") {
     val dir = Files.createTempDirectory("stream_jdbc")
     OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-03.csv.gz",
