@@ -30,17 +30,9 @@ object TextOps {
       .select(col(idCol), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
   }
 
-  /** Session-scoped materialization of the documents shingle table —
-    * minhash, jaccard and components all start from it, so in any run
-    * that executes several of them (Verify, Bench, a real pipeline) the
-    * tokenize+window pass runs once and is served from cache after. In
-    * production this is the persisted intermediate (a parquet shingle
-    * table); values are identical either way. */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  def cachedShingleRows(spark: org.apache.spark.sql.SparkSession, dir: String,
-      load: => DataFrame): DataFrame =
-    shingleCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
-      _ => shingleRows(load).persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  // NOTE: a persist()-based session cache of the shingle table was
+  // measured SLOWER than recomputation here (cache materialization
+  // breaks whole-stage fusion and adds a job per consumer) — at real
+  // scale the shared intermediate belongs in a parquet shingle table,
+  // not executor cache.
 }

@@ -33,7 +33,7 @@ object Dedup {
     // run inside whole-stage codegen and the min collapses map-side, so
     // the shuffle carries only |docs|×|perms| rows. Same hash family and
     // band layout as the oracle (perm-seeded md5, lexicographic min).
-    val sh = TextOps.cachedShingleRows(spark, dir, Tables.documents(spark, dir))
+    val sh = TextOps.shingleRows(Tables.documents(spark, dir))
     val sigs = sh
       .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("perm"), col("s"))
       .select(col("doc_id"), col("perm"),
@@ -84,7 +84,7 @@ object Dedup {
     * on shingle; a frequency cap on hot shingles (stop-shingles) is the
     * standard skew guard at 100 TB. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.cachedShingleRows(spark, dir, Tables.documents(spark, dir)).distinct()
+    val sh = TextOps.shingleRows(Tables.documents(spark, dir)).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // codegen'd sort-merge self-join on the shingle key beats per-bucket
     // pair materialization here (measured: the interpreted HOF pair

@@ -110,7 +110,7 @@ object TextAnalysis {
     * winnow) — a stable content signature robust to word order at the
     * edges; equal fingerprints ⇒ shared rare shingle. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextOps.cachedShingleRows(spark, dir, Tables.documents(spark, dir))
+    TextOps.shingleRows(Tables.documents(spark, dir))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), min(md5(col("s"))).as("fingerprint"))
       .orderBy(col("doc_id"))
