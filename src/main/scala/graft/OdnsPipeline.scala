@@ -39,6 +39,27 @@ object OdnsPipeline {
       }
     }
 
+  /** Lake variant: land every outstanding archive as partitioned
+    * parquet (protocol/scan_date directories), refreshing only the
+    * partitions present in this batch — the 100 TB shape, where the
+    * JDBC store holds summaries and the lake holds the full scans. */
+  def runToLake(spark: SparkSession, archiveRoot: String, lakePath: String,
+      year: Int): Seq[Result] =
+    Protocols.map { proto =>
+      val dir = FileDiscovery.dataPath(archiveRoot, year, proto)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val archives = FileDiscovery.all(dir, proto, ArchiveExtension, conf)
+      if (archives.isEmpty) Result(proto, None, 0L)
+      else {
+        val df = OdnsCsv.read(spark, proto, archives: _*)
+        graft.sinks.ParquetSink.refreshPartitions(df, lakePath,
+          Seq("protocol", "scan_date"))
+        val n = spark.read.parquet(lakePath)
+          .filter(org.apache.spark.sql.functions.col("protocol") === proto).count()
+        Result(proto, Some(archives.last), n)
+      }
+    }
+
   /** Health check: JDBC connectivity + archive root readability
     * (dataimporter.py:309-326). */
   def healthy(spark: SparkSession, archiveRoot: String,

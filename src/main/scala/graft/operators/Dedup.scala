@@ -111,8 +111,17 @@ object Dedup {
     * clusters are shallow). The driver sees only a scalar per round —
     * this is the simple form of the large-star/small-star CC algorithm
     * used at web scale. */
+  /** Edge sets small enough for the driver take the O(E·α) union-find
+    * fast path; anything larger runs the distributed propagation. The
+    * near-dup graph is usually tiny relative to the corpus (edges ≪
+    * docs), so at 100 TB this collect is of the PAIRS, not the data —
+    * still guarded, with the iterative path as fallback. */
+  private val DriverEdgeLimit = 2000000L
+
   def ddComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ddNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    if (pairs.count() <= DriverEdgeLimit) return componentsUnionFind(spark, pairs)
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint(true)
@@ -138,6 +147,30 @@ object Dedup {
     }
     labels.select(col("n").as("doc_id"), col("lbl").as("component"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Driver-side union-find over a collected (small) pair set; emits
+    * the same (doc_id, min-reachable-id) labeling as the distributed
+    * propagation. */
+  private def componentsUnionFind(spark: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = parent.keys.toSeq.map(n => (n, find(n))).sorted
+    out.toDF("doc_id", "component").orderBy(col("doc_id"))
   }
 
   /** Embedding-cosine near-dup, blocked by label (an IVF-style coarse

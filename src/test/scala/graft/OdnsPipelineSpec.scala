@@ -43,6 +43,30 @@ class OdnsPipelineSpec extends SparkSpec {
     assert(dates == Set(("tcp", "2026-08-02"), ("udp", "2026-08-02")))
   }
 
+  test("lake variant ingests ALL archives into refreshable partitions") {
+    val root = Files.createTempDirectory("odns_lake_root")
+    OdnsFixtures.writeArchive(root.resolve("2026/tcp"), "tcp_scan_2026-08-01.csv.gz",
+      OdnsFixtures.TcpHeader, OdnsFixtures.tcpRows(4))
+    OdnsFixtures.writeArchive(root.resolve("2026/tcp"), "tcp_scan_2026-08-02.csv.gz",
+      OdnsFixtures.TcpHeader, OdnsFixtures.tcpRows(6))
+    OdnsFixtures.writeArchive(root.resolve("2026/udp"), "udp_scan_2026-08-02.csv.gz",
+      OdnsFixtures.UdpHeader, OdnsFixtures.udpRows(3))
+    val lake = Files.createTempDirectory("odns_lake").toString + "/scans"
+
+    val results = OdnsPipeline.runToLake(spark, root.toString, lake, 2026)
+    // unlike the reference's newest-only unit, the lake run takes BOTH
+    // tcp archives in one distributed read
+    assert(results.head.rows == 10 && results(1).rows == 3)
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 13)
+    // partition dirs exist per (protocol, scan_date)
+    val parts = back.select("protocol", "scan_date").distinct().count()
+    assert(parts == 3)
+    // re-running refreshes in place (dynamic overwrite, no duplicates)
+    OdnsPipeline.runToLake(spark, root.toString, lake, 2026)
+    assert(spark.read.parquet(lake).count() == 13)
+  }
+
   test("health check reflects JDBC and archive-root state") {
     val root = Files.createTempDirectory("odns_health")
     val dbDir = Files.createTempDirectory("derby").resolve("health_db")
