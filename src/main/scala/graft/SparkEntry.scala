@@ -40,6 +40,7 @@ object SparkEntry {
     "q25_null_semantics" -> (Analytics.q25NullSemantics _),
     "q26_grouping_sets" -> (Analytics.q26GroupingSets _),
     "q27_range_frame" -> (Analytics.q27RangeFrame _),
+    "q28_window_nav" -> (Analytics.q28WindowNav _),
     "txt_normalize" -> (TextAnalysis.txtNormalize _),
     "sim_kmeans_step" -> (Similarity.simKmeansStep _),
     "odns_typing" -> (OdnsOps.odnsTyping _),
@@ -255,6 +256,19 @@ object SparkEntry {
         | FROM (SELECT o_custkey, o_totalprice,
         |        epoch_us(o_orderdate) // 86400000000 AS od FROM orders)
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_window_nav" ->
+      """SELECT o_custkey, max(first_key) AS first_key, max(last_key) AS last_key,
+        | max(second_key) AS second_key
+        |FROM (
+        | SELECT o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_normalize" ->
       """SELECT doc_id,
         | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean,

@@ -348,6 +348,20 @@ object Analytics {
       .agg(expr("round(max(rev30), 4)").as("max_rev30"), count(lit(1)).as("n"))
       .orderBy($"o_custkey")
 
+  /** Window navigation: first/last/nth order value per customer. */
+  def q28WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .withColumn("first_key", first($"o_orderkey").over(w))
+      .withColumn("last_key", last($"o_orderkey").over(w))
+      .withColumn("second_key", nth_value($"o_orderkey", 2).over(w))
+      .groupBy($"o_custkey")
+      .agg(max($"first_key").as("first_key"), max($"last_key").as("last_key"),
+        max($"second_key").as("second_key"))
+      .orderBy($"o_custkey")
+  }
+
   /** Null-semantics coverage: count skips nulls, SUM of all-null is
     * NULL, DISTINCT excludes nulls, MAX ignores nulls — identical
     * three-valued-logic behavior to the oracle. */
