@@ -41,6 +41,7 @@ object SparkEntry {
     "q26_grouping_sets" -> (Analytics.q26GroupingSets _),
     "q27_range_frame" -> (Analytics.q27RangeFrame _),
     "q28_window_nav" -> (Analytics.q28WindowNav _),
+    "q29_stats" -> (Analytics.q29Stats _),
     "txt_normalize" -> (TextAnalysis.txtNormalize _),
     "sim_kmeans_step" -> (Similarity.simKmeansStep _),
     "odns_typing" -> (OdnsOps.odnsTyping _),
@@ -269,6 +270,16 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_stats" ->
+      """SELECT o_orderpriority, n,
+        | round(s1 / n, 4) AS mean_price,
+        | round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_price
+        |FROM (
+        | SELECT o_orderpriority, count(*) n,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) s1,
+        |  cast(sum(cast(o_totalprice * o_totalprice as decimal(30,4))) as double) s2
+        | FROM orders GROUP BY 1
+        |) ORDER BY 1""".stripMargin,
     "txt_normalize" ->
       """SELECT doc_id,
         | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean,

@@ -374,6 +374,22 @@ object Analytics {
         expr("count(distinct nullif(event_type, 'error'))").as("n_distinct_non_error"),
         expr("max(nullif(event_type, 'view'))").as("max_et"))
 
+  /** Mean/variance/stddev per group, computed from exact decimal sums
+    * via the E[x²]−E[x]² identity — engine-native stddev uses different
+    * accumulation (Welford vs naive) and would not hash-match; this
+    * form is partition-order independent AND cross-engine exact. */
+  def q29Stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("s1"),
+        expr("cast(sum(cast(o_totalprice * o_totalprice as decimal(30,4))) as double)").as("s2"))
+      .select($"o_orderpriority", $"n",
+        expr("round(s1 / n, 4)").as("mean_price"),
+        expr("round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)").as("stddev_price"))
+      .orderBy($"o_orderpriority")
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
