@@ -56,6 +56,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
     "sim_lsh_ann" -> (Similarity.simLshAnn _),
+    "sim_lsh_multiprobe" -> (Similarity.simLshMultiProbe _),
     "txt_quality" -> (TextAnalysis.txtQuality _),
     "txt_langid" -> (TextAnalysis.txtLangid _),
     "txt_tokens" -> (TextAnalysis.txtTokens _),

@@ -88,6 +88,28 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  /** Multi-probe LSH: each query scans its home bucket plus every
+    * 1-bit-flip neighbor bucket (planes+1 probes) — the standard recall
+    * repair for sign LSH, trading a constant-factor candidate increase
+    * for recovering neighbors that fell across one hyperplane. Still
+    * O(n·(planes+1)/2^planes) expected candidates per query, one
+    * shuffle on the bucket id. Rows-only (recall measured in spec). */
+  def simLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = lshBucketed(spark, dir)
+    val probes = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"),
+        explode(expr(
+          s"array_union(array(bucket), transform(sequence(0, ${LshPlanes - 1}), p -> cast(bucket ^ shiftleft(cast(1 as bigint), p) as bigint)))")).as("bucket"))
+    val scored = broadcast(probes)
+      .join(bucketed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+      // a candidate can appear via several probes; top-k must see it once
+      .dropDuplicates("qid", "vec_id")
+    topkPerQuery(scored)
+  }
+
   /** One Lloyd iteration of k-means over the embeddings (cells seeded
     * from the label column): exact-decimal centroids, then every vector
     * reassigned to its nearest centroid by squared euclidean distance
@@ -123,11 +145,14 @@ object Similarity {
     * deterministically from md5 ONCE on the driver and shipped as a
     * literal (64 × planes doubles), so scoring is a plain codegen'd
     * dot product per row. */
-  def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
-    // 2^6 buckets — sized so buckets stay populated at test scale; at
-    // corpus scale raise planes (buckets ≈ n / desired-bucket-size) or
-    // use multi-probe over several hash tables for recall
-    val planes = 6
+  // 2^6 buckets — sized so buckets stay populated at test scale; at
+  // corpus scale raise planes (buckets ≈ n / desired-bucket-size)
+  private val LshPlanes = 6
+
+  /** Corpus with deterministic sign-LSH bucket + norm. Hyperplanes are
+    * derived from md5 ONCE on the driver and shipped as a literal
+    * (64 × planes doubles), so bucketing is a plain dot product. */
+  private def lshBucketed(spark: SparkSession, dir: String): DataFrame = {
     val dims = 64
     val md = java.security.MessageDigest.getInstance("MD5")
     def w(p: Int, d: Int): Double = {
@@ -135,17 +160,20 @@ object Similarity {
         .take(4).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex, 16).toDouble / 4294967295.0 - 0.5
     }
-    val planeLit = typedLit((0 until planes).map(p => (1 to dims).map(w(p, _))))
-
-    val bucketed = Tables.embeddings(spark, dir)
+    val planeLit = typedLit((0 until LshPlanes).map(p => (1 to dims).map(w(p, _))))
+    Tables.embeddings(spark, dir)
       .withColumn("planes", planeLit)
       .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
+        s"""aggregate(sequence(0, ${LshPlanes - 1}), cast(0 as bigint), (acc, p) ->
            |acc + if(aggregate(zip_with(embedding, element_at(planes, p + 1),
            |(x, wd) -> cast(x as double) * wd), cast(0 as double), (s, v) -> s + v) > 0,
            |shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin))
       .drop("planes")
       .withColumn("nrm", VectorOps.norm2("embedding"))
+  }
+
+  def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = lshBucketed(spark, dir)
     val q = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qnrm"), col("bucket"))

@@ -34,6 +34,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall below chance floor: $recall")
   }
 
+  test("multi-probe LSH recall dominates single-probe") {
+    val exact = resultSet(Similarity.simTopkBruteforce(spark, sf0001))
+      .map { case (q, _, v) => (q, v) }.toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (resultSet(df).map { case (q, _, v) => (q, v) }.toSet & exact).size.toDouble / exact.size
+    val single = recall(Similarity.simLshAnn(spark, sf0001))
+    val multi = recall(Similarity.simLshMultiProbe(spark, sf0001))
+    info(f"LSH recall@10: single=$single%.2f multi=$multi%.2f")
+    assert(multi >= single)
+    assert(multi > 0.1, s"multi-probe recall too low: $multi")
+  }
+
   test("k-means step assigns every vector to a valid nearest cell") {
     val rows = Similarity.simKmeansStep(spark, sf0001).collect()
     assert(rows.length == 500)
