@@ -42,6 +42,8 @@ object SparkEntry {
     "q27_range_frame" -> (Analytics.q27RangeFrame _),
     "q28_window_nav" -> (Analytics.q28WindowNav _),
     "q29_stats" -> (Analytics.q29Stats _),
+    "q30_anomaly" -> (Analytics.q30Anomaly _),
+    "q31_sample" -> (Analytics.q31Sample _),
     "txt_normalize" -> (TextAnalysis.txtNormalize _),
     "sim_kmeans_step" -> (Similarity.simKmeansStep _),
     "odns_typing" -> (OdnsOps.odnsTyping _),
@@ -281,6 +283,27 @@ object SparkEntry {
         |  cast(sum(cast(o_totalprice * o_totalprice as decimal(30,4))) as double) s2
         | FROM orders GROUP BY 1
         |) ORDER BY 1""".stripMargin,
+    "q30_anomaly" ->
+      """WITH stats AS (
+        | SELECT event_type, count(*) n,
+        |  cast(sum(cast(value as decimal(18,2))) as double) s1,
+        |  cast(sum(cast(value * value as decimal(30,4))) as double) s2
+        | FROM events GROUP BY 1
+        |), ms AS (
+        | SELECT event_type, s1 / n AS mean_v,
+        |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd_v FROM stats
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        | round((e.value - ms.mean_v) / ms.sd_v, 6) AS z
+        |FROM events e JOIN ms ON e.event_type = ms.event_type
+        |WHERE abs((e.value - ms.mean_v) / ms.sd_v) > 3
+        |ORDER BY e.event_id""".stripMargin,
+    "q31_sample" ->
+      """SELECT count(*) AS n_sampled,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE substring(md5(cast(o_orderkey as varchar)), 1, 1) IN ('0', '1')""".stripMargin,
     "txt_normalize" ->
       """SELECT doc_id,
         | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean,

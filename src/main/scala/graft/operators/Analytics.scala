@@ -390,6 +390,36 @@ object Analytics {
         expr("round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)").as("stddev_price"))
       .orderBy($"o_orderpriority")
 
+  /** Z-score anomaly detection: events whose value deviates > 3σ from
+    * their event-type mean (stats via the exact-sum identity, broadcast
+    * back onto the stream of events — one tiny aggregate + a map-side
+    * join at any scale). */
+  def q30Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("s1"),
+        expr("cast(sum(cast(value * value as decimal(30,4))) as double)").as("s2"))
+      .select($"event_type", expr("s1 / n").as("mean_v"),
+        expr("sqrt((s2 - s1 * s1 / n) / (n - 1))").as("sd_v"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z", expr("(value - mean_v) / sd_v"))
+      .filter(expr("abs(z) > 3"))
+      .select($"event_id", $"event_type", $"value", expr("round(z, 6)").as("z"))
+      .orderBy($"event_id")
+  }
+
+  /** Deterministic systematic sampling: ~1/8 of rows selected by md5
+    * prefix of the key — reproducible across engines and runs (unlike
+    * seeded RNG sampling, where engines disagree), the pattern for
+    * auditable eval-split carving at scale. */
+  def q31Sample(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(expr("substring(md5(cast(o_orderkey as string)), 1, 1) IN ('0', '1')"))
+      .agg(count(lit(1)).as("n_sampled"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
