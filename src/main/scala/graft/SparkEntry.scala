@@ -413,6 +413,20 @@ object SparkEntry {
         |SELECT lang, cast(rnk as bigint) AS rank, term, tf, df, round(score, 6) AS score
         |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) rnk FROM scored)
         |WHERE rnk <= 5 ORDER BY lang, rank""".stripMargin,
+    "dd_simhash" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) t FROM documents
+        |), h AS (
+        | SELECT doc_id, list_sum(list_transform(range(1, 16), i ->
+        |   cast((strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1) as bigint)
+        |   * cast(power(16, 15 - i) as bigint))) hv
+        | FROM tok
+        |), votes AS (
+        | SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        | FROM h CROSS JOIN (SELECT unnest(range(0, 60)) j) GROUP BY 1, 2
+        |)
+        |SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN cast(1 as bigint) << j ELSE 0 END) as bigint) AS simhash
+        |FROM votes GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dd_embed_cos" ->
       """WITH s AS (
         | SELECT a.vec_id va, b.vec_id vb,
@@ -462,6 +476,31 @@ object SparkEntry {
         |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
         | FROM q JOIN cells ON cells.qid = q.qid JOIN embeddings e ON e.label = cells.label
         | WHERE e.vec_id <> q.qid
+        |), r AS (
+        | SELECT qid query_id, vec_id, cosim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM s
+        |)
+        |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, round(cosim, 6) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sim_lsh_ann" ->
+      """WITH planes AS (
+        | SELECT p, list_transform(range(1, 65), d ->
+        |   cast(list_sum(list_transform(range(1, 9), i ->
+        |     cast((strpos('0123456789abcdef', substring(md5(cast(p as varchar) || ':' || cast(d as varchar)), i, 1)) - 1) as bigint)
+        |     * cast(power(16, 8 - i) as bigint))) as double) / 4294967295.0 - 0.5) w
+        | FROM (SELECT unnest(range(0, 6)) p)
+        |), b AS (
+        | SELECT e.vec_id, e.embedding,
+        |  cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), d -> cast(e.embedding[d] as double) * pl.w[d])) > 0
+        |       THEN cast(1 as bigint) << pl.p ELSE 0 END) as bigint) bucket
+        | FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2
+        |), q AS (SELECT vec_id qid, embedding qe, bucket FROM b WHERE vec_id < 5),
+        |s AS (
+        | SELECT q.qid, e2.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(e2.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e2.embedding[i] as double) * cast(e2.embedding[i] as double))))) cosim
+        | FROM q JOIN b e2 ON e2.bucket = q.bucket AND e2.vec_id <> q.qid
         |), r AS (
         | SELECT qid query_id, vec_id, cosim,
         |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM s

@@ -61,9 +61,10 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 60-bit SimHash over token hashes (rows-only: hex→int conversion has
-    * no DuckDB twin). Hamming-close hashes ⇒ near-dup texts; the spec
-    * asserts the metric property. One projection, no shuffle. */
+  /** 60-bit SimHash over token hashes (oracle-checked: the hex→int
+    * conversion is replicated in SQL via digit-position arithmetic).
+    * Hamming-close hashes ⇒ near-dup texts; the spec asserts the metric
+    * property. One projection, no shuffle. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", TextOps.tokens("text"))

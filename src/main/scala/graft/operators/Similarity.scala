@@ -137,14 +137,12 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Random-hyperplane LSH ANN (rows-only: no DuckDB twin; the spec
+  /** Random-hyperplane LSH ANN (oracle-checked — the md5-derived
+    * hyperplanes are reproduced in SQL, and the spec additionally
     * measures recall against the brute-force baseline). Sign bits over
     * `planes` hyperplanes bucket the corpus; a query scans only its own
     * bucket — O(n/2^planes) of the corpus per query in expectation, one
-    * shuffle on the bucket id. The hyperplanes are derived
-    * deterministically from md5 ONCE on the driver and shipped as a
-    * literal (64 × planes doubles), so scoring is a plain codegen'd
-    * dot product per row. */
+    * shuffle on the bucket id. */
   // 2^6 buckets — sized so buckets stay populated at test scale; at
   // corpus scale raise planes (buckets ≈ n / desired-bucket-size)
   private val LshPlanes = 6
