@@ -507,6 +507,37 @@ object SparkEntry {
         |)
         |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, round(cosim, 6) AS score
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sim_lsh_multiprobe" ->
+      """WITH planes AS (
+        | SELECT p, list_transform(range(1, 65), d ->
+        |   cast(list_sum(list_transform(range(1, 9), i ->
+        |     cast((strpos('0123456789abcdef', substring(md5(cast(p as varchar) || ':' || cast(d as varchar)), i, 1)) - 1) as bigint)
+        |     * cast(power(16, 8 - i) as bigint))) as double) / 4294967295.0 - 0.5) w
+        | FROM (SELECT unnest(range(0, 6)) p)
+        |), b AS (
+        | SELECT e.vec_id, e.embedding,
+        |  cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), d -> cast(e.embedding[d] as double) * pl.w[d])) > 0
+        |       THEN cast(1 as bigint) << pl.p ELSE 0 END) as bigint) bucket
+        | FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2
+        |), q AS (
+        | SELECT vec_id qid, embedding qe,
+        |  unnest(list_distinct(list_prepend(bucket, list_transform(range(0, 6), p -> xor(bucket, cast(1 as bigint) << p))))) probe
+        | FROM b WHERE vec_id < 5
+        |), s AS (
+        | SELECT DISTINCT q.qid, e2.vec_id, q.qe, e2.embedding
+        | FROM q JOIN b e2 ON e2.bucket = q.probe AND e2.vec_id <> q.qid
+        |), sc AS (
+        | SELECT qid, vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(embedding[i] as double) * cast(embedding[i] as double))))) cosim
+        | FROM s
+        |), r AS (
+        | SELECT qid query_id, vec_id, cosim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM sc
+        |)
+        |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, round(cosim, 6) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
     "txt_quality" ->
       """WITH t AS (
         | SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
