@@ -582,6 +582,14 @@ object SparkEntry {
         |SELECT doc_id, cast(len(shingles) as bigint) AS n_shingles,
         | list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        | cast(octet_length(cast(text as blob)) as int) AS n_bytes,
+        | cast(64 + octet_length(cast(text as blob)) % 577 as int) AS width,
+        | cast(64 + (octet_length(cast(text as blob)) * 31) % 421 as int) AS height,
+        | cast(1 + (ascii(substring(text, 1, 1)) & 127) % 8 as int) AS n_frames,
+        | CASE WHEN octet_length(cast(text as blob)) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, n_frames, frame_idx, frame_idx * 40 AS frame_ts_ms
         |FROM (
