@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[FloatVecDot].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[FloatVecDot].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("float_vec_dot"),
