@@ -1,0 +1,11 @@
+#!/bin/bash
+# Local correctness gate: Verify dump + DuckDB oracle parity.
+# Usage: tools/gate.sh [sf0.001|sf0.01|sf0.1]
+set -e
+SF="${1:-sf0.001}"
+OUT="/tmp/verify_${SF}"
+cd "$(dirname "$0")/.."
+rm -rf "$OUT"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" sbt -batch \
+  "runMain graft.Verify /root/testdata/$SF $OUT" 2>&1 | grep "\[verify\]" || true
+python3 tools/oracle_check.py "/root/testdata/$SF" "$OUT"

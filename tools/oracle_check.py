@@ -55,6 +55,14 @@ def main():
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)
+        # dtype drift (e.g. int32 vs int64) passes the value compare but
+        # may matter to a stricter driver — surface it as a warning
+        if ok_cols:
+            stypes = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+            otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
+            for c in scols:
+                if stypes[c] != otypes[c]:
+                    print(f"  [warn] {key}.{c}: spark={stypes[c]} oracle={otypes[c]}")
         ok_vals = ok_cols and ok_rows and canon(srows, scols) == canon(orows, ocols)
         if ok_cols and ok_rows and ok_vals:
             print(f"[ok] {key}: {len(srows)} rows")
