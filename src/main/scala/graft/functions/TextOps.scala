@@ -13,26 +13,42 @@ object TextOps {
   def tokens(text: String): Column =
     expr(s"filter(split($text, ' '), x -> x != '')")
 
-  /** One row per 3-gram shingle occurrence, in token order: posexplode
-    * evaluates the tokenizer once per document, then a window `lead`
-    * assembles shingles in whole-stage codegen — linear in tokens, one
-    * shuffle on the doc key. (A per-row array formulation via nested
-    * HOFs gets inlined by CollapseProject and re-tokenizes per element —
-    * hidden quadratic; this shape avoids it.) */
-  def shingleRows(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    df.select(col(idCol), posexplode(tokens(textCol)).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col(idCol), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
-  }
+  /** Round-robin rebalance before a compute-heavy per-row stage.
+    * Higher-order-function lambdas evaluate interpreted (outside
+    * whole-stage codegen), so a narrow scan — locally often a single
+    * parquet file = a single partition — serializes them. A small
+    * row-level shuffle of the raw docs buys full-core parallelism for
+    * the expensive map stage (measured 3-4x on the shingle/minhash
+    * ops). At cluster scale the scan's own splits usually provide this
+    * and the exchange coalesces to a no-op under AQE; the pattern
+    * (rebalance input before expensive map work) is the same one you'd
+    * apply on a 1000-executor job after a selective filter. */
+  def balanced(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  // NOTE: a persist()-based session cache of the shingle table was
-  // measured SLOWER than recomputation here (cache materialization
-  // breaks whole-stage fusion and adds a job per consumer) — at real
-  // scale the shared intermediate belongs in a parquet shingle table,
-  // not executor cache.
+  /** 3-gram shingle array per row, in token order — computed entirely
+    * map-side (no shuffle, no explode). The token array is bound as a
+    * higher-order-function LAMBDA VARIABLE (`transform(array(toks),
+    * t -> …)`): lambda variables cannot be inlined by CollapseProject,
+    * so the tokenizer runs once per row even though the shingle lambda
+    * reads it per element. (A plain `toks` column referenced inside a
+    * lambda body gets inlined and re-split per element — the hidden
+    * quadratic that forced a window-based shape in round 1.)
+    *
+    * Docs with <3 tokens yield an empty array; callers filter
+    * `size(...) > 0` to reproduce the reference's WHERE len(t) >= 3. */
+  def shingleArray(textCol: String): Column = expr(
+    s"""element_at(transform(array(filter(split($textCol, ' '), x -> x != '')),
+       |  t -> if(size(t) < 3, cast(array() as array<string>),
+       |    transform(sequence(1, size(t) - 2),
+       |      i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))),
+       |1)""".stripMargin)
+
+  // NOTE (round 1): a persist()-based session cache of the shingle
+  // intermediate was measured SLOWER than recomputation (cache
+  // materialization breaks whole-stage fusion and adds a job per
+  // consumer) — at real scale a shared shingle intermediate belongs in
+  // a parquet table, not executor cache. Shingles are now recomputed
+  // map-side per consumer, which is strictly cheaper than the round-1
+  // posexplode+window shape (one shuffle per consumer eliminated).
 }

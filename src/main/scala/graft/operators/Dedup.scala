@@ -29,24 +29,27 @@ object Dedup {
     * self-join happens only within band buckets. Pairs sharing any
     * band are candidates for the exact verify pass (ddNgramJaccard). */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // Explode-then-aggregate instead of per-row array lambdas: the md5s
-    // run inside whole-stage codegen and the min collapses map-side, so
-    // the shuffle carries only |docs|×|perms| rows. Same hash family and
-    // band layout as the oracle (perm-seeded md5, lexicographic min).
-    val sh = TextOps.shingleRows(Tables.documents(spark, dir))
-    val sigs = sh
-      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("perm"), col("s"))
-      .select(col("doc_id"), col("perm"),
-        md5(concat(col("perm").cast("string"), lit(":"), col("s"))).as("h"))
-      .groupBy(col("doc_id"), col("perm"))
-      .agg(min(col("h")).as("h"))
-    val bands = sigs
-      .withColumn("b", expr("cast(perm div 2 as int)"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(max(when(expr("perm % 2 = 0"), col("h"))).as("h0"),
-        max(when(expr("perm % 2 = 1"), col("h"))).as("h1"))
-      .withColumn("bh", md5(concat(col("h0"), col("h1"), lit(":"), col("b").cast("string"))))
-      .select(col("doc_id"), col("b"), col("bh"))
+    // The whole signature is computed MAP-SIDE per document (array
+    // lambdas over the bound shingle array — see TextOps.shingleArray):
+    // no signature shuffle at all. The only shuffles left are the band
+    // bucket groupBy, the pair distinct, and the output sort. Same hash
+    // family and band layout as the oracle (perm-seeded md5,
+    // lexicographic min). At 100 TB this is the shape you want: shuffle
+    // volume = docs × 4 fixed-width band rows, nothing keyed on perm.
+    val bands = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.shingleArray("text").as("sh"))
+      .filter(size(col("sh")) > 0)
+      // bind sh once (lambda variable) so the 8-perm loop doesn't
+      // re-inline the shingle construction per perm
+      .select(col("doc_id"), expr(
+        """element_at(transform(array(sh), v ->
+          |  transform(sequence(0, 7), p ->
+          |    array_min(transform(v, s -> md5(concat(cast(p as string), ':', s)))))), 1)""".stripMargin).as("sig"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3), b -> named_struct(
+          |  'b', b,
+          |  'bh', md5(concat(element_at(sig, 2*b+1), element_at(sig, 2*b+2), ':', cast(b as string)))))""".stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.b").as("b"), col("x.bh").as("bh"))
     // pair generation inside each band bucket (no self-join: the band
     // subtree is computed once, and bucket membership lists are small by
     // LSH construction — a bucket-size cap is the skew guard at scale)
@@ -66,7 +69,7 @@ object Dedup {
     * Hamming-close hashes ⇒ near-dup texts; the spec asserts the metric
     * property. One projection, no shuffle. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    TextOps.balanced(Tables.documents(spark, dir))
       .withColumn("toks", TextOps.tokens("text"))
       .filter(expr("size(toks) >= 1"))
       // one 60-bit hash per token, then a ±1 vote per bit position
@@ -85,22 +88,29 @@ object Dedup {
     * on shingle; a frequency cap on hot shingles (stop-shingles) is the
     * standard skew guard at 100 TB. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingleRows(Tables.documents(spark, dir)).distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Per-doc distinct shingles + set size are computed map-side
+    // (array_distinct over the shingle array) and the size rides along
+    // with every exploded shingle row — so there is NO separate sizes
+    // aggregate and NO post-join size lookups: the doc sizes come out
+    // of the groupBy key. Shuffles: the self-join on the shingle key
+    // and the pair aggregate, nothing else before the output sort.
+    val sh = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(TextOps.shingleArray("text")).as("shd"))
+      .filter(size(col("shd")) > 0)
+      .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
+        explode(col("shd")).as("s"))
     // codegen'd sort-merge self-join on the shingle key beats per-bucket
     // pair materialization here (measured: the interpreted HOF pair
     // expansion is ~4x slower at sf0.1); hot-shingle caps remain the
     // skew guard at scale
-    val inter = sh.as("a").join(sh.as("b"),
+    sh.as("a").hint("shuffle_hash").join(sh.as("b"),
         expr("a.s = b.s AND a.doc_id < b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("ninter"))
-    inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .filter(expr("ninter * 5 >= (sa.n + sb.n - ninter)"))
+      .filter(expr("ninter * 5 >= (na + nb - ninter)"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        expr("round(cast(ninter as double) / (sa.n + sb.n - ninter), 6)").as("jaccard"))
+        expr("round(cast(ninter as double) / (na + nb - ninter), 6)").as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -110,8 +110,12 @@ object TextAnalysis {
     * winnow) — a stable content signature robust to word order at the
     * edges; equal fingerprints ⇒ shared rare shingle. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextOps.shingleRows(Tables.documents(spark, dir))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), min(md5(col("s"))).as("fingerprint"))
+    // fully map-side: shingle array + min-of-md5s per row, no shuffle
+    // before the output sort
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.shingleArray("text").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        expr("array_min(transform(sh, s -> md5(s)))").as("fingerprint"))
       .orderBy(col("doc_id"))
 }
