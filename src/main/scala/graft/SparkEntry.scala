@@ -44,7 +44,18 @@ object SparkEntry {
     "q29_stats" -> (Analytics.q29Stats _),
     "q30_anomaly" -> (Analytics.q30Anomaly _),
     "q31_sample" -> (Analytics.q31Sample _),
+    "q32_latest_per_key" -> (Analytics.q32LatestPerKey _),
+    "q33_except" -> (Analytics.q33Except _),
+    "q34_date_arith" -> (Analytics.q34DateArith _),
+    "q35_regex_extract" -> (Analytics.q35RegexExtract _),
     "txt_normalize" -> (TextAnalysis.txtNormalize _),
+    "txt_bigrams" -> ((s: SparkSession, d: String) => TextAnalysis.txtBigrams(s, d)),
+    "txt_vocab" -> (TextAnalysis.txtVocab _),
+    "txt_len_hist" -> (TextAnalysis.txtLenHist _),
+    "txt_pii_mask" -> (TextAnalysis.txtPiiMask _),
+    "sim_quantize" -> (Similarity.simQuantize _),
+    "sim_centroid_dist" -> (Similarity.simCentroidDist _),
+    "dd_keepers" -> (Dedup.ddKeepers _),
     "sim_kmeans_step" -> (Similarity.simKmeansStep _),
     "odns_typing" -> (OdnsOps.odnsTyping _),
     "odns_scan_date" -> (OdnsOps.odnsScanDate _),
@@ -604,5 +615,96 @@ object SparkEntry {
         | md5(text) AS payload_md5,
         | substring(hex(cast(text as blob)), 1, 16) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_latest_per_key" ->
+      """SELECT user_id, event_id, ts AS last_ts, event_type, value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        | FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q33_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY custkey""".stripMargin,
+    "q34_date_arith" ->
+      """SELECT cast(year(o_orderdate) as bigint) AS y,
+        | cast(month(o_orderdate) as bigint) AS m,
+        | count(*) AS n_lines,
+        | round(cast(sum(date_diff('day', cast(o_orderdate as date), cast(l_shipdate as date))) as double) / count(*), 6) AS avg_latency_days,
+        | max(cast(date_diff('day', cast(o_orderdate as date), cast(l_shipdate as date)) as bigint)) AS max_latency_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q35_regex_extract" ->
+      """SELECT doc_id,
+        | cast(len(regexp_extract_all(text, '\bs[a-z]+')) as bigint) AS n_s_words,
+        | regexp_extract(text, '\b(s[a-z]+)', 1) AS first_s_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_bigrams" ->
+      """WITH toks AS (
+        | SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), bg AS (
+        | SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) bigram
+        | FROM toks WHERE len(t) >= 2
+        |), cnt AS (SELECT lang, bigram, count(*) n FROM bg GROUP BY 1, 2)
+        |SELECT lang, cast(rnk as bigint) AS rank, bigram, n
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) rnk FROM cnt)
+        |WHERE rnk <= 5 ORDER BY lang, rank""".stripMargin,
+    "txt_vocab" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term FROM documents
+        |), stats AS (
+        | SELECT term, count(*) tf, count(DISTINCT doc_id) df FROM tok GROUP BY 1
+        |)
+        |SELECT cast(row_number() OVER (ORDER BY tf DESC, term) as bigint) AS token_id,
+        | term, tf, df
+        |FROM stats ORDER BY token_id""".stripMargin,
+    "txt_len_hist" ->
+      """SELECT cast(floor(length(text) / 50) * 50 as bigint) AS bucket,
+        | count(*) AS n_docs,
+        | round(cast(sum(cast(length(text) as bigint)) as double) / count(*), 6) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_pii_mask" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  'contact user' || cast(doc_id as varchar) || '@example.com at 10.0.' ||
+        |  cast(doc_id % 256 as varchar) || '.7 ' || text AS s
+        | FROM documents
+        |)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS masked,
+        | cast(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) AS n_emails,
+        | cast(len(regexp_extract_all(s, '([0-9]{1,3}\.){3}[0-9]{1,3}')) as bigint) AS n_ips
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "sim_quantize" ->
+      """WITH m AS (
+        | SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, v -> abs(cast(v as double)))) mx
+        | FROM embeddings
+        |)
+        |SELECT vec_id, round(mx, 6) AS scale,
+        | CASE WHEN mx = 0.0 THEN list_transform(embedding, v -> 0)
+        |      ELSE list_transform(embedding, v -> cast(floor(cast(v as double) * 127 / mx + 0.5) as int))
+        | END AS qvec
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "sim_centroid_dist" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (
+        | SELECT label, list(c ORDER BY i) cv FROM cent GROUP BY 1
+        |)
+        |SELECT a.label label_a, b.label label_b,
+        | round(list_sum(list_transform(range(1, 65), i -> a.cv[i] * b.cv[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> a.cv[i] * a.cv[i]))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> b.cv[i] * b.cv[i])))), 6) AS cosine
+        |FROM centv a JOIN centv b ON a.label < b.label
+        |ORDER BY 1, 2""".stripMargin,
+    "dd_keepers" ->
+      """SELECT doc_id, content_hash, n_dups FROM (
+        | SELECT doc_id, md5(text) content_hash,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn,
+        |  count(*) OVER (PARTITION BY md5(text)) n_dups
+        | FROM documents
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -37,12 +37,19 @@ object TextOps {
     *
     * Docs with <3 tokens yield an empty array; callers filter
     * `size(...) > 0` to reproduce the reference's WHERE len(t) >= 3. */
-  def shingleArray(textCol: String): Column = expr(
-    s"""element_at(transform(array(filter(split($textCol, ' '), x -> x != '')),
-       |  t -> if(size(t) < 3, cast(array() as array<string>),
-       |    transform(sequence(1, size(t) - 2),
-       |      i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))),
-       |1)""".stripMargin)
+  def shingleArray(textCol: String): Column = ngramArray(textCol, 3)
+
+  /** Word n-gram array per row, same lambda-binding shape as
+    * [[shingleArray]] (which is the n=3 case). */
+  def ngramArray(textCol: String, n: Int): Column = {
+    val gram = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    expr(
+      s"""element_at(transform(array(filter(split($textCol, ' '), x -> x != '')),
+         |  t -> if(size(t) < $n, cast(array() as array<string>),
+         |    transform(sequence(1, size(t) - ${n - 1}),
+         |      i -> concat_ws(' ', $gram)))),
+         |1)""".stripMargin)
+  }
 
   // NOTE (round 1): a persist()-based session cache of the shingle
   // intermediate was measured SLOWER than recomputation (cache

@@ -420,6 +420,54 @@ object Analytics {
         expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"),
         min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
 
+  /** Keep-latest-per-key dedup (the CDC/compaction pattern): one row per
+    * user — the most recent event, ties broken on event_id. Single
+    * shuffle on the key; at scale this is the standard "latest snapshot"
+    * materialization over an append-only log. */
+  def q32LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"ts".as("last_ts"), $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  /** Set difference (EXCEPT): customers who ordered in 1996 but not in
+    * 1997 — churn carving. Distinct set semantics in both engines. */
+  def q33Except(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c96 = o.filter(expr("year(o_orderdate) = 1996")).select($"o_custkey".as("custkey"))
+    val c97 = o.filter(expr("year(o_orderdate) = 1997")).select($"o_custkey".as("custkey"))
+    c96.except(c97).orderBy($"custkey")
+  }
+
+  /** Date arithmetic: monthly order→ship latency (avg/max days between
+    * order date and line ship date). Integer day diffs summed exactly;
+    * one divide at the edge. */
+  def q34DateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .withColumn("lat", expr(
+        "cast(datediff(cast(l_shipdate as date), cast(o_orderdate as date)) as bigint)"))
+      .groupBy(expr("cast(year(o_orderdate) as bigint)").as("y"),
+        expr("cast(month(o_orderdate) as bigint)").as("m"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("round(cast(sum(lat) as double) / count(*), 6)").as("avg_latency_days"),
+        max($"lat").as("max_latency_days"))
+      .orderBy($"y", $"m")
+
+  /** Regex extraction over text: occurrences + first match of a word
+    * pattern — the scan-side feature-extraction pass (same RE2/Java-
+    * compatible pattern class as the PII masker). */
+  def q35RegexExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit("\\bs[a-z]+"), lit(0))).cast("bigint").as("n_s_words"),
+        regexp_extract($"text", "\\b(s[a-z]+)", 1).as("first_s_word"))
+      .orderBy($"doc_id")
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

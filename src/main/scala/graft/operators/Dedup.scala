@@ -64,6 +64,23 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Dedup APPLY step: materialize the kept corpus — one surviving row
+    * per content hash (smallest doc_id wins) with its duplicate count.
+    * Window over the content hash: one shuffle, payload carried once.
+    * This is the pass that actually shrinks the 100 TB corpus after
+    * [[ddExact]] has profiled it. */
+  def ddKeepers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("content_hash"))
+    Tables.documents(spark, dir)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(byHash.orderBy(col("doc_id"))))
+      .withColumn("n_dups", count(lit(1)).over(byHash))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("content_hash"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 60-bit SimHash over token hashes (oracle-checked: the hex→int
     * conversion is replicated in SQL via digit-position arithmetic).
     * Hamming-close hashes ⇒ near-dup texts; the spec asserts the metric

@@ -137,6 +137,44 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Int8 symmetric quantization of the embedding column (the storage/
+    * bandwidth shrink applied before ANN serving): per-vector max-abs
+    * scale, values mapped to round(v·127/scale). Pure projection — at
+    * 100 TB this runs fused into the scan with zero shuffle. The
+    * rounding is floor(x + 0.5) in BOTH engines (identical IEEE
+    * arithmetic), sidestepping engine-specific round() conventions. */
+  def simQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("mx", expr(
+        "array_max(transform(embedding, v -> abs(cast(v as double))))"))
+      .select(col("vec_id"), round(col("mx"), 6).as("scale"),
+        expr("""if(mx = 0.0, transform(embedding, v -> 0),
+               |  transform(embedding, v ->
+               |    cast(floor(cast(v as double) * 127 / mx + 0.5) as int)))""".stripMargin).as("qvec"))
+      .orderBy(col("vec_id"))
+
+  /** Pairwise cosine between label centroids — the cluster-geometry
+    * diagnostic (how separable are the IVF cells). Centroids are exact
+    * decimal means as in [[simIvfAnn]]; the pairwise stage is a tiny
+    * #labels² broadcast cross join. */
+  def simCentroidDist(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    val a = cent.select(col("label").as("label_a"), col("cv").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("cv").as("cb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("label_a") < col("label_b"))
+      .withColumn("cosine",
+        VectorOps.dotHof("ca", "cb") / (VectorOps.norm2Hof("ca") * VectorOps.norm2Hof("cb")))
+      .select(col("label_a"), col("label_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** Random-hyperplane LSH ANN (oracle-checked — the md5-derived
     * hyperplanes are reproduced in SQL, and the spec additionally
     * measures recall against the brute-force baseline). Sign bits over

@@ -106,6 +106,70 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Top-5 bigrams per language — the n-gram language-model counting
+    * pass. Bigram arrays are built map-side (lambda-bound tokens, see
+    * TextOps.ngramArray); one shuffle for the counts, a top-k window
+    * over the survivors. */
+  def txtBigrams(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.ngramArray("text", 2)).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Vocabulary build: corpus-wide term table with frequency-ranked ids
+    * (the tokenizer-training precursor). The id assignment is a single
+    * global window — fine because a vocabulary is small by construction
+    * (it is the DISTINCT terms, not the corpus); the heavy part, the
+    * term counts, is an ordinary partial-aggregated shuffle. */
+  def txtVocab(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("token_id", row_number().over(w).cast("bigint"))
+      .select(col("token_id"), col("term"), col("tf"), col("df"))
+      .orderBy(col("token_id"))
+  }
+
+  /** Document-length histogram in 50-char buckets — the corpus-shape
+    * profile (length filtering is the first quality gate most training
+    * pipelines apply). Exact integer sums, one tiny shuffle. */
+  def txtLenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy((floor(length(col("text")) / 50) * 50).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("round(cast(sum(cast(length(text) as bigint)) as double) / count(*), 6)").as("avg_chars"))
+      .orderBy(col("bucket"))
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII masking: email/IPv4 redaction with match counts. The testdata
+    * corpus has no organic PII, so a deterministic synthetic
+    * contact line derived from doc_id is prepended first — the oracle
+    * then genuinely checks that both engines' regex replacement agrees.
+    * Pure projection; the patterns are RE2-and-Java-compatible. */
+  def txtPiiMask(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("s", concat(
+        lit("contact user"), col("doc_id").cast("string"), lit("@example.com at 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 "), col("text")))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("s"), lit(EmailRe), lit("<EMAIL>")),
+          lit(Ipv4Re), lit("<IP>")).as("masked"),
+        size(regexp_extract_all(col("s"), lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("s"), lit(Ipv4Re), lit(0))).cast("bigint").as("n_ips"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprint: min-hash over 3-gram shingles (the k=1
     * winnow) — a stable content signature robust to word order at the
     * edges; equal fingerprints ⇒ shared rare shingle. */

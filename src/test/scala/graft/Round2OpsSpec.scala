@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
+
+/** Semantic properties of the round-2 operators (the oracle gate checks
+  * value parity; these check the invariants that make the answers
+  * *right*, not just engine-consistent). */
+class Round2OpsSpec extends SparkSpec {
+
+  test("txt_bigrams: ranks are 1..5 per lang and counts are non-increasing") {
+    val rows = TextAnalysis.txtBigrams(spark, sf0001).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to g.length))
+      val counts = g.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("txt_vocab: dense ids, unique terms, tf >= df >= 1") {
+    val rows = TextAnalysis.txtVocab(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).sameElements(1L to rows.length))
+    assert(rows.map(_.getString(1)).distinct.length == rows.length)
+    rows.foreach { r => assert(r.getLong(2) >= r.getLong(3) && r.getLong(3) >= 1) }
+  }
+
+  test("txt_len_hist: buckets are 50-aligned and doc counts sum to corpus size") {
+    val rows = TextAnalysis.txtLenHist(spark, sf0001).collect()
+    assert(rows.forall(_.getLong(0) % 50 == 0))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, sf0001).count())
+  }
+
+  test("txt_pii_mask: every injected email/IP is redacted and counted") {
+    val rows = TextAnalysis.txtPiiMask(spark, sf0001).collect()
+    rows.foreach { r =>
+      val masked = r.getString(1)
+      assert(!masked.contains("@"), s"unmasked email: $masked")
+      assert(masked.contains("<EMAIL>") && masked.contains("<IP>"))
+      assert(r.getLong(2) == 1 && r.getLong(3) == 1)
+    }
+  }
+
+  test("sim_quantize: values bounded by ±127 and max-abs maps to ±127") {
+    val rows = Similarity.simQuantize(spark, sf0001).collect()
+    rows.foreach { r =>
+      val q = r.getSeq[Int](2)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      assert(q.exists(v => math.abs(v) == 127), "scale element must hit ±127")
+      assert(r.getDouble(1) > 0)
+    }
+  }
+
+  test("sim_centroid_dist: one row per unordered label pair, cosine in [-1,1]") {
+    val rows = Similarity.simCentroidDist(spark, sf0001).collect()
+    val labels = Tables.embeddings(spark, sf0001)
+      .select("label").distinct().count().toInt
+    assert(rows.length == labels * (labels - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Number](0).longValue < r.getAs[Number](1).longValue)
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q32_latest_per_key: one row per user and it is the max timestamp") {
+    val out = Analytics.q32LatestPerKey(spark, sf0001)
+    val users = out.select("user_id").collect().map(_.getLong(0))
+    assert(users.distinct.length == users.length)
+    val maxTs = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("ts").as("m"))
+    val joined = out.join(maxTs, "user_id")
+      .filter(org.apache.spark.sql.functions.col("last_ts") =!=
+        org.apache.spark.sql.functions.col("m"))
+    assert(joined.count() == 0)
+  }
+
+  test("q33_except: result is disjoint from the 1997 customer set") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.q33Except(spark, sf0001)
+    val c97 = Tables.orders(spark, sf0001)
+      .filter(expr("year(o_orderdate) = 1997")).select(col("o_custkey").as("custkey"))
+    assert(out.join(c97, "custkey").count() == 0)
+    assert(out.count() == out.distinct().count())
+  }
+
+  test("q34_date_arith: latency bounds hold (avg <= max, n_lines > 0)") {
+    val rows = Analytics.q34DateArith(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0)
+      assert(r.getDouble(3) <= r.getLong(4).toDouble)
+    }
+  }
+
+  test("q35_regex_extract: first match starts with 's' iff count > 0") {
+    val rows = Analytics.q35RegexExtract(spark, sf0001).collect()
+    rows.foreach { r =>
+      val n = r.getLong(1); val w = r.getString(2)
+      if (n > 0) assert(w.startsWith("s")) else assert(w.isEmpty)
+    }
+  }
+
+  test("dd_keepers: keepers partition the corpus (dup counts sum to |docs|)") {
+    val rows = Dedup.ddKeepers(spark, sf0001).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf0001).count())
+    assert(rows.map(_.getString(1)).distinct.length == rows.length)
+  }
+}
