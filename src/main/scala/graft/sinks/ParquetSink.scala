@@ -1,7 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Columnar lake sink — at 100 TB the JDBC target becomes the summary
   * store and the full scan data lands in partitioned parquet instead.
@@ -25,6 +25,41 @@ object ParquetSink {
     df.repartition(n, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode(mode).parquet(path)
+
+  /** Z-order (Morton) layout over TWO high-cardinality dimensions:
+    * each row's dims are rank-normalized to 16 bits via ntile, the bits
+    * interleaved into one z-value, and the data range-partitioned +
+    * sorted by it. Every output file then covers a small RECTANGLE in
+    * (d1, d2) space — min/max footer stats stay tight on BOTH columns,
+    * so point/range predicates on either dimension skip most files
+    * (linear sort gives that for one dimension only). This is the
+    * standard data-skipping layout for multi-predicate scans at 100 TB.
+    */
+  def writeZOrdered(df: DataFrame, path: String, d1: String, d2: String,
+      nFiles: Int, mode: String = "overwrite"): Unit = {
+    // Rank-normalize each dim to 8 bits via ONE distributed quantile
+    // pass (Greenwald-Khanna sketch, driver sees 255 boundaries — never
+    // a global window/sort, which would serialize at scale). Bucket
+    // lookup is a map-side filter over the broadcast boundary literal.
+    def buckets(c: String): Column = {
+      val bounds = df.stat.approxQuantile(
+        c, (1 until 256).map(_ / 256.0).toArray, 0.001)
+      val lit256 = typedLit(bounds.toSeq)
+      size(filter(lit256, b => b <= col(c).cast("double"))).cast("bigint")
+    }
+    val z = df
+      .withColumn("__r1", buckets(d1))
+      .withColumn("__r2", buckets(d2))
+      .withColumn("__z", expr(
+        """aggregate(sequence(0, 7), cast(0 as bigint), (acc, i) ->
+          |  acc
+          |  + shiftleft((__r1 >> i) & 1, 2 * i + 1)
+          |  + shiftleft((__r2 >> i) & 1, 2 * i))""".stripMargin))
+    z.repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__r1", "__r2", "__z")
+      .write.mode(mode).parquet(path)
+  }
 
   /** The reference's refresh contract on a lake: overwrite only the
     * partition directories present in `df` (dynamic partition

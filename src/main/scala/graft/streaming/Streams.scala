@@ -142,6 +142,29 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup dedup: the streaming half of the minhash/LSH
+    * batch path. Each document's LSH band hashes are computed map-side
+    * (same hash family as Dedup.ddMinhashLsh); a doc is emitted only if
+    * its FIRST band hash is unseen within the watermark — docs that
+    * collide with an earlier doc on that band (near-identical text) are
+    * dropped in-stream with state bounded by the watermark. One band
+    * gives the high-precision band-collision test; widen to all bands
+    * downstream of a batch verify if recall matters more than state. */
+  def dedupNearDup(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame = {
+    val sig = docs
+      .withColumn("sh", graft.functions.TextOps.shingleArray(textCol))
+      .filter(size(col("sh")) > 0)
+      .withColumn("band0", expr(
+        """element_at(transform(array(sh), v -> md5(concat(
+          |  array_min(transform(v, s -> md5(concat('0:', s)))),
+          |  array_min(transform(v, s -> md5(concat('1:', s)))), ':0'))), 1)""".stripMargin))
+      .drop("sh")
+    sig
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("band0"))
+  }
+
   /** Watermarked stream-stream interval join: for each purchase, the
     * error events of the same user in the preceding hour (fraud/debug
     * correlation shape). Both sides' state is bounded by watermark +

@@ -48,4 +48,32 @@ class ParquetSinkSpec extends SparkSpec {
     assert(back.count() == 500)
     assert(back.select("lang").distinct().count() == 5)
   }
+
+  /** avg per-file (max-min) span of `c`, as a fraction of the global span. */
+  private def relSpan(path: String, c: String): Double = {
+    val back = spark.read.parquet(path)
+      .withColumn("__f", input_file_name())
+    val spans = back.groupBy(col("__f"))
+      .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+      .agg(avg(col("span"))).collect()(0).getDouble(0)
+    val g = back.agg((max(col(c)) - min(col(c))).cast("double")).collect()(0).getDouble(0)
+    spans / g
+  }
+
+  test("z-ordered write keeps min/max tight on BOTH dimensions") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val zout = Files.createTempDirectory("lake_z").toString + "/li"
+    ParquetSink.writeZOrdered(li, zout, "l_partkey", "l_suppkey", 16)
+    assert(spark.read.parquet(zout).count() == li.count())
+    // a linear sort on d1 leaves d2 unclustered (full span per file)…
+    val lout = Files.createTempDirectory("lake_lin").toString + "/li"
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(lout)
+    assert(relSpan(lout, "l_suppkey") > 0.8)
+    // …while z-order shrinks BOTH (16 files ≈ 4×4 grid → ~1/4 span each)
+    assert(relSpan(zout, "l_partkey") < 0.5, s"d1 span ${relSpan(zout, "l_partkey")}")
+    assert(relSpan(zout, "l_suppkey") < 0.5, s"d2 span ${relSpan(zout, "l_suppkey")}")
+  }
 }

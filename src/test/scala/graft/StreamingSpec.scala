@@ -79,6 +79,25 @@ class StreamingSpec extends SparkSpec {
       .collect().head.getLong(0) == 1000L)
   }
 
+  test("streaming near-dup dedup drops band-colliding docs, keeps distinct ones") {
+    val src = Files.createTempDirectory("stream_neardup")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "2026-01-01 10:00:00"),
+      (2L, "the quick brown fox jumps over the lazy dog", "2026-01-01 10:05:00"), // exact dup -> same bands
+      (3L, "completely different words about spark shuffles and joins", "2026-01-01 10:10:00"),
+      (4L, "another unrelated document mentioning parquet row groups", "2026-01-01 10:15:00"))
+      .toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    docs.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(
+      docs.schema).parquet(src.toString)
+    runToMemory(Streams.dedupNearDup(stream), "neardup_stream")
+    val kept = spark.sql("select doc_id from neardup_stream").collect().map(_.getLong(0)).sorted
+    assert(kept.length == 3 && !(kept.contains(1L) && kept.contains(2L)),
+      s"expected one of doc 1/2 dropped, kept: ${kept.mkString(",")}")
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+
   test("stream-stream interval join matches its batch twin") {
     runToMemory(Streams.purchaseErrorJoin(eventsStream()), "ss_join")
     val streamed = spark.sql("select * from ss_join").count()
