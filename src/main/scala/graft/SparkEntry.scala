@@ -45,6 +45,8 @@ object SparkEntry {
     "q30_anomaly" -> (Analytics.q30Anomaly _),
     "q31_sample" -> (Analytics.q31Sample _),
     "q32_latest_per_key" -> (Analytics.q32LatestPerKey _),
+    "q36_approx_quantile" -> (Analytics.q36ApproxQuantile _),
+    "pipe_clean_corpus" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeCleanCorpus(s, d)),
     "q33_except" -> (Analytics.q33Except _),
     "q34_date_arith" -> (Analytics.q34DateArith _),
     "q35_regex_extract" -> (Analytics.q35RegexExtract _),
@@ -699,6 +701,23 @@ object SparkEntry {
         |   sqrt(list_sum(list_transform(range(1, 65), i -> b.cv[i] * b.cv[i])))), 6) AS cosine
         |FROM centv a JOIN centv b ON a.label < b.label
         |ORDER BY 1, 2""".stripMargin,
+    "pipe_clean_corpus" ->
+      """WITH c AS (
+        | SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) clean
+        | FROM documents
+        |), t AS (
+        | SELECT doc_id, clean,
+        |  cast(len(list_filter(string_split(clean, ' '), x -> x <> '')) as bigint) n_tokens
+        | FROM c
+        |), d AS (
+        | SELECT doc_id, md5(clean) clean_md5, n_tokens,
+        |  row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) rn,
+        |  count(*) OVER (PARTITION BY md5(clean)) n_dups
+        | FROM t WHERE n_tokens >= 10
+        |)
+        |SELECT doc_id, clean_md5, n_tokens, n_dups FROM d WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "dd_keepers" ->
       """SELECT doc_id, content_hash, n_dups FROM (
         | SELECT doc_id, md5(text) content_hash,

@@ -53,9 +53,13 @@ object Analytics {
 
   /** Top-K by aggregate: per-order lineitem revenue, top 10. The sort is
     * a TakeOrderedAndProject (per-partition top-K + driver merge of K·P
-    * rows), not a global sort — constant memory at any scale. */
+    * rows), not a global sort — constant memory at any scale. The scan
+    * is rebalanced first: the partial aggregate is high-cardinality
+    * (one group per order) and CPU-bound on decimal math, so it wants
+    * every core even when the scan yields few splits (measured 1.5x
+    * here; at cluster scale AQE coalesces the exchange away). */
   def q3TopkOrders(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    graft.functions.TextOps.balanced(Tables.lineitem(spark, dir))
       .groupBy($"l_orderkey")
       .agg(expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,6)) - cast(l_discount as decimal(18,6)))) as double)").as("revenue"),
         count(lit(1)).as("n_items"))
@@ -457,6 +461,23 @@ object Analytics {
         expr("round(cast(sum(lat) as double) / count(*), 6)").as("avg_latency_days"),
         max($"lat").as("max_latency_days"))
       .orderBy($"y", $"m")
+
+  /** Approximate percentiles (Greenwald-Khanna sketch, accuracy 1e4):
+    * the sketch mergeable across partitions — the scale path where the
+    * exact sort-based percentile (q17) is too expensive. Rows-only vs
+    * the oracle (sketch internals are engine-specific); the spec bounds
+    * its error against the exact answer instead. */
+  def q36ApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D), 10000)").as("ps"),
+        count(lit(1)).as("n"))
+      .select($"o_orderpriority",
+        expr("round(element_at(ps, 1), 4)").as("p25"),
+        expr("round(element_at(ps, 2), 4)").as("p50"),
+        expr("round(element_at(ps, 3), 4)").as("p75"),
+        $"n")
+      .orderBy($"o_orderpriority")
 
   /** Regex extraction over text: occurrences + first match of a word
     * pattern — the scan-side feature-extraction pass (same RE2/Java-

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed training-data cleaning pipeline — the flagship "switch
+  * your corpus job to this engine" query: normalize → length/quality
+  * gate → exact dedup (keep smallest doc_id) in ONE declarative plan.
+  *
+  * Catalyst fuses the normalize+gate projections into the scan, so the
+  * only shuffle before the output sort is the dedup window on the
+  * content hash — at 100 TB the pipeline is one pass over the corpus
+  * plus one hash-keyed exchange, the same shape production cleaning
+  * jobs (C4, RefinedWeb, FineWeb) use. */
+object CorpusPipeline {
+
+  def pipeCleanCorpus(spark: SparkSession, dir: String,
+      minTokens: Int = 10): DataFrame = {
+    val byHash = Window.partitionBy(col("clean_md5"))
+    Tables.documents(spark, dir)
+      .withColumn("clean", expr(
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+      .withColumn("n_tokens", expr(
+        "cast(size(filter(split(clean, ' '), x -> x != '')) as bigint)"))
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("clean_md5", md5(col("clean")))
+      .withColumn("rn", row_number().over(byHash.orderBy(col("doc_id"))))
+      .withColumn("n_dups", count(lit(1)).over(byHash))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("clean_md5"), col("n_tokens"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -100,6 +100,35 @@ class Round2OpsSpec extends SparkSpec {
     }
   }
 
+  test("q36_approx_quantile: sketch stays within rank tolerance of the exact percentiles") {
+    val approx = Analytics.q36ApproxQuantile(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Analytics.q17Percentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      // GK with accuracy 10000 on ~thousands of rows: near-exact; allow 5%
+      Seq((a25, e25), (a50, e50), (a75, e75)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 0.05 * math.abs(e) + 1e-6, s"$k: $a vs $e")
+      }
+    }
+  }
+
+  test("pipe_clean_corpus: survivors are unique, gated and cover all clean dups") {
+    val rows = operators.CorpusPipeline.pipeCleanCorpus(spark, sf0001).collect()
+    assert(rows.map(_.getString(1)).distinct.length == rows.length)
+    assert(rows.forall(_.getLong(2) >= 10))
+    // survivors' dup counts account for every gated document
+    import org.apache.spark.sql.functions._
+    val gated = Tables.documents(spark, sf0001)
+      .withColumn("clean", expr(
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+      .filter(expr("size(filter(split(clean, ' '), x -> x != '')) >= 10"))
+      .count()
+    assert(rows.map(_.getLong(3)).sum == gated)
+  }
+
   test("dd_keepers: keepers partition the corpus (dup counts sum to |docs|)") {
     val rows = Dedup.ddKeepers(spark, sf0001).collect()
     assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf0001).count())
