@@ -104,22 +104,30 @@ object Dedup {
     * float boundary can disagree with the oracle. Scale: shuffle keyed
     * on shingle; a frequency cap on hot shingles (stop-shingles) is the
     * standard skew guard at 100 TB. */
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The jaccard pair set WITHOUT the presentation sort — internal
+    * consumers (connected components) don't need order, and a global
+    * sort of the pair set is pure waste there. */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     // Per-doc distinct shingles + set size are computed map-side
     // (array_distinct over the shingle array) and the size rides along
     // with every exploded shingle row — so there is NO separate sizes
     // aggregate and NO post-join size lookups: the doc sizes come out
     // of the groupBy key. Shuffles: the self-join on the shingle key
-    // and the pair aggregate, nothing else before the output sort.
+    // and the pair aggregate, nothing else.
     val sh = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), array_distinct(TextOps.shingleArray("text")).as("shd"))
       .filter(size(col("shd")) > 0)
       .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
         explode(col("shd")).as("s"))
-    // codegen'd sort-merge self-join on the shingle key beats per-bucket
-    // pair materialization here (measured: the interpreted HOF pair
-    // expansion is ~4x slower at sf0.1); hot-shingle caps remain the
-    // skew guard at scale
+    // shuffled-hash self-join on the shingle key (measured 2x over
+    // sort-merge: small rows, hash beats sorting) — the exchange below
+    // is identical on both sides, so it's computed once and reused;
+    // hot-shingle caps remain the skew guard at scale
     sh.as("a").hint("shuffle_hash").join(sh.as("b"),
         expr("a.s = b.s AND a.doc_id < b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -128,7 +136,6 @@ object Dedup {
       .filter(expr("ninter * 5 >= (na + nb - ninter)"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         expr("round(cast(ninter as double) / (na + nb - ninter), 6)").as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Connected components over the near-dup pair graph (ddNgramJaccard
@@ -147,7 +154,7 @@ object Dedup {
   private val DriverEdgeLimit = 2000000L
 
   def ddComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ddNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     if (pairs.count() <= DriverEdgeLimit) return componentsUnionFind(spark, pairs)
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
