@@ -52,6 +52,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("pipe_clean_corpus: exactly one exchange before the output sort") {
+    val p = plan(graft.operators.CorpusPipeline.pipeCleanCorpus(spark, sf0001))
+    // normalize+gate fuse into the scan; dedup window is the only
+    // shuffle besides the final ORDER BY
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2, s"pipeline shuffles too much ($exchanges exchanges):\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("txt_fingerprint: no exchange at all before the output sort") {
+    val p = plan(graft.operators.TextAnalysis.txtFingerprint(spark, sf0001))
+    // map-side shingle+min — the only exchanges are the rebalance and
+    // the final sort's range partitioning
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs == 0, s"fingerprint should be agg-free (map-side arrays):\n$p")
+  }
+
   test("whole-stage codegen covers the scan-heavy operators") {
     // AQE reports codegen spans only on the executed plan
     val df = Analytics.q1PricingSummary(spark, sf0001)
