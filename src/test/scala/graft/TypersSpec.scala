@@ -9,13 +9,15 @@ class TypersSpec extends SparkSpec {
   test("timestamp typer parses the reference format and nulls failures") {
     val df = Seq(
       "2024-03-01 10:20:30.123456",
+      "2024-03-01 10:20:30.5",   // Python %f accepts 1-6 fraction digits
       "2024-03-01 10:20:30",     // no fraction → reference %f also fails this
       "not a timestamp",
       "").toDF("s")
       .select(Typers.tryOdnsTimestamp(col("s")).as("t"))
     val out = df.collect().map(r => Option(r.get(0)).map(_.toString))
     assert(out(0).contains("2024-03-01 10:20:30.123456"))
-    assert(out(1).isEmpty && out(2).isEmpty && out(3).isEmpty)
+    assert(out(1).contains("2024-03-01 10:20:30.5"), s"short fraction: ${out(1)}")
+    assert(out(2).isEmpty && out(3).isEmpty && out(4).isEmpty)
   }
 
   test("float typer nulls non-numeric input") {
