@@ -61,6 +61,40 @@ object ParquetSink {
       .write.mode(mode).parquet(path)
   }
 
+  /** Keyed MERGE (upsert) into a partitioned parquet lake: rows of
+    * `updates` replace existing rows with the same key; everything else
+    * in the AFFECTED partitions survives; untouched partitions are not
+    * rewritten at all (dynamic partition overwrite). This is the
+    * CDC-apply pattern over plain parquet — at 100 TB the rewrite cost
+    * is bounded by the touched partitions, not the table.
+    *
+    * The merged set is eagerly materialized (lineage truncated) before
+    * the overwrite because the plan reads the same path it writes; a
+    * production deployment would stage-and-swap instead. */
+  def mergeUpsert(updates: DataFrame, path: String, keyCols: Seq[String],
+      partitionCols: Seq[String]): Unit = {
+    val spark = updates.sparkSession
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val exists = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(fsPath)
+    val merged =
+      if (!exists) updates
+      else {
+        val existing = spark.read.parquet(path)
+        // prune to affected partitions, then anti-join away updated keys
+        val touched = updates.select(partitionCols.map(col): _*).distinct()
+        val survivors = existing
+          .join(broadcast(touched), partitionCols, "left_semi")
+          .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+        survivors.unionByName(updates).localCheckpoint(true)
+      }
+    merged.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** The reference's refresh contract on a lake: overwrite only the
     * partition directories present in `df` (dynamic partition
     * overwrite), leaving sibling partitions untouched — the

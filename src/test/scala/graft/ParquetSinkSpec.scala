@@ -60,6 +60,50 @@ class ParquetSinkSpec extends SparkSpec {
     spans / g
   }
 
+  test("bucketed tables sort-merge join with no exchange and no sort") {
+    import graft.sinks.BucketedLake
+    val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    BucketedLake.writeBucketed(o, "graft_ob", "o_orderkey", 8)
+    BucketedLake.writeBucketed(l, "graft_lb", "l_orderkey", 8)
+    // force SMJ (orders is broadcast-sized at sf0.001) to expose the
+    // co-location: bucketed+sorted sides need neither exchange nor sort
+    val j = spark.table("graft_lb").hint("merge")
+      .join(spark.table("graft_ob"), col("l_orderkey") === col("o_orderkey"))
+    val p = j.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    val expected = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(j.count() == expected)
+    spark.sql("DROP TABLE IF EXISTS graft_ob")
+    spark.sql("DROP TABLE IF EXISTS graft_lb")
+  }
+
+  test("keyed merge-upsert replaces matching keys, keeps survivors, skips untouched partitions") {
+    import graft.sinks.ParquetSink
+    val out = Files.createTempDirectory("lake_merge").toString + "/t"
+    import spark.implicits._
+    val base = Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "B", 40.0))
+      .toDF("id", "part", "v")
+    ParquetSink.writePartitioned(base, out, Seq("part"))
+    val bFileTimes = Files.list(java.nio.file.Paths.get(s"$out/part=B"))
+      .toArray.map(_.toString).sorted.mkString(",")
+    // update id=1, insert id=5, both in partition A
+    val updates = Seq((1L, "A", 11.0), (5L, "A", 50.0)).toDF("id", "part", "v")
+    ParquetSink.mergeUpsert(updates, out, Seq("id"), Seq("part"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5)
+    assert(back.filter($"id" === 1L).select("v").collect()(0).getDouble(0) == 11.0)
+    assert(back.filter($"id" === 2L).count() == 1) // survivor kept
+    assert(back.filter($"id" === 5L).count() == 1) // insert applied
+    // partition B was not rewritten (same files)
+    val bAfter = Files.list(java.nio.file.Paths.get(s"$out/part=B"))
+      .toArray.map(_.toString).sorted.mkString(",")
+    assert(bAfter == bFileTimes, "untouched partition was rewritten")
+  }
+
   test("z-ordered write keeps min/max tight on BOTH dimensions") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
