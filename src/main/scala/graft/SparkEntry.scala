@@ -79,6 +79,10 @@ object SparkEntry {
     "mm_binary_meta" -> (Multimodal.mmBinaryMeta _),
     "mm_decode_stub" -> (Multimodal.mmDecodeStub _),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.mmFrameSample(s, d)),
+    "dd_decontaminate" -> (Dedup.ddDecontaminate _),
+    "q37_stratified_sample" -> (Analytics.q37StratifiedSample _),
+    "txt_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.txtBm25(s, d)),
+    "txt_gopher" -> (TextAnalysis.txtGopher _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -725,5 +729,80 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY md5(text)) n_dups
         | FROM documents
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dd_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), g AS (
+        | SELECT doc_id, source,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 3), i -> list_aggregate(t[i:i+4], 'string_agg', ' ')))) ng
+        | FROM toks WHERE len(t) >= 5
+        |), bench AS (SELECT DISTINCT ng FROM g WHERE source = 'src0')
+        |SELECT g.doc_id, count(DISTINCT g.ng) AS n_shared
+        |FROM g JOIN bench USING (ng) WHERE g.source <> 'src0'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_stratified_sample" ->
+      """WITH s AS (
+        | SELECT source, doc_id,
+        |  CASE WHEN cast(substring(source, 4) as int) % 2 = 0 THEN 64 ELSE 192 END thr,
+        |  (strpos('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 2, 1)) - 1) hx
+        | FROM documents
+        |)
+        |SELECT source, round(cast(max(thr) as double) / 256, 6) AS target_rate,
+        | count(*) AS n_total,
+        | cast(sum(CASE WHEN hx < thr THEN 1 ELSE 0 END) as bigint) AS n_sampled,
+        | round(cast(sum(CASE WHEN hx < thr THEN 1 ELSE 0 END) as double) / count(*), 6) AS achieved_rate,
+        | min(CASE WHEN hx < thr THEN doc_id END) AS min_kept,
+        | max(CASE WHEN hx < thr THEN doc_id END) AS max_kept
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "txt_bm25" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), g AS (
+        | SELECT count(*) n_docs,
+        |  cast(sum(cast(len(t) as decimal(18,2))) as double) / count(*) avgdl,
+        |  sum(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END) df_join,
+        |  sum(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END) df_hash,
+        |  sum(CASE WHEN list_contains(t, 'scan') THEN 1 ELSE 0 END) df_scan
+        | FROM toks
+        |), s AS (
+        | SELECT doc_id, cast(len(t) as bigint) dl,
+        |  cast(len(list_filter(t, x -> x = 'join')) as bigint) tf_join,
+        |  cast(len(list_filter(t, x -> x = 'hash')) as bigint) tf_hash,
+        |  cast(len(list_filter(t, x -> x = 'scan')) as bigint) tf_scan,
+        |  avgdl, n_docs, df_join, df_hash, df_scan
+        | FROM toks CROSS JOIN g
+        |), sc AS (
+        | SELECT doc_id, dl, tf_join, tf_hash, tf_scan,
+        |  round(
+        |   ((cast(n_docs - df_join as double) + 0.5) / (cast(df_join as double) + 0.5)) * (cast(tf_join as double) * 2.2) / (cast(tf_join as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))
+        | + ((cast(n_docs - df_hash as double) + 0.5) / (cast(df_hash as double) + 0.5)) * (cast(tf_hash as double) * 2.2) / (cast(tf_hash as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))
+        | + ((cast(n_docs - df_scan as double) + 0.5) / (cast(df_scan as double) + 0.5)) * (cast(tf_scan as double) * 2.2) / (cast(tf_scan as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))), 6) score
+        | FROM s
+        |)
+        |SELECT cast(row_number() OVER (ORDER BY score DESC, doc_id) as bigint) AS rank,
+        | doc_id, dl, tf_join, tf_hash, tf_scan, score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "txt_gopher" ->
+      """WITH t AS (
+        | SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |), bg AS (
+        | SELECT doc_id, text, toks,
+        |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) g
+        | FROM t
+        |), s AS (
+        | SELECT doc_id,
+        |  cast(len(toks) as bigint) n_tokens,
+        |  round(cast(len(toks) - len(list_distinct(toks)) as double) / len(toks), 6) dup_word_frac,
+        |  CASE WHEN len(toks) < 2 THEN cast(0.0 as double) ELSE
+        |   round(cast(list_max(list_transform(list_distinct(g), b -> len(list_filter(g, x -> x = b)))) as double) / (len(toks) - 1), 6) END top_bigram_frac,
+        |  round(cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks), 6) mean_word_len,
+        |  round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / len(toks), 6) symbol_ratio
+        | FROM bg
+        |)
+        |SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac, mean_word_len, symbol_ratio,
+        | (n_tokens >= 10 AND n_tokens <= 1000 AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.2
+        |  AND mean_word_len >= 2 AND mean_word_len <= 12) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -489,6 +489,29 @@ object Analytics {
         regexp_extract($"text", "\\b(s[a-z]+)", 1).as("first_s_word"))
       .orderBy($"doc_id")
 
+  /** Stratified sampling to per-source target rates (domain-mixture
+    * weighting): each source keeps a deterministic md5-prefix carve of
+    * its rows — 25% for even-numbered sources, 75% for odd. The carve
+    * is a pure per-row predicate (no shuffle, no RNG state), so the
+    * sample is reproducible under any partitioning and the rates can be
+    * re-weighted without re-reading unaffected sources. Output is the
+    * per-source audit (target vs achieved rate, kept-key span). */
+  def q37StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("thr", expr(
+        "if(cast(substring(source, 4) as int) % 2 = 0, 64, 192)"))
+      .withColumn("hx", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
+      .groupBy($"source")
+      .agg(
+        expr("round(cast(max(thr) as double) / 256, 6)").as("target_rate"),
+        count(lit(1)).as("n_total"),
+        expr("cast(sum(if(hx < thr, 1, 0)) as bigint)").as("n_sampled"),
+        expr("round(cast(sum(if(hx < thr, 1, 0)) as double) / count(*), 6)").as("achieved_rate"),
+        expr("min(if(hx < thr, doc_id, null))").as("min_kept"),
+        expr("max(if(hx < thr, doc_id, null))").as("max_kept"))
+      .orderBy($"source")
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

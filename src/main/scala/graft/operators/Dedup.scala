@@ -208,6 +208,25 @@ object Dedup {
     out.toDF("doc_id", "component").orderBy(col("doc_id"))
   }
 
+  /** Decontamination: flag training documents that share any word
+    * 5-gram with the held-out benchmark slice (source = 'src0') — the
+    * eval-leakage scrub every pretraining pipeline runs before
+    * training. The benchmark n-gram set is small by construction (it is
+    * the eval suite, not the corpus), so it broadcasts and the corpus
+    * side needs no shuffle until the tiny per-doc hit count — at 100 TB
+    * the scan streams once past a broadcast hash set. */
+  def ddDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val g = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TextOps.ngramArray("text", 5))).as("ng"))
+    val bench = g.filter(col("source") === "src0").select(col("ng")).distinct()
+    g.filter(col("source") =!= "src0")
+      .join(broadcast(bench), "ng")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup, blocked by label (an IVF-style coarse
     * partition): pairs are only formed within a block, turning O(n²)
     * into Σ|block|². */

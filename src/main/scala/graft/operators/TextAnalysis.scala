@@ -170,6 +170,76 @@ object TextAnalysis {
         size(regexp_extract_all(col("s"), lit(Ipv4Re), lit(0))).cast("bigint").as("n_ips"))
       .orderBy(col("doc_id"))
 
+  /** BM25 relevance (k1=1.2, b=0.75) for a fixed keyword query, with
+    * the log-free rational idf (N-df+0.5)/(df+0.5) — same monotone
+    * ranking as the classic form, but every step is IEEE double
+    * arithmetic both engines perform identically. Corpus stats (N,
+    * avgdl, per-term df) are one tiny aggregate broadcast back; the
+    * scoring is a pure map stage; top-k goes through
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def txtBm25(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val terms = Seq("join", "hash", "scan")
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", TextOps.tokens("text"))
+    val statCols = Seq(
+      count(lit(1)).as("n_docs"),
+      expr("cast(sum(cast(size(toks) as decimal(18,2))) as double) / count(*)").as("avgdl")) ++
+      terms.map(t => expr(
+        s"sum(if(array_contains(toks, '$t'), 1, 0))").as(s"df_$t"))
+    val stats = docs.agg(statCols.head, statCols.tail: _*)
+    val tfd = terms.foldLeft(docs.crossJoin(broadcast(stats))
+        .withColumn("dl", expr("cast(size(toks) as bigint)"))) { (df, t) =>
+      df.withColumn(s"tf_$t", expr(
+        s"cast(size(filter(toks, x -> x = '$t')) as bigint)"))
+    }
+    val score = terms.map { t =>
+      s"""((cast(n_docs - df_$t as double) + 0.5) / (cast(df_$t as double) + 0.5))
+         | * (cast(tf_$t as double) * 2.2)
+         | / (cast(tf_$t as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))""".stripMargin
+    }.mkString(" + ")
+    val top = tfd.withColumn("score", expr(s"round($score, 6)"))
+      .select((Seq(col("doc_id"), col("dl")) ++
+        terms.map(t => col(s"tf_$t")) :+ col("score")): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
+      .select((Seq(col("rank"), col("doc_id"), col("dl")) ++
+        terms.map(t => col(s"tf_$t")) :+ col("score")): _*)
+      .orderBy(col("rank"))
+  }
+
+  /** Gopher-style repetition/quality gates: duplicate-word fraction,
+    * most-frequent-bigram mass, mean word length, symbol-to-word ratio,
+    * and the composite keep decision. Entirely per-row HOF arithmetic —
+    * a single map stage over the corpus; the bigram array is bound as a
+    * lambda variable so CollapseProject cannot re-inline its
+    * construction per distinct-bigram element. */
+  def txtGopher(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .withColumn("toks", TextOps.tokens("text"))
+      .withColumn("n_tokens", expr("cast(size(toks) as bigint)"))
+      .withColumn("dup_word_frac", expr(
+        "round(cast(n_tokens - size(array_distinct(toks)) as double) / n_tokens, 6)"))
+      .withColumn("top_bigram_frac", expr(
+        """if(n_tokens < 2, cast(0.0 as double),
+          |round(cast(element_at(transform(array(%s), g ->
+          |  array_max(transform(array_distinct(g), b -> size(filter(g, x -> x = b))))), 1) as double)
+          | / (n_tokens - 1), 6))""".stripMargin.format(
+          "element_at(transform(array(toks), t -> transform(sequence(1, size(t) - 1), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))), 1)")))
+      .withColumn("mean_word_len", expr(
+        "round(cast(aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x)) as double) / n_tokens, 6)"))
+      .withColumn("symbol_ratio", expr(
+        "round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '')) as double) / n_tokens, 6)"))
+      .withColumn("keep", expr(
+        """n_tokens >= 10 AND n_tokens <= 1000 AND dup_word_frac <= 0.6
+          |AND top_bigram_frac <= 0.2 AND mean_word_len >= 2 AND mean_word_len <= 12""".stripMargin))
+      .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"),
+        col("top_bigram_frac"), col("mean_word_len"), col("symbol_ratio"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprint: min-hash over 3-gram shingles (the k=1
     * winnow) — a stable content signature robust to word order at the
     * edges; equal fingerprints ⇒ shared rare shingle. */

@@ -134,4 +134,70 @@ class Round2OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf0001).count())
     assert(rows.map(_.getString(1)).distinct.length == rows.length)
   }
+
+  private def fiveGrams(text: String): Set[String] = {
+    val t = text.split(' ').filter(_.nonEmpty)
+    if (t.length < 5) Set.empty
+    else t.sliding(5).map(_.mkString(" ")).toSet
+  }
+
+  test("dd_decontaminate: flags exactly the non-benchmark docs sharing a 5-gram") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val benchGrams = docs.filter(_._2 == "src0").flatMap(d => fiveGrams(d._3)).toSet
+    val expected = docs.filter(_._2 != "src0")
+      .map(d => d._1 -> fiveGrams(d._3).count(benchGrams))
+      .filter(_._2 > 0).toMap
+    val got = Dedup.ddDecontaminate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("q37_stratified_sample: deterministic carve near per-source target rates") {
+    val rows = Analytics.q37StratifiedSample(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (src, target, total, sampled) =
+        (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      val even = src.drop(3).toInt % 2 == 0
+      assert(target == (if (even) 0.25 else 0.75))
+      assert(sampled <= total)
+      // md5-prefix carve is binomial around the target; generous bound
+      assert(math.abs(r.getDouble(4) - target) < 0.35, s"$src rate off")
+    }
+    val again = Analytics.q37StratifiedSample(spark, sf0001).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("txt_bm25: dense ranks, non-increasing scores, tf columns match the text") {
+    val rows = TextAnalysis.txtBm25(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).sameElements(1L to rows.length))
+    val scores = rows.map(_.getDouble(6))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val text = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(3).foreach { r =>
+      val toks = text(r.getLong(1)).split(' ').filter(_.nonEmpty)
+      assert(r.getLong(2) == toks.length)
+      assert(r.getLong(3) == toks.count(_ == "join"))
+      assert(r.getLong(4) == toks.count(_ == "hash"))
+      assert(r.getLong(5) == toks.count(_ == "scan"))
+    }
+  }
+
+  test("txt_gopher: ratios bounded and keep flag consistent with its gates") {
+    val rows = TextAnalysis.txtGopher(spark, sf0001).collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      val (n, dup, topBg, mwl) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(dup >= 0 && dup < 1)
+      assert(topBg > 0 && topBg <= 1)
+      assert(mwl > 0)
+      assert(r.getDouble(5) >= 0)
+      val expectKeep = n >= 10 && n <= 1000 && dup <= 0.6 && topBg <= 0.2 &&
+        mwl >= 2 && mwl <= 12
+      assert(r.getBoolean(6) == expectKeep, s"doc ${r.getLong(0)} keep mismatch")
+    }
+  }
 }
