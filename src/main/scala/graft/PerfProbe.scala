@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.TextOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage-level timing probe for the text/dedup hot path —
+  * isolates tokenizer/ngram cost from signature cost from pairing cost
+  * so optimization work targets the measured bottleneck, not a guess.
+  * Not part of the driver contract. */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
+    }
+
+    val docs = TextOps.balanced(Tables.documents(spark, sfDir))
+
+    time("ngram3_explode") {
+      docs.select(col("doc_id"), explode(TextOps.shingleArray("text")).as("s")).count()
+    }
+    time("ngram3_distinct_explode") {
+      docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.shingleArray("text"))).as("s")).count()
+    }
+    time("minhash_bands_native") {
+      docs.select(col("doc_id"), TextOps.shingleArray("text").as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), org.apache.spark.sql.graft.TextExpressions
+          .minhashBands(col("sh"), 8, 4).as("bands"))
+        .select(col("doc_id"), element_at(col("bands"), 1).as("b0"))
+        .count()
+    }
+    time("fingerprint_minmd5") {
+      docs.select(col("doc_id"), TextOps.shingleArray("text").as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.TextExpressions.md5Min(col("sh")).as("fp"))
+        .count()
+    }
+    time("dd_minhash_lsh_full") {
+      operators.Dedup.ddMinhashLsh(spark, sfDir).count()
+    }
+    time("dd_ngram_jaccard_full") {
+      operators.Dedup.ddNgramJaccard(spark, sfDir).count()
+    }
+    time("dd_components_full") {
+      operators.Dedup.ddComponents(spark, sfDir).count()
+    }
+    time("pipe_clean_full") {
+      operators.CorpusPipeline.pipeCleanCorpus(spark, sfDir).count()
+    }
+    spark.stop()
+  }
+}

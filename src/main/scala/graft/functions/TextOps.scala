@@ -27,29 +27,21 @@ object TextOps {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** 3-gram shingle array per row, in token order — computed entirely
-    * map-side (no shuffle, no explode). The token array is bound as a
-    * higher-order-function LAMBDA VARIABLE (`transform(array(toks),
-    * t -> …)`): lambda variables cannot be inlined by CollapseProject,
-    * so the tokenizer runs once per row even though the shingle lambda
-    * reads it per element. (A plain `toks` column referenced inside a
-    * lambda body gets inlined and re-split per element — the hidden
-    * quadratic that forced a window-based shape in round 1.)
+    * map-side (no shuffle, no explode).
     *
     * Docs with <3 tokens yield an empty array; callers filter
     * `size(...) > 0` to reproduce the reference's WHERE len(t) >= 3. */
   def shingleArray(textCol: String): Column = ngramArray(textCol, 3)
 
-  /** Word n-gram array per row, same lambda-binding shape as
-    * [[shingleArray]] (which is the n=3 case). */
-  def ngramArray(textCol: String, n: Int): Column = {
-    val gram = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
-    expr(
-      s"""element_at(transform(array(filter(split($textCol, ' '), x -> x != '')),
-         |  t -> if(size(t) < $n, cast(array() as array<string>),
-         |    transform(sequence(1, size(t) - ${n - 1}),
-         |      i -> concat_ws(' ', $gram)))),
-         |1)""".stripMargin)
-  }
+  /** Word n-gram array per row — a native codegen expression
+    * (org.apache.spark.sql.graft.WordNgrams): one compiled
+    * tokenize+join pass per row instead of the interpreted
+    * lambda-bound HOF cascade it replaces (which itself replaced a
+    * CollapseProject-inlined quadratic — see the git history for both
+    * shapes; the HOF cascade remains the reference formulation the
+    * expression is asserted against in TextExpressionsSpec). */
+  def ngramArray(textCol: String, n: Int): Column =
+    org.apache.spark.sql.graft.TextExpressions.wordNgrams(col(textCol), n)
 
   // NOTE (round 1): a persist()-based session cache of the shingle
   // intermediate was measured SLOWER than recomputation (cache

@@ -29,27 +29,21 @@ object Dedup {
     * self-join happens only within band buckets. Pairs sharing any
     * band are candidates for the exact verify pass (ddNgramJaccard). */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // The whole signature is computed MAP-SIDE per document (array
-    // lambdas over the bound shingle array — see TextOps.shingleArray):
-    // no signature shuffle at all. The only shuffles left are the band
-    // bucket groupBy, the pair distinct, and the output sort. Same hash
-    // family and band layout as the oracle (perm-seeded md5,
-    // lexicographic min). At 100 TB this is the shape you want: shuffle
-    // volume = docs × 4 fixed-width band rows, nothing keyed on perm.
+    // The whole signature is computed MAP-SIDE per document, as ONE
+    // native codegen call per row (MinHashBands: 8 perm-seeded md5
+    // mins folded straight into 4 band hashes, raw-digest comparisons,
+    // zero intermediate arrays) — no signature shuffle at all. The only
+    // shuffles left are the band bucket groupBy, the pair distinct, and
+    // the output sort. Same hash family and band layout as the oracle
+    // (perm-seeded md5, lexicographic min). At 100 TB this is the shape
+    // you want: shuffle volume = docs × 4 fixed-width band rows,
+    // nothing keyed on perm.
     val bands = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), TextOps.shingleArray("text").as("sh"))
       .filter(size(col("sh")) > 0)
-      // bind sh once (lambda variable) so the 8-perm loop doesn't
-      // re-inline the shingle construction per perm
-      .select(col("doc_id"), expr(
-        """element_at(transform(array(sh), v ->
-          |  transform(sequence(0, 7), p ->
-          |    array_min(transform(v, s -> md5(concat(cast(p as string), ':', s)))))), 1)""".stripMargin).as("sig"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3), b -> named_struct(
-          |  'b', b,
-          |  'bh', md5(concat(element_at(sig, 2*b+1), element_at(sig, 2*b+2), ':', cast(b as string)))))""".stripMargin)).as("x"))
-      .select(col("doc_id"), col("x.b").as("b"), col("x.bh").as("bh"))
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.TextExpressions.minhashBands(col("sh"), 8, 4)))
+      .withColumnRenamed("pos", "b").withColumnRenamed("col", "bh")
     // pair generation inside each band bucket (no self-join: the band
     // subtree is computed once, and bucket membership lists are small by
     // LSH construction — a bucket-size cap is the skew guard at scale)

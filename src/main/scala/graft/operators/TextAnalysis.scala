@@ -222,12 +222,15 @@ object TextAnalysis {
       .withColumn("n_tokens", expr("cast(size(toks) as bigint)"))
       .withColumn("dup_word_frac", expr(
         "round(cast(n_tokens - size(array_distinct(toks)) as double) / n_tokens, 6)"))
-      .withColumn("top_bigram_frac", expr(
-        """if(n_tokens < 2, cast(0.0 as double),
-          |round(cast(element_at(transform(array(%s), g ->
-          |  array_max(transform(array_distinct(g), b -> size(filter(g, x -> x = b))))), 1) as double)
-          | / (n_tokens - 1), 6))""".stripMargin.format(
-          "element_at(transform(array(toks), t -> transform(sequence(1, size(t) - 1), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))), 1)")))
+      // the bigram array is a single native call, bound as a lambda
+      // variable so the per-distinct-bigram count scans the bound copy
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") < 2, lit(0.0)).otherwise(round(
+          element_at(transform(
+            array(org.apache.spark.sql.graft.TextExpressions.wordNgrams(col("text"), 2)),
+            g => array_max(transform(array_distinct(g),
+              b => size(filter(g, x => x === b))))), 1).cast("double")
+          / (col("n_tokens") - 1), 6)))
       .withColumn("mean_word_len", expr(
         "round(cast(aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x)) as double) / n_tokens, 6)"))
       .withColumn("symbol_ratio", expr(
@@ -244,12 +247,13 @@ object TextAnalysis {
     * winnow) — a stable content signature robust to word order at the
     * edges; equal fingerprints ⇒ shared rare shingle. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
-    // fully map-side: shingle array + min-of-md5s per row, no shuffle
+    // fully map-side: shingle array + min-of-md5s per row (one native
+    // codegen call, raw-digest min — see graft.Md5Min), no shuffle
     // before the output sort
     TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), TextOps.shingleArray("text").as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        expr("array_min(transform(sh, s -> md5(s)))").as("fingerprint"))
+        org.apache.spark.sql.graft.TextExpressions.md5Min(col("sh")).as("fingerprint"))
       .orderBy(col("doc_id"))
 }

@@ -155,10 +155,8 @@ object Streams {
     val sig = docs
       .withColumn("sh", graft.functions.TextOps.shingleArray(textCol))
       .filter(size(col("sh")) > 0)
-      .withColumn("band0", expr(
-        """element_at(transform(array(sh), v -> md5(concat(
-          |  array_min(transform(v, s -> md5(concat('0:', s)))),
-          |  array_min(transform(v, s -> md5(concat('1:', s)))), ':0'))), 1)""".stripMargin))
+      .withColumn("band0", element_at(
+        org.apache.spark.sql.graft.TextExpressions.minhashBands(col("sh"), 2, 1), 1))
       .drop("sh")
     sig
       .withWatermark(tsCol, watermark)

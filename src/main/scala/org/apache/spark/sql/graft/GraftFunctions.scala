@@ -19,7 +19,19 @@ object GraftFunctions {
       (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
     (FunctionIdentifier("float_vec_norm"),
       info("float_vec_norm", "float_vec_norm(a) - L2 norm of a float array in double precision"),
-      (es: Seq[Expression]) => FloatVecNorm(es.head)))
+      (es: Seq[Expression]) => FloatVecNorm(es.head)),
+    (FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, n) - space-joined word n-grams; empty array when fewer than n tokens"),
+      (es: Seq[Expression]) => WordNgrams(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("minhash_bands"),
+      info("minhash_bands", "minhash_bands(shingles, nPerms, nBands) - LSH band hashes of the perm-seeded md5 minhash signature"),
+      (es: Seq[Expression]) => MinHashBands(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("md5_min"),
+      info("md5_min", "md5_min(arr) - lexicographically smallest md5 hex over array elements; null on empty"),
+      (es: Seq[Expression]) => Md5Min(es.head)))
 
   /** Register on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

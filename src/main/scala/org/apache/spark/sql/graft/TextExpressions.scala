@@ -1,0 +1,249 @@
+// Hosted inside the spark.sql package hierarchy because the extension
+// surface (AbstractDataType, ExpressionUtils.column) is private[sql] —
+// the established pattern for libraries shipping native expressions.
+package org.apache.spark.sql.graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hot path. The
+  * higher-order-function formulation (`transform(...)` lambdas over
+  * shingle arrays) evaluates interpreted — one virtual call per array
+  * element with UTF8String boxing, outside whole-stage codegen. These
+  * expressions do the same work as a single compiled call per row.
+  *
+  * Determinism contract (must match the DuckDB oracle bit-for-bit):
+  * - tokens = maximal runs of non-space bytes (≡ `filter(split(text,
+  *   ' '), x -> x != '')`; a space can never be a UTF-8 continuation
+  *   byte, so byte scanning is character-safe);
+  * - n-grams join n consecutive tokens with a single space;
+  * - minhash uses md5 hex of "<perm>:<shingle>" and the lexicographic
+  *   min hex — equal to the unsigned-byte min of the raw digests, so
+  *   digests are compared raw and hex-encoded once at the end;
+  * - band hash b = md5(minHex[2b] || minHex[2b+1] || ":" || b).
+  */
+object TextNative {
+
+  private val digestTL: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest =
+        MessageDigest.getInstance("MD5")
+    }
+
+  private val HexChars = "0123456789abcdef".getBytes
+
+  private def hex(digest: Array[Byte], out: Array[Byte], outPos: Int): Unit = {
+    var i = 0
+    while (i < digest.length) {
+      val b = digest(i) & 0xff
+      out(outPos + 2 * i) = HexChars(b >>> 4)
+      out(outPos + 2 * i + 1) = HexChars(b & 0x0f)
+      i += 1
+    }
+  }
+
+  /** Token (offset, length) pairs for maximal non-space runs. Returns
+    * a packed array: [off0, len0, off1, len1, ...] and the count. */
+  private def tokenize(bytes: Array[Byte]): (Array[Int], Int) = {
+    val offs = new Array[Int](bytes.length + 2)
+    var nTok = 0
+    var i = 0
+    while (i < bytes.length) {
+      while (i < bytes.length && bytes(i) == ' ') i += 1
+      if (i < bytes.length) {
+        val start = i
+        while (i < bytes.length && bytes(i) != ' ') i += 1
+        offs(2 * nTok) = start
+        offs(2 * nTok + 1) = i - start
+        nTok += 1
+      }
+    }
+    (offs, nTok)
+  }
+
+  private val EmptyArray = new GenericArrayData(Array.empty[Any])
+
+  /** Word n-gram array (space-joined); empty when fewer than n tokens. */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (offs, nTok) = tokenize(bytes)
+    if (nTok < n) return EmptyArray
+    val out = new Array[Any](nTok - n + 1)
+    var g = 0
+    while (g < out.length) {
+      var size = n - 1
+      var j = 0
+      while (j < n) { size += offs(2 * (g + j) + 1); j += 1 }
+      val gram = new Array[Byte](size)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { gram(pos) = ' '; pos += 1 }
+        val len = offs(2 * (g + j) + 1)
+        System.arraycopy(bytes, offs(2 * (g + j)), gram, pos, len)
+        pos += len
+        j += 1
+      }
+      out(g) = UTF8String.fromBytes(gram)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** LSH band hashes from the minhash signature of a shingle array:
+    * nPerms seeded md5 mins, folded into nBands band-bucket hashes.
+    * One compiled pass over the shingles; digests stay raw until the
+    * final hex encode. Empty input → empty output. */
+  def minhashBands(arr: ArrayData, nPerms: Int, nBands: Int): ArrayData = {
+    val nSh = arr.numElements()
+    if (nSh == 0) return EmptyArray
+    val md = digestTL.get()
+    val prefixes = new Array[Array[Byte]](nPerms)
+    var p = 0
+    while (p < nPerms) { prefixes(p) = (p.toString + ":").getBytes; p += 1 }
+    val mins = new Array[Array[Byte]](nPerms)
+    var i = 0
+    while (i < nSh) {
+      val s = arr.getUTF8String(i).getBytes
+      p = 0
+      while (p < nPerms) {
+        md.reset()
+        md.update(prefixes(p))
+        md.update(s)
+        val d = md.digest()
+        if (mins(p) == null || lessUnsigned(d, mins(p))) mins(p) = d
+        p += 1
+      }
+      i += 1
+    }
+    val rowsPerBand = nPerms / nBands
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      val suffix = (":" + b.toString).getBytes
+      val buf = new Array[Byte](32 * rowsPerBand + suffix.length)
+      var r = 0
+      while (r < rowsPerBand) {
+        hex(mins(rowsPerBand * b + r), buf, 32 * r)
+        r += 1
+      }
+      System.arraycopy(suffix, 0, buf, 32 * rowsPerBand, suffix.length)
+      md.reset()
+      val d = md.digest(buf)
+      val hx = new Array[Byte](32)
+      hex(d, hx, 0)
+      out(b) = UTF8String.fromBytes(hx)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Lexicographically smallest md5 hex over the array's elements
+    * (the k=1 winnow fingerprint); null for an empty array. */
+  def md5Min(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = digestTL.get()
+    var min: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      if (min == null || lessUnsigned(d, min)) min = d
+      i += 1
+    }
+    val hx = new Array[Byte](32)
+    hex(min, hx, 0)
+    UTF8String.fromBytes(hx)
+  }
+}
+
+/** `word_ngrams(text, n)` — the tokenizer+shingler as one compiled call. */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "n must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(t: Any): Any =
+    TextNative.wordNgrams(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextNative.wordNgrams($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_bands(shingles, nPerms, nBands)` — signature + banding in
+  * one compiled pass (replaces nPerms interpreted transform/array_min
+  * passes plus the band-hash projection). */
+case class MinHashBands(child: Expression, nPerms: Int, nBands: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nPerms % nBands == 0, "nPerms must divide into nBands evenly")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    TextNative.minhashBands(a.asInstanceOf[ArrayData], nPerms, nBands)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextNative.minhashBands($a, $nPerms, $nBands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `md5_min(arr)` — min md5 hex over array elements; null on empty. */
+case class Md5Min(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "md5_min"
+
+  override def nullSafeEval(a: Any): Any =
+    TextNative.md5Min(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.TextNative.md5Min($a);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def wordNgrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(text), n))
+  def minhashBands(shingles: Column, nPerms: Int, nBands: Int): Column =
+    ExpressionUtils.column(MinHashBands(
+      ExpressionUtils.expression(shingles), nPerms, nBands))
+  def md5Min(arr: Column): Column =
+    ExpressionUtils.column(Md5Min(ExpressionUtils.expression(arr)))
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextExpressions
+
+/** The native text expressions must be bit-identical to the HOF
+  * formulation they replaced (which is what the DuckDB oracle mirrors).
+  * The HOF reference shapes are reconstructed here verbatim from the
+  * pre-native operators. */
+class TextExpressionsSpec extends SparkSpec {
+
+  /** The round-2 lambda-bound HOF n-gram shape (the former
+    * TextOps.ngramArray body) — kept as the reference semantics. */
+  private def hofNgrams(textCol: String, n: Int) = {
+    val gram = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    expr(
+      s"""element_at(transform(array(filter(split($textCol, ' '), x -> x != '')),
+         |  t -> if(size(t) < $n, cast(array() as array<string>),
+         |    transform(sequence(1, size(t) - ${n - 1}),
+         |      i -> concat_ws(' ', $gram)))),
+         |1)""".stripMargin)
+  }
+
+  test("word_ngrams matches the HOF shape for n=2,3,5 over the corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    Seq(2, 3, 5).foreach { n =>
+      val bad = docs
+        .withColumn("a", TextExpressions.wordNgrams(col("text"), n))
+        .withColumn("b", hofNgrams("text", n))
+        .filter(col("a") =!= col("b"))
+        .count()
+      assert(bad == 0, s"n=$n mismatch")
+    }
+  }
+
+  test("word_ngrams edge cases: empties, extra spaces, short docs") {
+    import spark.implicits._
+    val df = Seq("", " ", "a", "a b", "a b c", "  a   b  ", "a  b c  d")
+      .toDF("text")
+      .withColumn("a", TextExpressions.wordNgrams(col("text"), 3))
+      .withColumn("b", hofNgrams("text", 3))
+    assert(df.filter(col("a") =!= col("b")).count() == 0)
+    val r = df.collect().map(_.getSeq[String](1))
+    assert(r(0).isEmpty && r(2).isEmpty && r(3).isEmpty)
+    assert(r(4) == Seq("a b c"))
+    assert(r(6) == Seq("a b c", "b c d"))
+  }
+
+  test("minhash_bands matches the HOF signature + band-hash shape") {
+    val sh = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextExpressions.wordNgrams(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bad = sh
+      .withColumn("native", TextExpressions.minhashBands(col("sh"), 8, 4))
+      .withColumn("sig", expr(
+        """element_at(transform(array(sh), v ->
+          |  transform(sequence(0, 7), p ->
+          |    array_min(transform(v, s -> md5(concat(cast(p as string), ':', s)))))), 1)""".stripMargin))
+      .withColumn("hof", expr(
+        """transform(sequence(0, 3), b ->
+          |  md5(concat(element_at(sig, 2*b+1), element_at(sig, 2*b+2), ':', cast(b as string))))""".stripMargin))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("md5_min matches array_min(transform(md5)) and is null on empty") {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sf0001)
+      .select(TextExpressions.wordNgrams(col("text"), 3).as("sh"))
+    val bad = sh.filter(size(col("sh")) > 0)
+      .withColumn("a", TextExpressions.md5Min(col("sh")))
+      .withColumn("b", expr("array_min(transform(sh, s -> md5(s)))"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(bad == 0)
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(TextExpressions.md5Min(col("sh")))
+      .collect()
+    assert(empty.head.isNullAt(0))
+  }
+
+  test("SQL registration: word_ngrams/minhash_bands/md5_min callable from SQL") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT md5_min(word_ngrams('a b c d', 3)) m,
+        |       minhash_bands(word_ngrams('a b c d', 3), 8, 4) bands""".stripMargin)
+      .collect().head
+    assert(r.getString(0).length == 32)
+    assert(r.getSeq[String](1).length == 4)
+  }
+}
