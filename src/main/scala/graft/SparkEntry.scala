@@ -83,6 +83,12 @@ object SparkEntry {
     "q37_stratified_sample" -> (Analytics.q37StratifiedSample _),
     "txt_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.txtBm25(s, d)),
     "txt_gopher" -> (TextAnalysis.txtGopher _),
+    "q38_interval_join" -> (Analytics.q38IntervalJoin _),
+    "q39_checksum" -> (Analytics.q39Checksum _),
+    "dd_semdedup" -> (Dedup.ddSemdedup _),
+    "dd_hot_spans" -> ((s: SparkSession, d: String) => Dedup.ddHotSpans(s, d)),
+    "txt_unigram_score" -> (TextAnalysis.txtUnigramScore _),
+    "pipe_pack_sequences" -> ((s: SparkSession, d: String) => CorpusPipeline.pipePackSequences(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -804,5 +810,91 @@ object SparkEntry {
         | (n_tokens >= 10 AND n_tokens <= 1000 AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.2
         |  AND mean_word_len >= 2 AND mean_word_len <= 12) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q38_interval_join" ->
+      """SELECT o.o_orderkey,
+        | count(e.event_id) AS n_events,
+        | cast(sum(cast(e.value as decimal(18,2))) as double) AS sum_value
+        |FROM orders o
+        |JOIN events e ON e.user_id = o.o_custkey
+        | AND e.ts >= o.o_orderdate AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_checksum" ->
+      """WITH r AS (
+        | SELECT l_returnflag,
+        |  md5(concat_ws('|', cast(l_orderkey as varchar), cast(l_linenumber as varchar),
+        |    cast(l_partkey as varchar), cast(l_suppkey as varchar),
+        |    l_returnflag, l_linestatus)) h
+        | FROM lineitem
+        |), v AS (
+        | SELECT l_returnflag,
+        |  cast(list_sum(list_transform(range(1, 9),
+        |    i -> cast(strpos('0123456789abcdef', substring(h, i, 1)) - 1 as bigint)
+        |         * cast(power(16, 8 - i) as bigint))) as bigint) hv
+        | FROM r
+        |)
+        |SELECT l_returnflag, count(*) AS n_rows, cast(sum(hv) as bigint) AS checksum
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_semdedup" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, e.embedding, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, embedding, clabel,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |), asg AS (SELECT vec_id, embedding, clabel FROM best WHERE rn = 1),
+        |p AS (
+        | SELECT a.vec_id va, b.vec_id vb,
+        |  list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(a.embedding[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(b.embedding[i] as double) * cast(b.embedding[i] as double))))) cosim
+        | FROM asg a JOIN asg b ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+        |)
+        |SELECT vb AS dropped, min(va) AS keeper, count(*) AS n_near,
+        | round(max(cosim), 6) AS max_sim
+        |FROM p WHERE cosim >= 0.35 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_hot_spans" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), g AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(list_transform(range(1, len(t) - 1), i -> list_aggregate(t[i:i+2], 'string_agg', ' ')))) span
+        | FROM toks WHERE len(t) >= 3
+        |)
+        |SELECT span, count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        |ORDER BY n_docs DESC, span LIMIT 50""".stripMargin,
+    "txt_unigram_score" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), vocab AS (SELECT term, count(*) tf FROM toks GROUP BY 1),
+        |total AS (SELECT sum(tf) corpus_total FROM vocab)
+        |SELECT t.doc_id, count(*) AS dl, cast(sum(v.tf) as bigint) AS sum_tf,
+        | round(cast(sum(v.tf) as double) /
+        |   (cast(count(*) as double) * cast(max(total.corpus_total) as double)), 12) AS score
+        |FROM toks t JOIN vocab v USING (term) CROSS JOIN total
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipe_pack_sequences" ->
+      """WITH d AS (
+        | SELECT lang, doc_id,
+        |  cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) dl
+        | FROM documents
+        |), o AS (
+        | SELECT lang, doc_id, dl,
+        |  cast(coalesce(sum(dl) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) start_off
+        | FROM d WHERE dl > 0
+        |)
+        |SELECT lang, doc_id, dl, start_off,
+        | start_off // 128 AS pack_first,
+        | (start_off + dl - 1) // 128 AS pack_last,
+        | (start_off // 128) <> ((start_off + dl - 1) // 128) AS spans_boundary
+        |FROM o ORDER BY lang, doc_id""".stripMargin,
   )
 }

@@ -512,6 +512,43 @@ object Analytics {
         expr("max(if(hx < thr, doc_id, null))").as("max_kept"))
       .orderBy($"source")
 
+  /** Interval (range) join: events attributed to the order window
+    * [o_orderdate, o_orderdate + 7 days) of the same customer — the
+    * attribution/conversion join every event pipeline runs. Spark plans
+    * the equality on the customer key as the join key and keeps the
+    * temporal band as a residual filter, so the shuffle is an ordinary
+    * keyed exchange (never a cartesian range explosion); at 100 TB both
+    * facts hash-partition on the key and the band check streams. */
+  def q38IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select($"user_id", $"ts", $"value", $"event_id")
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    o.join(e, $"user_id" === $"o_custkey" &&
+        $"ts" >= $"o_orderdate" && $"ts" < $"o_orderdate" + expr("INTERVAL 7 DAYS"))
+      .groupBy($"o_orderkey")
+      .agg(count($"event_id").as("n_events"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sum_value"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Order-independent table checksum (data-integrity fingerprint for
+    * replication / migration audits): per-row md5 over a canonical
+    * column encoding, folded with a commutative SUM so the result is
+    * identical under any partitioning or row order. Pure map + one
+    * 3-row aggregate — the cheapest possible full-table audit at
+    * 100 TB, and two sides of a copy can be compared without ever
+    * co-locating them. */
+  def q39Checksum(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("h", expr(
+        """cast(conv(substring(md5(concat_ws('|',
+          |  cast(l_orderkey as string), cast(l_linenumber as string),
+          |  cast(l_partkey as string), cast(l_suppkey as string),
+          |  l_returnflag, l_linestatus)), 1, 8), 16, 10) as bigint)""".stripMargin))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+      .orderBy($"l_returnflag")
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

@@ -32,4 +32,30 @@ object CorpusPipeline {
       .select(col("doc_id"), col("clean_md5"), col("n_tokens"), col("n_dups"))
       .orderBy(col("doc_id"))
   }
+
+  /** Sequence packing — the batch-prep step that concatenates tokenized
+    * documents into fixed-length training sequences (seq_len tokens)
+    * and reports, per document, which packs it lands in and whether it
+    * straddles a pack boundary. Packing streams are per-language
+    * (deterministic doc_id order within each), so the running offset is
+    * an ordinary partitioned window cumsum — each language packs
+    * independently and in parallel, which is exactly how a 100 TB
+    * corpus is packed in practice (per-shard streams, never one global
+    * sequential scan). */
+  def pipePackSequences(spark: SparkSession, dir: String,
+      seqLen: Int = 128): DataFrame = {
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("dl", expr(
+        "cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .filter(col("dl") > 0)
+      .withColumn("start_off",
+        coalesce(sum(col("dl")).over(byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("doc_id"), col("dl"), col("start_off"),
+        (col("start_off") / seqLen).cast("bigint").as("pack_first"),
+        ((col("start_off") + col("dl") - 1) / seqLen).cast("bigint").as("pack_last"),
+        ((col("start_off") / seqLen).cast("bigint") =!=
+          ((col("start_off") + col("dl") - 1) / seqLen).cast("bigint")).as("spans_boundary"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
 }

@@ -241,4 +241,61 @@ object Dedup {
         round(col("cosim"), 6).as("score"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** SemDeDup-style semantic dedup: vectors are first assigned to their
+    * nearest centroid (one k-means assignment step — exact-decimal
+    * centroids broadcast back, map-side nearest-cell argmin), then
+    * near-duplicate pairs are formed ONLY within a cell and every
+    * vector with a higher id than some ≥0.35-cosine neighbour is
+    * dropped. The clustering bounds the pair stage to Σ|cell|² instead
+    * of n² — the published SemDeDup recipe — and at 100 TB each stage
+    * is one broadcast + one keyed shuffle on the cell id. */
+  def ddSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("clabel"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(embedding, cv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("nrm", VectorOps.norm2("embedding"))
+      .select(col("vec_id"), col("clabel"), col("embedding"), col("nrm"))
+    val a = assigned.select(col("vec_id").as("va"), col("clabel"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("vb"), col("clabel"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("clabel"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cosim", VectorOps.dot("ea", "eb") / (col("na") * col("nb")))
+      .filter(col("cosim") >= 0.35)
+      .groupBy(col("vb").as("dropped"))
+      .agg(min(col("va")).as("keeper"),
+        count(lit(1)).as("n_near"),
+        round(max(col("cosim")), 6).as("max_sim"))
+      .orderBy(col("dropped"))
+  }
+
+  /** Cross-document hot-span detection (C4-style boilerplate carve):
+    * distinct word 3-gram spans per document, counted across the
+    * corpus; spans seen in ≥3 documents are ranked. Map-side native
+    * shingling (one codegen pass per row), one partial-aggregated
+    * shuffle on the span — at 100 TB the exploded span rows are the
+    * only thing on the wire, and the ≥3 filter runs post-combine. The
+    * survivors are the removal list a cleanup pass would anti-join. */
+  def ddHotSpans(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingleArray("text"))).as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 3)
+      .orderBy(col("n_docs").desc, col("span"))
+      .limit(k)
 }

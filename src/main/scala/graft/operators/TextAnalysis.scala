@@ -179,7 +179,9 @@ object TextAnalysis {
     * TakeOrderedAndProject (per-partition heaps, no global sort). */
   def txtBm25(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val terms = Seq("join", "hash", "scan")
-    val docs = Tables.documents(spark, dir)
+    // balanced: both passes run interpreted-HOF token work per row; a
+    // single-file scan would serialize them on one task (see TextOps)
+    val docs = TextOps.balanced(Tables.documents(spark, dir))
       .withColumn("toks", TextOps.tokens("text"))
     val statCols = Seq(
       count(lit(1)).as("n_docs"),
@@ -242,6 +244,29 @@ object TextAnalysis {
         col("top_bigram_frac"), col("mean_word_len"), col("symbol_ratio"),
         col("keep"))
       .orderBy(col("doc_id"))
+
+  /** Unigram-likelihood document score — the model-free stand-in for a
+    * perplexity filter (CCNet-style): each document is scored by the
+    * average corpus frequency of its tokens, kept entirely rational
+    * (sum of bigint term counts / (doc_len × corpus_total)) so both
+    * engines compute bit-identical doubles without libm. The corpus
+    * unigram table is a tiny aggregate (|vocab| rows) broadcast back;
+    * the scoring join is map-side. Low scores = rare-token gibberish,
+    * high = stop-word soup — the standard two-sided cut. */
+  def txtUnigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("corpus_total"))
+    toks.join(broadcast(vocab), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), sum(col("tf")).as("sum_tf"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("dl"), col("sum_tf"),
+        round(col("sum_tf").cast("double") /
+          (col("dl").cast("double") * col("corpus_total").cast("double")), 12).as("score"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Document fingerprint: min-hash over 3-gram shingles (the k=1
     * winnow) — a stable content signature robust to word order at the
