@@ -185,6 +185,109 @@ class Round2OpsSpec extends SparkSpec {
     }
   }
 
+  test("q38_interval_join: every bucket matches a driver-side recompute of the window") {
+    val orders = Tables.orders(spark, sf0001)
+      .selectExpr("o_orderkey", "o_custkey", "cast(o_orderdate as string) od").collect()
+      .map(r => (r.getLong(0), r.getLong(1), java.time.LocalDate.parse(r.getString(2).take(10))))
+    val events = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "cast(ts as string) ts", "cast(value as decimal(18,2)) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).take(10), r.getDecimal(2)))
+    val expected = orders.flatMap { case (ok, ck, od) =>
+      val hits = events.filter { case (uid, day, _) =>
+        val d = java.time.LocalDate.parse(day)
+        uid == ck && !d.isBefore(od) && d.isBefore(od.plusDays(7))
+      }
+      if (hits.isEmpty) None
+      else Some(ok -> (hits.length.toLong, hits.map(_._3.doubleValue).sum))
+    }.toMap
+    val got = Analytics.q38IntervalJoin(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert(n == expected(k)._1, s"order $k count")
+      assert(math.abs(s - expected(k)._2) < 1e-6, s"order $k sum")
+    }
+  }
+
+  test("q39_checksum: invariant under repartitioning and counts cover the table") {
+    val a = Analytics.q39Checksum(spark, sf0001).collect()
+    assert(a.map(_.getLong(1)).sum == Tables.lineitem(spark, sf0001).count())
+    // order-independence: same fold over a differently-partitioned scan
+    val shuffled = Tables.lineitem(spark, sf0001).repartition(13)
+    shuffled.createOrReplaceTempView("lineitem_shuf")
+    val b = spark.sql(
+      """SELECT l_returnflag, count(1) n_rows,
+        | sum(cast(conv(substring(md5(concat_ws('|',
+        |   cast(l_orderkey as string), cast(l_linenumber as string),
+        |   cast(l_partkey as string), cast(l_suppkey as string),
+        |   l_returnflag, l_linestatus)), 1, 8), 16, 10) as bigint)) checksum
+        |FROM lineitem_shuf GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("dd_semdedup: keeper precedes dropped, sims in threshold band, blocked by cell") {
+    val rows = Dedup.ddSemdedup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), "keeper must be the lower id")
+      val sim = r.getDouble(3)
+      assert(sim >= 0.35 && sim <= 1.0 + 1e-9)
+      assert(r.getLong(2) >= 1)
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("dd_hot_spans: spans are word 3-grams present in >=3 distinct documents") {
+    val rows = Dedup.ddHotSpans(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val docs = Tables.documents(spark, sf0001).select("text").collect().map(_.getString(0))
+    rows.take(5).foreach { r =>
+      val span = r.getString(0)
+      assert(span.split(' ').count(_.nonEmpty) == 3, s"not a 3-gram: '$span'")
+      val nDocs = docs.count(t => t.split(' ').filter(_.nonEmpty)
+        .sliding(3).exists(_.mkString(" ") == span))
+      assert(nDocs.toLong == r.getLong(1), s"span '$span' doc count")
+    }
+  }
+
+  test("txt_unigram_score: one row per doc; score is mean corpus tf over total") {
+    val rows = TextAnalysis.txtUnigramScore(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty).toSeq)
+    assert(rows.length == docs.count(_._2.nonEmpty))
+    val tf = docs.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val corpusTotal = tf.values.sum
+    val byId = docs.toMap
+    rows.take(10).foreach { r =>
+      val toks = byId(r.getLong(0))
+      assert(r.getLong(1) == toks.length)
+      val sumTf = toks.map(tf).sum
+      assert(r.getLong(2) == sumTf)
+      val expect = sumTf.toDouble / (toks.length.toDouble * corpusTotal.toDouble)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-12)
+    }
+  }
+
+  test("pipe_pack_sequences: per-language offsets are a cumsum and flags consistent") {
+    val rows = graft.operators.CorpusPipeline.pipePackSequences(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) == off, s"doc ${r.getLong(1)} offset")
+        val (dl, start) = (r.getLong(2), r.getLong(3))
+        assert(r.getLong(4) == start / 128)
+        assert(r.getLong(5) == (start + dl - 1) / 128)
+        assert(r.getBoolean(6) == (r.getLong(4) != r.getLong(5)))
+        off += dl
+      }
+    }
+  }
+
   test("txt_gopher: ratios bounded and keep flag consistent with its gates") {
     val rows = TextAnalysis.txtGopher(spark, sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
