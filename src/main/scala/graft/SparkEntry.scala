@@ -89,6 +89,13 @@ object SparkEntry {
     "dd_hot_spans" -> ((s: SparkSession, d: String) => Dedup.ddHotSpans(s, d)),
     "txt_unigram_score" -> (TextAnalysis.txtUnigramScore _),
     "pipe_pack_sequences" -> ((s: SparkSession, d: String) => CorpusPipeline.pipePackSequences(s, d)),
+    "q40_lag_features" -> (Analytics.q40LagFeatures _),
+    "q41_column_stats" -> (Analytics.q41ColumnStats _),
+    "q42_salted_join" -> (Analytics.q42SaltedJoin _),
+    "q43_funnel" -> (Analytics.q43Funnel _),
+    "txt_inverted_index" -> (TextAnalysis.txtInvertedIndex _),
+    "txt_oov_rate" -> ((s: SparkSession, d: String) => TextAnalysis.txtOovRate(s, d)),
+    "pipe_chunk_docs" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeChunkDocs(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -896,5 +903,96 @@ object SparkEntry {
         | (start_off + dl - 1) // 128 AS pack_last,
         | (start_off // 128) <> ((start_off + dl - 1) // 128) AS spans_boundary
         |FROM o ORDER BY lang, doc_id""".stripMargin,
+    "q40_lag_features" ->
+      """SELECT event_id, user_id,
+        | cast(cast(value as decimal(18,2)) as double) AS value,
+        | cast(lag(cast(value as decimal(18,2))) OVER w as double) AS prev_value,
+        | date_diff('second', lag(ts) OVER w, ts) AS gap_s,
+        | cast(sum(cast(value as decimal(18,2))) OVER w3 as double)
+        |   / count(*) OVER w3 AS avg3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        | w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q41_column_stats" ->
+      """WITH a AS (
+        | SELECT count(*) n,
+        |  cast(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) null_ok,
+        |  count(DISTINCT l_orderkey) ndv_ok,
+        |  cast(min(l_orderkey) as varchar) min_ok, cast(max(l_orderkey) as varchar) max_ok,
+        |  cast(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) as bigint) null_pk,
+        |  count(DISTINCT l_partkey) ndv_pk,
+        |  cast(min(l_partkey) as varchar) min_pk, cast(max(l_partkey) as varchar) max_pk,
+        |  cast(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) as bigint) null_rf,
+        |  count(DISTINCT l_returnflag) ndv_rf,
+        |  min(l_returnflag) min_rf, max(l_returnflag) max_rf,
+        |  cast(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) as bigint) null_ls,
+        |  count(DISTINCT l_linestatus) ndv_ls,
+        |  min(l_linestatus) min_ls, max(l_linestatus) max_ls
+        | FROM lineitem)
+        |SELECT 'l_orderkey' AS "column", n AS n_rows, null_ok AS n_null,
+        |       ndv_ok AS ndv, min_ok AS min_s, max_ok AS max_s FROM a
+        |UNION ALL SELECT 'l_partkey', n, null_pk, ndv_pk, min_pk, max_pk FROM a
+        |UNION ALL SELECT 'l_returnflag', n, null_rf, ndv_rf, min_rf, max_rf FROM a
+        |UNION ALL SELECT 'l_linestatus', n, null_ls, ndv_ls, min_ls, max_ls FROM a
+        |ORDER BY "column"""".stripMargin,
+    "q42_salted_join" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))
+        |          * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) t_signup FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) t_click FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t_signup GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) t_purchase FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t_click GROUP BY 1)
+        |SELECT t1.user_id, t_signup, t_click, t_purchase,
+        | 1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |        LEFT JOIN t3 ON t1.user_id = t3.user_id
+        |ORDER BY t1.user_id""".stripMargin,
+    "txt_inverted_index" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) term
+        | FROM documents
+        |)
+        |SELECT term, count(*) AS df,
+        | (list_sort(list(doc_id)))[1:20] AS postings
+        |FROM toks GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1""".stripMargin,
+    "txt_oov_rate" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), vocab AS (
+        | SELECT term FROM (SELECT term, count(*) tf FROM toks GROUP BY 1) WHERE tf >= 5
+        |)
+        |SELECT t.doc_id, count(*) AS dl,
+        | cast(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) as bigint) AS n_oov,
+        | round(cast(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) as double)
+        |   / cast(count(*) as double), 12) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipe_chunk_docs" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+        | FROM documents
+        |), e AS (
+        | SELECT doc_id, cast(len(toks) as bigint) dl, toks,
+        |  unnest(range(0, cast(len(toks) as bigint), 48)) start_tok
+        | FROM d WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, start_tok // 48 AS chunk_idx, start_tok,
+        | cast(least(64, dl - start_tok) as bigint) AS n_toks,
+        | list_aggregate(toks[cast(start_tok + 1 as int):cast(least(start_tok + 64, dl) as int)],
+        |   'string_agg', ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

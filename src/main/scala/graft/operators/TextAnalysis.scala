@@ -245,6 +245,43 @@ object TextAnalysis {
         col("keep"))
       .orderBy(col("doc_id"))
 
+  /** Inverted index build (term → posting list): the search-side twin
+    * of vocabulary construction. Postings are exact sorted doc-id
+    * arrays capped at 20 entries per term (the cap bounds row width —
+    * a full web-scale posting list is stored chunked, and the first
+    * chunk is what lands here). One explode + one partial-aggregated
+    * shuffle on the term; collect_set is per-group bounded because df
+    * is bounded by the corpus slice per term. Terms below df 5 are
+    * dropped post-combine. */
+  def txtInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        slice(array_sort(collect_list(col("doc_id"))), 1, 20).as("postings"))
+      .filter(col("df") >= 5)
+      .orderBy(col("term"))
+
+  /** Out-of-vocabulary rate per document: tokens are checked against
+    * the corpus vocabulary restricted to terms seen >= 5 times (the
+    * practical "real word" cut a tokenizer-coverage audit uses). The
+    * vocab aggregate is tiny and broadcast back; the membership join
+    * is map-side, so the whole audit is two passes over the tokens
+    * with one broadcast — no big-side shuffle at 100 TB. */
+  def txtOovRate(spark: SparkSession, dir: String, minTf: Int = 5): DataFrame = {
+    val toks = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minTf).select(col("term"))
+    toks.join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("dl"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("dl").cast("double"), 12).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram-likelihood document score — the model-free stand-in for a
     * perplexity filter (CCNet-style): each document is scored by the
     * average corpus frequency of its tokens, kept entirely rational

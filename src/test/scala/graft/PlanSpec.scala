@@ -69,6 +69,46 @@ class PlanSpec extends SparkSpec {
     assert(aggs == 0, s"fingerprint should be agg-free (map-side arrays):\n$p")
   }
 
+  test("q38 interval join plans as an equi-join on the customer key") {
+    val p = plan(Analytics.q38IntervalJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a product:\n$p")
+  }
+
+  test("q40 lag features: both windows share one keyed shuffle") {
+    val p = plan(Analytics.q40LagFeatures(spark, sf0001))
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    // one hash exchange for the user_id windows + the final sort's range exchange
+    assert(exchanges <= 2, s"windows should share a partitioning ($exchanges exchanges):\n$p")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window.*""")) <= 2)
+  }
+
+  test("q41 column stats profile the table in a single scan") {
+    val p = plan(Analytics.q41ColumnStats(spark, sf0001))
+    val scans = p.linesIterator.count(l => l.trim.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans == 1, s"profiling rescans the table ($scans scans):\n$p")
+  }
+
+  test("q42 salted join stays an equi-join (salt extends the key)") {
+    val p = plan(Analytics.q42SaltedJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("_salt"), s"salt column missing from plan:\n$p")
+  }
+
+  test("txt_oov_rate: vocab membership is a broadcast join, not a shuffle join") {
+    val p = plan(graft.operators.TextAnalysis.txtOovRate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"big-side shuffle join:\n$p")
+  }
+
+  test("pipe_chunk_docs: chunking is shuffle-free up to the output sort") {
+    val p = plan(graft.operators.CorpusPipeline.pipeChunkDocs(spark, sf0001))
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 1, s"chunking should not shuffle ($exchanges exchanges):\n$p")
+    assert(p.contains("Generate"), s"expected generate/explode:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"))
+  }
+
   test("whole-stage codegen covers the scan-heavy operators") {
     // AQE reports codegen spans only on the executed plan
     val df = Analytics.q1PricingSummary(spark, sf0001)

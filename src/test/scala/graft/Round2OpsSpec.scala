@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions.col
 
 /** Semantic properties of the round-2 operators (the oracle gate checks
   * value parity; these check the invariants that make the answers
@@ -285,6 +286,124 @@ class Round2OpsSpec extends SparkSpec {
         assert(r.getBoolean(6) == (r.getLong(4) != r.getLong(5)))
         off += dl
       }
+    }
+  }
+
+  test("q40_lag_features: lag/gap/trailing-mean match a driver-side recompute") {
+    val rows = Analytics.q40LagFeatures(spark, sf0001).collect()
+    val byUser = rows.groupBy(_.getLong(1))
+    byUser.values.foreach { g =>
+      // rows arrive ordered by event_id within user (ts order == id order per oracle sort)
+      var prev: Option[Double] = None
+      val window = scala.collection.mutable.Queue.empty[Double]
+      g.foreach { r =>
+        val v = r.getDouble(2)
+        if (prev.isEmpty) assert(r.isNullAt(3) && r.isNullAt(4))
+        else assert(math.abs(r.getDouble(3) - prev.get) < 1e-9)
+        window.enqueue(v)
+        if (window.size > 3) window.dequeue()
+        assert(math.abs(r.getDouble(5) - window.sum / window.size) < 1e-9,
+          s"avg3 for event ${r.getLong(0)}")
+        prev = Some(v)
+      }
+    }
+  }
+
+  test("q41_column_stats: one row per profiled column, counts cover the table") {
+    val rows = Analytics.q41ColumnStats(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).sorted.sameElements(
+      Seq("l_linestatus", "l_orderkey", "l_partkey", "l_returnflag")))
+    val n = Tables.lineitem(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == 0) // testdata has no nulls in these columns
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= n)
+      assert(r.getString(4) <= r.getString(5) ||
+        r.getString(0).endsWith("key")) // numeric min/max stringified
+    }
+  }
+
+  test("q42_salted_join: result identical to the unsalted join") {
+    val got = Analytics.q42SaltedJoin(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val li = Tables.lineitem(spark, sf0001)
+    val part = Tables.part(spark, sf0001)
+    val plain = li.join(part, li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.expr(
+          "cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double)").as("rev"))
+      .orderBy(col("p_brand")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == plain.toSeq)
+  }
+
+  test("q43_funnel: stage timestamps are strictly ordered and stages consistent") {
+    val rows = Analytics.q43Funnel(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stage = r.getInt(4)
+      val ts = (1 to 3).map(i => if (r.isNullAt(i)) None
+        else Some(r.getTimestamp(i)))
+      assert(stage == 1 + ts(1).size + ts(2).size)
+      if (ts(1).isDefined) assert(ts(0).get.before(ts(1).get))
+      if (ts(2).isDefined) assert(ts(1).isDefined && ts(1).get.before(ts(2).get))
+    }
+  }
+
+  test("txt_inverted_index: postings sorted, capped at 20, df matches the corpus") {
+    val rows = TextAnalysis.txtInvertedIndex(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty).toSet)
+    rows.foreach { r =>
+      val p = r.getSeq[Long](2)
+      assert(r.getLong(1) >= 5 && p.length <= 20)
+      assert(p.zip(p.tail).forall { case (a, b) => a < b }, "postings not sorted-unique")
+    }
+    rows.take(5).foreach { r =>
+      val term = r.getString(0)
+      val expect = docs.filter(_._2.contains(term)).map(_._1).sorted
+      assert(r.getLong(1) == expect.length)
+      assert(r.getSeq[Long](2) == expect.take(20).toSeq)
+    }
+  }
+
+  test("txt_oov_rate: rates bounded and recompute matches for sample docs") {
+    val rows = TextAnalysis.txtOovRate(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty).toSeq)
+    val tf = docs.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val vocab = tf.filter(_._2 >= 5).keySet
+    val byId = docs.toMap
+    assert(rows.length == docs.count(_._2.nonEmpty))
+    rows.take(10).foreach { r =>
+      val toks = byId(r.getLong(0))
+      val oov = toks.count(!vocab(_))
+      assert(r.getLong(1) == toks.length && r.getLong(2) == oov)
+      val rate = r.getDouble(3)
+      assert(rate >= 0 && rate <= 1)
+      assert(math.abs(rate - oov.toDouble / toks.length) < 1e-9)
+    }
+  }
+
+  test("pipe_chunk_docs: chunks tile each doc with stride 48 and reproduce its text") {
+    val rows = graft.operators.CorpusPipeline.pipeChunkDocs(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty).toSeq).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (id, g) =>
+      val toks = docs(id)
+      val sorted = g.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i && r.getLong(2) == 48L * i)
+        val start = r.getLong(2).toInt
+        val expect = toks.slice(start, start + 64)
+        assert(r.getLong(3) == math.min(64, toks.length - start))
+        assert(r.getString(4) == expect.mkString(" "), s"doc $id chunk $i text")
+      }
+      // coverage: last chunk starts within the doc
+      assert(48L * (sorted.length - 1) < toks.length)
+      assert(48L * sorted.length >= toks.length || sorted.length * 48 < toks.length + 48)
     }
   }
 
