@@ -96,6 +96,10 @@ object SparkEntry {
     "txt_inverted_index" -> (TextAnalysis.txtInvertedIndex _),
     "txt_oov_rate" -> ((s: SparkSession, d: String) => TextAnalysis.txtOovRate(s, d)),
     "pipe_chunk_docs" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeChunkDocs(s, d)),
+    "q44_argmax" -> (Analytics.q44Argmax _),
+    "q45_sliding_distinct" -> (Analytics.q45SlidingDistinct _),
+    "dd_fuzzy_match" -> ((s: SparkSession, d: String) => Dedup.ddFuzzyMatch(s, d)),
+    "mm_embed_stub" -> ((s: SparkSession, d: String) => Multimodal.mmEmbedStub(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -994,5 +998,54 @@ object SparkEntry {
         | list_aggregate(toks[cast(start_tok + 1 as int):cast(least(start_tok + 64, dl) as int)],
         |   'string_agg', ' ') AS chunk_text
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q44_argmax" ->
+      """WITH j AS (
+        | SELECT n_name, c_name, c_acctbal, c_custkey,
+        |  row_number() OVER (PARTITION BY n_name
+        |    ORDER BY c_acctbal DESC, c_custkey DESC) rn,
+        |  count(*) OVER (PARTITION BY n_name) n_customers,
+        |  max(c_acctbal) OVER (PARTITION BY n_name) max_bal
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |)
+        |SELECT n_name, cast(n_customers as bigint) AS n_customers,
+        | max_bal, c_name AS top_customer
+        |FROM j WHERE rn = 1 ORDER BY n_name""".stripMargin,
+    "q45_sliding_distinct" ->
+      """WITH days AS (SELECT DISTINCT cast(ts as date) AS d_day FROM events)
+        |SELECT d.d_day AS "day", count(DISTINCT e.user_id) AS u7
+        |FROM days d JOIN events e
+        |  ON cast(e.ts as date) BETWEEN d.d_day - 6 AND d.d_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_fuzzy_match" ->
+      """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        | a.p_name AS name_a, b.p_name AS name_b,
+        | cast(levenshtein(a.p_name, b.p_name) as bigint) AS dist
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY a.p_brand, key_a, key_b""".stripMargin,
+    "mm_embed_stub" ->
+      """WITH q AS (
+        | SELECT doc_id, md5(text) pmd5 FROM documents WHERE doc_id < 5
+        |), qe AS (
+        | SELECT doc_id, list_transform(range(0, 64), j ->
+        |   cast(strpos('0123456789abcdef',
+        |     substring(md5(pmd5 || ':' || cast(j // 32 as varchar)), (j % 32) + 1, 1)) - 1
+        |    as double) / 15.0) qv
+        | FROM q
+        |), scored AS (
+        | SELECT qe.doc_id, e.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> qv[i] * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i ->
+        |     cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM qe CROSS JOIN embeddings e
+        |), r AS (
+        | SELECT doc_id, vec_id, cosim,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cosim DESC, vec_id) rank
+        | FROM scored
+        |)
+        |SELECT doc_id, cast(rank as bigint) AS rank, vec_id, round(cosim, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
   )
 }

@@ -648,6 +648,41 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** Argmax aggregation (max_by): per nation, the customer holding the
+    * top account balance — the "which row set the max" question that
+    * otherwise costs a self-join or a window. One broadcast dim join +
+    * one aggregate; max_by's tie-break is made deterministic by
+    * ordering on (balance, custkey), so replicas of a 100 TB job agree
+    * bit-for-bit. */
+  def q44Argmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        max($"c_acctbal").as("max_bal"),
+        expr("max_by(c_name, struct(c_acctbal, c_custkey))").as("top_customer"))
+      .orderBy($"n_name")
+
+  /** Trailing 7-day distinct users per day (the rolling-MAU/DAU family
+    * of metrics). A sliding DISTINCT cannot ride a window frame, so
+    * each event is expanded into the <=7 report days it contributes to
+    * (Generate, map-side) and one (day, user) aggregate finishes the
+    * job — the scalable formulation; the naive days×events range join
+    * degenerates to a broadcast nested loop at 100 TB. Report days are
+    * restricted to days that actually occur via a broadcast semi-join. */
+  def q45SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(to_date($"ts").as("event_day"), $"user_id")
+    val days = e.select($"event_day".as("day")).distinct()
+    e.select(explode(expr("sequence(event_day, date_add(event_day, 6))")).as("day"),
+        $"user_id")
+      .join(broadcast(days), "day") // only days that exist in the data
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("u7"))
+      .orderBy($"day")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

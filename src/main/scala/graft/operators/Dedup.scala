@@ -283,6 +283,26 @@ object Dedup {
       .orderBy(col("dropped"))
   }
 
+  /** Fuzzy entity matching (record linkage): part names within the
+    * same brand block whose edit distance is <= 4 — the classic
+    * blocked-levenshtein pass a catalog/entity-resolution pipeline
+    * runs. Blocking bounds the pair space to Σ|block|² (like every
+    * dedup op here); levenshtein runs inside codegen on short strings.
+    * At 100 TB the block key comes from a cheap canonicalization
+    * (brand/zip/sorted-token prefix), exactly as modeled here. */
+  def ddFuzzyMatch(spark: SparkSession, dir: String, maxDist: Int = 4): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("p_brand"), col("key_a"), col("key_b"),
+        col("name_a"), col("name_b"), col("dist").cast("bigint").as("dist"))
+      .orderBy(col("p_brand"), col("key_a"), col("key_b"))
+  }
+
   /** Cross-document hot-span detection (C4-style boilerplate carve):
     * distinct word 3-gram spans per document, counted across the
     * corpus; spans seen in ≥3 documents are ranked. Map-side native

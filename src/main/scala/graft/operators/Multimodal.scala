@@ -41,6 +41,39 @@ object Multimodal {
       .withColumn("frame_ts_ms", col("frame_idx") * 40) // 25 fps stub
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Media → embedding → vector-index integration: each "media" doc is
+    * embedded by a deterministic stub (md5-derived 64-dim vector — the
+    * seam where a real CLIP/CLAP encoder batch would run) and its top-3
+    * nearest corpus vectors are retrieved by cosine. The retrieval is
+    * the production shape: tiny query set broadcast, corpus never
+    * shuffled, per-partition bounded heaps (TopKPerGroup) before the
+    * final rank — the same plan a 100 TB media-search backfill wants. */
+  def mmEmbedStub(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.functions.VectorOps
+    val q = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 5)
+      .withColumn("pmd5", md5(col("text")))
+      .withColumn("qv", expr(
+        """transform(sequence(0, 63), j ->
+          | cast(conv(substring(md5(concat(pmd5, ':', cast(j div 32 as string))),
+          |   (j % 32) + 1, 1), 16, 10) as double) / 15.0)""".stripMargin))
+      .withColumn("qnrm", VectorOps.norm2Hof("qv"))
+      .select(col("doc_id"), col("qv"), col("qnrm"))
+    val c = Tables.embeddings(spark, dir)
+      .withColumn("nrm", VectorOps.norm2("embedding"))
+    val scored = broadcast(q).crossJoin(c)
+      .withColumn("cosim", VectorOps.dotHof("qv", "embedding") / (col("qnrm") * col("nrm")))
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("doc_id"), Seq("cosim" -> true, "vec_id" -> false), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cosim").desc, col("vec_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("rank"), col("vec_id"),
+        round(col("cosim"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** One decoded media record per document. */
   case class MediaFeature(doc_id: Long, n_bytes: Int, width: Int,
       height: Int, n_frames: Int, kind: String)

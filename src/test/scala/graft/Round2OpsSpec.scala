@@ -407,6 +407,68 @@ class Round2OpsSpec extends SparkSpec {
     }
   }
 
+  test("q44_argmax: top_customer actually holds the max balance in its nation") {
+    val rows = Analytics.q44Argmax(spark, sf0001).collect()
+    val cust = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_name", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val inNation = cust.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) == inNation.length)
+      assert(r.getDouble(2) == inNation.map(_._3).max)
+      assert(inNation.exists(c => c._2 == r.getString(3) && c._3 == r.getDouble(2)),
+        s"${r.getString(3)} does not hold max in ${r.getString(0)}")
+    }
+  }
+
+  test("q45_sliding_distinct: trailing-7-day counts match a driver recompute") {
+    val rows = Analytics.q45SlidingDistinct(spark, sf0001).collect()
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("cast(to_date(ts) as string) d", "user_id").collect()
+      .map(r => (java.time.LocalDate.parse(r.getString(0)), r.getLong(1)))
+    val days = ev.map(_._1).distinct.sorted
+    assert(rows.length == days.length)
+    rows.foreach { r =>
+      val day = java.time.LocalDate.parse(r.getDate(0).toString)
+      val expect = ev.filter { case (d, _) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._2).distinct.length
+      assert(r.getLong(1) == expect, s"day $day")
+    }
+  }
+
+  test("dd_fuzzy_match: pairs share a brand and dist is the true edit distance") {
+    val rows = Dedup.ddFuzzyMatch(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2))
+      val d = lev(r.getString(3), r.getString(4))
+      assert(d <= 4 && r.getLong(5) == d, s"dist mismatch for ${r.getString(3)}/${r.getString(4)}")
+    }
+  }
+
+  test("mm_embed_stub: 3 ranked neighbors per query doc, scores in [-1,1] non-increasing") {
+    val rows = graft.operators.Multimodal.mmEmbedStub(spark, sf0001).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byDoc.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(1L to 3L))
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      scores.foreach(s => assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    }
+  }
+
   test("txt_gopher: ratios bounded and keep flag consistent with its gates") {
     val rows = TextAnalysis.txtGopher(spark, sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
