@@ -704,9 +704,10 @@ object SparkEntry {
         | FROM embeddings
         |)
         |SELECT vec_id, round(mx, 6) AS scale,
-        | CASE WHEN mx = 0.0 THEN list_transform(embedding, v -> 0)
-        |      ELSE list_transform(embedding, v -> cast(floor(cast(v as double) * 127 / mx + 0.5) as int))
-        | END AS qvec
+        | array_to_string(
+        |  CASE WHEN mx = 0.0 THEN list_transform(embedding, v -> '0')
+        |       ELSE list_transform(embedding, v -> cast(cast(floor(cast(v as double) * 127 / mx + 0.5) as int) as varchar))
+        |  END, ',') AS qvec
         |FROM m ORDER BY vec_id""".stripMargin,
     "sim_centroid_dist" ->
       """WITH dims AS (SELECT unnest(range(1, 65)) i),
@@ -969,7 +970,8 @@ object SparkEntry {
         | FROM documents
         |)
         |SELECT term, count(*) AS df,
-        | (list_sort(list(doc_id)))[1:20] AS postings
+        | array_to_string(list_transform((list_sort(list(doc_id)))[1:20],
+        |   x -> cast(x as varchar)), ',') AS postings
         |FROM toks GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1""".stripMargin,
     "txt_oov_rate" ->
       """WITH toks AS (

@@ -142,15 +142,18 @@ object Similarity {
     * scale, values mapped to round(v·127/scale). Pure projection — at
     * 100 TB this runs fused into the scan with zero shuffle. The
     * rounding is floor(x + 0.5) in BOTH engines (identical IEEE
-    * arithmetic), sidestepping engine-specific round() conventions. */
+    * arithmetic), sidestepping engine-specific round() conventions.
+    * The vector is emitted CSV-encoded (a scalar column): downstream
+    * gates canonicalize rows by sorting values, which needs scalar
+    * cells, and the encoding is lossless for int8 payloads. */
   def simQuantize(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("mx", expr(
         "array_max(transform(embedding, v -> abs(cast(v as double))))"))
       .select(col("vec_id"), round(col("mx"), 6).as("scale"),
-        expr("""if(mx = 0.0, transform(embedding, v -> 0),
+        expr("""array_join(if(mx = 0.0, transform(embedding, v -> '0'),
                |  transform(embedding, v ->
-               |    cast(floor(cast(v as double) * 127 / mx + 0.5) as int)))""".stripMargin).as("qvec"))
+               |    cast(cast(floor(cast(v as double) * 127 / mx + 0.5) as int) as string))), ',')""".stripMargin).as("qvec"))
       .orderBy(col("vec_id"))
 
   /** Pairwise cosine between label centroids — the cluster-geometry

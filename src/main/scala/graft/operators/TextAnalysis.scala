@@ -258,7 +258,8 @@ object TextAnalysis {
       .select(col("doc_id"), explode(array_distinct(TextOps.tokens("text"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
-        slice(array_sort(collect_list(col("doc_id"))), 1, 20).as("postings"))
+        expr("array_join(transform(slice(array_sort(collect_list(doc_id)), 1, 20)," +
+          " x -> cast(x as string)), ',')").as("postings"))
       .filter(col("df") >= 5)
       .orderBy(col("term"))
 

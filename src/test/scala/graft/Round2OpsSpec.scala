@@ -45,7 +45,7 @@ class Round2OpsSpec extends SparkSpec {
   test("sim_quantize: values bounded by ±127 and max-abs maps to ±127") {
     val rows = Similarity.simQuantize(spark, sf0001).collect()
     rows.foreach { r =>
-      val q = r.getSeq[Int](2)
+      val q = r.getString(2).split(',').map(_.toInt).toSeq
       assert(q.forall(v => v >= -127 && v <= 127))
       assert(q.exists(v => math.abs(v) == 127), "scale element must hit ±127")
       assert(r.getDouble(1) > 0)
@@ -357,7 +357,7 @@ class Round2OpsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty).toSet)
     rows.foreach { r =>
-      val p = r.getSeq[Long](2)
+      val p = r.getString(2).split(',').map(_.toLong).toSeq
       assert(r.getLong(1) >= 5 && p.length <= 20)
       assert(p.zip(p.tail).forall { case (a, b) => a < b }, "postings not sorted-unique")
     }
@@ -365,7 +365,7 @@ class Round2OpsSpec extends SparkSpec {
       val term = r.getString(0)
       val expect = docs.filter(_._2.contains(term)).map(_._1).sorted
       assert(r.getLong(1) == expect.length)
-      assert(r.getSeq[Long](2) == expect.take(20).toSeq)
+      assert(r.getString(2).split(',').map(_.toLong).toSeq == expect.take(20).toSeq)
     }
   }
 
