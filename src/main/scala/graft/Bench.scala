@@ -42,7 +42,11 @@ object Bench {
       catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " +
         Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160)) }
     }
-    val runs = ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*).map { case (name, fn) =>
+    // optional comma-separated subset for focused micro-benching
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val runs = ListMap(selected: _*).map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = if (a.isRight) timeOnce(fn) else a
       name -> (for (x <- a; y <- b) yield math.min(x, y))

@@ -570,30 +570,39 @@ object Analytics {
   }
 
   /** Column profiling (the stats every optimizer/data-catalog keeps:
-    * null count, NDV, min/max per column) in ONE scan: the distinct
-    * counts share a single Expand-based aggregate, then the wide row
-    * is unpivoted driver-free with stack(). At 100 TB this is the
-    * ANALYZE TABLE pass — one read, no per-column rescan. */
-  def q41ColumnStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .agg(
-        count(lit(1)).as("n"),
-        sum(expr("if(l_orderkey is null, 1, 0)")).as("null_ok"),
-        countDistinct($"l_orderkey").as("ndv_ok"),
-        expr("cast(min(l_orderkey) as string)").as("min_ok"),
-        expr("cast(max(l_orderkey) as string)").as("max_ok"),
-        sum(expr("if(l_partkey is null, 1, 0)")).as("null_pk"),
-        countDistinct($"l_partkey").as("ndv_pk"),
-        expr("cast(min(l_partkey) as string)").as("min_pk"),
-        expr("cast(max(l_partkey) as string)").as("max_pk"),
-        sum(expr("if(l_returnflag is null, 1, 0)")).as("null_rf"),
-        countDistinct($"l_returnflag").as("ndv_rf"),
-        expr("min(l_returnflag)").as("min_rf"),
-        expr("max(l_returnflag)").as("max_rf"),
-        sum(expr("if(l_linestatus is null, 1, 0)")).as("null_ls"),
-        countDistinct($"l_linestatus").as("ndv_ls"),
-        expr("min(l_linestatus)").as("min_ls"),
-        expr("max(l_linestatus)").as("max_ls"))
+    * null count, NDV, min/max per column), then the wide row is
+    * unpivoted driver-free with stack(). The four exact NDVs are
+    * deliberately NOT fused into one aggregate: multi-distinct in a
+    * single agg plans an Expand that pushes scan_rows × (1+#distincts)
+    * through one hash aggregate — the wrong shape for an ANALYZE pass
+    * at 100 TB. Instead each NDV is its own two-phase distinct
+    * aggregate (partial per-partition dedup, tiny final), the cheap
+    * base stats are one plain scan, and the five single-row results
+    * meet in broadcast joins. Wall-time = the slowest single NDV, not
+    * 5× the scan through one stage. (For a non-gated profile at true
+    * scale, `approx_count_distinct` drops even that — see q6b.) */
+  def q41ColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_returnflag", $"l_linestatus")
+    val base = li.agg(
+      count(lit(1)).as("n"),
+      sum(expr("if(l_orderkey is null, 1, 0)")).as("null_ok"),
+      expr("cast(min(l_orderkey) as string)").as("min_ok"),
+      expr("cast(max(l_orderkey) as string)").as("max_ok"),
+      sum(expr("if(l_partkey is null, 1, 0)")).as("null_pk"),
+      expr("cast(min(l_partkey) as string)").as("min_pk"),
+      expr("cast(max(l_partkey) as string)").as("max_pk"),
+      sum(expr("if(l_returnflag is null, 1, 0)")).as("null_rf"),
+      expr("min(l_returnflag)").as("min_rf"),
+      expr("max(l_returnflag)").as("max_rf"),
+      sum(expr("if(l_linestatus is null, 1, 0)")).as("null_ls"),
+      expr("min(l_linestatus)").as("min_ls"),
+      expr("max(l_linestatus)").as("max_ls"))
+    val ndv = Seq("l_orderkey" -> "ndv_ok", "l_partkey" -> "ndv_pk",
+      "l_returnflag" -> "ndv_rf", "l_linestatus" -> "ndv_ls")
+      .map { case (c, a) => li.agg(countDistinct(col(c)).as(a)) }
+      .reduce(_.crossJoin(_))
+    base.crossJoin(ndv)
       .selectExpr(
         """stack(4,
           | 'l_orderkey',  n, null_ok, ndv_ok, min_ok, max_ok,
@@ -602,6 +611,7 @@ object Analytics {
           | 'l_linestatus',n, null_ls, ndv_ls, min_ls, max_ls)
           | AS (column, n_rows, n_null, ndv, min_s, max_s)""".stripMargin)
       .orderBy($"column")
+  }
 
   /** Skew-salted dimension join surfaced as a gated query: revenue per
     * brand through JoinOps.saltedJoin, which spreads each (possibly

@@ -286,16 +286,37 @@ object Dedup {
   /** Fuzzy entity matching (record linkage): part names within the
     * same brand block whose edit distance is <= 4 — the classic
     * blocked-levenshtein pass a catalog/entity-resolution pipeline
-    * runs. Blocking bounds the pair space to Σ|block|² (like every
-    * dedup op here); levenshtein runs inside codegen on short strings.
-    * At 100 TB the block key comes from a cheap canonicalization
-    * (brand/zip/sorted-token prefix), exactly as modeled here. */
+    * runs. The block key is (brand, length-band): levenshtein(a,b) >=
+    * |len(a)-len(b)|, so with band width maxDist+1 a matching pair is
+    * always in the same or an adjacent band — the probe side is
+    * replicated to its three neighbor bands and the join is exact on
+    * the band, making the banding LOSSLESS (same result as the plain
+    * brand-blocked join) while the pair space drops from Σ|brand|²
+    * (fixed ~25 blocks ⇒ quadratic in n) to Σ|brand,band|·|neighbor
+    * bands| — the shape that survives 100 TB. Levenshtein runs inside
+    * codegen on short strings. */
   def ddFuzzyMatch(spark: SparkSession, dir: String, maxDist: Int = 4): DataFrame = {
-    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
-      .filter(col("key_a") < col("key_b"))
+    val w = maxDist + 1
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        floor(length(col("p_name")) / w).as("band"))
+    // The probe side is round-robin repartitioned so the pair work is
+    // spread over every core regardless of how few (brand, band) keys
+    // exist — a blocked self-join's keys are coarse by construction,
+    // so a key-hashed shuffle would leave most partitions idle. The
+    // replicated side is broadcast (entity tables are catalog-sized;
+    // at 100 TB the per-executor copy is still the blocked dim, not
+    // the corpus), making the join a BroadcastHashJoin with ZERO
+    // shuffle of the 10^7-scale pair stream.
+    val a = p.repartition(spark.sparkContext.defaultParallelism * 2)
+      .select(col("p_brand"), col("band"),
+        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(broadcast(b), Seq("p_brand", "band"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .select(col("p_brand"), col("key_a"), col("key_b"),
