@@ -62,9 +62,9 @@ object SparkEntry {
     "odns_typing" -> (OdnsOps.odnsTyping _),
     "odns_scan_date" -> (OdnsOps.odnsScanDate _),
     "dd_exact" -> (Dedup.ddExact _),
-    "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
+    "dd_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.ddMinhashLsh(s, d)),
     "dd_simhash" -> (Dedup.ddSimhash _),
-    "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
+    "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ddNgramJaccard(s, d)),
     "dd_embed_cos" -> (Dedup.ddEmbedCos _),
     "dd_components" -> (Dedup.ddComponents _),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),

@@ -28,7 +28,8 @@ object Dedup {
     * Shuffle volume is docs × bands (tiny fixed-width rows); the
     * self-join happens only within band buckets. Pairs sharing any
     * band are candidates for the exact verify pass (ddNgramJaccard). */
-  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def ddMinhashLsh(spark: SparkSession, dir: String,
+      bucketCap: Option[Int] = None): DataFrame = {
     // The whole signature is computed MAP-SIDE per document, as ONE
     // native codegen call per row (MinHashBands: 8 perm-seeded md5
     // mins folded straight into 4 band hashes, raw-digest comparisons,
@@ -45,12 +46,19 @@ object Dedup {
         org.apache.spark.sql.graft.TextExpressions.minhashBands(col("sh"), 8, 4)))
       .withColumnRenamed("pos", "b").withColumnRenamed("col", "bh")
     // pair generation inside each band bucket (no self-join: the band
-    // subtree is computed once, and bucket membership lists are small by
-    // LSH construction — a bucket-size cap is the skew guard at scale)
-    bands
+    // subtree is computed once, and bucket membership lists are small
+    // by LSH construction). `bucketCap` is the skew guard at scale: a
+    // degenerate band bucket (e.g. millions of near-empty docs hashing
+    // identically) would otherwise expand |bucket|² pairs inside ONE
+    // task. Capped buckets are dropped whole — the standard recall
+    // trade (a true pair in a dropped bucket usually re-surfaces via
+    // one of its other 3 bands). None = exact (default; the gated
+    // query runs uncapped).
+    val buckets = bands
       .groupBy(col("b"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    bucketCap.fold(buckets)(c => buckets.filter(size(col("ids")) <= c))
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
@@ -98,30 +106,51 @@ object Dedup {
     * float boundary can disagree with the oracle. Scale: shuffle keyed
     * on shingle; a frequency cap on hot shingles (stop-shingles) is the
     * standard skew guard at 100 TB. */
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(spark, dir)
+  def ddNgramJaccard(spark: SparkSession, dir: String,
+      shingleDfCap: Option[Int] = None): DataFrame =
+    jaccardPairs(spark, dir, shingleDfCap)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** The jaccard pair set WITHOUT the presentation sort — internal
     * consumers (connected components) don't need order, and a global
-    * sort of the pair set is pure waste there. */
-  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    * sort of the pair set is pure waste there.
+    *
+    * `shingleDfCap` is the hot-shingle skew guard at scale: a shingle
+    * present in k docs contributes k² join rows, so one boilerplate
+    * span shared by 10⁶ documents turns the shingle-keyed self-join
+    * into a single 10¹²-row task. The guard computes per-shingle doc
+    * frequency (a partial-aggregated pass over rows already being
+    * produced) and drops shingles above the cap via a broadcast
+    * anti-join — hot shingles are FEW by construction (that is what
+    * hot means), so the stop-list is kilobytes even on a web corpus.
+    * Dropping a stop-shingle can only shrink measured |∩| (both docs
+    * lose it symmetrically, like a stopword cut before jaccard); the
+    * gated query runs uncapped so the oracle stays exact. */
+  private def jaccardPairs(spark: SparkSession, dir: String,
+      shingleDfCap: Option[Int] = None): DataFrame = {
     // Per-doc distinct shingles + set size are computed map-side
     // (array_distinct over the shingle array) and the size rides along
     // with every exploded shingle row — so there is NO separate sizes
     // aggregate and NO post-join size lookups: the doc sizes come out
     // of the groupBy key. Shuffles: the self-join on the shingle key
     // and the pair aggregate, nothing else.
-    val sh = TextOps.balanced(Tables.documents(spark, dir))
+    val shAll = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), array_distinct(TextOps.shingleArray("text")).as("shd"))
       .filter(size(col("shd")) > 0)
       .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
         explode(col("shd")).as("s"))
+    // hot-shingle stop-list: df per shingle from a partial-aggregated
+    // pass, survivors above the cap broadcast back as an anti-join
+    // (map-side — the big exploded stream is never reshuffled for it)
+    val sh = shingleDfCap.fold(shAll) { cap =>
+      val hot = shAll.groupBy(col("s"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("s"))
+      shAll.join(broadcast(hot), Seq("s"), "left_anti")
+    }
     // shuffled-hash self-join on the shingle key (measured 2x over
     // sort-merge: small rows, hash beats sorting) — the exchange below
-    // is identical on both sides, so it's computed once and reused;
-    // hot-shingle caps remain the skew guard at scale
+    // is identical on both sides, so it's computed once and reused
     sh.as("a").hint("shuffle_hash").join(sh.as("b"),
         expr("a.s = b.s AND a.doc_id < b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),

@@ -52,4 +52,42 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r =>
       labels(r.getAs[Long]("vec_a")) == labels(r.getAs[Long]("vec_b"))))
   }
+
+  test("LSH bucket cap above the observed max is result-invariant; a tight cap only removes pairs") {
+    import org.apache.spark.sql.functions._
+    // observed max bucket size at this scale
+    val maxBucket = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.TextOps.shingleArray("text").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(posexplode(org.apache.spark.sql.graft.TextExpressions.minhashBands(col("sh"), 8, 4)))
+      .groupBy(col("pos"), col("col")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0).toInt
+    val uncapped = Dedup.ddMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ddMinhashLsh(spark, sf0001, bucketCap = Some(maxBucket)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped, "cap above observed max must not change output")
+    val tight = Dedup.ddMinhashLsh(spark, sf0001, bucketCap = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(uncapped), "a binding cap may only drop pairs, never invent them")
+  }
+
+  test("hot-shingle df cap above the observed max is result-invariant; a tight cap only removes pairs") {
+    import org.apache.spark.sql.functions._
+    val maxDf = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextOps.shingleArray("text"))).as("s"))
+      .groupBy(col("s")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0).toInt
+    val uncapped = Dedup.ddNgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val capped = Dedup.ddNgramJaccard(spark, sf0001, shingleDfCap = Some(maxDf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSeq == uncapped.toSeq, "cap above observed max must be bit-identical")
+    val tightPairs = Dedup.ddNgramJaccard(spark, sf0001, shingleDfCap = Some(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unPairs = uncapped.map(t => (t._1, t._2)).toSet
+    assert(tightPairs.subsetOf(unPairs),
+      "dropping stop-shingles can only lower jaccard => pair set shrinks")
+  }
 }
