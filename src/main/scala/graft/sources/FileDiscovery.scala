@@ -47,4 +47,34 @@ object FileDiscovery {
     * (dataimporter.py:97,109-115). */
   def dataPath(archiveRoot: String, year: Int, protocol: String): String =
     s"$archiveRoot/$year/$protocol/"
+
+  /** Move a processed archive into `destDir` (zipFileUtils.py:60-69,
+    * `move_processed_file`). Hadoop FS rename, so the same call works
+    * on POSIX, HDFS and S3A; the destination directory is created if
+    * absent. Returns false (never throws) when the source is missing
+    * or the rename is refused — mirroring the reference's print-and-
+    * continue error handling. */
+  def moveProcessed(filePath: String, destDir: String,
+      conf: Configuration = new Configuration()): Boolean =
+    try {
+      val src = new Path(filePath)
+      val fs = src.getFileSystem(conf)
+      if (!fs.exists(src)) false
+      else {
+        val dir = new Path(destDir)
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        fs.rename(src, new Path(dir, src.getName))
+      }
+    } catch { case _: Exception => false }
+
+  /** Delete a temp/processed file (zipFileUtils.py:50-58,
+    * `delete_file`). Returns false on missing file or failure instead
+    * of throwing, like the reference. */
+  def delete(filePath: String,
+      conf: Configuration = new Configuration()): Boolean =
+    try {
+      val p = new Path(filePath)
+      val fs = p.getFileSystem(conf)
+      fs.exists(p) && fs.delete(p, false)
+    } catch { case _: Exception => false }
 }

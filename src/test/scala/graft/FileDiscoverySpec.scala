@@ -47,4 +47,25 @@ class FileDiscoverySpec extends SparkSpec {
   test("archive layout path") {
     assert(FileDiscovery.dataPath("/data", 2026, "tcp") == "/data/2026/tcp/")
   }
+
+  test("moveProcessed relocates the archive, creating the destination dir") {
+    val dir = Files.createTempDirectory("disc_move")
+    touch(dir, "tcp_done.csv.gz", 1000000L)
+    val dest = dir.resolve("processed")
+    assert(FileDiscovery.moveProcessed(
+      dir.resolve("tcp_done.csv.gz").toString, dest.toString))
+    assert(!Files.exists(dir.resolve("tcp_done.csv.gz")))
+    assert(Files.exists(dest.resolve("tcp_done.csv.gz")))
+    // missing source: false, no throw (reference prints and continues)
+    assert(!FileDiscovery.moveProcessed(
+      dir.resolve("absent.csv.gz").toString, dest.toString))
+  }
+
+  test("delete removes the temp file and is false on a missing one") {
+    val dir = Files.createTempDirectory("disc_del")
+    touch(dir, "tmp.csv", 1000000L)
+    assert(FileDiscovery.delete(dir.resolve("tmp.csv").toString))
+    assert(!Files.exists(dir.resolve("tmp.csv")))
+    assert(!FileDiscovery.delete(dir.resolve("tmp.csv").toString))
+  }
 }
