@@ -124,18 +124,37 @@ object TextAnalysis {
   }
 
   /** Vocabulary build: corpus-wide term table with frequency-ranked ids
-    * (the tokenizer-training precursor). The id assignment is a single
-    * global window — fine because a vocabulary is small by construction
-    * (it is the DISTINCT terms, not the corpus); the heavy part, the
-    * term counts, is an ordinary partial-aggregated shuffle. */
+    * (the tokenizer-training precursor). The global rank over
+    * (tf desc, term) is assigned WITHOUT an un-partitioned window —
+    * a web-scale term table is billions of rows pre-cut, and a global
+    * `row_number()` funnels all of it through one task. Instead the
+    * total order is decomposed group-wise: token_id = (cumulative
+    * count of all earlier (tf, first-char) groups) + (rank within the
+    * group). The group-count table is tiny (#distinct tf × alphabet),
+    * so its cumulative window is a single trivially small task; the
+    * offsets broadcast back, and the within-group window is properly
+    * partitioned — every task bounded by one (tf, prefix) slice.
+    * Bit-identical to the single-window formulation (the oracle's
+    * row_number) by construction of the order decomposition. */
   def txtVocab(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tf").desc, col("term"))
-    Tables.documents(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens("text")).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-      .withColumn("token_id", row_number().over(w).cast("bigint"))
+      .withColumn("pfx", substring(col("term"), 1, 1))
+    // per-group counts → exclusive cumulative offset in the total order
+    val offsets = terms.groupBy(col("tf"), col("pfx"))
+      .agg(count(lit(1)).as("grp_n"))
+      .withColumn("offset",
+        coalesce(sum(col("grp_n")).over(
+          Window.orderBy(col("tf").desc, col("pfx"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("tf"), col("pfx"), col("offset"))
+    val wGrp = Window.partitionBy(col("tf"), col("pfx")).orderBy(col("term"))
+    terms.join(broadcast(offsets), Seq("tf", "pfx"))
+      .withColumn("token_id",
+        (col("offset") + row_number().over(wGrp)).cast("bigint"))
       .select(col("token_id"), col("term"), col("tf"), col("df"))
       .orderBy(col("token_id"))
   }

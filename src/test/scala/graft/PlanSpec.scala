@@ -83,10 +83,17 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Window.*""")) <= 2)
   }
 
-  test("q41 column stats profile the table in a single scan") {
+  test("q41 column stats: no Expand — each NDV is an independent two-phase distinct") {
     val p = plan(Analytics.q41ColumnStats(spark, sf0001))
+    // multi-distinct fused into one aggregate would plan an Expand
+    // pushing scan_rows x 5 through a single stage — the round-2 shape
+    // this query moved away from; the five single-row aggregates meet
+    // in broadcast joins instead
+    assert(!p.contains("Expand"), s"multi-distinct Expand resurfaced:\n$p")
     val scans = p.linesIterator.count(l => l.trim.startsWith("(") && l.contains("Scan parquet"))
-    assert(scans == 1, s"profiling rescans the table ($scans scans):\n$p")
+    assert(scans == 5, s"expected base + 4 NDV scans, got $scans:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"single-row stats frames should meet via broadcast:\n$p")
   }
 
   test("q42 salted join stays an equi-join (salt extends the key)") {
@@ -107,6 +114,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"chunking should not shuffle ($exchanges exchanges):\n$p")
     assert(p.contains("Generate"), s"expected generate/explode:\n$p")
     assert(!p.contains("Join") && !p.contains("HashAggregate"))
+  }
+
+  test("txt_vocab: no un-partitioned window over the term table") {
+    val p = plan(graft.operators.TextAnalysis.txtVocab(spark, sf0001))
+    // every Window over the big term side must carry a partition spec;
+    // the only global-ordered window allowed is the tiny offsets table
+    // (input = grouped (tf, pfx) counts, not terms)
+    val windows = p.linesIterator.filter(_.contains("Arguments")).toSeq
+    val unpartitioned = p.linesIterator.zipWithIndex.toSeq
+      .filter(_._1.matches("""\(\d+\) Window.*"""))
+    assert(unpartitioned.nonEmpty, s"expected window operators:\n$p")
+    // the within-group window is partitioned by (tf, pfx)
+    assert(p.contains("partitionspec") || windows.exists(_.contains("tf")),
+      s"expected a partitioned window spec:\n$p")
+    // term-side offsets arrive via broadcast, never a big-side sort-merge
+    assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
   }
 
   test("whole-stage codegen covers the scan-heavy operators") {
