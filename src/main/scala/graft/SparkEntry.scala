@@ -100,6 +100,16 @@ object SparkEntry {
     "q45_sliding_distinct" -> (Analytics.q45SlidingDistinct _),
     "dd_fuzzy_match" -> ((s: SparkSession, d: String) => Dedup.ddFuzzyMatch(s, d)),
     "mm_embed_stub" -> ((s: SparkSession, d: String) => Multimodal.mmEmbedStub(s, d)),
+    "q46_gap_fill" -> (Analytics.q46GapFill _),
+    "q47_cume_dist" -> (Analytics.q47CumeDist _),
+    "q49_rolling_median" -> (Analytics.q49RollingMedian _),
+    "q56_markov" -> (Analytics.q56Markov _),
+    "q50_dq_audit" -> (Analytics.q50DqAudit _),
+    "q51_scd2" -> (Analytics.q51Scd2 _),
+    "q55_copurchase" -> ((s: SparkSession, d: String) => Analytics.q55Copurchase(s, d)),
+    "q52_range_band" -> (Analytics.q52RangeBandJoin _),
+    "txt_tokenize_ids" -> (TextAnalysis.txtTokenizeIds _),
+    "pipe_mix_corpus" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeMixCorpus(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1049,5 +1059,126 @@ object SparkEntry {
         |)
         |SELECT doc_id, cast(rank as bigint) AS rank, vec_id, round(cosim, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q46_gap_fill" ->
+      """WITH e AS (
+        | SELECT user_id, cast(ts as date) AS "day", event_type, ts FROM events
+        |), daily AS (
+        | SELECT user_id, "day", count(*) AS n, max_by(event_type, ts) AS last_type
+        | FROM e GROUP BY 1, 2
+        |), grid AS (
+        | SELECT user_id, unnest(generate_series(d0, d1, interval 1 day))::date AS "day"
+        | FROM (SELECT user_id, min("day") d0, max("day") d1 FROM e GROUP BY 1)
+        |)
+        |SELECT g.user_id, g."day",
+        | coalesce(d.n, 0) AS n_events,
+        | last_value(d.last_type IGNORE NULLS) OVER (
+        |   PARTITION BY g.user_id ORDER BY g."day"
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_type
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g."day" = d."day"
+        |ORDER BY g.user_id, g."day"""".stripMargin,
+    "q47_cume_dist" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q49_rolling_median" ->
+      """WITH d AS (
+        | SELECT s_nationkey, cast(l_shipdate as date) AS "day",
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * 100) as bigint) AS rev_cents
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | GROUP BY 1, 2
+        |)
+        |SELECT s_nationkey, "day", rev_cents,
+        | quantile_cont(rev_cents, 0.5) OVER (
+        |   PARTITION BY s_nationkey ORDER BY "day"
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7_cents
+        |FROM d ORDER BY s_nationkey, "day"""".stripMargin,
+    "q56_markov" ->
+      """WITH t AS (
+        | SELECT user_id, event_type AS from_state,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        | FROM events
+        |), c AS (
+        | SELECT from_state, to_state, count(*) AS n FROM t
+        | WHERE to_state IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_state, to_state, n,
+        | round(n / sum(n) OVER (PARTITION BY from_state), 6) AS p
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
+    "q50_dq_audit" ->
+      """SELECT 'row_count' AS "check", 'lineitem' AS subject, count(*) AS value FROM lineitem
+        |UNION ALL SELECT 'row_count', 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'pk_duplicates', 'part', count(*) FROM
+        | (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL SELECT 'fk_orphans', 'lineitem->orders', count(*) FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL SELECT 'null_count', 'customer.c_mktsegment',
+        | cast(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) as bigint) FROM customer
+        |UNION ALL SELECT 'domain_violations', 'customer.c_acctbal<0',
+        | cast(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) as bigint) FROM customer
+        |UNION ALL SELECT 'distinct_keys', 'orders.o_orderkey',
+        | count(DISTINCT o_orderkey) FROM orders
+        |ORDER BY "check", subject""".stripMargin,
+    "q51_scd2" ->
+      """WITH s AS (
+        | SELECT user_id, event_type AS state, ts, event_id,
+        |  lag(event_type) OVER w AS prev_state
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), chg AS (
+        | SELECT user_id, state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        | FROM s WHERE prev_state IS NULL OR prev_state <> state
+        |)
+        |SELECT user_id, state, valid_from, valid_to,
+        | CASE WHEN valid_from <= timestamp '2024-01-15 00:00:00'
+        |   AND (valid_to IS NULL OR valid_to > timestamp '2024-01-15 00:00:00')
+        |  THEN 1 ELSE 0 END AS is_snapshot
+        |FROM chg ORDER BY user_id, valid_from""".stripMargin,
+    "q55_copurchase" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+        | count(*) AS n_orders
+        |FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+        | AND a.l_partkey < b2.l_partkey
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "q52_range_band" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES ('low', 0, 15), ('mid', 15, 35), ('high', 35, 51))
+        |SELECT tier, count(*) AS n_lines,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS revenue
+        |FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_tokenize_ids" ->
+      """WITH t0 AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') tl
+        | FROM documents
+        |), tp AS (
+        | SELECT doc_id, unnest(range(1, len(tl) + 1)) AS pos, tl FROM t0
+        |), tx AS (
+        | SELECT doc_id, pos, tl[pos] AS term FROM tp
+        |), tf AS (
+        | SELECT term, count(*) tf, count(DISTINCT doc_id) df FROM tx GROUP BY 1
+        |), v AS (
+        | SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS token_id FROM tf
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | array_to_string(list(cast(token_id as varchar) ORDER BY pos), ',') AS ids
+        |FROM tx JOIN v USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipe_mix_corpus" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |u AS (
+        | SELECT doc_id, d.lang, n_lang,
+        |  list_sum(list_transform(range(1, 11), i ->
+        |   cast((strpos('0123456789abcdef',
+        |     substring(md5(cast(doc_id as varchar)), i, 1)) - 1) as bigint)
+        |   * (cast(1 as bigint) << ((10 - i) * 4)))) AS uval
+        | FROM documents d JOIN c ON d.lang = c.lang
+        |)
+        |SELECT doc_id, lang FROM u
+        |WHERE cast(uval as decimal(38,0)) * cast(n_lang as decimal(38,0))
+        |    < cast(100 as decimal(38,0)) * cast(1099511627776 as decimal(38,0))
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -693,6 +693,183 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** Time-series gap fill + forward fill: per-user daily event counts
+    * resampled onto a dense day grid (missing days appear with n=0)
+    * and the last seen event_type carried forward. The day grid is
+    * generated per user from its own [min, max] span (sequence +
+    * explode — distributed, no driver loop); daily counts and the
+    * span aggregate share the user-keyed shuffle, and the grid join
+    * is co-partitioned on (user, day). Forward fill is
+    * last(ignoreNulls) over the user window — one extra sort within
+    * the already-shuffled partitions, no new exchange. */
+  def q46GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"), $"event_type", $"ts")
+    val daily = e.groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n"), max_by($"event_type", $"ts").as("last_type"))
+    val grid = e.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n", lit(0L)).as("n_events"),
+        last($"last_type", ignoreNulls = true).over(w).as("carried_type"))
+      .orderBy($"user_id", $"day")
+  }
+
+  /** Distribution-position windows: percent_rank and cume_dist of each
+    * customer's balance within its nation — the feature-scaling /
+    * outlier-screen pass. One window shuffle keyed on the nation;
+    * both functions ride the same sort. Doubles rounded at the edge. */
+  def q47CumeDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Rolling exact median: 7-row sliding median of daily revenue per
+    * supplier-nation (the robust trend line a dashboarding layer
+    * draws). Revenue is kept in integer CENTS so the median's
+    * midpoint interpolation (avg of two values on even counts) is
+    * exact in both engines — integers and half-integers are exact in
+    * double, sidestepping the a+g·(b−a) vs (a+b)/2 ulp divergence.
+    * The window is keyed on the nation so the sort is partition-
+    * local; daily revenue is a partial-aggregated shuffle first. */
+  def q49RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey", to_date($"l_shipdate").as("day"))
+      .agg(expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * 100) as bigint)")
+        .as("rev_cents"))
+    val w = Window.partitionBy($"s_nationkey").orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    li.select($"s_nationkey", $"day", $"rev_cents",
+        expr("percentile(rev_cents, 0.5)").over(w).as("med7_cents"))
+      .orderBy($"s_nationkey", $"day")
+  }
+
+  /** First-order Markov transitions over the event stream: P(next
+    * event_type | current) per user journey. lead() over the user
+    * window (deterministic tie-break on event_id), then transition
+    * counts and row-normalized probabilities — the path-analysis /
+    * next-action-model input. One window shuffle on user, one tiny
+    * aggregate on the 5×5 state space. */
+  def q56Markov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(spark, dir)
+      .select($"user_id", $"event_type".as("from_state"),
+        lead($"event_type", 1).over(w).as("to_state"))
+      .filter($"to_state".isNotNull)
+      .groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n"))
+    val wTot = Window.partitionBy($"from_state")
+    trans.select($"from_state", $"to_state", $"n",
+        round($"n" / sum($"n").over(wTot), 6).as("p"))
+      .orderBy($"from_state", $"to_state")
+  }
+
+  /** Data-quality audit (the Deequ-style constraint pass a lakehouse
+    * runs before publishing a table): row counts, key uniqueness,
+    * referential integrity (orphan FKs via anti-join), and domain
+    * checks, emitted as one (check, subject, value) metric table.
+    * Each check is an independent aggregate/anti-join over the
+    * pruned key columns only — at 100 TB every probe is a
+    * column-pruned scan + partial agg; none of them carries payload
+    * rows, and the union glues single-row frames. */
+  def q50DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val part = Tables.part(spark, dir)
+    def metric(check: String, subject: String, v: org.apache.spark.sql.Column,
+        df: DataFrame): DataFrame =
+      df.agg(v.cast("bigint").as("value"))
+        .select(lit(check).as("check"), lit(subject).as("subject"), $"value")
+    val orphans = li.select($"l_orderkey")
+      .join(ord.select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+    val dupParts = part.groupBy($"p_partkey").count().filter($"count" > 1)
+    metric("row_count", "lineitem", count(lit(1)), li)
+      .unionAll(metric("row_count", "orders", count(lit(1)), ord))
+      .unionAll(metric("pk_duplicates", "part", count(lit(1)), dupParts))
+      .unionAll(metric("fk_orphans", "lineitem->orders", count(lit(1)), orphans))
+      .unionAll(metric("null_count", "customer.c_mktsegment",
+        sum(expr("if(c_mktsegment is null, 1, 0)")), cust))
+      .unionAll(metric("domain_violations", "customer.c_acctbal<0",
+        sum(expr("if(c_acctbal < 0, 1, 0)")), cust))
+      .unionAll(metric("distinct_keys", "orders.o_orderkey",
+        countDistinct($"o_orderkey"), ord))
+      .orderBy($"check", $"subject")
+  }
+
+  /** SCD2 dimension build + as-of snapshot from the event stream:
+    * consecutive same-state events collapse (lag), survivors get
+    * validity intervals [valid_from, valid_to) (lead), and the
+    * snapshot row for 2024-01-15 is flagged. Both windows share ONE
+    * user-keyed shuffle/sort — the classic
+    * change-data-capture → slowly-changing-dimension pass. */
+  def q51Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val snap = lit("2024-01-15 00:00:00").cast("timestamp")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type".as("state"), $"ts", $"event_id")
+      .withColumn("prev_state", lag($"state", 1).over(w))
+      .filter($"prev_state".isNull || $"prev_state" =!= $"state")
+      .withColumn("valid_from", $"ts")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("is_snapshot",
+        ($"valid_from" <= snap &&
+          ($"valid_to".isNull || $"valid_to" > snap)).cast("int"))
+      .select($"user_id", $"state", $"valid_from", $"valid_to", $"is_snapshot")
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  /** Market-basket co-purchase counts: part pairs appearing in the
+    * same order, top-50 by support. The pair expansion happens
+    * bucket-locally (collect_set per order, then pair-explode — the
+    * same no-self-join shape as LSH banding), so the shuffle carries
+    * one row per order, not per pair, and the per-order pair count
+    * is bounded by basket size squared (baskets are ≤7 items in
+    * TPC-H shape; a retail feed caps similarly). TakeOrdered gives
+    * the top-k without a global sort. */
+  def q55Copurchase(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+      .filter(size($"parts") > 1)
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> transform(slice(parts, i + 2, size(parts) - i - 1), y -> named_struct('part_a', x, 'part_b', y))))")).as("p"))
+      .groupBy($"p.part_a", $"p.part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part_a", $"part_b")
+      .limit(k)
+
+  /** Range-band join: quantities joined to a banded tier dimension on
+    * an interval condition (lo <= qty < hi) — the "range join" shape
+    * (price tiers, age bands, SLA buckets). The tier table is tiny ⇒
+    * broadcast nested-loop with the band predicate; the fact side
+    * never shuffles for the join, and the revenue rollup is one
+    * partial-aggregated exchange on 3 groups. */
+  def q52RangeBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tiers = spark
+      .createDataFrame(Seq(("low", 0, 15), ("mid", 15, 35), ("high", 35, 51)))
+      .toDF("tier", "lo", "hi")
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(tiers),
+        li("l_quantity") >= tiers("lo") && li("l_quantity") < tiers("hi"))
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").as("revenue"))
+      .orderBy($"tier")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

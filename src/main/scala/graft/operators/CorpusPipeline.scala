@@ -79,4 +79,26 @@ object CorpusPipeline {
           ((col("start_off") + col("dl") - 1) / seqLen).cast("bigint")).as("spans_boundary"))
       .orderBy(col("lang"), col("doc_id"))
   }
+
+  /** Dataset mixing: per-language quota downsampling (the "rebalance
+    * the corpus so English doesn't drown everything" pass every
+    * multilingual training mix runs). Each doc is kept with
+    * probability min(1, cap/|lang|) via a DETERMINISTIC md5-derived
+    * uniform, so the sample is reproducible across runs, engines and
+    * partitionings. The keep test is exact integer arithmetic —
+    * u · |lang| < cap · 16¹⁰ in DECIMAL(38,0) — never a float
+    * threshold that could disagree between engines. Language counts
+    * are a tiny broadcast; the filter is map-side: at 100 TB this is
+    * one pass over the corpus, zero shuffles of the payload. */
+  def pipeMixCorpus(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    d.join(broadcast(counts), Seq("lang"))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 10), 16, 10) as decimal(38,0))"))
+      .filter(expr(s"u * cast(n_lang as decimal(38,0)) < " +
+        s"cast($cap as decimal(38,0)) * cast(1099511627776 as decimal(38,0))"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
 }

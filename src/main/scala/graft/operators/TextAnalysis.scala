@@ -338,4 +338,25 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         org.apache.spark.sql.graft.TextExpressions.md5Min(col("sh")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Tokenizer APPLICATION: encode every document into its token-id
+    * sequence using the corpus vocabulary from [[txtVocab]] — the
+    * text→ids step that feeds training. The vocabulary (small by
+    * construction) broadcasts; each doc's tokens join map-side, then
+    * one doc-keyed shuffle reassembles the sequence in position order
+    * (collect_list of (pos, id) structs, array_sort, project). At
+    * 100 TB: corpus passes once, vocab rides the broadcast, the only
+    * big exchange is keyed on doc_id — no token-keyed shuffle of the
+    * corpus. Ids are emitted CSV-encoded (scalar cell, lossless). */
+  def txtTokenizeIds(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = txtVocab(spark, dir).select(col("term"), col("token_id"))
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
+      .join(broadcast(vocab), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, token_id)))," +
+          " x -> cast(x.token_id as string)), ',')").as("ids"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,161 @@
+package graft
+
+import graft.operators.{Analytics, CorpusPipeline, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantic specs for the round-3 operators: each test recomputes the
+  * operator's contract independently (driver-side, from the raw
+  * tables) rather than asserting row counts alone. */
+class Round3OpsSpec extends SparkSpec {
+
+  test("q46_gap_fill: dense day grid per user, counts conserved, carried state never null after first day") {
+    val rows = Analytics.q46GapFill(spark, sf0001).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    val nEvents = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == nEvents, "gap fill must conserve event counts")
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate).sortBy(_.toEpochDay)
+      // dense: every day between min and max present exactly once
+      assert(days.length == days.last.toEpochDay - days.head.toEpochDay + 1)
+      assert(days.distinct.length == days.length)
+      // first day has events by construction; ffill keeps type non-null
+      val sorted = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      assert(sorted.head.getLong(2) > 0)
+      assert(sorted.forall(r => r.getString(3) != null))
+    }
+  }
+
+  test("q47_cume_dist: bounds and a recomputed nation") {
+    val rows = Analytics.q47CumeDist(spark, sf0001).collect()
+    assert(rows.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
+    assert(rows.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1))
+    val nation = rows.filter(_.getInt(1) == rows.head.getInt(1))
+    val n = nation.length
+    val sorted = nation.sortBy(r => (r.getDouble(2), r.getLong(0)))
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getDouble(3) - (if (n == 1) 0.0 else
+        math.rint(i.toDouble / (n - 1) * 1e6) / 1e6)) < 1e-9)
+      assert(math.abs(r.getDouble(4) - math.rint((i + 1).toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
+  test("q49_rolling_median: recompute the 7-row sliding median for one nation") {
+    val rows = Analytics.q49RollingMedian(spark, sf0001).collect()
+    val byNation = rows.groupBy(_.getInt(0))
+    val (_, rs) = byNation.head
+    val sorted = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      val win = sorted.slice(math.max(0, i - 6), i + 1).map(_.getLong(2)).sorted
+      val n = win.length
+      val med = if (n % 2 == 1) win(n / 2).toDouble
+        else (win(n / 2 - 1) + win(n / 2)) / 2.0
+      assert(r.getDouble(3) == med, s"median mismatch at index $i")
+    }
+  }
+
+  test("q56_markov: probabilities row-normalize and transition counts conserve") {
+    val rows = Analytics.q56Markov(spark, sf0001).collect()
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val e = Tables.events(spark, sf0001)
+    val nUsersWithEvents = e.select("user_id").distinct().count()
+    assert(total == e.count() - nUsersWithEvents,
+      "each user contributes (n_events - 1) transitions")
+  }
+
+  test("q50_dq_audit: metric values match independent recomputes") {
+    val m = Analytics.q50DqAudit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("row_count", "lineitem")) == Tables.lineitem(spark, sf0001).count())
+    assert(m(("fk_orphans", "lineitem->orders")) == 0)
+    assert(m(("pk_duplicates", "part")) == 0)
+    val neg = Tables.customer(spark, sf0001).filter(col("c_acctbal") < 0).count()
+    assert(m(("domain_violations", "customer.c_acctbal<0")) == neg)
+    assert(m(("distinct_keys", "orders.o_orderkey")) ==
+      Tables.orders(spark, sf0001).count())
+  }
+
+  test("q51_scd2: intervals tile each user's history; exactly one snapshot row per covered user") {
+    val rows = Analytics.q51Scd2(spark, sf0001).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(2).getTime)
+      // no consecutive equal states (SCD2 collapse)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(1) != b.getString(1), "uncollapsed state repeat")
+          assert(a.getTimestamp(3) == b.getTimestamp(2), "intervals must tile")
+        case _ => ()
+      }
+      assert(sorted.last.isNullAt(3), "last interval is open-ended")
+      val snaps = rs.count(_.getInt(4) == 1)
+      val covered = sorted.head.getTimestamp(2).getTime <=
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime
+      assert(snaps == (if (covered) 1 else 0))
+    }
+  }
+
+  test("q55_copurchase: top pair support matches a brute-force recount") {
+    val rows = Analytics.q55Copurchase(spark, sf0001).collect()
+    assert(rows.length == 50)
+    val baskets = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val counts = collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        counts((ps(i), ps(j))) = counts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    rows.take(5).foreach { r =>
+      assert(counts((r.getLong(0), r.getLong(1))) == r.getLong(2))
+    }
+    // descending support with deterministic tie-break
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q52_range_band: tiers partition the lineitem table") {
+    val rows = Analytics.q52RangeBandJoin(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("high", "low", "mid"))
+    assert(rows.map(_.getLong(1)).sum == Tables.lineitem(spark, sf0001).count(),
+      "bands must cover every quantity exactly once")
+  }
+
+  test("txt_tokenize_ids: ids decode back to the original token sequence") {
+    val vocab = TextAnalysis.txtVocab(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.txtTokenizeIds(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty).toSeq).toMap
+    assert(out.length == docs.count(_._2.nonEmpty))
+    out.take(20).foreach { r =>
+      val toks = docs(r.getLong(0))
+      assert(r.getLong(1) == toks.length)
+      val decoded = r.getString(2).split(',').map(s => vocab(s.toLong)).toSeq
+      assert(decoded == toks, s"roundtrip failed for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
+    val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val b = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq == b.toSeq, "sampling must be deterministic")
+    val langTotals = Tables.documents(spark, sf0001).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_._2).view.mapValues(_.length).toMap
+    langTotals.foreach { case (lang, total) =>
+      val k = kept.getOrElse(lang, 0)
+      if (total <= 100) assert(k == total, s"$lang under quota must keep all")
+      else {
+        // binomial(total, 100/total): expect ~100, allow wide slack
+        assert(k > 50 && k < 160, s"$lang kept $k of $total, expected ~100")
+      }
+    }
+  }
+}
