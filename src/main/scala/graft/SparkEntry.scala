@@ -110,6 +110,13 @@ object SparkEntry {
     "q52_range_band" -> (Analytics.q52RangeBandJoin _),
     "txt_tokenize_ids" -> (TextAnalysis.txtTokenizeIds _),
     "pipe_mix_corpus" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeMixCorpus(s, d)),
+    "q57_pagerank" -> ((s: SparkSession, d: String) => Analytics.q57Pagerank(s, d)),
+    "q59_retention" -> (Analytics.q59Retention _),
+    "q61_streaks" -> (Analytics.q61Streaks _),
+    "q63_topk_per_group" -> ((s: SparkSession, d: String) => Analytics.q63TopkPerGroup(s, d)),
+    "q58_triangles" -> (Analytics.q58Triangles _),
+    "q62_ab_test" -> (Analytics.q62AbTest _),
+    "sim_matryoshka" -> ((s: SparkSession, d: String) => Similarity.simMatryoshka(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1180,5 +1187,119 @@ object SparkEntry {
         |WHERE cast(uval as decimal(38,0)) * cast(n_lang as decimal(38,0))
         |    < cast(100 as decimal(38,0)) * cast(1099511627776 as decimal(38,0))
         |ORDER BY doc_id""".stripMargin,
+    "q57_pagerank" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b2
+        | FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |),
+        |edges AS (SELECT a AS src, b2 AS dst FROM pairs
+        |          UNION ALL SELECT b2, a FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+        |pr0 AS (SELECT src AS node, 1.0::double AS pr FROM deg),
+        |pr1 AS (SELECT dst AS node, round(0.15 + 0.85 * cast(sum(cast(round(pr / deg, 12) as decimal(30,12))) as double), 12) AS pr
+        |        FROM ed JOIN pr0 ON ed.src = pr0.node GROUP BY dst),
+        |pr2 AS (SELECT dst AS node, round(0.15 + 0.85 * cast(sum(cast(round(pr / deg, 12) as decimal(30,12))) as double), 12) AS pr
+        |        FROM ed JOIN pr1 ON ed.src = pr1.node GROUP BY dst),
+        |pr3 AS (SELECT dst AS node, round(0.15 + 0.85 * cast(sum(cast(round(pr / deg, 12) as decimal(30,12))) as double), 12) AS pr
+        |        FROM ed JOIN pr2 ON ed.src = pr2.node GROUP BY dst)
+        |SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 25""".stripMargin,
+    "q59_retention" ->
+      """WITH e AS (SELECT user_id, cast(ts as date) AS "day" FROM events),
+        |f AS (SELECT user_id, date_trunc('week', min("day")) AS cohort_week FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(DISTINCT user_id) AS n_cohort FROM f GROUP BY 1),
+        |act AS (
+        | SELECT DISTINCT e.user_id, f.cohort_week,
+        |  cast((date_trunc('week', e."day") - f.cohort_week) // 7 as bigint) AS week_offset
+        | FROM e JOIN f ON e.user_id = f.user_id
+        |), r AS (
+        | SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+        | FROM act GROUP BY 1, 2
+        |)
+        |SELECT r.cohort_week, r.week_offset, r.n_active, sz.n_cohort,
+        | round(r.n_active / sz.n_cohort, 6) AS retention
+        |FROM r JOIN sz ON r.cohort_week = sz.cohort_week
+        |ORDER BY r.cohort_week, r.week_offset""".stripMargin,
+    "q61_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, cast(ts as date) AS "day" FROM events),
+        |i AS (
+        | SELECT user_id, "day",
+        |  ("day" - DATE '1970-01-01')
+        |   - row_number() OVER (PARTITION BY user_id ORDER BY "day") AS island
+        | FROM d
+        |), runs AS (
+        | SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2
+        |)
+        |SELECT user_id, max(len) AS longest_streak,
+        | cast(sum(len) as bigint) AS n_active_days
+        |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q63_topk_per_group" ->
+      """WITH r AS (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders
+        |)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q58_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b2
+        | FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |),
+        |deg AS (
+        | SELECT n, count(*) AS d FROM (
+        |  SELECT a AS n FROM pairs UNION ALL SELECT b2 FROM pairs) GROUP BY 1
+        |),
+        |tri AS (
+        | SELECT count(*) AS t
+        | FROM pairs ab JOIN pairs bc ON ab.b2 = bc.a
+        |  JOIN pairs ac ON ac.a = ab.a AND ac.b2 = bc.b2
+        |),
+        |wed AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
+        |SELECT 'clustering_coeff' AS metric, round(3.0 * t / w, 6) AS value FROM tri, wed
+        |UNION ALL SELECT 'n_edges', cast(count(*) as double) FROM pairs
+        |UNION ALL SELECT 'n_triangles', cast(t as double) FROM tri
+        |UNION ALL SELECT 'n_wedges', cast(w as double) FROM wed
+        |ORDER BY metric""".stripMargin,
+    "q62_ab_test" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |       THEN 1 ELSE 0 END AS converted
+        | FROM events GROUP BY 1
+        |), arms AS (
+        | SELECT cast(user_id % 2 as int) AS arm, count(*) AS n_users,
+        |  sum(converted) AS n_conv
+        | FROM u GROUP BY 1
+        |)
+        |SELECT
+        | cast(sum(CASE WHEN arm = 0 THEN n_users END) as bigint) AS n0,
+        | cast(sum(CASE WHEN arm = 0 THEN n_conv END) as bigint) AS c0,
+        | cast(sum(CASE WHEN arm = 1 THEN n_users END) as bigint) AS n1,
+        | cast(sum(CASE WHEN arm = 1 THEN n_conv END) as bigint) AS c1,
+        | round(sum(CASE WHEN arm = 0 THEN n_conv END) / sum(CASE WHEN arm = 0 THEN n_users END), 6) AS p0,
+        | round(sum(CASE WHEN arm = 1 THEN n_conv END) / sum(CASE WHEN arm = 1 THEN n_users END), 6) AS p1,
+        | round(
+        |  (sum(CASE WHEN arm = 0 THEN n_conv END) / sum(CASE WHEN arm = 0 THEN n_users END)
+        |   - sum(CASE WHEN arm = 1 THEN n_conv END) / sum(CASE WHEN arm = 1 THEN n_users END))
+        |  / sqrt((sum(n_conv) / sum(n_users)) * (1.0 - sum(n_conv) / sum(n_users))
+        |     * (1.0 / sum(CASE WHEN arm = 0 THEN n_users END)
+        |        + 1.0 / sum(CASE WHEN arm = 1 THEN n_users END))), 6) AS z
+        |FROM arms""".stripMargin,
+    "sim_matryoshka" ->
+      """WITH e AS (
+        | SELECT vec_id, label,
+        |  list_sum(list_transform(embedding, v -> cast(v as double) * cast(v as double))) AS e2_full,
+        |  list_sum(list_transform(embedding[1:16], v -> cast(v as double) * cast(v as double))) AS e2_head
+        | FROM embeddings
+        |)
+        |SELECT vec_id, label,
+        | round(e2_head / e2_full, 6) AS energy_kept,
+        | round(sqrt(e2_head / e2_full), 6) AS cos_trunc
+        |FROM e WHERE e2_full > 0 ORDER BY vec_id""".stripMargin,
   )
 }

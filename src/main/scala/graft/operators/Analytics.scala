@@ -870,6 +870,162 @@ object Analytics {
       .orderBy($"tier")
   }
 
+  /** PageRank (3 unrolled iterations, damping 0.85) over the
+    * co-purchase graph — the iterative-graph-processing exemplar.
+    * Edges are built bucket-locally (per-order pair expansion, no
+    * self-join) and the degree table joins in once; each iteration is
+    * one edge⋈rank join + one dst-keyed aggregate, both hashing on
+    * the SAME node key, so at 100 TB an explicit pre-partitioning of
+    * edges by src makes every iteration co-partitioned (AQE reuses
+    * the exchange here). Contributions are rounded then summed as
+    * DECIMAL — partition-order-independent, so ranks are bit-stable
+    * across any cluster layout. Unnormalized formulation
+    * (pr = 0.15 + 0.85·Σ pr/deg): no global-N division needed. */
+  def q57Pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+      .filter(size($"parts") > 1)
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> transform(slice(parts, i + 2, size(parts) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select($"p.a", $"p.b").distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src")
+    var pr = deg.select($"src".as("node"), lit(1.0).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = ed.join(pr, $"src" === $"node")
+        .groupBy($"dst")
+        .agg(expr("cast(sum(cast(round(pr / deg, 12) as decimal(30,12))) as double)").as("s"))
+        .select($"dst".as("node"), round(lit(0.15) + lit(0.85) * $"s", 12).as("pr"))
+    }
+    pr.select($"node", $"pr").orderBy($"pr".desc, $"node").limit(25)
+  }
+
+  /** Retention cohort matrix: users grouped by first-activity week,
+    * tracked over week offsets — the product-analytics staple. Two
+    * aggregates share the user-keyed shuffle (first-day, then
+    * distinct user-week activity); the cohort-size join is a tiny
+    * broadcast. Week arithmetic is integer day math (exact). */
+  def q59Retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+    val first = e.groupBy($"user_id")
+      .agg(to_date(date_trunc("week", min($"day"))).as("cohort_week"))
+    val sizes = first.groupBy($"cohort_week")
+      .agg(countDistinct($"user_id").as("n_cohort"))
+    e.join(first, "user_id")
+      .select($"user_id", $"cohort_week",
+        ((unix_date(to_date(date_trunc("week", $"day"))) -
+          unix_date($"cohort_week")) / 7).cast("bigint").as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select($"cohort_week", $"week_offset", $"n_active", $"n_cohort",
+        round($"n_active" / $"n_cohort", 6).as("retention"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands pattern (day − row_number is constant within a
+    * run). One user-keyed window + one aggregate, all integer
+    * arithmetic; the islands never leave their partition. */
+  def q61Streaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .withColumn("island", unix_date($"day") - row_number().over(w))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(max($"len").as("longest_streak"), sum($"len").as("n_active_days"))
+      .orderBy($"user_id")
+  }
+
+  /** Top-K per group through the custom physical operator
+    * (TopKPerGroupPlan/Exec: partial bounded heaps before the
+    * shuffle, final heaps after — the exchange carries ≤ P·G·k rows
+    * instead of every group member, unlike the window formulation
+    * which sorts whole groups). Gated against the window-formulation
+    * oracle: result-identity IS the operator's correctness claim. */
+  def q63TopkPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    org.apache.spark.sql.graft.TopK.perGroup(
+      Tables.orders(spark, dir)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice"),
+      Seq("o_orderpriority"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), k)
+      .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+
+  /** Graph metrics over the co-purchase graph: edges, wedges (paths
+    * of length 2), triangles, and the global clustering coefficient.
+    * Triangle counting uses the ordered-edge join (a<b<c: each
+    * triangle counted exactly once) — the standard distributed
+    * algorithm; wedges are Σ deg·(deg−1)/2, pure integer arithmetic.
+    * At 100 TB the known skew guard is a degree cap on hub nodes
+    * before the wedge join (drop or sample super-hubs) — the same
+    * bucket-cap idea as the LSH guard. */
+  def q58Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+      .filter(size($"parts") > 1)
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> transform(slice(parts, i + 2, size(parts) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select($"p.a", $"p.b").distinct()
+    val nEdges = pairs.agg(count(lit(1)).as("v"))
+      .select(lit("n_edges").as("metric"), $"v".cast("double").as("value"))
+    val deg = pairs.select($"a".as("n")).unionAll(pairs.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val nWedges = deg.agg(sum(expr("d * (d - 1) / 2")).as("w"))
+    val tri = pairs.as("ab")
+      .join(pairs.as("bc"), col("ab.b") === col("bc.a"))
+      .join(pairs.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .agg(count(lit(1)).as("t"))
+    val triW = tri.crossJoin(nWedges)
+    nEdges
+      .unionAll(triW.select(lit("n_triangles").as("metric"), $"t".cast("double").as("value")))
+      .unionAll(triW.select(lit("n_wedges").as("metric"), $"w".cast("double").as("value")))
+      .unionAll(triW.select(lit("clustering_coeff").as("metric"),
+        round(lit(3.0) * $"t" / $"w", 6).as("value")))
+      .orderBy($"metric")
+  }
+
+  /** Two-sample proportion test (the A/B-test readout): users split
+    * deterministically by id parity, conversion = any purchase event,
+    * pooled z-statistic. sqrt is IEEE-correctly-rounded (identical in
+    * every engine — unlike ln/exp it is safe for parity), the rest is
+    * double division of exact counts. One user-keyed aggregate, one
+    * single-row join: the readout costs one pass regardless of
+    * scale. */
+  def q62AbTest(spark: SparkSession, dir: String): DataFrame = {
+    // conversion = heavy purchaser (>=14 purchase events: the per-user
+    // purchase count centers near 13 at every SF, so both outcomes
+    // occur and p·(1-p) is never 0)
+    val conv = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg((sum(when($"event_type" === "purchase", 1).otherwise(0)) >= 14)
+        .cast("int").as("converted"))
+      .groupBy(($"user_id" % 2).cast("int").as("arm"))
+      .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_conv"))
+    conv.groupBy()
+      .agg(
+        sum(when($"arm" === 0, $"n_users")).as("n0"),
+        sum(when($"arm" === 0, $"n_conv")).as("c0"),
+        sum(when($"arm" === 1, $"n_users")).as("n1"),
+        sum(when($"arm" === 1, $"n_conv")).as("c1"))
+      .select($"n0", $"c0", $"n1", $"c1",
+        round($"c0" / $"n0", 6).as("p0"),
+        round($"c1" / $"n1", 6).as("p1"),
+        round(
+          ($"c0" / $"n0" - $"c1" / $"n1") /
+            sqrt((($"c0" + $"c1") / ($"n0" + $"n1")) *
+              (lit(1.0) - ($"c0" + $"c1") / ($"n0" + $"n1")) *
+              (lit(1.0) / $"n0" + lit(1.0) / $"n1")), 6).as("z"))
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

@@ -222,4 +222,24 @@ object Similarity {
       .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
     topkPerQuery(scored)
   }
+
+  /** Matryoshka truncation audit: how much of each embedding's energy
+    * (and cosine fidelity) survives keeping only the first `keep`
+    * dims — the check run before shipping truncated vectors to a
+    * cheaper ANN tier. cos(full, truncate-and-pad) reduces to
+    * ‖v₁..ₖ‖/‖v‖, so the whole audit is two sequential folds per row
+    * (bit-identical to the oracle's list_sum) and one
+    * IEEE-exact sqrt. Pure projection: fuses into the scan, zero
+    * shuffle at any scale. */
+  def simMatryoshka(spark: SparkSession, dir: String, keep: Int = 16): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("e2_full", expr(
+        "aggregate(embedding, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))"))
+      .withColumn("e2_head", expr(
+        s"aggregate(slice(embedding, 1, $keep), cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))"))
+      .filter(col("e2_full") > 0)
+      .select(col("vec_id"), col("label"),
+        round(col("e2_head") / col("e2_full"), 6).as("energy_kept"),
+        round(sqrt(col("e2_head") / col("e2_full")), 6).as("cos_trunc"))
+      .orderBy(col("vec_id"))
 }

@@ -140,6 +140,118 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("q57_pagerank: ranks positive, iteration-consistent with a driver recompute") {
+    val rows = Analytics.q57Pagerank(spark, sf0001).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getDouble(1) > 0.15), "rank floor is the teleport term")
+    // driver recompute of the same 3 iterations from raw baskets
+    val baskets = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted).filter(_.length > 1)
+    val pairs = baskets.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))).toSet
+    val edges = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var pr = adj.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val contribs = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          BigDecimal(math.rint(pr(src) / adj(src).size * 1e12) / 1e12)
+        }.sum.toDouble
+      }
+      pr = contribs.map { case (n, s) => n -> math.rint((0.15 + 0.85 * s) * 1e12) / 1e12 }
+    }
+    rows.take(5).foreach { r =>
+      assert(math.abs(pr(r.getLong(0)) - r.getDouble(1)) < 1e-9,
+        s"rank mismatch for node ${r.getLong(0)}")
+    }
+  }
+
+  test("q58_triangles: metric identities hold") {
+    val m = Analytics.q58Triangles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_edges") > 0 && m("n_wedges") >= m("n_triangles"))
+    // each triangle contributes 3 closed wedges
+    assert(math.abs(m("clustering_coeff") -
+      math.rint(3.0 * m("n_triangles") / m("n_wedges") * 1e6) / 1e6) < 1e-9)
+    assert(m("clustering_coeff") >= 0 && m("clustering_coeff") <= 1)
+  }
+
+  test("q59_retention: offset-0 retention is 1 and rates never exceed cohort") {
+    val rows = Analytics.q59Retention(spark, sf0001).collect()
+    rows.filter(_.getLong(1) == 0).foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0,
+        "every cohort member is active in its own first week")
+    }
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(3)))
+    assert(rows.forall(r => r.getLong(1) >= 0))
+  }
+
+  test("q61_streaks: recompute longest streak for every user") {
+    val rows = Analytics.q61Streaks(spark, sf0001).collect()
+    val days = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate.toEpochDay)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val ds = days(r.getLong(0))
+      var best = 1L; var cur = 1L
+      ds.sliding(2).foreach { p =>
+        if (p.length == 2) {
+          if (p(1) == p(0) + 1) { cur += 1; best = math.max(best, cur) } else cur = 1
+        }
+      }
+      assert(r.getLong(1) == best && r.getLong(2) == ds.length)
+    }
+  }
+
+  test("q62_ab_test: z-statistic recomputes from the emitted counts") {
+    val r = Analytics.q62AbTest(spark, sf0001).collect().head
+    val (n0, c0, n1, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n0 > 0 && n1 > 0 && c0 > 0 && c1 > 0, "both arms need both outcomes")
+    val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
+    val p = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p0 - p1) / math.sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1))
+    assert(math.abs(r.getDouble(6) - math.rint(z * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("q63_topk_per_group: custom operator matches the window formulation exactly") {
+    val custom = Analytics.q63TopkPerGroup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val window = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+      .drop("rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(custom == window, "TopKPerGroup must be result-identical to the window form")
+  }
+
+  test("sim_matryoshka: energy ratio in (0,1], cos is its sqrt, recompute spot-check") {
+    val rows = graft.operators.Similarity.simMatryoshka(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getDouble(2)
+      assert(e > 0 && e <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(3) - math.rint(math.sqrt(e) * 1e6) / 1e6) < 1e-3)
+    }
+    val emb = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.take(10).foreach { r =>
+      val v = emb(r.getLong(0))
+      var full = 0.0; var head = 0.0
+      v.zipWithIndex.foreach { case (x, i) =>
+        val d = x.toDouble * x.toDouble
+        full += d; if (i < 16) head += d
+      }
+      assert(math.abs(r.getDouble(2) - math.rint(head / full * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
   test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
     val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
