@@ -1190,8 +1190,10 @@ object SparkEntry {
     "q57_pagerank" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
-        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b2
-        | FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
         |),
         |edges AS (SELECT a AS src, b2 AS dst FROM pairs
         |          UNION ALL SELECT b2, a FROM pairs),
@@ -1247,8 +1249,10 @@ object SparkEntry {
     "q58_triangles" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
-        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b2
-        | FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
         |),
         |deg AS (
         | SELECT n, count(*) AS d FROM (

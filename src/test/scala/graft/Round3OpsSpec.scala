@@ -149,8 +149,11 @@ class Round3OpsSpec extends SparkSpec {
       .select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1))).distinct
       .groupBy(_._1).values.map(_.map(_._2).sorted).filter(_.length > 1)
-    val pairs = baskets.flatMap(ps =>
-      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))).toSet
+    val pairCounts = collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.foreach(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        pairCounts((ps(i), ps(j))) = pairCounts.getOrElse((ps(i), ps(j)), 0) + 1)
+    val pairs = pairCounts.filter(_._2 >= 2).keySet
     val edges = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     var pr = adj.keys.map(_ -> 1.0).toMap
