@@ -117,6 +117,8 @@ object SparkEntry {
     "q58_triangles" -> (Analytics.q58Triangles _),
     "q62_ab_test" -> (Analytics.q62AbTest _),
     "sim_matryoshka" -> ((s: SparkSession, d: String) => Similarity.simMatryoshka(s, d)),
+    "q64_interval_merge" -> (Analytics.q64IntervalMerge _),
+    "q65_debounce" -> (Analytics.q65Debounce _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1305,5 +1307,36 @@ object SparkEntry {
         | round(e2_head / e2_full, 6) AS energy_kept,
         | round(sqrt(e2_head / e2_full), 6) AS cos_trunc
         |FROM e WHERE e2_full > 0 ORDER BY vec_id""".stripMargin,
+    "q64_interval_merge" ->
+      """WITH s AS (
+        | SELECT user_id, event_id, ts AS start_ts,
+        |  ts + INTERVAL 5 MINUTE AS end_ts
+        | FROM events
+        |), m AS (
+        | SELECT *, max(end_ts) OVER (PARTITION BY user_id ORDER BY start_ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end_before
+        | FROM s
+        |), f AS (
+        | SELECT *, CASE WHEN max_end_before IS NULL OR start_ts > max_end_before
+        |   THEN 1 ELSE 0 END AS new_island FROM m
+        |), g AS (
+        | SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY start_ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM f
+        |)
+        |SELECT user_id, cast(island as bigint) AS island,
+        | min(start_ts) AS span_start, max(end_ts) AS span_end,
+        | count(*) AS n_events
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin,
+    "q65_debounce" ->
+      """WITH l AS (
+        | SELECT user_id, event_type, ts,
+        |  lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+        | FROM events
+        |)
+        |SELECT user_id, event_type, count(*) AS n_kept
+        |FROM l
+        |WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 30000000
+        |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
   )
 }

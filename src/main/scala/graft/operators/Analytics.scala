@@ -1041,6 +1041,53 @@ object Analytics {
               (lit(1.0) / $"n0" + lit(1.0) / $"n1")), 6).as("z"))
   }
 
+  /** Interval merge (overlap coalescing): each event opens a 5-minute
+    * span; overlapping/adjacent spans per user merge into maximal
+    * intervals — the availability-window / on-call-coverage op. The
+    * island id is "number of span starts that begin after the running
+    * max end so far" (a single cumulative window), so merging is one
+    * user-keyed window + one aggregate — no self-join, no iteration,
+    * and the islands never leave their partition at any scale. */
+  def q64IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"start_ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts".as("start_ts"),
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("end_ts"))
+      .withColumn("max_end_before",
+        max($"end_ts").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        ($"max_end_before".isNull || $"start_ts" > $"max_end_before").cast("int"))
+      .withColumn("island",
+        sum($"new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"island")
+      .agg(min($"start_ts").as("span_start"), max($"end_ts").as("span_end"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"island".cast("bigint").as("island"),
+        $"span_start", $"span_end", $"n_events")
+      .orderBy($"user_id", $"island")
+  }
+
+  /** Event debounce: drop events that fire within 30 s of the
+    * previous SAME-TYPE event for the user (telemetry double-fire
+    * suppression). One (user, type)-keyed window; the filter is a
+    * lag comparison — map-side after the single shuffle. Note the
+    * semantics are lag-based (vs previous RAW event), the cheap
+    * O(1)-state form a streaming pipeline can also apply. */
+  def q65Debounce(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      // microsecond-exact gap test (whole-second truncation would
+      // disagree with the oracle on fractional gaps)
+      .filter($"prev_ts".isNull ||
+        unix_micros($"ts") - unix_micros($"prev_ts") > 30000000L)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy($"user_id", $"event_type")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

@@ -255,6 +255,39 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("q64_interval_merge: spans are maximal, disjoint, and cover every event") {
+    val rows = Analytics.q64IntervalMerge(spark, sf0001).collect()
+    assert(rows.map(_.getLong(4)).sum == Tables.events(spark, sf0001).count())
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val spans = rs.sortBy(_.getLong(1))
+        .map(r => (r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+      spans.foreach { case (s, e) => assert(e - s >= 5 * 60 * 1000) }
+      spans.sliding(2).foreach { p =>
+        if (p.length == 2) assert(p(1)._1 > p(0)._2,
+          "merged spans must be strictly disjoint (no remaining overlap)")
+      }
+    }
+  }
+
+  test("q65_debounce: kept counts match a driver-side debounce replay") {
+    val rows = Analytics.q65Debounce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val events = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    events.groupBy(e => (e._1, e._2)).foreach { case (key, es) =>
+      def us(x: java.sql.Timestamp): Long =
+        math.floorDiv(x.getTime, 1000L) * 1000000L + x.getNanos / 1000
+      val ts = es.sortBy(e => (us(e._3), e._4)).map(_._3)
+      var kept = 1; var prev = ts.head
+      ts.tail.foreach { t =>
+        if (us(t) - us(prev) > 30000000L) kept += 1
+        prev = t
+      }
+      assert(rows(key) == kept, s"debounce mismatch for $key")
+    }
+  }
+
   test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
     val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
