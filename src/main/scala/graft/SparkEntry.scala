@@ -119,6 +119,11 @@ object SparkEntry {
     "sim_matryoshka" -> ((s: SparkSession, d: String) => Similarity.simMatryoshka(s, d)),
     "q64_interval_merge" -> (Analytics.q64IntervalMerge _),
     "q65_debounce" -> (Analytics.q65Debounce _),
+    "q66_gini" -> (Analytics.q66Gini _),
+    "q67_abc_class" -> (Analytics.q67AbcClass _),
+    "q68_benford" -> (Analytics.q68Benford _),
+    "dd_containment" -> (Dedup.ddContainment _),
+    "txt_readability" -> (TextAnalysis.txtReadability _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1338,5 +1343,84 @@ object SparkEntry {
         |FROM l
         |WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 30000000
         |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    "q66_gini" ->
+      """WITH x AS (
+        | SELECT c_nationkey,
+        |  cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint) AS cents,
+        |  c_custkey,
+        |  cast(row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint), c_custkey) as bigint) AS i
+        | FROM customer
+        |), g AS (
+        | SELECT c_nationkey, count(*) AS n,
+        |  cast(sum(cents) as bigint) AS sx, cast(sum(i * cents) as bigint) AS six
+        | FROM x GROUP BY 1
+        |)
+        |SELECT c_nationkey, n,
+        | round((six * 2 - (n + 1) * sx) / (n * sx), 6) AS gini
+        |FROM g WHERE sx <> 0 ORDER BY c_nationkey""".stripMargin,
+    "q67_abc_class" ->
+      """WITH p AS (
+        | SELECT l_partkey,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * 100) as bigint) AS rev_cents
+        | FROM lineitem GROUP BY 1
+        |), c AS (
+        | SELECT l_partkey, rev_cents,
+        |  cast(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_cents,
+        |  cast(sum(rev_cents) OVER () as bigint) AS total_cents
+        | FROM p
+        |)
+        |SELECT l_partkey, rev_cents,
+        | round(cum_cents / total_cents, 6) AS cum_share,
+        | CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+        |      WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+        |      ELSE 'C' END AS abc
+        |FROM c ORDER BY rev_cents DESC, l_partkey LIMIT 100""".stripMargin,
+    "q68_benford" ->
+      """WITH bf(digit, benford_p) AS (VALUES (1, 0.30103), (2, 0.176091),
+        | (3, 0.124939), (4, 0.09691), (5, 0.079181), (6, 0.066947),
+        | (7, 0.057992), (8, 0.051153), (9, 0.045757)),
+        |obs AS (
+        | SELECT cast(substring(cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as varchar), 1, 1) as int) AS digit,
+        |  count(*) AS n
+        | FROM orders GROUP BY 1
+        |), t AS (SELECT cast(sum(n) as bigint) AS t FROM obs)
+        |SELECT digit, n, round(n / t, 6) AS observed_p,
+        | cast(benford_p as double) AS benford_p,
+        | round(abs(round(n / t, 6) - benford_p), 6) AS abs_dev
+        |FROM obs JOIN bf USING (digit), t
+        |ORDER BY digit""".stripMargin,
+    "dd_containment" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS (
+        | SELECT doc_id, unnest(shingles) s FROM sh
+        |), sizes AS (
+        | SELECT doc_id, count(*) n FROM rows_ GROUP BY 1
+        |), inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT da AS doc_a, db AS doc_b,
+        | round(cast(ninter as double) / least(sa.n, sb.n), 6) AS containment
+        |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        |WHERE ninter * 2 >= least(sa.n, sb.n)
+        |ORDER BY 1, 2""".stripMargin,
+    "txt_readability" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) AS n_words,
+        |  cast(greatest(len(regexp_extract_all(text, '[.!?]')), 1) as bigint) AS n_sents,
+        |  cast(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) as bigint) AS n_vgroups
+        | FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sents, n_vgroups,
+        | round(206.835 - 1.015 * (n_words / n_sents)
+        |   - 84.6 * (n_vgroups / n_words), 4) AS flesch
+        |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
   )
 }

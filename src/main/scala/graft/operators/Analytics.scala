@@ -1088,6 +1088,84 @@ object Analytics {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** Gini coefficient of customer balance per nation — the inequality
+    * metric, computed by the rank formula
+    * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending-sorted
+    * values. Balances are integer CENTS, so every sum is exact bigint
+    * arithmetic and the one double division happens at the edge —
+    * bit-stable under any partitioning. One nation-keyed window (the
+    * rank) + one aggregate on the same key: a single shuffle. */
+  def q66Gini(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"c_nationkey").orderBy($"cents", $"c_custkey")
+    Tables.customer(spark, dir)
+      .select($"c_nationkey",
+        expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)").as("cents"),
+        $"c_custkey")
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents").as("sx"),
+        sum($"i" * $"cents").as("six"))
+      .filter($"sx" =!= 0)
+      .select($"c_nationkey", $"n",
+        round(($"six" * 2 - ($"n" + 1) * $"sx") / ($"n" * $"sx"), 6).as("gini"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** ABC (Pareto) classification: parts ranked by revenue, classed A
+    * while cumulative share ≤ 80 %, B ≤ 95 %, else C. The share
+    * thresholds are INTEGER tests on exact cent sums (5·cum ≤ 4·total
+    * ⇔ share ≤ 0.8) — no float boundary can disagree with the
+    * oracle. One aggregate on partkey + one global-ordered cumsum
+    * window; at scale the cumsum is the two-pass range-partitioned
+    * pattern (see txtVocab) — the per-part table is already the
+    * compressed side. */
+  def q67AbcClass(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy($"rev_cents".desc, $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val byPart = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * 100) as bigint)")
+        .as("rev_cents"))
+    val total = byPart.agg(sum($"rev_cents").as("total_cents"))
+    byPart.crossJoin(broadcast(total))
+      .withColumn("cum_cents", sum($"rev_cents").over(w))
+      .select($"l_partkey", $"rev_cents",
+        round($"cum_cents" / $"total_cents", 6).as("cum_share"),
+        when($"cum_cents" * 5 <= $"total_cents" * 4, "A")
+          .when($"cum_cents" * 20 <= $"total_cents" * 19, "B")
+          .otherwise("C").as("abc"))
+      .orderBy($"rev_cents".desc, $"l_partkey")
+      .limit(100)
+  }
+
+  /** Benford first-digit audit of order totals — the forensic DQ
+    * screen. First digit comes from the decimal-cents integer's
+    * string head (identical in every engine for positive ints);
+    * expected Benford mass is a literal constant table (no runtime
+    * log). One tiny aggregate over a projected digit — at 100 TB
+    * this is a single scan with a 9-group combine. */
+  def q68Benford(spark: SparkSession, dir: String): DataFrame = {
+    val benford = Map(1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.09691, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val bf = spark.createDataFrame(benford.toSeq.sortBy(_._1))
+      .toDF("digit", "benford_p")
+    val obs = Tables.orders(spark, dir)
+      .select(expr(
+        "cast(substring(cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as string), 1, 1) as int)")
+        .as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val total = obs.agg(sum($"n").as("t"))
+    obs.join(broadcast(bf), Seq("digit"))
+      .crossJoin(broadcast(total))
+      .select($"digit", $"n",
+        round($"n" / $"t", 6).as("observed_p"),
+        $"benford_p",
+        round(abs(round($"n" / $"t", 6) - $"benford_p"), 6).as("abs_dev"))
+      .orderBy($"digit")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

@@ -112,6 +112,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Asymmetric CONTAINMENT detection: pairs where the smaller doc's
+    * shingle set is ≥ half inside the larger's — catches quote
+    * inclusion / partial copies that symmetric jaccard misses (a
+    * short doc fully quoted inside a long one has low jaccard but
+    * containment 1.0). Same single-shuffle shingle self-join core as
+    * [[ddNgramJaccard]]; the threshold is the integer test
+    * 2·|∩| ≥ min(|A|,|B|), so no float boundary can disagree with
+    * the oracle. */
+  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(TextOps.shingleArray("text")).as("shd"))
+      .filter(size(col("shd")) > 0)
+      .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
+        explode(col("shd")).as("s"))
+    sh.as("a").hint("shuffle_hash").join(sh.as("b"),
+        expr("a.s = b.s AND a.doc_id < b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("ninter"))
+      .filter(expr("ninter * 2 >= least(na, nb)"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        expr("round(cast(ninter as double) / least(na, nb), 6)").as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The jaccard pair set WITHOUT the presentation sort — internal
     * consumers (connected components) don't need order, and a global
     * sort of the pair set is pure waste there.

@@ -339,6 +339,27 @@ object TextAnalysis {
         org.apache.spark.sql.graft.TextExpressions.md5Min(col("sh")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Readability scoring (Flesch-shaped): words per sentence and
+    * vowel-group-per-word as the syllable proxy, combined with the
+    * standard literal coefficients. Counts are regexp_count integers
+    * (identical across engines), the score is one double expression
+    * over exact ratios, rounded. Pure projection — fuses into the
+    * scan at any scale. */
+  def txtReadability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_words", expr(
+        "cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_sents", expr(
+        "cast(greatest(regexp_count(text, '[.!?]'), 1) as bigint)"))
+      .withColumn("n_vgroups", expr(
+        "cast(greatest(regexp_count(lower(text), '[aeiouy]+'), 1) as bigint)"))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_vgroups"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words") / col("n_sents"))
+          - lit(84.6) * (col("n_vgroups") / col("n_words")), 4).as("flesch"))
+      .orderBy(col("doc_id"))
+
   /** Tokenizer APPLICATION: encode every document into its token-id
     * sequence using the corpus vocabulary from [[txtVocab]] — the
     * text→ids step that feeds training. The vocabulary (small by

@@ -288,6 +288,70 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("q66_gini: bounds and a driver recompute per nation") {
+    val rows = Analytics.q66Gini(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val bal = Tables.customer(spark, sf0001)
+      .select(col("c_nationkey"),
+        expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)"), col("c_custkey"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = bal(r.getInt(0)).sortBy(t => (t._2, t._3)).map(_._2)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val g = (2.0 * six - (n + 1) * sx) / (n.toDouble * sx)
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - math.rint(g * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
+  test("q67_abc_class: monotone classes, cumulative share consistent") {
+    val rows = Analytics.q67AbcClass(spark, sf0001).collect()
+    assert(rows.length == 100)
+    val classes = rows.map(_.getString(3))
+    // once the class moves past A it never returns (monotone in rank)
+    val order = Map("A" -> 0, "B" -> 1, "C" -> 2)
+    assert(classes.map(order).zip(classes.map(order).tail).forall { case (a, b) => a <= b })
+    val shares = rows.map(_.getDouble(2))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    rows.filter(_.getString(3) == "A").foreach(r => assert(r.getDouble(2) <= 0.8 + 1e-9))
+  }
+
+  test("q68_benford: observed distribution sums to 1 and counts match") {
+    val rows = Analytics.q68Benford(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf0001).count())
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+  }
+
+  test("dd_containment: catches subset relations jaccard would miss, values in (0,1]") {
+    val rows = graft.operators.Dedup.ddContainment(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= 0.5 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+
+  test("txt_readability: recompute for sample docs; score decreases with syllable density") {
+    val rows = TextAnalysis.txtReadability(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(20).foreach { r =>
+      val text = docs(r.getLong(0))
+      val words = text.split(' ').count(_.nonEmpty)
+      val sents = math.max("[.!?]".r.findAllIn(text).length, 1)
+      val vg = math.max("[aeiouy]+".r.findAllIn(text.toLowerCase).length, 1)
+      assert(r.getLong(1) == words && r.getLong(2) == sents && r.getLong(3) == vg)
+      val score = 206.835 - 1.015 * (words.toDouble / sents) - 84.6 * (vg.toDouble / words)
+      assert(math.abs(r.getDouble(4) - math.rint(score * 1e4) / 1e4) < 1e-9)
+    }
+  }
+
   test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
     val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
