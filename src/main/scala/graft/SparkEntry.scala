@@ -124,6 +124,8 @@ object SparkEntry {
     "q68_benford" -> (Analytics.q68Benford _),
     "dd_containment" -> (Dedup.ddContainment _),
     "txt_readability" -> (TextAnalysis.txtReadability _),
+    "txt_kn_counts" -> ((s: SparkSession, d: String) => TextAnalysis.txtKnCounts(s, d)),
+    "pipe_span_corruption" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeSpanCorruption(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1422,5 +1424,40 @@ object SparkEntry {
         | round(206.835 - 1.015 * (n_words / n_sents)
         |   - 84.6 * (n_vgroups / n_words), 4) AS flesch
         |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    "txt_kn_counts" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), bi AS (
+        | SELECT unnest(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        | FROM toks WHERE len(t) >= 2
+        |), bx AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |counts AS (SELECT w1, w2, count(*) AS n_bigram FROM bx GROUP BY 1, 2),
+        |prefix AS (SELECT w1, cast(sum(n_bigram) as bigint) AS n_prefix FROM counts GROUP BY 1),
+        |contin AS (SELECT w2, count(*) AS n_continuation FROM counts GROUP BY 1)
+        |SELECT c.w1 AS w1, c.w2 AS w2, c.n_bigram, p.n_prefix, k.n_continuation
+        |FROM counts c JOIN prefix p ON c.w1 = p.w1 JOIN contin k ON c.w2 = k.w2
+        |ORDER BY c.n_bigram DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+    "pipe_span_corruption" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) AS dl,
+        |  list_sum(list_transform(range(1, 7), i ->
+        |   cast((strpos('0123456789abcdef',
+        |     substring(md5(cast(doc_id as varchar)), i, 1)) - 1) as bigint)
+        |   * (cast(1 as bigint) << ((6 - i) * 4)))) % 10 AS phase
+        | FROM documents
+        |), s AS (
+        | SELECT doc_id, dl, phase,
+        |  unnest(range(cast(phase as bigint), cast(dl as bigint), cast(10 as bigint))) AS start_tok
+        | FROM d WHERE dl >= 10
+        |), e AS (
+        | SELECT doc_id, start_tok, dl,
+        |  cast(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1 as bigint) AS span_id
+        | FROM s
+        |)
+        |SELECT doc_id, span_id, start_tok,
+        | least(3, dl - start_tok) AS span_len,
+        | 32000 + span_id AS sentinel_id
+        |FROM e ORDER BY doc_id, span_id""".stripMargin,
   )
 }

@@ -90,6 +90,33 @@ object CorpusPipeline {
     * threshold that could disagree between engines. Language counts
     * are a tiny broadcast; the filter is map-side: at 100 TB this is
     * one pass over the corpus, zero shuffles of the payload. */
+  /** T5-style span-corruption LAYOUT: deterministic masked-span
+    * placement per document — every 10th token position starts a
+    * 3-token span when the doc's md5-derived offset selects it, spans
+    * clipped to the doc, emitted as (doc_id, span_id, start, len,
+    * sentinel_id). The selection is pure integer arithmetic on the
+    * doc hash (reproducible across engines/partitionings — the
+    * property a training job needs to regenerate identical data).
+    * One map-side projection + explode: no shuffle before the output
+    * sort at any scale. */
+  def pipeSpanCorruption(spark: SparkSession, dir: String,
+      every: Int = 10, spanLen: Int = 3): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("dl", expr(
+        "cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .filter(col("dl") >= every)
+      // deterministic per-doc phase in [0, every)
+      .withColumn("phase", expr(
+        s"cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % $every"))
+      .select(col("doc_id"), col("dl"), col("phase"),
+        posexplode(expr(s"sequence(phase, dl - 1, $every)")).as(Seq("span_id", "start_tok")))
+      .withColumn("span_len",
+        least(lit(spanLen.toLong), col("dl") - col("start_tok")))
+      .select(col("doc_id"), col("span_id").cast("bigint").as("span_id"),
+        col("start_tok"), col("span_len"),
+        (lit(32000L) + col("span_id")).as("sentinel_id"))
+      .orderBy(col("doc_id"), col("span_id"))
+
   def pipeMixCorpus(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))

@@ -360,6 +360,31 @@ object TextAnalysis {
           - lit(84.6) * (col("n_vgroups") / col("n_words")), 4).as("flesch"))
       .orderBy(col("doc_id"))
 
+  /** Kneser-Ney-shaped count tables for bigram LM estimation: per
+    * bigram the raw count, per left-context the prefix total, and the
+    * bigram's CONTINUATION standing (how many distinct left contexts
+    * the right word follows — the quantity KN discounting is built
+    * on). Pure integer aggregates (the smoothing division happens at
+    * model-build time, not here): one shingle-shaped projection, two
+    * partial-aggregated shuffles, top-100 by count with full
+    * tie-break. */
+  def txtKnCounts(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    // bigrams from the native codegen n-gram kernel; tokens are
+    // space-split so the join-point split is lossless
+    val bi = TextOps.balanced(Tables.documents(spark, dir))
+      .select(explode(TextOps.ngramArray("text", 2)).as("bg"))
+      .select(expr("split(bg, ' ')[0]").as("w1"), expr("split(bg, ' ')[1]").as("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
+    val prefix = counts.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_prefix"))
+    val continuation = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n_continuation"))
+    counts.join(prefix, "w1").join(continuation, "w2")
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_prefix"),
+        col("n_continuation"))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Tokenizer APPLICATION: encode every document into its token-id
     * sequence using the corpus vocabulary from [[txtVocab]] — the
     * text→ids step that feeds training. The vocabulary (small by

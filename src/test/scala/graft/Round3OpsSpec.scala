@@ -352,6 +352,47 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("txt_kn_counts: identities between bigram, prefix and continuation counts") {
+    val rows = TextAnalysis.txtKnCounts(spark, sf0001).collect()
+    assert(rows.length == 100)
+    val docs = Tables.documents(spark, sf0001).select("text").collect()
+      .map(_.getString(0).split(' ').filter(_.nonEmpty).toSeq)
+    val bigrams = docs.flatMap(t => t.zip(t.drop(1)))
+    val counts = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val prefix = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val contin = counts.keySet.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == counts(key))
+      assert(r.getLong(3) == prefix(key._1))
+      assert(r.getLong(4) == contin(key._2))
+    }
+  }
+
+  test("pipe_span_corruption: spans deterministic, inside the doc, non-overlapping, stride 10") {
+    val a = CorpusPipeline.pipeSpanCorruption(spark, sf0001).collect()
+    val b = CorpusPipeline.pipeSpanCorruption(spark, sf0001).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "layout must be reproducible")
+    val dls = Tables.documents(spark, sf0001).selectExpr("doc_id",
+      "cast(size(filter(split(text, ' '), x -> x != '')) as bigint) dl").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) => assert(r.getLong(1) == i) }
+      sorted.foreach { r =>
+        assert(r.getLong(2) >= 0 && r.getLong(2) + r.getLong(3) <= dls(doc))
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= 3)
+        assert(r.getLong(4) == 32000 + r.getLong(1))
+      }
+      sorted.sliding(2).foreach { p =>
+        if (p.length == 2) {
+          assert(p(1).getLong(2) - p(0).getLong(2) == 10, "stride must be constant")
+          assert(p(0).getLong(2) + p(0).getLong(3) <= p(1).getLong(2), "spans must not overlap")
+        }
+      }
+    }
+  }
+
   test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
     val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
