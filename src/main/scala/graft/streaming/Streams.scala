@@ -208,4 +208,42 @@ object Streams {
         JdbcSink.append(batch, target, batchSize)
       }
       .start()
+
+  case class TypedEvent(user_id: Long, event_type: String, ts_us: Long)
+  case class DebounceState(last_us: Long)
+
+  /** Streaming DEBOUNCE — the stream twin of the batch q65 operator:
+    * an event within `gapUs` of the previously SEEN same-(user,type)
+    * event is suppressed. O(1) state per key (just the last
+    * timestamp), keyed and sharded exactly like the batch window's
+    * partitioning; a processing-time idle timeout reaps keys so
+    * state is bounded by the active-key set, not history. The lag
+    * semantics (vs previous RAW event) are what make the batch and
+    * stream halves produce identical keep-sets on the same data —
+    * asserted in StreamingSpec. */
+  def debounce(events: Dataset[TypedEvent],
+      gapUs: Long = 30L * 1000000L): Dataset[TypedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, TypedEvent](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: (Long, String), batch: Iterator[TypedEvent], state: GroupState[DebounceState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = batch.toSeq.sortBy(_.ts_us)
+            val kept = Seq.newBuilder[TypedEvent]
+            var last = state.getOption.map(_.last_us)
+            sorted.foreach { e =>
+              if (last.forall(l => e.ts_us - l > gapUs)) kept += e
+              last = Some(e.ts_us)
+            }
+            last.foreach { l =>
+              state.update(DebounceState(l))
+              state.setTimeoutDuration("1 hour")
+            }
+            kept.result().iterator
+          }
+      }
+  }
 }

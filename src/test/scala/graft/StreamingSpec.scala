@@ -131,6 +131,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming debounce keep-set equals the batch q65 operator") {
+    import org.apache.spark.sql.functions.unix_micros
+    // batch-mode exercise of the state function: identical lag
+    // semantics to the batch window formulation on the same events
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[Streams.TypedEvent]
+    val kept = Streams.debounce(ev).collect()
+    val streamCounts = kept.groupBy(e => (e.user_id, e.event_type))
+      .view.mapValues(_.length.toLong).toMap
+    val batch = graft.operators.Analytics.q65Debounce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamCounts == batch,
+      "stream and batch debounce must keep identical counts per key")
+  }
+
   test("update-mode aggregation upserts into Derby idempotently") {
     val dbDir = Files.createTempDirectory("derby").resolve("upsert_db")
     val target = JdbcSink.Target(s"jdbc:derby:$dbDir;create=true", "etype_counts")
