@@ -1116,20 +1116,33 @@ object Analytics {
     * while cumulative share ≤ 80 %, B ≤ 95 %, else C. The share
     * thresholds are INTEGER tests on exact cent sums (5·cum ≤ 4·total
     * ⇔ share ≤ 0.8) — no float boundary can disagree with the
-    * oracle. One aggregate on partkey + one global-ordered cumsum
-    * window; at scale the cumsum is the two-pass range-partitioned
-    * pattern (see txtVocab) — the per-part table is already the
-    * compressed side. */
+    * oracle. The cumulative sum is NOT a global un-partitioned window
+    * (single task over every part at scale): the total order
+    * (rev desc, partkey) is decomposed by a revenue band — band
+    * totals make a tiny exclusive-cumsum table that broadcasts back,
+    * and the within-band window is properly partitioned. Same
+    * decomposition as txtVocab's id assignment; bit-identical to the
+    * global window by monotonicity of the banding. */
   def q67AbcClass(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy($"rev_cents".desc, $"l_partkey")
-      .rowsBetween(Window.unboundedPreceding, 0)
     val byPart = Tables.lineitem(spark, dir)
       .groupBy($"l_partkey")
       .agg(expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * 100) as bigint)")
         .as("rev_cents"))
+      .withColumn("band", floor($"rev_cents" / 100000L))
+    val bandOffsets = byPart.groupBy($"band")
+      .agg(sum($"rev_cents").as("band_cents"))
+      .withColumn("band_offset",
+        coalesce(sum($"band_cents").over(
+          Window.orderBy($"band".desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"band", $"band_offset")
     val total = byPart.agg(sum($"rev_cents").as("total_cents"))
-    byPart.crossJoin(broadcast(total))
-      .withColumn("cum_cents", sum($"rev_cents").over(w))
+    val wBand = Window.partitionBy($"band")
+      .orderBy($"rev_cents".desc, $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byPart.join(broadcast(bandOffsets), "band")
+      .crossJoin(broadcast(total))
+      .withColumn("cum_cents", $"band_offset" + sum($"rev_cents").over(wBand))
       .select($"l_partkey", $"rev_cents",
         round($"cum_cents" / $"total_cents", 6).as("cum_share"),
         when($"cum_cents" * 5 <= $"total_cents" * 4, "A")
