@@ -126,6 +126,8 @@ object SparkEntry {
     "txt_readability" -> (TextAnalysis.txtReadability _),
     "txt_kn_counts" -> ((s: SparkSession, d: String) => TextAnalysis.txtKnCounts(s, d)),
     "pipe_span_corruption" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeSpanCorruption(s, d)),
+    "q69_chi2" -> (Analytics.q69Chi2 _),
+    "pipe_sft_render" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeSftRender(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1459,5 +1461,35 @@ object SparkEntry {
         | least(3, dl - start_tok) AS span_len,
         | 32000 + span_id AS sentinel_id
         |FROM e ORDER BY doc_id, span_id""".stripMargin,
+    "q69_chi2" ->
+      """WITH obs AS (
+        | SELECT event_type, cast(user_id % 2 as int) AS segment, count(*) AS n
+        | FROM events GROUP BY 1, 2
+        |), r AS (SELECT event_type, cast(sum(n) as bigint) AS row_n FROM obs GROUP BY 1),
+        |c AS (SELECT segment, cast(sum(n) as bigint) AS col_n FROM obs GROUP BY 1),
+        |t AS (SELECT cast(sum(n) as bigint) AS total_n FROM obs)
+        |SELECT obs.event_type, obs.segment, obs.n,
+        | round(r.row_n * c.col_n / t.total_n, 6) AS expected,
+        | round((obs.n - r.row_n * c.col_n / t.total_n)
+        |   * (obs.n - r.row_n * c.col_n / t.total_n)
+        |   / (r.row_n * c.col_n / t.total_n), 6) AS chi2_term
+        |FROM obs JOIN r ON obs.event_type = r.event_type
+        | JOIN c ON obs.segment = c.segment, t
+        |ORDER BY obs.event_type, obs.segment""".stripMargin,
+    "pipe_sft_render" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  '<|system|>You are a helpful assistant.<|user|>' ||
+        |  'Summarize the following ' || lang || ' document from ' || source || ':' ||
+        |  '<|assistant|>' AS header, text
+        | FROM documents
+        |)
+        |SELECT doc_id,
+        | substring(header || text, 1, 600) AS rendered,
+        | cast(len(header) as bigint) AS loss_start_char,
+        | cast(len(substring(header || text, 1, 600)) as bigint) AS n_chars,
+        | CASE WHEN len(substring(header || text, 1, 600)) < len(header || text)
+        |  THEN 1 ELSE 0 END AS clipped
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1179,6 +1179,30 @@ object Analytics {
       .orderBy($"digit")
   }
 
+  /** Chi-square contingency test: event_type × user-id-parity segment
+    * independence (the feature-vs-outcome dependence screen). Observed
+    * counts are one tiny aggregate; expected = row·col/total and the
+    * χ² term are double arithmetic over exact integers (deterministic
+    * in any engine). The contingency table is |types|×2 — at 100 TB
+    * the only big work is the one partial-aggregated count pass. */
+  def q69Chi2(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(spark, dir)
+      .groupBy($"event_type", ($"user_id" % 2).cast("int").as("segment"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = obs.groupBy($"event_type").agg(sum($"n").as("row_n"))
+    val colT = obs.groupBy($"segment").agg(sum($"n").as("col_n"))
+    val tot = obs.agg(sum($"n").as("total_n"))
+    obs.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "segment")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", $"row_n" * $"col_n" / $"total_n")
+      .select($"event_type", $"segment", $"n",
+        round($"expected", 6).as("expected"),
+        round(($"n" - $"expected") * ($"n" - $"expected") / $"expected", 6)
+          .as("chi2_term"))
+      .orderBy($"event_type", $"segment")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

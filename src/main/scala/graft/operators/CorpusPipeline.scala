@@ -117,6 +117,32 @@ object CorpusPipeline {
         (lit(32000L) + col("span_id")).as("sentinel_id"))
       .orderBy(col("doc_id"), col("span_id"))
 
+  /** SFT chat-template rendering: each document becomes an
+    * instruction-tuning example — a deterministic prompt derived from
+    * its metadata, the text as the response, rendered with
+    * system/user/assistant markers, clipped to a character budget,
+    * and the LOSS-MASK OFFSET (first character of the assistant span,
+    * where training loss starts) emitted alongside. Everything is
+    * string concat + length arithmetic: a pure projection that fuses
+    * into the scan, zero shuffle at corpus scale. */
+  def pipeSftRender(spark: SparkSession, dir: String,
+      maxChars: Int = 600): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("prompt",
+        concat(lit("Summarize the following "), col("lang"),
+          lit(" document from "), col("source"), lit(":")))
+      .withColumn("header",
+        concat(lit("<|system|>You are a helpful assistant.<|user|>"),
+          col("prompt"), lit("<|assistant|>")))
+      .withColumn("loss_start_char", length(col("header")).cast("bigint"))
+      .withColumn("rendered",
+        expr(s"substring(concat(header, text), 1, $maxChars)"))
+      .select(col("doc_id"), col("rendered"), col("loss_start_char"),
+        length(col("rendered")).cast("bigint").as("n_chars"),
+        (length(col("rendered")) < length(concat(col("header"), col("text"))))
+          .cast("int").as("clipped"))
+      .orderBy(col("doc_id"))
+
   def pipeMixCorpus(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))

@@ -393,6 +393,36 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("q69_chi2: expected counts recompute and marginals conserve") {
+    val rows = Analytics.q69Chi2(spark, sf0001).collect()
+    val n = rows.map(_.getLong(2)).sum
+    assert(n == Tables.events(spark, sf0001).count())
+    val rowT = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val colT = rows.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    rows.foreach { r =>
+      val e = rowT(r.getString(0)).toDouble * colT(r.getInt(1)) / n
+      assert(math.abs(r.getDouble(3) - math.rint(e * 1e6) / 1e6) < 1e-9)
+      val term = (r.getLong(2) - e) * (r.getLong(2) - e) / e
+      assert(math.abs(r.getDouble(4) - math.rint(term * 1e6) / 1e6) < 1e-6)
+    }
+  }
+
+  test("pipe_sft_render: loss offset lands exactly at the assistant span") {
+    val rows = CorpusPipeline.pipeSftRender(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val rendered = r.getString(1)
+      val off = r.getLong(2).toInt
+      assert(rendered.startsWith("<|system|>"))
+      val marker = "<|assistant|>"
+      val idx = rendered.indexOf(marker)
+      assert(idx >= 0 && idx + marker.length == off,
+        "loss_start_char must point just past the assistant marker")
+      assert(r.getLong(3) == rendered.length && r.getLong(3) <= 600)
+      if (r.getInt(4) == 0) assert(rendered.length < 600 || rendered.length == 600)
+    }
+  }
+
   test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
     val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
