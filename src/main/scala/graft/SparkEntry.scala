@@ -128,6 +128,9 @@ object SparkEntry {
     "pipe_span_corruption" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeSpanCorruption(s, d)),
     "q69_chi2" -> (Analytics.q69Chi2 _),
     "pipe_sft_render" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeSftRender(s, d)),
+    "dd_minhash_sigs" -> (Dedup.ddMinhashSigs _),
+    "q71_share_of_parent" -> (Analytics.q71ShareOfParent _),
+    "q72_yoy" -> (Analytics.q72YoY _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1491,5 +1494,46 @@ object SparkEntry {
         | CASE WHEN len(substring(header || text, 1, 600)) < len(header || text)
         |  THEN 1 ELSE 0 END AS clipped
         |FROM d ORDER BY doc_id""".stripMargin,
+    "dd_minhash_sigs" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |)
+        |SELECT doc_id,
+        | cast(len(list_distinct(shingles)) as bigint) AS n_shingles,
+        | array_to_string(list_transform(range(0, 8), i ->
+        |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')), ',') AS signature
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q71_share_of_parent" ->
+      """WITH n AS (
+        | SELECT r_name, n_name,
+        |  cast(sum(cast(o_totalprice as decimal(18,2)) * 100) as bigint) AS nation_cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2
+        |), r AS (SELECT r_name, cast(sum(nation_cents) as bigint) AS region_cents FROM n GROUP BY 1)
+        |SELECT n.r_name, n.n_name,
+        | cast(nation_cents as double) / 100 AS nation_revenue,
+        | round(nation_cents / region_cents, 6) AS share_of_region
+        |FROM n JOIN r ON n.r_name = r.r_name
+        |ORDER BY n.r_name, n.n_name""".stripMargin,
+    "q72_yoy" ->
+      """WITH m AS (
+        | SELECT cast(year(o_orderdate) as int) AS yr, cast(month(o_orderdate) as int) AS mo,
+        |  cast(sum(cast(o_totalprice as decimal(18,2)) * 100) as bigint) AS rev_cents
+        | FROM orders GROUP BY 1, 2
+        |), l AS (
+        | SELECT yr, mo, rev_cents,
+        |  lag(rev_cents) OVER (PARTITION BY mo ORDER BY yr) AS prev_cents,
+        |  lag(yr) OVER (PARTITION BY mo ORDER BY yr) AS prev_yr
+        | FROM m
+        |)
+        |SELECT yr, mo, rev_cents,
+        | round((rev_cents - CASE WHEN prev_yr = yr - 1 THEN prev_cents END)
+        |  / CASE WHEN prev_yr = yr - 1 THEN prev_cents END, 6) AS yoy_growth
+        |FROM l ORDER BY yr, mo""".stripMargin,
   )
 }

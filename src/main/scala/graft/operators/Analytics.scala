@@ -1203,6 +1203,51 @@ object Analytics {
       .orderBy($"event_type", $"segment")
   }
 
+  /** Share-of-parent rollup: each nation's revenue as a fraction of
+    * its region's (the drill-down ratio every OLAP UI shows). Child
+    * and parent totals come from ONE aggregate — the parent is a
+    * re-aggregation of the already-tiny child table, joined back
+    * broadcast — so the fact table is scanned once, and the ratio is
+    * double division of exact decimal sums. */
+  def q71ShareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val byNation = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2)) * 100) as bigint)")
+        .as("nation_cents"))
+    val byRegion = byNation.groupBy($"r_name")
+      .agg(sum($"nation_cents").as("region_cents"))
+    byNation.join(broadcast(byRegion), "r_name")
+      .select($"r_name", $"n_name",
+        expr("cast(nation_cents as double) / 100").as("nation_revenue"),
+        round($"nation_cents" / $"region_cents", 6).as("share_of_region"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Year-over-year growth: monthly order revenue joined to the same
+    * month one year earlier via a 12-row lag window per month-of-year
+    * — the time-intelligence staple. The monthly table is tiny after
+    * the one partial-aggregated scan; growth is double division of
+    * exact cent sums (null for the first year, like every YoY
+    * readout). */
+  def q72YoY(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2)) * 100) as bigint)")
+        .as("rev_cents"))
+    val w = Window.partitionBy($"mo").orderBy($"yr")
+    monthly
+      .withColumn("prev_cents", lag($"rev_cents", 1).over(w))
+      .withColumn("prev_yr", lag($"yr", 1).over(w))
+      .withColumn("prev_cents",
+        when($"prev_yr" === $"yr" - 1, $"prev_cents"))
+      .select($"yr", $"mo", $"rev_cents",
+        round(($"rev_cents" - $"prev_cents") / $"prev_cents", 6).as("yoy_growth"))
+      .orderBy($"yr", $"mo")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

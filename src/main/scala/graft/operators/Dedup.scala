@@ -112,6 +112,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Minhash signature TABLE: the persistable per-doc signature (8
+    * perm-seeded md5 mins, CSV-encoded) plus the shingle-set size —
+    * what a cross-corpus / cross-run dedup pipeline lands in the lake
+    * so new batches join against history without re-reading old text.
+    * One native codegen pass per row (MinHashSig), zero shuffles
+    * before the output sort. */
+  def ddMinhashSigs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.shingleArray("text").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        size(array_distinct(col("sh"))).cast("long").as("n_shingles"),
+        array_join(org.apache.spark.sql.graft.TextExpressions
+          .minhashSig(col("sh"), 8), ",").as("signature"))
+      .orderBy(col("doc_id"))
+
   /** Asymmetric CONTAINMENT detection: pairs where the smaller doc's
     * shingle set is ≥ half inside the larger's — catches quote
     * inclusion / partial copies that symmetric jaccard misses (a

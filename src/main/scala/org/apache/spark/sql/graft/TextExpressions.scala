@@ -156,6 +156,45 @@ object TextNative {
     new GenericArrayData(out)
   }
 
+  /** The raw minhash SIGNATURE (nPerms seeded md5 mins as hex) —
+    * the persistable form: cross-corpus dedup joins signatures
+    * computed in different runs, so the per-perm mins must be
+    * emitted, not only the folded band hashes. Same hash family as
+    * [[minhashBands]] (perm-seeded md5, unsigned-lexicographic min).
+    * Empty input → empty output. */
+  def minhashSig(arr: ArrayData, nPerms: Int): ArrayData = {
+    val nSh = arr.numElements()
+    if (nSh == 0) return EmptyArray
+    val md = digestTL.get()
+    val prefixes = new Array[Array[Byte]](nPerms)
+    var p = 0
+    while (p < nPerms) { prefixes(p) = (p.toString + ":").getBytes; p += 1 }
+    val mins = new Array[Array[Byte]](nPerms)
+    var i = 0
+    while (i < nSh) {
+      val s = arr.getUTF8String(i).getBytes
+      p = 0
+      while (p < nPerms) {
+        md.reset()
+        md.update(prefixes(p))
+        md.update(s)
+        val d = md.digest()
+        if (mins(p) == null || lessUnsigned(d, mins(p))) mins(p) = d
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](nPerms)
+    p = 0
+    while (p < nPerms) {
+      val hx = new Array[Byte](32)
+      hex(mins(p), hx, 0)
+      out(p) = UTF8String.fromBytes(hx)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Lexicographically smallest md5 hex over the array's elements
     * (the k=1 winnow fingerprint); null for an empty array. */
   def md5Min(arr: ArrayData): UTF8String = {
@@ -216,6 +255,26 @@ case class MinHashBands(child: Expression, nPerms: Int, nBands: Int)
     copy(child = newChild)
 }
 
+/** `minhash_sig(shingles, nPerms)` — the raw signature (per-perm md5
+  * mins as hex), the persistable cross-run dedup form. */
+case class MinHashSig(child: Expression, nPerms: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nPerms >= 1, "nPerms must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    TextNative.minhashSig(a.asInstanceOf[ArrayData], nPerms)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextNative.minhashSig($a, $nPerms);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `md5_min(arr)` — min md5 hex over array elements; null on empty. */
 case class Md5Min(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -246,4 +305,6 @@ object TextExpressions {
       ExpressionUtils.expression(shingles), nPerms, nBands))
   def md5Min(arr: Column): Column =
     ExpressionUtils.column(Md5Min(ExpressionUtils.expression(arr)))
+  def minhashSig(shingles: Column, nPerms: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), nPerms))
 }

@@ -423,6 +423,44 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("dd_minhash_sigs: native signature bit-equals the interpreted HOF formulation; LSH bands derive from it") {
+    val sigs = graft.operators.Dedup.ddMinhashSigs(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // interpreted reference: per perm, min md5 over 'p:shingle'
+    val ref = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.TextOps.shingleArray("text").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .selectExpr("doc_id",
+        """array_join(transform(sequence(0, 7), i ->
+          |  array_min(transform(sh, s -> md5(concat(cast(i as string), ':', s))))), ',')
+          |as sig""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs == ref, "native MinHashSig must bit-match the HOF reference")
+    sigs.values.foreach(s => assert(s.split(',').length == 8))
+  }
+
+  test("q71_share_of_parent: shares sum to 1 per region") {
+    val rows = Analytics.q71ShareOfParent(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+    assert(rows.forall(r => r.getDouble(2) > 0))
+  }
+
+  test("q72_yoy: growth recomputes from consecutive-year pairs, null on gaps/first year") {
+    val rows = Analytics.q72YoY(spark, sf0001).collect()
+    val rev = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val prev = rev.get((r.getInt(0) - 1, r.getInt(1)))
+      prev match {
+        case Some(p) =>
+          val g = (r.getLong(2) - p).toDouble / p
+          assert(math.abs(r.getDouble(3) - math.rint(g * 1e6) / 1e6) < 1e-9)
+        case None => assert(r.isNullAt(3))
+      }
+    }
+  }
+
   test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
     val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
