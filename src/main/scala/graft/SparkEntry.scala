@@ -131,6 +131,7 @@ object SparkEntry {
     "dd_minhash_sigs" -> (Dedup.ddMinhashSigs _),
     "q71_share_of_parent" -> (Analytics.q71ShareOfParent _),
     "q72_yoy" -> (Analytics.q72YoY _),
+    "dd_incremental" -> ((s: SparkSession, d: String) => Dedup.ddIncremental(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1535,5 +1536,23 @@ object SparkEntry {
         | round((rev_cents - CASE WHEN prev_yr = yr - 1 THEN prev_cents END)
         |  / CASE WHEN prev_yr = yr - 1 THEN prev_cents END, 6) AS yoy_growth
         |FROM l ORDER BY yr, mo""".stripMargin,
+    "dd_incremental" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), sig AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')) m
+        | FROM sh
+        |), bands AS (
+        | SELECT doc_id, b, md5(m[2*b+1] || m[2*b+2] || ':' || cast(b as varchar)) bh
+        | FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |)
+        |SELECT n.doc_id AS doc_new, h.doc_id AS doc_old
+        |FROM bands n JOIN bands h ON n.bh = h.bh AND n.b = h.b
+        |WHERE n.doc_id >= 400 AND h.doc_id < 400
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

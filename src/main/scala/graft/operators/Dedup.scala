@@ -128,6 +128,38 @@ object Dedup {
           .minhashSig(col("sh"), 8), ",").as("signature"))
       .orderBy(col("doc_id"))
 
+  /** INCREMENTAL dedup: a new batch (doc_id ≥ 400 models the
+    * freshly-crawled slice) LSH-checked against corpus HISTORY using
+    * only the persisted signature table — history text is never
+    * re-read or re-shingled: its band hashes derive from the stored
+    * per-perm mins (md5 of the two member hexes + band index, exactly
+    * the fold [[ddMinhashSigs]]' native kernel applies). Only the new
+    * batch tokenizes; the join is band-keyed with history's band side
+    * ~4 rows/doc. This is the shape that keeps nightly dedup O(batch)
+    * instead of O(corpus) at 100 TB. */
+  def ddIncremental(spark: SparkSession, dir: String,
+      splitId: Long = 400L): DataFrame = {
+    // history side: band hashes reconstructed FROM the signature table
+    val histBands = ddMinhashSigs(spark, dir)
+      .filter(col("doc_id") < splitId)
+      .select(col("doc_id").as("doc_old"),
+        expr("split(signature, ',')").as("s"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .select(col("doc_old"), col("b"),
+        expr("md5(concat(element_at(s, 2 * b + 1), element_at(s, 2 * b + 2), ':', cast(b as string)))").as("bh"))
+    // new batch: shingle + band natively (the only side touching text)
+    val newBands = TextOps.balanced(Tables.documents(spark, dir))
+      .filter(col("doc_id") >= splitId)
+      .select(col("doc_id").as("doc_new"), TextOps.shingleArray("text").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_new"), posexplode(
+        org.apache.spark.sql.graft.TextExpressions.minhashBands(col("sh"), 8, 4)))
+      .withColumnRenamed("pos", "b").withColumnRenamed("col", "bh")
+    newBands.join(histBands, Seq("b", "bh"))
+      .select(col("doc_new"), col("doc_old")).distinct()
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   /** Asymmetric CONTAINMENT detection: pairs where the smaller doc's
     * shingle set is ≥ half inside the larger's — catches quote
     * inclusion / partial copies that symmetric jaccard misses (a

@@ -461,6 +461,20 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("dd_incremental: signature-derived bands equal the full-LSH cross-split pairs") {
+    val inc = graft.operators.Dedup.ddIncremental(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: full LSH over everything, keep only cross-split pairs
+    val full = graft.operators.Dedup.ddMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cross = full.collect {
+      case (a, b) if a < 400 && b >= 400 => (b, a)
+      case (a, b) if b < 400 && a >= 400 => (a, b)
+    }.toSet
+    assert(inc == cross,
+      "incremental dedup from stored signatures must equal full-LSH cross pairs")
+  }
+
   test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
     val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
