@@ -132,6 +132,7 @@ object SparkEntry {
     "q71_share_of_parent" -> (Analytics.q71ShareOfParent _),
     "q72_yoy" -> (Analytics.q72YoY _),
     "dd_incremental" -> ((s: SparkSession, d: String) => Dedup.ddIncremental(s, d)),
+    "q73_reservoir" -> ((s: SparkSession, d: String) => Analytics.q73Reservoir(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1554,5 +1555,17 @@ object SparkEntry {
         |FROM bands n JOIN bands h ON n.bh = h.bh AND n.b = h.b
         |WHERE n.doc_id >= 400 AND h.doc_id < 400
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q73_reservoir" ->
+      """WITH h AS (
+        | SELECT user_id, event_id, event_type,
+        |  md5(cast(user_id as varchar) || ':' || cast(event_id as varchar)) AS hh
+        | FROM events
+        |), r AS (
+        | SELECT user_id, event_id, event_type,
+        |  cast(row_number() OVER (PARTITION BY user_id ORDER BY hh, event_id) as bigint) AS rn
+        | FROM h
+        |)
+        |SELECT user_id, rn, event_id, event_type
+        |FROM r WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin,
   )
 }

@@ -1248,6 +1248,25 @@ object Analytics {
       .orderBy($"yr", $"mo")
   }
 
+  /** Deterministic per-group reservoir: k events per user, selected
+    * by md5-hash order — the reproducible group-downsampling pass
+    * (uniform within group, stable across runs/engines/partitioning,
+    * unlike rand()-based sampling). One group-keyed window; at scale
+    * the same TopKPerGroup custom operator applies (bounded heaps,
+    * no full-group sort) — the window form here is the oracle-twin
+    * shape. */
+  def q73Reservoir(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"h", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        md5(concat($"user_id".cast("string"), lit(":"),
+          $"event_id".cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"user_id", $"rn".cast("bigint").as("rn"), $"event_id", $"event_type")
+      .orderBy($"user_id", $"rn")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

@@ -475,6 +475,23 @@ class Round3OpsSpec extends SparkSpec {
       "incremental dedup from stored signatures must equal full-LSH cross pairs")
   }
 
+  test("q73_reservoir: k per group, deterministic, selection matches hash order") {
+    val rows = Analytics.q73Reservoir(spark, sf0001).collect()
+    val again = Analytics.q73Reservoir(spark, sf0001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) => assert(rs.length == 5) }
+    // the chosen ids are the 5 smallest md5(user:event) per user
+    val byUser = Tables.events(spark, sf0001).select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(u: Long, e: Long): String =
+      md.digest(s"$u:$e".getBytes).map("%02x".format(_)).mkString
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val expect = byUser(u).map(_._2).sortBy(e => (h(u, e), e)).take(5).toSeq
+      assert(rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq == expect)
+    }
+  }
+
   test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
     val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
