@@ -133,6 +133,7 @@ object SparkEntry {
     "q72_yoy" -> (Analytics.q72YoY _),
     "dd_incremental" -> ((s: SparkSession, d: String) => Dedup.ddIncremental(s, d)),
     "q73_reservoir" -> ((s: SparkSession, d: String) => Analytics.q73Reservoir(s, d)),
+    "pipe_quality_report" -> (CorpusPipeline.pipeQualityReport _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1567,5 +1568,33 @@ object SparkEntry {
         |)
         |SELECT user_id, rn, event_id, event_type
         |FROM r WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin,
+    "pipe_quality_report" ->
+      """WITH t AS (
+        | SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |), bg AS (
+        | SELECT doc_id, text, toks,
+        |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) g
+        | FROM t
+        |), s AS (
+        | SELECT doc_id,
+        |  cast(len(toks) as bigint) n_tokens,
+        |  round(cast(len(toks) - len(list_distinct(toks)) as double) / len(toks), 6) dup_word_frac,
+        |  CASE WHEN len(toks) < 2 THEN cast(0.0 as double) ELSE
+        |   round(cast(list_max(list_transform(list_distinct(g), b -> len(list_filter(g, x -> x = b)))) as double) / (len(toks) - 1), 6) END top_bigram_frac,
+        |  round(cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks), 6) mean_word_len
+        | FROM bg
+        |), k AS (
+        | SELECT *,
+        |  (n_tokens >= 10 AND n_tokens <= 1000 AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.2
+        |   AND mean_word_len >= 2 AND mean_word_len <= 12) AS keep
+        | FROM s
+        |)
+        |SELECT 'docs_total' AS gate, count(*) AS n FROM k
+        |UNION ALL SELECT 'fail_length', cast(sum(CASE WHEN n_tokens < 10 OR n_tokens > 1000 THEN 1 ELSE 0 END) as bigint) FROM k
+        |UNION ALL SELECT 'fail_dup_words', cast(sum(CASE WHEN dup_word_frac > 0.6 THEN 1 ELSE 0 END) as bigint) FROM k
+        |UNION ALL SELECT 'fail_top_bigram', cast(sum(CASE WHEN top_bigram_frac > 0.2 THEN 1 ELSE 0 END) as bigint) FROM k
+        |UNION ALL SELECT 'fail_word_len', cast(sum(CASE WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 1 ELSE 0 END) as bigint) FROM k
+        |UNION ALL SELECT 'kept', cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) FROM k
+        |ORDER BY gate""".stripMargin,
   )
 }

@@ -143,6 +143,34 @@ object CorpusPipeline {
           .cast("int").as("clipped"))
       .orderBy(col("doc_id"))
 
+  /** Quality-gate funnel report — the observability table a cleaning
+    * pipeline publishes: per Gopher gate, how many docs fail it, plus
+    * the survivor count. One aggregate over the per-doc gate metrics
+    * (computed map-side by [[TextAnalysis.txtGopher]]'s projections):
+    * the report costs a single pass + a 7-row combine at any corpus
+    * size, and it is what makes a gate-threshold change reviewable
+    * before it ships. */
+  def pipeQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val g = TextAnalysis.txtGopher(spark, dir)
+    g.agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr("if(n_tokens < 10 OR n_tokens > 1000, 1, 0)")).as("fail_len"),
+      sum(expr("if(dup_word_frac > 0.6, 1, 0)")).as("fail_dup"),
+      sum(expr("if(top_bigram_frac > 0.2, 1, 0)")).as("fail_bigram"),
+      sum(expr("if(mean_word_len < 2 OR mean_word_len > 12, 1, 0)")).as("fail_wordlen"),
+      sum(expr("if(keep, 1, 0)")).as("n_kept"))
+      .selectExpr(
+        """stack(6,
+          | 'docs_total',    n_docs,
+          | 'fail_length',   fail_len,
+          | 'fail_dup_words',fail_dup,
+          | 'fail_top_bigram', fail_bigram,
+          | 'fail_word_len', fail_wordlen,
+          | 'kept',          n_kept)
+          | AS (gate, n)""".stripMargin)
+      .orderBy(col("gate"))
+  }
+
   def pipeMixCorpus(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))

@@ -492,6 +492,18 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("pipe_quality_report: gate counts reconcile with the per-doc gopher table") {
+    val m = CorpusPipeline.pipeQualityReport(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val g = TextAnalysis.txtGopher(spark, sf0001).collect()
+    assert(m("docs_total") == g.length)
+    assert(m("kept") == g.count(_.getBoolean(6)))
+    assert(m("fail_length") == g.count(r => r.getLong(1) < 10 || r.getLong(1) > 1000))
+    // a doc can fail several gates; kept + union-of-fails >= total
+    assert(m("kept") + m("fail_length") + m("fail_dup_words") +
+      m("fail_top_bigram") + m("fail_word_len") >= m("docs_total"))
+  }
+
   test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
     val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
