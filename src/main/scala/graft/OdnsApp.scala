@@ -31,29 +31,34 @@ object OdnsApp {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
-    try {
-      if (args.contains("--check-health")) {
-        println("[*] Health check...")
-        val pg = OdnsPipeline.checkJdbc(target)
-        val drive = OdnsPipeline.checkArchiveRoot(spark, archiveRoot)
-        if (pg && drive) {
-          println("[*] System healthy.")
-          sys.exit(0)
+    // compute the exit code first: sys.exit inside the try would skip
+    // the finally, leaving the session to the shutdown hook
+    val exitCode =
+      try {
+        if (args.contains("--check-health")) {
+          println("[*] Health check...")
+          val pg = OdnsPipeline.checkJdbc(target)
+          val drive = OdnsPipeline.checkArchiveRoot(spark, archiveRoot)
+          if (pg && drive) {
+            println("[*] System healthy.")
+            0
+          } else {
+            if (!pg) println("[*] No database connection.")
+            if (!drive) println("[*] Failed to access data drive.")
+            1
+          }
         } else {
-          if (!pg) println("[*] No database connection.")
-          if (!drive) println("[*] Failed to access data drive.")
-          sys.exit(1)
+          println("[*] Processing data.")
+          val year = argMap.get("--year").map(_.toInt)
+            .getOrElse(java.time.Year.now().getValue)
+          val results = OdnsPipeline.run(spark, archiveRoot, target, year,
+            ingestAll = args.contains("--all"))
+          results.foreach { r =>
+            println(s"[*] ${r.protocol}: ${r.archive.getOrElse("no archive")} -> ${r.rows} rows")
+          }
+          0
         }
-      } else {
-        println("[*] Processing data.")
-        val year = argMap.get("--year").map(_.toInt)
-          .getOrElse(java.time.Year.now().getValue)
-        val results = OdnsPipeline.run(spark, archiveRoot, target, year,
-          ingestAll = args.contains("--all"))
-        results.foreach { r =>
-          println(s"[*] ${r.protocol}: ${r.archive.getOrElse("no archive")} -> ${r.rows} rows")
-        }
-      }
-    } finally spark.stop()
+      } finally spark.stop()
+    sys.exit(exitCode)
   }
 }

@@ -132,6 +132,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
   }
 
+  test("AQE is active: executed plans are adaptive and coalesce shuffle reads") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val df = Analytics.q2RevenueByNation(spark, sf0001)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("AdaptiveSparkPlan"),
+      s"expected adaptive execution:\n$executed")
+    // AQE read-side optimization of the aggregate exchange
+    assert(executed.contains("AQEShuffleRead") || executed.contains("isFinalPlan=true"),
+      s"expected AQE shuffle handling:\n$executed")
+  }
+
   test("whole-stage codegen covers the scan-heavy operators") {
     // AQE reports codegen spans only on the executed plan
     val df = Analytics.q1PricingSummary(spark, sf0001)
