@@ -72,6 +72,43 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
+/** Optimizer rule: rewrites the window-formulated top-k —
+  * `Filter(rn <= k)` directly over `Window(rn = row_number() OVER
+  * (PARTITION BY g ORDER BY o))` — to run the child through
+  * [[TopKPerGroupPlan]] first. The Window is KEPT on top (downstream
+  * may reference rn, and row_number over the k survivors yields the
+  * identical 1..k values), but it now sorts ≤ k rows per group and
+  * its required clustering is already satisfied by the top-k final
+  * pass, while the exchange below carries ≤ partitions·groups·k rows
+  * thanks to the partial pass — the full-group sort is gone. Guarded
+  * to the exact safe shape: single row_number window expression,
+  * non-empty partition spec, total-order sort, literal positive k. */
+object TopKPerGroupRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+
+  private def limitFor(cond: Expression, rn: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k)
+    case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k)
+    case GreaterThan(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, w @ LWindow(
+        Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)),
+        part, order, child, _))
+        if part.nonEmpty && order.nonEmpty &&
+          !child.isInstanceOf[TopKPerGroupPlan] =>
+      limitFor(cond, al.exprId) match {
+        case Some(k) if k >= 1 =>
+          Filter(cond, w.copy(child = TopKPerGroupPlan(part, order, k, child)))
+        case _ => f
+      }
+  }
+}
+
 /** Plans the logical node as partial + final exec (combiner style). */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

@@ -36,4 +36,34 @@ class TopKPerGroupSpec extends SparkSpec {
       Seq("o_custkey"), Seq("o_orderkey" -> false), 1000000).count()
     assert(n == Tables.orders(spark, sf0001).count())
   }
+
+  test("rewrite rule: window row_number<=k auto-plans through TopKPerGroupExec, result-identical") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{TopKPerGroupRewrite, TopKPerGroupStrategy}
+    def windowTopk() = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_orderpriority"), col("rn"))
+    val plain = windowTopk().collect()
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TopKPerGroupRewrite
+    try {
+      val df = windowTopk()
+      val rewritten = df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        s"rule did not fire:\n${df.queryExecution.executedPlan}")
+      assert(rewritten.map(_.toString).toSeq == plain.map(_.toString).toSeq,
+        "rewrite must be result-identical including the rn column")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKPerGroupRewrite)
+    }
+  }
 }
