@@ -35,4 +35,24 @@ class FormatsSpec extends SparkSpec {
       d => docs.write.option("header", "true").csv(d),
       d => spark.read.option("header", "true").schema(docs.schema).csv(d))
   }
+
+  test("schema evolution: mergeSchema unions old and new parquet layouts") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("fmt_evo").toString + "/docs"
+    // v1 writers know (doc_id, lang); a later deploy adds quality_score
+    docs.select(col("doc_id"), col("lang"))
+      .write.parquet(dir + "/batch=1")
+    docs.select(col("doc_id"), col("lang"),
+        (length(col("text")) % 100).cast("double").as("quality_score"))
+      .write.parquet(dir + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq ==
+      Seq("batch", "doc_id", "lang", "quality_score"))
+    assert(merged.count() == docs.count() * 2)
+    // old rows surface the new column as null, new rows carry values
+    assert(merged.filter(col("batch") === 1)
+      .filter(col("quality_score").isNotNull).count() == 0)
+    assert(merged.filter(col("batch") === 2)
+      .filter(col("quality_score").isNull).count() == 0)
+  }
 }
