@@ -160,6 +160,34 @@ object Dedup {
       .orderBy(col("doc_new"), col("doc_old"))
   }
 
+  /** The lake-table variant of [[ddIncremental]]: history band hashes
+    * come from a PERSISTED signature table (parquet written by a
+    * previous run of [[ddMinhashSigs]]) — the scan reads only
+    * (doc_id, signature), pruning text entirely; the new batch is the
+    * only side that tokenizes. This is the nightly-dedup flow:
+    * O(batch) work + a band-keyed join against O(corpus) signatures
+    * that are ~100 bytes/doc. */
+  def ddIncrementalFromLake(spark: SparkSession, dir: String,
+      sigTablePath: String, splitId: Long = 400L): DataFrame = {
+    val histBands = spark.read.parquet(sigTablePath)
+      .filter(col("doc_id") < splitId)
+      .select(col("doc_id").as("doc_old"),
+        expr("split(signature, ',')").as("s"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .select(col("doc_old"), col("b"),
+        expr("md5(concat(element_at(s, 2 * b + 1), element_at(s, 2 * b + 2), ':', cast(b as string)))").as("bh"))
+    val newBands = TextOps.balanced(Tables.documents(spark, dir))
+      .filter(col("doc_id") >= splitId)
+      .select(col("doc_id").as("doc_new"), TextOps.shingleArray("text").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_new"), posexplode(
+        org.apache.spark.sql.graft.TextExpressions.minhashBands(col("sh"), 8, 4)))
+      .withColumnRenamed("pos", "b").withColumnRenamed("col", "bh")
+    newBands.join(histBands, Seq("b", "bh"))
+      .select(col("doc_new"), col("doc_old")).distinct()
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   /** Asymmetric CONTAINMENT detection: pairs where the smaller doc's
     * shingle set is ≥ half inside the larger's — catches quote
     * inclusion / partial copies that symmetric jaccard misses (a

@@ -504,6 +504,25 @@ class Round3OpsSpec extends SparkSpec {
       m("fail_top_bigram") + m("fail_word_len") >= m("docs_total"))
   }
 
+  test("dd_incremental from a persisted signature lake table: text never re-read, same pairs") {
+    val sigPath = java.nio.file.Files.createTempDirectory("sigs").toString + "/signatures"
+    // run 1: land the signature table
+    graft.operators.Dedup.ddMinhashSigs(spark, sf0001).write.parquet(sigPath)
+    // run 2: dedup the new batch against the STORED signatures
+    val fromLake = graft.operators.Dedup
+      .ddIncrementalFromLake(spark, sf0001, sigPath)
+    val viaLake = fromLake.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recomputed = graft.operators.Dedup.ddIncremental(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLake == recomputed, "lake-table path must equal the recomputed path")
+    // the history side's scan is pruned to the signature columns
+    val scanSchemas = fromLake.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scanSchemas.contains("text") || scanSchemas.contains("signature"),
+      s"history scan must not read text:\n$scanSchemas")
+  }
+
   test("pipe_mix_corpus: deterministic, a subset, and caps the dominant language") {
     val a = CorpusPipeline.pipeMixCorpus(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
