@@ -50,8 +50,16 @@ object OdnsConfig {
     def archiveRoot: Option[String] = get("paths", "archive-root")
   }
 
+  /** Raised for a `key = value` line before any `[section]` header —
+    * the behavior of the mirrored `configparser`
+    * (MissingSectionHeaderError): a malformed file must fail loudly,
+    * not yield empty lookups. */
+  final class MissingSectionHeaderException(line: String)
+    extends IllegalArgumentException(
+      s"config: key/value line before any [section] header: $line")
+
   def parse(text: String): Config = {
-    var section = ""
+    var section: String = null
     val out = collection.mutable.Map.empty[String, Map[String, String]]
     text.linesIterator.map(_.trim).foreach {
       case l if l.isEmpty || l.startsWith("#") || l.startsWith(";") => ()
@@ -59,6 +67,7 @@ object OdnsConfig {
         section = l.substring(1, l.length - 1).trim
         out.getOrElseUpdate(section, Map.empty)
       case l if l.contains("=") =>
+        if (section == null) throw new MissingSectionHeaderException(l)
         val (k, v) = l.splitAt(l.indexOf('='))
         out(section) = out.getOrElse(section, Map.empty) +
           (k.trim -> v.drop(1).trim)

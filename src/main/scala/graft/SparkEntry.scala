@@ -65,7 +65,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.ddMinhashLsh(s, d)),
     "dd_simhash" -> (Dedup.ddSimhash _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ddNgramJaccard(s, d)),
-    "dd_embed_cos" -> (Dedup.ddEmbedCos _),
+    "dd_embed_cos" -> ((s: SparkSession, d: String) => Dedup.ddEmbedCos(s, d)),
     "dd_components" -> (Dedup.ddComponents _),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
@@ -114,7 +114,7 @@ object SparkEntry {
     "q59_retention" -> (Analytics.q59Retention _),
     "q61_streaks" -> (Analytics.q61Streaks _),
     "q63_topk_per_group" -> ((s: SparkSession, d: String) => Analytics.q63TopkPerGroup(s, d)),
-    "q58_triangles" -> (Analytics.q58Triangles _),
+    "q58_triangles" -> ((s: SparkSession, d: String) => Analytics.q58Triangles(s, d)),
     "q62_ab_test" -> (Analytics.q62AbTest _),
     "sim_matryoshka" -> ((s: SparkSession, d: String) => Similarity.simMatryoshka(s, d)),
     "q64_interval_merge" -> (Analytics.q64IntervalMerge _),
@@ -1085,10 +1085,15 @@ object SparkEntry {
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q46_gap_fill" ->
       """WITH e AS (
-        | SELECT user_id, cast(ts as date) AS "day", event_type, ts FROM events
+        | SELECT user_id, cast(ts as date) AS "day", event_type, ts, event_id FROM events
+        |), ranked AS (
+        | SELECT user_id, "day", event_type,
+        |  row_number() OVER (PARTITION BY user_id, "day"
+        |    ORDER BY ts DESC, event_id DESC) rn,
+        |  count(*) OVER (PARTITION BY user_id, "day") n
+        | FROM e
         |), daily AS (
-        | SELECT user_id, "day", count(*) AS n, max_by(event_type, ts) AS last_type
-        | FROM e GROUP BY 1, 2
+        | SELECT user_id, "day", n, event_type AS last_type FROM ranked WHERE rn = 1
         |), grid AS (
         | SELECT user_id, unnest(generate_series(d0, d1, interval 1 day))::date AS "day"
         | FROM (SELECT user_id, min("day") d0, max("day") d1 FROM e GROUP BY 1)

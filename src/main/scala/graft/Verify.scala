@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the gated surface runs with the production extensions on —
+      // the TopKPerGroup rewrite and registered SQL functions are
+      // exercised exactly where the driver measures correctness
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -32,6 +36,7 @@ object Verify {
             .forEach(p => Files.delete(p))
         }
       }
+      finally spark.catalog.clearCache() // internal persists must not leak across queries
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -704,9 +704,12 @@ object Analytics {
     * the already-shuffled partitions, no new exchange. */
   def q46GapFill(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .select($"user_id", to_date($"ts").as("day"), $"event_type", $"ts")
+      .select($"user_id", to_date($"ts").as("day"), $"event_type", $"ts", $"event_id")
+    // tie-break on event_id: equal-timestamp events in a user-day would
+    // otherwise make last_type engine-nondeterministic (q44's pattern)
     val daily = e.groupBy($"user_id", $"day")
-      .agg(count(lit(1)).as("n"), max_by($"event_type", $"ts").as("last_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("max_by(event_type, struct(ts, event_id))").as("last_type"))
     val grid = e.groupBy($"user_id")
       .agg(min($"day").as("d0"), max($"day").as("d1"))
       .select($"user_id", explode(expr("sequence(d0, d1)")).as("day"))
@@ -891,6 +894,24 @@ object Analytics {
       .filter($"support" >= minSupport)
       .select($"a", $"b")
 
+  /** Materialize a provably-bounded final result (these graph
+    * queries end in `limit(25)` / a 4-row metric union), then
+    * unpersist the intermediate caches it was built from. A
+    * DataFrame-returning API must not leak session-lifetime cached
+    * blocks: without this, every call left the edge cache in the
+    * block manager until session end, squatting on executor memory
+    * for all later queries in a long session. The returned frame is
+    * a LocalRelation over the collected rows — legitimate here
+    * because the result cardinality is bounded by construction
+    * (≤ a few dozen rows regardless of input scale). */
+  private def materializeAndRelease(
+      spark: SparkSession, result: DataFrame,
+      caches: org.apache.spark.sql.Dataset[_]*): DataFrame = {
+    val rows = result.collect()
+    caches.foreach(_.unpersist(blocking = true))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** PageRank (3 unrolled iterations, damping 0.85) over the
     * co-purchase graph — the iterative-graph-processing exemplar.
     * Edges are built bucket-locally (per-order pair expansion, no
@@ -918,7 +939,8 @@ object Analytics {
         .agg(expr("cast(sum(cast(round(pr / deg, 12) as decimal(30,12))) as double)").as("s"))
         .select($"dst".as("node"), round(lit(0.15) + lit(0.85) * $"s", 12).as("pr"))
     }
-    pr.select($"node", $"pr").orderBy($"pr".desc, $"node").limit(25)
+    materializeAndRelease(spark,
+      pr.select($"node", $"pr").orderBy($"pr".desc, $"node").limit(25), ed)
   }
 
   /** Retention cohort matrix: users grouped by first-activity week,
@@ -981,13 +1003,38 @@ object Analytics {
     * Triangle counting uses the ordered-edge join (a<b<c: each
     * triangle counted exactly once) — the standard distributed
     * algorithm; wedges are Σ deg·(deg−1)/2, pure integer arithmetic.
-    * At 100 TB the known skew guard is a degree cap on hub nodes
-    * before the wedge join (drop or sample super-hubs) — the same
-    * bucket-cap idea as the LSH guard. */
-  def q58Triangles(spark: SparkSession, dir: String): DataFrame = {
+    *
+    * `degreeCap` (default off) is the skew guard for power-law
+    * graphs: one hub node of degree d contributes O(d²) wedge-join
+    * candidates inside a single task, so at 100 TB a super-hub makes
+    * the ab⋈bc join quadratic in its degree. With the cap set, nodes
+    * whose degree exceeds it are dropped from the graph before any
+    * metric is computed (the capped graph IS the analyzed graph —
+    * standard practice in triangle counting on social graphs; hub
+    * triangles are deliberately sacrificed for a bounded task size).
+    * Same pattern as the shipped LSH bucket cap: default-off, with a
+    * result-invariance spec proving a cap above the observed max
+    * degree leaves every metric bit-identical. */
+  def q58Triangles(spark: SparkSession, dir: String,
+      degreeCap: Option[Int] = None): DataFrame = {
+    val rawPairs = copurchaseEdges(spark, dir)
+    val capped = degreeCap match {
+      case None => rawPairs
+      case Some(cap) =>
+        // super-hub set is tiny by definition → broadcast anti joins;
+        // degree here is over the RAW graph (the cap criterion),
+        // metrics below recompute degree over the capped graph
+        val hubs = rawPairs.select($"a".as("n")).unionAll(rawPairs.select($"b".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("d"))
+          .filter($"d" > cap).select($"n")
+        val hubs2 = hubs.select($"n".as("n2")) // fresh attrs for the 2nd anti join
+        rawPairs
+          .join(broadcast(hubs), rawPairs("a") === hubs("n"), "left_anti")
+          .join(broadcast(hubs2), rawPairs("b") === hubs2("n2"), "left_anti")
+    }
     // consumed 5x below (edge count, degree, three triangle-join legs):
     // materialize once rather than re-deriving the basket expansion
-    val pairs = copurchaseEdges(spark, dir)
+    val pairs = capped
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = pairs.agg(count(lit(1)).as("v"))
       .select(lit("n_edges").as("metric"), $"v".cast("double").as("value"))
@@ -1000,12 +1047,14 @@ object Analytics {
         col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
       .agg(count(lit(1)).as("t"))
     val triW = tri.crossJoin(nWedges)
-    nEdges
-      .unionAll(triW.select(lit("n_triangles").as("metric"), $"t".cast("double").as("value")))
-      .unionAll(triW.select(lit("n_wedges").as("metric"), $"w".cast("double").as("value")))
-      .unionAll(triW.select(lit("clustering_coeff").as("metric"),
-        round(lit(3.0) * $"t" / $"w", 6).as("value")))
-      .orderBy($"metric")
+    materializeAndRelease(spark,
+      nEdges
+        .unionAll(triW.select(lit("n_triangles").as("metric"), $"t".cast("double").as("value")))
+        .unionAll(triW.select(lit("n_wedges").as("metric"), $"w".cast("double").as("value")))
+        .unionAll(triW.select(lit("clustering_coeff").as("metric"),
+          round(lit(3.0) * $"t" / $"w", 6).as("value")))
+        .orderBy($"metric"),
+      pairs)
   }
 
   /** Two-sample proportion test (the A/B-test readout): users split

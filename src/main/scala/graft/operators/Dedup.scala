@@ -188,6 +188,25 @@ object Dedup {
       .orderBy(col("doc_new"), col("doc_old"))
   }
 
+  /** The WRITE half of the signature-lake flow ([[ddIncrementalFromLake]]
+    * is the read half): compute the batch's minhash signatures and
+    * MERGE them into the persisted table keyed by doc_id. The table is
+    * partitioned by doc_id range (`chunk` = doc_id / 1000), so an
+    * append-mostly nightly batch rewrites only the chunk directories
+    * its ids fall in — never the historical bulk; re-upserting the
+    * same batch is idempotent (key-replace). This closes the nightly
+    * loop: upsert batch N's signatures, dedup batch N+1 against the
+    * table, upsert N+1, … — every step O(batch), signatures ~100
+    * bytes/doc. */
+  def sigLakeUpsert(spark: SparkSession, dir: String, sigTablePath: String,
+      minDocId: Long = 0L, maxDocId: Long = Long.MaxValue): Unit = {
+    val sigs = ddMinhashSigs(spark, dir)
+      .filter(col("doc_id") >= minDocId && col("doc_id") < maxDocId)
+      .withColumn("chunk", (col("doc_id") / lit(1000L)).cast("long"))
+    graft.sinks.ParquetSink.mergeUpsert(sigs, sigTablePath,
+      Seq("doc_id"), Seq("chunk"))
+  }
+
   /** Asymmetric CONTAINMENT detection: pairs where the smaller doc's
     * shingle set is ≥ half inside the larger's — catches quote
     * inclusion / partial copies that symmetric jaccard misses (a
@@ -353,17 +372,45 @@ object Dedup {
 
   /** Embedding-cosine near-dup, blocked by label (an IVF-style coarse
     * partition): pairs are only formed within a block, turning O(n²)
-    * into Σ|block|². */
-  def ddEmbedCos(spark: SparkSession, dir: String): DataFrame = {
+    * into Σ|block|².
+    *
+    * Label alone is a FIXED block count, so in-block pairs grow ∝ n²
+    * with corpus size. `lshBits` (default 0 = off, the oracle-gated
+    * exact semantics) is the scale path: each label block is refined
+    * by a sign-random-projection signature — `lshBits` deterministic
+    * hyperplanes, cell = the sign bit-pattern — so the cell count is
+    * |labels|·2^bits and bits can be chosen ∝ log(n/targetBlockSize),
+    * giving cells whose count scales with n. Cosine-near vectors
+    * agree on each sign bit with probability 1 − θ/π (the SimHash
+    * bound), so near-dup pairs stay co-celled w.h.p. — the standard
+    * recall/cost dial of LSH near-dup at 100 TB. The spec proves the
+    * refined result is a score-identical subset of the exact one. */
+  def ddEmbedCos(spark: SparkSession, dir: String, lshBits: Int = 0): DataFrame = {
     // norms are precomputed once per vector (not per pair) — the value
     // is identical to the oracle's per-pair formula, just not recomputed
-    val e = Tables.embeddings(spark, dir)
+    val e0 = Tables.embeddings(spark, dir)
       .withColumn("nrm", VectorOps.norm2("embedding"))
-    val a = e.select(col("vec_id").as("va"), col("label"),
+    val e =
+      if (lshBits <= 0) e0.withColumn("cell", lit(0))
+      else {
+        // hyperplanes from a fixed seed: deterministic across runs and
+        // cluster layouts; map-side arithmetic only (no shuffle added)
+        val rnd = new scala.util.Random(0x5eed)
+        val sig = (0 until lshBits).map { i =>
+          val plane = array(Array.fill(128)(lit(rnd.nextGaussian())): _*)
+          val d = aggregate(
+            zip_with(col("embedding"), slice(plane, lit(1), size(col("embedding"))),
+              (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v)
+          when(d >= 0, lit(1 << i)).otherwise(lit(0))
+        }.reduce(_ + _)
+        e0.withColumn("cell", sig)
+      }
+    val a = e.select(col("vec_id").as("va"), col("label"), col("cell"),
       col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vb"), col("label"),
+    val b = e.select(col("vec_id").as("vb"), col("label"), col("cell"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("label", "cell"))
       .filter(col("va") < col("vb"))
       .withColumn("cosim", VectorOps.dot("ea", "eb") / (col("na") * col("nb")))
       .filter(col("cosim") >= 0.3)

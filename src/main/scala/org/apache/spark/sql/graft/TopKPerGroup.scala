@@ -44,13 +44,29 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    // Memory guard for the PARTIAL pass: the per-task group map grows
+    // with the number of distinct keys the task sees, so a
+    // high-cardinality group key (per-user top-k at 100 TB) would
+    // otherwise OOM the task. When the map reaches the threshold the
+    // pass emits everything buffered so far and starts a fresh map —
+    // emitting a SUPERSET is selection-identical because the final
+    // pass (and, in the rewrite path, the Window+Filter above) still
+    // selects exactly k per group. The final pass must never flush
+    // mid-group (its selection is per-buffer), so the guard is
+    // partial-only; its memory is bounded by (groups-in-partition)·k
+    // after the shuffle clusters each group into one partition.
+    // Read driver-side (doExecute runs on the driver) and captured.
+    val flushThreshold =
+      if (!partial) Int.MaxValue
+      else org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.maxGroupsPerTask", "262144").toInt
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
       // per group: ascending-sorted buffer of at most k rows under
       // `ordering` (the first k of the total order = the top k)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
-      iter.foreach { row =>
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         val buf = heaps.getOrElseUpdate(key.copy(), new mutable.ArrayBuffer[InternalRow](limit + 1))
         if (buf.length < limit || ordering.compare(row, buf.last) < 0) {
@@ -64,7 +80,20 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
           if (buf.length > limit) buf.remove(limit)
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && iter.hasNext) {
+            heaps.clear()
+            // fill until the input is drained or the map hits the cap
+            while (iter.hasNext && heaps.size < flushThreshold) insert(iter.next())
+            // drain the chunk; map is rebuilt for the next one
+            cur = heaps.values.toIndexedSeq.iterator.flatMap(_.iterator)
+          }
+          cur.hasNext
+        }
+        override def next(): InternalRow = { if (!hasNext) Iterator.empty.next(); cur.next() }
+      }
     }
   }
 
@@ -81,17 +110,30 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
   * its required clustering is already satisfied by the top-k final
   * pass, while the exchange below carries ≤ partitions·groups·k rows
   * thanks to the partial pass — the full-group sort is gone. Guarded
-  * to the exact safe shape: single row_number window expression,
-  * non-empty partition spec, total-order sort, literal positive k. */
+  * to the shape: single row_number window expression, non-empty
+  * partition spec, non-empty ORDER BY, literal positive k.
+  *
+  * TIE SEMANTICS: totality of the sort order is not statically
+  * verifiable, and the guard does NOT attempt it. If the window's
+  * ORDER BY has ties at the k-boundary, row_number() itself is
+  * nondeterministic (any of the tied rows may get rank k), so both
+  * the rewritten and the un-rewritten plan return SOME admissible
+  * k-row set — but not necessarily the SAME one. This is the same
+  * caveat Spark's built-in InferWindowGroupLimit rule carries for
+  * the identical shape; queries that need a reproducible row set
+  * must include a tie-break column, with or without this rule. */
 object TopKPerGroupRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
 
-  private def limitFor(cond: Expression, rn: ExprId): Option[Int] = cond match {
-    case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k)
-    case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k - 1)
-    case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k)
-    case GreaterThan(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k - 1)
+  // Long arithmetic: `rn < Int.MinValue` must yield Some(MinValue-1L)
+  // → rejected by the k-range guard below, not wrap to Int.MaxValue
+  // and plan a pathological 2^31-bounded heap.
+  private def limitFor(cond: Expression, rn: ExprId): Option[Long] = cond match {
+    case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k.toLong)
+    case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k.toLong - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k.toLong)
+    case GreaterThan(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k.toLong - 1)
     case _ => None
   }
 
@@ -102,8 +144,8 @@ object TopKPerGroupRewrite extends org.apache.spark.sql.catalyst.rules.Rule[Logi
         if part.nonEmpty && order.nonEmpty &&
           !child.isInstanceOf[TopKPerGroupPlan] =>
       limitFor(cond, al.exprId) match {
-        case Some(k) if k >= 1 =>
-          Filter(cond, w.copy(child = TopKPerGroupPlan(part, order, k, child)))
+        case Some(k) if k >= 1 && k <= Int.MaxValue =>
+          Filter(cond, w.copy(child = TopKPerGroupPlan(part, order, k.toInt, child)))
         case _ => f
       }
   }
