@@ -243,17 +243,28 @@ object Analytics {
       .orderBy($"o_orderpriority")
 
   /** CUBE aggregate over segment × status (all 4 grouping combinations). */
-  def q18Cube(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+  def q18Cube(spark: SparkSession, dir: String): DataFrame = {
+    // Aggregate-before-expand: CUBE plans an Expand that multiplies its
+    // input ×4 (one copy per grouping set), so cubing the raw join
+    // would push every joined row through the aggregate four times.
+    // Computing the base cells first (one ordinary aggregate, ~35
+    // cells) and cubing THAT means the Expand runs over the cell
+    // table, not the fact stream — the margins are sums of exact
+    // decimal partials, so every value is bit-identical to the direct
+    // formulation at any scale.
+    val base = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
-      .cube($"c_mktsegment", $"o_orderstatus")
-      .agg(
-        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"),
-        count(lit(1)).as("n_orders"))
+      .groupBy($"c_mktsegment", $"o_orderstatus")
+      .agg(sum(expr("cast(o_totalprice as decimal(18,2))")).as("rev"),
+        count(lit(1)).as("n"))
+    base.cube($"c_mktsegment", $"o_orderstatus")
+      .agg(expr("cast(sum(rev) as double)").as("revenue"),
+        sum($"n").as("n_orders"))
       .select(coalesce($"c_mktsegment", lit("ALL")).as("mktsegment"),
         coalesce($"o_orderstatus", lit("ALL")).as("orderstatus"),
         $"revenue", $"n_orders")
       .orderBy($"mktsegment", $"orderstatus")
+  }
 
   /** String function coverage: case, substring, length, replace. */
   def q19StringOps(spark: SparkSession, dir: String): DataFrame =
