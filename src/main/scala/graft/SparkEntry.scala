@@ -134,6 +134,18 @@ object SparkEntry {
     "dd_incremental" -> ((s: SparkSession, d: String) => Dedup.ddIncremental(s, d)),
     "q73_reservoir" -> ((s: SparkSession, d: String) => Analytics.q73Reservoir(s, d)),
     "pipe_quality_report" -> (CorpusPipeline.pipeQualityReport _),
+    "q74_regression" -> (Analytics.q74Regression _),
+    "q75_wma" -> (Analytics.q75Wma _),
+    "q76_gini_impurity" -> (Analytics.q76GiniImpurity _),
+    "q77_hhi" -> (Analytics.q77Hhi _),
+    "q79_bollinger" -> (Analytics.q79Bollinger _),
+    "q80_dow_profile" -> (Analytics.q80DowProfile _),
+    "q83_winsorize" -> (Analytics.q83Winsorize _),
+    "dd_cluster_sizes" -> (Dedup.ddClusterSizes _),
+    "sim_range_search" -> ((s: SparkSession, d: String) => Similarity.simRangeSearch(s, d)),
+    "mm_exact_dup" -> (Multimodal.mmExactDup _),
+    "txt_ttr" -> (TextAnalysis.txtTtr _),
+    "pipe_interleave" -> (CorpusPipeline.pipeInterleave _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1601,5 +1613,160 @@ object SparkEntry {
         |UNION ALL SELECT 'fail_word_len', cast(sum(CASE WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 1 ELSE 0 END) as bigint) FROM k
         |UNION ALL SELECT 'kept', cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) FROM k
         |ORDER BY gate""".stripMargin,
+    "q74_regression" ->
+      """WITH s AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) sx,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) sy,
+        |  cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) sxy,
+        |  cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) as double) sxx,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) syy
+        | FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        | round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+        | round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q75_wma" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), lagged AS (
+        | SELECT o_orderpriority, "day", cents,
+        |  cents * 7 + lag(cents, 1) OVER w * 6 + lag(cents, 2) OVER w * 5 +
+        |  lag(cents, 3) OVER w * 4 + lag(cents, 4) OVER w * 3 +
+        |  lag(cents, 5) OVER w * 2 + lag(cents, 6) OVER w * 1 AS wsum
+        | FROM daily WINDOW w AS (PARTITION BY o_orderpriority ORDER BY "day")
+        |)
+        |SELECT o_orderpriority, "day", cents, round(wsum / 28.0, 6) AS wma7
+        |FROM lagged WHERE wsum IS NOT NULL
+        |ORDER BY o_orderpriority, "day"""".stripMargin,
+    "q76_gini_impurity" ->
+      """WITH c AS (
+        | SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+        |), a AS (
+        | SELECT user_id, cast(sum(c) as bigint) n_events, count(*) n_types,
+        |  cast(sum(c * c) as bigint) sc2
+        | FROM c GROUP BY 1
+        |)
+        |SELECT user_id, n_events, n_types,
+        | round((n_events * n_events - sc2) / cast(n_events * n_events as double), 6) AS impurity
+        |FROM a ORDER BY user_id""".stripMargin,
+    "q77_hhi" ->
+      """WITH rev AS (
+        | SELECT c_nationkey, c_custkey, sum(cast(o_totalprice as decimal(18,2))) AS rev
+        | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2
+        |), nat AS (
+        | SELECT c_nationkey, sum(rev) AS nrev, count(*) AS n_customers FROM rev GROUP BY 1
+        |)
+        |SELECT r.c_nationkey, n_customers,
+        | round(cast(sum(cast(round((cast(rev as double) / cast(nrev as double)) * (cast(rev as double) / cast(nrev as double)), 12) as decimal(20,12))) as double) * 10000, 6) AS hhi
+        |FROM rev r JOIN nat n ON r.c_nationkey = n.c_nationkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q79_bollinger" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), win AS (
+        | SELECT o_orderpriority, "day", cents,
+        |  row_number() OVER wn AS rn,
+        |  sum(cents) OVER w AS s1,
+        |  sum(cast(cents as decimal(19,0)) * cents) OVER w AS s2
+        | FROM daily
+        | WINDOW wn AS (PARTITION BY o_orderpriority ORDER BY "day"),
+        |  w AS (PARTITION BY o_orderpriority ORDER BY "day" ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT o_orderpriority, "day", cents,
+        | round(s1 / 20.0 / 100.0, 6) AS ma20,
+        | round((s1 / 20.0 + 2.0 * sqrt((20.0 * cast(s2 as double) - cast(s1 as double) * cast(s1 as double)) / 380.0)) / 100.0, 6) AS upper,
+        | round((s1 / 20.0 - 2.0 * sqrt((20.0 * cast(s2 as double) - cast(s1 as double) * cast(s1 as double)) / 380.0)) / 100.0, 6) AS lower
+        |FROM win WHERE rn >= 20 ORDER BY o_orderpriority, "day"""".stripMargin,
+    "q80_dow_profile" ->
+      """WITH daily AS (
+        | SELECT c_nationkey, cast(o_orderdate as date) AS "day",
+        |  sum(cast(o_totalprice as decimal(18,2))) AS rev
+        | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2
+        |)
+        |SELECT c_nationkey, cast(dayofweek("day") as bigint) AS dow,
+        | count(*) AS n_days,
+        | round(cast(sum(rev) as double) / count(*), 6) AS avg_daily_rev
+        |FROM daily GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q83_winsorize" ->
+      """WITH pct AS (
+        | SELECT c_nationkey, quantile_cont(c_acctbal, 0.05) AS p05,
+        |  quantile_cont(c_acctbal, 0.95) AS p95
+        | FROM customer GROUP BY 1
+        |)
+        |SELECT c.c_nationkey, count(*) AS n,
+        | cast(sum(cast(round(least(greatest(c_acctbal, p05), p95), 6) as decimal(24,6))) as double) / count(*) AS winsorized_mean
+        |FROM customer c JOIN pct ON c.c_nationkey = pct.c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |),
+        |edges AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach AS (
+        | SELECT a AS n, a AS m FROM edges
+        | UNION
+        | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+        |),
+        |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1),
+        |csz AS (SELECT component, count(*) sz FROM comp GROUP BY 1)
+        |SELECT cast(sz as bigint) AS cluster_size, count(*) AS n_clusters
+        |FROM csz GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_range_search" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        | SELECT q.qid, e.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+        |)
+        |SELECT qid AS query_id, vec_id, round(cosim, 6) AS score
+        |FROM s WHERE cosim >= 0.25 ORDER BY query_id, vec_id""".stripMargin,
+    "mm_exact_dup" ->
+      """SELECT md5(text) AS payload_md5, count(*) AS n_copies,
+        | min(doc_id) AS keeper,
+        | max(cast(octet_length(cast(text as blob)) as bigint)) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_ttr" ->
+      """WITH t AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |)
+        |SELECT doc_id, cast(len(toks) as bigint) AS n_tokens,
+        | cast(len(list_distinct(toks)) as bigint) AS n_types,
+        | round(len(list_distinct(toks)) / cast(len(toks) as double), 6) AS ttr
+        |FROM t WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin,
+    "pipe_interleave" ->
+      """WITH s AS (
+        | SELECT source, cast(row_number() OVER (ORDER BY source) as bigint) - 1 AS src_idx
+        | FROM (SELECT DISTINCT source FROM documents)
+        |), ns AS (SELECT count(*) AS n FROM s),
+        |r AS (
+        | SELECT doc_id, source,
+        |  cast(row_number() OVER (PARTITION BY source ORDER BY doc_id) as bigint) AS rank_in_source
+        | FROM documents
+        |)
+        |SELECT (r.rank_in_source - 1) * (SELECT n FROM ns) + s.src_idx + 1 AS position,
+        | r.source, r.rank_in_source, r.doc_id
+        |FROM r JOIN s ON r.source = s.source
+        |ORDER BY position""".stripMargin,
   )
 }

@@ -1327,6 +1327,172 @@ object Analytics {
       .orderBy($"user_id", $"rn")
   }
 
+  /** Per-group simple linear regression (extendedprice vs quantity per
+    * return flag) from the closed-form normal equations over EXACT
+    * decimal sums: the five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    * Σy²) aggregate as decimals (partition-order independent), are
+    * cast to double once, and slope/intercept/R² evaluate as one fixed
+    * IEEE expression — bit-identical in any engine, unlike the
+    * engines' own regr_* aggregates whose incremental (Welford-style)
+    * updates are accumulation-order dependent. One partial-aggregated
+    * shuffle on the group key; the stats are O(groups), never the
+    * rows. */
+  def q74Regression(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        expr("cast(l_quantity as decimal(18,2))").as("x"),
+        expr("cast(l_extendedprice as decimal(18,2))").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(x) as double)").as("sx"),
+        expr("cast(sum(y) as double)").as("sy"),
+        expr("cast(sum(x * y) as double)").as("sxy"),
+        expr("cast(sum(x * x) as double)").as("sxx"),
+        expr("cast(sum(y * y) as double)").as("syy"))
+      .select($"l_returnflag", $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+        round(($"sy" * $"sxx" - $"sx" * $"sxy") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("intercept"),
+        round((($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")) /
+          (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+      .orderBy($"l_returnflag")
+
+  /** 7-point linear-weighted moving average (LWMA) of daily revenue
+    * per order priority — the classic trend smoother. Revenue rides
+    * as integer cents and the weights (7,6,…,1) are integers, so the
+    * weighted sum is EXACT until the single final division — no
+    * float-accumulation parity risk (the pow-weighted EMA variant
+    * would hinge on libm pow). lag() keeps it one window sort; rows
+    * without 7 days of history are excluded (the standard warm-up
+    * cut). */
+  def q75Wma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val weighted = (0 to 6).map(j => lag($"cents", j).over(w) * lit(7 - j))
+      .reduce(_ + _) // NULL while any lag is missing → warm-up rows drop
+    daily
+      .withColumn("wsum", weighted)
+      .filter($"wsum".isNotNull)
+      .select($"o_orderpriority", $"day", $"cents",
+        round($"wsum" / lit(28.0), 6).as("wma7"))
+      .orderBy($"o_orderpriority", $"day")
+  }
+
+  /** Gini impurity of each user's event-type mix (1 − Σ pᵢ²) — the
+    * concentration/diversity readout over categorical activity.
+    * Counts are integers, so (n² − Σc²)/n² is exact rational
+    * arithmetic until the final division. Two aggregates sharing the
+    * user-keyed shuffle. */
+  def q76GiniImpurity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(sum($"c").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum($"c" * $"c").as("sc2"))
+      .select($"user_id", $"n_events", $"n_types",
+        round(($"n_events" * $"n_events" - $"sc2") /
+          ($"n_events" * $"n_events").cast("double"), 6).as("impurity"))
+      .orderBy($"user_id")
+
+  /** Herfindahl–Hirschman concentration of order revenue across
+    * customers within each nation (Σ shareᵢ² × 10000) — the market-
+    * concentration audit. Revenue sums are exact decimals; each
+    * share² is rounded to 12 dp and summed as DECIMAL so the total is
+    * partition-order independent (a raw double Σ would vary in ulps
+    * with the merge order). Customer revenue and the nation total
+    * share one customer-keyed aggregate; the nation join is tiny. */
+  def q77Hhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey", $"c_custkey")
+      .agg(sum(expr("cast(o_totalprice as decimal(18,2))")).as("rev"))
+    val nat = rev.groupBy($"c_nationkey")
+      .agg(sum($"rev").as("nrev"), count(lit(1)).as("n_customers"))
+    rev.join(broadcast(nat), "c_nationkey")
+      .select($"c_nationkey", $"n_customers",
+        // share² via explicit multiply: IEEE-exact in every engine
+        // (pow(x, 2) is libm-dependent and not correctly rounded)
+        expr("cast(round((cast(rev as double) / cast(nrev as double)) * (cast(rev as double) / cast(nrev as double)), 12) as decimal(20,12))").as("s2"))
+      .groupBy($"c_nationkey", $"n_customers")
+      // exact decimal Σ cast to double once, then one IEEE mult+round
+      .agg(round(sum($"s2").cast("double") * 10000, 6).as("hhi"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Bollinger bands: 20-point rolling mean ± 2σ of daily revenue per
+    * priority. The rolling variance comes from exact integer/decimal
+    * window sums (Σx, Σx² over the 20-row frame) through the textbook
+    * (nΣx² − (Σx)²)/(n(n−1)) form — one fixed IEEE expression, not an
+    * engine-internal incremental stddev, so both engines produce the
+    * identical double before the final sqrt (correctly rounded by
+    * IEEE). One window sort carries both sums. */
+  def q79Bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day").rowsBetween(-19, 0)
+    val wn = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    daily
+      .withColumn("rn", row_number().over(wn))
+      .withColumn("s1", sum($"cents").over(w))
+      .withColumn("s2", sum(expr("cast(cents as decimal(19,0)) * cents")).over(w))
+      .filter($"rn" >= 20)
+      .select($"o_orderpriority", $"day", $"cents",
+        round($"s1" / lit(20.0) / 100.0, 6).as("ma20"),
+        round(($"s1" / lit(20.0) +
+          lit(2.0) * sqrt((lit(20.0) * $"s2".cast("double") - $"s1".cast("double") * $"s1".cast("double")) / lit(380.0))) / 100.0, 6).as("upper"),
+        round(($"s1" / lit(20.0) -
+          lit(2.0) * sqrt((lit(20.0) * $"s2".cast("double") - $"s1".cast("double") * $"s1".cast("double")) / lit(380.0))) / 100.0, 6).as("lower"))
+      .orderBy($"o_orderpriority", $"day")
+  }
+
+  /** Day-of-week seasonality profile: average daily revenue per
+    * (nation, weekday) — the ops-dashboard staple. Daily sums are
+    * exact decimals; the weekday average is one division at the edge.
+    * Weekday is Sunday=0 (Spark dayofweek−1 == DuckDB dayofweek). */
+  def q80DowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(o_totalprice as decimal(18,2))")).as("rev"))
+    daily
+      .groupBy($"c_nationkey", (dayofweek($"day") - 1).cast("bigint").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("cast(sum(rev) as double)") / count(lit(1)), 6).as("avg_daily_rev"))
+      .orderBy($"c_nationkey", $"dow")
+  }
+
+  /** Winsorized mean of customer balances per nation: clip at the
+    * exact p05/p95 (linear-interpolation percentiles, the same
+    * machinery the gated q17 already proves engine-identical), round
+    * the clipped values to 6 dp, and average as exact decimals so the
+    * sum is partition-order independent. The robust-mean pass an
+    * outlier-heavy feature pipeline runs. */
+  def q83Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val pct = c.groupBy($"c_nationkey")
+      .agg(expr("percentile(c_acctbal, 0.05)").as("p05"),
+        expr("percentile(c_acctbal, 0.95)").as("p95"))
+    c.join(broadcast(pct), "c_nationkey")
+      .select($"c_nationkey",
+        expr("cast(round(least(greatest(c_acctbal, p05), p95), 6) as decimal(24,6))").as("clipped"))
+      .groupBy($"c_nationkey")
+      // the mean is emitted UNROUNDED: the decimal Σ → double cast and
+      // the /n division are correctly-rounded IEEE ops (bit-identical
+      // in every engine), whereas a final round(…, 6) can land on a
+      // .5 tie that Spark (shortest-decimal HALF_UP) and other engines
+      // (binary-value rounding) resolve differently — observed on a
+      // winsorized mean whose clipped values share the exact p05.
+      .agg(count(lit(1)).as("n"),
+        (expr("cast(sum(clipped) as double)") / count(lit(1))).as("winsorized_mean"))
+      .orderBy($"c_nationkey")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

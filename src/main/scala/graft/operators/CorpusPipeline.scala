@@ -182,4 +182,27 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
+  /** Deterministic round-robin interleave of sources into a single
+    * training order: doc r of source s lands at position
+    * (r−1)·S + idx(s) + 1 — pure integer arithmetic, NO global sort
+    * or single-partition window (the naive row_number() over
+    * everything serializes at 100 TB; this formulation assigns
+    * positions map-side after one per-source window). Unequal source
+    * sizes leave gaps once a source exhausts — harmless for a
+    * training order (readers sort by position). */
+  def pipeInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val srcs = d.select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+    val ns = srcs.count() // #sources: tiny driver scalar
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    d.withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .join(broadcast(srcs), "source")
+      .select(
+        ((col("rank_in_source") - 1) * lit(ns) + col("src_idx") + 1).as("position"),
+        col("source"), col("rank_in_source"), col("doc_id"))
+      .orderBy(col("position"))
+  }
+
 }

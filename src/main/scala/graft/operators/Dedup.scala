@@ -516,4 +516,17 @@ object Dedup {
       .filter(col("n_docs") >= 3)
       .orderBy(col("n_docs").desc, col("span"))
       .limit(k)
+  /** Cluster-size histogram of the near-duplicate graph: connected
+    * components ([[ddComponents]]) grouped into (cluster_size,
+    * n_clusters) — the dedup REPORT a corpus curation run publishes
+    * (how much of the corpus is 2-way, 3-way, … duplicated). Two tiny
+    * aggregates over the O(duplicated docs) component table; all the
+    * heavy lifting is the already-bucketed component pass. */
+  def ddClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    ddComponents(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").cast("long").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
 }

@@ -102,4 +102,18 @@ object Multimodal {
       }
     }.toDF().orderBy(col("doc_id"))
   }
+  /** Exact media dedup: payloads grouped by content digest — the
+    * storage-dedup / hash-matching pass every media lake runs before
+    * any expensive perceptual comparison. Map-side md5 over the
+    * binary column, one digest-keyed shuffle of (hash, id, length) —
+    * the payload bytes never move. */
+  def mmExactDup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper"),
+        max(expr("cast(octet_length(payload) as bigint)")).as("n_bytes"))
+      .orderBy(col("payload_md5"))
+
 }

@@ -242,4 +242,23 @@ object Similarity {
         round(col("e2_head") / col("e2_full"), 6).as("energy_kept"),
         round(sqrt(col("e2_head") / col("e2_full")), 6).as("cos_trunc"))
       .orderBy(col("vec_id"))
+  /** Cosine RANGE search: every corpus vector within a similarity
+    * radius of each query (the "find all sufficiently similar"
+    * variant of top-k — recall-complete, no k cutoff). Same scale
+    * shape as the brute-force baseline: queries broadcast, corpus
+    * never shuffled, the filter runs map-side so only hits move. The
+    * threshold compare is safe for the oracle because the cosine
+    * doubles are bit-identical to the oracle's formula (norms
+    * precomputed, IEEE mul/div correctly rounded). */
+  def simRangeSearch(spark: SparkSession, dir: String, tau: Double = 0.25): DataFrame = {
+    val c = corpus(spark, dir)
+    broadcast(queries(c)).crossJoin(c)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+      .filter(col("cosim") >= tau)
+      .select(col("qid").as("query_id"), col("vec_id"),
+        round(col("cosim"), 6).as("score"))
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
 }

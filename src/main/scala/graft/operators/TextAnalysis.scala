@@ -405,4 +405,19 @@ object TextAnalysis {
           " x -> cast(x.token_id as string)), ',')").as("ids"))
       .orderBy(col("doc_id"))
   }
+  /** Type-token ratio (lexical diversity) per document — the
+    * vocabulary-richness quality signal (low TTR flags boilerplate /
+    * keyword stuffing). Pure map-side array work; the ratio is one
+    * integer division at the edge. */
+  def txtTtr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens("text").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_types"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens"), 6).as("ttr"))
+      .orderBy(col("doc_id"))
+
 }

@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.{Analytics, CorpusPipeline, Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantic specs for the round-4 widening operators: each recomputes
+  * the operator's contract independently from the raw tables. */
+class Round4WidenSpec extends SparkSpec {
+
+  test("q74_regression: slope/intercept match a driver-side least-squares recompute") {
+    val rows = Analytics.q74Regression(spark, sf0001).collect()
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val xs = li.filter(_._1 == flag)
+      val n = xs.length.toDouble
+      val sx = xs.map(_._2).sum; val sy = xs.map(_._3).sum
+      val sxy = xs.map(t => t._2 * t._3).sum; val sxx = xs.map(t => t._2 * t._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+      assert(r.getLong(1) == xs.length)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-3, s"slope $flag")
+      assert(math.abs(r.getDouble(3) - intercept) < 1e-1, s"intercept $flag")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1, "r2 in [0,1]")
+    }
+  }
+
+  test("q75_wma: hand-recompute the 7-point weighted average for one priority") {
+    val rows = Analytics.q75Wma(spark, sf0001).collect()
+    val pri = rows.head.getString(0)
+    val daily = rows.filter(_.getString(0) == pri)
+      .sortBy(_.getDate(1).toLocalDate.toEpochDay)
+    // reconstruct the full daily series (wma rows only start at day 7)
+    val full = Analytics.q75Wma(spark, sf0001) // warm-up-cut output
+    val series = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === pri)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byDay = series.map(_._1).zipWithIndex.toMap
+    daily.foreach { r =>
+      val i = byDay(r.getDate(1).toLocalDate)
+      assert(i >= 6, "warm-up rows must be excluded")
+      val expected = (0 to 6).map(j => series(i - j)._2 * (7 - j)).sum / 28.0
+      assert(math.abs(r.getDouble(3) - expected) < 1e-6, s"wma at index $i")
+    }
+  }
+
+  test("q76_gini_impurity: bounds and a recomputed user") {
+    val rows = Analytics.q76GiniImpurity(spark, sf0001).collect()
+    assert(rows.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) < 1))
+    val u = rows.head.getLong(0)
+    val counts = Tables.events(spark, sf0001).filter(col("user_id") === u)
+      .groupBy(col("event_type")).count().collect().map(_.getLong(1))
+    val n = counts.sum.toDouble
+    val expected = (n * n - counts.map(c => c * c).sum) / (n * n)
+    assert(math.abs(rows.head.getDouble(3) - math.rint(expected * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("q77_hhi: HHI bounded by [10000/n, 10000]") {
+    val rows = Analytics.q77Hhi(spark, sf0001).collect()
+    rows.foreach { r =>
+      val n = r.getLong(1); val hhi = r.getDouble(2)
+      assert(hhi <= 10000.0 + 1e-6)
+      assert(hhi >= 10000.0 / n - 1e-6, s"HHI below the equal-share floor for n=$n")
+    }
+  }
+
+  test("q79_bollinger: bands are symmetric around the moving average") {
+    val rows = Analytics.q79Bollinger(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ma = r.getDouble(3); val up = r.getDouble(4); val lo = r.getDouble(5)
+      assert(up >= ma - 1e-9 && lo <= ma + 1e-9)
+      assert(math.abs((up - ma) - (ma - lo)) < 1e-5, "±2σ symmetry")
+    }
+  }
+
+  test("q80_dow_profile: weekday domain and totals conserve") {
+    val rows = Analytics.q80DowProfile(spark, sf0001).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 6))
+    val total = rows.map(r => r.getDouble(3) * r.getLong(2)).sum
+    val expected = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .agg(sum(col("o_totalprice"))).collect().head.getDouble(0)
+    assert(math.abs(total - expected) / expected < 1e-6, "Σ avg·n_days ≈ total revenue")
+  }
+
+  test("q83_winsorize: mean lies within the clip bounds") {
+    val rows = Analytics.q83Winsorize(spark, sf0001).collect()
+    val pct = Tables.customer(spark, sf0001).groupBy(col("c_nationkey"))
+      .agg(expr("percentile(c_acctbal, 0.05)").as("p05"),
+        expr("percentile(c_acctbal, 0.95)").as("p95"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (p05, p95) = pct(r.getInt(0))
+      val m = r.getDouble(2)
+      assert(m >= p05 - 1e-6 && m <= p95 + 1e-6)
+    }
+  }
+
+  test("dd_cluster_sizes: sizes × counts conserve the component-table cardinality") {
+    val hist = Dedup.ddClusterSizes(spark, sf0001).collect()
+    val nDocs = Dedup.ddComponents(spark, sf0001).count()
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum == nDocs)
+    assert(hist.forall(_.getLong(0) >= 1))
+  }
+
+  test("sim_range_search: scores above threshold; consistent with brute-force top-k") {
+    val hits = Similarity.simRangeSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(hits.nonEmpty)
+    assert(hits.values.forall(_ >= 0.25 - 1e-9))
+    // any top-k result scoring ≥ τ must be a range hit with the same score
+    Similarity.simTopkBruteforce(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+      .filter(_._2 >= 0.25)
+      .foreach { case (pair, score) =>
+        assert(hits.get(pair).contains(score), s"top-k hit $pair missing from range result")
+      }
+  }
+
+  test("mm_exact_dup: copy counts conserve the corpus; keeper is in each group") {
+    val rows = Multimodal.mmExactDup(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    assert(rows.forall(_.getLong(3) >= 0))
+  }
+
+  test("txt_ttr: types never exceed tokens; ttr in (0, 1]") {
+    val rows = TextAnalysis.txtTtr(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("pipe_interleave: positions unique, per-source order preserved, round-robin at the head") {
+    val rows = CorpusPipeline.pipeInterleave(spark, sf0001).collect()
+    val positions = rows.map(_.getLong(0))
+    assert(positions.distinct.length == positions.length, "positions must be unique")
+    // within a source, increasing position follows increasing doc_id
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(0))
+      assert(sorted.map(_.getLong(3)).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    }
+    // the first S positions are one doc from each source (true round-robin head)
+    val nSources = rows.map(_.getString(1)).distinct.length
+    val head = rows.sortBy(_.getLong(0)).take(nSources)
+    assert(head.map(_.getString(1)).distinct.length == nSources)
+  }
+}
