@@ -146,6 +146,12 @@ object SparkEntry {
     "mm_exact_dup" -> (Multimodal.mmExactDup _),
     "txt_ttr" -> (TextAnalysis.txtTtr _),
     "pipe_interleave" -> (CorpusPipeline.pipeInterleave _),
+    "q84_cusum" -> (Analytics.q84Cusum _),
+    "q85_autocorr" -> (Analytics.q85Autocorr _),
+    "q86_skyline" -> (Analytics.q86Skyline _),
+    "txt_hapax" -> (TextAnalysis.txtHapax _),
+    "pipe_curriculum" -> (CorpusPipeline.pipeCurriculum _),
+    "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.simKnnGraph(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1768,5 +1774,103 @@ object SparkEntry {
         | r.source, r.rank_in_source, r.doc_id
         |FROM r JOIN s ON r.source = s.source
         |ORDER BY position""".stripMargin,
+    "q84_cusum" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), tot AS (
+        | SELECT o_orderpriority, cast(sum(cents) as bigint) AS s, count(*) AS n
+        | FROM daily GROUP BY 1
+        |), cum AS (
+        | SELECT d.o_orderpriority, d."day", t.n, t.s,
+        |  cast(sum(cents) OVER (PARTITION BY d.o_orderpriority ORDER BY d."day") as bigint) AS p,
+        |  cast(row_number() OVER (PARTITION BY d.o_orderpriority ORDER BY d."day") as bigint) AS i
+        | FROM daily d JOIN tot t ON d.o_orderpriority = t.o_orderpriority
+        |), dev AS (
+        | SELECT o_orderpriority, "day", n, n * p - i * s AS dev FROM cum
+        |), pick AS (
+        | SELECT o_orderpriority, "day", n, abs(dev) AS adev,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY abs(dev) DESC, "day" DESC) AS rn
+        | FROM dev
+        |)
+        |SELECT o_orderpriority, n AS n_days, "day" AS peak_day,
+        | round(cast(adev as double) / cast(n as double) / 100.0, 6) AS peak_cum_dev
+        |FROM pick WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+    "q85_autocorr" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), pairs AS (
+        | SELECT o_orderpriority, cents,
+        |  lead(cents) OVER (PARTITION BY o_orderpriority ORDER BY "day") AS nxt
+        | FROM daily
+        |), s AS (
+        | SELECT o_orderpriority, count(*) AS n_pairs,
+        |  cast(sum(cents) as double) sx, cast(sum(nxt) as double) sy,
+        |  cast(sum(cast(cents as decimal(19,0)) * nxt) as double) sxy,
+        |  cast(sum(cast(cents as decimal(19,0)) * cents) as double) sxx,
+        |  cast(sum(cast(nxt as decimal(19,0)) * nxt) as double) syy
+        | FROM pairs WHERE nxt IS NOT NULL GROUP BY 1
+        |)
+        |SELECT o_orderpriority, n_pairs,
+        | round((n_pairs * sxy - sx * sy) /
+        |  sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6) AS autocorr_lag1
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
+    "q86_skyline" ->
+      """WITH cnt AS (
+        | SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+        |), j AS (
+        | SELECT c_nationkey, c_custkey, c_acctbal,
+        |  coalesce(n_orders, 0) AS n_orders
+        | FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+        |), m AS (
+        | SELECT *, max(n_orders) OVER (PARTITION BY c_nationkey
+        |   ORDER BY c_acctbal DESC, c_custkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        | FROM j
+        |)
+        |SELECT c_nationkey, c_custkey, c_acctbal, n_orders
+        |FROM m WHERE prev_max IS NULL OR n_orders > prev_max
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "txt_hapax" ->
+      """WITH tok AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        | FROM documents
+        |), c AS (
+        | SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS n_vocab,
+        | cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) as bigint) AS n_hapax,
+        | round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS hapax_rate
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipe_curriculum" ->
+      """WITH t AS (
+        | SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') toks
+        | FROM documents
+        |), s AS (
+        | SELECT doc_id, source, cast(len(toks) as bigint) AS n_tokens,
+        |  round(list_sum(list_transform(toks, x -> length(x))) / cast(len(toks) as double), 6) AS score
+        | FROM t WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, source, n_tokens, score,
+        | cast(ntile(4) OVER (PARTITION BY source ORDER BY score, doc_id) as bigint) AS stage
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |s AS (
+        | SELECT a.vec_id src_id, b.vec_id dst_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(a.embedding[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(b.embedding[i] as double) * cast(b.embedding[i] as double))))) cosim
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |), r AS (
+        | SELECT src_id, dst_id, cosim,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY cosim DESC, dst_id) rnk
+        | FROM s
+        |)
+        |SELECT src_id, cast(rnk as bigint) AS rank, dst_id, round(cosim, 6) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY src_id, rank""".stripMargin,
   )
 }

@@ -1493,6 +1493,85 @@ object Analytics {
       .orderBy($"c_nationkey")
   }
 
+  /** Offline changepoint locator: the day of peak cumulative deviation
+    * from the series mean, per priority (the max-|CUSUM| statistic).
+    * The deviation is kept INTEGER throughout: n·Pᵢ − i·S (prefix sum
+    * Pᵢ, total S, both exact cents) equals n·Σ(xⱼ−x̄) without ever
+    * forming the fractional mean — no float accumulates across rows,
+    * so the argmax day is engine-exact. One window cumsum over the
+    * per-priority sort; the totals ride a broadcast join. */
+  def q84Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val tot = daily.groupBy($"o_orderpriority")
+      .agg(sum($"cents").as("s"), count(lit(1)).as("n"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    daily.join(broadcast(tot), "o_orderpriority")
+      .withColumn("p", sum($"cents").over(w))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("dev", $"n" * $"p" - $"i" * $"s") // n·Σ(x−x̄) scaled by n, exact
+      .groupBy($"o_orderpriority")
+      .agg(max($"n").as("n_days"),
+        expr("max_by(day, struct(abs(dev), day))").as("peak_day"),
+        round(max(abs($"dev")).cast("double") /
+          max($"n").cast("double") / 100.0, 6).as("peak_cum_dev"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Lag-1 autocorrelation of daily revenue per priority — the
+    * persistence/seasonality screen. Consecutive-day pairs come from
+    * one lag window; the five sufficient sums aggregate as exact
+    * decimals (cents are integers) and the Pearson formula evaluates
+    * as one fixed IEEE expression, same determinism story as
+    * [[q74Regression]]. */
+  def q85Autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    daily
+      .withColumn("nxt", lead($"cents", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("cast(sum(cents) as double)").as("sx"),
+        expr("cast(sum(nxt) as double)").as("sy"),
+        expr("cast(sum(cast(cents as decimal(19,0)) * nxt) as double)").as("sxy"),
+        expr("cast(sum(cast(cents as decimal(19,0)) * cents) as double)").as("sxx"),
+        expr("cast(sum(cast(nxt as decimal(19,0)) * nxt) as double)").as("syy"))
+      .select($"o_orderpriority", $"n_pairs",
+        round(($"n_pairs" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n_pairs" * $"sxx" - $"sx" * $"sx") *
+               ($"n_pairs" * $"syy" - $"sy" * $"sy")), 6).as("autocorr_lag1"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Pareto front (skyline) per nation over (acctbal, order count):
+    * customers not dominated by anyone with higher balance AND more
+    * orders. Formulated as left-to-right maxima over the
+    * (acctbal DESC, custkey) sort — a customer survives iff its order
+    * count strictly exceeds the running max of everyone sorted before
+    * it — which is one window pass per nation, no pairwise self-join
+    * (the naive dominance join is O(n²) per nation). Tie semantics
+    * are part of the operator contract: equal balances compare in
+    * custkey order. */
+  def q86Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.customer(spark, dir)
+      .join(cnt, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+        coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .withColumn("prev_max", max($"n_orders").over(w))
+      .filter($"prev_max".isNull || $"n_orders" > $"prev_max")
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal", $"n_orders")
+      .orderBy($"c_nationkey", $"c_custkey")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

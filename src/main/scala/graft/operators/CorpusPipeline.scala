@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -203,6 +204,28 @@ object CorpusPipeline {
         ((col("rank_in_source") - 1) * lit(ns) + col("src_idx") + 1).as("position"),
         col("source"), col("rank_in_source"), col("doc_id"))
       .orderBy(col("position"))
+  }
+
+  /** Curriculum staging: docs bucketed into 4 difficulty stages per
+    * source by mean token length (the cheap difficulty proxy; swap
+    * the score column for a model-based one in production). The
+    * ntile runs per source — never a global single-partition window —
+    * and ties break on doc_id so stage assignment is deterministic.
+    * The score is rational (chars/tokens) with exact integer inputs. */
+  def pipeCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens("text").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr("cast(aggregate(t, 0, (acc, x) -> acc + length(x)) as bigint)").as("n_chars"))
+      .withColumn("score", round(col("n_chars") / col("n_tokens"), 6))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score"), col("doc_id"))
+    scored
+      .withColumn("stage", ntile(4).over(w).cast("bigint"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("score"), col("stage"))
+      .orderBy(col("doc_id"))
   }
 
 }

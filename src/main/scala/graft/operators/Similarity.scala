@@ -261,4 +261,30 @@ object Similarity {
       .orderBy(col("query_id"), col("vec_id"))
   }
 
+  /** k-NN graph construction (the base layer an HNSW/NSW index or a
+    * graph-based semdedup consumes): every vector's top-3 cosine
+    * neighbours within its label cell. Candidate pairs stay cell-
+    * blocked (Σ|cell|², same scale dial as [[Dedup.ddEmbedCos]]), and
+    * per-source pruning runs through the bounded-heap TopKPerGroup
+    * operator — the exchange carries ≤ vectors·k rows, never whole
+    * candidate lists. */
+  def simKnnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val c = corpus(spark, dir)
+    val a = c.select(col("vec_id").as("src_id"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = c.select(col("vec_id").as("dst_id"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val scored = a.join(b, Seq("label"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .withColumn("cosim", VectorOps.dot("ea", "eb") / (col("na") * col("nb")))
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("src_id"), Seq("cosim" -> true, "dst_id" -> false), k)
+    val w = Window.partitionBy(col("src_id")).orderBy(col("cosim").desc, col("dst_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("src_id"), col("rank"), col("dst_id"),
+        round(col("cosim"), 6).as("score"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
 }

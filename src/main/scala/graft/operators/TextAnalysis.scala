@@ -420,4 +420,21 @@ object TextAnalysis {
         round(col("n_types") / col("n_tokens"), 6).as("ttr"))
       .orderBy(col("doc_id"))
 
+  /** Hapax-legomena rate per language: the fraction of the vocabulary
+    * that occurs exactly once — the heavy-tail health check a corpus
+    * audit runs beside the Zipf plot (too-low hapax rate flags
+    * templated/duplicated text). One token explode + two aggregates
+    * on the (lang, term) key; the rate is one integer division. */
+  def txtHapax(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_vocab"), col("n_hapax"),
+        round(col("n_hapax") / col("n_vocab"), 6).as("hapax_rate"))
+      .orderBy(col("lang"))
+
 }

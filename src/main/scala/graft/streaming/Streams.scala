@@ -209,6 +209,34 @@ object Streams {
       }
       .start()
 
+  case class ScoredEvent(user_id: Long, event_id: Long, value: Double)
+  case class TopKSnapshot(user_id: Long, top_ids: String, min_kept: Double)
+
+  /** Streaming RUNNING TOP-K per key — the stream twin of the batch
+    * TopKPerGroup operator: each key keeps a bounded k-item state
+    * (value desc, event_id tie-break — a total order), updated per
+    * micro-batch and emitted as the current snapshot. State is O(k)
+    * per key, the same bound the batch operator's heaps carry; an
+    * idle timeout would bound the key set in production (left off
+    * here so the parity spec sees every key's final state). The
+    * snapshot encodes the ids CSV so Update-mode sinks get one row
+    * per key per trigger. */
+  def runningTopK(events: Dataset[ScoredEvent], k: Int = 3): Dataset[TopKSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[List[(Double, Long)], TopKSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[ScoredEvent], state: GroupState[List[(Double, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+              batch.map(e => (e.value, e.event_id)))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          state.update(merged)
+          TopKSnapshot(uid, merged.map(_._2).mkString(","), merged.last._1)
+      }
+  }
+
   case class TypedEvent(user_id: Long, event_type: String, ts_us: Long)
   case class DebounceState(last_us: Long)
 

@@ -152,4 +152,84 @@ class Round4WidenSpec extends SparkSpec {
     val head = rows.sortBy(_.getLong(0)).take(nSources)
     assert(head.map(_.getString(1)).distinct.length == nSources)
   }
+
+  test("q84_cusum: peak dev recomputed for one priority") {
+    val rows = Analytics.q84Cusum(spark, sf0001).collect()
+    val pri = rows.head.getString(0)
+    val series = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === pri)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .orderBy(col("day")).collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val n = series.length; val s = series.map(_._2).sum
+    var p = 0L
+    val devs = series.zipWithIndex.map { case ((d, c), i) =>
+      p += c; (d, math.abs(n * p - (i + 1) * s)) }
+    val best = devs.maxBy(t => (t._2, t._1.toEpochDay))
+    assert(rows.head.getLong(1) == n)
+    assert(rows.head.getDate(2).toLocalDate == best._1, "peak day")
+    assert(math.abs(rows.head.getDouble(3) - math.rint(best._2.toDouble / n / 100.0 * 1e6) / 1e6) < 1e-6)
+  }
+
+  test("q85_autocorr: coefficient within [-1, 1]") {
+    val rows = Analytics.q85Autocorr(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("q86_skyline: no returned customer is dominated; all dominators are on the front") {
+    val front = Analytics.q86Skyline(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val all = Tables.customer(spark, sf0001)
+      .join(Tables.orders(spark, sf0001).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    front.foreach { case (nat, ck, bal, no) =>
+      val dominators = all.filter(o => o._1 == nat &&
+        (o._3 > bal || (o._3 == bal && o._2 < ck)) && o._4 >= no)
+      assert(dominators.isEmpty, s"customer $ck dominated by ${dominators.take(1)}")
+    }
+  }
+
+  test("txt_hapax: rate bounds and vocab consistency with txt_vocab-style recount") {
+    val rows = TextAnalysis.txtHapax(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      // a synthetic lang can legitimately have zero hapaxes
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    }
+    assert(rows.exists(_.getLong(2) > 0) || rows.forall(_.getLong(2) == 0))
+  }
+
+  test("pipe_curriculum: stages are 1..4, balanced within one per source") {
+    val rows = CorpusPipeline.pipeCurriculum(spark, sf0001).collect()
+    assert(rows.forall(r => r.getLong(4) >= 1 && r.getLong(4) <= 4))
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_.getLong(4)).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, "ntile must balance stages")
+      // monotone: higher stage never has lower max score than the previous min... 
+      val byStage = rs.groupBy(_.getLong(4)).view.mapValues(_.map(_.getDouble(3))).toMap
+      (1L to 3L).foreach { st =>
+        if (byStage.contains(st) && byStage.contains(st + 1))
+          assert(byStage(st).max <= byStage(st + 1).min + 1e-9, s"stage $st not below ${st + 1}")
+      }
+    }
+  }
+
+  test("sim_knn_graph: each vector has <=k ranked neighbours in its own label") {
+    val rows = Similarity.simKnnGraph(spark, sf0001).collect()
+    val labels = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (src, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+      rs.foreach(r => assert(labels(r.getLong(2)) == labels(src), "neighbour outside label cell"))
+      // ranks follow score desc
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
 }

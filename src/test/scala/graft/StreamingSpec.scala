@@ -147,6 +147,36 @@ class StreamingSpec extends SparkSpec {
       "stream and batch debounce must keep identical counts per key")
   }
 
+  test("streaming running top-k: state carries across micro-batches and matches the batch operator") {
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("value"))
+    // two parquet files -> two micro-batches (maxFilesPerTrigger=1):
+    // the per-key top-k state must merge across them
+    val dir = Files.createTempDirectory("topk_stream")
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(dir.toString + "/a")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(dir.toString + "/b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .as[Streams.ScoredEvent]
+    runToMemory(Streams.runningTopK(stream).toDF(), "running_topk", OutputMode.Update())
+    // memory sink in Update mode appends each trigger's snapshots:
+    // the LAST snapshot per user is the final state
+    val finalRows = spark.sql("select * from running_topk").collect()
+      .zipWithIndex
+      .groupBy(_._1.getLong(0))
+      .map { case (u, rs) => u -> rs.maxBy(_._2)._1.getString(1) }
+    val batch = org.apache.spark.sql.graft.TopK.perGroup(
+        ev, Seq("user_id"), Seq(("value", true), ("event_id", false)), 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        u -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getLong(1)).mkString(",") }
+    assert(finalRows == batch,
+      "final streamed top-k state must equal the batch TopKPerGroup selection")
+  }
+
   test("update-mode aggregation upserts into Derby idempotently") {
     val dbDir = Files.createTempDirectory("derby").resolve("upsert_db")
     val target = JdbcSink.Target(s"jdbc:derby:$dbDir;create=true", "etype_counts")
