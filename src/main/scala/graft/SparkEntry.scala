@@ -152,6 +152,9 @@ object SparkEntry {
     "txt_hapax" -> (TextAnalysis.txtHapax _),
     "pipe_curriculum" -> (CorpusPipeline.pipeCurriculum _),
     "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.simKnnGraph(s, d)),
+    "dd_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.ddSimhashPairs(s, d)),
+    "q87_median_gap" -> (Analytics.q87MedianGap _),
+    "txt_repetition" -> (TextAnalysis.txtRepetition _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1872,5 +1875,50 @@ object SparkEntry {
         |)
         |SELECT src_id, cast(rnk as bigint) AS rank, dst_id, round(cosim, 6) AS score
         |FROM r WHERE rnk <= 3 ORDER BY src_id, rank""".stripMargin,
+    "dd_simhash_pairs" ->
+      """WITH sim AS (
+        |WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) t FROM documents
+        |), h AS (
+        | SELECT doc_id, list_sum(list_transform(range(1, 16), i ->
+        |   cast((strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1) as bigint)
+        |   * cast(power(16, 15 - i) as bigint))) hv
+        | FROM tok
+        |), votes AS (
+        | SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        | FROM h CROSS JOIN (SELECT unnest(range(0, 60)) j) GROUP BY 1, 2
+        |)
+        |SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN cast(1 as bigint) << j ELSE 0 END) as bigint) AS simhash
+        |FROM votes GROUP BY 1
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q87_median_gap" ->
+      """WITH o AS (
+        | SELECT o_custkey, cast(o_orderdate as date) AS "day", o_orderkey FROM orders
+        |), g AS (
+        | SELECT o_custkey,
+        |  datediff('day', lag("day") OVER (PARTITION BY o_custkey ORDER BY "day", o_orderkey), "day") AS gap
+        | FROM o
+        |)
+        |SELECT o_custkey, count(*) AS n_gaps,
+        | quantile_cont(gap, 0.5) AS median_gap_days,
+        | cast(max(gap) as bigint) AS max_gap_days
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), g AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) grams
+        | FROM toks WHERE len(t) >= 4
+        |)
+        |SELECT doc_id, cast(len(grams) as bigint) AS n_grams,
+        | cast(len(list_distinct(grams)) as bigint) AS n_distinct,
+        | round((len(grams) - len(list_distinct(grams))) / cast(len(grams) as double), 6) AS repetition
+        |FROM g WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1572,6 +1572,26 @@ object Analytics {
       .orderBy($"c_nationkey", $"c_custkey")
   }
 
+  /** Median inter-order gap per repeat customer — the
+    * purchase-cadence feature (churn models key on it). Gaps are
+    * integer day differences from one lag window; the median is the
+    * exact percentile whose even-count midpoint lands on halves
+    * (exact in double), the same parity-safe shape as the gated
+    * rolling median. One customer-keyed window + one aggregate. */
+  def q87MedianGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"day", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", to_date($"o_orderdate").as("day"), $"o_orderkey")
+      .withColumn("gap", unix_date($"day") -
+        unix_date(lag($"day", 1).over(w)))
+      .filter($"gap".isNotNull)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap, 0.5)").as("median_gap_days"),
+        max($"gap").cast("bigint").as("max_gap_days"))
+      .orderBy($"o_custkey")
+  }
+
   // Spark 2.13 shorthand for col("...") used above
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))

@@ -437,4 +437,19 @@ object TextAnalysis {
         round(col("n_hapax") / col("n_vocab"), 6).as("hapax_rate"))
       .orderBy(col("lang"))
 
+  /** Within-document repetition: the fraction of word 4-grams that are
+    * repeats of an earlier 4-gram in the same doc — the
+    * compression-ratio-style templated-text detector (high repetition
+    * = boilerplate). Map-side array work, one rational division. */
+  def txtRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.ngramArray("text", 4).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round((col("n_grams") - col("n_distinct")) / col("n_grams"), 6).as("repetition"))
+      .orderBy(col("doc_id"))
+
 }

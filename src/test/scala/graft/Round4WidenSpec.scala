@@ -232,4 +232,39 @@ class Round4WidenSpec extends SparkSpec {
       assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     }
   }
+
+  test("dd_simhash_pairs: banded candidates equal the all-pairs answer (pigeonhole completeness)") {
+    val banded = Dedup.ddSimhashPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = Dedup.ddSimhash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val allPairs = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 5
+    } yield (ida, idb, d.toLong)).toSet
+    assert(banded == allPairs, "band blocking must lose no pair within the guaranteed radius")
+  }
+
+  test("q87_median_gap: median recomputed for one repeat customer") {
+    val rows = Analytics.q87MedianGap(spark, sf0001).collect()
+    val ck = rows.head.getLong(0)
+    val days = Tables.orders(spark, sf0001).filter(col("o_custkey") === ck)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_orderkey"))
+      .orderBy(col("day"), col("o_orderkey")).collect()
+      .map(_.getDate(0).toLocalDate.toEpochDay)
+    val gaps = days.sliding(2).map(p => p(1) - p(0)).toArray.sorted
+    val n = gaps.length
+    val med = if (n % 2 == 1) gaps(n / 2).toDouble else (gaps(n / 2 - 1) + gaps(n / 2)) / 2.0
+    assert(rows.head.getLong(1) == n)
+    assert(rows.head.getDouble(2) == med)
+    assert(rows.head.getLong(3) == gaps.max)
+  }
+
+  test("txt_repetition: repeats consistent with distinct counts; bounds hold") {
+    val rows = TextAnalysis.txtRepetition(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) < 1)
+    }
+  }
 }
