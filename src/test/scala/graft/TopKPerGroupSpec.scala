@@ -66,4 +66,30 @@ class TopKPerGroupSpec extends SparkSpec {
         spark.experimental.extraOptimizations.filterNot(_ == TopKPerGroupRewrite)
     }
   }
+
+  test("q73_reservoir under the production extensions: rewrite fires on the per-user window, result identical") {
+    // Bench/Verify/OdnsApp sessions enable GraftExtensions
+    // (spark.sql.extensions); this mirrors that injection on the shared
+    // test session and proves the gated q73 — a HIGH-cardinality
+    // partition key (per-user), the case the partial-pass spill guard
+    // exists for — plans through TopKPerGroupExec with identical rows.
+    import org.apache.spark.sql.graft.{TopKPerGroupRewrite, TopKPerGroupStrategy}
+    val plain = graft.operators.Analytics.q73Reservoir(spark, sf0001).collect()
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TopKPerGroupRewrite
+    try {
+      val df = graft.operators.Analytics.q73Reservoir(spark, sf0001)
+      val rewritten = df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        s"rule did not fire on q73:\n${df.queryExecution.executedPlan}")
+      assert(rewritten.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKPerGroupRewrite)
+    }
+  }
 }
