@@ -155,6 +155,9 @@ object SparkEntry {
     "dd_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.ddSimhashPairs(s, d)),
     "q87_median_gap" -> (Analytics.q87MedianGap _),
     "txt_repetition" -> (TextAnalysis.txtRepetition _),
+    "dd_jaccard_est" -> (Dedup.ddJaccardEst _),
+    "q88_rfm" -> (Analytics.q88Rfm _),
+    "pipe_pack_stats" -> ((s: SparkSession, d: String) => CorpusPipeline.pipePackStats(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1920,5 +1923,69 @@ object SparkEntry {
         | cast(len(list_distinct(grams)) as bigint) AS n_distinct,
         | round((len(grams) - len(list_distinct(grams))) / cast(len(grams) as double), 6) AS repetition
         |FROM g WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin,
+    "dd_jaccard_est" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), sig AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')) m
+        | FROM sh
+        |), bands AS (
+        | SELECT doc_id, b, md5(m[2*b+1] || m[2*b+2] || ':' || cast(b as varchar)) bh
+        | FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |), pairs AS (
+        | SELECT a.doc_id doc_a, b.doc_id doc_b
+        | FROM bands a JOIN bands b ON a.bh = b.bh AND a.b = b.b AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        | cast(list_sum(list_transform(range(1, 9), i -> CASE WHEN sa.m[i] = sb.m[i] THEN 1 ELSE 0 END)) as bigint) AS n_match,
+        | round(list_sum(list_transform(range(1, 9), i -> CASE WHEN sa.m[i] = sb.m[i] THEN 1 ELSE 0 END)) / 8.0, 6) AS jaccard_est
+        |FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a JOIN sig sb ON sb.doc_id = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q88_rfm" ->
+      """WITH base AS (
+        | SELECT o_custkey,
+        |  datediff('day', max(cast(o_orderdate as date)),
+        |    (SELECT max(cast(o_orderdate as date)) FROM orders)) AS recency,
+        |  count(*) AS frequency,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS monetary
+        | FROM orders GROUP BY 1
+        |), b AS (
+        | SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) rb,
+        |  quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) fb,
+        |  quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) mb
+        | FROM base
+        |)
+        |SELECT o_custkey, cast(recency as bigint) AS recency, frequency, monetary,
+        | cast(1 + list_sum(list_transform(rb, v -> CASE WHEN recency > v THEN 1 ELSE 0 END)) as bigint) AS r_score,
+        | cast(1 + list_sum(list_transform(fb, v -> CASE WHEN frequency > v THEN 1 ELSE 0 END)) as bigint) AS f_score,
+        | cast(1 + list_sum(list_transform(mb, v -> CASE WHEN monetary > v THEN 1 ELSE 0 END)) as bigint) AS m_score
+        |FROM base CROSS JOIN b ORDER BY o_custkey""".stripMargin,
+    "pipe_pack_stats" ->
+      """WITH d AS (
+        | SELECT lang, doc_id,
+        |  cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) dl
+        | FROM documents
+        |), o AS (
+        | SELECT lang, doc_id, dl,
+        |  cast(coalesce(sum(dl) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) start_off
+        | FROM d WHERE dl > 0
+        |), p AS (
+        | SELECT lang, dl,
+        |  (start_off // 128) <> ((start_off + dl - 1) // 128) AS spans_boundary,
+        |  (start_off + dl - 1) // 128 AS pack_last
+        | FROM o
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        | cast(sum(dl) as bigint) AS total_tokens,
+        | cast(max(pack_last) + 1 as bigint) AS n_bins,
+        | cast(sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END) as bigint) AS n_spanning,
+        | round(sum(dl) / cast((max(pack_last) + 1) * 128 as double), 6) AS fill_ratio
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1596,4 +1596,38 @@ object Analytics {
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }
+  /** RFM segmentation (recency / frequency / monetary quintiles per
+    * customer) — the marketing-analytics staple. Scores come from
+    * exact-percentile BOUNDARIES broadcast back and assigned by
+    * map-side comparison (1 + Σ [x > bᵢ]) — NOT a global ntile window,
+    * which would serialize every customer through one partition at
+    * 100 TB. Recency/frequency are integers; monetary compares as a
+    * correctly-rounded double of an exact decimal — all boundary
+    * comparisons engine-deterministic. */
+  def q88Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val maxDay = Tables.orders(spark, dir)
+      .agg(max(to_date($"o_orderdate")).as("d1"))
+    val base = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select($"o_custkey",
+        (unix_date($"d1") - unix_date($"last_day")).cast("bigint").as("recency"),
+        $"frequency", $"monetary")
+    val bounds = base.agg(
+      expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+      expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    def score(x: String, b: String): org.apache.spark.sql.Column = expr(
+      s"cast(1 + aggregate($b, 0, (acc, v) -> acc + if($x > v, 1, 0)) as bigint)")
+    base.crossJoin(broadcast(bounds))
+      .select($"o_custkey", $"recency", $"frequency", $"monetary",
+        score("recency", "rb").as("r_score"),
+        score("frequency", "fb").as("f_score"),
+        score("monetary", "mb").as("m_score"))
+      .orderBy($"o_custkey")
+  }
+
 }

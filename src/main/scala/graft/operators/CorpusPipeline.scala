@@ -228,4 +228,19 @@ object CorpusPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Packing-efficiency report over [[pipePackSequences]]: bins used,
+    * fill ratio, and boundary-spanning docs per language — the
+    * padding-waste readout a training-data layout job publishes.
+    * Pure aggregation of exact integers; one rational division. */
+  def pipePackStats(spark: SparkSession, dir: String, seqLen: Int = 128): DataFrame =
+    pipePackSequences(spark, dir, seqLen)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_tokens"),
+        (max(col("pack_last")) + 1).as("n_bins"),
+        sum(when(col("spans_boundary"), 1L).otherwise(0L)).as("n_spanning"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("n_bins"), col("n_spanning"),
+        round(col("total_tokens") / (col("n_bins") * seqLen).cast("double"), 6).as("fill_ratio"))
+      .orderBy(col("lang"))
+
 }

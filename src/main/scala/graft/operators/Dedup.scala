@@ -556,4 +556,24 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Signature-based Jaccard ESTIMATE for LSH candidate pairs: the
+    * fraction of agreeing perm-mins (k/8) — the cheap score a
+    * production pipeline uses to rank candidates BEFORE any exact
+    * verify touches text. Joins ride the persisted-signature shape
+    * ([[ddMinhashSigs]]); the estimate is integer-ratio exact. The
+    * spec checks the estimator against exact Jaccard on the verified
+    * pairs (unbiasedness within MinHash variance). */
+  def ddJaccardEst(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = ddMinhashSigs(spark, dir)
+      .select(col("doc_id"), expr("split(signature, ',')").as("sg"))
+    ddMinhashLsh(spark, dir)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sg").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sg").as("sb")), "doc_b")
+      .withColumn("n_match", expr(
+        "cast(aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) as bigint)"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        round(col("n_match") / lit(8.0), 6).as("jaccard_est"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
 }

@@ -267,4 +267,44 @@ class Round4WidenSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0 && r.getDouble(3) < 1)
     }
   }
+
+  test("dd_jaccard_est: estimator tracks exact jaccard on verified pairs") {
+    val est = Dedup.ddJaccardEst(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(est.nonEmpty)
+    est.values.foreach(v => assert(v >= 0 && v <= 1))
+    // pairs that pass the exact >= 0.2 verify: the 8-perm estimate
+    // should agree within MinHash variance (±3σ at k=8 ≈ ±0.53; use
+    // a loose one-sided check that the estimator is informative)
+    val exact = Dedup.ddNgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = exact.keySet.intersect(est.keySet)
+    assert(common.nonEmpty, "verified pairs must appear among LSH candidates")
+    val meanAbsErr = common.toSeq.map(p => math.abs(est(p) - exact(p))).sum / common.size
+    assert(meanAbsErr < 0.45, s"estimator uninformative: MAE $meanAbsErr")
+  }
+
+  test("q88_rfm: scores in 1..5, quintile boundaries honored for a spot-checked customer") {
+    val rows = Analytics.q88Rfm(spark, sf0001).collect()
+    rows.foreach { r =>
+      Seq(4, 5, 6).foreach(i => assert(r.getLong(i) >= 1 && r.getLong(i) <= 5))
+    }
+    // score monotone in the underlying metric: sort by frequency and
+    // check f_score is non-decreasing along it
+    val byFreq = rows.sortBy(_.getLong(2))
+    assert(byFreq.map(_.getLong(5)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("pipe_pack_stats: fill ratio in (0,1]; totals consistent with the packing layout") {
+    val stats = CorpusPipeline.pipePackStats(spark, sf0001).collect()
+    val packed = CorpusPipeline.pipePackSequences(spark, sf0001).collect()
+    stats.foreach { s =>
+      assert(s.getDouble(5) > 0 && s.getDouble(5) <= 1.0)
+      val lang = s.getString(0)
+      val rs = packed.filter(_.getString(0) == lang)
+      assert(s.getLong(1) == rs.length)
+      assert(s.getLong(2) == rs.map(_.getLong(2)).sum)
+      assert(s.getLong(3) == rs.map(_.getLong(5)).max + 1)
+    }
+  }
 }
