@@ -151,4 +151,42 @@ class PlanSpec extends SparkSpec {
     // codegen stages render as "*(n) Operator" in the executed plan tree
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
+
+  test("q88_rfm plans broadcast boundary joins and NO window operator") {
+    val df = Analytics.q88Rfm(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // quintile assignment must be map-side compares against broadcast
+    // bounds — a global ntile window would serialize all customers
+    assert(!p.contains("Window ["), s"unexpected window in RFM plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"boundary join not broadcast:\n$p")
+  }
+
+  test("q86_skyline plans exactly one window pass, no join explosion") {
+    val df = Analytics.q86Skyline(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the adaptive plan string repeats the tree under "== Initial Plan ==";
+    // count only the executed (final) section
+    val finalSection = p.split("== Initial Plan ==").head
+    val windows = finalSection.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected exactly one Window (running maxima), got $windows:\n$p")
+    // the n_orders lookup is an aggregate join, not a dominance self-join
+    assert(!p.contains("CartesianProduct"), s"dominance must not be a cross join:\n$p")
+  }
+
+  test("q77_hhi broadcasts the nation totals back to the per-customer side") {
+    val df = Analytics.q77Hhi(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"nation totals not broadcast:\n$p")
+  }
+
+  test("sim_knn_graph prunes through the bounded-heap TopKPerGroup operator") {
+    val df = Similarity.simKnnGraph(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"),
+      s"knn graph must use the bounded-heap operator:\n$p")
+  }
 }
