@@ -158,6 +158,10 @@ object SparkEntry {
     "dd_jaccard_est" -> (Dedup.ddJaccardEst _),
     "q88_rfm" -> (Analytics.q88Rfm _),
     "pipe_pack_stats" -> ((s: SparkSession, d: String) => CorpusPipeline.pipePackStats(s, d)),
+    "q89_cohort_ltv" -> (Analytics.q89CohortLtv _),
+    "q90_attribution" -> (Analytics.q90Attribution _),
+    "dd_dup_rate_by_source" -> (Dedup.ddDupRateBySource _),
+    "sim_recall_report" -> (Similarity.simRecallReport _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -1987,5 +1991,93 @@ object SparkEntry {
         | cast(sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END) as bigint) AS n_spanning,
         | round(sum(dl) / cast((max(pack_last) + 1) * 128 as double), 6) AS fill_ratio
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q89_cohort_ltv" ->
+      """WITH e AS (
+        | SELECT user_id, cast(ts as date) AS "day",
+        |  CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS rev
+        | FROM events
+        |), f AS (
+        | SELECT user_id, date_trunc('week', min("day")) AS cohort_week FROM e GROUP BY 1
+        |), wk AS (
+        | SELECT f.cohort_week,
+        |  cast((date_trunc('week', e."day") - f.cohort_week) // 7 as bigint) AS week_offset,
+        |  sum(cast(rev as decimal(18,2))) AS wrev
+        | FROM e JOIN f ON e.user_id = f.user_id
+        | GROUP BY 1, 2
+        |)
+        |SELECT cohort_week, week_offset,
+        | cast(wrev as double) AS week_rev,
+        | cast(sum(wrev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS cum_rev
+        |FROM wk ORDER BY cohort_week, week_offset""".stripMargin,
+    "q90_attribution" ->
+      """WITH p AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM events
+        |), c AS (
+        | SELECT prev_type AS touch_type, count(*) AS n_purchases
+        | FROM p WHERE event_type = 'purchase' AND prev_type IS NOT NULL
+        | GROUP BY 1
+        |), t AS (SELECT sum(n_purchases) AS t FROM c)
+        |SELECT touch_type, n_purchases,
+        | round(n_purchases / cast(t as double), 6) AS credit_share
+        |FROM c CROSS JOIN t ORDER BY touch_type""".stripMargin,
+    "dd_dup_rate_by_source" ->
+      """WITH h AS (
+        | SELECT doc_id, source, md5(text) AS h FROM documents
+        |), dup AS (
+        | SELECT h FROM h GROUP BY h HAVING count(*) > 1
+        |)
+        |SELECT source, count(*) AS n_docs,
+        | cast(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_dup_docs,
+        | round(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS dup_rate
+        |FROM h LEFT JOIN dup ON h.h = dup.h
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_recall_report" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (
+        | SELECT label, list(c ORDER BY i) cv FROM cent GROUP BY 1
+        |), q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+        |cellscore AS (
+        | SELECT q.qid, cv.label,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cv.cv[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cv.cv[i] * cv.cv[i])))) cs
+        | FROM q CROSS JOIN centv cv
+        |), cells AS (
+        | SELECT qid, label FROM (
+        |  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, label) rn FROM cellscore
+        | ) WHERE rn <= 2
+        |), s AS (
+        | SELECT q.qid, e.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM q JOIN cells ON cells.qid = q.qid JOIN embeddings e ON e.label = cells.label
+        | WHERE e.vec_id <> q.qid
+        |), r AS (
+        | SELECT qid query_id, vec_id, cosim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM s
+        |),
+        |approx AS (SELECT query_id, vec_id FROM r WHERE rnk <= 10),
+        |es AS (
+        | SELECT q.qid, e.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+        |), er AS (
+        | SELECT qid query_id, vec_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM es
+        |), exact AS (SELECT query_id, vec_id FROM er WHERE rnk <= 10)
+        |SELECT e.query_id, count(*) AS k,
+        | cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hit,
+        | round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS recall_at_k
+        |FROM exact e LEFT JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

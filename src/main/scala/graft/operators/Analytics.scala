@@ -1630,4 +1630,49 @@ object Analytics {
       .orderBy($"o_custkey")
   }
 
+  /** Cohort LTV curve: cumulative revenue per signup-cohort week over
+    * week offsets (retention's monetary twin). Cohort assignment
+    * shares the user-keyed shuffle with the first-activity aggregate;
+    * revenue sums stay exact decimals; the running cumulative is one
+    * window over the tiny (cohort, offset) grid. */
+  def q89CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"),
+        when($"event_type" === "purchase", $"value").otherwise(lit(0.0)).as("rev"))
+    val first = e.groupBy($"user_id")
+      .agg(to_date(date_trunc("week", min($"day"))).as("cohort_week"))
+    val wk = e.join(first, "user_id")
+      .groupBy($"cohort_week",
+        (((unix_date(to_date(date_trunc("week", $"day"))) -
+          unix_date($"cohort_week")) / 7).cast("bigint")).as("week_offset"))
+      .agg(sum(expr("cast(rev as decimal(18,2))")).as("wrev"))
+    val w = Window.partitionBy($"cohort_week").orderBy($"week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wk.withColumn("cum_rev", sum($"wrev").over(w))
+      .select($"cohort_week", $"week_offset",
+        expr("cast(wrev as double)").as("week_rev"),
+        expr("cast(cum_rev as double)").as("cum_rev"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** Last-touch attribution: each purchase credited to the most
+    * recent PRIOR event type of the same user (the campaign-analytics
+    * join). One user-keyed window (lag over the time-ordered event
+    * stream with a total tie-break) — never an event×purchase range
+    * join; credit shares are integer-ratio exact. */
+  def q90Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val withPrev = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+    val credited = withPrev
+      .filter($"event_type" === "purchase" && $"prev_type".isNotNull)
+      .groupBy($"prev_type").agg(count(lit(1)).as("n_purchases"))
+    val tot = credited.agg(sum($"n_purchases").as("t"))
+    credited.crossJoin(broadcast(tot))
+      .select($"prev_type".as("touch_type"), $"n_purchases",
+        round($"n_purchases" / $"t".cast("double"), 6).as("credit_share"))
+      .orderBy($"touch_type")
+  }
+
 }

@@ -576,4 +576,24 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Dedup audit by source: how much of each source is exact-duplicate
+    * content (docs whose hash appears elsewhere in the corpus) — the
+    * per-provider quality readout a crawl pipeline publishes. Hash
+    * cardinalities ride one shuffle; the rate is integer-ratio
+    * exact. */
+  def ddDupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val dupHash = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("h"))
+    hashed
+      .join(broadcast(dupHash.withColumn("is_dup", lit(1L))), Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs") / col("n_docs"), 6).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
 }

@@ -287,4 +287,24 @@ object Similarity {
       .orderBy(col("src_id"), col("rank"))
   }
 
+  /** ANN quality report: recall@10 of the IVF index versus the
+    * brute-force exact top-k, per query — the accuracy/cost readout
+    * every index deployment publishes. Both sides are deterministic
+    * (tie-broken rankings), so the recall is oracle-checkable; the
+    * join is on the tiny |Q|·k result sets. */
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBruteforce(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+    val approx = simIvfAnn(spark, dir)
+      .select(col("query_id").as("qa"), col("vec_id").as("va"))
+    exact
+      .join(approx, col("query_id") === col("qa") && col("vec_id") === col("va"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("va").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("k"), col("n_hit"),
+        round(col("n_hit") / col("k"), 6).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
 }

@@ -307,4 +307,43 @@ class Round4WidenSpec extends SparkSpec {
       assert(s.getLong(3) == rs.map(_.getLong(5)).max + 1)
     }
   }
+
+  test("q89_cohort_ltv: cumulative revenue is the running sum of week revenue") {
+    val rows = Analytics.q89CohortLtv(spark, sf0001).collect()
+    rows.groupBy(_.getDate(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      var cum = 0.0
+      sorted.foreach { r =>
+        cum += r.getDouble(2)
+        assert(math.abs(r.getDouble(3) - cum) < 1e-6, "cum_rev must equal running Σ week_rev")
+      }
+    }
+  }
+
+  test("q90_attribution: credit shares sum to 1 over observed touch types") {
+    val rows = Analytics.q90Attribution(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
+  test("dd_dup_rate_by_source: rates in [0,1); duplicate docs conserve vs exact dedup") {
+    val rows = Dedup.ddDupRateBySource(spark, sf0001).collect()
+    rows.foreach(r => assert(r.getDouble(3) >= 0 && r.getDouble(3) < 1))
+    val nDupTotal = rows.map(_.getLong(2)).sum
+    // docs in >1-member hash groups, from the exact-dedup profile
+    val expected = Dedup.ddExact(spark, sf0001).collect()
+      .map(_.getLong(1)).filter(_ > 1).sum
+    assert(nDupTotal == expected)
+  }
+
+  test("sim_recall_report: recall in [0,1], k matches the exact top-k size") {
+    val rows = Similarity.simRecallReport(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10)
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    }
+  }
 }
