@@ -162,6 +162,8 @@ object SparkEntry {
     "q90_attribution" -> (Analytics.q90Attribution _),
     "dd_dup_rate_by_source" -> (Dedup.ddDupRateBySource _),
     "sim_recall_report" -> (Similarity.simRecallReport _),
+    "q91_forecast_naive" -> (Analytics.q91ForecastNaive _),
+    "q92_outlier_mad" -> (Analytics.q92OutlierMad _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2079,5 +2081,32 @@ object SparkEntry {
         | round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS recall_at_k
         |FROM exact e LEFT JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q91_forecast_naive" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), p AS (
+        | SELECT o_orderpriority, cents,
+        |  lag(cents, 7) OVER (PARTITION BY o_orderpriority ORDER BY "day") AS pred
+        | FROM daily
+        |)
+        |SELECT o_orderpriority, count(*) AS n_scored,
+        | round(cast(sum(abs(cents - pred)) as double) / count(*) / 100.0, 6) AS mae_dollars,
+        | round(cast(sum(cast(round(abs(cents - pred) / cast(cents as double), 12) as decimal(24,12))) as double) / count(*), 6) AS mape
+        |FROM p WHERE pred IS NOT NULL AND cents > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q92_outlier_mad" ->
+      """WITH med AS (
+        | SELECT c_nationkey, quantile_cont(c_acctbal, 0.5) AS med FROM customer GROUP BY 1
+        |), mad AS (
+        | SELECT c.c_nationkey, quantile_cont(abs(c_acctbal - med), 0.5) AS mad, any_value(med) AS med
+        | FROM customer c JOIN med ON c.c_nationkey = med.c_nationkey GROUP BY 1
+        |)
+        |SELECT c.c_nationkey, c_custkey, c_acctbal,
+        | round((c_acctbal - mad.med) / (1.4826 * mad.mad), 6) AS robust_z
+        |FROM customer c JOIN mad ON c.c_nationkey = mad.c_nationkey
+        |WHERE mad.mad > 0 AND abs(c_acctbal - mad.med) > 3.0 * 1.4826 * mad.mad
+        |ORDER BY c.c_nationkey, c_custkey""".stripMargin,
   )
 }

@@ -1675,4 +1675,53 @@ object Analytics {
       .orderBy($"touch_type")
   }
 
+  /** Seasonal-naïve forecast backtest: predict each day's revenue as
+    * the value 7 observed days earlier (lag-7) and score MAE/MAPE per
+    * priority — the baseline every forecasting pipeline must beat,
+    * and a pure-integer backtest (absolute cent errors; divisions
+    * only at the edge). One window + one aggregate. */
+  def q91ForecastNaive(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    daily
+      .withColumn("pred", lag($"cents", 7).over(w))
+      .filter($"pred".isNotNull && $"cents" > 0)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum(abs($"cents" - $"pred")).cast("double") /
+          count(lit(1)) / 100.0, 6).as("mae_dollars"),
+        // per-day ratios rounded to 12 dp and summed as DECIMAL:
+        // a raw double Σ would vary in ulps with partition order
+        round(sum(expr(
+          "cast(round(abs(cents - pred) / cast(cents as double), 12) as decimal(24,12))"))
+          .cast("double") / count(lit(1)), 6).as("mape"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Robust outlier screen via median absolute deviation: customers
+    * whose balance sits more than 3 scaled MADs from their nation's
+    * median. Median and MAD are exact percentiles (engine-exact
+    * interpolation); the threshold compares doubles produced by
+    * identical correctly-rounded expressions, so the flagged set is
+    * deterministic. Complements the mean/σ z-score screen (q30),
+    * which extreme outliers themselves corrupt. */
+  def q92OutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val med = Tables.customer(spark, dir).groupBy($"c_nationkey")
+      .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+    val mad = Tables.customer(spark, dir)
+      .join(broadcast(med), "c_nationkey")
+      .groupBy($"c_nationkey")
+      .agg(expr("percentile(abs(c_acctbal - med), 0.5)").as("mad"),
+        first($"med").as("med"))
+    Tables.customer(spark, dir)
+      .join(broadcast(mad), "c_nationkey")
+      .filter($"mad" > 0 &&
+        abs($"c_acctbal" - $"med") > lit(3.0) * lit(1.4826) * $"mad")
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+        round(($"c_acctbal" - $"med") / (lit(1.4826) * $"mad"), 6).as("robust_z"))
+      .orderBy($"c_nationkey", $"c_custkey")
+  }
+
 }

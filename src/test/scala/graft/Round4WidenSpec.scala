@@ -346,4 +346,37 @@ class Round4WidenSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
     }
   }
+
+  test("q91_forecast_naive: MAE recomputed for one priority; MAPE non-negative") {
+    val rows = Analytics.q91ForecastNaive(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= 0))
+    val pri = rows.head.getString(0)
+    val series = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === pri)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val scored = series.drop(7).zip(series.dropRight(7)).filter(_._1 > 0)
+    val mae = scored.map(p => math.abs(p._1 - p._2)).sum.toDouble / scored.length / 100.0
+    assert(rows.head.getLong(1) == scored.length)
+    assert(math.abs(rows.head.getDouble(2) - math.rint(mae * 1e6) / 1e6) < 1e-6)
+  }
+
+  test("q92_outlier_mad: every flagged customer really exceeds 3 scaled MADs; complements q30") {
+    val rows = Analytics.q92OutlierMad(spark, sf0001).collect()
+    val meds = Tables.customer(spark, sf0001).collect()
+      .groupBy(_.getInt(2)).view.mapValues(_.map(_.getDouble(3)).sorted).toMap
+    def pct(xs: Array[Double], q: Double): Double = {
+      val pos = q * (xs.length - 1); val lo = pos.toInt
+      if (lo == xs.length - 1) xs(lo) else xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
+    }
+    rows.foreach { r =>
+      val xs = meds(r.getInt(0))
+      val med = pct(xs, 0.5)
+      val mad = pct(xs.map(x => math.abs(x - med)).sorted, 0.5)
+      assert(math.abs(r.getDouble(2) - med) > 3.0 * 1.4826 * mad - 1e-9,
+        s"customer ${r.getLong(1)} not actually beyond the MAD fence")
+    }
+  }
 }
