@@ -213,9 +213,67 @@ object TextNative {
     hex(min, hx, 0)
     UTF8String.fromBytes(hx)
   }
+
+  /** 60-bit SimHash; see [[SimHash60]] for the contract. */
+  def simhash60(text: UTF8String): java.lang.Long = {
+    val bytes = text.getBytes
+    val (offs, nTok) = tokenize(bytes)
+    if (nTok == 0) return null
+    val votes = new Array[Int](60)
+    val md = digestTL.get()
+    var t = 0
+    while (t < nTok) {
+      md.reset()
+      md.update(bytes, offs(2 * t), offs(2 * t + 1))
+      val d = md.digest()
+      // first 15 hex chars = the top 60 bits of the digest, big-endian
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
 }
 
 /** `word_ngrams(text, n)` — the tokenizer+shingler as one compiled call. */
+/** 60-bit SimHash over whitespace tokens: per token the first 60 bits
+  * of its md5 (≡ `conv(substring(md5(t), 1, 15), 16, 10)`), a ±1 vote
+  * per bit position over ALL tokens, bit set iff votes > 0 — exactly
+  * the HOF cascade it replaces (ddSimhash's 60×tokens interpreted
+  * lambda fold), as one compiled pass per row. Null on zero tokens
+  * (mirrors the caller's `size(toks) >= 1` filter). */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(t: Any): Any =
+    TextNative.simhash60(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |java.lang.Long ${ev.value}Box = org.apache.spark.sql.graft.TextNative.simhash60($t);
+         |${ev.isNull} = (${ev.value}Box == null);
+         |${ev.value} = ${ev.isNull} ? -1L : ${ev.value}Box.longValue();
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordNgrams(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, "n must be >= 1")
@@ -307,4 +365,6 @@ object TextExpressions {
     ExpressionUtils.column(Md5Min(ExpressionUtils.expression(arr)))
   def minhashSig(shingles: Column, nPerms: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), nPerms))
+  def simhash60(text: Column): Column =
+    ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text)))
 }

@@ -89,4 +89,23 @@ class TextExpressionsSpec extends SparkSpec {
     assert(r.getString(0).length == 32)
     assert(r.getSeq[String](1).length == 4)
   }
+  test("simhash60 is bit-identical to the interpreted HOF cascade") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val native = docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.simhash60(col("text")).as("h"))
+      .filter(col("h").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = docs
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(expr("size(toks) >= 1"))
+      .withColumn("hs", expr(
+        "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+      .withColumn("h", expr(
+        """aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
+          |acc + if(aggregate(hs, 0, (c, h) -> c + if(((h >> j) & 1) = 1, 1, -1)) > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin))
+      .select(col("doc_id"), col("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof, "native SimHash must be bit-identical to the reference fold")
+  }
 }
