@@ -31,7 +31,10 @@ object GraftFunctions {
         es(2).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("md5_min"),
       info("md5_min", "md5_min(arr) - lexicographically smallest md5 hex over array elements; null on empty"),
-      (es: Seq[Expression]) => Md5Min(es.head)))
+      (es: Seq[Expression]) => Md5Min(es.head)),
+    (FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(text) - 60-bit SimHash over whitespace tokens; null on zero tokens"),
+      (es: Seq[Expression]) => SimHash60(es.head)))
 
   /** Register on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

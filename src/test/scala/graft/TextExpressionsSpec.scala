@@ -80,14 +80,18 @@ class TextExpressionsSpec extends SparkSpec {
     assert(empty.head.isNullAt(0))
   }
 
-  test("SQL registration: word_ngrams/minhash_bands/md5_min callable from SQL") {
+  test("SQL registration: word_ngrams/minhash_bands/md5_min/simhash60 callable from SQL") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val r = spark.sql(
       """SELECT md5_min(word_ngrams('a b c d', 3)) m,
-        |       minhash_bands(word_ngrams('a b c d', 3), 8, 4) bands""".stripMargin)
+        |       minhash_bands(word_ngrams('a b c d', 3), 8, 4) bands,
+        |       simhash60('a b c d') sh,
+        |       simhash60('   ') sh_null""".stripMargin)
       .collect().head
     assert(r.getString(0).length == 32)
     assert(r.getSeq[String](1).length == 4)
+    assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 60))
+    assert(r.isNullAt(3), "zero tokens must yield NULL")
   }
   test("simhash60 is bit-identical to the interpreted HOF cascade") {
     import org.apache.spark.sql.functions._
