@@ -164,6 +164,8 @@ object SparkEntry {
     "sim_recall_report" -> (Similarity.simRecallReport _),
     "q91_forecast_naive" -> (Analytics.q91ForecastNaive _),
     "q92_outlier_mad" -> (Analytics.q92OutlierMad _),
+    "pipe_token_budget" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTokenBudget(s, d)),
+    "dd_lsh_recall" -> (Dedup.ddLshRecall _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2108,5 +2110,55 @@ object SparkEntry {
         |FROM customer c JOIN mad ON c.c_nationkey = mad.c_nationkey
         |WHERE mad.mad > 0 AND abs(c_acctbal - mad.med) > 3.0 * 1.4826 * mad.mad
         |ORDER BY c.c_nationkey, c_custkey""".stripMargin,
+    "pipe_token_budget" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |), s AS (
+        | SELECT doc_id, lang, cast(len(toks) as bigint) AS n_tokens,
+        |  round(list_sum(list_transform(toks, x -> length(x))) / cast(len(toks) as double), 6) AS score
+        | FROM t WHERE len(toks) > 0
+        |), c AS (
+        | SELECT *, cast(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS taken_before
+        | FROM s
+        |)
+        |SELECT lang, doc_id, n_tokens, score, taken_before
+        |FROM c WHERE taken_before < 5000
+        |ORDER BY lang, taken_before""".stripMargin,
+    "dd_lsh_recall" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), shd AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS (
+        | SELECT doc_id, unnest(shingles) s FROM shd
+        |), sizes AS (
+        | SELECT doc_id, count(*) n FROM rows_ GROUP BY 1
+        |), inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |), exact AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |), shr AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), sig AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')) m
+        | FROM shr
+        |), bands AS (
+        | SELECT doc_id, b, md5(m[2*b+1] || m[2*b+2] || ':' || cast(b as varchar)) bh
+        | FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |), cand AS (
+        | SELECT a.doc_id ca, b.doc_id cb
+        | FROM bands a JOIN bands b ON a.bh = b.bh AND a.b = b.b AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |)
+        |SELECT count(*) AS n_exact_pairs,
+        | cast(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_caught,
+        | round(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS recall
+        |FROM exact LEFT JOIN cand ON da = ca AND db = cb""".stripMargin,
   )
 }

@@ -243,4 +243,30 @@ object CorpusPipeline {
         round(col("total_tokens") / (col("n_bins") * seqLen).cast("double"), 6).as("fill_ratio"))
       .orderBy(col("lang"))
 
+  /** Token-budget corpus assembly: per language, docs are taken in
+    * quality order (mean token length desc, doc_id tie-break) until a
+    * token budget is hit — the "fill the training mix under a budget"
+    * selection. The cutoff is a per-language window cumsum over
+    * integer token counts (exact; never a global sort); a doc is kept
+    * while the budget is not yet exhausted BEFORE it, so exactly the
+    * first over-budget doc still fits — the standard greedy fill. */
+  def pipeTokenBudget(spark: SparkSession, dir: String,
+      budgetPerLang: Long = 5000L): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextOps.tokens("text").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr("cast(aggregate(t, 0, (acc, x) -> acc + length(x)) as bigint)").as("n_chars"))
+      .withColumn("score", round(col("n_chars") / col("n_tokens"), 6))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .withColumn("taken_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("taken_before") < budgetPerLang)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("score"), col("taken_before"))
+      .orderBy(col("lang"), col("taken_before"))
+  }
+
 }

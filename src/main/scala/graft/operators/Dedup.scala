@@ -593,4 +593,22 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** LSH quality report: recall of the banded MinHash candidates
+    * against the exact Jaccard ≥ 0.2 pairs — the dedup-side accuracy
+    * readout (the similarity-side twin is sim_recall_report). Both
+    * inputs are deterministic, so the single-row report is
+    * oracle-checkable; the join touches only the two small pair
+    * sets. */
+  def ddLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ddNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val cand = ddMinhashLsh(spark, dir)
+      .select(col("doc_a").as("ca"), col("doc_b").as("cb"))
+    exact
+      .join(cand, col("doc_a") === col("ca") && col("doc_b") === col("cb"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(when(col("ca").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+      .select(col("n_exact_pairs"), col("n_caught"),
+        round(col("n_caught") / col("n_exact_pairs"), 6).as("recall"))
+  }
+
 }

@@ -379,4 +379,29 @@ class Round4WidenSpec extends SparkSpec {
         s"customer ${r.getLong(1)} not actually beyond the MAD fence")
     }
   }
+
+  test("pipe_token_budget: greedy fill honors the budget with exactly one straddling doc per lang") {
+    val rows = CorpusPipeline.pipeTokenBudget(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(4))
+      // every kept doc started strictly under budget
+      assert(sorted.forall(_.getLong(4) < 5000L))
+      // cumulative consistency: taken_before is the running sum of kept tokens
+      var cum = 0L
+      sorted.foreach { r => assert(r.getLong(4) == cum); cum += r.getLong(2) }
+      // quality order: scores non-increasing along the fill
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1) + -1e-9))
+    }
+  }
+
+  test("dd_lsh_recall: recall in [0,1] and consistent with a direct recount") {
+    val r = Dedup.ddLshRecall(spark, sf0001).collect().head
+    val exact = Dedup.ddNgramJaccard(spark, sf0001).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val cand = Dedup.ddMinhashLsh(spark, sf0001).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getLong(0) == exact.size)
+    assert(r.getLong(1) == exact.intersect(cand).size)
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+  }
 }
