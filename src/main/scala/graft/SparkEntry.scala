@@ -166,6 +166,7 @@ object SparkEntry {
     "q92_outlier_mad" -> (Analytics.q92OutlierMad _),
     "pipe_token_budget" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTokenBudget(s, d)),
     "dd_lsh_recall" -> (Dedup.ddLshRecall _),
+    "txt_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.txtBpePairs(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2160,5 +2161,18 @@ object SparkEntry {
         | cast(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_caught,
         | round(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS recall
         |FROM exact LEFT JOIN cand ON da = ca AND db = cb""".stripMargin,
+    "txt_bpe_pairs" ->
+      """WITH w AS (
+        | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents
+        |), p AS (
+        | SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair
+        | FROM w WHERE length(w) >= 2
+        |), c AS (
+        | SELECT pair, count(*) AS freq FROM p GROUP BY 1
+        |), r AS (
+        | SELECT pair, freq, row_number() OVER (ORDER BY freq DESC, pair) rn FROM c
+        |)
+        |SELECT pair, freq FROM r WHERE rn <= 20
+        |ORDER BY freq DESC, pair""".stripMargin,
   )
 }

@@ -452,4 +452,21 @@ object TextAnalysis {
         round((col("n_grams") - col("n_distinct")) / col("n_grams"), 6).as("repetition"))
       .orderBy(col("doc_id"))
 
+  /** BPE-style merge-pair counting — the inner statistic of tokenizer
+    * training: frequencies of adjacent character pairs within words,
+    * top-k by count. One explode chain (words → in-word pairs), one
+    * count aggregate, a total-order top-k; all map-side until the
+    * pair-keyed shuffle. Each BPE iteration at corpus scale is exactly
+    * this query over the current vocabulary segmentation. */
+  def txtBpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens("text")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(k)
+
 }

@@ -106,4 +106,21 @@ object ParquetSink {
       .mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  /** Write a per-partition MANIFEST beside a partitioned table:
+    * row count and min/max of a stats column per partition value,
+    * landed under `_manifest` (underscore-prefixed paths are invisible
+    * to parquet readers, so the base table reads unchanged). This is
+    * the cheap bookkeeping a 100 TB lake keeps for freshness checks,
+    * incremental planning, and skipping — recomputed per refresh from
+    * one aggregate over the affected partitions. */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCols: Seq[String], statsCol: String): Unit =
+    spark.read.parquet(path)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(statsCol)).as(s"min_$statsCol"),
+        max(col(statsCol)).as(s"max_$statsCol"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+
 }

@@ -404,4 +404,33 @@ class Round4WidenSpec extends SparkSpec {
     assert(r.getLong(1) == exact.intersect(cand).size)
     assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
   }
+
+  test("txt_bpe_pairs: frequencies recomputed driver-side for the top pair") {
+    val rows = TextAnalysis.txtBpePairs(spark, sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val top = rows.head
+    val n = Tables.documents(spark, sf0001).collect()
+      .flatMap(_.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .count(_ == top.getString(0))
+    assert(top.getLong(1) == n, s"top pair ${top.getString(0)} count mismatch")
+  }
+
+  test("writeManifest: per-partition stats match a recount; base table reads unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString + "/t"
+    val df = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    graft.sinks.ParquetSink.writePartitioned(df, dir, Seq("o_orderpriority"))
+    graft.sinks.ParquetSink.writeManifest(spark, dir, Seq("o_orderpriority"), "o_totalprice")
+    // _manifest is invisible to the base read
+    assert(spark.read.parquet(dir).count() == df.count())
+    val man = spark.read.parquet(s"$dir/_manifest").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val expect = df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)), min(col("o_totalprice")), max(col("o_totalprice")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(man == expect)
+  }
 }
