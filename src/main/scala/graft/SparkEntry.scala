@@ -167,6 +167,8 @@ object SparkEntry {
     "pipe_token_budget" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTokenBudget(s, d)),
     "dd_lsh_recall" -> (Dedup.ddLshRecall _),
     "txt_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.txtBpePairs(s, d)),
+    "q93_time_range_frame" -> (Analytics.q93TimeRangeFrame _),
+    "q94_typed_avg" -> (Analytics.q94TypedAvg _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2174,5 +2176,20 @@ object SparkEntry {
         |)
         |SELECT pair, freq FROM r WHERE rn <= 20
         |ORDER BY freq DESC, pair""".stripMargin,
+    "q93_time_range_frame" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) AS cents
+        | FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority, "day", cents,
+        | cast(sum(cents) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY ("day" - DATE '1970-01-01')
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) as bigint) AS trail7_cents
+        |FROM daily ORDER BY o_orderpriority, "day"""".stripMargin,
+    "q94_typed_avg" ->
+      """SELECT o_orderpriority,
+        | cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as double) / count(*) / 100.0 AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

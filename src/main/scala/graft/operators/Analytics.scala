@@ -1724,4 +1724,39 @@ object Analytics {
       .orderBy($"c_nationkey", $"c_custkey")
   }
 
+  /** Trailing 7-DAY revenue per priority-day via a RANGE window frame
+    * keyed on the day ordinal — the time-based frame variant (q27's
+    * RANGE frame ranges over a numeric measure; this one ranges over
+    * TIME, so gap days widen the frame's row count). Integer cents in,
+    * one window sort, exact sums. */
+  def q93TimeRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .withColumn("day_ord", unix_date($"day").cast("long"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day_ord")
+      .rangeBetween(-6, 0) // calendar window: 7 days incl. today, gaps excluded
+    daily
+      .withColumn("trail7_cents", sum($"cents").over(w))
+      .select($"o_orderpriority", $"day", $"cents", $"trail7_cents")
+      .orderBy($"o_orderpriority", $"day")
+  }
+
+  /** Per-priority average order value through the typed-Aggregator API
+    * (`TypedColumn` tier): custom aggregation with a case-class buffer,
+    * integer-cents reduction/merge (order-insensitive), one division
+    * in finish — the typed twin of the decimal-sum discipline the
+    * untyped queries use. Plans as a regular two-phase aggregate. */
+  def q94TypedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_totalprice")
+      .as[(String, Double)](Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapValues(_._2)(Encoders.scalaDouble)
+      .agg(graft.functions.TypedAggs.centsAvg.name("avg_price"))
+      .toDF("o_orderpriority", "avg_price")
+      .orderBy($"o_orderpriority")
+  }
+
 }

@@ -433,4 +433,42 @@ class Round4WidenSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(man == expect)
   }
+
+  test("q93_time_range_frame: calendar window sums recomputed for one priority") {
+    val rows = Analytics.q93TimeRangeFrame(spark, sf0001).collect()
+    val pri = rows.head.getString(0)
+    val series = rows.filter(_.getString(0) == pri)
+      .map(r => (r.getDate(1).toLocalDate.toEpochDay, r.getLong(2), r.getLong(3)))
+    series.foreach { case (d, _, trail) =>
+      val expected = series.filter(s => s._1 >= d - 6 && s._1 <= d).map(_._2).sum
+      assert(trail == expected, s"range-frame sum at day $d")
+    }
+    // the time frame must differ from a plain 7-ROW frame when gaps exist
+    // (if the series is gap-free the two coincide — just assert totals)
+    assert(series.nonEmpty)
+  }
+
+  test("q94_typed_avg: typed aggregator equals the decimal-exact untyped average") {
+    val typed = Analytics.q94TypedAvg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val untyped = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"))
+      .agg((expr("cast(sum(cast(o_totalprice as decimal(18,2)) * 100) as double)") /
+        count(lit(1)) / 100.0).as("avg"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    typed.foreach { case (k, v) =>
+      assert(math.abs(v - untyped(k)) < 1e-9, s"typed/untyped divergence for $k")
+    }
+  }
+
+  test("observation metrics ride the ingest plan without a second pass") {
+    val obs = new org.apache.spark.sql.Observation("ingest_stats")
+    val df = Tables.orders(spark, sf0001)
+      .observe(obs, count(lit(1)).as("rows"), sum(col("o_totalprice")).as("revenue"))
+      .filter(col("o_totalprice") > 0)
+    val n = df.count()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] >= n)
+    assert(m("revenue").asInstanceOf[Double] > 0)
+  }
 }
