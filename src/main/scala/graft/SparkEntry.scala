@@ -169,6 +169,8 @@ object SparkEntry {
     "txt_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.txtBpePairs(s, d)),
     "q93_time_range_frame" -> (Analytics.q93TimeRangeFrame _),
     "q94_typed_avg" -> (Analytics.q94TypedAvg _),
+    "q95_sql_front_door" -> (Analytics.q95SqlFrontDoor _),
+    "q96_session_window" -> (Analytics.q96SessionWindow _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2191,5 +2193,34 @@ object SparkEntry {
       """SELECT o_orderpriority,
         | cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as double) / count(*) / 100.0 AS avg_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q95_sql_front_door" ->
+      """SELECT r_name AS region, n_name AS nation,
+        | count(*) AS n_orders,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY region, nation""".stripMargin,
+    "q96_session_window" ->
+      """WITH e AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        > INTERVAL 30 MINUTE OR
+        |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |  THEN 1 ELSE 0 END AS is_new
+        | FROM events
+        |), s AS (
+        | SELECT user_id, ts,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM e
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 30 MINUTE AS session_end,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

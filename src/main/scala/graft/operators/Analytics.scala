@@ -1759,4 +1759,41 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** The SQL front door: the same engine driven through
+    * `spark.sql(...)` over registered temp views — a TPC-H-Q5-shaped
+    * regional revenue rollup. Catalyst plans SQL text and DataFrame
+    * calls identically (same optimizer, same physical operators), and
+    * this gated query proves the library's tables and determinism
+    * conventions hold for SQL-authored workloads too. */
+  def q95SqlFrontDoor(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("v_region")
+    spark.sql(
+      """SELECT r_name AS region, n_name AS nation,
+        |  count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+        |FROM v_orders
+        |JOIN v_customer ON o_custkey = c_custkey
+        |JOIN v_nation ON c_nationkey = n_nationkey
+        |JOIN v_region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  /** Gap-based sessionization via the BUILT-IN session_window function
+    * (the engine-native twin of the hand-rolled island pass in q14):
+    * events within 30 minutes of each other merge into one session
+    * whose window ends one gap after the last event. Same
+    * streaming-compatible operator Structured Streaming uses; the
+    * oracle recomputes sessions with the lag/island formulation. */
+  def q96SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+
 }

@@ -471,4 +471,38 @@ class Round4WidenSpec extends SparkSpec {
     assert(m("rows").asInstanceOf[Long] >= n)
     assert(m("revenue").asInstanceOf[Double] > 0)
   }
+
+  test("q95_sql_front_door: SQL text and DataFrame authoring agree") {
+    val sqlRows = Analytics.q95SqlFrontDoor(spark, sf0001).collect()
+    val dfRows = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf0001), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"))
+      .orderBy(col("region"), col("nation"))
+      .collect()
+    assert(sqlRows.map(_.toString).toSeq == dfRows.map(_.toString).toSeq)
+  }
+
+  test("q96_session_window: sessions respect the 30-minute gap contract") {
+    val sessions = Analytics.q96SessionWindow(spark, sf0001).collect()
+    val byUser = sessions.groupBy(_.getLong(0))
+    byUser.foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getTimestamp(1).getTime)
+      // session end = last event + 30min; sessions never overlap
+      sorted.sliding(2).foreach { p =>
+        if (p.length == 2)
+          assert(p(0).getTimestamp(2).getTime <= p(1).getTimestamp(1).getTime,
+            "sessions must not overlap")
+      }
+      ss.foreach { s =>
+        assert(s.getTimestamp(2).getTime - s.getTimestamp(1).getTime >= 30L * 60 * 1000,
+          "end is at least start + gap")
+      }
+    }
+    val nEvents = Tables.events(spark, sf0001).count()
+    assert(sessions.map(_.getLong(3)).sum == nEvents, "every event lands in one session")
+  }
 }
