@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{GraftFunctions, TopKPerGroupRewrite, TopKPerGroupStrategy}
+import org.apache.spark.sql.graft.{AsOfJoinStrategy, GraftFunctions, TopKPerGroupRewrite, TopKPerGroupStrategy}
 
 /** Session-extension entry point for cluster deployment:
   * `--conf spark.sql.extensions=graft.GraftExtensions` registers the
@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => TopKPerGroupRewrite)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -171,6 +171,7 @@ object SparkEntry {
     "q94_typed_avg" -> (Analytics.q94TypedAvg _),
     "q95_sql_front_door" -> (Analytics.q95SqlFrontDoor _),
     "q96_session_window" -> (Analytics.q96SessionWindow _),
+    "q97_asof_operator" -> (Analytics.q97AsofOperator _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2222,5 +2223,17 @@ object SparkEntry {
         | count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q97_asof_operator" ->
+      """WITH ranked AS (
+        | SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |  row_number() OVER (PARTITION BY e.event_id
+        |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+        | FROM events e JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |)
+        |SELECT e.event_id, e.user_id,
+        | r.o_orderkey AS last_order_key, r.o_orderdate AS last_order_ts
+        |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

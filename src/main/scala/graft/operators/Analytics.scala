@@ -1796,4 +1796,21 @@ object Analytics {
         $"w.end".as("session_end"), $"n_events")
       .orderBy($"user_id", $"session_start")
 
+  /** As-of join through the custom MERGE operator (AsOfJoinExec):
+    * each event picks up its latest prior order in one sorted pass
+    * per co-clustered partition — no row expansion, unlike the
+    * range-join + argmax composition (q13) whose intermediate is
+    * every (event, eligible order) pair. Ties on order date break by
+    * the largest order key (the operator's right tie-break). */
+  def q97AsofOperator(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts")
+    val o = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    org.apache.spark.sql.graft.AsOf.join(e, o,
+        Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate", Seq("o_orderkey"))
+      .select($"event_id", $"user_id",
+        $"o_orderkey".as("last_order_key"), $"o_orderdate".as("last_order_ts"))
+      .orderBy($"event_id")
+  }
+
 }
