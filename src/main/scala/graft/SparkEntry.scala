@@ -8,7 +8,9 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q2RevenueByNation(spark, "/root/testdata/sf0.001")
+    // flagship: the end-to-end corpus job (normalize -> gate -> dedup ->
+    // pack -> report) as one declarative plan
+    CorpusPipeline.pipeE2eCorpus(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -172,6 +174,7 @@ object SparkEntry {
     "q95_sql_front_door" -> (Analytics.q95SqlFrontDoor _),
     "q96_session_window" -> (Analytics.q96SessionWindow _),
     "q97_asof_operator" -> (Analytics.q97AsofOperator _),
+    "pipe_e2e_corpus" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeE2eCorpus(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2235,5 +2238,33 @@ object SparkEntry {
         | r.o_orderkey AS last_order_key, r.o_orderdate AS last_order_ts
         |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
         |ORDER BY e.event_id""".stripMargin,
+    "pipe_e2e_corpus" ->
+      """WITH c AS (
+        | SELECT doc_id, lang,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        | FROM documents
+        |), t AS (
+        | SELECT doc_id, lang, clean,
+        |  cast(len(list_filter(string_split(clean, ' '), x -> x <> '')) as bigint) AS dl
+        | FROM c
+        |), g AS (
+        | SELECT doc_id, lang, dl, md5(clean) AS h,
+        |  row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+        | FROM t WHERE dl >= 10
+        |), kept AS (
+        | SELECT doc_id, lang, dl FROM g WHERE rn = 1
+        |), packed AS (
+        | SELECT lang, dl,
+        |  cast(coalesce(sum(dl) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS start_off
+        | FROM kept
+        |), p AS (
+        | SELECT lang, dl, (start_off + dl - 1) // 128 AS pack_last FROM packed
+        |)
+        |SELECT lang, count(*) AS n_docs_kept,
+        | cast(sum(dl) as bigint) AS total_tokens,
+        | cast(max(pack_last) + 1 as bigint) AS n_bins,
+        | round(sum(dl) / cast((max(pack_last) + 1) * 128 as double), 6) AS fill_ratio
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

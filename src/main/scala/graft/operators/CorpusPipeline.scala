@@ -269,4 +269,38 @@ object CorpusPipeline {
       .orderBy(col("lang"), col("taken_before"))
   }
 
+  /** The END-TO-END corpus job as ONE declarative plan — normalize →
+    * quality gate → exact dedup (keep smallest doc_id) → sequence-pack
+    * the survivors → per-language packing report. This is the
+    * composed "switch your corpus pipeline to this engine" flagship:
+    * Catalyst fuses the normalize/gate projections into the scan, the
+    * dedup window is the only payload shuffle, packing rides a
+    * per-lang window over the survivors, and the report is a tiny
+    * aggregate — four logical stages, two exchanges that matter. */
+  def pipeE2eCorpus(spark: SparkSession, dir: String,
+      minTokens: Int = 10, seqLen: Int = 128): DataFrame = {
+    val byHash = Window.partitionBy(col("clean_md5"))
+    val kept = Tables.documents(spark, dir)
+      .withColumn("clean", expr(
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+      .withColumn("dl", expr(
+        "cast(size(filter(split(clean, ' '), x -> x != '')) as bigint)"))
+      .filter(col("dl") >= minTokens)
+      .withColumn("clean_md5", md5(col("clean")))
+      .withColumn("rn", row_number().over(byHash.orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("dl"))
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val packed = kept
+      .withColumn("start_off",
+        coalesce(sum(col("dl")).over(byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_last", ((col("start_off") + col("dl") - 1) / seqLen).cast("bigint"))
+    packed.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("dl")).as("total_tokens"),
+        (max(col("pack_last")) + 1).as("n_bins"),
+        round(sum(col("dl")) / ((max(col("pack_last")) + 1) * seqLen).cast("double"), 6).as("fill_ratio"))
+      .orderBy(col("lang"))
+  }
+
 }

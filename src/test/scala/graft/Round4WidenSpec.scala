@@ -505,4 +505,20 @@ class Round4WidenSpec extends SparkSpec {
     val nEvents = Tables.events(spark, sf0001).count()
     assert(sessions.map(_.getLong(3)).sum == nEvents, "every event lands in one session")
   }
+
+  test("pipe_e2e_corpus: stage composition consistent with the standalone operators") {
+    val e2e = CorpusPipeline.pipeE2eCorpus(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // kept-doc counts agree with the standalone cleaning pipeline's survivors
+    val keptByLang = CorpusPipeline.pipeCleanCorpus(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e2e.view.mapValues(_._1).toMap == keptByLang,
+      "e2e kept counts must equal the standalone clean+dedup survivors")
+    e2e.values.foreach { case (n, tokens, bins, fill) =>
+      assert(n > 0 && tokens > 0 && bins > 0)
+      assert(fill > 0 && fill <= 1.0)
+    }
+  }
 }
