@@ -394,7 +394,7 @@ object Dedup {
         // cluster layouts; map-side arithmetic only (no shuffle added)
         val rnd = new scala.util.Random(0x5eed)
         val sig = (0 until lshBits).map { i =>
-          val plane = array(Array.fill(128)(lit(rnd.nextGaussian())): _*)
+          val plane = array(Seq.fill(128)(lit(rnd.nextGaussian())): _*)
           val d = aggregate(
             zip_with(col("embedding"), slice(plane, lit(1), size(col("embedding"))),
               (x, y) => x.cast("double") * y),
