@@ -175,6 +175,7 @@ object SparkEntry {
     "q96_session_window" -> (Analytics.q96SessionWindow _),
     "q97_asof_operator" -> (Analytics.q97AsofOperator _),
     "pipe_e2e_corpus" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeE2eCorpus(s, d)),
+    "q98_kmv_distinct" -> ((s: SparkSession, d: String) => Analytics.q98KmvDistinct(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2266,5 +2267,31 @@ object SparkEntry {
         | cast(max(pack_last) + 1 as bigint) AS n_bins,
         | round(sum(dl) / cast((max(pack_last) + 1) * 128 as double), 6) AS fill_ratio
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q98_kmv_distinct" ->
+      """WITH h AS (
+        | SELECT DISTINCT event_type, md5(cast(user_id as varchar)) AS h FROM events
+        |), r AS (
+        | SELECT event_type, h,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS nd
+        | FROM h
+        |), kth AS (
+        | SELECT event_type, nd,
+        |  cast(list_sum(list_transform(range(1, 16), i ->
+        |    cast(strpos('0123456789abcdef', h[i]) - 1 as bigint)
+        |      * (cast(1 as bigint) << (4 * (15 - i))))) as bigint) AS v
+        | FROM r WHERE rn = 64
+        |), ex AS (
+        | SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+        |), est AS (
+        | SELECT r.event_type,
+        |  CASE WHEN max(r.nd) < 64 THEN cast(max(r.nd) as double)
+        |       ELSE 63.0 / (cast(max(kth.v) as double) / 1152921504606846976.0) END AS est_distinct
+        | FROM r LEFT JOIN kth ON r.event_type = kth.event_type
+        | GROUP BY 1
+        |)
+        |SELECT ex.event_type, ex.n_exact, est.est_distinct
+        |FROM ex JOIN est ON ex.event_type = est.event_type
+        |ORDER BY ex.event_type""".stripMargin,
   )
 }

@@ -1813,4 +1813,29 @@ object Analytics {
       .orderBy($"event_id")
   }
 
+  /** Approximate distinct users per event type through the KMV sketch
+    * (TypedAggs.kmvDistinct): O(k) mergeable state, and — because the
+    * hash function is md5, not a seeded engine-internal — the ESTIMATE
+    * itself is deterministic and value-checked against an oracle that
+    * recomputes the same k-minimum construction (the upgrade over the
+    * rows-only HLL/GK gates: the sketch value is the contract). Exact
+    * counts ride alongside so the error is visible. */
+  def q98KmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val est = Tables.events(spark, dir)
+      .select($"event_type", md5($"user_id".cast("string")).as("h"))
+      .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapValues(_._2)(Encoders.STRING)
+      .agg(graft.functions.TypedAggs.kmvDistinct(k).name("est"))
+      .toDF("event_type", "est_raw")
+    val exact = Tables.events(spark, dir).groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    est.join(exact, "event_type")
+      // unrounded: the division chain is correctly-rounded IEEE, and a
+      // final 6-dp round could land on a tie engines resolve differently
+      .select($"event_type", $"n_exact", $"est_raw".as("est_distinct"))
+      .orderBy($"event_type")
+  }
+
 }

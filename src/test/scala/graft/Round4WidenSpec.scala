@@ -521,4 +521,23 @@ class Round4WidenSpec extends SparkSpec {
       assert(fill > 0 && fill <= 1.0)
     }
   }
+
+  test("q98_kmv_distinct: estimator within 4 sigma of exact; exact below k returns the true count") {
+    val rows = Analytics.q98KmvDistinct(spark, sf0001).collect()
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getDouble(2)
+      // KMV relative error sigma ~ 1/sqrt(k-2) ~ 12.7% at k=64
+      assert(math.abs(est - exact) / exact < 4 * 0.127,
+        s"${r.getString(0)}: est $est vs exact $exact out of bounds")
+    }
+    // below-k path: distinct users < k => exact count comes back
+    import org.apache.spark.sql.Encoders
+    val tiny = spark.createDataset(Seq("a", "b", "c", "a"))(Encoders.STRING)
+      .map(x => ("g", x))(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapValues(_._2)(Encoders.STRING)
+      .agg(graft.functions.TypedAggs.kmvDistinct(64).name("est"))
+      .collect()
+    assert(tiny.head._2 == 3.0, "below-k estimate must be the exact distinct count")
+  }
 }
