@@ -237,6 +237,44 @@ object Streams {
       }
   }
 
+  case class HashedEvent(event_type: String, h: String)
+  case class DistinctSnapshot(event_type: String, est_distinct: Double)
+
+  /** Streaming approximate distinct per key via the KMV sketch — the
+    * stream face of TypedAggs.KmvDistinct: state is the k smallest
+    * md5 hashes per key (O(k), merge = sorted insert), and each
+    * trigger emits the current estimate. Because the sketch is
+    * deterministic, the final streamed snapshot is BIT-equal to the
+    * batch aggregator on the same data — asserted in StreamingSpec.
+    * This is the dashboard-counter shape: bounded state, update-mode
+    * snapshots, no full distinct materialization. */
+  def runningKmvDistinct(events: Dataset[HashedEvent], k: Int = 64): Dataset[DistinctSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[List[String], DistinctSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[HashedEvent], state: GroupState[List[String]]) =>
+          var hashes = state.getOption.getOrElse(Nil)
+          batch.foreach { e =>
+            if (!hashes.contains(e.h)) {
+              val (lo, hi) = hashes.span(_ < e.h)
+              val merged = lo ::: e.h :: hi
+              hashes = if (merged.length > k) merged.take(k) else merged
+            }
+          }
+          state.update(hashes)
+          val est =
+            if (hashes.length < k) hashes.length.toDouble
+            else {
+              val r = java.lang.Long.parseLong(hashes.last.substring(0, 15), 16)
+                .toDouble / (1L << 60).toDouble
+              (k - 1).toDouble / r
+            }
+          DistinctSnapshot(key, est)
+      }
+  }
+
   case class TypedEvent(user_id: Long, event_type: String, ts_us: Long)
   case class DebounceState(last_us: Long)
 

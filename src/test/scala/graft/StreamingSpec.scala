@@ -177,6 +177,32 @@ class StreamingSpec extends SparkSpec {
       "final streamed top-k state must equal the batch TopKPerGroup selection")
   }
 
+  test("streaming KMV distinct: final snapshot bit-equals the batch sketch across micro-batches") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+    val dir = Files.createTempDirectory("kmv_stream")
+    ev.filter(md5(col("h")).startsWith("0") || md5(col("h")).startsWith("1"))
+      .coalesce(1).write.parquet(dir.toString + "/a")
+    ev.filter(!(md5(col("h")).startsWith("0") || md5(col("h")).startsWith("1")))
+      .coalesce(1).write.parquet(dir.toString + "/b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .as[Streams.HashedEvent]
+    runToMemory(Streams.runningKmvDistinct(stream).toDF(), "kmv_stream", OutputMode.Update())
+    val streamed = spark.sql("select * from kmv_stream").collect()
+      .zipWithIndex.groupBy(_._1.getString(0))
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1.getDouble(1) }
+    import org.apache.spark.sql.Encoders
+    val batch = ev
+      .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapValues(_._2)(Encoders.STRING)
+      .agg(graft.functions.TypedAggs.kmvDistinct(64).name("est"))
+      .collect().toMap
+    assert(streamed == batch, "stream and batch KMV sketches must agree exactly")
+  }
+
   test("update-mode aggregation upserts into Derby idempotently") {
     val dbDir = Files.createTempDirectory("derby").resolve("upsert_db")
     val target = JdbcSink.Target(s"jdbc:derby:$dbDir;create=true", "etype_counts")
