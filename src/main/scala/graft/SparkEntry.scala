@@ -176,6 +176,7 @@ object SparkEntry {
     "q97_asof_operator" -> (Analytics.q97AsofOperator _),
     "pipe_e2e_corpus" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeE2eCorpus(s, d)),
     "q98_kmv_distinct" -> ((s: SparkSession, d: String) => Analytics.q98KmvDistinct(s, d)),
+    "q99_decile_lift" -> (Analytics.q99DecileLift _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2293,5 +2294,31 @@ object SparkEntry {
         |SELECT ex.event_type, ex.n_exact, est.est_distinct
         |FROM ex JOIN est ON ex.event_type = est.event_type
         |ORDER BY ex.event_type""".stripMargin,
+    "q99_decile_lift" ->
+      """WITH spend AS (
+        | SELECT o_custkey, sum(cast(o_totalprice as decimal(18,2))) AS rev,
+        |  count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revd
+        | FROM orders GROUP BY 1
+        |), b AS (
+        | SELECT quantile_cont(revd, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b FROM spend
+        |), bucketed AS (
+        | SELECT s.*, cast(10 - list_sum(list_transform(b.b, v -> CASE WHEN revd > v THEN 1 ELSE 0 END)) as bigint) AS decile
+        | FROM spend s CROSS JOIN b
+        |), d AS (
+        | SELECT decile, count(*) AS n_customers, sum(rev) AS drev FROM bucketed GROUP BY 1
+        |), t AS (SELECT sum(drev) AS trev, sum(n_customers) AS tn FROM d),
+        |c AS (
+        | SELECT decile, n_customers, drev,
+        |  sum(drev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+        |  sum(n_customers) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        | FROM d
+        |)
+        |SELECT decile, n_customers,
+        | cast(drev as double) AS decile_rev,
+        | round(cast(cum_rev as double) / cast(trev as double), 6) AS cum_rev_share,
+        | round((cast(cum_rev as double) / cast(trev as double)) /
+        |   (cast(cum_n as double) / cast(tn as double)), 6) AS lift
+        |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
   )
 }

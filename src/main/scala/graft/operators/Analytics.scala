@@ -1838,4 +1838,38 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** Decile lift/gains table over customer spend — the model-eval
+    * readout (rank by score, bucket into deciles, cumulative share of
+    * the outcome). Deciles come from broadcast exact-percentile
+    * boundaries + map-side comparison (the q88 pattern — no global
+    * ntile window at scale); shares are decimal-summed revenue over
+    * the decimal total, cumulated over the 10-row decile table. */
+  def q99DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(expr("cast(o_totalprice as decimal(18,2))")).as("rev"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("revd", $"rev".cast("double"))
+    val bounds = spend.agg(expr(
+      "percentile(revd, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))").as("b"))
+    val bucketed = spend.crossJoin(broadcast(bounds))
+      // decile 1 = the TOP spenders: 10 − #boundaries below
+      .withColumn("decile", expr(
+        "cast(10 - aggregate(b, 0, (acc, v) -> acc + if(revd > v, 1, 0)) as bigint)"))
+    val deciles = bucketed.groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"rev").as("drev"))
+    val tot = deciles.agg(sum($"drev").as("trev"), sum($"n_customers").as("tn"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.crossJoin(broadcast(tot))
+      .withColumn("cum_rev", sum($"drev").over(w)) // 10-row window: no scale concern
+      .withColumn("cum_n", sum($"n_customers").over(w))
+      .select($"decile", $"n_customers",
+        expr("cast(drev as double)").as("decile_rev"),
+        round(expr("cast(cum_rev as double) / cast(trev as double)"), 6).as("cum_rev_share"),
+        round(($"cum_rev".cast("double") / $"trev".cast("double")) /
+          ($"cum_n".cast("double") / $"tn".cast("double")), 6).as("lift"))
+      .orderBy($"decile")
+  }
+
 }

@@ -540,4 +540,18 @@ class Round4WidenSpec extends SparkSpec {
       .collect()
     assert(tiny.head._2 == 3.0, "below-k estimate must be the exact distinct count")
   }
+
+  test("q99_decile_lift: lift monotone-ish by construction, top decile lift > 1, shares end at 1") {
+    val rows = Analytics.q99DecileLift(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).sameElements(1L to 10L))
+    assert(rows.head.getDouble(4) > 1.0, "top-spender decile must over-index")
+    assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-9, "cumulative share ends at 1")
+    // decile revenue non-increasing from decile 1 down (top spenders first)
+    val revs = rows.map(_.getDouble(2))
+    assert(revs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-6))
+    // customer counts conserve
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.orders(spark, sf0001).select(col("o_custkey")).distinct().count())
+  }
 }
