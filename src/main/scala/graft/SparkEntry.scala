@@ -177,6 +177,8 @@ object SparkEntry {
     "pipe_e2e_corpus" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeE2eCorpus(s, d)),
     "q98_kmv_distinct" -> ((s: SparkSession, d: String) => Analytics.q98KmvDistinct(s, d)),
     "q99_decile_lift" -> (Analytics.q99DecileLift _),
+    "dd_near_keepers" -> (Dedup.ddNearKeepers _),
+    "pipe_split" -> (CorpusPipeline.pipeSplit _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2320,5 +2322,49 @@ object SparkEntry {
         | round((cast(cum_rev as double) / cast(trev as double)) /
         |   (cast(cum_n as double) / cast(tn as double)), 6) AS lift
         |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
+    "dd_near_keepers" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |),
+        |edges AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach AS (
+        | SELECT a AS n, a AS m FROM edges
+        | UNION
+        | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+        |),
+        |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1),
+        |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+        |WHERE x.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
+    "pipe_split" ->
+      """WITH u AS (
+        | SELECT doc_id, lang,
+        |  list_sum(list_transform(range(1, 11), i ->
+        |   cast((strpos('0123456789abcdef',
+        |     substring(md5(cast(doc_id as varchar)), i, 1)) - 1) as bigint)
+        |   * (cast(1 as bigint) << ((10 - i) * 4)))) AS uval
+        | FROM documents
+        |), b AS (
+        | SELECT doc_id, lang,
+        |  cast((uval * 100) // 1099511627776 as bigint) AS bucket
+        | FROM u
+        |)
+        |SELECT doc_id, lang,
+        | CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

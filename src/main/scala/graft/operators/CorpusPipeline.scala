@@ -303,4 +303,22 @@ object CorpusPipeline {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic train/val/test split: the md5-bucket assignment
+    * every training pipeline needs — stable across runs, engines,
+    * partitionings, and corpus growth (a doc's split never changes
+    * when other docs are added, unlike rand() or modulo-of-rank).
+    * Bucket = top-40-bit md5 fraction of the doc id scaled to 0-99:
+    * <90 train, <95 val, else test. Pure map-side arithmetic. */
+  def pipeSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(
+        // pure bigint arithmetic: uval < 2^40 so uval*100 < 2^47; `div`
+        // is exact integer division — no decimal rounding at boundaries
+        "(cast(conv(substring(md5(cast(doc_id as string)), 1, 10), 16, 10) as bigint) * 100) div 1099511627776"))
+      .select(col("doc_id"), col("lang"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
 }

@@ -611,4 +611,21 @@ object Dedup {
         round(col("n_caught") / col("n_exact_pairs"), 6).as("recall"))
   }
 
+  /** Near-dup KEEPERS — the APPLY step for near-duplicate dedup: one
+    * surviving doc per connected near-dup cluster (smallest doc_id),
+    * plus every doc that has no near-duplicate at all. The pass that
+    * actually shrinks the corpus after [[ddComponents]] has profiled
+    * it; survivors = all docs minus non-representative cluster
+    * members, via one broadcast anti-join of the (tiny) dropped
+    * set. */
+  def ddNearKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val comp = ddComponents(spark, dir)
+    val dropped = comp.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("drop_id"))
+    Tables.documents(spark, dir)
+      .join(broadcast(dropped), col("doc_id") === col("drop_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
 }

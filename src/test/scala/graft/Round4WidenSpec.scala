@@ -554,4 +554,28 @@ class Round4WidenSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum ==
       Tables.orders(spark, sf0001).select(col("o_custkey")).distinct().count())
   }
+
+  test("dd_near_keepers: survivors = corpus minus non-representative cluster members") {
+    val kept = Dedup.ddNearKeepers(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val comp = Dedup.ddComponents(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val dropped = comp.filter { case (d, c) => d != c }.map(_._1).toSet
+    val all = Tables.documents(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(kept == all -- dropped)
+    assert(comp.map(_._2).toSet.subsetOf(kept), "every cluster representative survives")
+  }
+
+  test("pipe_split: ~90/5/5 proportions, assignment stable under corpus growth") {
+    val rows = CorpusPipeline.pipeSplit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val n = rows.size.toDouble
+    val frac = rows.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.06, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) < 0.12 && frac.getOrElse("test", 0.0) < 0.12)
+    // growth stability: the same doc_id gets the same split on any subset
+    val half = CorpusPipeline.pipeSplit(spark, sf0001)
+      .filter(col("doc_id") < 250).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    half.foreach { case (id, sp) => assert(rows(id) == sp) }
+  }
 }
