@@ -33,7 +33,6 @@ class Round4WidenSpec extends SparkSpec {
     val daily = rows.filter(_.getString(0) == pri)
       .sortBy(_.getDate(1).toLocalDate.toEpochDay)
     // reconstruct the full daily series (wma rows only start at day 7)
-    val full = Analytics.q75Wma(spark, sf0001) // warm-up-cut output
     val series = Tables.orders(spark, sf0001)
       .filter(col("o_orderpriority") === pri)
       .groupBy(to_date(col("o_orderdate")).as("day"))
