@@ -179,6 +179,9 @@ object SparkEntry {
     "q99_decile_lift" -> (Analytics.q99DecileLift _),
     "dd_near_keepers" -> (Dedup.ddNearKeepers _),
     "pipe_split" -> (CorpusPipeline.pipeSplit _),
+    "txt_novelty" -> (TextAnalysis.txtNovelty _),
+    "q101_peak_hour" -> (Analytics.q101PeakHour _),
+    "mm_kind_profile" -> (Multimodal.mmKindProfile _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2366,5 +2369,48 @@ object SparkEntry {
         |SELECT doc_id, lang,
         | CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "txt_novelty" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        | FROM toks WHERE len(t) >= 3
+        |), f AS (
+        | SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1
+        |)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        | cast(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) as bigint) AS n_novel,
+        | round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS novelty
+        |FROM sh JOIN f ON sh.s = f.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q101_peak_hour" ->
+      """WITH h AS (
+        | SELECT event_type, cast(extract(hour FROM ts) as bigint) AS hod, count(*) AS n
+        | FROM events GROUP BY 1, 2
+        |), t AS (SELECT event_type, sum(n) AS tot FROM h GROUP BY 1),
+        |r AS (
+        | SELECT h.event_type, hod, n, tot,
+        |  row_number() OVER (PARTITION BY h.event_type ORDER BY n DESC, hod) AS rn
+        | FROM h JOIN t ON h.event_type = t.event_type
+        |)
+        |SELECT event_type, hod AS peak_hour, n AS n_peak,
+        | round(n / cast(tot as double), 6) AS peak_share
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "mm_kind_profile" ->
+      """WITH m AS (
+        | SELECT doc_id, cast(octet_length(cast(text as blob)) as bigint) AS n FROM documents
+        |), k AS (
+        | SELECT doc_id, n,
+        |  CASE WHEN n % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  cast(64 + n % 577 as bigint) AS w,
+        |  cast(64 + (n * 31) % 421 as bigint) AS h
+        | FROM m
+        |)
+        |SELECT kind, count(*) AS n_media,
+        | cast(sum(n) as bigint) AS total_bytes,
+        | round(sum(w) / cast(count(*) as double), 6) AS avg_w,
+        | round(sum(h) / cast(count(*) as double), 6) AS avg_h
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

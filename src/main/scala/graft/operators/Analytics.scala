@@ -1872,4 +1872,22 @@ object Analytics {
       .orderBy($"decile")
   }
 
+  /** Diurnal profile: each event type's busiest hour of day (argmax
+    * with a deterministic hour tie-break) plus that hour's share of
+    * the type's traffic — integer counts, one division. */
+  def q101PeakHour(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy($"event_type", hour($"ts").cast("bigint").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.groupBy($"event_type").agg(sum($"n").as("t"))
+    hourly.join(broadcast(tot), "event_type")
+      .groupBy($"event_type")
+      .agg(expr("max_by(hod, struct(n, -hod))").as("peak_hour"),
+        max(struct($"n", -$"hod")).getField("n").as("n_peak"),
+        max($"t").as("n_total"))
+      .select($"event_type", $"peak_hour", $"n_peak",
+        round($"n_peak" / $"n_total", 6).as("peak_share"))
+      .orderBy($"event_type")
+  }
+
 }

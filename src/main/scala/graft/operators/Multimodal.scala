@@ -116,4 +116,23 @@ object Multimodal {
         max(expr("cast(octet_length(payload) as bigint)")).as("n_bytes"))
       .orderBy(col("payload_md5"))
 
+  /** Per-kind media profile over the deterministic decode stub: count
+    * and mean pseudo-dimensions per media kind. Because the stub's
+    * arithmetic is fixed (dims derived from byte lengths), the
+    * profile is oracle-checkable — the plumbing pattern for the real
+    * decoder's QA summary (count, resolution mix, frame stats). */
+  def mmKindProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n", expr("cast(octet_length(cast(text as binary)) as bigint)"))
+      .select(col("doc_id"), col("n"),
+        when(col("n") % 2 === 0, "image").otherwise("audio").as("kind"),
+        (lit(64) + col("n") % 577).cast("bigint").as("w"),
+        (lit(64) + (col("n") * 31) % 421).cast("bigint").as("h"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n")).as("total_bytes"),
+        round(sum(col("w")) / count(lit(1)).cast("double"), 6).as("avg_w"),
+        round(sum(col("h")) / count(lit(1)).cast("double"), 6).as("avg_h"))
+      .orderBy(col("kind"))
+
 }

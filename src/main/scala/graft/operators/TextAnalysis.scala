@@ -469,4 +469,23 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("pair"))
       .limit(k)
 
+  /** Corpus-order novelty: the fraction of each doc's distinct
+    * shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    * the "how much new text does this doc add" curation signal
+    * (near-1 = fresh content, near-0 = recombined boilerplate). One
+    * shingle-keyed shuffle carries (shingle → first doc); the per-doc
+    * ratio is integer-exact. */
+  def txtNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingleArray("text"))).as("s"))
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
 }

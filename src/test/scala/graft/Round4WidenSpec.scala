@@ -577,4 +577,41 @@ class Round4WidenSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     half.foreach { case (id, sp) => assert(rows(id) == sp) }
   }
+
+  test("txt_novelty: every shingle is novel for exactly one doc; bounds hold") {
+    val rows = TextAnalysis.txtNovelty(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    }
+    // Σ novel-per-doc = number of distinct shingles in the corpus
+    val distinctShingles = Tables.documents(spark, sf0001)
+      .select(explode(array_distinct(
+        graft.functions.TextOps.shingleArray("text"))).as("s"))
+      .select(col("s")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctShingles)
+    // the first doc in corpus order is 100% novel
+    assert(rows.minBy(_.getLong(0)).getDouble(3) == 1.0)
+  }
+
+  test("q101_peak_hour: the peak hour really has the max count for a recomputed type") {
+    val rows = Analytics.q101PeakHour(spark, sf0001).collect()
+    val et = rows.head.getString(0)
+    val hourly = Tables.events(spark, sf0001).filter(col("event_type") === et)
+      .groupBy(hour(col("ts")).as("h")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val best = hourly.toSeq.maxBy { case (h, n) => (n, -h) }
+    assert(rows.head.getLong(1) == best._1)
+    assert(rows.head.getLong(2) == best._2)
+    assert(rows.head.getDouble(3) > 0 && rows.head.getDouble(3) <= 1)
+  }
+
+  test("mm_kind_profile: kind counts conserve and dims stay in stub ranges") {
+    val rows = Multimodal.mmKindProfile(spark, sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 64 && r.getDouble(3) < 64 + 577)
+      assert(r.getDouble(4) >= 64 && r.getDouble(4) < 64 + 421)
+    }
+  }
 }
