@@ -182,6 +182,8 @@ object SparkEntry {
     "txt_novelty" -> (TextAnalysis.txtNovelty _),
     "q101_peak_hour" -> (Analytics.q101PeakHour _),
     "mm_kind_profile" -> (Multimodal.mmKindProfile _),
+    "dd_shingle_df_profile" -> (Dedup.ddShingleDfProfile _),
+    "pipe_length_buckets" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeLengthBuckets(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2412,5 +2414,31 @@ object SparkEntry {
         | round(sum(w) / cast(count(*) as double), 6) AS avg_w,
         | round(sum(h) / cast(count(*) as double), 6) AS avg_h
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_shingle_df_profile" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        | FROM toks WHERE len(t) >= 3
+        |), f AS (
+        | SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1
+        |)
+        |SELECT df, count(*) AS n_shingles
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipe_length_buckets" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) AS n_tokens
+        | FROM documents
+        |), b AS (
+        | SELECT doc_id, n_tokens, (((n_tokens - 1) // 32) + 1) * 32 AS bucket_len
+        | FROM t WHERE n_tokens > 0
+        |)
+        |SELECT cast(bucket_len as bigint) AS bucket_len, count(*) AS n_docs,
+        | cast(sum(n_tokens) as bigint) AS total_tokens,
+        | cast(count(*) * bucket_len - sum(n_tokens) as bigint) AS pad_waste,
+        | round((count(*) * bucket_len - sum(n_tokens)) / cast(count(*) * bucket_len as double), 6) AS waste_frac
+        |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
   )
 }

@@ -321,4 +321,24 @@ object CorpusPipeline {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
 
+  /** Length-bucketed batching accounting: docs grouped into
+    * 32-token-multiple buckets (the pad-to-bucket batching strategy
+    * that replaces pad-to-max), with the padding waste each bucket
+    * incurs — all integer arithmetic. The report that justifies
+    * bucketed batching over global padding in a training loader. */
+  def pipeLengthBuckets(spark: SparkSession, dir: String,
+      step: Int = 32): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens("text").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .withColumn("bucket_len", (((col("n_tokens") - 1) / step).cast("long") + 1) * step)
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (count(lit(1)) * col("bucket_len").cast("long") - sum(col("n_tokens"))).as("pad_waste"))
+      .select(col("bucket_len"), col("n_docs"), col("total_tokens"), col("pad_waste"),
+        round(col("pad_waste") / (col("n_docs") * col("bucket_len")).cast("double"), 6).as("waste_frac"))
+      .orderBy(col("bucket_len"))
+
 }

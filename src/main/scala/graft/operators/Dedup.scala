@@ -628,4 +628,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Shingle document-frequency profile: how many shingles occur in
+    * exactly df documents — the skew diagnostic behind the
+    * hot-shingle stop-list guard (a heavy tail here is why
+    * `shingleDfCap` exists: the joins key on shingles, and a shingle
+    * shared by thousands of docs quadratically inflates its bucket).
+    * Two aggregates on the shingle key; pure integers. */
+  def ddShingleDfProfile(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingleArray("text"))).as("s"))
+      .groupBy(col("s")).agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("df"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .orderBy(col("df"))
+
 }

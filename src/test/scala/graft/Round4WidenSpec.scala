@@ -614,4 +614,27 @@ class Round4WidenSpec extends SparkSpec {
       assert(r.getDouble(4) >= 64 && r.getDouble(4) < 64 + 421)
     }
   }
+
+  test("dd_shingle_df_profile: histogram conserves the distinct-shingle count") {
+    val rows = Dedup.ddShingleDfProfile(spark, sf0001).collect()
+    assert(rows.forall(_.getLong(0) >= 1))
+    val total = rows.map(_.getLong(1)).sum
+    val distinctShingles = Tables.documents(spark, sf0001)
+      .select(explode(array_distinct(
+        graft.functions.TextOps.shingleArray("text"))).as("s"))
+      .select(col("s")).distinct().count()
+    assert(total == distinctShingles)
+  }
+
+  test("pipe_length_buckets: buckets cover all docs; waste consistent; bucket fits its docs") {
+    val rows = CorpusPipeline.pipeLengthBuckets(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 32 == 0)
+      assert(r.getLong(3) == r.getLong(1) * r.getLong(0) - r.getLong(2))
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) < 1)
+    }
+    val nDocs = Tables.documents(spark, sf0001)
+      .filter(size(graft.functions.TextOps.tokens("text")) > 0).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+  }
 }
