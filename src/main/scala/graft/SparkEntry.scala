@@ -87,7 +87,7 @@ object SparkEntry {
     "txt_gopher" -> (TextAnalysis.txtGopher _),
     "q38_interval_join" -> (Analytics.q38IntervalJoin _),
     "q39_checksum" -> (Analytics.q39Checksum _),
-    "dd_semdedup" -> (Dedup.ddSemdedup _),
+    "dd_semdedup" -> ((s: SparkSession, d: String) => Dedup.ddSemdedup(s, d)),
     "dd_hot_spans" -> ((s: SparkSession, d: String) => Dedup.ddHotSpans(s, d)),
     "txt_unigram_score" -> (TextAnalysis.txtUnigramScore _),
     "pipe_pack_sequences" -> ((s: SparkSession, d: String) => CorpusPipeline.pipePackSequences(s, d)),
@@ -134,10 +134,29 @@ object SparkEntry {
     "q71_share_of_parent" -> (Analytics.q71ShareOfParent _),
     "q72_yoy" -> (Analytics.q72YoY _),
     "dd_incremental" -> ((s: SparkSession, d: String) => Dedup.ddIncremental(s, d)),
+    // the 100 TB configurations, oracle-exercised (not just spec'd):
+    // the skew-capped LSH run (cap replicated exactly in the oracle) and
+    // the sign-projection-refined cosine run (hyperplanes exported into
+    // the oracle SQL as literals from the same fixed seed)
+    "dd_minhash_lsh_capped" ->
+      ((s: SparkSession, d: String) => Dedup.ddMinhashLsh(s, d, bucketCap = Some(8))),
+    "dd_embed_cos_lsh" ->
+      ((s: SparkSession, d: String) => Dedup.ddEmbedCos(s, d, lshBits = 4)),
+    // the lake flow end-to-end: upsert history signatures to a fresh
+    // parquet table, then dedup the new batch against the TABLE — the
+    // result must equal dd_incremental (same oracle), proving the
+    // persisted-signature path loses nothing vs recomputing history
+    "dd_incremental_lake" -> ((s: SparkSession, d: String) => {
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft_siglake").toString + "/sigs"
+      Dedup.sigLakeUpsert(s, d, lake, maxDocId = 400L)
+      Dedup.ddIncrementalFromLake(s, d, lake)
+    }),
     "q73_reservoir" -> ((s: SparkSession, d: String) => Analytics.q73Reservoir(s, d)),
     "pipe_quality_report" -> (CorpusPipeline.pipeQualityReport _),
     "q74_regression" -> (Analytics.q74Regression _),
     "q75_wma" -> (Analytics.q75Wma _),
+    "q100_ema" -> (Analytics.q100Ema _),
     "q76_gini_impurity" -> (Analytics.q76GiniImpurity _),
     "q77_hhi" -> (Analytics.q77Hhi _),
     "q79_bollinger" -> (Analytics.q79Bollinger _),
@@ -189,6 +208,57 @@ object SparkEntry {
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
     * Numeric parity: decimal-exact aggregation, double only at the end
     * (see Analytics scaladoc). Keys absent here get a rows-only check. */
+  // shared by dd_incremental and dd_incremental_lake: the lake variant
+  // persists history signatures to parquet first but must yield the
+  // exact same candidate pairs
+  private val incrementalDedupOracle: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+      |), sh AS (
+      | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+      | FROM toks WHERE len(t) >= 3
+      |), sig AS (
+      | SELECT doc_id, list_transform(range(0, 8), i ->
+      |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')) m
+      | FROM sh
+      |), bands AS (
+      | SELECT doc_id, b, md5(m[2*b+1] || m[2*b+2] || ':' || cast(b as varchar)) bh
+      | FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+      |)
+      |SELECT n.doc_id AS doc_new, h.doc_id AS doc_old
+      |FROM bands n JOIN bands h ON n.bh = h.bh AND n.b = h.b
+      |WHERE n.doc_id >= 400 AND h.doc_id < 400
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for the lshBits-refined embedding near-dup: the hyperplanes
+    * are regenerated here from the SAME fixed seed the operator uses
+    * (scala.util.Random(0x5eed), 128 gaussians per plane, first 64 used
+    * at the testdata dimension) and exported as double literals —
+    * Double.toString round-trips bit-exactly through DuckDB's parser,
+    * and the dot product is the same left-to-right IEEE fold, so the
+    * sign (and therefore the cell id) is identical in both engines. */
+  private def embedCosLshOracle(lshBits: Int): String = {
+    val rnd = new scala.util.Random(0x5eed)
+    val cell = (0 until lshBits).map { i =>
+      val plane = Seq.fill(128)(rnd.nextGaussian()).take(64)
+      val dot = plane.zipWithIndex.map { case (v, j) =>
+        s"cast(embedding[${j + 1}] as double) * ($v)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH c AS (
+       | SELECT vec_id, label, embedding, $cell AS cell FROM embeddings
+       |), s AS (
+       | SELECT a.vec_id va, b.vec_id vb,
+       |  list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double))) /
+       |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(a.embedding[i] as double)))) *
+       |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(b.embedding[i] as double) * cast(b.embedding[i] as double))))) cosim
+       | FROM c a JOIN c b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+       |)
+       |SELECT va AS vec_a, vb AS vec_b, round(cosim, 6) AS score
+       |FROM s WHERE cosim >= 0.3 ORDER BY 1, 2""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1593,7 +1663,14 @@ object SparkEntry {
         | round((rev_cents - CASE WHEN prev_yr = yr - 1 THEN prev_cents END)
         |  / CASE WHEN prev_yr = yr - 1 THEN prev_cents END, 6) AS yoy_growth
         |FROM l ORDER BY yr, mo""".stripMargin,
-    "dd_incremental" ->
+    "dd_incremental" -> incrementalDedupOracle,
+    // the lake flow materializes history signatures to parquet first,
+    // but the PAIRS it yields are identical to the recompute path
+    "dd_incremental_lake" -> incrementalDedupOracle,
+    // the skew-capped LSH config: buckets larger than 8 are dropped
+    // WHOLE on both sides — the cap is replicated exactly, so this row
+    // is a strict oracle on the guarded code path itself
+    "dd_minhash_lsh_capped" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
         |), sh AS (
@@ -1606,11 +1683,15 @@ object SparkEntry {
         |), bands AS (
         | SELECT doc_id, b, md5(m[2*b+1] || m[2*b+2] || ':' || cast(b as varchar)) bh
         | FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |), bsz AS (
+        | SELECT b, bh, count(*) n FROM bands GROUP BY 1, 2
         |)
-        |SELECT n.doc_id AS doc_new, h.doc_id AS doc_old
-        |FROM bands n JOIN bands h ON n.bh = h.bh AND n.b = h.b
-        |WHERE n.doc_id >= 400 AND h.doc_id < 400
+        |SELECT a.doc_id doc_a, b.doc_id doc_b
+        |FROM bands a JOIN bands b ON a.bh = b.bh AND a.b = b.b AND a.doc_id < b.doc_id
+        |JOIN bsz s ON s.b = a.b AND s.bh = a.bh
+        |WHERE s.n <= 8
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dd_embed_cos_lsh" -> embedCosLshOracle(4),
     "q73_reservoir" ->
       """WITH h AS (
         | SELECT user_id, event_id, event_type,
@@ -1669,7 +1750,7 @@ object SparkEntry {
     "q75_wma" ->
       """WITH daily AS (
         | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
-        |  sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) AS cents
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
         | FROM orders GROUP BY 1, 2
         |), lagged AS (
         | SELECT o_orderpriority, "day", cents,
@@ -1679,6 +1760,23 @@ object SparkEntry {
         | FROM daily WINDOW w AS (PARTITION BY o_orderpriority ORDER BY "day")
         |)
         |SELECT o_orderpriority, "day", cents, round(wsum / 28.0, 6) AS wma7
+        |FROM lagged WHERE wsum IS NOT NULL
+        |ORDER BY o_orderpriority, "day"""".stripMargin,
+    "q100_ema" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), lagged AS (
+        | SELECT o_orderpriority, "day", cents,
+        |  cents * 16384 + lag(cents, 1) OVER w * 12288 + lag(cents, 2) OVER w * 9216 +
+        |  lag(cents, 3) OVER w * 6912 + lag(cents, 4) OVER w * 5184 +
+        |  lag(cents, 5) OVER w * 3888 + lag(cents, 6) OVER w * 2916 +
+        |  lag(cents, 7) OVER w * 2187 AS wsum
+        | FROM daily WINDOW w AS (PARTITION BY o_orderpriority ORDER BY "day")
+        |)
+        |SELECT o_orderpriority, "day", cents,
+        | cast((wsum * 1000) // 58975 as bigint) AS ema8_milli
         |FROM lagged WHERE wsum IS NOT NULL
         |ORDER BY o_orderpriority, "day"""".stripMargin,
     "q76_gini_impurity" ->
@@ -1706,7 +1804,7 @@ object SparkEntry {
     "q79_bollinger" ->
       """WITH daily AS (
         | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
-        |  sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) AS cents
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
         | FROM orders GROUP BY 1, 2
         |), win AS (
         | SELECT o_orderpriority, "day", cents,
@@ -2194,7 +2292,7 @@ object SparkEntry {
     "q93_time_range_frame" ->
       """WITH daily AS (
         | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
-        |  sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) AS cents
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
         | FROM orders GROUP BY 1, 2
         |)
         |SELECT o_orderpriority, "day", cents,

@@ -1872,6 +1872,37 @@ object Analytics {
       .orderBy($"decile")
   }
 
+  /** Exponentially-weighted moving average of daily revenue, the
+    * decimal-rational formulation: the recursive EMA (α = 1/4) is
+    * evaluated over an 8-point window with its EXACT rational weights
+    * α(1−α)ʲ = 3ʲ/4ʲ⁺¹ brought to the common denominator 4⁸ — integer
+    * weights wⱼ = 3ʲ·4⁷⁻ʲ, Σw = 4⁸ − 3⁸ = 58975. The weighted sum is
+    * exact BIGINT arithmetic in both engines (no libm pow anywhere,
+    * the float-parity trap the recursive form can't avoid), and the
+    * EMA itself is emitted in exact integer MILLI-cents via integer
+    * division — 58975 carries 5² factors, so a rounded IEEE division
+    * genuinely ties at the 6th decimal (observed at sf0.01), the
+    * failure class this repo's float-parity discipline forbids. The
+    * truncated tail carries (3/4)⁸ ≈ 10% of the mass — the standard
+    * windowed-EMA trade, and the reason the weights renormalize by Σw
+    * rather than 4⁸. Same one-window-sort shape as q75's WMA. */
+  def q100Ema(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val weighted = (0 to 7).map { j =>
+      val wj = BigInt(3).pow(j).toLong * BigInt(4).pow(7 - j).toLong
+      lag($"cents", j).over(w) * lit(wj)
+    }.reduce(_ + _) // NULL while any lag is missing → warm-up rows drop
+    daily
+      .withColumn("wsum", weighted)
+      .filter($"wsum".isNotNull)
+      .select($"o_orderpriority", $"day", $"cents",
+        expr("(wsum * 1000) div 58975").as("ema8_milli"))
+      .orderBy($"o_orderpriority", $"day")
+  }
+
   /** Diurnal profile: each event type's busiest hour of day (argmax
     * with a deterministic hour tie-break) plus that hour's share of
     * the type's traffic — integer counts, one division. */

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,45 @@ import org.apache.spark.sql.functions._
   * plus one hash-keyed exchange, the same shape production cleaning
   * jobs (C4, RefinedWeb, FineWeb) use. */
 object CorpusPipeline {
+
+  /** Exclusive running sum of `valCol` per `keyCol` in `ordCol` order,
+    * WITHOUT a per-key serial window. `Window.partitionBy(key)` funnels
+    * each key through ONE task — with a 60%-English corpus the dominant
+    * language serializes the whole packing stage at 100 TB. Instead, the
+    * classic two-phase distributed prefix sum:
+    *
+    *   1. range-partition by (key, ord) — pid order respects the global
+    *      per-key order;
+    *   2. per-(key, pid) subtotals → a tiny table (≤ partitions × keys
+    *      rows) whose own cumsum gives each partition's starting offset;
+    *   3. broadcast the offsets back and cumsum WITHIN (key, pid) — the
+    *      window parallelism is now the partition count, not the key
+    *      count.
+    *
+    * The result is bit-identical to the serial window (exact integer
+    * sums, no reordering). Requires (keyCol, ordCol) to be unique (ties
+    * could straddle a range boundary arbitrarily). Both phases consume
+    * the SAME range exchange (canonicalized plan reuse), and the range
+    * partitioner's sampling is seed-deterministic, so the pid seen by
+    * phase 2 always matches phase 3's. */
+  private[graft] def prefixSumExclusive(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valCol: String, outCol: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(parts, col(keyCol) +: orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col(keyCol), col("_pid"))
+      .agg(sum(col(valCol)).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum")).over(wOff), lit(0L)))
+      .select(col(keyCol), col("_pid"), col("_off"))
+    val wIn = Window.partitionBy(col(keyCol), col("_pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offsets), Seq(keyCol, "_pid"))
+      .withColumn(outCol,
+        coalesce(sum(col(valCol)).over(wIn), lit(0L)) + col("_off"))
+      .drop("_pid", "_psum", "_off")
+  }
 
   def pipeCleanCorpus(spark: SparkSession, dir: String,
       minTokens: Int = 10): DataFrame = {
@@ -38,11 +77,10 @@ object CorpusPipeline {
     * documents into fixed-length training sequences (seq_len tokens)
     * and reports, per document, which packs it lands in and whether it
     * straddles a pack boundary. Packing streams are per-language
-    * (deterministic doc_id order within each), so the running offset is
-    * an ordinary partitioned window cumsum — each language packs
-    * independently and in parallel, which is exactly how a 100 TB
-    * corpus is packed in practice (per-shard streams, never one global
-    * sequential scan). */
+    * (deterministic doc_id order within each); the running offset is
+    * the two-phase [[prefixSumExclusive]], so the dominant language
+    * never serializes onto one task — parallelism tracks the partition
+    * count at any corpus size. */
   /** RAG-style document chunking: fixed-size token windows (64 tokens,
     * stride 48 → 16-token overlap) with byte-free token offsets, chunk
     * ids, and the re-joined chunk text. Pure map + generate per row —
@@ -66,18 +104,18 @@ object CorpusPipeline {
 
   def pipePackSequences(spark: SparkSession, dir: String,
       seqLen: Int = 128): DataFrame = {
-    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
+    val sized = Tables.documents(spark, dir)
       .withColumn("dl", expr(
         "cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
       .filter(col("dl") > 0)
-      .withColumn("start_off",
-        coalesce(sum(col("dl")).over(byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    prefixSumExclusive(sized, "lang", Seq(col("doc_id")), "dl", "start_off")
+      // integer `div`: exact for every seqLen (IEEE `/`-then-cast is only
+      // exact for powers of two below 2^53)
       .select(col("lang"), col("doc_id"), col("dl"), col("start_off"),
-        (col("start_off") / seqLen).cast("bigint").as("pack_first"),
-        ((col("start_off") + col("dl") - 1) / seqLen).cast("bigint").as("pack_last"),
-        ((col("start_off") / seqLen).cast("bigint") =!=
-          ((col("start_off") + col("dl") - 1) / seqLen).cast("bigint")).as("spans_boundary"))
+        expr(s"start_off div $seqLen").as("pack_first"),
+        expr(s"(start_off + dl - 1) div $seqLen").as("pack_last"),
+        expr(s"start_off div $seqLen != (start_off + dl - 1) div $seqLen")
+          .as("spans_boundary"))
       .orderBy(col("lang"), col("doc_id"))
   }
 
@@ -259,11 +297,8 @@ object CorpusPipeline {
         size(col("t")).cast("long").as("n_tokens"),
         expr("cast(aggregate(t, 0, (acc, x) -> acc + length(x)) as bigint)").as("n_chars"))
       .withColumn("score", round(col("n_chars") / col("n_tokens"), 6))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    scored
-      .withColumn("taken_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    prefixSumExclusive(scored, "lang", Seq(col("score").desc, col("doc_id")),
+        "n_tokens", "taken_before")
       .filter(col("taken_before") < budgetPerLang)
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("score"), col("taken_before"))
       .orderBy(col("lang"), col("taken_before"))
@@ -290,11 +325,10 @@ object CorpusPipeline {
       .withColumn("rn", row_number().over(byHash.orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("dl"))
-    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    val packed = kept
-      .withColumn("start_off",
-        coalesce(sum(col("dl")).over(byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("pack_last", ((col("start_off") + col("dl") - 1) / seqLen).cast("bigint"))
+    val packed = prefixSumExclusive(kept, "lang", Seq(col("doc_id")), "dl", "start_off")
+      // integer `div`, not IEEE `/`-then-cast: exact for every seqLen and
+      // offset magnitude (the double path is only exact for powers of two)
+      .withColumn("pack_last", expr(s"(start_off + dl - 1) div $seqLen"))
     packed.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs_kept"),
         sum(col("dl")).as("total_tokens"),
@@ -332,7 +366,7 @@ object CorpusPipeline {
       .select(col("doc_id"), TextOps.tokens("text").as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
-      .withColumn("bucket_len", (((col("n_tokens") - 1) / step).cast("long") + 1) * step)
+      .withColumn("bucket_len", expr(s"((n_tokens - 1) div $step + 1) * $step"))
       .groupBy(col("bucket_len"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{TextOps, VectorOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents`/`embeddings` tables
@@ -367,6 +367,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Sign-random-projection cell id over the `embedding` column:
+    * `lshBits` deterministic hyperplanes (fixed seed → stable across
+    * runs and cluster layouts), cell = the sign bit-pattern. Map-side
+    * arithmetic only — the shared blocking dial of [[ddEmbedCos]] and
+    * [[ddSemdedup]]. `lshBits <= 0` collapses to a single cell (exact
+    * semantics). Fails loudly on the two silent-degradation inputs:
+    * bits past the Int range and vectors wider than the hyperplane
+    * (zip_with would null-pad and send every vector to cell 0). */
+  private def signProjectionCell(lshBits: Int): Column = {
+    require(lshBits <= 31,
+      s"signProjectionCell: lshBits=$lshBits would overflow the Int cell id (max 31)")
+    if (lshBits <= 0) lit(0)
+    else {
+      val rnd = new scala.util.Random(0x5eed)
+      val sig = (0 until lshBits).map { i =>
+        val plane = array(Seq.fill(128)(lit(rnd.nextGaussian())): _*)
+        val d = aggregate(
+          zip_with(col("embedding"), slice(plane, lit(1), size(col("embedding"))),
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v)
+        when(d >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      when(size(col("embedding")) <= 128, sig)
+        .otherwise(raise_error(concat(
+          lit("signProjectionCell: embedding dim "), size(col("embedding")).cast("string"),
+          lit(" exceeds the 128-component hyperplane"))))
+    }
+  }
+
   /** Embedding-cosine near-dup, blocked by label (an IVF-style coarse
     * partition): pairs are only formed within a block, turning O(n²)
     * into Σ|block|².
@@ -387,22 +416,7 @@ object Dedup {
     // is identical to the oracle's per-pair formula, just not recomputed
     val e0 = Tables.embeddings(spark, dir)
       .withColumn("nrm", VectorOps.norm2("embedding"))
-    val e =
-      if (lshBits <= 0) e0.withColumn("cell", lit(0))
-      else {
-        // hyperplanes from a fixed seed: deterministic across runs and
-        // cluster layouts; map-side arithmetic only (no shuffle added)
-        val rnd = new scala.util.Random(0x5eed)
-        val sig = (0 until lshBits).map { i =>
-          val plane = array(Seq.fill(128)(lit(rnd.nextGaussian())): _*)
-          val d = aggregate(
-            zip_with(col("embedding"), slice(plane, lit(1), size(col("embedding"))),
-              (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, v) => acc + v)
-          when(d >= 0, lit(1 << i)).otherwise(lit(0))
-        }.reduce(_ + _)
-        e0.withColumn("cell", sig)
-      }
+    val e = e0.withColumn("cell", signProjectionCell(lshBits))
     val a = e.select(col("vec_id").as("va"), col("label"), col("cell"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vb"), col("label"), col("cell"),
@@ -423,8 +437,18 @@ object Dedup {
     * vector with a higher id than some ≥0.35-cosine neighbour is
     * dropped. The clustering bounds the pair stage to Σ|cell|² instead
     * of n² — the published SemDeDup recipe — and at 100 TB each stage
-    * is one broadcast + one keyed shuffle on the cell id. */
-  def ddSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    * is one broadcast + one keyed shuffle on the cell id.
+    *
+    * The label-derived centroids alone are a FIXED cell count, so
+    * in-cell pairs grow ∝ n² with corpus size. `refineBits` (default 0
+    * = off, the oracle-gated exact semantics) is the scale dial: each
+    * centroid cell is further split by the shared sign-random-
+    * projection signature ([[signProjectionCell]]), giving
+    * |labels|·2^bits cells with bits chosen ∝ log(n/targetCellSize) —
+    * the same recall/cost trade every production SemDeDup runs. The
+    * spec proves the refined result is a value-identical subset. */
+  def ddSemdedup(spark: SparkSession, dir: String,
+      refineBits: Int = 0): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cent = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -441,12 +465,13 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .withColumn("nrm", VectorOps.norm2("embedding"))
-      .select(col("vec_id"), col("clabel"), col("embedding"), col("nrm"))
-    val a = assigned.select(col("vec_id").as("va"), col("clabel"),
+      .withColumn("cell", signProjectionCell(refineBits))
+      .select(col("vec_id"), col("clabel"), col("cell"), col("embedding"), col("nrm"))
+    val a = assigned.select(col("vec_id").as("va"), col("clabel"), col("cell"),
       col("embedding").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("vec_id").as("vb"), col("clabel"),
+    val b = assigned.select(col("vec_id").as("vb"), col("clabel"), col("cell"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("clabel"))
+    a.join(b, Seq("clabel", "cell"))
       .filter(col("va") < col("vb"))
       .withColumn("cosim", VectorOps.dot("ea", "eb") / (col("na") * col("nb")))
       .filter(col("cosim") >= 0.35)
@@ -536,6 +561,11 @@ object Dedup {
     * more/narrower bands buy a larger guaranteed radius. */
   def ddSimhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 5): DataFrame = {
+    // pigeonhole over 6 bands only guarantees recall for distance <= 5;
+    // a larger radius would silently lose pairs, so refuse it
+    require(maxHamming >= 0 && maxHamming <= 5,
+      s"ddSimhashPairs: maxHamming=$maxHamming outside the 6-band " +
+        "pigeonhole guarantee (0..5); use more/narrower bands for a larger radius")
     val h = ddSimhash(spark, dir) // (doc_id, 60-bit simhash)
     val bands = h.select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 5)")).as("b"))

@@ -85,24 +85,32 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 
       lIter.map { l =>
         val lk = lKeyProj(l)
-        if (curKey == null || keyOrd.compare(lk, curKey) != 0) {
-          curKey = lk.copy(); curBest = null
-        }
         val lt = lTimeProj(l)
-        var advancing = true
-        while (advancing && rHead != null) {
-          val c = keyOrd.compare(rHeadKey, curKey)
-          if (c < 0 ||
-              (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= 0)) {
-            // consume: a matching-key row becomes the new best
-            if (c == 0) curBest = rHead
-            if (rIter.hasNext) {
-              rHead = rIter.next().copy()
-              rHeadKey = rKeyProj(rHead).copy()
-            } else { rHead = null; rHeadKey = null }
-          } else advancing = false
+        // SQL comparison semantics: a NULL left key or NULL left time
+        // matches nothing ("rt <= NULL" is unknown, "NULL = k" is unknown)
+        if (lk.anyNull || lt.isNullAt(0)) {
+          outProj(joined(l, nullRight))
+        } else {
+          if (curKey == null || keyOrd.compare(lk, curKey) != 0) {
+            curKey = lk.copy(); curBest = null
+          }
+          var advancing = true
+          while (advancing && rHead != null) {
+            val c = keyOrd.compare(rHeadKey, curKey)
+            if (c < 0 ||
+                (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= 0)) {
+              // consume: a matching-key row becomes the new best — unless
+              // its time is NULL ("NULL <= lt" is unknown in SQL; natural
+              // ordering would otherwise rank it first and admit it)
+              if (c == 0 && !rTimeProj(rHead).isNullAt(0)) curBest = rHead
+              if (rIter.hasNext) {
+                rHead = rIter.next().copy()
+                rHeadKey = rKeyProj(rHead).copy()
+              } else { rHead = null; rHeadKey = null }
+            } else advancing = false
+          }
+          outProj(joined(l, if (curBest != null) curBest else nullRight))
         }
-        outProj(joined(l, if (curBest != null) curBest else nullRight))
       }
     }
   }
@@ -140,11 +148,27 @@ object AsOf {
       p.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
           s"no column $n in ${p.output.map(_.name).mkString(", ")}"))
+    val lk = leftKeys.map(attr(la, _)); val rk = rightKeys.map(attr(ra, _))
+    val lt = attr(la, leftTime); val rt = attr(ra, rightTime)
+    // the merge loop compares right values with orderings built from the
+    // LEFT side's types — mismatched types (e.g. DateType vs TimestampType)
+    // would silently compare days to microseconds, so fail analysis here.
+    // TimestampType vs TimestampNTZType is the one admissible mix: both are
+    // microsecond longs with identical ordering (only display TZ differs).
+    import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
+    def sameOrderRepr(a: DataType, b: DataType): Boolean =
+      a == b ||
+        (Seq(a, b).forall(t => t == TimestampType || t == TimestampNTZType))
+    require(lk.size == rk.size,
+      s"asof: ${lk.size} left keys vs ${rk.size} right keys")
+    lk.zip(rk).foreach { case (a, b) =>
+      require(sameOrderRepr(a.dataType, b.dataType),
+        s"asof key type mismatch: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
+    }
+    require(sameOrderRepr(lt.dataType, rt.dataType),
+      s"asof time type mismatch: ${lt.name}:${lt.dataType} vs ${rt.name}:${rt.dataType}")
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      AsOfJoinPlan(
-        leftKeys.map(attr(la, _)), rightKeys.map(attr(ra, _)),
-        attr(la, leftTime), attr(ra, rightTime),
-        rightTieBreak.map(attr(ra, _)), la, ra))
+      AsOfJoinPlan(lk, rk, lt, rt, rightTieBreak.map(attr(ra, _)), la, ra))
   }
 }

@@ -59,6 +59,34 @@ class AsOfJoinSpec extends SparkSpec {
       "tie at the as-of boundary must resolve to the largest tie-break")
   }
 
+  test("mismatched key or time types fail analysis instead of comparing raw values") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val rIntKey = Seq((1, 5L, 1L)).toDF("k", "rt", "id")
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, rIntKey, Seq("k"), Seq("k"), "t", "rt", Seq("id"))
+    }
+    val rDateTime = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1L)).toDF("k", "rt", "id")
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, rDateTime, Seq("k"), Seq("k"), "t", "rt", Seq("id"))
+    }
+  }
+
+  test("SQL null semantics: null keys and null times match nothing on either side") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(1L), None))
+      .toDF("k", "t")
+    val r = Seq((Some(1L), Some(5L), 1L), (Some(1L), None, 99L), (None, Some(3L), 98L))
+      .toDF("k", "rt", "id")
+    val out = AsOf.join(l, r, Seq("k"), Seq("k"), "t", "rt", Seq("id")).collect()
+    assert(out.length == 3)
+    val matched = out.filter(!_.isNullAt(4)).map(r => (r.getLong(0), r.getLong(4)))
+    // only the fully non-null left row matches, and only the non-null-time
+    // right row (id=1) is eligible — never the null-time id=99 row that
+    // natural nulls-first ordering would otherwise admit
+    assert(matched.toSeq == Seq((1L, 1L)), matched.mkString(","))
+  }
+
   test("keys with no eligible right row and keys absent from right both yield nulls") {
     import spark.implicits._
     val l = Seq((1L, 3L), (2L, 10L)).toDF("k", "t") // k=1: right rows all later; k=2: no right rows

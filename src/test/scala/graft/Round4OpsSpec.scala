@@ -67,6 +67,25 @@ class Round4OpsSpec extends SparkSpec {
     assert(zero == exact)
   }
 
+  test("dd_semdedup refineBits: refined result is a value-identical subset of the exact result") {
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val exact = asMap(Dedup.ddSemdedup(spark, sf0001).collect())
+    val refined = asMap(Dedup.ddSemdedup(spark, sf0001, refineBits = 2).collect())
+    assert(refined.nonEmpty, "2-bit refined cells must retain some near-dup drops")
+    refined.foreach { case (dropped, (keeper, nNear, maxSim)) =>
+      val (ek, en, es) = exact.getOrElse(dropped,
+        fail(s"dropped vec $dropped not in exact result"))
+      // cells only REMOVE candidate neighbours: the refined keeper is the
+      // min over a subset (>= exact min), counts and max-sim can only shrink
+      assert(keeper >= ek && nNear <= en && maxSim <= es,
+        s"refined row for $dropped is not a subset view: " +
+          s"($keeper,$nNear,$maxSim) vs exact ($ek,$en,$es)")
+    }
+    // 0 bits is bit-identical to the default path
+    assert(asMap(Dedup.ddSemdedup(spark, sf0001, refineBits = 0).collect()) == exact)
+  }
+
   test("signature lake: upsert batch, dedup next batch against it, upsert that too — table holds both, idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("siglake").toString
     val path = s"$dir/sigs"

@@ -55,21 +55,24 @@ def main():
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)
-        # dtype drift (e.g. int32 vs int64) passes the value compare but
-        # may matter to a stricter driver — surface it as a warning
+        # dtype drift (e.g. BIGINT vs HUGEINT) passes the value compare but
+        # fails the driver's dtype-sensitive hash — treat it as a FAILURE
+        # so the local gate is red wherever the driver would be red
+        ok_types = True
         if ok_cols:
             stypes = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
             otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
             for c in scols:
                 if stypes[c] != otypes[c]:
-                    print(f"  [warn] {key}.{c}: spark={stypes[c]} oracle={otypes[c]}")
+                    ok_types = False
+                    print(f"  [DTYPE-FAIL] {key}.{c}: spark={stypes[c]} oracle={otypes[c]}")
         ok_vals = ok_cols and ok_rows and canon(srows, scols) == canon(orows, ocols)
-        if ok_cols and ok_rows and ok_vals:
+        if ok_cols and ok_rows and ok_vals and ok_types:
             print(f"[ok] {key}: {len(srows)} rows")
             n_pass += 1
         else:
             n_fail += 1
-            print(f"[FAIL] {key}: cols_match={ok_cols} rows {len(srows)}vs{len(orows)} vals={ok_vals}")
+            print(f"[FAIL] {key}: cols_match={ok_cols} rows {len(srows)}vs{len(orows)} vals={ok_vals} types={ok_types}")
             if not ok_cols:
                 print(f"   spark cols: {sorted(scols)}\n   oracle cols: {sorted(ocols)}")
             elif not ok_vals:
