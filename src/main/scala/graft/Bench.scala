@@ -10,9 +10,11 @@ import scala.collection.immutable.ListMap
   * so repeat-min actually damps the noise it is meant to damp
   * (observed driver runs where an untouched query measured 25x a
   * clean rerun because both back-to-back samples landed inside the
-  * window). The per-query max/min spread is reported alongside so a
-  * polluted record is self-diagnosing: spread >> 1 on many queries =
-  * host contention, not a code regression. The cache is cleared
+  * window). The per-query spread (runner-up/best) is reported so a
+  * polluted record is self-diagnosing, and when the worst spread
+  * exceeds SPARK_GRAFT_SPREAD_MAX (default 4.0) the bench runs up to
+  * two EXTRA interleaved passes — an extra clean pass repairs a
+  * polluted min instead of merely flagging it. The cache is cleared
   * between queries so an operator that persists internally cannot
   * donate memory-resident input to its second pass (or squat on
   * executor memory for later queries). Output protocol: the
@@ -64,20 +66,47 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // interleaved passes: ALL queries once, then ALL again — a
     // contention window shorter than a full pass cannot hit both
-    // samples of the same query
-    val pass1 = ListMap(selected: _*).map { case (name, fn) => name -> timeOnce(fn) }
-    val pass2 = ListMap(selected: _*).map { case (name, fn) =>
-      name -> (if (pass1(name).isRight) timeOnce(fn) else pass1(name))
+    // samples of the same query. If the record still looks polluted
+    // (worst per-query spread above threshold), run up to two MORE
+    // interleaved passes: spread is second-best/best, so an extra
+    // clean pass repairs a polluted sample instead of just flagging it.
+    val spreadThreshold = sys.env.getOrElse("SPARK_GRAFT_SPREAD_MAX", "4.0").toDouble
+    var samples: ListMap[String, Either[String, List[Double]]] =
+      ListMap(selected: _*).map { case (name, fn) =>
+        name -> timeOnce(fn).map(List(_))
+      }
+    def onePass(): Unit = {
+      samples = ListMap(selected: _*).map { case (name, fn) =>
+        name -> (samples(name) match {
+          case Right(acc) => timeOnce(fn).map(_ :: acc)
+          case left => left
+        })
+      }
     }
-    val runs = pass1.map { case (name, a) =>
-      name -> (for (x <- a; y <- pass2(name)) yield (math.min(x, y), math.max(x, y)))
+    def worstOf(s: ListMap[String, Either[String, List[Double]]]): Double = {
+      val spreads = s.values.collect { case Right(acc) if acc.size >= 2 =>
+        val sorted = acc.sorted
+        if (sorted.head > 0) sorted(1) / sorted.head else 1.0
+      }
+      if (spreads.isEmpty) 1.0 else spreads.max
     }
-    val ok = runs.collect { case (k, Right(v)) => k -> v }
-    val errs = runs.collect { case (k, Left(m)) => k -> m }
+    onePass() // second interleaved pass (the minimum for a spread)
+    var passes = 2
+    while (worstOf(samples) > spreadThreshold && passes < 4) {
+      System.err.println(s"[bench] worst spread ${worstOf(samples)} > " +
+        s"$spreadThreshold after $passes passes - rerunning")
+      onePass(); passes += 1
+    }
+    val ok = samples.collect { case (k, Right(acc)) =>
+      val sorted = acc.sorted
+      k -> ((sorted.head, sorted(1))) // best + runner-up: min and its witness
+    }
+    val errs = samples.collect { case (k, Left(m)) => k -> m }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = ok.map { case (k, (mn, _)) => "\"" + k + "\":" + num(mn) }.mkString("{", ",", "}")
-    // spread = max/min per query; >>1 across many queries flags host contention
+    // spread = runner-up/best per query; >>1 across many queries flags
+    // host contention that survived the retry passes
     val sp = ok.map { case (k, (mn, mx)) =>
       "\"" + k + "\":" + num(if (mn > 0) mx / mn else 1.0) }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => "\"" + k + "\":\"" + esc(m) + "\"" }.mkString("{", ",", "}")
@@ -85,7 +114,7 @@ object Bench {
     val worstSpread = if (ok.isEmpty) 1.0 else ok.values.map { case (mn, mx) => if (mn > 0) mx / mn else 1.0 }.max
     // per-query detail first (may be truncated by tail-limited consumers)
     println(s"""{"metric":"queries","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
-    println(s"""{"metric":"spread","spread":$sp,"worst_spread":${num(worstSpread)},"note":"max/min over interleaved passes; >>1 on many queries = host contention during the run"}""")
+    println(s"""{"metric":"spread","spread":$sp,"worst_spread":${num(worstSpread)},"n_passes":$passes,"note":"runner-up/best over interleaved passes (extra passes auto-run past threshold); >>1 on many queries = host contention during the run"}""")
     // the LAST stdout line is the short headline record
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${errs.size},"worst_spread":${num(worstSpread)},"sf":"$sfDir"}""")
     spark.stop()

@@ -157,6 +157,14 @@ object SparkEntry {
     "q74_regression" -> (Analytics.q74Regression _),
     "q75_wma" -> (Analytics.q75Wma _),
     "q100_ema" -> (Analytics.q100Ema _),
+    "q102_mode" -> (Analytics.q102Mode _),
+    "q103_spearman" -> (Analytics.q103Spearman _),
+    "q104_weighted_median" -> (Analytics.q104WeightedMedian _),
+    "q105_histogram" -> ((s: SparkSession, d: String) => Analytics.q105Histogram(s, d)),
+    "q106_response_time" -> (Analytics.q106ResponseTime _),
+    "q108_ks_test" -> (Analytics.q108KsTest _),
+    "pipe_epoch_shuffle" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeEpochShuffle(s, d)),
+    "mm_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mmPhashDup(s, d)),
     "q76_gini_impurity" -> (Analytics.q76GiniImpurity _),
     "q77_hhi" -> (Analytics.q77Hhi _),
     "q79_bollinger" -> (Analytics.q79Bollinger _),
@@ -1779,6 +1787,126 @@ object SparkEntry {
         | cast((wsum * 1000) // 58975 as bigint) AS ema8_milli
         |FROM lagged WHERE wsum IS NOT NULL
         |ORDER BY o_orderpriority, "day"""".stripMargin,
+    "q102_mode" ->
+      """WITH c AS (
+        | SELECT user_id, event_type, count(*) c FROM events GROUP BY 1, 2
+        |), r AS (
+        | SELECT user_id, event_type, c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) rn,
+        |  max(c) OVER (PARTITION BY user_id) mc
+        | FROM c
+        |)
+        |SELECT user_id, event_type AS mode_type, cast(mc as bigint) AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q103_spearman" ->
+      """WITH r AS (
+        | SELECT l_returnflag,
+        |  cast(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) as bigint) rq,
+        |  cast(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) as bigint) rp
+        | FROM lineitem
+        |), a AS (
+        | SELECT l_returnflag, count(*) n,
+        |  sum(cast((rq - rp) * (rq - rp) as hugeint)) s2
+        | FROM r GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        | cast(s2 as decimal(38,0)) AS sum_d2,
+        | cast(cast(n as hugeint) * n * n - n - 6 * s2 as decimal(38,0)) AS rho_num,
+        | cast(cast(n as hugeint) * n * n - n as decimal(38,0)) AS rho_den
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q104_weighted_median" ->
+      """WITH v AS (
+        | SELECT l_returnflag,
+        |  cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) cents,
+        |  cast(sum(cast(l_quantity as bigint)) as bigint) w
+        | FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        | SELECT l_returnflag, cents, w,
+        |  cast(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) as bigint) cw,
+        |  cast(sum(w) OVER (PARTITION BY l_returnflag) as bigint) tw
+        | FROM v
+        |)
+        |SELECT l_returnflag, max(tw) AS total_weight, min(cents) AS wmedian_cents
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q105_histogram" ->
+      """WITH c AS (
+        | SELECT cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents FROM orders
+        |), b AS (
+        | SELECT min(cents) lo, max(cents) hi FROM c
+        |)
+        |SELECT cast(((cents - lo) * 20) // (hi - lo + 1) as bigint) AS bucket,
+        | count(*) AS n_orders, min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM c CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q106_response_time" ->
+      """WITH fc AS (
+        | SELECT user_id, min(epoch_us(ts)) first_click_us
+        | FROM events WHERE event_type = 'click' GROUP BY 1
+        |)
+        |SELECT e.user_id,
+        | cast(min(first_click_us) as bigint) AS first_click_us,
+        | cast(min(epoch_us(ts)) as bigint) AS first_purchase_us,
+        | cast(min(epoch_us(ts)) - min(first_click_us) as bigint) AS gap_us
+        |FROM events e JOIN fc ON e.user_id = fc.user_id
+        |WHERE e.event_type = 'purchase' AND epoch_us(ts) >= first_click_us
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q108_ks_test" ->
+      """WITH s AS (
+        | SELECT cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents,
+        |  cast(sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) as bigint) a1,
+        |  cast(sum(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END) as bigint) a2
+        | FROM orders GROUP BY 1
+        |), c AS (
+        | SELECT cast(sum(a1) OVER (ORDER BY cents) as bigint) c1,
+        |  cast(sum(a2) OVER (ORDER BY cents) as bigint) c2
+        | FROM s
+        |), t AS (
+        | SELECT cast(sum(a1) as bigint) n1, cast(sum(a2) as bigint) n2 FROM s
+        |)
+        |SELECT max(n1) AS n1, max(n2) AS n2,
+        | cast(max(abs(c1 * n2 - c2 * n1)) as bigint) AS ks_num,
+        | cast(max(n1) * max(n2) as bigint) AS ks_den
+        |FROM c CROSS JOIN t""".stripMargin,
+    "pipe_epoch_shuffle" ->
+      """WITH d AS (
+        | SELECT doc_id, unnest([0, 1]) AS epoch FROM documents
+        |), k AS (
+        | SELECT epoch, doc_id,
+        |  md5(cast(epoch as varchar) || ':' || cast(doc_id as varchar)) skey
+        | FROM d
+        |), s AS (
+        | SELECT epoch, doc_id, skey,
+        |  cast(list_sum(list_transform(range(1, 9), i ->
+        |    cast((strpos('0123456789abcdef', substring(skey, i, 1)) - 1) as bigint)
+        |    * (cast(1 as bigint) << ((8 - i) * 4)))) % 8 as bigint) shard
+        | FROM k
+        |)
+        |SELECT cast(epoch as bigint) AS epoch, shard, doc_id,
+        | cast(row_number() OVER (PARTITION BY epoch, shard ORDER BY skey, doc_id) as bigint) AS slot
+        |FROM s ORDER BY epoch, shard, slot""".stripMargin,
+    "mm_phash_dup" ->
+      """WITH ph AS (
+        |WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(string_split(
+        |   regexp_replace(hex(cast(text as blob)), '(.{8})', '\1 ', 'g'), ' '),
+        |   x -> x <> '')) t
+        | FROM documents
+        |), h AS (
+        | SELECT doc_id, list_sum(list_transform(range(1, 16), i ->
+        |   cast((strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1) as bigint)
+        |   * cast(power(16, 15 - i) as bigint))) hv
+        | FROM tok
+        |), votes AS (
+        | SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        | FROM h CROSS JOIN (SELECT unnest(range(0, 60)) j) GROUP BY 1, 2
+        |)
+        |SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN cast(1 as bigint) << j ELSE 0 END) as bigint) AS ph
+        |FROM votes GROUP BY 1
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | cast(bit_count(xor(a.ph, b.ph)) as bigint) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q76_gini_impurity" ->
       """WITH c AS (
         | SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2

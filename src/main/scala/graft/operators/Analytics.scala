@@ -1903,6 +1903,136 @@ object Analytics {
       .orderBy($"o_orderpriority", $"day")
   }
 
+  /** Categorical mode per user: the most frequent event type, with a
+    * deterministic tie-break (lexicographically smallest among the max
+    * counts) via one min_by over (−count, type) — both aggregates have
+    * map-side partials, so the op is two thin shuffles at any scale. */
+  def q102Mode(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(expr("min_by(event_type, struct(-c, event_type))").as("mode_type"),
+        max($"c").as("n_mode"))
+      .orderBy($"user_id")
+
+  /** Spearman rank correlation per return flag (quantity vs extended
+    * price), emitted as EXACT integer sufficient statistics: min-tie
+    * ranks, d = rank_q − rank_p, Σd², and rho as the integer pair
+    * rho_num/rho_den = 1 − 6Σd²/(n(n²−1)) — no division ever happens,
+    * so no float boundary exists. Sums and the cubic denominator are
+    * DECIMAL(38,0): exact far past the corpus sizes where n³ overflows
+    * BIGINT. Both rank windows share the flag-keyed exchange (two
+    * sorts, one shuffle). */
+  def q103Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+    val wp = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .withColumn("rq", rank().over(wq).cast("long"))
+      .withColumn("rp", rank().over(wp).cast("long"))
+      .withColumn("d", $"rq" - $"rp")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(d * d as decimal(38,0))")).as("s2"))
+      .select($"l_returnflag", $"n",
+        expr("cast(s2 as decimal(38,0))").as("sum_d2"),
+        expr("cast(cast(n as decimal(38,0)) * n * n - n - 6 * s2 as decimal(38,0))").as("rho_num"),
+        expr("cast(cast(n as decimal(38,0)) * n * n - n as decimal(38,0))").as("rho_den"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Exact weighted median per group (price weighted by quantity): the
+    * smallest value whose inclusive cumulative weight reaches half the
+    * total — all integer comparisons (2·cw ≥ tw), no percentile
+    * interpolation. Duplicate values pre-collapse into (value, Σw)
+    * rows, and the cumulative weight rides the two-phase distributed
+    * prefix sum — no per-group serial window, the same scale shape as
+    * the packing family. */
+  def q104WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("cents"),
+        expr("cast(l_quantity as bigint)").as("wgt"))
+      .groupBy($"l_returnflag", $"cents")
+      .agg(sum($"wgt").as("w"))
+    val tot = byValue.groupBy($"l_returnflag").agg(sum($"w").as("tw"))
+    CorpusPipeline.prefixSumExclusive(byValue, "l_returnflag",
+        Seq($"cents"), "w", "cw_excl",
+        CorpusPipeline.equiWidthBucket(byValue, "cents"))
+      .join(broadcast(tot), "l_returnflag")
+      .filter(($"cw_excl" + $"w") * 2 >= $"tw")
+      .groupBy($"l_returnflag")
+      .agg(max($"tw").as("total_weight"), min($"cents").as("wmedian_cents"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Equi-width histogram of order totals: bucket index by integer
+    * arithmetic over a broadcast (min, max) — ((v−lo)·k) div (hi−lo+1)
+    * puts every value in 0..k−1 with zero float boundaries. One scan
+    * for bounds (tiny result broadcast back), one for counts. */
+  def q105Histogram(spark: SparkSession, dir: String,
+      nBuckets: Int = 20): DataFrame = {
+    val c = Tables.orders(spark, dir)
+      .select(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val bounds = c.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    c.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"((cents - lo) * $nBuckets) div (hi - lo + 1)"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+      .orderBy($"bucket")
+  }
+
+  /** First-response time: per user, the gap from the first click to
+    * the first purchase at-or-after it — exact integer microseconds
+    * end to end. Two filtered min-aggregates and one user-keyed join;
+    * every stage is keyed on user_id, so the plan is a single
+    * co-partitioned pipeline at any scale. */
+  def q106ResponseTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", unix_micros($"ts"))
+    val firstClick = ev.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"ts_us").as("first_click_us"))
+    ev.filter($"event_type" === "purchase")
+      .join(firstClick, "user_id")
+      .filter($"ts_us" >= $"first_click_us")
+      .groupBy($"user_id")
+      .agg(min($"first_click_us").as("first_click_us"),
+        min($"ts_us").as("first_purchase_us"))
+      .withColumn("gap_us", $"first_purchase_us" - $"first_click_us")
+      .orderBy($"user_id")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic (order totals of even- vs
+    * odd-keyed customers) as EXACT integers: at every distinct value,
+    * |F₁−F₂| cross-multiplies to |c₁n₂ − c₂n₁| / n₁n₂, so the supremum
+    * is max|c₁n₂ − c₂n₁| — emitted as (ks_num, ks_den) with no
+    * division. Values pre-collapse per distinct cents, and both
+    * cumulative counts ride the two-phase distributed prefix sum
+    * (constant key): no global single-task window even though the
+    * cumsum is corpus-wide. */
+  def q108KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.orders(spark, dir)
+      .select(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"),
+        ($"o_custkey" % 2).cast("int").as("grp"))
+      .groupBy($"cents")
+      .agg(sum(when($"grp" === 0, 1L).otherwise(0L)).as("a1"),
+        sum(when($"grp" === 1, 1L).otherwise(0L)).as("a2"))
+      .withColumn("k", lit(1))
+    val bkt = CorpusPipeline.equiWidthBucket(s, "cents")
+    val cum = CorpusPipeline.prefixSumExclusive(
+      CorpusPipeline.prefixSumExclusive(s, "k", Seq($"cents"), "a1", "c1x", bkt),
+      "k", Seq($"cents"), "a2", "c2x", bkt)
+    val tot = s.agg(sum($"a1").as("n1"), sum($"a2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select($"n1", $"n2",
+        abs(($"c1x" + $"a1") * $"n2" - ($"c2x" + $"a2") * $"n1").as("diff"))
+      .groupBy()
+      .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+        max($"diff").as("ks_num"),
+        (max($"n1") * max($"n2")).as("ks_den"))
+  }
+
   /** Diurnal profile: each event type's busiest hour of day (argmax
     * with a deterministic hour tie-break) plus that hour's share of
     * the type's traffic — integer counts, one division. */

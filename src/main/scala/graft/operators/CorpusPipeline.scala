@@ -17,43 +17,68 @@ import org.apache.spark.sql.functions._
   * jobs (C4, RefinedWeb, FineWeb) use. */
 object CorpusPipeline {
 
-  /** Exclusive running sum of `valCol` per `keyCol` in `ordCol` order,
+  /** Exclusive running sum of `valCol` per `keyCol` along `orderCols`,
     * WITHOUT a per-key serial window. `Window.partitionBy(key)` funnels
     * each key through ONE task — with a 60%-English corpus the dominant
     * language serializes the whole packing stage at 100 TB. Instead, the
     * classic two-phase distributed prefix sum:
     *
-    *   1. range-partition by (key, ord) — pid order respects the global
-    *      per-key order;
-    *   2. per-(key, pid) subtotals → a tiny table (≤ partitions × keys
-    *      rows) whose own cumsum gives each partition's starting offset;
-    *   3. broadcast the offsets back and cumsum WITHIN (key, pid) — the
-    *      window parallelism is now the partition count, not the key
-    *      count.
+    *   1. coarsen the ordering into `bucket` — a DETERMINISTIC pure
+    *      function of row values, monotone non-decreasing along
+    *      `orderCols` (e.g. [[equiWidthBucket]]);
+    *   2. per-(key, bucket) subtotals → a small table whose own cumsum
+    *      gives each bucket's starting offset;
+    *   3. broadcast the offsets back and cumsum WITHIN (key, bucket) —
+    *      the window parallelism is populated buckets × keys, never the
+    *      key count.
     *
     * The result is bit-identical to the serial window (exact integer
-    * sums, no reordering). Requires (keyCol, ordCol) to be unique (ties
-    * could straddle a range boundary arbitrarily). Both phases consume
-    * the SAME range exchange (canonicalized plan reuse), and the range
-    * partitioner's sampling is seed-deterministic, so the pid seen by
-    * phase 2 always matches phase 3's. */
+    * sums, no reordering).
+    *
+    * Why a caller-supplied bucket and not `spark_partition_id()` after
+    * `repartitionByRange` (the textbook formulation): Spark may
+    * re-execute this frame once per consuming branch (subtotals vs the
+    * final join), and the range partitioner re-SAMPLES its boundaries
+    * per execution with the RDD id as seed — when exchange reuse fails
+    * (column pruning diverges the two subtrees), the two executions
+    * assign rows to DIFFERENT partitions and the offsets silently
+    * misalign (observed: nondeterministic off-by-a-partition cumsums).
+    * A bucket computed from row values alone cannot diverge, no matter
+    * how many times Catalyst re-executes or how AQE re-plans. */
   private[graft] def prefixSumExclusive(df: DataFrame, keyCol: String,
-      orderCols: Seq[Column], valCol: String, outCol: String): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(parts, col(keyCol) +: orderCols: _*)
-      .withColumn("_pid", spark_partition_id())
-    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_pid"))
+      orderCols: Seq[Column], valCol: String, outCol: String,
+      bucket: Column): DataFrame = {
+    val b = df.withColumn("_bkt", bucket)
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col(keyCol), col("_pid"))
+    val offsets = b.groupBy(col(keyCol), col("_bkt"))
       .agg(sum(col(valCol)).as("_psum"))
       .withColumn("_off", coalesce(sum(col("_psum")).over(wOff), lit(0L)))
-      .select(col(keyCol), col("_pid"), col("_off"))
-    val wIn = Window.partitionBy(col(keyCol), col("_pid")).orderBy(orderCols: _*)
+      .select(col(keyCol), col("_bkt"), col("_off"))
+    val wIn = Window.partitionBy(col(keyCol), col("_bkt")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged.join(broadcast(offsets), Seq(keyCol, "_pid"))
+    b.join(broadcast(offsets), Seq(keyCol, "_bkt"))
       .withColumn(outCol,
         coalesce(sum(col(valCol)).over(wIn), lit(0L)) + col("_off"))
-      .drop("_pid", "_psum", "_off")
+      .drop("_bkt", "_psum", "_off")
+  }
+
+  /** Equi-width bucket id over a LONG column for [[prefixSumExclusive]]:
+    * ((v − lo)·n) div (hi − lo + 1) ∈ [0, n) — exact integer
+    * arithmetic, deterministic, monotone. lo/hi are collected once up
+    * front: the same boundary-planning pass a range partitioner runs,
+    * minus the execution-dependent sampling. Balanced when the column
+    * is roughly uniform over its span (dense ids, prices); a skewed
+    * column only costs parallelism, never correctness. */
+  private[graft] def equiWidthBucket(df: DataFrame, colName: String,
+      n: Int = 64): Column = {
+    val r = df.agg(min(col(colName).cast("long")), max(col(colName).cast("long"))).head()
+    if (r.isNullAt(0)) lit(0L)
+    else {
+      val lo = r.getLong(0); val hi = r.getLong(1)
+      require(hi - lo < Long.MaxValue / n, s"equiWidthBucket: span of $colName too wide")
+      expr(s"(($colName - $lo) * $n) div (${hi - lo} + 1)")
+    }
   }
 
   def pipeCleanCorpus(spark: SparkSession, dir: String,
@@ -108,7 +133,8 @@ object CorpusPipeline {
       .withColumn("dl", expr(
         "cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
       .filter(col("dl") > 0)
-    prefixSumExclusive(sized, "lang", Seq(col("doc_id")), "dl", "start_off")
+    prefixSumExclusive(sized, "lang", Seq(col("doc_id")), "dl", "start_off",
+        equiWidthBucket(sized, "doc_id"))
       // integer `div`: exact for every seqLen (IEEE `/`-then-cast is only
       // exact for powers of two below 2^53)
       .select(col("lang"), col("doc_id"), col("dl"), col("start_off"),
@@ -297,8 +323,12 @@ object CorpusPipeline {
         size(col("t")).cast("long").as("n_tokens"),
         expr("cast(aggregate(t, 0, (acc, x) -> acc + length(x)) as bigint)").as("n_chars"))
       .withColumn("score", round(col("n_chars") / col("n_tokens"), 6))
+    // bucket = −floor(4·score): a deterministic monotone coarsening of
+    // the DESCENDING score order (equal scores share a bucket, so the
+    // doc_id tie-break stays inside one bucket's window)
     prefixSumExclusive(scored, "lang", Seq(col("score").desc, col("doc_id")),
-        "n_tokens", "taken_before")
+        "n_tokens", "taken_before",
+        expr("cast(-floor(score * 4) as bigint)"))
       .filter(col("taken_before") < budgetPerLang)
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("score"), col("taken_before"))
       .orderBy(col("lang"), col("taken_before"))
@@ -325,7 +355,10 @@ object CorpusPipeline {
       .withColumn("rn", row_number().over(byHash.orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("dl"))
-    val packed = prefixSumExclusive(kept, "lang", Seq(col("doc_id")), "dl", "start_off")
+    // bucket bounds from the RAW id span (a superset of the survivors'):
+    // cheaper than bounding the filtered frame, and empty buckets are free
+    val packed = prefixSumExclusive(kept, "lang", Seq(col("doc_id")), "dl", "start_off",
+        equiWidthBucket(Tables.documents(spark, dir), "doc_id"))
       // integer `div`, not IEEE `/`-then-cast: exact for every seqLen and
       // offset magnitude (the double path is only exact for powers of two)
       .withColumn("pack_last", expr(s"(start_off + dl - 1) div $seqLen"))
@@ -336,6 +369,29 @@ object CorpusPipeline {
         round(sum(col("dl")) / ((max(col("pack_last")) + 1) * seqLen).cast("double"), 6).as("fill_ratio"))
       .orderBy(col("lang"))
   }
+
+  /** Deterministic epoch reshuffle layout: every training epoch gives
+    * each doc a fresh pseudorandom placement — shard = md5(epoch:id)
+    * top bits mod nShards, slot = rank within (epoch, shard) by the
+    * same key — reproducible across runs, engines and partitionings
+    * (the property a resumable multi-epoch loader needs; rand() is
+    * not). The within-shard window is bounded by corpus/nShards and
+    * parallelism is epochs × shards, so no stage serializes at scale.
+    * Map-side arithmetic until the one (epoch, shard)-keyed sort. */
+  def pipeEpochShuffle(spark: SparkSession, dir: String,
+      nEpochs: Int = 2, nShards: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${nEpochs - 1})")).as("epoch"))
+      .withColumn("skey",
+        md5(concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        expr(s"cast(conv(substring(skey, 1, 8), 16, 10) as bigint) % $nShards"))
+      .withColumn("slot", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("skey"), col("doc_id"))).cast("bigint"))
+      .select(col("epoch").cast("bigint").as("epoch"), col("shard"),
+        col("doc_id"), col("slot"))
+      .orderBy(col("epoch"), col("shard"), col("slot"))
 
   /** Deterministic train/val/test split: the md5-bucket assignment
     * every training pipeline needs — stable across runs, engines,

@@ -116,6 +116,40 @@ object Multimodal {
         max(expr("cast(octet_length(payload) as bigint)")).as("n_bytes"))
       .orderBy(col("payload_md5"))
 
+  /** Perceptual-hash-style media near-dup pairs: a 60-bit SimHash over
+    * the payload's hex 4-byte grams (computed WITHOUT decoding — the
+    * content-hash tier between exact digest dedup and a real perceptual
+    * model), banded 6×10 bits so any pair within Hamming distance 5
+    * shares a whole band (pigeonhole — recall-complete vs the all-pairs
+    * scan, same guarantee as the text-side banding). The hash is one
+    * codegen pass per row; the payload bytes never shuffle — only
+    * (doc_id, 60-bit hash, band hash) rows do. */
+  def mmPhashDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 5,
+      s"mmPhashDup: maxHamming=$maxHamming outside the 6-band pigeonhole guarantee")
+    val h = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      // space-delimit the hex stream into 8-hex-char (4-byte) grams: the
+      // token stream the shared SimHash60 kernel consumes
+      .withColumn("grams", expr("regexp_replace(hex(payload), '(.{8})', '$1 ')"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.simhash60(col("grams")).as("ph"))
+      .filter(col("ph").isNotNull)
+    val bands = h.select(col("doc_id"), col("ph"),
+        explode(expr("sequence(0, 5)")).as("b"))
+      .withColumn("bh", expr("(ph >> (10 * b)) & 1023"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("ph").as("ha"), col("b"), col("bh"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("ph").as("hb"), col("b"), col("bh"))
+    a.join(bb, Seq("b", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(ha ^ hb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-kind media profile over the deterministic decode stub: count
     * and mean pseudo-dimensions per media kind. Because the stub's
     * arithmetic is fixed (dims derived from byte lengths), the

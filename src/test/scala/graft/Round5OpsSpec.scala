@@ -23,7 +23,8 @@ class Round5OpsSpec extends SparkSpec {
       .select(col("lang"), col("doc_id"), col("start_off"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val twoPhase = CorpusPipeline
-      .prefixSumExclusive(sizedDocs, "lang", Seq(col("doc_id")), "dl", "start_off")
+      .prefixSumExclusive(sizedDocs, "lang", Seq(col("doc_id")), "dl", "start_off",
+        CorpusPipeline.equiWidthBucket(sizedDocs, "doc_id"))
       .select(col("lang"), col("doc_id"), col("start_off"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(twoPhase == serial)
@@ -39,7 +40,7 @@ class Round5OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val twoPhase = CorpusPipeline
       .prefixSumExclusive(sizedDocs, "lang", Seq(col("dl").desc, col("doc_id")),
-        "dl", "off")
+        "dl", "off", expr("cast(-dl as bigint)"))
       .select(col("doc_id"), col("off"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(twoPhase == serial)
@@ -61,6 +62,56 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_phash_dup: banded pairs equal the all-pairs hamming<=5 answer (pigeonhole)") {
+    val hashes = Tables.documents(spark, sf0001)
+      .withColumn("grams", expr(
+        "regexp_replace(hex(cast(text as binary)), '(.{8})', '$1 ')"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.simhash60(col("grams")).as("ph"))
+      .filter(col("ph").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allPairs = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 5
+    } yield (ia, ib)).toSet
+    val banded = graft.operators.Multimodal.mmPhashDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == allPairs, s"banded=${banded.size} allPairs=${allPairs.size}")
+  }
+
+  test("q104_weighted_median: matches a direct in-memory weighted median") {
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"),
+        expr("cast(l_quantity as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val tw = rs.map(_._3).sum
+      var cw = 0L
+      val med = sorted.find { case (_, _, w) => cw += w; cw * 2 >= tw }.get._2
+      flag -> ((tw, med))
+    }
+    val got = graft.operators.Analytics.q104WeightedMedian(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("pipe_epoch_shuffle: slots are dense per (epoch, shard) and epochs disagree on order") {
+    val rows = graft.operators.CorpusPipeline.pipeEpochShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(r => (r._1, r._2)).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.size).toSeq, "slots must be dense from 1")
+    }
+    val orderByEpoch = rows.groupBy(_._1).map { case (e, g) =>
+      e -> g.sortBy(r => (r._2, r._4)).map(_._3).toSeq
+    }
+    assert(orderByEpoch(0L) != orderByEpoch(1L),
+      "different epochs must yield different document orders")
+    assert(orderByEpoch(0L).sorted == orderByEpoch(1L).sorted,
+      "every epoch covers the identical doc set")
+  }
+
   test("packing family plans carry no window partitioned by lang alone") {
     Seq(
       CorpusPipeline.pipePackSequences(spark, sf0001),
@@ -70,15 +121,15 @@ class Round5OpsSpec extends SparkSpec {
       val windows = df.queryExecution.executedPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
-      // the big cumsum must be keyed by (lang, _pid); only the tiny
-      // per-partition-subtotal window (input ≤ partitions × langs rows)
-      // may key on lang alone — it orders by _pid, distinguishing it.
+      // the big cumsum must be keyed by (lang, _bkt); only the tiny
+      // per-bucket-subtotal window (input ≤ buckets × langs rows) may
+      // key on lang alone — it orders by _bkt, distinguishing it.
       // Windows on other keys (e.g. the dedup window on clean_md5, a
       // high-cardinality hash) are not the skew pattern under test.
       windows.filter(_.partitionSpec.exists(_.toString.contains("lang")))
         .foreach { w =>
-          val ordersByPid = w.orderSpec.exists(_.child.toString.contains("_pid"))
-          assert(w.partitionSpec.size >= 2 || ordersByPid,
+          val ordersByBkt = w.orderSpec.exists(_.child.toString.contains("_bkt"))
+          assert(w.partitionSpec.size >= 2 || ordersByBkt,
             s"serial per-lang window found in plan:\n$w")
         }
     }
