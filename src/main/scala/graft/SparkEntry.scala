@@ -163,6 +163,10 @@ object SparkEntry {
     "q105_histogram" -> ((s: SparkSession, d: String) => Analytics.q105Histogram(s, d)),
     "q106_response_time" -> (Analytics.q106ResponseTime _),
     "q108_ks_test" -> (Analytics.q108KsTest _),
+    "q111_runs_test" -> (Analytics.q111RunsTest _),
+    "q112_mann_whitney" -> (Analytics.q112MannWhitney _),
+    "txt_langid_confusion" -> (TextAnalysis.txtLangidConfusion _),
+    "mm_chunk_media" -> ((s: SparkSession, d: String) => Multimodal.mmChunkMedia(s, d)),
     "pipe_epoch_shuffle" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeEpochShuffle(s, d)),
     "mm_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mmPhashDup(s, d)),
     "q76_gini_impurity" -> (Analytics.q76GiniImpurity _),
@@ -1907,6 +1911,79 @@ object SparkEntry {
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q111_runs_test" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), tot AS (
+        | SELECT o_orderpriority, cast(sum(cents) as bigint) total, count(*) n_days
+        | FROM daily GROUP BY 1
+        |), flags AS (
+        | SELECT d.o_orderpriority, "day", n_days,
+        |  CASE WHEN cents * n_days > total THEN 1 ELSE 0 END AS above
+        | FROM daily d JOIN tot t ON d.o_orderpriority = t.o_orderpriority
+        |), b AS (
+        | SELECT o_orderpriority, n_days, above,
+        |  CASE WHEN lag(above) OVER w IS NULL THEN 1
+        |       WHEN lag(above) OVER w <> above THEN 1 ELSE 0 END AS boundary
+        | FROM flags WINDOW w AS (PARTITION BY o_orderpriority ORDER BY "day")
+        |)
+        |SELECT o_orderpriority, max(n_days) AS n_days,
+        | cast(sum(above) as bigint) AS n_above,
+        | cast(sum(boundary) as bigint) AS n_runs
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q112_mann_whitney" ->
+      """WITH s AS (
+        | SELECT cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents,
+        |  cast(sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) as bigint) a1,
+        |  cast(sum(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END) as bigint) a2
+        | FROM orders GROUP BY 1
+        |), c AS (
+        | SELECT a1, a2,
+        |  cast(coalesce(sum(a1 + a2) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) c_lt
+        | FROM s
+        |), agg AS (
+        | SELECT cast(sum(a1) as bigint) n1, cast(sum(a2) as bigint) n2,
+        |  cast(sum(a1 * (1 + c_lt)) as bigint) rank_sum_a
+        | FROM c
+        |)
+        |SELECT n1, n2, rank_sum_a,
+        | cast(rank_sum_a - n1 * (n1 + 1) // 2 as bigint) AS u_a
+        |FROM agg""".stripMargin,
+    "txt_langid_confusion" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |), s AS (
+        | SELECT doc_id, lang,
+        |  cast(len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht'))) as bigint) s_de,
+        |  cast(len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a', 'is'))) as bigint) s_en,
+        |  cast(len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y', 'los'))) as bigint) s_es,
+        |  cast(len(list_filter(toks, x -> x IN ('le', 'les', 'et', 'des', 'un', 'une'))) as bigint) s_fr
+        | FROM t
+        |), p AS (
+        | SELECT lang,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+        | FROM s
+        |)
+        |SELECT lang, pred_lang, count(*) AS n_docs
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mm_chunk_media" ->
+      """WITH d AS (
+        | SELECT doc_id, text, cast(length(text) as bigint) n_bytes
+        | FROM documents WHERE length(text) > 0
+        |), g AS (
+        | SELECT doc_id, text, n_bytes, unnest(range(0, n_bytes, 96)) AS sb FROM d
+        |)
+        |SELECT doc_id,
+        | cast(sb // 96 as bigint) AS chunk_idx,
+        | cast(sb as bigint) AS start_byte,
+        | cast(least(96, n_bytes - sb) as bigint) AS chunk_len,
+        | md5(substring(text, cast(sb + 1 as bigint), 96)) AS chunk_md5
+        |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
     "q76_gini_impurity" ->
       """WITH c AS (
         | SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2

@@ -2033,6 +2033,57 @@ object Analytics {
         (max($"n1") * max($"n2")).as("ks_den"))
   }
 
+  /** Wald–Wolfowitz-style runs test inputs: per priority, the number
+    * of runs of above-mean daily revenue. The above-mean test is the
+    * exact integer cross-multiply cents·n > total (never a float mean),
+    * run boundaries are one lag window. The per-priority window is
+    * bounded by the CALENDAR (days), not the corpus, so it stays a
+    * non-issue at any data scale. */
+  def q111RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val tot = daily.groupBy($"o_orderpriority")
+      .agg(sum($"cents").as("total"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    daily.join(broadcast(tot), "o_orderpriority")
+      .withColumn("above", ($"cents" * $"n_days" > $"total").cast("int"))
+      .withColumn("boundary",
+        when(lag($"above", 1).over(w).isNull, 1)
+          .when(lag($"above", 1).over(w) =!= $"above", 1).otherwise(0))
+      .groupBy($"o_orderpriority")
+      .agg(max($"n_days").as("n_days"),
+        sum($"above").cast("bigint").as("n_above"),
+        sum($"boundary").cast("bigint").as("n_runs"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Mann–Whitney rank-sum inputs (order totals of even- vs odd-keyed
+    * customers) as EXACT integers: with deterministic min-tie ranks,
+    * rank(v) = 1 + #(values < v), so Σ_A ranks = Σ_v a₁(v)·(1 + c_<(v))
+    * — computed from per-distinct-value counts and ONE distributed
+    * prefix sum over their sum, never a global ranking window. Emits
+    * (n1, n2, rank_sum_a, u_a = rank_sum − n1(n1+1)/2); consumers
+    * normalize as they wish — no division, no float boundary. */
+  def q112MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.orders(spark, dir)
+      .select(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"),
+        ($"o_custkey" % 2).cast("int").as("grp"))
+      .groupBy($"cents")
+      .agg(sum(when($"grp" === 0, 1L).otherwise(0L)).as("a1"),
+        sum(when($"grp" === 1, 1L).otherwise(0L)).as("a2"))
+      .withColumn("all_n", $"a1" + $"a2")
+      .withColumn("k", lit(1))
+    val cum = CorpusPipeline.prefixSumExclusive(s, "k", Seq($"cents"),
+      "all_n", "c_lt", CorpusPipeline.equiWidthBucket(s, "cents"))
+    cum.groupBy()
+      .agg(sum($"a1").as("n1"), sum($"a2").as("n2"),
+        sum($"a1" * (lit(1L) + $"c_lt")).as("rank_sum_a"))
+      .select($"n1", $"n2", $"rank_sum_a",
+        // n1(n1+1) is even, so integer div is exact (Column `/` would be IEEE)
+        expr("rank_sum_a - n1 * (n1 + 1) div 2").as("u_a"))
+  }
+
   /** Diurnal profile: each event type's busiest hour of day (argmax
     * with a deterministic hour tie-break) plus that hour's share of
     * the type's traffic — integer counts, one division. */

@@ -150,6 +150,27 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Byte-range chunking of media payloads: fixed-size chunks with
+    * exact integer offsets and a per-chunk digest — the layout pass an
+    * upload/CDC pipeline runs before moving large media (multipart
+    * parts, content-defined sync windows). One Generate per row, zero
+    * shuffles before the output sort; chunk slicing is columnar binary
+    * (substring on the payload), the bytes never leave their row. */
+  def mmChunkMedia(spark: SparkSession, dir: String,
+      chunkBytes: Int = 96): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", expr("cast(octet_length(payload) as bigint)"))
+      .filter(col("n_bytes") > 0)
+      .select(col("doc_id"), col("n_bytes"), col("payload"),
+        posexplode(expr(s"sequence(0L, n_bytes - 1, cast($chunkBytes as bigint))"))
+          .as(Seq("chunk_idx", "start_byte")))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("start_byte"),
+        expr(s"least(cast($chunkBytes as bigint), n_bytes - start_byte)").as("chunk_len"),
+        md5(expr(s"substring(payload, cast(start_byte + 1 as int), $chunkBytes)")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Per-kind media profile over the deterministic decode stub: count
     * and mean pseudo-dimensions per media kind. Because the stub's
     * arithmetic is fixed (dims derived from byte lengths), the

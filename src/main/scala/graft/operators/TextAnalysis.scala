@@ -58,6 +58,18 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix: predicted language (the stopword
+    * heuristic of [[txtLangid]]) against the labeled language — the QA
+    * readout that decides whether the cheap classifier is good enough
+    * to gate a corpus. Pure integer counts over one join-free pass
+    * (lang rides the same row as the prediction). */
+  def txtLangidConfusion(spark: SparkSession, dir: String): DataFrame =
+    txtLangid(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation marks). */
   def txtTokens(spark: SparkSession, dir: String): DataFrame =
