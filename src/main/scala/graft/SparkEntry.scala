@@ -167,6 +167,8 @@ object SparkEntry {
     "q112_mann_whitney" -> (Analytics.q112MannWhitney _),
     "txt_langid_confusion" -> (TextAnalysis.txtLangidConfusion _),
     "mm_chunk_media" -> ((s: SparkSession, d: String) => Multimodal.mmChunkMedia(s, d)),
+    "sim_pq_codes" -> (Similarity.simPqCodes _),
+    "pipe_dataset_card" -> (CorpusPipeline.pipeDatasetCard _),
     "pipe_epoch_shuffle" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeEpochShuffle(s, d)),
     "mm_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mmPhashDup(s, d)),
     "q76_gini_impurity" -> (Analytics.q76GiniImpurity _),
@@ -1984,6 +1986,45 @@ object SparkEntry {
         | cast(least(96, n_bytes - sb) as bigint) AS chunk_len,
         | md5(substring(text, cast(sb + 1 as bigint), 96)) AS chunk_md5
         |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
+    "sim_pq_codes" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, (i - 1) // 8 AS sub, i,
+        |  cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2, 3
+        |), centv AS (
+        | SELECT label clabel, sub, list(c ORDER BY i) cv FROM cent GROUP BY 1, 2
+        |), sv AS (
+        | SELECT vec_id, s.sub, embedding
+        | FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) sub) s
+        |), d AS (
+        | SELECT vec_id, sv.sub, clabel,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (cast(embedding[sv.sub * 8 + j] as double) - cv[j]) * (cast(embedding[sv.sub * 8 + j] as double) - cv[j]))) dist
+        | FROM sv JOIN centv ON sv.sub = centv.sub
+        |), best AS (
+        | SELECT vec_id, sub, clabel,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, clabel) rn FROM d
+        |)
+        |SELECT vec_id, cast(sub as bigint) AS sub, cast(clabel as bigint) AS code
+        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+    "pipe_dataset_card" ->
+      """WITH base AS (
+        | SELECT lang,
+        |  cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) n_tokens,
+        |  count(*) OVER (PARTITION BY md5(text)) n_copies
+        | FROM documents
+        |), pl AS (
+        | SELECT lang, count(*) n_docs,
+        |  cast(sum(n_tokens) as bigint) total_tokens,
+        |  cast(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) as bigint) n_dup_docs
+        | FROM base GROUP BY 1
+        |), t AS (SELECT cast(sum(total_tokens) as bigint) grand_tokens FROM pl)
+        |SELECT lang, n_docs, total_tokens, n_dup_docs,
+        | cast((total_tokens * 1000000) // grand_tokens as bigint) AS token_share_micro,
+        | cast((total_tokens * 1000000) // n_docs as bigint) AS avg_tokens_micro,
+        | cast((n_dup_docs * 1000000) // n_docs as bigint) AS dup_rate_micro
+        |FROM pl CROSS JOIN t ORDER BY lang""".stripMargin,
     "q76_gini_impurity" ->
       """WITH c AS (
         | SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2

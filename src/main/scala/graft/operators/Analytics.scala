@@ -1957,9 +1957,14 @@ object Analytics {
       .groupBy($"l_returnflag", $"cents")
       .agg(sum($"wgt").as("w"))
     val tot = byValue.groupBy($"l_returnflag").agg(sum($"w").as("tw"))
+    // bucket bounds from the RAW scan (parquet min/max stats make the
+    // agg near-free) — bounding the grouped frame would re-run the
+    // groupBy a second time just for the two bounds
+    val rawCents = Tables.lineitem(spark, dir)
+      .select(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("cents"))
     CorpusPipeline.prefixSumExclusive(byValue, "l_returnflag",
         Seq($"cents"), "w", "cw_excl",
-        CorpusPipeline.equiWidthBucket(byValue, "cents"))
+        CorpusPipeline.equiWidthBucket(rawCents, "cents"))
       .join(broadcast(tot), "l_returnflag")
       .filter(($"cw_excl" + $"w") * 2 >= $"tw")
       .groupBy($"l_returnflag")

@@ -370,6 +370,32 @@ object CorpusPipeline {
       .orderBy(col("lang"))
   }
 
+  /** Dataset card: the per-language summary table a corpus release
+    * ships — doc counts, token totals, corpus share, mean length and
+    * exact-duplicate rate. Shares are integer micro-units via integer
+    * div, so no float sits on any compare boundary. One pass for the
+    * stats, one content-hash window for dup counts, a tiny broadcast
+    * for the grand total. */
+  def pipeDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val byHash = Window.partitionBy(col("h"))
+    val base = Tables.documents(spark, dir)
+      .withColumn("n_tokens", expr(
+        "cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .withColumn("h", md5(col("text")))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+    val perLang = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+    val tot = perLang.agg(sum(col("total_tokens")).as("grand_tokens"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("n_dup_docs"),
+        expr("(total_tokens * 1000000) div grand_tokens").as("token_share_micro"),
+        expr("(total_tokens * 1000000) div n_docs").as("avg_tokens_micro"),
+        expr("(n_dup_docs * 1000000) div n_docs").as("dup_rate_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic epoch reshuffle layout: every training epoch gives
     * each doc a fresh pseudorandom placement — shard = md5(epoch:id)
     * top bits mod nShards, slot = rank within (epoch, shard) by the

@@ -307,4 +307,37 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Product-quantization codes: the 64-dim vector splits into 8
+    * subspaces of 8 dims; each subspace carries its own codebook (the
+    * per-label means over that slice — exact-decimal sums, tiny and
+    * broadcast) and every vector stores only its per-subspace
+    * nearest-centroid id — the 64-float → 8-code compression a 100 TB
+    * vector store applies before ANN serving. Assignment is map-side
+    * behind the broadcast; the only windows are 10-row argmins per
+    * (vector, subspace). Long-form output (vec_id, sub, code) with a
+    * deterministic label tie-break. */
+  def simPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy(col("label"), expr("p div 8").as("sub"), col("p"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("label"), col("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cv"))
+      .select(col("label").as("clabel"), col("sub"), col("cv"))
+    val sub = e.select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0, 7)")).as("sub"))
+      .withColumn("sv", expr("slice(embedding, sub * 8 + 1, 8)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("sub")).orderBy(col("dist"), col("clabel"))
+    sub.join(broadcast(cent), "sub")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub").cast("bigint").as("sub"),
+        col("clabel").cast("bigint").as("code"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
 }

@@ -275,6 +275,38 @@ object Streams {
       }
   }
 
+  case class DocSize(lang: String, doc_id: Long, dl: Long)
+  case class PackedDoc(lang: String, doc_id: Long, dl: Long, start_off: Long,
+      pack_first: Long, pack_last: Long)
+
+  /** Streaming sequence-packing offsets — the stream twin of the batch
+    * CorpusPipeline.pipePackSequences: per-language state is ONE long
+    * (the running token offset) and each arriving doc is emitted with
+    * its exact pack placement. Where the batch form recovers global
+    * order via the distributed prefix sum, the streaming form relies
+    * on per-language arrival order (a loader tailing doc shards in id
+    * order) — state O(1) per language, placements row-identical to
+    * the batch operator on the same ordered data (StreamingSpec). */
+  def packingOffsets(docs: Dataset[DocSize], seqLen: Int = 128): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang: String, batch: Iterator[DocSize], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+            val start = off
+            off += d.dl
+            // positive operands: `/` truncation == the batch op's `div`
+            PackedDoc(lang, d.doc_id, d.dl, start,
+              start / seqLen, (start + d.dl - 1) / seqLen)
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   case class TypedEvent(user_id: Long, event_type: String, ts_us: Long)
   case class DebounceState(last_us: Long)
 

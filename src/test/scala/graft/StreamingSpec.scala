@@ -249,4 +249,31 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(JdbcSink.count(target) == 5)
   }
+
+  test("streaming packing offsets: running per-lang state matches the batch prefix-sum placements") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("dl", expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .filter(col("dl") > 0)
+      .select(col("lang"), col("doc_id"), col("dl"))
+    // two micro-batches split by id range; the earlier-written file (low
+    // ids) is the older mtime, so the file source replays in doc order —
+    // the arrival-order contract the streaming form documents
+    val dir = Files.createTempDirectory("pack_stream")
+    docs.filter(col("doc_id") < 500).coalesce(1).write.parquet(dir.toString + "/a")
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= 500).coalesce(1).write.parquet(dir.toString + "/b")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .as[Streams.DocSize]
+    runToMemory(Streams.packingOffsets(stream).toDF(), "pack_stream_t")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    def placement(r: org.apache.spark.sql.Row) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    val streamed = spark.sql("select * from pack_stream_t").collect()
+      .map(r => key(r) -> placement(r)).toMap
+    val batch = graft.operators.CorpusPipeline.pipePackSequences(spark, sf0001)
+      .collect().map(r => key(r) -> placement(r)).toMap
+    assert(streamed == batch,
+      "streamed placements must be row-identical to the batch packing operator")
+  }
 }
