@@ -169,6 +169,10 @@ object SparkEntry {
     "mm_chunk_media" -> ((s: SparkSession, d: String) => Multimodal.mmChunkMedia(s, d)),
     "sim_pq_codes" -> (Similarity.simPqCodes _),
     "pipe_dataset_card" -> (CorpusPipeline.pipeDatasetCard _),
+    "q114_topk_ties" -> ((s: SparkSession, d: String) => Analytics.q114TopkTies(s, d)),
+    "q116_decile_transition" -> (Analytics.q116DecileTransition _),
+    "dd_bloom_prefilter" -> ((s: SparkSession, d: String) => Dedup.ddBloomPrefilter(s, d)),
+    "dd_lsh_tuning_curve" -> (Dedup.ddLshTuningCurve _),
     "pipe_epoch_shuffle" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeEpochShuffle(s, d)),
     "mm_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mmPhashDup(s, d)),
     "q76_gini_impurity" -> (Analytics.q76GiniImpurity _),
@@ -2025,6 +2029,77 @@ object SparkEntry {
         | cast((total_tokens * 1000000) // n_docs as bigint) AS avg_tokens_micro,
         | cast((n_dup_docs * 1000000) // n_docs as bigint) AS dup_rate_micro
         |FROM pl CROSS JOIN t ORDER BY lang""".stripMargin,
+    "q114_topk_ties" ->
+      """WITH c AS (
+        | SELECT o_orderpriority, o_orderkey,
+        |  cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents
+        | FROM orders
+        |), r AS (
+        | SELECT o_orderpriority, o_orderkey, cents,
+        |  cast(rank() OVER (PARTITION BY o_orderpriority ORDER BY cents DESC) as bigint) rnk
+        | FROM c
+        |)
+        |SELECT o_orderpriority, rnk, cents, o_orderkey
+        |FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    "q116_decile_transition" ->
+      """WITH rev AS (
+        | SELECT o_custkey, year(o_orderdate) yr,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) rev
+        | FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1, 2
+        |), b AS (
+        | SELECT yr, quantile_cont(rev, [0.2, 0.4, 0.6, 0.8]) qb FROM rev GROUP BY 1
+        |), s AS (
+        | SELECT o_custkey, rev.yr,
+        |  cast(1 + len(list_filter(qb, v -> rev > v)) as bigint) q
+        | FROM rev JOIN b ON rev.yr = b.yr
+        |)
+        |SELECT p.q AS q_prev, c.q AS q_cur, count(*) AS n_customers
+        |FROM s p JOIN s c ON p.o_custkey = c.o_custkey AND p.yr = 1996 AND c.yr = 1997
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dd_bloom_prefilter" ->
+      """WITH probes AS (
+        | SELECT doc_id, text, unnest(range(0, 3)) i FROM documents
+        |), pos AS (
+        | SELECT doc_id,
+        |  cast(list_sum(list_transform(range(1, 9), j ->
+        |    cast((strpos('0123456789abcdef', substring(md5(cast(i as varchar) || ':' || text), j, 1)) - 1) as bigint)
+        |    * (cast(1 as bigint) << ((8 - j) * 4)))) % 4096 as bigint) pos,
+        |  doc_id >= 400 AS is_new
+        | FROM probes
+        |), hist AS (SELECT DISTINCT pos FROM pos WHERE NOT is_new),
+        |probe AS (
+        | SELECT p.doc_id, sum(CASE WHEN h.pos IS NOT NULL THEN 1 ELSE 0 END) n_hit
+        | FROM pos p LEFT JOIN hist h ON p.pos = h.pos
+        | WHERE p.is_new GROUP BY 1
+        |)
+        |SELECT doc_id, cast(n_hit as bigint) AS n_hit, n_hit = 3 AS maybe_dup
+        |FROM probe ORDER BY doc_id""".stripMargin,
+    "dd_lsh_tuning_curve" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), sig AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')) m
+        | FROM sh
+        |), cfg AS (SELECT * FROM (VALUES (2, 4), (4, 2), (8, 1)) c(nb, r)),
+        |bands AS (
+        | SELECT doc_id, nb, r, b,
+        |  md5(list_aggregate(m[b*r+1 : b*r+r], 'string_agg', '') || ':' || cast(b as varchar)) bh
+        | FROM sig CROSS JOIN cfg CROSS JOIN (SELECT unnest(range(0, 8)) b) bs
+        | WHERE b < nb
+        |), pairs AS (
+        | SELECT DISTINCT a.nb AS nb, a.r AS r, a.doc_id da, b2.doc_id db
+        | FROM bands a JOIN bands b2
+        |  ON a.nb = b2.nb AND a.r = b2.r AND a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+        |)
+        |SELECT cast(c.nb as bigint) AS n_bands, cast(c.r as bigint) AS rows_per_band,
+        | cast(coalesce(p.n, 0) as bigint) AS n_candidate_pairs
+        |FROM cfg c LEFT JOIN (SELECT nb, r, count(*) n FROM pairs GROUP BY 1, 2) p
+        | ON c.nb = p.nb AND c.r = p.r
+        |ORDER BY 1""".stripMargin,
     "q76_gini_impurity" ->
       """WITH c AS (
         | SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2

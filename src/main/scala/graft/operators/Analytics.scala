@@ -2089,6 +2089,45 @@ object Analytics {
         expr("rank_sum_a - n1 * (n1 + 1) div 2").as("u_a"))
   }
 
+  /** Top-k WITH TIES per group (the SQL `FETCH FIRST k ROWS WITH TIES`
+    * semantics): rank() ≤ k keeps every row tied with the k-th instead
+    * of an arbitrary row_number cut — the variant a revenue-leaderboard
+    * wants when equal values must not be dropped nondeterministically.
+    * One window per group key; integer cents. */
+  def q114TopkTies(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"cents".desc)
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey",
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .withColumn("rnk", rank().over(w).cast("bigint"))
+      .filter($"rnk" <= k)
+      .select($"o_orderpriority", $"rnk", $"cents", $"o_orderkey")
+      .orderBy($"o_orderpriority", $"rnk", $"o_orderkey")
+  }
+
+  /** Customer spend-quintile transition matrix (1996 → 1997): the
+    * mobility readout behind churn/upsell planning. Quintile
+    * boundaries are exact per-year percentiles broadcast back (never a
+    * global ntile window); the transition count is one customer-keyed
+    * self-join of the two scored years. */
+  def q116DecileTransition(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .filter(year($"o_orderdate").isin(1996, 1997))
+      .groupBy($"o_custkey", year($"o_orderdate").as("yr"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("rev"))
+    val bounds = rev.groupBy($"yr")
+      .agg(expr("percentile(rev, array(0.2, 0.4, 0.6, 0.8))").as("b"))
+    val scored = rev.join(broadcast(bounds), "yr")
+      .select($"o_custkey", $"yr",
+        expr("cast(1 + aggregate(b, 0, (acc, v) -> acc + if(rev > v, 1, 0)) as bigint)").as("q"))
+    scored.filter($"yr" === 1996).select($"o_custkey", $"q".as("q_prev"))
+      .join(scored.filter($"yr" === 1997).select($"o_custkey", $"q".as("q_cur")),
+        "o_custkey")
+      .groupBy($"q_prev", $"q_cur")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"q_prev", $"q_cur")
+  }
+
   /** Diurnal profile: each event type's busiest hour of day (argmax
     * with a deterministic hour tie-break) plus that hour's share of
     * the type's traffic — integer counts, one division. */

@@ -204,6 +204,57 @@ object Dedup {
       Seq("doc_id"), Seq("chunk"))
   }
 
+  /** Bloom-filter membership PRE-FILTER: the O(1)-per-probe gate a
+    * nightly dedup runs before any expensive signature join — "could
+    * this new doc's content hash be in the corpus?" with zero false
+    * negatives. Deterministic construction (k=3 positions = md5 of
+    * i:text mod m=4096 — no engine-private bloom format), so the
+    * filter itself is oracle-checkable. The history's populated
+    * position set is ≤ m rows and broadcasts; probing is a map-side
+    * join at any corpus size; the spec pins the no-false-negative
+    * guarantee against exact dedup. */
+  def ddBloomPrefilter(spark: SparkSession, dir: String,
+      splitId: Long = 400L, bits: Int = 4096): DataFrame = {
+    def positions(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("text"), explode(expr("sequence(0, 2)")).as("i"))
+      .select(col("doc_id"),
+        expr(s"cast(conv(substring(md5(concat(cast(i as string), ':', text)), 1, 8), 16, 10) as bigint) % $bits").as("pos"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val histPos = positions(docs.filter(col("doc_id") < splitId))
+      .select(col("pos")).distinct()
+    positions(docs.filter(col("doc_id") >= splitId))
+      .join(broadcast(histPos.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hit"))
+      .select(col("doc_id"), col("n_hit"), (col("n_hit") === 3).as("maybe_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LSH band-configuration tuning curve: candidate-pair counts for the
+    * (bands × rows) splits of the same 8-perm signature — the
+    * recall/cost sweep run before fixing a production config (more,
+    * narrower bands = higher recall and more candidates). All three
+    * configs share one signature computation; each is a band-keyed
+    * pair count, never all-pairs. */
+  def ddLshTuningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = ddMinhashSigs(spark, dir)
+      .select(col("doc_id"), expr("split(signature, ',')").as("s"))
+    Seq((2, 4), (4, 2), (8, 1)).map { case (nb, r) =>
+      val bands = sigs
+        .select(col("doc_id"), col("s"), explode(expr(s"sequence(0, ${nb - 1})")).as("b"))
+        .select(col("doc_id"), col("b"),
+          expr(s"md5(concat(concat_ws('', slice(s, b * $r + 1, $r)), ':', cast(b as string)))").as("bh"))
+      val a = bands.select(col("doc_id").as("da"), col("b"), col("bh"))
+      val bb = bands.select(col("doc_id").as("db"), col("b"), col("bh"))
+      a.join(bb, Seq("b", "bh"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+        .select(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidate_pairs"))
+    }.reduce(_ unionAll _).orderBy(col("n_bands"))
+  }
+
   /** Asymmetric CONTAINMENT detection: pairs where the smaller doc's
     * shingle set is ≥ half inside the larger's — catches quote
     * inclusion / partial copies that symmetric jaccard misses (a

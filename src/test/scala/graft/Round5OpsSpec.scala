@@ -112,6 +112,32 @@ class Round5OpsSpec extends SparkSpec {
       "every epoch covers the identical doc set")
   }
 
+  test("dd_bloom_prefilter: hit counts match a driver-side recomputation (⇒ no false negatives)") {
+    // an exact dup's 3 positions equal its history twin's, so hit-count
+    // correctness IMPLIES the no-false-negative guarantee; verifying the
+    // counts exactly is the stronger test (the sf0.001 fixture happens to
+    // contain no cross-split exact dup to observe directly)
+    import graft.operators.Dedup
+    def positions(text: String): Seq[Long] = (0 to 2).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$text".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 4096
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val hist = docs.filter(_._1 < 400).flatMap(d => positions(d._2)).toSet
+    val expected = docs.filter(_._1 >= 400).map { case (id, t) =>
+      id -> positions(t).count(hist).toLong
+    }.toMap
+    val got = Dedup.ddBloomPrefilter(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(Dedup.ddBloomPrefilter(spark, sf0001).collect()
+      .forall(r => r.getBoolean(2) == (r.getLong(1) == 3)))
+  }
+
   test("packing family plans carry no window partitioned by lang alone") {
     Seq(
       CorpusPipeline.pipePackSequences(spark, sf0001),
