@@ -1153,15 +1153,19 @@ object Analytics {
     * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending-sorted
     * values. Balances are integer CENTS, so every sum is exact bigint
     * arithmetic and the one double division happens at the edge —
-    * bit-stable under any partitioning. One nation-keyed window (the
-    * rank) + one aggregate on the same key: a single shuffle. */
+    * bit-stable under any partitioning. Nations are a FIXED 25 keys,
+    * so the rank comes from the distributed prefix sum (count of
+    * strictly-smaller rows + 1) instead of a 25-task serial window. */
   def q66Gini(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy($"c_nationkey").orderBy($"cents", $"c_custkey")
-    Tables.customer(spark, dir)
+    val c = Tables.customer(spark, dir)
       .select($"c_nationkey",
         expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)").as("cents"),
         $"c_custkey")
-      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("one", lit(1L))
+    CorpusPipeline.prefixSumExclusive(c, "c_nationkey",
+        Seq($"cents", $"c_custkey"), "one", "r0",
+        CorpusPipeline.equiWidthBucket(c, "cents"))
+      .withColumn("i", $"r0" + 1)
       .groupBy($"c_nationkey")
       .agg(count(lit(1)).as("n"),
         sum($"cents").as("sx"),
@@ -1555,18 +1559,21 @@ object Analytics {
     * it — which is one window pass per nation, no pairwise self-join
     * (the naive dominance join is O(n²) per nation). Tie semantics
     * are part of the operator contract: equal balances compare in
-    * custkey order. */
+    * custkey order. Nations are a FIXED 25 keys, so the running max
+    * rides the distributed prefix-max (floor-bucketed balance bands)
+    * rather than a 25-task serial window. */
   def q86Skyline(spark: SparkSession, dir: String): DataFrame = {
     val cnt = Tables.orders(spark, dir)
       .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
-    val w = Window.partitionBy($"c_nationkey")
-      .orderBy($"c_acctbal".desc, $"c_custkey")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.customer(spark, dir)
+    val joined = Tables.customer(spark, dir)
       .join(cnt, $"c_custkey" === $"o_custkey", "left")
       .select($"c_nationkey", $"c_custkey", $"c_acctbal",
         coalesce($"n_orders", lit(0L)).as("n_orders"))
-      .withColumn("prev_max", max($"n_orders").over(w))
+    // monotone along (acctbal DESC): −floor(bal/256) — floor (not cast)
+    // so negative balances band monotonically too
+    CorpusPipeline.prefixMaxExclusive(joined, "c_nationkey",
+        Seq($"c_acctbal".desc, $"c_custkey"), "n_orders", "prev_max",
+        expr("cast(-floor(c_acctbal / 256) as bigint)"))
       .filter($"prev_max".isNull || $"n_orders" > $"prev_max")
       .select($"c_nationkey", $"c_custkey", $"c_acctbal", $"n_orders")
       .orderBy($"c_nationkey", $"c_custkey")

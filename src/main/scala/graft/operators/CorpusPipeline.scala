@@ -63,6 +63,30 @@ object CorpusPipeline {
       .drop("_bkt", "_psum", "_off")
   }
 
+  /** Exclusive running MAX per key along `orderCols` — the prefix-max
+    * sibling of [[prefixSumExclusive]] (max is associative, so the
+    * same two-phase bucket decomposition applies; `greatest` skips
+    * nulls, so the first row of a key is NULL exactly like the serial
+    * `max().over(rowsBetween(unboundedPreceding, -1))`). Same bucket
+    * contract: deterministic pure row data, monotone along the
+    * ordering. */
+  private[graft] def prefixMaxExclusive(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valCol: String, outCol: String,
+      bucket: Column): DataFrame = {
+    val b = df.withColumn("_bkt", bucket)
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col(keyCol), col("_bkt"))
+      .agg(max(col(valCol)).as("_pmax"))
+      .withColumn("_off", max(col("_pmax")).over(wOff))
+      .select(col(keyCol), col("_bkt"), col("_off"))
+    val wIn = Window.partitionBy(col(keyCol), col("_bkt")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(offsets), Seq(keyCol, "_bkt"))
+      .withColumn(outCol, greatest(max(col(valCol)).over(wIn), col("_off")))
+      .drop("_bkt", "_pmax", "_off")
+  }
+
   /** Equi-width bucket id over a LONG column for [[prefixSumExclusive]]:
     * ((v − lo)·n) div (hi − lo + 1) ∈ [0, n) — exact integer
     * arithmetic, deterministic, monotone. lo/hi are collected once up
@@ -254,15 +278,20 @@ object CorpusPipeline {
     * everything serializes at 100 TB; this formulation assigns
     * positions map-side after one per-source window). Unequal source
     * sizes leave gaps once a source exhausts — harmless for a
-    * training order (readers sort by position). */
+    * training order (readers sort by position). The per-source rank
+    * itself rides the distributed prefix sum (sources are a fixed
+    * handful — a row_number window per source would funnel the corpus
+    * through that many tasks). */
   def pipeInterleave(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .withColumn("one", lit(1L))
     val srcs = d.select(col("source")).distinct()
       .withColumn("src_idx",
         row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
     val ns = srcs.count() // #sources: tiny driver scalar
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    d.withColumn("rank_in_source", row_number().over(w).cast("long"))
+    prefixSumExclusive(d, "source", Seq(col("doc_id")), "one", "r0",
+        equiWidthBucket(d, "doc_id"))
+      .withColumn("rank_in_source", col("r0") + 1)
       .join(broadcast(srcs), "source")
       .select(
         ((col("rank_in_source") - 1) * lit(ns) + col("src_idx") + 1).as("position"),
@@ -272,10 +301,16 @@ object CorpusPipeline {
 
   /** Curriculum staging: docs bucketed into 4 difficulty stages per
     * source by mean token length (the cheap difficulty proxy; swap
-    * the score column for a model-based one in production). The
-    * ntile runs per source — never a global single-partition window —
-    * and ties break on doc_id so stage assignment is deterministic.
-    * The score is rational (chars/tokens) with exact integer inputs. */
+    * the score column for a model-based one in production). Stage
+    * assignment is EXACTLY `ntile(4)` over (score, doc_id) per source
+    * — but computed without the per-source serial window (sources are
+    * a fixed handful, so `ntile().over(partitionBy(source))` funnels
+    * the corpus through ~5 tasks): the per-source rank comes from the
+    * distributed prefix sum (count of strictly-smaller rows + 1) and
+    * ntile's uneven-bucket arithmetic is a closed-form integer
+    * expression over (rank, per-source total). Ties break on doc_id,
+    * so the assignment is deterministic and the oracle stays plain
+    * `ntile(4)`. */
   def pipeCurriculum(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), TextOps.tokens("text").as("t"))
@@ -284,10 +319,20 @@ object CorpusPipeline {
         size(col("t")).cast("long").as("n_tokens"),
         expr("cast(aggregate(t, 0, (acc, x) -> acc + length(x)) as bigint)").as("n_chars"))
       .withColumn("score", round(col("n_chars") / col("n_tokens"), 6))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("score"), col("doc_id"))
-    scored
-      .withColumn("stage", ntile(4).over(w).cast("bigint"))
+      .withColumn("one", lit(1L))
+    val totals = scored.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    prefixSumExclusive(scored, "source", Seq(col("score"), col("doc_id")),
+        "one", "r0", expr("cast(floor(score * 4) as bigint)"))
+      .withColumn("r", col("r0") + 1)
+      .join(broadcast(totals), "source")
+      // ntile(4): the first (n mod 4) buckets carry one extra row; the
+      // ELSE branch's div-by-zero is unreachable (n < 4 ⇒ every r takes
+      // the THEN branch, bucket = rank)
+      .withColumn("stage", expr(
+        """cast(CASE WHEN r <= (n_src % 4) * (n_src div 4 + 1)
+          |  THEN (r - 1) div (n_src div 4 + 1)
+          |  ELSE (n_src % 4) + (r - 1 - (n_src % 4) * (n_src div 4 + 1)) div (n_src div 4)
+          |END + 1 as bigint)""".stripMargin))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("score"), col("stage"))
       .orderBy(col("doc_id"))
   }

@@ -163,15 +163,21 @@ class PlanSpec extends SparkSpec {
       s"boundary join not broadcast:\n$p")
   }
 
-  test("q86_skyline plans exactly one window pass, no join explosion") {
+  test("q86_skyline plans the two-phase prefix-max: no nation-serial window, no join explosion") {
     val df = Analytics.q86Skyline(spark, sf0001)
-    df.collect()
+    // round 5: the running maxima ride the distributed prefix-max — two
+    // windows total (the tiny per-bucket-offset one + the in-bucket one),
+    // and every windowspecdefinition must involve the bucket, never the
+    // nation alone. String-parse the plan: the AQE wrapper hides
+    // WindowExec nodes from TreeNode.collect.
     val p = df.queryExecution.executedPlan.toString
-    // the adaptive plan string repeats the tree under "== Initial Plan ==";
-    // count only the executed (final) section
-    val finalSection = p.split("== Initial Plan ==").head
-    val windows = finalSection.linesIterator.count(_.contains("Window ["))
-    assert(windows == 1, s"expected exactly one Window (running maxima), got $windows:\n$p")
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.size == 2,
+      s"expected the two prefix-max windows, got ${windowLines.size}:\n$p")
+    windowLines.foreach { l =>
+      assert(l.contains("_bkt"),
+        s"nation-serial window found (no _bkt in spec): $l")
+    }
     // the n_orders lookup is an aggregate join, not a dominance self-join
     assert(!p.contains("CartesianProduct"), s"dominance must not be a cross join:\n$p")
   }

@@ -46,6 +46,21 @@ class Round5OpsSpec extends SparkSpec {
     assert(twoPhase == serial)
   }
 
+  test("prefixMaxExclusive is identical to the serial window max, including first-row nulls") {
+    val serial = sizedDocs
+      .withColumn("pm", max(col("dl")).over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("doc_id"), col("pm"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val twoPhase = CorpusPipeline
+      .prefixMaxExclusive(sizedDocs, "lang", Seq(col("doc_id")), "dl", "pm",
+        CorpusPipeline.equiWidthBucket(sizedDocs, "doc_id"))
+      .select(col("doc_id"), col("pm"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(twoPhase == serial)
+  }
+
   test("q100_ema: convexity — each EMA lies within the trailing 8-point cents range") {
     val rows = graft.operators.Analytics.q100Ema(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3) / 1000.0))
@@ -138,26 +153,47 @@ class Round5OpsSpec extends SparkSpec {
       .forall(r => r.getBoolean(2) == (r.getLong(1) == 3)))
   }
 
+  test("pipe_curriculum: closed-form stages equal the serial ntile window exactly") {
+    val serial = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextOps.tokens("text").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("source"),
+        expr("cast(aggregate(t, 0, (acc, x) -> acc + length(x)) as bigint)").as("n_chars"),
+        size(col("t")).cast("long").as("n_tokens"))
+      .withColumn("score", round(col("n_chars") / col("n_tokens"), 6))
+      .withColumn("stage", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("score"), col("doc_id"))).cast("bigint"))
+      .select(col("doc_id"), col("stage"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = graft.operators.CorpusPipeline.pipeCurriculum(spark, sf0001)
+      .select(col("doc_id"), col("stage"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == serial)
+  }
+
   test("packing family plans carry no window partitioned by lang alone") {
     Seq(
       CorpusPipeline.pipePackSequences(spark, sf0001),
       CorpusPipeline.pipeTokenBudget(spark, sf0001),
       CorpusPipeline.pipeE2eCorpus(spark, sf0001)
     ).foreach { df =>
-      val windows = df.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      // string-parse the plan (the AQE wrapper hides WindowExec nodes
+      // from TreeNode.collect): every window whose spec involves lang
+      // must also involve the bucket — the tiny per-bucket-subtotal
+      // window orders by _bkt, the big cumsum partitions by it. Windows
+      // on other keys (the dedup window on clean_md5, a high-cardinality
+      // hash) are not the skew pattern under test.
+      val p = df.queryExecution.executedPlan.toString
+      val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windowLines.nonEmpty, s"expected window operators in:\n$p")
+      val langWindows = windowLines.filter(_.contains("lang"))
+      assert(langWindows.nonEmpty, "the per-lang cumsum windows must exist")
+      langWindows.foreach { l =>
+        assert(l.contains("_bkt"),
+          s"serial per-lang window found (no _bkt in spec): $l")
       }
-      // the big cumsum must be keyed by (lang, _bkt); only the tiny
-      // per-bucket-subtotal window (input ≤ buckets × langs rows) may
-      // key on lang alone — it orders by _bkt, distinguishing it.
-      // Windows on other keys (e.g. the dedup window on clean_md5, a
-      // high-cardinality hash) are not the skew pattern under test.
-      windows.filter(_.partitionSpec.exists(_.toString.contains("lang")))
-        .foreach { w =>
-          val ordersByBkt = w.orderSpec.exists(_.child.toString.contains("_bkt"))
-          assert(w.partitionSpec.size >= 2 || ordersByBkt,
-            s"serial per-lang window found in plan:\n$w")
-        }
     }
   }
 }
