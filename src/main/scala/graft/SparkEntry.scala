@@ -170,8 +170,9 @@ object SparkEntry {
     "sim_pq_codes" -> (Similarity.simPqCodes _),
     "pipe_dataset_card" -> (CorpusPipeline.pipeDatasetCard _),
     "q114_topk_ties" -> ((s: SparkSession, d: String) => Analytics.q114TopkTies(s, d)),
-    "q116_decile_transition" -> (Analytics.q116DecileTransition _),
+    "q116_quintile_transition" -> (Analytics.q116QuintileTransition _),
     "dd_bloom_prefilter" -> ((s: SparkSession, d: String) => Dedup.ddBloomPrefilter(s, d)),
+    "txt_code_detect" -> (TextAnalysis.txtCodeDetect _),
     "dd_lsh_tuning_curve" -> (Dedup.ddLshTuningCurve _),
     "pipe_epoch_shuffle" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeEpochShuffle(s, d)),
     "mm_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mmPhashDup(s, d)),
@@ -1794,7 +1795,7 @@ object SparkEntry {
         | FROM daily WINDOW w AS (PARTITION BY o_orderpriority ORDER BY "day")
         |)
         |SELECT o_orderpriority, "day", cents,
-        | cast((wsum * 1000) // 58975 as bigint) AS ema8_milli
+        | cast((wsum // 58975) * 1000 + ((wsum % 58975) * 1000) // 58975 as bigint) AS ema8_milli
         |FROM lagged WHERE wsum IS NOT NULL
         |ORDER BY o_orderpriority, "day"""".stripMargin,
     "q102_mode" ->
@@ -1979,16 +1980,17 @@ object SparkEntry {
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mm_chunk_media" ->
       """WITH d AS (
-        | SELECT doc_id, text, cast(length(text) as bigint) n_bytes
-        | FROM documents WHERE length(text) > 0
+        | SELECT doc_id, hex(cast(text as blob)) hx,
+        |  cast(octet_length(cast(text as blob)) as bigint) n_bytes
+        | FROM documents WHERE octet_length(cast(text as blob)) > 0
         |), g AS (
-        | SELECT doc_id, text, n_bytes, unnest(range(0, n_bytes, 96)) AS sb FROM d
+        | SELECT doc_id, hx, n_bytes, unnest(range(0, n_bytes, 96)) AS sb FROM d
         |)
         |SELECT doc_id,
         | cast(sb // 96 as bigint) AS chunk_idx,
         | cast(sb as bigint) AS start_byte,
         | cast(least(96, n_bytes - sb) as bigint) AS chunk_len,
-        | md5(substring(text, cast(sb + 1 as bigint), 96)) AS chunk_md5
+        | md5(substring(hx, cast(sb * 2 + 1 as bigint), 192)) AS chunk_md5
         |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
     "sim_pq_codes" ->
       """WITH dims AS (SELECT unnest(range(1, 65)) i),
@@ -2041,7 +2043,7 @@ object SparkEntry {
         |)
         |SELECT o_orderpriority, rnk, cents, o_orderkey
         |FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
-    "q116_decile_transition" ->
+    "q116_quintile_transition" ->
       """WITH rev AS (
         | SELECT o_custkey, year(o_orderdate) yr,
         |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) rev
@@ -2100,6 +2102,23 @@ object SparkEntry {
         |FROM cfg c LEFT JOIN (SELECT nb, r, count(*) n FROM pairs GROUP BY 1, 2) p
         | ON c.nb = p.nb AND c.r = p.r
         |ORDER BY 1""".stripMargin,
+    "txt_code_detect" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  cast(len(regexp_extract_all(text, '[{}\[\]()]')) as bigint) n_brackets,
+        |  cast(len(regexp_extract_all(text, ';')) as bigint) n_semicolons,
+        |  cast(len(regexp_extract_all(text, '[=<>!]=|=')) as bigint) n_assign,
+        |  cast(len(regexp_extract_all(text, '[a-z]+_[a-z]+')) as bigint) n_snake,
+        |  cast(length(text) as bigint) n_chars
+        | FROM documents
+        |)
+        |SELECT doc_id, n_brackets, n_semicolons, n_assign, n_snake, n_chars,
+        | n_chars > 0 AND
+        | (CASE WHEN n_brackets * 40 >= n_chars THEN 1 ELSE 0 END +
+        |  CASE WHEN n_semicolons * 100 >= n_chars THEN 1 ELSE 0 END +
+        |  CASE WHEN n_assign * 60 >= n_chars THEN 1 ELSE 0 END +
+        |  CASE WHEN n_snake * 80 >= n_chars THEN 1 ELSE 0 END) >= 2 AS is_code
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q76_gini_impurity" ->
       """WITH c AS (
         | SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2

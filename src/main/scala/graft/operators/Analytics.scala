@@ -1906,7 +1906,11 @@ object Analytics {
       .withColumn("wsum", weighted)
       .filter($"wsum".isNotNull)
       .select($"o_orderpriority", $"day", $"cents",
-        expr("(wsum * 1000) div 58975").as("ema8_milli"))
+        // split div: floor(w·1000/58975) = (w div 58975)·1000 +
+        // ((w mod 58975)·1000) div 58975 — exact, and never overflows
+        // (a direct w*1000 wraps once daily revenue passes ~1.5e11 cents)
+        expr("(wsum div 58975) * 1000 + ((wsum % 58975) * 1000) div 58975")
+          .as("ema8_milli"))
       .orderBy($"o_orderpriority", $"day")
   }
 
@@ -1929,15 +1933,26 @@ object Analytics {
     * rho_num/rho_den = 1 − 6Σd²/(n(n²−1)) — no division ever happens,
     * so no float boundary exists. Sums and the cubic denominator are
     * DECIMAL(38,0): exact far past the corpus sizes where n³ overflows
-    * BIGINT. Both rank windows share the flag-keyed exchange (two
-    * sorts, one shuffle). */
+    * BIGINT. The min-tie ranks come from per-distinct-value counts +
+    * the distributed prefix sum (rank(v) = 1 + #rows < v): return
+    * flags are 3 FIXED keys, so `rank().over(partitionBy(flag))` would
+    * funnel the whole table through 3 tasks twice — the rank maps are
+    * value-keyed tables joined back on (flag, value) instead. */
   def q103Spearman(spark: SparkSession, dir: String): DataFrame = {
-    val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
-    val wp = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
-    Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
       .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
-      .withColumn("rq", rank().over(wq).cast("long"))
-      .withColumn("rp", rank().over(wp).cast("long"))
+    def rankMap(valueCol: String, rankName: String,
+        bucket: org.apache.spark.sql.Column): DataFrame =
+      CorpusPipeline.prefixSumExclusive(
+          li.groupBy($"l_returnflag", col(valueCol)).agg(count(lit(1)).as("_c")),
+          "l_returnflag", Seq(col(valueCol)), "_c", "_lt", bucket)
+        .select($"l_returnflag", col(valueCol), ($"_lt" + 1).as(rankName))
+    li
+      .join(rankMap("l_quantity", "rq",
+        expr("cast(l_quantity as bigint)")), Seq("l_returnflag", "l_quantity"))
+      .join(rankMap("l_extendedprice", "rp",
+        expr("cast(floor(l_extendedprice / 512) as bigint)")),
+        Seq("l_returnflag", "l_extendedprice"))
       .withColumn("d", $"rq" - $"rp")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -2117,7 +2132,7 @@ object Analytics {
     * boundaries are exact per-year percentiles broadcast back (never a
     * global ntile window); the transition count is one customer-keyed
     * self-join of the two scored years. */
-  def q116DecileTransition(spark: SparkSession, dir: String): DataFrame = {
+  def q116QuintileTransition(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
       .filter(year($"o_orderdate").isin(1996, 1997))
       .groupBy($"o_custkey", year($"o_orderdate").as("yr"))

@@ -44,7 +44,13 @@ object CorpusPipeline {
     * assign rows to DIFFERENT partitions and the offsets silently
     * misalign (observed: nondeterministic off-by-a-partition cumsums).
     * A bucket computed from row values alone cannot diverge, no matter
-    * how many times Catalyst re-executes or how AQE re-plans. */
+    * how many times Catalyst re-executes or how AQE re-plans.
+    *
+    * CONTRACT: the bucket expression must never evaluate to NULL — the
+    * offsets join is an equi-join on (key, bucket), and a null bucket
+    * would silently DROP the row where the serial window would keep it
+    * (nulls-first). Current call sites derive buckets from non-null
+    * arithmetic; preserve that when adding callers. */
   private[graft] def prefixSumExclusive(df: DataFrame, keyCol: String,
       orderCols: Seq[Column], valCol: String, outCol: String,
       bucket: Column): DataFrame = {
@@ -100,8 +106,12 @@ object CorpusPipeline {
     if (r.isNullAt(0)) lit(0L)
     else {
       val lo = r.getLong(0); val hi = r.getLong(1)
-      require(hi - lo < Long.MaxValue / n, s"equiWidthBucket: span of $colName too wide")
-      expr(s"(($colName - $lo) * $n) div (${hi - lo} + 1)")
+      // subtractExact: a span past Long.MaxValue would WRAP NEGATIVE,
+      // trivially pass a plain hi-lo check, and yield non-monotone
+      // buckets (silently wrong cumsums) — fail loudly instead
+      val span = Math.subtractExact(hi, lo)
+      require(span < Long.MaxValue / n, s"equiWidthBucket: span of $colName too wide")
+      expr(s"(($colName - $lo) * $n) div ($span + 1)")
     }
   }
 
@@ -157,8 +167,10 @@ object CorpusPipeline {
       .withColumn("dl", expr(
         "cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
       .filter(col("dl") > 0)
+    // bucket bounds from the RAW scan: bounding the tokenized frame
+    // would run the split/size projection a third time just for min/max
     prefixSumExclusive(sized, "lang", Seq(col("doc_id")), "dl", "start_off",
-        equiWidthBucket(sized, "doc_id"))
+        equiWidthBucket(Tables.documents(spark, dir), "doc_id"))
       // integer `div`: exact for every seqLen (IEEE `/`-then-cast is only
       // exact for powers of two below 2^53)
       .select(col("lang"), col("doc_id"), col("dl"), col("start_off"),

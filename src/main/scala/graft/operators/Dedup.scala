@@ -237,22 +237,35 @@ object Dedup {
     * configs share one signature computation; each is a band-keyed
     * pair count, never all-pairs. */
   def ddLshTuningCurve(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = ddMinhashSigs(spark, dir)
+    import spark.implicits._
+    // every config's bands come off ONE signature pass (a per-config
+    // self-join would re-derive the shingle+signature lineage twice per
+    // config), and pairs expand bucket-locally via the same
+    // no-self-join collect_list formulation as ddMinhashLsh
+    val bands = ddMinhashSigs(spark, dir)
       .select(col("doc_id"), expr("split(signature, ',')").as("s"))
-    Seq((2, 4), (4, 2), (8, 1)).map { case (nb, r) =>
-      val bands = sigs
-        .select(col("doc_id"), col("s"), explode(expr(s"sequence(0, ${nb - 1})")).as("b"))
-        .select(col("doc_id"), col("b"),
-          expr(s"md5(concat(concat_ws('', slice(s, b * $r + 1, $r)), ':', cast(b as string)))").as("bh"))
-      val a = bands.select(col("doc_id").as("da"), col("b"), col("bh"))
-      val bb = bands.select(col("doc_id").as("db"), col("b"), col("bh"))
-      a.join(bb, Seq("b", "bh"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
-        .agg(count(lit(1)).as("n_candidate_pairs"))
-        .select(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_candidate_pairs"))
-    }.reduce(_ unionAll _).orderBy(col("n_bands"))
+      .select(col("doc_id"), col("s"), explode(expr(
+        "array(struct(2 as nb, 4 as r), struct(4 as nb, 2 as r), struct(8 as nb, 1 as r))")).as("cfg"))
+      .select(col("doc_id"), col("s"),
+        col("cfg.nb").as("nb"), col("cfg.r").as("r"),
+        explode(expr("sequence(0, cfg.nb - 1)")).as("b"))
+      .select(col("doc_id"), col("nb"), col("r"), col("b"),
+        expr("md5(concat(concat_ws('', slice(s, b * r + 1, r)), ':', cast(b as string)))").as("bh"))
+    val counts = bands
+      .groupBy(col("nb"), col("r"), col("b"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("nb"), col("r"), explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> named_struct('da', x, 'db', y))))")).as("p"))
+      .select(col("nb"), col("r"), col("p.da"), col("p.db")).distinct()
+      .groupBy(col("nb"), col("r"))
+      .agg(count(lit(1)).as("n"))
+    Seq((2L, 4L), (4L, 2L), (8L, 1L)).toDF("n_bands", "rows_per_band")
+      .join(counts,
+        col("n_bands") === col("nb") && col("rows_per_band") === col("r"), "left")
+      .select(col("n_bands"), col("rows_per_band"),
+        coalesce(col("n"), lit(0L)).as("n_candidate_pairs"))
+      .orderBy(col("n_bands"))
   }
 
   /** Asymmetric CONTAINMENT detection: pairs where the smaller doc's

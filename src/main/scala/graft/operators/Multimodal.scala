@@ -155,7 +155,11 @@ object Multimodal {
     * upload/CDC pipeline runs before moving large media (multipart
     * parts, content-defined sync windows). One Generate per row, zero
     * shuffles before the output sort; chunk slicing is columnar binary
-    * (substring on the payload), the bytes never leave their row. */
+    * (substring on the payload), the bytes never leave their row. The
+    * digest is md5 over the chunk's HEX form: a pure function of the
+    * bytes that both engines can compute byte-exactly for ANY payload
+    * (DuckDB's md5 takes VARCHAR only, and character substrings would
+    * silently diverge from byte slices on multi-byte content). */
   def mmChunkMedia(spark: SparkSession, dir: String,
       chunkBytes: Int = 96): DataFrame =
     Tables.documents(spark, dir)
@@ -168,7 +172,7 @@ object Multimodal {
       .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
         col("start_byte"),
         expr(s"least(cast($chunkBytes as bigint), n_bytes - start_byte)").as("chunk_len"),
-        md5(expr(s"substring(payload, cast(start_byte + 1 as int), $chunkBytes)")).as("chunk_md5"))
+        md5(expr(s"hex(substring(payload, cast(start_byte + 1 as int), $chunkBytes))")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Per-kind media profile over the deterministic decode stub: count

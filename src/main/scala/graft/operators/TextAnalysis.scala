@@ -70,6 +70,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
 
+  /** Code-vs-prose detection: the corpus-gating heuristic that keeps
+    * source code out of (or routes it into) a text corpus. Pure
+    * integer signals — brace/bracket count, semicolons, assignment
+    * and snake_case occurrences, digit density — with an integer-
+    * threshold vote (≥ 2 strong signals ⇒ code), so no float sits on
+    * the decision boundary. One codegen projection per row. */
+  def txtCodeDetect(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(regexp_count(text, '[{}\\\\[\\\\]()]') as bigint)").as("n_brackets"),
+        expr("cast(regexp_count(text, ';') as bigint)").as("n_semicolons"),
+        expr("cast(regexp_count(text, '[=<>!]=|=') as bigint)").as("n_assign"),
+        expr("cast(regexp_count(text, '[a-z]+_[a-z]+') as bigint)").as("n_snake"),
+        expr("cast(length(text) as bigint)").as("n_chars"))
+      .withColumn("is_code",
+        // n_chars > 0 guard: with an empty doc every 0·k ≥ 0 vote would
+        // be vacuously true and the least code-like input would classify
+        // as code
+        (col("n_chars") > 0) &&
+        ((col("n_brackets") * 40 >= col("n_chars")).cast("int") +
+          (col("n_semicolons") * 100 >= col("n_chars")).cast("int") +
+          (col("n_assign") * 60 >= col("n_chars")).cast("int") +
+          (col("n_snake") * 80 >= col("n_chars")).cast("int") >= 2))
+      .orderBy(col("doc_id"))
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation marks). */
   def txtTokens(spark: SparkSession, dir: String): DataFrame =
