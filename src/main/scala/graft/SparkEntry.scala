@@ -825,7 +825,7 @@ object SparkEntry {
       """SELECT cast(year(o_orderdate) as bigint) AS y,
         | cast(month(o_orderdate) as bigint) AS m,
         | count(*) AS n_lines,
-        | round(cast(sum(date_diff('day', cast(o_orderdate as date), cast(l_shipdate as date))) as double) / count(*), 6) AS avg_latency_days,
+        | cast(sum(date_diff('day', cast(o_orderdate as date), cast(l_shipdate as date))) as double) / count(*) AS avg_latency_days,
         | max(cast(date_diff('day', cast(o_orderdate as date), cast(l_shipdate as date)) as bigint)) AS max_latency_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -856,7 +856,7 @@ object SparkEntry {
     "txt_len_hist" ->
       """SELECT cast(floor(length(text) / 50) * 50 as bigint) AS bucket,
         | count(*) AS n_docs,
-        | round(cast(sum(cast(length(text) as bigint)) as double) / count(*), 6) AS avg_chars
+        | cast(sum(cast(length(text) as bigint)) as double) / count(*) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_pii_mask" ->
       """WITH s AS (
@@ -939,10 +939,10 @@ object SparkEntry {
         |  + (strpos('0123456789abcdef', substring(md5(cast(doc_id as varchar)), 2, 1)) - 1) hx
         | FROM documents
         |)
-        |SELECT source, round(cast(max(thr) as double) / 256, 6) AS target_rate,
+        |SELECT source, cast(max(thr) as double) / 256 AS target_rate,
         | count(*) AS n_total,
         | cast(sum(CASE WHEN hx < thr THEN 1 ELSE 0 END) as bigint) AS n_sampled,
-        | round(cast(sum(CASE WHEN hx < thr THEN 1 ELSE 0 END) as double) / count(*), 6) AS achieved_rate,
+        | cast(sum(CASE WHEN hx < thr THEN 1 ELSE 0 END) as double) / count(*) AS achieved_rate,
         | min(CASE WHEN hx < thr THEN doc_id END) AS min_kept,
         | max(CASE WHEN hx < thr THEN doc_id END) AS max_kept
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
@@ -1246,8 +1246,8 @@ object SparkEntry {
         |ORDER BY g.user_id, g."day"""".stripMargin,
     "q47_cume_dist" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
-        | round(percent_rank() OVER w, 6) AS pct_rank,
-        | round(cume_dist() OVER w, 6) AS cume
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
@@ -1381,7 +1381,7 @@ object SparkEntry {
         | FROM act GROUP BY 1, 2
         |)
         |SELECT r.cohort_week, r.week_offset, r.n_active, sz.n_cohort,
-        | round(r.n_active / sz.n_cohort, 6) AS retention
+        | r.n_active / sz.n_cohort AS retention
         |FROM r JOIN sz ON r.cohort_week = sz.cohort_week
         |ORDER BY r.cohort_week, r.week_offset""".stripMargin,
     "q61_streaks" ->
@@ -1446,14 +1446,13 @@ object SparkEntry {
         | cast(sum(CASE WHEN arm = 0 THEN n_conv END) as bigint) AS c0,
         | cast(sum(CASE WHEN arm = 1 THEN n_users END) as bigint) AS n1,
         | cast(sum(CASE WHEN arm = 1 THEN n_conv END) as bigint) AS c1,
-        | round(sum(CASE WHEN arm = 0 THEN n_conv END) / sum(CASE WHEN arm = 0 THEN n_users END), 6) AS p0,
-        | round(sum(CASE WHEN arm = 1 THEN n_conv END) / sum(CASE WHEN arm = 1 THEN n_users END), 6) AS p1,
-        | round(
-        |  (sum(CASE WHEN arm = 0 THEN n_conv END) / sum(CASE WHEN arm = 0 THEN n_users END)
+        | sum(CASE WHEN arm = 0 THEN n_conv END) / sum(CASE WHEN arm = 0 THEN n_users END) AS p0,
+        | sum(CASE WHEN arm = 1 THEN n_conv END) / sum(CASE WHEN arm = 1 THEN n_users END) AS p1,
+        | (sum(CASE WHEN arm = 0 THEN n_conv END) / sum(CASE WHEN arm = 0 THEN n_users END)
         |   - sum(CASE WHEN arm = 1 THEN n_conv END) / sum(CASE WHEN arm = 1 THEN n_users END))
         |  / sqrt((sum(n_conv) / sum(n_users)) * (1.0 - sum(n_conv) / sum(n_users))
         |     * (1.0 / sum(CASE WHEN arm = 0 THEN n_users END)
-        |        + 1.0 / sum(CASE WHEN arm = 1 THEN n_users END))), 6) AS z
+        |        + 1.0 / sum(CASE WHEN arm = 1 THEN n_users END)) ) AS z
         |FROM arms""".stripMargin,
     "sim_matryoshka" ->
       """WITH e AS (
@@ -1540,9 +1539,9 @@ object SparkEntry {
         |  count(*) AS n
         | FROM orders GROUP BY 1
         |), t AS (SELECT cast(sum(n) as bigint) AS t FROM obs)
-        |SELECT digit, n, round(n / t, 6) AS observed_p,
+        |SELECT digit, n, n / t AS observed_p,
         | cast(benford_p as double) AS benford_p,
-        | round(abs(round(n / t, 6) - benford_p), 6) AS abs_dev
+        | abs(n / t - benford_p) AS abs_dev
         |FROM obs JOIN bf USING (digit), t
         |ORDER BY digit""".stripMargin,
     "dd_containment" ->
@@ -2128,7 +2127,7 @@ object SparkEntry {
         | FROM c GROUP BY 1
         |)
         |SELECT user_id, n_events, n_types,
-        | round((n_events * n_events - sc2) / cast(n_events * n_events as double), 6) AS impurity
+        | (n_events * n_events - sc2) / cast(n_events * n_events as double) AS impurity
         |FROM a ORDER BY user_id""".stripMargin,
     "q77_hhi" ->
       """WITH rev AS (
@@ -2228,7 +2227,7 @@ object SparkEntry {
         |)
         |SELECT doc_id, cast(len(toks) as bigint) AS n_tokens,
         | cast(len(list_distinct(toks)) as bigint) AS n_types,
-        | round(len(list_distinct(toks)) / cast(len(toks) as double), 6) AS ttr
+        | len(list_distinct(toks)) / cast(len(toks) as double) AS ttr
         |FROM t WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin,
     "pipe_interleave" ->
       """WITH s AS (
@@ -2481,7 +2480,7 @@ object SparkEntry {
         | GROUP BY 1
         |), t AS (SELECT sum(n_purchases) AS t FROM c)
         |SELECT touch_type, n_purchases,
-        | round(n_purchases / cast(t as double), 6) AS credit_share
+        | n_purchases / cast(t as double) AS credit_share
         |FROM c CROSS JOIN t ORDER BY touch_type""".stripMargin,
     "dd_dup_rate_by_source" ->
       """WITH h AS (
@@ -2491,7 +2490,7 @@ object SparkEntry {
         |)
         |SELECT source, count(*) AS n_docs,
         | cast(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_dup_docs,
-        | round(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS dup_rate
+        | sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double) AS dup_rate
         |FROM h LEFT JOIN dup ON h.h = dup.h
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_recall_report" ->
@@ -2536,7 +2535,7 @@ object SparkEntry {
         |), exact AS (SELECT query_id, vec_id FROM er WHERE rnk <= 10)
         |SELECT e.query_id, count(*) AS k,
         | cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hit,
-        | round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS recall_at_k
+        | sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double) AS recall_at_k
         |FROM exact e LEFT JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q91_forecast_naive" ->
@@ -2614,7 +2613,7 @@ object SparkEntry {
         |)
         |SELECT count(*) AS n_exact_pairs,
         | cast(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_caught,
-        | round(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS recall
+        | sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double) AS recall
         |FROM exact LEFT JOIN cand ON da = ca AND db = cb""".stripMargin,
     "txt_bpe_pairs" ->
       """WITH w AS (
@@ -2835,7 +2834,7 @@ object SparkEntry {
         | FROM h JOIN t ON h.event_type = t.event_type
         |)
         |SELECT event_type, hod AS peak_hour, n AS n_peak,
-        | round(n / cast(tot as double), 6) AS peak_share
+        | n / cast(tot as double) AS peak_share
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "mm_kind_profile" ->
       """WITH m AS (
@@ -2849,8 +2848,8 @@ object SparkEntry {
         |)
         |SELECT kind, count(*) AS n_media,
         | cast(sum(n) as bigint) AS total_bytes,
-        | round(sum(w) / cast(count(*) as double), 6) AS avg_w,
-        | round(sum(h) / cast(count(*) as double), 6) AS avg_h
+        | sum(w) / cast(count(*) as double) AS avg_w,
+        | sum(h) / cast(count(*) as double) AS avg_h
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_shingle_df_profile" ->
       """WITH toks AS (

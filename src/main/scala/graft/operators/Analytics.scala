@@ -469,7 +469,7 @@ object Analytics {
       .groupBy(expr("cast(year(o_orderdate) as bigint)").as("y"),
         expr("cast(month(o_orderdate) as bigint)").as("m"))
       .agg(count(lit(1)).as("n_lines"),
-        expr("round(cast(sum(lat) as double) / count(*), 6)").as("avg_latency_days"),
+        expr("cast(sum(lat) as double) / count(*)").as("avg_latency_days"),
         max($"lat").as("max_latency_days"))
       .orderBy($"y", $"m")
 
@@ -515,10 +515,10 @@ object Analytics {
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
       .groupBy($"source")
       .agg(
-        expr("round(cast(max(thr) as double) / 256, 6)").as("target_rate"),
+        expr("cast(max(thr) as double) / 256").as("target_rate"),
         count(lit(1)).as("n_total"),
         expr("cast(sum(if(hx < thr, 1, 0)) as bigint)").as("n_sampled"),
-        expr("round(cast(sum(if(hx < thr, 1, 0)) as double) / count(*), 6)").as("achieved_rate"),
+        expr("cast(sum(if(hx < thr, 1, 0)) as double) / count(*)").as("achieved_rate"),
         expr("min(if(hx < thr, doc_id, null))").as("min_kept"),
         expr("max(if(hx < thr, doc_id, null))").as("max_kept"))
       .orderBy($"source")
@@ -740,10 +740,15 @@ object Analytics {
   def q47CumeDist(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy($"c_nationkey")
       .orderBy($"c_acctbal", $"c_custkey")
+    // emitted UNROUNDED: both engines divide the same integers once
+    // (IEEE-identical), while round-to-6 genuinely ties — (rank−1)/(n−1)
+    // = 41/640 = 0.0640625 exactly, and the two engines' rounding split
+    // it (caught by a local sf0.1 oracle run; n−1 with factor-5
+    // denominators makes the tie real, same class as the EMA divisor)
     Tables.customer(spark, dir)
       .select($"c_custkey", $"c_nationkey", $"c_acctbal",
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
       .orderBy($"c_custkey")
   }
 
@@ -975,7 +980,10 @@ object Analytics {
       .agg(countDistinct($"user_id").as("n_active"))
       .join(broadcast(sizes), "cohort_week")
       .select($"cohort_week", $"week_offset", $"n_active", $"n_cohort",
-        round($"n_active" / $"n_cohort", 6).as("retention"))
+        // UNROUNDED int ratio: identical bits in both engines; round-6
+        // genuinely ties when the reduced denominator terminates at
+        // exactly 7 decimals (the q47 percent_rank class)
+        ($"n_active" / $"n_cohort").as("retention"))
       .orderBy($"cohort_week", $"week_offset")
   }
 
@@ -1092,13 +1100,14 @@ object Analytics {
         sum(when($"arm" === 1, $"n_users")).as("n1"),
         sum(when($"arm" === 1, $"n_conv")).as("c1"))
       .select($"n0", $"c0", $"n1", $"c1",
-        round($"c0" / $"n0", 6).as("p0"),
-        round($"c1" / $"n1", 6).as("p1"),
-        round(
-          ($"c0" / $"n0" - $"c1" / $"n1") /
-            sqrt((($"c0" + $"c1") / ($"n0" + $"n1")) *
-              (lit(1.0) - ($"c0" + $"c1") / ($"n0" + $"n1")) *
-              (lit(1.0) / $"n0" + lit(1.0) / $"n1")), 6).as("z"))
+        // UNROUNDED: int ratios and the fixed-order IEEE z chain are
+        // bit-identical across engines; round-6 is the only tie risk
+        ($"c0" / $"n0").as("p0"),
+        ($"c1" / $"n1").as("p1"),
+        (($"c0" / $"n0" - $"c1" / $"n1") /
+          sqrt((($"c0" + $"c1") / ($"n0" + $"n1")) *
+            (lit(1.0) - ($"c0" + $"c1") / ($"n0" + $"n1")) *
+            (lit(1.0) / $"n0" + lit(1.0) / $"n1"))).as("z"))
   }
 
   /** Interval merge (overlap coalescing): each event opens a 5-minute
@@ -1237,9 +1246,9 @@ object Analytics {
     obs.join(broadcast(bf), Seq("digit"))
       .crossJoin(broadcast(total))
       .select($"digit", $"n",
-        round($"n" / $"t", 6).as("observed_p"),
+        ($"n" / $"t").as("observed_p"),
         $"benford_p",
-        round(abs(round($"n" / $"t", 6) - $"benford_p"), 6).as("abs_dev"))
+        abs($"n" / $"t" - $"benford_p").as("abs_dev"))
       .orderBy($"digit")
   }
 
@@ -1399,8 +1408,8 @@ object Analytics {
         count(lit(1)).as("n_types"),
         sum($"c" * $"c").as("sc2"))
       .select($"user_id", $"n_events", $"n_types",
-        round(($"n_events" * $"n_events" - $"sc2") /
-          ($"n_events" * $"n_events").cast("double"), 6).as("impurity"))
+        (($"n_events" * $"n_events" - $"sc2") /
+          ($"n_events" * $"n_events").cast("double")).as("impurity"))
       .orderBy($"user_id")
 
   /** Herfindahl–Hirschman concentration of order revenue across
@@ -1678,7 +1687,7 @@ object Analytics {
     val tot = credited.agg(sum($"n_purchases").as("t"))
     credited.crossJoin(broadcast(tot))
       .select($"prev_type".as("touch_type"), $"n_purchases",
-        round($"n_purchases" / $"t".cast("double"), 6).as("credit_share"))
+        ($"n_purchases" / $"t".cast("double")).as("credit_share"))
       .orderBy($"touch_type")
   }
 
@@ -2164,7 +2173,7 @@ object Analytics {
         max(struct($"n", -$"hod")).getField("n").as("n_peak"),
         max($"t").as("n_total"))
       .select($"event_type", $"peak_hour", $"n_peak",
-        round($"n_peak" / $"n_total", 6).as("peak_share"))
+        ($"n_peak" / $"n_total").as("peak_share"))
       .orderBy($"event_type")
   }
 

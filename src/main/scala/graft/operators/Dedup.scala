@@ -683,7 +683,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
       .select(col("source"), col("n_docs"), col("n_dup_docs"),
-        round(col("n_dup_docs") / col("n_docs"), 6).as("dup_rate"))
+        (col("n_dup_docs") / col("n_docs")).as("dup_rate"))
       .orderBy(col("source"))
   }
 
@@ -702,7 +702,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_exact_pairs"),
         sum(when(col("ca").isNotNull, 1L).otherwise(0L)).as("n_caught"))
       .select(col("n_exact_pairs"), col("n_caught"),
-        round(col("n_caught") / col("n_exact_pairs"), 6).as("recall"))
+        (col("n_caught") / col("n_exact_pairs")).as("recall"))
   }
 
   /** Near-dup KEEPERS — the APPLY step for near-duplicate dedup: one

@@ -190,8 +190,8 @@ object Multimodal {
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
         sum(col("n")).as("total_bytes"),
-        round(sum(col("w")) / count(lit(1)).cast("double"), 6).as("avg_w"),
-        round(sum(col("h")) / count(lit(1)).cast("double"), 6).as("avg_h"))
+        (sum(col("w")) / count(lit(1)).cast("double")).as("avg_w"),
+        (sum(col("h")) / count(lit(1)).cast("double")).as("avg_h"))
       .orderBy(col("kind"))
 
 }

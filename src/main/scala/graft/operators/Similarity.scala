@@ -303,7 +303,7 @@ object Similarity {
       .agg(count(lit(1)).as("k"),
         sum(when(col("va").isNotNull, 1L).otherwise(0L)).as("n_hit"))
       .select(col("query_id"), col("k"), col("n_hit"),
-        round(col("n_hit") / col("k"), 6).as("recall_at_k"))
+        (col("n_hit") / col("k")).as("recall_at_k"))
       .orderBy(col("query_id"))
   }
 

@@ -203,7 +203,7 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .groupBy((floor(length(col("text")) / 50) * 50).cast("bigint").as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
-        expr("round(cast(sum(cast(length(text) as bigint)) as double) / count(*), 6)").as("avg_chars"))
+        expr("cast(sum(cast(length(text) as bigint)) as double) / count(*)").as("avg_chars"))
       .orderBy(col("bucket"))
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -454,7 +454,7 @@ object TextAnalysis {
         size(array_distinct(col("t"))).cast("long").as("n_types"))
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
-        round(col("n_types") / col("n_tokens"), 6).as("ttr"))
+        (col("n_types") / col("n_tokens")).as("ttr"))
       .orderBy(col("doc_id"))
 
   /** Hapax-legomena rate per language: the fraction of the vocabulary

@@ -33,9 +33,9 @@ class Round3OpsSpec extends SparkSpec {
     val n = nation.length
     val sorted = nation.sortBy(r => (r.getDouble(2), r.getLong(0)))
     sorted.zipWithIndex.foreach { case (r, i) =>
-      assert(math.abs(r.getDouble(3) - (if (n == 1) 0.0 else
-        math.rint(i.toDouble / (n - 1) * 1e6) / 1e6)) < 1e-9)
-      assert(math.abs(r.getDouble(4) - math.rint((i + 1).toDouble / n * 1e6) / 1e6) < 1e-9)
+      // unrounded since round 5 (round-6 ties at sf0.1): same IEEE division
+      assert(r.getDouble(3) == (if (n == 1) 0.0 else i.toDouble / (n - 1)))
+      assert(r.getDouble(4) == (i + 1).toDouble / n)
     }
   }
 
@@ -216,7 +216,9 @@ class Round3OpsSpec extends SparkSpec {
     val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
     val p = (c0 + c1).toDouble / (n0 + n1)
     val z = (p0 - p1) / math.sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1))
-    assert(math.abs(r.getDouble(6) - math.rint(z * 1e6) / 1e6) < 1e-9)
+    // unrounded since round 5; the recompute mirrors the operator's
+    // exact IEEE chain, so equality is to the last ulp-or-so
+    assert(math.abs(r.getDouble(6) - z) < 1e-12)
   }
 
   test("q63_topk_per_group: custom operator matches the window formulation exactly") {
