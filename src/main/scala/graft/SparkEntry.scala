@@ -617,7 +617,7 @@ object SparkEntry {
         |  cast(tf as double) * (SELECT n FROM nd) / df AS score
         | FROM tf JOIN df ON tf.term = df.term
         |)
-        |SELECT lang, cast(rnk as bigint) AS rank, term, tf, df, round(score, 6) AS score
+        |SELECT lang, cast(rnk as bigint) AS rank, term, tf, df, score
         |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) rnk FROM scored)
         |WHERE rnk <= 5 ORDER BY lang, rank""".stripMargin,
     "dd_simhash" ->
@@ -752,11 +752,11 @@ object SparkEntry {
         |SELECT doc_id,
         | cast(len(toks) as bigint) AS n_tokens,
         | cast(length(text) as bigint) AS n_chars_measured,
-        | round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / length(text), 6) AS punct_ratio,
-        | round(cast(len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a', 'is'))) as double) / len(toks), 6) AS stopword_ratio,
-        | round(0.4 * least(cast(1 as double), cast(len(toks) as bigint) / 20.0)
-        |     + 0.3 * (1 - round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / length(text), 6))
-        |     + 0.3 * (1 - round(cast(len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a', 'is'))) as double) / len(toks), 6)), 6) AS quality_score
+        | cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / length(text) AS punct_ratio,
+        | cast(len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a', 'is'))) as double) / len(toks) AS stopword_ratio,
+        | 0.4 * least(cast(1 as double), cast(len(toks) as bigint) / 20.0)
+        |     + 0.3 * (1 - cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / length(text))
+        |     + 0.3 * (1 - cast(len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a', 'is'))) as double) / len(toks)) AS quality_score
         |FROM t ORDER BY doc_id""".stripMargin,
     "txt_langid" ->
       """WITH t AS (
@@ -965,10 +965,9 @@ object SparkEntry {
         | FROM toks CROSS JOIN g
         |), sc AS (
         | SELECT doc_id, dl, tf_join, tf_hash, tf_scan,
-        |  round(
-        |   ((cast(n_docs - df_join as double) + 0.5) / (cast(df_join as double) + 0.5)) * (cast(tf_join as double) * 2.2) / (cast(tf_join as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))
+        |  ((cast(n_docs - df_join as double) + 0.5) / (cast(df_join as double) + 0.5)) * (cast(tf_join as double) * 2.2) / (cast(tf_join as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))
         | + ((cast(n_docs - df_hash as double) + 0.5) / (cast(df_hash as double) + 0.5)) * (cast(tf_hash as double) * 2.2) / (cast(tf_hash as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))
-        | + ((cast(n_docs - df_scan as double) + 0.5) / (cast(df_scan as double) + 0.5)) * (cast(tf_scan as double) * 2.2) / (cast(tf_scan as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))), 6) score
+        | + ((cast(n_docs - df_scan as double) + 0.5) / (cast(df_scan as double) + 0.5)) * (cast(tf_scan as double) * 2.2) / (cast(tf_scan as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))) score
         | FROM s
         |)
         |SELECT cast(row_number() OVER (ORDER BY score DESC, doc_id) as bigint) AS rank,
@@ -984,11 +983,11 @@ object SparkEntry {
         |), s AS (
         | SELECT doc_id,
         |  cast(len(toks) as bigint) n_tokens,
-        |  round(cast(len(toks) - len(list_distinct(toks)) as double) / len(toks), 6) dup_word_frac,
+        |  cast(len(toks) - len(list_distinct(toks)) as double) / len(toks) dup_word_frac,
         |  CASE WHEN len(toks) < 2 THEN cast(0.0 as double) ELSE
-        |   round(cast(list_max(list_transform(list_distinct(g), b -> len(list_filter(g, x -> x = b)))) as double) / (len(toks) - 1), 6) END top_bigram_frac,
-        |  round(cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks), 6) mean_word_len,
-        |  round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / len(toks), 6) symbol_ratio
+        |   cast(list_max(list_transform(list_distinct(g), b -> len(list_filter(g, x -> x = b)))) as double) / (len(toks) - 1) END top_bigram_frac,
+        |  cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks) mean_word_len,
+        |  cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / len(toks) symbol_ratio
         | FROM bg
         |)
         |SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac, mean_word_len, symbol_ratio,
@@ -1273,7 +1272,7 @@ object SparkEntry {
         | WHERE to_state IS NOT NULL GROUP BY 1, 2
         |)
         |SELECT from_state, to_state, n,
-        | round(n / sum(n) OVER (PARTITION BY from_state), 6) AS p
+        | n / sum(n) OVER (PARTITION BY from_state) AS p
         |FROM c ORDER BY from_state, to_state""".stripMargin,
     "q50_dq_audit" ->
       """SELECT 'row_count' AS "check", 'lineitem' AS subject, count(*) AS value FROM lineitem
@@ -1425,7 +1424,7 @@ object SparkEntry {
         |  JOIN pairs ac ON ac.a = ab.a AND ac.b2 = bc.b2
         |),
         |wed AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
-        |SELECT 'clustering_coeff' AS metric, round(3.0 * t / w, 6) AS value FROM tri, wed
+        |SELECT 'clustering_coeff' AS metric, 3.0 * t / w AS value FROM tri, wed
         |UNION ALL SELECT 'n_edges', cast(count(*) as double) FROM pairs
         |UNION ALL SELECT 'n_triangles', cast(t as double) FROM tri
         |UNION ALL SELECT 'n_wedges', cast(w as double) FROM wed
@@ -1572,8 +1571,8 @@ object SparkEntry {
         | FROM documents
         |)
         |SELECT doc_id, n_words, n_sents, n_vgroups,
-        | round(206.835 - 1.015 * (n_words / n_sents)
-        |   - 84.6 * (n_vgroups / n_words), 4) AS flesch
+        | 206.835 - 1.015 * (n_words / n_sents)
+        |   - 84.6 * (n_vgroups / n_words) AS flesch
         |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     "txt_kn_counts" ->
       """WITH toks AS (
@@ -1732,10 +1731,10 @@ object SparkEntry {
         |), s AS (
         | SELECT doc_id,
         |  cast(len(toks) as bigint) n_tokens,
-        |  round(cast(len(toks) - len(list_distinct(toks)) as double) / len(toks), 6) dup_word_frac,
+        |  cast(len(toks) - len(list_distinct(toks)) as double) / len(toks) dup_word_frac,
         |  CASE WHEN len(toks) < 2 THEN cast(0.0 as double) ELSE
-        |   round(cast(list_max(list_transform(list_distinct(g), b -> len(list_filter(g, x -> x = b)))) as double) / (len(toks) - 1), 6) END top_bigram_frac,
-        |  round(cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks), 6) mean_word_len
+        |   cast(list_max(list_transform(list_distinct(g), b -> len(list_filter(g, x -> x = b)))) as double) / (len(toks) - 1) END top_bigram_frac,
+        |  cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks) mean_word_len
         | FROM bg
         |), k AS (
         | SELECT *,
@@ -2312,7 +2311,7 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n_vocab,
         | cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) as bigint) AS n_hapax,
-        | round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS hapax_rate
+        | sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / cast(count(*) as double) AS hapax_rate
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipe_curriculum" ->
       """WITH t AS (
@@ -2384,7 +2383,7 @@ object SparkEntry {
         |)
         |SELECT doc_id, cast(len(grams) as bigint) AS n_grams,
         | cast(len(list_distinct(grams)) as bigint) AS n_distinct,
-        | round((len(grams) - len(list_distinct(grams))) / cast(len(grams) as double), 6) AS repetition
+        | (len(grams) - len(list_distinct(grams))) / cast(len(grams) as double) AS repetition
         |FROM g WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin,
     "dd_jaccard_est" ->
       """WITH toks AS (
@@ -2448,7 +2447,7 @@ object SparkEntry {
         | cast(sum(dl) as bigint) AS total_tokens,
         | cast(max(pack_last) + 1 as bigint) AS n_bins,
         | cast(sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END) as bigint) AS n_spanning,
-        | round(sum(dl) / cast((max(pack_last) + 1) * 128 as double), 6) AS fill_ratio
+        | sum(dl) / cast((max(pack_last) + 1) * 128 as double) AS fill_ratio
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_cohort_ltv" ->
       """WITH e AS (
@@ -2710,7 +2709,7 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs_kept,
         | cast(sum(dl) as bigint) AS total_tokens,
         | cast(max(pack_last) + 1 as bigint) AS n_bins,
-        | round(sum(dl) / cast((max(pack_last) + 1) * 128 as double), 6) AS fill_ratio
+        | sum(dl) / cast((max(pack_last) + 1) * 128 as double) AS fill_ratio
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q98_kmv_distinct" ->
       """WITH h AS (
@@ -2820,7 +2819,7 @@ object SparkEntry {
         |)
         |SELECT sh.doc_id, count(*) AS n_shingles,
         | cast(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) as bigint) AS n_novel,
-        | round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) / cast(count(*) as double), 6) AS novelty
+        | sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) / cast(count(*) as double) AS novelty
         |FROM sh JOIN f ON sh.s = f.s
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q101_peak_hour" ->
@@ -2875,7 +2874,7 @@ object SparkEntry {
         |SELECT cast(bucket_len as bigint) AS bucket_len, count(*) AS n_docs,
         | cast(sum(n_tokens) as bigint) AS total_tokens,
         | cast(count(*) * bucket_len - sum(n_tokens) as bigint) AS pad_waste,
-        | round((count(*) * bucket_len - sum(n_tokens)) / cast(count(*) * bucket_len as double), 6) AS waste_frac
+        | (count(*) * bucket_len - sum(n_tokens)) / cast(count(*) * bucket_len as double) AS waste_frac
         |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
   )
 }

@@ -790,7 +790,7 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
     val wTot = Window.partitionBy($"from_state")
     trans.select($"from_state", $"to_state", $"n",
-        round($"n" / sum($"n").over(wTot), 6).as("p"))
+        ($"n" / sum($"n").over(wTot)).as("p"))
       .orderBy($"from_state", $"to_state")
   }
 
@@ -1071,7 +1071,7 @@ object Analytics {
         .unionAll(triW.select(lit("n_triangles").as("metric"), $"t".cast("double").as("value")))
         .unionAll(triW.select(lit("n_wedges").as("metric"), $"w".cast("double").as("value")))
         .unionAll(triW.select(lit("clustering_coeff").as("metric"),
-          round(lit(3.0) * $"t" / $"w", 6).as("value")))
+          (lit(3.0) * $"t" / $"w").as("value")))
         .orderBy($"metric"),
       pairs)
   }

@@ -361,7 +361,7 @@ object CorpusPipeline {
         (max(col("pack_last")) + 1).as("n_bins"),
         sum(when(col("spans_boundary"), 1L).otherwise(0L)).as("n_spanning"))
       .select(col("lang"), col("n_docs"), col("total_tokens"), col("n_bins"), col("n_spanning"),
-        round(col("total_tokens") / (col("n_bins") * seqLen).cast("double"), 6).as("fill_ratio"))
+        (col("total_tokens") / (col("n_bins") * seqLen).cast("double")).as("fill_ratio"))
       .orderBy(col("lang"))
 
   /** Token-budget corpus assembly: per language, docs are taken in
@@ -423,7 +423,7 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_docs_kept"),
         sum(col("dl")).as("total_tokens"),
         (max(col("pack_last")) + 1).as("n_bins"),
-        round(sum(col("dl")) / ((max(col("pack_last")) + 1) * seqLen).cast("double"), 6).as("fill_ratio"))
+        (sum(col("dl")) / ((max(col("pack_last")) + 1) * seqLen).cast("double")).as("fill_ratio"))
       .orderBy(col("lang"))
   }
 
@@ -511,7 +511,7 @@ object CorpusPipeline {
         sum(col("n_tokens")).as("total_tokens"),
         (count(lit(1)) * col("bucket_len").cast("long") - sum(col("n_tokens"))).as("pad_waste"))
       .select(col("bucket_len"), col("n_docs"), col("total_tokens"), col("pad_waste"),
-        round(col("pad_waste") / (col("n_docs") * col("bucket_len")).cast("double"), 6).as("waste_frac"))
+        (col("pad_waste") / (col("n_docs") * col("bucket_len")).cast("double")).as("waste_frac"))
       .orderBy(col("bucket_len"))
 
 }

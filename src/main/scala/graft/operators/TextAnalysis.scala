@@ -23,11 +23,11 @@ object TextAnalysis {
       .withColumn("n_tokens", expr("cast(size(toks) as bigint)"))
       .withColumn("n_chars_measured", expr("cast(length(text) as bigint)"))
       .withColumn("punct_ratio", expr(
-        "round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '')) as double) / length(text), 6)"))
+        "cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '')) as double) / length(text)"))
       .withColumn("stopword_ratio", expr(
-        s"round(cast(size(filter(toks, x -> x IN ${inList(Stopwords)})) as double) / size(toks), 6)"))
+        s"cast(size(filter(toks, x -> x IN ${inList(Stopwords)})) as double) / size(toks)"))
       .withColumn("quality_score", expr(
-        "round(0.4 * least(cast(1 as double), n_tokens / 20.0) + 0.3 * (1 - punct_ratio) + 0.3 * (1 - stopword_ratio), 6)"))
+        "0.4 * least(cast(1 as double), n_tokens / 20.0) + 0.3 * (1 - punct_ratio) + 0.3 * (1 - stopword_ratio)"))
       .select(col("doc_id"), col("n_tokens"), col("n_chars_measured"),
         col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
       .orderBy(col("doc_id"))
@@ -139,7 +139,7 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("lang"), col("rank"), col("term"), col("tf"), col("df"),
-        round(col("score"), 6).as("score"))
+        col("score").as("score"))
       .orderBy(col("lang"), col("rank"))
   }
 
@@ -255,7 +255,7 @@ object TextAnalysis {
          | * (cast(tf_$t as double) * 2.2)
          | / (cast(tf_$t as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))""".stripMargin
     }.mkString(" + ")
-    val top = tfd.withColumn("score", expr(s"round($score, 6)"))
+    val top = tfd.withColumn("score", expr(s"$score"))
       .select((Seq(col("doc_id"), col("dl")) ++
         terms.map(t => col(s"tf_$t")) :+ col("score")): _*)
       .orderBy(col("score").desc, col("doc_id"))
@@ -279,20 +279,20 @@ object TextAnalysis {
       .withColumn("toks", TextOps.tokens("text"))
       .withColumn("n_tokens", expr("cast(size(toks) as bigint)"))
       .withColumn("dup_word_frac", expr(
-        "round(cast(n_tokens - size(array_distinct(toks)) as double) / n_tokens, 6)"))
+        "cast(n_tokens - size(array_distinct(toks)) as double) / n_tokens"))
       // the bigram array is a single native call, bound as a lambda
       // variable so the per-distinct-bigram count scans the bound copy
       .withColumn("top_bigram_frac",
-        when(col("n_tokens") < 2, lit(0.0)).otherwise(round(
+        when(col("n_tokens") < 2, lit(0.0)).otherwise(
           element_at(transform(
             array(org.apache.spark.sql.graft.TextExpressions.wordNgrams(col("text"), 2)),
             g => array_max(transform(array_distinct(g),
               b => size(filter(g, x => x === b))))), 1).cast("double")
-          / (col("n_tokens") - 1), 6)))
+          / (col("n_tokens") - 1)))
       .withColumn("mean_word_len", expr(
-        "round(cast(aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x)) as double) / n_tokens, 6)"))
+        "cast(aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x)) as double) / n_tokens"))
       .withColumn("symbol_ratio", expr(
-        "round(cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '')) as double) / n_tokens, 6)"))
+        "cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '')) as double) / n_tokens"))
       .withColumn("keep", expr(
         """n_tokens >= 10 AND n_tokens <= 1000 AND dup_word_frac <= 0.6
           |AND top_bigram_frac <= 0.2 AND mean_word_len >= 2 AND mean_word_len <= 12""".stripMargin))
@@ -392,9 +392,9 @@ object TextAnalysis {
       .withColumn("n_vgroups", expr(
         "cast(greatest(regexp_count(lower(text), '[aeiouy]+'), 1) as bigint)"))
       .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_vgroups"),
-        round(lit(206.835)
+        (lit(206.835)
           - lit(1.015) * (col("n_words") / col("n_sents"))
-          - lit(84.6) * (col("n_vgroups") / col("n_words")), 4).as("flesch"))
+          - lit(84.6) * (col("n_vgroups") / col("n_words"))).as("flesch"))
       .orderBy(col("doc_id"))
 
   /** Kneser-Ney-shaped count tables for bigram LM estimation: per
@@ -471,7 +471,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_vocab"),
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .select(col("lang"), col("n_vocab"), col("n_hapax"),
-        round(col("n_hapax") / col("n_vocab"), 6).as("hapax_rate"))
+        (col("n_hapax") / col("n_vocab")).as("hapax_rate"))
       .orderBy(col("lang"))
 
   /** Within-document repetition: the fraction of word 4-grams that are
@@ -486,7 +486,7 @@ object TextAnalysis {
         size(col("g")).cast("long").as("n_grams"),
         size(array_distinct(col("g"))).cast("long").as("n_distinct"))
       .select(col("doc_id"), col("n_grams"), col("n_distinct"),
-        round((col("n_grams") - col("n_distinct")) / col("n_grams"), 6).as("repetition"))
+        ((col("n_grams") - col("n_distinct")) / col("n_grams")).as("repetition"))
       .orderBy(col("doc_id"))
 
   /** BPE-style merge-pair counting — the inner statistic of tokenizer
@@ -521,7 +521,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+        (col("n_novel") / col("n_shingles")).as("novelty"))
       .orderBy(col("doc_id"))
   }
 

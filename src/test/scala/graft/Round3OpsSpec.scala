@@ -177,7 +177,7 @@ class Round3OpsSpec extends SparkSpec {
     assert(m("n_edges") > 0 && m("n_wedges") >= m("n_triangles"))
     // each triangle contributes 3 closed wedges
     assert(math.abs(m("clustering_coeff") -
-      math.rint(3.0 * m("n_triangles") / m("n_wedges") * 1e6) / 1e6) < 1e-9)
+      3.0 * m("n_triangles") / m("n_wedges")) < 1e-9)
     assert(m("clustering_coeff") >= 0 && m("clustering_coeff") <= 1)
   }
 
@@ -350,7 +350,7 @@ class Round3OpsSpec extends SparkSpec {
       val vg = math.max("[aeiouy]+".r.findAllIn(text.toLowerCase).length, 1)
       assert(r.getLong(1) == words && r.getLong(2) == sents && r.getLong(3) == vg)
       val score = 206.835 - 1.015 * (words.toDouble / sents) - 84.6 * (vg.toDouble / words)
-      assert(math.abs(r.getDouble(4) - math.rint(score * 1e4) / 1e4) < 1e-9)
+      assert(math.abs(r.getDouble(4) - score) < 1e-9)
     }
   }
 
