@@ -222,6 +222,14 @@ object SparkEntry {
     "mm_kind_profile" -> (Multimodal.mmKindProfile _),
     "dd_shingle_df_profile" -> (Dedup.ddShingleDfProfile _),
     "pipe_length_buckets" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeLengthBuckets(s, d)),
+    "q117_kendall" -> (Analytics.q117Kendall _),
+    "q118_mann_kendall" -> (Analytics.q118MannKendall _),
+    "q119_cramers_v" -> (Analytics.q119CramersV _),
+    "q120_hodges_lehmann" -> (Analytics.q120HodgesLehmann _),
+    "txt_simpson" -> (TextAnalysis.txtSimpson _),
+    "txt_langid_kappa" -> (TextAnalysis.txtLangidKappa _),
+    "txt_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.txtBurstiness(s, d)),
+    "pipe_temp_sampling" -> (CorpusPipeline.pipeTempSampling _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -2876,5 +2884,178 @@ object SparkEntry {
         | cast(count(*) * bucket_len - sum(n_tokens) as bigint) AS pad_waste,
         | (count(*) * bucket_len - sum(n_tokens)) / cast(count(*) * bucket_len as double) AS waste_frac
         |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
+    "q117_kendall" ->
+      """WITH cells AS (
+        | SELECT l_returnflag, cast(l_quantity as bigint) x,
+        |  cast(cast(l_discount as decimal(4,2)) * 100 as bigint) y, count(*) c
+        | FROM lineitem GROUP BY 1, 2, 3
+        |), pc AS (
+        | SELECT a.l_returnflag,
+        |  sum(CASE WHEN a.x < b.x AND a.y < b.y THEN cast(a.c as hugeint) * b.c END) concordant,
+        |  sum(CASE WHEN a.x < b.x AND a.y > b.y THEN cast(a.c as hugeint) * b.c END) discordant,
+        |  sum(CASE WHEN a.x = b.x AND a.y < b.y THEN cast(a.c as hugeint) * b.c END) tied_x_only,
+        |  sum(CASE WHEN a.y = b.y AND a.x < b.x THEN cast(a.c as hugeint) * b.c END) tied_y_only
+        | FROM cells a JOIN cells b ON a.l_returnflag = b.l_returnflag
+        | GROUP BY 1
+        |), diag AS (
+        | SELECT l_returnflag, cast(sum(c) as bigint) n,
+        |  sum(cast((c * (c - 1)) // 2 as hugeint)) tied_both
+        | FROM cells GROUP BY 1
+        |)
+        |SELECT d.l_returnflag, d.n,
+        | cast(concordant as decimal(38,0)) AS concordant,
+        | cast(discordant as decimal(38,0)) AS discordant,
+        | cast(tied_x_only as decimal(38,0)) AS tied_x_only,
+        | cast(tied_y_only as decimal(38,0)) AS tied_y_only,
+        | cast(tied_both as decimal(38,0)) AS tied_both,
+        | cast(concordant - discordant as decimal(38,0)) AS tau_num
+        |FROM diag d JOIN pc ON d.l_returnflag = pc.l_returnflag
+        |ORDER BY d.l_returnflag""".stripMargin,
+    "q118_mann_kendall" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), s AS (
+        | SELECT a.o_orderpriority,
+        |  cast(sum(CASE WHEN b.cents > a.cents THEN 1 WHEN b.cents < a.cents THEN -1 ELSE 0 END) as bigint) s_stat
+        | FROM daily a JOIN daily b
+        |  ON a.o_orderpriority = b.o_orderpriority AND a."day" < b."day"
+        | GROUP BY 1
+        |), tg AS (
+        | SELECT o_orderpriority, cents, count(*) tt FROM daily GROUP BY 1, 2
+        |), ties AS (
+        | SELECT o_orderpriority, cast(sum(tt) as bigint) n_days,
+        |  cast(sum(tt * (tt - 1) * (2 * tt + 5)) as bigint) tie_term
+        | FROM tg GROUP BY 1
+        |)
+        |SELECT ties.o_orderpriority, n_days, s_stat,
+        | n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18_num
+        |FROM ties JOIN s ON ties.o_orderpriority = s.o_orderpriority
+        |ORDER BY 1""".stripMargin,
+    "q119_cramers_v" ->
+      """WITH obs AS (
+        | SELECT event_type, cast(user_id % 2 as int) segment, count(*) n
+        | FROM events GROUP BY 1, 2
+        |), rt AS (SELECT event_type, cast(sum(n) as bigint) row_n FROM obs GROUP BY 1),
+        |ct AS (SELECT segment, cast(sum(n) as bigint) col_n FROM obs GROUP BY 1),
+        |tot AS (SELECT cast(sum(n) as bigint) total_n FROM obs),
+        |dims AS (
+        | SELECT cast(count(distinct event_type) as bigint) n_rows_dim,
+        |  cast(count(distinct segment) as bigint) n_cols_dim
+        | FROM obs
+        |), terms AS (
+        | SELECT o.event_type, o.segment,
+        |  cast(cast(o.n as decimal(38,0)) * total_n - cast(row_n as decimal(38,0)) * col_n as double) diff_d,
+        |  cast(total_n as double) * row_n * col_n den
+        | FROM obs o JOIN rt USING (event_type) JOIN ct USING (segment) CROSS JOIN tot
+        |), cum AS (
+        | SELECT sum(diff_d * diff_d / den)
+        |   OVER (ORDER BY event_type, segment
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) chi2_cum,
+        |  row_number() OVER (ORDER BY event_type, segment) rn,
+        |  count(*) OVER () n_cells
+        | FROM terms
+        |)
+        |SELECT total_n AS n, n_rows_dim, n_cols_dim, chi2_cum AS chi2,
+        | sqrt(chi2_cum / (total_n * (least(n_rows_dim, n_cols_dim) - 1))) AS cramers_v
+        |FROM cum, tot, dims WHERE rn = n_cells""".stripMargin,
+    "q120_hodges_lehmann" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), pairs AS (
+        | SELECT a.o_orderpriority, a.cents + b.cents wsum2
+        | FROM daily a JOIN daily b
+        |  ON a.o_orderpriority = b.o_orderpriority AND a."day" < b."day"
+        |), v AS (
+        | SELECT o_orderpriority, wsum2, count(*) w FROM pairs GROUP BY 1, 2
+        |), c AS (
+        | SELECT o_orderpriority, wsum2, w,
+        |  cast(sum(w) OVER (PARTITION BY o_orderpriority ORDER BY wsum2) as bigint) cw,
+        |  cast(sum(w) OVER (PARTITION BY o_orderpriority) as bigint) m
+        | FROM v
+        |)
+        |SELECT o_orderpriority, cast(max(m) as bigint) AS n_pairs,
+        | cast(min(wsum2) as bigint) AS hl2_cents
+        |FROM c WHERE cw * 2 >= m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_simpson" ->
+      """WITH t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), c AS (
+        | SELECT lang, term, count(*) c FROM t GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS n_types, cast(sum(c) as bigint) AS n_tokens,
+        | cast(sum(cast(c as hugeint) * (c - 1)) as decimal(38,0)) AS simpson_num,
+        | cast(cast(sum(c) as hugeint) * (sum(c) - 1) as decimal(38,0)) AS simpson_den
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_langid_kappa" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |), s AS (
+        | SELECT doc_id, lang,
+        |  cast(len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht'))) as bigint) s_de,
+        |  cast(len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a', 'is'))) as bigint) s_en,
+        |  cast(len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y', 'los'))) as bigint) s_es,
+        |  cast(len(list_filter(toks, x -> x IN ('le', 'les', 'et', 'des', 'un', 'une'))) as bigint) s_fr
+        | FROM t
+        |), p AS (
+        | SELECT lang,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+        | FROM s
+        |), conf AS (
+        | SELECT lang, pred_lang, count(*) n_docs FROM p GROUP BY 1, 2
+        |), rt AS (SELECT lang, cast(sum(n_docs) as bigint) row_n FROM conf GROUP BY 1),
+        |ct AS (SELECT pred_lang, cast(sum(n_docs) as bigint) col_n FROM conf GROUP BY 1),
+        |pr AS (
+        | SELECT cast(sum(cast(row_n as hugeint) * col_n) as decimal(38,0)) chance_prod
+        | FROM rt JOIN ct ON rt.lang = ct.pred_lang
+        |), ag AS (
+        | SELECT cast(sum(n_docs) as bigint) n,
+        |  cast(sum(CASE WHEN lang = pred_lang THEN n_docs ELSE 0 END) as bigint) agree
+        | FROM conf
+        |)
+        |SELECT n, agree, cast(chance_prod as decimal(38,0)) AS chance_prod,
+        | cast(cast(agree as hugeint) * n - cast(chance_prod as hugeint) as decimal(38,0)) AS kappa_num,
+        | cast(cast(n as hugeint) * n - cast(chance_prod as hugeint) as decimal(38,0)) AS kappa_den
+        |FROM ag, pr""".stripMargin,
+    "txt_burstiness" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), pd AS (
+        | SELECT term, doc_id, count(*) c FROM t GROUP BY 1, 2
+        |), st AS (
+        | SELECT term, count(*) n_docs_with, cast(sum(c) as bigint) sum_c,
+        |  cast(sum(cast(c as hugeint) * c) as decimal(38,0)) sum_c2
+        | FROM pd GROUP BY 1
+        |), nd AS (SELECT count(*) n_docs FROM documents),
+        |r AS (
+        | SELECT *, cast(row_number() OVER (ORDER BY sum_c DESC, term) as bigint) "rank" FROM st
+        |)
+        |SELECT "rank", term, n_docs_with, sum_c,
+        | cast(sum_c2 as decimal(38,0)) AS sum_c2,
+        | cast(cast(n_docs as hugeint) * cast(sum_c2 as hugeint)
+        |   - cast(sum_c as hugeint) * sum_c as decimal(38,0)) AS vmr_num,
+        | cast(cast(n_docs as hugeint) * sum_c as decimal(38,0)) AS vmr_den
+        |FROM r, nd WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+    "pipe_temp_sampling" ->
+      """WITH c AS (SELECT lang, count(*) n_docs FROM documents GROUP BY 1),
+        |cum AS (
+        | SELECT lang, n_docs, sqrt(cast(n_docs as double)) sq,
+        |  sum(sqrt(cast(n_docs as double)))
+        |   OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) s_cum
+        | FROM c
+        |), tot AS (
+        | SELECT cast(sum(n_docs) as bigint) n_total, max(s_cum) sq_total FROM cum
+        |)
+        |SELECT lang, n_docs,
+        | n_docs / cast(n_total as double) AS base_share,
+        | sq / sq_total AS temp_weight
+        |FROM cum, tot ORDER BY lang""".stripMargin,
   )
 }

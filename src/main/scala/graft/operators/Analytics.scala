@@ -2177,4 +2177,144 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** Kendall tau-b sufficient statistics (quantity vs discount per
+    * return flag) by CELL DOMINANCE counting: rows collapse to joint
+    * (x, y) frequency cells first — the cell count is bounded by the
+    * attribute DOMAIN (≤ 50 quantities × 11 discounts), not the corpus
+    * — and every pair class (concordant / discordant / tied-x /
+    * tied-y / tied-both) is an exact integer Σ cᵃ·cᵇ over the tiny
+    * cell×cell join. O(n) scan + O(cells²) arithmetic at any scale,
+    * never an O(n²) row self-join; sums ride DECIMAL(38,0) so a
+    * 100 TB cell count cannot overflow. No division anywhere —
+    * consumers form τ_b = (C−D)/√((P−Tx)(P−Ty)) themselves. */
+  def q117Kendall(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        expr("cast(l_quantity as bigint)").as("x"),
+        expr("cast(cast(l_discount as decimal(4,2)) * 100 as bigint)").as("y"))
+      .groupBy($"l_returnflag", $"x", $"y")
+      .agg(count(lit(1)).as("c"))
+    val b = cells.select($"l_returnflag".as("rf2"), $"x".as("xb"),
+      $"y".as("yb"), $"c".as("cb"))
+    val cross = cells.join(broadcast(b), $"l_returnflag" === $"rf2")
+      .withColumn("prod", expr("cast(c as decimal(38,0)) * cb"))
+    val pairClasses = cross.groupBy($"l_returnflag")
+      .agg(
+        sum(when($"x" < $"xb" && $"y" < $"yb", $"prod")).as("concordant"),
+        sum(when($"x" < $"xb" && $"y" > $"yb", $"prod")).as("discordant"),
+        sum(when($"x" === $"xb" && $"y" < $"yb", $"prod")).as("tied_x_only"),
+        sum(when($"y" === $"yb" && $"x" < $"xb", $"prod")).as("tied_y_only"))
+    val diag = cells.groupBy($"l_returnflag")
+      .agg(sum($"c").as("n"),
+        sum(expr("cast((c * (c - 1)) div 2 as decimal(38,0))")).as("tied_both"))
+    diag.join(pairClasses, "l_returnflag")
+      .select($"l_returnflag", $"n",
+        expr("cast(concordant as decimal(38,0))").as("concordant"),
+        expr("cast(discordant as decimal(38,0))").as("discordant"),
+        expr("cast(tied_x_only as decimal(38,0))").as("tied_x_only"),
+        expr("cast(tied_y_only as decimal(38,0))").as("tied_y_only"),
+        expr("cast(tied_both as decimal(38,0))").as("tied_both"),
+        expr("cast(concordant - discordant as decimal(38,0))").as("tau_num"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Mann–Kendall trend inputs over per-priority daily revenue:
+    * S = Σ_{i<j} sign(cents_j − cents_i) and the ties-corrected
+    * variance NUMERATOR n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (the /18 and
+    * the z-score are the consumer's) — exact integers end to end.
+    * The day×day self-join is bounded by the CALENDAR squared (the
+    * same contract as q111's runs test), so corpus growth only
+    * changes the daily aggregate, never the pair count. */
+  def q118MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val later = daily.select($"o_orderpriority".as("p2"),
+      $"day".as("day2"), $"cents".as("cents2"))
+    val s = daily.join(later, $"o_orderpriority" === $"p2" && $"day" < $"day2")
+      .groupBy($"o_orderpriority")
+      .agg(sum(when($"cents2" > $"cents", 1L)
+        .when($"cents2" < $"cents", -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy($"o_orderpriority", $"cents")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"t").as("n_days"),
+        sum($"t" * ($"t" - 1) * (lit(2L) * $"t" + 5)).as("tie_term"))
+    ties.join(s, "o_orderpriority")
+      .select($"o_orderpriority", $"n_days", $"s_stat",
+        ($"n_days" * ($"n_days" - 1) * (lit(2L) * $"n_days" + 5) - $"tie_term")
+          .as("var18_num"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Cramér's V over the event-type × user-segment contingency. Each
+    * χ² term is exact-integer-derived ((O·n − r·c)² / (n·r·c) — the
+    * expected-count division folded away), and the term SUM runs as an
+    * ordered cumulative window over the ≤ |types|×2 cells so both
+    * engines add the same doubles in the same sequence — the only
+    * deterministic way to total float terms. V = √(χ²/(n·(min(r,c)−1)))
+    * — sqrt is correctly rounded IEEE, so it preserves parity. The
+    * window is single-task but bounded by the type DOMAIN, not the
+    * corpus. */
+  def q119CramersV(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(spark, dir)
+      .groupBy($"event_type", ($"user_id" % 2).cast("int").as("segment"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = obs.groupBy($"event_type").agg(sum($"n").as("row_n"))
+    val colT = obs.groupBy($"segment").agg(sum($"n").as("col_n"))
+    val tot = obs.agg(sum($"n").as("total_n"), count(lit(1)).as("n_cells"))
+    val dims = obs.agg(countDistinct($"event_type").as("n_rows_dim"),
+      countDistinct($"segment").as("n_cols_dim"))
+    val terms = obs.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "segment")
+      .crossJoin(broadcast(tot))
+      .withColumn("diff_d", expr(
+        "cast(cast(n as decimal(38,0)) * total_n - cast(row_n as decimal(38,0)) * col_n as double)"))
+      .withColumn("term",
+        $"diff_d" * $"diff_d" /
+          ($"total_n".cast("double") * $"row_n" * $"col_n"))
+    val wCum = Window.orderBy($"event_type", $"segment")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    terms.withColumn("chi2_cum", sum($"term").over(wCum))
+      .groupBy()
+      .agg(max($"total_n").as("n"),
+        expr("max_by(chi2_cum, struct(event_type, segment))").as("chi2"))
+      .crossJoin(broadcast(dims))
+      .select($"n", $"n_rows_dim", $"n_cols_dim", $"chi2",
+        sqrt($"chi2" / ($"n" * (least($"n_rows_dim", $"n_cols_dim") - 1)))
+          .as("cramers_v"))
+  }
+
+  /** Hodges–Lehmann pseudo-median of per-priority daily revenue,
+    * emitted as hl2 = the exact LOWER MEDIAN of pairwise sums
+    * cᵢ+cⱼ (i<j by day) — twice the HL estimator, a pure integer, so
+    * no .5 ever reaches a float. Pair expansion is calendar-bounded
+    * (days², like q118); the median itself is the k-th order
+    * statistic over value-collapsed (sum, weight) rows via the
+    * distributed two-phase prefix sum — no global sort, no
+    * single-task value window. */
+  def q120HodgesLehmann(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val later = daily.select($"o_orderpriority".as("p2"),
+      $"day".as("day2"), $"cents".as("cents2"))
+    val byVal = daily.join(later, $"o_orderpriority" === $"p2" && $"day" < $"day2")
+      .select($"o_orderpriority", ($"cents" + $"cents2").as("wsum2"))
+      .groupBy($"o_orderpriority", $"wsum2")
+      .agg(count(lit(1)).as("w"))
+    val tot = byVal.groupBy($"o_orderpriority").agg(sum($"w").as("m"))
+    // bucket bounds off the cheap daily frame: [2·min, 2·max] always
+    // covers every pairwise sum, so the grouped frame need not re-run
+    val bounds = daily.select(($"cents" * 2).as("wsum2"))
+    CorpusPipeline.prefixSumExclusive(byVal, "o_orderpriority",
+        Seq($"wsum2"), "w", "cw_excl",
+        CorpusPipeline.equiWidthBucket(bounds, "wsum2"))
+      .join(broadcast(tot), "o_orderpriority")
+      .filter(($"cw_excl" + $"w") * 2 >= $"m")
+      .groupBy($"o_orderpriority")
+      .agg(max($"m").as("n_pairs"), min($"wsum2").as("hl2_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
 }

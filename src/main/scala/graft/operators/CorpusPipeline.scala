@@ -514,4 +514,30 @@ object CorpusPipeline {
         (col("pad_waste") / (col("n_docs") * col("bucket_len")).cast("double")).as("waste_frac"))
       .orderBy(col("bucket_len"))
 
+  /** Temperature-based mixture weights (the multilingual-sampling
+    * recipe: p_i ∝ n_i^(1/τ) with τ = 2, i.e. √n — boosts low-resource
+    * languages without drowning the head). √ is correctly-rounded
+    * IEEE so it preserves cross-engine parity, and the normalizing
+    * Σ√n_i runs as an ordered cumulative sum over the ≤|langs| rows —
+    * both engines add the same doubles in the same sequence (max of a
+    * nonneg-term cumsum = its last element). Everything upstream is
+    * one integer count aggregate; the window is bounded by the
+    * language DOMAIN, not the corpus. */
+  def pipeTempSampling(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val wCum = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("sq", sqrt(col("n_docs").cast("double")))
+      .withColumn("s_cum", sum(col("sq")).over(wCum))
+    val tot = cum.agg(sum(col("n_docs")).as("n_total"),
+      max(col("s_cum")).as("sq_total"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        (col("n_docs") / col("n_total")).as("base_share"),
+        (col("sq") / col("sq_total")).as("temp_weight"))
+      .orderBy(col("lang"))
+  }
+
 }

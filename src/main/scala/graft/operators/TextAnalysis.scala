@@ -525,4 +525,84 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Simpson concentration index of the per-language unigram
+    * distribution as an exact rational: λ = Σc(c−1) / N(N−1) emitted
+    * as (num, den) integer pairs — the probability two random tokens
+    * are the same type, the corpus-diversity twin of q77's HHI. Term
+    * counts collapse map-side; DECIMAL(38,0) keeps a 100 TB N² from
+    * overflowing. */
+  def txtSimpson(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(expr("cast(c as decimal(38,0)) * (c - 1)")).as("simpson_num"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        expr("cast(simpson_num as decimal(38,0))").as("simpson_num"),
+        expr("cast(cast(n_tokens as decimal(38,0)) * (n_tokens - 1) as decimal(38,0))")
+          .as("simpson_den"))
+      .orderBy(col("lang"))
+
+  /** Cohen's kappa for the stopword language-ID against the labels —
+    * the chance-corrected agreement score computed straight off
+    * [[txtLangidConfusion]]'s matrix as ONE exact rational:
+    * κ = (agree·n − Σᵢ rowᵢ·colᵢ) / (n² − Σᵢ rowᵢ·colᵢ), emitted as
+    * integer (num, den). All marginals re-aggregate the tiny
+    * |langs|² matrix; a single division never happens. */
+  def txtLangidKappa(spark: SparkSession, dir: String): DataFrame = {
+    val conf = txtLangidConfusion(spark, dir)
+    val rowT = conf.groupBy(col("lang")).agg(sum(col("n_docs")).as("row_n"))
+    val colT = conf.groupBy(col("pred_lang")).agg(sum(col("n_docs")).as("col_n"))
+    val prods = rowT.join(colT, col("lang") === col("pred_lang"))
+      .agg(sum(expr("cast(row_n as decimal(38,0)) * col_n")).as("chance_prod"))
+    conf.agg(sum(col("n_docs")).as("n"),
+        sum(when(col("lang") === col("pred_lang"), col("n_docs"))
+          .otherwise(0L)).as("agree"))
+      .crossJoin(broadcast(prods))
+      .select(col("n"), col("agree"),
+        expr("cast(chance_prod as decimal(38,0))").as("chance_prod"),
+        expr("cast(cast(agree as decimal(38,0)) * n - chance_prod as decimal(38,0))")
+          .as("kappa_num"),
+        expr("cast(cast(n as decimal(38,0)) * n - chance_prod as decimal(38,0))")
+          .as("kappa_den"))
+  }
+
+  /** Term burstiness (variance-to-mean ratio of per-document counts)
+    * for the corpus-wide top-20 terms, as exact integer rationals:
+    * VMR = (D·Σc² − (Σc)²) / (D·Σc) over ALL D documents (zeros
+    * included arithmetically — only docs containing the term produce
+    * rows, the rest contribute nothing to either sum). Bursty terms
+    * (VMR ≫ 1) concentrate in few docs — the content-word detector
+    * dual to document-level repetition. Top-20 selection tie-breaks
+    * on the term string, so the row set is deterministic. */
+  def txtBurstiness(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val perDoc = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val stats = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs_with"),
+        sum(col("c")).as("sum_c"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("sum_c2"))
+    // constant partition key: keeps the spec non-empty so the
+    // TopKPerGroupRewrite can plan the bounded-heap operator (partial
+    // pass caps every partition at k rows before the single-group final)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("sum_c").desc, col("term"))
+    stats.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(nDocs))
+      .select(col("rank"), col("term"), col("n_docs_with"), col("sum_c"),
+        expr("cast(sum_c2 as decimal(38,0))").as("sum_c2"),
+        expr("cast(cast(n_docs as decimal(38,0)) * sum_c2 - cast(sum_c as decimal(38,0)) * sum_c as decimal(38,0))")
+          .as("vmr_num"),
+        expr("cast(cast(n_docs as decimal(38,0)) * sum_c as decimal(38,0))")
+          .as("vmr_den"))
+      .orderBy(col("rank"))
+  }
+
 }

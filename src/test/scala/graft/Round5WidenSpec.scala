@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 widening specs: the exact-arithmetic statistical operators
+  * (Kendall, Mann–Kendall, Cramér's V, Hodges–Lehmann) and the
+  * corpus-audit additions (Simpson, kappa, burstiness, temperature
+  * sampling) — each validated against a brute-force driver recompute
+  * on sf0.001, plus the algebraic identities the emitted sufficient
+  * statistics must satisfy. */
+class Round5WidenSpec extends SparkSpec {
+
+  private def big(r: org.apache.spark.sql.Row, i: Int): BigInt =
+    BigInt(r.getDecimal(i).toBigInteger)
+
+  test("q117_kendall: pair classes match a brute-force O(n²) recompute and partition all pairs") {
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), expr("cast(l_quantity as bigint)"),
+        expr("cast(cast(l_discount as decimal(4,2)) * 100 as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val xs = rs.map(r => (r._2, r._3))
+      var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var tb = 0L
+      for (i <- xs.indices; j <- (i + 1) until xs.size) {
+        val ((xa, ya), (xb, yb)) = (xs(i), xs(j))
+        if (xa == xb && ya == yb) tb += 1
+        else if (xa == xb) tx += 1
+        else if (ya == yb) ty += 1
+        else if ((xa < xb) == (ya < yb)) c += 1
+        else d += 1
+      }
+      flag -> ((xs.size.toLong, c, d, tx, ty, tb))
+    }
+    val got = graft.operators.Analytics.q117Kendall(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), big(r, 2).toLong, big(r, 3).toLong,
+        big(r, 4).toLong, big(r, 5).toLong, big(r, 6).toLong))).toMap
+    assert(got == expected)
+    got.values.foreach { case (n, c, d, tx, ty, tb) =>
+      assert(c + d + tx + ty + tb == n * (n - 1) / 2,
+        "pair classes must partition the n-choose-2 pairs")
+    }
+  }
+
+  test("q118_mann_kendall: S and the ties-corrected variance numerator recompute") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (p, rs) =>
+      val series = rs.sortBy(_._2.toEpochDay).map(_._3)
+      var s = 0L
+      for (i <- series.indices; j <- (i + 1) until series.size)
+        s += java.lang.Long.signum(series(j) - series(i))
+      val n = series.size.toLong
+      val tieTerm = series.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      p -> ((n, s, n * (n - 1) * (2 * n + 5) - tieTerm))
+    }
+    val got = graft.operators.Analytics.q118MannKendall(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("q119_cramers_v: chi2 recomputes in cell order and V sits in [0, 1]") {
+    val r = graft.operators.Analytics.q119CramersV(spark, sf0001).collect().head
+    val (n, nr, nc, chi2, v) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    val obs = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), (col("user_id") % 2).cast("int").as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(x => ((x.getString(0), x.getInt(1)), x.getLong(2))).toMap
+    val rowT = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colT = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val total = obs.values.sum
+    assert(n == total && nr == rowT.size && nc == colT.size)
+    // same summation order as the engine: sorted by (event_type, segment)
+    var acc = 0.0
+    obs.toSeq.sortBy(_._1).foreach { case ((et, seg), o) =>
+      val diff = (BigInt(o) * total - BigInt(rowT(et)) * colT(seg)).toDouble
+      acc += diff * diff / (total.toDouble * rowT(et) * colT(seg))
+    }
+    assert(acc == chi2, "ordered-sum chi2 must be bit-identical")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(v == math.sqrt(chi2 / (n * (math.min(nr, nc) - 1))))
+  }
+
+  test("q120_hodges_lehmann: lower median of pairwise sums matches brute force") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (p, rs) =>
+      val series = rs.sortBy(_._2.toEpochDay).map(_._3)
+      val sums = (for (i <- series.indices; j <- (i + 1) until series.size)
+        yield series(i) + series(j)).sorted
+      // lower median = smallest value whose inclusive rank*2 >= m:
+      // 1-based rank ceil(m/2) = 0-based index (m-1)/2
+      p -> ((sums.size.toLong, sums((sums.size - 1) / 2)))
+    }
+    val got = graft.operators.Analytics.q120HodgesLehmann(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("txt_simpson: rational parts recompute from raw token counts") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("lang"), explode(graft.functions.TextOps.tokens("text")).as("term"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = toks.groupBy(_._1).map { case (lang, rs) =>
+      val counts = rs.groupBy(_._2).values.map(_.size.toLong)
+      val nTok = counts.sum
+      lang -> ((counts.size.toLong, nTok,
+        counts.map(c => BigInt(c) * (c - 1)).sum, BigInt(nTok) * (nTok - 1)))
+    }
+    val got = graft.operators.TextAnalysis.txtSimpson(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), big(r, 3), big(r, 4)))).toMap
+    assert(got == expected)
+  }
+
+  test("txt_langid_kappa: kappa rational recomputes from the confusion matrix") {
+    val conf = graft.operators.TextAnalysis.txtLangidConfusion(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = conf.map(_._2).sum
+    val agree = conf.filter(c => c._1._1 == c._1._2).map(_._2).sum
+    val rowT = conf.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val colT = conf.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val chance = rowT.keys.filter(colT.contains)
+      .map(l => BigInt(rowT(l)) * colT(l)).sum
+    val r = graft.operators.TextAnalysis.txtLangidKappa(spark, sf0001).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == agree)
+    assert(big(r, 2) == chance)
+    assert(big(r, 3) == BigInt(agree) * n - chance)
+    assert(big(r, 4) == BigInt(n) * n - chance)
+    // κ = num/den must be a valid agreement score (≤ 1; sign is
+    // data-dependent — the sf0.001 corpus actually lands slightly
+    // below chance, which is a legitimate kappa)
+    assert(big(r, 3) <= big(r, 4) && big(r, 4) > 0)
+  }
+
+  test("txt_burstiness: top-20 selection and VMR parts recompute; content terms are bursty") {
+    val perDoc = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(graft.functions.TextOps.tokens("text")).as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val stats = perDoc.groupBy(_._2).map { case (term, rs) =>
+      val counts = rs.groupBy(_._1).values.map(_.size.toLong)
+      term -> ((counts.size.toLong, counts.sum, counts.map(c => BigInt(c) * c).sum))
+    }
+    val top = stats.toSeq.sortBy { case (term, (_, sumC, _)) => (-sumC, term) }.take(20)
+    val got = graft.operators.TextAnalysis.txtBurstiness(spark, sf0001).collect()
+    assert(got.length == 20)
+    got.zip(top).zipWithIndex.foreach { case ((r, (term, (dw, sc, sc2))), i) =>
+      assert(r.getLong(0) == i + 1 && r.getString(1) == term)
+      assert(r.getLong(2) == dw && r.getLong(3) == sc && big(r, 4) == sc2)
+      assert(big(r, 5) == BigInt(nDocs) * sc2 - BigInt(sc) * sc)
+      assert(big(r, 6) == BigInt(nDocs) * sc)
+    }
+  }
+
+  test("pipe_temp_sampling: weights normalize, and temperature compresses the spread") {
+    val rows = graft.operators.CorpusPipeline.pipeTempSampling(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    // sqrt temperature: rare langs gain weight, dominant langs lose it
+    val minBase = rows.minBy(_._3); val maxBase = rows.maxBy(_._3)
+    assert(minBase._4 >= minBase._3 - 1e-12)
+    assert(maxBase._4 <= maxBase._3 + 1e-12)
+  }
+}
