@@ -230,6 +230,8 @@ object SparkEntry {
     "txt_langid_kappa" -> (TextAnalysis.txtLangidKappa _),
     "txt_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.txtBurstiness(s, d)),
     "pipe_temp_sampling" -> (CorpusPipeline.pipeTempSampling _),
+    "q121_kaplan_meier" -> (Analytics.q121KaplanMeier _),
+    "txt_vocab_growth" -> ((s: SparkSession, d: String) => TextAnalysis.txtVocabGrowth(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3057,5 +3059,59 @@ object SparkEntry {
         | n_docs / cast(n_total as double) AS base_share,
         | sq / sq_total AS temp_weight
         |FROM cum, tot ORDER BY lang""".stripMargin,
+    "q121_kaplan_meier" ->
+      """WITH pc AS (
+        | SELECT o_custkey, min(cast(o_orderdate as date)) first_day,
+        |  max(cast(o_orderdate as date)) last_day
+        | FROM orders GROUP BY 1
+        |), co AS (
+        | SELECT cast(max(cast(o_orderdate as date)) - INTERVAL 56 DAY as date) AS cutoff FROM orders
+        |), byt AS (
+        | SELECT date_diff('day', first_day, last_day) // 7 AS t,
+        |  cast(sum(CASE WHEN last_day <= cutoff THEN 1 ELSE 0 END) as bigint) d,
+        |  cast(sum(CASE WHEN last_day <= cutoff THEN 0 ELSE 1 END) as bigint) cns,
+        |  count(*) m
+        | FROM pc, co GROUP BY 1
+        |), risk AS (
+        | SELECT t, d, cns,
+        |  cast((SELECT sum(m) FROM byt)
+        |   - coalesce(sum(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   as bigint) n_at_risk
+        | FROM byt
+        |), steps AS (
+        | SELECT t AS t_weeks, n_at_risk, d, cns FROM risk WHERE d > 0
+        |), fs AS (
+        | SELECT list(struct_pack(t := t_weeks, f := (n_at_risk - d) / n_at_risk)
+        |   ORDER BY t_weeks) fl
+        | FROM steps
+        |)
+        |SELECT t_weeks, n_at_risk, d AS n_events, cns AS n_censored,
+        | list_reduce(
+        |   list_prepend(cast(1.0 as double),
+        |     list_transform(list_filter(fl, x -> x.t <= t_weeks), x -> x.f)),
+        |   (acc, x) -> acc * x) AS survival
+        |FROM steps, fs ORDER BY t_weeks""".stripMargin,
+    "txt_vocab_growth" ->
+      """WITH ids AS (SELECT min(doc_id) lo, max(doc_id) hi FROM documents),
+        |db AS (SELECT ((doc_id - lo) * 10) // (hi - lo + 1) b FROM documents, ids),
+        |dc AS (SELECT b, count(*) docs FROM db GROUP BY 1),
+        |t AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), fd AS (SELECT term, min(doc_id) fdoc FROM t GROUP BY 1),
+        |tb AS (SELECT ((fdoc - lo) * 10) // (hi - lo + 1) b FROM fd, ids),
+        |tc AS (SELECT b, count(*) new_terms FROM tb GROUP BY 1),
+        |j AS (
+        | SELECT coalesce(dc.b, tc.b) b, coalesce(docs, 0) docs,
+        |  coalesce(new_terms, 0) new_terms
+        | FROM dc FULL OUTER JOIN tc ON dc.b = tc.b
+        |)
+        |SELECT cast(b as bigint) AS bucket,
+        | cast(sum(docs) OVER w as bigint) AS docs_cum,
+        | cast(new_terms as bigint) AS new_terms,
+        | cast(sum(new_terms) OVER w as bigint) AS vocab_cum
+        |FROM j
+        |WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
   )
 }

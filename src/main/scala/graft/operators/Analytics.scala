@@ -2317,4 +2317,44 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Kaplan–Meier survival curve over customer lifetimes (weeks from
+    * first to last order; a lifetime is an observed "death" only when
+    * it ended ≥ 8 weeks before the corpus edge, else censored — the
+    * right-censoring every retention analysis needs). Risk sets and
+    * event counts are exact integers off one per-customer aggregate;
+    * the survival product multiplies (nᵢ−dᵢ)/nᵢ factors via an
+    * identical LEFT FOLD in event-time order on both engines (product
+    * is the one float reduction with no exact form — fixing the fold
+    * order makes it deterministic, the multiplicative twin of
+    * q119's ordered sum). Distinct event times are bounded by the
+    * CALENDAR in weeks, so the fold array and the tiny window stay
+    * O(hundreds) at any corpus size. */
+  def q121KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(min(to_date($"o_orderdate")).as("first_day"),
+        max(to_date($"o_orderdate")).as("last_day"))
+    val cutoff = Tables.orders(spark, dir)
+      .agg(date_sub(max(to_date($"o_orderdate")), 56).as("cutoff"))
+    val byT = perCust.crossJoin(broadcast(cutoff))
+      .select(expr("datediff(last_day, first_day) div 7").as("t"),
+        ($"last_day" <= $"cutoff").cast("int").as("event"))
+      .groupBy($"t")
+      .agg(sum($"event").as("d"), sum(lit(1) - $"event").as("cns"),
+        count(lit(1)).as("m"))
+    val total = byT.agg(sum($"m").as("n_total"))
+    val wPrior = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, -1)
+    val steps = byT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk", $"n_total" - coalesce(sum($"m").over(wPrior), lit(0L)))
+      .filter($"d" > 0)
+      .select($"t".as("t_weeks"), $"n_at_risk", $"d", $"cns")
+    val fs = steps.agg(sort_array(collect_list(
+      struct($"t_weeks".as("t"), (($"n_at_risk" - $"d") / $"n_at_risk").as("f")))).as("fs"))
+    steps.crossJoin(broadcast(fs))
+      .select($"t_weeks", $"n_at_risk", $"d".as("n_events"), $"cns".as("n_censored"),
+        expr("aggregate(filter(fs, x -> x.t <= t_weeks), cast(1.0 as double), (acc, x) -> acc * x.f)")
+          .as("survival"))
+      .orderBy($"t_weeks")
+  }
+
 }

@@ -605,4 +605,34 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Heaps-law vocabulary-growth curve: the corpus is cut into 10
+    * equi-width doc_id checkpoint buckets, and each checkpoint reports
+    * cumulative docs seen vs cumulative distinct vocabulary — a term
+    * counts at the bucket of its FIRST document (one min-aggregate,
+    * the same first-occurrence trick as [[txtNovelty]]). Sublinear
+    * growth is the expected heavy-tail signature; a near-linear curve
+    * flags synthetic or templated text. All integers; the cumsum
+    * window is 10 rows. */
+  def txtVocabGrowth(spark: SparkSession, dir: String, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val bktOf = CorpusPipeline.equiWidthBucket(ids, "doc_id", nBuckets)
+    val docCounts = ids.withColumn("b", bktOf)
+      .groupBy(col("b")).agg(count(lit(1)).as("docs"))
+    val termCounts = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("doc_id"))
+      .withColumn("b", bktOf)
+      .groupBy(col("b")).agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docCounts.join(termCounts, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("docs"), lit(0L)).as("docs"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .select(col("b").as("bucket"), sum(col("docs")).over(w).as("docs_cum"),
+        col("new_terms"), sum(col("new_terms")).over(w).as("vocab_cum"))
+      .orderBy(col("bucket"))
+  }
+
 }

@@ -157,6 +157,57 @@ class Round5WidenSpec extends SparkSpec {
     }
   }
 
+  test("q121_kaplan_meier: curve matches a driver-side KM with the same fold order") {
+    val pc = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("f"), max(to_date(col("o_orderdate"))).as("l"))
+      .collect().map(r => (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    val cutoff = pc.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+      .minusDays(56)
+    val durs = pc.map { case (f, l) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(f, l) / 7, !l.isAfter(cutoff)) }
+    val byT = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      (t, g.count(_._2).toLong, g.count(!_._2).toLong, g.size.toLong) }
+    var atRisk = durs.size.toLong
+    var surv = 1.0
+    val expected = byT.flatMap { case (t, d, cns, m) =>
+      val row = if (d > 0) {
+        surv *= (atRisk - d).toDouble / atRisk
+        Some((t, (atRisk, d, cns, surv)))
+      } else None
+      atRisk -= m
+      row
+    }.toMap
+    val got = graft.operators.Analytics.q121KaplanMeier(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == expected, "KM risk sets, events and bit-exact survival must match")
+    // survival is nonincreasing in t
+    val curve = got.toSeq.sortBy(_._1).map(_._2._4)
+    curve.sliding(2).foreach { case Seq(a, b) => assert(b <= a); case _ => }
+  }
+
+  test("txt_vocab_growth: checkpoint counts recompute; growth is monotone and complete") {
+    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val (lo, hi) = (ids.min, ids.max)
+    def bkt(id: Long): Long = ((id - lo) * 10) / (hi - lo + 1)
+    val perDoc = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(graft.functions.TextOps.tokens("text")).as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val firstB = perDoc.groupBy(_._2).view.mapValues(rs => bkt(rs.map(_._1).min)).toMap
+    val got = graft.operators.TextAnalysis.txtVocabGrowth(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (b, docsCum, newTerms, vocabCum) =>
+      assert(docsCum == ids.count(bkt(_) <= b))
+      assert(newTerms == firstB.values.count(_ == b))
+      assert(vocabCum == firstB.values.count(_ <= b))
+    }
+    assert(got.last._2 == ids.length && got.last._4 == firstB.size)
+    // heavy-tail corpus: later buckets must mint fewer new terms than the first
+    assert(got.last._3 < got.head._3)
+  }
+
   test("pipe_temp_sampling: weights normalize, and temperature compresses the spread") {
     val rows = graft.operators.CorpusPipeline.pipeTempSampling(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
