@@ -232,6 +232,7 @@ object SparkEntry {
     "pipe_temp_sampling" -> (CorpusPipeline.pipeTempSampling _),
     "q121_kaplan_meier" -> (Analytics.q121KaplanMeier _),
     "txt_vocab_growth" -> ((s: SparkSession, d: String) => TextAnalysis.txtVocabGrowth(s, d)),
+    "sim_pq_adc" -> ((s: SparkSession, d: String) => Similarity.simPqAdc(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3113,5 +3114,57 @@ object SparkEntry {
         |FROM j
         |WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY bucket""".stripMargin,
+    "sim_pq_adc" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, (i - 1) // 8 AS sub, i,
+        |  cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2, 3
+        |), centv AS (
+        | SELECT label clabel, sub, list(c ORDER BY i) cv FROM cent GROUP BY 1, 2
+        |), sv AS (
+        | SELECT vec_id, s.sub, embedding
+        | FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) sub) s
+        |), d AS (
+        | SELECT vec_id, sv.sub, clabel,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (cast(embedding[sv.sub * 8 + j] as double) - cv[j]) * (cast(embedding[sv.sub * 8 + j] as double) - cv[j]))) dist
+        | FROM sv JOIN centv ON sv.sub = centv.sub
+        |), best AS (
+        | SELECT vec_id, sub, clabel,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, clabel) rn FROM d
+        |), codes AS (
+        | SELECT vec_id, sub, clabel AS code FROM best WHERE rn = 1
+        |), centf AS (
+        | SELECT label, i,
+        |  list_reduce(list_prepend(cast(0 as double),
+        |    list(cast(embedding[i] as double) ORDER BY vec_id)),
+        |   (acc, x) -> acc + x) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY label, i
+        |), centvf AS (
+        | SELECT label clabel, (i - 1) // 8 AS sub, list(c ORDER BY i) cv
+        | FROM centf GROUP BY 1, 2
+        |), q AS (
+        | SELECT vec_id q_id, embedding q_emb FROM embeddings WHERE vec_id < 3
+        |), terms AS (
+        | SELECT q_id, c.vec_id, c.sub,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 9), j ->
+        |    (cast(q_emb[c.sub * 8 + j] as double) - cv[j])
+        |    * (cast(q_emb[c.sub * 8 + j] as double) - cv[j]))),
+        |   (acc, x) -> acc + x) term
+        | FROM codes c JOIN centvf ON c.sub = centvf.sub AND c.code = centvf.clabel
+        | CROSS JOIN q
+        |), adc AS (
+        | SELECT q_id, vec_id,
+        |  list_reduce(list_prepend(cast(0 as double), list(term ORDER BY sub)),
+        |   (acc, x) -> acc + x) adc_dist
+        | FROM terms GROUP BY q_id, vec_id
+        |), r AS (
+        | SELECT q_id, vec_id, adc_dist,
+        |  cast(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) as bigint) "rank"
+        | FROM adc WHERE vec_id <> q_id
+        |)
+        |SELECT q_id, "rank", vec_id, adc_dist
+        |FROM r WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
   )
 }

@@ -340,4 +340,56 @@ object Similarity {
       .orderBy(col("vec_id"), col("sub"))
   }
 
+  /** Asymmetric-distance (ADC) top-k over the PQ compression tier —
+    * the query path that makes [[simPqCodes]] useful: each candidate
+    * is scored from its 8 codebook ids alone (never its raw vector),
+    * adc(q, v) = Σ_sub ‖q_sub − c_{sub, code_v}‖². Queries are
+    * broadcast; the candidate side carries only (vec_id, sub, code) —
+    * at 100 TB that is the entire point of PQ, the corpus scan touches
+    * 8 small ints per vector. Both the 8-dim subspace distance and the
+    * 8-subspace total run as explicit LEFT FOLDS in index order, so
+    * the emitted doubles are bit-identical to the oracle (a bare
+    * float groupBy-sum would be partition-order-dependent). Top-k per
+    * query goes through the bounded-heap rewrite with a (dist, vec_id)
+    * total order. */
+  def simPqAdc(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // distance codebook: centroid means via an ORDER-PINNED double fold
+    // (vec_id order), NOT the decimal-cast mean simPqCodes uses for its
+    // argmin — Spark and DuckDB round float→decimal differently (shortest
+    // decimal rep vs exact binary value), which an argmin absorbs but an
+    // emitted distance cannot
+    val cent = e
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy(col("label"), col("p"))
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
+          | x -> cast(x.v as double)), cast(0 as double), (acc, y) -> acc + y)""".stripMargin)
+        .as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s") / col("n"))
+      .groupBy(col("label"), expr("p div 8").as("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cv"))
+      .select(col("label").cast("bigint").as("clabel"), col("sub").as("csub"), col("cv"))
+    val codes = simPqCodes(spark, dir)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val terms = codes
+      .join(broadcast(cent), codes("sub") === col("csub") && codes("code") === col("clabel"))
+      .crossJoin(broadcast(queries))
+      .withColumn("term", expr(
+        """aggregate(zip_with(slice(q_emb, cast(sub * 8 + 1 as int), 8), cv,
+          | (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+    val adc = terms.groupBy(col("q_id"), col("vec_id"))
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(sub, term))), x -> x.term),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin).as("adc_dist"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
 }

@@ -208,6 +208,41 @@ class Round5WidenSpec extends SparkSpec {
     assert(got.last._3 < got.head._3)
   }
 
+  test("sim_pq_adc: distances recompute from codes + fold-order centroids; ranks are a total order") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Float](2).toArray))
+    // centroid per (label, dim): double fold in vec_id order, like the engine
+    val cent = e.groupBy(_._2).view.mapValues { vs =>
+      val sorted = vs.sortBy(_._1)
+      Array.tabulate(64) { i =>
+        sorted.foldLeft(0.0)((acc, v) => acc + v._3(i).toDouble) / vs.size
+      }
+    }.toMap
+    val codes = graft.operators.Similarity.simPqCodes(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    val got = graft.operators.Similarity.simPqAdc(spark, sf0001).collect()
+    assert(got.length == 15)
+    got.foreach { r =>
+      val (qId, rank, vecId, adc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val qEmb = e.find(_._1 == qId).get._3
+      val expected = (0 until 8).foldLeft(0.0) { (acc, sub) =>
+        val cv = cent(codes((vecId, sub)))
+        acc + (0 until 8).foldLeft(0.0) { (a, j) =>
+          val d = qEmb(sub * 8 + j).toDouble - cv(sub * 8 + j)
+          a + d * d
+        }
+      }
+      assert(expected == adc, s"bit-exact ADC for q=$qId vec=$vecId")
+      assert(rank >= 1 && rank <= 5 && vecId != qId && adc >= 0.0)
+    }
+    // ranks increase with distance within each query
+    got.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      byRank.sliding(2).foreach { case Array(a, b) => assert(a <= b); case _ => }
+    }
+  }
+
   test("pipe_temp_sampling: weights normalize, and temperature compresses the spread") {
     val rows = graft.operators.CorpusPipeline.pipeTempSampling(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
