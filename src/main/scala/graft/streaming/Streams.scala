@@ -307,6 +307,44 @@ object Streams {
       }
   }
 
+  case class DailyCents(priority: String, day_epoch: Long, cents: Long)
+  case class EmaPoint(priority: String, day_epoch: Long, cents: Long, ema8_milli: Long)
+
+  /** Streaming EMA — the stream twin of the batch q100 operator: the
+    * 8-point α=1/4 EMA with exact rational weights 3ʲ·4⁷⁻ʲ/58975 and
+    * the same overflow-safe integer split division, emitted in milli-
+    * cents. State per priority is the last SEVEN cents values (O(1)),
+    * so the arithmetic is IDENTICAL to the batch lag-window form —
+    * row-for-row equal on the same ordered data (StreamingSpec), the
+    * property that lets a live dashboard and the nightly batch job
+    * agree to the last integer. Weights stay exact: no float ever
+    * enters. */
+  def emaStream(daily: Dataset[DailyCents]): Dataset[EmaPoint] = {
+    import daily.sparkSession.implicits._
+    val weights = (0 to 7).map(j =>
+      (BigInt(3).pow(j) * BigInt(4).pow(7 - j)).toLong)
+    daily
+      .groupByKey(_.priority)
+      .flatMapGroupsWithState[List[Long], EmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (p: String, batch: Iterator[DailyCents], state: GroupState[List[Long]]) =>
+          var hist = state.getOption.getOrElse(Nil) // most recent first, ≤ 7
+          val out = batch.toSeq.sortBy(_.day_epoch).flatMap { d =>
+            val window = d.cents :: hist
+            val res = if (window.size == 8) {
+              val wsum = window.zip(weights).map { case (c, w) => c * w }.sum
+              // split div: exact floor(wsum·1000/58975) without overflow
+              Some(EmaPoint(p, d.day_epoch, d.cents,
+                (wsum / 58975) * 1000 + ((wsum % 58975) * 1000) / 58975))
+            } else None
+            hist = window.take(7)
+            res
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
   case class TypedEvent(user_id: Long, event_type: String, ts_us: Long)
   case class DebounceState(last_us: Long)
 

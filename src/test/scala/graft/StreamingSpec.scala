@@ -276,4 +276,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       "streamed placements must be row-identical to the batch packing operator")
   }
+
+  test("streaming EMA: O(1) per-priority state matches the batch lag window to the last integer") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .select(col("priority"), expr("datediff(day, date'1970-01-01')").cast("long").as("day_epoch"),
+        col("cents"))
+    // split by day range into two files; older file = lower days, so the
+    // file source replays in day order across micro-batches — the
+    // arrival-order contract the twin documents (state carries across)
+    val mid = daily.agg(expr("percentile_approx(day_epoch, 0.5)")).head().getLong(0)
+    val dir = Files.createTempDirectory("ema_stream")
+    daily.filter(col("day_epoch") < mid).coalesce(1).write.parquet(dir.toString + "/a")
+    Thread.sleep(1100)
+    daily.filter(col("day_epoch") >= mid).coalesce(1).write.parquet(dir.toString + "/b")
+    val stream = spark.readStream.schema(daily.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .as[Streams.DailyCents]
+    runToMemory(Streams.emaStream(stream).toDF(), "ema_stream_t")
+    val streamed = spark.sql("select * from ema_stream_t").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.operators.Analytics.q100Ema(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch,
+      "streaming EMA must equal the batch 8-point rational EMA row for row")
+  }
 }
