@@ -233,6 +233,8 @@ object SparkEntry {
     "q121_kaplan_meier" -> (Analytics.q121KaplanMeier _),
     "txt_vocab_growth" -> ((s: SparkSession, d: String) => TextAnalysis.txtVocabGrowth(s, d)),
     "sim_pq_adc" -> ((s: SparkSession, d: String) => Similarity.simPqAdc(s, d)),
+    "q122_correlogram" -> (Analytics.q122Correlogram _),
+    "sim_pq_recall" -> ((s: SparkSession, d: String) => Similarity.simPqRecall(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3166,5 +3168,96 @@ object SparkEntry {
         |)
         |SELECT q_id, "rank", vec_id, adc_dist
         |FROM r WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+    "q122_correlogram" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), rn AS (
+        | SELECT o_orderpriority, cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY "day") rn
+        | FROM daily
+        |), l AS (SELECT unnest(range(1, 8)) lag),
+        |p AS (
+        | SELECT a.o_orderpriority, l.lag, a.cents x, b.cents y
+        | FROM rn a CROSS JOIN l
+        | JOIN rn b ON b.o_orderpriority = a.o_orderpriority AND b.rn = a.rn - l.lag
+        |)
+        |SELECT o_orderpriority, cast(lag as bigint) AS lag, count(*) AS n,
+        | cast(sum(cast(x as hugeint)) as decimal(38,0)) AS sum_x,
+        | cast(sum(cast(y as hugeint)) as decimal(38,0)) AS sum_y,
+        | cast(sum(cast(x as hugeint) * y) as decimal(38,0)) AS sum_xy,
+        | cast(sum(cast(x as hugeint) * x) as decimal(38,0)) AS sum_x2,
+        | cast(sum(cast(y as hugeint) * y) as decimal(38,0)) AS sum_y2
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sim_pq_recall" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, (i - 1) // 8 AS sub, i,
+        |  cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2, 3
+        |), centv AS (
+        | SELECT label clabel, sub, list(c ORDER BY i) cv FROM cent GROUP BY 1, 2
+        |), sv AS (
+        | SELECT vec_id, s.sub, embedding
+        | FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) sub) s
+        |), d AS (
+        | SELECT vec_id, sv.sub, clabel,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (cast(embedding[sv.sub * 8 + j] as double) - cv[j]) * (cast(embedding[sv.sub * 8 + j] as double) - cv[j]))) dist
+        | FROM sv JOIN centv ON sv.sub = centv.sub
+        |), best AS (
+        | SELECT vec_id, sub, clabel,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, clabel) rn FROM d
+        |), codes AS (
+        | SELECT vec_id, sub, clabel AS code FROM best WHERE rn = 1
+        |), centf AS (
+        | SELECT label, i,
+        |  list_reduce(list_prepend(cast(0 as double),
+        |    list(cast(embedding[i] as double) ORDER BY vec_id)),
+        |   (acc, x) -> acc + x) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY label, i
+        |), centvf AS (
+        | SELECT label clabel, (i - 1) // 8 AS sub, list(c ORDER BY i) cv
+        | FROM centf GROUP BY 1, 2
+        |), q AS (
+        | SELECT vec_id q_id, embedding q_emb FROM embeddings WHERE vec_id < 3
+        |), terms AS (
+        | SELECT q_id, c.vec_id, c.sub,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 9), j ->
+        |    (cast(q_emb[c.sub * 8 + j] as double) - cv[j])
+        |    * (cast(q_emb[c.sub * 8 + j] as double) - cv[j]))),
+        |   (acc, x) -> acc + x) term
+        | FROM codes c JOIN centvf ON c.sub = centvf.sub AND c.code = centvf.clabel
+        | CROSS JOIN q
+        |), adc AS (
+        | SELECT q_id, vec_id,
+        |  list_reduce(list_prepend(cast(0 as double), list(term ORDER BY sub)),
+        |   (acc, x) -> acc + x) adc_dist
+        | FROM terms GROUP BY q_id, vec_id
+        |), r AS (
+        | SELECT q_id, vec_id, adc_dist,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) rk
+        | FROM adc WHERE vec_id <> q_id
+        |), hits AS (
+        | SELECT q_id, vec_id FROM r WHERE rk <= 5
+        |), ex AS (
+        | SELECT q_id, e.vec_id,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 65), j ->
+        |    (cast(q_emb[j] as double) - cast(e.embedding[j] as double))
+        |    * (cast(q_emb[j] as double) - cast(e.embedding[j] as double)))),
+        |   (acc, x) -> acc + x) dist
+        | FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q_id
+        |), ext AS (
+        | SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) rk FROM ex
+        | ) WHERE rk <= 5
+        |)
+        |SELECT ext.q_id, count(*) AS n_exact,
+        | cast(sum(CASE WHEN hits.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_overlap,
+        | string_agg(cast(ext.vec_id as varchar), ',' ORDER BY ext.vec_id) AS exact_ids
+        |FROM ext LEFT JOIN hits ON ext.q_id = hits.q_id AND ext.vec_id = hits.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

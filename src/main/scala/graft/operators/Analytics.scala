@@ -2229,9 +2229,13 @@ object Analytics {
     val daily = Tables.orders(spark, dir)
       .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
       .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    // broadcast the (tiny, calendar-bounded) right side: an equi-join on
+    // priority alone has 5 keys and would serialize the ~n_days² pair
+    // expansion onto 5 tasks; the broadcast join expands map-side at
+    // full parallelism instead
     val later = daily.select($"o_orderpriority".as("p2"),
       $"day".as("day2"), $"cents".as("cents2"))
-    val s = daily.join(later, $"o_orderpriority" === $"p2" && $"day" < $"day2")
+    val s = daily.join(broadcast(later), $"o_orderpriority" === $"p2" && $"day" < $"day2")
       .groupBy($"o_orderpriority")
       .agg(sum(when($"cents2" > $"cents", 1L)
         .when($"cents2" < $"cents", -1L).otherwise(0L)).as("s_stat"))
@@ -2297,9 +2301,11 @@ object Analytics {
     val daily = Tables.orders(spark, dir)
       .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
       .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    // broadcast right side for the same 5-key-serialization reason as
+    // q118 — the pair expansion then runs map-side at full parallelism
     val later = daily.select($"o_orderpriority".as("p2"),
       $"day".as("day2"), $"cents".as("cents2"))
-    val byVal = daily.join(later, $"o_orderpriority" === $"p2" && $"day" < $"day2")
+    val byVal = daily.join(broadcast(later), $"o_orderpriority" === $"p2" && $"day" < $"day2")
       .select($"o_orderpriority", ($"cents" + $"cents2").as("wsum2"))
       .groupBy($"o_orderpriority", $"wsum2")
       .agg(count(lit(1)).as("w"))
@@ -2355,6 +2361,41 @@ object Analytics {
         expr("aggregate(filter(fs, x -> x.t <= t_weeks), cast(1.0 as double), (acc, x) -> acc * x.f)")
           .as("survival"))
       .orderBy($"t_weeks")
+  }
+
+  /** Correlogram sufficient statistics: per priority, the lag-1..7
+    * autocorrelation inputs of the daily-revenue series as EXACT
+    * integers (n, Σx, Σy, Σxy, Σx², Σy² per lag — consumers form
+    * rₖ; no division, no float). Lag pairing is a row_number
+    * self-join (b.rn = a.rn − k) rather than 7 stacked lag windows —
+    * one window pass plus one co-partitioned join covers all lags,
+    * and DECIMAL(38,0) keeps 100 TB daily-cents squares exact. The
+    * per-priority window is calendar-bounded (q111's contract). */
+  def q122Correlogram(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val rn = daily.withColumn("rn", row_number().over(w).cast("long"))
+    val prior = rn.select($"o_orderpriority".as("p2"), $"rn".as("rn2"),
+      $"cents".as("y"))
+    rn.select($"o_orderpriority", $"rn", $"cents",
+        explode(expr("sequence(1, 7)")).as("lag"))
+      .join(prior, $"o_orderpriority" === $"p2" && $"rn2" === $"rn" - $"lag")
+      .groupBy($"o_orderpriority", $"lag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(cents as decimal(38,0))")).as("sum_x"),
+        sum(expr("cast(y as decimal(38,0))")).as("sum_y"),
+        sum(expr("cast(cents as decimal(38,0)) * y")).as("sum_xy"),
+        sum(expr("cast(cents as decimal(38,0)) * cents")).as("sum_x2"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("sum_y2"))
+      .select($"o_orderpriority", $"lag".cast("bigint").as("lag"), $"n",
+        expr("cast(sum_x as decimal(38,0))").as("sum_x"),
+        expr("cast(sum_y as decimal(38,0))").as("sum_y"),
+        expr("cast(sum_xy as decimal(38,0))").as("sum_xy"),
+        expr("cast(sum_x2 as decimal(38,0))").as("sum_x2"),
+        expr("cast(sum_y2 as decimal(38,0))").as("sum_y2"))
+      .orderBy($"o_orderpriority", $"lag")
   }
 
 }

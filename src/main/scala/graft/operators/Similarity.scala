@@ -392,4 +392,37 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** PQ recall@k — the accuracy audit that decides whether the ADC
+    * tier is usable: exact L2 top-k per query (order-pinned 64-dim
+    * fold, broadcast queries, bounded-heap top-k) overlapped with
+    * [[simPqAdc]]'s code-only answer. Emits integer overlap counts
+    * plus the exact id list for eyeballing; the 8/64 quantization is
+    * lossy by design, and this is the query that quantifies the loss.
+    * Same scale shape as the ANN paths: the corpus is scanned once per
+    * side, pairs never materialize beyond queries × corpus. */
+  def simPqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(q_emb, embedding,
+          | (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    val exactTop = exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val adcTop = simPqAdc(spark, dir, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exactTop.join(adcTop, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        expr("array_join(transform(sort_array(collect_list(vec_id)), x -> cast(x as string)), ',')")
+          .as("exact_ids"))
+      .orderBy(col("q_id"))
+  }
+
 }

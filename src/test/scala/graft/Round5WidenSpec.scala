@@ -243,6 +243,56 @@ class Round5WidenSpec extends SparkSpec {
     }
   }
 
+  test("q122_correlogram: sufficient sums recompute per lag; pair counts shrink by one per lag") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val series = daily.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.toEpochDay).map(_._3)).toMap
+    val got = graft.operators.Analytics.q122Correlogram(spark, sf0001).collect()
+    assert(got.length == series.size * 7)
+    got.foreach { r =>
+      val (p, lag, n) = (r.getString(0), r.getLong(1).toInt, r.getLong(2))
+      val s = series(p)
+      val pairs = (lag until s.size).map(i => (s(i), s(i - lag)))
+      assert(n == s.size - lag)
+      assert(big(r, 3) == pairs.map(x => BigInt(x._1)).sum)
+      assert(big(r, 4) == pairs.map(x => BigInt(x._2)).sum)
+      assert(big(r, 5) == pairs.map(x => BigInt(x._1) * x._2).sum)
+      assert(big(r, 6) == pairs.map(x => BigInt(x._1) * x._1).sum)
+      assert(big(r, 7) == pairs.map(x => BigInt(x._2) * x._2).sum)
+    }
+  }
+
+  test("sim_pq_recall: overlap counts match a driver recompute of exact-vs-ADC top-5") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val adcTop = graft.operators.Similarity.simPqAdc(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val got = graft.operators.Similarity.simPqRecall(spark, sf0001).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val (qId, nExact, nOverlap, ids) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val qEmb = e.find(_._1 == qId).get._2
+      val exact = e.filter(_._1 != qId).map { case (vid, emb) =>
+        val d = qEmb.indices.foldLeft(0.0) { (acc, j) =>
+          val diff = qEmb(j).toDouble - emb(j).toDouble
+          acc + diff * diff
+        }
+        (d, vid)
+      }.sortBy(identity).take(5).map(_._2)
+      assert(nExact == 5)
+      assert(ids == exact.sorted.mkString(","))
+      assert(nOverlap == exact.toSet.intersect(adcTop(qId)).size.toLong)
+      // no recall floor asserted: quantifying the (possibly total)
+      // quantization loss is the operator's job, not a bug
+    }
+  }
+
   test("pipe_temp_sampling: weights normalize, and temperature compresses the spread") {
     val rows = graft.operators.CorpusPipeline.pipeTempSampling(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
