@@ -588,9 +588,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs_with"),
         sum(col("c")).as("sum_c"),
         sum(expr("cast(c as decimal(38,0)) * c")).as("sum_c2"))
-    // constant partition key: keeps the spec non-empty so the
-    // TopKPerGroupRewrite can plan the bounded-heap operator (partial
-    // pass caps every partition at k rows before the single-group final)
+    // Catalyst folds the constant partition key away and plans the
+    // global-top-k limit as TakeOrderedAndProject (per-partition
+    // bounded heap + merge), so only k rows ever reach the ranking
+    // window — verified in target/plans/txt_burstiness.txt
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).orderBy(col("sum_c").desc, col("term"))
     stats.withColumn("rank", row_number().over(w).cast("bigint"))
