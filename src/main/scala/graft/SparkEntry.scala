@@ -235,6 +235,7 @@ object SparkEntry {
     "sim_pq_adc" -> ((s: SparkSession, d: String) => Similarity.simPqAdc(s, d)),
     "q122_correlogram" -> (Analytics.q122Correlogram _),
     "sim_pq_recall" -> ((s: SparkSession, d: String) => Similarity.simPqRecall(s, d)),
+    "txt_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.txtCollocations(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3259,5 +3260,32 @@ object SparkEntry {
         | string_agg(cast(ext.vec_id as varchar), ',' ORDER BY ext.vec_id) AS exact_ids
         |FROM ext LEFT JOIN hits ON ext.q_id = hits.q_id AND ext.vec_id = hits.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_collocations" ->
+      """WITH t AS (
+        | SELECT list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |), uni AS (SELECT unnest(toks) term FROM t),
+        |uc AS (SELECT term, count(*) n_term FROM uni GROUP BY 1),
+        |bg AS (
+        | SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) bigram
+        | FROM t WHERE len(toks) >= 2
+        |), bc AS (SELECT bigram, count(*) n_xy FROM bg GROUP BY 1 HAVING count(*) >= 5),
+        |tot AS (
+        | SELECT (SELECT cast(sum(n_term) as bigint) FROM uc) n_tokens,
+        |  (SELECT count(*) FROM bg) n_bigrams
+        |), s AS (
+        | SELECT bigram, n_xy, ux.n_term n_x, uy.n_term n_y,
+        |  cast(cast(n_xy as hugeint) * n_tokens * n_tokens as decimal(38,0)) lift_num,
+        |  cast(cast(n_bigrams as hugeint) * ux.n_term * uy.n_term as decimal(38,0)) lift_den
+        | FROM bc
+        | JOIN uc ux ON ux.term = string_split(bigram, ' ')[1]
+        | JOIN uc uy ON uy.term = string_split(bigram, ' ')[2]
+        | CROSS JOIN tot
+        |), r AS (
+        | SELECT *, cast(lift_num as double) / cast(lift_den as double) lift FROM s
+        |), rk AS (
+        | SELECT *, cast(row_number() OVER (ORDER BY lift DESC, bigram) as bigint) "rank" FROM r
+        |)
+        |SELECT "rank", bigram, n_xy, n_x, n_y, lift_num, lift_den, lift
+        |FROM rk WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
   )
 }

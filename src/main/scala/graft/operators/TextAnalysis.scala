@@ -606,6 +606,49 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Collocation strength for the corpus-wide top-20 bigrams — the
+    * log-free PMI: lift(x,y) = P(xy)/(P(x)P(y)) as an EXACT rational
+    * n_xy·N² / (B·n_x·n_y) (N tokens, B bigrams), emitted as integer
+    * (num, den) plus the single-division double used for ranking
+    * (identical IEEE division both engines). Bigrams come from the
+    * native WordNgrams kernel; the two unigram joins are keyed on the
+    * word, and the top-20 plans as TakeOrderedAndProject like
+    * [[txtBurstiness]]. Min support 5 keeps noise bigrams out. */
+  def txtCollocations(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = TextOps.balanced(Tables.documents(spark, dir))
+    val uni = docs.select(explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_term"))
+    val bi = docs
+      .select(explode(
+        org.apache.spark.sql.graft.TextExpressions.wordNgrams(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    val totals = uni.agg(sum(col("n_term")).as("n_tokens"))
+      .crossJoin(docs.select(explode(
+          org.apache.spark.sql.graft.TextExpressions.wordNgrams(col("text"), 2)).as("b"))
+        .agg(count(lit(1)).as("n_bigrams")))
+    val scored = bi
+      .withColumn("x", expr("split(bigram, ' ')[0]"))
+      .withColumn("y", expr("split(bigram, ' ')[1]"))
+      .join(uni.select(col("term").as("x"), col("n_term").as("n_x")), "x")
+      .join(uni.select(col("term").as("y"), col("n_term").as("n_y")), "y")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n_xy"), col("n_x"), col("n_y"),
+        expr("cast(cast(n_xy as decimal(38,0)) * n_tokens * n_tokens as decimal(38,0))")
+          .as("lift_num"),
+        expr("cast(cast(n_bigrams as decimal(38,0)) * n_x * n_y as decimal(38,0))")
+          .as("lift_den"))
+      .withColumn("lift",
+        col("lift_num").cast("double") / col("lift_den").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("lift").desc, col("bigram"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("bigram"), col("n_xy"), col("n_x"), col("n_y"),
+        col("lift_num"), col("lift_den"), col("lift"))
+      .orderBy(col("rank"))
+  }
+
   /** Heaps-law vocabulary-growth curve: the corpus is cut into 10
     * equi-width doc_id checkpoint buckets, and each checkpoint reports
     * cumulative docs seen vs cumulative distinct vocabulary — a term

@@ -293,6 +293,38 @@ class Round5WidenSpec extends SparkSpec {
     }
   }
 
+  test("txt_collocations: lift rationals recompute from raw counts; ranking is by exact lift") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(graft.functions.TextOps.tokens("text").as("toks"))
+      .collect().map(_.getSeq[String](0).toArray)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bigrams = toks.flatMap(ts => ts.indices.dropRight(1).map(i => s"${ts(i)} ${ts(i + 1)}"))
+    val bc = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTokens = uni.values.sum
+    val nBigrams = bigrams.length.toLong
+    val got = graft.operators.TextAnalysis.txtCollocations(spark, sf0001).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val (bigram, nXy, nX, nY) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val Array(x, y) = bigram.split(' ')
+      assert(nXy == bc(bigram) && nXy >= 5)
+      assert(nX == uni(x) && nY == uni(y))
+      assert(big(r, 5) == BigInt(nXy) * nTokens * nTokens)
+      assert(big(r, 6) == BigInt(nBigrams) * nX * nY)
+      assert(r.getDouble(7) ==
+        big(r, 5).toDouble / big(r, 6).toDouble)
+    }
+    // ranking: engine top-20 equals the driver's exact-lift top-20
+    val expectedTop = bc.filter(_._2 >= 5).toSeq.map { case (bg, n) =>
+      val Array(x, y) = bg.split(' ')
+      val lift = (BigInt(n) * nTokens * nTokens).toDouble /
+        (BigInt(nBigrams) * uni(x) * uni(y)).toDouble
+      (bg, lift)
+    }.sortBy { case (bg, lift) => (-lift, bg) }.take(20).map(_._1)
+    assert(got.map(_.getString(1)).toSeq == expectedTop)
+  }
+
   test("pipe_temp_sampling: weights normalize, and temperature compresses the spread") {
     val rows = graft.operators.CorpusPipeline.pipeTempSampling(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
