@@ -236,6 +236,9 @@ object SparkEntry {
     "q122_correlogram" -> (Analytics.q122Correlogram _),
     "sim_pq_recall" -> ((s: SparkSession, d: String) => Similarity.simPqRecall(s, d)),
     "txt_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.txtCollocations(s, d)),
+    "txt_vocab_overlap" -> (TextAnalysis.txtVocabOverlap _),
+    "txt_chao1" -> (TextAnalysis.txtChao1 _),
+    "txt_good_turing" -> ((s: SparkSession, d: String) => TextAnalysis.txtGoodTuring(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3287,5 +3290,55 @@ object SparkEntry {
         |)
         |SELECT "rank", bigram, n_xy, n_x, n_y, lift_num, lift_den, lift
         |FROM rk WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+
+    "txt_vocab_overlap" ->
+      """WITH t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), v AS (SELECT DISTINCT lang, term FROM t),
+        |s AS (SELECT lang, count(*) n FROM v GROUP BY 1),
+        |i AS (
+        | SELECT a.lang la, b.lang lb, count(*) n_inter
+        | FROM v a JOIN v b ON a.term = b.term AND a.lang < b.lang GROUP BY 1, 2
+        |)
+        |SELECT sa.lang AS lang_a, sb.lang AS lang_b, sa.n AS n_a, sb.n AS n_b,
+        | coalesce(i.n_inter, 0) AS n_inter,
+        | sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union,
+        | cast(coalesce(i.n_inter, 0) as double)
+        |   / (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+        |FROM s sa JOIN s sb ON sa.lang < sb.lang
+        |LEFT JOIN i ON i.la = sa.lang AND i.lb = sb.lang
+        |ORDER BY lang_a, lang_b""".stripMargin,
+
+    "txt_chao1" ->
+      """WITH t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), tc AS (SELECT lang, term, count(*) c FROM t GROUP BY 1, 2),
+        |s AS (
+        | SELECT lang, count(*) n_types, cast(sum(c) as bigint) n_tokens,
+        |  cast(count(*) FILTER (WHERE c = 1) as bigint) f1,
+        |  cast(count(*) FILTER (WHERE c = 2) as bigint) f2
+        | FROM tc GROUP BY 1
+        |)
+        |SELECT lang, n_types, n_tokens, f1, f2,
+        | cast(cast(f1 as hugeint) * (f1 - 1) as decimal(38,0)) AS chao_num,
+        | 2 * (f2 + 1) AS chao_den,
+        | n_types + cast(cast(f1 as hugeint) * (f1 - 1) as double) / (2 * (f2 + 1)) AS chao1
+        |FROM s ORDER BY lang""".stripMargin,
+
+    "txt_good_turing" ->
+      """WITH tk AS (
+        | SELECT list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |), t AS (
+        | SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) term
+        | FROM tk WHERE len(toks) >= 2
+        |), tc AS (SELECT term, count(*) r FROM t GROUP BY 1),
+        |ff AS (SELECT r, count(*) n_r FROM tc WHERE r <= 11 GROUP BY 1)
+        |SELECT a.r, a.n_r, (a.r + 1) * coalesce(b.n_r, 0) AS gt_num,
+        | a.n_r AS gt_den,
+        | cast((a.r + 1) * coalesce(b.n_r, 0) as double) / a.n_r AS r_star
+        |FROM ff a LEFT JOIN ff b ON a.r + 1 = b.r
+        |WHERE a.r <= 10 ORDER BY a.r""".stripMargin,
   )
 }

@@ -546,6 +546,88 @@ object TextAnalysis {
           .as("simpson_den"))
       .orderBy(col("lang"))
 
+  /** Pairwise vocabulary-overlap Jaccard between languages: shared
+    * distinct types / union of types for every lang pair — the
+    * corpus-contamination / borrowing audit (a high overlap between
+    * two "languages" usually means mislabeled or code-mixed shards).
+    * One distinct on (lang, term), then a term-keyed self-join whose
+    * fan-out is bounded by |langs|² PER TERM — the join never
+    * expands with corpus size, only with vocabulary. The |langs|²
+    * pair grid is broadcast; integer counts, one final division. */
+  def txtVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .distinct()
+    val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val inter = vocab.as("va").join(vocab.as("vb"),
+        col("va.term") === col("vb.term") && col("va.lang") < col("vb.lang"))
+      .groupBy(col("va.lang").as("la"), col("vb.lang").as("lb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val grid = sizes.as("sa").join(sizes.as("sb"), col("sa.lang") < col("sb.lang"))
+      .select(col("sa.lang").as("lang_a"), col("sb.lang").as("lang_b"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+    grid.join(broadcast(inter),
+        col("lang_a") === col("la") && col("lang_b") === col("lb"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  /** Chao1 species-richness estimate of the per-language vocabulary:
+    * Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1)) (bias-corrected form — defined
+    * even when no doubletons exist). f₁/f₂ are the singleton/doubleton
+    * type counts; the estimate answers "how much vocabulary has this
+    * corpus NOT seen yet", the sampling-completeness audit for a
+    * tokenizer-training corpus. Emitted as exact integer parts
+    * (DECIMAL(38,0) numerator — f₁² at web scale passes 2⁶³) plus one
+    * edge division. */
+  def txtChao1(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_types"), col("n_tokens"), col("f1"), col("f2"),
+        expr("cast(cast(f1 as decimal(38,0)) * (f1 - 1) as decimal(38,0))")
+          .as("chao_num"),
+        (lit(2L) * (col("f2") + lit(1L))).as("chao_den"))
+      .withColumn("chao1",
+        col("n_types") + col("chao_num").cast("double") / col("chao_den"))
+      .orderBy(col("lang"))
+
+  /** Good–Turing adjusted counts from the BIGRAM frequency-of-
+    * frequencies table: r* = (r+1)·N_{r+1}/N_r for r ≤ 10 — the
+    * classical Katz-backoff smoothing statistic (the mass assigned to
+    * unseen events is N₁/N). Bigrams, not unigrams: the low frequency
+    * classes Good–Turing exists to smooth are populated by the sparse
+    * event space (a unigram table over a bounded vocabulary has no
+    * singletons once the corpus is large). The heavy work is one
+    * (bigram)-keyed count and one tiny groupBy on r; the N_{r+1}
+    * lookup is a broadcast self-join on r+1 over ≤11 rows, so a
+    * missing frequency class yields r* = 0 rather than a lead() over
+    * a gap. Exact integer (num, den) parts; one edge division. */
+  def txtGoodTuring(spark: SparkSession, dir: String, maxR: Int = 10): DataFrame = {
+    val ff = TextOps.balanced(Tables.documents(spark, dir))
+      .select(explode(TextOps.ngramArray("text", 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("r"))
+      .filter(col("r") <= maxR + 1)
+      .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    ff.as("a").join(broadcast(ff.as("b")), col("a.r") + 1 === col("b.r"), "left")
+      .filter(col("a.r") <= maxR)
+      .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+        ((col("a.r") + 1) * coalesce(col("b.n_r"), lit(0L))).as("gt_num"),
+        col("a.n_r").as("gt_den"))
+      .withColumn("r_star", col("gt_num").cast("double") / col("gt_den"))
+      .orderBy(col("r"))
+  }
+
   /** Cohen's kappa for the stopword language-ID against the labels —
     * the chance-corrected agreement score computed straight off
     * [[txtLangidConfusion]]'s matrix as ONE exact rational:

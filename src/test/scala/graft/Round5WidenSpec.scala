@@ -335,4 +335,65 @@ class Round5WidenSpec extends SparkSpec {
     assert(minBase._4 >= minBase._3 - 1e-12)
     assert(maxBase._4 <= maxBase._3 + 1e-12)
   }
+
+  private def langTerms: Array[(String, String)] =
+    Tables.documents(spark, sf0001)
+      .select(col("lang"), explode(graft.functions.TextOps.tokens("text")).as("term"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+
+  test("txt_vocab_overlap: pair counts match a driver set recompute; jaccard consistent") {
+    val vocab = langTerms.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val langs = vocab.keys.toSeq.sorted
+    val expected = (for {
+      i <- langs.indices; j <- (i + 1) until langs.size
+      (a, b) = (langs(i), langs(j))
+      inter = (vocab(a) intersect vocab(b)).size.toLong
+    } yield (a, b) -> ((vocab(a).size.toLong, vocab(b).size.toLong, inter,
+      vocab(a).size + vocab(b).size - inter))).toMap
+    val got = graft.operators.TextAnalysis.txtVocabOverlap(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (na, nb, ni, nu) = expected((r.getString(0), r.getString(1)))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((na, nb, ni, nu)))
+      assert(r.getDouble(6) == ni.toDouble / nu)
+    }
+  }
+
+  test("txt_chao1: singleton/doubleton parts and estimate recompute exactly") {
+    val expected = langTerms.groupBy(_._1).map { case (lang, rs) =>
+      val counts = rs.groupBy(_._2).values.map(_.size.toLong).toSeq
+      val f1 = counts.count(_ == 1L).toLong; val f2 = counts.count(_ == 2L).toLong
+      lang -> ((counts.size.toLong, counts.sum, f1, f2))
+    }
+    val got = graft.operators.TextAnalysis.txtChao1(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nt, ntok, f1, f2) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((nt, ntok, f1, f2)))
+      assert(big(r, 5) == BigInt(f1) * (f1 - 1))
+      assert(r.getLong(6) == 2 * (f2 + 1))
+      assert(r.getDouble(7) ==
+        nt + (BigInt(f1) * (f1 - 1)).toDouble / (2 * (f2 + 1)))
+    }
+  }
+
+  test("txt_good_turing: frequency-of-frequencies and adjusted counts recompute; gaps yield 0") {
+    val bigrams = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextOps.ngramArray("text", 2)).as("bg"))
+      .collect().map(_.getString(0))
+    val ff = bigrams.groupBy(identity).values.map(_.size.toLong).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.TextAnalysis.txtGoodTuring(spark, sf0001).collect()
+    assert(got.nonEmpty, "vacuous gate: no low-frequency bigram classes at sf0.001")
+    assert(got.map(_.getLong(0)).toSeq == ff.keys.filter(_ <= 10).toSeq.sorted)
+    got.foreach { r =>
+      val rr = r.getLong(0)
+      assert(r.getLong(1) == ff(rr))
+      assert(r.getLong(2) == (rr + 1) * ff.getOrElse(rr + 1, 0L))
+      assert(r.getLong(3) == ff(rr))
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(3))
+    }
+  }
 }
