@@ -239,6 +239,9 @@ object SparkEntry {
     "txt_vocab_overlap" -> (TextAnalysis.txtVocabOverlap _),
     "txt_chao1" -> (TextAnalysis.txtChao1 _),
     "txt_good_turing" -> ((s: SparkSession, d: String) => TextAnalysis.txtGoodTuring(s, d)),
+    "q123_assortativity" -> (Analytics.q123Assortativity _),
+    "q124_degree_hist" -> (Analytics.q124DegreeHist _),
+    "q126_bfs_hops" -> ((s: SparkSession, d: String) => Analytics.q126BfsHops(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3340,5 +3343,73 @@ object SparkEntry {
         | cast((a.r + 1) * coalesce(b.n_r, 0) as double) / a.n_r AS r_star
         |FROM ff a LEFT JOIN ff b ON a.r + 1 = b.r
         |WHERE a.r <= 10 ORDER BY a.r""".stripMargin,
+
+    "q123_assortativity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |),
+        |edges AS (SELECT a AS src, b2 AS dst FROM pairs
+        |          UNION ALL SELECT b2, a FROM pairs),
+        |deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY 1),
+        |s AS (
+        | SELECT cast(count(*) as bigint) m_edges,
+        |  sum(cast(dx.d as hugeint)) sx,
+        |  sum(cast(dx.d as hugeint) * dy.d) sxy,
+        |  sum(cast(dx.d as hugeint) * dx.d) sx2
+        | FROM edges e JOIN deg dx ON e.src = dx.n JOIN deg dy ON e.dst = dy.n
+        |)
+        |SELECT m_edges,
+        | cast(sx as decimal(38,0)) AS sum_x,
+        | cast(sxy as decimal(38,0)) AS sum_xy,
+        | cast(sx2 as decimal(38,0)) AS sum_x2,
+        | cast(m_edges * sxy - sx * sx as decimal(38,0)) AS assort_num,
+        | cast(m_edges * sx2 - sx * sx as decimal(38,0)) AS assort_den,
+        | cast(m_edges * sxy - sx * sx as double)
+        |   / cast(m_edges * sx2 - sx * sx as double) AS assortativity
+        |FROM s""".stripMargin,
+
+    "q124_degree_hist" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |),
+        |deg AS (
+        | SELECT n, count(*) AS deg FROM (
+        |  SELECT a AS n FROM pairs UNION ALL SELECT b2 FROM pairs) GROUP BY 1
+        |)
+        |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""".stripMargin,
+
+    "q126_bfs_hops" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |),
+        |edges AS (SELECT a AS src, b2 AS dst FROM pairs
+        |          UNION ALL SELECT b2, a FROM pairs),
+        |deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY 1),
+        |hub AS (SELECT n FROM deg ORDER BY d DESC, n LIMIT 1),
+        |f1 AS (SELECT DISTINCT dst AS n FROM edges JOIN hub ON edges.src = hub.n
+        |       WHERE dst NOT IN (SELECT n FROM hub)),
+        |v1 AS (SELECT n FROM hub UNION ALL SELECT n FROM f1),
+        |f2 AS (SELECT DISTINCT dst AS n FROM edges JOIN f1 ON edges.src = f1.n
+        |       WHERE dst NOT IN (SELECT n FROM v1)),
+        |v2 AS (SELECT n FROM v1 UNION ALL SELECT n FROM f2),
+        |f3 AS (SELECT DISTINCT dst AS n FROM edges JOIN f2 ON edges.src = f2.n
+        |       WHERE dst NOT IN (SELECT n FROM v2))
+        |SELECT cast(0 as bigint) AS hops, count(*) AS n_nodes FROM hub
+        |UNION ALL SELECT 1, count(*) FROM f1
+        |UNION ALL SELECT 2, count(*) FROM f2
+        |UNION ALL SELECT 3, count(*) FROM f3
+        |ORDER BY hops""".stripMargin,
   )
 }

@@ -2426,4 +2426,81 @@ object Analytics {
       .orderBy($"o_orderpriority", $"lag")
   }
 
+  /** Degree assortativity of the co-purchase graph — do hubs connect
+    * to hubs? Pearson correlation of endpoint degrees over DIRECTED
+    * edges (both orientations, the standard Newman formulation). On a
+    * symmetric edge set Σx = Σy and Σx² = Σy², so
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — a single exact-integer
+    * rational, NO sqrt: the usual two-sided denominator collapses
+    * because its factors are equal. Each directed edge joins the
+    * broadcast degree table twice on a node key; sums are
+    * DECIMAL(38,0) (degree products at web scale pass 2⁶³). Emitted
+    * as (num, den) parts + the one edge division. */
+  def q123Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchaseEdges(spark, dir)
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val dd = edges
+      .join(broadcast(deg.select($"src", $"deg".as("dx"))), "src")
+      .join(broadcast(deg.select($"src".as("dst"), $"deg".as("dy"))), "dst")
+    dd.agg(count(lit(1)).as("m_edges"),
+        sum(expr("cast(dx as decimal(38,0))")).as("sum_x"),
+        sum(expr("cast(dx as decimal(38,0)) * dy")).as("sum_xy"),
+        sum(expr("cast(dx as decimal(38,0)) * dx")).as("sum_x2"))
+      .select($"m_edges",
+        expr("cast(sum_x as decimal(38,0))").as("sum_x"),
+        expr("cast(sum_xy as decimal(38,0))").as("sum_xy"),
+        expr("cast(sum_x2 as decimal(38,0))").as("sum_x2"),
+        expr("cast(m_edges * sum_xy - sum_x * sum_x as decimal(38,0))")
+          .as("assort_num"),
+        expr("cast(m_edges * sum_x2 - sum_x * sum_x as decimal(38,0))")
+          .as("assort_den"))
+      .withColumn("assortativity",
+        $"assort_num".cast("double") / $"assort_den".cast("double"))
+  }
+
+  /** Degree distribution of the co-purchase graph: nodes per degree —
+    * the heavy-tail audit read before sizing any hub cap (q58's
+    * maxDegree dial) or skew salt. Two tiny node-keyed aggregates;
+    * output is bounded by the max degree, not the corpus. */
+  def q124DegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchaseEdges(spark, dir)
+    val edges = pairs.select($"a".as("src")).unionAll(pairs.select($"b".as("src")))
+    edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"deg")
+  }
+
+  /** Bounded BFS: reachable-node counts at 1..3 hops from the
+    * max-degree hub (deterministic tie-break: smallest part id). Three
+    * unrolled frontier-expansion joins — the same
+    * join-per-iteration shape as [[q57Pagerank]], each co-partitioned
+    * on the node key; visited-set subtraction is a left-anti join per
+    * hop (frontiers stay small; at 100 TB pre-partitioning edges by
+    * src makes every hop reuse one exchange). Hop counts are exact
+    * integers. */
+  def q126BfsHops(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
+    val pairs = copurchaseEdges(spark, dir)
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val hub = deg.orderBy($"deg".desc, $"src").limit(1)
+      .select($"src".as("node"))
+    var visited = hub
+    var frontier = hub
+    val counts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    counts += hub.agg(lit(0L).as("hops"), count(lit(1)).as("n_nodes"))
+    for (h <- 1 to hops) {
+      frontier = edges.join(frontier, $"src" === $"node")
+        .select($"dst".as("node")).distinct()
+        .join(visited.select($"node".as("v")), $"node" === $"v", "left_anti")
+      visited = visited.unionAll(frontier)
+      counts += frontier.agg(lit(h.toLong).as("hops"), count(lit(1)).as("n_nodes"))
+    }
+    materializeAndRelease(spark,
+      counts.reduce(_ unionAll _).orderBy($"hops"), edges)
+  }
+
 }

@@ -396,4 +396,67 @@ class Round5WidenSpec extends SparkSpec {
       assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(3))
     }
   }
+
+  /** Driver recompute of the co-purchase graph (minSupport=2), as
+    * UNDIRECTED unordered pairs. */
+  private def driverEdges: Seq[(Long, Long)] = {
+    val baskets = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).toSet)
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.foreach { parts =>
+      val s = parts.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size)
+        support((s(i), s(j))) = support.getOrElse((s(i), s(j)), 0) + 1
+    }
+    support.filter(_._2 >= 2).keys.toSeq
+  }
+
+  test("q123_assortativity: sufficient sums match a driver recompute; identity holds") {
+    val und = driverEdges
+    val directed = und ++ und.map(_.swap)
+    val deg = directed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = directed.size.toLong
+    val sx = directed.map(e => BigInt(deg(e._1))).sum
+    val sxy = directed.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+    val sx2 = directed.map(e => BigInt(deg(e._1)) * deg(e._1)).sum
+    val r = graft.operators.Analytics.q123Assortativity(spark, sf0001).collect().head
+    assert(r.getLong(0) == m && big(r, 1) == sx && big(r, 2) == sxy && big(r, 3) == sx2)
+    assert(big(r, 4) == m * sxy - sx * sx)
+    assert(big(r, 5) == m * sx2 - sx * sx)
+    assert(r.getDouble(6) ==
+      (m * sxy - sx * sx).toDouble / (m * sx2 - sx * sx).toDouble)
+    // sanity: a correlation stays in [-1, 1]
+    assert(r.getDouble(6) >= -1.0 && r.getDouble(6) <= 1.0)
+  }
+
+  test("q124_degree_hist: histogram matches driver degrees and covers every node") {
+    val und = driverEdges
+    val deg = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.size.toLong)
+    val expected = deg.values.toSeq.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = graft.operators.Analytics.q124DegreeHist(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.sum == deg.size)
+  }
+
+  test("q126_bfs_hops: hop counts match a driver BFS from the max-degree hub") {
+    val und = driverEdges
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val hub = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, d) => (-d, n) }.head._1
+    var visited = Set(hub); var frontier = Set(hub)
+    val expected = scala.collection.mutable.ArrayBuffer(0L -> 1L)
+    for (h <- 1 to 3) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- visited
+      visited ++= frontier
+      expected += h.toLong -> frontier.size.toLong
+    }
+    val got = graft.operators.Analytics.q126BfsHops(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == expected.toSeq)
+  }
 }
