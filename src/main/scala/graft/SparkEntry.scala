@@ -242,6 +242,10 @@ object SparkEntry {
     "q123_assortativity" -> (Analytics.q123Assortativity _),
     "q124_degree_hist" -> (Analytics.q124DegreeHist _),
     "q126_bfs_hops" -> ((s: SparkSession, d: String) => Analytics.q126BfsHops(s, d)),
+    "q125_lorenz" -> (Analytics.q125Lorenz _),
+    "q127_markov_accuracy" -> (Analytics.q127MarkovAccuracy _),
+    "q128_atkinson" -> (Analytics.q128Atkinson _),
+    "pipe_weighted_sample" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeWeightedSample(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3411,5 +3415,93 @@ object SparkEntry {
         |UNION ALL SELECT 2, count(*) FROM f2
         |UNION ALL SELECT 3, count(*) FROM f3
         |ORDER BY hops""".stripMargin,
+
+    "q125_lorenz" ->
+      """WITH spend AS (
+        | SELECT o_custkey,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as double) AS cd
+        | FROM orders GROUP BY 1
+        |), b AS (
+        | SELECT quantile_cont(cd, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b FROM spend
+        |), bucketed AS (
+        | SELECT s.*, cast(1 + list_sum(list_transform(b.b, v -> CASE WHEN cd > v THEN 1 ELSE 0 END)) as bigint) AS decile
+        | FROM spend s CROSS JOIN b
+        |), d AS (
+        | SELECT decile, count(*) AS n_customers,
+        |  cast(sum(cast(cents as hugeint)) as decimal(38,0)) AS dcents
+        | FROM bucketed GROUP BY 1
+        |), t AS (SELECT cast(sum(dcents) as decimal(38,0)) AS tcents FROM d),
+        |c AS (
+        | SELECT decile, n_customers, dcents,
+        |  cast(sum(dcents) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as decimal(38,0)) AS cum_cents
+        | FROM d
+        |)
+        |SELECT decile, n_customers, dcents AS decile_cents, cum_cents,
+        | cast(cum_cents as double) / cast(tcents as double) AS cum_share
+        |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
+
+    "q127_markov_accuracy" ->
+      """WITH p AS (
+        | SELECT event_type AS from_state,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        | FROM events
+        |), pp AS (SELECT * FROM p WHERE to_state IS NOT NULL),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM pp GROUP BY 1, 2),
+        |pr AS (
+        | SELECT from_state, to_state AS predicted
+        | FROM (SELECT *, row_number() OVER (PARTITION BY from_state ORDER BY n DESC, to_state) rn FROM c)
+        | WHERE rn = 1
+        |)
+        |SELECT pp.from_state, predicted,
+        | count(*) AS n_transitions,
+        | cast(sum(CASE WHEN pp.to_state = predicted THEN 1 ELSE 0 END) as bigint) AS n_correct,
+        | sum(CASE WHEN pp.to_state = predicted THEN 1 ELSE 0 END) / count(*) AS accuracy
+        |FROM pp JOIN pr ON pp.from_state = pr.from_state
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q128_atkinson" ->
+      """WITH spend AS (
+        | SELECT o_custkey,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1
+        |), j AS (
+        | SELECT n_name, cents FROM spend
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |), s AS (
+        | SELECT n_name, cast(count(*) as bigint) AS n,
+        |  sum(cast(cents as hugeint)) AS sc,
+        |  sum(1000000000000 // cents) AS s1h
+        | FROM j GROUP BY 1
+        |)
+        |SELECT n_name, n,
+        | cast(sc as decimal(38,0)) AS sum_cents,
+        | cast(s1h as decimal(38,0)) AS s1,
+        | cast(cast(n as hugeint) * n * 1000000000000 as decimal(38,0)) AS atk_num,
+        | cast(s1h * sc as decimal(38,0)) AS atk_den,
+        | 1.0 - cast(cast(n as hugeint) * n * 1000000000000 as double)
+        |   / cast(s1h * sc as double) AS atkinson2
+        |FROM s ORDER BY n_name""".stripMargin,
+
+    "pipe_weighted_sample" ->
+      """WITH u AS (
+        | SELECT source, doc_id, n_chars,
+        |  list_sum(list_transform(range(1, 11), i ->
+        |   cast((strpos('0123456789abcdef',
+        |     substring(md5(cast(doc_id as varchar)), i, 1)) - 1) as bigint)
+        |   * (cast(1 as bigint) << ((10 - i) * 4)))) AS uval
+        | FROM documents
+        |), p AS (
+        | SELECT source, doc_id, n_chars,
+        |  cast(uval // greatest(n_chars, 1) as bigint) AS priority
+        | FROM u
+        |), r AS (
+        | SELECT *, cast(row_number() OVER (
+        |   PARTITION BY source ORDER BY priority, doc_id) as bigint) AS "rank"
+        | FROM p
+        |)
+        |SELECT source, "rank", doc_id, n_chars, priority
+        |FROM r WHERE "rank" <= 10 ORDER BY source, "rank"""".stripMargin,
   )
 }

@@ -2426,6 +2426,100 @@ object Analytics {
       .orderBy($"o_orderpriority", $"lag")
   }
 
+  /** Lorenz curve at decile resolution: cumulative revenue share of
+    * customers ordered poorest→richest — the curve behind [[q66Gini]]'s
+    * coefficient (and the concentration picture a mixing policy reads
+    * before capping a dominant source). Same broadcast-percentile
+    * bucketing as [[q99DecileLift]] — NO global ntile, the cumsum runs
+    * over 10 decile rows. Integer-cent decimal sums; the only division
+    * is the final share. */
+  def q125Lorenz(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+        .as("cents"))
+      .withColumn("cd", $"cents".cast("double"))
+    val bounds = spend.agg(expr(
+      "percentile(cd, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))").as("b"))
+    val bucketed = spend.crossJoin(broadcast(bounds))
+      // decile 1 = the LOWEST spenders: 1 + #boundaries strictly below
+      .withColumn("decile", expr(
+        "cast(1 + aggregate(b, 0, (acc, v) -> acc + if(cd > v, 1, 0)) as bigint)"))
+    val deciles = bucketed.groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("cast(cents as decimal(38,0))")).as("dcents"))
+    val tot = deciles.agg(sum($"dcents").as("tcents"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.crossJoin(broadcast(tot))
+      .withColumn("cum_cents", sum($"dcents").over(w)) // 10-row window
+      .select($"decile", $"n_customers",
+        expr("cast(dcents as decimal(38,0))").as("decile_cents"),
+        expr("cast(cum_cents as decimal(38,0))").as("cum_cents"),
+        ($"cum_cents".cast("double") / $"tcents".cast("double")).as("cum_share"))
+      .orderBy($"decile")
+  }
+
+  /** Markov next-event prediction accuracy — the self-evaluation of
+    * [[q56Markov]]'s transition matrix: predict argmax-count successor
+    * per state (deterministic tie-break: smallest event type), score
+    * against every observed transition. The argmax runs over the tiny
+    * |states|² count table; scoring joins the BROADCAST prediction map
+    * back to the pair stream — one user-keyed window pass + one
+    * map-side join at any scale. Exact integer counts; accuracy is the
+    * one edge division. */
+  def q127MarkovAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .select($"user_id", $"event_type".as("from_state"),
+        lead($"event_type", 1).over(w).as("to_state"))
+      .filter($"to_state".isNotNull)
+    val counts = pairs.groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy($"from_state").orderBy($"n".desc, $"to_state")
+    val pred = counts.withColumn("rn", row_number().over(wp))
+      .filter($"rn" === 1)
+      .select($"from_state".as("pf"), $"to_state".as("predicted"))
+    pairs.join(broadcast(pred), $"from_state" === $"pf")
+      .groupBy($"from_state", $"predicted")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when($"to_state" === $"predicted", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", $"n_correct" / $"n_transitions")
+      .orderBy($"from_state")
+  }
+
+  /** Atkinson inequality index (ε = 2) of customer spend per nation:
+    * A₂ = 1 − harmonic-mean/mean — the inequality-aversion-weighted
+    * cousin of [[q66Gini]]. The harmonic sum Σ1/xᵢ is carried as the
+    * exact integer Σ(10¹² div xᵢ) (same scaled-reciprocal discipline
+    * both engines share bit-for-bit — no float accumulation), so
+    * A₂ = 1 − n²·10¹²/(S₁·Σx) is a single rational: (num, den)
+    * DECIMAL(38,0) parts, one edge division. Map-side partial aggs on
+    * the customer key, then a 25-row nation rollup. */
+  def q128Atkinson(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+        .as("cents"))
+    val nat = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    spend.join(nat, $"o_custkey" === $"c_custkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(cents as decimal(38,0))")).as("sum_cents"),
+        sum(expr("cast(1000000000000 div cents as decimal(38,0))")).as("s1"))
+      .select($"n_name", $"n",
+        expr("cast(sum_cents as decimal(38,0))").as("sum_cents"),
+        expr("cast(s1 as decimal(38,0))").as("s1"),
+        expr("cast(cast(n as decimal(38,0)) * n * 1000000000000 as decimal(38,0))")
+          .as("atk_num"),
+        expr("cast(s1 * sum_cents as decimal(38,0))").as("atk_den"))
+      .withColumn("atkinson2",
+        lit(1.0) - $"atk_num".cast("double") / $"atk_den".cast("double"))
+      .orderBy($"n_name")
+  }
+
   /** Degree assortativity of the co-purchase graph — do hubs connect
     * to hubs? Pearson correlation of endpoint degrees over DIRECTED
     * edges (both orientations, the standard Newman formulation). On a

@@ -540,4 +540,32 @@ object CorpusPipeline {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic weighted sampling without replacement: k docs per
+    * source with inclusion odds ∝ document length — the
+    * quality-weighted spot-check sample every curation review pulls.
+    * Priority-sampling formulation: priority = u div weight where u is
+    * a 40-bit integer from md5(doc_id) — longer docs draw smaller
+    * priorities; the k smallest win. ALL integer arithmetic (both
+    * engines truncate positive div identically — no float u ~ U(0,1),
+    * no log, the exact-parity version of A-ES weighted reservoirs).
+    * Per-source bottom-k runs through the bounded-heap TopKPerGroup
+    * operator: no corpus-growing per-source window; the rank window
+    * after pruning orders k rows per source. */
+  def pipeWeightedSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .withColumn("uval", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 10), 16, 10) as bigint)"))
+      .withColumn("priority", expr("uval div greatest(n_chars, 1)"))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("priority"))
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      docs, Seq("source"), Seq("priority" -> false, "doc_id" -> false), k)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    pruned.withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+        col("priority"))
+      .orderBy(col("source"), col("rank"))
+  }
+
 }

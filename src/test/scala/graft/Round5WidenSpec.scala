@@ -459,4 +459,100 @@ class Round5WidenSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toSeq
     assert(got == expected.toSeq)
   }
+
+  test("q125_lorenz: partition is exhaustive, assignment monotone, shares cumulative to 1") {
+    val spend = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .collect().map(r => r.getLong(1))
+    val got = graft.operators.Analytics.q125Lorenz(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), big(r, 2), big(r, 3), r.getDouble(4)))
+    assert(got.map(_._2).sum == spend.length)
+    assert(got.map(_._3).sum == BigInt(spend.map(BigInt(_)).sum.toString))
+    // cum_cents is the running total and the last share is exactly 1
+    val runningTotals = got.map(_._3).scanLeft(BigInt(0))(_ + _).tail
+    assert(got.map(_._4).toSeq == runningTotals.toSeq)
+    assert(got.last._5 == 1.0)
+    assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted)
+    // Lorenz convexity: per-decile cents never decrease poorest->richest
+    // only guaranteed when decile populations are comparable; check the
+    // mean spend per decile is non-decreasing instead
+    val means = got.map(t => t._3.toDouble / t._2)
+    assert(means.toSeq == means.toSeq.sorted)
+  }
+
+  test("q127_markov_accuracy: predictions and hit counts match a driver recompute") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    val pairs = evs.groupBy(_._1).values.flatMap { rs =>
+      val s = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pred = counts.keys.map(_._1).toSet.map { f: String =>
+      f -> counts.filter(_._1._1 == f).toSeq
+        .sortBy { case ((_, t), n) => (-n, t) }.head._1._2
+    }.toMap
+    val expected = pairs.groupBy(_._1).map { case (f, ps) =>
+      f -> ((pred(f), ps.size.toLong, ps.count(_._2 == pred(f)).toLong))
+    }
+    val got = graft.operators.Analytics.q127MarkovAccuracy(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (f, (p, n, c, acc)) =>
+      assert((p, n, c) == expected(f))
+      assert(acc == c.toDouble / n)
+    }
+  }
+
+  test("q128_atkinson: scaled harmonic sums match a driver recompute; index in [0,1)") {
+    val spend = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val custNation = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byNation = custNation.filter(c => spend.contains(c._1))
+      .groupBy(_._2).view.mapValues(_.map(c => spend(c._1))).toMap
+    val got = graft.operators.Analytics.q128Atkinson(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == byNation.keySet)
+    got.foreach { r =>
+      val xs = byNation(r.getString(0))
+      val n = xs.size.toLong
+      val s1 = xs.map(x => 1000000000000L / x).sum
+      assert(r.getLong(1) == n)
+      assert(big(r, 2) == xs.map(BigInt(_)).sum)
+      assert(big(r, 3) == s1)
+      assert(big(r, 4) == BigInt(n) * n * 1000000000000L)
+      assert(big(r, 5) == BigInt(s1) * xs.map(BigInt(_)).sum)
+      val a2 = r.getDouble(6)
+      assert(a2 == 1.0 - big(r, 4).toDouble / big(r, 5).toDouble)
+      assert(a2 >= 0.0 && a2 < 1.0)
+    }
+  }
+
+  test("pipe_weighted_sample: bottom-k priorities per source match an md5 driver recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.map { case (src, id, nc) =>
+      val uval = java.lang.Long.parseLong(md5hex(id.toString).take(10), 16)
+      (src, uval / math.max(nc, 1L), id, nc)
+    }.groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3)).take(10)
+      .zipWithIndex.map { case ((_, pri, id, nc), i) => (i + 1L, id, nc, pri) }.toSeq)
+      .toMap
+    val got = graft.operators.CorpusPipeline.pipeWeightedSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got == expected)
+  }
 }
