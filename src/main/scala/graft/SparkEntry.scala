@@ -246,6 +246,8 @@ object SparkEntry {
     "q127_markov_accuracy" -> (Analytics.q127MarkovAccuracy _),
     "q128_atkinson" -> (Analytics.q128Atkinson _),
     "pipe_weighted_sample" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeWeightedSample(s, d)),
+    "mm_tile_layout" -> ((s: SparkSession, d: String) => Multimodal.mmTileLayout(s, d)),
+    "txt_rank_fusion" -> ((s: SparkSession, d: String) => TextAnalysis.txtRankFusion(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3503,5 +3505,57 @@ object SparkEntry {
         |)
         |SELECT source, "rank", doc_id, n_chars, priority
         |FROM r WHERE "rank" <= 10 ORDER BY source, "rank"""".stripMargin,
+
+    "mm_tile_layout" ->
+      """WITH m AS (
+        | SELECT doc_id, cast(octet_length(cast(text as blob)) as bigint) AS n FROM documents
+        |), im AS (
+        | SELECT doc_id, cast(64 + n % 577 as bigint) AS w,
+        |  cast(64 + (n * 31) % 421 as bigint) AS h
+        | FROM m WHERE n % 2 = 0
+        |), g AS (
+        | SELECT doc_id, w, h,
+        |  cast((w + 127) // 128 as bigint) AS tx_n,
+        |  cast((h + 127) // 128 as bigint) AS ty_n
+        | FROM im
+        |), t AS (
+        | SELECT doc_id, w, h, tx_n, ty_n, unnest(range(0, tx_n * ty_n)) AS tile_id
+        | FROM g
+        |)
+        |SELECT doc_id, cast(tile_id as bigint) AS tile_id,
+        | cast((tile_id % tx_n) * 128 as bigint) AS x0,
+        | cast((tile_id // tx_n) * 128 as bigint) AS y0,
+        | cast(least(128, w - (tile_id % tx_n) * 128) as bigint) AS tile_w,
+        | cast(least(128, h - (tile_id // tx_n) * 128) as bigint) AS tile_h
+        |FROM t ORDER BY doc_id, tile_id""".stripMargin,
+
+    "txt_rank_fusion" ->
+      """WITH d AS (
+        | SELECT lang, doc_id, n_chars,
+        |  cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) AS n_tokens
+        | FROM documents
+        |), ra AS (
+        | SELECT lang, doc_id, r AS rank_chars FROM (
+        |  SELECT lang, doc_id, cast(row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) as bigint) r FROM d)
+        | WHERE r <= 20
+        |), rb AS (
+        | SELECT lang, doc_id, r AS rank_tokens FROM (
+        |  SELECT lang, doc_id, cast(row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_tokens DESC, doc_id) as bigint) r FROM d)
+        | WHERE r <= 20
+        |), f AS (
+        | SELECT coalesce(ra.lang, rb.lang) AS lang,
+        |  coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_chars, rank_tokens,
+        |  cast(coalesce(1000000000000 // (60 + rank_chars), 0)
+        |   + coalesce(1000000000000 // (60 + rank_tokens), 0) as bigint) AS rrf_score
+        | FROM ra FULL JOIN rb ON ra.lang = rb.lang AND ra.doc_id = rb.doc_id
+        |), rk AS (
+        | SELECT *, cast(row_number() OVER (
+        |   PARTITION BY lang ORDER BY rrf_score DESC, doc_id) as bigint) AS "rank"
+        | FROM f
+        |)
+        |SELECT lang, "rank", doc_id, rank_chars, rank_tokens, rrf_score
+        |FROM rk WHERE "rank" <= 10 ORDER BY lang, "rank"""".stripMargin,
   )
 }

@@ -116,6 +116,30 @@ object Multimodal {
         max(expr("cast(octet_length(payload) as bigint)")).as("n_bytes"))
       .orderBy(col("payload_md5"))
 
+  /** ViT-style tile grid over the stubbed image dimensions: every
+    * "image" is cut into tile×tile patches (row-major tile ids, edge
+    * tiles clipped) — the patchification layout a vision encoder's
+    * preprocessing emits, with pixel offsets a cropper would consume.
+    * Pure Generate-shaped integer arithmetic off the payload LENGTH —
+    * the bytes themselves never move; at 100 TB this is a map-side
+    * explode fused into the scan, exactly like [[mmFrameSample]]. */
+  def mmTileLayout(spark: SparkSession, dir: String, tile: Int = 128): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n", expr("cast(octet_length(cast(text as binary)) as bigint)"))
+      .filter(expr("n % 2 = 0")) // the stub's "image" kind
+      .withColumn("w", expr("cast(64 + n % 577 as bigint)"))
+      .withColumn("h", expr("cast(64 + (n * 31) % 421 as bigint)"))
+      .withColumn("tx_n", expr(s"(w + ${tile - 1}) div $tile"))
+      .withColumn("ty_n", expr(s"(h + ${tile - 1}) div $tile"))
+      .select(col("doc_id"), col("w"), col("h"), col("tx_n"),
+        explode(expr("sequence(0, tx_n * ty_n - 1)")).as("tile_id"))
+      .withColumn("x0", expr(s"(tile_id % tx_n) * $tile"))
+      .withColumn("y0", expr(s"(tile_id div tx_n) * $tile"))
+      .select(col("doc_id"), col("tile_id"), col("x0"), col("y0"),
+        expr(s"least(cast($tile as bigint), w - x0)").as("tile_w"),
+        expr(s"least(cast($tile as bigint), h - y0)").as("tile_h"))
+      .orderBy(col("doc_id"), col("tile_id"))
+
   /** Perceptual-hash-style media near-dup pairs: a 60-bit SimHash over
     * the payload's hex 4-byte grams (computed WITHOUT decoding — the
     * content-hash tier between exact digest dedup and a real perceptual

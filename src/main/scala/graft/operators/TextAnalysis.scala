@@ -546,6 +546,45 @@ object TextAnalysis {
           .as("simpson_den"))
       .orderBy(col("lang"))
 
+  /** Reciprocal-rank fusion of two retrieval signals per language —
+    * the standard list-merging step behind hybrid (BM25 + vector)
+    * search. Each signal's top-20 is pruned through the bounded-heap
+    * TopKPerGroup operator FIRST (no corpus-growing per-language
+    * window — classic RRF only ever fuses the retrieved lists), ranked
+    * inside its ≤20-row list, and fused over the full-outer union with
+    * score = Σ 10¹² div (60 + rank): scaled-INTEGER reciprocal ranks,
+    * so the fused ordering is exact in both engines (no float sums of
+    * 1/(60+r)). Signals here are doc length and token count — stand-ins
+    * wired the way real scores would be. */
+  def txtRankFusion(spark: SparkSession, dir: String,
+      k: Int = 20, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(TextOps.tokens("text")).cast("long").as("n_tokens"))
+    def ranked(signal: String, rankName: String): DataFrame = {
+      val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+        docs, Seq("lang"), Seq(signal -> true, "doc_id" -> false), k)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col(signal).desc, col("doc_id"))
+      pruned.withColumn(rankName, row_number().over(w).cast("long"))
+        .select(col("lang"), col("doc_id"), col(rankName))
+    }
+    val fused = ranked("n_chars", "rank_chars")
+      .join(ranked("n_tokens", "rank_tokens"), Seq("lang", "doc_id"), "full_outer")
+      .withColumn("rrf_score", expr(
+        "coalesce(1000000000000 div (60 + rank_chars), 0) + " +
+        "coalesce(1000000000000 div (60 + rank_tokens), 0)"))
+    val top = org.apache.spark.sql.graft.TopK.perGroup(
+      fused, Seq("lang"), Seq("rrf_score" -> true, "doc_id" -> false), topN)
+    val w2 = Window.partitionBy(col("lang"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w2).cast("long"))
+      .select(col("lang"), col("rank"), col("doc_id"),
+        col("rank_chars"), col("rank_tokens"), col("rrf_score"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Pairwise vocabulary-overlap Jaccard between languages: shared
     * distinct types / union of types for every lang pair — the
     * corpus-contamination / borrowing audit (a high overlap between

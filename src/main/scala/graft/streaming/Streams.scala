@@ -382,4 +382,34 @@ object Streams {
           }
       }
   }
+
+  case class DocArrival(source: String, doc_id: Long, n_chars: Long,
+      priority: Long)
+  case class SampleSnapshot(source: String, kept_ids: String,
+      worst_priority: Long)
+
+  /** Streaming weighted sampling without replacement — the stream twin
+    * of CorpusPipeline.pipeWeightedSample: priority sampling is
+    * NATURALLY streaming (keep the k smallest priorities per source;
+    * a new arrival either evicts the current worst or is dropped), so
+    * state is O(k) per source and the final snapshot is IDENTICAL to
+    * the batch bottom-k on the same data — the priorities are
+    * deterministic md5 integers, asserted in StreamingSpec. Update-mode
+    * snapshots, one row per source per trigger. */
+  def runningWeightedSample(docs: Dataset[DocArrival],
+      k: Int = 10): Dataset[SampleSnapshot] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .mapGroupsWithState[List[(Long, Long)], SampleSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[DocArrival], state: GroupState[List[(Long, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+              batch.map(d => (d.priority, d.doc_id)))
+            .sorted
+            .take(k)
+          state.update(merged)
+          SampleSnapshot(src, merged.map(_._2).mkString(","), merged.last._1)
+      }
+  }
 }

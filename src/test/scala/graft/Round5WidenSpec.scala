@@ -555,4 +555,56 @@ class Round5WidenSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     assert(got == expected)
   }
+
+  test("mm_tile_layout: tiles partition every image exactly, offsets recompute from the stub dims") {
+    val dims = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), expr("cast(octet_length(cast(text as binary)) as bigint)").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 % 2 == 0)
+      .map { case (id, n) => id -> ((64 + n % 577, 64 + (n * 31) % 421)) }.toMap
+    val got = graft.operators.Multimodal.mmTileLayout(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSet == dims.keySet)
+    got.groupBy(_._1).foreach { case (id, tiles) =>
+      val (w, h) = dims(id)
+      val txN = (w + 127) / 128; val tyN = (h + 127) / 128
+      assert(tiles.length == txN * tyN)
+      assert(tiles.map(t => t._5 * t._6).sum == w * h,
+        s"doc $id: tile areas must cover the image exactly")
+      tiles.foreach { case (_, tid, x0, y0, tw, th) =>
+        assert(x0 == (tid % txN) * 128 && y0 == (tid / txN) * 128)
+        assert(tw == math.min(128, w - x0) && th == math.min(128, h - y0))
+        assert(tw >= 1 && th >= 1)
+      }
+    }
+  }
+
+  test("txt_rank_fusion: fused ranking matches a driver RRF over the two top-20 lists") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(graft.functions.TextOps.tokens("text")).cast("long").as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def top20(key: ((String, Long, Long, Long)) => Long): Map[(String, Long), Long] =
+      docs.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (-key(r), r._2)).take(20).zipWithIndex
+          .map { case (r, i) => (r._1, r._2) -> (i + 1L) }.toSeq
+      }.toMap
+    val ra = top20(_._3); val rb = top20(_._4)
+    val expected = (ra.keySet ++ rb.keySet).groupBy(_._1).flatMap { case (lang, ks) =>
+      ks.toSeq.map { k =>
+        val s = ra.get(k).map(r => 1000000000000L / (60 + r)).getOrElse(0L) +
+          rb.get(k).map(r => 1000000000000L / (60 + r)).getOrElse(0L)
+        (k._1, k._2, ra.get(k), rb.get(k), s)
+      }.sortBy(t => (-t._5, t._2)).take(10).zipWithIndex
+        .map { case (t, i) => (t._1, i + 1L) -> ((t._2, t._3, t._4, t._5)) }
+    }
+    val got = graft.operators.TextAnalysis.txtRankFusion(spark, sf0001).collect()
+      .map { r =>
+        def optLong(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), optLong(3), optLong(4), r.getLong(5)))
+      }.toMap
+    assert(got == expected)
+  }
 }

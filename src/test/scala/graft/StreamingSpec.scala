@@ -177,6 +177,33 @@ class StreamingSpec extends SparkSpec {
       "final streamed top-k state must equal the batch TopKPerGroup selection")
   }
 
+  test("streaming weighted sample: final snapshot equals the batch bottom-k per source") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 10), 16, 10) as bigint)" +
+          " div greatest(n_chars, 1)").as("priority"))
+    val dir = Files.createTempDirectory("wsample_stream")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(dir.toString + "/a")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(dir.toString + "/b")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .as[Streams.DocArrival]
+    runToMemory(Streams.runningWeightedSample(stream).toDF(), "running_wsample",
+      OutputMode.Update())
+    val finalRows = spark.sql("select * from running_wsample").collect()
+      .zipWithIndex
+      .groupBy(_._1.getString(0))
+      .map { case (s, rs) => s -> rs.maxBy(_._2)._1.getString(1) }
+    val batch = graft.operators.CorpusPipeline.pipeWeightedSample(spark, sf0001)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).mkString(",") }
+    assert(finalRows == batch,
+      "final streamed sample must equal the batch weighted bottom-k")
+  }
+
   test("streaming KMV distinct: final snapshot bit-equals the batch sketch across micro-batches") {
     val ev = Tables.events(spark, sf0001)
       .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
