@@ -248,6 +248,9 @@ object SparkEntry {
     "pipe_weighted_sample" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeWeightedSample(s, d)),
     "mm_tile_layout" -> ((s: SparkSession, d: String) => Multimodal.mmTileLayout(s, d)),
     "txt_rank_fusion" -> ((s: SparkSession, d: String) => TextAnalysis.txtRankFusion(s, d)),
+    "q129_eta_squared" -> (Analytics.q129EtaSquared _),
+    "txt_tv_distance" -> (TextAnalysis.txtTvDistance _),
+    "pipe_k_anonymity" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeKAnonymity(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3557,5 +3560,71 @@ object SparkEntry {
         |)
         |SELECT lang, "rank", doc_id, rank_chars, rank_tokens, rrf_score
         |FROM rk WHERE "rank" <= 10 ORDER BY lang, "rank"""".stripMargin,
+
+    "q129_eta_squared" ->
+      """WITH daily AS (
+        | SELECT cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1
+        |), tot AS (
+        | SELECT cast(count(*) as bigint) AS n_days,
+        |  sum(cast(cents as hugeint)) AS s,
+        |  sum(cast(cents as hugeint) * cents) AS sxx
+        | FROM daily
+        |), dw AS (
+        | SELECT cast(date_diff('day', DATE '1970-01-01', day) % 7 as bigint) AS dow,
+        |  cast(count(*) as bigint) AS n_d, sum(cast(cents as hugeint)) AS s_d
+        | FROM daily GROUP BY 1
+        |), t AS (
+        | SELECT dow, cast(s_d as double) * cast(s_d as double) / n_d AS term FROM dw
+        |), c AS (
+        | SELECT dow, sum(term) OVER (ORDER BY dow ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t
+        |), tb AS (
+        | SELECT max_by(cum, dow) AS t_between, cast(count(*) as bigint) AS n_groups FROM c
+        |)
+        |SELECT n_days, cast(s as decimal(38,0)) AS sum_cents,
+        | cast(sxx as decimal(38,0)) AS sum_sq, n_groups, t_between,
+        | (cast(n_days as double) * t_between - cast(s as double) * cast(s as double))
+        |  / (cast(n_days as double) * cast(sxx as double) - cast(s as double) * cast(s as double)) AS eta_squared
+        |FROM tot CROSS JOIN tb""".stripMargin,
+
+    "txt_tv_distance" ->
+      """WITH t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), c AS (SELECT lang, term, count(*) c FROM t GROUP BY 1, 2),
+        |tt AS (SELECT lang, cast(sum(c) as bigint) n_tok FROM c GROUP BY 1),
+        |bo AS (
+        | SELECT a.lang la, b.lang lb,
+        |  sum(abs(cast(a.c as hugeint) * tb.n_tok - cast(b.c as hugeint) * ta.n_tok)) sum_abs,
+        |  cast(sum(a.c) as bigint) ca_both, cast(sum(b.c) as bigint) cb_both
+        | FROM c a JOIN c b ON a.term = b.term AND a.lang < b.lang
+        | JOIN tt ta ON ta.lang = a.lang JOIN tt tb ON tb.lang = b.lang
+        | GROUP BY 1, 2
+        |)
+        |SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+        | sa.n_tok AS n_a, sb.n_tok AS n_b,
+        | cast(coalesce(sum_abs, 0)
+        |  + cast(sb.n_tok as hugeint) * (sa.n_tok - coalesce(ca_both, 0))
+        |  + cast(sa.n_tok as hugeint) * (sb.n_tok - coalesce(cb_both, 0)) as decimal(38,0)) AS tv_num,
+        | cast(2 * cast(sa.n_tok as hugeint) * sb.n_tok as decimal(38,0)) AS tv_den,
+        | cast(cast(coalesce(sum_abs, 0)
+        |  + cast(sb.n_tok as hugeint) * (sa.n_tok - coalesce(ca_both, 0))
+        |  + cast(sa.n_tok as hugeint) * (sb.n_tok - coalesce(cb_both, 0)) as decimal(38,0)) as double)
+        |  / cast(cast(2 * cast(sa.n_tok as hugeint) * sb.n_tok as decimal(38,0)) as double) AS tv
+        |FROM tt sa JOIN tt sb ON sa.lang < sb.lang
+        |LEFT JOIN bo ON bo.la = sa.lang AND bo.lb = sb.lang
+        |ORDER BY lang_a, lang_b""".stripMargin,
+
+    "pipe_k_anonymity" ->
+      """WITH q AS (
+        | SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS class_size
+        | FROM documents GROUP BY 1, 2, 3
+        |)
+        |SELECT class_size, count(*) AS n_classes,
+        | cast(sum(class_size) as bigint) AS n_docs,
+        | class_size < 5 AS at_risk
+        |FROM q GROUP BY class_size ORDER BY class_size""".stripMargin,
   )
 }

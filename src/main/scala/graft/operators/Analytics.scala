@@ -2426,6 +2426,45 @@ object Analytics {
       .orderBy($"o_orderpriority", $"lag")
   }
 
+  /** Correlation ratio η² — the ANOVA "variance explained" readout:
+    * how much of daily-revenue variance the day-of-week explains.
+    * η² = (n·Σ_d S_d²/n_d − S²) / (n·Σx² − S²) over integer cents:
+    * every sufficient statistic is exact (DECIMAL sums), and the one
+    * float reduction — the 7 between-group terms S_d²/n_d — runs as
+    * an ORDERED cumulative sum over the dow rows, the same
+    * only-deterministic-float-total trick as [[q119CramersV]]'s χ².
+    * Day-of-week is epoch-day mod 7 (both engines' native dayofweek
+    * disagree on Sunday). */
+  def q129EtaSquared(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+        .as("cents"))
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      sum(expr("cast(cents as decimal(38,0))")).as("s"),
+      sum(expr("cast(cents as decimal(38,0)) * cents")).as("sxx"))
+    val byDow = daily
+      .groupBy(expr("datediff(day, date'1970-01-01') % 7").cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_d"),
+        sum(expr("cast(cents as decimal(38,0))")).as("s_d"))
+      .withColumn("term",
+        expr("cast(s_d as double) * cast(s_d as double) / n_d"))
+    val wCum = Window.orderBy($"dow")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tb = byDow.withColumn("cum", sum($"term").over(wCum)) // 7-row window
+      .agg(expr("max_by(cum, dow)").as("t_between"),
+        count(lit(1)).as("n_groups"))
+    tot.crossJoin(broadcast(tb))
+      .select($"n_days",
+        expr("cast(s as decimal(38,0))").as("sum_cents"),
+        expr("cast(sxx as decimal(38,0))").as("sum_sq"),
+        $"n_groups", $"t_between",
+        expr("(cast(n_days as double) * t_between" +
+          " - cast(s as double) * cast(s as double))" +
+          " / (cast(n_days as double) * cast(sxx as double)" +
+          " - cast(s as double) * cast(s as double))").as("eta_squared"))
+  }
+
   /** Lorenz curve at decile resolution: cumulative revenue share of
     * customers ordered poorest→richest — the curve behind [[q66Gini]]'s
     * coefficient (and the concentration picture a mixing policy reads

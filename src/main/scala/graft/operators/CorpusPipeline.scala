@@ -540,6 +540,24 @@ object CorpusPipeline {
       .orderBy(col("lang"))
   }
 
+  /** k-anonymity audit over quasi-identifiers (lang, source,
+    * length-bucket): the privacy readout a release review runs before
+    * publishing a corpus — how many documents sit in equivalence
+    * classes smaller than k (re-identifiable by their quasi-id combo
+    * alone). One groupBy on the quasi-id, one tiny histogram rollup on
+    * class size; output is bounded by the distinct class sizes. Exact
+    * integers; `at_risk` marks sizes below k=5. */
+  def pipeKAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_docs"))
+      .withColumn("at_risk", col("class_size") < k)
+      .orderBy(col("class_size"))
+
   /** Deterministic weighted sampling without replacement: k docs per
     * source with inclusion odds ∝ document length — the
     * quality-weighted spot-check sample every curation review pulls.

@@ -615,6 +615,50 @@ object TextAnalysis {
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
+  /** Total-variation distance between per-language unigram
+    * distributions, as an EXACT rational: TV(a,b) = ½Σ|pᵢ−qᵢ| over the
+    * term union = (Σ_both |c_a·N_b − c_b·N_a| + N_b·(N_a−Σ_both c_a)
+    * + N_a·(N_b−Σ_both c_b)) / (2·N_a·N_b) — the a-only and b-only
+    * tails collapse algebraically, so the distance needs only the
+    * SHARED terms (one term-keyed self-join, fan-out ≤ |langs|² per
+    * term) plus the broadcast totals. The log-free distribution
+    * divergence the float-parity policy allows where KL/JS are
+    * excluded; the corpus-drift audit between language shards. */
+  def txtTvDistance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n_tok"))
+    val both = counts.as("ca")
+      .join(counts.as("cb"),
+        col("ca.term") === col("cb.term") && col("ca.lang") < col("cb.lang"))
+      .join(broadcast(totals.select(col("lang").as("ta"), col("n_tok").as("n_a"))),
+        col("ca.lang") === col("ta"))
+      .join(broadcast(totals.select(col("lang").as("tb"), col("n_tok").as("n_b"))),
+        col("cb.lang") === col("tb"))
+      .groupBy(col("ca.lang").as("la"), col("cb.lang").as("lb"))
+      .agg(sum(expr("abs(cast(ca.c as decimal(38,0)) * n_b" +
+          " - cast(cb.c as decimal(38,0)) * n_a)")).as("sum_abs"),
+        sum(col("ca.c")).as("ca_both"),
+        sum(col("cb.c")).as("cb_both"))
+    val grid = totals.as("sa").join(totals.as("sb"), col("sa.lang") < col("sb.lang"))
+      .select(col("sa.lang").as("lang_a"), col("sb.lang").as("lang_b"),
+        col("sa.n_tok").as("n_a"), col("sb.n_tok").as("n_b"))
+    grid.join(broadcast(both),
+        col("lang_a") === col("la") && col("lang_b") === col("lb"), "left")
+      .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+        expr("cast(coalesce(sum_abs, 0)" +
+          " + cast(n_b as decimal(38,0)) * (n_a - coalesce(ca_both, 0))" +
+          " + cast(n_a as decimal(38,0)) * (n_b - coalesce(cb_both, 0))" +
+          " as decimal(38,0))").as("tv_num"),
+        expr("cast(2 * cast(n_a as decimal(38,0)) * n_b as decimal(38,0))")
+          .as("tv_den"))
+      .withColumn("tv",
+        col("tv_num").cast("double") / col("tv_den").cast("double"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   /** Chao1 species-richness estimate of the per-language vocabulary:
     * Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1)) (bias-corrected form — defined
     * even when no doubletons exist). f₁/f₂ are the singleton/doubleton

@@ -607,4 +607,64 @@ class Round5WidenSpec extends SparkSpec {
       }.toMap
     assert(got == expected)
   }
+
+  test("q129_eta_squared: sufficient sums recompute; eta2 in [0,1] and matches the parts") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val n = daily.length.toLong
+    val s = daily.map(d => BigInt(d._2)).sum
+    val sxx = daily.map(d => BigInt(d._2) * d._2).sum
+    val byDow = daily.groupBy(_._1 % 7).toSeq.sortBy(_._1)
+      .map { case (_, rs) => (rs.map(d => BigInt(d._2)).sum, rs.size.toLong) }
+    // ordered float total, same order the engine uses (dow ascending)
+    var t = 0.0
+    byDow.foreach { case (sd, nd) => t += sd.toDouble * sd.toDouble / nd }
+    val r = graft.operators.Analytics.q129EtaSquared(spark, sf0001).collect().head
+    assert(r.getLong(0) == n && big(r, 1) == s && big(r, 2) == sxx)
+    assert(r.getLong(3) == byDow.size.toLong)
+    assert(r.getDouble(4) == t)
+    val eta2 = (n.toDouble * t - s.toDouble * s.toDouble) /
+      (n.toDouble * sxx.toDouble - s.toDouble * s.toDouble)
+    assert(r.getDouble(5) == eta2)
+    assert(eta2 >= 0.0 && eta2 <= 1.0)
+  }
+
+  test("txt_tv_distance: rational parts recompute from full distributions; TV in [0,1]") {
+    val counts = langTerms.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val langs = counts.keys.toSeq.sorted
+    val got = graft.operators.TextAnalysis.txtTvDistance(spark, sf0001).collect()
+    assert(got.length == langs.size * (langs.size - 1) / 2)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (ca, cb) = (counts(a), counts(b))
+      val na = ca.values.sum; val nb = cb.values.sum
+      val num = (ca.keySet ++ cb.keySet).toSeq.map { term =>
+        (BigInt(ca.getOrElse(term, 0L)) * nb - BigInt(cb.getOrElse(term, 0L)) * na).abs
+      }.sum
+      assert(r.getLong(2) == na && r.getLong(3) == nb)
+      assert(big(r, 4) == num, s"pair ($a,$b)")
+      assert(big(r, 5) == BigInt(2) * na * nb)
+      assert(r.getDouble(6) == num.toDouble / (BigInt(2) * na * nb).toDouble)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("pipe_k_anonymity: histogram recomputes and accounts for every document") {
+    val classes = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("source"), expr("n_chars div 100").as("lb"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).values.map(_.size.toLong).toSeq
+    val expected = classes.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.CorpusPipeline.pipeKAnonymity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(g => g._1 -> g._2).toMap == expected)
+    got.foreach { case (size, nClasses, nDocs, atRisk) =>
+      assert(nDocs == size * nClasses)
+      assert(atRisk == (size < 5))
+    }
+    assert(got.map(_._3).sum == classes.sum)
+  }
 }
