@@ -251,6 +251,9 @@ object SparkEntry {
     "q129_eta_squared" -> (Analytics.q129EtaSquared _),
     "txt_tv_distance" -> (TextAnalysis.txtTvDistance _),
     "pipe_k_anonymity" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeKAnonymity(s, d)),
+    "sim_inertia" -> (Similarity.simInertia _),
+    "dd_cross_source_matrix" -> (Dedup.ddCrossSourceMatrix _),
+    "txt_ngram_coverage" -> (TextAnalysis.txtNgramCoverage _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3626,5 +3629,71 @@ object SparkEntry {
         | cast(sum(class_size) as bigint) AS n_docs,
         | class_size < 5 AS at_risk
         |FROM q GROUP BY class_size ORDER BY class_size""".stripMargin,
+
+    "sim_inertia" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, e.label, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, label, clabel new_label, dist,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |), g AS (
+        | SELECT new_label, count(*) AS n_vecs,
+        |  cast(sum(cast(round(dist, 6) as decimal(30,6))) as decimal(30,6)) AS inertia,
+        |  cast(sum(CASE WHEN label = new_label THEN 1 ELSE 0 END) as bigint) AS n_stable
+        | FROM best WHERE rn = 1 GROUP BY 1
+        |)
+        |SELECT new_label, n_vecs, inertia, n_stable,
+        | cast(inertia as double) / n_vecs AS mean_dist
+        |FROM g ORDER BY new_label""".stripMargin,
+
+    "dd_cross_source_matrix" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), sig AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')) m
+        | FROM sh
+        |), bands AS (
+        | SELECT doc_id, b, md5(m[2*b+1] || m[2*b+2] || ':' || cast(b as varchar)) bh
+        | FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |), pairs AS (
+        | SELECT a.doc_id doc_a, b.doc_id doc_b
+        | FROM bands a JOIN bands b ON a.bh = b.bh AND a.b = b.b AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |)
+        |SELECT least(da.source, db.source) AS source_a,
+        | greatest(da.source, db.source) AS source_b,
+        | count(*) AS n_dup_pairs
+        |FROM pairs
+        |JOIN documents da ON pairs.doc_a = da.doc_id
+        |JOIN documents db ON pairs.doc_b = db.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "txt_ngram_coverage" ->
+      """WITH tk AS (
+        | SELECT list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+        |), bg AS (
+        | SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) bigram
+        | FROM tk WHERE len(toks) >= 2
+        |), c AS (SELECT bigram, count(*) n FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*) n_distinct, cast(sum(n) as bigint) total_occ FROM c),
+        |r AS (
+        | SELECT *, cast(row_number() OVER (ORDER BY n DESC, bigram) as bigint) AS rnk,
+        |  cast(sum(n) OVER (ORDER BY n DESC, bigram ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_mass
+        | FROM c
+        |)
+        |SELECT rnk AS k, n_distinct, total_occ, cum_mass AS top_k_mass,
+        | cast(cum_mass as double) / total_occ AS coverage
+        |FROM r CROSS JOIN tot WHERE rnk IN (10, 50, 100) ORDER BY k""".stripMargin,
   )
 }

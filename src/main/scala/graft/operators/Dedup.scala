@@ -24,6 +24,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
       .orderBy(col("content_hash"))
 
+  /** Cross-source duplication matrix: NEAR-dup candidate-pair counts
+    * between every source pair — which crawl providers copy each
+    * other (and how much each self-duplicates). Exact-hash pairs
+    * would be the cheap basis, but this corpus (like most real web
+    * crawls post-normalization) duplicates by *rewording*, so the
+    * honest basis is [[ddMinhashLsh]]'s banded candidate pairs. The
+    * pair table joins the slim (doc_id, source) projection twice on
+    * the pair-id keys — payload never moves — and sources are
+    * orientation-normalized (least/greatest) so the matrix is upper
+    * triangular. Exact integer counts. */
+  def ddCrossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ddMinhashLsh(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** MinHash + LSH banding: 8-perm signature, 4 bands × 2 rows.
     * Shuffle volume is docs × bands (tiny fixed-width rows); the
     * self-join happens only within band buckets. Pairs sharing any

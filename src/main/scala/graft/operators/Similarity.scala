@@ -137,6 +137,26 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Within-cluster inertia (SSE) per assigned centroid — the
+    * clustering-quality readout (the y-axis of an elbow plot) that
+    * completes the k-means family: [[simKmeansStep]] assigns, this
+    * audits. Per-row distances are deterministic fixed-order float
+    * folds (as in the step), then cross-row reduction happens in
+    * DECIMAL over the rounded per-row values — partition-order
+    * independent, the same discipline as PageRank's contribution
+    * sums. Also reports how many vectors kept their label
+    * (assignment stability). */
+  def simInertia(spark: SparkSession, dir: String): DataFrame =
+    simKmeansStep(spark, dir)
+      .groupBy(col("new_label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("cast(sum(cast(dist as decimal(30,6))) as decimal(30,6))")
+          .as("inertia"),
+        sum(when(col("label") === col("new_label"), 1L).otherwise(0L))
+          .as("n_stable"))
+      .withColumn("mean_dist", expr("cast(inertia as double) / n_vecs"))
+      .orderBy(col("new_label"))
+
   /** Int8 symmetric quantization of the embedding column (the storage/
     * bandwidth shrink applied before ANN serving): per-vector max-abs
     * scale, values mapped to round(v·127/scale). Pure projection — at

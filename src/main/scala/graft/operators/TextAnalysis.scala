@@ -615,6 +615,35 @@ object TextAnalysis {
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
+  /** Head-mass coverage of the bigram distribution: what fraction of
+    * ALL bigram occurrences the top-10/50/100 bigrams account for —
+    * the boilerplate-concentration audit (a templated corpus puts
+    * most of its mass in a tiny head; a diverse one doesn't). The
+    * global top-100 is a TakeOrdered (bounded heap, no full sort);
+    * the cumulative mass runs over ≤100 ranked rows. Exact integer
+    * masses, one edge division per checkpoint. */
+  def txtNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = TextOps.balanced(Tables.documents(spark, dir))
+      .select(explode(TextOps.ngramArray("text", 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(count(lit(1)).as("n_distinct"),
+      sum(col("n")).as("total_occ"))
+    val top = counts.orderBy(col("n").desc, col("bigram")).limit(100)
+    val w = Window.orderBy(col("n").desc, col("bigram"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("bigram"))).cast("long"))
+      .withColumn("cum_mass", sum(col("n")).over(w)) // ≤100 ranked rows
+      .filter(col("rank").isin(10L, 50L, 100L))
+      .crossJoin(broadcast(tot))
+      .select(col("rank").as("k"), col("n_distinct"), col("total_occ"),
+        col("cum_mass").as("top_k_mass"),
+        (col("cum_mass").cast("double") / col("total_occ")).as("coverage"))
+      .orderBy(col("k"))
+  }
+
   /** Total-variation distance between per-language unigram
     * distributions, as an EXACT rational: TV(a,b) = ½Σ|pᵢ−qᵢ| over the
     * term union = (Σ_both |c_a·N_b − c_b·N_a| + N_b·(N_a−Σ_both c_a)

@@ -667,4 +667,58 @@ class Round5WidenSpec extends SparkSpec {
     }
     assert(got.map(_._3).sum == classes.sum)
   }
+
+  test("sim_inertia: decimal sums reaggregate the kmeans-step distances; stability counted") {
+    val step = graft.operators.Similarity.simKmeansStep(spark, sf0001).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val expected = step.groupBy(_._2).view.mapValues { rs =>
+      (rs.size.toLong,
+        rs.map(r => BigDecimal(r._3).setScale(6)).sum,
+        rs.count(r => r._1 == r._2).toLong)
+    }.toMap
+    val got = graft.operators.Similarity.simInertia(spark, sf0001).collect()
+    assert(got.map(_.getInt(0)).toSet == expected.keySet)
+    got.foreach { r =>
+      val (n, inertia, stable) = expected(r.getInt(0))
+      assert(r.getLong(1) == n)
+      assert(BigDecimal(r.getDecimal(2)) == inertia)
+      assert(r.getLong(3) == stable)
+      assert(r.getDouble(4) == inertia.toDouble / n)
+    }
+  }
+
+  test("dd_cross_source_matrix: matrix re-aggregates the LSH candidate pairs; non-vacuous") {
+    val src = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.operators.Dedup.ddMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "vacuous: no LSH candidate pairs at sf0.001")
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Dedup.ddCrossSourceMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("txt_ngram_coverage: checkpoint masses match the exact ranked bigram counts") {
+    val bigrams = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextOps.ngramArray("text", 2)).as("bg"))
+      .collect().map(_.getString(0))
+    val counts = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (bg, n) => (-n, bg) }
+    val total = counts.map(_._2).sum
+    val got = graft.operators.TextAnalysis.txtNgramCoverage(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L, 50L, 100L).filter(_ <= counts.size))
+    got.foreach { r =>
+      val k = r.getLong(0).toInt
+      val mass = counts.take(k).map(_._2).sum
+      assert(r.getLong(1) == counts.size.toLong)
+      assert(r.getLong(2) == total)
+      assert(r.getLong(3) == mass)
+      assert(r.getDouble(4) == mass.toDouble / total)
+    }
+  }
 }
