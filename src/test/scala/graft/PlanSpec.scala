@@ -195,4 +195,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerGroup"),
       s"knn graph must use the bounded-heap operator:\n$p")
   }
+
+  test("pipe_weighted_sample prunes through TopKPerGroup; the only window ranks pruned rows") {
+    val df = graft.operators.CorpusPipeline.pipeWeightedSample(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"),
+      s"weighted sample must use the bounded-heap operator:\n$p")
+    // the rank window may appear, but only ABOVE the TopK prune — the
+    // corpus-sized input must never hit a per-source window directly
+    assert(p.indexOf("TopKPerGroup") > p.indexOf("Window "),
+      s"window must consume the pruned (k-row) side, not the raw corpus:\n$p")
+  }
+
+  test("txt_tv_distance broadcasts the language totals to the shared-term join") {
+    val df = graft.operators.TextAnalysis.txtTvDistance(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      s"lang totals must broadcast:\n$p")
+  }
+
+  test("q123_assortativity joins the degree table by broadcast (no sort-merge on edges)") {
+    val df = Analytics.q123Assortativity(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"degree joins must broadcast:\n$p")
+  }
 }
