@@ -254,6 +254,9 @@ object SparkEntry {
     "sim_inertia" -> (Similarity.simInertia _),
     "dd_cross_source_matrix" -> (Dedup.ddCrossSourceMatrix _),
     "txt_ngram_coverage" -> (TextAnalysis.txtNgramCoverage _),
+    "q130_link_prediction" -> ((s: SparkSession, d: String) => Analytics.q130LinkPrediction(s, d)),
+    "sim_hamming_topk" -> ((s: SparkSession, d: String) => Similarity.simHammingTopk(s, d)),
+    "pipe_l_diversity" -> (CorpusPipeline.pipeLDiversity _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3695,5 +3698,65 @@ object SparkEntry {
         |SELECT rnk AS k, n_distinct, total_occ, cum_mass AS top_k_mass,
         | cast(cum_mass as double) / total_occ AS coverage
         |FROM r CROSS JOIN tot WHERE rnk IN (10, 50, 100) ORDER BY k""".stripMargin,
+
+    "q130_link_prediction" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |),
+        |edges AS (SELECT a AS src, b2 AS dst FROM pairs
+        |          UNION ALL SELECT b2, a FROM pairs),
+        |cnb AS (
+        | SELECT e1.src AS n1, e2.dst AS n2, cast(count(*) as bigint) AS common_nbrs
+        | FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+        | WHERE e1.src < e2.dst GROUP BY 1, 2
+        |),
+        |cand AS (
+        | SELECT * FROM cnb
+        | WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.a = cnb.n1 AND pairs.b2 = cnb.n2)
+        |),
+        |deg AS (SELECT src AS n, cast(count(*) as bigint) AS d FROM edges GROUP BY 1)
+        |SELECT n1, n2, common_nbrs,
+        | d1.d + d2.d - common_nbrs AS union_deg,
+        | cast(common_nbrs as double) / cast(d1.d + d2.d - common_nbrs as double) AS jaccard
+        |FROM cand JOIN deg d1 ON cand.n1 = d1.n JOIN deg d2 ON cand.n2 = d2.n
+        |ORDER BY common_nbrs DESC, n1, n2 LIMIT 20""".stripMargin,
+
+    "sim_hamming_topk" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) i),
+        |codes AS (
+        | SELECT vec_id,
+        |  cast(sum(CASE WHEN i < 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << i ELSE 0 END) as bigint) AS w1,
+        |  cast(sum(CASE WHEN i >= 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << (i - 32) ELSE 0 END) as bigint) AS w2
+        | FROM embeddings CROSS JOIN dims GROUP BY 1
+        |),
+        |probes AS (SELECT vec_id AS qid, w1 AS qw1, w2 AS qw2 FROM codes WHERE vec_id < 5),
+        |scored AS (
+        | SELECT qid, vec_id,
+        |  cast(bit_count(xor(qw1, w1)) + bit_count(xor(qw2, w2)) as bigint) AS hamming
+        | FROM probes CROSS JOIN codes WHERE vec_id <> qid
+        |),
+        |rk AS (
+        | SELECT *, cast(row_number() OVER (
+        |   PARTITION BY qid ORDER BY hamming, vec_id) as bigint) AS "rank"
+        | FROM scored
+        |)
+        |SELECT qid AS query_id, "rank", vec_id, hamming
+        |FROM rk WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    "pipe_l_diversity" ->
+      """WITH q AS (
+        | SELECT source, n_chars // 100 AS len_bucket,
+        |  cast(count(*) as bigint) AS class_size,
+        |  cast(count(DISTINCT lang) as bigint) AS l
+        | FROM documents GROUP BY 1, 2
+        |)
+        |SELECT l, count(*) AS n_classes,
+        | cast(sum(class_size) as bigint) AS n_docs,
+        | l < 2 AS at_risk
+        |FROM q GROUP BY l ORDER BY l""".stripMargin,
   )
 }

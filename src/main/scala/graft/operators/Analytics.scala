@@ -2636,4 +2636,36 @@ object Analytics {
       counts.reduce(_ unionAll _).orderBy($"hops"), edges)
   }
 
+  /** Link prediction over the co-purchase graph: for every non-edge
+    * node pair at distance 2, the common-neighbour count and Jaccard
+    * neighbourhood overlap — the classic "customers also bought"
+    * candidate scorer. Common neighbours come from one length-2 path
+    * join (edges ⋈ edges on the middle node — Σ deg² pairs, the same
+    * bound as the wedge count in q58); existing edges drop via a
+    * left-anti join and degrees attach by broadcast (node table ≪
+    * edge table at any scale). All counts are exact integers; the
+    * only double is the final Jaccard ratio. Top-20 by common
+    * neighbours with a (n1, n2) tie-break keeps the output bounded. */
+  def q130LinkPrediction(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val pairs = copurchaseEdges(spark, dir)
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
+    val cn = edges.select($"src".as("n1"), $"dst".as("w"))
+      .join(edges.select($"src".as("w"), $"dst".as("n2")), "w")
+      .filter($"n1" < $"n2")
+      .groupBy($"n1", $"n2").agg(count(lit(1)).as("common_nbrs"))
+    val cand = cn.join(pairs.select($"a".as("n1"), $"b".as("n2")),
+      Seq("n1", "n2"), "left_anti")
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    cand
+      .join(broadcast(deg.select($"src".as("n1"), $"deg".as("d1"))), "n1")
+      .join(broadcast(deg.select($"src".as("n2"), $"deg".as("d2"))), "n2")
+      .select($"n1", $"n2", $"common_nbrs",
+        ($"d1" + $"d2" - $"common_nbrs").as("union_deg"))
+      .withColumn("jaccard",
+        $"common_nbrs".cast("double") / $"union_deg".cast("double"))
+      .orderBy($"common_nbrs".desc, $"n1", $"n2")
+      .limit(k)
+  }
+
 }

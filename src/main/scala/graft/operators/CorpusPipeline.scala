@@ -586,4 +586,24 @@ object CorpusPipeline {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** l-diversity audit — the companion check to [[pipeKAnonymity]]:
+    * a quasi-identifier class is safe only if the SENSITIVE attribute
+    * (here `lang`) takes at least l distinct values inside it, else
+    * class membership leaks the attribute even when k-anonymity
+    * holds. Classes key on (source, length bucket); output is the
+    * histogram of classes by their diversity l with the at-risk flag
+    * at l < 2. Two hash aggregates (distinct-within-group then
+    * histogram), both map-side combinable; output bounded by the
+    * distinct l values, never the corpus. */
+  def pipeLDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("lang")).as("l"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_docs"))
+      .withColumn("at_risk", col("l") < 2)
+      .orderBy(col("l"))
+
 }

@@ -445,4 +445,36 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Binary sign-bit ANN: each 64-dim vector compresses to two 32-bit
+    * sign words (bit i set iff dim i > 0) and top-k runs on Hamming
+    * distance `bit_count(xor)` — the 32×-compression tier a 100 TB
+    * vector store serves first, before any float rerank. Code
+    * construction is a pure projection (two sequence folds, integer
+    * adds — fuses into the scan); probes broadcast; distances are
+    * exact integers so the ranking is oracle-checkable bit-for-bit.
+    * The per-query cut runs through the bounded-heap TopKPerGroup
+    * operator — the exchange carries ≤ |Q|·k rows. Two 32-bit words
+    * rather than one 64-bit word keep bit 63 out of the sign
+    * position on both engines. */
+  def simHammingTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    def word(lo: Int): String =
+      s"""aggregate(sequence($lo, ${lo + 31}), cast(0 as bigint),
+         | (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > cast(0 as float)
+         |   THEN shiftleft(cast(1 as bigint), i - $lo) ELSE cast(0 as bigint) END)""".stripMargin
+    val codes = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(word(0)).as("w1"), expr(word(32)).as("w2"))
+    val probes = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("w1").as("qw1"), col("w2").as("qw2"))
+    val scored = broadcast(probes).crossJoin(codes)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("hamming",
+        expr("cast(bit_count(qw1 ^ w1) + bit_count(qw2 ^ w2) as bigint)"))
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("qid"), Seq("hamming" -> false, "vec_id" -> false), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("vec_id"))
+    pruned.withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("qid").as("query_id"), col("rank"), col("vec_id"), col("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
 }

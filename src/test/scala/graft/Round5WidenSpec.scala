@@ -721,4 +721,51 @@ class Round5WidenSpec extends SparkSpec {
       assert(r.getDouble(4) == mass.toDouble / total)
     }
   }
+
+  test("q130_link_prediction: candidates are non-edges and Jaccard is consistent") {
+    val rows = graft.operators.Analytics.q130LinkPrediction(spark, sf0001).collect()
+    assert(rows.nonEmpty, "vacuous: no distance-2 candidates at sf0.001")
+    rows.foreach { r =>
+      val cn = r.getAs[Long]("common_nbrs")
+      val ud = r.getAs[Long]("union_deg")
+      assert(r.getAs[Long]("n1") < r.getAs[Long]("n2"))
+      assert(cn >= 1 && ud >= cn, s"union_deg $ud < common $cn")
+      assert(r.getAs[Double]("jaccard") == cn.toDouble / ud.toDouble)
+    }
+    // candidate pairs must be at distance exactly 2: sharing a neighbour
+    // but not directly connected — cross-check counts against a driver
+    // recompute of the co-purchase edge set
+    val basket = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = basket.groupBy(_._1).values
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.foreach { rows0 =>
+      val ps = rows0.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        support((ps(i), ps(j))) = support.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val edgeSet = support.filter(_._2 >= 2).keySet
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    edgeSet.foreach { case (a, b) =>
+      nbrs(a) = nbrs.getOrElse(a, Set.empty) + b
+      nbrs(b) = nbrs.getOrElse(b, Set.empty) + a
+    }
+    rows.foreach { r =>
+      val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      assert(!edgeSet.contains((n1, n2)), s"($n1,$n2) is an existing edge")
+      val common = (nbrs(n1) & nbrs(n2)).size.toLong
+      assert(r.getAs[Long]("common_nbrs") == common)
+    }
+  }
+
+  test("pipe_l_diversity: doc counts conserve and the risk flag is l<2") {
+    val rows = graft.operators.CorpusPipeline.pipeLDiversity(spark, sf0001).collect()
+    val totalDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("at_risk") == (r.getAs[Long]("l") < 2))
+      assert(r.getAs[Long]("l") >= 1)
+    }
+  }
 }

@@ -67,4 +67,30 @@ class SimilaritySpec extends SparkSpec {
     // sign-bucket LSH on near-orthogonal vectors is coarse; just require signal
     assert(hits.nonEmpty)
   }
+
+  test("hamming top-k: distances match a driver-side sign-bit recompute") {
+    val rows = Similarity.simHammingTopk(spark, sf0001).collect()
+    assert(rows.length == 5 * 10)
+    // recompute the sign codes for all vectors in the driver
+    val embs = graft.Tables.embeddings(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    def code(v: scala.collection.Seq[Float]): Seq[Boolean] = v.map(_ > 0f).toSeq
+    rows.foreach { r =>
+      val q = code(embs(r.getAs[Long]("query_id")))
+      val c = code(embs(r.getAs[Long]("vec_id")))
+      val expected = q.zip(c).count { case (a, b) => a != b }
+      assert(r.getAs[Long]("hamming") == expected.toLong,
+        s"hamming mismatch for ${r.getAs[Long]("query_id")}->${r.getAs[Long]("vec_id")}")
+    }
+    // ranks must be non-decreasing in distance within each query
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("hamming"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // and the prune must run through the bounded-heap operator
+    val p = Similarity.simHammingTopk(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"expected TopKPerGroup in:\n$p")
+  }
 }
