@@ -257,6 +257,9 @@ object SparkEntry {
     "q130_link_prediction" -> ((s: SparkSession, d: String) => Analytics.q130LinkPrediction(s, d)),
     "sim_hamming_topk" -> ((s: SparkSession, d: String) => Similarity.simHammingTopk(s, d)),
     "pipe_l_diversity" -> (CorpusPipeline.pipeLDiversity _),
+    "sim_silhouette" -> (Similarity.simSilhouette _),
+    "q131_changepoint" -> ((s: SparkSession, d: String) => Analytics.q131Changepoint(s, d)),
+    "mm_aspect_buckets" -> (Multimodal.mmAspectBuckets _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3758,5 +3761,83 @@ object SparkEntry {
         | cast(sum(class_size) as bigint) AS n_docs,
         | l < 2 AS at_risk
         |FROM q GROUP BY l ORDER BY l""".stripMargin,
+
+    "sim_silhouette" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, e.label, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), ab AS (
+        | SELECT vec_id, label,
+        |  min(CASE WHEN clabel = label THEN dist END) AS a_dist,
+        |  min(CASE WHEN clabel <> label THEN dist END) AS b_dist
+        | FROM d GROUP BY 1, 2
+        |), q AS (
+        | SELECT label,
+        |  cast(cast(round(a_dist, 6) as decimal(18,6)) * 1000000 as bigint) AS am,
+        |  cast(cast(round(b_dist, 6) as decimal(18,6)) * 1000000 as bigint) AS bm
+        | FROM ab
+        |), s AS (
+        | SELECT label, bm > am AS well,
+        |  (bm - am + greatest(am, bm)) * 1000000 // greatest(greatest(am, bm), 1) - 1000000 AS s_micro
+        | FROM q
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        | cast(sum(s_micro) as bigint) AS s_sum_micro,
+        | cast(sum(CASE WHEN well THEN 1 ELSE 0 END) as bigint) AS n_well_placed,
+        | cast(cast(sum(s_micro) as bigint) as double) / 1000000.0 / count(*) AS mean_silhouette
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+
+    "q131_changepoint" ->
+      """WITH daily AS (
+        | SELECT cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1
+        |), tot AS (
+        | SELECT cast(count(*) as bigint) AS n_days,
+        |  sum(cast(cents as hugeint)) AS total_cents
+        | FROM daily
+        |), pf AS (
+        | SELECT day,
+        |  cast(row_number() OVER (ORDER BY day) as bigint) AS k,
+        |  sum(cast(cents as hugeint)) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+        | FROM daily
+        |)
+        |SELECT day, k, cast(pfx as decimal(38,0)) AS prefix_cents,
+        | cast(abs(n_days * pfx - k * total_cents) as decimal(38,0)) AS score
+        |FROM pf CROSS JOIN tot
+        |ORDER BY score DESC, day LIMIT 5""".stripMargin,
+
+    "mm_aspect_buckets" ->
+      """WITH buckets(bw0, bh0) AS (VALUES
+        | (512, 2048), (576, 1664), (704, 1344), (768, 1280), (832, 1152),
+        | (896, 1088), (960, 1024), (1024, 1024), (1024, 960), (1088, 896),
+        | (1152, 832), (1280, 768), (1344, 704), (1664, 576), (2048, 512)
+        |), b2 AS (
+        | SELECT cast(bw0 as bigint) bw, cast(bh0 as bigint) bh,
+        |  cast(bw0 as bigint) * 1000 // bh0 AS b_ar
+        | FROM buckets
+        |), imgs AS (
+        | SELECT doc_id,
+        |  cast(64 * (8 + ((strpos('0123456789abcdef', substring(md5(cast(doc_id as varchar) || ':w'), 1, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substring(md5(cast(doc_id as varchar) || ':w'), 2, 1)) - 1)) % 25) as bigint) AS w,
+        |  cast(64 * (8 + ((strpos('0123456789abcdef', substring(md5(cast(doc_id as varchar) || ':h'), 1, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substring(md5(cast(doc_id as varchar) || ':h'), 2, 1)) - 1)) % 25) as bigint) AS h
+        | FROM documents
+        |), i2 AS (SELECT doc_id, (w * 1000) // h AS img_ar FROM imgs),
+        |a AS (
+        | SELECT doc_id, img_ar, bw, bh, b_ar,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY abs(img_ar - b_ar), b_ar, bw) AS rn
+        | FROM i2 CROSS JOIN b2
+        |)
+        |SELECT bw, bh, b_ar, count(*) AS n_images,
+        | min(img_ar) AS min_ar, max(img_ar) AS max_ar
+        |FROM a WHERE rn = 1 GROUP BY 1, 2, 3 ORDER BY bw, bh""".stripMargin,
   )
 }

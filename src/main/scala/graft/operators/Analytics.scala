@@ -2668,4 +2668,34 @@ object Analytics {
       .limit(k)
   }
 
+  /** CUSUM changepoint candidates over the daily-revenue series — the
+    * offline twin of q84's drift monitor: the day k maximizing
+    * |n·P_k − k·S| (P = prefix sum, S = total) is the max-likelihood
+    * single changepoint of a mean-shift model, scaled by n to stay in
+    * EXACT integers (no mean, no division). Day totals aggregate
+    * distributed (integer cents, map-side combinable); the ordered
+    * prefix sum runs over the ~n_days rows — bounded by the calendar,
+    * not the fact table, at any scale. Top-5 by score with a day
+    * tie-break. */
+  def q131Changepoint(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      expr("cast(sum(cast(cents as decimal(38,0))) as decimal(38,0))").as("total_cents"))
+    val w = Window.orderBy($"day")
+    daily
+      .withColumn("k", row_number().over(w).cast("bigint"))
+      .withColumn("pfx", sum(expr("cast(cents as decimal(38,0))"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("score", expr(
+        "cast(abs(cast(n_days as decimal(38,0)) * pfx - cast(k as decimal(38,0)) * total_cents) as decimal(38,0))"))
+      .select($"day", $"k", expr("cast(pfx as decimal(38,0))").as("prefix_cents"),
+        $"score")
+      .orderBy($"score".desc, $"day")
+      .limit(k)
+  }
+
 }

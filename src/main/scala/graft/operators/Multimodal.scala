@@ -218,4 +218,42 @@ object Multimodal {
         (sum(col("h")) / count(lit(1)).cast("double")).as("avg_h"))
       .orderBy(col("kind"))
 
+  /** SDXL-style aspect-ratio bucketing: every image snaps to the
+    * nearest of 15 fixed training resolutions (8 landscape/square
+    * bases + their portrait transposes) so batches can share a padded
+    * shape — the standard pre-training layout pass for image corpora.
+    * Image dims are an md5-derived metadata stub (512..2048 step 64);
+    * aspect ratios compare as SCALED INTEGERS ((w·1000) div h) so the
+    * nearest-bucket argmin is exact — no float ratios, no log-space
+    * snapping. The bucket table broadcasts; assignment is one
+    * map-side min-of-struct aggregate (no window over the corpus);
+    * output is the 15-row bucket histogram. */
+  def mmAspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val base = Seq((512, 2048), (576, 1664), (704, 1344), (768, 1280),
+      (832, 1152), (896, 1088), (960, 1024), (1024, 1024))
+    val all = (base ++ base.filter(p => p._1 != p._2).map(_.swap)).sorted
+    val structs = all.map { case (w0, h0) =>
+      s"named_struct('bw', cast($w0 as bigint), 'bh', cast($h0 as bigint))"
+    }.mkString(", ")
+    val buckets = spark.range(1)
+      .select(explode(expr(s"array($structs)")).as("b"))
+      .select(col("b.bw").as("bw"), col("b.bh").as("bh"))
+      .withColumn("b_ar", expr("(bw * 1000) div bh"))
+    def dim(salt: String): String =
+      s"cast(64 * (8 + cast(conv(substring(md5(concat(cast(doc_id as string), '$salt')), 1, 2), 16, 10) as bigint) % 25) as bigint)"
+    val imgs = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(dim(":w")).as("w"), expr(dim(":h")).as("h"))
+      .withColumn("img_ar", expr("(w * 1000) div h"))
+    imgs.crossJoin(broadcast(buckets))
+      .withColumn("adiff", abs(col("img_ar") - col("b_ar")))
+      .groupBy(col("doc_id"), col("img_ar"))
+      .agg(min(struct(col("adiff"), col("b_ar"), col("bw"), col("bh"))).as("m"))
+      .select(col("img_ar"), col("m.bw").as("bw"), col("m.bh").as("bh"),
+        col("m.b_ar").as("b_ar"))
+      .groupBy(col("bw"), col("bh"), col("b_ar"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("img_ar")).as("min_ar"), max(col("img_ar")).as("max_ar"))
+      .orderBy(col("bw"), col("bh"))
+  }
+
 }

@@ -445,6 +445,52 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Simplified silhouette per cluster — the separation audit that
+    * completes the k-means family ([[simKmeansStep]] assigns,
+    * [[simInertia]] measures tightness, this measures tightness vs the
+    * nearest OTHER cluster): a(i) = squared L2 to the own centroid,
+    * b(i) = min squared L2 to any other centroid, s = (b−a)/max(a,b).
+    * Squared distances are monotone-equivalent for the min and keep
+    * the whole pipeline sqrt-free. Same scale shape as the step:
+    * centroids broadcast (10 rows), per-point work is map-side.
+    * Parity discipline: the distance folds can drift an ulp between
+    * engines, so each dist rounds to 6 decimals FIRST (the
+    * [[simInertia]] rule) and everything after runs in exact integer
+    * micro-units — s_micro = ((B−A+G)·10⁶ div G) − 10⁶ with
+    * G = max(A,B), the +G shift keeping the numerator non-negative so
+    * both engines' integer division truncates identically. No float
+    * quotient ever feeds a floor/round. n_well_placed counts B > A. */
+  def simSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val ab = e.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(embedding, cv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), cast(0 as double), (acc, v) -> acc + v)"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("dist"))).as("a_dist"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b_dist"))
+      .withColumn("am", expr(
+        "cast(cast(round(a_dist, 6) as decimal(18,6)) * 1000000 as bigint)"))
+      .withColumn("bm", expr(
+        "cast(cast(round(b_dist, 6) as decimal(18,6)) * 1000000 as bigint)"))
+      .withColumn("g", greatest(col("am"), col("bm")))
+      .withColumn("s_micro", expr(
+        "(bm - am + g) * 1000000 div greatest(g, 1) - 1000000"))
+    ab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("s_micro")).as("s_sum_micro"),
+        sum(when(col("bm") > col("am"), 1L).otherwise(0L)).as("n_well_placed"))
+      .withColumn("mean_silhouette",
+        expr("cast(s_sum_micro as double) / 1000000.0 / n_vecs"))
+      .orderBy(col("label"))
+  }
+
   /** Binary sign-bit ANN: each 64-dim vector compresses to two 32-bit
     * sign words (bit i set iff dim i > 0) and top-k runs on Hamming
     * distance `bit_count(xor)` — the 32×-compression tier a 100 TB

@@ -759,6 +759,51 @@ class Round5WidenSpec extends SparkSpec {
     }
   }
 
+  test("sim_silhouette: bounded scores, counts conserve across labels") {
+    val rows = graft.operators.Similarity.simSilhouette(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.embeddings(spark, sf0001).count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      val s = r.getAs[Long]("s_sum_micro")
+      // each per-row s_micro is in [-1e6, 1e6]
+      assert(math.abs(s) <= n * 1000000L)
+      assert(r.getAs[Long]("n_well_placed") <= n)
+      assert(r.getAs[Double]("mean_silhouette") == s.toDouble / 1000000.0 / n)
+    }
+  }
+
+  test("q131_changepoint: scores match a driver-side recompute of the scan statistic") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)").as("cents"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val total = daily.map(_._2).map(BigInt(_)).sum
+    var pfx = BigInt(0)
+    val scores = daily.zipWithIndex.map { case ((day, cents), i) =>
+      pfx += cents
+      (day, (BigInt(n) * pfx - BigInt(i + 1) * total).abs)
+    }
+    val expectedTop = scores.sortBy { case (day, sc) => (-sc, day) }.take(5)
+    val got = graft.operators.Analytics.q131Changepoint(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, BigInt(r.getDecimal(3).toBigInteger)))
+    assert(got.toSeq == expectedTop.toSeq)
+  }
+
+  test("mm_aspect_buckets: every document lands in exactly one bucket") {
+    val rows = graft.operators.Multimodal.mmAspectBuckets(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_images")).sum ==
+      Tables.documents(spark, sf0001).count())
+    assert(rows.length <= 15)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_ar") <= r.getAs[Long]("max_ar"))
+      assert(r.getAs[Long]("b_ar") ==
+        r.getAs[Long]("bw") * 1000 / r.getAs[Long]("bh"))
+    }
+  }
+
   test("pipe_l_diversity: doc counts conserve and the risk flag is l<2") {
     val rows = graft.operators.CorpusPipeline.pipeLDiversity(spark, sf0001).collect()
     val totalDocs = Tables.documents(spark, sf0001).count()
