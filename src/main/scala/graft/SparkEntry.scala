@@ -260,6 +260,9 @@ object SparkEntry {
     "sim_silhouette" -> (Similarity.simSilhouette _),
     "q131_changepoint" -> ((s: SparkSession, d: String) => Analytics.q131Changepoint(s, d)),
     "mm_aspect_buckets" -> (Multimodal.mmAspectBuckets _),
+    "q132_wilcoxon" -> (Analytics.q132Wilcoxon _),
+    "q133_auc" -> (Analytics.q133Auc _),
+    "q135_var_ratio" -> (Analytics.q135VarRatio _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3839,5 +3842,83 @@ object SparkEntry {
         |SELECT bw, bh, b_ar, count(*) AS n_images,
         | min(img_ar) AS min_ar, max(img_ar) AS max_ar
         |FROM a WHERE rn = 1 GROUP BY 1, 2, 3 ORDER BY bw, bh""".stripMargin,
+
+    // Wilcoxon: midrank×2 per row is 2·(rank−1) + tie_count + 1 — the
+    // oracle computes it with plain windows; the engine computes the
+    // identical integer on distinct-value cells (no serial window).
+    "q132_wilcoxon" ->
+      """WITH y AS (
+        | SELECT o_custkey,
+        |  sum(CASE WHEN year(o_orderdate) = 1995
+        |      THEN cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) END) c95,
+        |  sum(CASE WHEN year(o_orderdate) = 1996
+        |      THEN cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) END) c96
+        | FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        | GROUP BY 1
+        |), d AS (
+        | SELECT c_mktsegment AS seg, c96 - c95 AS diff, abs(c96 - c95) AS adiff
+        | FROM y JOIN customer ON o_custkey = c_custkey
+        | WHERE c95 IS NOT NULL AND c96 IS NOT NULL AND c95 <> c96
+        |), r AS (
+        | SELECT seg, diff,
+        |  2 * (rank() OVER (PARTITION BY seg ORDER BY adiff) - 1)
+        |   + count(*) OVER (PARTITION BY seg, adiff) + 1 AS mr2
+        | FROM d
+        |)
+        |SELECT seg, count(*) AS n,
+        | cast(sum(CASE WHEN diff > 0 THEN mr2 ELSE 0 END) as bigint) AS w_plus_x2,
+        | cast(count(*) * (count(*) + 1)
+        |   - sum(CASE WHEN diff > 0 THEN mr2 ELSE 0 END) as bigint) AS w_minus_x2
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q133_auc" ->
+      """WITH b AS (
+        | SELECT cast(dayofweek(cast(ts as date)) as bigint) AS dow, value,
+        |  (event_type = 'purchase') AS pos
+        | FROM events
+        |), r AS (
+        | SELECT dow, pos,
+        |  2 * (rank() OVER (PARTITION BY dow ORDER BY value) - 1)
+        |   + count(*) OVER (PARTITION BY dow, value) + 1 AS mr2
+        | FROM b
+        |), g AS (
+        | SELECT dow,
+        |  sum(CASE WHEN pos THEN mr2 ELSE 0 END) AS smr2,
+        |  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n1,
+        |  sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n0
+        | FROM r GROUP BY 1
+        |)
+        |SELECT dow, cast(n1 as bigint) AS n_pos, cast(n0 as bigint) AS n_neg,
+        | cast(smr2 - n1 * (n1 + 1) as bigint) AS u_x2,
+        | cast(smr2 - n1 * (n1 + 1) as double) / (2.0 * n1 * n0) AS auc
+        |FROM g ORDER BY 1""".stripMargin,
+
+    "q135_var_ratio" ->
+      """WITH o AS (
+        | SELECT n_name, o_orderpriority = '1-URGENT' AS is_a,
+        |  cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) AS cents
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |), g AS (
+        | SELECT n_name,
+        |  sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b,
+        |  sum(CASE WHEN is_a THEN cast(cents as hugeint) END) AS s_a,
+        |  sum(CASE WHEN NOT is_a THEN cast(cents as hugeint) END) AS s_b,
+        |  sum(CASE WHEN is_a THEN cast(cents as hugeint) * cents END) AS q_a,
+        |  sum(CASE WHEN NOT is_a THEN cast(cents as hugeint) * cents END) AS q_b
+        | FROM o GROUP BY 1
+        |), s AS (
+        | SELECT n_name, cast(n_a as bigint) n_a, cast(n_b as bigint) n_b,
+        |  n_a * q_a - s_a * s_a AS ss_a, n_b * q_b - s_b * s_b AS ss_b
+        | FROM g WHERE n_a >= 2 AND n_b >= 2
+        |)
+        |SELECT n_name, n_a, n_b,
+        | cast(ss_a as decimal(38,0)) AS ss_a, cast(ss_b as decimal(38,0)) AS ss_b,
+        | cast(cast(ss_a * n_b * (n_b - 1) as decimal(38,0)) as double)
+        |  / cast(cast(ss_b * n_a * (n_a - 1) as decimal(38,0)) as double) AS f_ratio
+        |FROM s WHERE ss_b > 0 ORDER BY n_name""".stripMargin,
   )
 }

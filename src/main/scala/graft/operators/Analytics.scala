@@ -2698,4 +2698,99 @@ object Analytics {
       .limit(k)
   }
 
+  /** Wilcoxon signed-rank test (paired, per market segment): did
+    * per-customer spend shift from 1995 to 1996? Midranks of |diff|
+    * are computed on the DISTINCT-value cells (group → cell counts →
+    * two-phase prefix sum via [[CorpusPipeline.prefixSumExclusive]]),
+    * so no corpus-growing serial window exists anywhere in the plan —
+    * the rank of a cell is (count of strictly smaller elements) and
+    * the midrank doubles to the EXACT integer 2·lt + c + 1. Emitted
+    * statistics are exact integers at 2× scale (W⁺ + W⁻ = n(n+1)/2
+    * by construction, a built-in self-check). */
+  def q132Wilcoxon(spark: SparkSession, dir: String): DataFrame = {
+    val y = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1997-01-01").cast("date"))
+      .select($"o_custkey", year($"o_orderdate").as("yr"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .groupBy($"o_custkey")
+      .agg(
+        sum(when($"yr" === 1995, $"cents")).as("c95"),
+        sum(when($"yr" === 1996, $"cents")).as("c96"))
+      .filter($"c95".isNotNull && $"c96".isNotNull && $"c95" =!= $"c96")
+    val d = y.join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), ($"c96" - $"c95").as("diff"),
+        abs($"c96" - $"c95").as("adiff"))
+    val cells = d.groupBy($"seg", $"adiff")
+      .agg(count(lit(1)).as("c_tot"),
+        sum(when($"diff" > 0, 1L).otherwise(0L)).as("c_pos"))
+    val ranked = CorpusPipeline.prefixSumExclusive(cells, "seg",
+      Seq($"adiff"), "c_tot", "_lt", CorpusPipeline.equiWidthBucket(cells, "adiff"))
+    ranked.groupBy($"seg")
+      .agg(sum($"c_tot").as("n"),
+        sum($"c_pos" * (lit(2L) * $"_lt" + $"c_tot" + 1L)).as("w_plus_x2"))
+      .select($"seg", $"n", $"w_plus_x2",
+        ($"n" * ($"n" + 1L) - $"w_plus_x2").as("w_minus_x2"))
+      .orderBy($"seg")
+  }
+
+  /** AUC by the rank statistic (Mann–Whitney U / n⁺n⁻): how well does
+    * the event `value` separate purchases from non-purchases, per day
+    * of week. Same cell-based midrank machinery as q132 — distinct
+    * (dow, value) cells carry positive/total counts, the two-phase
+    * prefix sum ranks them without a serial window, and
+    * 2U = Σ c⁺·(2·lt + c + 1) − n⁺(n⁺+1) stays an exact integer
+    * (midranks handle tied scores exactly like the textbook AUC).
+    * The only double is the single edge division. */
+  def q133Auc(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir)
+      .select(expr("cast(dayofweek(cast(ts as date)) - 1 as bigint)").as("dow"),
+        $"value", ($"event_type" === "purchase").as("pos"))
+    val cells = b.groupBy($"dow", $"value")
+      .agg(count(lit(1)).as("c_tot"),
+        sum(when($"pos", 1L).otherwise(0L)).as("c_pos"))
+    val ranked = CorpusPipeline.prefixSumExclusive(cells, "dow",
+      Seq($"value"), "c_tot", "_lt", expr("cast(floor(value) as bigint)"))
+    ranked.groupBy($"dow")
+      .agg(sum($"c_pos" * (lit(2L) * $"_lt" + $"c_tot" + 1L)).as("smr2"),
+        sum($"c_pos").as("n_pos"),
+        sum($"c_tot" - $"c_pos").as("n_neg"))
+      .select($"dow", $"n_pos", $"n_neg",
+        ($"smr2" - $"n_pos" * ($"n_pos" + 1L)).as("u_x2"))
+      .withColumn("auc", expr("cast(u_x2 as double) / (2.0 * n_pos * n_neg)"))
+      .orderBy($"dow")
+  }
+
+  /** Two-sample variance-ratio F test per nation: are URGENT order
+    * totals more dispersed than LOW ones? Sample variances come from
+    * exact sufficient statistics (n·Σx² − S², integer cents in
+    * DECIMAL(38)), so F = (SS_a·n_b·(n_b−1)) / (SS_b·n_a·(n_a−1)) is
+    * a ratio of two exact integers — one edge division, no
+    * intermediate float. Single scan, 25 groups, map-side partial
+    * aggregation; the customer→nation dim joins broadcast. */
+  def q135VarRatio(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name",
+        ($"o_orderpriority" === "1-URGENT").as("is_a"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+    o.groupBy($"n_name")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"),
+        sum(when($"is_a", expr("cast(cents as decimal(38,0))"))).as("s_a"),
+        sum(when(!$"is_a", expr("cast(cents as decimal(38,0))"))).as("s_b"),
+        sum(when($"is_a", expr("cast(cents as decimal(38,0)) * cents"))).as("q_a"),
+        sum(when(!$"is_a", expr("cast(cents as decimal(38,0)) * cents"))).as("q_b"))
+      .filter($"n_a" >= 2 && $"n_b" >= 2)
+      .withColumn("ss_a", expr("cast(n_a * q_a - s_a * s_a as decimal(38,0))"))
+      .withColumn("ss_b", expr("cast(n_b * q_b - s_b * s_b as decimal(38,0))"))
+      .filter($"ss_b" > 0)
+      .select($"n_name", $"n_a", $"n_b", $"ss_a", $"ss_b",
+        expr("cast(cast(ss_a * n_b * (n_b - 1) as decimal(38,0)) as double) / " +
+          "cast(cast(ss_b * n_a * (n_a - 1) as decimal(38,0)) as double)").as("f_ratio"))
+      .orderBy($"n_name")
+  }
+
 }
