@@ -263,6 +263,10 @@ object SparkEntry {
     "q132_wilcoxon" -> (Analytics.q132Wilcoxon _),
     "q133_auc" -> (Analytics.q133Auc _),
     "q135_var_ratio" -> (Analytics.q135VarRatio _),
+    "q134_cvm" -> (Analytics.q134Cvm _),
+    "q136_holt" -> (Analytics.q136Holt _),
+    "q137_theil_sen" -> (Analytics.q137TheilSen _),
+    "txt_zipf" -> ((s: SparkSession, d: String) => TextAnalysis.txtZipf(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -3920,5 +3924,102 @@ object SparkEntry {
         | cast(cast(ss_a * n_b * (n_b - 1) as decimal(38,0)) as double)
         |  / cast(cast(ss_b * n_a * (n_a - 1) as decimal(38,0)) as double) AS f_ratio
         |FROM s WHERE ss_b > 0 ORDER BY n_name""".stripMargin,
+
+    // CvM: the oracle's per-row window form (midrank mr2, within-sample
+    // row_number i, term (mr2−2i)²) sums to the same integers as the
+    // engine's closed-form per-cell reduction — tied elements are
+    // interchangeable, so the multiset of indices inside a tie cell is
+    // fixed no matter how row_number breaks the tie.
+    "q134_cvm" ->
+      """WITH o AS (
+        | SELECT r_name, o_orderpriority = '1-URGENT' AS is_a,
+        |  cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) AS cents
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |), r AS (
+        | SELECT r_name, is_a,
+        |  2 * (rank() OVER (PARTITION BY r_name ORDER BY cents) - 1)
+        |   + count(*) OVER (PARTITION BY r_name, cents) + 1 AS mr2,
+        |  row_number() OVER (PARTITION BY r_name, is_a ORDER BY cents) AS i
+        | FROM o
+        |), g AS (
+        | SELECT r_name,
+        |  sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b,
+        |  sum(CASE WHEN is_a THEN cast(mr2 - 2 * i as hugeint) * (mr2 - 2 * i) END) AS t_a,
+        |  sum(CASE WHEN NOT is_a THEN cast(mr2 - 2 * i as hugeint) * (mr2 - 2 * i) END) AS t_b
+        | FROM r GROUP BY 1
+        |)
+        |SELECT r_name, cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b,
+        | cast(n_a * t_a + n_b * t_b as decimal(38,0)) AS u_x4,
+        | cast(cast(n_a * t_a + n_b * t_b as decimal(38,0)) as double)
+        |   / cast(4 * n_a * n_b * (n_a + n_b) as double)
+        |  - cast(4 * n_a * n_b - 1 as double) / cast(6 * (n_a + n_b) as double) AS t_stat
+        |FROM g ORDER BY r_name""".stripMargin,
+
+    "q136_holt" -> {
+      def kernelSql(ws: Array[Long]): String =
+        ws.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"cast(cents as hugeint) * $wt"
+          else s"cast(lag(cents, $i) OVER w as hugeint) * $wt"
+        }.mkString("\n        |   + ")
+      val n = Analytics.HoltNorm
+      s"""WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), l AS (
+        | SELECT o_orderpriority, "day", cents,
+        |  ${kernelSql(Analytics.HoltW1)} AS s1_num,
+        |  ${kernelSql(Analytics.HoltConv)} AS s2_num,
+        |  lag(cents, 14) OVER w AS guard
+        | FROM daily WINDOW w AS (PARTITION BY o_orderpriority ORDER BY "day")
+        |)
+        |SELECT o_orderpriority, "day", cents,
+        | cast(7 * s1_num * $n - 4 * s2_num as decimal(38,0)) AS holt_num,
+        | cast(((7 * s1_num * $n - 4 * s2_num) + ${Analytics.HoltShift}::hugeint * ${3 * n * n})
+        |  * 1000 // ${3 * n * n} - ${1000L * Analytics.HoltShift} as bigint) AS holt_milli
+        |FROM l WHERE guard IS NOT NULL
+        |ORDER BY o_orderpriority, "day"""".stripMargin
+    },
+
+    "q137_theil_sen" ->
+      """WITH monthly AS (
+        | SELECT n_name,
+        |  cast(year(o_orderdate) * 12 + month(o_orderdate) as bigint) AS m,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1, 2
+        |), p AS (
+        | SELECT a.n_name, cast(b.cents - a.cents as double) / (b.m - a.m) AS slope
+        | FROM monthly a JOIN monthly b ON a.n_name = b.n_name AND a.m < b.m
+        |), r AS (
+        | SELECT n_name, slope,
+        |  row_number() OVER (PARTITION BY n_name ORDER BY slope) AS rn,
+        |  count(*) OVER (PARTITION BY n_name) AS n_pairs
+        | FROM p
+        |)
+        |SELECT n_name, cast(n_pairs as bigint) AS n_pairs, slope AS sen_slope
+        |FROM r WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY n_name""".stripMargin,
+
+    "txt_zipf" ->
+      """WITH tok AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), tf AS (
+        | SELECT lang, term, cast(count(*) as bigint) tf FROM tok GROUP BY 1, 2
+        |), r AS (
+        | SELECT lang, term, tf,
+        |  cast(row_number() OVER (PARTITION BY lang ORDER BY tf DESC, term) as bigint) AS "rank"
+        | FROM tf
+        |)
+        |SELECT lang, "rank", term, tf, tf * "rank" AS zipf_c
+        |FROM r WHERE "rank" <= 20 ORDER BY lang, "rank"""".stripMargin,
   )
 }

@@ -2793,4 +2793,134 @@ object Analytics {
       .orderBy($"n_name")
   }
 
+  /** Two-sample Cramér–von Mises statistic per region (URGENT vs LOW
+    * order totals): U = n·Σ_A(r_i−i)² + m·Σ_B(s_j−j)² over combined
+    * midranks r and within-sample indices i. Everything runs on
+    * distinct-value cells: the combined midrank×2 is 2·ltC + c + 1
+    * and within a tie cell the sample indices are the consecutive run
+    * ltS+1..ltS+c_s, so the cell's Σ(2r−2i)² has the closed form
+    * c·a² − 2a·c(c+1) + 2·(c(c+1)(2c+1) div 3) with a = 2r − 2·ltS —
+    * exact integers end to end (U is emitted at 4× scale). Three
+    * two-phase prefix sums over the same cell table; no serial
+    * window. The tie-handling (midranks; per-cell index runs) is
+    * pinned by the oracle, whose per-row window form provably sums to
+    * the same integers. */
+  def q134Cvm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", ($"o_orderpriority" === "1-URGENT").as("is_a"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val cells = o.groupBy($"r_name", $"cents")
+      .agg(count(lit(1)).as("c_tot"),
+        sum(when($"is_a", 1L).otherwise(0L)).as("c_a"))
+      .withColumn("c_b", $"c_tot" - $"c_a")
+    val bkt = CorpusPipeline.equiWidthBucket(cells, "cents")
+    val ranked = Seq(("c_tot", "_ltC"), ("c_a", "_ltA"), ("c_b", "_ltB"))
+      .foldLeft(cells) { case (df, (v, out)) =>
+        CorpusPipeline.prefixSumExclusive(df, "r_name", Seq($"cents"), v, out, bkt)
+      }
+      .withColumn("mr2", lit(2L) * $"_ltC" + $"c_tot" + 1L)
+    // closed-form Σ_{d=1..c}(a−2d)² per tie cell, in DECIMAL(38)
+    def cellTerm(c: String, lt: String): org.apache.spark.sql.Column = expr(
+      s"""cast($c as decimal(38,0)) * (mr2 - 2 * $lt) * (mr2 - 2 * $lt)
+         | - 2 * cast(mr2 - 2 * $lt as decimal(38,0)) * $c * ($c + 1)
+         | + 2 * (cast($c as decimal(38,0)) * ($c + 1) * (2 * $c + 1) div 3)""".stripMargin)
+    ranked.groupBy($"r_name")
+      .agg(sum($"c_a").as("n_a"), sum($"c_b").as("n_b"),
+        sum(cellTerm("c_a", "_ltA")).as("t_a"),
+        sum(cellTerm("c_b", "_ltB")).as("t_b"))
+      .withColumn("u_x4", expr("cast(n_a * t_a + n_b * t_b as decimal(38,0))"))
+      .select($"r_name", $"n_a", $"n_b", $"u_x4")
+      // every divisor/dividend is an exact integer cast to double at the
+      // edge — a bare 4.0*… literal would be DECIMAL arithmetic in the
+      // oracle dialect and round differently
+      .withColumn("t_stat", expr(
+        "cast(u_x4 as double) / cast(cast(4 * n_a as decimal(38,0)) * n_b * (n_a + n_b) as double) " +
+          "- cast(cast(4 * n_a as decimal(38,0)) * n_b - 1 as double) / cast(6 * (n_a + n_b) as double)"))
+      .orderBy($"r_name")
+  }
+
+  /** Truncated EMA weights at α=1/4, scale 4⁸ (w_i = 4⁷⁻ⁱ·3ⁱ): the
+    * exact-integer smoothing kernel q100 established; Σw = 58975. */
+  private[graft] val HoltW1: Array[Long] =
+    Array.tabulate(8)(i => (1L << (2 * (7 - i))) * math.pow(3, i).toLong)
+  /** Self-convolution of [[HoltW1]] — the kernel of EMA∘EMA (Brown's
+    * double smoothing), scale 4¹⁶, Σ = 58975². */
+  private[graft] val HoltConv: Array[Long] = Array.tabulate(15) { j =>
+    (math.max(0, j - 7) to math.min(7, j)).map(i => HoltW1(i) * HoltW1(j - i)).sum
+  }
+  private[graft] val HoltNorm = 58975L
+  /** Dividend shift for the forecast's exact integer quotient: must
+    * exceed |forecast| in cents — 10¹³ covers $100B/day groups. */
+  private[graft] val HoltShift = 10000000000000L
+
+  /** Brown's double-exponential-smoothing forecast (Holt-style level +
+    * trend from one smoothing constant): forecast = 2s₁ − s₂ +
+    * (α/(1−α))(s₁−s₂) = (7·s₁ − 4·s₂)/3 at α=1/4. Both smoothings are
+    * the TRUNCATED 8-term integer kernel (q100's float-parity device),
+    * so s₂'s kernel is the 15-term self-convolution and the forecast
+    * numerator 7·S₁·N − 4·S₂ is an exact DECIMAL(38) integer (N =
+    * 58975, the truncated kernel mass), emitted with the forecast as
+    * an exact milli-cent integer quotient. Per-priority lag windows
+    * are calendar-bounded — serial by design like q75/q100. */
+  def q136Holt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", $"o_orderdate".cast("date").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    def kernel(ws: Array[Long]): org.apache.spark.sql.Column =
+      ws.zipWithIndex.map { case (wt, i) =>
+        val x = if (i == 0) $"cents" else lag($"cents", i).over(w)
+        x.cast("decimal(38,0)") * wt
+      }.reduce(_ + _)
+    daily
+      .withColumn("s1_num", kernel(HoltW1))
+      .withColumn("s2_num", kernel(HoltConv))
+      .withColumn("_guard", lag($"cents", 14).over(w))
+      .filter($"_guard".isNotNull)
+      .withColumn("holt_num", expr(
+        s"cast(7 * s1_num * $HoltNorm - 4 * s2_num as decimal(38,0))"))
+      // forecast in exact milli-cents via the +G-shifted integer quotient
+      // (trunc == floor once the dividend is non-negative — the same
+      // ulp-proof device as sim_silhouette; a decimal→double cast of the
+      // >2^53 numerator is 1-ulp unstable across engines)
+      .select($"o_orderpriority", $"day", $"cents", $"holt_num",
+        expr(s"(holt_num + cast(${HoltShift} as decimal(38,0)) * ${3 * HoltNorm * HoltNorm}) " +
+          s"* 1000 div ${3 * HoltNorm * HoltNorm} - ${1000L * HoltShift}")
+          .as("holt_milli"))
+      .orderBy($"o_orderpriority", $"day")
+  }
+
+  /** Theil–Sen robust trend per nation: the (lower-)median of all
+    * pairwise monthly-revenue slopes. Slopes are single divisions of
+    * exact integers (cent diff / month gap) — bit-identical doubles in
+    * both engines; the discrete median picks position (n+1) div 2, so
+    * no float interpolation ever mixes two values. The pair join is
+    * calendar²-bounded (≤ 80 months ⇒ ≤ 3.2k pairs per nation at ANY
+    * fact-table scale) with the month table broadcast — the same
+    * bound-by-the-calendar argument as q118/q120. */
+  def q137TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long").as("m"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val b = monthly.select($"n_name".as("n2"), $"m".as("m2"), $"cents".as("c2"))
+    val pairs = monthly.join(broadcast(b), $"n_name" === $"n2" && $"m" < $"m2")
+      .withColumn("slope", expr("cast(c2 - cents as double) / (m2 - m)"))
+    val wN = Window.partitionBy($"n_name")
+    pairs
+      .withColumn("rn", row_number().over(wN.orderBy($"slope")))
+      .withColumn("n_pairs", count(lit(1)).over(wN))
+      .filter($"rn" === expr("(n_pairs + 1) div 2"))
+      .select($"n_name", $"n_pairs", $"slope".as("sen_slope"))
+      .orderBy($"n_name")
+  }
+
 }

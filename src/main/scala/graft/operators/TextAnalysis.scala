@@ -873,4 +873,27 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Zipf's-law rank-constant audit per language: for the top-k terms,
+    * freq·rank should be roughly constant (≈ the Zipf normalizer) —
+    * a cheap sanity probe that a corpus slice has natural-language
+    * frequency structure rather than templated/synthetic text. The
+    * rank·freq product is an exact integer (no log–log fit), and the
+    * per-language top-k runs on the aggregated vocab table (bounded by
+    * vocabulary, not corpus size) through the row_number()<=k pattern
+    * the TopKPerGroupRewrite rule lowers onto the bounded-heap
+    * operator. */
+  def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("tf").desc, col("term"))
+    tf.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .withColumn("zipf_c", col("tf") * col("rank"))
+      .select(col("lang"), col("rank"), col("term"), col("tf"), col("zipf_c"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
 }
