@@ -267,6 +267,10 @@ object SparkEntry {
     "q136_holt" -> (Analytics.q136Holt _),
     "q137_theil_sen" -> (Analytics.q137TheilSen _),
     "txt_zipf" -> ((s: SparkSession, d: String) => TextAnalysis.txtZipf(s, d)),
+    "q139_kcore" -> ((s: SparkSession, d: String) => Analytics.q139Kcore(s, d)),
+    "txt_pr_curve" -> ((s: SparkSession, d: String) => TextAnalysis.txtPrCurve(s, d)),
+    "pipe_rlhf_pairs" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeRlhfPairs(s, d)),
+    "pipe_contrastive_batches" -> (CorpusPipeline.pipeContrastiveBatches _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -4021,5 +4025,88 @@ object SparkEntry {
         |)
         |SELECT lang, "rank", term, tf, tf * "rank" AS zipf_c
         |FROM r WHERE "rank" <= 20 ORDER BY lang, "rank"""".stripMargin,
+
+    "q139_kcore" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |),
+        |k1 AS (SELECT n FROM (SELECT n, count(*) deg FROM (
+        |  SELECT a n FROM e0 UNION ALL SELECT b2 FROM e0) GROUP BY 1) WHERE deg >= 3),
+        |e1 AS (SELECT a, b2 FROM e0
+        |  WHERE a IN (SELECT n FROM k1) AND b2 IN (SELECT n FROM k1)),
+        |k2 AS (SELECT n FROM (SELECT n, count(*) deg FROM (
+        |  SELECT a n FROM e1 UNION ALL SELECT b2 FROM e1) GROUP BY 1) WHERE deg >= 3),
+        |e2 AS (SELECT a, b2 FROM e1
+        |  WHERE a IN (SELECT n FROM k2) AND b2 IN (SELECT n FROM k2)),
+        |k3 AS (SELECT n FROM (SELECT n, count(*) deg FROM (
+        |  SELECT a n FROM e2 UNION ALL SELECT b2 FROM e2) GROUP BY 1) WHERE deg >= 3),
+        |e3 AS (SELECT a, b2 FROM e2
+        |  WHERE a IN (SELECT n FROM k3) AND b2 IN (SELECT n FROM k3))
+        |SELECT * FROM (
+        | SELECT cast(1 as bigint) AS round,
+        |  (SELECT cast(count(DISTINCT n) as bigint) FROM (SELECT a n FROM e1 UNION ALL SELECT b2 FROM e1)) AS n_nodes,
+        |  (SELECT cast(count(*) as bigint) FROM e1) AS n_edges
+        | UNION ALL SELECT 2,
+        |  (SELECT cast(count(DISTINCT n) as bigint) FROM (SELECT a n FROM e2 UNION ALL SELECT b2 FROM e2)),
+        |  (SELECT cast(count(*) as bigint) FROM e2)
+        | UNION ALL SELECT 3,
+        |  (SELECT cast(count(DISTINCT n) as bigint) FROM (SELECT a n FROM e3 UNION ALL SELECT b2 FROM e3)),
+        |  (SELECT cast(count(*) as bigint) FROM e3)
+        |) ORDER BY round""".stripMargin,
+
+    "txt_pr_curve" ->
+      """WITH s AS (
+        | SELECT (lang = 'en') AS is_en,
+        |  cast(length(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the', 'and', 'of', 'to', 'a', 'is'))) as bigint) AS s_en
+        | FROM documents
+        |), t AS (SELECT unnest(range(1, 9)) AS thr),
+        |g AS (
+        | SELECT thr,
+        |  sum(CASE WHEN s_en >= thr AND is_en THEN 1 ELSE 0 END) tp,
+        |  sum(CASE WHEN s_en >= thr AND NOT is_en THEN 1 ELSE 0 END) fp,
+        |  sum(CASE WHEN s_en < thr AND is_en THEN 1 ELSE 0 END) fn,
+        |  sum(CASE WHEN s_en < thr AND NOT is_en THEN 1 ELSE 0 END) tn
+        | FROM s CROSS JOIN t GROUP BY 1
+        |)
+        |SELECT cast(thr as bigint) AS t, cast(tp as bigint) AS tp,
+        | cast(fp as bigint) AS fp, cast(fn as bigint) AS fn, cast(tn as bigint) AS tn,
+        | cast(tp as double) / cast(tp + fp as double) AS "precision",
+        | cast(tp as double) / cast(tp + fn as double) AS recall
+        |FROM g ORDER BY t""".stripMargin,
+
+    "pipe_rlhf_pairs" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+        |best AS (
+        | SELECT lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS pair_idx,
+        |  doc_id AS chosen_id, n_chars AS chosen_chars FROM d
+        |), worst AS (
+        | SELECT lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id) AS pair_idx,
+        |  doc_id AS rejected_id, n_chars AS rejected_chars FROM d
+        |), c AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY 1)
+        |SELECT b.lang, cast(b.pair_idx as bigint) AS pair_idx, chosen_id, rejected_id,
+        | chosen_chars - rejected_chars AS margin_chars
+        |FROM best b JOIN worst w ON b.lang = w.lang AND b.pair_idx = w.pair_idx
+        |JOIN c ON b.lang = c.lang
+        |WHERE b.pair_idx <= 10 AND b.pair_idx <= n_docs // 2
+        |ORDER BY b.lang, pair_idx""".stripMargin,
+
+    "pipe_contrastive_batches" ->
+      """WITH r AS (
+        | SELECT label, vec_id,
+        |  row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS batch_id
+        | FROM embeddings
+        |), g AS (SELECT batch_id, cast(count(*) as bigint) AS n_slots FROM r GROUP BY 1),
+        |t AS (SELECT count(DISTINCT label) AS n_labels FROM embeddings)
+        |SELECT cast(batch_id as bigint) AS batch_id, n_slots,
+        | n_slots * (n_slots - 1) AS n_neg_pairs,
+        | n_slots = n_labels AS is_full
+        |FROM g CROSS JOIN t ORDER BY batch_id""".stripMargin,
   )
 }

@@ -2923,4 +2923,32 @@ object Analytics {
       .orderBy($"n_name")
   }
 
+  /** k-core peeling on the co-purchase graph, 3 unrolled rounds: drop
+    * every node of degree < k, induce, repeat — the standard dense-
+    * subgraph carve (community cores, spam-ring detection). Each round
+    * is one degree aggregation + two semi-joins on the shrinking edge
+    * set, all distributed; 3 rounds is the unrolled-iteration idiom
+    * q57/q126 established (a fixpoint loop would re-plan per round —
+    * at scale you run a fixed round budget per pass). Output is the
+    * per-round summary (surviving nodes/edges), exact integers. */
+  def q139Kcore(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 3): DataFrame = {
+    var edges = copurchaseEdges(spark, dir)
+    val summaries = (1 to rounds).map { r =>
+      val deg = edges.select($"a".as("node")).unionAll(edges.select($"b".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter($"deg" >= k).select($"node")
+      edges = edges
+        .join(keep.select($"node".as("a")), "a", "left_semi")
+        .join(keep.select($"node".as("b")), "b", "left_semi")
+        .select($"a", $"b")
+      val eCount = edges.agg(count(lit(1)).as("n_edges"))
+      val nCount = edges.select($"a".as("node")).unionAll(edges.select($"b".as("node")))
+        .agg(countDistinct($"node").as("n_nodes"))
+      eCount.crossJoin(nCount).select(lit(r).cast("long").as("round"),
+        $"n_nodes", $"n_edges")
+    }
+    summaries.reduce(_ unionAll _).orderBy($"round")
+  }
+
 }

@@ -606,4 +606,57 @@ object CorpusPipeline {
       .withColumn("at_risk", col("l") < 2)
       .orderBy(col("l"))
 
+  /** RLHF preference-pair assembly: within each language, pair the
+    * i-th longest document (proxy "chosen") with the i-th shortest
+    * ("rejected") — the deterministic best-vs-worst layout used to
+    * bootstrap reward-model data from a scored corpus. Both rankings
+    * are row_number()≤k windows, so the TopKPerGroupRewrite lowers
+    * them onto the bounded-heap operator (no full per-language sort);
+    * the pair count caps at min(k, n_docs div 2) so a thin language
+    * never pairs a document with itself. Margin is an exact integer. */
+  def pipeRlhfPairs(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"), col("n_chars"))
+    val best = docs.withColumn("pair_idx", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("pair_idx") <= k)
+      .select(col("lang"), col("pair_idx"),
+        col("doc_id").as("chosen_id"), col("n_chars").as("chosen_chars"))
+    val worst = docs.withColumn("pair_idx", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars").asc, col("doc_id"))))
+      .filter(col("pair_idx") <= k)
+      .select(col("lang"), col("pair_idx"),
+        col("doc_id").as("rejected_id"), col("n_chars").as("rejected_chars"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    best.join(worst, Seq("lang", "pair_idx"))
+      .join(broadcast(counts), "lang")
+      .filter(col("pair_idx") <= expr("n_docs div 2"))
+      .select(col("lang"), col("pair_idx").cast("long").as("pair_idx"),
+        col("chosen_id"), col("rejected_id"),
+        (col("chosen_chars") - col("rejected_chars")).as("margin_chars"))
+      .orderBy(col("lang"), col("pair_idx"))
+  }
+
+  /** Contrastive batch assembly with label-collision-free packing:
+    * slot the i-th vector of every label into batch i (round-robin by
+    * within-label rank), so no in-batch negative shares the anchor's
+    * label — the batching discipline contrastive/CLIP-style training
+    * needs. The rank is the two-phase prefix COUNT (cells are single
+    * vectors; no serial window); the per-batch report (slots, negative
+    * pairs, completeness vs the global label count) is one map-side-
+    * combinable aggregate. */
+  def pipeContrastiveBatches(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("label"), col("vec_id"))
+      .withColumn("c", lit(1L))
+    val ranked = prefixSumExclusive(e, "label", Seq(col("vec_id")), "c", "_lt",
+      equiWidthBucket(e, "vec_id"))
+    val nLabels = e.select(countDistinct(col("label")).as("n_labels"))
+    ranked.groupBy(col("_lt").as("batch_id"))
+      .agg(count(lit(1)).as("n_slots"))
+      .crossJoin(broadcast(nLabels))
+      .select(col("batch_id"), col("n_slots"),
+        (col("n_slots") * (col("n_slots") - 1L)).as("n_neg_pairs"),
+        (col("n_slots") === col("n_labels")).as("is_full"))
+      .orderBy(col("batch_id"))
+  }
+
 }

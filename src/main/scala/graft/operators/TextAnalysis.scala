@@ -882,6 +882,37 @@ object TextAnalysis {
     * vocabulary, not corpus size) through the row_number()<=k pattern
     * the TopKPerGroupRewrite rule lowers onto the bounded-heap
     * operator. */
+  /** Precision/recall curve for the English-detector gate: sweep the
+    * stopword-hit threshold t and report the confusion counts against
+    * the labeled `lang` column — the calibration table you read before
+    * picking any quality/language gate's cutoff (the gate itself is
+    * txt_langid's s_en feature). One scan computes the feature, an
+    * 8-row threshold table cross-joins (broadcast) and the counts
+    * aggregate map-side; precision/recall are single divisions of
+    * exact integers. */
+  def txtPrCurve(spark: SparkSession, dir: String, maxT: Int = 8): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(($"lang" === "en").as("is_en"),
+        expr(s"cast(size(filter(split(text, ' '), x -> x IN ${inList(Stopwords)})) as bigint)")
+          .as("s_en"))
+    scored
+      .select($"is_en", $"s_en", explode(expr(s"sequence(1, $maxT)")).as("thr"))
+      .groupBy($"thr")
+      .agg(
+        sum(when($"s_en" >= $"thr" && $"is_en", 1L).otherwise(0L)).as("tp"),
+        sum(when($"s_en" >= $"thr" && !$"is_en", 1L).otherwise(0L)).as("fp"),
+        sum(when($"s_en" < $"thr" && $"is_en", 1L).otherwise(0L)).as("fn"),
+        sum(when($"s_en" < $"thr" && !$"is_en", 1L).otherwise(0L)).as("tn"))
+      .select($"thr".cast("long").as("t"), $"tp", $"fp", $"fn", $"tn",
+        expr("cast(tp as double) / cast(tp + fp as double)").as("precision"),
+        expr("cast(tp as double) / cast(tp + fn as double)").as("recall"))
+      .orderBy($"t")
+  }
+
+  private implicit class DollarT(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)
