@@ -16,15 +16,40 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` converted to a proper microsecond TimestampType. */
+  /** events with `ts` converted to a proper microsecond TimestampType.
+    *
+    * Schema-adaptive: older testdata generations wrote `ts` as parquet
+    * TIMESTAMP(NANOS) (read as a raw long), newer ones write
+    * TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ).
+    * Both normalize to the same microsecond TimestampType — the session
+    * timezone is pinned to UTC, so the NTZ→TZ cast is value-identical
+    * to what DuckDB sees reading the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => normTs(df)
+    }
   }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  /** Cast any TIMESTAMP_NTZ columns to TimestampType. Newer testdata
+    * generations write parquet timestamps without the UTC-adjusted flag;
+    * with the session timezone pinned to UTC the cast is value-identical,
+    * and it keeps every operator (and the driver-compared output dtype)
+    * on the single TimestampType the whole gated surface was proven on. */
+  private def normTs(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
+    }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = normTs(table(spark, dir, "lineitem"))
+  def orders(spark: SparkSession, dir: String): DataFrame   = normTs(table(spark, dir, "orders"))
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
