@@ -271,6 +271,12 @@ object SparkEntry {
     "txt_pr_curve" -> ((s: SparkSession, d: String) => TextAnalysis.txtPrCurve(s, d)),
     "pipe_rlhf_pairs" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeRlhfPairs(s, d)),
     "pipe_contrastive_batches" -> (CorpusPipeline.pipeContrastiveBatches _),
+    "q138_control_chart" -> (Analytics.q138ControlChart _),
+    "q140_modularity" -> (Analytics.q140Modularity _),
+    "q141_haar" -> (Analytics.q141Haar _),
+    "q142_ccf" -> (Analytics.q142Ccf _),
+    "q143_mcnemar" -> (Analytics.q143Mcnemar _),
+    "q144_odds_ratio" -> (Analytics.q144OddsRatio _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -4108,5 +4114,166 @@ object SparkEntry {
         | n_slots * (n_slots - 1) AS n_neg_pairs,
         | n_slots = n_labels AS is_full
         |FROM g CROSS JOIN t ORDER BY batch_id""".stripMargin,
+
+    "q138_control_chart" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), mr AS (
+        | SELECT o_orderpriority,
+        |  abs(cents - lag(cents) OVER (PARTITION BY o_orderpriority ORDER BY day)) AS mr
+        | FROM daily
+        |), f AS (SELECT * FROM mr WHERE mr IS NOT NULL),
+        |s AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_mr,
+        |  cast(sum(mr) as bigint) sum_mr, cast(max(mr) as bigint) max_mr
+        | FROM f GROUP BY 1
+        |)
+        |SELECT s.o_orderpriority, n_mr, sum_mr, max_mr,
+        | (SELECT cast(count(*) as bigint) FROM f
+        |  WHERE f.o_orderpriority = s.o_orderpriority
+        |   AND cast(mr as hugeint) * 1000 * n_mr > cast(sum_mr as hugeint) * 3267) AS n_ooc
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
+
+    "q140_modularity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |), lab AS (
+        | SELECT pa.p_brand brand_a, pb.p_brand brand_b
+        | FROM e0 JOIN part pa ON e0.a = pa.p_partkey
+        |          JOIN part pb ON e0.b2 = pb.p_partkey
+        |), m AS (SELECT cast(count(*) as bigint) m_edges FROM lab),
+        |dc AS (
+        | SELECT brand, cast(count(*) as bigint) deg_sum FROM (
+        |  SELECT brand_a brand FROM lab UNION ALL SELECT brand_b FROM lab) GROUP BY 1
+        |), ec AS (
+        | SELECT brand_a brand, cast(count(*) as bigint) intra_edges
+        | FROM lab WHERE brand_a = brand_b GROUP BY 1
+        |)
+        |SELECT dc.brand, deg_sum, coalesce(intra_edges, 0) AS intra_edges, m_edges,
+        | cast(4 * cast(m_edges as hugeint) * coalesce(intra_edges, 0)
+        |      - cast(deg_sum as hugeint) * deg_sum as decimal(38,0)) AS q_term_scaled
+        |FROM dc LEFT JOIN ec ON dc.brand = ec.brand CROSS JOIN m
+        |ORDER BY dc.brand""".stripMargin,
+
+    "q141_haar" ->
+      """WITH daily AS (
+        | SELECT cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1
+        |), i AS (
+        | SELECT cents, row_number() OVER (ORDER BY day) - 1 AS idx FROM daily
+        |), l1 AS (
+        | SELECT idx // 2 blk, count(*) n_in,
+        |  sum(CASE WHEN idx % 2 = 0 THEN cast(cents as hugeint) ELSE -cast(cents as hugeint) END) d
+        | FROM i GROUP BY 1
+        |), l2 AS (
+        | SELECT idx // 4 blk, count(*) n_in,
+        |  sum(CASE WHEN (idx // 2) % 2 = 0 THEN cast(cents as hugeint) ELSE -cast(cents as hugeint) END) d
+        | FROM i GROUP BY 1
+        |), l3 AS (
+        | SELECT idx // 8 blk, count(*) n_in,
+        |  sum(CASE WHEN (idx // 4) % 2 = 0 THEN cast(cents as hugeint) ELSE -cast(cents as hugeint) END) d
+        | FROM i GROUP BY 1
+        |)
+        |SELECT * FROM (
+        | SELECT cast(1 as bigint) AS level, cast(count(*) as bigint) AS n_coeffs,
+        |  cast(sum(d * d) as decimal(38,0)) AS energy, cast(max(abs(d)) as bigint) AS max_abs_d
+        | FROM l1 WHERE n_in = 2
+        | UNION ALL
+        | SELECT 2, cast(count(*) as bigint), cast(sum(d * d) as decimal(38,0)),
+        |  cast(max(abs(d)) as bigint) FROM l2 WHERE n_in = 4
+        | UNION ALL
+        | SELECT 3, cast(count(*) as bigint), cast(sum(d * d) as decimal(38,0)),
+        |  cast(max(abs(d)) as bigint) FROM l3 WHERE n_in = 8
+        |) ORDER BY level""".stripMargin,
+
+    "q142_ccf" ->
+      """WITH x AS (
+        | SELECT cast(o_orderdate as date) AS dx,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) x
+        | FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+        |), y AS (
+        | SELECT cast(o_orderdate as date) AS dy,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) y
+        | FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1
+        |), lags AS (SELECT unnest(range(0, 8)) AS lag),
+        |j AS (
+        | SELECT lag, x, y FROM x CROSS JOIN lags JOIN y ON dy = dx + to_days(cast(lag as int))
+        |), a AS (
+        | SELECT lag, cast(count(*) as bigint) n,
+        |  sum(cast(x as hugeint)) sx, sum(cast(y as hugeint)) sy,
+        |  sum(cast(x as hugeint) * y) sxy,
+        |  sum(cast(x as hugeint) * x) sx2, sum(cast(y as hugeint) * y) sy2
+        | FROM j GROUP BY 1
+        |)
+        |SELECT cast(lag as bigint) AS lag, n,
+        | cast(sx as decimal(38,0)) AS sx, cast(sy as decimal(38,0)) AS sy,
+        | cast(n * sxy - sx * sy as decimal(38,0)) AS corr_num,
+        | cast(n * sx2 - sx * sx as decimal(38,0)) AS varx_num,
+        | cast(n * sy2 - sy * sy as decimal(38,0)) AS vary_num
+        |FROM a ORDER BY lag""".stripMargin,
+
+    "q143_mcnemar" ->
+      """WITH a95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |a96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |f AS (
+        | SELECT c_mktsegment,
+        |  CASE WHEN a95.o_custkey IS NOT NULL THEN 1 ELSE 0 END y95,
+        |  CASE WHEN a96.o_custkey IS NOT NULL THEN 1 ELSE 0 END y96
+        | FROM customer
+        | LEFT JOIN a95 ON c_custkey = a95.o_custkey
+        | LEFT JOIN a96 ON c_custkey = a96.o_custkey
+        |), g AS (
+        | SELECT c_mktsegment,
+        |  cast(sum(CASE WHEN y95 = 1 AND y96 = 1 THEN 1 ELSE 0 END) as bigint) n_both,
+        |  cast(sum(CASE WHEN y95 = 1 AND y96 = 0 THEN 1 ELSE 0 END) as bigint) n_95_only,
+        |  cast(sum(CASE WHEN y95 = 0 AND y96 = 1 THEN 1 ELSE 0 END) as bigint) n_96_only,
+        |  cast(sum(CASE WHEN y95 = 0 AND y96 = 0 THEN 1 ELSE 0 END) as bigint) n_neither
+        | FROM f GROUP BY 1
+        |)
+        |SELECT c_mktsegment, n_both, n_95_only, n_96_only, n_neither,
+        | cast(cast(n_95_only - n_96_only as hugeint) * (n_95_only - n_96_only) as decimal(38,0)) AS mcnemar_num,
+        | n_95_only + n_96_only AS mcnemar_den,
+        | CASE WHEN n_95_only + n_96_only = 0 THEN NULL
+        |  ELSE cast(cast(n_95_only - n_96_only as hugeint) * (n_95_only - n_96_only) as double)
+        |       / cast(n_95_only + n_96_only as double) END AS mcnemar_stat
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    "q144_odds_ratio" ->
+      """WITH urgent AS (
+        | SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |), f AS (
+        | SELECT n_name,
+        |  CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END expd,
+        |  CASE WHEN u.o_custkey IS NOT NULL THEN 1 ELSE 0 END outc
+        | FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | LEFT JOIN urgent u ON c_custkey = u.o_custkey
+        |), g AS (
+        | SELECT n_name,
+        |  cast(sum(CASE WHEN expd = 1 AND outc = 1 THEN 1 ELSE 0 END) as bigint) n_eo,
+        |  cast(sum(CASE WHEN expd = 1 AND outc = 0 THEN 1 ELSE 0 END) as bigint) n_en,
+        |  cast(sum(CASE WHEN expd = 0 AND outc = 1 THEN 1 ELSE 0 END) as bigint) n_uo,
+        |  cast(sum(CASE WHEN expd = 0 AND outc = 0 THEN 1 ELSE 0 END) as bigint) n_un
+        | FROM f GROUP BY 1
+        |)
+        |SELECT n_name, n_eo, n_en, n_uo, n_un,
+        | cast(cast(n_eo as hugeint) * n_un as decimal(38,0)) AS or_num,
+        | cast(cast(n_en as hugeint) * n_uo as decimal(38,0)) AS or_den,
+        | CASE WHEN n_en = 0 OR n_uo = 0 THEN NULL
+        |  ELSE cast(cast(n_eo as hugeint) * n_un as double)
+        |       / cast(cast(n_en as hugeint) * n_uo as double) END AS odds_ratio,
+        | cast(cast(n_eo as hugeint) * (n_uo + n_un) as decimal(38,0)) AS rr_num,
+        | cast(cast(n_uo as hugeint) * (n_eo + n_en) as decimal(38,0)) AS rr_den,
+        | CASE WHEN n_uo = 0 OR (n_eo + n_en) = 0 THEN NULL
+        |  ELSE cast(cast(n_eo as hugeint) * (n_uo + n_un) as double)
+        |       / cast(cast(n_uo as hugeint) * (n_eo + n_en) as double) END AS rel_risk
+        |FROM g ORDER BY n_name""".stripMargin,
   )
 }

@@ -2951,4 +2951,194 @@ object Analytics {
     summaries.reduce(_ unionAll _).orderBy($"round")
   }
 
+  /** Moving-range control chart (the individuals/MR SPC pair) per order
+    * priority: MR_t = |x_t − x_{t−1}| over the daily-revenue series, a
+    * point is out-of-control when MR_t exceeds 3.267·MR̄ — tested as the
+    * exact integer cross-multiply 1000·MR_t·n > 3267·ΣMR, so no float
+    * ever sits on the control limit. Windows are calendar-bounded (≤ a
+    * few thousand days per priority at ANY fact scale — the q118/q131
+    * argument); the daily pre-aggregation is where the fact table
+    * collapses, map-side combinable. */
+  def q138ControlChart(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", $"o_orderdate".cast("date").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val wP = Window.partitionBy($"o_orderpriority")
+    daily
+      .withColumn("mr", abs($"cents" - lag($"cents", 1).over(w)))
+      .filter($"mr".isNotNull)
+      .withColumn("n_mr", count(lit(1)).over(wP))
+      .withColumn("sum_mr", sum($"mr").over(wP))
+      .groupBy($"o_orderpriority")
+      .agg(max($"n_mr").as("n_mr"),
+        max($"sum_mr").as("sum_mr"),
+        max($"mr").as("max_mr"),
+        sum(when(
+          expr("cast(mr as decimal(38,0)) * 1000 * n_mr > cast(sum_mr as decimal(38,0)) * 3267"),
+          1L).otherwise(0L)).as("n_ooc"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Modularity of the brand partition over the co-purchase graph: is
+    * "same brand" a community structure? Q = Σ_c [e_c/m − (d_c/2m)²]
+    * emitted per community at the exact-integer 4m² scale:
+    * q_term = 4m·e_c − d_c² (DECIMAL(38,0) — degree sums square past
+    * 2⁶³ on web-scale graphs). One edge materialization feeds three
+    * brand-keyed aggregates; the part→brand map and the 1-row m total
+    * broadcast. */
+  def q140Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val brandOf = Tables.part(spark, dir).select($"p_partkey", $"p_brand")
+    val lab = copurchaseEdges(spark, dir)
+      .join(broadcast(brandOf.select($"p_partkey".as("a"), $"p_brand".as("brand_a"))), "a")
+      .join(broadcast(brandOf.select($"p_partkey".as("b"), $"p_brand".as("brand_b"))), "b")
+    val m = lab.agg(count(lit(1)).as("m_edges"))
+    val dc = lab.select($"brand_a".as("brand")).unionAll(lab.select($"brand_b".as("brand")))
+      .groupBy($"brand").agg(count(lit(1)).as("deg_sum"))
+    val ec = lab.filter($"brand_a" === $"brand_b")
+      .groupBy($"brand_a".as("brand")).agg(count(lit(1)).as("intra_edges"))
+    dc.join(ec, Seq("brand"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(m))
+      .select($"brand", $"deg_sum", $"intra_edges", $"m_edges",
+        expr("cast(4 as decimal(38,0)) * m_edges * intra_edges - cast(deg_sum as decimal(38,0)) * deg_sum")
+          .as("q_term_scaled"))
+      .orderBy($"brand")
+  }
+
+  /** Haar wavelet detail energy of the global daily-revenue series,
+    * levels 1–3 — the multiresolution decomposition behind change/
+    * seasonality screens. The level-l detail coefficient is a signed
+    * sum of 2^l consecutive daily values (sign = parity of
+    * idx div 2^(l−1)), so each level is ONE map-side-combinable
+    * groupBy over the calendar-bounded daily table — no per-level
+    * sequential pass, no window beyond the calendar-sized index.
+    * Incomplete trailing blocks are dropped (count < 2^l). Energies
+    * are exact DECIMAL(38,0) sums of squared integer cents. */
+  def q141Haar(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    // calendar-bounded global index (≤ a few thousand rows at any SF)
+    val idx = daily.withColumn("idx",
+      row_number().over(Window.orderBy($"day")) - 1)
+    val levels = (1 to 3).map { l =>
+      val blk = 1 << l; val half = 1 << (l - 1)
+      idx.groupBy(expr(s"idx div $blk").as("blk"))
+        .agg(count(lit(1)).as("n_in"),
+          sum(expr(s"CASE WHEN (idx div $half) % 2 = 0 THEN cast(cents as decimal(38,0)) " +
+            "ELSE cast(-cents as decimal(38,0)) END")).as("d"))
+        .filter($"n_in" === blk)
+        .agg(count(lit(1)).as("n_coeffs"),
+          sum(expr("cast(d * d as decimal(38,0))")).as("energy"),
+          max(abs($"d")).as("max_abs_d"))
+        .select(lit(l).cast("long").as("level"), $"n_coeffs",
+          expr("cast(energy as decimal(38,0))").as("energy"),
+          expr("cast(max_abs_d as bigint)").as("max_abs_d"))
+    }
+    levels.reduce(_ unionAll _).orderBy($"level")
+  }
+
+  /** Cross-correlation function between two daily revenue series
+    * (1-URGENT vs 5-LOW priorities) at lags 0..7 days — the
+    * lead/lag-discovery primitive between two streams. Emitted as
+    * exact sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² and the
+    * cross-multiplied correlation numerator/variance terms, all
+    * DECIMAL(38,0)) — no sqrt, no division, the q103/q122 discipline.
+    * The 8-row lag table broadcasts; the join key is the shifted
+    * calendar day, so work is bounded by 8× the calendar. */
+  def q142Ccf(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def series(p: String, dcol: String, vcol: String) =
+      o.filter($"o_orderpriority" === p)
+        .groupBy($"o_orderdate".cast("date").as(dcol))
+        .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+          .as(vcol))
+    val x = series("1-URGENT", "dx", "x")
+    val y = series("5-LOW", "dy", "y")
+    val lags = spark.range(0, 8).select($"id".cast("int").as("lag"))
+    x.crossJoin(broadcast(lags))
+      .join(y, expr("dy = date_add(dx, lag)"))
+      .groupBy($"lag".cast("long").as("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sx2"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("sy2"))
+      .select($"lag", $"n",
+        expr("cast(sx as decimal(38,0))").as("sx"),
+        expr("cast(sy as decimal(38,0))").as("sy"),
+        expr("cast(n * sxy - sx * sy as decimal(38,0))").as("corr_num"),
+        expr("cast(n * sx2 - sx * sx as decimal(38,0))").as("varx_num"),
+        expr("cast(n * sy2 - sy * sy as decimal(38,0))").as("vary_num"))
+      .orderBy($"lag")
+  }
+
+  /** McNemar paired test per market segment: did customer activity
+    * CHANGE between 1995 and 1996? The 2×2 pairs table (active both
+    * years / 95-only / 96-only / neither) in exact integers, the
+    * discordant-pair statistic (b−c)²/(b+c) emitted as exact
+    * numerator/denominator plus ONE edge division (NULL when b+c=0).
+    * Year-activity sets are distinct-custkey projections joined back
+    * to the customer dim — map-side combinable, no window. */
+  def q143Mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def active(yr: Int) = o.filter(expr(s"year(o_orderdate) = $yr"))
+      .select($"o_custkey".as("c_custkey")).distinct()
+    Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+      .join(active(1995).withColumn("y95", lit(1L)), Seq("c_custkey"), "left")
+      .join(active(1996).withColumn("y96", lit(1L)), Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("y95", "y96"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        sum(expr("CASE WHEN y95 = 1 AND y96 = 1 THEN 1 ELSE 0 END")).as("n_both"),
+        sum(expr("CASE WHEN y95 = 1 AND y96 = 0 THEN 1 ELSE 0 END")).as("n_95_only"),
+        sum(expr("CASE WHEN y95 = 0 AND y96 = 1 THEN 1 ELSE 0 END")).as("n_96_only"),
+        sum(expr("CASE WHEN y95 = 0 AND y96 = 0 THEN 1 ELSE 0 END")).as("n_neither"))
+      .withColumn("mcnemar_num",
+        expr("cast(n_95_only - n_96_only as decimal(38,0)) * (n_95_only - n_96_only)"))
+      .withColumn("mcnemar_den", expr("n_95_only + n_96_only"))
+      .withColumn("mcnemar_stat", expr(
+        "CASE WHEN mcnemar_den = 0 THEN NULL " +
+          "ELSE cast(mcnemar_num as double) / cast(mcnemar_den as double) END"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Odds ratio and relative risk per nation for the 2×2 of
+    * exposure = high account balance (≥ 5000) × outcome = placed a
+    * 1-URGENT order — the epidemiology/AB-analysis contingency
+    * readout. All four cells are exact integers off one customer
+    * scan (the urgent-customer set is a distinct projection joined
+    * back); OR and RR are emitted as exact integer num/den pairs
+    * plus one edge division each (NULL on zero denominators). */
+  def q144OddsRatio(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey")).distinct()
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(urgent.withColumn("outc", lit(1L)), Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("outc"))
+      .withColumn("expd", expr("CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END"))
+      .groupBy($"n_name")
+      .agg(
+        sum(expr("CASE WHEN expd = 1 AND outc = 1 THEN 1 ELSE 0 END")).as("n_eo"),
+        sum(expr("CASE WHEN expd = 1 AND outc = 0 THEN 1 ELSE 0 END")).as("n_en"),
+        sum(expr("CASE WHEN expd = 0 AND outc = 1 THEN 1 ELSE 0 END")).as("n_uo"),
+        sum(expr("CASE WHEN expd = 0 AND outc = 0 THEN 1 ELSE 0 END")).as("n_un"))
+      .withColumn("or_num", expr("cast(n_eo as decimal(38,0)) * n_un"))
+      .withColumn("or_den", expr("cast(n_en as decimal(38,0)) * n_uo"))
+      .withColumn("odds_ratio", expr(
+        "CASE WHEN or_den = 0 THEN NULL ELSE cast(or_num as double) / cast(or_den as double) END"))
+      .withColumn("rr_num", expr("cast(n_eo as decimal(38,0)) * (n_uo + n_un)"))
+      .withColumn("rr_den", expr("cast(n_uo as decimal(38,0)) * (n_eo + n_en)"))
+      .withColumn("rel_risk", expr(
+        "CASE WHEN rr_den = 0 THEN NULL ELSE cast(rr_num as double) / cast(rr_den as double) END"))
+      .orderBy($"n_name")
+  }
+
 }

