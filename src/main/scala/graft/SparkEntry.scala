@@ -277,6 +277,11 @@ object SparkEntry {
     "q142_ccf" -> (Analytics.q142Ccf _),
     "q143_mcnemar" -> (Analytics.q143Mcnemar _),
     "q144_odds_ratio" -> (Analytics.q144OddsRatio _),
+    "q145_logrank" -> (Analytics.q145Logrank _),
+    "sim_hubness" -> ((s: SparkSession, d: String) => Similarity.simHubness(s, d)),
+    "sim_covariance" -> (Similarity.simCovariance _),
+    "txt_sentence_stats" -> (TextAnalysis.txtSentenceStats _),
+    "dd_quality_keepers" -> (Dedup.ddQualityKeepers _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -4275,5 +4280,128 @@ object SparkEntry {
         |  ELSE cast(cast(n_eo as hugeint) * (n_uo + n_un) as double)
         |       / cast(cast(n_uo as hugeint) * (n_eo + n_en) as double) END AS rel_risk
         |FROM g ORDER BY n_name""".stripMargin,
+
+    "q145_logrank" ->
+      """WITH pc AS (
+        | SELECT o_custkey, min(cast(o_orderdate as date)) first_day,
+        |  max(cast(o_orderdate as date)) last_day
+        | FROM orders GROUP BY 1
+        |), co AS (
+        | SELECT cast(max(cast(o_orderdate as date)) - INTERVAL 56 DAY as date) AS cutoff FROM orders
+        |), life AS (
+        | SELECT date_diff('day', first_day, last_day) // 7 AS t,
+        |  CASE WHEN last_day <= cutoff THEN 1 ELSE 0 END AS event,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        | FROM pc JOIN customer ON o_custkey = c_custkey, co
+        |), byt AS (
+        | SELECT t, count(*) m, cast(sum(g1) as bigint) m1,
+        |  cast(sum(event) as bigint) d, cast(sum(event * g1) as bigint) d1
+        | FROM life GROUP BY 1
+        |), tot AS (
+        | SELECT count(*) n_total, cast(sum(g1) as bigint) n1_total FROM life
+        |), r AS (
+        | SELECT t, d, d1,
+        |  cast(n_total - coalesce(sum(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) n_risk,
+        |  cast(n1_total - coalesce(sum(m1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) n1_risk
+        | FROM byt CROSS JOIN tot
+        |), f AS (
+        | SELECT t, n_risk, n1_risk, d, d1,
+        |  cast(d as double) * n1_risk / n_risk AS e1_term,
+        |  CASE WHEN n_risk <= 1 THEN cast(0 as double)
+        |   ELSE cast(d as double) * n1_risk / n_risk * (n_risk - n1_risk) / n_risk
+        |        * (n_risk - d) / (n_risk - 1) END AS v_term
+        | FROM r WHERE d > 0
+        |)
+        |SELECT t AS t_weeks, n_risk, n1_risk, d AS n_events, d1 AS n_events_g1,
+        | sum(cast(d1 as double) - e1_term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o_minus_e_cum,
+        | sum(v_term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS var_cum
+        |FROM f ORDER BY t_weeks""".stripMargin,
+
+    "sim_hubness" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |s AS (
+        | SELECT a.vec_id src_id, b.vec_id dst_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(a.embedding[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(b.embedding[i] as double) * cast(b.embedding[i] as double))))) cosim
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |), r AS (
+        | SELECT src_id, dst_id,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY cosim DESC, dst_id) rnk
+        | FROM s
+        |), knn AS (SELECT dst_id FROM r WHERE rnk <= 3),
+        |indeg AS (
+        | SELECT v.vec_id, cast(count(knn.dst_id) as bigint) indeg
+        | FROM embeddings v LEFT JOIN knn ON v.vec_id = knn.dst_id GROUP BY 1
+        |)
+        |SELECT indeg, cast(count(*) as bigint) AS n_nodes
+        |FROM indeg GROUP BY 1 ORDER BY indeg""".stripMargin,
+
+    "sim_covariance" ->
+      """WITH pairs AS (
+        | SELECT i.i AS i, j.j AS j
+        | FROM (SELECT unnest(range(0, 64)) i) i, (SELECT unnest(range(0, 64)) j) j
+        | WHERE j.j >= i.i
+        |), p AS (
+        | SELECT i, j,
+        |  round(cast(embedding[i + 1] as double) * cast(embedding[j + 1] as double), 6) pr,
+        |  round(cast(embedding[i + 1] as double), 6) xi
+        | FROM embeddings CROSS JOIN pairs
+        |)
+        |SELECT cast(i as bigint) AS dim_i, cast(j as bigint) AS dim_j,
+        | cast(count(*) as bigint) AS n,
+        | cast(sum(cast(pr as decimal(30,6))) as decimal(30,6)) AS sum_prod,
+        | cast(sum(cast(xi as decimal(30,6))) as decimal(30,6)) AS sum_i
+        |FROM p GROUP BY 1, 2 ORDER BY dim_i, dim_j""".stripMargin,
+
+    "txt_sentence_stats" ->
+      """WITH s AS (
+        | SELECT lang,
+        |  cast(length(regexp_split_to_array(text, '[.!?]+')) - 1 as bigint) sent,
+        |  cast(length(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) words
+        | FROM documents
+        |), g AS (
+        | SELECT lang, count(*) n_docs, cast(sum(sent) as bigint) n_sentences,
+        |  cast(sum(words) as bigint) n_words, cast(max(sent) as bigint) max_sent_per_doc
+        | FROM s GROUP BY 1
+        |)
+        |SELECT lang, n_docs, n_sentences, n_words, max_sent_per_doc,
+        | n_sentences * 1000000 // n_docs AS sent_per_doc_micro,
+        | CASE WHEN n_sentences = 0 THEN NULL
+        |  ELSE n_words * 1000000 // n_sentences END AS words_per_sent_micro
+        |FROM g ORDER BY lang""".stripMargin,
+
+    "dd_quality_keepers" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |),
+        |edges AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach AS (
+        | SELECT a AS n, a AS m FROM edges
+        | UNION
+        | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+        |), comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1),
+        |m AS (
+        | SELECT component, c.doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, c.doc_id) rnk
+        | FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+        |)
+        |SELECT component, cast(count(*) as bigint) AS n_members,
+        | cast(sum(n_chars) as bigint) AS total_chars,
+        | max(CASE WHEN rnk = 1 THEN doc_id END) AS keeper_id,
+        | cast(max(n_chars) as bigint) AS keeper_chars
+        |FROM m GROUP BY component ORDER BY component""".stripMargin,
   )
 }

@@ -3141,4 +3141,51 @@ object Analytics {
       .orderBy($"n_name")
   }
 
+  /** Log-rank test: does the BUILDING segment churn on a different
+    * survival curve than everyone else? The two-group companion to
+    * q121's Kaplan–Meier — per event time the risk sets and death
+    * counts (total and group-1) are exact integers from the same
+    * prefix-subtraction that built q121's n_at_risk; the running
+    * O−E numerator and hypergeometric variance are ORDERED cumulative
+    * float sums (each term is a fixed left-to-right chain of exact-int
+    * doubles — the q119 device, identical expression text in both
+    * engines). Windows are week-bounded (≤ calendar/7 rows at any
+    * fact-table scale). */
+  def q145Logrank(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(min(to_date($"o_orderdate")).as("first_day"),
+        max(to_date($"o_orderdate")).as("last_day"))
+    val cutoff = Tables.orders(spark, dir)
+      .agg(date_sub(max(to_date($"o_orderdate")), 56).as("cutoff"))
+    val seg = Tables.customer(spark, dir)
+      .select($"c_custkey", ($"c_mktsegment" === "BUILDING").cast("int").as("g1"))
+    val life = perCust.join(seg, $"o_custkey" === $"c_custkey")
+      .crossJoin(broadcast(cutoff))
+      .select(expr("datediff(last_day, first_day) div 7").as("t"),
+        ($"last_day" <= $"cutoff").cast("int").as("event"), $"g1")
+    val byT = life.groupBy($"t")
+      .agg(count(lit(1)).as("m"), sum($"g1").as("m1"),
+        sum($"event").as("d"), sum($"event" * $"g1").as("d1"))
+    val tot = life.agg(count(lit(1)).as("n_total"), sum($"g1").as("n1_total"))
+    val wPrior = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk", $"n_total" - coalesce(sum($"m").over(wPrior), lit(0L)))
+      .withColumn("n1_risk", $"n1_total" - coalesce(sum($"m1").over(wPrior), lit(0L)))
+      .filter($"d" > 0)
+      .withColumn("e1_term", expr("cast(d as double) * n1_risk / n_risk"))
+      .withColumn("v_term", expr(
+        "CASE WHEN n_risk <= 1 THEN cast(0 as double) ELSE " +
+          "cast(d as double) * n1_risk / n_risk * (n_risk - n1_risk) / n_risk " +
+          "* (n_risk - d) / (n_risk - 1) END"))
+      .withColumn("o_minus_e_cum",
+        sum(expr("cast(d1 as double) - e1_term")).over(wCum))
+      .withColumn("var_cum", sum($"v_term").over(wCum))
+      .select($"t".as("t_weeks"), $"n_risk", $"n1_risk",
+        $"d".as("n_events"), $"d1".as("n_events_g1"),
+        $"o_minus_e_cum", $"var_cum")
+      .orderBy($"t_weeks")
+  }
+
 }

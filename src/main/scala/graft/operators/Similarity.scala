@@ -523,4 +523,42 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hubness audit of the k-NN graph: the in-degree histogram — how
+    * many nodes appear in d other nodes' top-k lists. High-hubness
+    * distributions are the classic failure mode of high-dimensional
+    * ANN (a few "hub" vectors dominate every neighbor list and poison
+    * retrieval diversity); this is the one-scan readout you check
+    * before trusting any k-NN-graph-derived signal. Left join keeps
+    * the anti-hubs (in-degree 0) in the histogram. Output is bounded
+    * by the max in-degree ≤ n; aggregates are node-keyed. */
+  def simHubness(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cites = simKnnGraph(spark, dir, k).select(col("dst_id"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(cites, col("vec_id") === col("dst_id"), "left")
+      .groupBy(col("vec_id")).agg(count(col("dst_id")).as("indeg"))
+      .groupBy(col("indeg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("indeg"))
+  }
+
+  /** Uncentered covariance (Gram) matrix of the embedding corpus —
+    * the d×d second-moment table PCA/whitening starts from, emitted
+    * as the upper triangle with per-dimension sums so consumers can
+    * center it. Per-row products are single IEEE doubles rounded to
+    * 6 (bit-identical in both engines), then cross-row summed in
+    * exact DECIMAL — the sim_inertia float discipline. The explode
+    * is d(d+1)/2 ≈ 2k structs per row, map-side combined into d²/2
+    * groups before any shuffle: linear in n, constant in output. */
+  def simCovariance(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 63), i -> transform(sequence(i, 63), j ->
+          | named_struct('i', i, 'j', j,
+          |  'p', round(cast(element_at(embedding, i + 1) as double) * element_at(embedding, j + 1), 6),
+          |  'xi', round(cast(element_at(embedding, i + 1) as double), 6)))))""".stripMargin)).as("e"))
+      .groupBy(col("e.i").cast("long").as("dim_i"), col("e.j").cast("long").as("dim_j"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(e.p as decimal(30,6))) as decimal(30,6))").as("sum_prod"),
+        expr("cast(sum(cast(e.xi as decimal(30,6))) as decimal(30,6))").as("sum_i"))
+      .orderBy(col("dim_i"), col("dim_j"))
+
 }

@@ -913,6 +913,26 @@ object TextAnalysis {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }
 
+  /** Sentence-structure profile per language: sentence counts from
+    * terminal-punctuation runs (`[.!?]+` — same RE2/Java-compatible
+    * class both engines), words per sentence as an exact integer
+    * micro-ratio. Pure map-side projection into a 4-group aggregate —
+    * fuses into the scan at any corpus size. */
+  def txtSentenceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        expr("cast(regexp_count(text, '[.!?]+') as bigint)").as("sent"),
+        expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)").as("words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sent")).as("n_sentences"),
+        sum(col("words")).as("n_words"),
+        max(col("sent")).as("max_sent_per_doc"))
+      .withColumn("sent_per_doc_micro", expr("n_sentences * 1000000 div n_docs"))
+      .withColumn("words_per_sent_micro", expr(
+        "CASE WHEN n_sentences = 0 THEN NULL ELSE n_words * 1000000 div n_sentences END"))
+      .orderBy(col("lang"))
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)

@@ -120,4 +120,104 @@ class Round5StatsSpec extends SparkSpec {
         assert(r.getDouble(7) == (BigInt(eo) * un).toDouble / (BigInt(en) * uo).toDouble)
     }
   }
+
+  test("q145_logrank: risk sets recompute, group-1 subsets bound, variance accumulates") {
+    val rows = operators.Analytics.q145Logrank(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // risk sets decrease as t advances; the group-1 slice is always a subset
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) < a.getLong(1), "total risk set strictly shrinks past each event time")
+      assert(b.getLong(2) <= a.getLong(2))
+      assert(b.getDouble(6) >= a.getDouble(6) - 1e-12, "cumulative variance never decreases")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n1_risk <= n_risk")
+      assert(r.getLong(4) <= r.getLong(3), "d1 <= d")
+      assert(r.getLong(3) > 0, "only event times are emitted")
+    }
+    // driver recompute of the final O−E with the same left-to-right fold
+    val life = {
+      val perCust = Tables.orders(spark, sf0001)
+        .groupBy(col("o_custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("fd"), max(to_date(col("o_orderdate"))).as("ld"))
+      val cut = Tables.orders(spark, sf0001)
+        .agg(date_sub(max(to_date(col("o_orderdate"))), 56).as("cut")).collect()(0).getDate(0)
+      perCust.join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+        .select(col("fd"), col("ld"), col("c_mktsegment")).collect().map { r =>
+          val t = (r.getDate(1).toLocalDate.toEpochDay - r.getDate(0).toLocalDate.toEpochDay) / 7
+          (t, if (!r.getDate(1).after(cut)) 1 else 0,
+            if (r.getString(2) == "BUILDING") 1 else 0)
+        }
+    }
+    val byT = life.groupBy(_._1).map { case (t, rs) =>
+      (t, rs.size.toLong, rs.map(_._3.toLong).sum, rs.map(_._2.toLong).sum,
+        rs.map(x => (x._2 * x._3).toLong).sum)
+    }.toSeq.sortBy(_._1)
+    val nTot = life.size.toLong; val n1Tot = life.map(_._3.toLong).sum
+    var seenM = 0L; var seenM1 = 0L; var oe = 0.0
+    val expected = byT.flatMap { case (t, m, m1, d, d1) =>
+      val nr = nTot - seenM; val n1r = n1Tot - seenM1
+      seenM += m; seenM1 += m1
+      if (d > 0) { oe += d1.toDouble - d.toDouble * n1r / nr; Some((t, nr, n1r, oe)) }
+      else None
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(got.toSeq == expected)
+  }
+
+  test("sim_hubness: histogram conserves nodes and total kNN edges") {
+    val rows = operators.Similarity.simHubness(spark, sf0001).collect()
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "every vector lands in exactly one bucket")
+    val edges = operators.Similarity.simKnnGraph(spark, sf0001).count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == edges,
+      "Σ indeg·n_nodes = number of kNN edges")
+  }
+
+  test("sim_covariance: full upper triangle, shared per-dimension sums, PSD diagonal") {
+    val rows = operators.Similarity.simCovariance(spark, sf0001).collect()
+    assert(rows.length == 64 * 65 / 2, "64·65/2 upper-triangle cells incl. diagonal")
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(rows.forall(_.getLong(2) == n))
+    rows.filter(r => r.getLong(0) == r.getLong(1))
+      .foreach(r => assert(big(r, 3).signum >= 0, "diagonal second moments are non-negative"))
+    // sum_i depends only on dim_i: every row with the same i agrees
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(r => big(r, 4)).distinct.size == 1)
+    }
+  }
+
+  test("txt_sentence_stats: counts recompute against a driver regex pass") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val sents = ds.map(d => "[.!?]+".r.findAllIn(d._2).size.toLong)
+      val words = ds.map(d => d._2.split(" ").count(_.nonEmpty).toLong)
+      val nd = ds.size.toLong; val ns = sents.sum
+      lang -> ((nd, ns, words.sum, sents.max, ns * 1000000L / nd,
+        if (ns == 0) None else Some(words.sum * 1000000L / ns)))
+    }
+    val got = operators.TextAnalysis.txtSentenceStats(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(got == expected)
+  }
+
+  test("dd_quality_keepers: keeper is the longest member of its component") {
+    val comp = operators.Dedup.ddComponents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = comp.groupBy(_._2).map { case (c, ms) =>
+      val members = ms.map(_._1)
+      val best = members.map(id => (chars(id), -id)).max
+      c -> ((members.size.toLong, members.map(chars).sum, -best._2, best._1))
+    }
+    val got = operators.Dedup.ddQualityKeepers(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == expected)
+  }
 }
