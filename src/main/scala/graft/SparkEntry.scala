@@ -282,6 +282,10 @@ object SparkEntry {
     "sim_covariance" -> (Similarity.simCovariance _),
     "txt_sentence_stats" -> (TextAnalysis.txtSentenceStats _),
     "dd_quality_keepers" -> (Dedup.ddQualityKeepers _),
+    "q146_levene" -> (Analytics.q146Levene _),
+    "q147_open_orders" -> (Analytics.q147OpenOrders _),
+    "q148_qq_decile" -> (Analytics.q148QqDecile _),
+    "q149_seq_patterns" -> ((s: SparkSession, d: String) => Analytics.q149SeqPatterns(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -4403,5 +4407,69 @@ object SparkEntry {
         | max(CASE WHEN rnk = 1 THEN doc_id END) AS keeper_id,
         | cast(max(n_chars) as bigint) AS keeper_chars
         |FROM m GROUP BY component ORDER BY component""".stripMargin,
+
+    "q146_levene" ->
+      """WITH v AS (
+        | SELECT c_mktsegment, cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint) cents
+        | FROM customer
+        |), bv AS (SELECT c_mktsegment, cents, count(*) w FROM v GROUP BY 1, 2),
+        |c AS (
+        | SELECT c_mktsegment, cents,
+        |  sum(w) OVER (PARTITION BY c_mktsegment ORDER BY cents) cw,
+        |  sum(w) OVER (PARTITION BY c_mktsegment) n
+        | FROM bv
+        |), med AS (
+        | SELECT c_mktsegment, min(cents) med_cents FROM c WHERE cw * 2 >= n GROUP BY 1
+        |)
+        |SELECT v.c_mktsegment, cast(count(*) as bigint) AS n,
+        | cast(max(med_cents) as bigint) AS med_cents,
+        | cast(sum(abs(cents - med_cents)) as bigint) AS sum_z,
+        | cast(sum(cast(abs(cents - med_cents) as hugeint) * abs(cents - med_cents)) as decimal(38,0)) AS sum_z2
+        |FROM v JOIN med USING (c_mktsegment)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q147_open_orders" ->
+      """WITH o AS (SELECT cast(o_orderdate as date) sd FROM orders),
+        |d AS (
+        | SELECT day, cast(sum(delta) as bigint) net FROM (
+        |  SELECT sd AS day, 1 AS delta FROM o
+        |  UNION ALL
+        |  SELECT cast(sd + INTERVAL 30 DAY as date), -1 FROM o
+        | ) GROUP BY 1
+        |)
+        |SELECT day, net,
+        | cast(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_open
+        |FROM d ORDER BY day""".stripMargin,
+
+    "q148_qq_decile" ->
+      """WITH b AS (
+        | SELECT o_orderpriority grp, cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents
+        | FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |), bv AS (SELECT grp, cents, count(*) w FROM b GROUP BY 1, 2),
+        |c AS (
+        | SELECT grp, cents,
+        |  sum(w) OVER (PARTITION BY grp ORDER BY cents) cw,
+        |  sum(w) OVER (PARTITION BY grp) n
+        | FROM bv
+        |), qs AS (SELECT unnest(range(1, 10)) q),
+        |s AS (
+        | SELECT grp, q, min(cents) qv
+        | FROM c CROSS JOIN qs WHERE cw * 10 >= q * n GROUP BY 1, 2
+        |)
+        |SELECT cast(x.q as bigint) AS q, x.qv AS x_cents, y.qv AS y_cents,
+        | y.qv - x.qv AS diff_cents
+        |FROM s x JOIN s y ON x.q = y.q AND x.grp = '1-URGENT' AND y.grp = '5-LOW'
+        |ORDER BY q""".stripMargin,
+
+    "q149_seq_patterns" ->
+      """WITH p AS (
+        | SELECT user_id, event_type a,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) b
+        | FROM events
+        |)
+        |SELECT a, b, cast(count(DISTINCT user_id) as bigint) AS support_users,
+        | cast(count(*) as bigint) AS n_occurrences
+        |FROM p WHERE b IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY support_users DESC, a, b LIMIT 20""".stripMargin,
   )
 }

@@ -3188,4 +3188,99 @@ object Analytics {
       .orderBy($"t_weeks")
   }
 
+  /** Brown–Forsythe/Levene variance-homogeneity inputs per market
+    * segment: absolute deviations from the GROUP MEDIAN of account
+    * balance (robust variant), emitted as exact integer sufficient
+    * statistics (n, median cents, Σz, Σz² — consumers form W).
+    * The median is an exact lower order statistic found by the
+    * distributed two-phase prefix sum over value-grouped counts —
+    * no per-group serial window (q104's machinery verbatim). */
+  def q146Levene(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.customer(spark, dir)
+      .select($"c_mktsegment",
+        expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val byValue = vals.groupBy($"c_mktsegment", $"cents").agg(count(lit(1)).as("w"))
+    val tot = byValue.groupBy($"c_mktsegment").agg(sum($"w").as("n"))
+    val med = CorpusPipeline.prefixSumExclusive(byValue, "c_mktsegment",
+        Seq($"cents"), "w", "cw_excl",
+        CorpusPipeline.equiWidthBucket(vals.select($"cents"), "cents"))
+      .join(broadcast(tot), "c_mktsegment")
+      .filter(($"cw_excl" + $"w") * 2 >= $"n")
+      .groupBy($"c_mktsegment").agg(min($"cents").as("med_cents"))
+    vals.join(broadcast(med), "c_mktsegment")
+      .withColumn("z", abs($"cents" - $"med_cents"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        max($"med_cents").as("med_cents"),
+        sum($"z").as("sum_z"),
+        expr("cast(sum(cast(z as decimal(38,0)) * z) as decimal(38,0))").as("sum_z2"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Concurrent open orders per day — the interval-stabbing staple
+    * (active sessions, stock on loan, connections open). Each order
+    * contributes +1 at its start and −1 at start+30d; the daily net is
+    * one map-side-combinable aggregate and the running count is a
+    * calendar-bounded prefix sum — NO row-per-(order×day) expansion
+    * and no interval self-join, which is what makes this shape hold
+    * at 100 TB. */
+  def q147OpenOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(to_date($"o_orderdate").as("sd"))
+    val deltas = o.select($"sd".as("day"), lit(1L).as("delta"))
+      .unionAll(o.select(date_add($"sd", 30).as("day"), lit(-1L).as("delta")))
+      .groupBy($"day").agg(sum($"delta").as("net"))
+    val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+    deltas.withColumn("n_open", sum($"net").over(w))
+      .select($"day", $"net", $"n_open")
+      .orderBy($"day")
+  }
+
+  /** Q–Q table at decile resolution between the URGENT and LOW order-
+    * total distributions — the distribution-shift readout behind KS
+    * (q108) when you want WHERE the distributions diverge, not just
+    * how much. Each decile is the exact lower order statistic at rank
+    * ⌈n·q/10⌉, tested as the integer cross-multiply 10·cum ≥ q·n over
+    * two-phase prefix-summed value counts — no global ntile, no
+    * interpolation. */
+  def q148QqDecile(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select($"o_orderpriority".as("grp"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val byValue = base.groupBy($"grp", $"cents").agg(count(lit(1)).as("w"))
+    val tot = byValue.groupBy($"grp").agg(sum($"w").as("n"))
+    val qs = spark.range(1, 10).select($"id".as("q"))
+    val stats = CorpusPipeline.prefixSumExclusive(byValue, "grp",
+        Seq($"cents"), "w", "cw_excl",
+        CorpusPipeline.equiWidthBucket(base.select($"cents"), "cents"))
+      .join(broadcast(tot), "grp")
+      .crossJoin(broadcast(qs))
+      .filter(($"cw_excl" + $"w") * 10 >= $"q" * $"n")
+      .groupBy($"grp", $"q").agg(min($"cents").as("qv"))
+    stats.filter($"grp" === "1-URGENT").select($"q", $"qv".as("x_cents"))
+      .join(stats.filter($"grp" === "5-LOW").select($"q".as("q2"), $"qv".as("y_cents")),
+        $"q" === $"q2")
+      .select($"q", $"x_cents", $"y_cents", ($"y_cents" - $"x_cents").as("diff_cents"))
+      .orderBy($"q")
+  }
+
+  /** Sequential-pattern support: adjacent event-type bigrams per user
+    * ordered by time, scored by USER support (distinct users whose
+    * stream contains a→b) — the sequence-mining statistic, distinct
+    * from q56's global transition counts. The lead window is
+    * user-keyed (scale-safe); output is bounded by |event types|². */
+  def q149SeqPatterns(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("a"), $"next_type".as("b"))
+      .agg(countDistinct($"user_id").as("support_users"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy($"support_users".desc, $"a", $"b")
+      .limit(k)
+      .orderBy($"support_users".desc, $"a", $"b")
+  }
+
 }

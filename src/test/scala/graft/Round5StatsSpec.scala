@@ -220,4 +220,66 @@ class Round5StatsSpec extends SparkSpec {
       .toMap
     assert(got == expected)
   }
+
+  test("q146_levene: group medians and deviation sums recompute") {
+    val vals = Tables.customer(spark, sf0001)
+      .select(col("c_mktsegment"),
+        expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = vals.groupBy(_._1).map { case (seg, rs) =>
+      val xs = rs.map(_._2).sorted
+      val med = xs((xs.size + 1) / 2 - 1)
+      val zs = xs.map(x => math.abs(x - med))
+      seg -> ((xs.size.toLong, med, zs.sum, zs.map(z => BigInt(z) * z).sum))
+    }
+    val got = operators.Analytics.q146Levene(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), big(r, 4))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("q147_open_orders: running count recomputes and drains to zero") {
+    val rows = operators.Analytics.q147OpenOrders(spark, sf0001).collect()
+    var run = 0L
+    rows.foreach { r => run += r.getLong(1); assert(r.getLong(2) == run) }
+    assert(run == 0L, "every +1 is matched by a -1 thirty days later")
+    assert(rows.map(_.getLong(2)).max > 0)
+  }
+
+  test("q148_qq_decile: deciles are exact order statistics of each sample") {
+    def sample(p: String): Array[Long] = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === p)
+      .select(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+      .collect().map(_.getLong(0)).sorted
+    val xs = sample("1-URGENT"); val ys = sample("5-LOW")
+    def stat(s: Array[Long], q: Long): Long = {
+      val k = (s.length.toLong * q + 9) / 10 // ceil(n·q/10)
+      s((k - 1).toInt)
+    }
+    val got = operators.Analytics.q148QqDecile(spark, sf0001).collect()
+    assert(got.length == 9)
+    got.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(1) == stat(xs, q) && r.getLong(2) == stat(ys, q))
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+  }
+
+  test("q149_seq_patterns: support never exceeds occurrences or the user count") {
+    val rows = operators.Analytics.q149SeqPatterns(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf0001).select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "a user contributes >= 1 occurrence")
+      assert(r.getLong(2) <= nUsers)
+      assert(r.getLong(2) >= 1)
+    }
+    // descending support with (a, b) tie order
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(x.getLong(2) > y.getLong(2) ||
+        (x.getLong(2) == y.getLong(2) &&
+          (x.getString(0) < y.getString(0) ||
+            (x.getString(0) == y.getString(0) && x.getString(1) < y.getString(1)))))
+    }
+  }
 }
