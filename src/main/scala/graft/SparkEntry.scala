@@ -286,6 +286,9 @@ object SparkEntry {
     "q147_open_orders" -> (Analytics.q147OpenOrders _),
     "q148_qq_decile" -> (Analytics.q148QqDecile _),
     "q149_seq_patterns" -> ((s: SparkSession, d: String) => Analytics.q149SeqPatterns(s, d)),
+    "q150_seasonal_dow" -> (Analytics.q150SeasonalDow _),
+    "txt_kn_prob" -> ((s: SparkSession, d: String) => TextAnalysis.txtKnProb(s, d)),
+    "sim_power_iteration" -> (Similarity.simPowerIteration _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -4471,5 +4474,81 @@ object SparkEntry {
         | cast(count(*) as bigint) AS n_occurrences
         |FROM p WHERE b IS NOT NULL
         |GROUP BY 1, 2 ORDER BY support_users DESC, a, b LIMIT 20""".stripMargin,
+
+    "q150_seasonal_dow" ->
+      """WITH daily AS (
+        | SELECT cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1
+        |), ma AS (
+        | SELECT day, cents,
+        |  count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) n7,
+        |  cast(sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) as bigint) sum7
+        | FROM daily
+        |), det AS (
+        | SELECT day, cents * 1000 - (sum7 * 1000 // 7) AS det_milli
+        | FROM ma WHERE n7 = 7
+        |), g AS (
+        | SELECT cast(dayofweek(day) as bigint) dow, count(*) n_days,
+        |  cast(sum(det_milli) as bigint) sum_det_milli,
+        |  cast(max(det_milli) as bigint) max_det_milli
+        | FROM det GROUP BY 1
+        |)
+        |SELECT dow, n_days, sum_det_milli, max_det_milli,
+        | (sum_det_milli + 1000000000000 * n_days) // n_days - 1000000000000 AS seasonal_milli
+        |FROM g ORDER BY dow""".stripMargin,
+
+    "txt_kn_prob" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), bi AS (
+        | SELECT unnest(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        | FROM toks WHERE len(t) >= 2
+        |), bx AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |counts AS (SELECT w1, w2, count(*) AS c FROM bx GROUP BY 1, 2),
+        |prefix AS (
+        | SELECT w1, cast(sum(c) as bigint) AS cw1, count(*) AS n_follow FROM counts GROUP BY 1
+        |),
+        |contin AS (SELECT w2, count(*) AS n_precede FROM counts GROUP BY 1),
+        |btot AS (SELECT count(*) AS b_types FROM counts)
+        |SELECT c.w1 AS w1, c.w2 AS w2, c.c AS c, p.cw1, p.n_follow, k.n_precede, b_types,
+        | cast(cast(4 * c.c - 3 as hugeint) * b_types
+        |      + cast(3 as hugeint) * n_follow * n_precede as decimal(38,0)) AS p_num,
+        | cast(cast(4 as hugeint) * cw1 * b_types as decimal(38,0)) AS p_den
+        |FROM counts c JOIN prefix p ON c.w1 = p.w1 JOIN contin k ON c.w2 = k.w2
+        |CROSS JOIN btot
+        |ORDER BY c.c DESC, c.w1, c.w2 LIMIT 50""".stripMargin,
+
+    "sim_power_iteration" ->
+      """WITH pairs AS (
+        | SELECT i.i AS i, j.j AS j
+        | FROM (SELECT unnest(range(0, 64)) i) i, (SELECT unnest(range(0, 64)) j) j
+        | WHERE j.j >= i.i
+        |), p AS (
+        | SELECT i, j, round(cast(embedding[i + 1] as double) * cast(embedding[j + 1] as double), 6) pr
+        | FROM embeddings CROSS JOIN pairs
+        |), upper_ AS (
+        | SELECT i, j, cast(cast(sum(cast(pr as decimal(30,6))) as decimal(30,6)) as double) g
+        | FROM p GROUP BY 1, 2
+        |), m AS (
+        | SELECT i, j, g FROM upper_
+        | UNION ALL
+        | SELECT j, i, g FROM upper_ WHERE i <> j
+        |), v1 AS (
+        | SELECT i AS dim, list_reduce(list_prepend(cast(0 as double),
+        |   list(g ORDER BY j)), (acc, x) -> acc + x) AS v1
+        | FROM m GROUP BY i
+        |), v2 AS (
+        | SELECT m.i AS dim, list_reduce(list_prepend(cast(0 as double),
+        |   list(m.g * v1.v1 ORDER BY m.j)), (acc, x) -> acc + x) AS v2
+        | FROM m JOIN v1 ON m.j = v1.dim GROUP BY m.i
+        |), v3 AS (
+        | SELECT m.i AS dim, list_reduce(list_prepend(cast(0 as double),
+        |   list(m.g * v2.v2 ORDER BY m.j)), (acc, x) -> acc + x) AS v3
+        | FROM m JOIN v2 ON m.j = v2.dim GROUP BY m.i
+        |)
+        |SELECT cast(v1.dim as bigint) AS dim, v1.v1, v2.v2, v3.v3
+        |FROM v1 JOIN v2 ON v1.dim = v2.dim JOIN v3 ON v1.dim = v3.dim
+        |ORDER BY dim""".stripMargin,
   )
 }

@@ -3283,4 +3283,34 @@ object Analytics {
       .orderBy($"support_users".desc, $"a", $"b")
   }
 
+  /** Classical additive seasonal decomposition, day-of-week profile:
+    * trend = centered 7-day moving average of daily revenue (exact
+    * milli-cents via integer div — the window sum is exact, and /7 is
+    * the ONE division, truncation-safe because revenue is positive),
+    * detrended = value − trend, seasonal = per-dow mean of detrended
+    * emitted via the +G-shifted integer quotient (detrended sums can
+    * be negative; the shift pins trunc = floor in both engines — the
+    * q136/sim_silhouette device). Windows are calendar-bounded. */
+  def q150SeasonalDow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val w7 = Window.orderBy($"day").rowsBetween(-3, 3)
+    val shift = 1000000000000L // pins the div truncation mode on negatives
+    daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("sum7", sum($"cents").over(w7))
+      .filter($"n7" === 7)
+      .withColumn("trend_milli", expr("sum7 * 1000 div 7"))
+      .withColumn("det_milli", expr("cents * 1000 - trend_milli"))
+      .groupBy((dayofweek($"day") - 1).cast("bigint").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum($"det_milli").as("sum_det_milli"),
+        max($"det_milli").as("max_det_milli"))
+      .withColumn("seasonal_milli",
+        expr(s"(sum_det_milli + cast($shift as bigint) * n_days) div n_days - cast($shift as bigint)"))
+      .orderBy($"dow")
+  }
+
 }

@@ -561,4 +561,37 @@ object Similarity {
         expr("cast(sum(cast(e.xi as decimal(30,6))) as decimal(30,6))").as("sum_i"))
       .orderBy(col("dim_i"), col("dim_j"))
 
+  /** Top principal direction by three unrolled power iterations on the
+    * Gram matrix: v₃ = G³·1 — the PCA driver loop, distributed. The
+    * d×d matrix comes from [[simCovariance]] (exact DECIMAL entries,
+    * mirrored to full form); each iteration is one broadcast join of
+    * the 64-row vector against the matrix and one per-row ORDERED fold
+    * (array_sort by j, then a left-to-right `aggregate` — the only
+    * float summation, deterministic by construction, the q119/q121
+    * device). No normalization inside the loop (that would need sqrt);
+    * consumers read the dominant direction from v₃'s ratios, and the
+    * unnormalized growth stays far inside double range for 3
+    * iterations. Unrolled fixed rounds, exactly like q57's PageRank. */
+  def simPowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val upper = simCovariance(spark, dir)
+      .select(col("dim_i").as("i"), col("dim_j").as("j"),
+        col("sum_prod").cast("double").as("g"))
+    val m = upper.unionAll(
+      upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
+    def mul(v: DataFrame, vcol: String, out: String): DataFrame =
+      m.join(broadcast(v.select(col("dim").as("j"), col(vcol))), "j")
+        .groupBy(col("i").as("dim"))
+        .agg(expr(s"aggregate(array_sort(collect_list(named_struct('j', j, 't', g * $vcol)))," +
+          s" cast(0 as double), (acc, x) -> acc + x.t)").as(out))
+    val v1 = m.groupBy(col("i").as("dim"))
+      .agg(expr("aggregate(array_sort(collect_list(named_struct('j', j, 't', g)))," +
+        " cast(0 as double), (acc, x) -> acc + x.t)").as("v1"))
+    val v2 = mul(v1, "v1", "v2")
+    val v3 = mul(v2, "v2", "v3")
+    v1.join(v2, "dim").join(v3, "dim")
+      .select(col("dim"), col("v1"), col("v2"), col("v3"))
+      .orderBy(col("dim"))
+  }
+
 }

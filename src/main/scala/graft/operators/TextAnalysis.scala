@@ -933,6 +933,34 @@ object TextAnalysis {
         "CASE WHEN n_sentences = 0 THEN NULL ELSE n_words * 1000000 div n_sentences END"))
       .orderBy(col("lang"))
 
+  /** Interpolated Kneser–Ney bigram probability as ONE exact rational —
+    * the actual smoothed LM probability, not just its count tables
+    * ([[txtKnCounts]]). With discount d = 3/4 every term has the common
+    * denominator 4·c(w1·)·B (B = distinct bigram types), so
+    * P_KN(w2|w1) = [(4c−3)·B + 3·N1+(w1,·)·N1+(·,w2)] / [4·c(w1·)·B]
+    * — integer numerator and denominator, no float anywhere (c ≥ 1 in
+    * the bigram table, so the max(c−d, 0) clamp is vacuous). Three
+    * count aggregates reuse the bigram shuffle; the 1-row B total
+    * broadcasts. Top-k by count, deterministic ties. */
+  def txtKnProb(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val bi = TextOps.balanced(Tables.documents(spark, dir))
+      .select(explode(TextOps.ngramArray("text", 2)).as("bg"))
+      .select(expr("split(bg, ' ')[0]").as("w1"), expr("split(bg, ' ')[1]").as("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val prefix = counts.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n_follow"))
+    val contin = counts.groupBy(col("w2")).agg(count(lit(1)).as("n_precede"))
+    val btot = counts.agg(count(lit(1)).as("b_types"))
+    counts.join(prefix, "w1").join(contin, "w2").crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("c"), col("cw1"),
+        col("n_follow"), col("n_precede"), col("b_types"),
+        expr("cast(4 * c - 3 as decimal(38,0)) * b_types" +
+          " + cast(3 as decimal(38,0)) * n_follow * n_precede").as("p_num"),
+        expr("cast(4 as decimal(38,0)) * cw1 * b_types").as("p_den"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)

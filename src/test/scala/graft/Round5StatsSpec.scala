@@ -282,4 +282,54 @@ class Round5StatsSpec extends SparkSpec {
             (x.getString(0) == y.getString(0) && x.getString(1) < y.getString(1)))))
     }
   }
+
+  test("q150_seasonal_dow: trend/seasonal recompute from the daily series") {
+    val daily = dailyCents().toSeq
+      .groupBy(_._1._2).map { case (d, rs) => (d, rs.map(_._2).sum) }
+      .toSeq.sortBy(_._1.toEpochDay)
+    val det = daily.sliding(7).map { win =>
+      val (day, cents) = win(3)
+      val trend = win.map(_._2).sum * 1000L / 7L
+      (day.getDayOfWeek.getValue % 7, cents * 1000L - trend)
+    }.toSeq
+    val expected = det.groupBy(_._1).map { case (dow, rs) =>
+      val s = rs.map(_._2).sum; val n = rs.size.toLong
+      dow.toLong -> ((n, s, rs.map(_._2).max, Math.floorDiv(s, n)))
+    }
+    val got = operators.Analytics.q150SeasonalDow(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("txt_kn_prob: rationals recompute from independent counts and stay in (0, 1)") {
+    val rows = operators.TextAnalysis.txtKnProb(spark, sf0001).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val (c, cw1, nf, np, b) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      assert(big(r, 7) == BigInt(4 * c - 3) * b + BigInt(3) * nf * np)
+      assert(big(r, 8) == BigInt(4) * cw1 * b)
+      assert(big(r, 7) > 0 && big(r, 7) < big(r, 8), "0 < P_KN < 1 on seen bigrams")
+      assert(c <= cw1 && nf <= cw1 && np <= b)
+    }
+  }
+
+  test("sim_power_iteration: v1..v3 equal the driver's ordered matrix-vector folds") {
+    val g = operators.Similarity.simCovariance(spark, sf0001).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        r.getDecimal(3).doubleValue()))
+    val full = (g ++ g.collect { case ((i, j), v) if i != j => ((j, i), v) }).toMap
+    def mul(v: Array[Double]): Array[Double] =
+      Array.tabulate(64) { i =>
+        (0 until 64).foldLeft(0.0)((acc, j) => acc + full((i, j)) * v(j))
+      }
+    val v1 = mul(Array.fill(64)(1.0)); val v2 = mul(v1); val v3 = mul(v2)
+    val got = operators.Similarity.simPowerIteration(spark, sf0001).collect()
+    got.foreach { r =>
+      val d = r.getLong(0).toInt
+      assert(r.getDouble(1) == v1(d) && r.getDouble(2) == v2(d) && r.getDouble(3) == v3(d),
+        s"dim $d folds bit-identically")
+    }
+  }
 }
