@@ -289,6 +289,10 @@ object SparkEntry {
     "q150_seasonal_dow" -> (Analytics.q150SeasonalDow _),
     "txt_kn_prob" -> ((s: SparkSession, d: String) => TextAnalysis.txtKnProb(s, d)),
     "sim_power_iteration" -> (Similarity.simPowerIteration _),
+    "q151_hurst_inputs" -> (Analytics.q151HurstInputs _),
+    "q152_friedman" -> (Analytics.q152Friedman _),
+    "dd_soft_weights" -> (Dedup.ddSoftWeights _),
+    "sim_centroid_shift" -> (Similarity.simCentroidShift _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -4550,5 +4554,118 @@ object SparkEntry {
         |SELECT cast(v1.dim as bigint) AS dim, v1.v1, v2.v2, v3.v3
         |FROM v1 JOIN v2 ON v1.dim = v2.dim JOIN v3 ON v1.dim = v3.dim
         |ORDER BY dim""".stripMargin,
+
+    "q151_hurst_inputs" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), tot AS (
+        | SELECT o_orderpriority, count(*) n, cast(sum(cents) as bigint) s,
+        |  sum(cast(cents as hugeint) * cents) sx2
+        | FROM daily GROUP BY 1
+        |), pre AS (
+        | SELECT d.o_orderpriority,
+        |  row_number() OVER (PARTITION BY d.o_orderpriority ORDER BY day) k,
+        |  sum(cents) OVER (PARTITION BY d.o_orderpriority ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) p,
+        |  n, s
+        | FROM daily d JOIN tot USING (o_orderpriority)
+        |), dev AS (
+        | SELECT o_orderpriority,
+        |  cast(n as hugeint) * p - cast(k as hugeint) * s AS d
+        | FROM pre
+        |), r AS (
+        | SELECT o_orderpriority, cast(max(d) - min(d) as decimal(38,0)) r_scaled
+        | FROM dev GROUP BY 1
+        |)
+        |SELECT t.o_orderpriority, cast(n as bigint) AS n_days, s AS sum_cents,
+        | r_scaled,
+        | cast(cast(n as hugeint) * sx2 - cast(s as hugeint) * s as decimal(38,0)) AS s2_num
+        |FROM tot t JOIN r USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q152_friedman" ->
+      """WITH weekly AS (
+        | SELECT o_orderpriority,
+        |  date_diff('day', DATE '1970-01-01', cast(o_orderdate as date)) // 7 AS wk,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), complete AS (
+        | SELECT wk FROM weekly GROUP BY wk HAVING count(*) = 5
+        |), wv AS (SELECT w.* FROM weekly w JOIN complete USING (wk)),
+        |ranks AS (
+        | SELECT a.o_orderpriority, a.wk,
+        |  cast(sum(CASE WHEN b.cents < a.cents THEN 2 ELSE 0 END)
+        |   + sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) + 1 as bigint) r2
+        | FROM wv a JOIN wv b ON a.wk = b.wk
+        | GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority,
+        | cast(substring(o_orderpriority, 1, 1) as bigint) AS prio_idx,
+        | count(*) AS n_blocks, cast(sum(r2) as bigint) AS sum_r2,
+        | cast(sum(cast(r2 as hugeint) * r2) as decimal(38,0)) AS sum_r2_sq
+        |FROM ranks GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "dd_soft_weights" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |),
+        |edges AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach AS (
+        | SELECT a AS n, a AS m FROM edges
+        | UNION
+        | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+        |), comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1),
+        |csz AS (SELECT component, count(*) csize FROM comp GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(comp.component, d.doc_id) AS component,
+        | cast(coalesce(csize, 1) as bigint) AS cluster_size,
+        | 1000000 // cast(coalesce(csize, 1) as bigint) AS weight_micro
+        |FROM documents d
+        |LEFT JOIN comp ON d.doc_id = comp.doc_id
+        |LEFT JOIN csz ON comp.component = csz.component
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "sim_centroid_shift" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, e.label, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, label, clabel new_label, dist,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |), assign_ AS (SELECT vec_id, new_label FROM best WHERE rn = 1),
+        |newcent AS (
+        | SELECT new_label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings e JOIN assign_ a ON e.vec_id = a.vec_id CROSS JOIN dims
+        | GROUP BY 1, 2
+        |), newcentv AS (SELECT new_label, list(c ORDER BY i) nv FROM newcent GROUP BY 1),
+        |no AS (SELECT label, count(*) n_old FROM embeddings GROUP BY 1),
+        |nn AS (SELECT new_label, count(*) n_new FROM assign_ GROUP BY 1)
+        |SELECT c.clabel AS label, cast(n_old as bigint) AS n_old, cast(n_new as bigint) AS n_new,
+        | round(list_reduce(list_prepend(cast(0 as double),
+        |   list_transform(range(1, 65), i -> (c.cv[i] - v.nv[i]) * (c.cv[i] - v.nv[i]))),
+        |  (acc, x) -> acc + x), 6) AS shift_sq
+        |FROM centv c JOIN newcentv v ON c.clabel = v.new_label
+        |JOIN no ON c.clabel = no.label JOIN nn ON c.clabel = nn.new_label
+        |ORDER BY label""".stripMargin,
   )
 }

@@ -3313,4 +3313,64 @@ object Analytics {
       .orderBy($"dow")
   }
 
+  /** Hurst rescaled-range inputs per priority: the range R of cumulative
+    * deviations and the variance numerator, both EXACT — the cumulative
+    * deviation at step k is the q131 device n·P_k − k·S (no mean, no
+    * division), so R_scaled = max−min of exact DECIMAL(38,0) integers at
+    * the n× scale and s2_num = n·Σx² − S². Consumers form R/S and the
+    * log-log Hurst fit; nothing here floats. The prefix sum is
+    * calendar-bounded per priority (the q122 contract). */
+  def q151HurstInputs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val tot = daily.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        expr("cast(sum(cast(cents as decimal(38,0)) * cents) as decimal(38,0))").as("sx2"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val devs = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("p", sum($"cents").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(tot.select($"o_orderpriority", $"n", $"s")), "o_orderpriority")
+      .withColumn("d", expr("cast(n as decimal(38,0)) * p - cast(k as decimal(38,0)) * s"))
+      .groupBy($"o_orderpriority")
+      .agg(expr("cast(max(d) - min(d) as decimal(38,0))").as("r_scaled"))
+    tot.join(devs, "o_orderpriority")
+      .select($"o_orderpriority", $"n".as("n_days"), $"s".as("sum_cents"),
+        $"r_scaled",
+        expr("cast(cast(n as decimal(38,0)) * sx2 - cast(s as decimal(38,0)) * s as decimal(38,0))")
+          .as("s2_num"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Friedman-test rank inputs: weekly revenue blocks × the 5 priority
+    * treatments, midranks within each complete block emitted at the
+    * exact 2× integer scale (2·#less + #equal + 1 — no half anywhere).
+    * The within-block ranking is a self-join on the week key (≤ k²=25
+    * pairs per block, bounded by the treatment count, NOT the corpus);
+    * per-treatment rank sums are exact integers consumers turn into
+    * the χ²_F statistic and Page's L trend. */
+  def q152Friedman(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority",
+        expr("unix_date(cast(o_orderdate as date)) div 7").as("wk"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val complete = weekly.groupBy($"wk").agg(count(lit(1)).as("np"))
+      .filter($"np" === 5).select($"wk")
+    val wv = weekly.join(broadcast(complete), "wk")
+    val other = wv.select($"wk".as("wk2"), $"cents".as("c2"))
+    wv.join(other, $"wk" === $"wk2")
+      .groupBy($"o_orderpriority", $"wk")
+      .agg((sum(when($"c2" < $"cents", 2L).otherwise(0L))
+        + sum(when($"c2" === $"cents", 1L).otherwise(0L)) + lit(1L)).as("r2"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_blocks"), sum($"r2").as("sum_r2"),
+        expr("cast(sum(cast(r2 as decimal(38,0)) * r2) as decimal(38,0))").as("sum_r2_sq"))
+      .withColumn("prio_idx", expr("cast(substring(o_orderpriority, 1, 1) as bigint)"))
+      .select($"o_orderpriority", $"prio_idx", $"n_blocks", $"sum_r2", $"sum_r2_sq")
+      .orderBy($"o_orderpriority")
+  }
+
 }

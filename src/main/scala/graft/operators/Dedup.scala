@@ -765,6 +765,26 @@ object Dedup {
     * clusters keep the most complete copy. One doc-keyed join of the
     * component table against a slim (doc_id, n_chars) projection —
     * text never moves — and one component-keyed aggregate. */
+  /** Soft dedup: per-document sampling weight 1/cluster_size in exact
+    * integer micro-units — the keep-everything-but-downweight policy
+    * (training pipelines that can't afford hard drops reweight the
+    * loss instead). Singletons keep weight 1.0; members of a near-dup
+    * component split one unit of mass (up to integer-div truncation,
+    * which consumers see exactly). Two slim joins on doc ids; text
+    * never moves. */
+  def ddSoftWeights(spark: SparkSession, dir: String): DataFrame = {
+    val comp = ddComponents(spark, dir)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(broadcast(sizes), Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        coalesce(col("csize"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_micro", expr("1000000 div cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   def ddQualityKeepers(spark: SparkSession, dir: String): DataFrame =
     ddComponents(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")

@@ -594,4 +594,33 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Centroid drift of one Lloyd step: squared-L2 shift between each
+    * label's current centroid and the centroid of the vectors
+    * [[simKmeansStep]] reassigns to it — the convergence metric a
+    * k-means driver loop watches. Centroid means and the 64-term
+    * distance fold follow the step's own deterministic discipline
+    * (DECIMAL mean sums cast to double, ordered zip_with fold); only
+    * labels that received members appear (inner join, documented). */
+  def simCentroidShift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    def cent(df: DataFrame, labCol: String, out: String): DataFrame = df
+      .select(col(labCol).as("lab"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("lab"), col("pos"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("lab"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as(out))
+    val step = simKmeansStep(spark, dir).select(col("vec_id").as("vid"), col("new_label"))
+    val newMembers = e.join(step, col("vec_id") === col("vid"))
+    val oldC = cent(e, "label", "oldv")
+    val newC = cent(newMembers, "new_label", "newv")
+    val nOld = e.groupBy(col("label").as("lab")).agg(count(lit(1)).as("n_old"))
+    val nNew = step.groupBy(col("new_label").as("lab")).agg(count(lit(1)).as("n_new"))
+    oldC.join(newC, "lab").join(broadcast(nOld), "lab").join(broadcast(nNew), "lab")
+      .withColumn("shift_sq", round(expr(
+        "aggregate(zip_with(oldv, newv, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"), 6))
+      .select(col("lab").as("label"), col("n_old"), col("n_new"), col("shift_sq"))
+      .orderBy(col("label"))
+  }
+
 }

@@ -332,4 +332,71 @@ class Round5StatsSpec extends SparkSpec {
         s"dim $d folds bit-identically")
     }
   }
+
+  test("q151_hurst_inputs: R and variance numerator recompute; deviations close the loop") {
+    val daily = dailyCents()
+    val expected = daily.keys.map(_._1).toSeq.distinct.sorted.map { p =>
+      val series = daily.collect { case ((`p`, d), c) => (d, c) }
+        .toSeq.sortBy(_._1.toEpochDay).map(_._2)
+      val n = series.size.toLong; val s = series.sum
+      val devs = series.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (pk, i) => BigInt(n) * pk - BigInt(i + 1) * s }
+      assert(devs.last == 0, "d_n = n·S − n·S closes at zero")
+      val sx2 = series.map(x => BigInt(x) * x).sum
+      p -> ((n, s, devs.max - devs.min, BigInt(n) * sx2 - BigInt(s) * s))
+    }.toMap
+    val got = operators.Analytics.q151HurstInputs(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), big(r, 3), big(r, 4))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("q152_friedman: rank sums recompute; per-block 2x midranks total k(k+1)") {
+    val daily = dailyCents()
+    val weekly = daily.toSeq.groupBy { case ((p, d), _) => (p, d.toEpochDay / 7) }
+      .map { case (k, rs) => k -> rs.map(_._2).sum }
+    val byWeek = weekly.groupBy(_._1._2).filter(_._2.size == 5)
+    val r2s = byWeek.toSeq.flatMap { case (_, vs) =>
+      val vals = vs.map { case ((p, _), c) => (p, c) }
+      vals.map { case (p, c) =>
+        val less = vals.count(_._2 < c); val eq = vals.count(_._2 == c)
+        (p, 2L * less + eq + 1)
+      }
+    }
+    // each complete block's 2× midranks must total 2·(1+..+5) = 30
+    byWeek.foreach { case (_, vs) =>
+      val vals = vs.map(_._2)
+      val tot = vals.map(c => 2L * vals.count(_ < c) + vals.count(_ == c) + 1).sum
+      assert(tot == 30)
+    }
+    val expected = r2s.groupBy(_._1).map { case (p, rs) =>
+      p -> ((rs.size.toLong, rs.map(_._2).sum, rs.map(r => BigInt(r._2) * r._2).sum))
+    }
+    val got = operators.Analytics.q152Friedman(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), big(r, 4)))).toMap
+    assert(got == expected)
+  }
+
+  test("dd_soft_weights: mass splits within clusters and singletons keep full weight") {
+    val rows = operators.Dedup.ddSoftWeights(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.length == nDocs, "every document gets a weight")
+    val sizes = operators.Dedup.ddComponents(spark, sf0001).collect()
+      .groupBy(_.getLong(1)).map { case (c, ms) => c -> ms.length.toLong }
+    rows.foreach { r =>
+      val expectedSize = sizes.getOrElse(r.getLong(1), 1L)
+      assert(r.getLong(2) == expectedSize)
+      assert(r.getLong(3) == 1000000L / expectedSize)
+    }
+    assert(rows.count(_.getLong(2) == 1L) > 0, "corpus has singletons")
+  }
+
+  test("sim_centroid_shift: labels with stable assignments shift less than the max") {
+    val rows = operators.Similarity.simCentroidShift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "old memberships partition the corpus")
+    assert(rows.map(_.getLong(2)).sum == nVecs, "new memberships partition the corpus")
+    rows.foreach(r => assert(r.getDouble(3) >= 0))
+  }
 }
