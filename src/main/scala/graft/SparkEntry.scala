@@ -293,6 +293,11 @@ object SparkEntry {
     "q152_friedman" -> (Analytics.q152Friedman _),
     "dd_soft_weights" -> (Dedup.ddSoftWeights _),
     "sim_centroid_shift" -> (Similarity.simCentroidShift _),
+    "q153_cochran_q" -> (Analytics.q153CochranQ _),
+    "txt_doc_keywords" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocKeywords(s, d)),
+    "q154_grubbs_inputs" -> (Analytics.q154GrubbsInputs _),
+    "dd_lsh_precision" -> (Dedup.ddLshPrecision _),
+    "sim_norm2_hist" -> ((s: SparkSession, d: String) => Similarity.simNorm2Hist(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -4667,5 +4672,136 @@ object SparkEntry {
         |FROM centv c JOIN newcentv v ON c.clabel = v.new_label
         |JOIN no ON c.clabel = no.label JOIN nn ON c.clabel = nn.new_label
         |ORDER BY label""".stripMargin,
+
+    "q153_cochran_q" ->
+      """WITH a95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |a96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |a97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |f AS (
+        | SELECT c_custkey,
+        |  CASE WHEN a95.o_custkey IS NOT NULL THEN 1 ELSE 0 END y95,
+        |  CASE WHEN a96.o_custkey IS NOT NULL THEN 1 ELSE 0 END y96,
+        |  CASE WHEN a97.o_custkey IS NOT NULL THEN 1 ELSE 0 END y97
+        | FROM customer
+        | LEFT JOIN a95 ON c_custkey = a95.o_custkey
+        | LEFT JOIN a96 ON c_custkey = a96.o_custkey
+        | LEFT JOIN a97 ON c_custkey = a97.o_custkey
+        |), g AS (
+        | SELECT count(*) n_customers,
+        |  cast(sum(y95) as bigint) g95, cast(sum(y96) as bigint) g96,
+        |  cast(sum(y97) as bigint) g97,
+        |  cast(sum(y95 + y96 + y97) as bigint) sum_l,
+        |  cast(sum((y95 + y96 + y97) * (y95 + y96 + y97)) as bigint) sum_l2
+        | FROM f
+        |), y AS (
+        | SELECT 1995 AS year, g95 AS gg FROM g
+        | UNION ALL SELECT 1996, g96 FROM g
+        | UNION ALL SELECT 1997, g97 FROM g
+        |)
+        |SELECT cast(year as bigint) AS year, gg AS g, n_customers,
+        | cast(2 * (3 * (cast(g95 as hugeint) * g95 + cast(g96 as hugeint) * g96
+        |   + cast(g97 as hugeint) * g97)
+        |  - cast(g95 + g96 + g97 as hugeint) * (g95 + g96 + g97)) as decimal(38,0)) AS q_num,
+        | cast(cast(3 as hugeint) * sum_l - sum_l2 as decimal(38,0)) AS q_den,
+        | CASE WHEN 3 * sum_l - sum_l2 = 0 THEN NULL
+        |  ELSE cast(2 * (3 * (cast(g95 as hugeint) * g95 + cast(g96 as hugeint) * g96
+        |    + cast(g97 as hugeint) * g97)
+        |   - cast(g95 + g96 + g97 as hugeint) * (g95 + g96 + g97)) as double)
+        |   / cast(cast(3 as hugeint) * sum_l - sum_l2 as double) END AS q_stat
+        |FROM y CROSS JOIN g ORDER BY year""".stripMargin,
+
+    "txt_doc_keywords" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) df FROM tok GROUP BY 1),
+        |nd AS (SELECT count(*) n FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  cast(tf.tf as double) * (SELECT n FROM nd) / df.df AS score
+        | FROM tf JOIN df ON tf.term = df.term
+        |)
+        |SELECT doc_id, cast(rnk as bigint) AS rank, term,
+        | cast(tf as bigint) AS tf, cast(df as bigint) AS df, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) rnk
+        |      FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q154_grubbs_inputs" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), tot AS (
+        | SELECT o_orderpriority, count(*) n, cast(sum(cents) as bigint) s,
+        |  sum(cast(cents as hugeint) * cents) sx2
+        | FROM daily GROUP BY 1
+        |), dev AS (
+        | SELECT d.o_orderpriority, day, n, s, sx2,
+        |  abs(cast(n as hugeint) * cents - s) AS dv
+        | FROM daily d JOIN tot USING (o_orderpriority)
+        |), pk AS (
+        | SELECT o_orderpriority, day peak_day,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY dv DESC, day) rn
+        | FROM dev
+        |)
+        |SELECT t.o_orderpriority, cast(n as bigint) AS n_days, s AS sum_cents,
+        | (SELECT cast(max(dv) as decimal(38,0)) FROM dev
+        |   WHERE dev.o_orderpriority = t.o_orderpriority) AS g_num,
+        | (SELECT peak_day FROM pk
+        |   WHERE pk.o_orderpriority = t.o_orderpriority AND rn = 1) AS peak_day,
+        | cast(cast(n as hugeint) * sx2 - cast(s as hugeint) * s as decimal(38,0)) AS s2_num
+        |FROM tot t ORDER BY o_orderpriority""".stripMargin,
+
+    "dd_lsh_precision" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), shd AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS (
+        | SELECT doc_id, unnest(shingles) s FROM shd
+        |), sizes AS (
+        | SELECT doc_id, count(*) n FROM rows_ GROUP BY 1
+        |), inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |), exact AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |), shr AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), sig AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')) m
+        | FROM shr
+        |), bands AS (
+        | SELECT doc_id, b, md5(m[2*b+1] || m[2*b+2] || ':' || cast(b as varchar)) bh
+        | FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |), cand AS (
+        | SELECT a.doc_id ca, b.doc_id cb
+        | FROM bands a JOIN bands b ON a.bh = b.bh AND a.b = b.b AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |)
+        |SELECT count(*) AS n_candidates,
+        | cast(sum(CASE WHEN da IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_true,
+        | cast(sum(CASE WHEN da IS NOT NULL THEN 1 ELSE 0 END) as bigint) * 1000000
+        |   // count(*) AS precision_micro
+        |FROM cand LEFT JOIN exact ON ca = da AND cb = db""".stripMargin,
+
+    "sim_norm2_hist" ->
+      """WITH n2 AS (
+        | SELECT cast(cast(round(list_reduce(list_prepend(cast(0 as double),
+        |   list_transform(embedding, x -> cast(x as double) * x)),
+        |   (acc, x) -> acc + x), 6) as decimal(18,6)) * 1000000 as bigint) AS n2_micro
+        | FROM embeddings
+        |), b AS (SELECT min(n2_micro) lo, max(n2_micro) hi FROM n2)
+        |SELECT (n2_micro - lo) * 10 // (hi - lo + 1) AS bucket,
+        | cast(count(*) as bigint) AS n_vecs,
+        | cast(min(n2_micro) as bigint) AS min_n2_micro,
+        | cast(max(n2_micro) as bigint) AS max_n2_micro
+        |FROM n2 CROSS JOIN b GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

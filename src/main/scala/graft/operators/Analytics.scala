@@ -3373,4 +3373,65 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Cochran's Q over k=3 repeated binary measurements: was each
+    * customer active in 1995/1996/1997? Q's numerator and denominator
+    * are EXACT integers off one customer-wide aggregate — column
+    * totals G_j, row-total sums ΣL and ΣL² (constant rows cancel
+    * algebraically, so no row filter is needed) — and the statistic
+    * itself is one edge division. Output is one row per year carrying
+    * its G_j plus the shared exact pieces. */
+  def q153CochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def active(yr: Int) = o.filter(expr(s"year(o_orderdate) = $yr"))
+      .select($"o_custkey".as("c_custkey")).distinct()
+    val flags = Tables.customer(spark, dir).select($"c_custkey")
+      .join(active(1995).withColumn("y95", lit(1L)), Seq("c_custkey"), "left")
+      .join(active(1996).withColumn("y96", lit(1L)), Seq("c_custkey"), "left")
+      .join(active(1997).withColumn("y97", lit(1L)), Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("y95", "y96", "y97"))
+      .withColumn("l", expr("y95 + y96 + y97"))
+    val g = flags.agg(count(lit(1)).as("n_customers"),
+      sum($"y95").as("g95"), sum($"y96").as("g96"), sum($"y97").as("g97"),
+      sum($"l").as("sum_l"), sum(expr("l * l")).as("sum_l2"))
+    g.select(explode(expr(
+        "array(named_struct('year', 1995L, 'g', g95)," +
+          " named_struct('year', 1996L, 'g', g96)," +
+          " named_struct('year', 1997L, 'g', g97))")).as("e"),
+        $"n_customers", $"g95", $"g96", $"g97", $"sum_l", $"sum_l2")
+      .select($"e.year".as("year"), $"e.g".as("g"), $"n_customers",
+        expr("cast(2 as decimal(38,0)) * (3 * (cast(g95 as decimal(38,0)) * g95" +
+          " + cast(g96 as decimal(38,0)) * g96 + cast(g97 as decimal(38,0)) * g97)" +
+          " - cast(g95 + g96 + g97 as decimal(38,0)) * (g95 + g96 + g97))").as("q_num"),
+        expr("cast(3 as decimal(38,0)) * sum_l - sum_l2").as("q_den"))
+      .withColumn("q_stat", expr(
+        "CASE WHEN q_den = 0 THEN NULL ELSE cast(q_num as double) / cast(q_den as double) END"))
+      .orderBy($"year")
+  }
+
+  /** Grubbs outlier-test inputs per priority: the extreme deviation of
+    * the daily series in EXACT integers at the n× scale — g_num =
+    * max|n·x_t − S| (the q131/q151 no-mean device), the variance
+    * numerator n·Σx² − S², and the day that attains the extreme
+    * (max_by with a negative-epoch tie-break to the earliest day).
+    * Consumers form G = (g_num/n) / sqrt(s2_num/(n(n−1))); nothing
+    * here floats. One broadcast of the 5-row totals. */
+  def q154GrubbsInputs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val tot = daily.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        expr("cast(sum(cast(cents as decimal(38,0)) * cents) as decimal(38,0))").as("sx2"))
+    daily.join(broadcast(tot), "o_orderpriority")
+      .withColumn("dev", expr("abs(cast(n as decimal(38,0)) * cents - s)"))
+      .groupBy($"o_orderpriority")
+      .agg(max($"n").as("n_days"), max($"s").as("sum_cents"),
+        expr("cast(max(dev) as decimal(38,0))").as("g_num"),
+        expr("max_by(day, struct(dev, -unix_date(day)))").as("peak_day"),
+        expr("cast(max(cast(n as decimal(38,0)) * sx2 - cast(s as decimal(38,0)) * s) as decimal(38,0))")
+          .as("s2_num"))
+      .orderBy($"o_orderpriority")
+  }
+
 }

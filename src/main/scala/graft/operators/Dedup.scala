@@ -727,6 +727,23 @@ object Dedup {
         (col("n_caught") / col("n_exact_pairs")).as("recall"))
   }
 
+  /** LSH candidate PRECISION — the complement of [[ddLshRecall]]: of
+    * the pairs the banding surfaces, how many are true near-dups under
+    * the exact n-gram Jaccard rule? Recall says what the index misses;
+    * precision prices the verify stage (every false candidate costs a
+    * full Jaccard computation at 100 TB). Same two bounded pair sets,
+    * roles swapped; the ratio is an exact integer micro-division. */
+  def ddLshPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ddNgramJaccard(spark, dir)
+      .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
+    ddMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(truth, col("doc_a") === col("ta") && col("doc_b") === col("tb"), "left")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("ta").isNotNull, 1L).otherwise(0L)).as("n_true"))
+      .select(col("n_candidates"), col("n_true"),
+        expr("n_true * 1000000 div n_candidates").as("precision_micro"))
+  }
+
   /** Near-dup KEEPERS — the APPLY step for near-duplicate dedup: one
     * surviving doc per connected near-dup cluster (smallest doc_id),
     * plus every doc that has no near-duplicate at all. The pass that

@@ -623,4 +623,27 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Squared-L2-norm histogram of the embedding corpus — the
+    * normalization audit run before cosine anything (un-normalized
+    * vectors silently break dot-product ≈ cosine assumptions). The
+    * per-row norm² is one ordered array fold; micro-unit conversion
+    * goes through a DECIMAL(18,6) cast of the ALREADY-6-rounded double
+    * (unambiguous nearest-decimal, so both engines land the same
+    * integer); buckets are the integer equi-width arithmetic over
+    * broadcast exact bounds. Map-side everything, 10-row output. */
+  def simNorm2Hist(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val n2 = Tables.embeddings(spark, dir)
+      .select(expr("cast(cast(round(aggregate(embedding, cast(0 as double)," +
+        " (acc, x) -> acc + cast(x as double) * x), 6) as decimal(18,6))" +
+        " * 1000000 as bigint)").as("n2_micro"))
+    val bounds = n2.agg(min(col("n2_micro")).as("lo"), max(col("n2_micro")).as("hi"))
+    n2.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"(n2_micro - lo) * $buckets div (hi - lo + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("n2_micro")).as("min_n2_micro"),
+        max(col("n2_micro")).as("max_n2_micro"))
+      .orderBy(col("bucket"))
+  }
+
 }

@@ -961,6 +961,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-DOCUMENT keyword extraction: top-3 terms by tf·idf within each
+    * doc — the document-tagging twin of the per-language [[txtTopTerms]].
+    * The ranking window is doc-keyed (row_number ≤ k, auto-rewritten to
+    * the bounded-heap TopKPerGroup under the production extensions), so
+    * the exchange carries ≤ 3 rows per document. The score is one
+    * product and one division of exact integers — bit-identical doubles
+    * in both engines, ties broken by term. */
+  def txtDocKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(TextOps.tokens("text")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_total") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)

@@ -412,4 +412,34 @@ object Streams {
           SampleSnapshot(src, merged.map(_._2).mkString(","), merged.last._1)
       }
   }
+
+  case class DayDelta(day_epoch: Long, delta: Long)
+  case class OpenCount(day_epoch: Long, net: Long, n_open: Long)
+
+  /** Streaming concurrent-intervals count — the stream twin of the
+    * batch q147 open-orders operator: state is ONE long (the running
+    * open count), each trigger folds its days in order and emits the
+    * per-day net and running count. The single group key mirrors the
+    * batch form's single global running sum; like packingOffsets, the
+    * arrival contract is day-ordered batches that never split a day —
+    * under it the output is row-identical to the batch operator
+    * (StreamingSpec parity). */
+  def openIntervalsStream(deltas: Dataset[DayDelta]): Dataset[OpenCount] = {
+    import deltas.sparkSession.implicits._
+    deltas
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Long, OpenCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, batch: Iterator[DayDelta], state: GroupState[Long]) =>
+          var run = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.groupBy(_.day_epoch).toSeq.sortBy(_._1)
+            .map { case (d, rs) =>
+              val net = rs.map(_.delta).sum
+              run += net
+              OpenCount(d, net, run)
+            }
+          state.update(run)
+          out.iterator
+      }
+  }
 }

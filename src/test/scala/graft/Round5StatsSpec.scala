@@ -391,6 +391,88 @@ class Round5StatsSpec extends SparkSpec {
     assert(rows.count(_.getLong(2) == 1L) > 0, "corpus has singletons")
   }
 
+  test("q153_cochran_q: Q pieces recompute from the three activity sets") {
+    val rows = operators.Analytics.q153CochranQ(spark, sf0001).collect()
+    assert(rows.length == 3)
+    val o = Tables.orders(spark, sf0001)
+    def activeSet(y: Int) = o.filter(expr(s"year(o_orderdate) = $y"))
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val (a95, a96, a97) = (activeSet(1995), activeSet(1996), activeSet(1997))
+    val custs = Tables.customer(spark, sf0001).select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+    val ls = custs.map(c => Seq(a95(c), a96(c), a97(c)).count(identity).toLong)
+    val gs = Map(1995L -> custs.count(a95).toLong, 1996L -> custs.count(a96).toLong,
+      1997L -> custs.count(a97).toLong)
+    val sumG = gs.values.sum
+    val qNum = BigInt(2) * (3 * gs.values.map(g => BigInt(g) * g).sum - BigInt(sumG) * sumG)
+    val qDen = BigInt(3) * ls.sum - ls.map(l => l * l).sum
+    rows.foreach { r =>
+      assert(r.getLong(1) == gs(r.getLong(0)))
+      assert(r.getLong(2) == custs.length.toLong)
+      assert(big(r, 3) == qNum && big(r, 4) == qDen)
+      assert(r.getDouble(5) == qNum.toDouble / qDen.toDouble)
+    }
+  }
+
+  test("txt_doc_keywords: every doc with tokens gets <= 3 ranked keywords, scores ordered") {
+    val rows = operators.TextAnalysis.txtDocKeywords(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(5) > b.getDouble(5) ||
+            (a.getDouble(5) == b.getDouble(5) && a.getString(2) < b.getString(2)))
+        case _ =>
+      }
+    }
+    // tf never exceeds the doc's token count; df >= 1
+    rows.foreach(r => assert(r.getLong(3) >= 1 && r.getLong(4) >= 1))
+  }
+
+  test("q154_grubbs_inputs: extreme deviation and its day recompute") {
+    val daily = dailyCents()
+    val expected = daily.keys.map(_._1).toSeq.distinct.sorted.map { p =>
+      val series = daily.collect { case ((`p`, d), c) => (d, c) }.toSeq
+      val n = series.size.toLong; val s = series.map(_._2).sum
+      val devs = series.map { case (d, c) => (d, (BigInt(n) * c - s).abs) }
+      val gNum = devs.map(_._2).max
+      val peak = devs.filter(_._2 == gNum).map(_._1).minBy(_.toEpochDay)
+      val sx2 = series.map(x => BigInt(x._2) * x._2).sum
+      p -> ((n, s, gNum, peak, BigInt(n) * sx2 - BigInt(s) * s))
+    }.toMap
+    val got = operators.Analytics.q154GrubbsInputs(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), big(r, 3),
+        r.getDate(4).toLocalDate, big(r, 5)))).toMap
+    assert(got == expected)
+  }
+
+  test("dd_lsh_precision: hit count equals the recall side's catch count") {
+    val p = operators.Dedup.ddLshPrecision(spark, sf0001).collect()(0)
+    val r = operators.Dedup.ddLshRecall(spark, sf0001).collect()(0)
+    assert(p.getLong(1) == r.getLong(1),
+      "|exact ∩ candidates| must agree between the two audits")
+    assert(p.getLong(1) <= p.getLong(0))
+    assert(p.getLong(2) == p.getLong(1) * 1000000L / p.getLong(0))
+  }
+
+  test("sim_norm2_hist: buckets partition the corpus with ordered ranges") {
+    val rows = operators.Similarity.simNorm2Hist(spark, sf0001).collect()
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 10)
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    // bucket ranges are disjoint and ordered
+    rows.sortBy(_.getLong(0)).sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2))
+      case _ =>
+    }
+  }
+
   test("sim_centroid_shift: labels with stable assignments shift less than the max") {
     val rows = operators.Similarity.simCentroidShift(spark, sf0001).collect()
     assert(rows.nonEmpty)

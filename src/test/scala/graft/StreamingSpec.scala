@@ -332,4 +332,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       "streaming EMA must equal the batch 8-point rational EMA row for row")
   }
+
+  test("streaming open-intervals count: O(1) state matches the batch running sum row for row") {
+    val o = Tables.orders(spark, sf0001)
+      .select(expr("datediff(to_date(o_orderdate), date'1970-01-01')").cast("long").as("sd"))
+    val deltas = o.select($"sd".as("day_epoch"), lit(1L).as("delta"))
+      .unionAll(o.select(($"sd" + 30).as("day_epoch"), lit(-1L).as("delta")))
+    // split by day range; the older file holds the earlier days, so the
+    // file source replays day-ordered batches that never split a day —
+    // the twin's arrival contract
+    val mid = deltas.agg(expr("percentile_approx(day_epoch, 0.5)")).head().getLong(0)
+    val dir = Files.createTempDirectory("open_stream")
+    deltas.filter($"day_epoch" < mid).coalesce(1).write.parquet(dir.toString + "/a")
+    Thread.sleep(1100)
+    deltas.filter($"day_epoch" >= mid).coalesce(1).write.parquet(dir.toString + "/b")
+    val stream = spark.readStream.schema(deltas.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .as[Streams.DayDelta]
+    runToMemory(Streams.openIntervalsStream(stream).toDF(), "open_stream_t")
+    val streamed = spark.sql("select * from open_stream_t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.operators.Analytics.q147OpenOrders(spark, sf0001).collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(streamed == batch,
+      "streamed running open count must equal the batch prefix sum row for row")
+  }
 }
