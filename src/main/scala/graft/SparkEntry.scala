@@ -1424,14 +1424,14 @@ object SparkEntry {
         |    < cast(100 as decimal(38,0)) * cast(1099511627776 as decimal(38,0))
         |ORDER BY doc_id""".stripMargin,
     "q57_pagerank" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
         | SELECT a, b2 FROM (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
         |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2) WHERE support >= 2
         |),
-        |edges AS (SELECT a AS src, b2 AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT a AS src, b2 AS dst FROM pairs
         |          UNION ALL SELECT b2, a FROM pairs),
         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
         |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
@@ -1483,8 +1483,8 @@ object SparkEntry {
         |FROM r WHERE rn <= 3
         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "q58_triangles" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
         | SELECT a, b2 FROM (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
         |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
@@ -3401,14 +3401,14 @@ object SparkEntry {
         |WHERE a.r <= 10 ORDER BY a.r""".stripMargin,
 
     "q123_assortativity" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
         | SELECT a, b2 FROM (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
         |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2) WHERE support >= 2
         |),
-        |edges AS (SELECT a AS src, b2 AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT a AS src, b2 AS dst FROM pairs
         |          UNION ALL SELECT b2, a FROM pairs),
         |deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY 1),
         |s AS (
@@ -3429,8 +3429,8 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "q124_degree_hist" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
         | SELECT a, b2 FROM (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
         |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
@@ -3443,14 +3443,14 @@ object SparkEntry {
         |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""".stripMargin,
 
     "q126_bfs_hops" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
         | SELECT a, b2 FROM (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
         |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2) WHERE support >= 2
         |),
-        |edges AS (SELECT a AS src, b2 AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT a AS src, b2 AS dst FROM pairs
         |          UNION ALL SELECT b2, a FROM pairs),
         |deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY 1),
         |hub AS (SELECT n FROM deg ORDER BY d DESC, n LIMIT 1),
@@ -3741,14 +3741,14 @@ object SparkEntry {
         |FROM r CROSS JOIN tot WHERE rnk IN (10, 50, 100) ORDER BY k""".stripMargin,
 
     "q130_link_prediction" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
         | SELECT a, b2 FROM (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
         |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2) WHERE support >= 2
         |),
-        |edges AS (SELECT a AS src, b2 AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT a AS src, b2 AS dst FROM pairs
         |          UNION ALL SELECT b2, a FROM pairs),
         |cnb AS (
         | SELECT e1.src AS n1, e2.dst AS n2, cast(count(*) as bigint) AS common_nbrs
@@ -4054,25 +4054,29 @@ object SparkEntry {
         |FROM r WHERE "rank" <= 20 ORDER BY lang, "rank"""".stripMargin,
 
     "q139_kcore" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e0 AS (
+      // Every multiply-referenced CTE is MATERIALIZED and the induce
+      // steps are joins, not IN-subqueries: the uncorrelated-IN form
+      // made DuckDB recompute the whole e0 pair expansion per round
+      // (observed: an 80 GB temp spill at sf0.1). Same result.
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
         | SELECT a, b2 FROM (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
         |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2) WHERE support >= 2
         |),
-        |k1 AS (SELECT n FROM (SELECT n, count(*) deg FROM (
+        |k1 AS MATERIALIZED (SELECT n FROM (SELECT n, count(*) deg FROM (
         |  SELECT a n FROM e0 UNION ALL SELECT b2 FROM e0) GROUP BY 1) WHERE deg >= 3),
-        |e1 AS (SELECT a, b2 FROM e0
-        |  WHERE a IN (SELECT n FROM k1) AND b2 IN (SELECT n FROM k1)),
-        |k2 AS (SELECT n FROM (SELECT n, count(*) deg FROM (
+        |e1 AS MATERIALIZED (SELECT e0.a, e0.b2 FROM e0
+        |  JOIN k1 x ON e0.a = x.n JOIN k1 y ON e0.b2 = y.n),
+        |k2 AS MATERIALIZED (SELECT n FROM (SELECT n, count(*) deg FROM (
         |  SELECT a n FROM e1 UNION ALL SELECT b2 FROM e1) GROUP BY 1) WHERE deg >= 3),
-        |e2 AS (SELECT a, b2 FROM e1
-        |  WHERE a IN (SELECT n FROM k2) AND b2 IN (SELECT n FROM k2)),
-        |k3 AS (SELECT n FROM (SELECT n, count(*) deg FROM (
+        |e2 AS MATERIALIZED (SELECT e1.a, e1.b2 FROM e1
+        |  JOIN k2 x ON e1.a = x.n JOIN k2 y ON e1.b2 = y.n),
+        |k3 AS MATERIALIZED (SELECT n FROM (SELECT n, count(*) deg FROM (
         |  SELECT a n FROM e2 UNION ALL SELECT b2 FROM e2) GROUP BY 1) WHERE deg >= 3),
-        |e3 AS (SELECT a, b2 FROM e2
-        |  WHERE a IN (SELECT n FROM k3) AND b2 IN (SELECT n FROM k3))
+        |e3 AS MATERIALIZED (SELECT e2.a, e2.b2 FROM e2
+        |  JOIN k3 x ON e2.a = x.n JOIN k3 y ON e2.b2 = y.n)
         |SELECT * FROM (
         | SELECT cast(1 as bigint) AS round,
         |  (SELECT cast(count(DISTINCT n) as bigint) FROM (SELECT a n FROM e1 UNION ALL SELECT b2 FROM e1)) AS n_nodes,
@@ -4158,13 +4162,13 @@ object SparkEntry {
         |FROM s ORDER BY o_orderpriority""".stripMargin,
 
     "q140_modularity" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e0 AS (
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
         | SELECT a, b2 FROM (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
         |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2) WHERE support >= 2
-        |), lab AS (
+        |), lab AS MATERIALIZED (
         | SELECT pa.p_brand brand_a, pb.p_brand brand_b
         | FROM e0 JOIN part pa ON e0.a = pa.p_partkey
         |          JOIN part pb ON e0.b2 = pb.p_partkey
