@@ -298,6 +298,9 @@ object SparkEntry {
     "q154_grubbs_inputs" -> (Analytics.q154GrubbsInputs _),
     "dd_lsh_precision" -> (Dedup.ddLshPrecision _),
     "sim_norm2_hist" -> ((s: SparkSession, d: String) => Similarity.simNorm2Hist(s, d)),
+    "q155_binary_seg" -> (Analytics.q155BinarySeg _),
+    "txt_fertility" -> (TextAnalysis.txtFertility _),
+    "sim_ivf_probe_curve" -> ((s: SparkSession, d: String) => Similarity.simIvfProbeCurve(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -352,6 +355,64 @@ object SparkEntry {
        |)
        |SELECT va AS vec_a, vb AS vec_b, round(cosim, 6) AS score
        |FROM s WHERE cosim >= 0.3 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Oracle for the IVF probe-count tuning curve: one shared
+    * centroid/exact-top-k WITH, then per-probe candidate/hit blocks
+    * generated for the same nprobe values the operator sweeps. */
+  private def ivfProbeOracle(probes: Seq[Int]): String = {
+    val cos = (a: String, b: String) =>
+      s"""list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($b[i] as double))) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($a[i] as double)))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cast($b[i] as double) * cast($b[i] as double)))))""".stripMargin
+    val perProbe = probes.map { p =>
+      s""", s$p AS (
+         | SELECT q.qid, e.vec_id, ${cos("qe", "e.embedding")} cosim
+         | FROM q JOIN cellrank cr ON cr.qid = q.qid AND cr.rn <= $p
+         | JOIN embeddings e ON e.label = cr.label
+         | WHERE e.vec_id <> q.qid
+         |), a$p AS (
+         | SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk
+         |  FROM s$p) WHERE rnk <= 10
+         |)""".stripMargin
+    }.mkString("\n")
+    val rows = probes.map { p =>
+      s"""SELECT * FROM (
+         | SELECT cast($p as bigint) AS nprobe,
+         |  (SELECT cast(count(*) as bigint) FROM s$p) AS n_candidates,
+         |  (SELECT cast(count(*) as bigint) FROM exact) AS n_exact,
+         |  (SELECT cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+         |   FROM exact e LEFT JOIN a$p a ON e.query_id = a.qid AND e.vec_id = a.vec_id) AS n_hits
+         |)""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH dims AS (SELECT unnest(range(1, 65)) i),
+       |cent AS (
+       | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+       | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+       |), centv AS (SELECT label, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+       |q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+       |cellscore AS (
+       | SELECT q.qid, cv.label,
+       |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cv.cv[i])) /
+       |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+       |   sqrt(list_sum(list_transform(range(1, 65), i -> cv.cv[i] * cv.cv[i])))) cs
+       | FROM q CROSS JOIN centv cv
+       |), cellrank AS (
+       | SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, label) rn
+       | FROM cellscore
+       |), es AS (
+       | SELECT q.qid, e.vec_id, ${cos("qe", "e.embedding")} cosim
+       | FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+       |), exact AS (
+       | SELECT qid query_id, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk
+       |  FROM es) WHERE rnk <= 10
+       |)
+       |$perProbe
+       |SELECT nprobe, n_candidates, n_exact, n_hits,
+       | n_hits * 1000000 // n_exact AS recall_micro
+       |FROM ($rows) ORDER BY nprobe""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -4807,5 +4868,59 @@ object SparkEntry {
         | cast(min(n2_micro) as bigint) AS min_n2_micro,
         | cast(max(n2_micro) as bigint) AS max_n2_micro
         |FROM n2 CROSS JOIN b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q155_binary_seg" ->
+      """WITH daily AS (
+        | SELECT cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1
+        |), pref AS (
+        | SELECT day, cents,
+        |  row_number() OVER (ORDER BY day) k,
+        |  sum(cast(cents as hugeint)) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pfx
+        | FROM daily
+        |), tot AS (SELECT count(*) n, sum(cast(cents as hugeint)) s FROM daily),
+        |scored AS (
+        | SELECT day, k, pfx, abs(cast(n as hugeint) * pfx - cast(k as hugeint) * s) score, n, s
+        | FROM pref CROSS JOIN tot
+        |), cp1 AS (
+        | SELECT day cp_day, k k1, pfx p1, score FROM scored WHERE k < n
+        | ORDER BY score DESC, k LIMIT 1
+        |), lseg AS (
+        | SELECT s.day, s.k,
+        |  abs(cast(k1 as hugeint) * s.pfx - cast(s.k as hugeint) * p1) lscore
+        | FROM scored s CROSS JOIN cp1 WHERE s.k < k1
+        |), rseg AS (
+        | SELECT s.day, s.k,
+        |  abs(cast(s.n - k1 as hugeint) * (s.pfx - p1) - cast(s.k - k1 as hugeint) * (s.s - p1)) rscore
+        | FROM scored s CROSS JOIN cp1 WHERE s.k > k1 AND s.k < s.n
+        |)
+        |SELECT 'all' AS segment, cp_day, cast(k1 as bigint) AS cp_k,
+        | cast(score as decimal(38,0)) AS score FROM cp1
+        |UNION ALL
+        |SELECT * FROM (SELECT 'left', day, cast(k as bigint), cast(lscore as decimal(38,0))
+        |FROM lseg ORDER BY lscore DESC, k LIMIT 1)
+        |UNION ALL
+        |SELECT * FROM (SELECT 'right', day, cast(k as bigint), cast(rscore as decimal(38,0))
+        |FROM rseg ORDER BY rscore DESC, k LIMIT 1)
+        |ORDER BY segment""".stripMargin,
+
+    "txt_fertility" ->
+      """WITH t AS (
+        | SELECT lang,
+        |  cast(length(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) ws,
+        |  cast(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) as bigint) bpe
+        | FROM documents
+        |), g AS (
+        | SELECT lang, count(*) n_docs, cast(sum(ws) as bigint) n_ws_tokens,
+        |  cast(sum(bpe) as bigint) n_bpe_tokens
+        | FROM t GROUP BY 1
+        |)
+        |SELECT lang, n_docs, n_ws_tokens, n_bpe_tokens,
+        | CASE WHEN n_ws_tokens = 0 THEN NULL
+        |  ELSE n_bpe_tokens * 1000000 // n_ws_tokens END AS fertility_micro
+        |FROM g ORDER BY lang""".stripMargin,
+
+    "sim_ivf_probe_curve" -> ivfProbeOracle(Seq(1, 2, 4)),
   )
 }

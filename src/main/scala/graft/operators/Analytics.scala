@@ -3434,4 +3434,51 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Two-level binary segmentation of the daily-revenue series: the
+    * global CUSUM argmax (q131's exact |n·P_k − k·S| device) splits the
+    * calendar once, then the SAME statistic reruns inside each half
+    * with LOCAL totals (n_seg, S_seg) — the unrolled-recursion form of
+    * binary segmentation, the standard multi-changepoint detector.
+    * Argmaxes are max_by over exact DECIMAL scores with a −k
+    * tie-break; the 1-row split point broadcasts. Three rows out. */
+  def q155BinarySeg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val w = Window.orderBy($"day")
+    val pref = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pfx", sum(expr("cast(cents as decimal(38,0))"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = daily.agg(count(lit(1)).as("n"),
+      expr("cast(sum(cast(cents as decimal(38,0))) as decimal(38,0))").as("s"))
+    val scored = pref.crossJoin(broadcast(tot))
+      .withColumn("score", expr(
+        "abs(cast(n as decimal(38,0)) * pfx - cast(k as decimal(38,0)) * s)"))
+    val cp1 = scored.filter($"k" < $"n")
+      .agg(expr("max_by(named_struct('day', day, 'k', k, 'pfx', pfx), named_struct('s', score, 'mk', -k))").as("b"),
+        expr("cast(max(score) as decimal(38,0))").as("score"))
+      .select($"b.day".as("cp_day"), $"b.k".as("k1"),
+        expr("cast(b.pfx as decimal(38,0))").as("p1"), $"score")
+    val withCp = scored.crossJoin(broadcast(cp1))
+    val left = withCp.filter($"k" < $"k1")
+      .withColumn("lscore", expr(
+        "abs(cast(k1 as decimal(38,0)) * pfx - cast(k as decimal(38,0)) * p1)"))
+      .agg(lit("left").as("segment"),
+        expr("max_by(day, named_struct('s', lscore, 'mk', -k))").as("cp_day"),
+        expr("max_by(k, named_struct('s', lscore, 'mk', -k))").as("cp_k"),
+        expr("cast(max(lscore) as decimal(38,0))").as("score"))
+    val right = withCp.filter($"k" > $"k1" && $"k" < $"n")
+      .withColumn("rscore", expr(
+        "abs(cast(n - k1 as decimal(38,0)) * (pfx - p1) - cast(k - k1 as decimal(38,0)) * (s - p1))"))
+      .agg(lit("right").as("segment"),
+        expr("max_by(day, named_struct('s', rscore, 'mk', -k))").as("cp_day"),
+        expr("max_by(k, named_struct('s', rscore, 'mk', -k))").as("cp_k"),
+        expr("cast(max(rscore) as decimal(38,0))").as("score"))
+    val global = cp1.select(lit("all").as("segment"), $"cp_day",
+      $"k1".as("cp_k"), $"score")
+    global.unionAll(left).unionAll(right).orderBy($"segment")
+  }
+
 }

@@ -623,6 +623,51 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** IVF probe-count tuning curve: recall@10 and candidate volume at
+    * nprobe ∈ {1, 2, 4} off ONE centroid-scoring pass — the
+    * accuracy/cost sweep an index deployment publishes before fixing
+    * nprobe ([[ddLshTuningCurve]]'s twin on the vector side). Exact
+    * hit counts against the deterministic brute-force top-10; recall
+    * as an integer micro-division. Candidates are counted, not
+    * re-scored per config — the cell ranking is shared. */
+  def simIvfProbeCurve(spark: SparkSession, dir: String,
+      probes: Seq[Int] = Seq(1, 2, 4), k: Int = 10): DataFrame = {
+    val c = corpus(spark, dir)
+    val cent = c
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("label"))
+    val rankedCells = broadcast(queries(c)).crossJoin(broadcast(cent))
+      .withColumn("cs", VectorOps.dotHof("qe", "cv") / (col("qnrm") * VectorOps.norm2Hof("cv")))
+      .withColumn("cell_rn", row_number().over(wCell))
+    val exact = simTopkBruteforce(spark, dir)
+      .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+    probes.map { p =>
+      val cells = rankedCells.filter(col("cell_rn") <= p)
+        .select(col("qid"), col("label"), col("qe"), col("qnrm"))
+      val scored = cells.join(c, Seq("label"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+      val nCand = scored.agg(count(lit(1)).as("n_candidates"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
+      val approx = org.apache.spark.sql.graft.TopK.perGroup(
+          scored, Seq("qid"), Seq("cosim" -> true, "vec_id" -> false), k)
+        .withColumn("rank", row_number().over(wQ))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("vec_id"))
+      val hits = exact
+        .join(approx, col("eq") === col("qid") && col("ev") === col("vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("qid").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      hits.crossJoin(broadcast(nCand))
+        .select(lit(p.toLong).as("nprobe"), col("n_candidates"), col("n_exact"),
+          col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_micro"))
+    }.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
   /** Squared-L2-norm histogram of the embedding corpus — the
     * normalization audit run before cosine anything (un-normalized
     * vectors silently break dot-product ≈ cosine assumptions). The

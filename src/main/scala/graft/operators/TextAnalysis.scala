@@ -984,6 +984,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Tokenizer fertility per language: BPE-ish tokens per whitespace
+    * word (the multilingual-tokenizer cost metric — high fertility
+    * means a language pays more sequence length per word). Both counts
+    * are the gated [[txtTokens]] integers aggregated per language; the
+    * ratio is an exact micro-division. Pure map-side projection into a
+    * language-keyed aggregate. */
+  def txtFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)").as("ws"),
+        expr("cast(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) as bigint)").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"))
+      .withColumn("fertility_micro", expr(
+        "CASE WHEN n_ws_tokens = 0 THEN NULL ELSE n_bpe_tokens * 1000000 div n_ws_tokens END"))
+      .orderBy(col("lang"))
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)

@@ -473,6 +473,53 @@ class Round5StatsSpec extends SparkSpec {
     }
   }
 
+  test("q155_binary_seg: split points recompute against a driver binary segmentation") {
+    val daily = dailyCents().toSeq
+      .groupBy(_._1._2).map { case (d, rs) => (d, rs.map(_._2).sum) }
+      .toSeq.sortBy(_._1.toEpochDay)
+    val n = daily.size.toLong
+    val pfx = daily.map(_._2).scanLeft(BigInt(0))(_ + _).tail
+    val s = pfx.last
+    def argmax(ks: Seq[Long], score: Long => BigInt): (Long, BigInt) =
+      ks.map(k => (k, score(k))).maxBy { case (k, sc) => (sc, -k) }
+    val (k1, sc1) = argmax((1L until n).toSeq, k => (BigInt(n) * pfx((k - 1).toInt) - BigInt(k) * s).abs)
+    val p1 = pfx((k1 - 1).toInt)
+    val (kl, scl) = argmax((1L until k1).toSeq,
+      k => (BigInt(k1) * pfx((k - 1).toInt) - BigInt(k) * p1).abs)
+    val (kr, scr) = argmax(((k1 + 1) until n).toSeq,
+      k => (BigInt(n - k1) * (pfx((k - 1).toInt) - p1) - BigInt(k - k1) * (s - p1)).abs)
+    val got = operators.Analytics.q155BinarySeg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getDate(1).toLocalDate, r.getLong(2), big(r, 3)))).toMap
+    assert(got("all") == ((daily((k1 - 1).toInt)._1, k1, sc1)))
+    assert(got("left") == ((daily((kl - 1).toInt)._1, kl, scl)))
+    assert(got("right") == ((daily((kr - 1).toInt)._1, kr, scr)))
+  }
+
+  test("txt_fertility: ratios recompute and BPE-ish tokenization never shrinks the word count") {
+    val rows = operators.TextAnalysis.txtFertility(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2),
+        "every whitespace word yields at least one BPE-ish token")
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2))
+      assert(r.getLong(4) >= 1000000L)
+    }
+  }
+
+  test("sim_ivf_probe_curve: recall and candidates are monotone in nprobe; nprobe=4 covers both cells") {
+    val rows = operators.Similarity.simIvfProbeCurve(spark, sf0001).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) >= a.getLong(1), "more probes, more candidates")
+      assert(b.getLong(3) >= a.getLong(3), "more probes never lose hits")
+    }
+    // nprobe=2 must reproduce the gated sim_recall_report totals
+    val rr = operators.Similarity.simRecallReport(spark, sf0001).collect()
+    assert(rows(1).getLong(3) == rr.map(_.getLong(2)).sum)
+    assert(rows(1).getLong(2) == rr.map(_.getLong(1)).sum)
+  }
+
   test("sim_centroid_shift: labels with stable assignments shift less than the max") {
     val rows = operators.Similarity.simCentroidShift(spark, sf0001).collect()
     assert(rows.nonEmpty)
