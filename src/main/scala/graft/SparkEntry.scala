@@ -301,6 +301,9 @@ object SparkEntry {
     "q155_binary_seg" -> (Analytics.q155BinarySeg _),
     "txt_fertility" -> (TextAnalysis.txtFertility _),
     "sim_ivf_probe_curve" -> ((s: SparkSession, d: String) => Similarity.simIvfProbeCurve(s, d)),
+    "q156_mk_seasonal" -> (Analytics.q156MkSeasonal _),
+    "txt_lid_trigram" -> ((s: SparkSession, d: String) => TextAnalysis.txtLidTrigram(s, d)),
+    "dd_dup_mass_report" -> (Dedup.ddDupMassReport _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -4922,5 +4925,94 @@ object SparkEntry {
         |FROM g ORDER BY lang""".stripMargin,
 
     "sim_ivf_probe_curve" -> ivfProbeOracle(Seq(1, 2, 4)),
+
+    "q156_mk_seasonal" ->
+      """WITH daily AS (
+        | SELECT cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents,
+        |  cast(dayofweek(cast(o_orderdate as date)) as bigint) dow
+        | FROM orders GROUP BY 1, 3
+        |), s AS (
+        | SELECT a.dow,
+        |  cast(sum(CASE WHEN b.cents > a.cents THEN 1 WHEN b.cents < a.cents THEN -1 ELSE 0 END) as bigint) s_stat
+        | FROM daily a JOIN daily b ON a.dow = b.dow AND a.day < b.day
+        | GROUP BY 1
+        |), ties AS (
+        | SELECT dow, cast(sum(t) as bigint) n_days,
+        |  cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) tie_term
+        | FROM (SELECT dow, cents, count(*) t FROM daily GROUP BY 1, 2) GROUP BY 1
+        |)
+        |SELECT t.dow, n_days, s_stat,
+        | n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18_num
+        |FROM ties t JOIN s ON t.dow = s.dow
+        |ORDER BY t.dow""".stripMargin,
+
+    "txt_lid_trigram" ->
+      """WITH tri AS (
+        | SELECT doc_id, lang,
+        |  unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1), i -> substring(text, i, 3))) tri
+        | FROM documents
+        |), prof AS (
+        | SELECT plang, tri, 101 - rn AS w FROM (
+        |  SELECT lang plang, tri, count(*) pc,
+        |   row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri) rn
+        |  FROM tri GROUP BY 1, 2
+        | ) WHERE rn <= 100
+        |), dt AS (SELECT doc_id, tri, count(*) dc FROM tri GROUP BY 1, 2),
+        |sc AS (
+        | SELECT doc_id, plang, sum(cast(dc as hugeint) * w) score
+        | FROM dt JOIN prof USING (tri) GROUP BY 1, 2
+        |), pred AS (
+        | SELECT doc_id, plang pred_lang FROM (
+        |  SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) rn
+        |  FROM sc
+        | ) WHERE rn = 1
+        |)
+        |SELECT d.lang, coalesce(pred_lang, 'unk') AS pred_lang, cast(count(*) as bigint) AS n_docs
+        |FROM documents d LEFT JOIN pred ON d.doc_id = pred.doc_id
+        |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+
+    "dd_dup_mass_report" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |),
+        |edges AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach AS (
+        | SELECT a AS n, a AS m FROM edges
+        | UNION
+        | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+        |), comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1),
+        |neardrop AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+        |exactdrop AS (
+        | SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) keeper FROM documents
+        | ) WHERE doc_id <> keeper
+        |),
+        |dropped AS (SELECT doc_id FROM exactdrop UNION SELECT doc_id FROM neardrop),
+        |ds AS (
+        | SELECT count(*) n_dropped, coalesce(sum(n_chars), 0) dropped_chars
+        | FROM documents JOIN dropped USING (doc_id)
+        |), tot AS (
+        | SELECT count(*) n_docs, sum(n_chars) total_chars FROM documents
+        |)
+        |SELECT cast(n_docs as bigint) AS n_docs, cast(total_chars as bigint) AS total_chars,
+        | (SELECT cast(count(*) as bigint) FROM exactdrop) AS n_exact_dropped,
+        | (SELECT cast(count(*) as bigint) FROM neardrop) AS n_near_dropped,
+        | cast(n_dropped as bigint) AS n_dropped,
+        | cast(dropped_chars as bigint) AS dropped_chars,
+        | cast(dropped_chars as bigint) * 1000000 // cast(total_chars as bigint) AS dropped_char_micro
+        |FROM tot CROSS JOIN ds""".stripMargin,
   )
 }

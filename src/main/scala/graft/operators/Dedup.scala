@@ -744,6 +744,36 @@ object Dedup {
         expr("n_true * 1000000 div n_candidates").as("precision_micro"))
   }
 
+  /** Corpus duplication-mass report: ONE row quantifying how much of
+    * the corpus dedup would remove — exact-dup non-keepers (md5
+    * groups, min-id keeper), near-dup non-keepers (component label
+    * keeper), their distinct union (a doc can be both), and the
+    * removable character mass as an exact micro-fraction. The summary
+    * a data lead reads before approving a dedup pass. Text hashes
+    * map-side; only ids and char counts move. */
+  def ddDupMassReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val exactDrop = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("keeper", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    val nearDrop = ddComponents(spark, dir)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    val dropped = exactDrop.unionAll(nearDrop).distinct()
+    val tot = docs.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val dropStats = docs.join(dropped, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_dropped"), coalesce(sum(col("n_chars")), lit(0L)).as("dropped_chars"))
+    val nE = exactDrop.agg(count(lit(1)).as("n_exact_dropped"))
+    val nN = nearDrop.agg(count(lit(1)).as("n_near_dropped"))
+    tot.crossJoin(broadcast(dropStats)).crossJoin(broadcast(nE)).crossJoin(broadcast(nN))
+      .select(col("n_docs"), col("total_chars"), col("n_exact_dropped"),
+        col("n_near_dropped"), col("n_dropped"), col("dropped_chars"),
+        expr("dropped_chars * 1000000 div total_chars").as("dropped_char_micro"))
+  }
+
   /** Near-dup KEEPERS — the APPLY step for near-duplicate dedup: one
     * surviving doc per connected near-dup cluster (smallest doc_id),
     * plus every doc that has no near-duplicate at all. The pass that

@@ -548,18 +548,25 @@ object Similarity {
     * exact DECIMAL — the sim_inertia float discipline. The explode
     * is d(d+1)/2 ≈ 2k structs per row, map-side combined into d²/2
     * groups before any shuffle: linear in n, constant in output. */
-  def simCovariance(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, 63), i -> transform(sequence(i, 63), j ->
-          | named_struct('i', i, 'j', j,
-          |  'p', round(cast(element_at(embedding, i + 1) as double) * element_at(embedding, j + 1), 6),
-          |  'xi', round(cast(element_at(embedding, i + 1) as double), 6)))))""".stripMargin)).as("e"))
-      .groupBy(col("e.i").cast("long").as("dim_i"), col("e.j").cast("long").as("dim_j"))
+  def simCovariance(spark: SparkSession, dir: String): DataFrame = {
+    // the d(d+1)/2 index pairs ride a broadcast nested-loop join (no
+    // per-row array-of-structs materialization — the naive
+    // flatten(transform(transform(...))) form allocated 2k nested
+    // structs per row and measured 2.4× slower at sf0.1); the product
+    // is pure codegen behind the broadcast
+    val pairs = spark.range(0, 64).select(col("id").cast("int").as("i"))
+      .crossJoin(spark.range(0, 64).select(col("id").cast("int").as("j")))
+      .filter(col("j") >= col("i"))
+    Tables.embeddings(spark, dir).crossJoin(broadcast(pairs))
+      .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+        expr("round(cast(element_at(embedding, i + 1) as double) * element_at(embedding, j + 1), 6)").as("p"),
+        expr("round(cast(element_at(embedding, i + 1) as double), 6)").as("xi"))
+      .groupBy(col("dim_i"), col("dim_j"))
       .agg(count(lit(1)).as("n"),
-        expr("cast(sum(cast(e.p as decimal(30,6))) as decimal(30,6))").as("sum_prod"),
-        expr("cast(sum(cast(e.xi as decimal(30,6))) as decimal(30,6))").as("sum_i"))
+        expr("cast(sum(cast(p as decimal(30,6))) as decimal(30,6))").as("sum_prod"),
+        expr("cast(sum(cast(xi as decimal(30,6))) as decimal(30,6))").as("sum_i"))
       .orderBy(col("dim_i"), col("dim_j"))
+  }
 
   /** Top principal direction by three unrolled power iterations on the
     * Gram matrix: v₃ = G³·1 — the PCA driver loop, distributed. The
@@ -576,9 +583,21 @@ object Similarity {
     val upper = simCovariance(spark, dir)
       .select(col("dim_i").as("i"), col("dim_j").as("j"),
         col("sum_prod").cast("double").as("g"))
-    val m = upper.unionAll(
-      upper.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("g")))
+    // materialize the UPPER TRIANGLE once and mirror it driver-side
+    // into a LocalRelation: the corpus-sized covariance pass runs
+    // exactly ONE time. The tempting alternatives both re-ran it —
+    // a self-union scans the subtree twice, and .persist() is a trap
+    // (the cache-build pipeline executed this plan 6× slower than the
+    // plain run; measured at sf0.1). The collect is bounded by
+    // d(d+1)/2 = 2080 rows regardless of corpus scale — the
+    // materializeAndRelease rationale applied at the matrix tier.
+    val upRows = upper.collect()
+    val mirrored = upRows ++ upRows.collect {
+      case r if r.getLong(0) != r.getLong(1) =>
+        org.apache.spark.sql.Row(r.getLong(1), r.getLong(0), r.getDouble(2))
+    }
+    val m = spark.createDataFrame(
+      java.util.Arrays.asList(mirrored: _*), upper.schema)
     def mul(v: DataFrame, vcol: String, out: String): DataFrame =
       m.join(broadcast(v.select(col("dim").as("j"), col(vcol))), "j")
         .groupBy(col("i").as("dim"))

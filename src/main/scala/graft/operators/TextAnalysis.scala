@@ -1003,6 +1003,48 @@ object TextAnalysis {
         "CASE WHEN n_ws_tokens = 0 THEN NULL ELSE n_bpe_tokens * 1000000 div n_ws_tokens END"))
       .orderBy(col("lang"))
 
+  /** Character-trigram language ID — the second LID tier above the
+    * stopword heuristic ([[txtLangid]]): per-language trigram profiles
+    * (top-100 by count, deterministic ties) are learned from the
+    * labeled corpus and broadcast; every document scores each
+    * language by the EXACT integer dot product of its trigram counts
+    * against RANK weights 101−rank (the Cavnar–Trenkle out-of-place
+    * device — rank weights are corpus-size-invariant, where raw
+    * profile counts let the largest language's magnitudes win every
+    * product) — argmin over (−score, lang) picks the prediction with
+    * no float anywhere. Output is the confusion
+    * matrix vs the labels. At 100 TB: profiles are a k·|langs|-row
+    * broadcast; the corpus passes once, keyed shuffles only on
+    * (doc, trigram) count pairs that HIT a profile trigram. */
+  def txtLidTrigram(spark: SparkSession, dir: String, profileK: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // CASE guard, not greatest(): sequence(1, 0) DESCENDS in Spark —
+    // a sub-3-char doc would fabricate bogus "trigrams"
+    val tri = docs.select(col("doc_id"), col("lang"), explode(expr(
+      "CASE WHEN length(text) >= 3 THEN " +
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) " +
+        "ELSE array() END")).as("tri"))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("plang")).orderBy(col("pc").desc, col("tri"))
+    val profile = tri.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("pc"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= profileK)
+      .select(col("plang"), col("tri"), (lit(profileK + 1) - col("rn")).as("w"))
+    val docTri = tri.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("dc"))
+    val pred = docTri.join(broadcast(profile), "tri")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(expr("cast(dc as decimal(38,0)) * w")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(expr("min_by(plang, named_struct('s', -score, 'l', plang))").as("pred_lang"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .na.fill("unk", Seq("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)

@@ -520,6 +520,66 @@ class Round5StatsSpec extends SparkSpec {
     assert(rows(1).getLong(2) == rr.map(_.getLong(1)).sum)
   }
 
+  test("q156_mk_seasonal: per-dow S statistics recompute") {
+    val daily = dailyCents().toSeq
+      .groupBy(_._1._2).map { case (d, rs) => (d, rs.map(_._2).sum) }
+    val expected = daily.groupBy(_._1.getDayOfWeek.getValue % 7).map { case (dowJ, rs) =>
+      val series = rs.toSeq.sortBy(_._1.toEpochDay).map(_._2)
+      var s = 0L
+      for (i <- series.indices; j <- (i + 1) until series.size)
+        s += java.lang.Long.signum(series(j) - series(i))
+      val n = series.size.toLong
+      val tieTerm = series.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      // spark dow = dayofweek - 1 (0 = Sunday); java getValue: Mon=1..Sun=7
+      dowJ.toLong -> ((n, s, n * (n - 1) * (2 * n + 5) - tieTerm))
+    }
+    val got = operators.Analytics.q156MkSeasonal(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("txt_lid_trigram: confusion matrix matches a driver rank-weight recompute") {
+    // NOTE: the synthetic corpus draws every language's text from one
+    // shared token pool, so no content-based LID can beat majority
+    // class here — the spec therefore checks the exact Cavnar–Trenkle
+    // mechanics (rank-weight scoring, tie-breaks), not accuracy.
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tris(t: String): Seq[String] =
+      (0 to math.max(t.length - 3, -1)).map(i => t.substring(i, i + 3))
+    val profile: Map[String, Map[String, Long]] = docs.groupBy(_._2).map { case (lang, ds) =>
+      val counts = ds.flatMap(d => tris(d._3)).groupBy(identity).view.mapValues(_.size.toLong)
+      val top = counts.toSeq.sortBy { case (tri, c) => (-c, tri) }.take(100)
+      lang -> top.zipWithIndex.map { case ((tri, _), i) => tri -> (100L - i) }.toMap
+    }
+    val expected = docs.map { case (id, lang, text) =>
+      val dc = tris(text).groupBy(identity).view.mapValues(_.size.toLong)
+      val scores = profile.map { case (pl, w) =>
+        pl -> dc.map { case (tri, c) => c * w.getOrElse(tri, 0L) }.sum
+      }.filter(_._2 > 0)
+      val pred = if (scores.isEmpty) "unk"
+        else scores.toSeq.minBy { case (pl, s) => (-s, pl) }._1
+      (lang, pred)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = operators.TextAnalysis.txtLidTrigram(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("dd_dup_mass_report: counts reconcile with the component and hash views") {
+    val r = operators.Dedup.ddDupMassReport(spark, sf0001).collect()(0)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(r.getLong(0) == nDocs)
+    val comp = operators.Dedup.ddComponents(spark, sf0001).collect()
+    val nearDropped = comp.count(x => x.getLong(0) != x.getLong(1)).toLong
+    assert(r.getLong(3) == nearDropped)
+    assert(r.getLong(4) <= r.getLong(2) + r.getLong(3), "distinct union never exceeds the sum")
+    assert(r.getLong(4) >= r.getLong(3), "union at least covers the near-dup side")
+    assert(r.getLong(6) == r.getLong(5) * 1000000L / r.getLong(1))
+  }
+
   test("sim_centroid_shift: labels with stable assignments shift less than the max") {
     val rows = operators.Similarity.simCentroidShift(spark, sf0001).collect()
     assert(rows.nonEmpty)
