@@ -304,6 +304,8 @@ object SparkEntry {
     "q156_mk_seasonal" -> (Analytics.q156MkSeasonal _),
     "txt_lid_trigram" -> ((s: SparkSession, d: String) => TextAnalysis.txtLidTrigram(s, d)),
     "dd_dup_mass_report" -> (Dedup.ddDupMassReport _),
+    "q157_two_way_anova" -> (Analytics.q157TwoWayAnova _),
+    "pipe_code_mix" -> (CorpusPipeline.pipeCodeMixReport _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -5014,5 +5016,42 @@ object SparkEntry {
         | cast(dropped_chars as bigint) AS dropped_chars,
         | cast(dropped_chars as bigint) * 1000000 // cast(total_chars as bigint) AS dropped_char_micro
         |FROM tot CROSS JOIN ds""".stripMargin,
+
+    "q157_two_way_anova" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority, cast(dayofweek(day) as bigint) AS dow,
+        | count(*) AS n_days, cast(sum(cents) as bigint) AS sum_cents,
+        | cast(sum(cast(cents as hugeint) * cents) as decimal(38,0)) AS sum_sq
+        |FROM daily GROUP BY 1, 2 ORDER BY o_orderpriority, dow""".stripMargin,
+
+    "pipe_code_mix" ->
+      """WITH v AS (
+        | SELECT doc_id, lang, cast(length(text) as bigint) n_chars,
+        |  cast(len(regexp_extract_all(text, '[{}\[\]()]')) as bigint) nb,
+        |  cast(len(regexp_extract_all(text, ';')) as bigint) ns,
+        |  cast(len(regexp_extract_all(text, '[=<>!]=|=')) as bigint) na,
+        |  cast(len(regexp_extract_all(text, '[a-z]+_[a-z]+')) as bigint) nk
+        | FROM documents
+        |), f AS (
+        | SELECT lang,
+        |  n_chars > 0 AND
+        |  (CASE WHEN nb * 40 >= n_chars THEN 1 ELSE 0 END
+        |   + CASE WHEN ns * 100 >= n_chars THEN 1 ELSE 0 END
+        |   + CASE WHEN na * 60 >= n_chars THEN 1 ELSE 0 END
+        |   + CASE WHEN nk * 80 >= n_chars THEN 1 ELSE 0 END) >= 2 AS is_code,
+        |  n_chars
+        | FROM v
+        |), g AS (
+        | SELECT lang, is_code, count(*) n_docs, cast(sum(n_chars) as bigint) n_chars
+        | FROM f GROUP BY 1, 2
+        |)
+        |SELECT lang, is_code, n_docs, n_chars,
+        | cast(sum(n_docs) OVER (PARTITION BY lang) as bigint) AS lang_docs,
+        | n_docs * 1000000 // cast(sum(n_docs) OVER (PARTITION BY lang) as bigint) AS share_micro
+        |FROM g ORDER BY lang, is_code""".stripMargin,
   )
 }

@@ -3491,6 +3491,24 @@ object Analytics {
     global.unionAll(left).unionAll(right).orderBy($"segment")
   }
 
+  /** Two-way ANOVA sufficient statistics over the priority × day-of-week
+    * grid: per-cell n, Σ (exact integer cents) and Σx² (DECIMAL) — the
+    * complete input set for main-effect and interaction F statistics
+    * (row/column marginals are sums of these cells, so consumers build
+    * SS_A/SS_B/SS_AB without re-touching the data). One map-side-
+    * combinable aggregate over the daily table; output bounded by
+    * 5×7 cells at any fact scale. */
+  def q157TwoWayAnova(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+      .groupBy($"o_orderpriority", (dayofweek($"day") - 1).cast("bigint").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum($"cents").as("sum_cents"),
+        expr("cast(sum(cast(cents as decimal(38,0)) * cents) as decimal(38,0))").as("sum_sq"))
+      .orderBy($"o_orderpriority", $"dow")
+
   /** Seasonal Mann–Kendall: the q118 trend test run WITHIN each
     * day-of-week series (Hirsch–Slack — trend detection robust to
     * weekly seasonality; the per-season S statistics sum and so do the

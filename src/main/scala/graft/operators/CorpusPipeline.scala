@@ -659,4 +659,24 @@ object CorpusPipeline {
       .orderBy(col("batch_id"))
   }
 
+  /** Code-mix contamination report: per (labeled language, code verdict)
+    * doc and char counts plus the per-language code share in exact
+    * micro-units — the cross of [[TextAnalysis.txtCodeDetect]]'s integer
+    * vote against the language labels, read before fixing per-language
+    * mixture quotas (code-heavy "natural language" slices silently skew
+    * multilingual sampling). Join is doc-keyed on two slim projections;
+    * text is scanned once by the detector. */
+  def pipeCodeMixReport(spark: SparkSession, dir: String): DataFrame = {
+    val verdicts = TextAnalysis.txtCodeDetect(spark, dir)
+      .select(col("doc_id"), col("is_code"), col("n_chars"))
+    val wL = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(verdicts, "doc_id")
+      .groupBy(col("lang"), col("is_code"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("lang_docs", sum(col("n_docs")).over(wL))
+      .withColumn("share_micro", expr("n_docs * 1000000 div lang_docs"))
+      .orderBy(col("lang"), col("is_code"))
+  }
+
 }

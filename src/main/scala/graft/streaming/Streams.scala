@@ -413,6 +413,36 @@ object Streams {
       }
   }
 
+  case class SpcState(last: Long, n: Long, sum: Long, mx: Long)
+  case class SpcSnapshot(priority: String, n_mr: Long, sum_mr: Long, max_mr: Long)
+
+  /** Streaming SPC moving-range accumulator — the stream twin of the
+    * batch q138 control chart: state per priority is FOUR longs (last
+    * value, count, ΣMR, max MR), updated in day order per trigger.
+    * The batch operator's out-of-control count tests against the
+    * FINAL MR̄, which no online pass can know — so the twin carries
+    * exactly the O(1) sufficient statistics that limit needs, and the
+    * final snapshot is integer-identical to the batch n/Σ/max
+    * (StreamingSpec parity); a live monitor flags against the
+    * running limit instead, the standard online-SPC reading. */
+  def controlChartStream(daily: Dataset[DailyCents]): Dataset[SpcSnapshot] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.priority)
+      .mapGroupsWithState[SpcState, SpcSnapshot](GroupStateTimeout.NoTimeout) {
+        (p: String, batch: Iterator[DailyCents], state: GroupState[SpcState]) =>
+          var st = state.getOption.getOrElse(SpcState(Long.MinValue, 0L, 0L, 0L))
+          batch.toSeq.sortBy(_.day_epoch).foreach { d =>
+            if (st.last != Long.MinValue) {
+              val mr = math.abs(d.cents - st.last)
+              st = SpcState(d.cents, st.n + 1, st.sum + mr, math.max(st.mx, mr))
+            } else st = st.copy(last = d.cents)
+          }
+          state.update(st)
+          SpcSnapshot(p, st.n, st.sum, st.mx)
+      }
+  }
+
   case class DayDelta(day_epoch: Long, delta: Long)
   case class OpenCount(day_epoch: Long, net: Long, n_open: Long)
 

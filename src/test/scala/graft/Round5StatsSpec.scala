@@ -580,6 +580,36 @@ class Round5StatsSpec extends SparkSpec {
     assert(r.getLong(6) == r.getLong(5) * 1000000L / r.getLong(1))
   }
 
+  test("q157_two_way_anova: cell statistics recompute and marginals reconcile with q138's series") {
+    val daily = dailyCents()
+    val expected = daily.toSeq.groupBy { case ((p, d), _) =>
+      (p, d.getDayOfWeek.getValue % 7)
+    }.map { case (k, rs) =>
+      val vals = rs.map(_._2)
+      k -> ((vals.size.toLong, vals.sum, vals.map(v => BigInt(v) * v).sum))
+    }
+    val got = operators.Analytics.q157TwoWayAnova(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), big(r, 4))))
+      .toMap
+    assert(got == expected)
+    // row marginals recover the per-priority day counts
+    val byPrio = got.groupBy(_._1._1).view.mapValues(_.values.map(_._1).sum)
+    daily.keys.map(_._1).toSeq.distinct.foreach { p =>
+      assert(byPrio(p) == daily.keys.count(_._1 == p).toLong)
+    }
+  }
+
+  test("pipe_code_mix: shares partition each language's documents") {
+    val rows = operators.CorpusPipeline.pipeCodeMixReport(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val langDocs = g.head.getLong(4)
+      assert(g.map(_.getLong(2)).sum == langDocs, "verdict cells partition the language")
+      g.foreach(r => assert(r.getLong(5) == r.getLong(2) * 1000000L / langDocs))
+    }
+  }
+
   test("sim_centroid_shift: labels with stable assignments shift less than the max") {
     val rows = operators.Similarity.simCentroidShift(spark, sf0001).collect()
     assert(rows.nonEmpty)

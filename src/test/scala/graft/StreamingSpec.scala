@@ -359,4 +359,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       "streamed running open count must equal the batch prefix sum row for row")
   }
+
+  test("streaming SPC accumulator: O(1) state final snapshot matches the batch control chart") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .select(col("priority"),
+        expr("datediff(day, date'1970-01-01')").cast("long").as("day_epoch"), col("cents"))
+    val mid = daily.agg(expr("percentile_approx(day_epoch, 0.5)")).head().getLong(0)
+    val dir = Files.createTempDirectory("spc_stream")
+    daily.filter(col("day_epoch") < mid).coalesce(1).write.parquet(dir.toString + "/a")
+    Thread.sleep(1100)
+    daily.filter(col("day_epoch") >= mid).coalesce(1).write.parquet(dir.toString + "/b")
+    val stream = spark.readStream.schema(daily.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .as[Streams.DailyCents]
+    runToMemory(Streams.controlChartStream(stream).toDF(), "spc_stream_t",
+      OutputMode.Update)
+    // last snapshot per priority = final accumulated state
+    val streamed = spark.sql(
+      "select priority, n_mr, sum_mr, max_mr from (select *, row_number() over " +
+        "(partition by priority order by n_mr desc) rn from spc_stream_t) where rn = 1")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.operators.Analytics.q138ControlChart(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch,
+      "final streamed MR sufficient statistics must equal the batch control chart")
+  }
 }
