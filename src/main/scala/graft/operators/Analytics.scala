@@ -2626,14 +2626,16 @@ object Analytics {
     val counts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     counts += hub.agg(lit(0L).as("hops"), count(lit(1)).as("n_nodes"))
     for (h <- 1 to hops) {
-      // checkpoint each frontier: the per-hop count aggregates and the
-      // next hop's joins would otherwise re-execute the whole chained
-      // frontier/visited lineage per consumer (measured 10.7 s → ~1 s
-      // at sf0.1); frontiers stay distributed — only the LINEAGE is cut
+      // checkpoint each frontier (LAZY — materializes at the first
+      // action, not at plan construction): the per-hop count aggregates
+      // and the next hop's joins would otherwise re-execute the whole
+      // chained frontier/visited lineage per consumer (measured
+      // 10.7 s → ~3 s at sf0.1); frontiers stay distributed — only the
+      // LINEAGE is cut
       frontier = edges.join(frontier, $"src" === $"node")
         .select($"dst".as("node")).distinct()
         .join(visited.select($"node".as("v")), $"node" === $"v", "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       visited = visited.unionAll(frontier)
       counts += frontier.agg(lit(h.toLong).as("hops"), count(lit(1)).as("n_nodes"))
     }
@@ -2941,8 +2943,11 @@ object Analytics {
     // checkpoint the shrinking edge set once per round: every round has
     // three consumers (degree agg, edge count, node count) and feeds the
     // next round — without the lineage cut each consumer re-runs the
-    // whole basket expansion per round (measured 9.6 s → ~1 s at sf0.1)
-    var edges = copurchaseEdges(spark, dir).localCheckpoint(true)
+    // whole basket expansion per round (measured 9.6 s → ~1 s at sf0.1).
+    // LAZY checkpoints: materialization happens at the first action, not
+    // at plan construction (an .explain() or failed Verify must not pay
+    // the full expansion as a side effect)
+    var edges = copurchaseEdges(spark, dir).localCheckpoint(false)
     val summaries = (1 to rounds).map { r =>
       val deg = edges.select($"a".as("node")).unionAll(edges.select($"b".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
@@ -2951,7 +2956,7 @@ object Analytics {
         .join(keep.select($"node".as("a")), "a", "left_semi")
         .join(keep.select($"node".as("b")), "b", "left_semi")
         .select($"a", $"b")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val eCount = edges.agg(count(lit(1)).as("n_edges"))
       val nCount = edges.select($"a".as("node")).unionAll(edges.select($"b".as("node")))
         .agg(countDistinct($"node").as("n_nodes"))
@@ -3488,7 +3493,12 @@ object Analytics {
         expr("cast(max(rscore) as decimal(38,0))").as("score"))
     val global = cp1.select(lit("all").as("segment"), $"cp_day",
       $"k1".as("cp_k"), $"score")
-    global.unionAll(left).unionAll(right).orderBy($"segment")
+    global.unionAll(left).unionAll(right)
+      // a degenerate sub-segment (argmax at the boundary, or a 1-day
+      // series) leaves its global agg as an all-null row — the oracle's
+      // LIMIT 1 over the empty set emits NO row; drop to match
+      .filter($"cp_k".isNotNull)
+      .orderBy($"segment")
   }
 
   /** Two-way ANOVA sufficient statistics over the priority × day-of-week

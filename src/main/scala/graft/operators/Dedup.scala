@@ -805,13 +805,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"))
       .orderBy(col("df"))
 
-  /** Quality-aware keeper selection per near-dup component: instead of
-    * ddNearKeepers' keep-the-label policy, keep the LONGEST member
-    * (max n_chars, ties to the smaller doc_id via the max_by struct
-    * tie-break) — the policy real pipelines run, where near-dup
-    * clusters keep the most complete copy. One doc-keyed join of the
-    * component table against a slim (doc_id, n_chars) projection —
-    * text never moves — and one component-keyed aggregate. */
   /** Soft dedup: per-document sampling weight 1/cluster_size in exact
     * integer micro-units — the keep-everything-but-downweight policy
     * (training pipelines that can't afford hard drops reweight the
@@ -832,6 +825,13 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware keeper selection per near-dup component: instead of
+    * ddNearKeepers' keep-the-label policy, keep the LONGEST member
+    * (max n_chars, ties to the smaller doc_id via the max_by struct
+    * tie-break) — the policy real pipelines run, where near-dup
+    * clusters keep the most complete copy. One doc-keyed join of the
+    * component table against a slim (doc_id, n_chars) projection —
+    * text never moves — and one component-keyed aggregate. */
   def ddQualityKeepers(spark: SparkSession, dir: String): DataFrame =
     ddComponents(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")

@@ -662,8 +662,18 @@ object Similarity {
     val rankedCells = broadcast(queries(c)).crossJoin(broadcast(cent))
       .withColumn("cs", VectorOps.dotHof("qe", "cv") / (col("qnrm") * VectorOps.norm2Hof("cv")))
       .withColumn("cell_rn", row_number().over(wCell))
-    val exact = simTopkBruteforce(spark, dir)
-      .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+    // exact baseline built at the SAME k as the approx side (the gated
+    // simTopkBruteforce is pinned to its own K=10 — reusing it would
+    // silently report recall@10 for any other k)
+    val exactScored = broadcast(queries(c)).crossJoin(c)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+    val wE = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
+    val exact = org.apache.spark.sql.graft.TopK.perGroup(
+        exactScored, Seq("qid"), Seq("cosim" -> true, "vec_id" -> false), k)
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("eq"), col("vec_id").as("ev"))
     probes.map { p =>
       val cells = rankedCells.filter(col("cell_rn") <= p)
         .select(col("qid"), col("label"), col("qe"), col("qnrm"))
