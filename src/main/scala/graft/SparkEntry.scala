@@ -306,6 +306,8 @@ object SparkEntry {
     "dd_dup_mass_report" -> (Dedup.ddDupMassReport _),
     "q157_two_way_anova" -> (Analytics.q157TwoWayAnova _),
     "pipe_code_mix" -> (CorpusPipeline.pipeCodeMixReport _),
+    "q158_cuped" -> (Analytics.q158Cuped _),
+    "pipe_boilerplate_exposure" -> (CorpusPipeline.pipeBoilerplateExposure _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -5053,5 +5055,48 @@ object SparkEntry {
         | cast(sum(n_docs) OVER (PARTITION BY lang) as bigint) AS lang_docs,
         | n_docs * 1000000 // cast(sum(n_docs) OVER (PARTITION BY lang) as bigint) AS share_micro
         |FROM g ORDER BY lang, is_code""".stripMargin,
+
+    "q158_cuped" ->
+      """WITH pre AS (
+        | SELECT o_custkey, cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) x
+        | FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+        |), post AS (
+        | SELECT o_custkey, cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) y
+        | FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+        |), f AS (
+        | SELECT c_mktsegment, coalesce(x, 0) x, coalesce(y, 0) y
+        | FROM customer
+        | LEFT JOIN pre ON c_custkey = pre.o_custkey
+        | LEFT JOIN post ON c_custkey = post.o_custkey
+        |), g AS (
+        | SELECT c_mktsegment, count(*) n,
+        |  cast(sum(x) as bigint) sum_pre, cast(sum(y) as bigint) sum_post,
+        |  sum(cast(x as hugeint) * y) sxy, sum(cast(x as hugeint) * x) sx2
+        | FROM f GROUP BY 1
+        |)
+        |SELECT c_mktsegment, n, sum_pre, sum_post,
+        | cast(n * sxy - cast(sum_pre as hugeint) * sum_post as decimal(38,0)) AS theta_num,
+        | cast(n * sx2 - cast(sum_pre as hugeint) * sum_pre as decimal(38,0)) AS theta_den
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    "pipe_boilerplate_exposure" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), allsp AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, len(t) - 1), i -> list_aggregate(t[i:i+2], 'string_agg', ' '))) span
+        | FROM toks WHERE len(t) >= 3
+        |), hot AS (
+        | SELECT span FROM (
+        |  SELECT span, count(DISTINCT doc_id) nd FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |     i -> list_aggregate(t[i:i+2], 'string_agg', ' ')))) span
+        |   FROM toks WHERE len(t) >= 3) GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        |  ORDER BY nd DESC, span LIMIT 50)
+        |)
+        |SELECT doc_id, cast(count(DISTINCT allsp.span) as bigint) AS n_hot_spans,
+        | cast(count(*) as bigint) AS n_hot_hits
+        |FROM allsp JOIN hot ON allsp.span = hot.span
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -3519,6 +3519,39 @@ object Analytics {
         expr("cast(sum(cast(cents as decimal(38,0)) * cents) as decimal(38,0))").as("sum_sq"))
       .orderBy($"o_orderpriority", $"dow")
 
+  /** CUPED variance-reduction inputs per market segment: the
+    * experimentation-platform staple (covariate-adjusted metrics).
+    * θ = Cov(pre, post)/Var(pre) is emitted as exact integer
+    * numerator/denominator (n·Σxy − ΣxΣy over n·Σx² − (Σx)², all
+    * DECIMAL(38,0)) from per-customer 1995 (pre) and 1996 (post)
+    * spend — customers missing a year count as zero spend, the
+    * standard CUPED treatment. One customer-keyed aggregate after two
+    * year-sliced rollups; no window, no float. */
+  def q158Cuped(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def spend(y: Int, key: String, out: String) =
+      o.filter(expr(s"year(o_orderdate) = $y"))
+        .groupBy($"o_custkey")
+        .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+          .as(out))
+        .select($"o_custkey".as(key), col(out))
+    Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+      .join(spend(1995, "ck_x", "x"), $"c_custkey" === $"ck_x", "left")
+      .join(spend(1996, "ck_y", "y"), $"c_custkey" === $"ck_y", "left")
+      .na.fill(0L, Seq("x", "y"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sum_pre"), sum($"y").as("sum_post"),
+        expr("cast(sum(cast(x as decimal(38,0)) * y) as decimal(38,0))").as("sxy"),
+        expr("cast(sum(cast(x as decimal(38,0)) * x) as decimal(38,0))").as("sx2"))
+      .select($"c_mktsegment", $"n", $"sum_pre", $"sum_post",
+        expr("cast(n * sxy - cast(sum_pre as decimal(38,0)) * sum_post as decimal(38,0))")
+          .as("theta_num"),
+        expr("cast(n * sx2 - cast(sum_pre as decimal(38,0)) * sum_pre as decimal(38,0))")
+          .as("theta_den"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Seasonal Mann–Kendall: the q118 trend test run WITHIN each
     * day-of-week series (Hirsch–Slack — trend detection robust to
     * weekly seasonality; the per-season S statistics sum and so do the

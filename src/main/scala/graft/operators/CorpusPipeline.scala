@@ -659,6 +659,24 @@ object CorpusPipeline {
       .orderBy(col("batch_id"))
   }
 
+  /** Per-document boilerplate exposure — the APPLY-side readout of
+    * [[Dedup.ddHotSpans]]: how many of the corpus's top-50 hot spans
+    * each document contains (distinct spans hit + total occurrences).
+    * The gate a C4-style cleaner applies before deciding whether to
+    * cut spans or drop documents. The 50-row hot-span set broadcasts;
+    * the per-doc shingle explode is the same map-side pass the
+    * detector used; only hits reach the aggregate. */
+  def pipeBoilerplateExposure(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Dedup.ddHotSpans(spark, dir).select(col("span"))
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextOps.shingleArray("text")).as("span"))
+      .join(broadcast(hot), "span")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("span")).as("n_hot_spans"),
+        count(lit(1)).as("n_hot_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Code-mix contamination report: per (labeled language, code verdict)
     * doc and char counts plus the per-language code share in exact
     * micro-units — the cross of [[TextAnalysis.txtCodeDetect]]'s integer

@@ -623,6 +623,43 @@ class Round5StatsSpec extends SparkSpec {
     }
   }
 
+  test("q158_cuped: theta pieces recompute from per-customer year spends") {
+    val o = Tables.orders(spark, sf0001)
+      .select(expr("year(o_orderdate)").as("y"), col("o_custkey"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    def spend(y: Int): Map[Long, Long] =
+      o.filter(_._1 == y).groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val pre = spend(1995); val post = spend(1996)
+    val custs = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = custs.groupBy(_._2).map { case (seg, cs) =>
+      val xs = cs.map(c => (pre.getOrElse(c._1, 0L), post.getOrElse(c._1, 0L)))
+      val n = xs.size.toLong
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxy = xs.map(p => BigInt(p._1) * p._2).sum
+      val sx2 = xs.map(p => BigInt(p._1) * p._1).sum
+      seg -> ((n, sx, sy, n * sxy - BigInt(sx) * sy, n * sx2 - BigInt(sx) * sx))
+    }
+    val got = operators.Analytics.q158Cuped(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        big(r, 4), big(r, 5)))).toMap
+    assert(got == expected)
+    got.values.foreach(v => assert(v._5 >= 0, "Var(pre) numerator is non-negative"))
+  }
+
+  test("pipe_boilerplate_exposure: hits bound spans and only hot-span docs appear") {
+    val rows = operators.CorpusPipeline.pipeBoilerplateExposure(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nHot = operators.Dedup.ddHotSpans(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= nHot,
+        "distinct hot spans per doc bounded by the hot-span list")
+      assert(r.getLong(2) >= r.getLong(1), "occurrences >= distinct spans")
+    }
+  }
+
   test("sim_centroid_shift: labels with stable assignments shift less than the max") {
     val rows = operators.Similarity.simCentroidShift(spark, sf0001).collect()
     assert(rows.nonEmpty)
