@@ -4999,12 +4999,18 @@ object SparkEntry {
         | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
         |), comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1),
         |neardrop AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+        |exacth AS (SELECT md5(text) h, min(doc_id) keeper FROM documents GROUP BY 1),
         |exactdrop AS (
-        | SELECT doc_id FROM (
-        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) keeper FROM documents
-        | ) WHERE doc_id <> keeper
+        | SELECT d.doc_id FROM documents d JOIN exacth ON md5(d.text) = exacth.h
+        | WHERE d.doc_id <> keeper
         |),
-        |dropped AS (SELECT doc_id FROM exactdrop UNION SELECT doc_id FROM neardrop),
+        |-- UNION ALL + DISTINCT, NOT a bare UNION: inside this WITH
+        |-- RECURSIVE statement DuckDB's deduplicating UNION of a
+        |-- recursive-derived CTE (neardrop) with a non-recursive one
+        |-- returned 252 rows where the sets overlap in 8 (= no dedup);
+        |-- verified standalone at sf0.1 — the DISTINCT form answers 244
+        |dropped AS (SELECT DISTINCT doc_id FROM (
+        | SELECT doc_id FROM exactdrop UNION ALL SELECT doc_id FROM neardrop)),
         |ds AS (
         | SELECT count(*) n_dropped, coalesce(sum(n_chars), 0) dropped_chars
         | FROM documents JOIN dropped USING (doc_id)
