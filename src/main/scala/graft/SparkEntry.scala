@@ -308,6 +308,8 @@ object SparkEntry {
     "pipe_code_mix" -> (CorpusPipeline.pipeCodeMixReport _),
     "q158_cuped" -> (Analytics.q158Cuped _),
     "pipe_boilerplate_exposure" -> (CorpusPipeline.pipeBoilerplateExposure _),
+    "q159_did_cells" -> (Analytics.q159DidCells _),
+    "sim_pq_residual" -> (Similarity.simPqResidual _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -5104,5 +5106,74 @@ object SparkEntry {
         | cast(count(*) as bigint) AS n_hot_hits
         |FROM allsp JOIN hot ON allsp.span = hot.span
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q159_did_cells" ->
+      """WITH pre AS (
+        | SELECT o_custkey, cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) pre
+        | FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+        |), post AS (
+        | SELECT o_custkey, cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) post
+        | FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+        |), f AS (
+        | SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END treated,
+        |  coalesce(pre.pre, 0) pre, coalesce(post.post, 0) post
+        | FROM customer
+        | LEFT JOIN pre ON c_custkey = pre.o_custkey
+        | LEFT JOIN post ON c_custkey = post.o_custkey
+        |), cells AS (
+        | SELECT treated, period, count(*) n, cast(sum(spend) as bigint) sum_cents
+        | FROM (
+        |  SELECT treated, 0 AS period, pre AS spend FROM f
+        |  UNION ALL SELECT treated, 1, post FROM f
+        | ) GROUP BY 1, 2
+        |), wide AS (
+        | SELECT
+        |  max(CASE WHEN treated = 1 AND period = 1 THEN n END) n11,
+        |  max(CASE WHEN treated = 1 AND period = 1 THEN sum_cents END) s11,
+        |  max(CASE WHEN treated = 1 AND period = 0 THEN n END) n10,
+        |  max(CASE WHEN treated = 1 AND period = 0 THEN sum_cents END) s10,
+        |  max(CASE WHEN treated = 0 AND period = 1 THEN n END) n01,
+        |  max(CASE WHEN treated = 0 AND period = 1 THEN sum_cents END) s01,
+        |  max(CASE WHEN treated = 0 AND period = 0 THEN n END) n00,
+        |  max(CASE WHEN treated = 0 AND period = 0 THEN sum_cents END) s00
+        | FROM cells
+        |)
+        |SELECT cast(treated as bigint) AS treated, cast(period as bigint) AS period,
+        | n, sum_cents,
+        | cast(cast(s11 as hugeint) * n10 * n01 * n00
+        |  - cast(s10 as hugeint) * n11 * n01 * n00
+        |  - cast(s01 as hugeint) * n11 * n10 * n00
+        |  + cast(s00 as hugeint) * n11 * n10 * n01 as decimal(38,0)) AS did_num,
+        | cast(cast(n11 as hugeint) * n10 * n01 * n00 as decimal(38,0)) AS did_den
+        |FROM cells CROSS JOIN wide
+        |ORDER BY treated, period""".stripMargin,
+
+    "sim_pq_residual" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, (i - 1) // 8 AS sub, i,
+        |  list_reduce(list_prepend(cast(0 as double),
+        |    list(cast(embedding[i] as double) ORDER BY vec_id)),
+        |   (acc, x) -> acc + x) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2, 3
+        |), centv AS (
+        | SELECT label clabel, sub, list(c ORDER BY i) cv FROM cent GROUP BY 1, 2
+        |), sv AS (
+        | SELECT vec_id, s.sub, embedding
+        | FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) sub) s
+        |), d AS (
+        | SELECT vec_id, sv.sub, clabel,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 9), j ->
+        |    (cast(embedding[sv.sub * 8 + j] as double) - cv[j]) * (cast(embedding[sv.sub * 8 + j] as double) - cv[j]))),
+        |   (acc, x) -> acc + x) dist
+        | FROM sv JOIN centv ON sv.sub = centv.sub
+        |), best AS (
+        | SELECT vec_id, sub, dist,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, clabel) rn FROM d
+        |)
+        |SELECT cast(sub as bigint) AS sub, cast(count(*) as bigint) AS n_vecs,
+        | cast(sum(cast(floor(dist * 1000000 + 0.5) as bigint)) as bigint) AS energy_micro,
+        | cast(max(cast(floor(dist * 1000000 + 0.5) as bigint)) as bigint) AS max_residual_micro
+        |FROM best WHERE rn = 1 GROUP BY sub ORDER BY sub""".stripMargin,
   )
 }

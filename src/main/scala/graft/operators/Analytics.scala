@@ -3552,6 +3552,51 @@ object Analytics {
       .orderBy($"c_mktsegment")
   }
 
+  /** Difference-in-differences over the (BUILDING segment) × (1995→1996)
+    * panel: 2×2 cells of customer-year spend (n, Σ exact integers) and
+    * the DiD estimate as ONE exact rational over the common denominator
+    * n11·n10·n01·n00 — no float mean ever forms. Cells treat a customer-
+    * year with no orders as zero spend (the balanced-panel convention);
+    * the whole query is one customer-keyed aggregate fan-in. */
+  def q159DidCells(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def spend(y: Int, key: String, out: String) =
+      o.filter(expr(s"year(o_orderdate) = $y"))
+        .groupBy($"o_custkey")
+        .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+          .as(out))
+        .select($"o_custkey".as(key), col(out))
+    val cells = Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+      .join(spend(1995, "ck_x", "pre"), $"c_custkey" === $"ck_x", "left")
+      .join(spend(1996, "ck_y", "post"), $"c_custkey" === $"ck_y", "left")
+      .na.fill(0L, Seq("pre", "post"))
+      .withColumn("treated", ($"c_mktsegment" === "BUILDING").cast("int"))
+      .select(explode(expr(
+        "array(named_struct('period', 0L, 'spend', pre)," +
+          " named_struct('period', 1L, 'spend', post))")).as("e"), $"treated")
+      .groupBy($"treated".cast("bigint").as("treated"), $"e.period".as("period"))
+      .agg(count(lit(1)).as("n"), sum($"e.spend").as("sum_cents"))
+    val wide = cells.groupBy()
+      .agg(
+        max(when($"treated" === 1 && $"period" === 1, $"n")).as("n11"),
+        max(when($"treated" === 1 && $"period" === 1, $"sum_cents")).as("s11"),
+        max(when($"treated" === 1 && $"period" === 0, $"n")).as("n10"),
+        max(when($"treated" === 1 && $"period" === 0, $"sum_cents")).as("s10"),
+        max(when($"treated" === 0 && $"period" === 1, $"n")).as("n01"),
+        max(when($"treated" === 0 && $"period" === 1, $"sum_cents")).as("s01"),
+        max(when($"treated" === 0 && $"period" === 0, $"n")).as("n00"),
+        max(when($"treated" === 0 && $"period" === 0, $"sum_cents")).as("s00"))
+    cells
+      .crossJoin(broadcast(wide.select(
+        expr("cast(s11 as decimal(38,0)) * n10 * n01 * n00" +
+          " - cast(s10 as decimal(38,0)) * n11 * n01 * n00" +
+          " - cast(s01 as decimal(38,0)) * n11 * n10 * n00" +
+          " + cast(s00 as decimal(38,0)) * n11 * n10 * n01").as("did_num"),
+        expr("cast(n11 as decimal(38,0)) * n10 * n01 * n00").as("did_den"))))
+      .select($"treated", $"period", $"n", $"sum_cents", $"did_num", $"did_den")
+      .orderBy($"treated", $"period")
+  }
+
   /** Seasonal Mann–Kendall: the q118 trend test run WITHIN each
     * day-of-week series (Hirsch–Slack — trend detection robust to
     * weekly seasonality; the per-season S statistics sum and so do the

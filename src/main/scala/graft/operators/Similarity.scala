@@ -360,6 +360,53 @@ object Similarity {
       .orderBy(col("vec_id"), col("sub"))
   }
 
+  /** PQ quantization-error energy per subspace — the fidelity audit of
+    * the compression tier: Σ‖x_sub − c_{sub,code(x)}‖² over the corpus
+    * for each of the 8 subspaces (which slice of the vector loses the
+    * most information to 8× compression). The assignment distance IS
+    * the residual, so this is [[simPqCodes]]' argmin pass with the
+    * distance kept: per-row float folds are deterministic fixed-order,
+    * cross-row reduction is rounded-then-DECIMAL (the sim_inertia
+    * discipline). 8-row output. */
+  def simPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // ADC-style ORDER-PINNED centroid fold (vec_id order), NOT the
+    // decimal-cast mean the argmin-only simPqCodes uses: float→decimal
+    // casts round differently between engines (shortest decimal rep vs
+    // exact binary), which an argmin absorbs but an emitted energy sum
+    // cannot — the off-by-one-micro failures this op first gated with
+    val cent = e
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy(col("label"), col("p"))
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
+          | x -> cast(x.v as double)), cast(0 as double), (acc, y) -> acc + y)""".stripMargin)
+        .as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s") / col("n"))
+      .groupBy(col("label"), expr("p div 8").as("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cv"))
+      .select(col("label").as("clabel"), col("sub"), col("cv"))
+    val sub = e.select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0, 7)")).as("sub"))
+      .withColumn("sv", expr("slice(embedding, sub * 8 + 1, 8)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("sub")).orderBy(col("dist"), col("clabel"))
+    sub.join(broadcast(cent), "sub")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("sub").cast("bigint").as("sub"))
+      // floor(x·1e6 + 0.5), NOT round(x, 6): an 8-dim residual landed on
+      // an exact representable half and Spark/DuckDB round() disagreed by
+      // one ulp of the 6th decimal — the floor device is identical IEEE
+      // arithmetic in both engines (the simQuantize precedent)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("cast(floor(dist * 1000000 + 0.5) as bigint)")).as("energy_micro"),
+        max(expr("cast(floor(dist * 1000000 + 0.5) as bigint)")).as("max_residual_micro"))
+      .orderBy(col("sub"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over the PQ compression tier —
     * the query path that makes [[simPqCodes]] useful: each candidate
     * is scored from its 8 codebook ids alone (never its raw vector),

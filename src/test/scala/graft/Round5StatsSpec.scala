@@ -660,6 +660,51 @@ class Round5StatsSpec extends SparkSpec {
     }
   }
 
+  test("q159_did_cells: cells recompute and the DiD rational equals the mean algebra") {
+    val o = Tables.orders(spark, sf0001)
+      .select(expr("year(o_orderdate)").as("y"), col("o_custkey"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    def spend(y: Int): Map[Long, Long] =
+      o.filter(_._1 == y).groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val pre = spend(1995); val post = spend(1996)
+    val custs = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), if (r.getString(1) == "BUILDING") 1L else 0L))
+    def cell(t: Long, p: Int): (Long, Long) = {
+      val cs = custs.filter(_._2 == t)
+      val m = if (p == 0) pre else post
+      (cs.length.toLong, cs.map(c => m.getOrElse(c._1, 0L)).sum)
+    }
+    val ((n11, s11), (n10, s10)) = (cell(1, 1), cell(1, 0))
+    val ((n01, s01), (n00, s00)) = (cell(0, 1), cell(0, 0))
+    val didNum = BigInt(s11) * n10 * n01 * n00 - BigInt(s10) * n11 * n01 * n00 -
+      BigInt(s01) * n11 * n10 * n00 + BigInt(s00) * n11 * n10 * n01
+    val didDen = BigInt(n11) * n10 * n01 * n00
+    val rows = operators.Analytics.q159DidCells(spark, sf0001).collect()
+    assert(rows.length == 4)
+    val cells = rows.map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(cells((1L, 1L)) == ((n11, s11)) && cells((1L, 0L)) == ((n10, s10)))
+    assert(cells((0L, 1L)) == ((n01, s01)) && cells((0L, 0L)) == ((n00, s00)))
+    rows.foreach { r => assert(big(r, 4) == didNum && big(r, 5) == didDen) }
+    // the rational equals ((s11/n11 − s10/n10) − (s01/n01 − s00/n00))
+    val lhs = didNum.toDouble / didDen.toDouble
+    val rhs = (s11.toDouble / n11 - s10.toDouble / n10) - (s01.toDouble / n01 - s00.toDouble / n00)
+    assert(math.abs(lhs - rhs) < 1e-6)
+  }
+
+  test("sim_pq_residual: 8 subspaces partition the corpus, energies are positive and bounded") {
+    val rows = operators.Similarity.simPqResidual(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L to 7L))
+    val n = Tables.embeddings(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, "every vector contributes one residual per subspace")
+      assert(r.getLong(2) >= 0)
+      assert(r.getLong(3) <= r.getLong(2), "max residual bounded by total energy")
+      assert(r.getLong(3) * n >= r.getLong(2), "n·max bounds the total")
+    }
+  }
+
   test("sim_centroid_shift: labels with stable assignments shift less than the max") {
     val rows = operators.Similarity.simCentroidShift(spark, sf0001).collect()
     assert(rows.nonEmpty)
