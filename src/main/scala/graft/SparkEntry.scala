@@ -1965,9 +1965,9 @@ object SparkEntry {
         | FROM r GROUP BY 1
         |)
         |SELECT l_returnflag, n,
-        | cast(s2 as decimal(38,0)) AS sum_d2,
-        | cast(cast(n as hugeint) * n * n - n - 6 * s2 as decimal(38,0)) AS rho_num,
-        | cast(cast(n as hugeint) * n * n - n as decimal(38,0)) AS rho_den
+        | cast(s2 as bigint) AS sum_d2,
+        | cast(cast(n as hugeint) * n * n - n - 6 * s2 as bigint) AS rho_num,
+        | cast(cast(n as hugeint) * n * n - n as bigint) AS rho_den
         |FROM a ORDER BY l_returnflag""".stripMargin,
     "q104_weighted_median" ->
       """WITH v AS (
@@ -3041,12 +3041,12 @@ object SparkEntry {
         | FROM cells GROUP BY 1
         |)
         |SELECT d.l_returnflag, d.n,
-        | cast(concordant as decimal(38,0)) AS concordant,
-        | cast(discordant as decimal(38,0)) AS discordant,
-        | cast(tied_x_only as decimal(38,0)) AS tied_x_only,
-        | cast(tied_y_only as decimal(38,0)) AS tied_y_only,
-        | cast(tied_both as decimal(38,0)) AS tied_both,
-        | cast(concordant - discordant as decimal(38,0)) AS tau_num
+        | cast(concordant as bigint) AS concordant,
+        | cast(discordant as bigint) AS discordant,
+        | cast(tied_x_only as bigint) AS tied_x_only,
+        | cast(tied_y_only as bigint) AS tied_y_only,
+        | cast(tied_both as bigint) AS tied_both,
+        | cast(concordant - discordant as bigint) AS tau_num
         |FROM diag d JOIN pc ON d.l_returnflag = pc.l_returnflag
         |ORDER BY d.l_returnflag""".stripMargin,
     "q118_mann_kendall" ->
@@ -3126,8 +3126,8 @@ object SparkEntry {
         | SELECT lang, term, count(*) c FROM t GROUP BY 1, 2
         |)
         |SELECT lang, count(*) AS n_types, cast(sum(c) as bigint) AS n_tokens,
-        | cast(sum(cast(c as hugeint) * (c - 1)) as decimal(38,0)) AS simpson_num,
-        | cast(cast(sum(c) as hugeint) * (sum(c) - 1) as decimal(38,0)) AS simpson_den
+        | cast(sum(cast(c as hugeint) * (c - 1)) as bigint) AS simpson_num,
+        | cast(cast(sum(c) as hugeint) * (sum(c) - 1) as bigint) AS simpson_den
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_langid_kappa" ->
       """WITH t AS (
@@ -3157,9 +3157,9 @@ object SparkEntry {
         |  cast(sum(CASE WHEN lang = pred_lang THEN n_docs ELSE 0 END) as bigint) agree
         | FROM conf
         |)
-        |SELECT n, agree, cast(chance_prod as decimal(38,0)) AS chance_prod,
-        | cast(cast(agree as hugeint) * n - cast(chance_prod as hugeint) as decimal(38,0)) AS kappa_num,
-        | cast(cast(n as hugeint) * n - cast(chance_prod as hugeint) as decimal(38,0)) AS kappa_den
+        |SELECT n, agree, cast(chance_prod as bigint) AS chance_prod,
+        | cast(cast(agree as hugeint) * n - cast(chance_prod as hugeint) as bigint) AS kappa_num,
+        | cast(cast(n as hugeint) * n - cast(chance_prod as hugeint) as bigint) AS kappa_den
         |FROM ag, pr""".stripMargin,
     "txt_burstiness" ->
       """WITH t AS (
@@ -3176,10 +3176,10 @@ object SparkEntry {
         | SELECT *, cast(row_number() OVER (ORDER BY sum_c DESC, term) as bigint) "rank" FROM st
         |)
         |SELECT "rank", term, n_docs_with, sum_c,
-        | cast(sum_c2 as decimal(38,0)) AS sum_c2,
+        | cast(sum_c2 as bigint) AS sum_c2,
         | cast(cast(n_docs as hugeint) * cast(sum_c2 as hugeint)
-        |   - cast(sum_c as hugeint) * sum_c as decimal(38,0)) AS vmr_num,
-        | cast(cast(n_docs as hugeint) * sum_c as decimal(38,0)) AS vmr_den
+        |   - cast(sum_c as hugeint) * sum_c as bigint) AS vmr_num,
+        | cast(cast(n_docs as hugeint) * sum_c as bigint) AS vmr_den
         |FROM r, nd WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
     "pipe_temp_sampling" ->
       """WITH c AS (SELECT lang, count(*) n_docs FROM documents GROUP BY 1),
@@ -3317,11 +3317,11 @@ object SparkEntry {
         | JOIN rn b ON b.o_orderpriority = a.o_orderpriority AND b.rn = a.rn - l.lag
         |)
         |SELECT o_orderpriority, cast(lag as bigint) AS lag, count(*) AS n,
-        | cast(sum(cast(x as hugeint)) as decimal(38,0)) AS sum_x,
-        | cast(sum(cast(y as hugeint)) as decimal(38,0)) AS sum_y,
-        | cast(sum(cast(x as hugeint) * y) as decimal(38,0)) AS sum_xy,
-        | cast(sum(cast(x as hugeint) * x) as decimal(38,0)) AS sum_x2,
-        | cast(sum(cast(y as hugeint) * y) as decimal(38,0)) AS sum_y2
+        | cast(sum(cast(x as hugeint)) as bigint) AS sum_x,
+        | cast(sum(cast(y as hugeint)) as bigint) AS sum_y,
+        | cast(sum(cast(x as hugeint) * y) as varchar) AS sum_xy,
+        | cast(sum(cast(x as hugeint) * x) as varchar) AS sum_x2,
+        | cast(sum(cast(y as hugeint) * y) as varchar) AS sum_y2
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sim_pq_recall" ->
       """WITH dims AS (SELECT unnest(range(1, 65)) i),
@@ -3406,8 +3406,8 @@ object SparkEntry {
         |  (SELECT count(*) FROM bg) n_bigrams
         |), s AS (
         | SELECT bigram, n_xy, ux.n_term n_x, uy.n_term n_y,
-        |  cast(cast(n_xy as hugeint) * n_tokens * n_tokens as decimal(38,0)) lift_num,
-        |  cast(cast(n_bigrams as hugeint) * ux.n_term * uy.n_term as decimal(38,0)) lift_den
+        |  cast(cast(n_xy as hugeint) * n_tokens * n_tokens as bigint) lift_num,
+        |  cast(cast(n_bigrams as hugeint) * ux.n_term * uy.n_term as bigint) lift_den
         | FROM bc
         | JOIN uc ux ON ux.term = string_split(bigram, ' ')[1]
         | JOIN uc uy ON uy.term = string_split(bigram, ' ')[2]
@@ -3451,7 +3451,7 @@ object SparkEntry {
         | FROM tc GROUP BY 1
         |)
         |SELECT lang, n_types, n_tokens, f1, f2,
-        | cast(cast(f1 as hugeint) * (f1 - 1) as decimal(38,0)) AS chao_num,
+        | cast(cast(f1 as hugeint) * (f1 - 1) as bigint) AS chao_num,
         | 2 * (f2 + 1) AS chao_den,
         | n_types + cast(cast(f1 as hugeint) * (f1 - 1) as double) / (2 * (f2 + 1)) AS chao1
         |FROM s ORDER BY lang""".stripMargin,
@@ -3489,11 +3489,11 @@ object SparkEntry {
         | FROM edges e JOIN deg dx ON e.src = dx.n JOIN deg dy ON e.dst = dy.n
         |)
         |SELECT m_edges,
-        | cast(sx as decimal(38,0)) AS sum_x,
-        | cast(sxy as decimal(38,0)) AS sum_xy,
-        | cast(sx2 as decimal(38,0)) AS sum_x2,
-        | cast(m_edges * sxy - sx * sx as decimal(38,0)) AS assort_num,
-        | cast(m_edges * sx2 - sx * sx as decimal(38,0)) AS assort_den,
+        | cast(sx as bigint) AS sum_x,
+        | cast(sxy as bigint) AS sum_xy,
+        | cast(sx2 as bigint) AS sum_x2,
+        | cast(m_edges * sxy - sx * sx as varchar) AS assort_num,
+        | cast(m_edges * sx2 - sx * sx as varchar) AS assort_den,
         | cast(m_edges * sxy - sx * sx as double)
         |   / cast(m_edges * sx2 - sx * sx as double) AS assortativity
         |FROM s""".stripMargin,
@@ -3551,12 +3551,12 @@ object SparkEntry {
         | FROM spend s CROSS JOIN b
         |), d AS (
         | SELECT decile, count(*) AS n_customers,
-        |  cast(sum(cast(cents as hugeint)) as decimal(38,0)) AS dcents
+        |  cast(sum(cast(cents as hugeint)) as bigint) AS dcents
         | FROM bucketed GROUP BY 1
-        |), t AS (SELECT cast(sum(dcents) as decimal(38,0)) AS tcents FROM d),
+        |), t AS (SELECT cast(sum(cast(dcents as hugeint)) as bigint) AS tcents FROM d),
         |c AS (
         | SELECT decile, n_customers, dcents,
-        |  cast(sum(dcents) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as decimal(38,0)) AS cum_cents
+        |  cast(sum(cast(dcents as hugeint)) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_cents
         | FROM d
         |)
         |SELECT decile, n_customers, dcents AS decile_cents, cum_cents,
@@ -3598,10 +3598,10 @@ object SparkEntry {
         | FROM j GROUP BY 1
         |)
         |SELECT n_name, n,
-        | cast(sc as decimal(38,0)) AS sum_cents,
-        | cast(s1h as decimal(38,0)) AS s1,
-        | cast(cast(n as hugeint) * n * 1000000000000 as decimal(38,0)) AS atk_num,
-        | cast(s1h * sc as decimal(38,0)) AS atk_den,
+        | cast(sc as bigint) AS sum_cents,
+        | cast(s1h as bigint) AS s1,
+        | cast(cast(n as hugeint) * n * 1000000000000 as varchar) AS atk_num,
+        | cast(s1h * sc as varchar) AS atk_den,
         | 1.0 - cast(cast(n as hugeint) * n * 1000000000000 as double)
         |   / cast(s1h * sc as double) AS atkinson2
         |FROM s ORDER BY n_name""".stripMargin,
@@ -3700,8 +3700,8 @@ object SparkEntry {
         |), tb AS (
         | SELECT max_by(cum, dow) AS t_between, cast(count(*) as bigint) AS n_groups FROM c
         |)
-        |SELECT n_days, cast(s as decimal(38,0)) AS sum_cents,
-        | cast(sxx as decimal(38,0)) AS sum_sq, n_groups, t_between,
+        |SELECT n_days, cast(s as bigint) AS sum_cents,
+        | cast(sxx as varchar) AS sum_sq, n_groups, t_between,
         | (cast(n_days as double) * t_between - cast(s as double) * cast(s as double))
         |  / (cast(n_days as double) * cast(sxx as double) - cast(s as double) * cast(s as double)) AS eta_squared
         |FROM tot CROSS JOIN tb""".stripMargin,
@@ -3724,8 +3724,8 @@ object SparkEntry {
         | sa.n_tok AS n_a, sb.n_tok AS n_b,
         | cast(coalesce(sum_abs, 0)
         |  + cast(sb.n_tok as hugeint) * (sa.n_tok - coalesce(ca_both, 0))
-        |  + cast(sa.n_tok as hugeint) * (sb.n_tok - coalesce(cb_both, 0)) as decimal(38,0)) AS tv_num,
-        | cast(2 * cast(sa.n_tok as hugeint) * sb.n_tok as decimal(38,0)) AS tv_den,
+        |  + cast(sa.n_tok as hugeint) * (sb.n_tok - coalesce(cb_both, 0)) as bigint) AS tv_num,
+        | cast(2 * cast(sa.n_tok as hugeint) * sb.n_tok as bigint) AS tv_den,
         | cast(cast(coalesce(sum_abs, 0)
         |  + cast(sb.n_tok as hugeint) * (sa.n_tok - coalesce(ca_both, 0))
         |  + cast(sa.n_tok as hugeint) * (sb.n_tok - coalesce(cb_both, 0)) as decimal(38,0)) as double)
@@ -3759,12 +3759,12 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
         |), g AS (
         | SELECT new_label, count(*) AS n_vecs,
-        |  cast(sum(cast(round(dist, 6) as decimal(30,6))) as decimal(30,6)) AS inertia,
+        |  cast(sum(cast(cast(round(dist, 6) as decimal(18,6)) * 1000000 as bigint)) as bigint) AS inertia_micro,
         |  cast(sum(CASE WHEN label = new_label THEN 1 ELSE 0 END) as bigint) AS n_stable
         | FROM best WHERE rn = 1 GROUP BY 1
         |)
-        |SELECT new_label, n_vecs, inertia, n_stable,
-        | cast(inertia as double) / n_vecs AS mean_dist
+        |SELECT new_label, n_vecs, inertia_micro, n_stable,
+        | cast(inertia_micro as double) / 1000000 / n_vecs AS mean_dist
         |FROM g ORDER BY new_label""".stripMargin,
 
     "dd_cross_source_matrix" ->
@@ -3916,10 +3916,14 @@ object SparkEntry {
         |  sum(cast(cents as hugeint)) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
         | FROM daily
         |)
-        |SELECT day, k, cast(pfx as decimal(38,0)) AS prefix_cents,
-        | cast(abs(n_days * pfx - k * total_cents) as decimal(38,0)) AS score
-        |FROM pf CROSS JOIN tot
-        |ORDER BY score DESC, day LIMIT 5""".stripMargin,
+        |, top AS (
+        | SELECT day, k, pfx, abs(n_days * pfx - k * total_cents) AS sc
+        | FROM pf CROSS JOIN tot
+        | ORDER BY sc DESC, day LIMIT 5
+        |)
+        |SELECT day, k, cast(pfx as bigint) AS prefix_cents,
+        | cast(sc as varchar) AS score
+        |FROM top ORDER BY sc DESC, day""".stripMargin,
 
     "mm_aspect_buckets" ->
       """WITH buckets(bw0, bh0) AS (VALUES
@@ -4021,7 +4025,7 @@ object SparkEntry {
         | FROM g WHERE n_a >= 2 AND n_b >= 2
         |)
         |SELECT n_name, n_a, n_b,
-        | cast(ss_a as decimal(38,0)) AS ss_a, cast(ss_b as decimal(38,0)) AS ss_b,
+        | cast(ss_a as varchar) AS ss_a, cast(ss_b as varchar) AS ss_b,
         | cast(cast(ss_a * n_b * (n_b - 1) as decimal(38,0)) as double)
         |  / cast(cast(ss_b * n_a * (n_a - 1) as decimal(38,0)) as double) AS f_ratio
         |FROM s WHERE ss_b > 0 ORDER BY n_name""".stripMargin,
@@ -4055,7 +4059,7 @@ object SparkEntry {
         | FROM r GROUP BY 1
         |)
         |SELECT r_name, cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b,
-        | cast(n_a * t_a + n_b * t_b as decimal(38,0)) AS u_x4,
+        | cast(n_a * t_a + n_b * t_b as varchar) AS u_x4,
         | cast(cast(n_a * t_a + n_b * t_b as decimal(38,0)) as double)
         |   / cast(4 * n_a * n_b * (n_a + n_b) as double)
         |  - cast(4 * n_a * n_b - 1 as double) / cast(6 * (n_a + n_b) as double) AS t_stat
@@ -4080,7 +4084,7 @@ object SparkEntry {
         | FROM daily WINDOW w AS (PARTITION BY o_orderpriority ORDER BY "day")
         |)
         |SELECT o_orderpriority, "day", cents,
-        | cast(7 * s1_num * $n - 4 * s2_num as decimal(38,0)) AS holt_num,
+        | cast(7 * s1_num * $n - 4 * s2_num as varchar) AS holt_num,
         | cast(((7 * s1_num * $n - 4 * s2_num) + ${Analytics.HoltShift}::hugeint * ${3 * n * n})
         |  * 1000 // ${3 * n * n} - ${1000L * Analytics.HoltShift} as bigint) AS holt_milli
         |FROM l WHERE guard IS NOT NULL
@@ -4252,7 +4256,7 @@ object SparkEntry {
         |)
         |SELECT dc.brand, deg_sum, coalesce(intra_edges, 0) AS intra_edges, m_edges,
         | cast(4 * cast(m_edges as hugeint) * coalesce(intra_edges, 0)
-        |      - cast(deg_sum as hugeint) * deg_sum as decimal(38,0)) AS q_term_scaled
+        |      - cast(deg_sum as hugeint) * deg_sum as varchar) AS q_term_scaled
         |FROM dc LEFT JOIN ec ON dc.brand = ec.brand CROSS JOIN m
         |ORDER BY dc.brand""".stripMargin,
 
@@ -4278,7 +4282,7 @@ object SparkEntry {
         |)
         |SELECT * FROM (
         | SELECT cast(1 as bigint) AS level, cast(count(*) as bigint) AS n_coeffs,
-        |  cast(sum(d * d) as decimal(38,0)) AS energy, cast(max(abs(d)) as bigint) AS max_abs_d
+        |  cast(sum(d * d) as varchar) AS energy, cast(max(abs(d)) as bigint) AS max_abs_d
         | FROM l1 WHERE n_in = 2
         | UNION ALL
         | SELECT 2, cast(count(*) as bigint), cast(sum(d * d) as decimal(38,0)),
@@ -4308,10 +4312,10 @@ object SparkEntry {
         | FROM j GROUP BY 1
         |)
         |SELECT cast(lag as bigint) AS lag, n,
-        | cast(sx as decimal(38,0)) AS sx, cast(sy as decimal(38,0)) AS sy,
-        | cast(n * sxy - sx * sy as decimal(38,0)) AS corr_num,
-        | cast(n * sx2 - sx * sx as decimal(38,0)) AS varx_num,
-        | cast(n * sy2 - sy * sy as decimal(38,0)) AS vary_num
+        | cast(sx as bigint) AS sx, cast(sy as bigint) AS sy,
+        | cast(n * sxy - sx * sy as varchar) AS corr_num,
+        | cast(n * sx2 - sx * sx as varchar) AS varx_num,
+        | cast(n * sy2 - sy * sy as varchar) AS vary_num
         |FROM a ORDER BY lag""".stripMargin,
 
     "q143_mcnemar" ->
@@ -4333,7 +4337,7 @@ object SparkEntry {
         | FROM f GROUP BY 1
         |)
         |SELECT c_mktsegment, n_both, n_95_only, n_96_only, n_neither,
-        | cast(cast(n_95_only - n_96_only as hugeint) * (n_95_only - n_96_only) as decimal(38,0)) AS mcnemar_num,
+        | cast(cast(n_95_only - n_96_only as hugeint) * (n_95_only - n_96_only) as bigint) AS mcnemar_num,
         | n_95_only + n_96_only AS mcnemar_den,
         | CASE WHEN n_95_only + n_96_only = 0 THEN NULL
         |  ELSE cast(cast(n_95_only - n_96_only as hugeint) * (n_95_only - n_96_only) as double)
@@ -4359,13 +4363,13 @@ object SparkEntry {
         | FROM f GROUP BY 1
         |)
         |SELECT n_name, n_eo, n_en, n_uo, n_un,
-        | cast(cast(n_eo as hugeint) * n_un as decimal(38,0)) AS or_num,
-        | cast(cast(n_en as hugeint) * n_uo as decimal(38,0)) AS or_den,
+        | cast(cast(n_eo as hugeint) * n_un as bigint) AS or_num,
+        | cast(cast(n_en as hugeint) * n_uo as bigint) AS or_den,
         | CASE WHEN n_en = 0 OR n_uo = 0 THEN NULL
         |  ELSE cast(cast(n_eo as hugeint) * n_un as double)
         |       / cast(cast(n_en as hugeint) * n_uo as double) END AS odds_ratio,
-        | cast(cast(n_eo as hugeint) * (n_uo + n_un) as decimal(38,0)) AS rr_num,
-        | cast(cast(n_uo as hugeint) * (n_eo + n_en) as decimal(38,0)) AS rr_den,
+        | cast(cast(n_eo as hugeint) * (n_uo + n_un) as bigint) AS rr_num,
+        | cast(cast(n_uo as hugeint) * (n_eo + n_en) as bigint) AS rr_den,
         | CASE WHEN n_uo = 0 OR (n_eo + n_en) = 0 THEN NULL
         |  ELSE cast(cast(n_eo as hugeint) * (n_uo + n_un) as double)
         |       / cast(cast(n_uo as hugeint) * (n_eo + n_en) as double) END AS rel_risk
@@ -4440,8 +4444,8 @@ object SparkEntry {
         |)
         |SELECT cast(i as bigint) AS dim_i, cast(j as bigint) AS dim_j,
         | cast(count(*) as bigint) AS n,
-        | cast(sum(cast(pr as decimal(30,6))) as decimal(30,6)) AS sum_prod,
-        | cast(sum(cast(xi as decimal(30,6))) as decimal(30,6)) AS sum_i
+        | cast(sum(cast(cast(pr as decimal(18,6)) * 1000000 as bigint)) as bigint) AS sum_prod_micro,
+        | cast(sum(cast(cast(xi as decimal(18,6)) * 1000000 as bigint)) as bigint) AS sum_i_micro
         |FROM p GROUP BY 1, 2 ORDER BY dim_i, dim_j""".stripMargin,
 
     "txt_sentence_stats" ->
@@ -4510,7 +4514,7 @@ object SparkEntry {
         |SELECT v.c_mktsegment, cast(count(*) as bigint) AS n,
         | cast(max(med_cents) as bigint) AS med_cents,
         | cast(sum(abs(cents - med_cents)) as bigint) AS sum_z,
-        | cast(sum(cast(abs(cents - med_cents) as hugeint) * abs(cents - med_cents)) as decimal(38,0)) AS sum_z2
+        | cast(sum(cast(abs(cents - med_cents) as hugeint) * abs(cents - med_cents)) as bigint) AS sum_z2
         |FROM v JOIN med USING (c_mktsegment)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -4596,8 +4600,8 @@ object SparkEntry {
         |btot AS (SELECT count(*) AS b_types FROM counts)
         |SELECT c.w1 AS w1, c.w2 AS w2, c.c AS c, p.cw1, p.n_follow, k.n_precede, b_types,
         | cast(cast(4 * c.c - 3 as hugeint) * b_types
-        |      + cast(3 as hugeint) * n_follow * n_precede as decimal(38,0)) AS p_num,
-        | cast(cast(4 as hugeint) * cw1 * b_types as decimal(38,0)) AS p_den
+        |      + cast(3 as hugeint) * n_follow * n_precede as bigint) AS p_num,
+        | cast(cast(4 as hugeint) * cw1 * b_types as bigint) AS p_den
         |FROM counts c JOIN prefix p ON c.w1 = p.w1 JOIN contin k ON c.w2 = k.w2
         |CROSS JOIN btot
         |ORDER BY c.c DESC, c.w1, c.w2 LIMIT 50""".stripMargin,
@@ -4655,12 +4659,12 @@ object SparkEntry {
         |  cast(n as hugeint) * p - cast(k as hugeint) * s AS d
         | FROM pre
         |), r AS (
-        | SELECT o_orderpriority, cast(max(d) - min(d) as decimal(38,0)) r_scaled
+        | SELECT o_orderpriority, cast(max(d) - min(d) as bigint) r_scaled
         | FROM dev GROUP BY 1
         |)
         |SELECT t.o_orderpriority, cast(n as bigint) AS n_days, s AS sum_cents,
         | r_scaled,
-        | cast(cast(n as hugeint) * sx2 - cast(s as hugeint) * s as decimal(38,0)) AS s2_num
+        | cast(cast(n as hugeint) * sx2 - cast(s as hugeint) * s as varchar) AS s2_num
         |FROM tot t JOIN r USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
 
@@ -4683,7 +4687,7 @@ object SparkEntry {
         |SELECT o_orderpriority,
         | cast(substring(o_orderpriority, 1, 1) as bigint) AS prio_idx,
         | count(*) AS n_blocks, cast(sum(r2) as bigint) AS sum_r2,
-        | cast(sum(cast(r2 as hugeint) * r2) as decimal(38,0)) AS sum_r2_sq
+        | cast(sum(cast(r2 as hugeint) * r2) as bigint) AS sum_r2_sq
         |FROM ranks GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "dd_soft_weights" ->
@@ -4775,8 +4779,8 @@ object SparkEntry {
         |SELECT cast(year as bigint) AS year, gg AS g, n_customers,
         | cast(2 * (3 * (cast(g95 as hugeint) * g95 + cast(g96 as hugeint) * g96
         |   + cast(g97 as hugeint) * g97)
-        |  - cast(g95 + g96 + g97 as hugeint) * (g95 + g96 + g97)) as decimal(38,0)) AS q_num,
-        | cast(cast(3 as hugeint) * sum_l - sum_l2 as decimal(38,0)) AS q_den,
+        |  - cast(g95 + g96 + g97 as hugeint) * (g95 + g96 + g97)) as bigint) AS q_num,
+        | cast(cast(3 as hugeint) * sum_l - sum_l2 as bigint) AS q_den,
         | CASE WHEN 3 * sum_l - sum_l2 = 0 THEN NULL
         |  ELSE cast(2 * (3 * (cast(g95 as hugeint) * g95 + cast(g96 as hugeint) * g96
         |    + cast(g97 as hugeint) * g97)
@@ -4821,11 +4825,11 @@ object SparkEntry {
         | FROM dev
         |)
         |SELECT t.o_orderpriority, cast(n as bigint) AS n_days, s AS sum_cents,
-        | (SELECT cast(max(dv) as decimal(38,0)) FROM dev
+        | (SELECT cast(max(dv) as bigint) FROM dev
         |   WHERE dev.o_orderpriority = t.o_orderpriority) AS g_num,
         | (SELECT peak_day FROM pk
         |   WHERE pk.o_orderpriority = t.o_orderpriority AND rn = 1) AS peak_day,
-        | cast(cast(n as hugeint) * sx2 - cast(s as hugeint) * s as decimal(38,0)) AS s2_num
+        | cast(cast(n as hugeint) * sx2 - cast(s as hugeint) * s as varchar) AS s2_num
         |FROM tot t ORDER BY o_orderpriority""".stripMargin,
 
     "dd_lsh_precision" ->
@@ -4905,12 +4909,12 @@ object SparkEntry {
         | FROM scored s CROSS JOIN cp1 WHERE s.k > k1 AND s.k < s.n
         |)
         |SELECT 'all' AS segment, cp_day, cast(k1 as bigint) AS cp_k,
-        | cast(score as decimal(38,0)) AS score FROM cp1
+        | cast(score as varchar) AS score FROM cp1
         |UNION ALL
-        |SELECT * FROM (SELECT 'left', day, cast(k as bigint), cast(lscore as decimal(38,0))
+        |SELECT * FROM (SELECT 'left', day, cast(k as bigint), cast(lscore as varchar)
         |FROM lseg ORDER BY lscore DESC, k LIMIT 1)
         |UNION ALL
-        |SELECT * FROM (SELECT 'right', day, cast(k as bigint), cast(rscore as decimal(38,0))
+        |SELECT * FROM (SELECT 'right', day, cast(k as bigint), cast(rscore as varchar)
         |FROM rseg ORDER BY rscore DESC, k LIMIT 1)
         |ORDER BY segment""".stripMargin,
 
@@ -5035,7 +5039,7 @@ object SparkEntry {
         |)
         |SELECT o_orderpriority, cast(dayofweek(day) as bigint) AS dow,
         | count(*) AS n_days, cast(sum(cents) as bigint) AS sum_cents,
-        | cast(sum(cast(cents as hugeint) * cents) as decimal(38,0)) AS sum_sq
+        | cast(sum(cast(cents as hugeint) * cents) as varchar) AS sum_sq
         |FROM daily GROUP BY 1, 2 ORDER BY o_orderpriority, dow""".stripMargin,
 
     "pipe_code_mix" ->
@@ -5083,8 +5087,8 @@ object SparkEntry {
         | FROM f GROUP BY 1
         |)
         |SELECT c_mktsegment, n, sum_pre, sum_post,
-        | cast(n * sxy - cast(sum_pre as hugeint) * sum_post as decimal(38,0)) AS theta_num,
-        | cast(n * sx2 - cast(sum_pre as hugeint) * sum_pre as decimal(38,0)) AS theta_den
+        | cast(n * sxy - cast(sum_pre as hugeint) * sum_post as varchar) AS theta_num,
+        | cast(n * sx2 - cast(sum_pre as hugeint) * sum_pre as varchar) AS theta_den
         |FROM g ORDER BY c_mktsegment""".stripMargin,
 
     "pipe_boilerplate_exposure" ->
@@ -5143,8 +5147,8 @@ object SparkEntry {
         | cast(cast(s11 as hugeint) * n10 * n01 * n00
         |  - cast(s10 as hugeint) * n11 * n01 * n00
         |  - cast(s01 as hugeint) * n11 * n10 * n00
-        |  + cast(s00 as hugeint) * n11 * n10 * n01 as decimal(38,0)) AS did_num,
-        | cast(cast(n11 as hugeint) * n10 * n01 * n00 as decimal(38,0)) AS did_den
+        |  + cast(s00 as hugeint) * n11 * n10 * n01 as varchar) AS did_num,
+        | cast(cast(n11 as hugeint) * n10 * n01 * n00 as varchar) AS did_den
         |FROM cells CROSS JOIN wide
         |ORDER BY treated, period""".stripMargin,
 

@@ -29,8 +29,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // registration lint: no DecimalType may leave a gated query —
+        // the driver's hash is dtype-sensitive and Spark-parquet
+        // DECIMAL vs DuckDB-computed DECIMAL hash differently even
+        // when every value matches (r4 HUGEINT, r5 DECIMAL episodes).
+        // Exact integers leave as BIGINT; >2^63 statistics as STRING.
+        val decCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        require(decCols.isEmpty,
+          s"$name emits DecimalType column(s) ${decCols.mkString(", ")} — " +
+            "cast to BIGINT (bounded) or STRING (past 2^63) at the output edge")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // drop any stale dump from a previous run so the checker can't

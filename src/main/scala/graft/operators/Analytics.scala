@@ -1940,9 +1940,11 @@ object Analytics {
     * price), emitted as EXACT integer sufficient statistics: min-tie
     * ranks, d = rank_q − rank_p, Σd², and rho as the integer pair
     * rho_num/rho_den = 1 − 6Σd²/(n(n²−1)) — no division ever happens,
-    * so no float boundary exists. Sums and the cubic denominator are
-    * DECIMAL(38,0): exact far past the corpus sizes where n³ overflows
-    * BIGINT. The min-tie ranks come from per-distinct-value counts +
+    * so no float boundary exists. Sums and the cubic denominator
+    * ACCUMULATE as DECIMAL(38,0) (exact far past where n³ overflows
+    * BIGINT) but the OUTPUT edge is BIGINT — the driver-hashable
+    * schema contract (no DecimalType leaves a query; r5 verdict #1).
+    * The min-tie ranks come from per-distinct-value counts +
     * the distributed prefix sum (rank(v) = 1 + #rows < v): return
     * flags are 3 FIXED keys, so `rank().over(partitionBy(flag))` would
     * funnel the whole table through 3 tasks twice — the rank maps are
@@ -1967,9 +1969,9 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(d * d as decimal(38,0))")).as("s2"))
       .select($"l_returnflag", $"n",
-        expr("cast(s2 as decimal(38,0))").as("sum_d2"),
-        expr("cast(cast(n as decimal(38,0)) * n * n - n - 6 * s2 as decimal(38,0))").as("rho_num"),
-        expr("cast(cast(n as decimal(38,0)) * n * n - n as decimal(38,0))").as("rho_den"))
+        expr("cast(s2 as bigint)").as("sum_d2"),
+        expr("cast(cast(n as decimal(38,0)) * n * n - n - 6 * s2 as bigint)").as("rho_num"),
+        expr("cast(cast(n as decimal(38,0)) * n * n - n as bigint)").as("rho_den"))
       .orderBy($"l_returnflag")
   }
 
@@ -2209,12 +2211,12 @@ object Analytics {
         sum(expr("cast((c * (c - 1)) div 2 as decimal(38,0))")).as("tied_both"))
     diag.join(pairClasses, "l_returnflag")
       .select($"l_returnflag", $"n",
-        expr("cast(concordant as decimal(38,0))").as("concordant"),
-        expr("cast(discordant as decimal(38,0))").as("discordant"),
-        expr("cast(tied_x_only as decimal(38,0))").as("tied_x_only"),
-        expr("cast(tied_y_only as decimal(38,0))").as("tied_y_only"),
-        expr("cast(tied_both as decimal(38,0))").as("tied_both"),
-        expr("cast(concordant - discordant as decimal(38,0))").as("tau_num"))
+        expr("cast(concordant as bigint)").as("concordant"),
+        expr("cast(discordant as bigint)").as("discordant"),
+        expr("cast(tied_x_only as bigint)").as("tied_x_only"),
+        expr("cast(tied_y_only as bigint)").as("tied_y_only"),
+        expr("cast(tied_both as bigint)").as("tied_both"),
+        expr("cast(concordant - discordant as bigint)").as("tau_num"))
       .orderBy($"l_returnflag")
   }
 
@@ -2417,12 +2419,16 @@ object Analytics {
         sum(expr("cast(cents as decimal(38,0)) * y")).as("sum_xy"),
         sum(expr("cast(cents as decimal(38,0)) * cents")).as("sum_x2"),
         sum(expr("cast(y as decimal(38,0)) * y")).as("sum_y2"))
+      // Output edge: linear cent sums fit BIGINT; the squared/cross
+      // sums grow quadratically in daily volume and pass 2^63 at the
+      // bench SF already — emitted as exact decimal TEXT (the
+      // no-DecimalType-output contract, r5 verdict #1).
       .select($"o_orderpriority", $"lag".cast("bigint").as("lag"), $"n",
-        expr("cast(sum_x as decimal(38,0))").as("sum_x"),
-        expr("cast(sum_y as decimal(38,0))").as("sum_y"),
-        expr("cast(sum_xy as decimal(38,0))").as("sum_xy"),
-        expr("cast(sum_x2 as decimal(38,0))").as("sum_x2"),
-        expr("cast(sum_y2 as decimal(38,0))").as("sum_y2"))
+        expr("cast(sum_x as bigint)").as("sum_x"),
+        expr("cast(sum_y as bigint)").as("sum_y"),
+        expr("cast(sum_xy as string)").as("sum_xy"),
+        expr("cast(sum_x2 as string)").as("sum_x2"),
+        expr("cast(sum_y2 as string)").as("sum_y2"))
       .orderBy($"o_orderpriority", $"lag")
   }
 
@@ -2455,9 +2461,12 @@ object Analytics {
       .agg(expr("max_by(cum, dow)").as("t_between"),
         count(lit(1)).as("n_groups"))
     tot.crossJoin(broadcast(tb))
+      // Output edge: Σcents is linear (BIGINT); Σcents² is quadratic
+      // in daily volume and passes 2^63 at the bench SF — exact
+      // decimal TEXT.
       .select($"n_days",
-        expr("cast(s as decimal(38,0))").as("sum_cents"),
-        expr("cast(sxx as decimal(38,0))").as("sum_sq"),
+        expr("cast(s as bigint)").as("sum_cents"),
+        expr("cast(sxx as string)").as("sum_sq"),
         $"n_groups", $"t_between",
         expr("(cast(n_days as double) * t_between" +
           " - cast(s as double) * cast(s as double))" +
@@ -2493,8 +2502,8 @@ object Analytics {
     deciles.crossJoin(broadcast(tot))
       .withColumn("cum_cents", sum($"dcents").over(w)) // 10-row window
       .select($"decile", $"n_customers",
-        expr("cast(dcents as decimal(38,0))").as("decile_cents"),
-        expr("cast(cum_cents as decimal(38,0))").as("cum_cents"),
+        expr("cast(dcents as bigint)").as("decile_cents"),
+        expr("cast(cum_cents as bigint)").as("cum_cents"),
         ($"cum_cents".cast("double") / $"tcents".cast("double")).as("cum_share"))
       .orderBy($"decile")
   }
@@ -2548,12 +2557,14 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(cents as decimal(38,0))")).as("sum_cents"),
         sum(expr("cast(1000000000000 div cents as decimal(38,0))")).as("s1"))
+      // Output edge: n²·10¹² is quadratic in group size — exact
+      // decimal TEXT; the linear sums leave as BIGINT.
       .select($"n_name", $"n",
-        expr("cast(sum_cents as decimal(38,0))").as("sum_cents"),
-        expr("cast(s1 as decimal(38,0))").as("s1"),
-        expr("cast(cast(n as decimal(38,0)) * n * 1000000000000 as decimal(38,0))")
+        expr("cast(sum_cents as bigint)").as("sum_cents"),
+        expr("cast(s1 as bigint)").as("s1"),
+        expr("cast(cast(n as decimal(38,0)) * n * 1000000000000 as string)")
           .as("atk_num"),
-        expr("cast(s1 * sum_cents as decimal(38,0))").as("atk_den"))
+        expr("cast(s1 * sum_cents as string)").as("atk_den"))
       .withColumn("atkinson2",
         lit(1.0) - $"atk_num".cast("double") / $"atk_den".cast("double"))
       .orderBy($"n_name")
@@ -2581,13 +2592,16 @@ object Analytics {
         sum(expr("cast(dx as decimal(38,0))")).as("sum_x"),
         sum(expr("cast(dx as decimal(38,0)) * dy")).as("sum_xy"),
         sum(expr("cast(dx as decimal(38,0)) * dx")).as("sum_x2"))
+      // Output edge: degree sums fit BIGINT at any graph this side of
+      // the web; num/den carry (Σx)² — quadratic in edges — so they
+      // leave as exact decimal TEXT (no-DecimalType-output contract).
       .select($"m_edges",
-        expr("cast(sum_x as decimal(38,0))").as("sum_x"),
-        expr("cast(sum_xy as decimal(38,0))").as("sum_xy"),
-        expr("cast(sum_x2 as decimal(38,0))").as("sum_x2"),
-        expr("cast(m_edges * sum_xy - sum_x * sum_x as decimal(38,0))")
+        expr("cast(sum_x as bigint)").as("sum_x"),
+        expr("cast(sum_xy as bigint)").as("sum_xy"),
+        expr("cast(sum_x2 as bigint)").as("sum_x2"),
+        expr("cast(m_edges * sum_xy - sum_x * sum_x as string)")
           .as("assort_num"),
-        expr("cast(m_edges * sum_x2 - sum_x * sum_x as decimal(38,0))")
+        expr("cast(m_edges * sum_x2 - sum_x * sum_x as string)")
           .as("assort_den"))
       .withColumn("assortativity",
         $"assort_num".cast("double") / $"assort_den".cast("double"))
@@ -2697,12 +2711,14 @@ object Analytics {
       .withColumn("pfx", sum(expr("cast(cents as decimal(38,0))"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(tot))
-      .withColumn("score", expr(
-        "cast(abs(cast(n_days as decimal(38,0)) * pfx - cast(k as decimal(38,0)) * total_cents) as decimal(38,0))"))
-      .select($"day", $"k", expr("cast(pfx as decimal(38,0))").as("prefix_cents"),
-        $"score")
-      .orderBy($"score".desc, $"day")
+      .withColumn("_score", expr(
+        "abs(cast(n_days as decimal(38,0)) * pfx - cast(k as decimal(38,0)) * total_cents)"))
+      // rank on the NUMERIC score; the exact-text cast happens after
+      // the limit (a string orderBy would be lexicographic)
+      .orderBy($"_score".desc, $"day")
       .limit(k)
+      .select($"day", $"k", expr("cast(pfx as bigint)").as("prefix_cents"),
+        $"_score".cast("string").as("score"))
   }
 
   /** Wilcoxon signed-rank test (paired, per market segment): did
@@ -2794,7 +2810,8 @@ object Analytics {
       .withColumn("ss_a", expr("cast(n_a * q_a - s_a * s_a as decimal(38,0))"))
       .withColumn("ss_b", expr("cast(n_b * q_b - s_b * s_b as decimal(38,0))"))
       .filter($"ss_b" > 0)
-      .select($"n_name", $"n_a", $"n_b", $"ss_a", $"ss_b",
+      .select($"n_name", $"n_a", $"n_b",
+        $"ss_a".cast("string").as("ss_a"), $"ss_b".cast("string").as("ss_b"),
         expr("cast(cast(ss_a * n_b * (n_b - 1) as decimal(38,0)) as double) / " +
           "cast(cast(ss_b * n_a * (n_a - 1) as decimal(38,0)) as double)").as("f_ratio"))
       .orderBy($"n_name")
@@ -2839,7 +2856,9 @@ object Analytics {
       .agg(sum($"c_a").as("n_a"), sum($"c_b").as("n_b"),
         sum(cellTerm("c_a", "_ltA")).as("t_a"),
         sum(cellTerm("c_b", "_ltB")).as("t_b"))
-      .withColumn("u_x4", expr("cast(n_a * t_a + n_b * t_b as decimal(38,0))"))
+      // n·Σ(rank diff)² is cubic in group size (measured ×7200 per SF
+      // decade) — exact decimal TEXT at the output edge
+      .withColumn("u_x4", expr("cast(n_a * t_a + n_b * t_b as string)"))
       .select($"r_name", $"n_a", $"n_b", $"u_x4")
       // every divisor/dividend is an exact integer cast to double at the
       // edge — a bare 4.0*… literal would be DECIMAL arithmetic in the
@@ -2895,7 +2914,8 @@ object Analytics {
       // (trunc == floor once the dividend is non-negative — the same
       // ulp-proof device as sim_silhouette; a decimal→double cast of the
       // >2^53 numerator is 1-ulp unstable across engines)
-      .select($"o_orderpriority", $"day", $"cents", $"holt_num",
+      .select($"o_orderpriority", $"day", $"cents",
+        $"holt_num".cast("string").as("holt_num"),
         expr(s"(holt_num + cast(${HoltShift} as decimal(38,0)) * ${3 * HoltNorm * HoltNorm}) " +
           s"* 1000 div ${3 * HoltNorm * HoltNorm} - ${1000L * HoltShift}")
           .as("holt_milli"))
@@ -3017,7 +3037,7 @@ object Analytics {
       .na.fill(0L, Seq("intra_edges"))
       .crossJoin(broadcast(m))
       .select($"brand", $"deg_sum", $"intra_edges", $"m_edges",
-        expr("cast(4 as decimal(38,0)) * m_edges * intra_edges - cast(deg_sum as decimal(38,0)) * deg_sum")
+        expr("cast(cast(4 as decimal(38,0)) * m_edges * intra_edges - cast(deg_sum as decimal(38,0)) * deg_sum as string)")
           .as("q_term_scaled"))
       .orderBy($"brand")
   }
@@ -3050,7 +3070,7 @@ object Analytics {
           sum(expr("cast(d * d as decimal(38,0))")).as("energy"),
           max(abs($"d")).as("max_abs_d"))
         .select(lit(l).cast("long").as("level"), $"n_coeffs",
-          expr("cast(energy as decimal(38,0))").as("energy"),
+          expr("cast(energy as string)").as("energy"),
           expr("cast(max_abs_d as bigint)").as("max_abs_d"))
     }
     levels.reduce(_ unionAll _).orderBy($"level")
@@ -3084,11 +3104,11 @@ object Analytics {
         sum(expr("cast(x as decimal(38,0)) * x")).as("sx2"),
         sum(expr("cast(y as decimal(38,0)) * y")).as("sy2"))
       .select($"lag", $"n",
-        expr("cast(sx as decimal(38,0))").as("sx"),
-        expr("cast(sy as decimal(38,0))").as("sy"),
-        expr("cast(n * sxy - sx * sy as decimal(38,0))").as("corr_num"),
-        expr("cast(n * sx2 - sx * sx as decimal(38,0))").as("varx_num"),
-        expr("cast(n * sy2 - sy * sy as decimal(38,0))").as("vary_num"))
+        expr("cast(sx as bigint)").as("sx"),
+        expr("cast(sy as bigint)").as("sy"),
+        expr("cast(n * sxy - sx * sy as string)").as("corr_num"),
+        expr("cast(n * sx2 - sx * sx as string)").as("varx_num"),
+        expr("cast(n * sy2 - sy * sy as string)").as("vary_num"))
       .orderBy($"lag")
   }
 
@@ -3114,7 +3134,7 @@ object Analytics {
         sum(expr("CASE WHEN y95 = 0 AND y96 = 1 THEN 1 ELSE 0 END")).as("n_96_only"),
         sum(expr("CASE WHEN y95 = 0 AND y96 = 0 THEN 1 ELSE 0 END")).as("n_neither"))
       .withColumn("mcnemar_num",
-        expr("cast(n_95_only - n_96_only as decimal(38,0)) * (n_95_only - n_96_only)"))
+        expr("cast(cast(n_95_only - n_96_only as decimal(38,0)) * (n_95_only - n_96_only) as bigint)"))
       .withColumn("mcnemar_den", expr("n_95_only + n_96_only"))
       .withColumn("mcnemar_stat", expr(
         "CASE WHEN mcnemar_den = 0 THEN NULL " +
@@ -3145,12 +3165,12 @@ object Analytics {
         sum(expr("CASE WHEN expd = 1 AND outc = 0 THEN 1 ELSE 0 END")).as("n_en"),
         sum(expr("CASE WHEN expd = 0 AND outc = 1 THEN 1 ELSE 0 END")).as("n_uo"),
         sum(expr("CASE WHEN expd = 0 AND outc = 0 THEN 1 ELSE 0 END")).as("n_un"))
-      .withColumn("or_num", expr("cast(n_eo as decimal(38,0)) * n_un"))
-      .withColumn("or_den", expr("cast(n_en as decimal(38,0)) * n_uo"))
+      .withColumn("or_num", expr("cast(cast(n_eo as decimal(38,0)) * n_un as bigint)"))
+      .withColumn("or_den", expr("cast(cast(n_en as decimal(38,0)) * n_uo as bigint)"))
       .withColumn("odds_ratio", expr(
         "CASE WHEN or_den = 0 THEN NULL ELSE cast(or_num as double) / cast(or_den as double) END"))
-      .withColumn("rr_num", expr("cast(n_eo as decimal(38,0)) * (n_uo + n_un)"))
-      .withColumn("rr_den", expr("cast(n_uo as decimal(38,0)) * (n_eo + n_en)"))
+      .withColumn("rr_num", expr("cast(cast(n_eo as decimal(38,0)) * (n_uo + n_un) as bigint)"))
+      .withColumn("rr_den", expr("cast(cast(n_uo as decimal(38,0)) * (n_eo + n_en) as bigint)"))
       .withColumn("rel_risk", expr(
         "CASE WHEN rr_den = 0 THEN NULL ELSE cast(rr_num as double) / cast(rr_den as double) END"))
       .orderBy($"n_name")
@@ -3228,7 +3248,7 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         max($"med_cents").as("med_cents"),
         sum($"z").as("sum_z"),
-        expr("cast(sum(cast(z as decimal(38,0)) * z) as decimal(38,0))").as("sum_z2"))
+        expr("cast(sum(cast(z as decimal(38,0)) * z) as bigint)").as("sum_z2"))
       .orderBy($"c_mktsegment")
   }
 
@@ -3352,9 +3372,11 @@ object Analytics {
       .groupBy($"o_orderpriority")
       .agg(expr("cast(max(d) - min(d) as decimal(38,0))").as("r_scaled"))
     tot.join(devs, "o_orderpriority")
+      // r_scaled is calendar×linear-cents (BIGINT); n·Σx²−S² is a
+      // money second moment past 2^63 at bench SF — exact decimal TEXT
       .select($"o_orderpriority", $"n".as("n_days"), $"s".as("sum_cents"),
-        $"r_scaled",
-        expr("cast(cast(n as decimal(38,0)) * sx2 - cast(s as decimal(38,0)) * s as decimal(38,0))")
+        $"r_scaled".cast("long").as("r_scaled"),
+        expr("cast(cast(n as decimal(38,0)) * sx2 - cast(s as decimal(38,0)) * s as string)")
           .as("s2_num"))
       .orderBy($"o_orderpriority")
   }
@@ -3382,7 +3404,7 @@ object Analytics {
         + sum(when($"c2" === $"cents", 1L).otherwise(0L)) + lit(1L)).as("r2"))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_blocks"), sum($"r2").as("sum_r2"),
-        expr("cast(sum(cast(r2 as decimal(38,0)) * r2) as decimal(38,0))").as("sum_r2_sq"))
+        expr("cast(sum(cast(r2 as decimal(38,0)) * r2) as bigint)").as("sum_r2_sq"))
       .withColumn("prio_idx", expr("cast(substring(o_orderpriority, 1, 1) as bigint)"))
       .select($"o_orderpriority", $"prio_idx", $"n_blocks", $"sum_r2", $"sum_r2_sq")
       .orderBy($"o_orderpriority")
@@ -3414,10 +3436,10 @@ object Analytics {
           " named_struct('year', 1997L, 'g', g97))")).as("e"),
         $"n_customers", $"g95", $"g96", $"g97", $"sum_l", $"sum_l2")
       .select($"e.year".as("year"), $"e.g".as("g"), $"n_customers",
-        expr("cast(2 as decimal(38,0)) * (3 * (cast(g95 as decimal(38,0)) * g95" +
+        expr("cast(cast(2 as decimal(38,0)) * (3 * (cast(g95 as decimal(38,0)) * g95" +
           " + cast(g96 as decimal(38,0)) * g96 + cast(g97 as decimal(38,0)) * g97)" +
-          " - cast(g95 + g96 + g97 as decimal(38,0)) * (g95 + g96 + g97))").as("q_num"),
-        expr("cast(3 as decimal(38,0)) * sum_l - sum_l2").as("q_den"))
+          " - cast(g95 + g96 + g97 as decimal(38,0)) * (g95 + g96 + g97)) as bigint)").as("q_num"),
+        expr("cast(cast(3 as decimal(38,0)) * sum_l - sum_l2 as bigint)").as("q_den"))
       .withColumn("q_stat", expr(
         "CASE WHEN q_den = 0 THEN NULL ELSE cast(q_num as double) / cast(q_den as double) END"))
       .orderBy($"year")
@@ -3442,9 +3464,9 @@ object Analytics {
       .withColumn("dev", expr("abs(cast(n as decimal(38,0)) * cents - s)"))
       .groupBy($"o_orderpriority")
       .agg(max($"n").as("n_days"), max($"s").as("sum_cents"),
-        expr("cast(max(dev) as decimal(38,0))").as("g_num"),
+        expr("cast(max(dev) as bigint)").as("g_num"),
         expr("max_by(day, struct(dev, -unix_date(day)))").as("peak_day"),
-        expr("cast(max(cast(n as decimal(38,0)) * sx2 - cast(s as decimal(38,0)) * s) as decimal(38,0))")
+        expr("cast(max(cast(n as decimal(38,0)) * sx2 - cast(s as decimal(38,0)) * s) as string)")
           .as("s2_num"))
       .orderBy($"o_orderpriority")
   }
@@ -3473,7 +3495,7 @@ object Analytics {
         "abs(cast(n as decimal(38,0)) * pfx - cast(k as decimal(38,0)) * s)"))
     val cp1 = scored.filter($"k" < $"n")
       .agg(expr("max_by(named_struct('day', day, 'k', k, 'pfx', pfx), named_struct('s', score, 'mk', -k))").as("b"),
-        expr("cast(max(score) as decimal(38,0))").as("score"))
+        expr("cast(max(score) as string)").as("score"))
       .select($"b.day".as("cp_day"), $"b.k".as("k1"),
         expr("cast(b.pfx as decimal(38,0))").as("p1"), $"score")
     val withCp = scored.crossJoin(broadcast(cp1))
@@ -3483,14 +3505,14 @@ object Analytics {
       .agg(lit("left").as("segment"),
         expr("max_by(day, named_struct('s', lscore, 'mk', -k))").as("cp_day"),
         expr("max_by(k, named_struct('s', lscore, 'mk', -k))").as("cp_k"),
-        expr("cast(max(lscore) as decimal(38,0))").as("score"))
+        expr("cast(max(lscore) as string)").as("score"))
     val right = withCp.filter($"k" > $"k1" && $"k" < $"n")
       .withColumn("rscore", expr(
         "abs(cast(n - k1 as decimal(38,0)) * (pfx - p1) - cast(k - k1 as decimal(38,0)) * (s - p1))"))
       .agg(lit("right").as("segment"),
         expr("max_by(day, named_struct('s', rscore, 'mk', -k))").as("cp_day"),
         expr("max_by(k, named_struct('s', rscore, 'mk', -k))").as("cp_k"),
-        expr("cast(max(rscore) as decimal(38,0))").as("score"))
+        expr("cast(max(rscore) as string)").as("score"))
     val global = cp1.select(lit("all").as("segment"), $"cp_day",
       $"k1".as("cp_k"), $"score")
     global.unionAll(left).unionAll(right)
@@ -3516,7 +3538,7 @@ object Analytics {
       .groupBy($"o_orderpriority", (dayofweek($"day") - 1).cast("bigint").as("dow"))
       .agg(count(lit(1)).as("n_days"),
         sum($"cents").as("sum_cents"),
-        expr("cast(sum(cast(cents as decimal(38,0)) * cents) as decimal(38,0))").as("sum_sq"))
+        expr("cast(sum(cast(cents as decimal(38,0)) * cents) as string)").as("sum_sq"))
       .orderBy($"o_orderpriority", $"dow")
 
   /** CUPED variance-reduction inputs per market segment: the
@@ -3545,9 +3567,9 @@ object Analytics {
         expr("cast(sum(cast(x as decimal(38,0)) * y) as decimal(38,0))").as("sxy"),
         expr("cast(sum(cast(x as decimal(38,0)) * x) as decimal(38,0))").as("sx2"))
       .select($"c_mktsegment", $"n", $"sum_pre", $"sum_post",
-        expr("cast(n * sxy - cast(sum_pre as decimal(38,0)) * sum_post as decimal(38,0))")
+        expr("cast(n * sxy - cast(sum_pre as decimal(38,0)) * sum_post as string)")
           .as("theta_num"),
-        expr("cast(n * sx2 - cast(sum_pre as decimal(38,0)) * sum_pre as decimal(38,0))")
+        expr("cast(n * sx2 - cast(sum_pre as decimal(38,0)) * sum_pre as string)")
           .as("theta_den"))
       .orderBy($"c_mktsegment")
   }
@@ -3587,12 +3609,15 @@ object Analytics {
         max(when($"treated" === 0 && $"period" === 0, $"n")).as("n00"),
         max(when($"treated" === 0 && $"period" === 0, $"sum_cents")).as("s00"))
     cells
+      // did_num multiplies a cent sum by THREE cell counts — it passes
+      // 2^63 at the bench SF (measured ×795/SF-decade): exact decimal
+      // TEXT; did_den (count product) rides along for num/den parity.
       .crossJoin(broadcast(wide.select(
-        expr("cast(s11 as decimal(38,0)) * n10 * n01 * n00" +
+        expr("cast(cast(s11 as decimal(38,0)) * n10 * n01 * n00" +
           " - cast(s10 as decimal(38,0)) * n11 * n01 * n00" +
           " - cast(s01 as decimal(38,0)) * n11 * n10 * n00" +
-          " + cast(s00 as decimal(38,0)) * n11 * n10 * n01").as("did_num"),
-        expr("cast(n11 as decimal(38,0)) * n10 * n01 * n00").as("did_den"))))
+          " + cast(s00 as decimal(38,0)) * n11 * n10 * n01 as string)").as("did_num"),
+        expr("cast(cast(n11 as decimal(38,0)) * n10 * n01 * n00 as string)").as("did_den"))))
       .select($"treated", $"period", $"n", $"sum_cents", $"did_num", $"did_den")
       .orderBy($"treated", $"period")
   }

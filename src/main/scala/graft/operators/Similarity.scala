@@ -150,11 +150,17 @@ object Similarity {
     simKmeansStep(spark, dir)
       .groupBy(col("new_label"))
       .agg(count(lit(1)).as("n_vecs"),
-        expr("cast(sum(cast(dist as decimal(30,6))) as decimal(30,6))")
-          .as("inertia"),
+        expr("cast(sum(cast(dist as decimal(38,6))) as decimal(38,6))")
+          .as("_inertia"),
         sum(when(col("label") === col("new_label"), 1L).otherwise(0L))
           .as("n_stable"))
-      .withColumn("mean_dist", expr("cast(inertia as double) / n_vecs"))
+      .withColumn("mean_dist", expr("cast(_inertia as double) / n_vecs"))
+      // output edge: exact micro-integer (values are Σ of rounded-to-6
+      // per-row distances, so ×10⁶ is integral by construction); no
+      // DecimalType leaves a query (r5 verdict #1)
+      .select(col("new_label"), col("n_vecs"),
+        expr("cast(_inertia * 1000000 as bigint)").as("inertia_micro"),
+        col("n_stable"), col("mean_dist"))
       .orderBy(col("new_label"))
 
   /** Int8 symmetric quantization of the embedding column (the storage/
@@ -595,7 +601,12 @@ object Similarity {
     * exact DECIMAL — the sim_inertia float discipline. The explode
     * is d(d+1)/2 ≈ 2k structs per row, map-side combined into d²/2
     * groups before any shuffle: linear in n, constant in output. */
-  def simCovariance(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact-decimal core of [[simCovariance]]: DECIMAL(38,6) sums
+    * (linear-in-n headroom to ~10³² row-products — the full 38-digit
+    * discipline the other exact-sum operators use) kept INTERNAL so
+    * [[simPowerIteration]] reads the unrounded matrix while the gated
+    * output edge below stays DecimalType-free. */
+  private def covarianceExact(spark: SparkSession, dir: String): DataFrame = {
     // the d(d+1)/2 index pairs ride a broadcast nested-loop join (no
     // per-row array-of-structs materialization — the naive
     // flatten(transform(transform(...))) form allocated 2k nested
@@ -610,10 +621,18 @@ object Similarity {
         expr("round(cast(element_at(embedding, i + 1) as double), 6)").as("xi"))
       .groupBy(col("dim_i"), col("dim_j"))
       .agg(count(lit(1)).as("n"),
-        expr("cast(sum(cast(p as decimal(30,6))) as decimal(30,6))").as("sum_prod"),
-        expr("cast(sum(cast(xi as decimal(30,6))) as decimal(30,6))").as("sum_i"))
-      .orderBy(col("dim_i"), col("dim_j"))
+        expr("cast(sum(cast(p as decimal(38,6))) as decimal(38,6))").as("sum_prod"),
+        expr("cast(sum(cast(xi as decimal(38,6))) as decimal(38,6))").as("sum_i"))
   }
+
+  def simCovariance(spark: SparkSession, dir: String): DataFrame =
+    covarianceExact(spark, dir)
+      // output edge: exact micro-integers (sums of 6-dp-rounded
+      // per-row terms, so ×10⁶ is integral by construction)
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        expr("cast(sum_prod * 1000000 as bigint)").as("sum_prod_micro"),
+        expr("cast(sum_i * 1000000 as bigint)").as("sum_i_micro"))
+      .orderBy(col("dim_i"), col("dim_j"))
 
   /** Top principal direction by three unrolled power iterations on the
     * Gram matrix: v₃ = G³·1 — the PCA driver loop, distributed. The
@@ -627,7 +646,7 @@ object Similarity {
     * unnormalized growth stays far inside double range for 3
     * iterations. Unrolled fixed rounds, exactly like q57's PageRank. */
   def simPowerIteration(spark: SparkSession, dir: String): DataFrame = {
-    val upper = simCovariance(spark, dir)
+    val upper = covarianceExact(spark, dir)
       .select(col("dim_i").as("i"), col("dim_j").as("j"),
         col("sum_prod").cast("double").as("g"))
     // materialize the UPPER TRIANGLE once and mirror it driver-side

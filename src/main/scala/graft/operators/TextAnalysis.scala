@@ -541,8 +541,8 @@ object TextAnalysis {
         sum(col("c")).as("n_tokens"),
         sum(expr("cast(c as decimal(38,0)) * (c - 1)")).as("simpson_num"))
       .select(col("lang"), col("n_types"), col("n_tokens"),
-        expr("cast(simpson_num as decimal(38,0))").as("simpson_num"),
-        expr("cast(cast(n_tokens as decimal(38,0)) * (n_tokens - 1) as decimal(38,0))")
+        expr("cast(simpson_num as bigint)").as("simpson_num"),
+        expr("cast(cast(n_tokens as decimal(38,0)) * (n_tokens - 1) as bigint)")
           .as("simpson_den"))
       .orderBy(col("lang"))
 
@@ -680,8 +680,8 @@ object TextAnalysis {
         expr("cast(coalesce(sum_abs, 0)" +
           " + cast(n_b as decimal(38,0)) * (n_a - coalesce(ca_both, 0))" +
           " + cast(n_a as decimal(38,0)) * (n_b - coalesce(cb_both, 0))" +
-          " as decimal(38,0))").as("tv_num"),
-        expr("cast(2 * cast(n_a as decimal(38,0)) * n_b as decimal(38,0))")
+          " as bigint)").as("tv_num"),
+        expr("cast(2 * cast(n_a as decimal(38,0)) * n_b as bigint)")
           .as("tv_den"))
       .withColumn("tv",
         col("tv_num").cast("double") / col("tv_den").cast("double"))
@@ -707,7 +707,7 @@ object TextAnalysis {
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
         sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
       .select(col("lang"), col("n_types"), col("n_tokens"), col("f1"), col("f2"),
-        expr("cast(cast(f1 as decimal(38,0)) * (f1 - 1) as decimal(38,0))")
+        expr("cast(cast(f1 as decimal(38,0)) * (f1 - 1) as bigint)")
           .as("chao_num"),
         (lit(2L) * (col("f2") + lit(1L))).as("chao_den"))
       .withColumn("chao1",
@@ -757,10 +757,10 @@ object TextAnalysis {
           .otherwise(0L)).as("agree"))
       .crossJoin(broadcast(prods))
       .select(col("n"), col("agree"),
-        expr("cast(chance_prod as decimal(38,0))").as("chance_prod"),
-        expr("cast(cast(agree as decimal(38,0)) * n - chance_prod as decimal(38,0))")
+        expr("cast(chance_prod as bigint)").as("chance_prod"),
+        expr("cast(cast(agree as decimal(38,0)) * n - chance_prod as bigint)")
           .as("kappa_num"),
-        expr("cast(cast(n as decimal(38,0)) * n - chance_prod as decimal(38,0))")
+        expr("cast(cast(n as decimal(38,0)) * n - chance_prod as bigint)")
           .as("kappa_den"))
   }
 
@@ -792,10 +792,10 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .crossJoin(broadcast(nDocs))
       .select(col("rank"), col("term"), col("n_docs_with"), col("sum_c"),
-        expr("cast(sum_c2 as decimal(38,0))").as("sum_c2"),
-        expr("cast(cast(n_docs as decimal(38,0)) * sum_c2 - cast(sum_c as decimal(38,0)) * sum_c as decimal(38,0))")
+        expr("cast(sum_c2 as bigint)").as("sum_c2"),
+        expr("cast(cast(n_docs as decimal(38,0)) * sum_c2 - cast(sum_c as decimal(38,0)) * sum_c as bigint)")
           .as("vmr_num"),
-        expr("cast(cast(n_docs as decimal(38,0)) * sum_c as decimal(38,0))")
+        expr("cast(cast(n_docs as decimal(38,0)) * sum_c as bigint)")
           .as("vmr_den"))
       .orderBy(col("rank"))
   }
@@ -828,9 +828,9 @@ object TextAnalysis {
       .join(uni.select(col("term").as("y"), col("n_term").as("n_y")), "y")
       .crossJoin(broadcast(totals))
       .select(col("bigram"), col("n_xy"), col("n_x"), col("n_y"),
-        expr("cast(cast(n_xy as decimal(38,0)) * n_tokens * n_tokens as decimal(38,0))")
+        expr("cast(cast(n_xy as decimal(38,0)) * n_tokens * n_tokens as bigint)")
           .as("lift_num"),
-        expr("cast(cast(n_bigrams as decimal(38,0)) * n_x * n_y as decimal(38,0))")
+        expr("cast(cast(n_bigrams as decimal(38,0)) * n_x * n_y as bigint)")
           .as("lift_den"))
       .withColumn("lift",
         col("lift_num").cast("double") / col("lift_den").cast("double"))
@@ -954,9 +954,9 @@ object TextAnalysis {
     counts.join(prefix, "w1").join(contin, "w2").crossJoin(broadcast(btot))
       .select(col("w1"), col("w2"), col("c"), col("cw1"),
         col("n_follow"), col("n_precede"), col("b_types"),
-        expr("cast(4 * c - 3 as decimal(38,0)) * b_types" +
-          " + cast(3 as decimal(38,0)) * n_follow * n_precede").as("p_num"),
-        expr("cast(4 as decimal(38,0)) * cw1 * b_types").as("p_den"))
+        expr("cast(cast(4 * c - 3 as decimal(38,0)) * b_types" +
+          " + cast(3 as decimal(38,0)) * n_follow * n_precede as bigint)").as("p_num"),
+        expr("cast(cast(4 as decimal(38,0)) * cw1 * b_types as bigint)").as("p_den"))
       .orderBy(col("c").desc, col("w1"), col("w2"))
       .limit(k)
   }

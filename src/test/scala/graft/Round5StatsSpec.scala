@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
   * algebraic conservation laws the emitted integers must satisfy. */
 class Round5StatsSpec extends SparkSpec {
 
-  private def big(r: org.apache.spark.sql.Row, i: Int): BigInt =
-    BigInt(r.getDecimal(i).toBigInteger)
+  private def big(r: org.apache.spark.sql.Row, i: Int): BigInt = r.get(i) match {
+    case d: java.math.BigDecimal => BigInt(d.toBigInteger)
+    case l: java.lang.Long       => BigInt(l)
+    case s: String               => BigInt(s) // exact-decimal TEXT output edge
+    case o => sys.error(s"unexpected type for exact-int column: $o")
+  }
 
   /** daily revenue cents keyed by (priority, day), recomputed in the
     * driver with exact BigDecimal→cents arithmetic. */
@@ -325,7 +329,7 @@ class Round5StatsSpec extends SparkSpec {
   test("sim_power_iteration: v1..v3 equal the driver's ordered matrix-vector folds") {
     val g = operators.Similarity.simCovariance(spark, sf0001).collect()
       .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
-        r.getDecimal(3).doubleValue()))
+        r.getLong(3) / 1e6))
     val full = (g ++ g.collect { case ((i, j), v) if i != j => ((j, i), v) }).toMap
     def mul(v: Array[Double]): Array[Double] =
       Array.tabulate(64) { i =>

@@ -66,6 +66,16 @@ def main():
                 if stypes[c] != otypes[c]:
                     ok_types = False
                     print(f"  [DTYPE-FAIL] {key}.{c}: spark={stypes[c]} oracle={otypes[c]}")
+                # DECIMAL/HUGEINT anywhere fails even when both sides agree
+                # inside this DuckDB process: the driver hashes a
+                # representation where Spark-parquet DECIMAL and
+                # DuckDB-computed DECIMAL differ (r4 HUGEINT, r5 DECIMAL
+                # episodes) — the local gate must be red where the driver
+                # would be red. Allowlist intentionally empty.
+                for side, t in (("spark", stypes[c]), ("oracle", otypes[c])):
+                    if "DECIMAL" in t or "HUGEINT" in t:
+                        ok_types = False
+                        print(f"  [DECIMAL-BAN] {key}.{c} ({side}): {t} — cast to BIGINT or VARCHAR at the output edge")
         ok_vals = ok_cols and ok_rows and canon(srows, scols) == canon(orows, ocols)
         if ok_cols and ok_rows and ok_vals and ok_types:
             print(f"[ok] {key}: {len(srows)} rows")
