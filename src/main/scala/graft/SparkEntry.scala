@@ -227,6 +227,8 @@ object SparkEntry {
     "q119_cramers_v" -> (Analytics.q119CramersV _),
     "q120_hodges_lehmann" -> (Analytics.q120HodgesLehmann _),
     "txt_simpson" -> (TextAnalysis.txtSimpson _),
+    "txt_perplexity" -> (TextAnalysis.txtPerplexity _),
+    "txt_kl_divergence" -> (TextAnalysis.txtKlDivergence _),
     "txt_langid_kappa" -> (TextAnalysis.txtLangidKappa _),
     "txt_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.txtBurstiness(s, d)),
     "pipe_temp_sampling" -> (CorpusPipeline.pipeTempSampling _),
@@ -3118,6 +3120,102 @@ object SparkEntry {
         |SELECT o_orderpriority, cast(max(m) as bigint) AS n_pairs,
         | cast(min(wsum2) as bigint) AS hl2_cents
         |FROM c WHERE cw * 2 >= m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fixed-point log2 (scale 2^20) as a recursive integer digit
+    // recurrence — the DuckDB twin of the native Log2Fixed expression;
+    // identical int64 ops step for step, so entropy statistics gate
+    // exactly (see MathExpressions.scala)
+    "txt_perplexity" ->
+      """WITH RECURSIVE t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), c AS (
+        | SELECT lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2
+        |), g AS (
+        | SELECT lang, cast(count(*) as bigint) n_types, cast(sum(c) as bigint) n_tokens
+        | FROM c GROUP BY 1
+        |), lgvals(x) AS (
+        | SELECT DISTINCT c FROM c UNION SELECT DISTINCT n_tokens FROM g
+        |), lgit AS (
+        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
+        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
+        |  cast(0 as bigint) acc, 0 AS i
+        | FROM lgvals
+        | UNION ALL
+        | SELECT x, m,
+        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
+        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
+        | FROM lgit WHERE i < 20
+        |), lg AS (
+        | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
+        |), sc AS (
+        | SELECT c.lang, sum(cast(c.c as hugeint) * l.lg) sclg
+        | FROM c JOIN lg l ON l.x = c.c GROUP BY 1
+        |)
+        |SELECT g.lang, n_types, n_tokens,
+        | cast(cast(n_tokens as hugeint) * ln.lg - sclg as bigint) AS h_num,
+        | cast((cast(n_tokens as hugeint) * ln.lg - sclg) * 1000000
+        |   // (cast(n_tokens as hugeint) * 1048576) as bigint) AS bits_per_token_micro
+        |FROM g JOIN lg ln ON ln.x = g.n_tokens JOIN sc ON sc.lang = g.lang
+        |ORDER BY g.lang""".stripMargin,
+    "txt_kl_divergence" ->
+      """WITH RECURSIVE t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), c AS (
+        | SELECT lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2
+        |), tot AS (
+        | SELECT lang, cast(sum(c) as bigint) n_tok FROM c GROUP BY 1
+        |), vg AS (SELECT cast(count(DISTINCT term) as bigint) v_glob FROM c),
+        |pairs AS (
+        | SELECT a.lang la, b.lang lb, a.n_tok n_a, b.n_tok n_b, v_glob
+        | FROM tot a JOIN tot b ON a.lang < b.lang CROSS JOIN vg
+        |), terms AS (SELECT DISTINCT term FROM c),
+        |lgvals(x) AS (
+        | SELECT DISTINCT c + 1 FROM c
+        | UNION SELECT 1
+        | UNION SELECT DISTINCT n_tok + v_glob FROM tot CROSS JOIN vg
+        |), lgit AS (
+        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
+        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
+        |  cast(0 as bigint) acc, 0 AS i
+        | FROM lgvals
+        | UNION ALL
+        | SELECT x, m,
+        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
+        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
+        | FROM lgit WHERE i < 20
+        |), lg AS (
+        | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
+        |), u AS (
+        | SELECT p.la, p.lb, tm.term,
+        |  coalesce(ca.c, 0) ca, coalesce(cb.c, 0) cb
+        | FROM pairs p CROSS JOIN terms tm
+        | LEFT JOIN c ca ON ca.lang = p.la AND ca.term = tm.term
+        | LEFT JOIN c cb ON cb.lang = p.lb AND cb.term = tm.term
+        |), s AS (
+        | SELECT la, lb,
+        |  cast(sum(CASE WHEN ca > 0 OR cb > 0 THEN 1 ELSE 0 END) as bigint) n_union,
+        |  sum(cast(ca + 1 as hugeint) * (la1.lg - lb1.lg)) sab,
+        |  sum(cast(cb + 1 as hugeint) * (lb1.lg - la1.lg)) sba
+        | FROM u JOIN lg la1 ON la1.x = ca + 1 JOIN lg lb1 ON lb1.x = cb + 1
+        | GROUP BY 1, 2
+        |), k AS (
+        | SELECT s.la, s.lb, p.n_a, p.n_b, p.v_glob, s.n_union,
+        |  cast(sab + cast(p.n_a + p.v_glob as hugeint) * (lgb.lg - lga.lg) as bigint) kl_ab_num,
+        |  cast(sba + cast(p.n_b + p.v_glob as hugeint) * (lga.lg - lgb.lg) as bigint) kl_ba_num
+        | FROM s JOIN pairs p ON p.la = s.la AND p.lb = s.lb
+        | JOIN lg lga ON lga.x = p.n_a + p.v_glob
+        | JOIN lg lgb ON lgb.x = p.n_b + p.v_glob
+        |)
+        |SELECT la AS lang_a, lb AS lang_b, n_a, n_b, v_glob, n_union,
+        | kl_ab_num, kl_ba_num,
+        | cast((CASE WHEN kl_ab_num < 0 THEN -1 ELSE 1 END)
+        |   * (cast(abs(kl_ab_num) as hugeint) * 1000000
+        |      // (cast(n_a + v_glob as hugeint) * 1048576)) as bigint) AS kl_ab_micro,
+        | cast((CASE WHEN kl_ba_num < 0 THEN -1 ELSE 1 END)
+        |   * (cast(abs(kl_ba_num) as hugeint) * 1000000
+        |      // (cast(n_b + v_glob as hugeint) * 1048576)) as bigint) AS kl_ba_micro
+        |FROM k ORDER BY lang_a, lang_b""".stripMargin,
     "txt_simpson" ->
       """WITH t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term

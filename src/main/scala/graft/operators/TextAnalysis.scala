@@ -1049,6 +1049,99 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Corpus perplexity per language under its own unigram LM — the
+    * entropy-tier quality gate a pretraining pipeline filters on,
+    * made EXACTLY gateable by the fixed-point log2 expression
+    * (org.apache.spark.sql.graft.Log2Fixed, scale 2²⁰): both engines
+    * run the identical integer digit recurrence, so the scaled
+    * cross-entropy numerator H_num = N·lg(N) − Σ_w c_w·lg(c_w)
+    * (lg = log2_fixed) is ONE exact integer — no float log ever
+    * forms, closing the r5 "entropy tier" gap without breaking the
+    * float-parity policy. bits/token ×10⁶ is an exact integer
+    * division at the edge; perplexity = 2^(bits/token) is the
+    * consumer's one exponential. Vocab-keyed aggregate: the log
+    * runs per TYPE (vocab-bounded), never per token. */
+  def txtPerplexity(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(expr("cast(c as decimal(38,0)) * log2_fixed(c)")).as("_sclg"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        expr("cast(cast(n_tokens as decimal(38,0)) * log2_fixed(n_tokens) - _sclg as bigint)")
+          .as("h_num"),
+        expr("cast(cast(cast(n_tokens as decimal(38,0)) * log2_fixed(n_tokens) - _sclg as decimal(38,0))" +
+          " * 1000000 div (cast(n_tokens as decimal(38,0)) * 1048576) as bigint)")
+          .as("bits_per_token_micro"))
+      .orderBy(col("lang"))
+
+  /** Pairwise KL divergence between language unigram distributions
+    * (add-one smoothing over the GLOBAL vocab), in the same exact
+    * fixed-point-log2 integers as [[txtPerplexity]]: per ordered pair
+    * (a<b), KL(a‖b)·(N_a+V)·2²⁰ = Σ_w (c_aw+1)·[lg(c_aw+1) + lg(N_b+V)
+    * − lg(c_bw+1) − lg(N_a+V)] — the DECOMPOSED log form keeps every
+    * log2_fixed argument ≤ max(c)+1 (domain-safe to ~2⁴³ tokens per
+    * language; the product form would breach at sf1). Terms with
+    * c=0 on both sides collapse to a closed form ×(V − |union vocab|).
+    * Work is vocab²-free: one full-outer join per pair on the term
+    * key, langs are ≤5 so the pair fan-out is bounded. Output: both
+    * directions' exact numerators + micro-bit readouts. */
+  def txtKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val counts = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n_tok"))
+    val pairsGrid = totals.select(col("lang").as("la"), col("n_tok").as("n_a"))
+      .crossJoin(totals.select(col("lang").as("lb"), col("n_tok").as("n_b")))
+      .filter(col("la") < col("lb"))
+      .crossJoin(counts.select(col("term")).distinct()
+        .agg(count(lit(1)).as("v_glob")))
+    // per-pair union vocab: fan each lang's counts to its pairs (the
+    // pair grid broadcasts — ≤ |langs|² rows), full-outer on the term
+    val aSide = counts.select(col("lang").as("la"), col("term"), col("c").as("ca"))
+      .join(broadcast(pairsGrid.select(col("la"), col("lb"))), Seq("la"))
+    val bSide = counts.select(col("lang").as("lb"), col("term"), col("c").as("cb"))
+      .join(broadcast(pairsGrid.select(col("la"), col("lb"))), Seq("lb"))
+    val union = aSide.join(bSide, Seq("la", "lb", "term"), "full_outer")
+      .select(col("la"), col("lb"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // Σ_union (c_x+1)·(lg(c_x+1) − lg(c_y+1)); the all-vocab remainder
+    // collapses to (N_x+V)·(lg(N_y+V) − lg(N_x+V)) because
+    // Σ_V (c_x+1) = N_x+V and zero-both terms cancel in the sum
+    union.groupBy(col("la"), col("lb"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(expr("cast(ca + 1 as decimal(38,0))" +
+          " * (log2_fixed(ca + 1) - log2_fixed(cb + 1))")).as("_sab"),
+        sum(expr("cast(cb + 1 as decimal(38,0))" +
+          " * (log2_fixed(cb + 1) - log2_fixed(ca + 1))")).as("_sba"))
+      .join(broadcast(pairsGrid), Seq("la", "lb"))
+      .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+        col("n_a"), col("n_b"), col("v_glob"), col("n_union"),
+        expr("cast(_sab + cast(n_a + v_glob as decimal(38,0))" +
+          " * (log2_fixed(n_b + v_glob) - log2_fixed(n_a + v_glob)) as bigint)")
+          .as("kl_ab_num"),
+        expr("cast(_sba + cast(n_b + v_glob as decimal(38,0))" +
+          " * (log2_fixed(n_a + v_glob) - log2_fixed(n_b + v_glob)) as bigint)")
+          .as("kl_ba_num"))
+      // sign-split integer division: Spark `div` truncates toward zero
+      // while DuckDB `//` floors — on the (theoretically possible)
+      // negative near-zero numerator the abs/sign form is engine-equal
+      .withColumn("kl_ab_micro", expr(
+        "cast((CASE WHEN kl_ab_num < 0 THEN -1 ELSE 1 END)" +
+          " * (cast(abs(kl_ab_num) as decimal(38,0)) * 1000000" +
+          " div (cast(n_a + v_glob as decimal(38,0)) * 1048576)) as bigint)"))
+      .withColumn("kl_ba_micro", expr(
+        "cast((CASE WHEN kl_ba_num < 0 THEN -1 ELSE 1 END)" +
+          " * (cast(abs(kl_ba_num) as decimal(38,0)) * 1000000" +
+          " div (cast(n_b + v_glob as decimal(38,0)) * 1048576)) as bigint)"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)

@@ -34,7 +34,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => Md5Min(es.head)),
     (FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(text) - 60-bit SimHash over whitespace tokens; null on zero tokens"),
-      (es: Seq[Expression]) => SimHash60(es.head)))
+      (es: Seq[Expression]) => SimHash60(es.head)),
+    (FunctionIdentifier("log2_fixed"),
+      info("log2_fixed", "log2_fixed(x) - fixed-point log2 at scale 2^20 (m*2^20 + 20 binary fraction digits); null outside 1 <= x < 2^43"),
+      (es: Seq[Expression]) => Log2Fixed(es.head)))
 
   /** Register on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

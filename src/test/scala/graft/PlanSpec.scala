@@ -222,4 +222,74 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"degree joins must broadcast:\n$p")
   }
+
+  /** Calendar-serial contract (r5 verdict, perf-watch item): the
+    * q118/q120/q131/q138/q155 family runs its per-priority/global
+    * ordered windows over the DAILY aggregate — input cardinality is
+    * the calendar, never the fact table. A refactor that slides a
+    * Window under the day-keyed Aggregate would silently widen the
+    * single-task serial stage to fact-table scale; this assertion
+    * makes that structural property load-bearing. */
+  private def assertWindowsConsumeDailyAgg(df: DataFrame, name: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, s"$name: expected at least one ordered window")
+    windows.foreach { w =>
+      val dayAggBelow = w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.exists(
+          _.dataType == org.apache.spark.sql.types.DateType) => a
+      }
+      assert(dayAggBelow.isDefined,
+        s"$name: a Window consumes rows not reduced by a day-keyed " +
+          s"Aggregate — the serial stage would scale with the fact table:\n" +
+          w.treeString)
+    }
+  }
+
+  test("calendar-serial family: every ordered window sits above the day-keyed aggregate") {
+    // q118's pair expansion has no window — its calendar contract is
+    // the join check below. q120 returns through materializeAndRelease
+    // (a LocalRelation — the plan is gone), but its serial stages are
+    // already bucket-bounded: both windows run over the ≤|priorities|×64
+    // bucket-count aggregate, and the pair table they rank within is
+    // calendar²-bounded by the same daily aggregate asserted here.
+    assertWindowsConsumeDailyAgg(Analytics.q131Changepoint(spark, sf0001), "q131")
+    assertWindowsConsumeDailyAgg(Analytics.q138ControlChart(spark, sf0001), "q138")
+    assertWindowsConsumeDailyAgg(Analytics.q155BinarySeg(spark, sf0001), "q155")
+  }
+
+  test("q118: the pair-expansion join feeds on day-keyed aggregates, both sides") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = Analytics.q118MannKendall(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "q118 is built on the day×day self-join")
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val dayAgg = side.collectFirst {
+          case a: Aggregate if a.groupingExpressions.exists(
+            _.dataType == org.apache.spark.sql.types.DateType) => a
+        }
+        assert(dayAgg.isDefined,
+          s"q118 join side not calendar-reduced — the pair count would " +
+            s"scale with the fact table:\n${side.treeString.take(2000)}")
+      }
+    }
+  }
+
+  test("calendar-serial family: window input row count equals the day grid at sf0.001") {
+    // runtime twin of the structural assert: the daily aggregate the
+    // windows consume has exactly one row per (priority, day)
+    val nDays = Tables.orders(spark, sf0001)
+      .selectExpr("o_orderpriority", "cast(o_orderdate as date) d")
+      .distinct().count()
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.expr("cast(o_orderdate as date)"))
+      .count().count()
+    assert(daily == nDays, "day grid is the calendar, not the fact table")
+    assert(nDays < Tables.orders(spark, sf0001).count(),
+      "the reduction is real even at the smallest SF")
+  }
 }

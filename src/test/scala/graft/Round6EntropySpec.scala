@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 entropy tier: the fixed-point log2 expression and the two
+  * operators it makes exactly gateable (unigram perplexity, pairwise
+  * KL divergence). The expression is validated against a driver-side
+  * replica of the integer digit recurrence plus known exact points;
+  * the operators against a full BigInt recompute on sf0.001. */
+class Round6EntropySpec extends SparkSpec {
+
+  /** Driver replica of Log2Fixed's recurrence (MathExpressions.scala). */
+  private def lgRef(x: Long): Long = {
+    require(x > 0 && x < (1L << 43))
+    val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var r = (x << 20) >> m
+    var acc = 0L
+    for (_ <- 0 until 20) {
+      r = (r * r) >> 20
+      if (r >= (1L << 21)) { acc = (acc << 1) | 1L; r >>= 1 }
+      else acc <<= 1
+    }
+    m.toLong * (1L << 20) + acc
+  }
+
+  test("log2_fixed: exact at powers of two, 2^-20-close elsewhere, null outside domain") {
+    import spark.implicits._
+    val xs = Seq(1L, 2L, 3L, 5L, 7L, 64L, 1000L, 999983L, 1000000L,
+      (1L << 42) - 1, (1L << 43) - 1)
+    val got = xs.toDF("x").selectExpr("x", "log2_fixed(x) lg").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      assert(got(x) == lgRef(x), s"recurrence parity at $x")
+      val approx = got(x).toDouble / (1L << 20)
+      assert(math.abs(approx - math.log(x.toDouble) / math.log(2.0)) < 2e-6,
+        s"within 2^-20 of true log2 at $x")
+    }
+    (0 to 20).foreach(k => assert(got.getOrElse(1L << k, lgRef(1L << k)) == k.toLong * (1L << 20),
+      s"exact at 2^$k"))
+    val nulls = Seq(0L, -5L, 1L << 43).toDF("x")
+      .selectExpr("log2_fixed(x) lg").collect()
+    assert(nulls.forall(_.isNullAt(0)), "null outside 1 <= x < 2^43")
+  }
+
+  test("log2_fixed: interpreted eval equals codegen result") {
+    import spark.implicits._
+    // a projection over a driver dataset runs codegen; eval() the
+    // expression directly for the interpreted path
+    val xs = (1L to 4096L) ++ Seq(999983L, (1L << 43) - 1)
+    val fromCodegen = xs.toDF("x").selectExpr("log2_fixed(x)").collect().map(_.getLong(0))
+    xs.zip(fromCodegen).foreach { case (x, cg) =>
+      val interp = org.apache.spark.sql.graft.Log2Fixed(
+        org.apache.spark.sql.catalyst.expressions.Literal(x)).eval(null)
+      assert(interp == cg, s"eval/codegen parity at $x")
+    }
+  }
+
+  test("txt_perplexity: h_num recomputes from token counts; single-type corpus is exactly 0") {
+    val counts = Tables.documents(spark, sf0001)
+      .select(col("lang"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .collect().groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.size.toLong).toMap
+    val byLang = counts.groupBy(_._1._1)
+    val got = operators.TextAnalysis.txtPerplexity(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == byLang.keySet)
+    got.foreach { r =>
+      val lang = r.getString(0)
+      val cs = byLang(lang).values.toSeq
+      val n = cs.sum
+      val hNum = BigInt(n) * lgRef(n) - cs.map(c => BigInt(c) * lgRef(c)).sum
+      assert(r.getLong(1) == cs.size.toLong, "n_types")
+      assert(r.getLong(2) == n, "n_tokens")
+      assert(BigInt(r.getLong(3)) == hNum, s"h_num for $lang")
+      assert(r.getLong(4) == (hNum * 1000000 / (BigInt(n) * 1048576)).toLong,
+        "bits_per_token_micro is the exact integer division")
+      // entropy sanity: 0 <= H <= log2(V) (+1 ulp headroom per term)
+      assert(hNum >= 0 && r.getLong(4) <= 21 * 1000000L)
+    }
+  }
+
+  test("txt_kl_divergence: numerators recompute over the smoothed global vocab; KL >= 0") {
+    val counts = Tables.documents(spark, sf0001)
+      .select(col("lang"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .collect().groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.size.toLong).toMap
+    val langs = counts.keys.map(_._1).toSeq.distinct.sorted
+    val vocab = counts.keys.map(_._2).toSet
+    val v = vocab.size.toLong
+    val nTok = langs.map(l => l -> counts.collect { case ((ll, _), c) if ll == l => c }.sum).toMap
+    val got = operators.TextAnalysis.txtKlDivergence(spark, sf0001).collect()
+    assert(got.length == langs.combinations(2).size)
+    got.foreach { r =>
+      val (la, lb) = (r.getString(0), r.getString(1))
+      val (na, nb) = (nTok(la), nTok(lb))
+      assert(r.getLong(2) == na && r.getLong(3) == nb && r.getLong(4) == v)
+      def klNum(x: String, nx: Long, y: String, ny: Long): BigInt =
+        vocab.toSeq.map { w =>
+          val cx = counts.getOrElse((x, w), 0L); val cy = counts.getOrElse((y, w), 0L)
+          BigInt(cx + 1) * (lgRef(cx + 1) - lgRef(cy + 1))
+        }.sum + BigInt(nx + v) * (lgRef(ny + v) - lgRef(nx + v))
+      assert(BigInt(r.getLong(6)) == klNum(la, na, lb, nb), s"kl_ab_num $la->$lb")
+      assert(BigInt(r.getLong(7)) == klNum(lb, nb, la, na), s"kl_ba_num $lb->$la")
+      // KL of genuinely different unigram LMs is positive
+      assert(r.getLong(8) > 0 && r.getLong(9) > 0, "positive micro-KL both directions")
+    }
+  }
+}

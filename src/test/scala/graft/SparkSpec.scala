@@ -19,6 +19,11 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // production sessions (Bench/Verify/OdnsApp) register the native
+    // graft functions via GraftExtensions; mirror that here so
+    // operators using SQL-named functions (log2_fixed, simhash60, …)
+    // run identically under test
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     s
   }
 }
