@@ -229,6 +229,7 @@ object SparkEntry {
     "txt_simpson" -> (TextAnalysis.txtSimpson _),
     "txt_perplexity" -> (TextAnalysis.txtPerplexity _),
     "txt_kl_divergence" -> (TextAnalysis.txtKlDivergence _),
+    "txt_entropy_filter" -> ((s: SparkSession, d: String) => TextAnalysis.txtEntropyFilter(s, d)),
     "txt_langid_kappa" -> (TextAnalysis.txtLangidKappa _),
     "txt_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.txtBurstiness(s, d)),
     "pipe_temp_sampling" -> (CorpusPipeline.pipeTempSampling _),
@@ -3134,7 +3135,7 @@ object SparkEntry {
         | SELECT lang, cast(count(*) as bigint) n_types, cast(sum(c) as bigint) n_tokens
         | FROM c GROUP BY 1
         |), lgvals(x) AS (
-        | SELECT DISTINCT c FROM c UNION SELECT DISTINCT n_tokens FROM g
+        | SELECT DISTINCT x FROM (SELECT c AS x FROM c UNION ALL SELECT n_tokens FROM g)
         |), lgit AS (
         | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
         |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
@@ -3157,6 +3158,42 @@ object SparkEntry {
         |   // (cast(n_tokens as hugeint) * 1048576) as bigint) AS bits_per_token_micro
         |FROM g JOIN lg ln ON ln.x = g.n_tokens JOIN sc ON sc.lang = g.lang
         |ORDER BY g.lang""".stripMargin,
+    "txt_entropy_filter" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), c AS (
+        | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
+        |), g AS (
+        | SELECT doc_id, lang, cast(count(*) as bigint) n_types, cast(sum(c) as bigint) n_tokens
+        | FROM c GROUP BY 1, 2
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT c AS x FROM c UNION ALL SELECT n_tokens FROM g)
+        |), lgit AS (
+        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
+        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
+        |  cast(0 as bigint) acc, 0 AS i
+        | FROM lgvals
+        | UNION ALL
+        | SELECT x, m,
+        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
+        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
+        | FROM lgit WHERE i < 20
+        |), lg AS (
+        | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
+        |), sc AS (
+        | SELECT c.doc_id, sum(cast(c.c as hugeint) * l.lg) sclg
+        | FROM c JOIN lg l ON l.x = c.c GROUP BY 1
+        |), h AS (
+        | SELECT g.doc_id, g.lang, n_types, n_tokens,
+        |  cast(cast(n_tokens as hugeint) * ln.lg - sclg as bigint) h_num,
+        |  cast((cast(n_tokens as hugeint) * ln.lg - sclg) * 1000000
+        |    // (cast(n_tokens as hugeint) * 1048576) as bigint) bits_per_token_micro
+        | FROM g JOIN lg ln ON ln.x = g.n_tokens JOIN sc ON sc.doc_id = g.doc_id
+        |)
+        |SELECT doc_id, lang, n_types, n_tokens, h_num, bits_per_token_micro,
+        | bits_per_token_micro < 3500000 AS low_entropy
+        |FROM h ORDER BY doc_id""".stripMargin,
     "txt_kl_divergence" ->
       """WITH RECURSIVE t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
@@ -3171,9 +3208,8 @@ object SparkEntry {
         | FROM tot a JOIN tot b ON a.lang < b.lang CROSS JOIN vg
         |), terms AS (SELECT DISTINCT term FROM c),
         |lgvals(x) AS (
-        | SELECT DISTINCT c + 1 FROM c
-        | UNION SELECT 1
-        | UNION SELECT DISTINCT n_tok + v_glob FROM tot CROSS JOIN vg
+        | SELECT DISTINCT x FROM (SELECT c + 1 AS x FROM c UNION ALL SELECT 1
+        |  UNION ALL SELECT n_tok + v_glob FROM tot CROSS JOIN vg)
         |), lgit AS (
         | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
         |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
@@ -4963,8 +4999,9 @@ object SparkEntry {
         |)
         |SELECT count(*) AS n_candidates,
         | cast(sum(CASE WHEN da IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_true,
-        | cast(sum(CASE WHEN da IS NOT NULL THEN 1 ELSE 0 END) as bigint) * 1000000
-        |   // count(*) AS precision_micro
+        | CASE WHEN count(*) = 0 THEN NULL
+        |  ELSE cast(sum(CASE WHEN da IS NOT NULL THEN 1 ELSE 0 END) as bigint) * 1000000
+        |   // count(*) END AS precision_micro
         |FROM cand LEFT JOIN exact ON ca = da AND cb = db""".stripMargin,
 
     "sim_norm2_hist" ->

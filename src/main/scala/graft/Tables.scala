@@ -48,13 +48,16 @@ object Tables {
       }
     }
 
+  // every loader routes through normTs (a no-op on schemas without NTZ
+  // columns) so a future testdata regeneration that flips any table's
+  // timestamp representation cannot silently reintroduce dtype drift
   def lineitem(spark: SparkSession, dir: String): DataFrame = normTs(table(spark, dir, "lineitem"))
   def orders(spark: SparkSession, dir: String): DataFrame   = normTs(table(spark, dir, "orders"))
-  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
-  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
-  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
-  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
-  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def customer(spark: SparkSession, dir: String): DataFrame = normTs(table(spark, dir, "customer"))
+  def supplier(spark: SparkSession, dir: String): DataFrame = normTs(table(spark, dir, "supplier"))
+  def part(spark: SparkSession, dir: String): DataFrame     = normTs(table(spark, dir, "part"))
+  def nation(spark: SparkSession, dir: String): DataFrame   = normTs(table(spark, dir, "nation"))
+  def region(spark: SparkSession, dir: String): DataFrame   = normTs(table(spark, dir, "region"))
+  def documents(spark: SparkSession, dir: String): DataFrame = normTs(table(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = normTs(table(spark, dir, "embeddings"))
 }

@@ -741,7 +741,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("ta").isNotNull, 1L).otherwise(0L)).as("n_true"))
       .select(col("n_candidates"), col("n_true"),
-        expr("n_true * 1000000 div n_candidates").as("precision_micro"))
+        // explicit NULL when banding surfaces no pairs — the sibling
+        // micro-ratios guard their denominators the same way rather
+        // than relying on div-by-zero NULL semantics matching engines
+        expr("CASE WHEN n_candidates = 0 THEN NULL" +
+          " ELSE n_true * 1000000 div n_candidates END").as("precision_micro"))
   }
 
   /** Corpus duplication-mass report: ONE row quantifying how much of

@@ -1142,6 +1142,33 @@ object TextAnalysis {
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
+  /** Per-document token-entropy quality gate — the C4-style
+    * repetitiveness filter (templated/boilerplate docs score low):
+    * H_doc = lg(n) − (1/n)·Σ c·lg(c) in the same exact fixed-point
+    * integers as [[txtPerplexity]], flagged below `minBitsMicro`.
+    * Pure per-doc map-side aggregation (doc-keyed counts collapse
+    * before the log; the log runs per (doc, type) — bounded by doc
+    * length, never corpus vocab × corpus size). */
+  def txtEntropyFilter(spark: SparkSession, dir: String,
+      minBitsMicro: Long = 3500000L): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(expr("c * log2_fixed(c)")).as("_sclg"))
+      .select(col("doc_id"), col("lang"), col("n_types"), col("n_tokens"),
+        expr("n_tokens * log2_fixed(n_tokens) - _sclg").as("h_num"),
+        // decimal-internal micro division: h_num·10⁶ would pass int64
+        // on ~10⁶-token documents
+        expr("cast(cast(n_tokens * log2_fixed(n_tokens) - _sclg as decimal(38,0))" +
+          " * 1000000 div (cast(n_tokens as decimal(38,0)) * 1048576) as bigint)")
+          .as("bits_per_token_micro"))
+      .withColumn("low_entropy", col("bits_per_token_micro") < minBitsMicro)
+      .orderBy(col("doc_id"))
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)

@@ -78,6 +78,26 @@ class Round6EntropySpec extends SparkSpec {
     }
   }
 
+  test("txt_entropy_filter: per-doc entropy recomputes; flag thresholds at 3.5 bits") {
+    val perDoc = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.groupBy(_.getString(1)).view.mapValues(_.size.toLong).toMap).toMap
+    val got = operators.TextAnalysis.txtEntropyFilter(spark, sf0001).collect()
+    assert(got.length == perDoc.size, "one row per tokenizable doc")
+    got.foreach { r =>
+      val cs = perDoc(r.getLong(0)).values.toSeq
+      val n = cs.sum
+      val hNum = BigInt(n) * lgRef(n) - cs.map(c => BigInt(c) * lgRef(c)).sum
+      assert(BigInt(r.getLong(4)) == hNum, s"h_num for doc ${r.getLong(0)}")
+      val micro = (hNum * 1000000 / (BigInt(n) * 1048576)).toLong
+      assert(r.getLong(5) == micro)
+      assert(r.getBoolean(6) == (micro < 3500000L))
+    }
+    // the gate is non-vacuous on this corpus: both classes present
+    assert(got.exists(_.getBoolean(6)) && got.exists(!_.getBoolean(6)))
+  }
+
   test("txt_kl_divergence: numerators recompute over the smoothed global vocab; KL >= 0") {
     val counts = Tables.documents(spark, sf0001)
       .select(col("lang"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))

@@ -18,6 +18,22 @@ class StreamingSpec extends SparkSpec {
     spark.readStream.schema(schema).parquet(src.toString)
   }
 
+  /** Pin the file-source replay order of the two split directories by
+    * setting EXPLICIT modification times (a strictly before b) instead
+    * of sleeping between writes — FileStreamSource orders by mtime, and
+    * on a coarse-mtime filesystem a 1.1 s sleep could still tie. */
+  private def orderAthenB(dir: java.nio.file.Path): Unit = {
+    val now = System.currentTimeMillis()
+    def setAll(sub: String, t: Long): Unit = {
+      val d = dir.resolve(sub)
+      Files.walk(d).forEach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    setAll("a", now - 60000)
+    setAll("b", now)
+  }
+
   private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream.format("memory").queryName(name)
@@ -287,8 +303,8 @@ class StreamingSpec extends SparkSpec {
     // the arrival-order contract the streaming form documents
     val dir = Files.createTempDirectory("pack_stream")
     docs.filter(col("doc_id") < 500).coalesce(1).write.parquet(dir.toString + "/a")
-    Thread.sleep(1100)
     docs.filter(col("doc_id") >= 500).coalesce(1).write.parquet(dir.toString + "/b")
+    orderAthenB(dir)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString + "/*")
@@ -317,8 +333,8 @@ class StreamingSpec extends SparkSpec {
     val mid = daily.agg(expr("percentile_approx(day_epoch, 0.5)")).head().getLong(0)
     val dir = Files.createTempDirectory("ema_stream")
     daily.filter(col("day_epoch") < mid).coalesce(1).write.parquet(dir.toString + "/a")
-    Thread.sleep(1100)
     daily.filter(col("day_epoch") >= mid).coalesce(1).write.parquet(dir.toString + "/b")
+    orderAthenB(dir)
     val stream = spark.readStream.schema(daily.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString + "/*")
@@ -344,8 +360,8 @@ class StreamingSpec extends SparkSpec {
     val mid = deltas.agg(expr("percentile_approx(day_epoch, 0.5)")).head().getLong(0)
     val dir = Files.createTempDirectory("open_stream")
     deltas.filter($"day_epoch" < mid).coalesce(1).write.parquet(dir.toString + "/a")
-    Thread.sleep(1100)
     deltas.filter($"day_epoch" >= mid).coalesce(1).write.parquet(dir.toString + "/b")
+    orderAthenB(dir)
     val stream = spark.readStream.schema(deltas.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString + "/*")
@@ -370,8 +386,8 @@ class StreamingSpec extends SparkSpec {
     val mid = daily.agg(expr("percentile_approx(day_epoch, 0.5)")).head().getLong(0)
     val dir = Files.createTempDirectory("spc_stream")
     daily.filter(col("day_epoch") < mid).coalesce(1).write.parquet(dir.toString + "/a")
-    Thread.sleep(1100)
     daily.filter(col("day_epoch") >= mid).coalesce(1).write.parquet(dir.toString + "/b")
+    orderAthenB(dir)
     val stream = spark.readStream.schema(daily.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString + "/*")
