@@ -230,6 +230,7 @@ object SparkEntry {
     "txt_perplexity" -> (TextAnalysis.txtPerplexity _),
     "txt_kl_divergence" -> (TextAnalysis.txtKlDivergence _),
     "txt_entropy_filter" -> ((s: SparkSession, d: String) => TextAnalysis.txtEntropyFilter(s, d)),
+    "txt_doc_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocPerplexity(s, d)),
     "txt_langid_kappa" -> (TextAnalysis.txtLangidKappa _),
     "txt_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.txtBurstiness(s, d)),
     "pipe_temp_sampling" -> (CorpusPipeline.pipeTempSampling _),
@@ -3193,6 +3194,47 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, n_types, n_tokens, h_num, bits_per_token_micro,
         | bits_per_token_micro < 3500000 AS low_entropy
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "txt_doc_perplexity" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), dc AS (
+        | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
+        |), rc AS (
+        | SELECT lang, term, cast(count(*) as bigint) cr FROM t GROUP BY 1, 2
+        |), tot AS (
+        | SELECT lang, cast(count(*) as bigint) v_l, cast(sum(cr) as bigint) n_l
+        | FROM rc GROUP BY 1
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT cr + 1 AS x FROM rc UNION ALL SELECT n_l + v_l FROM tot)
+        |), lgit AS (
+        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
+        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
+        |  cast(0 as bigint) acc, 0 AS i
+        | FROM lgvals
+        | UNION ALL
+        | SELECT x, m,
+        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
+        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
+        | FROM lgit WHERE i < 20
+        |), lg AS (
+        | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
+        |), d AS (
+        | SELECT dc.doc_id, dc.lang, cast(sum(dc.c) as bigint) n_tokens,
+        |  sum(cast(dc.c as hugeint) * l.lg) sclg
+        | FROM dc JOIN rc ON rc.lang = dc.lang AND rc.term = dc.term
+        | JOIN lg l ON l.x = rc.cr + 1
+        | GROUP BY 1, 2
+        |), h AS (
+        | SELECT d.doc_id, d.lang, n_tokens,
+        |  cast(cast(n_tokens as hugeint) * ln.lg - sclg as bigint) ppl_num,
+        |  cast((cast(n_tokens as hugeint) * ln.lg - sclg) * 1000000
+        |    // (cast(n_tokens as hugeint) * 1048576) as bigint) bits_micro
+        | FROM d JOIN tot ON tot.lang = d.lang JOIN lg ln ON ln.x = tot.n_l + tot.v_l
+        |)
+        |SELECT doc_id, lang, n_tokens, ppl_num, bits_micro,
+        | bits_micro > 5000000 AS high_perplexity
         |FROM h ORDER BY doc_id""".stripMargin,
     "txt_kl_divergence" ->
       """WITH RECURSIVE t AS (

@@ -1169,6 +1169,43 @@ object TextAnalysis {
       .withColumn("low_entropy", col("bits_per_token_micro") < minBitsMicro)
       .orderBy(col("doc_id"))
 
+  /** Per-document perplexity under the document's own language's
+    * smoothed unigram reference LM — THE canonical pretraining
+    * quality filter (out-of-distribution/noise docs score high),
+    * exactly gateable via fixed-point log2:
+    * bits(d) = lg(N_l+V_l) − (1/n_d)·Σ_w c_dw·lg(c_ref_w + 1),
+    * emitted as the exact scaled numerator plus the micro-bits
+    * integer division; flagged above `maxBitsMicro`. The reference
+    * counts include the doc itself (the standard quick-filter form —
+    * fully deterministic, no train/held-out split). 100 TB shape:
+    * the log runs on the vocab-keyed reference table, per-doc terms
+    * join it on (lang, term) — one shuffle on the term key, the
+    * lang totals broadcast. */
+  def txtDocPerplexity(spark: SparkSession, dir: String,
+      maxBitsMicro: Long = 5000000L): DataFrame = {
+    val toks = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokens("text")).as("term"))
+    val docTerm = toks.groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val ref = toks.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("cr"))
+    val tot = ref.groupBy(col("lang"))
+      .agg(count(lit(1)).as("v_l"), sum(col("cr")).as("n_l"))
+    docTerm.join(ref, Seq("lang", "term"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(expr("cast(c as decimal(38,0)) * log2_fixed(cr + 1)")).as("_sclg"))
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("cast(cast(n_tokens as decimal(38,0)) * log2_fixed(n_l + v_l) - _sclg as bigint)")
+          .as("ppl_num"),
+        expr("cast(cast(cast(n_tokens as decimal(38,0)) * log2_fixed(n_l + v_l) - _sclg as decimal(38,0))" +
+          " * 1000000 div (cast(n_tokens as decimal(38,0)) * 1048576) as bigint)")
+          .as("bits_micro"))
+      .withColumn("high_perplexity", col("bits_micro") > maxBitsMicro)
+      .orderBy(col("doc_id"))
+  }
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)

@@ -98,6 +98,33 @@ class Round6EntropySpec extends SparkSpec {
     assert(got.exists(_.getBoolean(6)) && got.exists(!_.getBoolean(6)))
   }
 
+  test("txt_doc_perplexity: numerators recompute against the per-lang reference LM") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ref = toks.groupBy(r => (r._2, r._3)).view.mapValues(_.size.toLong).toMap
+    val langTot = toks.groupBy(_._2).map { case (l, rs) =>
+      l -> (rs.map(_._3).distinct.size.toLong, rs.size.toLong) // (V_l, N_l)
+    }
+    val byDoc = toks.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.groupBy(_._3).view.mapValues(_.size.toLong).toMap).toMap
+    val got = operators.TextAnalysis.txtDocPerplexity(spark, sf0001).collect()
+    assert(got.length == byDoc.size)
+    got.foreach { r =>
+      val (doc, lang) = (r.getLong(0), r.getString(1))
+      val cs = byDoc((doc, lang))
+      val n = cs.values.sum
+      val (vl, nl) = langTot(lang)
+      val pplNum = BigInt(n) * lgRef(nl + vl) -
+        cs.map { case (w, c) => BigInt(c) * lgRef(ref((lang, w)) + 1) }.sum
+      assert(r.getLong(2) == n)
+      assert(BigInt(r.getLong(3)) == pplNum, s"ppl_num for doc $doc")
+      val micro = (pplNum * 1000000 / (BigInt(n) * 1048576)).toLong
+      assert(r.getLong(4) == micro && r.getBoolean(5) == (micro > 5000000L))
+      assert(pplNum > 0, "reference-LM surprisal is strictly positive")
+    }
+  }
+
   test("txt_kl_divergence: numerators recompute over the smoothed global vocab; KL >= 0") {
     val counts = Tables.documents(spark, sf0001)
       .select(col("lang"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
