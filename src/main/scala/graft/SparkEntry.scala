@@ -231,6 +231,7 @@ object SparkEntry {
     "txt_kl_divergence" -> (TextAnalysis.txtKlDivergence _),
     "txt_entropy_filter" -> ((s: SparkSession, d: String) => TextAnalysis.txtEntropyFilter(s, d)),
     "txt_doc_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocPerplexity(s, d)),
+    "txt_js_divergence" -> (TextAnalysis.txtJsDivergence _),
     "txt_langid_kappa" -> (TextAnalysis.txtLangidKappa _),
     "txt_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.txtBurstiness(s, d)),
     "pipe_temp_sampling" -> (CorpusPipeline.pipeTempSampling _),
@@ -3236,6 +3237,85 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, ppl_num, bits_micro,
         | bits_micro > 5000000 AS high_perplexity
         |FROM h ORDER BY doc_id""".stripMargin,
+    "txt_js_divergence" ->
+      """WITH RECURSIVE t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), c AS (
+        | SELECT lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2
+        |), tot AS (
+        | SELECT lang, cast(sum(c) as bigint) n_tok FROM c GROUP BY 1
+        |), vg AS (SELECT cast(count(DISTINCT term) as bigint) v_glob FROM c),
+        |pairs AS (
+        | SELECT a.lang la, b.lang lb, a.n_tok n_a, b.n_tok n_b, v_glob,
+        |  a.n_tok + v_glob d_a, b.n_tok + v_glob d_b
+        | FROM tot a JOIN tot b ON a.lang < b.lang CROSS JOIN vg
+        |), terms AS (SELECT DISTINCT term FROM c),
+        |u AS (
+        | SELECT p.la, p.lb, p.d_a, p.d_b,
+        |  coalesce(ca.c, 0) ca, coalesce(cb.c, 0) cb,
+        |  (coalesce(ca.c, 0) + 1) * p.d_b + (coalesce(cb.c, 0) + 1) * p.d_a s_w
+        | FROM pairs p CROSS JOIN terms tm
+        | LEFT JOIN c ca ON ca.lang = p.la AND ca.term = tm.term
+        | LEFT JOIN c cb ON cb.lang = p.lb AND cb.term = tm.term
+        | WHERE coalesce(ca.c, 0) > 0 OR coalesce(cb.c, 0) > 0
+        |), u2 AS (
+        | SELECT *, greatest(0, length(bin(s_w)) - 43) ss,
+        |  s_w // (cast(1 as bigint) << greatest(0, length(bin(s_w)) - 43)) sarg
+        | FROM u
+        |), pd AS (
+        | SELECT la, lb, n_a, n_b, v_glob, d_a, d_b,
+        |  greatest(0, length(bin(d_a)) - 43) sa, d_a // (cast(1 as bigint) << greatest(0, length(bin(d_a)) - 43)) daa,
+        |  greatest(0, length(bin(d_b)) - 43) sb, d_b // (cast(1 as bigint) << greatest(0, length(bin(d_b)) - 43)) dba,
+        |  greatest(0, length(bin(d_a + d_b)) - 43) sab, (d_a + d_b) // (cast(1 as bigint) << greatest(0, length(bin(d_a + d_b)) - 43)) daba
+        | FROM pairs
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (
+        |  SELECT ca + 1 AS x FROM u2 UNION ALL SELECT cb + 1 FROM u2
+        |  UNION ALL SELECT sarg FROM u2
+        |  UNION ALL SELECT daa FROM pd UNION ALL SELECT dba FROM pd
+        |  UNION ALL SELECT daba FROM pd)
+        |), lgit AS (
+        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
+        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
+        |  cast(0 as bigint) acc, 0 AS i
+        | FROM lgvals
+        | UNION ALL
+        | SELECT x, m,
+        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
+        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
+        | FROM lgit WHERE i < 20
+        |), lg AS (
+        | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
+        |), s AS (
+        | SELECT u2.la, u2.lb, cast(count(*) as bigint) n_union,
+        |  sum(cast(u2.ca + 1 as hugeint) * (1048576 + lca.lg + (lgb.lg + pd.sb * 1048576) - (ls.lg + u2.ss * 1048576))) ja,
+        |  sum(cast(u2.cb + 1 as hugeint) * (1048576 + lcb.lg + (lga.lg + pd.sa * 1048576) - (ls.lg + u2.ss * 1048576))) jb
+        | FROM u2
+        | JOIN pd ON pd.la = u2.la AND pd.lb = u2.lb
+        | JOIN lg lca ON lca.x = u2.ca + 1
+        | JOIN lg lcb ON lcb.x = u2.cb + 1
+        | JOIN lg ls ON ls.x = u2.sarg
+        | JOIN lg lga ON lga.x = pd.daa
+        | JOIN lg lgb ON lgb.x = pd.dba
+        | GROUP BY 1, 2
+        |), k AS (
+        | SELECT s.la, s.lb, pd.n_a, pd.n_b, pd.v_glob, s.n_union, pd.d_a, pd.d_b,
+        |  cast(ja + cast(pd.v_glob - s.n_union as hugeint)
+        |    * (1048576 + (lgb.lg + pd.sb * 1048576) - (lab.lg + pd.sab * 1048576)) as bigint) js_a_num,
+        |  cast(jb + cast(pd.v_glob - s.n_union as hugeint)
+        |    * (1048576 + (lga.lg + pd.sa * 1048576) - (lab.lg + pd.sab * 1048576)) as bigint) js_b_num
+        | FROM s JOIN pd ON pd.la = s.la AND pd.lb = s.lb
+        | JOIN lg lga ON lga.x = pd.daa
+        | JOIN lg lgb ON lgb.x = pd.dba
+        | JOIN lg lab ON lab.x = pd.daba
+        |)
+        |SELECT la AS lang_a, lb AS lang_b, n_a, n_b, v_glob, n_union,
+        | js_a_num, js_b_num,
+        | cast((CASE WHEN cast(js_a_num as hugeint) * d_b + cast(js_b_num as hugeint) * d_a < 0 THEN -1 ELSE 1 END)
+        |  * (abs(cast(js_a_num as hugeint) * d_b + cast(js_b_num as hugeint) * d_a) * 1000000
+        |     // (cast(2 as hugeint) * d_a * d_b * 1048576)) as bigint) AS js_micro
+        |FROM k ORDER BY lang_a, lang_b""".stripMargin,
     "txt_kl_divergence" ->
       """WITH RECURSIVE t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term

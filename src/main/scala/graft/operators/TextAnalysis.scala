@@ -1089,7 +1089,11 @@ object TextAnalysis {
     * Work is vocab²-free: one full-outer join per pair on the term
     * key, langs are ≤5 so the pair fan-out is bounded. Output: both
     * directions' exact numerators + micro-bit readouts. */
-  def txtKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared pair machinery for the divergence queries: per-ordered-
+    * lang-pair union-vocab count rows (la, lb, ca, cb) + the broadcast
+    * pair grid (la, lb, n_a, n_b, v_glob). The fan is ≤ |langs| per
+    * count row; the full-outer runs on the term key. */
+  private def langPairUnion(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val counts = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
       .groupBy(col("lang"), col("term"))
@@ -1110,6 +1114,11 @@ object TextAnalysis {
       .select(col("la"), col("lb"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+    (union, pairsGrid)
+  }
+
+  def txtKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val (union, pairsGrid) = langPairUnion(spark, dir)
     // Σ_union (c_x+1)·(lg(c_x+1) − lg(c_y+1)); the all-vocab remainder
     // collapses to (N_x+V)·(lg(N_y+V) − lg(N_x+V)) because
     // Σ_V (c_x+1) = N_x+V and zero-both terms cancel in the sum
@@ -1139,6 +1148,61 @@ object TextAnalysis {
         "cast((CASE WHEN kl_ba_num < 0 THEN -1 ELSE 1 END)" +
           " * (cast(abs(kl_ba_num) as decimal(38,0)) * 1000000" +
           " div (cast(n_b + v_glob as decimal(38,0)) * 1048576)) as bigint)"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  /** Shift-extended fixed-point log2 as a SQL fragment: for arguments
+    * that can pass log2_fixed's 2⁴³ domain (the JS mixture numerator
+    * S_w = (c_a+1)·D_b + (c_b+1)·D_a is corpus×corpus), compute
+    * lg(x) ≈ lg(x >> s) + s·2²⁰ with s = max(0, bitlen(x) − 43).
+    * Deterministic in both engines (the oracle mirrors the same
+    * shift-then-lookup), exact when s = 0 — which is every argument
+    * at the gated SFs. */
+  private def lgShift(x: String): String =
+    s"(log2_fixed(($x) div shiftleft(cast(1 as bigint), greatest(0, length(bin($x)) - 43)))" +
+      s" + cast(greatest(0, length(bin($x)) - 43) as bigint) * 1048576)"
+
+  /** Pairwise Jensen–Shannon divergence between language unigram LMs —
+    * the symmetric, bounded cousin of [[txtKlDivergence]] (the corpus-
+    * similarity readout mixing policies actually compare on): with
+    * p_x = (c_x+1)/D_x, D_x = N_x+V and m = (p_a+p_b)/2,
+    * lg(p_a/m) = 2²⁰ + lg(c_a+1) + lg(D_b) − lg(S_w) over the common
+    * numerator S_w = (c_a+1)·D_b + (c_b+1)·D_a — every term one
+    * [[lgShift]] integer. The zero-both vocab mass has the closed form
+    * (V−|union|)·(2²⁰ + lg(D_x̄) − lg(D_a+D_b)) per direction. Emitted
+    * as both directions' exact KL(x‖m) numerators at scale D_x·2²⁰
+    * plus the combined JS micro-bits (decimal-internal cross-multiply;
+    * sign-split division). Same vocab-keyed shapes as KL: one
+    * full-outer on the term key, grid broadcast. */
+  def txtJsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val (union, pairsGrid) = langPairUnion(spark, dir)
+    val terms = union.join(broadcast(pairsGrid), Seq("la", "lb"))
+      .withColumn("d_a", expr("n_a + v_glob"))
+      .withColumn("d_b", expr("n_b + v_glob"))
+      .withColumn("s_w", expr("(ca + 1) * d_b + (cb + 1) * d_a"))
+    val sums = terms.groupBy(col("la"), col("lb"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(expr("cast(ca + 1 as decimal(38,0)) * (1048576" +
+          s" + ${lgShift("ca + 1")} + ${lgShift("d_b")} - ${lgShift("s_w")})")).as("_ja"),
+        sum(expr("cast(cb + 1 as decimal(38,0)) * (1048576" +
+          s" + ${lgShift("cb + 1")} + ${lgShift("d_a")} - ${lgShift("s_w")})")).as("_jb"))
+    sums.join(broadcast(pairsGrid), Seq("la", "lb"))
+      .withColumn("d_a", expr("n_a + v_glob"))
+      .withColumn("d_b", expr("n_b + v_glob"))
+      .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+        col("n_a"), col("n_b"), col("v_glob"), col("n_union"),
+        expr("cast(_ja + cast(v_glob - n_union as decimal(38,0)) * (1048576" +
+          s" + ${lgShift("d_b")} - ${lgShift("d_a + d_b")}) as bigint)").as("js_a_num"),
+        expr("cast(_jb + cast(v_glob - n_union as decimal(38,0)) * (1048576" +
+          s" + ${lgShift("d_a")} - ${lgShift("d_a + d_b")}) as bigint)").as("js_b_num"),
+        col("d_a"), col("d_b"))
+      // JS = (js_a_num/D_a + js_b_num/D_b) / (2·2²⁰); cross-multiplied
+      // into one exact rational, micro-scaled, sign-split division
+      .withColumn("js_micro", expr(
+        "cast((CASE WHEN cast(js_a_num as decimal(38,0)) * d_b + cast(js_b_num as decimal(38,0)) * d_a < 0 THEN -1 ELSE 1 END)" +
+          " * (abs(cast(js_a_num as decimal(38,0)) * d_b + cast(js_b_num as decimal(38,0)) * d_a) * 1000000" +
+          " div (cast(2 as decimal(38,0)) * d_a * d_b * 1048576)) as bigint)"))
+      .drop("d_a", "d_b")
       .orderBy(col("lang_a"), col("lang_b"))
   }
 

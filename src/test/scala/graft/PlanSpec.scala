@@ -259,6 +259,37 @@ class PlanSpec extends SparkSpec {
     assertWindowsConsumeDailyAgg(Analytics.q155BinarySeg(spark, sf0001), "q155")
   }
 
+  test("entropy family: log2_fixed runs above the vocab aggregate, never per token") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    // the Generate (token explode) subtree must not contain a
+    // Log2Fixed; the log belongs on the type-keyed aggregate above it
+    Seq(
+      "txt_perplexity" -> graft.operators.TextAnalysis.txtPerplexity(spark, sf0001),
+      "txt_entropy_filter" -> graft.operators.TextAnalysis.txtEntropyFilter(spark, sf0001),
+      "txt_doc_perplexity" -> graft.operators.TextAnalysis.txtDocPerplexity(spark, sf0001)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.optimizedPlan
+      val logsPerToken = plan.collect { case g: Generate => g }.exists(_.expressions
+        .exists(_.collectFirst { case l: org.apache.spark.sql.graft.Log2Fixed => l }.isDefined))
+      assert(!logsPerToken, s"$name computes the log inside the token explode")
+      val aggWithLog = plan.collect { case a: Aggregate => a }.exists(_.expressions
+        .exists(_.collectFirst { case l: org.apache.spark.sql.graft.Log2Fixed => l }.isDefined))
+      val projWithLog = plan.expressions.nonEmpty && plan.collectFirst {
+        case p if p.expressions.exists(
+          _.collectFirst { case l: org.apache.spark.sql.graft.Log2Fixed => l }.isDefined) => p
+      }.isDefined
+      assert(aggWithLog || projWithLog, s"$name lost its fixed-point log in optimization")
+    }
+  }
+
+  test("txt_doc_perplexity: lang totals broadcast; no cartesian anywhere") {
+    val df = graft.operators.TextAnalysis.txtDocPerplexity(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"lang totals must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q118: the pair-expansion join feeds on day-keyed aggregates, both sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val plan = Analytics.q118MannKendall(spark, sf0001)

@@ -125,6 +125,41 @@ class Round6EntropySpec extends SparkSpec {
     }
   }
 
+  test("txt_js_divergence: numerators recompute; JS bounded in [0, 1 bit]") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("lang"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = toks.map(_._2).distinct
+    val v = vocab.size.toLong
+    val nTok = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    // driver replica of the shift-extended log (s = 0 at this SF)
+    def lgS(x: Long): BigInt = {
+      val s = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(x) - 43)
+      BigInt(lgRef(x >> s)) + BigInt(s) * 1048576
+    }
+    val got = operators.TextAnalysis.txtJsDivergence(spark, sf0001).collect()
+    got.foreach { r =>
+      val (la, lb) = (r.getString(0), r.getString(1))
+      val (da, db) = (nTok(la) + v, nTok(lb) + v)
+      val union = vocab.filter(w => counts.contains((la, w)) || counts.contains((lb, w)))
+      def num(selfIsA: Boolean, dOther: Long): BigInt =
+        union.map { w =>
+          val ca = counts.getOrElse((la, w), 0L); val cb = counts.getOrElse((lb, w), 0L)
+          val sW = (ca + 1) * db + (cb + 1) * da
+          val cSelf = if (selfIsA) ca else cb
+          BigInt(cSelf + 1) * (BigInt(1048576) + lgS(cSelf + 1) + lgS(dOther) - lgS(sW))
+        }.sum + BigInt(v - union.size) * (BigInt(1048576) + lgS(dOther) - lgS(da + db))
+      val ja = num(selfIsA = true, db)
+      val jb = num(selfIsA = false, da)
+      assert(BigInt(r.getLong(6)) == ja, s"js_a_num $la|$lb")
+      assert(BigInt(r.getLong(7)) == jb, s"js_b_num $la|$lb")
+      val micro = r.getLong(8)
+      assert(micro >= 0 && micro <= 1000000L, "0 <= JS <= 1 bit")
+      assert(micro > 0, "different languages diverge")
+    }
+  }
+
   test("txt_kl_divergence: numerators recompute over the smoothed global vocab; KL >= 0") {
     val counts = Tables.documents(spark, sf0001)
       .select(col("lang"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
