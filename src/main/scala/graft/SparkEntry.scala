@@ -429,6 +429,27 @@ object SparkEntry {
        |FROM ($rows) ORDER BY nprobe""".stripMargin
   }
 
+  /** DuckDB twin of the fixed-point log2 digit recurrence
+    * (org.apache.spark.sql.graft.Log2Fixed): the `lgit`/`lg` CTE pair,
+    * consumed by every entropy-family oracle. The caller supplies a
+    * `lgvals(x)` CTE of (already shift-reduced) arguments and joins
+    * `lg` on x. ONE copy — a recurrence change edits one string.
+    * (Pre-stripped so it composes inside stripMargin oracle strings.) */
+  private val LgCte: String =
+    """lgit AS (
+      | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
+      |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
+      |  cast(0 as bigint) acc, 0 AS i
+      | FROM lgvals
+      | UNION ALL
+      | SELECT x, m,
+      |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
+      |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
+      | FROM lgit WHERE i < 20
+      |), lg AS (
+      | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1970,9 +1991,9 @@ object SparkEntry {
         | FROM r GROUP BY 1
         |)
         |SELECT l_returnflag, n,
-        | cast(s2 as bigint) AS sum_d2,
-        | cast(cast(n as hugeint) * n * n - n - 6 * s2 as bigint) AS rho_num,
-        | cast(cast(n as hugeint) * n * n - n as bigint) AS rho_den
+        | cast(s2 as varchar) AS sum_d2,
+        | cast(cast(n as hugeint) * n * n - n - 6 * s2 as varchar) AS rho_num,
+        | cast(cast(n as hugeint) * n * n - n as varchar) AS rho_den
         |FROM a ORDER BY l_returnflag""".stripMargin,
     "q104_weighted_median" ->
       """WITH v AS (
@@ -3128,117 +3149,105 @@ object SparkEntry {
     // identical int64 ops step for step, so entropy statistics gate
     // exactly (see MathExpressions.scala)
     "txt_perplexity" ->
-      """WITH RECURSIVE t AS (
+      ("""WITH RECURSIVE t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
         |), c AS (
         | SELECT lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2
+        |), cs AS (
+        | SELECT lang, c, greatest(0, length(bin(c)) - 43) sh,
+        |  (c) // (cast(1 as bigint) << greatest(0, length(bin(c)) - 43)) arg
+        | FROM c
         |), g AS (
         | SELECT lang, cast(count(*) as bigint) n_types, cast(sum(c) as bigint) n_tokens
         | FROM c GROUP BY 1
+        |), gs AS (
+        | SELECT lang, n_types, n_tokens, greatest(0, length(bin(n_tokens)) - 43) sh,
+        |  (n_tokens) // (cast(1 as bigint) << greatest(0, length(bin(n_tokens)) - 43)) arg
+        | FROM g
         |), lgvals(x) AS (
-        | SELECT DISTINCT x FROM (SELECT c AS x FROM c UNION ALL SELECT n_tokens FROM g)
-        |), lgit AS (
-        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
-        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
-        |  cast(0 as bigint) acc, 0 AS i
-        | FROM lgvals
-        | UNION ALL
-        | SELECT x, m,
-        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
-        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
-        | FROM lgit WHERE i < 20
-        |), lg AS (
-        | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
-        |), sc AS (
-        | SELECT c.lang, sum(cast(c.c as hugeint) * l.lg) sclg
-        | FROM c JOIN lg l ON l.x = c.c GROUP BY 1
+        | SELECT DISTINCT x FROM (SELECT arg AS x FROM cs UNION ALL SELECT arg FROM gs)
+        |), """ + LgCte + """, sc AS (
+        | SELECT cs.lang, sum(cast(cs.c as hugeint) * (l.lg + cs.sh * 1048576)) sclg
+        | FROM cs JOIN lg l ON l.x = cs.arg GROUP BY 1
         |)
-        |SELECT g.lang, n_types, n_tokens,
-        | cast(cast(n_tokens as hugeint) * ln.lg - sclg as bigint) AS h_num,
-        | cast((cast(n_tokens as hugeint) * ln.lg - sclg) * 1000000
+        |SELECT gs.lang, n_types, n_tokens,
+        | cast(cast(n_tokens as hugeint) * (ln.lg + gs.sh * 1048576) - sclg as bigint) AS h_num,
+        | cast((cast(n_tokens as hugeint) * (ln.lg + gs.sh * 1048576) - sclg) * 1000000
         |   // (cast(n_tokens as hugeint) * 1048576) as bigint) AS bits_per_token_micro
-        |FROM g JOIN lg ln ON ln.x = g.n_tokens JOIN sc ON sc.lang = g.lang
-        |ORDER BY g.lang""".stripMargin,
+        |FROM gs JOIN lg ln ON ln.x = gs.arg JOIN sc ON sc.lang = gs.lang
+        |ORDER BY gs.lang""").stripMargin,
     "txt_entropy_filter" ->
-      """WITH RECURSIVE t AS (
+      ("""WITH RECURSIVE t AS (
         | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
         |), c AS (
         | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
+        |), cs AS (
+        | SELECT doc_id, c, greatest(0, length(bin(c)) - 43) sh,
+        |  (c) // (cast(1 as bigint) << greatest(0, length(bin(c)) - 43)) arg
+        | FROM c
         |), g AS (
         | SELECT doc_id, lang, cast(count(*) as bigint) n_types, cast(sum(c) as bigint) n_tokens
         | FROM c GROUP BY 1, 2
+        |), gs AS (
+        | SELECT doc_id, lang, n_types, n_tokens, greatest(0, length(bin(n_tokens)) - 43) sh,
+        |  (n_tokens) // (cast(1 as bigint) << greatest(0, length(bin(n_tokens)) - 43)) arg
+        | FROM g
         |), lgvals(x) AS (
-        | SELECT DISTINCT x FROM (SELECT c AS x FROM c UNION ALL SELECT n_tokens FROM g)
-        |), lgit AS (
-        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
-        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
-        |  cast(0 as bigint) acc, 0 AS i
-        | FROM lgvals
-        | UNION ALL
-        | SELECT x, m,
-        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
-        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
-        | FROM lgit WHERE i < 20
-        |), lg AS (
-        | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
-        |), sc AS (
-        | SELECT c.doc_id, sum(cast(c.c as hugeint) * l.lg) sclg
-        | FROM c JOIN lg l ON l.x = c.c GROUP BY 1
+        | SELECT DISTINCT x FROM (SELECT arg AS x FROM cs UNION ALL SELECT arg FROM gs)
+        |), """ + LgCte + """, sc AS (
+        | SELECT cs.doc_id, sum(cast(cs.c as hugeint) * (l.lg + cs.sh * 1048576)) sclg
+        | FROM cs JOIN lg l ON l.x = cs.arg GROUP BY 1
         |), h AS (
-        | SELECT g.doc_id, g.lang, n_types, n_tokens,
-        |  cast(cast(n_tokens as hugeint) * ln.lg - sclg as bigint) h_num,
-        |  cast((cast(n_tokens as hugeint) * ln.lg - sclg) * 1000000
+        | SELECT gs.doc_id, gs.lang, n_types, n_tokens,
+        |  cast(cast(n_tokens as hugeint) * (ln.lg + gs.sh * 1048576) - sclg as bigint) h_num,
+        |  cast((cast(n_tokens as hugeint) * (ln.lg + gs.sh * 1048576) - sclg) * 1000000
         |    // (cast(n_tokens as hugeint) * 1048576) as bigint) bits_per_token_micro
-        | FROM g JOIN lg ln ON ln.x = g.n_tokens JOIN sc ON sc.doc_id = g.doc_id
+        | FROM gs JOIN lg ln ON ln.x = gs.arg JOIN sc ON sc.doc_id = gs.doc_id
         |)
         |SELECT doc_id, lang, n_types, n_tokens, h_num, bits_per_token_micro,
         | bits_per_token_micro < 3500000 AS low_entropy
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |FROM h ORDER BY doc_id""").stripMargin,
     "txt_doc_perplexity" ->
-      """WITH RECURSIVE t AS (
+      ("""WITH RECURSIVE t AS (
         | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
         |), dc AS (
         | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
         |), rc AS (
-        | SELECT lang, term, cast(count(*) as bigint) cr FROM t GROUP BY 1, 2
+        | SELECT lang, term, cast(sum(c) as bigint) cr FROM dc GROUP BY 1, 2
+        |), rs AS (
+        | SELECT lang, term, cr, greatest(0, length(bin(cr + 1)) - 43) sh,
+        |  (cr + 1) // (cast(1 as bigint) << greatest(0, length(bin(cr + 1)) - 43)) arg
+        | FROM rc
         |), tot AS (
         | SELECT lang, cast(count(*) as bigint) v_l, cast(sum(cr) as bigint) n_l
         | FROM rc GROUP BY 1
+        |), ts AS (
+        | SELECT lang, v_l, n_l, greatest(0, length(bin(n_l + v_l)) - 43) sh,
+        |  (n_l + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_l + v_l)) - 43)) arg
+        | FROM tot
         |), lgvals(x) AS (
-        | SELECT DISTINCT x FROM (SELECT cr + 1 AS x FROM rc UNION ALL SELECT n_l + v_l FROM tot)
-        |), lgit AS (
-        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
-        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
-        |  cast(0 as bigint) acc, 0 AS i
-        | FROM lgvals
-        | UNION ALL
-        | SELECT x, m,
-        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
-        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
-        | FROM lgit WHERE i < 20
-        |), lg AS (
-        | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
-        |), d AS (
+        | SELECT DISTINCT x FROM (SELECT arg AS x FROM rs UNION ALL SELECT arg FROM ts)
+        |), """ + LgCte + """, d AS (
         | SELECT dc.doc_id, dc.lang, cast(sum(dc.c) as bigint) n_tokens,
-        |  sum(cast(dc.c as hugeint) * l.lg) sclg
-        | FROM dc JOIN rc ON rc.lang = dc.lang AND rc.term = dc.term
-        | JOIN lg l ON l.x = rc.cr + 1
+        |  sum(cast(dc.c as hugeint) * (l.lg + rs.sh * 1048576)) sclg
+        | FROM dc JOIN rs ON rs.lang = dc.lang AND rs.term = dc.term
+        | JOIN lg l ON l.x = rs.arg
         | GROUP BY 1, 2
         |), h AS (
         | SELECT d.doc_id, d.lang, n_tokens,
-        |  cast(cast(n_tokens as hugeint) * ln.lg - sclg as bigint) ppl_num,
-        |  cast((cast(n_tokens as hugeint) * ln.lg - sclg) * 1000000
+        |  cast(cast(n_tokens as hugeint) * (ln.lg + ts.sh * 1048576) - sclg as bigint) ppl_num,
+        |  cast((cast(n_tokens as hugeint) * (ln.lg + ts.sh * 1048576) - sclg) * 1000000
         |    // (cast(n_tokens as hugeint) * 1048576) as bigint) bits_micro
-        | FROM d JOIN tot ON tot.lang = d.lang JOIN lg ln ON ln.x = tot.n_l + tot.v_l
+        | FROM d JOIN ts ON ts.lang = d.lang JOIN lg ln ON ln.x = ts.arg
         |)
         |SELECT doc_id, lang, n_tokens, ppl_num, bits_micro,
         | bits_micro > 5000000 AS high_perplexity
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |FROM h ORDER BY doc_id""").stripMargin,
     "txt_js_divergence" ->
-      """WITH RECURSIVE t AS (
+      ("""WITH RECURSIVE t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
         |), c AS (
@@ -3275,19 +3284,7 @@ object SparkEntry {
         |  UNION ALL SELECT sarg FROM u2
         |  UNION ALL SELECT daa FROM pd UNION ALL SELECT dba FROM pd
         |  UNION ALL SELECT daba FROM pd)
-        |), lgit AS (
-        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
-        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
-        |  cast(0 as bigint) acc, 0 AS i
-        | FROM lgvals
-        | UNION ALL
-        | SELECT x, m,
-        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
-        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
-        | FROM lgit WHERE i < 20
-        |), lg AS (
-        | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
-        |), s AS (
+        |), """ + LgCte + """, s AS (
         | SELECT u2.la, u2.lb, cast(count(*) as bigint) n_union,
         |  sum(cast(u2.ca + 1 as hugeint) * (1048576 + lca.lg + (lgb.lg + pd.sb * 1048576) - (ls.lg + u2.ss * 1048576))) ja,
         |  sum(cast(u2.cb + 1 as hugeint) * (1048576 + lcb.lg + (lga.lg + pd.sa * 1048576) - (ls.lg + u2.ss * 1048576))) jb
@@ -3315,9 +3312,9 @@ object SparkEntry {
         | cast((CASE WHEN cast(js_a_num as hugeint) * d_b + cast(js_b_num as hugeint) * d_a < 0 THEN -1 ELSE 1 END)
         |  * (abs(cast(js_a_num as hugeint) * d_b + cast(js_b_num as hugeint) * d_a) * 1000000
         |     // (cast(2 as hugeint) * d_a * d_b * 1048576)) as bigint) AS js_micro
-        |FROM k ORDER BY lang_a, lang_b""".stripMargin,
+        |FROM k ORDER BY lang_a, lang_b""").stripMargin,
     "txt_kl_divergence" ->
-      """WITH RECURSIVE t AS (
+      ("""WITH RECURSIVE t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
         |), c AS (
@@ -3328,42 +3325,46 @@ object SparkEntry {
         |pairs AS (
         | SELECT a.lang la, b.lang lb, a.n_tok n_a, b.n_tok n_b, v_glob
         | FROM tot a JOIN tot b ON a.lang < b.lang CROSS JOIN vg
+        |), ps AS (
+        | SELECT la, lb, n_a, n_b, v_glob,
+        |  greatest(0, length(bin(n_a + v_glob)) - 43) sa,
+        |  (n_a + v_glob) // (cast(1 as bigint) << greatest(0, length(bin(n_a + v_glob)) - 43)) daa,
+        |  greatest(0, length(bin(n_b + v_glob)) - 43) sb,
+        |  (n_b + v_glob) // (cast(1 as bigint) << greatest(0, length(bin(n_b + v_glob)) - 43)) dba
+        | FROM pairs
         |), terms AS (SELECT DISTINCT term FROM c),
-        |lgvals(x) AS (
-        | SELECT DISTINCT x FROM (SELECT c + 1 AS x FROM c UNION ALL SELECT 1
-        |  UNION ALL SELECT n_tok + v_glob FROM tot CROSS JOIN vg)
-        |), lgit AS (
-        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
-        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
-        |  cast(0 as bigint) acc, 0 AS i
-        | FROM lgvals
-        | UNION ALL
-        | SELECT x, m,
-        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
-        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
-        | FROM lgit WHERE i < 20
-        |), lg AS (
-        | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
-        |), u AS (
+        |u AS (
         | SELECT p.la, p.lb, tm.term,
         |  coalesce(ca.c, 0) ca, coalesce(cb.c, 0) cb
         | FROM pairs p CROSS JOIN terms tm
         | LEFT JOIN c ca ON ca.lang = p.la AND ca.term = tm.term
         | LEFT JOIN c cb ON cb.lang = p.lb AND cb.term = tm.term
-        |), s AS (
+        |), u2 AS (
+        | SELECT la, lb, ca, cb,
+        |  greatest(0, length(bin(ca + 1)) - 43) sca,
+        |  (ca + 1) // (cast(1 as bigint) << greatest(0, length(bin(ca + 1)) - 43)) caa,
+        |  greatest(0, length(bin(cb + 1)) - 43) scb,
+        |  (cb + 1) // (cast(1 as bigint) << greatest(0, length(bin(cb + 1)) - 43)) cba
+        | FROM u
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT caa AS x FROM u2 UNION ALL SELECT cba FROM u2
+        |  UNION ALL SELECT daa FROM ps UNION ALL SELECT dba FROM ps)
+        |), """ + LgCte + """, s AS (
         | SELECT la, lb,
         |  cast(sum(CASE WHEN ca > 0 OR cb > 0 THEN 1 ELSE 0 END) as bigint) n_union,
-        |  sum(cast(ca + 1 as hugeint) * (la1.lg - lb1.lg)) sab,
-        |  sum(cast(cb + 1 as hugeint) * (lb1.lg - la1.lg)) sba
-        | FROM u JOIN lg la1 ON la1.x = ca + 1 JOIN lg lb1 ON lb1.x = cb + 1
+        |  sum(cast(ca + 1 as hugeint) * ((la1.lg + sca * 1048576) - (lb1.lg + scb * 1048576))) sab,
+        |  sum(cast(cb + 1 as hugeint) * ((lb1.lg + scb * 1048576) - (la1.lg + sca * 1048576))) sba
+        | FROM u2 JOIN lg la1 ON la1.x = caa JOIN lg lb1 ON lb1.x = cba
         | GROUP BY 1, 2
         |), k AS (
         | SELECT s.la, s.lb, p.n_a, p.n_b, p.v_glob, s.n_union,
-        |  cast(sab + cast(p.n_a + p.v_glob as hugeint) * (lgb.lg - lga.lg) as bigint) kl_ab_num,
-        |  cast(sba + cast(p.n_b + p.v_glob as hugeint) * (lga.lg - lgb.lg) as bigint) kl_ba_num
-        | FROM s JOIN pairs p ON p.la = s.la AND p.lb = s.lb
-        | JOIN lg lga ON lga.x = p.n_a + p.v_glob
-        | JOIN lg lgb ON lgb.x = p.n_b + p.v_glob
+        |  cast(sab + cast(p.n_a + p.v_glob as hugeint)
+        |    * ((lgb.lg + p.sb * 1048576) - (lga.lg + p.sa * 1048576)) as bigint) kl_ab_num,
+        |  cast(sba + cast(p.n_b + p.v_glob as hugeint)
+        |    * ((lga.lg + p.sa * 1048576) - (lgb.lg + p.sb * 1048576)) as bigint) kl_ba_num
+        | FROM s JOIN ps p ON p.la = s.la AND p.lb = s.lb
+        | JOIN lg lga ON lga.x = p.daa
+        | JOIN lg lgb ON lgb.x = p.dba
         |)
         |SELECT la AS lang_a, lb AS lang_b, n_a, n_b, v_glob, n_union,
         | kl_ab_num, kl_ba_num,
@@ -3373,7 +3374,7 @@ object SparkEntry {
         | cast((CASE WHEN kl_ba_num < 0 THEN -1 ELSE 1 END)
         |   * (cast(abs(kl_ba_num) as hugeint) * 1000000
         |      // (cast(n_b + v_glob as hugeint) * 1048576)) as bigint) AS kl_ba_micro
-        |FROM k ORDER BY lang_a, lang_b""".stripMargin,
+        |FROM k ORDER BY lang_a, lang_b""").stripMargin,
     "txt_simpson" ->
       """WITH t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
@@ -3662,8 +3663,8 @@ object SparkEntry {
         |  (SELECT count(*) FROM bg) n_bigrams
         |), s AS (
         | SELECT bigram, n_xy, ux.n_term n_x, uy.n_term n_y,
-        |  cast(cast(n_xy as hugeint) * n_tokens * n_tokens as bigint) lift_num,
-        |  cast(cast(n_bigrams as hugeint) * ux.n_term * uy.n_term as bigint) lift_den
+        |  cast(cast(n_xy as hugeint) * n_tokens * n_tokens as varchar) lift_num,
+        |  cast(cast(n_bigrams as hugeint) * ux.n_term * uy.n_term as varchar) lift_den
         | FROM bc
         | JOIN uc ux ON ux.term = string_split(bigram, ' ')[1]
         | JOIN uc uy ON uy.term = string_split(bigram, ' ')[2]
@@ -4541,10 +4542,10 @@ object SparkEntry {
         |  cast(sum(d * d) as varchar) AS energy, cast(max(abs(d)) as bigint) AS max_abs_d
         | FROM l1 WHERE n_in = 2
         | UNION ALL
-        | SELECT 2, cast(count(*) as bigint), cast(sum(d * d) as decimal(38,0)),
+        | SELECT 2, cast(count(*) as bigint), cast(sum(d * d) as varchar),
         |  cast(max(abs(d)) as bigint) FROM l2 WHERE n_in = 4
         | UNION ALL
-        | SELECT 3, cast(count(*) as bigint), cast(sum(d * d) as decimal(38,0)),
+        | SELECT 3, cast(count(*) as bigint), cast(sum(d * d) as varchar),
         |  cast(max(abs(d)) as bigint) FROM l3 WHERE n_in = 8
         |) ORDER BY level""".stripMargin,
 

@@ -828,9 +828,11 @@ object TextAnalysis {
       .join(uni.select(col("term").as("y"), col("n_term").as("n_y")), "y")
       .crossJoin(broadcast(totals))
       .select(col("bigram"), col("n_xy"), col("n_x"), col("n_y"),
-        expr("cast(cast(n_xy as decimal(38,0)) * n_tokens * n_tokens as bigint)")
+        // products of three corpus-scale aggregates (cubic per SF
+        // decade): exact decimal TEXT at the output edge
+        expr("cast(cast(n_xy as decimal(38,0)) * n_tokens * n_tokens as string)")
           .as("lift_num"),
-        expr("cast(cast(n_bigrams as decimal(38,0)) * n_x * n_y as bigint)")
+        expr("cast(cast(n_bigrams as decimal(38,0)) * n_x * n_y as string)")
           .as("lift_den"))
       .withColumn("lift",
         col("lift_num").cast("double") / col("lift_den").cast("double"))
@@ -1069,11 +1071,11 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_types"),
         sum(col("c")).as("n_tokens"),
-        sum(expr("cast(c as decimal(38,0)) * log2_fixed(c)")).as("_sclg"))
+        sum(expr(s"cast(c as decimal(38,0)) * ${lgShift("c")}")).as("_sclg"))
       .select(col("lang"), col("n_types"), col("n_tokens"),
-        expr("cast(cast(n_tokens as decimal(38,0)) * log2_fixed(n_tokens) - _sclg as bigint)")
+        expr(s"cast(cast(n_tokens as decimal(38,0)) * ${lgShift("n_tokens")} - _sclg as bigint)")
           .as("h_num"),
-        expr("cast(cast(cast(n_tokens as decimal(38,0)) * log2_fixed(n_tokens) - _sclg as decimal(38,0))" +
+        expr(s"cast(cast(cast(n_tokens as decimal(38,0)) * ${lgShift("n_tokens")} - _sclg as decimal(38,0))" +
           " * 1000000 div (cast(n_tokens as decimal(38,0)) * 1048576) as bigint)")
           .as("bits_per_token_micro"))
       .orderBy(col("lang"))
@@ -1124,18 +1126,18 @@ object TextAnalysis {
     // Σ_V (c_x+1) = N_x+V and zero-both terms cancel in the sum
     union.groupBy(col("la"), col("lb"))
       .agg(count(lit(1)).as("n_union"),
-        sum(expr("cast(ca + 1 as decimal(38,0))" +
-          " * (log2_fixed(ca + 1) - log2_fixed(cb + 1))")).as("_sab"),
-        sum(expr("cast(cb + 1 as decimal(38,0))" +
-          " * (log2_fixed(cb + 1) - log2_fixed(ca + 1))")).as("_sba"))
+        sum(expr(s"cast(ca + 1 as decimal(38,0))" +
+          s" * (${lgShift("ca + 1")} - ${lgShift("cb + 1")})")).as("_sab"),
+        sum(expr(s"cast(cb + 1 as decimal(38,0))" +
+          s" * (${lgShift("cb + 1")} - ${lgShift("ca + 1")})")).as("_sba"))
       .join(broadcast(pairsGrid), Seq("la", "lb"))
       .select(col("la").as("lang_a"), col("lb").as("lang_b"),
         col("n_a"), col("n_b"), col("v_glob"), col("n_union"),
-        expr("cast(_sab + cast(n_a + v_glob as decimal(38,0))" +
-          " * (log2_fixed(n_b + v_glob) - log2_fixed(n_a + v_glob)) as bigint)")
+        expr(s"cast(_sab + cast(n_a + v_glob as decimal(38,0))" +
+          s" * (${lgShift("n_b + v_glob")} - ${lgShift("n_a + v_glob")}) as bigint)")
           .as("kl_ab_num"),
-        expr("cast(_sba + cast(n_b + v_glob as decimal(38,0))" +
-          " * (log2_fixed(n_a + v_glob) - log2_fixed(n_b + v_glob)) as bigint)")
+        expr(s"cast(_sba + cast(n_b + v_glob as decimal(38,0))" +
+          s" * (${lgShift("n_a + v_glob")} - ${lgShift("n_b + v_glob")}) as bigint)")
           .as("kl_ba_num"))
       // sign-split integer division: Spark `div` truncates toward zero
       // while DuckDB `//` floors — on the (theoretically possible)
@@ -1159,8 +1161,13 @@ object TextAnalysis {
     * shift-then-lookup), exact when s = 0 — which is every argument
     * at the gated SFs. */
   private def lgShift(x: String): String =
-    s"(log2_fixed(($x) div shiftleft(cast(1 as bigint), greatest(0, length(bin($x)) - 43)))" +
-      s" + cast(greatest(0, length(bin($x)) - 43) as bigint) * 1048576)"
+    // short-circuit the in-domain case: bin()'s string materialization
+    // only runs past 2⁴³ (measured ~2× on the vocab-keyed aggregates
+    // when unconditional); the oracle's greatest()-form computes the
+    // same (s, arg) values either way
+    s"(CASE WHEN ($x) < 8796093022208 THEN log2_fixed($x)" +
+      s" ELSE log2_fixed(($x) div shiftleft(cast(1 as bigint), length(bin($x)) - 43))" +
+      s" + cast(length(bin($x)) - 43 as bigint) * 1048576 END)"
 
   /** Pairwise Jensen–Shannon divergence between language unigram LMs —
     * the symmetric, bounded cousin of [[txtKlDivergence]] (the corpus-
@@ -1222,12 +1229,12 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_types"),
         sum(col("c")).as("n_tokens"),
-        sum(expr("c * log2_fixed(c)")).as("_sclg"))
+        sum(expr(s"c * ${lgShift("c")}")).as("_sclg"))
       .select(col("doc_id"), col("lang"), col("n_types"), col("n_tokens"),
-        expr("n_tokens * log2_fixed(n_tokens) - _sclg").as("h_num"),
+        expr(s"n_tokens * ${lgShift("n_tokens")} - _sclg").as("h_num"),
         // decimal-internal micro division: h_num·10⁶ would pass int64
         // on ~10⁶-token documents
-        expr("cast(cast(n_tokens * log2_fixed(n_tokens) - _sclg as decimal(38,0))" +
+        expr(s"cast(cast(n_tokens * ${lgShift("n_tokens")} - _sclg as decimal(38,0))" +
           " * 1000000 div (cast(n_tokens as decimal(38,0)) * 1048576) as bigint)")
           .as("bits_per_token_micro"))
       .withColumn("low_entropy", col("bits_per_token_micro") < minBitsMicro)
@@ -1251,19 +1258,23 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), explode(TextOps.tokens("text")).as("term"))
     val docTerm = toks.groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("c"))
-    val ref = toks.groupBy(col("lang"), col("term"))
-      .agg(count(lit(1)).as("cr"))
+    // reference counts RE-AGGREGATE the per-doc counts (identical
+    // values, Σc per (lang, term)) so the doc-term exchange appears in
+    // both branches and ReusedExchange runs the tokenize scan ONCE —
+    // deriving ref from toks directly re-exploded the whole corpus
+    val ref = docTerm.groupBy(col("lang"), col("term"))
+      .agg(sum(col("c")).as("cr"))
     val tot = ref.groupBy(col("lang"))
       .agg(count(lit(1)).as("v_l"), sum(col("cr")).as("n_l"))
     docTerm.join(ref, Seq("lang", "term"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c")).as("n_tokens"),
-        sum(expr("cast(c as decimal(38,0)) * log2_fixed(cr + 1)")).as("_sclg"))
+        sum(expr(s"cast(c as decimal(38,0)) * ${lgShift("cr + 1")}")).as("_sclg"))
       .join(broadcast(tot), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        expr("cast(cast(n_tokens as decimal(38,0)) * log2_fixed(n_l + v_l) - _sclg as bigint)")
+        expr(s"cast(cast(n_tokens as decimal(38,0)) * ${lgShift("n_l + v_l")} - _sclg as bigint)")
           .as("ppl_num"),
-        expr("cast(cast(cast(n_tokens as decimal(38,0)) * log2_fixed(n_l + v_l) - _sclg as decimal(38,0))" +
+        expr(s"cast(cast(cast(n_tokens as decimal(38,0)) * ${lgShift("n_l + v_l")} - _sclg as decimal(38,0))" +
           " * 1000000 div (cast(n_tokens as decimal(38,0)) * 1048576) as bigint)")
           .as("bits_micro"))
       .withColumn("high_perplexity", col("bits_micro") > maxBitsMicro)

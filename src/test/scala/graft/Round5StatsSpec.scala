@@ -8,13 +8,6 @@ import org.apache.spark.sql.functions._
   * algebraic conservation laws the emitted integers must satisfy. */
 class Round5StatsSpec extends SparkSpec {
 
-  private def big(r: org.apache.spark.sql.Row, i: Int): BigInt = r.get(i) match {
-    case d: java.math.BigDecimal => BigInt(d.toBigInteger)
-    case l: java.lang.Long       => BigInt(l)
-    case s: String               => BigInt(s) // exact-decimal TEXT output edge
-    case o => sys.error(s"unexpected type for exact-int column: $o")
-  }
-
   /** daily revenue cents keyed by (priority, day), recomputed in the
     * driver with exact BigDecimal→cents arithmetic. */
   private def dailyCents(): Map[(String, java.time.LocalDate), Long] =

@@ -10,13 +10,6 @@ import org.apache.spark.sql.functions._
   * statistics must satisfy. */
 class Round5WidenSpec extends SparkSpec {
 
-  private def big(r: org.apache.spark.sql.Row, i: Int): BigInt = r.get(i) match {
-    case d: java.math.BigDecimal => BigInt(d.toBigInteger)
-    case l: java.lang.Long       => BigInt(l)
-    case s: String               => BigInt(s) // exact-decimal TEXT output edge
-    case o => sys.error(s"unexpected type for exact-int column: $o")
-  }
-
   test("q117_kendall: pair classes match a brute-force O(n²) recompute and partition all pairs") {
     val rows = Tables.lineitem(spark, sf0001)
       .select(col("l_returnflag"), expr("cast(l_quantity as bigint)"),

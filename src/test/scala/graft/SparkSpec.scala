@@ -7,6 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf0001 = "/root/testdata/sf0.001"
+
+  /** Exact-integer column decoder across the engine's three output-edge
+    * carriers (BIGINT, exact-decimal TEXT, internal DecimalType in
+    * pre-output tests) — shared so the next carrier change cannot
+    * desynchronize sibling suites. */
+  def big(r: org.apache.spark.sql.Row, i: Int): BigInt = r.get(i) match {
+    case d: java.math.BigDecimal => BigInt(d.toBigInteger)
+    case l: java.lang.Long       => BigInt(l)
+    case i2: java.lang.Integer   => BigInt(i2.intValue)
+    case s: String               => BigInt(s)
+    case o => sys.error(s"unexpected type for exact-int column: $o")
+  }
 }
 
 object SparkSpec {

@@ -26,9 +26,10 @@ class StreamingSpec extends SparkSpec {
     val now = System.currentTimeMillis()
     def setAll(sub: String, t: Long): Unit = {
       val d = dir.resolve(sub)
-      Files.walk(d).forEach { p =>
+      val walk = Files.walk(d) // Stream holds directory handles — close it
+      try walk.forEach { p =>
         Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
-      }
+      } finally walk.close()
     }
     setAll("a", now - 60000)
     setAll("b", now)
