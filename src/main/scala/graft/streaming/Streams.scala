@@ -472,4 +472,37 @@ object Streams {
           out.iterator
       }
   }
+
+  case class DocText(doc_id: Long, lang: String, text: String)
+  case class EntropyGate(doc_id: Long, lang: String, n_types: Long,
+      n_tokens: Long, h_num: Long, bits_per_token_micro: Long,
+      low_entropy: Boolean)
+
+  /** Streaming per-document entropy quality gate — the in-flight twin
+    * of TextAnalysis.txtEntropyFilter: each arriving doc is scored and
+    * flagged the moment it lands, with ZERO keyed state (the statistic
+    * is doc-local). The exact fixed-point recurrence is the SAME Scala
+    * function the native expression evaluates (Log2Fixed.compute via
+    * the shifted form), so the flags are row-identical to the batch
+    * operator on the same docs (StreamingSpec parity test). At
+    * cluster scale this is a pure map stage on the ingest stream — a
+    * C4-style cleaner that never waits for a batch window. */
+  def entropyGateStream(docs: Dataset[DocText],
+      minBitsMicro: Long = 3500000L): Dataset[EntropyGate] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.graft.Log2Fixed
+    docs.flatMap { d =>
+      val toks = d.text.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None // zero-token docs: batch twin's explode drops them too
+      else {
+        val n = toks.length.toLong
+        val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+        val sclg = counts.values.map(c => c * Log2Fixed.shifted(c)).sum
+        val hNum = n * Log2Fixed.shifted(n) - sclg
+        val micro = (BigInt(hNum) * 1000000 / (BigInt(n) * 1048576)).toLong
+        Some(EntropyGate(d.doc_id, d.lang, counts.size.toLong, n, hNum, micro,
+          micro < minBitsMicro))
+      }
+    }
+  }
 }

@@ -30,6 +30,35 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
   * side of a full 100 TB corpus in ONE group; callers that aggregate
   * beyond that must pre-scale (log2(x/2^s) + s).
   */
+object Log2Fixed {
+  /** The recurrence as a plain function — shared by the expression's
+    * interpreted eval and the streaming twins so every engine-side
+    * consumer runs literally the same integer steps. Domain
+    * 1 ≤ x < 2⁴³ (throws outside — streaming callers use [[shifted]]). */
+  def compute(x: Long): Long = {
+    require(x > 0L && x < (1L << 43), s"log2_fixed domain: $x")
+    val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var r = (x << 20) >> m
+    var acc = 0L
+    var i = 0
+    while (i < 20) {
+      r = (r * r) >> 20
+      if (r >= (1L << 21)) { acc = (acc << 1) | 1L; r >>= 1 }
+      else acc <<= 1
+      i += 1
+    }
+    m.toLong * (1L << 20) + acc
+  }
+
+  /** Shift-extended form lg(x ≫ s) + s·2²⁰ (s = max(0, bitlen−43)) —
+    * any positive int64; mirrors TextAnalysis.lgShift's SQL fragment. */
+  def shifted(x: Long): Long = {
+    require(x > 0L, s"log2 of non-positive: $x")
+    val s = math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(x)) - 43)
+    compute(x >> s) + s.toLong * (1L << 20)
+  }
+}
+
 case class Log2Fixed(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)

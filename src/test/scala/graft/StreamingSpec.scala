@@ -42,6 +42,24 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
   }
 
+  test("streaming entropy gate is row-identical to the batch filter") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("entropy_stream")
+    docs.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
+      .as[Streams.DocText]
+    runToMemory(Streams.entropyGateStream(stream).toDF(), "entropy_stream_t")
+    val streamed = spark.sql("select * from entropy_stream_t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))).toMap
+    val batch = graft.operators.TextAnalysis.txtEntropyFilter(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))).toMap
+    assert(streamed == batch,
+      "in-flight entropy scores and flags must equal the batch operator row for row")
+  }
+
   test("streaming ODNS ingest matches the batch reader") {
     val dir = Files.createTempDirectory("stream_odns")
     OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-01.csv.gz",
