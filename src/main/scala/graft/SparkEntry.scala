@@ -232,6 +232,7 @@ object SparkEntry {
     "txt_entropy_filter" -> ((s: SparkSession, d: String) => TextAnalysis.txtEntropyFilter(s, d)),
     "txt_doc_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocPerplexity(s, d)),
     "txt_js_divergence" -> (TextAnalysis.txtJsDivergence _),
+    "pipe_quality_verdict" -> (CorpusPipeline.pipeQualityVerdict _),
     "txt_langid_kappa" -> (TextAnalysis.txtLangidKappa _),
     "txt_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.txtBurstiness(s, d)),
     "pipe_temp_sampling" -> (CorpusPipeline.pipeTempSampling _),
@@ -3313,6 +3314,72 @@ object SparkEntry {
         |  * (abs(cast(js_a_num as hugeint) * d_b + cast(js_b_num as hugeint) * d_a) * 1000000
         |     // (cast(2 as hugeint) * d_a * d_b * 1048576)) as bigint) AS js_micro
         |FROM k ORDER BY lang_a, lang_b""").stripMargin,
+    "pipe_quality_verdict" ->
+      ("""WITH RECURSIVE t AS (
+        | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), dc AS (
+        | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
+        |), rc AS (
+        | SELECT lang, term, cast(sum(c) as bigint) cr FROM dc GROUP BY 1, 2
+        |), rs AS (
+        | SELECT lang, term, cr, greatest(0, length(bin(cr + 1)) - 43) sh,
+        |  (cr + 1) // (cast(1 as bigint) << greatest(0, length(bin(cr + 1)) - 43)) arg
+        | FROM rc
+        |), tot AS (
+        | SELECT lang, cast(count(*) as bigint) v_l, cast(sum(cr) as bigint) n_l
+        | FROM rc GROUP BY 1
+        |), ts AS (
+        | SELECT lang, v_l, n_l, greatest(0, length(bin(n_l + v_l)) - 43) sh,
+        |  (n_l + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_l + v_l)) - 43)) arg
+        | FROM tot
+        |), cs AS (
+        | SELECT doc_id, c, greatest(0, length(bin(c)) - 43) sh,
+        |  (c) // (cast(1 as bigint) << greatest(0, length(bin(c)) - 43)) arg
+        | FROM dc
+        |), g AS (
+        | SELECT doc_id, lang, cast(sum(c) as bigint) n_tokens FROM dc GROUP BY 1, 2
+        |), gs AS (
+        | SELECT doc_id, lang, n_tokens, greatest(0, length(bin(n_tokens)) - 43) sh,
+        |  (n_tokens) // (cast(1 as bigint) << greatest(0, length(bin(n_tokens)) - 43)) arg
+        | FROM g
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT arg AS x FROM rs UNION ALL SELECT arg FROM ts
+        |  UNION ALL SELECT arg FROM cs UNION ALL SELECT arg FROM gs)
+        |), """ + LgCte + """, sc_ent AS (
+        | SELECT cs.doc_id, sum(cast(cs.c as hugeint) * (l.lg + cs.sh * 1048576)) sclg
+        | FROM cs JOIN lg l ON l.x = cs.arg GROUP BY 1
+        |), sc_ppl AS (
+        | SELECT dc.doc_id, sum(cast(dc.c as hugeint) * (l.lg + rs.sh * 1048576)) sclg
+        | FROM dc JOIN rs ON rs.lang = dc.lang AND rs.term = dc.term
+        | JOIN lg l ON l.x = rs.arg GROUP BY 1
+        |), h AS (
+        | SELECT gs.doc_id, gs.lang, gs.n_tokens,
+        |  cast((cast(gs.n_tokens as hugeint) * (ln.lg + gs.sh * 1048576) - e.sclg) * 1000000
+        |    // (cast(gs.n_tokens as hugeint) * 1048576) as bigint) entropy_micro,
+        |  cast((cast(gs.n_tokens as hugeint) * (lt.lg + ts.sh * 1048576) - p.sclg) * 1000000
+        |    // (cast(gs.n_tokens as hugeint) * 1048576) as bigint) ppl_micro
+        | FROM gs
+        | JOIN lg ln ON ln.x = gs.arg
+        | JOIN ts ON ts.lang = gs.lang
+        | JOIN lg lt ON lt.x = ts.arg
+        | JOIN sc_ent e ON e.doc_id = gs.doc_id
+        | JOIN sc_ppl p ON p.doc_id = gs.doc_id
+        |), v AS (
+        | SELECT d.doc_id, h.lang, d.source, d.n_chars, h.n_tokens,
+        |  h.entropy_micro, h.ppl_micro,
+        |  d.n_chars * 1000000 // h.n_tokens chars_per_token_micro,
+        |  cast(CASE WHEN h.entropy_micro < 3500000 THEN 1 ELSE 0 END
+        |   + CASE WHEN h.ppl_micro > 5000000 THEN 2 ELSE 0 END
+        |   + CASE WHEN h.n_tokens < 16 THEN 4 ELSE 0 END
+        |   + CASE WHEN d.n_chars * 1000000 // h.n_tokens < 4800000
+        |          OR d.n_chars * 1000000 // h.n_tokens > 5800000 THEN 8 ELSE 0 END as bigint) reason_mask
+        | FROM documents d JOIN h ON h.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, lang, source, n_chars, n_tokens, entropy_micro,
+        | ppl_micro, chars_per_token_micro, reason_mask,
+        | reason_mask = 0 AS keep
+        |FROM v ORDER BY doc_id""").stripMargin,
     "txt_kl_divergence" ->
       ("""WITH RECURSIVE t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term

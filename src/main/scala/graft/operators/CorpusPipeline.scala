@@ -697,4 +697,41 @@ object CorpusPipeline {
       .orderBy(col("lang"), col("is_code"))
   }
 
+  /** Composite keep/drop quality verdict per document — the ONE-STOP
+    * cleaner decision a pretraining pipeline applies before writing
+    * the training shard, combining the engine's gated quality signals
+    * into a reason bitmask (a doc can fail several ways; the mask
+    * keeps the audit trail):
+    *   bit 1 — low entropy (repetitive/templated; < 3.5 bits/token)
+    *   bit 2 — high reference-LM perplexity (OOD/noise; > 5.0 bits)
+    *   bit 4 — too short (< 16 tokens)
+    *   bit 8 — token shape out of band (chars/token micro outside
+    *           [4.8e6, 5.8e6] — binary-ish or run-on content)
+    * keep = mask 0. Reuses [[TextAnalysis.txtEntropyFilter]] and
+    * [[TextAnalysis.txtDocPerplexity]] verbatim (their own gates prove
+    * the numbers), joined back to the slim doc projection on the id —
+    * at 100 TB this is two vocab-pass signals + one id-keyed join,
+    * and the text column never moves. */
+  def pipeQualityVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val ent = TextAnalysis.txtEntropyFilter(spark, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        col("bits_per_token_micro").as("entropy_micro"))
+    val ppl = TextAnalysis.txtDocPerplexity(spark, dir)
+      .select(col("doc_id"), col("bits_micro").as("ppl_micro"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(ent, Seq("doc_id")) // inner: zero-token docs have no verdict
+      .join(ppl, Seq("doc_id"))
+      .withColumn("chars_per_token_micro",
+        expr("n_chars * 1000000 div n_tokens"))
+      .withColumn("reason_mask", expr(
+        "CASE WHEN entropy_micro < 3500000 THEN 1 ELSE 0 END" +
+          " + CASE WHEN ppl_micro > 5000000 THEN 2 ELSE 0 END" +
+          " + CASE WHEN n_tokens < 16 THEN 4 ELSE 0 END" +
+          " + CASE WHEN chars_per_token_micro < 4800000" +
+          "        OR chars_per_token_micro > 5800000 THEN 8 ELSE 0 END")
+        .cast("long"))
+      .withColumn("keep", col("reason_mask") === 0L)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -125,6 +125,33 @@ class Round6EntropySpec extends SparkSpec {
     }
   }
 
+  test("pipe_quality_verdict: mask bits reconstruct from the component signals") {
+    val ent = operators.TextAnalysis.txtEntropyFilter(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(5))).toMap // n_tokens, entropy
+    val ppl = operators.TextAnalysis.txtDocPerplexity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val chars = Tables.documents(spark, sf0001).select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = operators.CorpusPipeline.pipeQualityVerdict(spark, sf0001).collect()
+    assert(got.length == ent.size, "one verdict per tokenizable doc")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (n, e) = ent(id)
+      val p = ppl(id)
+      val cpt = chars(id) * 1000000L / n
+      val mask = (if (e < 3500000L) 1L else 0L) + (if (p > 5000000L) 2L else 0L) +
+        (if (n < 16L) 4L else 0L) +
+        (if (cpt < 4800000L || cpt > 5800000L) 8L else 0L)
+      assert(r.getLong(5) == e && r.getLong(6) == p && r.getLong(7) == cpt)
+      assert(r.getLong(8) == mask, s"reason_mask for doc $id")
+      assert(r.getBoolean(9) == (mask == 0L))
+    }
+    // the composite is non-vacuous: keeps and drops both present, and
+    // at least two distinct failure reasons fire on this corpus
+    assert(got.exists(_.getBoolean(9)) && got.exists(!_.getBoolean(9)))
+    assert(got.filter(!_.getBoolean(9)).map(_.getLong(8)).distinct.length >= 2)
+  }
+
   test("txt_js_divergence: numerators recompute; JS bounded in [0, 1 bit]") {
     val toks = Tables.documents(spark, sf0001)
       .select(col("lang"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
