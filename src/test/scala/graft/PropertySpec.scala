@@ -61,4 +61,34 @@ class PropertySpec extends SparkSpec {
       assert(salted.sameElements(plain), s"mismatch at buckets=$buckets")
     }
   }
+
+  test("log2_fixed: monotone, 2^-20-accurate, and exact at powers of two across the domain") {
+    import org.apache.spark.sql.graft.Log2Fixed
+    val xs = samples(Gen.chooseNum(1L, (1L << 43) - 1), 200).sorted
+    xs.foreach { x =>
+      val lg = Log2Fixed.compute(x)
+      val approx = lg.toDouble / (1L << 20)
+      val truth = math.log(x.toDouble) / math.log(2.0)
+      assert(math.abs(approx - truth) <= 2.5e-6,
+        s"fixed-point log off by ${approx - truth} at $x")
+    }
+    xs.zip(xs.tail).foreach { case (a, b) =>
+      assert(Log2Fixed.compute(a) <= Log2Fixed.compute(b),
+        s"monotonicity violated between $a and $b")
+    }
+    (0 to 42).foreach { k =>
+      assert(Log2Fixed.compute(1L << k) == k.toLong * (1L << 20), s"2^$k not exact")
+    }
+    // shifted form agrees with compute inside the domain and stays
+    // monotone across the 2^43 boundary
+    samples(Gen.chooseNum(1L, (1L << 43) - 1), 50).foreach { x =>
+      assert(Log2Fixed.shifted(x) == Log2Fixed.compute(x))
+    }
+    val boundary = Seq((1L << 43) - 2, (1L << 43) - 1, 1L << 43, (1L << 43) + 1,
+      Long.MaxValue - 1, Long.MaxValue)
+    boundary.zip(boundary.tail).foreach { case (a, b) =>
+      assert(Log2Fixed.shifted(a) <= Log2Fixed.shifted(b),
+        s"shifted monotonicity violated between $a and $b")
+    }
+  }
 }
