@@ -18,6 +18,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // production extensions on, same as Bench/Verify — SQL-named
+      // graft functions (log2_fixed, simhash60, …) must resolve here
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get("target/plans"))

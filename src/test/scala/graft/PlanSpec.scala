@@ -282,12 +282,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("txt_doc_perplexity: lang totals broadcast; no cartesian anywhere") {
+  test("txt_doc_perplexity: lang totals broadcast; tokenize scan reused; no cartesian") {
     val df = graft.operators.TextAnalysis.txtDocPerplexity(spark, sf0001)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"lang totals must broadcast:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"))
+    // ref counts re-aggregate the per-doc counts, so AQE reuses the
+    // doc-term exchange instead of re-exploding the corpus
+    assert(p.contains("ReusedExchange"),
+      "the doc-term aggregate must be exchange-reused, not recomputed")
   }
 
   test("q118: the pair-expansion join feeds on day-keyed aggregates, both sides") {
