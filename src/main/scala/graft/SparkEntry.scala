@@ -3153,7 +3153,7 @@ object SparkEntry {
       ("""WITH RECURSIVE t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
-        |), c AS (
+        |), c AS MATERIALIZED (
         | SELECT lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2
         |), cs AS (
         | SELECT lang, c, greatest(0, length(bin(c)) - 43) sh,
@@ -3182,7 +3182,7 @@ object SparkEntry {
       ("""WITH RECURSIVE t AS (
         | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
-        |), c AS (
+        |), c AS MATERIALIZED (
         | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
         |), cs AS (
         | SELECT doc_id, c, greatest(0, length(bin(c)) - 43) sh,
@@ -3214,7 +3214,7 @@ object SparkEntry {
       ("""WITH RECURSIVE t AS (
         | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
-        |), dc AS (
+        |), dc AS MATERIALIZED (
         | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
         |), rc AS (
         | SELECT lang, term, cast(sum(c) as bigint) cr FROM dc GROUP BY 1, 2
@@ -3251,7 +3251,7 @@ object SparkEntry {
       ("""WITH RECURSIVE t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
-        |), c AS (
+        |), c AS MATERIALIZED (
         | SELECT lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2
         |), tot AS (
         | SELECT lang, cast(sum(c) as bigint) n_tok FROM c GROUP BY 1
@@ -3318,7 +3318,7 @@ object SparkEntry {
       ("""WITH RECURSIVE t AS (
         | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
-        |), dc AS (
+        |), dc AS MATERIALIZED (
         | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
         |), rc AS (
         | SELECT lang, term, cast(sum(c) as bigint) cr FROM dc GROUP BY 1, 2
@@ -3384,7 +3384,7 @@ object SparkEntry {
       ("""WITH RECURSIVE t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
         | FROM documents
-        |), c AS (
+        |), c AS MATERIALIZED (
         | SELECT lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2
         |), tot AS (
         | SELECT lang, cast(sum(c) as bigint) n_tok FROM c GROUP BY 1
@@ -3406,7 +3406,7 @@ object SparkEntry {
         | FROM pairs p CROSS JOIN terms tm
         | LEFT JOIN c ca ON ca.lang = p.la AND ca.term = tm.term
         | LEFT JOIN c cb ON cb.lang = p.lb AND cb.term = tm.term
-        |), u2 AS (
+        |), u2 AS MATERIALIZED (
         | SELECT la, lb, ca, cb,
         |  greatest(0, length(bin(ca + 1)) - 43) sca,
         |  (ca + 1) // (cast(1 as bigint) << greatest(0, length(bin(ca + 1)) - 43)) caa,
