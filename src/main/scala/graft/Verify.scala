@@ -4,6 +4,21 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Registration lint: no DecimalType may leave a gated query — the
+    * driver's hash is dtype-sensitive and Spark-parquet DECIMAL vs
+    * DuckDB-computed DECIMAL hash differently even when every value
+    * matches (r4 HUGEINT, r5 DECIMAL episodes). Exact integers leave
+    * as BIGINT; >2^63 statistics as STRING. Factored out so the spec
+    * can prove the red path fires. */
+  def assertNoDecimalOutput(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val decCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+    }
+    require(decCols.isEmpty,
+      s"$name emits DecimalType column(s) ${decCols.mkString(", ")} — " +
+        "cast to BIGINT (bounded) or STRING (past 2^63) at the output edge")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println("usage: graft.Verify <sfDir> <outDir> [queryName...]")
@@ -31,17 +46,7 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // registration lint: no DecimalType may leave a gated query —
-        // the driver's hash is dtype-sensitive and Spark-parquet
-        // DECIMAL vs DuckDB-computed DECIMAL hash differently even
-        // when every value matches (r4 HUGEINT, r5 DECIMAL episodes).
-        // Exact integers leave as BIGINT; >2^63 statistics as STRING.
-        val decCols = df.schema.fields.collect {
-          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
-        }
-        require(decCols.isEmpty,
-          s"$name emits DecimalType column(s) ${decCols.mkString(", ")} — " +
-            "cast to BIGINT (bounded) or STRING (past 2^63) at the output edge")
+        assertNoDecimalOutput(df, name)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>

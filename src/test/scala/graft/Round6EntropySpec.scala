@@ -125,6 +125,18 @@ class Round6EntropySpec extends SparkSpec {
     }
   }
 
+  test("Verify's DecimalType lint: red on a decimal output, green on the allowed carriers") {
+    import spark.implicits._
+    val bad = Seq(1L).toDF("k").selectExpr("k", "cast(42 as decimal(38,0)) v")
+    val e = intercept[IllegalArgumentException] {
+      Verify.assertNoDecimalOutput(bad, "bad_decimal")
+    }
+    assert(e.getMessage.contains("bad_decimal") && e.getMessage.contains("v"))
+    val good = Seq(1L).toDF("k").selectExpr(
+      "k", "cast(42 as string) s", "cast(1.5 as double) d", "k * 1000000 m")
+    Verify.assertNoDecimalOutput(good, "good") // must not throw
+  }
+
   test("pipe_quality_verdict: mask bits reconstruct from the component signals") {
     val ent = operators.TextAnalysis.txtEntropyFilter(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(5))).toMap // n_tokens, entropy
