@@ -73,7 +73,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // subset dev runs dump only the named queries — the oracle file
+    // must match, or the checker's missing-dump completeness test
+    // (which is how a lint-failed query stays RED on full runs) would
+    // flag every un-dumped query
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

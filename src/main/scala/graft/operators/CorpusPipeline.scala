@@ -713,11 +713,15 @@ object CorpusPipeline {
     * at 100 TB this is two vocab-pass signals + one id-keyed join,
     * and the text column never moves. */
   def pipeQualityVerdict(spark: SparkSession, dir: String): DataFrame = {
+    // bits 1/2 reuse the COMPONENT operators' own boolean flags, so
+    // their thresholds live in exactly one place each (the components'
+    // parameter defaults) and the composite cannot silently diverge
     val ent = TextAnalysis.txtEntropyFilter(spark, dir)
       .select(col("doc_id"), col("n_tokens"),
-        col("bits_per_token_micro").as("entropy_micro"))
+        col("bits_per_token_micro").as("entropy_micro"), col("low_entropy"))
     val ppl = TextAnalysis.txtDocPerplexity(spark, dir)
-      .select(col("doc_id"), col("bits_micro").as("ppl_micro"))
+      .select(col("doc_id"), col("bits_micro").as("ppl_micro"),
+        col("high_perplexity"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .join(ent, Seq("doc_id")) // inner: zero-token docs have no verdict
@@ -725,12 +729,13 @@ object CorpusPipeline {
       .withColumn("chars_per_token_micro",
         expr("n_chars * 1000000 div n_tokens"))
       .withColumn("reason_mask", expr(
-        "CASE WHEN entropy_micro < 3500000 THEN 1 ELSE 0 END" +
-          " + CASE WHEN ppl_micro > 5000000 THEN 2 ELSE 0 END" +
+        "CASE WHEN low_entropy THEN 1 ELSE 0 END" +
+          " + CASE WHEN high_perplexity THEN 2 ELSE 0 END" +
           " + CASE WHEN n_tokens < 16 THEN 4 ELSE 0 END" +
           " + CASE WHEN chars_per_token_micro < 4800000" +
           "        OR chars_per_token_micro > 5800000 THEN 8 ELSE 0 END")
         .cast("long"))
+      .drop("low_entropy", "high_perplexity")
       .withColumn("keep", col("reason_mask") === 0L)
       .orderBy(col("doc_id"))
   }

@@ -492,8 +492,12 @@ object Streams {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.graft.Log2Fixed
     docs.flatMap { d =>
-      val toks = d.text.split(" ").filter(_.nonEmpty)
-      if (toks.isEmpty) None // zero-token docs: batch twin's explode drops them too
+      // null/zero-token docs: the batch twin's split→filter→explode
+      // yields no row for them — skip, don't kill the stream
+      val toks =
+        if (d.text == null) Array.empty[String]
+        else d.text.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
       else {
         val n = toks.length.toLong
         val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)

@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
   * of the same three integer ops — produces the IDENTICAL scaled
   * integer. That is what makes entropy-family statistics (perplexity,
   * KL divergence) exactly gateable where a float `log()` would be
-  * 1-ulp unstable across engines. Max absolute error vs true log2 is
-  * 2⁻²⁰ (~1e-6), far below any decision threshold these metrics feed.
+  * 1-ulp unstable across engines. The recurrence truncates r at each
+  * of the 20 squarings (no guard bits), so the absolute error vs true
+  * log2 is a few ulp of the 2⁻²⁰ scale — ≤ 2.5e-6 by the executable
+  * property (PropertySpec) — far below any decision threshold these
+  * metrics feed.
   *
   * Domain: 1 ≤ x < 2⁴³ (the r₀ shift needs x·2²⁰ inside int64);
   * null outside. 2⁴³ ≈ 8.8e12 covers any per-group token count this
@@ -69,19 +72,7 @@ case class Log2Fixed(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[Long]
     if (x <= 0L || x >= (1L << 43)) null
-    else {
-      val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
-      var r = (x << 20) >> m
-      var acc = 0L
-      var i = 0
-      while (i < 20) {
-        r = (r * r) >> 20
-        if (r >= (1L << 21)) { acc = (acc << 1) | 1L; r >>= 1 }
-        else acc <<= 1
-        i += 1
-      }
-      m.toLong * (1L << 20) + acc
-    }
+    else Log2Fixed.compute(x) // ONE interpreted copy; codegen mirrors it
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -24,13 +24,14 @@ def main():
         if not os.path.isdir(d):
             continue
         rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
-        for c, t in zip(rel.columns, rel.types):
-            if str(t) != "BIGINT":
-                continue
-            mx = con.sql(
-                f'SELECT max(abs("{c}")) FROM \'{d}/*.parquet\'').fetchone()[0]
-            if (key, c) in ALLOW:
-                continue
+        cols = [c for c, t in zip(rel.columns, rel.types)
+                if str(t) == "BIGINT" and (key, c) not in ALLOW]
+        if not cols:
+            continue
+        # one scan per directory for all columns
+        agg = ", ".join(f'max(abs("{c}"))' for c in cols)
+        maxes = con.sql(f"SELECT {agg} FROM '{d}/*.parquet'").fetchone()
+        for c, mx in zip(cols, maxes):
             if mx is not None and mx > limit:
                 flagged += 1
                 print(f"LOW-HEADROOM\t{key}\t{c}\tmax|v|={mx}\t"

@@ -37,6 +37,14 @@ def main():
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # completeness: a query that THROWS inside Verify (including its
+    # DecimalType lint) has its dump deleted and would otherwise vanish
+    # from this loop silently — every oracle key must have a dump dir
+    for key in sorted(oracle):
+        if not os.path.isdir(os.path.join(outdir, key)):
+            n_fail += 1
+            print(f"[FAIL] {key}: no dump — query failed inside Verify "
+                  "(check its stderr for '[verify] ... failed')")
     for key in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, key)
         if not os.path.isdir(d):
