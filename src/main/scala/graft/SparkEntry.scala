@@ -3271,7 +3271,11 @@ object SparkEntry {
         | WHERE coalesce(ca.c, 0) > 0 OR coalesce(cb.c, 0) > 0
         |), u2 AS (
         | SELECT *, greatest(0, length(bin(s_w)) - 43) ss,
-        |  s_w // (cast(1 as bigint) << greatest(0, length(bin(s_w)) - 43)) sarg
+        |  s_w // (cast(1 as bigint) << greatest(0, length(bin(s_w)) - 43)) sarg,
+        |  greatest(0, length(bin(ca + 1)) - 43) sca,
+        |  (ca + 1) // (cast(1 as bigint) << greatest(0, length(bin(ca + 1)) - 43)) caa,
+        |  greatest(0, length(bin(cb + 1)) - 43) scb,
+        |  (cb + 1) // (cast(1 as bigint) << greatest(0, length(bin(cb + 1)) - 43)) cba
         | FROM u
         |), pd AS (
         | SELECT la, lb, n_a, n_b, v_glob, d_a, d_b,
@@ -3281,18 +3285,18 @@ object SparkEntry {
         | FROM pairs
         |), lgvals(x) AS (
         | SELECT DISTINCT x FROM (
-        |  SELECT ca + 1 AS x FROM u2 UNION ALL SELECT cb + 1 FROM u2
+        |  SELECT caa AS x FROM u2 UNION ALL SELECT cba FROM u2
         |  UNION ALL SELECT sarg FROM u2
         |  UNION ALL SELECT daa FROM pd UNION ALL SELECT dba FROM pd
         |  UNION ALL SELECT daba FROM pd)
         |), """ + LgCte + """, s AS (
         | SELECT u2.la, u2.lb, cast(count(*) as bigint) n_union,
-        |  sum(cast(u2.ca + 1 as hugeint) * (1048576 + lca.lg + (lgb.lg + pd.sb * 1048576) - (ls.lg + u2.ss * 1048576))) ja,
-        |  sum(cast(u2.cb + 1 as hugeint) * (1048576 + lcb.lg + (lga.lg + pd.sa * 1048576) - (ls.lg + u2.ss * 1048576))) jb
+        |  sum(cast(u2.ca + 1 as hugeint) * (1048576 + (lca.lg + u2.sca * 1048576) + (lgb.lg + pd.sb * 1048576) - (ls.lg + u2.ss * 1048576))) ja,
+        |  sum(cast(u2.cb + 1 as hugeint) * (1048576 + (lcb.lg + u2.scb * 1048576) + (lga.lg + pd.sa * 1048576) - (ls.lg + u2.ss * 1048576))) jb
         | FROM u2
         | JOIN pd ON pd.la = u2.la AND pd.lb = u2.lb
-        | JOIN lg lca ON lca.x = u2.ca + 1
-        | JOIN lg lcb ON lcb.x = u2.cb + 1
+        | JOIN lg lca ON lca.x = u2.caa
+        | JOIN lg lcb ON lcb.x = u2.cba
         | JOIN lg ls ON ls.x = u2.sarg
         | JOIN lg lga ON lga.x = pd.daa
         | JOIN lg lgb ON lgb.x = pd.dba

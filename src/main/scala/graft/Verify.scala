@@ -11,8 +11,19 @@ object Verify {
     * as BIGINT; >2^63 statistics as STRING. Factored out so the spec
     * can prove the red path fires. */
   def assertNoDecimalOutput(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    // recurse: a DecimalType nested inside a struct/array/map output must
+    // fail here too, matching tools/oracle_check.py's stringified-type ban
+    // (DataType.existsRecursively is private[spark], so walk by hand)
+    import org.apache.spark.sql.types._
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
     val decCols = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+      case f if hasDecimal(f.dataType) => f.name
     }
     require(decCols.isEmpty,
       s"$name emits DecimalType column(s) ${decCols.mkString(", ")} — " +

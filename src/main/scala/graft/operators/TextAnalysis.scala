@@ -1175,7 +1175,14 @@ object TextAnalysis {
     * p_x = (c_x+1)/D_x, D_x = N_x+V and m = (p_a+p_b)/2,
     * lg(p_a/m) = 2²⁰ + lg(c_a+1) + lg(D_b) − lg(S_w) over the common
     * numerator S_w = (c_a+1)·D_b + (c_b+1)·D_a — every term one
-    * [[lgShift]] integer. The zero-both vocab mass has the closed form
+    * [[lgShift]] integer. Domain note: [[lgShift]] extends each LOG
+    * argument past 2⁴³, but S_w itself is FORMED in int64 before the
+    * shift; the c·D cross term passes 2⁶³ at roughly N ≈ 3·10⁹ tokens
+    * per language (≈2³¹·⁵ — far below the 2⁴³ per-argument limit),
+    * where non-ANSI Spark would wrap silently and DuckDB would error.
+    * That is the operator's true domain ceiling; past it, shard the
+    * corpus per language before pairing (the per-shard JS is the
+    * mixing signal anyway). The zero-both vocab mass has the closed form
     * (V−|union|)·(2²⁰ + lg(D_x̄) − lg(D_a+D_b)) per direction. Emitted
     * as both directions' exact KL(x‖m) numerators at scale D_x·2²⁰
     * plus the combined JS micro-bits (decimal-internal cross-multiply;
