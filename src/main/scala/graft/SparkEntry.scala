@@ -232,6 +232,8 @@ object SparkEntry {
     "txt_entropy_filter" -> ((s: SparkSession, d: String) => TextAnalysis.txtEntropyFilter(s, d)),
     "txt_doc_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocPerplexity(s, d)),
     "txt_js_divergence" -> (TextAnalysis.txtJsDivergence _),
+    "txt_cond_entropy" -> (TextAnalysis.txtCondEntropy _),
+    "txt_doc_kn_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocKnPerplexity(s, d)),
     "pipe_quality_verdict" -> (CorpusPipeline.pipeQualityVerdict _),
     "txt_langid_kappa" -> (TextAnalysis.txtLangidKappa _),
     "txt_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.txtBurstiness(s, d)),
@@ -3318,6 +3320,116 @@ object SparkEntry {
         |  * (abs(cast(js_a_num as hugeint) * d_b + cast(js_b_num as hugeint) * d_a) * 1000000
         |     // (cast(2 as hugeint) * d_a * d_b * 1048576)) as bigint) AS js_micro
         |FROM k ORDER BY lang_a, lang_b""").stripMargin,
+    "txt_cond_entropy" ->
+      ("""WITH RECURSIVE toks AS (
+        | SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), bi AS (
+        | SELECT lang, unnest(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1]))) b
+        | FROM toks WHERE len(t) >= 2
+        |), bx AS (SELECT lang, b.w1 w1, b.w2 w2 FROM bi),
+        |counts AS MATERIALIZED (
+        | SELECT lang, w1, w2, cast(count(*) as bigint) c FROM bx GROUP BY 1, 2, 3
+        |), pre AS MATERIALIZED (
+        | SELECT lang, w1, cast(sum(c) as bigint) cw1 FROM counts GROUP BY 1, 2
+        |), cs AS (
+        | SELECT lang, c, greatest(0, length(bin(c)) - 43) sh,
+        |  c // (cast(1 as bigint) << greatest(0, length(bin(c)) - 43)) arg
+        | FROM counts
+        |), ps AS (
+        | SELECT lang, cw1, greatest(0, length(bin(cw1)) - 43) sh,
+        |  cw1 // (cast(1 as bigint) << greatest(0, length(bin(cw1)) - 43)) arg
+        | FROM pre
+        |), tot AS (
+        | SELECT lang, cast(count(*) as bigint) n_bigram_types, cast(sum(c) as bigint) n_bigrams
+        | FROM counts GROUP BY 1
+        |), npx AS (SELECT lang, cast(count(*) as bigint) n_prefix_types FROM pre GROUP BY 1),
+        |ts AS (
+        | SELECT lang, n_bigram_types, n_bigrams, greatest(0, length(bin(n_bigrams)) - 43) sh,
+        |  n_bigrams // (cast(1 as bigint) << greatest(0, length(bin(n_bigrams)) - 43)) arg
+        | FROM tot
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT arg AS x FROM cs UNION ALL SELECT arg FROM ps
+        |  UNION ALL SELECT arg FROM ts)
+        |), """ + LgCte + """, sbg AS (
+        | SELECT cs.lang, sum(cast(cs.c as hugeint) * (l.lg + cs.sh * 1048576)) s
+        | FROM cs JOIN lg l ON l.x = cs.arg GROUP BY 1
+        |), spre AS (
+        | SELECT ps.lang, sum(cast(ps.cw1 as hugeint) * (l.lg + ps.sh * 1048576)) s
+        | FROM ps JOIN lg l ON l.x = ps.arg GROUP BY 1
+        |), h AS (
+        | SELECT ts.lang, ts.n_bigrams, ts.n_bigram_types, npx.n_prefix_types,
+        |  cast(cast(ts.n_bigrams as hugeint) * (l.lg + ts.sh * 1048576) - sbg.s as bigint) h_joint_num,
+        |  cast(spre.s - sbg.s as bigint) h_cond_num,
+        |  cast((cast(ts.n_bigrams as hugeint) * (l.lg + ts.sh * 1048576) - sbg.s) * 1000000
+        |    // (cast(ts.n_bigrams as hugeint) * 1048576) as bigint) joint_bits_micro,
+        |  cast((spre.s - sbg.s) * 1000000
+        |    // (cast(ts.n_bigrams as hugeint) * 1048576) as bigint) cond_bits_micro
+        | FROM ts JOIN lg l ON l.x = ts.arg
+        | JOIN npx ON npx.lang = ts.lang
+        | JOIN sbg ON sbg.lang = ts.lang JOIN spre ON spre.lang = ts.lang
+        |)
+        |SELECT lang, n_bigrams, n_bigram_types, n_prefix_types, h_joint_num,
+        | h_cond_num, joint_bits_micro, cond_bits_micro
+        |FROM h ORDER BY lang""").stripMargin,
+    "txt_doc_kn_perplexity" ->
+      ("""WITH RECURSIVE toks AS (
+        | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), bi AS (
+        | SELECT doc_id, lang, unnest(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1]))) b
+        | FROM toks WHERE len(t) >= 2
+        |), bx AS (SELECT doc_id, lang, b.w1 w1, b.w2 w2 FROM bi),
+        |db AS MATERIALIZED (
+        | SELECT doc_id, lang, w1, w2, cast(count(*) as bigint) c_d FROM bx GROUP BY 1, 2, 3, 4
+        |), counts AS MATERIALIZED (
+        | SELECT lang, w1, w2, cast(sum(c_d) as bigint) c FROM db GROUP BY 1, 2, 3
+        |), prefix AS (
+        | SELECT lang, w1, cast(sum(c) as bigint) cw1, cast(count(*) as bigint) n_follow
+        | FROM counts GROUP BY 1, 2
+        |), contin AS (
+        | SELECT lang, w2, cast(count(*) as bigint) n_precede FROM counts GROUP BY 1, 2
+        |), btot AS (SELECT lang, cast(count(*) as bigint) b_types FROM counts GROUP BY 1),
+        |lm AS MATERIALIZED (
+        | SELECT c.lang, c.w1, c.w2,
+        |  cast(4 * c.c - 3 as bigint) * b.b_types + 3 * p.n_follow * k.n_precede p_num,
+        |  p.cw1, b.b_types
+        | FROM counts c
+        | JOIN prefix p ON p.lang = c.lang AND p.w1 = c.w1
+        | JOIN contin k ON k.lang = c.lang AND k.w2 = c.w2
+        | JOIN btot b ON b.lang = c.lang
+        |), ls AS MATERIALIZED (
+        | SELECT lang, w1, w2,
+        |  greatest(0, length(bin(p_num)) - 43) shn,
+        |  p_num // (cast(1 as bigint) << greatest(0, length(bin(p_num)) - 43)) an,
+        |  greatest(0, length(bin(cw1)) - 43) shc,
+        |  cw1 // (cast(1 as bigint) << greatest(0, length(bin(cw1)) - 43)) ac,
+        |  greatest(0, length(bin(b_types)) - 43) shb,
+        |  b_types // (cast(1 as bigint) << greatest(0, length(bin(b_types)) - 43)) ab
+        | FROM lm
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT an AS x FROM ls UNION ALL SELECT ac FROM ls
+        |  UNION ALL SELECT ab FROM ls)
+        |), """ + LgCte + """, bw AS (
+        | SELECT ls.lang, ls.w1, ls.w2,
+        |  2097152 + (lc.lg + ls.shc * 1048576) + (lb.lg + ls.shb * 1048576)
+        |   - (lgn.lg + ls.shn * 1048576) bits_w
+        | FROM ls
+        | JOIN lg lgn ON lgn.x = ls.an
+        | JOIN lg lc ON lc.x = ls.ac
+        | JOIN lg lb ON lb.x = ls.ab
+        |), agg AS (
+        | SELECT db.doc_id, db.lang, cast(sum(c_d) as bigint) n_bigrams,
+        |  sum(cast(c_d as hugeint) * bw.bits_w) sb
+        | FROM db JOIN bw ON bw.lang = db.lang AND bw.w1 = db.w1 AND bw.w2 = db.w2
+        | GROUP BY 1, 2
+        |), r AS (
+        | SELECT doc_id, lang, n_bigrams, cast(sb as bigint) kn_bits_num,
+        |  cast((CASE WHEN sb < 0 THEN -1 ELSE 1 END)
+        |   * (abs(sb) * 1000000 // (cast(n_bigrams as hugeint) * 1048576)) as bigint) bits_micro
+        | FROM agg
+        |)
+        |SELECT doc_id, lang, n_bigrams, kn_bits_num, bits_micro,
+        | bits_micro > 5000000 AS high_perplexity
+        |FROM r ORDER BY doc_id""").stripMargin,
     "pipe_quality_verdict" ->
       ("""WITH RECURSIVE t AS (
         | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term

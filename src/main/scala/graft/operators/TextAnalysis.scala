@@ -1288,6 +1288,113 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Conditional bigram entropy H(w₂|w₁) per language — the bigram-LM
+    * extension of [[txtPerplexity]]'s unigram tier: how predictable is
+    * the next word given the previous one (templated/boilerplate
+    * corpora score near zero; diverse prose scores high). Via the
+    * chain rule H(W₂|W₁) = H(W₁,W₂) − H(W₁), both terms collapse to
+    * the same exact fixed-point device: with bigram counts c(w₁,w₂),
+    * prefix counts c(w₁)=Σ_w₂ c, and N total bigrams,
+    * H_cond·N·2²⁰ = Σ_w₁ c(w₁)·lg(c(w₁)) − Σ c(w₁,w₂)·lg(c(w₁,w₂)),
+    * every lg one [[lgShift]] integer. Nonnegativity is EXACT even
+    * under lg truncation (lg monotone ⇒ Σ_w₂ c·lg_f(c) ≤ c(w₁)·
+    * lg_f(c(w₁))), so the micro division needs no sign split. The
+    * log runs on BIGRAM-TYPE-keyed aggregates, never per token —
+    * the same vocab-bounded discipline as the unigram tier. */
+  def txtCondEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.ngramArray("text", 2)).as("bg"))
+      .select(col("lang"),
+        expr("split(bg, ' ')[0]").as("w1"), expr("split(bg, ' ')[1]").as("w2"))
+      .groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val joint = counts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_bigram_types"),
+        sum(col("c")).as("n_bigrams"),
+        sum(expr(s"cast(c as decimal(38,0)) * ${lgShift("c")}")).as("_sbg"))
+    // prefix marginal re-aggregates the bigram counts (identical values)
+    // so the bigram-count exchange appears in both branches and
+    // ReusedExchange runs the tokenize scan once (txtDocPerplexity form)
+    val prefix = counts.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c")).as("cw1"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_prefix_types"),
+        sum(expr(s"cast(cw1 as decimal(38,0)) * ${lgShift("cw1")}")).as("_spre"))
+    joint.join(prefix, Seq("lang"))
+      .select(col("lang"), col("n_bigrams"), col("n_bigram_types"), col("n_prefix_types"),
+        expr(s"cast(cast(n_bigrams as decimal(38,0)) * ${lgShift("n_bigrams")} - _sbg as bigint)")
+          .as("h_joint_num"),
+        expr("cast(_spre - _sbg as bigint)").as("h_cond_num"),
+        expr(s"cast(cast(cast(n_bigrams as decimal(38,0)) * ${lgShift("n_bigrams")} - _sbg as decimal(38,0))" +
+          " * 1000000 div (cast(n_bigrams as decimal(38,0)) * 1048576) as bigint)")
+          .as("joint_bits_micro"),
+        expr("cast(cast(_spre - _sbg as decimal(38,0))" +
+          " * 1000000 div (cast(n_bigrams as decimal(38,0)) * 1048576) as bigint)")
+          .as("cond_bits_micro"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-document perplexity under the document's language's
+    * INTERPOLATED KNESER–NEY BIGRAM LM — the stronger canonical
+    * pretraining quality filter above [[txtDocPerplexity]]'s unigram
+    * reference: P_KN(w₂|w₁) = (c−¾)/c(w₁) + ¾·(n_follow/c(w₁))·
+    * (n_precede/B), the exact rational the repo already gates
+    * globally as `txt_kn_prob` (p_num/p_den with d=¾), here built
+    * PER LANGUAGE. Per doc-bigram, bits = lg(p_den) − lg(p_num);
+    * the denominator 4·c(w₁)·B is a pure product, so it DECOMPOSES
+    * exactly: lg(p_den) ≐ 2·2²⁰ + lg(c(w₁)) + lg(B) — no corpus²
+    * integer ever forms on that side (the KL/JS discipline). The
+    * numerator (4c−3)·B + 3·n_follow·n_precede is irreducible and is
+    * formed in int64: its domain ceiling is c·B < 2⁶¹ (past it, shard
+    * per language — same ceiling class as the JS mixture numerator,
+    * documented there). Reference counts include the doc itself (the
+    * deterministic quick-filter form, as [[txtDocPerplexity]]).
+    * 100 TB shape: lg runs on the BIGRAM-TYPE-keyed LM table; doc
+    * bigrams join it on (lang,w₁,w₂) — one shuffle on the bigram key;
+    * per-lang B broadcast. The micro division is SIGN-SPLIT: near-
+    * deterministic docs can sum a few negative lg-truncation ulps. */
+  def txtDocKnPerplexity(spark: SparkSession, dir: String,
+      maxBitsMicro: Long = 5000000L): DataFrame = {
+    val docBg = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), explode(TextOps.ngramArray("text", 2)).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        expr("split(bg, ' ')[0]").as("w1"), expr("split(bg, ' ')[1]").as("w2"))
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_d"))
+    // the reference LM re-aggregates the per-doc counts (identical
+    // values) — the doc-bigram exchange appears in both branches and
+    // ReusedExchange runs the tokenize scan ONCE (txtDocPerplexity form)
+    val counts = docBg.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(sum(col("c_d")).as("c"))
+    val prefix = counts.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n_follow"))
+    val contin = counts.groupBy(col("lang"), col("w2"))
+      .agg(count(lit(1)).as("n_precede"))
+    val btot = counts.groupBy(col("lang")).agg(count(lit(1)).as("b_types"))
+    val lm = counts
+      .join(prefix, Seq("lang", "w1")).join(contin, Seq("lang", "w2"))
+      .join(broadcast(btot), Seq("lang"))
+      .select(col("lang"), col("w1"), col("w2"),
+        expr("cast(cast(4 * c - 3 as decimal(38,0)) * b_types" +
+          " + cast(3 as decimal(38,0)) * n_follow * n_precede as bigint)").as("p_num"),
+        col("cw1"), col("b_types"))
+      .select(col("lang"), col("w1"), col("w2"),
+        expr(s"2097152 + ${lgShift("cw1")} + ${lgShift("b_types")}" +
+          s" - ${lgShift("p_num")}").as("bits_w"))
+    docBg.join(lm, Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c_d")).as("n_bigrams"),
+        sum(expr("cast(c_d as decimal(38,0)) * bits_w")).as("_sb"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        expr("cast(_sb as bigint)").as("kn_bits_num"),
+        expr("cast((CASE WHEN _sb < 0 THEN -1 ELSE 1 END)" +
+          " * (abs(cast(_sb as decimal(38,0))) * 1000000" +
+          " div (cast(n_bigrams as decimal(38,0)) * 1048576)) as bigint)")
+          .as("bits_micro"))
+      .withColumn("high_perplexity", col("bits_micro") > maxBitsMicro)
+      .orderBy(col("doc_id"))
+  }
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)
