@@ -509,4 +509,89 @@ object Streams {
       }
     }
   }
+
+  case class DocPerplexity(doc_id: Long, lang: String, n_tokens: Long,
+      ppl_num: Long, bits_micro: Long, high_perplexity: Boolean)
+
+  /** Write half of the reference-LM lake: persist the per-(lang, term)
+    * smoothed-unigram reference counts and the per-lang totals that
+    * TextAnalysis.txtDocPerplexity derives on the fly — the
+    * signature-lake pattern (Dedup.sigLakeUpsert) applied to the LM:
+    * build once from the trusted corpus, then every future stream/batch
+    * scores against the SNAPSHOT instead of re-aggregating the corpus.
+    * Layout: `path/terms` (lang, term, cr) vocab-keyed — corpus-sized,
+    * partition-prunable on lang; `path/totals` (lang, v_l, n_l) — one
+    * row per language. */
+  def refLmWrite(spark: SparkSession, dir: String, path: String): Unit = {
+    val terms = graft.functions.TextOps.balanced(graft.Tables.documents(spark, dir))
+      .select(col("lang"), explode(graft.functions.TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("cr"))
+    terms.write.mode("overwrite").parquet(s"$path/terms")
+    spark.read.parquet(s"$path/terms")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("v_l"), sum(col("cr")).as("n_l"))
+      .write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  /** Streaming per-document reference-LM perplexity gate — the
+    * deployment shape of TextAnalysis.txtDocPerplexity: each arriving
+    * doc is scored against the PERSISTED reference LM (the
+    * [[refLmWrite]] snapshot) via a STREAM-STATIC join on
+    * (lang, term) — the static side is the vocab-keyed parquet lake,
+    * never broadcast, never re-aggregated per trigger. The per-doc
+    * rollup runs as flatMapGroupsWithState with ZERO retained state
+    * (state is never set): each doc's term rows land in one micro-batch
+    * by the doc-arrives-whole contract every doc-local twin here uses,
+    * so the group closes within the trigger. Snapshot semantics: counts
+    * are AS-OF the lake write — a term the snapshot has never seen
+    * scores as cr = 0, so its add-one-smoothed surprisal term is
+    * lg(0+1) = 0, i.e. maximal surprise under the decomposed statistic
+    * (the lg(N_l+V_l) mass is uncompensated); languages absent from the
+    * snapshot are skipped — there is no LM to score against. On the
+    * snapshot's own corpus the output is row-identical to the batch
+    * operator (StreamingSpec parity). */
+  def docPerplexityStream(docs: Dataset[DocText], refLmPath: String,
+      maxBitsMicro: Long = 5000000L): Dataset[DocPerplexity] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Log2Fixed
+    val refTerms = spark.read.parquet(s"$refLmPath/terms")
+    // per-lang totals: |langs| rows — a driver map, captured by value
+    val totals = spark.read.parquet(s"$refLmPath/totals").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc-local term counts, map-side (zero state, like entropyGateStream)
+    val docTerms = docs.flatMap { d =>
+      val toks =
+        if (d.text == null) Array.empty[String]
+        else d.text.split(" ").filter(_.nonEmpty)
+      toks.groupBy(identity).iterator
+        .map { case (t, g) => (d.doc_id, d.lang, t, g.length.toLong) }
+    }.toDF("doc_id", "lang", "term", "c")
+    // stream-static join: stream side keyed (lang, term); OOV → cr = 0
+    val joined = docTerms
+      .join(refTerms, Seq("lang", "term"), "left")
+      .select(col("doc_id"), col("lang"), col("c"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .as[(Long, String, Long, Long)]
+    joined.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, DocPerplexity](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((docId, lang), rows, _: GroupState[Boolean]) =>
+          totals.get(lang) match {
+            case None => Iterator.empty // lang absent from the snapshot
+            case Some((vl, nl)) =>
+              var n = 0L
+              var sclg = BigInt(0)
+              rows.foreach { case (_, _, c, cr) =>
+                n += c
+                sclg += BigInt(c) * Log2Fixed.shifted(cr + 1)
+              }
+              val pplNum = BigInt(n) * Log2Fixed.shifted(nl + vl) - sclg
+              val micro = (pplNum * 1000000 / (BigInt(n) * 1048576)).toLong
+              Iterator.single(DocPerplexity(docId, lang, n, pplNum.toLong,
+                micro, micro > maxBitsMicro))
+          }
+      }
+  }
 }

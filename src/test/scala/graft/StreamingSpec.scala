@@ -60,6 +60,44 @@ class StreamingSpec extends SparkSpec {
       "in-flight entropy scores and flags must equal the batch operator row for row")
   }
 
+  test("streaming reference-LM perplexity gate matches the batch filter on the snapshot corpus") {
+    // write half: persist the per-(lang,term) reference LM lake
+    val lake = Files.createTempDirectory("ref_lm_lake")
+    Streams.refLmWrite(spark, sf0001, lake.toString)
+    // stream the SAME corpus the snapshot was built from — txtDocPerplexity's
+    // self-included reference makes the batch operator the exact oracle
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("ppl_stream")
+    docs.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
+      .as[Streams.DocText]
+    runToMemory(Streams.docPerplexityStream(stream, lake.toString).toDF(), "ppl_stream_t")
+    val streamed = spark.sql("select * from ppl_stream_t").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    val batch = graft.operators.TextAnalysis.txtDocPerplexity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(streamed == batch,
+      "stream-static scores and flags must equal the batch operator row for row")
+    // snapshot semantics: a post-snapshot doc with OOV terms still scores
+    // (cr=0 path) and an unseen language is skipped, not an error
+    import spark.implicits._
+    val late = Seq(
+      Streams.DocText(900001L, "en", "zzzunseen zzzunseen qqqnovel"),
+      Streams.DocText(900002L, "xx", "no lm for this language")).toDS()
+    docs.sparkSession.createDataFrame(late.toDF().rdd, late.toDF().schema)
+      .write.mode("overwrite").parquet(src.toString + "_late")
+    val lateStream = spark.readStream.schema(docs.schema)
+      .parquet(src.toString + "_late").as[Streams.DocText]
+    runToMemory(Streams.docPerplexityStream(lateStream, lake.toString).toDF(), "ppl_late_t")
+    val lateRows = spark.sql("select * from ppl_late_t").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(lateRows.keySet == Set(900001L), "unseen lang skipped, OOV doc scored")
+    assert(lateRows(900001L), "an all-OOV doc maxes surprisal and is flagged")
+  }
+
   test("streaming ODNS ingest matches the batch reader") {
     val dir = Files.createTempDirectory("stream_odns")
     OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-01.csv.gz",
