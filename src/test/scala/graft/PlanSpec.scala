@@ -294,6 +294,20 @@ class PlanSpec extends SparkSpec {
       "the doc-term aggregate must be exchange-reused, not recomputed")
   }
 
+  test("pipe_quality_verdict: the composite's duplicate doc-term subtrees collapse under AQE") {
+    // the static plan shows ~10 parquet scans (the composite reuses
+    // txtEntropyFilter + txtDocPerplexity whose doc-term aggregates are
+    // identical subtrees) — this spec pins that the EXECUTED plan
+    // collapses them via ReusedExchange, so the tokenize scan does not
+    // run once per component at 100 TB
+    val df = graft.operators.CorpusPipeline.pipeQualityVerdict(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "the composite must exchange-reuse the shared doc-term aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q118: the pair-expansion join feeds on day-keyed aggregates, both sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val plan = Analytics.q118MannKendall(spark, sf0001)
