@@ -234,6 +234,8 @@ object SparkEntry {
     "txt_js_divergence" -> (TextAnalysis.txtJsDivergence _),
     "txt_cond_entropy" -> (TextAnalysis.txtCondEntropy _),
     "txt_doc_kn_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocKnPerplexity(s, d)),
+    "dd_semantic_decontaminate" -> ((s: SparkSession, d: String) => Dedup.ddSemanticDecontaminate(s, d)),
+    "pipe_quality_funnel" -> (CorpusPipeline.pipeQualityFunnel _),
     "pipe_quality_verdict" -> (CorpusPipeline.pipeQualityVerdict _),
     "txt_langid_kappa" -> (TextAnalysis.txtLangidKappa _),
     "txt_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.txtBurstiness(s, d)),
@@ -3496,6 +3498,164 @@ object SparkEntry {
         | ppl_micro, chars_per_token_micro, reason_mask,
         | reason_mask = 0 AS keep
         |FROM v ORDER BY doc_id""").stripMargin,
+    "dd_semantic_decontaminate" ->
+      """WITH b AS (
+        | SELECT vec_id bid, label, embedding be FROM embeddings WHERE vec_id % 17 = 0
+        |), c AS (
+        | SELECT vec_id, label, embedding ce FROM embeddings WHERE vec_id % 17 <> 0
+        |), s AS (
+        | SELECT c.vec_id, b.bid,
+        |  list_sum(list_transform(range(1, 65), i -> cast(ce[i] as double) * cast(be[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(ce[i] as double) * cast(ce[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(be[i] as double) * cast(be[i] as double))))) cosim
+        | FROM c JOIN b ON c.label = b.label
+        |), f AS (SELECT * FROM s WHERE cosim >= 0.35),
+        |g AS (
+        | SELECT vec_id, cast(count(*) as bigint) n_bench_hits, round(max(cosim), 6) max_sim
+        | FROM f GROUP BY 1
+        |), r AS (
+        | SELECT vec_id, bid, row_number() OVER (PARTITION BY vec_id ORDER BY cosim DESC, bid) rnk
+        | FROM f
+        |)
+        |SELECT g.vec_id, g.n_bench_hits, r.bid AS nearest_bench, g.max_sim
+        |FROM g JOIN r ON r.vec_id = g.vec_id AND r.rnk = 1
+        |ORDER BY g.vec_id""".stripMargin,
+    "pipe_quality_funnel" ->
+      ("""WITH RECURSIVE t AS (
+        | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), dc AS MATERIALIZED (
+        | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
+        |), rc AS (
+        | SELECT lang, term, cast(sum(c) as bigint) cr FROM dc GROUP BY 1, 2
+        |), rs AS (
+        | SELECT lang, term, cr, greatest(0, length(bin(cr + 1)) - 43) sh,
+        |  (cr + 1) // (cast(1 as bigint) << greatest(0, length(bin(cr + 1)) - 43)) arg
+        | FROM rc
+        |), tot AS (
+        | SELECT lang, cast(count(*) as bigint) v_l, cast(sum(cr) as bigint) n_l
+        | FROM rc GROUP BY 1
+        |), ts AS (
+        | SELECT lang, v_l, n_l, greatest(0, length(bin(n_l + v_l)) - 43) sh,
+        |  (n_l + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_l + v_l)) - 43)) arg
+        | FROM tot
+        |), cs AS (
+        | SELECT doc_id, c, greatest(0, length(bin(c)) - 43) sh,
+        |  (c) // (cast(1 as bigint) << greatest(0, length(bin(c)) - 43)) arg
+        | FROM dc
+        |), g AS (
+        | SELECT doc_id, lang, cast(sum(c) as bigint) n_tokens FROM dc GROUP BY 1, 2
+        |), gs AS (
+        | SELECT doc_id, lang, n_tokens, greatest(0, length(bin(n_tokens)) - 43) sh,
+        |  (n_tokens) // (cast(1 as bigint) << greatest(0, length(bin(n_tokens)) - 43)) arg
+        | FROM g
+        |), toks AS (
+        | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') tl FROM documents
+        |), bi AS (
+        | SELECT doc_id, lang, unnest(list_transform(range(1, len(tl)), i -> struct_pack(w1 := tl[i], w2 := tl[i+1]))) b
+        | FROM toks WHERE len(tl) >= 2
+        |), bx AS (SELECT doc_id, lang, b.w1 w1, b.w2 w2 FROM bi),
+        |db AS MATERIALIZED (
+        | SELECT doc_id, lang, w1, w2, cast(count(*) as bigint) c_d FROM bx GROUP BY 1, 2, 3, 4
+        |), counts AS MATERIALIZED (
+        | SELECT lang, w1, w2, cast(sum(c_d) as bigint) c FROM db GROUP BY 1, 2, 3
+        |), prefix AS (
+        | SELECT lang, w1, cast(sum(c) as bigint) cw1, cast(count(*) as bigint) n_follow
+        | FROM counts GROUP BY 1, 2
+        |), contin AS (
+        | SELECT lang, w2, cast(count(*) as bigint) n_precede FROM counts GROUP BY 1, 2
+        |), btot AS (SELECT lang, cast(count(*) as bigint) b_types FROM counts GROUP BY 1),
+        |lm AS MATERIALIZED (
+        | SELECT c.lang, c.w1, c.w2,
+        |  cast(4 * c.c - 3 as bigint) * b.b_types + 3 * p.n_follow * k.n_precede p_num,
+        |  p.cw1, b.b_types
+        | FROM counts c
+        | JOIN prefix p ON p.lang = c.lang AND p.w1 = c.w1
+        | JOIN contin k ON k.lang = c.lang AND k.w2 = c.w2
+        | JOIN btot b ON b.lang = c.lang
+        |), ls AS MATERIALIZED (
+        | SELECT lang, w1, w2,
+        |  greatest(0, length(bin(p_num)) - 43) shn,
+        |  p_num // (cast(1 as bigint) << greatest(0, length(bin(p_num)) - 43)) an,
+        |  greatest(0, length(bin(cw1)) - 43) shc,
+        |  cw1 // (cast(1 as bigint) << greatest(0, length(bin(cw1)) - 43)) ac,
+        |  greatest(0, length(bin(b_types)) - 43) shb,
+        |  b_types // (cast(1 as bigint) << greatest(0, length(bin(b_types)) - 43)) ab
+        | FROM lm
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT arg AS x FROM rs UNION ALL SELECT arg FROM ts
+        |  UNION ALL SELECT arg FROM cs UNION ALL SELECT arg FROM gs
+        |  UNION ALL SELECT an FROM ls UNION ALL SELECT ac FROM ls
+        |  UNION ALL SELECT ab FROM ls)
+        |), """ + LgCte + """, sc_ent AS (
+        | SELECT cs.doc_id, sum(cast(cs.c as hugeint) * (l.lg + cs.sh * 1048576)) sclg
+        | FROM cs JOIN lg l ON l.x = cs.arg GROUP BY 1
+        |), sc_ppl AS (
+        | SELECT dc.doc_id, sum(cast(dc.c as hugeint) * (l.lg + rs.sh * 1048576)) sclg
+        | FROM dc JOIN rs ON rs.lang = dc.lang AND rs.term = dc.term
+        | JOIN lg l ON l.x = rs.arg GROUP BY 1
+        |), h AS (
+        | SELECT gs.doc_id, gs.n_tokens,
+        |  cast((cast(gs.n_tokens as hugeint) * (lgn.lg + gs.sh * 1048576) - e.sclg) * 1000000
+        |    // (cast(gs.n_tokens as hugeint) * 1048576) as bigint) entropy_micro,
+        |  cast((cast(gs.n_tokens as hugeint) * (lt.lg + ts.sh * 1048576) - p.sclg) * 1000000
+        |    // (cast(gs.n_tokens as hugeint) * 1048576) as bigint) ppl_micro
+        | FROM gs
+        | JOIN lg lgn ON lgn.x = gs.arg
+        | JOIN ts ON ts.lang = gs.lang
+        | JOIN lg lt ON lt.x = ts.arg
+        | JOIN sc_ent e ON e.doc_id = gs.doc_id
+        | JOIN sc_ppl p ON p.doc_id = gs.doc_id
+        |), bw AS (
+        | SELECT ls.lang, ls.w1, ls.w2,
+        |  2097152 + (lc.lg + ls.shc * 1048576) + (lb.lg + ls.shb * 1048576)
+        |   - (lpn.lg + ls.shn * 1048576) bits_w
+        | FROM ls
+        | JOIN lg lpn ON lpn.x = ls.an
+        | JOIN lg lc ON lc.x = ls.ac
+        | JOIN lg lb ON lb.x = ls.ab
+        |), knagg AS (
+        | SELECT db.doc_id, cast(sum(c_d) as bigint) n_bigrams,
+        |  sum(cast(c_d as hugeint) * bw.bits_w) sb
+        | FROM db JOIN bw ON bw.lang = db.lang AND bw.w1 = db.w1 AND bw.w2 = db.w2
+        | GROUP BY 1
+        |), knr AS (
+        | SELECT doc_id,
+        |  cast((CASE WHEN sb < 0 THEN -1 ELSE 1 END)
+        |   * (abs(sb) * 1000000 // (cast(n_bigrams as hugeint) * 1048576)) as bigint) bits_micro
+        | FROM knagg
+        |), flags AS (
+        | SELECT d.doc_id,
+        |  coalesce(h.n_tokens, 0) n_tokens,
+        |  coalesce(h.entropy_micro < 3500000, false) low_entropy,
+        |  coalesce(h.ppl_micro > 5000000, false) high_uni_ppl,
+        |  coalesce(knr.bits_micro > 5000000, false) high_kn_ppl
+        | FROM documents d
+        | LEFT JOIN h ON h.doc_id = d.doc_id
+        | LEFT JOIN knr ON knr.doc_id = d.doc_id
+        |), a AS (
+        | SELECT cast(count(*) as bigint) n_docs,
+        |  cast(sum(CASE WHEN n_tokens < 16 THEN 1 ELSE 0 END) as bigint) fail_len,
+        |  cast(sum(CASE WHEN low_entropy THEN 1 ELSE 0 END) as bigint) fail_ent,
+        |  cast(sum(CASE WHEN high_uni_ppl THEN 1 ELSE 0 END) as bigint) fail_uni,
+        |  cast(sum(CASE WHEN high_kn_ppl THEN 1 ELSE 0 END) as bigint) fail_kn,
+        |  cast(sum(CASE WHEN n_tokens >= 16 THEN 1 ELSE 0 END) as bigint) s1,
+        |  cast(sum(CASE WHEN n_tokens >= 16 AND NOT low_entropy THEN 1 ELSE 0 END) as bigint) s2,
+        |  cast(sum(CASE WHEN n_tokens >= 16 AND NOT low_entropy AND NOT high_uni_ppl THEN 1 ELSE 0 END) as bigint) s3,
+        |  cast(sum(CASE WHEN n_tokens >= 16 AND NOT low_entropy AND NOT high_uni_ppl AND NOT high_kn_ppl THEN 1 ELSE 0 END) as bigint) s4
+        | FROM flags
+        |)
+        |SELECT stage, n FROM (
+        | SELECT 'docs_total' stage, n_docs n FROM a
+        | UNION ALL SELECT 'fail_length', fail_len FROM a
+        | UNION ALL SELECT 'fail_low_entropy', fail_ent FROM a
+        | UNION ALL SELECT 'fail_unigram_ppl', fail_uni FROM a
+        | UNION ALL SELECT 'fail_kn_ppl', fail_kn FROM a
+        | UNION ALL SELECT 'pass_length', s1 FROM a
+        | UNION ALL SELECT 'pass_entropy', s2 FROM a
+        | UNION ALL SELECT 'pass_unigram_ppl', s3 FROM a
+        | UNION ALL SELECT 'kept', s4 FROM a
+        |) ORDER BY stage""").stripMargin,
     "txt_kl_divergence" ->
       ("""WITH RECURSIVE t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term

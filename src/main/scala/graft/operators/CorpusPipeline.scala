@@ -272,6 +272,61 @@ object CorpusPipeline {
       .orderBy(col("gate"))
   }
 
+  /** Entropy-tier quality FUNNEL — [[pipeQualityReport]]'s counting
+    * report upgraded to the round-6/7 information-theoretic gates,
+    * applied in sequence (the order a production cleaner runs them,
+    * cheapest first): length → per-doc entropy (txtEntropyFilter) →
+    * unigram reference-LM perplexity (txtDocPerplexity) → KN-BIGRAM
+    * reference-LM perplexity (txtDocKnPerplexity). Emits each gate's
+    * MARGINAL failure count over all docs plus the CUMULATIVE
+    * survivor counts after each stage ("kept" = passed all four).
+    * Component operators are reused verbatim so every threshold lives
+    * in exactly one place (the pipe_quality_verdict discipline); the
+    * joins are doc_id-keyed — document text never moves through the
+    * funnel. Docs the tokenizer yields nothing for fail the length
+    * gate; docs too short for a bigram score pass the KN gate
+    * vacuously (they are already dead at the length gate). */
+  def pipeQualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ent = TextAnalysis.txtEntropyFilter(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("low_entropy"))
+    val uni = TextAnalysis.txtDocPerplexity(spark, dir)
+      .select(col("doc_id"), col("high_perplexity").as("high_uni_ppl"))
+    val kn = TextAnalysis.txtDocKnPerplexity(spark, dir)
+      .select(col("doc_id"), col("high_perplexity").as("high_kn_ppl"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(ent, Seq("doc_id"), "left")
+      .join(uni, Seq("doc_id"), "left")
+      .join(kn, Seq("doc_id"), "left")
+      .select(
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("low_entropy"), lit(false)).as("low_entropy"),
+        coalesce(col("high_uni_ppl"), lit(false)).as("high_uni_ppl"),
+        coalesce(col("high_kn_ppl"), lit(false)).as("high_kn_ppl"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("if(n_tokens < 16, 1, 0)")).as("fail_len"),
+        sum(expr("if(low_entropy, 1, 0)")).as("fail_ent"),
+        sum(expr("if(high_uni_ppl, 1, 0)")).as("fail_uni"),
+        sum(expr("if(high_kn_ppl, 1, 0)")).as("fail_kn"),
+        sum(expr("if(n_tokens >= 16, 1, 0)")).as("s1"),
+        sum(expr("if(n_tokens >= 16 AND NOT low_entropy, 1, 0)")).as("s2"),
+        sum(expr("if(n_tokens >= 16 AND NOT low_entropy AND NOT high_uni_ppl, 1, 0)")).as("s3"),
+        sum(expr("if(n_tokens >= 16 AND NOT low_entropy AND NOT high_uni_ppl AND NOT high_kn_ppl, 1, 0)")).as("s4"))
+      .selectExpr(
+        """stack(9,
+          | 'docs_total',       n_docs,
+          | 'fail_length',      fail_len,
+          | 'fail_low_entropy', fail_ent,
+          | 'fail_unigram_ppl', fail_uni,
+          | 'fail_kn_ppl',      fail_kn,
+          | 'pass_length',      s1,
+          | 'pass_entropy',     s2,
+          | 'pass_unigram_ppl', s3,
+          | 'kept',             s4)
+          | AS (stage, n)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
   def pipeMixCorpus(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))

@@ -453,6 +453,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Semantic decontamination — the VECTOR twin of [[ddDecontaminate]]:
+    * where the 5-gram pass catches verbatim benchmark leakage, this
+    * catches PARAPHRASED leakage — corpus vectors whose embedding is
+    * cosine-near ANY vector of the held-out benchmark slice. The
+    * benchmark carve is deterministic (vec_id ≡ 0 mod 17, ~6% — the
+    * stand-in for a real eval set's embedding table). Blocking is the
+    * SemDeDup recipe: label cells (+ the shared sign-projection
+    * refinement dial [[signProjectionCell]] for the k ∝ n scale path;
+    * `refineBits = 0` is the oracle-gated exact semantics). 100 TB
+    * shape: a benchmark is TINY relative to the corpus, so the bench
+    * side broadcasts — the join is map-side, one corpus pass, no
+    * shuffle of the corpus embeddings; the cell equality then only
+    * prunes compute, not recall beyond the standard SimHash bound. */
+  def ddSemanticDecontaminate(spark: SparkSession, dir: String,
+      minCos: Double = 0.35, refineBits: Int = 0): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", VectorOps.norm2("embedding"))
+      .withColumn("cell", signProjectionCell(refineBits))
+    val bench = e.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("bid"), col("label"), col("cell"),
+        col("embedding").as("be"), col("nrm").as("bn"))
+    val corpus = e.filter(col("vec_id") % 17 =!= 0)
+      .select(col("vec_id"), col("label"), col("cell"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    corpus.join(broadcast(bench), Seq("label", "cell"))
+      .withColumn("cosim", VectorOps.dot("ce", "be") / (col("cn") * col("bn")))
+      .filter(col("cosim") >= minCos)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        expr("min_by(bid, named_struct('s', -cosim, 'b', bid))").as("nearest_bench"),
+        round(max(col("cosim")), 6).as("max_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Sign-random-projection cell id over the `embedding` column:
     * `lshBits` deterministic hyperplanes (fixed seed → stable across
     * runs and cluster layouts), cell = the sign bit-pattern. Map-side

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{CorpusPipeline, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-7 widening: semantic decontamination (the vector twin of the
+  * 5-gram dd_decontaminate) and the entropy-tier quality funnel. */
+class Round7WidenSpec extends SparkSpec {
+
+  test("dd_semantic_decontaminate: driver recompute; benchmark rows never flagged") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val bench = vecs.filter(_._1 % 17 == 0)
+    val corpus = vecs.filter(_._1 % 17 != 0)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = corpus.flatMap { case (vid, lbl, ce) =>
+      val hits = bench.filter(b => b._2 == lbl && cos(ce, b._3) >= 0.35)
+        .map(b => (b._1, cos(ce, b._3)))
+      if (hits.isEmpty) None
+      else {
+        val best = hits.minBy { case (bid, s) => (-s, bid) }
+        Some(vid -> ((hits.length.toLong, best._1,
+          BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      }
+    }.toMap
+    val got = Dedup.ddSemanticDecontaminate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expect.keySet, "flagged set recomputes")
+    // max_sim float rounding: compare to 1e-9 of the driver double
+    got.foreach { case (vid, (n, bid, s)) =>
+      val (en, ebid, es) = expect(vid)
+      assert(n == en && bid == ebid, s"hits/nearest for $vid")
+      assert(math.abs(s - es) < 1e-9, s"max_sim for $vid")
+    }
+    assert(got.keys.forall(_ % 17 != 0), "the benchmark slice is never scored against itself")
+  }
+
+  test("dd_semantic_decontaminate: sign-projection refinement is a value-consistent subset") {
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val exact = asMap(Dedup.ddSemanticDecontaminate(spark, sf0001).collect())
+    val refined = asMap(Dedup.ddSemanticDecontaminate(spark, sf0001, refineBits = 2).collect())
+    assert(refined.keySet.subsetOf(exact.keySet),
+      "cell refinement may only drop detections, never invent them")
+    refined.foreach { case (vid, (n, _, s)) =>
+      val (en, _, es) = exact(vid)
+      assert(n <= en, s"hit count can only shrink under refinement ($vid)")
+      assert(s <= es + 1e-12, s"max_sim can only shrink or hold ($vid)")
+    }
+  }
+
+  test("pipe_quality_funnel: counts reconstruct from the component gates; survivors monotone") {
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val ent = TextAnalysis.txtEntropyFilter(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(6)))).toMap // n_tokens, low_entropy
+    val uni = TextAnalysis.txtDocPerplexity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val kn = TextAnalysis.txtDocKnPerplexity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val ids = Tables.documents(spark, sf0001).select(col("doc_id")).collect().map(_.getLong(0))
+    val flags = ids.map { id =>
+      val (n, low) = ent.getOrElse(id, (0L, false))
+      (n, low, uni.getOrElse(id, false), kn.getOrElse(id, false))
+    }
+    val expect = Map(
+      "docs_total" -> nDocs,
+      "fail_length" -> flags.count(_._1 < 16).toLong,
+      "fail_low_entropy" -> flags.count(_._2).toLong,
+      "fail_unigram_ppl" -> flags.count(_._3).toLong,
+      "fail_kn_ppl" -> flags.count(_._4).toLong,
+      "pass_length" -> flags.count(_._1 >= 16).toLong,
+      "pass_entropy" -> flags.count(f => f._1 >= 16 && !f._2).toLong,
+      "pass_unigram_ppl" -> flags.count(f => f._1 >= 16 && !f._2 && !f._3).toLong,
+      "kept" -> flags.count(f => f._1 >= 16 && !f._2 && !f._3 && !f._4).toLong)
+    val got = CorpusPipeline.pipeQualityFunnel(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"funnel rows reconstruct: got $got expect $expect")
+    // funnel conservation: cumulative survivors never increase
+    assert(got("docs_total") >= got("pass_length"))
+    assert(got("pass_length") >= got("pass_entropy"))
+    assert(got("pass_entropy") >= got("pass_unigram_ppl"))
+    assert(got("pass_unigram_ppl") >= got("kept"))
+    // non-vacuous on this corpus: something is dropped, something kept
+    assert(got("kept") > 0 && got("kept") < got("docs_total"))
+  }
+}
