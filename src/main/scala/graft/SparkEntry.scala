@@ -1193,7 +1193,8 @@ object SparkEntry {
         |         * cast(power(16, 8 - i) as bigint))) as bigint) hv
         | FROM r
         |)
-        |SELECT l_returnflag, count(*) AS n_rows, cast(sum(hv) as bigint) AS checksum
+        |SELECT l_returnflag, count(*) AS n_rows,
+        | cast(cast(sum(hv) as hugeint) % 2305843009213693951 AS bigint) AS checksum
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_semdedup" ->
       """WITH dims AS (SELECT unnest(range(1, 65)) i),

@@ -557,7 +557,17 @@ object Analytics {
           |  cast(l_partkey as string), cast(l_suppkey as string),
           |  l_returnflag, l_linestatus)), 1, 8), 16, 10) as bigint)""".stripMargin))
       .groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+      // the checksum ring is EXPLICITLY modular (Mersenne 2^61−1):
+      // a plain BIGINT sum of 2^32-scale digests is linear in rows and
+      // silently wraps ~2·10^3× past the sf1 audit point (measured
+      // growth exponent 1.0, tools/growth_exponents.py) — engines wrap
+      // DIFFERENTLY (Spark non-ANSI wraps, DuckDB hugeint doesn't), so
+      // the ring must be chosen, not inherited. The decimal(38,0)
+      // internal sum is exact past 10^38 (~10^17 × a 100 TB corpus);
+      // order-independence survives the mod.
+      .agg(count(lit(1)).as("n_rows"),
+        expr("cast(sum(cast(h as decimal(38,0))) % 2305843009213693951 as bigint)")
+          .as("checksum"))
       .orderBy($"l_returnflag")
 
   /** Per-entity lag features (feature-engineering pass every ML event

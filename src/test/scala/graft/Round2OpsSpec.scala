@@ -219,10 +219,11 @@ class Round2OpsSpec extends SparkSpec {
     shuffled.createOrReplaceTempView("lineitem_shuf")
     val b = spark.sql(
       """SELECT l_returnflag, count(1) n_rows,
-        | sum(cast(conv(substring(md5(concat_ws('|',
+        | cast(sum(cast(cast(conv(substring(md5(concat_ws('|',
         |   cast(l_orderkey as string), cast(l_linenumber as string),
         |   cast(l_partkey as string), cast(l_suppkey as string),
-        |   l_returnflag, l_linestatus)), 1, 8), 16, 10) as bigint)) checksum
+        |   l_returnflag, l_linestatus)), 1, 8), 16, 10) as bigint) as decimal(38,0)))
+        |  % 2305843009213693951 as bigint) checksum
         |FROM lineitem_shuf GROUP BY 1 ORDER BY 1""".stripMargin).collect()
     assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       b.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
