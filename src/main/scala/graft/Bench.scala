@@ -137,14 +137,22 @@ object Bench {
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${errs.size},"worst_spread":${num(worstSpread)},"worst_spread_query":"${esc(worstSpreadQuery)}","sf":"$sfDir"}""")
     // the COMPLETE per-query record goes to a repo-root file the driver
     // picks up with uncommitted work — full interleaved-min times +
-    // spreads survive even though stdout is tail-truncated
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    // spreads survive even though stdout is tail-truncated. A
+    // SPARK_GRAFT_ONLY subset run must NOT clobber the full-run record
+    // at the default path (a committed 1-query record would masquerade
+    // as the run of record): subsets only write when the caller names
+    // a path explicitly, and the record carries the subset marker.
+    val explicitPath = sys.env.get("SPARK_GRAFT_BENCH_DETAIL")
+    val detailPath = explicitPath.getOrElse("BENCH_DETAIL.json")
     val detail = s"""{"sf":"$sfDir","cpus":"$cpus","n_passes":$passes,""" +
+      s""""subset":${only.isDefined},""" +
       s""""total_sec":${num(total)},"worst_spread":${num(worstSpread)},""" +
       s""""worst_spread_query":"${esc(worstSpreadQuery)}",""" +
       s""""times":$qs,"spread":$sp,"errors":$es}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    if (only.isEmpty || explicitPath.isDefined) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

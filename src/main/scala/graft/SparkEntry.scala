@@ -455,6 +455,128 @@ object SparkEntry {
       | SELECT x, m * 1048576 + acc AS lg FROM lgit WHERE i = 20
       |)""".stripMargin
 
+  /** Shared per-doc UNIGRAM entropy/perplexity CTE pipeline
+    * (tokenize → doc-term counts → reference counts/totals → shift-
+    * reduced lg arguments): consumed by the pipe_quality_verdict and
+    * pipe_quality_funnel oracles. ONE copy, like [[LgCte]] — a formula
+    * fix edits one string; the Spark side reuses the component
+    * operators verbatim so only the oracle side could ever drift.
+    * Caller appends its own lgvals (args from rs/ts/cs/gs), then
+    * [[LgCte]], then [[UnigramScoreCtes]]. */
+  private val UnigramDocCtes: String =
+    """t AS (
+      | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+      | FROM documents
+      |), dc AS MATERIALIZED (
+      | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
+      |), rc AS (
+      | SELECT lang, term, cast(sum(c) as bigint) cr FROM dc GROUP BY 1, 2
+      |), rs AS (
+      | SELECT lang, term, cr, greatest(0, length(bin(cr + 1)) - 43) sh,
+      |  (cr + 1) // (cast(1 as bigint) << greatest(0, length(bin(cr + 1)) - 43)) arg
+      | FROM rc
+      |), tot AS (
+      | SELECT lang, cast(count(*) as bigint) v_l, cast(sum(cr) as bigint) n_l
+      | FROM rc GROUP BY 1
+      |), ts AS (
+      | SELECT lang, v_l, n_l, greatest(0, length(bin(n_l + v_l)) - 43) sh,
+      |  (n_l + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_l + v_l)) - 43)) arg
+      | FROM tot
+      |), cs AS (
+      | SELECT doc_id, c, greatest(0, length(bin(c)) - 43) sh,
+      |  (c) // (cast(1 as bigint) << greatest(0, length(bin(c)) - 43)) arg
+      | FROM dc
+      |), g AS (
+      | SELECT doc_id, lang, cast(sum(c) as bigint) n_tokens FROM dc GROUP BY 1, 2
+      |), gs AS (
+      | SELECT doc_id, lang, n_tokens, greatest(0, length(bin(n_tokens)) - 43) sh,
+      |  (n_tokens) // (cast(1 as bigint) << greatest(0, length(bin(n_tokens)) - 43)) arg
+      | FROM g
+      |)""".stripMargin
+
+  /** The per-doc unigram SCORE CTEs over [[UnigramDocCtes]] + lg:
+    * h = (doc_id, lang, n_tokens, entropy_micro, ppl_micro). */
+  private val UnigramScoreCtes: String =
+    """sc_ent AS (
+      | SELECT cs.doc_id, sum(cast(cs.c as hugeint) * (l.lg + cs.sh * 1048576)) sclg
+      | FROM cs JOIN lg l ON l.x = cs.arg GROUP BY 1
+      |), sc_ppl AS (
+      | SELECT dc.doc_id, sum(cast(dc.c as hugeint) * (l.lg + rs.sh * 1048576)) sclg
+      | FROM dc JOIN rs ON rs.lang = dc.lang AND rs.term = dc.term
+      | JOIN lg l ON l.x = rs.arg GROUP BY 1
+      |), h AS (
+      | SELECT gs.doc_id, gs.lang, gs.n_tokens,
+      |  cast((cast(gs.n_tokens as hugeint) * (lgn.lg + gs.sh * 1048576) - e.sclg) * 1000000
+      |    // (cast(gs.n_tokens as hugeint) * 1048576) as bigint) entropy_micro,
+      |  cast((cast(gs.n_tokens as hugeint) * (lt.lg + ts.sh * 1048576) - p.sclg) * 1000000
+      |    // (cast(gs.n_tokens as hugeint) * 1048576) as bigint) ppl_micro
+      | FROM gs
+      | JOIN lg lgn ON lgn.x = gs.arg
+      | JOIN ts ON ts.lang = gs.lang
+      | JOIN lg lt ON lt.x = ts.arg
+      | JOIN sc_ent e ON e.doc_id = gs.doc_id
+      | JOIN sc_ppl p ON p.doc_id = gs.doc_id
+      |)""".stripMargin
+
+  /** Shared per-doc KN-BIGRAM LM CTE pipeline (bigramize → doc-bigram
+    * counts → per-lang KN stats → shift-reduced lg arguments):
+    * consumed by the txt_doc_kn_perplexity and pipe_quality_funnel
+    * oracles. Caller appends lgvals (args an/ac/ab from ls), [[LgCte]],
+    * then [[KnBitsCte]]. */
+  private val KnBigramCtes: String =
+    """toks AS (
+      | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') tl FROM documents
+      |), bi AS (
+      | SELECT doc_id, lang, unnest(list_transform(range(1, len(tl)), i -> struct_pack(w1 := tl[i], w2 := tl[i+1]))) b
+      | FROM toks WHERE len(tl) >= 2
+      |), bx AS (SELECT doc_id, lang, b.w1 w1, b.w2 w2 FROM bi),
+      |db AS MATERIALIZED (
+      | SELECT doc_id, lang, w1, w2, cast(count(*) as bigint) c_d FROM bx GROUP BY 1, 2, 3, 4
+      |), counts AS MATERIALIZED (
+      | SELECT lang, w1, w2, cast(sum(c_d) as bigint) c FROM db GROUP BY 1, 2, 3
+      |), prefix AS (
+      | SELECT lang, w1, cast(sum(c) as bigint) cw1, cast(count(*) as bigint) n_follow
+      | FROM counts GROUP BY 1, 2
+      |), contin AS (
+      | SELECT lang, w2, cast(count(*) as bigint) n_precede FROM counts GROUP BY 1, 2
+      |), btot AS (SELECT lang, cast(count(*) as bigint) b_types FROM counts GROUP BY 1),
+      |lm AS MATERIALIZED (
+      | SELECT c.lang, c.w1, c.w2,
+      |  cast(4 * c.c - 3 as bigint) * b.b_types + 3 * p.n_follow * k.n_precede p_num,
+      |  p.cw1, b.b_types
+      | FROM counts c
+      | JOIN prefix p ON p.lang = c.lang AND p.w1 = c.w1
+      | JOIN contin k ON k.lang = c.lang AND k.w2 = c.w2
+      | JOIN btot b ON b.lang = c.lang
+      |), ls AS MATERIALIZED (
+      | SELECT lang, w1, w2,
+      |  greatest(0, length(bin(p_num)) - 43) shn,
+      |  p_num // (cast(1 as bigint) << greatest(0, length(bin(p_num)) - 43)) an,
+      |  greatest(0, length(bin(cw1)) - 43) shc,
+      |  cw1 // (cast(1 as bigint) << greatest(0, length(bin(cw1)) - 43)) ac,
+      |  greatest(0, length(bin(b_types)) - 43) shb,
+      |  b_types // (cast(1 as bigint) << greatest(0, length(bin(b_types)) - 43)) ab
+      | FROM lm
+      |)""".stripMargin
+
+  /** The quality tier's min-doc-length threshold — sourced from the
+    * operator side so the gate and the oracles share ONE definition. */
+  private def MinTok: Int = operators.CorpusPipeline.MinDocTokens
+
+  /** Per-bigram KN surprisal over [[KnBigramCtes]] + lg:
+    * bw = (lang, w1, w2, bits_w) with the DECOMPOSED denominator
+    * 2·2²⁰ + lg(c(w₁)) + lg(B) − lg(p_num). */
+  private val KnBitsCte: String =
+    """bw AS (
+      | SELECT ls.lang, ls.w1, ls.w2,
+      |  2097152 + (lc.lg + ls.shc * 1048576) + (lb.lg + ls.shb * 1048576)
+      |   - (lpn.lg + ls.shn * 1048576) bits_w
+      | FROM ls
+      | JOIN lg lpn ON lpn.x = ls.an
+      | JOIN lg lc ON lc.x = ls.ac
+      | JOIN lg lb ON lb.x = ls.ab
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3375,51 +3497,10 @@ object SparkEntry {
         | h_cond_num, joint_bits_micro, cond_bits_micro
         |FROM h ORDER BY lang""").stripMargin,
     "txt_doc_kn_perplexity" ->
-      ("""WITH RECURSIVE toks AS (
-        | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
-        |), bi AS (
-        | SELECT doc_id, lang, unnest(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1]))) b
-        | FROM toks WHERE len(t) >= 2
-        |), bx AS (SELECT doc_id, lang, b.w1 w1, b.w2 w2 FROM bi),
-        |db AS MATERIALIZED (
-        | SELECT doc_id, lang, w1, w2, cast(count(*) as bigint) c_d FROM bx GROUP BY 1, 2, 3, 4
-        |), counts AS MATERIALIZED (
-        | SELECT lang, w1, w2, cast(sum(c_d) as bigint) c FROM db GROUP BY 1, 2, 3
-        |), prefix AS (
-        | SELECT lang, w1, cast(sum(c) as bigint) cw1, cast(count(*) as bigint) n_follow
-        | FROM counts GROUP BY 1, 2
-        |), contin AS (
-        | SELECT lang, w2, cast(count(*) as bigint) n_precede FROM counts GROUP BY 1, 2
-        |), btot AS (SELECT lang, cast(count(*) as bigint) b_types FROM counts GROUP BY 1),
-        |lm AS MATERIALIZED (
-        | SELECT c.lang, c.w1, c.w2,
-        |  cast(4 * c.c - 3 as bigint) * b.b_types + 3 * p.n_follow * k.n_precede p_num,
-        |  p.cw1, b.b_types
-        | FROM counts c
-        | JOIN prefix p ON p.lang = c.lang AND p.w1 = c.w1
-        | JOIN contin k ON k.lang = c.lang AND k.w2 = c.w2
-        | JOIN btot b ON b.lang = c.lang
-        |), ls AS MATERIALIZED (
-        | SELECT lang, w1, w2,
-        |  greatest(0, length(bin(p_num)) - 43) shn,
-        |  p_num // (cast(1 as bigint) << greatest(0, length(bin(p_num)) - 43)) an,
-        |  greatest(0, length(bin(cw1)) - 43) shc,
-        |  cw1 // (cast(1 as bigint) << greatest(0, length(bin(cw1)) - 43)) ac,
-        |  greatest(0, length(bin(b_types)) - 43) shb,
-        |  b_types // (cast(1 as bigint) << greatest(0, length(bin(b_types)) - 43)) ab
-        | FROM lm
-        |), lgvals(x) AS (
+      ("WITH RECURSIVE " + KnBigramCtes + """, lgvals(x) AS (
         | SELECT DISTINCT x FROM (SELECT an AS x FROM ls UNION ALL SELECT ac FROM ls
         |  UNION ALL SELECT ab FROM ls)
-        |), """ + LgCte + """, bw AS (
-        | SELECT ls.lang, ls.w1, ls.w2,
-        |  2097152 + (lc.lg + ls.shc * 1048576) + (lb.lg + ls.shb * 1048576)
-        |   - (lgn.lg + ls.shn * 1048576) bits_w
-        | FROM ls
-        | JOIN lg lgn ON lgn.x = ls.an
-        | JOIN lg lc ON lc.x = ls.ac
-        | JOIN lg lb ON lb.x = ls.ab
-        |), agg AS (
+        |), """ + LgCte + ", " + KnBitsCte + """, agg AS (
         | SELECT db.doc_id, db.lang, cast(sum(c_d) as bigint) n_bigrams,
         |  sum(cast(c_d as hugeint) * bw.bits_w) sb
         | FROM db JOIN bw ON bw.lang = db.lang AND bw.w1 = db.w1 AND bw.w2 = db.w2
@@ -3434,63 +3515,16 @@ object SparkEntry {
         | bits_micro > 5000000 AS high_perplexity
         |FROM r ORDER BY doc_id""").stripMargin,
     "pipe_quality_verdict" ->
-      ("""WITH RECURSIVE t AS (
-        | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
-        | FROM documents
-        |), dc AS MATERIALIZED (
-        | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
-        |), rc AS (
-        | SELECT lang, term, cast(sum(c) as bigint) cr FROM dc GROUP BY 1, 2
-        |), rs AS (
-        | SELECT lang, term, cr, greatest(0, length(bin(cr + 1)) - 43) sh,
-        |  (cr + 1) // (cast(1 as bigint) << greatest(0, length(bin(cr + 1)) - 43)) arg
-        | FROM rc
-        |), tot AS (
-        | SELECT lang, cast(count(*) as bigint) v_l, cast(sum(cr) as bigint) n_l
-        | FROM rc GROUP BY 1
-        |), ts AS (
-        | SELECT lang, v_l, n_l, greatest(0, length(bin(n_l + v_l)) - 43) sh,
-        |  (n_l + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_l + v_l)) - 43)) arg
-        | FROM tot
-        |), cs AS (
-        | SELECT doc_id, c, greatest(0, length(bin(c)) - 43) sh,
-        |  (c) // (cast(1 as bigint) << greatest(0, length(bin(c)) - 43)) arg
-        | FROM dc
-        |), g AS (
-        | SELECT doc_id, lang, cast(sum(c) as bigint) n_tokens FROM dc GROUP BY 1, 2
-        |), gs AS (
-        | SELECT doc_id, lang, n_tokens, greatest(0, length(bin(n_tokens)) - 43) sh,
-        |  (n_tokens) // (cast(1 as bigint) << greatest(0, length(bin(n_tokens)) - 43)) arg
-        | FROM g
-        |), lgvals(x) AS (
+      ("WITH RECURSIVE " + UnigramDocCtes + """, lgvals(x) AS (
         | SELECT DISTINCT x FROM (SELECT arg AS x FROM rs UNION ALL SELECT arg FROM ts
         |  UNION ALL SELECT arg FROM cs UNION ALL SELECT arg FROM gs)
-        |), """ + LgCte + """, sc_ent AS (
-        | SELECT cs.doc_id, sum(cast(cs.c as hugeint) * (l.lg + cs.sh * 1048576)) sclg
-        | FROM cs JOIN lg l ON l.x = cs.arg GROUP BY 1
-        |), sc_ppl AS (
-        | SELECT dc.doc_id, sum(cast(dc.c as hugeint) * (l.lg + rs.sh * 1048576)) sclg
-        | FROM dc JOIN rs ON rs.lang = dc.lang AND rs.term = dc.term
-        | JOIN lg l ON l.x = rs.arg GROUP BY 1
-        |), h AS (
-        | SELECT gs.doc_id, gs.lang, gs.n_tokens,
-        |  cast((cast(gs.n_tokens as hugeint) * (ln.lg + gs.sh * 1048576) - e.sclg) * 1000000
-        |    // (cast(gs.n_tokens as hugeint) * 1048576) as bigint) entropy_micro,
-        |  cast((cast(gs.n_tokens as hugeint) * (lt.lg + ts.sh * 1048576) - p.sclg) * 1000000
-        |    // (cast(gs.n_tokens as hugeint) * 1048576) as bigint) ppl_micro
-        | FROM gs
-        | JOIN lg ln ON ln.x = gs.arg
-        | JOIN ts ON ts.lang = gs.lang
-        | JOIN lg lt ON lt.x = ts.arg
-        | JOIN sc_ent e ON e.doc_id = gs.doc_id
-        | JOIN sc_ppl p ON p.doc_id = gs.doc_id
-        |), v AS (
+        |), """ + LgCte + ", " + UnigramScoreCtes + s""", v AS (
         | SELECT d.doc_id, h.lang, d.source, d.n_chars, h.n_tokens,
         |  h.entropy_micro, h.ppl_micro,
         |  d.n_chars * 1000000 // h.n_tokens chars_per_token_micro,
         |  cast(CASE WHEN h.entropy_micro < 3500000 THEN 1 ELSE 0 END
         |   + CASE WHEN h.ppl_micro > 5000000 THEN 2 ELSE 0 END
-        |   + CASE WHEN h.n_tokens < 16 THEN 4 ELSE 0 END
+        |   + CASE WHEN h.n_tokens < ${operators.CorpusPipeline.MinDocTokens} THEN 4 ELSE 0 END
         |   + CASE WHEN d.n_chars * 1000000 // h.n_tokens < 4800000
         |          OR d.n_chars * 1000000 // h.n_tokens > 5800000 THEN 8 ELSE 0 END as bigint) reason_mask
         | FROM documents d JOIN h ON h.doc_id = d.doc_id
@@ -3522,100 +3556,12 @@ object SparkEntry {
         |FROM g JOIN r ON r.vec_id = g.vec_id AND r.rnk = 1
         |ORDER BY g.vec_id""".stripMargin,
     "pipe_quality_funnel" ->
-      ("""WITH RECURSIVE t AS (
-        | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
-        | FROM documents
-        |), dc AS MATERIALIZED (
-        | SELECT doc_id, lang, term, cast(count(*) as bigint) c FROM t GROUP BY 1, 2, 3
-        |), rc AS (
-        | SELECT lang, term, cast(sum(c) as bigint) cr FROM dc GROUP BY 1, 2
-        |), rs AS (
-        | SELECT lang, term, cr, greatest(0, length(bin(cr + 1)) - 43) sh,
-        |  (cr + 1) // (cast(1 as bigint) << greatest(0, length(bin(cr + 1)) - 43)) arg
-        | FROM rc
-        |), tot AS (
-        | SELECT lang, cast(count(*) as bigint) v_l, cast(sum(cr) as bigint) n_l
-        | FROM rc GROUP BY 1
-        |), ts AS (
-        | SELECT lang, v_l, n_l, greatest(0, length(bin(n_l + v_l)) - 43) sh,
-        |  (n_l + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_l + v_l)) - 43)) arg
-        | FROM tot
-        |), cs AS (
-        | SELECT doc_id, c, greatest(0, length(bin(c)) - 43) sh,
-        |  (c) // (cast(1 as bigint) << greatest(0, length(bin(c)) - 43)) arg
-        | FROM dc
-        |), g AS (
-        | SELECT doc_id, lang, cast(sum(c) as bigint) n_tokens FROM dc GROUP BY 1, 2
-        |), gs AS (
-        | SELECT doc_id, lang, n_tokens, greatest(0, length(bin(n_tokens)) - 43) sh,
-        |  (n_tokens) // (cast(1 as bigint) << greatest(0, length(bin(n_tokens)) - 43)) arg
-        | FROM g
-        |), toks AS (
-        | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') tl FROM documents
-        |), bi AS (
-        | SELECT doc_id, lang, unnest(list_transform(range(1, len(tl)), i -> struct_pack(w1 := tl[i], w2 := tl[i+1]))) b
-        | FROM toks WHERE len(tl) >= 2
-        |), bx AS (SELECT doc_id, lang, b.w1 w1, b.w2 w2 FROM bi),
-        |db AS MATERIALIZED (
-        | SELECT doc_id, lang, w1, w2, cast(count(*) as bigint) c_d FROM bx GROUP BY 1, 2, 3, 4
-        |), counts AS MATERIALIZED (
-        | SELECT lang, w1, w2, cast(sum(c_d) as bigint) c FROM db GROUP BY 1, 2, 3
-        |), prefix AS (
-        | SELECT lang, w1, cast(sum(c) as bigint) cw1, cast(count(*) as bigint) n_follow
-        | FROM counts GROUP BY 1, 2
-        |), contin AS (
-        | SELECT lang, w2, cast(count(*) as bigint) n_precede FROM counts GROUP BY 1, 2
-        |), btot AS (SELECT lang, cast(count(*) as bigint) b_types FROM counts GROUP BY 1),
-        |lm AS MATERIALIZED (
-        | SELECT c.lang, c.w1, c.w2,
-        |  cast(4 * c.c - 3 as bigint) * b.b_types + 3 * p.n_follow * k.n_precede p_num,
-        |  p.cw1, b.b_types
-        | FROM counts c
-        | JOIN prefix p ON p.lang = c.lang AND p.w1 = c.w1
-        | JOIN contin k ON k.lang = c.lang AND k.w2 = c.w2
-        | JOIN btot b ON b.lang = c.lang
-        |), ls AS MATERIALIZED (
-        | SELECT lang, w1, w2,
-        |  greatest(0, length(bin(p_num)) - 43) shn,
-        |  p_num // (cast(1 as bigint) << greatest(0, length(bin(p_num)) - 43)) an,
-        |  greatest(0, length(bin(cw1)) - 43) shc,
-        |  cw1 // (cast(1 as bigint) << greatest(0, length(bin(cw1)) - 43)) ac,
-        |  greatest(0, length(bin(b_types)) - 43) shb,
-        |  b_types // (cast(1 as bigint) << greatest(0, length(bin(b_types)) - 43)) ab
-        | FROM lm
-        |), lgvals(x) AS (
+      ("WITH RECURSIVE " + UnigramDocCtes + ", " + KnBigramCtes + """, lgvals(x) AS (
         | SELECT DISTINCT x FROM (SELECT arg AS x FROM rs UNION ALL SELECT arg FROM ts
         |  UNION ALL SELECT arg FROM cs UNION ALL SELECT arg FROM gs
         |  UNION ALL SELECT an FROM ls UNION ALL SELECT ac FROM ls
         |  UNION ALL SELECT ab FROM ls)
-        |), """ + LgCte + """, sc_ent AS (
-        | SELECT cs.doc_id, sum(cast(cs.c as hugeint) * (l.lg + cs.sh * 1048576)) sclg
-        | FROM cs JOIN lg l ON l.x = cs.arg GROUP BY 1
-        |), sc_ppl AS (
-        | SELECT dc.doc_id, sum(cast(dc.c as hugeint) * (l.lg + rs.sh * 1048576)) sclg
-        | FROM dc JOIN rs ON rs.lang = dc.lang AND rs.term = dc.term
-        | JOIN lg l ON l.x = rs.arg GROUP BY 1
-        |), h AS (
-        | SELECT gs.doc_id, gs.n_tokens,
-        |  cast((cast(gs.n_tokens as hugeint) * (lgn.lg + gs.sh * 1048576) - e.sclg) * 1000000
-        |    // (cast(gs.n_tokens as hugeint) * 1048576) as bigint) entropy_micro,
-        |  cast((cast(gs.n_tokens as hugeint) * (lt.lg + ts.sh * 1048576) - p.sclg) * 1000000
-        |    // (cast(gs.n_tokens as hugeint) * 1048576) as bigint) ppl_micro
-        | FROM gs
-        | JOIN lg lgn ON lgn.x = gs.arg
-        | JOIN ts ON ts.lang = gs.lang
-        | JOIN lg lt ON lt.x = ts.arg
-        | JOIN sc_ent e ON e.doc_id = gs.doc_id
-        | JOIN sc_ppl p ON p.doc_id = gs.doc_id
-        |), bw AS (
-        | SELECT ls.lang, ls.w1, ls.w2,
-        |  2097152 + (lc.lg + ls.shc * 1048576) + (lb.lg + ls.shb * 1048576)
-        |   - (lpn.lg + ls.shn * 1048576) bits_w
-        | FROM ls
-        | JOIN lg lpn ON lpn.x = ls.an
-        | JOIN lg lc ON lc.x = ls.ac
-        | JOIN lg lb ON lb.x = ls.ab
-        |), knagg AS (
+        |), """ + LgCte + ", " + UnigramScoreCtes + ", " + KnBitsCte + s""", knagg AS (
         | SELECT db.doc_id, cast(sum(c_d) as bigint) n_bigrams,
         |  sum(cast(c_d as hugeint) * bw.bits_w) sb
         | FROM db JOIN bw ON bw.lang = db.lang AND bw.w1 = db.w1 AND bw.w2 = db.w2
@@ -3636,14 +3582,14 @@ object SparkEntry {
         | LEFT JOIN knr ON knr.doc_id = d.doc_id
         |), a AS (
         | SELECT cast(count(*) as bigint) n_docs,
-        |  cast(sum(CASE WHEN n_tokens < 16 THEN 1 ELSE 0 END) as bigint) fail_len,
+        |  cast(sum(CASE WHEN n_tokens < $MinTok THEN 1 ELSE 0 END) as bigint) fail_len,
         |  cast(sum(CASE WHEN low_entropy THEN 1 ELSE 0 END) as bigint) fail_ent,
         |  cast(sum(CASE WHEN high_uni_ppl THEN 1 ELSE 0 END) as bigint) fail_uni,
         |  cast(sum(CASE WHEN high_kn_ppl THEN 1 ELSE 0 END) as bigint) fail_kn,
-        |  cast(sum(CASE WHEN n_tokens >= 16 THEN 1 ELSE 0 END) as bigint) s1,
-        |  cast(sum(CASE WHEN n_tokens >= 16 AND NOT low_entropy THEN 1 ELSE 0 END) as bigint) s2,
-        |  cast(sum(CASE WHEN n_tokens >= 16 AND NOT low_entropy AND NOT high_uni_ppl THEN 1 ELSE 0 END) as bigint) s3,
-        |  cast(sum(CASE WHEN n_tokens >= 16 AND NOT low_entropy AND NOT high_uni_ppl AND NOT high_kn_ppl THEN 1 ELSE 0 END) as bigint) s4
+        |  cast(sum(CASE WHEN n_tokens >= $MinTok THEN 1 ELSE 0 END) as bigint) s1,
+        |  cast(sum(CASE WHEN n_tokens >= $MinTok AND NOT low_entropy THEN 1 ELSE 0 END) as bigint) s2,
+        |  cast(sum(CASE WHEN n_tokens >= $MinTok AND NOT low_entropy AND NOT high_uni_ppl THEN 1 ELSE 0 END) as bigint) s3,
+        |  cast(sum(CASE WHEN n_tokens >= $MinTok AND NOT low_entropy AND NOT high_uni_ppl AND NOT high_kn_ppl THEN 1 ELSE 0 END) as bigint) s4
         | FROM flags
         |)
         |SELECT stage, n FROM (

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * jobs (C4, RefinedWeb, FineWeb) use. */
 object CorpusPipeline {
 
+  /** Min doc length (tokens) for the quality tier — the verdict's
+    * bit-4 gate and the funnel's length stage share THIS definition,
+    * and SparkEntry interpolates it into both DuckDB oracles: one
+    * number, four consumers, zero drift. */
+  val MinDocTokens: Int = 16
+
   /** Exclusive running sum of `valCol` per `keyCol` along `orderCols`,
     * WITHOUT a per-key serial window. `Window.partitionBy(key)` funnels
     * each key through ONE task — with a 60%-English corpus the dominant
@@ -304,14 +310,14 @@ object CorpusPipeline {
         coalesce(col("high_kn_ppl"), lit(false)).as("high_kn_ppl"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(expr("if(n_tokens < 16, 1, 0)")).as("fail_len"),
+        sum(expr(s"if(n_tokens < $MinDocTokens, 1, 0)")).as("fail_len"),
         sum(expr("if(low_entropy, 1, 0)")).as("fail_ent"),
         sum(expr("if(high_uni_ppl, 1, 0)")).as("fail_uni"),
         sum(expr("if(high_kn_ppl, 1, 0)")).as("fail_kn"),
-        sum(expr("if(n_tokens >= 16, 1, 0)")).as("s1"),
-        sum(expr("if(n_tokens >= 16 AND NOT low_entropy, 1, 0)")).as("s2"),
-        sum(expr("if(n_tokens >= 16 AND NOT low_entropy AND NOT high_uni_ppl, 1, 0)")).as("s3"),
-        sum(expr("if(n_tokens >= 16 AND NOT low_entropy AND NOT high_uni_ppl AND NOT high_kn_ppl, 1, 0)")).as("s4"))
+        sum(expr(s"if(n_tokens >= $MinDocTokens, 1, 0)")).as("s1"),
+        sum(expr(s"if(n_tokens >= $MinDocTokens AND NOT low_entropy, 1, 0)")).as("s2"),
+        sum(expr(s"if(n_tokens >= $MinDocTokens AND NOT low_entropy AND NOT high_uni_ppl, 1, 0)")).as("s3"),
+        sum(expr(s"if(n_tokens >= $MinDocTokens AND NOT low_entropy AND NOT high_uni_ppl AND NOT high_kn_ppl, 1, 0)")).as("s4"))
       .selectExpr(
         """stack(9,
           | 'docs_total',       n_docs,
@@ -786,7 +792,7 @@ object CorpusPipeline {
       .withColumn("reason_mask", expr(
         "CASE WHEN low_entropy THEN 1 ELSE 0 END" +
           " + CASE WHEN high_perplexity THEN 2 ELSE 0 END" +
-          " + CASE WHEN n_tokens < 16 THEN 4 ELSE 0 END" +
+          s" + CASE WHEN n_tokens < $MinDocTokens THEN 4 ELSE 0 END" +
           " + CASE WHEN chars_per_token_micro < 4800000" +
           "        OR chars_per_token_micro > 5800000 THEN 8 ELSE 0 END")
         .cast("long"))
