@@ -1353,17 +1353,22 @@ object TextAnalysis {
     * bigrams join it on (lang,w₁,w₂) — one shuffle on the bigram key;
     * per-lang B broadcast. The micro division is SIGN-SPLIT: near-
     * deterministic docs can sum a few negative lg-truncation ulps. */
-  def txtDocKnPerplexity(spark: SparkSession, dir: String,
-      maxBitsMicro: Long = 5000000L): DataFrame = {
-    val docBg = TextOps.balanced(Tables.documents(spark, dir))
+  /** Per-doc bigram counts (doc_id, lang, w1, w2, c_d) — the shared
+    * head of the KN tier. */
+  private def docBigramCounts(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), explode(TextOps.ngramArray("text", 2)).as("bg"))
       .select(col("doc_id"), col("lang"),
         expr("split(bg, ' ')[0]").as("w1"), expr("split(bg, ' ')[1]").as("w2"))
       .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_d"))
-    // the reference LM re-aggregates the per-doc counts (identical
-    // values) — the doc-bigram exchange appears in both branches and
-    // ReusedExchange runs the tokenize scan ONCE (txtDocPerplexity form)
+
+  /** The per-(lang, w1, w2) KN SURPRISAL table bits_w =
+    * lg(p_den) − lg(p_num) over the given doc-bigram counts — shared
+    * by [[txtDocKnPerplexity]] and the streaming lake write
+    * (Streams.knLmWrite), so the persisted scores are bit-identical
+    * to the batch filter's by construction. */
+  private[graft] def knLmBits(docBg: DataFrame): DataFrame = {
     val counts = docBg.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(sum(col("c_d")).as("c"))
     val prefix = counts.groupBy(col("lang"), col("w1"))
@@ -1371,7 +1376,7 @@ object TextAnalysis {
     val contin = counts.groupBy(col("lang"), col("w2"))
       .agg(count(lit(1)).as("n_precede"))
     val btot = counts.groupBy(col("lang")).agg(count(lit(1)).as("b_types"))
-    val lm = counts
+    counts
       .join(prefix, Seq("lang", "w1")).join(contin, Seq("lang", "w2"))
       .join(broadcast(btot), Seq("lang"))
       .select(col("lang"), col("w1"), col("w2"),
@@ -1381,6 +1386,20 @@ object TextAnalysis {
       .select(col("lang"), col("w1"), col("w2"),
         expr(s"2097152 + ${lgShift("cw1")} + ${lgShift("b_types")}" +
           s" - ${lgShift("p_num")}").as("bits_w"))
+  }
+
+  /** The shared head for the streaming lake write — public face of
+    * [[knLmBits]] over the corpus at `dir`. */
+  def knBigramBits(spark: SparkSession, dir: String): DataFrame =
+    knLmBits(docBigramCounts(spark, dir))
+
+  def txtDocKnPerplexity(spark: SparkSession, dir: String,
+      maxBitsMicro: Long = 5000000L): DataFrame = {
+    // the reference LM re-aggregates the per-doc counts (identical
+    // values) — the doc-bigram exchange appears in both branches and
+    // ReusedExchange runs the tokenize scan ONCE (txtDocPerplexity form)
+    val docBg = docBigramCounts(spark, dir)
+    val lm = knLmBits(docBg)
     docBg.join(lm, Seq("lang", "w1", "w2"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c_d")).as("n_bigrams"),

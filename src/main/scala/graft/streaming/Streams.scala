@@ -594,4 +594,73 @@ object Streams {
           }
       }
   }
+
+  case class DocKnPerplexity(doc_id: Long, lang: String, n_bigrams: Long,
+      n_known: Long, kn_bits_num: Long, bits_micro: Option[Long],
+      high_perplexity: Boolean)
+
+  /** Write half of the KN-bigram LM lake: persist the per-
+    * (lang, w1, w2) SURPRISAL table bits_w that
+    * TextAnalysis.txtDocKnPerplexity derives on the fly — the scored
+    * LM itself is the lake, so the read half does zero LM math. The
+    * scores are bit-identical to the batch filter's by construction
+    * (both run TextAnalysis.knLmBits). */
+  def knLmWrite(spark: SparkSession, dir: String, path: String): Unit =
+    graft.operators.TextAnalysis.knBigramBits(spark, dir)
+      .write.mode("overwrite").parquet(s"$path/bigram_bits")
+
+  /** Streaming per-document KN-BIGRAM perplexity gate — the stronger
+    * deployment twin above [[docPerplexityStream]]: arriving docs are
+    * scored against the PERSISTED surprisal lake ([[knLmWrite]]) via a
+    * stream-static join on (lang, w1, w2); the per-doc rollup is the
+    * same zero-retained-state flatMapGroupsWithState. Snapshot
+    * semantics differ from the unigram gate by necessity: an
+    * add-one-smoothed unigram count extends to unseen terms, but a KN
+    * bigram the snapshot has never seen HAS no discounted estimate —
+    * OOV bigrams are counted (`n_bigrams − n_known`) and the score is
+    * bits per KNOWN bigram; a doc with zero known bigrams is fully
+    * out-of-distribution (bits_micro = None, flagged). On the
+    * snapshot's own corpus n_known = n_bigrams and the output is
+    * row-identical to the batch operator (StreamingSpec parity). */
+  def docKnPerplexityStream(docs: Dataset[DocText], knLmPath: String,
+      maxBitsMicro: Long = 5000000L): Dataset[DocKnPerplexity] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lake = spark.read.parquet(s"$knLmPath/bigram_bits")
+    // doc-local bigram counts, map-side (zero state)
+    val docBg = docs.flatMap { d =>
+      val toks =
+        if (d.text == null) Array.empty[String]
+        else d.text.split(" ").filter(_.nonEmpty)
+      toks.iterator.sliding(2).withPartial(false)
+        .map(p => (p(0), p(1)))
+        .toSeq.groupBy(identity).iterator
+        .map { case ((w1, w2), g) => (d.doc_id, d.lang, w1, w2, g.length.toLong) }
+    }.toDF("doc_id", "lang", "w1", "w2", "c_d")
+    val joined = docBg
+      .join(lake, Seq("lang", "w1", "w2"), "left")
+      .select(col("doc_id"), col("lang"), col("c_d"), col("bits_w"))
+      .as[(Long, String, Long, Option[Long])]
+    joined.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, DocKnPerplexity](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((docId, lang), rows, _: GroupState[Boolean]) =>
+          var n = 0L
+          var known = 0L
+          var sb = BigInt(0)
+          rows.foreach { case (_, _, cD, bits) =>
+            n += cD
+            bits.foreach { b => known += cD; sb += BigInt(cD) * b }
+          }
+          if (known == 0L)
+            Iterator.single(DocKnPerplexity(docId, lang, n, 0L, 0L, None, true))
+          else {
+            // the batch twin's sign-split integer division, exactly
+            val micro = (sb.abs * 1000000 / (BigInt(known) * 1048576)).toLong *
+              (if (sb < 0) -1 else 1)
+            Iterator.single(DocKnPerplexity(docId, lang, n, known, sb.toLong,
+              Some(micro), micro > maxBitsMicro))
+          }
+      }
+  }
 }

@@ -95,4 +95,16 @@ class Round7WidenSpec extends SparkSpec {
     // non-vacuous on this corpus: something is dropped, something kept
     assert(got("kept") > 0 && got("kept") < got("docs_total"))
   }
+
+  test("pipe_quality_funnel: executed plan reuses shared aggregates; no cartesian") {
+    val df = CorpusPipeline.pipeQualityFunnel(spark, sf0001)
+    df.collect() // materialize THIS queryExecution so AQE finalizes it
+    val p = df.queryExecution.executedPlan.toString
+    // the entropy + unigram-ppl components share the doc-term
+    // aggregate, and the KN component re-aggregates its own doc-bigram
+    // counts — both must collapse under AQE instead of re-tokenizing
+    assert(p.contains("ReusedExchange"),
+      "the funnel must exchange-reuse the shared per-doc aggregates")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

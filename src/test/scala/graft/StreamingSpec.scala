@@ -98,6 +98,49 @@ class StreamingSpec extends SparkSpec {
     assert(lateRows(900001L), "an all-OOV doc maxes surprisal and is flagged")
   }
 
+  test("streaming KN-bigram perplexity gate matches the batch filter on the snapshot corpus") {
+    val lake = Files.createTempDirectory("kn_lm_lake")
+    Streams.knLmWrite(spark, sf0001, lake.toString)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("kn_stream")
+    docs.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
+      .as[Streams.DocText]
+    runToMemory(Streams.docKnPerplexityStream(stream, lake.toString).toDF(), "kn_stream_t")
+    // on the snapshot corpus every bigram is known: n_known == n_bigrams
+    // and (n_bigrams, kn_bits_num, bits_micro, flag) match batch rows
+    val streamed = spark.sql("select * from kn_stream_t").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    streamed.values.foreach { case (_, n, known, _, _, _) =>
+      assert(n == known, "zero OOV on the snapshot's own corpus")
+    }
+    val batch = graft.operators.TextAnalysis.txtDocKnPerplexity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(streamed == batch,
+      "stream-static KN scores and flags must equal the batch operator row for row")
+    // OOV semantics: unseen bigrams are counted, not scored; a doc with
+    // zero known bigrams is flagged with no score
+    import spark.implicits._
+    val late = Seq(
+      Streams.DocText(900101L, "en", "zzq1 zzq2 zzq3"),
+      Streams.DocText(900102L, "en", "the " * 50)).toDS()
+    late.toDF().write.mode("overwrite").parquet(src.toString + "_late")
+    val lateStream = spark.readStream.schema(docs.schema)
+      .parquet(src.toString + "_late").as[Streams.DocText]
+    runToMemory(Streams.docKnPerplexityStream(lateStream, lake.toString).toDF(), "kn_late_t")
+    val lateRows = spark.sql("select * from kn_late_t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.isNullAt(5), r.getBoolean(6)))).toMap
+    val (n1, k1, null1, flag1) = lateRows(900101L)
+    assert(n1 == 2L && k1 == 0L && null1 && flag1,
+      "an all-OOV doc carries no score and is flagged")
+    val (n2, k2, null2, _) = lateRows(900102L)
+    assert(n2 == 49L, "every bigram occurrence is accounted")
+    assert(null2 == (k2 == 0L), "a score exists iff some bigram is known")
+  }
+
   test("streaming ODNS ingest matches the batch reader") {
     val dir = Files.createTempDirectory("stream_odns")
     OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-01.csv.gz",
