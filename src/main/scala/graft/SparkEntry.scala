@@ -3544,7 +3544,7 @@ object SparkEntry {
         |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(ce[i] as double) * cast(ce[i] as double)))) *
         |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(be[i] as double) * cast(be[i] as double))))) cosim
         | FROM c JOIN b ON c.label = b.label
-        |), f AS (SELECT * FROM s WHERE cosim >= 0.35),
+        |), f AS (SELECT * FROM s WHERE cosim >= 0.30),
         |g AS (
         | SELECT vec_id, cast(count(*) as bigint) n_bench_hits, round(max(cosim), 6) max_sim
         | FROM f GROUP BY 1

@@ -467,7 +467,7 @@ object Dedup {
     * shuffle of the corpus embeddings; the cell equality then only
     * prunes compute, not recall beyond the standard SimHash bound. */
   def ddSemanticDecontaminate(spark: SparkSession, dir: String,
-      minCos: Double = 0.35, refineBits: Int = 0): DataFrame = {
+      minCos: Double = 0.30, refineBits: Int = 0): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", VectorOps.norm2("embedding"))
       .withColumn("cell", signProjectionCell(refineBits))

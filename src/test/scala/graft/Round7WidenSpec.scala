@@ -26,7 +26,7 @@ class Round7WidenSpec extends SparkSpec {
       d / (math.sqrt(na) * math.sqrt(nb))
     }
     val expect = corpus.flatMap { case (vid, lbl, ce) =>
-      val hits = bench.filter(b => b._2 == lbl && cos(ce, b._3) >= 0.35)
+      val hits = bench.filter(b => b._2 == lbl && cos(ce, b._3) >= 0.30)
         .map(b => (b._1, cos(ce, b._3)))
       if (hits.isEmpty) None
       else {
