@@ -1294,12 +1294,13 @@ object SparkEntry {
         |  AND mean_word_len >= 2 AND mean_word_len <= 12) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
     "q38_interval_join" ->
-      """SELECT o.o_orderkey,
+      """SELECT a.event_id AS anchor_id,
         | count(e.event_id) AS n_events,
         | cast(sum(cast(e.value as decimal(18,2))) as double) AS sum_value
-        |FROM orders o
-        |JOIN events e ON e.user_id = o.o_custkey
-        | AND e.ts >= o.o_orderdate AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        |FROM events a
+        |JOIN events e ON e.user_id = a.user_id
+        | AND e.ts > a.ts AND e.ts <= a.ts + INTERVAL 7 DAY
+        |WHERE a.event_type = 'signup'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_checksum" ->
       """WITH r AS (
@@ -2854,16 +2855,16 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q92_outlier_mad" ->
       """WITH med AS (
-        | SELECT c_nationkey, quantile_cont(c_acctbal, 0.5) AS med FROM customer GROUP BY 1
+        | SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
         |), mad AS (
-        | SELECT c.c_nationkey, quantile_cont(abs(c_acctbal - med), 0.5) AS mad, any_value(med) AS med
-        | FROM customer c JOIN med ON c.c_nationkey = med.c_nationkey GROUP BY 1
+        | SELECT e.event_type, quantile_cont(abs(value - med), 0.5) AS mad, any_value(med) AS med
+        | FROM events e JOIN med ON e.event_type = med.event_type GROUP BY 1
         |)
-        |SELECT c.c_nationkey, c_custkey, c_acctbal,
-        | round((c_acctbal - mad.med) / (1.4826 * mad.mad), 6) AS robust_z
-        |FROM customer c JOIN mad ON c.c_nationkey = mad.c_nationkey
-        |WHERE mad.mad > 0 AND abs(c_acctbal - mad.med) > 3.0 * 1.4826 * mad.mad
-        |ORDER BY c.c_nationkey, c_custkey""".stripMargin,
+        |SELECT e.event_type, event_id, value,
+        | round((value - mad.med) / (1.4826 * mad.mad), 6) AS robust_z
+        |FROM events e JOIN mad ON e.event_type = mad.event_type
+        |WHERE mad.mad > 0 AND abs(value - mad.med) > 3.0 * 1.4826 * mad.mad
+        |ORDER BY e.event_type, event_id""".stripMargin,
     "pipe_token_budget" ->
       """WITH t AS (
         | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents

@@ -530,16 +530,28 @@ object Analytics {
     * temporal band as a residual filter, so the shuffle is an ordinary
     * keyed exchange (never a cartesian range explosion); at 100 TB both
     * facts hash-partition on the key and the band check streams. */
+  /** Interval (range) join — per-anchor 7-day attribution: for every
+    * `signup` event, the same user's activity (count + value) in the
+    * following 7 days. NOTE: the original formulation joined events to
+    * ORDERS, but the synthetic calendars never overlap (events are one
+    * 2024 month, orders 1995-2001) — the gate was vacuously green on 0
+    * rows at every SF; the round-7 vacuity audit caught it, and the
+    * same-stream formulation exercises the identical range-predicate
+    * join shape non-vacuously. Equi-key (user) + range on ts: Spark
+    * plans the equi-part as the shuffle key, the range as a post-join
+    * filter — the standard scalable attribution shape. */
   def q38IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select($"user_id", $"ts", $"value", $"event_id")
-    val o = Tables.orders(spark, dir)
-      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
-    o.join(e, $"user_id" === $"o_custkey" &&
-        $"ts" >= $"o_orderdate" && $"ts" < $"o_orderdate" + expr("INTERVAL 7 DAYS"))
-      .groupBy($"o_orderkey")
+    val e = Tables.events(spark, dir)
+    val anchors = e.filter($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("anchor_id"), $"ts".as("t0"))
+    val acts = e.select($"user_id", $"ts", $"value", $"event_id")
+    anchors.join(acts,
+        anchors("user_id") === acts("user_id") &&
+          $"ts" > $"t0" && $"ts" <= $"t0" + expr("INTERVAL 7 DAYS"))
+      .groupBy($"anchor_id")
       .agg(count($"event_id").as("n_events"),
         expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sum_value"))
-      .orderBy($"o_orderkey")
+      .orderBy($"anchor_id")
   }
 
   /** Order-independent table checksum (data-integrity fingerprint for
@@ -1733,21 +1745,30 @@ object Analytics {
     * identical correctly-rounded expressions, so the flagged set is
     * deterministic. Complements the mean/σ z-score screen (q30),
     * which extreme outliers themselves corrupt. */
+  /** MAD robust outlier screen over `events.value` per event type.
+    * NOTE: the original target column (customer.c_acctbal) is
+    * near-uniform in the synthetic data — max robust-z ≈ 1.48 at
+    * sf0.1, so the standard 3σ fence could mathematically never fire
+    * at scale and the gate was vacuously green (the round-7 vacuity
+    * audit caught it; the 9 sf0.001 rows were small-sample MAD
+    * degeneracy, not outliers). events.value is genuinely
+    * heavy-tailed: the same fence flags 45/559/5781 rows at the three
+    * SFs, growing with data — a live gate for the same operator. */
   def q92OutlierMad(spark: SparkSession, dir: String): DataFrame = {
-    val med = Tables.customer(spark, dir).groupBy($"c_nationkey")
-      .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
-    val mad = Tables.customer(spark, dir)
-      .join(broadcast(med), "c_nationkey")
-      .groupBy($"c_nationkey")
-      .agg(expr("percentile(abs(c_acctbal - med), 0.5)").as("mad"),
+    val med = Tables.events(spark, dir).groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = Tables.events(spark, dir)
+      .join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
         first($"med").as("med"))
-    Tables.customer(spark, dir)
-      .join(broadcast(mad), "c_nationkey")
+    Tables.events(spark, dir)
+      .join(broadcast(mad), "event_type")
       .filter($"mad" > 0 &&
-        abs($"c_acctbal" - $"med") > lit(3.0) * lit(1.4826) * $"mad")
-      .select($"c_nationkey", $"c_custkey", $"c_acctbal",
-        round(($"c_acctbal" - $"med") / (lit(1.4826) * $"mad"), 6).as("robust_z"))
-      .orderBy($"c_nationkey", $"c_custkey")
+        abs($"value" - $"med") > lit(3.0) * lit(1.4826) * $"mad")
+      .select($"event_type", $"event_id", $"value",
+        round(($"value" - $"med") / (lit(1.4826) * $"mad"), 6).as("robust_z"))
+      .orderBy($"event_type", $"event_id")
   }
 
   /** Trailing 7-DAY revenue per priority-day via a RANGE window frame

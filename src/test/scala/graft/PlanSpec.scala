@@ -69,7 +69,7 @@ class PlanSpec extends SparkSpec {
     assert(aggs == 0, s"fingerprint should be agg-free (map-side arrays):\n$p")
   }
 
-  test("q38 interval join plans as an equi-join on the customer key") {
+  test("q38 interval join plans as an equi-join on the user key") {
     val p = plan(Analytics.q38IntervalJoin(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"range join degenerated to a product:\n$p")

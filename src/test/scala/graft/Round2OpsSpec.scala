@@ -187,27 +187,27 @@ class Round2OpsSpec extends SparkSpec {
   }
 
   test("q38_interval_join: every bucket matches a driver-side recompute of the window") {
-    val orders = Tables.orders(spark, sf0001)
-      .selectExpr("o_orderkey", "o_custkey", "cast(o_orderdate as string) od").collect()
-      .map(r => (r.getLong(0), r.getLong(1), java.time.LocalDate.parse(r.getString(2).take(10))))
     val events = Tables.events(spark, sf0001)
-      .selectExpr("user_id", "cast(ts as string) ts", "cast(value as decimal(18,2)) v")
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1).take(10), r.getDecimal(2)))
-    val expected = orders.flatMap { case (ok, ck, od) =>
-      val hits = events.filter { case (uid, day, _) =>
-        val d = java.time.LocalDate.parse(day)
-        uid == ck && !d.isBefore(od) && d.isBefore(od.plusDays(7))
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_micros(ts) tsm", "cast(value as decimal(18,2)) v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDecimal(4)))
+    val sevenDaysMicros = 7L * 24 * 3600 * 1000000
+    val expected = events.filter(_._3 == "signup").flatMap { case (aid, uid, _, t0, _) =>
+      val hits = events.filter { case (_, u, _, t, _) =>
+        u == uid && t > t0 && t <= t0 + sevenDaysMicros
       }
       if (hits.isEmpty) None
-      else Some(ok -> (hits.length.toLong, hits.map(_._3.doubleValue).sum))
+      else Some(aid -> (hits.length.toLong, hits.map(_._5.doubleValue).sum))
     }.toMap
+    // the reformulated gate must be LIVE (the original orders target
+    // shared no calendar with events — 0 rows at every SF)
+    assert(expected.nonEmpty, "attribution window non-vacuous on this corpus")
     val got = Analytics.q38IntervalJoin(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got.keySet == expected.keySet)
     got.foreach { case (k, (n, s)) =>
-      assert(n == expected(k)._1, s"order $k count")
-      assert(math.abs(s - expected(k)._2) < 1e-6, s"order $k sum")
+      assert(n == expected(k)._1, s"anchor $k count")
+      assert(math.abs(s - expected(k)._2) < 1e-6, s"anchor $k sum")
     }
   }
 

@@ -363,20 +363,25 @@ class Round4WidenSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(2) - math.rint(mae * 1e6) / 1e6) < 1e-6)
   }
 
-  test("q92_outlier_mad: every flagged customer really exceeds 3 scaled MADs; complements q30") {
+  test("q92_outlier_mad: every flagged event really exceeds 3 scaled MADs; non-vacuous") {
     val rows = Analytics.q92OutlierMad(spark, sf0001).collect()
-    val meds = Tables.customer(spark, sf0001).collect()
-      .groupBy(_.getInt(2)).view.mapValues(_.map(_.getDouble(3)).sorted).toMap
+    // the gate must be LIVE on this corpus (the original c_acctbal
+    // target was near-uniform and could never fire at scale)
+    assert(rows.nonEmpty, "heavy-tailed events.value must yield outliers")
+    val vals = Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
     def pct(xs: Array[Double], q: Double): Double = {
       val pos = q * (xs.length - 1); val lo = pos.toInt
       if (lo == xs.length - 1) xs(lo) else xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
     }
     rows.foreach { r =>
-      val xs = meds(r.getInt(0))
+      val xs = vals(r.getString(0))
       val med = pct(xs, 0.5)
       val mad = pct(xs.map(x => math.abs(x - med)).sorted, 0.5)
       assert(math.abs(r.getDouble(2) - med) > 3.0 * 1.4826 * mad - 1e-9,
-        s"customer ${r.getLong(1)} not actually beyond the MAD fence")
+        s"event ${r.getLong(1)} not actually beyond the MAD fence")
     }
   }
 

@@ -96,6 +96,27 @@ class Round7WidenSpec extends SparkSpec {
     assert(got("kept") > 0 && got("kept") < got("docs_total"))
   }
 
+  test("txt_code_detect: the POSITIVE class fires on code-shaped text (all-prose corpus never exercises it)") {
+    // the synthetic corpus contains no code, so the gated run proves
+    // only the negative class — stage a crafted corpus where both
+    // classes must appear, through the same loader path
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("code_detect")
+    val code = "def snake_case(x): { y = x == 1; return fn_call(y); } " * 4
+    val prose = "the quiet afternoon settled over the harbor and nobody spoke of it " * 4
+    Seq(
+      (1L, code, "en", "src0", code.length.toLong),
+      (2L, prose, "en", "src0", prose.length.toLong),
+      (3L, "", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val got = TextAnalysis.txtCodeDetect(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(got(1L), "code-shaped text must classify as code")
+    assert(!got(2L), "prose must not classify as code")
+    assert(!got(3L), "the empty doc stays prose (the 0-char guard)")
+  }
+
   test("pipe_quality_funnel: executed plan reuses shared aggregates; no cartesian") {
     val df = CorpusPipeline.pipeQualityFunnel(spark, sf0001)
     df.collect() // materialize THIS queryExecution so AQE finalizes it
