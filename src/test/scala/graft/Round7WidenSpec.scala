@@ -117,6 +117,30 @@ class Round7WidenSpec extends SparkSpec {
     assert(!got(3L), "the empty doc stays prose (the 0-char guard)")
   }
 
+  test("q7_semi_anti: the ANTI class fires on customers without orders (single-class at small SFs)") {
+    // at sf0.001/sf0.01 every customer has orders, so the gated run
+    // proves only the semi half; at sf0.1 exactly one customer carries
+    // the anti class. Pin both halves on a crafted corpus through the
+    // same loader path.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semi_anti")
+    Seq(
+      (1L, "c1", 0, 10.0, "BUILDING"),
+      (2L, "c2", 0, 20.0, "MACHINERY"),
+      (3L, "c3", 1, 30.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(dir.resolve("customer.parquet").toString)
+    Seq(
+      (100L, 1L, "O", 5.0, java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), "1-URGENT"),
+      (101L, 3L, "F", 7.0, java.sql.Timestamp.valueOf("1996-02-01 00:00:00"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(dir.resolve("orders.parquet").toString)
+    val got = operators.Analytics.q7SemiAnti(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true),
+      "semi and anti halves must partition the crafted corpus")
+  }
+
   test("pipe_quality_funnel: executed plan reuses shared aggregates; no cartesian") {
     val df = CorpusPipeline.pipeQualityFunnel(spark, sf0001)
     df.collect() // materialize THIS queryExecution so AQE finalizes it

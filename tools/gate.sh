@@ -15,3 +15,6 @@ python3 tools/oracle_check.py "/root/testdata/$SF" "$OUT"
 python3 tools/decimal_audit.py "$OUT" | tail -1 | grep -q "^== 0 " \
   || { echo "DECIMAL outputs detected"; exit 1; }
 python3 tools/headroom_audit.py "$OUT" 1000
+# gate-liveness: a query with an EMPTY output can never fail its oracle
+# (empty==empty hashes green); single-class booleans must be allowlisted
+python3 tools/vacuity_audit.py "$OUT"

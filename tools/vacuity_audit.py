@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Gate-liveness audit over a Verify dump: a query whose output is
+EMPTY is a gate that can never fail (empty == empty hashes green), so
+empties are a HARD failure; boolean columns with a single observed
+class are reported as warnings (they may be data-truth — e.g. a no-code
+corpus — but each one should have a spec exercising the other class).
+
+Round-7 origin: q38_interval_join had joined two tables whose synthetic
+calendars never overlap and was green-on-0-rows at every SF since its
+birth; q92_outlier_mad fenced a near-uniform column a 3-sigma MAD fence
+can never flag at scale.
+
+Usage: python3 tools/vacuity_audit.py <verifyOutDir>
+"""
+import os
+import sys
+
+import duckdb
+
+# single-class booleans that are data-truth on this corpus, each with a
+# spec exercising the other class (see PLANS.md round-7 vacuity notes)
+ALLOW_MONO = {
+    ("txt_code_detect", "is_code"),      # no code in corpus; positive class spec'd
+    ("pipe_code_mix", "is_code"),        # same signal, per-language rollup
+    ("pipe_l_diversity", "at_risk"),     # 2-row audit table
+    ("q7_semi_anti", "has_orders"),      # anti class exists only at sf0.1; both halves spec'd
+}
+
+
+def main():
+    outdir = sys.argv[1]
+    con = duckdb.connect()
+    empty, mono = [], []
+    for key in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, key)
+        if not os.path.isdir(d):
+            continue
+        rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+        n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+        if n == 0:
+            empty.append(key)
+            continue
+        for c, t in zip(rel.columns, rel.types):
+            if str(t) == "BOOLEAN" and (key, c) not in ALLOW_MONO:
+                nd = con.sql(
+                    f'SELECT count(DISTINCT "{c}") FROM \'{d}/*.parquet\''
+                ).fetchone()[0]
+                if nd < 2:
+                    mono.append((key, c, n))
+    for k in empty:
+        print(f"EMPTY\t{k}\t(a 0-row gate can never fail)")
+    for k, c, n in mono:
+        print(f"MONO-FLAG\t{k}.{c}\tsingle class over {n} rows "
+              f"(allowlist in tools/vacuity_audit.py if data-truth + spec'd)")
+    print(f"== {len(empty)} empty outputs, {len(mono)} unallowlisted single-class flags")
+    sys.exit(1 if empty or mono else 0)
+
+
+if __name__ == "__main__":
+    main()
