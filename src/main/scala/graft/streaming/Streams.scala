@@ -595,6 +595,106 @@ object Streams {
       }
   }
 
+  case class DocQualityVerdict(doc_id: Long, lang: String, n_tokens: Long,
+      low_entropy: Boolean, high_uni_ppl: Boolean, high_kn_ppl: Boolean,
+      keep: Boolean)
+
+  /** Streaming QUALITY GATE — the in-flight twin of the batch
+    * pipe_quality_funnel's row-level decision: every arriving doc is
+    * scored on all three information-theoretic signals in ONE pass —
+    * doc-local entropy (zero external state), unigram reference-LM
+    * perplexity (stream-static join on the [[refLmWrite]] lake), and
+    * KN-bigram perplexity (stream-static join on the [[knLmWrite]]
+    * lake) — and emits one verdict row with the funnel's keep rule
+    * (len ≥ MinDocTokens ∧ ¬low_entropy ∧ ¬high_uni ∧ ¬high_kn).
+    * Plumbing: the doc explodes map-side into TAGGED rows (kind 'u' =
+    * term counts carrying the lake's cr, kind 'b' = bigram counts
+    * carrying the lake's bits_w), the two stream-static joins run on
+    * their own keys, the tagged unions meet in ONE zero-retained-state
+    * flatMapGroupsWithState — so the whole cleaner is a single
+    * streaming query with a single stateful stage. Snapshot semantics
+    * per component as in the two single-signal gates; docs the
+    * tokenizer yields nothing for produce no row (the batch funnel
+    * counts them as length-failures — the parity spec reconciles).
+    * On the snapshot corpus the flags equal the batch components row
+    * for row. */
+  def qualityGateStream(docs: Dataset[DocText], refLmPath: String,
+      knLmPath: String,
+      minBitsMicro: Long = 3500000L, maxUniBitsMicro: Long = 5000000L,
+      maxKnBitsMicro: Long = 5000000L): Dataset[DocQualityVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Log2Fixed
+    val minTok = graft.operators.CorpusPipeline.MinDocTokens
+    val refTerms = spark.read.parquet(s"$refLmPath/terms")
+    val knLake = spark.read.parquet(s"$knLmPath/bigram_bits")
+    val totals = spark.read.parquet(s"$refLmPath/totals").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def toks(d: DocText): Array[String] =
+      if (d.text == null) Array.empty[String]
+      else d.text.split(" ").filter(_.nonEmpty)
+    val uniRows = docs.flatMap { d =>
+      toks(d).groupBy(identity).iterator
+        .map { case (t, g) => (d.doc_id, d.lang, t, g.length.toLong) }
+    }.toDF("doc_id", "lang", "term", "c")
+      .join(refTerms, Seq("lang", "term"), "left")
+      .select(col("doc_id"), col("lang"), lit("u").as("kind"), col("c"),
+        col("cr").as("aux"))
+    val bgRows = docs.flatMap { d =>
+      toks(d).iterator.sliding(2).withPartial(false)
+        .map(p => (p(0), p(1))).toSeq.groupBy(identity).iterator
+        .map { case ((w1, w2), g) => (d.doc_id, d.lang, w1, w2, g.length.toLong) }
+    }.toDF("doc_id", "lang", "w1", "w2", "c_d")
+      .join(knLake, Seq("lang", "w1", "w2"), "left")
+      .select(col("doc_id"), col("lang"), lit("b").as("kind"),
+        col("c_d").as("c"), col("bits_w").as("aux"))
+    uniRows.union(bgRows)
+      .as[(Long, String, String, Long, Option[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, DocQualityVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((docId, lang), rows, _: GroupState[Boolean]) =>
+          var n = 0L
+          var sclgEnt = BigInt(0) // Σ c·lg(c) over doc term counts
+          var sclgUni = BigInt(0) // Σ c·lg(cr+1) over ref counts
+          var nKn = 0L
+          var knownKn = 0L
+          var sbKn = BigInt(0)
+          rows.foreach {
+            case (_, _, "u", c, cr) =>
+              n += c
+              sclgEnt += BigInt(c) * Log2Fixed.shifted(c)
+              sclgUni += BigInt(c) * Log2Fixed.shifted(cr.getOrElse(0L) + 1)
+            case (_, _, _, cD, bits) =>
+              nKn += cD
+              bits.foreach { b => knownKn += cD; sbKn += BigInt(cD) * b }
+          }
+          if (n == 0L) Iterator.empty
+          else {
+            val entMicro = ((BigInt(n) * Log2Fixed.shifted(n) - sclgEnt) *
+              1000000 / (BigInt(n) * 1048576)).toLong
+            val lowEntropy = entMicro < minBitsMicro
+            val highUni = totals.get(lang) match {
+              case Some((vl, nl)) =>
+                val num = BigInt(n) * Log2Fixed.shifted(nl + vl) - sclgUni
+                (num * 1000000 / (BigInt(n) * 1048576)).toLong > maxUniBitsMicro
+              case None => true // no reference LM: out-of-distribution
+            }
+            val highKn =
+              if (nKn == 0L) false // too short for a bigram score: dead at the length gate
+              else if (knownKn == 0L) true // fully OOV under the KN LM
+              else {
+                val micro = (sbKn.abs * 1000000 / (BigInt(knownKn) * 1048576)).toLong *
+                  (if (sbKn < 0) -1 else 1)
+                micro > maxKnBitsMicro
+              }
+            val keep = n >= minTok && !lowEntropy && !highUni && !highKn
+            Iterator.single(DocQualityVerdict(docId, lang, n,
+              lowEntropy, highUni, highKn, keep))
+          }
+      }
+  }
+
   case class DocKnPerplexity(doc_id: Long, lang: String, n_bigrams: Long,
       n_known: Long, kn_bits_num: Long, bits_micro: Option[Long],
       high_perplexity: Boolean)

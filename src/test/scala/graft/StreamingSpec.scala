@@ -141,6 +141,53 @@ class StreamingSpec extends SparkSpec {
     assert(null2 == (k2 == 0L), "a score exists iff some bigram is known")
   }
 
+  test("streaming quality gate: one-pass three-signal verdicts reconcile with the batch funnel") {
+    val uniLake = Files.createTempDirectory("q_ref_lake")
+    val knLake = Files.createTempDirectory("q_kn_lake")
+    Streams.refLmWrite(spark, sf0001, uniLake.toString)
+    Streams.knLmWrite(spark, sf0001, knLake.toString)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("quality_stream")
+    docs.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
+      .as[Streams.DocText]
+    runToMemory(
+      Streams.qualityGateStream(stream, uniLake.toString, knLake.toString).toDF(),
+      "quality_stream_t")
+    val streamed = spark.sql("select * from quality_stream_t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6)))).toMap
+    // per-doc flags equal the batch component operators row for row
+    val ent = graft.operators.TextAnalysis.txtEntropyFilter(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(6)))).toMap
+    val uni = graft.operators.TextAnalysis.txtDocPerplexity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val kn = graft.operators.TextAnalysis.txtDocKnPerplexity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(streamed.keySet == ent.keySet, "one verdict per tokenizable doc")
+    streamed.foreach { case (id, (n, low, hUni, hKn, keep)) =>
+      val (nB, lowB) = ent(id)
+      assert(n == nB && low == lowB, s"entropy parity for doc $id")
+      assert(hUni == uni(id), s"unigram-ppl parity for doc $id")
+      assert(hKn == kn.getOrElse(id, false), s"KN-ppl parity for doc $id")
+      assert(keep == (n >= graft.operators.CorpusPipeline.MinDocTokens
+        && !low && !hUni && !hKn), s"keep rule for doc $id")
+    }
+    // the streamed verdicts aggregate to the batch funnel's counts
+    val funnel = graft.operators.CorpusPipeline.pipeQualityFunnel(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sf0001).count()
+    val vs = streamed.values.toSeq
+    assert(funnel("docs_total") == total)
+    assert(funnel("fail_length") ==
+      (total - vs.size) + vs.count(_._1 < graft.operators.CorpusPipeline.MinDocTokens))
+    assert(funnel("fail_low_entropy") == vs.count(_._2))
+    assert(funnel("fail_unigram_ppl") == vs.count(_._3))
+    assert(funnel("fail_kn_ppl") == vs.count(_._4))
+    assert(funnel("kept") == vs.count(_._5))
+  }
+
   test("streaming ODNS ingest matches the batch reader") {
     val dir = Files.createTempDirectory("stream_odns")
     OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-01.csv.gz",
