@@ -75,6 +75,13 @@ class PlanSpec extends SparkSpec {
       s"range join degenerated to a product:\n$p")
   }
 
+  test("dd_semantic_decontaminate: the benchmark side broadcasts (no corpus shuffle)") {
+    val p = plan(Dedup.ddSemanticDecontaminate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus embeddings must not shuffle for the bench join:\n$p")
+  }
+
   test("q40 lag features: both windows share one keyed shuffle") {
     val p = plan(Analytics.q40LagFeatures(spark, sf0001))
     val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
