@@ -523,13 +523,6 @@ object Analytics {
         expr("max(if(hx < thr, doc_id, null))").as("max_kept"))
       .orderBy($"source")
 
-  /** Interval (range) join: events attributed to the order window
-    * [o_orderdate, o_orderdate + 7 days) of the same customer — the
-    * attribution/conversion join every event pipeline runs. Spark plans
-    * the equality on the customer key as the join key and keeps the
-    * temporal band as a residual filter, so the shuffle is an ordinary
-    * keyed exchange (never a cartesian range explosion); at 100 TB both
-    * facts hash-partition on the key and the band check streams. */
   /** Interval (range) join — per-anchor 7-day attribution: for every
     * `signup` event, the same user's activity (count + value) in the
     * following 7 days. NOTE: the original formulation joined events to
@@ -1738,14 +1731,13 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
-  /** Robust outlier screen via median absolute deviation: customers
-    * whose balance sits more than 3 scaled MADs from their nation's
-    * median. Median and MAD are exact percentiles (engine-exact
-    * interpolation); the threshold compares doubles produced by
-    * identical correctly-rounded expressions, so the flagged set is
+  /** MAD robust outlier screen over `events.value` per event type —
+    * values more than 3 scaled MADs from their type's median. Median
+    * and MAD are exact percentiles (engine-exact interpolation); the
+    * threshold compares doubles produced by identical
+    * correctly-rounded expressions, so the flagged set is
     * deterministic. Complements the mean/σ z-score screen (q30),
-    * which extreme outliers themselves corrupt. */
-  /** MAD robust outlier screen over `events.value` per event type.
+    * which extreme outliers themselves corrupt.
     * NOTE: the original target column (customer.c_acctbal) is
     * near-uniform in the synthetic data — max robust-z ≈ 1.48 at
     * sf0.1, so the standard 3σ fence could mathematically never fire

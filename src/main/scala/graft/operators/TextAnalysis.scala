@@ -1334,25 +1334,6 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
-  /** Per-document perplexity under the document's language's
-    * INTERPOLATED KNESER–NEY BIGRAM LM — the stronger canonical
-    * pretraining quality filter above [[txtDocPerplexity]]'s unigram
-    * reference: P_KN(w₂|w₁) = (c−¾)/c(w₁) + ¾·(n_follow/c(w₁))·
-    * (n_precede/B), the exact rational the repo already gates
-    * globally as `txt_kn_prob` (p_num/p_den with d=¾), here built
-    * PER LANGUAGE. Per doc-bigram, bits = lg(p_den) − lg(p_num);
-    * the denominator 4·c(w₁)·B is a pure product, so it DECOMPOSES
-    * exactly: lg(p_den) ≐ 2·2²⁰ + lg(c(w₁)) + lg(B) — no corpus²
-    * integer ever forms on that side (the KL/JS discipline). The
-    * numerator (4c−3)·B + 3·n_follow·n_precede is irreducible and is
-    * formed in int64: its domain ceiling is c·B < 2⁶¹ (past it, shard
-    * per language — same ceiling class as the JS mixture numerator,
-    * documented there). Reference counts include the doc itself (the
-    * deterministic quick-filter form, as [[txtDocPerplexity]]).
-    * 100 TB shape: lg runs on the BIGRAM-TYPE-keyed LM table; doc
-    * bigrams join it on (lang,w₁,w₂) — one shuffle on the bigram key;
-    * per-lang B broadcast. The micro division is SIGN-SPLIT: near-
-    * deterministic docs can sum a few negative lg-truncation ulps. */
   /** Per-doc bigram counts (doc_id, lang, w1, w2, c_d) — the shared
     * head of the KN tier. */
   private def docBigramCounts(spark: SparkSession, dir: String): DataFrame =
@@ -1393,6 +1374,26 @@ object TextAnalysis {
   def knBigramBits(spark: SparkSession, dir: String): DataFrame =
     knLmBits(docBigramCounts(spark, dir))
 
+  /** Per-document perplexity under the document's language's
+    * INTERPOLATED KNESER–NEY BIGRAM LM — the stronger canonical
+    * pretraining quality filter above [[txtDocPerplexity]]'s unigram
+    * reference: P_KN(w₂|w₁) = (c−¾)/c(w₁) + ¾·(n_follow/c(w₁))·
+    * (n_precede/B), the exact rational the repo already gates
+    * globally as `txt_kn_prob` (p_num/p_den with d=¾), here built
+    * PER LANGUAGE (see [[knLmBits]]). Per doc-bigram,
+    * bits = lg(p_den) − lg(p_num); the denominator 4·c(w₁)·B is a
+    * pure product, so it DECOMPOSES exactly:
+    * lg(p_den) ≐ 2·2²⁰ + lg(c(w₁)) + lg(B) — no corpus² integer ever
+    * forms on that side (the KL/JS discipline). The numerator
+    * (4c−3)·B + 3·n_follow·n_precede is irreducible and is formed in
+    * int64: its domain ceiling is c·B < 2⁶¹ (past it, shard per
+    * language — same ceiling class as the JS mixture numerator,
+    * documented there). Reference counts include the doc itself (the
+    * deterministic quick-filter form, as [[txtDocPerplexity]]).
+    * 100 TB shape: lg runs on the BIGRAM-TYPE-keyed LM table; doc
+    * bigrams join it on (lang,w₁,w₂) — one shuffle on the bigram key;
+    * per-lang B broadcast. The micro division is SIGN-SPLIT: near-
+    * deterministic docs can sum a few negative lg-truncation ulps. */
   def txtDocKnPerplexity(spark: SparkSession, dir: String,
       maxBitsMicro: Long = 5000000L): DataFrame = {
     // the reference LM re-aggregates the per-doc counts (identical

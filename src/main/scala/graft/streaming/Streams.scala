@@ -494,9 +494,7 @@ object Streams {
     docs.flatMap { d =>
       // null/zero-token docs: the batch twin's split→filter→explode
       // yields no row for them — skip, don't kill the stream
-      val toks =
-        if (d.text == null) Array.empty[String]
-        else d.text.split(" ").filter(_.nonEmpty)
+      val toks = streamToks(d)
       if (toks.isEmpty) None
       else {
         val n = toks.length.toLong
@@ -512,6 +510,34 @@ object Streams {
 
   case class DocPerplexity(doc_id: Long, lang: String, n_tokens: Long,
       ppl_num: Long, bits_micro: Long, high_perplexity: Boolean)
+
+  /** Null-safe whitespace tokens — the ONE stream-side twin of the
+    * batch TextOps.tokens; every doc-local gate tokenizes through
+    * here so a tokenization fix cannot fork the parity contract. */
+  private def streamToks(d: DocText): Array[String] =
+    if (d.text == null) Array.empty[String]
+    else d.text.split(" ").filter(_.nonEmpty)
+
+  /** Doc-local term counts (doc_id, lang, term, c) — map-side, zero
+    * state; shared by the unigram-LM and composite gates. */
+  private def docTermCounts(docs: Dataset[DocText]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      streamToks(d).groupBy(identity).iterator
+        .map { case (t, g) => (d.doc_id, d.lang, t, g.length.toLong) }
+    }.toDF("doc_id", "lang", "term", "c")
+  }
+
+  /** Doc-local bigram counts (doc_id, lang, w1, w2, c_d) — map-side,
+    * zero state; shared by the KN and composite gates. */
+  private def docBigramCountsStream(docs: Dataset[DocText]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      streamToks(d).iterator.sliding(2).withPartial(false)
+        .map(p => (p(0), p(1))).toSeq.groupBy(identity).iterator
+        .map { case ((w1, w2), g) => (d.doc_id, d.lang, w1, w2, g.length.toLong) }
+    }.toDF("doc_id", "lang", "w1", "w2", "c_d")
+  }
 
   /** Write half of the reference-LM lake: persist the per-(lang, term)
     * smoothed-unigram reference counts and the per-lang totals that
@@ -560,16 +586,8 @@ object Streams {
     // per-lang totals: |langs| rows — a driver map, captured by value
     val totals = spark.read.parquet(s"$refLmPath/totals").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // doc-local term counts, map-side (zero state, like entropyGateStream)
-    val docTerms = docs.flatMap { d =>
-      val toks =
-        if (d.text == null) Array.empty[String]
-        else d.text.split(" ").filter(_.nonEmpty)
-      toks.groupBy(identity).iterator
-        .map { case (t, g) => (d.doc_id, d.lang, t, g.length.toLong) }
-    }.toDF("doc_id", "lang", "term", "c")
     // stream-static join: stream side keyed (lang, term); OOV → cr = 0
-    val joined = docTerms
+    val joined = docTermCounts(docs)
       .join(refTerms, Seq("lang", "term"), "left")
       .select(col("doc_id"), col("lang"), col("c"),
         coalesce(col("cr"), lit(0L)).as("cr"))
@@ -630,21 +648,11 @@ object Streams {
     val knLake = spark.read.parquet(s"$knLmPath/bigram_bits")
     val totals = spark.read.parquet(s"$refLmPath/totals").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    def toks(d: DocText): Array[String] =
-      if (d.text == null) Array.empty[String]
-      else d.text.split(" ").filter(_.nonEmpty)
-    val uniRows = docs.flatMap { d =>
-      toks(d).groupBy(identity).iterator
-        .map { case (t, g) => (d.doc_id, d.lang, t, g.length.toLong) }
-    }.toDF("doc_id", "lang", "term", "c")
+    val uniRows = docTermCounts(docs)
       .join(refTerms, Seq("lang", "term"), "left")
       .select(col("doc_id"), col("lang"), lit("u").as("kind"), col("c"),
         col("cr").as("aux"))
-    val bgRows = docs.flatMap { d =>
-      toks(d).iterator.sliding(2).withPartial(false)
-        .map(p => (p(0), p(1))).toSeq.groupBy(identity).iterator
-        .map { case ((w1, w2), g) => (d.doc_id, d.lang, w1, w2, g.length.toLong) }
-    }.toDF("doc_id", "lang", "w1", "w2", "c_d")
+    val bgRows = docBigramCountsStream(docs)
       .join(knLake, Seq("lang", "w1", "w2"), "left")
       .select(col("doc_id"), col("lang"), lit("b").as("kind"),
         col("c_d").as("c"), col("bits_w").as("aux"))
@@ -727,17 +735,7 @@ object Streams {
     val spark = docs.sparkSession
     import spark.implicits._
     val lake = spark.read.parquet(s"$knLmPath/bigram_bits")
-    // doc-local bigram counts, map-side (zero state)
-    val docBg = docs.flatMap { d =>
-      val toks =
-        if (d.text == null) Array.empty[String]
-        else d.text.split(" ").filter(_.nonEmpty)
-      toks.iterator.sliding(2).withPartial(false)
-        .map(p => (p(0), p(1)))
-        .toSeq.groupBy(identity).iterator
-        .map { case ((w1, w2), g) => (d.doc_id, d.lang, w1, w2, g.length.toLong) }
-    }.toDF("doc_id", "lang", "w1", "w2", "c_d")
-    val joined = docBg
+    val joined = docBigramCountsStream(docs)
       .join(lake, Seq("lang", "w1", "w2"), "left")
       .select(col("doc_id"), col("lang"), col("c_d"), col("bits_w"))
       .as[(Long, String, Long, Option[Long])]

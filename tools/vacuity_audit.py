@@ -2,8 +2,9 @@
 """Gate-liveness audit over a Verify dump: a query whose output is
 EMPTY is a gate that can never fail (empty == empty hashes green), so
 empties are a HARD failure; boolean columns with a single observed
-class are reported as warnings (they may be data-truth — e.g. a no-code
-corpus — but each one should have a spec exercising the other class).
+class also FAIL the gate unless allowlisted in ALLOW_MONO — a flag may
+legitimately be single-class on this corpus (e.g. no code exists), but
+then it must be allowlisted WITH a spec exercising the other class.
 
 Round-7 origin: q38_interval_join had joined two tables whose synthetic
 calendars never overlap and was green-on-0-rows at every SF since its
@@ -28,6 +29,9 @@ ALLOW_MONO = {
 
 
 def main():
+    if len(sys.argv) < 2:
+        print(__doc__.strip().splitlines()[-1])
+        sys.exit(2)
     outdir = sys.argv[1]
     con = duckdb.connect()
     empty, mono = [], []
@@ -36,22 +40,24 @@ def main():
         if not os.path.isdir(d):
             continue
         rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
-        n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+        bools = [c for c, t in zip(rel.columns, rel.types)
+                 if str(t) == "BOOLEAN" and (key, c) not in ALLOW_MONO]
+        # ONE scan per directory: row count + every flag's class count
+        agg = ", ".join(["count(*)"] +
+                        [f'count(DISTINCT "{c}")' for c in bools])
+        res = con.sql(f"SELECT {agg} FROM '{d}/*.parquet'").fetchone()
+        n = res[0]
         if n == 0:
             empty.append(key)
             continue
-        for c, t in zip(rel.columns, rel.types):
-            if str(t) == "BOOLEAN" and (key, c) not in ALLOW_MONO:
-                nd = con.sql(
-                    f'SELECT count(DISTINCT "{c}") FROM \'{d}/*.parquet\''
-                ).fetchone()[0]
-                if nd < 2:
-                    mono.append((key, c, n))
+        for c, nd in zip(bools, res[1:]):
+            if nd < 2:
+                mono.append((key, c, n))
     for k in empty:
         print(f"EMPTY\t{k}\t(a 0-row gate can never fail)")
     for k, c, n in mono:
         print(f"MONO-FLAG\t{k}.{c}\tsingle class over {n} rows "
-              f"(allowlist in tools/vacuity_audit.py if data-truth + spec'd)")
+              f"(FAILS the gate — allowlist in tools/vacuity_audit.py only with a spec for the other class)")
     print(f"== {len(empty)} empty outputs, {len(mono)} unallowlisted single-class flags")
     sys.exit(1 if empty or mono else 0)
 
