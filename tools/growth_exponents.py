@@ -14,7 +14,11 @@ import sys
 
 import duckdb
 
-ALLOW = {("dd_simhash", "simhash")}
+ALLOW = {("dd_simhash", "simhash"),
+         # modular ring value: magnitude fixed by the Mersenne 2^61-1
+         # ring width, not data scale (the mod is identity until ~sf1000,
+         # then uniform near the ring top)
+         ("q39_checksum", "checksum")}
 
 # identifier pass-throughs: their magnitude is the platform's key-space
 # allocation (and, in the replicated sf1 input, the replica offset

@@ -11,7 +11,11 @@ import duckdb
 
 # hash-VALUED columns: magnitude is fixed by the hash width (simhash is
 # 60 bits by construction), not by data scale — headroom is meaningless
-ALLOW = {("dd_simhash", "simhash")}
+ALLOW = {("dd_simhash", "simhash"),
+         # modular ring value: magnitude fixed by the Mersenne 2^61-1
+         # ring width, not data scale (the mod is identity until ~sf1000,
+         # then uniform near the ring top)
+         ("q39_checksum", "checksum")}
 
 def main():
     outdir = sys.argv[1]
