@@ -73,6 +73,10 @@ class PlanSpec extends SparkSpec {
     val p = plan(Analytics.q38IntervalJoin(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"range join degenerated to a product:\n$p")
+    // the anchor filter must reach the scan, not sit above the join
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("event_type"),
+      s"signup filter not pushed to the anchor scan: $pushed")
   }
 
   test("dd_semantic_decontaminate: the benchmark side broadcasts (no corpus shuffle)") {
