@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming-cleaner throughput benchmark — the deployment question
+  * for the quality tier: how many documents per second does the
+  * one-pass three-signal gate (entropy + unigram-LM + KN-bigram-LM,
+  * Streams.qualityGateStream) clean in flight? Reference-LM lakes are
+  * built once from the corpus at `lmDir` (the snapshot cost every
+  * nightly build pays ONCE), then `docsDir`'s documents stream through
+  * the gate with an AvailableNow trigger into a counting sink.
+  *
+  * Usage: runMain graft.CleanerBench [lmSfDir] [docsParquet]
+  * Defaults: lm = /root/testdata/sf0.1, docs = target/sf1/documents.parquet
+  * (50k docs — the replicated corpus is fine here: throughput, not
+  * liveness). Prints one JSON line: lake-build sec, stream sec, docs/s.
+  */
+object CleanerBench {
+  def main(args: Array[String]): Unit = {
+    val lmDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docsPath = args.lift(1).getOrElse("target/sf1/documents.parquet")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    spark.range(1000).count() // session warmup
+
+    val uniLake = Files.createTempDirectory("cb_uni").toString
+    val knLake = Files.createTempDirectory("cb_kn").toString
+    val (_, tLakes) = time {
+      Streams.refLmWrite(spark, lmDir, uniLake)
+      Streams.knLmWrite(spark, lmDir, knLake)
+    }
+
+    val docs = spark.read.parquet(docsPath)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val nDocs = docs.count()
+    val src = Files.createTempDirectory("cb_docs")
+    docs.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
+      .as[Streams.DocText]
+    val (_, tStream) = time {
+      val q = Streams.qualityGateStream(stream, uniLake, knLake).toDF()
+        .writeStream.format("memory").queryName("cleaner_bench")
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(600000)
+    }
+    val emitted = spark.sql("select count(*) from cleaner_bench").head().getLong(0)
+    val kept = spark.sql("select count(*) from cleaner_bench where keep").head().getLong(0)
+    def num(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(s"""{"metric":"cleaner_throughput","n_docs":$nDocs,"verdicts":$emitted,""" +
+      s""""kept":$kept,"lake_build_sec":${num(tLakes)},"stream_sec":${num(tStream)},""" +
+      s""""docs_per_sec":${num(emitted / tStream)},"lm_dir":"$lmDir"}""")
+    spark.stop()
+  }
+}
