@@ -61,6 +61,11 @@ class Round7WidenSpec extends SparkSpec {
     }
   }
 
+  test("SparkEntry.entry: the driver's flagship smoke check returns rows locally too") {
+    assert(SparkEntry.entry(spark).count() > 0,
+      "the flagship corpus job must produce rows (the driver smoke-checks this)")
+  }
+
   test("pipe_quality_funnel: counts reconstruct from the component gates; survivors monotone") {
     val nDocs = Tables.documents(spark, sf0001).count()
     val ent = TextAnalysis.txtEntropyFilter(spark, sf0001).collect()
