@@ -188,6 +188,41 @@ class StreamingSpec extends SparkSpec {
     assert(funnel("kept") == vs.count(_._5))
   }
 
+  test("streaming quality gate: exactly-once across a checkpointed restart") {
+    val uniLake = Files.createTempDirectory("qr_ref_lake")
+    val knLake = Files.createTempDirectory("qr_kn_lake")
+    Streams.refLmWrite(spark, sf0001, uniLake.toString)
+    Streams.knLmWrite(spark, sf0001, knLake.toString)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val firstHalf = docs.filter(col("doc_id") % 2 === 0)
+    val secondHalf = docs.filter(col("doc_id") % 2 =!= 0)
+    val src = Files.createTempDirectory("qr_src")
+    val out = Files.createTempDirectory("qr_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("qr_ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(src.toString + "/*")
+        .as[Streams.DocText]
+      val q = Streams.qualityGateStream(stream, uniLake.toString, knLake.toString)
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    firstHalf.write.mode("overwrite").parquet(src.toString + "/a")
+    runOnce() // first incarnation: only the first half exists
+    secondHalf.write.mode("overwrite").parquet(src.toString + "/b")
+    runOnce() // restart from the checkpoint: must process ONLY the b files
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6))
+    // exactly-once: every tokenizable doc verdicted exactly once across
+    // the two incarnations, none duplicated, none dropped
+    val expected = graft.operators.TextAnalysis.txtEntropyFilter(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.length == rows.map(_._1).distinct.length, "no doc verdicted twice")
+    assert(rows.map(_._1).toSet == expected, "no doc dropped across the restart")
+  }
+
   test("streaming ODNS ingest matches the batch reader") {
     val dir = Files.createTempDirectory("stream_odns")
     OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-01.csv.gz",
