@@ -101,6 +101,36 @@ object Bench {
         s"$spreadThreshold after $passes passes - rerunning")
       onePass(); passes += 1
     }
+    // targeted repair: ANY query whose spread is still above
+    // SPARK_GRAFT_SPREAD_TARGET (default 2.0) gets individual re-passes
+    // — a contention burst that polluted a handful of queries is fixed
+    // by re-timing just those, so a misleading per-query number cannot
+    // reach the permanent record without three independent attempts to
+    // repair it (r7 driver record: one query at spread 3.82 on a noisy
+    // host vs 1.365 quiet — under the 4.0 full-pass trigger, over 2.0)
+    val targetSpread = sys.env.getOrElse("SPARK_GRAFT_SPREAD_TARGET", "2.0").toDouble
+    def spreadOf(acc: List[Double]): Double = {
+      val sorted = acc.sorted
+      if (sorted.size >= 2 && sorted.head > 0) sorted(1) / sorted.head else 1.0
+    }
+    var targetedPasses = 0
+    var affected = samples.collect {
+      case (k, Right(acc)) if spreadOf(acc) > targetSpread => k }.toSet
+    while (affected.nonEmpty && targetedPasses < 3) {
+      System.err.println(s"[bench] ${affected.size} queries above spread " +
+        s"$targetSpread - targeted re-pass: ${affected.toSeq.sorted.take(10).mkString(",")}")
+      samples = samples.map {
+        case (name, Right(acc)) if affected(name) =>
+          name -> (timeOnce(SparkEntry.queries(name)) match {
+            case Right(t) => Right(t :: acc)
+            case _ => Right(acc) // a transient error on re-pass keeps the record
+          })
+        case other => other
+      }
+      targetedPasses += 1
+      affected = samples.collect {
+        case (k, Right(acc)) if spreadOf(acc) > targetSpread => k }.toSet
+    }
     val ok = samples.collect { case (k, Right(acc)) =>
       val sorted = acc.sorted
       k -> ((sorted.head, sorted(1))) // best + runner-up: min and its witness
@@ -131,7 +161,7 @@ object Bench {
     val sumTop = topN.map(_._2._1).sum
     // per-query detail first (may be truncated by tail-limited consumers)
     println(s"""{"metric":"queries","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
-    println(s"""{"metric":"spread","spread":$sp,"worst_spread":${num(worstSpread)},"n_passes":$passes,"note":"runner-up/best over interleaved passes (extra passes auto-run past threshold); >>1 on many queries = host contention during the run"}""")
+    println(s"""{"metric":"spread","spread":$sp,"worst_spread":${num(worstSpread)},"n_passes":$passes,"n_targeted_passes":$targetedPasses,"still_above_target":${affected.size},"note":"runner-up/best over interleaved passes (extra passes auto-run past threshold; per-query re-passes past spread target 2.0); >>1 on many queries = host contention during the run"}""")
     println(s"""{"metric":"slowest","top":$topJson,"sum_top":${num(sumTop)},"sum_rest":${num(total - sumTop)},"worst_spread_query":"${esc(worstSpreadQuery)}","worst_spread":${num(worstSpread)}}""")
     // the LAST stdout line is the short headline record
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${errs.size},"worst_spread":${num(worstSpread)},"worst_spread_query":"${esc(worstSpreadQuery)}","sf":"$sfDir"}""")
@@ -143,14 +173,25 @@ object Bench {
     // as the run of record): subsets only write when the caller names
     // a path explicitly, and the record carries the subset marker.
     val explicitPath = sys.env.get("SPARK_GRAFT_BENCH_DETAIL")
-    val detailPath = explicitPath.getOrElse("BENCH_DETAIL.json")
+    // anchor the default against SPARK_GRAFT_REPO_ROOT (else the CWD,
+    // made absolute) and LOG the absolute path — a bench launched from
+    // another directory cannot silently write the run-of-record detail
+    // file somewhere nobody looks
+    val detailPath = explicitPath.getOrElse(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", ""))
+        .resolve("BENCH_DETAIL.json").toAbsolutePath.toString)
     val detail = s"""{"sf":"$sfDir","cpus":"$cpus","n_passes":$passes,""" +
+      s""""n_targeted_passes":$targetedPasses,""" +
       s""""subset":${only.isDefined},""" +
       s""""total_sec":${num(total)},"worst_spread":${num(worstSpread)},""" +
       s""""worst_spread_query":"${esc(worstSpreadQuery)}",""" +
       s""""times":$qs,"spread":$sp,"errors":$es}"""
     if (only.isEmpty || explicitPath.isDefined) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
+      try {
+        val abs = java.nio.file.Paths.get(detailPath).toAbsolutePath
+        java.nio.file.Files.writeString(abs, detail + "\n")
+        System.err.println(s"[bench] detail written to $abs")
+      }
       catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     }
     spark.stop()

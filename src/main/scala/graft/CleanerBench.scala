@@ -52,10 +52,14 @@ object CleanerBench {
     docs.write.mode("overwrite").parquet(src.toString)
     val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
       .as[Streams.DocText]
-    val (_, tStream) = time {
+    val (finished, tStream) = time {
       val q = Streams.qualityGateStream(stream, uniLake, knLake).toDF()
         .writeStream.format("memory").queryName("cleaner_bench")
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      // awaitTermination(timeout) returns false if the stream is STILL
+      // RUNNING at the deadline — in that case emitted/kept would count
+      // partial output and docs_per_sec would be silently wrong, so the
+      // record must carry the marker
       q.awaitTermination(600000)
     }
     val emitted = spark.sql("select count(*) from cleaner_bench").head().getLong(0)
@@ -63,7 +67,11 @@ object CleanerBench {
     def num(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     println(s"""{"metric":"cleaner_throughput","n_docs":$nDocs,"verdicts":$emitted,""" +
       s""""kept":$kept,"lake_build_sec":${num(tLakes)},"stream_sec":${num(tStream)},""" +
-      s""""docs_per_sec":${num(emitted / tStream)},"lm_dir":"$lmDir"}""")
+      s""""docs_per_sec":${num(emitted / tStream)},"timed_out":${!finished},""" +
+      s""""lm_dir":"$lmDir"}""")
+    if (!finished)
+      System.err.println("CleanerBench: stream did not finish within 10 min — " +
+        "docs_per_sec above is over PARTIAL output; do not record it")
     spark.stop()
   }
 }

@@ -956,9 +956,20 @@ object TextAnalysis {
     counts.join(prefix, "w1").join(contin, "w2").crossJoin(broadcast(btot))
       .select(col("w1"), col("w2"), col("c"), col("cw1"),
         col("n_follow"), col("n_precede"), col("b_types"),
-        expr("cast(cast(4 * c - 3 as decimal(38,0)) * b_types" +
-          " + cast(3 as decimal(38,0)) * n_follow * n_precede as bigint)").as("p_num"),
-        expr("cast(cast(4 as decimal(38,0)) * cw1 * b_types as bigint)").as("p_den"))
+        // same fail-loud guard as [[knLmBits]]: non-ANSI decimal→bigint
+        // casts null silently on overflow where the oracle errors loudly
+        expr("CASE WHEN cast(4 * c - 3 as decimal(38,0)) * b_types" +
+          " + cast(3 as decimal(38,0)) * n_follow * n_precede" +
+          " < cast(9223372036854775807 as decimal(38,0))" +
+          " THEN cast(cast(4 * c - 3 as decimal(38,0)) * b_types" +
+          " + cast(3 as decimal(38,0)) * n_follow * n_precede as bigint)" +
+          " ELSE cast(raise_error('txtKnProb: KN numerator exceeds int64') as bigint)" +
+          " END").as("p_num"),
+        expr("CASE WHEN cast(4 as decimal(38,0)) * cw1 * b_types" +
+          " < cast(9223372036854775807 as decimal(38,0))" +
+          " THEN cast(cast(4 as decimal(38,0)) * cw1 * b_types as bigint)" +
+          " ELSE cast(raise_error('txtKnProb: KN denominator 4*c(w1)*B exceeds int64')" +
+          " as bigint) END").as("p_den"))
       .orderBy(col("c").desc, col("w1"), col("w2"))
       .limit(k)
   }
@@ -1361,8 +1372,18 @@ object TextAnalysis {
       .join(prefix, Seq("lang", "w1")).join(contin, Seq("lang", "w2"))
       .join(broadcast(btot), Seq("lang"))
       .select(col("lang"), col("w1"), col("w2"),
-        expr("cast(cast(4 * c - 3 as decimal(38,0)) * b_types" +
-          " + cast(3 as decimal(38,0)) * n_follow * n_precede as bigint)").as("p_num"),
+        // fail-loud past the documented c·B < 2⁶¹ ceiling: the plain
+        // decimal→bigint cast is non-ANSI (NULL on overflow), which
+        // would silently DROP the bigram from every per-doc sum while
+        // the DuckDB oracle errors loudly — guard so both engines fail
+        // the same way (shard per language past this point)
+        expr("CASE WHEN cast(4 * c - 3 as decimal(38,0)) * b_types" +
+          " + cast(3 as decimal(38,0)) * n_follow * n_precede" +
+          " < cast(9223372036854775807 as decimal(38,0))" +
+          " THEN cast(cast(4 * c - 3 as decimal(38,0)) * b_types" +
+          " + cast(3 as decimal(38,0)) * n_follow * n_precede as bigint)" +
+          " ELSE cast(raise_error('knLmBits: KN numerator (4c-3)*B + 3*n1f*n1p" +
+          " exceeds int64 - shard the LM per language') as bigint) END").as("p_num"),
         col("cw1"), col("b_types"))
       .select(col("lang"), col("w1"), col("w2"),
         expr(s"2097152 + ${lgShift("cw1")} + ${lgShift("b_types")}" +

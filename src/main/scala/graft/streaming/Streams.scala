@@ -509,7 +509,7 @@ object Streams {
   }
 
   case class DocPerplexity(doc_id: Long, lang: String, n_tokens: Long,
-      ppl_num: Long, bits_micro: Long, high_perplexity: Boolean)
+      ppl_num: Long, bits_micro: Option[Long], high_perplexity: Boolean)
 
   /** Null-safe whitespace tokens — the ONE stream-side twin of the
     * batch TextOps.tokens; every doc-local gate tokenizes through
@@ -573,8 +573,14 @@ object Streams {
     * are AS-OF the lake write — a term the snapshot has never seen
     * scores as cr = 0, so its add-one-smoothed surprisal term is
     * lg(0+1) = 0, i.e. maximal surprise under the decomposed statistic
-    * (the lg(N_l+V_l) mass is uncompensated); languages absent from the
-    * snapshot are skipped — there is no LM to score against. On the
+    * (the lg(N_l+V_l) mass is uncompensated). OUT-OF-SNAPSHOT-LANGUAGE
+    * POLICY (unified across all streaming gates, r8): a doc whose
+    * language has no reference LM is FLAGGED — emitted with
+    * bits_micro = None and high_perplexity = true, exactly the
+    * [[docKnPerplexityStream]] zero-known shape and the composite
+    * [[qualityGateStream]]'s high_uni_ppl = true verdict — never
+    * silently passed and never dropped from the verdict stream (a
+    * cleaner that cannot score a doc must say so, not lose it). On the
     * snapshot's own corpus the output is row-identical to the batch
     * operator (StreamingSpec parity). */
   def docPerplexityStream(docs: Dataset[DocText], refLmPath: String,
@@ -597,7 +603,11 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((docId, lang), rows, _: GroupState[Boolean]) =>
           totals.get(lang) match {
-            case None => Iterator.empty // lang absent from the snapshot
+            case None =>
+              // off-snapshot language: no LM to score against — flag,
+              // don't drop (the unified OOD policy; see scaladoc)
+              val n = rows.map(_._3).sum
+              Iterator.single(DocPerplexity(docId, lang, n, 0L, None, true))
             case Some((vl, nl)) =>
               var n = 0L
               var sclg = BigInt(0)
@@ -608,7 +618,7 @@ object Streams {
               val pplNum = BigInt(n) * Log2Fixed.shifted(nl + vl) - sclg
               val micro = (pplNum * 1000000 / (BigInt(n) * 1048576)).toLong
               Iterator.single(DocPerplexity(docId, lang, n, pplNum.toLong,
-                micro, micro > maxBitsMicro))
+                Some(micro), micro > maxBitsMicro))
           }
       }
   }
@@ -634,8 +644,20 @@ object Streams {
     * per component as in the two single-signal gates; docs the
     * tokenizer yields nothing for produce no row (the batch funnel
     * counts them as length-failures — the parity spec reconciles).
-    * On the snapshot corpus the flags equal the batch components row
-    * for row. */
+    * OUT-OF-SNAPSHOT-LANGUAGE POLICY (unified, r8): a doc whose
+    * language has no unigram reference LM is FLAGGED high_uni_ppl =
+    * true (⇒ keep = false) — same flag-don't-skip policy as
+    * [[docPerplexityStream]] and [[docKnPerplexityStream]]; the batch
+    * funnel never meets this case because it scores the same corpus
+    * the LM is derived from. On the snapshot corpus the flags equal
+    * the batch components row for row.
+    *
+    * DOC-ATOMICITY CONTRACT: a document's exploded rows must all
+    * arrive within ONE micro-batch — the verdict is computed from the
+    * rows of the batch the doc arrives in (zero carried state), which
+    * holds for the file source used here because a doc is one parquet
+    * row and files are assigned to triggers whole; the checkpointed-
+    * restart spec pins exactly-once at that granularity. */
   def qualityGateStream(docs: Dataset[DocText], refLmPath: String,
       knLmPath: String,
       minBitsMicro: Long = 3500000L, maxUniBitsMicro: Long = 5000000L,

@@ -82,7 +82,8 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       "stream-static scores and flags must equal the batch operator row for row")
     // snapshot semantics: a post-snapshot doc with OOV terms still scores
-    // (cr=0 path) and an unseen language is skipped, not an error
+    // (cr=0 path); an unseen LANGUAGE is FLAGGED with a null score —
+    // the unified flag-don't-skip OOD policy across all streaming gates
     import spark.implicits._
     val late = Seq(
       Streams.DocText(900001L, "en", "zzzunseen zzzunseen qqqnovel"),
@@ -93,9 +94,14 @@ class StreamingSpec extends SparkSpec {
       .parquet(src.toString + "_late").as[Streams.DocText]
     runToMemory(Streams.docPerplexityStream(lateStream, lake.toString).toDF(), "ppl_late_t")
     val lateRows = spark.sql("select * from ppl_late_t").collect()
-      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
-    assert(lateRows.keySet == Set(900001L), "unseen lang skipped, OOV doc scored")
-    assert(lateRows(900001L), "an all-OOV doc maxes surprisal and is flagged")
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.isNullAt(4), r.getBoolean(5)))).toMap
+    assert(lateRows.keySet == Set(900001L, 900002L),
+      "every doc gets a verdict row — OOD language included")
+    val (_, nullSc1, flag1) = lateRows(900001L)
+    assert(!nullSc1 && flag1, "an all-OOV doc in a KNOWN language scores and is flagged")
+    val (nTok2, nullSc2, flag2) = lateRows(900002L)
+    assert(nTok2 == 5L && nullSc2 && flag2,
+      "an OOD-language doc is flagged with a null score, never silently passed")
   }
 
   test("streaming KN-bigram perplexity gate matches the batch filter on the snapshot corpus") {
@@ -186,6 +192,39 @@ class StreamingSpec extends SparkSpec {
     assert(funnel("fail_unigram_ppl") == vs.count(_._3))
     assert(funnel("fail_kn_ppl") == vs.count(_._4))
     assert(funnel("kept") == vs.count(_._5))
+  }
+
+  test("streaming quality gate: off-snapshot language is flagged, not skipped or passed") {
+    // the composite gate's OOD policy, pinned: a doc whose language has
+    // no reference LM gets a verdict row with high_uni_ppl = true and
+    // keep = false — same flag-don't-skip policy as the single-signal
+    // gates (unified r8)
+    val uniLake = Files.createTempDirectory("ood_ref_lake")
+    val knLake = Files.createTempDirectory("ood_kn_lake")
+    Streams.refLmWrite(spark, sf0001, uniLake.toString)
+    Streams.knLmWrite(spark, sf0001, knLake.toString)
+    import spark.implicits._
+    // long enough to clear the length gate and repetitive-free so only
+    // the OOD flags decide the verdict
+    val text = (1 to 60).map(i => s"ood$i").mkString(" ")
+    val late = Seq(Streams.DocText(910001L, "xx", text)).toDS()
+    val src = Files.createTempDirectory("ood_docs")
+    late.toDF().write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(late.toDF().schema).parquet(src.toString)
+      .as[Streams.DocText]
+    runToMemory(
+      Streams.qualityGateStream(stream, uniLake.toString, knLake.toString).toDF(),
+      "ood_gate_t")
+    val rows = spark.sql("select * from ood_gate_t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(rows.keySet == Set(910001L), "the OOD-language doc gets exactly one verdict row")
+    val (n, lowEnt, highUni, highKn, keep) = rows(910001L)
+    assert(n == 60L, "token count still computed without an LM")
+    assert(!lowEnt, "60 distinct tokens: the doc-local entropy signal is live and clean")
+    assert(highUni, "no unigram LM for the language: flagged, not skipped")
+    assert(highKn, "no KN bigrams known: fully out-of-distribution, flagged")
+    assert(!keep, "an unscorable doc must never silently pass the gate")
   }
 
   test("streaming quality gate: exactly-once across a checkpointed restart") {

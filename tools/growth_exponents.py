@@ -88,11 +88,15 @@ def main():
     show("-- computed statistics (the output-edge audit):", stats)
     show("-- identifier pass-throughs (key-space allocation, offset "
          "artifact in replicated inputs):", ids)
-    worst = stats[0]
-    print(f"== worst computed-statistic runway: "
-          f"{worst[3][0]}.{worst[3][1]} at "
-          f"{'inf' if worst[0] == math.inf else format(worst[0], '.0f')}x "
-          f"further SF growth before 2^63")
+    if stats:
+        worst = stats[0]
+        print(f"== worst computed-statistic runway: "
+              f"{worst[3][0]}.{worst[3][1]} at "
+              f"{'inf' if worst[0] == math.inf else format(worst[0], '.0f')}x "
+              f"further SF growth before 2^63")
+    else:
+        print("== no computed-statistic columns in common between the two "
+              "dumps (all shared BIGINT columns are identifiers)")
 
 
 if __name__ == "__main__":
