@@ -234,6 +234,8 @@ object SparkEntry {
     "txt_js_divergence" -> (TextAnalysis.txtJsDivergence _),
     "txt_cond_entropy" -> (TextAnalysis.txtCondEntropy _),
     "txt_doc_kn_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocKnPerplexity(s, d)),
+    "txt_cond_entropy3" -> (TextAnalysis.txtCondEntropy3 _),
+    "txt_doc_kn3_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocKn3Perplexity(s, d)),
     "dd_semantic_decontaminate" -> ((s: SparkSession, d: String) => Dedup.ddSemanticDecontaminate(s, d)),
     "pipe_quality_funnel" -> (CorpusPipeline.pipeQualityFunnel _),
     "pipe_quality_verdict" -> (CorpusPipeline.pipeQualityVerdict _),
@@ -575,6 +577,76 @@ object SparkEntry {
       | JOIN lg lpn ON lpn.x = ls.an
       | JOIN lg lc ON lc.x = ls.ac
       | JOIN lg lb ON lb.x = ls.ab
+      |)""".stripMargin
+
+  /** Shared per-doc KN-TRIGRAM LM CTE pipeline (trigramize → doc-
+    * trigram counts → per-lang two-level KN stats → shift-reduced lg
+    * arguments) — the trigram twin of [[KnBigramCtes]]. Continuation
+    * counts at every level come from the trigram-TYPE table (rows of
+    * counts3 are distinct (w1,w2,w3), so count(*) per (w2,w3) IS
+    * N1+(.,w2,w3)). Caller appends lgvals (args an/ac/am/ab from ls3),
+    * [[LgCte]], then [[Kn3BitsCte]]. DuckDB's int64 arithmetic errors
+    * loudly on p_num overflow — the same fail-loud ceiling the Spark
+    * side guards with raise_error. */
+  private val Kn3TrigramCtes: String =
+    """toks AS (
+      | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') tl FROM documents
+      |), tri AS (
+      | SELECT doc_id, lang, unnest(list_transform(range(1, len(tl) - 1), i -> struct_pack(w1 := tl[i], w2 := tl[i+1], w3 := tl[i+2]))) b
+      | FROM toks WHERE len(tl) >= 3
+      |), tx AS (SELECT doc_id, lang, b.w1 w1, b.w2 w2, b.w3 w3 FROM tri),
+      |dt AS MATERIALIZED (
+      | SELECT doc_id, lang, w1, w2, w3, cast(count(*) as bigint) c_d FROM tx GROUP BY 1, 2, 3, 4, 5
+      |), counts3 AS MATERIALIZED (
+      | SELECT lang, w1, w2, w3, cast(sum(c_d) as bigint) c FROM dt GROUP BY 1, 2, 3, 4
+      |), p12 AS (
+      | SELECT lang, w1, w2, cast(sum(c) as bigint) cw12, cast(count(*) as bigint) n1f12
+      | FROM counts3 GROUP BY 1, 2, 3
+      |), c23 AS MATERIALIZED (
+      | SELECT lang, w2, w3, cast(count(*) as bigint) c2p FROM counts3 GROUP BY 1, 2, 3
+      |), m2 AS (
+      | SELECT lang, w2, cast(sum(c2p) as bigint) nmid2, cast(count(*) as bigint) nf2p
+      | FROM c23 GROUP BY 1, 2
+      |), c3 AS (
+      | SELECT lang, w3, cast(count(*) as bigint) n1p3 FROM c23 GROUP BY 1, 2
+      |), b1 AS (SELECT lang, cast(count(*) as bigint) b_pairs FROM c23 GROUP BY 1),
+      |lm3 AS MATERIALIZED (
+      | SELECT c.lang, c.w1, c.w2, c.w3,
+      |  (4 * c.c - 3) * 4 * m.nmid2 * b.b_pairs
+      |   + 3 * p.n1f12 * ((4 * k.c2p - 3) * b.b_pairs + 3 * m.nf2p * t.n1p3) p_num,
+      |  p.cw12, m.nmid2, b.b_pairs
+      | FROM counts3 c
+      | JOIN p12 p ON p.lang = c.lang AND p.w1 = c.w1 AND p.w2 = c.w2
+      | JOIN c23 k ON k.lang = c.lang AND k.w2 = c.w2 AND k.w3 = c.w3
+      | JOIN m2 m ON m.lang = c.lang AND m.w2 = c.w2
+      | JOIN c3 t ON t.lang = c.lang AND t.w3 = c.w3
+      | JOIN b1 b ON b.lang = c.lang
+      |), ls3 AS MATERIALIZED (
+      | SELECT lang, w1, w2, w3,
+      |  greatest(0, length(bin(p_num)) - 43) shn,
+      |  p_num // (cast(1 as bigint) << greatest(0, length(bin(p_num)) - 43)) an,
+      |  greatest(0, length(bin(cw12)) - 43) shc,
+      |  cw12 // (cast(1 as bigint) << greatest(0, length(bin(cw12)) - 43)) ac,
+      |  greatest(0, length(bin(nmid2)) - 43) shm,
+      |  nmid2 // (cast(1 as bigint) << greatest(0, length(bin(nmid2)) - 43)) am,
+      |  greatest(0, length(bin(b_pairs)) - 43) shb,
+      |  b_pairs // (cast(1 as bigint) << greatest(0, length(bin(b_pairs)) - 43)) ab
+      | FROM lm3
+      |)""".stripMargin
+
+  /** Per-trigram KN surprisal over [[Kn3TrigramCtes]] + lg:
+    * bw3 = (lang, w1, w2, w3, bits_w) with the DECOMPOSED denominator
+    * 4·2²⁰ + lg(c(w₁w₂)) + lg(N₁₊(·w₂·)) + lg(B) − lg(p_num). */
+  private val Kn3BitsCte: String =
+    """bw3 AS (
+      | SELECT ls3.lang, ls3.w1, ls3.w2, ls3.w3,
+      |  4194304 + (lc.lg + ls3.shc * 1048576) + (lmm.lg + ls3.shm * 1048576)
+      |   + (lb.lg + ls3.shb * 1048576) - (lpn.lg + ls3.shn * 1048576) bits_w
+      | FROM ls3
+      | JOIN lg lpn ON lpn.x = ls3.an
+      | JOIN lg lc ON lc.x = ls3.ac
+      | JOIN lg lmm ON lmm.x = ls3.am
+      | JOIN lg lb ON lb.x = ls3.ab
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -3515,6 +3587,76 @@ object SparkEntry {
         |SELECT doc_id, lang, n_bigrams, kn_bits_num, bits_micro,
         | bits_micro > 5000000 AS high_perplexity
         |FROM r ORDER BY doc_id""").stripMargin,
+    "txt_cond_entropy3" ->
+      ("""WITH RECURSIVE toks AS (
+        | SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), tri AS (
+        | SELECT lang, unnest(list_transform(range(1, len(t) - 1), i -> struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2]))) b
+        | FROM toks WHERE len(t) >= 3
+        |), tx AS (SELECT lang, b.w1 w1, b.w2 w2, b.w3 w3 FROM tri),
+        |counts AS MATERIALIZED (
+        | SELECT lang, w1, w2, w3, cast(count(*) as bigint) c FROM tx GROUP BY 1, 2, 3, 4
+        |), pre AS MATERIALIZED (
+        | SELECT lang, w1, w2, cast(sum(c) as bigint) cw12 FROM counts GROUP BY 1, 2, 3
+        |), cs AS (
+        | SELECT lang, c, greatest(0, length(bin(c)) - 43) sh,
+        |  c // (cast(1 as bigint) << greatest(0, length(bin(c)) - 43)) arg
+        | FROM counts
+        |), ps AS (
+        | SELECT lang, cw12, greatest(0, length(bin(cw12)) - 43) sh,
+        |  cw12 // (cast(1 as bigint) << greatest(0, length(bin(cw12)) - 43)) arg
+        | FROM pre
+        |), tot AS (
+        | SELECT lang, cast(count(*) as bigint) n_trigram_types, cast(sum(c) as bigint) n_trigrams
+        | FROM counts GROUP BY 1
+        |), npx AS (SELECT lang, cast(count(*) as bigint) n_prefix_types FROM pre GROUP BY 1),
+        |ts AS (
+        | SELECT lang, n_trigram_types, n_trigrams, greatest(0, length(bin(n_trigrams)) - 43) sh,
+        |  n_trigrams // (cast(1 as bigint) << greatest(0, length(bin(n_trigrams)) - 43)) arg
+        | FROM tot
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT arg AS x FROM cs UNION ALL SELECT arg FROM ps
+        |  UNION ALL SELECT arg FROM ts)
+        |), """ + LgCte + """, stg AS (
+        | SELECT cs.lang, sum(cast(cs.c as hugeint) * (l.lg + cs.sh * 1048576)) s
+        | FROM cs JOIN lg l ON l.x = cs.arg GROUP BY 1
+        |), spre AS (
+        | SELECT ps.lang, sum(cast(ps.cw12 as hugeint) * (l.lg + ps.sh * 1048576)) s
+        | FROM ps JOIN lg l ON l.x = ps.arg GROUP BY 1
+        |), h AS (
+        | SELECT ts.lang, ts.n_trigrams, ts.n_trigram_types, npx.n_prefix_types,
+        |  cast(cast(ts.n_trigrams as hugeint) * (l.lg + ts.sh * 1048576) - stg.s as bigint) h_joint_num,
+        |  cast(spre.s - stg.s as bigint) h_cond_num,
+        |  cast((cast(ts.n_trigrams as hugeint) * (l.lg + ts.sh * 1048576) - stg.s) * 1000000
+        |    // (cast(ts.n_trigrams as hugeint) * 1048576) as bigint) joint_bits_micro,
+        |  cast((spre.s - stg.s) * 1000000
+        |    // (cast(ts.n_trigrams as hugeint) * 1048576) as bigint) cond_bits_micro
+        | FROM ts JOIN lg l ON l.x = ts.arg
+        | JOIN npx ON npx.lang = ts.lang
+        | JOIN stg ON stg.lang = ts.lang JOIN spre ON spre.lang = ts.lang
+        |)
+        |SELECT lang, n_trigrams, n_trigram_types, n_prefix_types, h_joint_num,
+        | h_cond_num, joint_bits_micro, cond_bits_micro
+        |FROM h ORDER BY lang""").stripMargin,
+    "txt_doc_kn3_perplexity" ->
+      ("WITH RECURSIVE " + Kn3TrigramCtes + """, lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT an AS x FROM ls3 UNION ALL SELECT ac FROM ls3
+        |  UNION ALL SELECT am FROM ls3 UNION ALL SELECT ab FROM ls3)
+        |), """ + LgCte + ", " + Kn3BitsCte + """, agg AS (
+        | SELECT dt.doc_id, dt.lang, cast(sum(c_d) as bigint) n_trigrams,
+        |  sum(cast(c_d as hugeint) * bw3.bits_w) sb
+        | FROM dt JOIN bw3 ON bw3.lang = dt.lang AND bw3.w1 = dt.w1
+        |  AND bw3.w2 = dt.w2 AND bw3.w3 = dt.w3
+        | GROUP BY 1, 2
+        |), r AS (
+        | SELECT doc_id, lang, n_trigrams, cast(sb as bigint) kn3_bits_num,
+        |  cast((CASE WHEN sb < 0 THEN -1 ELSE 1 END)
+        |   * (abs(sb) * 1000000 // (cast(n_trigrams as hugeint) * 1048576)) as bigint) bits_micro
+        | FROM agg
+        |)
+        |SELECT doc_id, lang, n_trigrams, kn3_bits_num, bits_micro,
+        | bits_micro > 4000000 AS high_perplexity
+        |FROM r ORDER BY doc_id""").stripMargin,
     "pipe_quality_verdict" ->
       ("WITH RECURSIVE " + UnigramDocCtes + """, lgvals(x) AS (
         | SELECT DISTINCT x FROM (SELECT arg AS x FROM rs UNION ALL SELECT arg FROM ts
@@ -5062,7 +5204,7 @@ object SparkEntry {
         |SELECT v.c_mktsegment, cast(count(*) as bigint) AS n,
         | cast(max(med_cents) as bigint) AS med_cents,
         | cast(sum(abs(cents - med_cents)) as bigint) AS sum_z,
-        | cast(sum(cast(abs(cents - med_cents) as hugeint) * abs(cents - med_cents)) as bigint) AS sum_z2
+        | cast(sum(cast(abs(cents - med_cents) as hugeint) * abs(cents - med_cents)) as varchar) AS sum_z2
         |FROM v JOIN med USING (c_mktsegment)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

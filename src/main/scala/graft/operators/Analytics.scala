@@ -3273,7 +3273,11 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         max($"med_cents").as("med_cents"),
         sum($"z").as("sum_z"),
-        expr("cast(sum(cast(z as decimal(38,0)) * z) as bigint)").as("sum_z2"))
+        // exact-decimal STRING path (r8): sum_z2 grows ~SF^1 with the
+        // shortest runway of the computed statistics (sf1 audit:
+        // ~3.0e3xSF to 2^63 as bigint) — emitted as the decimal's
+        // digits so no deployment SF can overflow the output edge
+        expr("cast(sum(cast(z as decimal(38,0)) * z) as string)").as("sum_z2"))
       .orderBy($"c_mktsegment")
   }
 

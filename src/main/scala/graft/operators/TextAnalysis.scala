@@ -1436,6 +1436,147 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Conditional TRIGRAM entropy H(w₃|w₁w₂) per language — the
+    * third LM tier above [[txtCondEntropy]]'s H(w₂|w₁): by the chain
+    * rule H(w₃|w₁w₂) = H(w₁w₂w₃) − H(w₁w₂), so both numerators share
+    * the Σ c·lg(c) device over the TRIGRAM-TYPE table and the prefix
+    * marginal re-aggregates the same counts (identical values) so the
+    * trigram-count exchange appears in both branches and ReusedExchange
+    * runs the tokenize scan once ([[txtCondEntropy]] form). H is
+    * monotone under lg truncation exactly as the bigram tier
+    * (Σ_w₃ c·lg_f(c) ≤ c(w₁w₂)·lg_f(c(w₁w₂))), so the micro division
+    * needs no sign split. The log runs on TRIGRAM-TYPE-keyed
+    * aggregates, never per token — vocab-bounded at 100 TB. */
+  def txtCondEntropy3(spark: SparkSession, dir: String): DataFrame = {
+    val counts = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.ngramArray("text", 3)).as("tg"))
+      .select(col("lang"),
+        expr("split(tg, ' ')[0]").as("w1"), expr("split(tg, ' ')[1]").as("w2"),
+        expr("split(tg, ' ')[2]").as("w3"))
+      .groupBy(col("lang"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+    val joint = counts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_trigram_types"),
+        sum(col("c")).as("n_trigrams"),
+        sum(expr(s"cast(c as decimal(38,0)) * ${lgShift("c")}")).as("_stg"))
+    val prefix = counts.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(sum(col("c")).as("cw12"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_prefix_types"),
+        sum(expr(s"cast(cw12 as decimal(38,0)) * ${lgShift("cw12")}")).as("_spre"))
+    joint.join(prefix, Seq("lang"))
+      .select(col("lang"), col("n_trigrams"), col("n_trigram_types"), col("n_prefix_types"),
+        expr(s"cast(cast(n_trigrams as decimal(38,0)) * ${lgShift("n_trigrams")} - _stg as bigint)")
+          .as("h_joint_num"),
+        expr("cast(_spre - _stg as bigint)").as("h_cond_num"),
+        expr(s"cast(cast(cast(n_trigrams as decimal(38,0)) * ${lgShift("n_trigrams")} - _stg as decimal(38,0))" +
+          " * 1000000 div (cast(n_trigrams as decimal(38,0)) * 1048576) as bigint)")
+          .as("joint_bits_micro"),
+        expr("cast(cast(_spre - _stg as decimal(38,0))" +
+          " * 1000000 div (cast(n_trigrams as decimal(38,0)) * 1048576) as bigint)")
+          .as("cond_bits_micro"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-doc trigram counts (doc_id, lang, w1, w2, w3, c_d) — the
+    * shared head of the KN-trigram tier. */
+  private def docTrigramCounts(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), explode(TextOps.ngramArray("text", 3)).as("tg"))
+      .select(col("doc_id"), col("lang"),
+        expr("split(tg, ' ')[0]").as("w1"), expr("split(tg, ' ')[1]").as("w2"),
+        expr("split(tg, ' ')[2]").as("w3"))
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c_d"))
+
+  /** The per-(lang, w1, w2, w3) interpolated KNESER–NEY TRIGRAM
+    * surprisal table bits_w = lg(p_den) − lg(p_num), discount d = ¾ at
+    * BOTH levels of the recursion:
+    *
+    *   P(w₃|w₁w₂) = (c−¾)/c₁₂ + ¾·(N₁₊(w₁w₂·)/c₁₂)·P'(w₃|w₂)
+    *   P'(w₃|w₂)  = (c'−¾)/N₁₊(·w₂·) + ¾·(N₁₊'(w₂·)/N₁₊(·w₂·))·(N₁₊(·w₃)/B)
+    *
+    * with continuation counts from the trigram-TYPE table (standard
+    * KN: level-k counts are type counts of the (k+1)-gram table):
+    * c' = N₁₊(·w₂w₃) [distinct w₁], N₁₊(·w₂·) = Σ_w₃ c', N₁₊'(w₂·) =
+    * distinct w₃ after w₂, N₁₊(·w₃) = distinct w₂ before w₃, B =
+    * distinct (w₂,w₃) pairs. Every term then has the common
+    * denominator p_den = 16·c₁₂·N₁₊(·w₂·)·B, a pure product that
+    * DECOMPOSES exactly: lg(p_den) ≐ 4·2²⁰ + lg(c₁₂) + lg(N₁₊(·w₂·))
+    * + lg(B) — no corpus³ integer ever forms on that side. The
+    * numerator
+    *   p_num = (4c−3)·4·m₂·B + 3·f₁₂·((4c'−3)·B + 3·f₂'·p₃)
+    * is irreducible and formed in int64 behind the same fail-loud
+    * overflow guard as [[knLmBits]] (domain ceiling ~16·c·m₂·B < 2⁶³;
+    * past it, shard per language). Both clamps max(·−¾, 0) are vacuous
+    * because c ≥ 1 and c' ≥ 1 in the type tables. All aggregates are
+    * TYPE-keyed (vocab-bounded); the per-lang B is broadcast. */
+  private[graft] def kn3LmBits(docTg: DataFrame): DataFrame = {
+    val counts = docTg.groupBy(col("lang"), col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("c_d")).as("c"))
+    val prefix12 = counts.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(sum(col("c")).as("cw12"), count(lit(1)).as("n1f12"))
+    // continuation-bigram counts: rows of `counts` are distinct
+    // (w1,w2,w3) types, so count(*) per (w2,w3) IS N1+(.,w2,w3)
+    val cont23 = counts.groupBy(col("lang"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c2p"))
+    val mid2 = cont23.groupBy(col("lang"), col("w2"))
+      .agg(sum(col("c2p")).as("nmid2"), count(lit(1)).as("nf2p"))
+    val cont3 = cont23.groupBy(col("lang"), col("w3"))
+      .agg(count(lit(1)).as("n1p3"))
+    val btot = cont23.groupBy(col("lang")).agg(count(lit(1)).as("b_pairs"))
+    counts
+      .join(prefix12, Seq("lang", "w1", "w2"))
+      .join(cont23, Seq("lang", "w2", "w3"))
+      .join(mid2, Seq("lang", "w2"))
+      .join(cont3, Seq("lang", "w3"))
+      .join(broadcast(btot), Seq("lang"))
+      .select(col("lang"), col("w1"), col("w2"), col("w3"),
+        // fail-loud past the int64 ceiling, as [[knLmBits]]
+        expr("CASE WHEN cast(4 * c - 3 as decimal(38,0)) * 4 * nmid2 * b_pairs" +
+          " + cast(3 as decimal(38,0)) * n1f12" +
+          " * (cast(4 * c2p - 3 as decimal(38,0)) * b_pairs + cast(3 as decimal(38,0)) * nf2p * n1p3)" +
+          " < cast(9223372036854775807 as decimal(38,0))" +
+          " THEN cast(cast(4 * c - 3 as decimal(38,0)) * 4 * nmid2 * b_pairs" +
+          " + cast(3 as decimal(38,0)) * n1f12" +
+          " * (cast(4 * c2p - 3 as decimal(38,0)) * b_pairs + cast(3 as decimal(38,0)) * nf2p * n1p3) as bigint)" +
+          " ELSE cast(raise_error('kn3LmBits: KN-trigram numerator exceeds int64" +
+          " - shard the LM per language') as bigint) END").as("p_num"),
+        col("cw12"), col("nmid2"), col("b_pairs"))
+      .select(col("lang"), col("w1"), col("w2"), col("w3"),
+        expr(s"4194304 + ${lgShift("cw12")} + ${lgShift("nmid2")}" +
+          s" + ${lgShift("b_pairs")} - ${lgShift("p_num")}").as("bits_w"))
+  }
+
+  /** Per-document perplexity under the language's interpolated
+    * KNESER–NEY TRIGRAM LM — the deepest tier of the quality-filter
+    * ladder ([[txtDocPerplexity]] unigram → [[txtDocKnPerplexity]]
+    * bigram → this): per doc-trigram, bits = lg(p_den) − lg(p_num)
+    * from [[kn3LmBits]]; reference counts include the doc itself (the
+    * deterministic quick-filter form shared by the whole ladder).
+    * 100 TB shape: lg runs on the TRIGRAM-TYPE-keyed LM table; doc
+    * trigrams join it on (lang,w₁,w₂,w₃) — one shuffle on the trigram
+    * key; the per-doc rollup re-aggregates the SAME doc-trigram
+    * counts, so the exchange is reused and the corpus tokenizes once.
+    * The micro division is SIGN-SPLIT as in the bigram tier. */
+  def txtDocKn3Perplexity(spark: SparkSession, dir: String,
+      maxBitsMicro: Long = 4000000L): DataFrame = {
+    val docTg = docTrigramCounts(spark, dir)
+    val lm = kn3LmBits(docTg)
+    docTg.join(lm, Seq("lang", "w1", "w2", "w3"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c_d")).as("n_trigrams"),
+        sum(expr("cast(c_d as decimal(38,0)) * bits_w")).as("_sb"))
+      .select(col("doc_id"), col("lang"), col("n_trigrams"),
+        expr("cast(_sb as bigint)").as("kn3_bits_num"),
+        expr("cast((CASE WHEN _sb < 0 THEN -1 ELSE 1 END)" +
+          " * (abs(cast(_sb as decimal(38,0))) * 1000000" +
+          " div (cast(n_trigrams as decimal(38,0)) * 1048576)) as bigint)")
+          .as("bits_micro"))
+      .withColumn("high_perplexity", col("bits_micro") > maxBitsMicro)
+      .orderBy(col("doc_id"))
+  }
+
   def txtZipf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)
