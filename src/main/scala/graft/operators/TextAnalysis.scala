@@ -1548,6 +1548,11 @@ object TextAnalysis {
           s" + ${lgShift("b_pairs")} - ${lgShift("p_num")}").as("bits_w"))
   }
 
+  /** The shared head for the streaming lake write — public face of
+    * [[kn3LmBits]] over the corpus at `dir` (Streams.kn3LmWrite). */
+  def kn3TrigramBits(spark: SparkSession, dir: String): DataFrame =
+    kn3LmBits(docTrigramCounts(spark, dir))
+
   /** Per-document perplexity under the language's interpolated
     * KNESER–NEY TRIGRAM LM — the deepest tier of the quality-filter
     * ladder ([[txtDocPerplexity]] unigram → [[txtDocKnPerplexity]]

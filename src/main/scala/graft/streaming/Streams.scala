@@ -783,4 +783,76 @@ object Streams {
           }
       }
   }
+
+  case class DocKn3Perplexity(doc_id: Long, lang: String, n_trigrams: Long,
+      n_known: Long, kn3_bits_num: Long, bits_micro: Option[Long],
+      high_perplexity: Boolean)
+
+  /** Doc-local trigram counts (doc_id, lang, w1, w2, w3, c_d) —
+    * map-side, zero state; the trigram twin of
+    * [[docBigramCountsStream]]. */
+  private def docTrigramCountsStream(docs: Dataset[DocText]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      streamToks(d).iterator.sliding(3).withPartial(false)
+        .map(p => (p(0), p(1), p(2))).toSeq.groupBy(identity).iterator
+        .map { case ((w1, w2, w3), g) =>
+          (d.doc_id, d.lang, w1, w2, w3, g.length.toLong) }
+    }.toDF("doc_id", "lang", "w1", "w2", "w3", "c_d")
+  }
+
+  /** Write half of the KN-TRIGRAM LM lake: persist the per-
+    * (lang, w1, w2, w3) surprisal table bits_w that
+    * TextAnalysis.txtDocKn3Perplexity derives on the fly — the same
+    * Catalyst plan (TextAnalysis.kn3LmBits) as the batch filter, so
+    * the persisted scores are bit-identical by construction. */
+  def kn3LmWrite(spark: SparkSession, dir: String, path: String): Unit =
+    graft.operators.TextAnalysis.kn3TrigramBits(spark, dir)
+      .write.mode("overwrite").parquet(s"$path/trigram_bits")
+
+  /** Streaming per-document KN-TRIGRAM perplexity gate — the
+    * deployment twin of the deepest LM tier, exactly the
+    * [[docKnPerplexityStream]] shape one level up: arriving docs are
+    * scored against the PERSISTED surprisal lake ([[kn3LmWrite]]) via
+    * a stream-static join on (lang, w1, w2, w3); the per-doc rollup is
+    * the same zero-retained-state flatMapGroupsWithState under the
+    * doc-atomicity contract (a doc's rows arrive within one
+    * micro-batch — true for the file source, one parquet row per doc).
+    * OOV trigrams are counted (`n_trigrams − n_known`), the score is
+    * bits per KNOWN trigram; a doc with zero known trigrams — or an
+    * out-of-snapshot LANGUAGE, which is just its special case — is
+    * flagged with a null score (the unified flag-don't-skip OOD
+    * policy). On the snapshot's own corpus n_known = n_trigrams and
+    * the output is row-identical to the batch operator. */
+  def docKn3PerplexityStream(docs: Dataset[DocText], kn3LmPath: String,
+      maxBitsMicro: Long = 4000000L): Dataset[DocKn3Perplexity] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lake = spark.read.parquet(s"$kn3LmPath/trigram_bits")
+    val joined = docTrigramCountsStream(docs)
+      .join(lake, Seq("lang", "w1", "w2", "w3"), "left")
+      .select(col("doc_id"), col("lang"), col("c_d"), col("bits_w"))
+      .as[(Long, String, Long, Option[Long])]
+    joined.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, DocKn3Perplexity](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((docId, lang), rows, _: GroupState[Boolean]) =>
+          var n = 0L
+          var known = 0L
+          var sb = BigInt(0)
+          rows.foreach { case (_, _, cD, bits) =>
+            n += cD
+            bits.foreach { b => known += cD; sb += BigInt(cD) * b }
+          }
+          if (known == 0L)
+            Iterator.single(DocKn3Perplexity(docId, lang, n, 0L, 0L, None, true))
+          else {
+            // the batch twin's sign-split integer division, exactly
+            val micro = (sb.abs * 1000000 / (BigInt(known) * 1048576)).toLong *
+              (if (sb < 0) -1 else 1)
+            Iterator.single(DocKn3Perplexity(docId, lang, n, known, sb.toLong,
+              Some(micro), micro > maxBitsMicro))
+          }
+      }
+  }
 }

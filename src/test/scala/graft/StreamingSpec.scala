@@ -147,6 +147,50 @@ class StreamingSpec extends SparkSpec {
     assert(null2 == (k2 == 0L), "a score exists iff some bigram is known")
   }
 
+  test("streaming KN-trigram perplexity gate matches the batch filter on the snapshot corpus") {
+    val lake = Files.createTempDirectory("kn3_lm_lake")
+    Streams.kn3LmWrite(spark, sf0001, lake.toString)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("kn3_stream")
+    docs.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
+      .as[Streams.DocText]
+    runToMemory(Streams.docKn3PerplexityStream(stream, lake.toString).toDF(), "kn3_stream_t")
+    // on the snapshot corpus every trigram is known: n_known == n_trigrams
+    // and (n_trigrams, kn3_bits_num, bits_micro, flag) match batch rows
+    val streamed = spark.sql("select * from kn3_stream_t").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    streamed.values.foreach { case (_, n, known, _, _, _) =>
+      assert(n == known, "zero OOV on the snapshot's own corpus")
+    }
+    val batch = graft.operators.TextAnalysis.txtDocKn3Perplexity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(streamed == batch,
+      "stream-static KN-trigram scores and flags must equal the batch operator row for row")
+    // OOV + OOD-language semantics: unseen trigrams counted not scored;
+    // zero-known and OOD-language docs flagged with null score (the
+    // unified flag-don't-skip policy)
+    import spark.implicits._
+    val late = Seq(
+      Streams.DocText(900201L, "en", "zzq1 zzq2 zzq3 zzq4"),
+      Streams.DocText(900202L, "xx", "one two three four five")).toDS()
+    late.toDF().write.mode("overwrite").parquet(src.toString + "_late")
+    val lateStream = spark.readStream.schema(docs.schema)
+      .parquet(src.toString + "_late").as[Streams.DocText]
+    runToMemory(Streams.docKn3PerplexityStream(lateStream, lake.toString).toDF(), "kn3_late_t")
+    val lateRows = spark.sql("select * from kn3_late_t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.isNullAt(5), r.getBoolean(6)))).toMap
+    val (n1, k1, null1, flag1) = lateRows(900201L)
+    assert(n1 == 2L && k1 == 0L && null1 && flag1,
+      "an all-OOV doc carries no score and is flagged")
+    val (n2, k2, null2, flag2) = lateRows(900202L)
+    assert(n2 == 3L && k2 == 0L && null2 && flag2,
+      "an OOD-language doc is flagged with a null score, never skipped or passed")
+  }
+
   test("streaming quality gate: one-pass three-signal verdicts reconcile with the batch funnel") {
     val uniLake = Files.createTempDirectory("q_ref_lake")
     val knLake = Files.createTempDirectory("q_kn_lake")
