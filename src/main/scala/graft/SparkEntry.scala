@@ -236,6 +236,7 @@ object SparkEntry {
     "txt_doc_kn_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocKnPerplexity(s, d)),
     "txt_cond_entropy3" -> (TextAnalysis.txtCondEntropy3 _),
     "txt_doc_kn3_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocKn3Perplexity(s, d)),
+    "txt_dsir_weights" -> ((s: SparkSession, d: String) => TextAnalysis.txtDsirWeights(s, d)),
     "dd_semantic_decontaminate" -> ((s: SparkSession, d: String) => Dedup.ddSemanticDecontaminate(s, d)),
     "pipe_quality_funnel" -> (CorpusPipeline.pipeQualityFunnel _),
     "pipe_quality_verdict" -> (CorpusPipeline.pipeQualityVerdict _),
@@ -2245,8 +2246,8 @@ object SparkEntry {
         | SELECT cast(sum(a1) as bigint) n1, cast(sum(a2) as bigint) n2 FROM s
         |)
         |SELECT max(n1) AS n1, max(n2) AS n2,
-        | cast(max(abs(c1 * n2 - c2 * n1)) as bigint) AS ks_num,
-        | cast(max(n1) * max(n2) as bigint) AS ks_den
+        | cast(max(abs(cast(c1 as hugeint) * n2 - cast(c2 as hugeint) * n1)) as varchar) AS ks_num,
+        | cast(cast(max(n1) as hugeint) * max(n2) as varchar) AS ks_den
         |FROM c CROSS JOIN t""".stripMargin,
     "pipe_epoch_shuffle" ->
       """WITH d AS (
@@ -2324,11 +2325,13 @@ object SparkEntry {
         | FROM s
         |), agg AS (
         | SELECT cast(sum(a1) as bigint) n1, cast(sum(a2) as bigint) n2,
-        |  cast(sum(a1 * (1 + c_lt)) as bigint) rank_sum_a
+        |  sum(cast(a1 as hugeint) * (1 + c_lt)) rank_sum_a
         | FROM c
         |)
-        |SELECT n1, n2, rank_sum_a,
-        | cast(rank_sum_a - n1 * (n1 + 1) // 2 as bigint) AS u_a
+        |SELECT n1, n2, cast(rank_sum_a as varchar) AS rank_sum_a,
+        | cast(rank_sum_a - (CASE WHEN n1 % 2 = 0
+        |   THEN cast(n1 // 2 as hugeint) * (n1 + 1)
+        |   ELSE cast((n1 + 1) // 2 as hugeint) * n1 END) as varchar) AS u_a
         |FROM agg""".stripMargin,
     "txt_langid_confusion" ->
       """WITH t AS (
@@ -3268,12 +3271,12 @@ object SparkEntry {
         | FROM cells GROUP BY 1
         |)
         |SELECT d.l_returnflag, d.n,
-        | cast(concordant as bigint) AS concordant,
-        | cast(discordant as bigint) AS discordant,
-        | cast(tied_x_only as bigint) AS tied_x_only,
-        | cast(tied_y_only as bigint) AS tied_y_only,
-        | cast(tied_both as bigint) AS tied_both,
-        | cast(concordant - discordant as bigint) AS tau_num
+        | cast(concordant as varchar) AS concordant,
+        | cast(discordant as varchar) AS discordant,
+        | cast(tied_x_only as varchar) AS tied_x_only,
+        | cast(tied_y_only as varchar) AS tied_y_only,
+        | cast(tied_both as varchar) AS tied_both,
+        | cast(concordant - discordant as varchar) AS tau_num
         |FROM diag d JOIN pc ON d.l_returnflag = pc.l_returnflag
         |ORDER BY d.l_returnflag""".stripMargin,
     "q118_mann_kendall" ->
@@ -3410,6 +3413,63 @@ object SparkEntry {
         |SELECT doc_id, lang, n_types, n_tokens, h_num, bits_per_token_micro,
         | bits_per_token_micro < 3500000 AS low_entropy
         |FROM h ORDER BY doc_id""").stripMargin,
+    "txt_dsir_weights" ->
+      ("""WITH RECURSIVE t AS (
+        | SELECT doc_id, lang, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), dc AS MATERIALIZED (
+        | SELECT doc_id, lang, term, cast(count(*) as bigint) c,
+        |  cast(coalesce(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END), 0) as bigint) c_t
+        | FROM t GROUP BY 1, 2, 3
+        |), rc AS (
+        | SELECT lang, term, cast(sum(c) as bigint) cr, cast(sum(c_t) as bigint) ct
+        | FROM dc GROUP BY 1, 2
+        |), rs AS (
+        | SELECT lang, term, cr, ct,
+        |  greatest(0, length(bin(cr + 1)) - 43) shr,
+        |  (cr + 1) // (cast(1 as bigint) << greatest(0, length(bin(cr + 1)) - 43)) ar,
+        |  greatest(0, length(bin(ct + 1)) - 43) sht,
+        |  (ct + 1) // (cast(1 as bigint) << greatest(0, length(bin(ct + 1)) - 43)) atv
+        | FROM rc
+        |), tot AS (
+        | SELECT lang, cast(count(*) as bigint) v_l,
+        |  cast(sum(cr) as bigint) n_r, cast(sum(ct) as bigint) n_t
+        | FROM rc GROUP BY 1
+        |), ts AS (
+        | SELECT lang, v_l, n_r, n_t,
+        |  greatest(0, length(bin(n_r + v_l)) - 43) shr,
+        |  (n_r + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_r + v_l)) - 43)) ar,
+        |  greatest(0, length(bin(n_t + v_l)) - 43) sht,
+        |  (n_t + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_t + v_l)) - 43)) atv
+        | FROM tot
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT ar AS x FROM rs UNION ALL SELECT atv FROM rs
+        |  UNION ALL SELECT ar FROM ts UNION ALL SELECT atv FROM ts)
+        |), """ + LgCte + """, d AS (
+        | SELECT dc.doc_id, dc.lang, cast(sum(dc.c) as bigint) n_tokens,
+        |  sum(cast(dc.c as hugeint)
+        |    * ((lt.lg + rs.sht * 1048576) - (lr.lg + rs.shr * 1048576))) sdiff
+        | FROM dc JOIN rs ON rs.lang = dc.lang AND rs.term = dc.term
+        | JOIN lg lr ON lr.x = rs.ar
+        | JOIN lg lt ON lt.x = rs.atv
+        | GROUP BY 1, 2
+        |), w AS (
+        | SELECT d.doc_id, d.lang, n_tokens,
+        |  cast(sdiff + cast(n_tokens as hugeint)
+        |    * ((lr2.lg + ts.shr * 1048576) - (lt2.lg + ts.sht * 1048576)) as bigint) w_num
+        | FROM d JOIN ts ON ts.lang = d.lang
+        | JOIN lg lr2 ON lr2.x = ts.ar
+        | JOIN lg lt2 ON lt2.x = ts.atv
+        |), m AS (
+        | SELECT doc_id, lang, n_tokens, w_num,
+        |  cast((CASE WHEN w_num < 0 THEN -1 ELSE 1 END)
+        |    * (cast(abs(w_num) as hugeint) * 1000000
+        |       // (cast(n_tokens as hugeint) * 1048576)) as bigint) w_micro
+        | FROM w
+        |)
+        |SELECT doc_id, lang, n_tokens, w_num, w_micro,
+        | w_micro > """ + operators.TextAnalysis.DsirMinMicro + """ AS selected
+        |FROM m ORDER BY doc_id""").stripMargin,
     "txt_doc_perplexity" ->
       ("""WITH RECURSIVE t AS (
         | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
@@ -3816,8 +3876,8 @@ object SparkEntry {
         | SELECT lang, term, count(*) c FROM t GROUP BY 1, 2
         |)
         |SELECT lang, count(*) AS n_types, cast(sum(c) as bigint) AS n_tokens,
-        | cast(sum(cast(c as hugeint) * (c - 1)) as bigint) AS simpson_num,
-        | cast(cast(sum(c) as hugeint) * (sum(c) - 1) as bigint) AS simpson_den
+        | cast(sum(cast(c as hugeint) * (c - 1)) as varchar) AS simpson_num,
+        | cast(cast(sum(c) as hugeint) * (sum(c) - 1) as varchar) AS simpson_den
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_langid_kappa" ->
       """WITH t AS (
@@ -4414,8 +4474,8 @@ object SparkEntry {
         | sa.n_tok AS n_a, sb.n_tok AS n_b,
         | cast(coalesce(sum_abs, 0)
         |  + cast(sb.n_tok as hugeint) * (sa.n_tok - coalesce(ca_both, 0))
-        |  + cast(sa.n_tok as hugeint) * (sb.n_tok - coalesce(cb_both, 0)) as bigint) AS tv_num,
-        | cast(2 * cast(sa.n_tok as hugeint) * sb.n_tok as bigint) AS tv_den,
+        |  + cast(sa.n_tok as hugeint) * (sb.n_tok - coalesce(cb_both, 0)) as varchar) AS tv_num,
+        | cast(2 * cast(sa.n_tok as hugeint) * sb.n_tok as varchar) AS tv_den,
         | cast(cast(coalesce(sum_abs, 0)
         |  + cast(sb.n_tok as hugeint) * (sa.n_tok - coalesce(ca_both, 0))
         |  + cast(sa.n_tok as hugeint) * (sb.n_tok - coalesce(cb_both, 0)) as decimal(38,0)) as double)

@@ -2070,7 +2070,11 @@ object Analytics {
     * odd-keyed customers) as EXACT integers: at every distinct value,
     * |F₁−F₂| cross-multiplies to |c₁n₂ − c₂n₁| / n₁n₂, so the supremum
     * is max|c₁n₂ − c₂n₁| — emitted as (ks_num, ks_den) with no
-    * division. Values pre-collapse per distinct cents, and both
+    * division, both as exact-decimal STRING digits (r8: n₁·n₂ measured
+    * exp 2.0 at the sf1 audit, ~4.0e3×SF to int64 — the cross-products
+    * are DECIMAL(38,0) internally so neither the arithmetic nor the
+    * output edge can overflow at any deployment SF). Values
+    * pre-collapse per distinct cents, and both
     * cumulative counts ride the two-phase distributed prefix sum
     * (constant key): no global single-task window even though the
     * cumsum is corpus-wide. */
@@ -2089,11 +2093,13 @@ object Analytics {
     val tot = s.agg(sum($"a1").as("n1"), sum($"a2").as("n2"))
     cum.crossJoin(broadcast(tot))
       .select($"n1", $"n2",
-        abs(($"c1x" + $"a1") * $"n2" - ($"c2x" + $"a2") * $"n1").as("diff"))
+        abs(($"c1x" + $"a1").cast("decimal(38,0)") * $"n2" -
+          ($"c2x" + $"a2").cast("decimal(38,0)") * $"n1").as("diff"))
       .groupBy()
       .agg(max($"n1").as("n1"), max($"n2").as("n2"),
-        max($"diff").as("ks_num"),
-        (max($"n1") * max($"n2")).as("ks_den"))
+        max($"diff").cast("string").as("ks_num"),
+        (max($"n1").cast("decimal(38,0)") * max($"n2")).cast("string")
+          .as("ks_den"))
   }
 
   /** Wald–Wolfowitz-style runs test inputs: per priority, the number
@@ -2127,7 +2133,10 @@ object Analytics {
     * — computed from per-distinct-value counts and ONE distributed
     * prefix sum over their sum, never a global ranking window. Emits
     * (n1, n2, rank_sum_a, u_a = rank_sum − n1(n1+1)/2); consumers
-    * normalize as they wish — no division, no float boundary. */
+    * normalize as they wish — no division, no float boundary.
+    * r8: rank_sum_a/u_a are Σrank-scale ~ n²/2 (sf1 audit exp 2.0,
+    * ~4.1e3×SF to int64) so both accumulate in DECIMAL(38,0) and leave
+    * as exact STRING digits — overflow-free at any deployment SF. */
   def q112MannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.orders(spark, dir)
       .select(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"),
@@ -2141,10 +2150,16 @@ object Analytics {
       "all_n", "c_lt", CorpusPipeline.equiWidthBucket(s, "cents"))
     cum.groupBy()
       .agg(sum($"a1").as("n1"), sum($"a2").as("n2"),
-        sum($"a1" * (lit(1L) + $"c_lt")).as("rank_sum_a"))
-      .select($"n1", $"n2", $"rank_sum_a",
-        // n1(n1+1) is even, so integer div is exact (Column `/` would be IEEE)
-        expr("rank_sum_a - n1 * (n1 + 1) div 2").as("u_a"))
+        sum($"a1".cast("decimal(38,0)") * (lit(1L) + $"c_lt")).as("rank_sum_a"))
+      .select($"n1", $"n2",
+        $"rank_sum_a".cast("string").as("rank_sum_a"),
+        // n1(n1+1) is even: halve the even factor with exact bigint
+        // div FIRST, then multiply in decimal — no IEEE `/`, and the
+        // n² product never exists as an int64
+        expr("cast(rank_sum_a - (CASE WHEN n1 % 2 = 0" +
+          " THEN cast(n1 div 2 as decimal(38,0)) * (n1 + 1)" +
+          " ELSE cast((n1 + 1) div 2 as decimal(38,0)) * n1 END)" +
+          " as string)").as("u_a"))
   }
 
   /** Top-k WITH TIES per group (the SQL `FETCH FIRST k ROWS WITH TIES`
@@ -2213,7 +2228,10 @@ object Analytics {
     * cell×cell join. O(n) scan + O(cells²) arithmetic at any scale,
     * never an O(n²) row self-join; sums ride DECIMAL(38,0) so a
     * 100 TB cell count cannot overflow. No division anywhere —
-    * consumers form τ_b = (C−D)/√((P−Tx)(P−Ty)) themselves. */
+    * consumers form τ_b = (C−D)/√((P−Tx)(P−Ty)) themselves.
+    * r8: every pair-class column is n²-scale (sf1 audit exp 2.0,
+    * ~3.2e3×SF to int64) — the whole family leaves as exact STRING
+    * digits off the internal decimals; only n stays BIGINT. */
   def q117Kendall(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.lineitem(spark, dir)
       .select($"l_returnflag",
@@ -2236,12 +2254,12 @@ object Analytics {
         sum(expr("cast((c * (c - 1)) div 2 as decimal(38,0))")).as("tied_both"))
     diag.join(pairClasses, "l_returnflag")
       .select($"l_returnflag", $"n",
-        expr("cast(concordant as bigint)").as("concordant"),
-        expr("cast(discordant as bigint)").as("discordant"),
-        expr("cast(tied_x_only as bigint)").as("tied_x_only"),
-        expr("cast(tied_y_only as bigint)").as("tied_y_only"),
-        expr("cast(tied_both as bigint)").as("tied_both"),
-        expr("cast(concordant - discordant as bigint)").as("tau_num"))
+        expr("cast(concordant as string)").as("concordant"),
+        expr("cast(discordant as string)").as("discordant"),
+        expr("cast(tied_x_only as string)").as("tied_x_only"),
+        expr("cast(tied_y_only as string)").as("tied_y_only"),
+        expr("cast(tied_both as string)").as("tied_both"),
+        expr("cast(concordant - discordant as string)").as("tau_num"))
       .orderBy($"l_returnflag")
   }
 

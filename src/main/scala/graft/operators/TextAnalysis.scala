@@ -527,10 +527,13 @@ object TextAnalysis {
 
   /** Simpson concentration index of the per-language unigram
     * distribution as an exact rational: λ = Σc(c−1) / N(N−1) emitted
-    * as (num, den) integer pairs — the probability two random tokens
-    * are the same type, the corpus-diversity twin of q77's HHI. Term
-    * counts collapse map-side; DECIMAL(38,0) keeps a 100 TB N² from
-    * overflowing. */
+    * as (num, den) exact-decimal STRING digits (r8: the N² pair family
+    * is the shortest-runway output class — sf1 audit measured exp 2.0,
+    * ~2.7e3×SF to int64 — so the whole rational rides the STRING path
+    * and no deployment SF can overflow the output edge) — the
+    * probability two random tokens are the same type, the
+    * corpus-diversity twin of q77's HHI. Term counts collapse
+    * map-side; DECIMAL(38,0) keeps a 100 TB N² exact internally. */
   def txtSimpson(spark: SparkSession, dir: String): DataFrame =
     TextOps.balanced(Tables.documents(spark, dir))
       .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
@@ -541,8 +544,8 @@ object TextAnalysis {
         sum(col("c")).as("n_tokens"),
         sum(expr("cast(c as decimal(38,0)) * (c - 1)")).as("simpson_num"))
       .select(col("lang"), col("n_types"), col("n_tokens"),
-        expr("cast(simpson_num as bigint)").as("simpson_num"),
-        expr("cast(cast(n_tokens as decimal(38,0)) * (n_tokens - 1) as bigint)")
+        expr("cast(simpson_num as string)").as("simpson_num"),
+        expr("cast(cast(n_tokens as decimal(38,0)) * (n_tokens - 1) as string)")
           .as("simpson_den"))
       .orderBy(col("lang"))
 
@@ -677,14 +680,20 @@ object TextAnalysis {
     grid.join(broadcast(both),
         col("lang_a") === col("la") && col("lang_b") === col("lb"), "left")
       .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
-        expr("cast(coalesce(sum_abs, 0)" +
+        // r8: the 2·N_a·N_b pair family measured exp 2.0 at the sf1
+        // audit (~3.2e3×SF to int64) — the rational stays DECIMAL
+        // internally and leaves as exact STRING digits; the float
+        // readout derives from the decimals before the cast
+        expr("coalesce(sum_abs, 0)" +
           " + cast(n_b as decimal(38,0)) * (n_a - coalesce(ca_both, 0))" +
-          " + cast(n_a as decimal(38,0)) * (n_b - coalesce(cb_both, 0))" +
-          " as bigint)").as("tv_num"),
-        expr("cast(2 * cast(n_a as decimal(38,0)) * n_b as bigint)")
-          .as("tv_den"))
-      .withColumn("tv",
-        col("tv_num").cast("double") / col("tv_den").cast("double"))
+          " + cast(n_a as decimal(38,0)) * (n_b - coalesce(cb_both, 0))")
+          .as("tv_num_d"),
+        expr("2 * cast(n_a as decimal(38,0)) * n_b").as("tv_den_d"))
+      .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+        col("tv_num_d").cast("string").as("tv_num"),
+        col("tv_den_d").cast("string").as("tv_den"),
+        (col("tv_num_d").cast("double") / col("tv_den_d").cast("double"))
+          .as("tv"))
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
@@ -1298,6 +1307,74 @@ object TextAnalysis {
       .withColumn("high_perplexity", col("bits_micro") > maxBitsMicro)
       .orderBy(col("doc_id"))
   }
+
+  /** DSIR-style per-document importance weight for targeted data
+    * selection (public method: Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 —
+    * hashed-n-gram LM importance weights): score every document by
+    * the average log-ratio of a TARGET unigram LM to the RAW corpus
+    * LM, in the engine's exact fixed-point lg integers. The target
+    * slice is `source = 'src0'` — the same held-out carve 31d's
+    * decontamination treats as the benchmark, here used positively as
+    * "data I want more of". With add-one smoothing over the RAW
+    * per-language vocab (target ⊆ corpus so its vocab needs no union):
+    * w_num(d) = Σ_t c_d(t)·[lg(c_T+1) − lg(c_R+1)]
+    *            + n_d·[lg(N_R+V) − lg(N_T+V)]  (all ·2²⁰)
+    * — terms the target never uses pull the weight down, exactly the
+    * resampling intuition. Emitted as the exact numerator, per-token
+    * micro-bits (sign-split division — engine-equal truncation), and
+    * the `selected` flag above `minMicro` (default [[DsirMinMicro]] —
+    * ONE definition shared by the batch op, the streaming gate and the
+    * oracle; −0.05 bits/token sits at the measured per-doc weight
+    * median so both classes are live at every gated SF).
+    * 100 TB shape: both logs run on the VOCAB-keyed LM table — never
+    * per token; doc terms join it on (lang, term) (one shuffle); the
+    * per-lang totals broadcast; the raw LM re-aggregates the doc-term
+    * counts so ReusedExchange tokenizes the corpus ONCE. The weight
+    * numerator is doc-length-bounded (≤ n_d·64·2²⁰), so the BIGINT
+    * edge is SF-independent. */
+  def txtDsirWeights(spark: SparkSession, dir: String,
+      minMicro: Long = DsirMinMicro): DataFrame = {
+    val docTerm = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val raw = docTerm.groupBy(col("lang"), col("term"))
+      .agg(sum(col("c")).as("cr"))
+    val tgt = docTerm.filter(col("source") === "src0")
+      .groupBy(col("lang"), col("term")).agg(sum(col("c")).as("ct"))
+    val lm = raw.join(tgt, Seq("lang", "term"), "left")
+      .select(col("lang"), col("term"), col("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = lm.groupBy(col("lang"))
+      .agg(count(lit(1)).as("v_l"), sum(col("cr")).as("n_r"),
+        sum(col("ct")).as("n_t"))
+    docTerm.join(lm, Seq("lang", "term"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(expr(s"cast(c as decimal(38,0))" +
+          s" * (${lgShift("ct + 1")} - ${lgShift("cr + 1")})")).as("_sdiff"))
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cast(_sdiff + cast(n_tokens as decimal(38,0))" +
+          s" * (${lgShift("n_r + v_l")} - ${lgShift("n_t + v_l")}) as bigint)")
+          .as("w_num"))
+      .withColumn("w_micro", expr(
+        "cast((CASE WHEN w_num < 0 THEN -1 ELSE 1 END)" +
+          " * (cast(abs(w_num) as decimal(38,0)) * 1000000" +
+          " div (cast(n_tokens as decimal(38,0)) * 1048576)) as bigint)"))
+      .withColumn("selected", col("w_micro") > minMicro)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DSIR selection threshold in µbits/token — sourced here so the
+    * batch operator, the streaming gate and the DuckDB oracle share
+    * ONE definition (the CorpusPipeline.MinDocTokens discipline).
+    * −0.05 bits/token ≈ the per-doc weight median on the synthetic
+    * corpora (measured −55k/−65k µbits at sf0.001/sf0.01), so the
+    * selected flag is two-class at every gated SF. */
+  val DsirMinMicro: Long = -50000L
 
   /** Conditional bigram entropy H(w₂|w₁) per language — the bigram-LM
     * extension of [[txtPerplexity]]'s unigram tier: how predictable is

@@ -784,6 +784,87 @@ object Streams {
       }
   }
 
+  case class DocDsirWeight(doc_id: Long, lang: String, n_tokens: Long,
+      w_num: Long, w_micro: Option[Long], selected: Boolean)
+
+  /** Write half of the DSIR importance-weight lake: persist the
+    * per-(lang, term) RAW corpus counts and TARGET-slice
+    * (source = 'src0') counts plus the per-lang totals that
+    * TextAnalysis.txtDsirWeights derives on the fly — the same
+    * signature-lake pattern as [[refLmWrite]]. Layout: `path/terms`
+    * (lang, term, cr, ct) vocab-keyed; `path/totals`
+    * (lang, v_l, n_r, n_t) one row per language. */
+  def dsirLmWrite(spark: SparkSession, dir: String, path: String): Unit = {
+    val docTerm = graft.functions.TextOps.balanced(graft.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(graft.functions.TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(sum(lit(1L)).as("cr"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+    docTerm.write.mode("overwrite").parquet(s"$path/terms")
+    spark.read.parquet(s"$path/terms")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("v_l"), sum(col("cr")).as("n_r"),
+        sum(col("ct")).as("n_t"))
+      .write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  /** Streaming DSIR importance-weight gate — the deployment shape of
+    * TextAnalysis.txtDsirWeights: arriving docs are scored against the
+    * PERSISTED raw/target LM lake ([[dsirLmWrite]]) via a
+    * stream-static join on (lang, term); the per-doc rollup is the
+    * same zero-retained-state flatMapGroupsWithState under the
+    * doc-atomicity contract (a doc's term rows arrive within one
+    * micro-batch). Snapshot semantics: a term NEITHER LM has seen
+    * contributes lg(1) − lg(1) = 0 — no evidence either way (unlike
+    * the perplexity gates, where OOV is maximal surprise); a doc whose
+    * LANGUAGE is off-snapshot cannot be scored and is emitted with
+    * w_micro = None and selected = false under the unified
+    * flag-don't-skip policy — a selector that cannot score a doc must
+    * not select it, and must not lose it from the verdict stream. On
+    * the snapshot's own corpus the output is row-identical to the
+    * batch operator. */
+  def docDsirStream(docs: Dataset[DocText], dsirLmPath: String,
+      minMicro: Long = graft.operators.TextAnalysis.DsirMinMicro): Dataset[DocDsirWeight] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Log2Fixed
+    val lake = spark.read.parquet(s"$dsirLmPath/terms")
+    val totals = spark.read.parquet(s"$dsirLmPath/totals").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val joined = docTermCounts(docs)
+      .join(lake, Seq("lang", "term"), "left")
+      .select(col("doc_id"), col("lang"), col("c"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .as[(Long, String, Long, Long, Long)]
+    joined.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, DocDsirWeight](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((docId, lang), rows, _: GroupState[Boolean]) =>
+          totals.get(lang) match {
+            case None =>
+              val n = rows.map(_._3).sum
+              Iterator.single(DocDsirWeight(docId, lang, n, 0L, None, false))
+            case Some((vl, nr, nt)) =>
+              var n = 0L
+              var sdiff = BigInt(0)
+              rows.foreach { case (_, _, c, cr, ct) =>
+                n += c
+                sdiff += BigInt(c) *
+                  (Log2Fixed.shifted(ct + 1) - Log2Fixed.shifted(cr + 1))
+              }
+              val wNum = sdiff + BigInt(n) *
+                (Log2Fixed.shifted(nr + vl) - Log2Fixed.shifted(nt + vl))
+              // the batch twin's sign-split integer division, exactly
+              val micro = (wNum.abs * 1000000 / (BigInt(n) * 1048576)).toLong *
+                (if (wNum < 0) -1 else 1)
+              Iterator.single(DocDsirWeight(docId, lang, n, wNum.toLong,
+                Some(micro), micro > minMicro))
+          }
+      }
+  }
+
   case class DocKn3Perplexity(doc_id: Long, lang: String, n_trigrams: Long,
       n_known: Long, kn3_bits_num: Long, bits_micro: Option[Long],
       high_perplexity: Boolean)

@@ -277,7 +277,8 @@ class PlanSpec extends SparkSpec {
     Seq(
       "txt_perplexity" -> graft.operators.TextAnalysis.txtPerplexity(spark, sf0001),
       "txt_entropy_filter" -> graft.operators.TextAnalysis.txtEntropyFilter(spark, sf0001),
-      "txt_doc_perplexity" -> graft.operators.TextAnalysis.txtDocPerplexity(spark, sf0001)
+      "txt_doc_perplexity" -> graft.operators.TextAnalysis.txtDocPerplexity(spark, sf0001),
+      "txt_dsir_weights" -> graft.operators.TextAnalysis.txtDsirWeights(spark, sf0001)
     ).foreach { case (name, df) =>
       val plan = df.queryExecution.optimizedPlan
       val logsPerToken = plan.collect { case g: Generate => g }.exists(_.expressions
@@ -291,6 +292,18 @@ class PlanSpec extends SparkSpec {
       }.isDefined
       assert(aggWithLog || projWithLog, s"$name lost its fixed-point log in optimization")
     }
+  }
+
+  test("txt_dsir_weights: lang totals broadcast; tokenize scan reused; no cartesian") {
+    val df = graft.operators.TextAnalysis.txtDsirWeights(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"lang totals must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    // the raw LM re-aggregates the doc-term counts, so AQE reuses the
+    // doc-term exchange instead of re-exploding the corpus
+    assert(p.contains("ReusedExchange"),
+      "the doc-term aggregate must be exchange-reused, not recomputed")
   }
 
   test("txt_doc_perplexity: lang totals broadcast; tokenize scan reused; no cartesian") {

@@ -191,6 +191,54 @@ class StreamingSpec extends SparkSpec {
       "an OOD-language doc is flagged with a null score, never skipped or passed")
   }
 
+  test("streaming DSIR gate matches the batch importance weights on the snapshot corpus") {
+    val lake = Files.createTempDirectory("dsir_lm_lake")
+    Streams.dsirLmWrite(spark, sf0001, lake.toString)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("dsir_stream")
+    docs.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
+      .as[Streams.DocText]
+    runToMemory(Streams.docDsirStream(stream, lake.toString).toDF(), "dsir_stream_t")
+    val streamed = spark.sql("select * from dsir_stream_t").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    val batch = graft.operators.TextAnalysis.txtDsirWeights(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(streamed == batch,
+      "stream-static DSIR weights and flags must equal the batch operator row for row")
+    // OOV-term / OOD-language semantics: a term neither LM has seen is
+    // ZERO evidence (the doc still scores); an off-snapshot language
+    // cannot be scored — emitted unselected with a null weight, never
+    // dropped (flag-don't-skip)
+    import spark.implicits._
+    val late = Seq(
+      Streams.DocText(910301L, "en", "zzq7 zzq8 zzq9"),
+      Streams.DocText(910302L, "xx", "one two three")).toDS()
+    late.toDF().write.mode("overwrite").parquet(src.toString + "_late")
+    val lateStream = spark.readStream.schema(docs.schema)
+      .parquet(src.toString + "_late").as[Streams.DocText]
+    runToMemory(Streams.docDsirStream(lateStream, lake.toString).toDF(), "dsir_late_t")
+    val lateRows = spark.sql("select * from dsir_late_t").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.isNullAt(4), r.getBoolean(5)))).toMap
+    val (_, n1, w1, null1, sel1) = {
+      val v = lateRows(910301L); (v._1, v._2, v._3, v._4, v._5)
+    }
+    // all-OOV doc in a known language: every term contributes 0, so
+    // w_num is exactly the n·(lg(N_R+V) − lg(N_T+V)) correction — a
+    // real (positive) score, and the doc is selectable
+    assert(n1 == 3L && !null1 && w1 > 0L && sel1,
+      "an all-OOV doc in a known language scores on the totals correction alone")
+    val (_, n2, w2, null2, sel2) = {
+      val v = lateRows(910302L); (v._1, v._2, v._3, v._4, v._5)
+    }
+    assert(n2 == 3L && w2 == 0L && null2 && !sel2,
+      "an OOD-language doc is emitted unselected with a null weight, never dropped")
+  }
+
   test("streaming quality gate: one-pass three-signal verdicts reconcile with the batch funnel") {
     val uniLake = Files.createTempDirectory("q_ref_lake")
     val knLake = Files.createTempDirectory("q_kn_lake")
