@@ -14,10 +14,13 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * nightly build pays ONCE), then `docsDir`'s documents stream through
   * the gate with an AvailableNow trigger into a counting sink.
   *
-  * Usage: runMain graft.CleanerBench [lmSfDir] [docsParquet]
+  * Usage: runMain graft.CleanerBench [lmSfDir] [docsParquet] [gate]
   * Defaults: lm = /root/testdata/sf0.1, docs = target/sf1/documents.parquet
   * (50k docs — the replicated corpus is fine here: throughput, not
-  * liveness). Prints one JSON line: lake-build sec, stream sec, docs/s.
+  * liveness). `gate` = "quality" (default: the three-signal
+  * qualityGateStream) or "dsir" (the importance-selection gate,
+  * Streams.docDsirStream over the dsirLmWrite lake — kept = selected).
+  * Prints one JSON line: lake-build sec, stream sec, docs/s.
   */
 object CleanerBench {
   def main(args: Array[String]): Unit = {
@@ -38,11 +41,18 @@ object CleanerBench {
     }
     spark.range(1000).count() // session warmup
 
+    val gate = args.lift(2).getOrElse("quality")
+    require(gate == "quality" || gate == "dsir", s"unknown gate '$gate'")
+
     val uniLake = Files.createTempDirectory("cb_uni").toString
     val knLake = Files.createTempDirectory("cb_kn").toString
+    val dsirLake = Files.createTempDirectory("cb_dsir").toString
     val (_, tLakes) = time {
-      Streams.refLmWrite(spark, lmDir, uniLake)
-      Streams.knLmWrite(spark, lmDir, knLake)
+      if (gate == "dsir") Streams.dsirLmWrite(spark, lmDir, dsirLake)
+      else {
+        Streams.refLmWrite(spark, lmDir, uniLake)
+        Streams.knLmWrite(spark, lmDir, knLake)
+      }
     }
 
     val docs = spark.read.parquet(docsPath)
@@ -52,8 +62,12 @@ object CleanerBench {
     docs.write.mode("overwrite").parquet(src.toString)
     val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
       .as[Streams.DocText]
+    val gated =
+      if (gate == "dsir") Streams.docDsirStream(stream, dsirLake).toDF()
+        .withColumnRenamed("selected", "keep")
+      else Streams.qualityGateStream(stream, uniLake, knLake).toDF()
     val (finished, tStream) = time {
-      val q = Streams.qualityGateStream(stream, uniLake, knLake).toDF()
+      val q = gated
         .writeStream.format("memory").queryName("cleaner_bench")
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
       // awaitTermination(timeout) returns false if the stream is STILL
@@ -65,7 +79,7 @@ object CleanerBench {
     val emitted = spark.sql("select count(*) from cleaner_bench").head().getLong(0)
     val kept = spark.sql("select count(*) from cleaner_bench where keep").head().getLong(0)
     def num(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    println(s"""{"metric":"cleaner_throughput","n_docs":$nDocs,"verdicts":$emitted,""" +
+    println(s"""{"metric":"cleaner_throughput","gate":"$gate","n_docs":$nDocs,"verdicts":$emitted,""" +
       s""""kept":$kept,"lake_build_sec":${num(tLakes)},"stream_sec":${num(tStream)},""" +
       s""""docs_per_sec":${num(emitted / tStream)},"timed_out":${!finished},""" +
       s""""lm_dir":"$lmDir"}""")

@@ -29,7 +29,10 @@ ID_NAMES = {"doc_id", "user_id", "vec_id", "event_id", "bid", "dropped",
             "query_id", "doc_a", "doc_b", "id_a", "id_b", "src", "dst",
             "node", "i", "j",
             # id-VALUED statistics: min/max/kept ids, pair endpoints
-            "doc_new", "max_kept", "part_a", "part_b", "key_a", "key_b"}
+            "doc_new", "max_kept", "part_a", "part_b", "key_a", "key_b",
+            # component labels ARE ids: min(doc_id) over the cluster,
+            # so their jump is the replica key offset too
+            "component"}
 
 
 def is_identifier(col):
