@@ -237,6 +237,8 @@ object SparkEntry {
     "txt_cond_entropy3" -> (TextAnalysis.txtCondEntropy3 _),
     "txt_doc_kn3_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.txtDocKn3Perplexity(s, d)),
     "txt_dsir_weights" -> ((s: SparkSession, d: String) => TextAnalysis.txtDsirWeights(s, d)),
+    "txt_dsir_bigram" -> ((s: SparkSession, d: String) => TextAnalysis.txtDsirBigram(s, d)),
+    "pipe_dsir_topk" -> ((s: SparkSession, d: String) => TextAnalysis.pipeDsirTopk(s, d)),
     "dd_semantic_decontaminate" -> ((s: SparkSession, d: String) => Dedup.ddSemanticDecontaminate(s, d)),
     "pipe_quality_funnel" -> (CorpusPipeline.pipeQualityFunnel _),
     "pipe_quality_verdict" -> (CorpusPipeline.pipeQualityVerdict _),
@@ -578,6 +580,65 @@ object SparkEntry {
       | JOIN lg lpn ON lpn.x = ls.an
       | JOIN lg lc ON lc.x = ls.ac
       | JOIN lg lb ON lb.x = ls.ab
+      |)""".stripMargin
+
+  /** Shared DSIR unigram CTE pipeline (tokenize → doc/raw/target LM
+    * counts → shift-reduced lg args → [[LgCte]] → per-doc weight):
+    * ends at m = (doc_id, lang, n_tokens, w_num, w_micro). ONE copy,
+    * consumed by the txt_dsir_weights and pipe_dsir_topk oracles. */
+  private val DsirCtes: String =
+    """t AS (
+      | SELECT doc_id, lang, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+      | FROM documents
+      |), dc AS MATERIALIZED (
+      | SELECT doc_id, lang, term, cast(count(*) as bigint) c,
+      |  cast(coalesce(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END), 0) as bigint) c_t
+      | FROM t GROUP BY 1, 2, 3
+      |), rc AS (
+      | SELECT lang, term, cast(sum(c) as bigint) cr, cast(sum(c_t) as bigint) ct
+      | FROM dc GROUP BY 1, 2
+      |), rs AS (
+      | SELECT lang, term, cr, ct,
+      |  greatest(0, length(bin(cr + 1)) - 43) shr,
+      |  (cr + 1) // (cast(1 as bigint) << greatest(0, length(bin(cr + 1)) - 43)) ar,
+      |  greatest(0, length(bin(ct + 1)) - 43) sht,
+      |  (ct + 1) // (cast(1 as bigint) << greatest(0, length(bin(ct + 1)) - 43)) atv
+      | FROM rc
+      |), tot AS (
+      | SELECT lang, cast(count(*) as bigint) v_l,
+      |  cast(sum(cr) as bigint) n_r, cast(sum(ct) as bigint) n_t
+      | FROM rc GROUP BY 1
+      |), ts AS (
+      | SELECT lang, v_l, n_r, n_t,
+      |  greatest(0, length(bin(n_r + v_l)) - 43) shr,
+      |  (n_r + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_r + v_l)) - 43)) ar,
+      |  greatest(0, length(bin(n_t + v_l)) - 43) sht,
+      |  (n_t + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_t + v_l)) - 43)) atv
+      | FROM tot
+      |), lgvals(x) AS (
+      | SELECT DISTINCT x FROM (SELECT ar AS x FROM rs UNION ALL SELECT atv FROM rs
+      |  UNION ALL SELECT ar FROM ts UNION ALL SELECT atv FROM ts)
+      |), """.stripMargin + LgCte + """, d AS (
+      | SELECT dc.doc_id, dc.lang, cast(sum(dc.c) as bigint) n_tokens,
+      |  sum(cast(dc.c as hugeint)
+      |    * ((lt.lg + rs.sht * 1048576) - (lr.lg + rs.shr * 1048576))) sdiff
+      | FROM dc JOIN rs ON rs.lang = dc.lang AND rs.term = dc.term
+      | JOIN lg lr ON lr.x = rs.ar
+      | JOIN lg lt ON lt.x = rs.atv
+      | GROUP BY 1, 2
+      |), w AS (
+      | SELECT d.doc_id, d.lang, n_tokens,
+      |  cast(sdiff + cast(n_tokens as hugeint)
+      |    * ((lr2.lg + ts.shr * 1048576) - (lt2.lg + ts.sht * 1048576)) as bigint) w_num
+      | FROM d JOIN ts ON ts.lang = d.lang
+      | JOIN lg lr2 ON lr2.x = ts.ar
+      | JOIN lg lt2 ON lt2.x = ts.atv
+      |), m AS (
+      | SELECT doc_id, lang, n_tokens, w_num,
+      |  cast((CASE WHEN w_num < 0 THEN -1 ELSE 1 END)
+      |    * (cast(abs(w_num) as hugeint) * 1000000
+      |       // (cast(n_tokens as hugeint) * 1048576)) as bigint) w_micro
+      | FROM w
       |)""".stripMargin
 
   /** Shared per-doc KN-TRIGRAM LM CTE pipeline (trigramize → doc-
@@ -3414,62 +3475,80 @@ object SparkEntry {
         | bits_per_token_micro < 3500000 AS low_entropy
         |FROM h ORDER BY doc_id""").stripMargin,
     "txt_dsir_weights" ->
+      ("WITH RECURSIVE " + DsirCtes + s"""
+        |SELECT doc_id, lang, n_tokens, w_num, w_micro,
+        | w_micro > ${operators.TextAnalysis.DsirMinMicro} AS selected
+        |FROM m ORDER BY doc_id""".stripMargin),
+    "pipe_dsir_topk" ->
+      ("WITH RECURSIVE " + DsirCtes + s""", r AS (
+        | SELECT lang, doc_id, n_tokens, w_micro,
+        |  row_number() OVER (PARTITION BY lang ORDER BY w_micro DESC, doc_id) rk
+        | FROM m
+        |)
+        |SELECT lang, cast(rk as bigint) AS sel_rank, doc_id, n_tokens, w_micro
+        |FROM r WHERE rk <= ${operators.TextAnalysis.DsirTopK}
+        |ORDER BY lang, sel_rank""".stripMargin),
+    "txt_dsir_bigram" ->
       ("""WITH RECURSIVE t AS (
-        | SELECT doc_id, lang, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | SELECT doc_id, lang, source, list_filter(string_split(text, ' '), x -> x <> '') tl
         | FROM documents
+        |), bx AS (
+        | SELECT doc_id, lang, source,
+        |  unnest(list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i+1])) bg
+        | FROM t WHERE len(tl) >= 2
         |), dc AS MATERIALIZED (
-        | SELECT doc_id, lang, term, cast(count(*) as bigint) c,
+        | SELECT doc_id, lang, bg, cast(count(*) as bigint) c,
         |  cast(coalesce(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END), 0) as bigint) c_t
-        | FROM t GROUP BY 1, 2, 3
+        | FROM bx GROUP BY 1, 2, 3
         |), rc AS (
-        | SELECT lang, term, cast(sum(c) as bigint) cr, cast(sum(c_t) as bigint) ct
+        | SELECT lang, bg, cast(sum(c) as bigint) cr, cast(sum(c_t) as bigint) ct
         | FROM dc GROUP BY 1, 2
         |), rs AS (
-        | SELECT lang, term, cr, ct,
+        | SELECT lang, bg, cr, ct,
         |  greatest(0, length(bin(cr + 1)) - 43) shr,
         |  (cr + 1) // (cast(1 as bigint) << greatest(0, length(bin(cr + 1)) - 43)) ar,
         |  greatest(0, length(bin(ct + 1)) - 43) sht,
         |  (ct + 1) // (cast(1 as bigint) << greatest(0, length(bin(ct + 1)) - 43)) atv
         | FROM rc
         |), tot AS (
-        | SELECT lang, cast(count(*) as bigint) v_l,
+        | SELECT lang, cast(count(*) as bigint) b_l,
         |  cast(sum(cr) as bigint) n_r, cast(sum(ct) as bigint) n_t
         | FROM rc GROUP BY 1
         |), ts AS (
-        | SELECT lang, v_l, n_r, n_t,
-        |  greatest(0, length(bin(n_r + v_l)) - 43) shr,
-        |  (n_r + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_r + v_l)) - 43)) ar,
-        |  greatest(0, length(bin(n_t + v_l)) - 43) sht,
-        |  (n_t + v_l) // (cast(1 as bigint) << greatest(0, length(bin(n_t + v_l)) - 43)) atv
+        | SELECT lang, b_l, n_r, n_t,
+        |  greatest(0, length(bin(n_r + b_l)) - 43) shr,
+        |  (n_r + b_l) // (cast(1 as bigint) << greatest(0, length(bin(n_r + b_l)) - 43)) ar,
+        |  greatest(0, length(bin(n_t + b_l)) - 43) sht,
+        |  (n_t + b_l) // (cast(1 as bigint) << greatest(0, length(bin(n_t + b_l)) - 43)) atv
         | FROM tot
         |), lgvals(x) AS (
         | SELECT DISTINCT x FROM (SELECT ar AS x FROM rs UNION ALL SELECT atv FROM rs
         |  UNION ALL SELECT ar FROM ts UNION ALL SELECT atv FROM ts)
-        |), """ + LgCte + """, d AS (
-        | SELECT dc.doc_id, dc.lang, cast(sum(dc.c) as bigint) n_tokens,
+        |), """ + LgCte + s""", d AS (
+        | SELECT dc.doc_id, dc.lang, cast(sum(dc.c) as bigint) n_bigrams,
         |  sum(cast(dc.c as hugeint)
         |    * ((lt.lg + rs.sht * 1048576) - (lr.lg + rs.shr * 1048576))) sdiff
-        | FROM dc JOIN rs ON rs.lang = dc.lang AND rs.term = dc.term
+        | FROM dc JOIN rs ON rs.lang = dc.lang AND rs.bg = dc.bg
         | JOIN lg lr ON lr.x = rs.ar
         | JOIN lg lt ON lt.x = rs.atv
         | GROUP BY 1, 2
         |), w AS (
-        | SELECT d.doc_id, d.lang, n_tokens,
-        |  cast(sdiff + cast(n_tokens as hugeint)
+        | SELECT d.doc_id, d.lang, n_bigrams,
+        |  cast(sdiff + cast(n_bigrams as hugeint)
         |    * ((lr2.lg + ts.shr * 1048576) - (lt2.lg + ts.sht * 1048576)) as bigint) w_num
         | FROM d JOIN ts ON ts.lang = d.lang
         | JOIN lg lr2 ON lr2.x = ts.ar
         | JOIN lg lt2 ON lt2.x = ts.atv
-        |), m AS (
-        | SELECT doc_id, lang, n_tokens, w_num,
-        |  cast((CASE WHEN w_num < 0 THEN -1 ELSE 1 END)
-        |    * (cast(abs(w_num) as hugeint) * 1000000
-        |       // (cast(n_tokens as hugeint) * 1048576)) as bigint) w_micro
-        | FROM w
         |)
-        |SELECT doc_id, lang, n_tokens, w_num, w_micro,
-        | w_micro > """ + operators.TextAnalysis.DsirMinMicro + """ AS selected
-        |FROM m ORDER BY doc_id""").stripMargin,
+        |SELECT doc_id, lang, n_bigrams, w_num,
+        | cast((CASE WHEN w_num < 0 THEN -1 ELSE 1 END)
+        |   * (cast(abs(w_num) as hugeint) * 1000000
+        |      // (cast(n_bigrams as hugeint) * 1048576)) as bigint) AS w_micro,
+        | cast((CASE WHEN w_num < 0 THEN -1 ELSE 1 END)
+        |   * (cast(abs(w_num) as hugeint) * 1000000
+        |      // (cast(n_bigrams as hugeint) * 1048576)) as bigint)
+        |  > ${operators.TextAnalysis.Dsir2MinMicro} AS selected
+        |FROM w ORDER BY doc_id""").stripMargin,
     "txt_doc_perplexity" ->
       ("""WITH RECURSIVE t AS (
         | SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term

@@ -1376,6 +1376,88 @@ object TextAnalysis {
     * selected flag is two-class at every gated SF. */
   val DsirMinMicro: Long = -50000L
 
+  /** The BIGRAM-feature DSIR threshold (µbits/bigram). Bigram LMs are
+    * sparser, so per-doc weights sit lower and spread wider than the
+    * unigram tier (measured medians −211k/−215k/−146k µbits at
+    * sf0.001/0.01/0.1); −0.15 bits/bigram straddles at every SF. */
+  val Dsir2MinMicro: Long = -150000L
+
+  /** The per-language selection-list depth for [[pipeDsirTopk]]. */
+  val DsirTopK: Int = 10
+
+  /** DSIR selection short-list: the top-[[DsirTopK]] documents per
+    * language by importance weight — the APPLY-side readout of
+    * [[txtDsirWeights]] (which docs would an importance-resampling
+    * pass actually pull first). Reuses the weight operator VERBATIM
+    * (one threshold/constant set), ranks by (w_micro desc, doc_id)
+    * for a deterministic total order, and prunes through the
+    * bounded-heap TopKPerGroup rewrite — ≤ k rows per language cross
+    * the exchange, the corpus-sized weight table never feeds a raw
+    * per-language window. */
+  def pipeDsirTopk(spark: SparkSession, dir: String,
+      k: Int = DsirTopK): DataFrame = {
+    val w = txtDsirWeights(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("w_micro"))
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      w, Seq("lang"), Seq(("w_micro", true), ("doc_id", false)), k)
+    // the rank window consumes the ≤ k·|langs| pruned rows, never the
+    // corpus-sized weight table
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("w_micro").desc, col("doc_id"))
+    pruned.withColumn("sel_rank", row_number().over(win).cast("bigint"))
+      .select(col("lang"), col("sel_rank"), col("doc_id"), col("n_tokens"),
+        col("w_micro"))
+      .orderBy(col("lang"), col("sel_rank"))
+  }
+
+  /** DSIR importance weight over the BIGRAM feature space — the
+    * paper's actual hashed-n-gram form one level up from
+    * [[txtDsirWeights]] (Xie et al. 2023 score documents on unigram+
+    * bigram features; the unigram tier is the proven device, this is
+    * the bigram half): per document,
+    * w_num(d) = Σ_b c_d(b)·[lg(c_T(b)+1) − lg(c_R(b)+1)]
+    *            + n_d·[lg(N_R+B) − lg(N_T+B)]  (all ·2²⁰)
+    * with add-one smoothing over the RAW per-language bigram vocab B.
+    * Same 100 TB shape as the unigram tier: logs on the BIGRAM-TYPE-
+    * keyed LM table, doc bigrams join on (lang, w₁w₂), totals
+    * broadcast, ReusedExchange bigramizes once. Emitted as the exact
+    * numerator, per-bigram micro-bits (sign-split), and `selected`
+    * above [[Dsir2MinMicro]]. */
+  def txtDsirBigram(spark: SparkSession, dir: String,
+      minMicro: Long = Dsir2MinMicro): DataFrame = {
+    val docBg = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(TextOps.ngramArray("text", 2)).as("bg"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val raw = docBg.groupBy(col("lang"), col("bg"))
+      .agg(sum(col("c")).as("cr"))
+    val tgt = docBg.filter(col("source") === "src0")
+      .groupBy(col("lang"), col("bg")).agg(sum(col("c")).as("ct"))
+    val lm = raw.join(tgt, Seq("lang", "bg"), "left")
+      .select(col("lang"), col("bg"), col("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = lm.groupBy(col("lang"))
+      .agg(count(lit(1)).as("b_l"), sum(col("cr")).as("n_r"),
+        sum(col("ct")).as("n_t"))
+    docBg.join(lm, Seq("lang", "bg"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(expr(s"cast(c as decimal(38,0))" +
+          s" * (${lgShift("ct + 1")} - ${lgShift("cr + 1")})")).as("_sdiff"))
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        expr(s"cast(_sdiff + cast(n_bigrams as decimal(38,0))" +
+          s" * (${lgShift("n_r + b_l")} - ${lgShift("n_t + b_l")}) as bigint)")
+          .as("w_num"))
+      .withColumn("w_micro", expr(
+        "cast((CASE WHEN w_num < 0 THEN -1 ELSE 1 END)" +
+          " * (cast(abs(w_num) as decimal(38,0)) * 1000000" +
+          " div (cast(n_bigrams as decimal(38,0)) * 1048576)) as bigint)"))
+      .withColumn("selected", col("w_micro") > minMicro)
+      .orderBy(col("doc_id"))
+  }
+
   /** Conditional bigram entropy H(w₂|w₁) per language — the bigram-LM
     * extension of [[txtPerplexity]]'s unigram tier: how predictable is
     * the next word given the previous one (templated/boilerplate

@@ -65,4 +65,67 @@ class Round8DsirSpec extends SparkSpec {
     assert(flags == Set(true, false),
       "selection flag must be two-class on the test corpus")
   }
+
+  test("pipe_dsir_topk: per-language short-list matches a driver rank over the weight table; TopK prunes") {
+    val w = operators.TextAnalysis.txtDsirWeights(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(4)))
+    val expected = w.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy(t => (-t._4, t._2)).take(operators.TextAnalysis.DsirTopK)
+        .zipWithIndex.map { case ((_, id, n, micro), i) =>
+          (lang, i + 1L, id, n, micro) }
+    }.toSet
+    val df = operators.TextAnalysis.pipeDsirTopk(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    // the corpus-sized weight table must be pruned through the
+    // bounded-heap operator, not ranked by a raw per-language window
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"),
+      s"selection list must prune through TopKPerGroup:\n${p.take(1200)}")
+  }
+
+  test("txt_dsir_bigram: numerators recompute from raw/target bigram LMs; flag two-class") {
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val bgs = rows.map { case (id, lang, src, text) =>
+      val toks = text.split(' ').filter(_.nonEmpty)
+      (id, lang, src,
+        toks.iterator.sliding(2).withPartial(false).map(p => p(0) + " " + p(1)).toSeq)
+    }.filter(_._4.nonEmpty)
+    val byLang = bgs.groupBy(_._2)
+    val expected = byLang.toSeq.flatMap { case (_, docs) =>
+      val raw = docs.flatMap(_._4).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tgt = docs.filter(_._3 == "src0").flatMap(_._4)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val b = raw.size.toLong
+      val nR = raw.values.sum
+      val nT = tgt.values.sum
+      val corr = BigInt(lgRef(nR + b)) - BigInt(lgRef(nT + b))
+      docs.map { case (id, lang, _, ds) =>
+        val n = ds.size.toLong
+        val sdiff = ds.map(g =>
+          BigInt(lgRef(tgt.getOrElse(g, 0L) + 1)) - BigInt(lgRef(raw(g) + 1))).sum
+        id -> ((lang, n, sdiff + BigInt(n) * corr))
+      }
+    }.toMap
+    val got = operators.TextAnalysis.txtDsirBigram(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == expected.keySet,
+      "exactly the docs with >= 1 bigram are scored")
+    got.foreach { case (id, (lang, n, wNum, wMicro, sel)) =>
+      val (eLang, eN, eW) = expected(id)
+      assert(lang == eLang && n == eN, s"doc $id identity")
+      assert(BigInt(wNum) == eW, s"doc $id w_num")
+      val eMicro = (eW.abs * 1000000 / (BigInt(n) * 1048576)).toLong *
+        (if (eW < 0) -1 else 1)
+      assert(wMicro == eMicro, s"doc $id w_micro")
+      assert(sel == (wMicro > operators.TextAnalysis.Dsir2MinMicro), s"doc $id selected")
+    }
+    assert(got.values.map(_._5).toSet == Set(true, false),
+      "bigram selection flag must be two-class on the test corpus")
+  }
 }
