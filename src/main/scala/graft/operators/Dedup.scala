@@ -377,12 +377,20 @@ object Dedup {
     * near-dup graph is usually tiny relative to the corpus (edges ≪
     * docs), so at 100 TB this collect is of the PAIRS, not the data —
     * still guarded, with the iterative path as fallback. */
-  private val DriverEdgeLimit = 2000000L
+  private val DriverEdgeLimitDefault = 2000000L
+
+  /** Runtime override so the distributed branch is testable: set
+    * `spark.graft.components.driverEdgeLimit` to 0 to force the
+    * iterative propagation path on any corpus (the branch a 100 TB
+    * pair graph takes). Defaults to 2M pairs. */
+  private def driverEdgeLimit(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.components.driverEdgeLimit")
+      .map(_.toLong).getOrElse(DriverEdgeLimitDefault)
 
   def ddComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
-    if (pairs.count() <= DriverEdgeLimit) return componentsUnionFind(spark, pairs)
+    if (pairs.count() <= driverEdgeLimit(spark)) return componentsUnionFind(spark, pairs)
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint(true)

@@ -90,4 +90,22 @@ class DedupSpec extends SparkSpec {
     assert(tightPairs.subsetOf(unPairs),
       "dropping stop-shingles can only lower jaccard => pair set shrinks")
   }
+
+  test("distributed min-label propagation is row-identical to driver union-find") {
+    // The gated corpora never exceed the 2M-pair driver limit, so the
+    // distributed branch (the one a 100 TB pair graph takes) would
+    // otherwise ship untested. Force it with limit 0 and assert exact
+    // row identity against the default union-find path.
+    val key = "spark.graft.components.driverEdgeLimit"
+    val viaUnionFind = Dedup.ddComponents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.conf.set(key, "0")
+    try {
+      val viaPropagation = Dedup.ddComponents(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(viaUnionFind.nonEmpty, "fixture must produce a non-trivial pair graph")
+      assert(viaPropagation.toSeq == viaUnionFind.toSeq,
+        "label propagation must emit the same (doc_id, min-reachable-id) labeling")
+    } finally spark.conf.unset(key)
+  }
 }
