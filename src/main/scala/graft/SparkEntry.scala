@@ -5429,8 +5429,8 @@ object SparkEntry {
         |btot AS (SELECT count(*) AS b_types FROM counts)
         |SELECT c.w1 AS w1, c.w2 AS w2, c.c AS c, p.cw1, p.n_follow, k.n_precede, b_types,
         | cast(cast(4 * c.c - 3 as hugeint) * b_types
-        |      + cast(3 as hugeint) * n_follow * n_precede as bigint) AS p_num,
-        | cast(cast(4 as hugeint) * cw1 * b_types as bigint) AS p_den
+        |      + cast(3 as hugeint) * n_follow * n_precede as varchar) AS p_num,
+        | cast(cast(4 as hugeint) * cw1 * b_types as varchar) AS p_den
         |FROM counts c JOIN prefix p ON c.w1 = p.w1 JOIN contin k ON c.w2 = k.w2
         |CROSS JOIN btot
         |ORDER BY c.c DESC, c.w1, c.w2 LIMIT 50""".stripMargin,

@@ -952,7 +952,14 @@ object TextAnalysis {
     * — integer numerator and denominator, no float anywhere (c ≥ 1 in
     * the bigram table, so the max(c−d, 0) clamp is vacuous). Three
     * count aggregates reuse the bigram shuffle; the 1-row B total
-    * broadcasts. Top-k by count, deterministic ties. */
+    * broadcasts. Top-k by count, deterministic ties.
+    *
+    * p_num/p_den ride the exact-decimal STRING path (r9: the r8 sf1
+    * audit measured their int64 runway at 3.2e3×/5.4e3×SF — the
+    * shortest left on the BIGINT edge — c·B-class products grow ~SF²
+    * on dup-dense corpora): DECIMAL(38,0) internally, digit strings at
+    * the output edge, so no deployment SF can overflow it and the r7
+    * fail-loud raise_error guard is no longer needed. */
   def txtKnProb(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val bi = TextOps.balanced(Tables.documents(spark, dir))
       .select(explode(TextOps.ngramArray("text", 2)).as("bg"))
@@ -965,20 +972,9 @@ object TextAnalysis {
     counts.join(prefix, "w1").join(contin, "w2").crossJoin(broadcast(btot))
       .select(col("w1"), col("w2"), col("c"), col("cw1"),
         col("n_follow"), col("n_precede"), col("b_types"),
-        // same fail-loud guard as [[knLmBits]]: non-ANSI decimal→bigint
-        // casts null silently on overflow where the oracle errors loudly
-        expr("CASE WHEN cast(4 * c - 3 as decimal(38,0)) * b_types" +
-          " + cast(3 as decimal(38,0)) * n_follow * n_precede" +
-          " < cast(9223372036854775807 as decimal(38,0))" +
-          " THEN cast(cast(4 * c - 3 as decimal(38,0)) * b_types" +
-          " + cast(3 as decimal(38,0)) * n_follow * n_precede as bigint)" +
-          " ELSE cast(raise_error('txtKnProb: KN numerator exceeds int64') as bigint)" +
-          " END").as("p_num"),
-        expr("CASE WHEN cast(4 as decimal(38,0)) * cw1 * b_types" +
-          " < cast(9223372036854775807 as decimal(38,0))" +
-          " THEN cast(cast(4 as decimal(38,0)) * cw1 * b_types as bigint)" +
-          " ELSE cast(raise_error('txtKnProb: KN denominator 4*c(w1)*B exceeds int64')" +
-          " as bigint) END").as("p_den"))
+        expr("cast(cast(4 * c - 3 as decimal(38,0)) * b_types" +
+          " + cast(3 as decimal(38,0)) * n_follow * n_precede as string)").as("p_num"),
+        expr("cast(cast(4 as decimal(38,0)) * cw1 * b_types as string)").as("p_den"))
       .orderBy(col("c").desc, col("w1"), col("w2"))
       .limit(k)
   }
