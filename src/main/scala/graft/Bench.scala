@@ -123,7 +123,13 @@ object Bench {
         case (name, Right(acc)) if affected(name) =>
           name -> (timeOnce(SparkEntry.queries(name)) match {
             case Right(t) => Right(t :: acc)
-            case _ => Right(acc) // a transient error on re-pass keeps the record
+            case Left(err) =>
+              // a transient error on re-pass keeps the prior samples, but
+              // is surfaced: a query failing EVERY re-pass must not land
+              // in the run of record looking clean
+              System.err.println(s"[bench] re-pass of $name errored " +
+                s"(keeping ${acc.size} prior samples): $err")
+              Right(acc)
           })
         case other => other
       }

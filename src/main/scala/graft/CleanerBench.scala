@@ -73,8 +73,12 @@ object CleanerBench {
       // awaitTermination(timeout) returns false if the stream is STILL
       // RUNNING at the deadline — in that case emitted/kept would count
       // partial output and docs_per_sec would be silently wrong, so the
-      // record must carry the marker
-      q.awaitTermination(600000)
+      // record must carry the marker. Stop the query before the sink is
+      // read so the timed-out counts are at least a consistent snapshot
+      // (not racing in-flight micro-batches).
+      val done = q.awaitTermination(600000)
+      if (!done) q.stop()
+      done
     }
     val emitted = spark.sql("select count(*) from cleaner_bench").head().getLong(0)
     val kept = spark.sql("select count(*) from cleaner_bench where keep").head().getLong(0)

@@ -509,7 +509,7 @@ object Streams {
   }
 
   case class DocPerplexity(doc_id: Long, lang: String, n_tokens: Long,
-      ppl_num: Long, bits_micro: Option[Long], high_perplexity: Boolean)
+      ppl_num: Option[Long], bits_micro: Option[Long], high_perplexity: Boolean)
 
   /** Null-safe whitespace tokens — the ONE stream-side twin of the
     * batch TextOps.tokens; every doc-local gate tokenizes through
@@ -606,8 +606,10 @@ object Streams {
             case None =>
               // off-snapshot language: no LM to score against — flag,
               // don't drop (the unified OOD policy; see scaladoc)
+              // numerator None too (r9): 0L read as "exactly zero bits of
+              // evidence" by consumers aggregating without a null check
               val n = rows.map(_._3).sum
-              Iterator.single(DocPerplexity(docId, lang, n, 0L, None, true))
+              Iterator.single(DocPerplexity(docId, lang, n, None, None, true))
             case Some((vl, nl)) =>
               var n = 0L
               var sclg = BigInt(0)
@@ -617,7 +619,7 @@ object Streams {
               }
               val pplNum = BigInt(n) * Log2Fixed.shifted(nl + vl) - sclg
               val micro = (pplNum * 1000000 / (BigInt(n) * 1048576)).toLong
-              Iterator.single(DocPerplexity(docId, lang, n, pplNum.toLong,
+              Iterator.single(DocPerplexity(docId, lang, n, Some(pplNum.toLong),
                 Some(micro), micro > maxBitsMicro))
           }
       }
@@ -726,7 +728,7 @@ object Streams {
   }
 
   case class DocKnPerplexity(doc_id: Long, lang: String, n_bigrams: Long,
-      n_known: Long, kn_bits_num: Long, bits_micro: Option[Long],
+      n_known: Long, kn_bits_num: Option[Long], bits_micro: Option[Long],
       high_perplexity: Boolean)
 
   /** Write half of the KN-bigram LM lake: persist the per-
@@ -773,19 +775,19 @@ object Streams {
             bits.foreach { b => known += cD; sb += BigInt(cD) * b }
           }
           if (known == 0L)
-            Iterator.single(DocKnPerplexity(docId, lang, n, 0L, 0L, None, true))
+            Iterator.single(DocKnPerplexity(docId, lang, n, 0L, None, None, true))
           else {
             // the batch twin's sign-split integer division, exactly
             val micro = (sb.abs * 1000000 / (BigInt(known) * 1048576)).toLong *
               (if (sb < 0) -1 else 1)
-            Iterator.single(DocKnPerplexity(docId, lang, n, known, sb.toLong,
+            Iterator.single(DocKnPerplexity(docId, lang, n, known, Some(sb.toLong),
               Some(micro), micro > maxBitsMicro))
           }
       }
   }
 
   case class DocDsirWeight(doc_id: Long, lang: String, n_tokens: Long,
-      w_num: Long, w_micro: Option[Long], selected: Boolean)
+      w_num: Option[Long], w_micro: Option[Long], selected: Boolean)
 
   /** Write half of the DSIR importance-weight lake: persist the
     * per-(lang, term) RAW corpus counts and TARGET-slice
@@ -845,7 +847,7 @@ object Streams {
           totals.get(lang) match {
             case None =>
               val n = rows.map(_._3).sum
-              Iterator.single(DocDsirWeight(docId, lang, n, 0L, None, false))
+              Iterator.single(DocDsirWeight(docId, lang, n, None, None, false))
             case Some((vl, nr, nt)) =>
               var n = 0L
               var sdiff = BigInt(0)
@@ -859,14 +861,14 @@ object Streams {
               // the batch twin's sign-split integer division, exactly
               val micro = (wNum.abs * 1000000 / (BigInt(n) * 1048576)).toLong *
                 (if (wNum < 0) -1 else 1)
-              Iterator.single(DocDsirWeight(docId, lang, n, wNum.toLong,
+              Iterator.single(DocDsirWeight(docId, lang, n, Some(wNum.toLong),
                 Some(micro), micro > minMicro))
           }
       }
   }
 
   case class DocKn3Perplexity(doc_id: Long, lang: String, n_trigrams: Long,
-      n_known: Long, kn3_bits_num: Long, bits_micro: Option[Long],
+      n_known: Long, kn3_bits_num: Option[Long], bits_micro: Option[Long],
       high_perplexity: Boolean)
 
   /** Doc-local trigram counts (doc_id, lang, w1, w2, w3, c_d) —
@@ -926,12 +928,12 @@ object Streams {
             bits.foreach { b => known += cD; sb += BigInt(cD) * b }
           }
           if (known == 0L)
-            Iterator.single(DocKn3Perplexity(docId, lang, n, 0L, 0L, None, true))
+            Iterator.single(DocKn3Perplexity(docId, lang, n, 0L, None, None, true))
           else {
             // the batch twin's sign-split integer division, exactly
             val micro = (sb.abs * 1000000 / (BigInt(known) * 1048576)).toLong *
               (if (sb < 0) -1 else 1)
-            Iterator.single(DocKn3Perplexity(docId, lang, n, known, sb.toLong,
+            Iterator.single(DocKn3Perplexity(docId, lang, n, known, Some(sb.toLong),
               Some(micro), micro > maxBitsMicro))
           }
       }

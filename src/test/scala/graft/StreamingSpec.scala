@@ -94,14 +94,16 @@ class StreamingSpec extends SparkSpec {
       .parquet(src.toString + "_late").as[Streams.DocText]
     runToMemory(Streams.docPerplexityStream(lateStream, lake.toString).toDF(), "ppl_late_t")
     val lateRows = spark.sql("select * from ppl_late_t").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(2), r.isNullAt(4), r.getBoolean(5)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.isNullAt(3), r.isNullAt(4),
+        r.getBoolean(5)))).toMap
     assert(lateRows.keySet == Set(900001L, 900002L),
       "every doc gets a verdict row — OOD language included")
-    val (_, nullSc1, flag1) = lateRows(900001L)
-    assert(!nullSc1 && flag1, "an all-OOV doc in a KNOWN language scores and is flagged")
-    val (nTok2, nullSc2, flag2) = lateRows(900002L)
-    assert(nTok2 == 5L && nullSc2 && flag2,
-      "an OOD-language doc is flagged with a null score, never silently passed")
+    val (_, nullNum1, nullSc1, flag1) = lateRows(900001L)
+    assert(!nullNum1 && !nullSc1 && flag1,
+      "an all-OOV doc in a KNOWN language scores and is flagged")
+    val (nTok2, nullNum2, nullSc2, flag2) = lateRows(900002L)
+    assert(nTok2 == 5L && nullNum2 && nullSc2 && flag2,
+      "an OOD-language doc is flagged with null score AND numerator, never silently passed")
   }
 
   test("streaming KN-bigram perplexity gate matches the batch filter on the snapshot corpus") {
@@ -138,11 +140,12 @@ class StreamingSpec extends SparkSpec {
       .parquet(src.toString + "_late").as[Streams.DocText]
     runToMemory(Streams.docKnPerplexityStream(lateStream, lake.toString).toDF(), "kn_late_t")
     val lateRows = spark.sql("select * from kn_late_t").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.isNullAt(5), r.getBoolean(6)))).toMap
-    val (n1, k1, null1, flag1) = lateRows(900101L)
-    assert(n1 == 2L && k1 == 0L && null1 && flag1,
-      "an all-OOV doc carries no score and is flagged")
-    val (n2, k2, null2, _) = lateRows(900102L)
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.isNullAt(4),
+        r.isNullAt(5), r.getBoolean(6)))).toMap
+    val (n1, k1, nullNum1, null1, flag1) = lateRows(900101L)
+    assert(n1 == 2L && k1 == 0L && nullNum1 && null1 && flag1,
+      "an all-OOV doc carries no score (null numerator too) and is flagged")
+    val (n2, k2, _, null2, _) = lateRows(900102L)
     assert(n2 == 49L, "every bigram occurrence is accounted")
     assert(null2 == (k2 == 0L), "a score exists iff some bigram is known")
   }
@@ -182,12 +185,13 @@ class StreamingSpec extends SparkSpec {
       .parquet(src.toString + "_late").as[Streams.DocText]
     runToMemory(Streams.docKn3PerplexityStream(lateStream, lake.toString).toDF(), "kn3_late_t")
     val lateRows = spark.sql("select * from kn3_late_t").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.isNullAt(5), r.getBoolean(6)))).toMap
-    val (n1, k1, null1, flag1) = lateRows(900201L)
-    assert(n1 == 2L && k1 == 0L && null1 && flag1,
-      "an all-OOV doc carries no score and is flagged")
-    val (n2, k2, null2, flag2) = lateRows(900202L)
-    assert(n2 == 3L && k2 == 0L && null2 && flag2,
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.isNullAt(4),
+        r.isNullAt(5), r.getBoolean(6)))).toMap
+    val (n1, k1, nullNum1, null1, flag1) = lateRows(900201L)
+    assert(n1 == 2L && k1 == 0L && nullNum1 && null1 && flag1,
+      "an all-OOV doc carries no score (null numerator too) and is flagged")
+    val (n2, k2, nullNum2, null2, flag2) = lateRows(900202L)
+    assert(n2 == 3L && k2 == 0L && nullNum2 && null2 && flag2,
       "an OOD-language doc is flagged with a null score, never skipped or passed")
   }
 
@@ -222,7 +226,8 @@ class StreamingSpec extends SparkSpec {
       .parquet(src.toString + "_late").as[Streams.DocText]
     runToMemory(Streams.docDsirStream(lateStream, lake.toString).toDF(), "dsir_late_t")
     val lateRows = spark.sql("select * from dsir_late_t").collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
         r.isNullAt(4), r.getBoolean(5)))).toMap
     val (_, n1, w1, null1, sel1) = {
       val v = lateRows(910301L); (v._1, v._2, v._3, v._4, v._5)
@@ -230,13 +235,15 @@ class StreamingSpec extends SparkSpec {
     // all-OOV doc in a known language: every term contributes 0, so
     // w_num is exactly the n·(lg(N_R+V) − lg(N_T+V)) correction — a
     // real (positive) score, and the doc is selectable
-    assert(n1 == 3L && !null1 && w1 > 0L && sel1,
+    assert(n1 == 3L && !null1 && w1.exists(_ > 0L) && sel1,
       "an all-OOV doc in a known language scores on the totals correction alone")
     val (_, n2, w2, null2, sel2) = {
       val v = lateRows(910302L); (v._1, v._2, v._3, v._4, v._5)
     }
-    assert(n2 == 3L && w2 == 0L && null2 && !sel2,
-      "an OOD-language doc is emitted unselected with a null weight, never dropped")
+    // r9: the numerator is null for OOD too — 0L would read as "exactly
+    // zero bits of evidence" to a consumer aggregating w_num unchecked
+    assert(n2 == 3L && w2.isEmpty && null2 && !sel2,
+      "an OOD-language doc is emitted unselected with null weight AND numerator, never dropped")
   }
 
   test("streaming quality gate: one-pass three-signal verdicts reconcile with the batch funnel") {

@@ -84,16 +84,31 @@ def main():
             continue
         (sa, ta), (sb, tb) = pts[-2], pts[-1]
         e_last = math.log(tb / ta) / math.log(sb / sa)
+        # record WHICH decade e_last was taken over: if the query is
+        # missing from the sf1 detail the "last decade" silently shifts
+        # to an earlier, floor-biased one — make that visible, and flag
+        # any row whose last point is not the largest configured SF
+        labels_present = [label for label, _, sf in SFS
+                          if q in times[label]]
+        e_last_pair = f"{labels_present[-2]}->{labels_present[-1]}"
+        truncated = labels_present[-1] != SFS[-1][0]
         xs = [math.log(s) for s, _ in pts]
         ys = [math.log(t) for _, t in pts]
         n = len(xs)
         mx, my = sum(xs) / n, sum(ys) / n
         e_fit = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
                  / sum((x - mx) ** 2 for x in xs))
-        rows.append({"query": q, "e_last": round(e_last, 2),
-                     "e_fit": round(e_fit, 2),
-                     "times": {label: times[label].get(q)
-                               for label, _, _ in SFS}})
+        row = {"query": q, "e_last": round(e_last, 2),
+               "e_last_pair": e_last_pair,
+               "e_fit": round(e_fit, 2),
+               "times": {label: times[label].get(q)
+                         for label, _, _ in SFS}}
+        if truncated:
+            row["e_last_truncated"] = True
+            print(f"[scale] WARNING: {q} missing from {SFS[-1][0]} — "
+                  f"e_last taken over {e_last_pair} (floor-biased)",
+                  flush=True)
+        rows.append(row)
     rows.sort(key=lambda r: -r["e_last"])
     with open(out_json, "w") as f:
         json.dump({"sfs": [s for s, _, _ in SFS], "rows": rows}, f, indent=1)
