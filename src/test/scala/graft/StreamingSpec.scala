@@ -361,6 +361,75 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_._1).toSet == expected, "no doc dropped across the restart")
   }
 
+  test("streaming DSIR gate: exactly-once and batch parity across a checkpointed restart") {
+    val lake = Files.createTempDirectory("dr_dsir_lake")
+    Streams.dsirLmWrite(spark, sf0001, lake.toString)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("dr_src")
+    val out = Files.createTempDirectory("dr_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("dr_ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(src.toString + "/*")
+        .as[Streams.DocText]
+      val q = Streams.docDsirStream(stream, lake.toString)
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src.toString + "/a")
+    runOnce() // first incarnation: only the even docs exist
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src.toString + "/b")
+    runOnce() // restart from the checkpoint: must process ONLY the b files
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    val batch = graft.operators.TextAnalysis.txtDsirWeights(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(spark.read.parquet(out).count() == streamed.size,
+      "no doc weighted twice across the restart")
+    assert(streamed == batch,
+      "weights across the two incarnations equal the batch operator row for row")
+  }
+
+  test("streaming KN-trigram gate: exactly-once and batch parity across a checkpointed restart") {
+    val lake = Files.createTempDirectory("k3r_lake")
+    Streams.kn3LmWrite(spark, sf0001, lake.toString)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("k3r_src")
+    val out = Files.createTempDirectory("k3r_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("k3r_ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(src.toString + "/*")
+        .as[Streams.DocText]
+      val q = Streams.docKn3PerplexityStream(stream, lake.toString)
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src.toString + "/a")
+    runOnce() // first incarnation: only the even docs exist
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src.toString + "/b")
+    runOnce() // restart from the checkpoint: must process ONLY the b files
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // batch twin has no n_known column: on the snapshot corpus every
+    // trigram is known, so n_known == n_trigrams (same mapping as the
+    // single-incarnation parity spec)
+    val batch = graft.operators.TextAnalysis.txtDocKn3Perplexity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(spark.read.parquet(out).count() == streamed.size,
+      "no doc scored twice across the restart")
+    assert(streamed == batch,
+      "scores across the two incarnations equal the batch operator row for row")
+  }
+
   test("streaming ODNS ingest matches the batch reader") {
     val dir = Files.createTempDirectory("stream_odns")
     OdnsFixtures.writeArchive(dir, "tcp_scan_2026-08-01.csv.gz",
