@@ -68,7 +68,12 @@ object SparkEntry {
     "dd_simhash" -> (Dedup.ddSimhash _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ddNgramJaccard(s, d)),
     "dd_embed_cos" -> ((s: SparkSession, d: String) => Dedup.ddEmbedCos(s, d)),
-    "dd_components" -> (Dedup.ddComponents _),
+    "dd_components" -> ((s: SparkSession, d: String) => Dedup.ddComponents(s, d)),
+    // the dup-density guard config: hot shingles (df > 20) stop-listed
+    // before the pair self-join — the input-side bound for the sf1
+    // Σdf² blowup; cap replicated exactly in the oracle
+    "dd_components_capped" ->
+      ((s: SparkSession, d: String) => Dedup.ddComponents(s, d, shingleDfCap = Some(20))),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
@@ -1027,6 +1032,37 @@ object SparkEntry {
         |inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
         | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |),
+        |edges AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach AS (
+        | SELECT a AS n, a AS m FROM edges
+        | UNION
+        | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+        |)
+        |SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the capped components config: shingles with df > 20 are dropped
+    // on BOTH sides before the pair join (doc sizes stay PRE-cap, as in
+    // the engine) — the cap is replicated exactly, so this row is a
+    // strict oracle on the guarded input path itself
+    "dd_components_capped" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 20),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
+        |),
+        |inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |),
         |pairs AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db

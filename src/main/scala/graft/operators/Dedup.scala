@@ -387,8 +387,17 @@ object Dedup {
     spark.conf.getOption("spark.graft.components.driverEdgeLimit")
       .map(_.toLong).getOrElse(DriverEdgeLimitDefault)
 
-  def ddComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+  /** `shingleDfCap` is the 100 TB dup-density guard for the COMPONENTS
+    * input (r9): the sf1 audit measured the uncapped pair input growing
+    * 128× across one decade on a dup-dense corpus (Σdf(df−1)/2 — a data
+    * property, not a plan property). Capping shingle df stop-lists the
+    * hot shingles BEFORE the self-join, bounding the join fan-out; the
+    * capped config is itself oracle-gated (`dd_components_capped`) with
+    * the cap replicated exactly in the oracle SQL. */
+  def ddComponents(spark: SparkSession, dir: String,
+      shingleDfCap: Option[Int] = None): DataFrame = {
+    val pairs = jaccardPairs(spark, dir, shingleDfCap)
+      .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     if (pairs.count() <= driverEdgeLimit(spark)) return componentsUnionFind(spark, pairs)
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))

@@ -91,6 +91,33 @@ class DedupSpec extends SparkSpec {
       "dropping stop-shingles can only lower jaccard => pair set shrinks")
   }
 
+  test("components df-cap above the observed max is result-invariant; a tight cap only splits") {
+    import org.apache.spark.sql.functions._
+    val maxDf = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextOps.shingleArray("text"))).as("s"))
+      .groupBy(col("s")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0).toInt
+    val uncapped = Dedup.ddComponents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val capped = Dedup.ddComponents(spark, sf0001, shingleDfCap = Some(maxDf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == uncapped.toSeq, "non-binding cap must be row-identical")
+    // a binding cap can only remove edges: the node set shrinks or holds,
+    // and two docs in one capped component were connected uncapped too
+    val tight = Dedup.ddComponents(spark, sf0001, shingleDfCap = Some(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(tight.map(_._1).toSet.subsetOf(uncapped.map(_._1).toSet),
+      "capping cannot connect docs the uncapped graph did not")
+    val uncompOf = uncapped.toMap
+    val byTightComp = tight.groupBy(_._2).values
+    byTightComp.foreach { members =>
+      val uncapLabels = members.map(m => uncompOf(m._1)).toSet
+      assert(uncapLabels.size == 1,
+        "docs in one capped component must share an uncapped component")
+    }
+  }
+
   test("distributed min-label propagation is row-identical to driver union-find") {
     // The gated corpora never exceed the 2M-pair driver limit, so the
     // distributed branch (the one a 100 TB pair graph takes) would
