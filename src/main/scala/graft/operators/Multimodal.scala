@@ -15,15 +15,45 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Media payloads read from FILES via Spark's `binaryFile` source —
+    * the honest 100 TB media deployment shape (a real corpus is a lake
+    * of encoded files, not a synthesized column). Emits the same
+    * `(doc_id, payload)` interface the synthesized payload table
+    * exposes, so every mm_* operator runs unchanged on top of it:
+    * doc_id is parsed from the `<id>.bin` filename, payload is the raw
+    * file content. binaryFile is a proper FileFormat — distributed
+    * scan, partition pruning by path, no driver-side file listing
+    * beyond the usual InMemoryFileIndex — so the seam scales like any
+    * parquet read. */
+  def payloadsFromBinaryFiles(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(glob)
+      .select(
+        expr("cast(regexp_extract(reverse(split(path, '/'))[0], " +
+          "'^([0-9]+)\\\\.bin$', 1) as bigint)").as("doc_id"),
+        col("content").as("payload"))
+
+  /** The synthesized payload table: the documents table standing in
+    * for a media lake (text bytes as the encoded payload). Same
+    * interface as [[payloadsFromBinaryFiles]]. */
+  def payloadTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
   /** Binary payload + metadata projection, oracle-checked: byte length,
     * content digest, and a hex preview of the leading bytes. */
   def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("payload", col("text").cast("binary"))
-      .select(
+    mmBinaryMetaOf(payloadTable(spark, dir))
+
+  /** [[mmBinaryMeta]] over ANY (doc_id, payload) table — the seam that
+    * lets the binaryFile-sourced lake and the synthesized table run
+    * the identical plan (spec-proven equal row for row). */
+  def mmBinaryMetaOf(payloads: DataFrame): DataFrame =
+    payloads.select(
         col("doc_id"),
         expr("cast(octet_length(payload) as bigint)").as("n_bytes"),
-        md5(col("text")).as("payload_md5"),
+        md5(col("payload")).as("payload_md5"),
         expr("substring(hex(payload), 1, 16)").as("head_hex"))
       .orderBy(col("doc_id"))
 

@@ -14,6 +14,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("binaryFile-sourced payload lake yields row-identical mm output to the synthesized table") {
+    // the honest 100 TB media shape: payloads as FILES on the lake,
+    // read via Spark's binaryFile source behind the same
+    // (doc_id, payload) interface as the synthesized table
+    val dir = java.nio.file.Files.createTempDirectory("mm_lake")
+    Multimodal.payloadTable(spark, sf0001).collect().foreach { r =>
+      java.nio.file.Files.write(
+        dir.resolve(s"${r.getLong(0)}.bin"), r.getAs[Array[Byte]](1))
+    }
+    val fromFiles = Multimodal.mmBinaryMetaOf(
+      Multimodal.payloadsFromBinaryFiles(spark, dir.toString)).collect()
+    val fromTable = Multimodal.mmBinaryMeta(spark, sf0001).collect()
+    assert(fromFiles.length == 500)
+    assert(fromFiles.map(_.toString).toSeq == fromTable.map(_.toString).toSeq,
+      "the binaryFile seam must not change a single byte of any mm_* result")
+  }
+
   test("decode stub is deterministic and distributed (no driver collect)") {
     val a = Multimodal.mmDecodeStub(spark, sf0001).collect()
     val b = Multimodal.mmDecodeStub(spark, sf0001).collect()
