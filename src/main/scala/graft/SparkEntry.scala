@@ -74,6 +74,9 @@ object SparkEntry {
     // Σdf² blowup; cap replicated exactly in the oracle
     "dd_components_capped" ->
       ((s: SparkSession, d: String) => Dedup.ddComponents(s, d, shingleDfCap = Some(20))),
+    "dd_edit_distance" -> (Dedup.ddEditDistance _),
+    "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
+    "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
@@ -1075,6 +1078,91 @@ object SparkEntry {
         | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
         |)
         |SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // edit-distance verify tier: levenshtein over the SAME jaccard-
+    // gated candidate pair set (both engines' levenshtein is the
+    // classic unit-cost edit distance — exact integers)
+    "dd_edit_distance" ->
+      """WITH toks AS (
+        | SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |)
+        |SELECT da AS doc_a, db AS doc_b,
+        | cast(length(ta.text) as bigint) AS len_a,
+        | cast(length(tb.text) as bigint) AS len_b,
+        | cast(levenshtein(ta.text, tb.text) as bigint) AS dist,
+        | cast(levenshtein(ta.text, tb.text) as bigint) * 1000000
+        |   // greatest(length(ta.text), length(tb.text)) AS dist_micro
+        |FROM pairs JOIN toks ta ON ta.doc_id = da JOIN toks tb ON tb.doc_id = db
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // leakage-free split: the cluster hash uses the same 40-bit md5
+    // device as pipe_split, applied to the component label
+    "pipe_cluster_split" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |),
+        |edges AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach AS (
+        | SELECT a AS n, a AS m FROM edges
+        | UNION
+        | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+        |),
+        |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1),
+        |cl AS (
+        | SELECT d.doc_id, d.lang, coalesce(c.component, d.doc_id) AS cluster
+        | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |), u AS (
+        | SELECT doc_id, lang, cluster,
+        |  list_sum(list_transform(range(1, 11), i ->
+        |   cast((strpos('0123456789abcdef',
+        |     substring(md5(cast(cluster as varchar)), i, 1)) - 1) as bigint)
+        |   * (cast(1 as bigint) << ((10 - i) * 4)))) AS uval
+        | FROM cl
+        |)
+        |SELECT doc_id, lang, cluster,
+        | CASE WHEN (uval * 100) // 1099511627776 < 90 THEN 'train'
+        |      WHEN (uval * 100) // 1099511627776 < 95 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
+    // hard negatives: cross-label top-k by cosine, same arithmetic as
+    // sim_topk_bruteforce with the label filter added
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id qid, label qlabel, embedding qe FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        | SELECT q.qid, e.vec_id, e.label,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM q CROSS JOIN embeddings e WHERE e.label <> q.qlabel
+        |), r AS (
+        | SELECT qid query_id, vec_id, label, cosim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM s
+        |)
+        |SELECT query_id, cast(rnk as bigint) AS rank, vec_id,
+        | cast(label as bigint) AS neg_label, round(cosim, 6) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
     "txt_top_terms" ->
       """WITH tok AS (
         | SELECT lang, doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term FROM documents

@@ -555,6 +555,33 @@ object CorpusPipeline {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
 
+  /** LEAKAGE-FREE train/val/test split: the cluster-aware upgrade of
+    * [[pipeSplit]] — near-duplicate documents must land in the SAME
+    * split, or evaluation leaks training data through paraphrases the
+    * doc-keyed split cannot see (the GPT-3 appendix-C failure mode).
+    * Every doc is assigned its near-dup component label
+    * ([[Dedup.ddComponents]] — min doc_id of the ≥0.2-Jaccard chain;
+    * docs in no pair are their own singleton cluster), and the
+    * md5-bucket split hashes the CLUSTER, so a whole family moves
+    * together and a singleton's assignment is bit-identical to
+    * [[pipeSplit]] (same hash base: cluster = doc_id). Growth-stable
+    * like the parent: adding docs never moves an existing cluster.
+    * Scale: the components input is edges ≪ docs behind the LSH/df-cap
+    * guards; the doc-side join is an id-keyed left join against that
+    * slim label table; the hash is map-side. */
+  def pipeClusterSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(Dedup.ddComponents(spark, dir), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket", expr(
+        "(cast(conv(substring(md5(cast(cluster as string)), 1, 10), 16, 10) as bigint) * 100) div 1099511627776"))
+      .select(col("doc_id"), col("lang"), col("cluster"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
   /** Length-bucketed batching accounting: docs grouped into
     * 32-token-multiple buckets (the pad-to-bucket batching strategy
     * that replaces pad-to-max), with the padding waste each bucket

@@ -451,6 +451,35 @@ object Dedup {
     out.toDF("doc_id", "component").orderBy(col("doc_id"))
   }
 
+  /** Character-level edit-distance VERIFY tier over the near-dup
+    * candidate pairs — the last rung of the dedup verification ladder
+    * (LSH candidates → signature-Jaccard estimate → exact n-gram
+    * Jaccard → CHARACTER edit distance): per candidate pair, the
+    * Levenshtein distance between the two full texts plus the
+    * normalized micro-ratio dist·10⁶ div max(len) a near-identical
+    * policy would threshold on. Levenshtein is O(len²) per pair, so it
+    * is only ever run on the CANDIDATE set (jaccard ≥ 0.2 pairs — the
+    * same guarded input as components; never all pairs): at 100 TB the
+    * pair set is edges ≪ docs by the LSH/df-cap guards, the pair list
+    * broadcasts, and the text table is read map-side for side A; the
+    * side-B join moves only candidate-matched rows of the slim
+    * (id, text) projection. */
+  def ddEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val texts = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    texts.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      .join(broadcast(pairs), Seq("doc_a"))
+      .hint("shuffle_hash")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        length(col("text_a")).cast("long").as("len_a"),
+        length(col("text_b")).cast("long").as("len_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("dist"))
+      .withColumn("dist_micro", expr("dist * 1000000 div greatest(len_a, len_b)"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Decontamination: flag training documents that share any word
     * 5-gram with the held-out benchmark slice (source = 'src0') — the
     * eval-leakage scrub every pretraining pipeline runs before

@@ -313,6 +313,34 @@ object Similarity {
       .orderBy(col("src_id"), col("rank"))
   }
 
+  /** Contrastive HARD-NEGATIVE mining: per query, the top-k most
+    * cosine-similar vectors with a DIFFERENT label — the negatives a
+    * contrastive/embedding trainer wants (maximally confusable, not
+    * random). Same plan shape as [[simTopkBruteforce]] (tiny query set
+    * broadcast, map-side scoring, bounded-heap TopKPerGroup before the
+    * |Q|·k exchange) with the cross-label constraint as a map-side
+    * filter; at scale the exact config swaps for the IVF-probed
+    * variant exactly as ANN serving does — the label filter commutes
+    * with cell pruning. */
+  def simHardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("qid"), Seq("cosim" -> true, "vec_id" -> false), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
+        col("label").cast("long").as("neg_label"),
+        round(col("cosim"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN quality report: recall@10 of the IVF index versus the
     * brute-force exact top-k, per query — the accuracy/cost readout
     * every index deployment publishes. Both sides are deterministic
