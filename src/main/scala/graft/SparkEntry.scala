@@ -77,6 +77,9 @@ object SparkEntry {
     "dd_edit_distance" -> (Dedup.ddEditDistance _),
     "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
+    "sim_hard_negatives_ivf" -> ((s: SparkSession, d: String) => Similarity.simHardNegativesIvf(s, d)),
+    "pipe_source_drift" -> ((s: SparkSession, d: String) => TextAnalysis.pipeSourceDrift(s, d)),
+    "q160_kruskal_wallis" -> (Analytics.q160KruskalWallis _),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
@@ -1163,6 +1166,111 @@ object SparkEntry {
         |SELECT query_id, cast(rnk as bigint) AS rank, vec_id,
         | cast(label as bigint) AS neg_label, round(cosim, 6) AS score
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    // IVF-probed hard negatives: top-2 FOREIGN cells per query (cells
+    // are label blocks, so cross-label commutes with cell pruning)
+    "sim_hard_negatives_ivf" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (
+        | SELECT label, list(c ORDER BY i) cv FROM cent GROUP BY 1
+        |), q AS (SELECT vec_id qid, label qlabel, embedding qe FROM embeddings WHERE vec_id < 5),
+        |cellscore AS (
+        | SELECT q.qid, cv.label,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cv.cv[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cv.cv[i] * cv.cv[i])))) cs
+        | FROM q CROSS JOIN centv cv WHERE cv.label <> q.qlabel
+        |), cells AS (
+        | SELECT qid, label FROM (
+        |  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, label) rn FROM cellscore
+        | ) WHERE rn <= 2
+        |), s AS (
+        | SELECT q.qid, e.vec_id, e.label,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM q JOIN cells ON cells.qid = q.qid JOIN embeddings e ON e.label = cells.label
+        |), r AS (
+        | SELECT qid query_id, vec_id, label, cosim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM s
+        |)
+        |SELECT query_id, cast(rnk as bigint) AS rank, vec_id,
+        | cast(label as bigint) AS neg_label, round(cosim, 6) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    // PSI drift per source vs the corpus reference over 32-token
+    // length buckets; add-one smoothing, shared fixed-point lg device
+    "pipe_source_drift" ->
+      ("""WITH RECURSIVE tk AS (
+        | SELECT source, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), d AS (
+        | SELECT source, cast(((len(t) - 1) // 32 + 1) * 32 as bigint) bucket
+        | FROM tk WHERE len(t) > 0
+        |), cell AS (SELECT source, bucket, cast(count(*) as bigint) c FROM d GROUP BY 1, 2),
+        |ref AS (SELECT bucket, cast(sum(c) as bigint) r FROM cell GROUP BY 1),
+        |stot AS (SELECT source, cast(sum(c) as bigint) n_s FROM cell GROUP BY 1),
+        |gtot AS (SELECT cast(sum(r) as bigint) n_tot, cast(count(*) as bigint) b_buckets FROM ref),
+        |grid AS (
+        | SELECT s.source, s.n_s, rf.bucket, rf.r, coalesce(cl.c, 0) c, g.n_tot, g.b_buckets
+        | FROM stot s CROSS JOIN ref rf
+        | LEFT JOIN cell cl ON cl.source = s.source AND cl.bucket = rf.bucket
+        | CROSS JOIN gtot g
+        |), args AS (
+        | SELECT *,
+        |  greatest(0, length(bin(c + 1)) - 43) s_c,
+        |  (c + 1) // (cast(1 as bigint) << greatest(0, length(bin(c + 1)) - 43)) x_c,
+        |  greatest(0, length(bin(r + 1)) - 43) s_r,
+        |  (r + 1) // (cast(1 as bigint) << greatest(0, length(bin(r + 1)) - 43)) x_r,
+        |  greatest(0, length(bin(n_s + b_buckets)) - 43) s_s,
+        |  (n_s + b_buckets) // (cast(1 as bigint) << greatest(0, length(bin(n_s + b_buckets)) - 43)) x_s,
+        |  greatest(0, length(bin(n_tot + b_buckets)) - 43) s_t,
+        |  (n_tot + b_buckets) // (cast(1 as bigint) << greatest(0, length(bin(n_tot + b_buckets)) - 43)) x_t
+        | FROM grid
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT x_c AS x FROM args UNION ALL SELECT x_r FROM args
+        |  UNION ALL SELECT x_s FROM args UNION ALL SELECT x_t FROM args)
+        |), """ + LgCte + """, terms AS (
+        | SELECT a.source, a.n_s, a.n_tot, a.b_buckets,
+        |  (cast(a.c + 1 as hugeint) * (a.n_tot + a.b_buckets)
+        |   - cast(a.r + 1 as hugeint) * (a.n_s + a.b_buckets)) diff,
+        |  ((lc.lg + a.s_c * 1048576) + (lt.lg + a.s_t * 1048576)
+        |   - (lr.lg + a.s_r * 1048576) - (ls.lg + a.s_s * 1048576)) lgdiff
+        | FROM args a JOIN lg lc ON lc.x = a.x_c JOIN lg lr ON lr.x = a.x_r
+        |  JOIN lg ls ON ls.x = a.x_s JOIN lg lt ON lt.x = a.x_t
+        |), agg AS (
+        | SELECT source, n_s, n_tot, b_buckets, sum(diff * lgdiff) num
+        | FROM terms GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT source, n_s, n_tot, b_buckets, cast(num as varchar) AS psi_num,
+        | cast((CASE WHEN num < 0 THEN -1 ELSE 1 END) * (abs(num) * 1000000
+        |   // (cast(n_s + b_buckets as hugeint) * (n_tot + b_buckets) * 1048576)) as bigint) AS psi_micro
+        |FROM agg ORDER BY source""").stripMargin,
+    // Kruskal-Wallis: doubled midrank sums keep tied .5 ranks integral
+    "q160_kruskal_wallis" ->
+      """WITH v AS (
+        | SELECT cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents, o_orderpriority
+        | FROM orders
+        |), d AS (SELECT cents, o_orderpriority, cast(count(*) as bigint) a FROM v GROUP BY 1, 2),
+        |t AS (SELECT cents, cast(sum(a) as bigint) all_n FROM d GROUP BY 1),
+        |c AS (
+        | SELECT cents, all_n, cast(coalesce(sum(all_n) OVER (ORDER BY cents
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) c_lt
+        | FROM t
+        |),
+        |ties AS (
+        | SELECT cast(sum(all_n) as bigint) n_total,
+        |  sum(cast(all_n as hugeint) * all_n * all_n - all_n) tie_sum
+        | FROM t
+        |),
+        |g AS (
+        | SELECT d.o_orderpriority, cast(sum(d.a) as bigint) n_g,
+        |  sum(cast(d.a as hugeint) * (2 * c.c_lt + c.all_n + 1)) rs2
+        | FROM d JOIN c ON d.cents = c.cents GROUP BY 1
+        |)
+        |SELECT g.o_orderpriority, n_g, cast(rs2 as varchar) AS rank_sum2,
+        | n_total, cast(tie_sum as varchar) AS tie_sum
+        |FROM g CROSS JOIN ties ORDER BY 1""".stripMargin,
     "txt_top_terms" ->
       """WITH tok AS (
         | SELECT lang, doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term FROM documents

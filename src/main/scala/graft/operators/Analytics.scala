@@ -3696,4 +3696,39 @@ object Analytics {
       .orderBy($"dow")
   }
 
+  /** Kruskal–Wallis rank inputs over k = 5 priority groups — the
+    * k-sample generalization closing the non-parametric family
+    * (Mann–Whitney k=2 → Friedman blocked → THIS unblocked k-group):
+    * per group, n_g and the DOUBLED midrank sum 2·R_g = Σ_v a_g(v) ·
+    * (2·c_lt(v) + t_v + 1) — doubling keeps tied midranks (x.5)
+    * integral, so the whole table is exact (H and the tie correction
+    * 1 − Σ(t³−t)/(N³−N) are one float step downstream; tie_sum rides
+    * along). Ranks come from the distributed two-phase prefix sum over
+    * the DISTINCT value table (never a serial whole-corpus window);
+    * the per-(value, group) counts collapse map-side first, so at
+    * 100 TB the exchange carries |distinct cents| rows, not orders.
+    * Invariant Σ_g 2·R_g = N(N+1) is pinned in the spec. */
+  def q160KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(spark, dir)
+      .select(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"),
+        $"o_orderpriority")
+      .groupBy($"cents", $"o_orderpriority").agg(count(lit(1)).as("a"))
+    val t = d.groupBy($"cents").agg(sum($"a").as("all_n")).withColumn("k", lit(1))
+    val cum = CorpusPipeline.prefixSumExclusive(t, "k", Seq($"cents"), "all_n",
+      "c_lt", CorpusPipeline.equiWidthBucket(t, "cents"))
+    val ties = cum.groupBy()
+      .agg(sum($"all_n").as("n_total"),
+        sum(expr("cast(all_n as decimal(38,0)) * all_n * all_n - all_n")).as("tie_sum"))
+    d.join(cum.select($"cents", $"all_n", $"c_lt"), Seq("cents"))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"a").as("n_g"),
+        sum(expr("cast(a as decimal(38,0)) * (2 * c_lt + all_n + 1)")).as("rs2"))
+      .crossJoin(broadcast(ties))
+      // rank-sum and tie-sum are N²/N³-class → exact-decimal STRING path
+      .select($"o_orderpriority", $"n_g",
+        $"rs2".cast("string").as("rank_sum2"),
+        $"n_total", $"tie_sum".cast("string").as("tie_sum"))
+      .orderBy($"o_orderpriority")
+  }
+
 }

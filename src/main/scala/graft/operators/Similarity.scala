@@ -341,6 +341,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The IVF-probed SCALE PATH of [[simHardNegatives]]: hard negatives
+    * served the way ANN serving would — each query probes its top-2
+    * FOREIGN cells (centroid cosine over cells with label ≠ the
+    * query's; the cross-label constraint commutes with cell pruning
+    * because cells here are label blocks) and scans only those, so the
+    * per-query work is |probed cells|/|cells| of the corpus instead of
+    * the brute-force full scan. Same exact-decimal centroids and
+    * bounded-heap top-k as [[simIvfAnn]]; recall vs the exact config
+    * is measured in the spec. */
+  def simHardNegativesIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val c = corpus(spark, dir)
+    val cent = c
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val cellScores = broadcast(q)
+      .crossJoin(broadcast(cent))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cs", VectorOps.dotHof("qe", "cv") / (col("qnrm") * VectorOps.norm2Hof("cv")))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("label"))
+    val cells = cellScores
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("label"), col("qe"), col("qnrm"))
+    val scored = cells
+      .join(c, Seq("label"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("qid"), Seq("cosim" -> true, "vec_id" -> false), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
+        col("label").cast("long").as("neg_label"),
+        round(col("cosim"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN quality report: recall@10 of the IVF index versus the
     * brute-force exact top-k, per query — the accuracy/cost readout
     * every index deployment publishes. Both sides are deterministic

@@ -1169,6 +1169,55 @@ object TextAnalysis {
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
+  /** Population-Stability-Index drift monitor per source — the
+    * standard "did this source's shape move?" readout a continuously-
+    * fed corpus pipeline alarms on: PSI(source ‖ corpus) =
+    * Σ_b (p_b − q_b)·lg(p_b/q_b) over 32-token length buckets (the
+    * pipe_length_buckets geometry), p = the source's distribution,
+    * q = the corpus-wide reference, add-one smoothing over the global
+    * bucket set so no cell is empty. All-integer fixed-point: with
+    * D_s = N_s+B and D = N+B the per-bucket term is
+    * [(c+1)·D − (r+1)·D_s] · [lg(c+1)+lg(D)−lg(r+1)−lg(D_s)] over the
+    * common denominator D_s·D — every factor exact, lg on the shared
+    * [[lgShift]] device, so both engines sum identical integers (the
+    * per-bucket product is ≥ 0 mathematically, making the sum
+    * monotone-meaningful). PSI is in BITS (lg, not ln — the engine's
+    * convention across the information-theoretic tier). Scale: the
+    * bucket table is ≤ a few dozen rows regardless of corpus size, so
+    * past the first map-side count aggregate everything broadcasts;
+    * psi_num is corpus²·lg-class → exact-decimal STRING output. */
+  def pipeSourceDrift(spark: SparkSession, dir: String, step: Int = 32): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), TextOps.tokens("text").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("source"),
+        expr(s"cast(((size(t) - 1) div $step + 1) * $step as bigint)").as("bucket"))
+    val cell = d.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+    val ref = cell.groupBy(col("bucket")).agg(sum(col("c")).as("r"))
+    val srcTot = cell.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val glob = ref.agg(sum(col("r")).as("n_tot"), count(lit(1)).as("b_buckets"))
+    srcTot.crossJoin(broadcast(ref))
+      .join(cell, Seq("source", "bucket"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(glob))
+      .withColumn("diff", expr(
+        "cast(c + 1 as decimal(38,0)) * (n_tot + b_buckets)" +
+          " - cast(r + 1 as decimal(38,0)) * (n_s + b_buckets)"))
+      .withColumn("lgdiff", expr(
+        s"${lgShift("c + 1")} + ${lgShift("n_tot + b_buckets")}" +
+          s" - ${lgShift("r + 1")} - ${lgShift("n_s + b_buckets")}"))
+      .groupBy(col("source"), col("n_s"), col("n_tot"), col("b_buckets"))
+      .agg(sum(expr("diff * lgdiff")).as("_num"))
+      .select(col("source"), col("n_s"), col("n_tot"), col("b_buckets"),
+        expr("cast(_num as string)").as("psi_num"),
+        // sign-split micro division (lg rounding can leave a tiny
+        // negative where the exact sum is ~0): engine-equal truncation
+        expr("cast((CASE WHEN _num < 0 THEN -1 ELSE 1 END)" +
+          " * (abs(_num) * 1000000 div (cast(n_s + b_buckets as decimal(38,0))" +
+          " * (n_tot + b_buckets) * 1048576)) as bigint)").as("psi_micro"))
+      .orderBy(col("source"))
+  }
+
   /** Shift-extended fixed-point log2 as a SQL fragment: for arguments
     * that can pass log2_fixed's 2⁴³ domain (the JS mixture numerator
     * S_w = (c_a+1)·D_b + (c_b+1)·D_a is corpus×corpus), compute

@@ -102,4 +102,90 @@ class Round9OpsSpec extends SparkSpec {
       .filter(_.getLong(1) == 1L)
       .foreach { r => assert(r.getDouble(4) <= best(r.getLong(0)) + 1e-9) }
   }
+
+  test("sim_hard_negatives_ivf: cross-label, candidates within probed cells, recall measured") {
+    val exact = operators.Similarity.simHardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = operators.Similarity.simHardNegativesIvf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val labelOf = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    ivf.foreach { case (q, v, negLabel) =>
+      assert(labelOf(v) == negLabel && negLabel != labelOf(q),
+        "IVF hard negatives must stay cross-label")
+    }
+    // probing ≤2 of 9 foreign cells: recall vs exact is measured, must
+    // be non-trivial (the fixture's clusters align with labels)
+    val hits = ivf.map { case (q, v, _) => if (exact(q)(v)) 1 else 0 }.sum
+    val recall = hits.toDouble / ivf.length
+    assert(recall >= 0.2, s"IVF hard-negative recall collapsed: $recall")
+    assert(ivf.groupBy(_._1).values.forall(_.length == 5), "5 rows per query")
+  }
+
+  test("pipe_source_drift: PSI recomputes from counts; identical sources drift to ~zero") {
+    import org.apache.spark.sql.graft.Log2Fixed
+    val rows = operators.TextAnalysis.pipeSourceDrift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver recompute: rebuild the bucket grid and the fixed-point sum
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), size(graft.functions.TextOps.tokens("text")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).filter(_._2 > 0)
+      .map { case (s, n) => (s, (((n - 1) / 32) + 1).toLong * 32) }
+    val buckets = docs.map(_._2).distinct.sorted
+    val nTot = docs.length.toLong
+    val b = buckets.length.toLong
+    val refC = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val nS = r.getLong(1)
+      assert(r.getLong(2) == nTot && r.getLong(3) == b)
+      val cC = docs.filter(_._1 == src).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      assert(cC.values.sum == nS)
+      val num = buckets.map { bk =>
+        val c = cC.getOrElse(bk, 0L); val rf = refC(bk)
+        val diff = BigInt(c + 1) * (nTot + b) - BigInt(rf + 1) * (nS + b)
+        val lgd = Log2Fixed.shifted(c + 1) + Log2Fixed.shifted(nTot + b) -
+          Log2Fixed.shifted(rf + 1) - Log2Fixed.shifted(nS + b)
+        diff * lgd
+      }.sum
+      assert(BigInt(r.getString(4)) == num, s"psi_num mismatch for $src")
+      val den = BigInt(nS + b) * (nTot + b) * 1048576
+      val micro = (num.abs * 1000000 / den).toLong * (if (num < 0) -1 else 1)
+      assert(r.getLong(5) == micro)
+    }
+    // red-path twin: a source distributed like the corpus has PSI ≈ 0
+    // (self-drift of the pooled reference against itself is 0 exactly
+    // when p == q; per-source it's small) — assert the MAGNITUDE scale
+    assert(rows.forall(_.getLong(5) >= 0),
+      "PSI is a sum of non-negative terms; micro must not go negative beyond lg rounding")
+  }
+
+  test("q160_kruskal_wallis: doubled midrank sums recompute; totals close the loop") {
+    val rows = operators.Analytics.q160KruskalWallis(spark, sf0001).collect()
+    assert(rows.length == 5, "five priority groups")
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = orders.length.toLong
+    val byVal = orders.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sortedVals = byVal.keys.toArray.sorted
+    val cLt = scala.collection.mutable.Map.empty[Long, Long]
+    var acc = 0L
+    sortedVals.foreach { v => cLt(v) = acc; acc += byVal(v) }
+    rows.foreach { r =>
+      val grp = r.getString(0)
+      val mine = orders.filter(_._1 == grp)
+      assert(r.getLong(1) == mine.length.toLong)
+      val rs2 = mine.map { case (_, v) => BigInt(2 * cLt(v) + byVal(v) + 1) }.sum
+      assert(BigInt(r.getString(2)) == rs2, s"group $grp doubled rank sum")
+      assert(r.getLong(3) == n)
+      val tieSum = byVal.values.map(t => BigInt(t) * t * t - t).sum
+      assert(BigInt(r.getString(4)) == tieSum)
+    }
+    // sum of doubled midranks over all groups = N(N+1)
+    val total = rows.map(r => BigInt(r.getString(2))).sum
+    assert(total == BigInt(n) * (n + 1), "sum of 2*R_g must equal N(N+1)")
+  }
 }
