@@ -80,6 +80,7 @@ object SparkEntry {
     "sim_hard_negatives_ivf" -> ((s: SparkSession, d: String) => Similarity.simHardNegativesIvf(s, d)),
     "pipe_source_drift" -> ((s: SparkSession, d: String) => TextAnalysis.pipeSourceDrift(s, d)),
     "q160_kruskal_wallis" -> (Analytics.q160KruskalWallis _),
+    "pipe_split_leakage" -> (CorpusPipeline.pipeSplitLeakage _),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
@@ -1271,6 +1272,64 @@ object SparkEntry {
         |SELECT g.o_orderpriority, n_g, cast(rs2 as varchar) AS rank_sum2,
         | n_total, cast(tie_sum as varchar) AS tie_sum
         |FROM g CROSS JOIN ties ORDER BY 1""".stripMargin,
+    // leakage audit: near-dup pairs straddling splits, doc-hash vs
+    // cluster-hash (the latter is 0 by construction - gated, not assumed)
+    "pipe_split_leakage" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id da, b.doc_id db, count(*) ninter
+        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS MATERIALIZED (
+        | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
+        |),
+        |edges AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach AS (
+        | SELECT a AS n, a AS m FROM edges
+        | UNION
+        | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+        |),
+        |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1),
+        |keyed AS (
+        | SELECT d.doc_id,
+        |  d.doc_id AS k_doc, coalesce(c.component, d.doc_id) AS k_clu
+        | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |),
+        |splits AS (
+        | SELECT doc_id,
+        |  (list_sum(list_transform(range(1, 11), i ->
+        |   cast((strpos('0123456789abcdef', substring(md5(cast(k_doc as varchar)), i, 1)) - 1) as bigint)
+        |   * (cast(1 as bigint) << ((10 - i) * 4)))) * 100) // 1099511627776 AS b_doc,
+        |  (list_sum(list_transform(range(1, 11), i ->
+        |   cast((strpos('0123456789abcdef', substring(md5(cast(k_clu as varchar)), i, 1)) - 1) as bigint)
+        |   * (cast(1 as bigint) << ((10 - i) * 4)))) * 100) // 1099511627776 AS b_clu
+        | FROM keyed
+        |),
+        |named AS (
+        | SELECT doc_id,
+        |  CASE WHEN b_doc < 90 THEN 'train' WHEN b_doc < 95 THEN 'val' ELSE 'test' END s_doc,
+        |  CASE WHEN b_clu < 90 THEN 'train' WHEN b_clu < 95 THEN 'val' ELSE 'test' END s_clu
+        | FROM splits
+        |),
+        |j AS (
+        | SELECT p.da, p.db, a.s_doc sa_doc, b.s_doc sb_doc, a.s_clu sa_clu, b.s_clu sb_clu
+        | FROM pairs p JOIN named a ON a.doc_id = p.da JOIN named b ON b.doc_id = p.db
+        |)
+        |SELECT 'cluster_hash' AS strategy, cast(count(*) as bigint) n_pairs,
+        | cast(sum(CASE WHEN sa_clu <> sb_clu THEN 1 ELSE 0 END) as bigint) n_cross_split
+        |FROM j
+        |UNION ALL
+        |SELECT 'doc_hash', cast(count(*) as bigint),
+        | cast(sum(CASE WHEN sa_doc <> sb_doc THEN 1 ELSE 0 END) as bigint)
+        |FROM j
+        |ORDER BY strategy""".stripMargin,
     "txt_top_terms" ->
       """WITH tok AS (
         | SELECT lang, doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term FROM documents

@@ -582,6 +582,31 @@ object CorpusPipeline {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
 
+  /** Split-leakage audit — the measurement that MOTIVATES
+    * [[pipeClusterSplit]]: for each split strategy, how many near-dup
+    * pairs (the ≥0.2-Jaccard candidate set) straddle two different
+    * splits. Under the doc-keyed hash ([[pipeSplit]]) a paraphrase
+    * family scatters across train/val/test with probability
+    * 1 − Σ p_s² per pair; under the cluster-keyed hash the count is
+    * ZERO by construction (both endpoints share a component) — this
+    * query gates that claim against the oracle rather than asserting
+    * it. Scale: the pair set is the guarded candidate stream; the two
+    * split tables join id-keyed; output is 2 rows. */
+  def pipeSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ddNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    def crossings(split: DataFrame, name: String): DataFrame =
+      pairs
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)).as("n_cross_split"))
+        .select(lit(name).as("strategy"), col("n_pairs"), col("n_cross_split"))
+    crossings(pipeSplit(spark, dir).select(col("doc_id"), col("split")), "doc_hash")
+      .unionAll(crossings(
+        pipeClusterSplit(spark, dir).select(col("doc_id"), col("split")), "cluster_hash"))
+      .orderBy(col("strategy"))
+  }
+
   /** Length-bucketed batching accounting: docs grouped into
     * 32-token-multiple buckets (the pad-to-bucket batching strategy
     * that replaces pad-to-max), with the padding waste each bucket

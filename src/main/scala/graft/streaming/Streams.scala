@@ -938,4 +938,84 @@ object Streams {
           }
       }
   }
+
+  case class SourcedDoc(doc_id: Long, source: String, text: String)
+  case class DriftState(counts: Map[Long, Long], n_s: Long, n_off: Long)
+  case class DriftSnapshot(source: String, n_s: Long, n_off: Long,
+      psi_num: String, psi_micro: Long)
+
+  /** Write half of the DRIFT reference lake: persist the corpus-wide
+    * 32-token length-bucket distribution that
+    * TextAnalysis.pipeSourceDrift uses as its reference — the
+    * "yesterday's corpus shape" snapshot the streaming monitor alarms
+    * against. */
+  def driftLmWrite(spark: SparkSession, dir: String, path: String,
+      step: Int = 32): Unit = {
+    val d = graft.Tables.documents(spark, dir)
+      .select(graft.functions.TextOps.tokens("text").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(expr(s"cast(((size(t) - 1) div $step + 1) * $step as bigint)").as("bucket"))
+    val ref = d.groupBy(col("bucket")).agg(count(lit(1)).as("r"))
+      .localCheckpoint(true)
+    ref.write.mode("overwrite").parquet(s"$path/buckets")
+    ref.agg(sum(col("r")).as("n_tot"), count(lit(1)).as("b_buckets"))
+      .write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  /** STREAMING PSI drift monitor — the deployment twin of the batch
+    * pipe_source_drift: arriving docs update O(#buckets) retained
+    * state per source (bucket counts + totals; buckets are a few dozen
+    * at any corpus size, so the state is effectively O(1) like the SPC
+    * accumulator), and every trigger emits the RUNNING PSI of that
+    * source's length distribution against the PERSISTED reference lake
+    * ([[driftLmWrite]] — yesterday's corpus shape). Same exact
+    * fixed-point arithmetic as the batch operator (Log2Fixed.shifted =
+    * the SQL lgShift for in-domain args), so when the monitor has seen
+    * the reference's own corpus the final snapshot is row-identical to
+    * the batch PSI (StreamingSpec parity). A doc landing in a bucket
+    * the reference has never seen cannot be scored against a reference
+    * cell: it still counts in n_s (shifting mass off the reference
+    * support registers as drift through every denominator) and is
+    * surfaced in `n_off` — flag-don't-skip, like every gate here. */
+  def sourceDriftStream(docs: Dataset[SourcedDoc], driftLmPath: String,
+      step: Int = 32): Dataset[DriftSnapshot] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Log2Fixed
+    // O(#buckets) driver maps, captured by value — the lake IS the LM
+    val refCounts = spark.read.parquet(s"$driftLmPath/buckets").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (nTot, bBuckets) = spark.read.parquet(s"$driftLmPath/totals").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    docs.groupByKey(_.source)
+      .mapGroupsWithState[DriftState, DriftSnapshot](GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[SourcedDoc], state: GroupState[DriftState]) =>
+          var st = state.getOption.getOrElse(DriftState(Map.empty, 0L, 0L))
+          batch.foreach { d =>
+            val n = if (d.text == null) 0
+              else d.text.split(" ").count(_.nonEmpty)
+            if (n > 0) {
+              val b = ((n - 1) / step + 1).toLong * step
+              val off = !refCounts.contains(b)
+              st = DriftState(
+                if (off) st.counts
+                else st.counts.updated(b, st.counts.getOrElse(b, 0L) + 1L),
+                st.n_s + 1, st.n_off + (if (off) 1L else 0L))
+            }
+          }
+          state.update(st)
+          var num = BigInt(0)
+          refCounts.foreach { case (b, r) =>
+            val c = st.counts.getOrElse(b, 0L)
+            val diff = BigInt(c + 1) * (nTot + bBuckets) -
+              BigInt(r + 1) * (st.n_s + bBuckets)
+            val lgd = Log2Fixed.shifted(c + 1) + Log2Fixed.shifted(nTot + bBuckets) -
+              Log2Fixed.shifted(r + 1) - Log2Fixed.shifted(st.n_s + bBuckets)
+            num += diff * lgd
+          }
+          val den = BigInt(st.n_s + bBuckets) * (nTot + bBuckets) * 1048576
+          val micro = (num.abs * 1000000 / den).toLong * (if (num < 0) -1 else 1)
+          DriftSnapshot(src, st.n_s, st.n_off, num.toString, micro)
+      }
+  }
 }

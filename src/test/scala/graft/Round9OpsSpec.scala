@@ -161,6 +161,18 @@ class Round9OpsSpec extends SparkSpec {
       "PSI is a sum of non-negative terms; micro must not go negative beyond lg rounding")
   }
 
+  test("pipe_split_leakage: cluster hash eliminates the crossings the doc hash has") {
+    val rows = operators.CorpusPipeline.pipeSplitLeakage(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (nPairsC, crossC) = rows("cluster_hash")
+    val (nPairsD, crossD) = rows("doc_hash")
+    assert(nPairsC == nPairsD && nPairsC > 0, "both strategies audit the same pair set")
+    assert(crossC == 0L, "cluster-keyed split must never split a near-dup family")
+    assert(crossD > 0L,
+      "fixture must exhibit the leakage the doc-keyed split cannot avoid" +
+        " (if this ever fails, the corpus no longer has cross-bucket families)")
+  }
+
   test("q160_kruskal_wallis: doubled midrank sums recompute; totals close the loop") {
     val rows = operators.Analytics.q160KruskalWallis(spark, sf0001).collect()
     assert(rows.length == 5, "five priority groups")

@@ -793,4 +793,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       "final streamed MR sufficient statistics must equal the batch control chart")
   }
+
+  test("streaming PSI drift monitor: final snapshot matches the batch PSI on the reference corpus") {
+    val lake = Files.createTempDirectory("drift_lake")
+    Streams.driftLmWrite(spark, sf0001, lake.toString)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
+    val dir = Files.createTempDirectory("drift_stream")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(dir.toString + "/a")
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(dir.toString + "/b")
+    orderAthenB(dir)
+    import spark.implicits._
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
+      .as[(Long, String, String, String)]
+      .map(r => Streams.SourcedDoc(r._1, r._4, r._3))
+    runToMemory(Streams.sourceDriftStream(stream, lake.toString).toDF(),
+      "drift_stream_t", OutputMode.Update)
+    // last snapshot per source = the fully-accumulated state
+    val streamed = spark.sql(
+      "select source, n_s, n_off, psi_num, psi_micro from (select *, row_number() over " +
+        "(partition by source order by n_s desc) rn from drift_stream_t) where rn = 1")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    val batch = graft.operators.TextAnalysis.pipeSourceDrift(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), 0L, r.getString(4), r.getLong(5)))).toMap
+    assert(streamed == batch,
+      "running PSI over the reference's own corpus must land exactly on the batch PSI")
+  }
+
+  test("streaming PSI drift monitor: off-reference buckets are counted, not scored") {
+    val lake = Files.createTempDirectory("drift_lake2")
+    Streams.driftLmWrite(spark, sf0001, lake.toString)
+    import spark.implicits._
+    // one doc far longer than anything in the reference corpus: its
+    // 32-token bucket cannot exist in the lake
+    val giant = (1 to 5000).map(i => s"w$i").mkString(" ")
+    val late = Seq(Streams.SourcedDoc(980001L, "srcX", giant),
+      Streams.SourcedDoc(980002L, "srcX", "alpha beta gamma delta")).toDS()
+    val dir = Files.createTempDirectory("drift_late")
+    late.toDF().write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(late.toDF().schema).parquet(dir.toString)
+      .as[Streams.SourcedDoc]
+    runToMemory(Streams.sourceDriftStream(stream, lake.toString).toDF(),
+      "drift_late_t", OutputMode.Update)
+    val rows = spark.sql("select * from drift_late_t").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (nS, nOff) = rows("srcX")
+    assert(nS == 2L && nOff == 1L,
+      "the off-support doc is counted in n_s and surfaced in n_off, never dropped")
+  }
 }
