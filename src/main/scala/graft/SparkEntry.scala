@@ -81,6 +81,7 @@ object SparkEntry {
     "pipe_source_drift" -> ((s: SparkSession, d: String) => TextAnalysis.pipeSourceDrift(s, d)),
     "q160_kruskal_wallis" -> (Analytics.q160KruskalWallis _),
     "pipe_split_leakage" -> (CorpusPipeline.pipeSplitLeakage _),
+    "sim_pq_rerank" -> ((s: SparkSession, d: String) => Similarity.simPqRerank(s, d)),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
@@ -4421,6 +4422,72 @@ object SparkEntry {
         |)
         |SELECT q_id, "rank", vec_id, adc_dist
         |FROM r WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+    // two-stage retrieval: the ADC chain proposes 20 candidates per
+    // query, the exact order-pinned L2 re-rank emits the top 5
+    "sim_pq_rerank" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, (i - 1) // 8 AS sub, i,
+        |  cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2, 3
+        |), centv AS (
+        | SELECT label clabel, sub, list(c ORDER BY i) cv FROM cent GROUP BY 1, 2
+        |), sv AS (
+        | SELECT vec_id, s.sub, embedding
+        | FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) sub) s
+        |), d AS (
+        | SELECT vec_id, sv.sub, clabel,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (cast(embedding[sv.sub * 8 + j] as double) - cv[j]) * (cast(embedding[sv.sub * 8 + j] as double) - cv[j]))) dist
+        | FROM sv JOIN centv ON sv.sub = centv.sub
+        |), best AS (
+        | SELECT vec_id, sub, clabel,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, clabel) rn FROM d
+        |), codes AS (
+        | SELECT vec_id, sub, clabel AS code FROM best WHERE rn = 1
+        |), centf AS (
+        | SELECT label, i,
+        |  list_reduce(list_prepend(cast(0 as double),
+        |    list(cast(embedding[i] as double) ORDER BY vec_id)),
+        |   (acc, x) -> acc + x) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY label, i
+        |), centvf AS (
+        | SELECT label clabel, (i - 1) // 8 AS sub, list(c ORDER BY i) cv
+        | FROM centf GROUP BY 1, 2
+        |), q AS (
+        | SELECT vec_id q_id, embedding q_emb FROM embeddings WHERE vec_id < 3
+        |), terms AS (
+        | SELECT q_id, c.vec_id, c.sub,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 9), j ->
+        |    (cast(q_emb[c.sub * 8 + j] as double) - cv[j])
+        |    * (cast(q_emb[c.sub * 8 + j] as double) - cv[j]))),
+        |   (acc, x) -> acc + x) term
+        | FROM codes c JOIN centvf ON c.sub = centvf.sub AND c.code = centvf.clabel
+        | CROSS JOIN q
+        |), adc AS (
+        | SELECT q_id, vec_id,
+        |  list_reduce(list_prepend(cast(0 as double), list(term ORDER BY sub)),
+        |   (acc, x) -> acc + x) adc_dist
+        | FROM terms GROUP BY q_id, vec_id
+        |), cand AS (
+        | SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) rk
+        |  FROM adc WHERE vec_id <> q_id
+        | ) WHERE rk <= 20
+        |), ex AS (
+        | SELECT c.q_id, c.vec_id,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 65), j ->
+        |    (cast(q_emb[j] as double) - cast(e.embedding[j] as double))
+        |    * (cast(q_emb[j] as double) - cast(e.embedding[j] as double)))),
+        |   (acc, x) -> acc + x) dist
+        | FROM cand c JOIN q ON q.q_id = c.q_id JOIN embeddings e ON e.vec_id = c.vec_id
+        |), rr AS (
+        | SELECT q_id, vec_id, dist,
+        |  cast(row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) as bigint) "rank"
+        | FROM ex
+        |)
+        |SELECT q_id, "rank", vec_id, dist FROM rr WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
     "q122_correlogram" ->
       """WITH daily AS (
         | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",

@@ -536,6 +536,36 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Two-stage retrieval: PQ-ADC candidate generation RE-RANKED exact
+    * — THE production vector-serving shape (FAISS/ScaNN style): the
+    * compressed-code scan proposes candK=20 candidates per query at
+    * 8-bytes-a-vector cost, then ONLY those ≤ |Q|·candK rows fetch
+    * their raw embeddings for the exact L2 re-rank that fixes the
+    * quantization error ordering. At 100 TB the first stage scans
+    * codes (32× smaller than raw floats), the second touches
+    * candidates only — the raw embedding table is probed by vec_id,
+    * never scanned. Distances are order-pinned double folds, identical
+    * in both engines. */
+  def simPqRerank(spark: SparkSession, dir: String,
+      candK: Int = 20, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = simPqAdc(spark, dir, candK).select(col("q_id"), col("vec_id"))
+    cand
+      .join(broadcast(queries), Seq("q_id"))
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(q_emb, embedding,
+          | (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** PQ recall@k — the accuracy audit that decides whether the ADC
     * tier is usable: exact L2 top-k per query (order-pinned 64-dim
     * fold, broadcast queries, bounded-heap top-k) overlapped with

@@ -173,6 +173,37 @@ class Round9OpsSpec extends SparkSpec {
         " (if this ever fails, the corpus no longer has cross-bucket families)")
   }
 
+  test("sim_pq_rerank: re-ranked top-5 is candidate-bounded and exact-ordered") {
+    val cand = operators.Similarity.simPqAdc(spark, sf0001, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = operators.Similarity.simPqRerank(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.groupBy(_._1).values.forall(_.length == 5), "5 rows per query")
+    got.foreach { case (q, _, v, _) =>
+      assert(cand(q)(v), "every re-ranked hit must come from the ADC candidate set")
+    }
+    // exact distances recompute via the same ordered fold driver-side
+    val vecs = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    got.foreach { case (q, _, v, dist) =>
+      assert(dist == l2(vecs(q), vecs(v)), s"exact L2 for ($q,$v) must fold bit-identically")
+    }
+    // within each query the ranking is by exact distance, not ADC order
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.sameElements(byRank.sorted), "re-rank must order by exact distance")
+    }
+  }
+
   test("q160_kruskal_wallis: doubled midrank sums recompute; totals close the loop") {
     val rows = operators.Analytics.q160KruskalWallis(spark, sf0001).collect()
     assert(rows.length == 5, "five priority groups")
