@@ -82,6 +82,7 @@ object SparkEntry {
     "q160_kruskal_wallis" -> (Analytics.q160KruskalWallis _),
     "pipe_split_leakage" -> (CorpusPipeline.pipeSplitLeakage _),
     "sim_pq_rerank" -> ((s: SparkSession, d: String) => Similarity.simPqRerank(s, d)),
+    "q161_jonckheere" -> (Analytics.q161Jonckheere _),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
@@ -1273,6 +1274,44 @@ object SparkEntry {
         |SELECT g.o_orderpriority, n_g, cast(rs2 as varchar) AS rank_sum2,
         | n_total, cast(tie_sum as varchar) AS tie_sum
         |FROM g CROSS JOIN ties ORDER BY 1""".stripMargin,
+    // Jonckheere-Terpstra: doubled per-pair Mann-Whitney counts along
+    // the 1-URGENT -> 5-LOW priority order
+    "q161_jonckheere" ->
+      """WITH v AS (
+        | SELECT cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents,
+        |  substring(o_orderpriority, 1, 1) g
+        | FROM orders
+        |), d AS (SELECT cents, g, cast(count(*) as bigint) a FROM v GROUP BY 1, 2),
+        |p AS (
+        | SELECT cents,
+        |  sum(CASE WHEN g = '1' THEN a ELSE 0 END) a1,
+        |  sum(CASE WHEN g = '2' THEN a ELSE 0 END) a2,
+        |  sum(CASE WHEN g = '3' THEN a ELSE 0 END) a3,
+        |  sum(CASE WHEN g = '4' THEN a ELSE 0 END) a4,
+        |  sum(CASE WHEN g = '5' THEN a ELSE 0 END) a5
+        | FROM d GROUP BY 1
+        |), c AS (
+        | SELECT cents, a1, a2, a3, a4, a5,
+        |  coalesce(sum(a1) OVER w, 0) c1, coalesce(sum(a2) OVER w, 0) c2,
+        |  coalesce(sum(a3) OVER w, 0) c3, coalesce(sum(a4) OVER w, 0) c4,
+        |  coalesce(sum(a5) OVER w, 0) c5
+        | FROM p WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), u AS (
+        | SELECT cents, '1' g, a1 a, c1 c FROM c UNION ALL
+        | SELECT cents, '2', a2, c2 FROM c UNION ALL
+        | SELECT cents, '3', a3, c3 FROM c UNION ALL
+        | SELECT cents, '4', a4, c4 FROM c UNION ALL
+        | SELECT cents, '5', a5, c5 FROM c
+        |), tot AS (SELECT g, cast(sum(a) as bigint) n FROM u GROUP BY 1),
+        |jt AS (
+        | SELECT lo.g g_lo, hi.g g_hi,
+        |  sum(2 * cast(hi.a as hugeint) * lo.c + cast(lo.a as hugeint) * hi.a) u2
+        | FROM u lo JOIN u hi ON lo.cents = hi.cents AND lo.g < hi.g
+        | GROUP BY 1, 2
+        |)
+        |SELECT g_lo, g_hi, tl.n AS n_lo, th.n AS n_hi, cast(u2 as varchar) AS u2
+        |FROM jt JOIN tot tl ON tl.g = g_lo JOIN tot th ON th.g = g_hi
+        |ORDER BY g_lo, g_hi""".stripMargin,
     // leakage audit: near-dup pairs straddling splits, doc-hash vs
     // cluster-hash (the latter is 0 by construction - gated, not assumed)
     "pipe_split_leakage" ->

@@ -3731,4 +3731,47 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Jonckheere–Terpstra ORDERED-trend inputs — the directional
+    * sibling of [[q160KruskalWallis]] (KW asks "do the k groups
+    * differ?", JT asks "do they INCREASE along the given order?" —
+    * here the natural 1-URGENT→5-LOW priority order): per ordered
+    * group pair (lo < hi), the DOUBLED Mann–Whitney count
+    * 2·U = 2·Σ_v a_hi(v)·c_lo_lt(v) + Σ_v a_lo(v)·a_hi(v) (ties at ½,
+    * doubled to stay integral); JT = Σ_{lo<hi} U one float step
+    * downstream. Structure: one map-side (value, group) count
+    * collapse, a 5-column pivot on the DISTINCT value table, the
+    * distributed two-phase prefix sum per group column (the table is
+    * |distinct cents| rows — never a serial corpus window), unpivot,
+    * and a value-keyed self-join that only ever carries the distinct
+    * table. 2·U is N²-class → exact-decimal STRING path. */
+  def q161Jonckheere(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Seq("1", "2", "3", "4", "5")
+    val aggs = groups.map(g =>
+      sum(when($"g" === g, 1L).otherwise(0L)).as(s"a$g"))
+    val p0 = Tables.orders(spark, dir)
+      .select(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"),
+        expr("substring(o_orderpriority, 1, 1)").as("g"))
+      .groupBy($"cents")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("k", lit(1))
+    val p = groups.foldLeft(p0) { (df, g) =>
+      CorpusPipeline.prefixSumExclusive(df, "k", Seq($"cents"), s"a$g",
+        s"c$g", CorpusPipeline.equiWidthBucket(df, "cents"))
+    }
+    val u = groups.map(g =>
+      p.select($"cents", lit(g).as("g"), col(s"a$g").as("a"), col(s"c$g").as("c")))
+      .reduce(_ unionAll _)
+    val tot = u.groupBy($"g").agg(sum($"a").as("n"))
+    u.as("lo").join(u.as("hi"),
+        expr("lo.cents = hi.cents AND lo.g < hi.g"))
+      .groupBy(col("lo.g").as("g_lo"), col("hi.g").as("g_hi"))
+      .agg(sum(expr("2 * cast(hi.a as decimal(38,0)) * lo.c" +
+        " + cast(lo.a as decimal(38,0)) * hi.a")).as("u2"))
+      .join(broadcast(tot.select($"g".as("g_lo"), $"n".as("n_lo"))), Seq("g_lo"))
+      .join(broadcast(tot.select($"g".as("g_hi"), $"n".as("n_hi"))), Seq("g_hi"))
+      .select($"g_lo", $"g_hi", $"n_lo", $"n_hi",
+        $"u2".cast("string").as("u2"))
+      .orderBy($"g_lo", $"g_hi")
+  }
+
 }

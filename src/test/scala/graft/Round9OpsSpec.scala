@@ -173,6 +173,32 @@ class Round9OpsSpec extends SparkSpec {
         " (if this ever fails, the corpus no longer has cross-bucket families)")
   }
 
+  test("q161_jonckheere: doubled pairwise U counts recompute; MW cross-check") {
+    val rows = operators.Analytics.q161Jonckheere(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), BigInt(r.getString(4))))).toMap
+    assert(rows.size == 10, "C(5,2) ordered group pairs")
+    val orders = Tables.orders(spark, sf0001)
+      .select(expr("substring(o_orderpriority, 1, 1)").as("g"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { case ((lo, hi), (nLo, nHi, u2)) =>
+      val xs = orders.filter(_._1 == lo).map(_._2)
+      val ys = orders.filter(_._1 == hi).map(_._2)
+      assert(nLo == xs.length.toLong && nHi == ys.length.toLong)
+      // brute-force doubled U: 2*#(x<y) + #(x==y)
+      var acc = BigInt(0)
+      xs.foreach { x => ys.foreach { y =>
+        if (x < y) acc += 2 else if (x == y) acc += 1 } }
+      assert(u2 == acc, s"pair ($lo,$hi) doubled U")
+      // identity: U(lo,hi) + U(hi,lo) = n_lo*n_hi => doubled form sums to 2*n*n
+      var rev = BigInt(0)
+      ys.foreach { y => xs.foreach { x =>
+        if (y < x) rev += 2 else if (y == x) rev += 1 } }
+      assert(u2 + rev == BigInt(2) * nLo * nHi)
+    }
+  }
+
   test("sim_pq_rerank: re-ranked top-5 is candidate-bounded and exact-ordered") {
     val cand = operators.Similarity.simPqAdc(spark, sf0001, k = 20).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
