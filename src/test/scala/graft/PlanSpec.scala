@@ -365,4 +365,32 @@ class PlanSpec extends SparkSpec {
     assert(nDays < Tables.orders(spark, sf0001).count(),
       "the reduction is real even at the smallest SF")
   }
+
+  test("dd_edit_distance: the candidate pair list broadcasts; no cartesian") {
+    val p = plan(Dedup.ddEditDistance(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"pair list should reach the text table as a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance verify degenerated to a cross product:\n$p")
+  }
+
+  test("sim_hard_negatives: bounded-heap TopKPerGroup prunes before the exchange") {
+    val df = Similarity.simHardNegatives(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("TopKPerGroup"),
+      s"hard negatives should rank through the bounded-heap operator:\n$p")
+  }
+
+  test("sim_pq_rerank: the second stage is id-keyed, never a corpus scan join") {
+    val p = plan(Similarity.simPqRerank(spark, sf0001))
+    // the re-rank joins candidates to embeddings on vec_id (equi-join);
+    // a nested-loop there would mean the raw table is rescanned per query
+    val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    // the ADC candidate stage legitimately cross-joins the 3-row query
+    // set; the exact re-rank must not add more
+    val adcOnly = plan(Similarity.simPqAdc(spark, sf0001, k = 20))
+      .linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nested <= adcOnly,
+      s"re-rank stage added a nested-loop join ($nested vs $adcOnly in ADC alone):\n$p")
+  }
 }
