@@ -69,11 +69,14 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ddNgramJaccard(s, d)),
     "dd_embed_cos" -> ((s: SparkSession, d: String) => Dedup.ddEmbedCos(s, d)),
     "dd_components" -> ((s: SparkSession, d: String) => Dedup.ddComponents(s, d)),
-    // the dup-density guard config: hot shingles (df > 20) stop-listed
+    // the dup-density guard config: hot shingles (df > 100) stop-listed
     // before the pair self-join — the input-side bound for the sf1
-    // Σdf² blowup; cap replicated exactly in the oracle
+    // Σdf² blowup; cap replicated exactly in the oracle. Cap tuned ON
+    // the dup-dense sf1 itself: 20 zeroed its pair graph, 100 drops
+    // 5.2k hot shingles and 58% of the pair input while keeping every
+    // replica family connected (both guard sides live at sf1)
     "dd_components_capped" ->
-      ((s: SparkSession, d: String) => Dedup.ddComponents(s, d, shingleDfCap = Some(20))),
+      ((s: SparkSession, d: String) => Dedup.ddComponents(s, d, shingleDfCap = Some(100))),
     "dd_edit_distance" -> (Dedup.ddEditDistance _),
     "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
@@ -1053,7 +1056,7 @@ object SparkEntry {
         | SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
         |)
         |SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
-    // the capped components config: shingles with df > 20 are dropped
+    // the capped components config: shingles with df > 100 are dropped
     // on BOTH sides before the pair join (doc sizes stay PRE-cap, as in
     // the engine) — the cap is replicated exactly, so this row is a
     // strict oracle on the guarded input path itself
@@ -1065,7 +1068,7 @@ object SparkEntry {
         | FROM toks WHERE len(t) >= 3
         |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
         |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
-        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 20),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
         |kept AS MATERIALIZED (
         | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
         |),

@@ -31,8 +31,9 @@ ID_NAMES = {"doc_id", "user_id", "vec_id", "event_id", "bid", "dropped",
             # id-VALUED statistics: min/max/kept ids, pair endpoints
             "doc_new", "max_kept", "part_a", "part_b", "key_a", "key_b",
             # component labels ARE ids: min(doc_id) over the cluster,
-            # so their jump is the replica key offset too
-            "component"}
+            # so their jump is the replica key offset too; cluster is
+            # pipe_cluster_split's coalesce(component, doc_id)
+            "component", "cluster"}
 
 
 def is_identifier(col):
