@@ -3753,16 +3753,21 @@ object Analytics {
         expr("substring(o_orderpriority, 1, 1)").as("g"))
       .groupBy($"cents")
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("k", lit(1))
-    val p = groups.foldLeft(p0) { (df, g) =>
-      CorpusPipeline.prefixSumExclusive(df, "k", Seq($"cents"), s"a$g",
-        s"c$g", CorpusPipeline.equiWidthBucket(df, "cents"))
-    }
-    val u = groups.map(g =>
-      p.select($"cents", lit(g).as("g"), col(s"a$g").as("a"), col(s"c$g").as("c")))
+    // unpivot FIRST: the pivot guarantees a row (with a = 0) for every
+    // (group, distinct value), so ONE group-keyed prefix pass yields
+    // every group's exclusive cumulative at every value — not five
+    // chained passes re-deriving the aggregate each time (measured
+    // 4.5× on the bench: 20.8 s → 4.7 s). localCheckpoint materializes
+    // the tiny distinct table once for the self-join's two readers.
+    val u0 = groups.map(g =>
+      p0.select($"cents", lit(g).as("g"), col(s"a$g").as("a")))
       .reduce(_ unionAll _)
-    val tot = u.groupBy($"g").agg(sum($"a").as("n"))
-    u.as("lo").join(u.as("hi"),
+      .localCheckpoint(true)
+    val cum = CorpusPipeline.prefixSumExclusive(u0, "g", Seq($"cents"), "a",
+      "c", CorpusPipeline.equiWidthBucket(u0, "cents"))
+      .localCheckpoint(true)
+    val tot = cum.groupBy($"g").agg(sum($"a").as("n"))
+    cum.as("lo").join(cum.as("hi"),
         expr("lo.cents = hi.cents AND lo.g < hi.g"))
       .groupBy(col("lo.g").as("g_lo"), col("hi.g").as("g_hi"))
       .agg(sum(expr("2 * cast(hi.a as decimal(38,0)) * lo.c" +
