@@ -86,6 +86,7 @@ object SparkEntry {
     "pipe_split_leakage" -> (CorpusPipeline.pipeSplitLeakage _),
     "sim_pq_rerank" -> ((s: SparkSession, d: String) => Similarity.simPqRerank(s, d)),
     "q161_jonckheere" -> (Analytics.q161Jonckheere _),
+    "txt_yule_k" -> (TextAnalysis.txtYuleK _),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
@@ -4281,6 +4282,18 @@ object SparkEntry {
         |   * (cast(abs(kl_ba_num) as hugeint) * 1000000
         |      // (cast(n_b + v_glob as hugeint) * 1048576)) as bigint) AS kl_ba_micro
         |FROM k ORDER BY lang_a, lang_b""").stripMargin,
+    "txt_yule_k" ->
+      """WITH t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        | FROM documents
+        |), c AS (
+        | SELECT lang, term, count(*) c FROM t GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS n_types, cast(sum(c) as bigint) AS n_tokens,
+        | cast(sum(cast(c as hugeint) * c) - sum(c) as varchar) AS k_num,
+        | cast((sum(cast(c as hugeint) * c) - sum(c)) * 10000 * 1000000
+        |   // (cast(sum(c) as hugeint) * sum(c)) as bigint) AS k_micro
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_simpson" ->
       """WITH t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term

@@ -1169,6 +1169,31 @@ object TextAnalysis {
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
+  /** Yule's K characteristic per language — the repeat-rate
+    * completion of the lexical-diversity tier (TTR → hapax → Heaps →
+    * Zipf → Simpson → THIS): K = 10⁴·(S₂ − N)/N² with S₂ = Σ_types c²
+    * — Yule's vocabulary-richness constant, famously stable under
+    * corpus growth where raw TTR collapses. All-integer: S₂ and N are
+    * exact sums off the one term-count aggregate (map-side collapse,
+    * same shuffle the whole tier shares), K emitted as the exact
+    * rational (k_num = S₂ − N on the STRING path — Σc² is N²-class —
+    * plus a micro division). */
+  def txtYuleK(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("s2"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        expr("cast(s2 - n_tokens as string)").as("k_num"),
+        expr("cast(cast(s2 - n_tokens as decimal(38,0)) * 10000 * 1000000" +
+          " div (cast(n_tokens as decimal(38,0)) * n_tokens) as bigint)")
+          .as("k_micro"))
+      .orderBy(col("lang"))
+
   /** Population-Stability-Index drift monitor per source — the
     * standard "did this source's shape move?" readout a continuously-
     * fed corpus pipeline alarms on: PSI(source ‖ corpus) =

@@ -230,6 +230,25 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("txt_yule_k: repeat-rate rational recomputes; consistency with simpson's S2") {
+    val rows = operators.TextAnalysis.txtYuleK(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("lang"), explode(graft.functions.TextOps.tokens("text")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val counts = toks.filter(_._1 == lang).groupBy(_._2).map(_._2.length.toLong)
+      val n = counts.sum
+      val s2 = counts.map(c => BigInt(c) * c).sum
+      assert(r.getLong(1) == counts.size.toLong && r.getLong(2) == n)
+      assert(BigInt(r.getString(3)) == s2 - n, s"$lang k_num")
+      assert(r.getLong(4) == ((s2 - n) * 10000 * 1000000 / (BigInt(n) * n)).toLong)
+      // Yule's K numerator is Simpson's numerator: S2 - N = sum c(c-1)
+      assert(s2 - n == counts.map(c => BigInt(c) * (c - 1)).sum)
+    }
+  }
+
   test("q160_kruskal_wallis: doubled midrank sums recompute; totals close the loop") {
     val rows = operators.Analytics.q160KruskalWallis(spark, sf0001).collect()
     assert(rows.length == 5, "five priority groups")

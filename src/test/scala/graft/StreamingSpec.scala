@@ -825,6 +825,46 @@ class StreamingSpec extends SparkSpec {
       "running PSI over the reference's own corpus must land exactly on the batch PSI")
   }
 
+  test("streaming PSI drift monitor: state survives a checkpointed restart") {
+    val lake = Files.createTempDirectory("drift_lake3")
+    Streams.driftLmWrite(spark, sf0001, lake.toString)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text"))
+    import spark.implicits._
+    val src = Files.createTempDirectory("drift_r_src")
+    val out = Files.createTempDirectory("drift_r_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("drift_r_ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(src.toString + "/*")
+        .as[Streams.SourcedDoc]
+      // mapGroupsWithState requires Update mode → foreachBatch appends
+      // each trigger's per-source snapshot rows; the LAST (max n_s)
+      // row per source is the live monitor value
+      val q = Streams.sourceDriftStream(stream, lake.toString)
+        .toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src.toString + "/a")
+    runOnce() // first incarnation sees half the corpus
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src.toString + "/b")
+    runOnce() // restart: retained bucket counts must resume, not reset
+    val finalRows = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val batch = graft.operators.TextAnalysis.pipeSourceDrift(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(4), r.getLong(5)))).toMap
+    batch.foreach { case (srcName, (nS, num, micro)) =>
+      val (_, gotN, gotNum, gotMicro) = finalRows(srcName)
+      assert(gotN == nS && gotNum == num && gotMicro == micro,
+        s"source $srcName: post-restart running PSI must equal the batch PSI")
+    }
+  }
+
   test("streaming PSI drift monitor: off-reference buckets are counted, not scored") {
     val lake = Files.createTempDirectory("drift_lake2")
     Streams.driftLmWrite(spark, sf0001, lake.toString)
