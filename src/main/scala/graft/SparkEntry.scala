@@ -87,6 +87,7 @@ object SparkEntry {
     "sim_pq_rerank" -> ((s: SparkSession, d: String) => Similarity.simPqRerank(s, d)),
     "q161_jonckheere" -> (Analytics.q161Jonckheere _),
     "txt_yule_k" -> (TextAnalysis.txtYuleK _),
+    "mm_frame_energy" -> ((s: SparkSession, d: String) => Multimodal.mmFrameEnergy(s, d)),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
@@ -4282,6 +4283,20 @@ object SparkEntry {
         |   * (cast(abs(kl_ba_num) as hugeint) * 1000000
         |      // (cast(n_b + v_glob as hugeint) * 1048576)) as bigint) AS kl_ba_micro
         |FROM k ORDER BY lang_a, lang_b""").stripMargin,
+    // frame energy: byte values as samples over 8-byte frames; ascii()
+    // agrees byte-for-byte on the ASCII corpus in both engines
+    "mm_frame_energy" ->
+      """WITH d AS (
+        | SELECT doc_id, text, cast(length(text) as bigint) n_bytes FROM documents
+        |), f AS (
+        | SELECT doc_id, n_bytes, text, unnest(range(0, (n_bytes - 1) // 8 + 1)) frame_idx
+        | FROM d
+        |)
+        |SELECT doc_id, cast(frame_idx as bigint) AS frame_idx,
+        | cast(least(8, n_bytes - frame_idx * 8) as bigint) AS frame_len,
+        | cast(list_sum(list_transform(range(1, cast(least(8, n_bytes - frame_idx * 8) as int) + 1),
+        |   i -> ascii(substring(text, cast(frame_idx * 8 as int) + i, 1)))) as bigint) AS energy
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "txt_yule_k" ->
       """WITH t AS (
         | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term

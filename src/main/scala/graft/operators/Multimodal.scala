@@ -132,6 +132,29 @@ object Multimodal {
       }
     }.toDF().orderBy(col("doc_id"))
   }
+  /** Frame ENERGY profile over pseudo-audio payloads: the per-frame
+    * loudness curve an audio pipeline computes right after decode
+    * (here the deterministic stand-in: byte values as samples, 8-byte
+    * frames, energy = Σ sample values). Generate-shaped integer
+    * arithmetic off the payload — one codegen pass per row, no
+    * shuffle before the output sort, payload bytes never move. The
+    * curve feeds silence trimming / segment selection the way a real
+    * loudness gate would. */
+  def mmFrameEnergy(spark: SparkSession, dir: String, frame: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("cast(length(text) as bigint)").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"), col("text"),
+        explode(expr(s"sequence(cast(0 as bigint), (n_bytes - 1) div $frame)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"cast(least(cast($frame as bigint), n_bytes - frame_idx * $frame) as bigint)")
+          .as("frame_len"),
+        expr(s"aggregate(transform(sequence(1, cast(least(cast($frame as bigint)," +
+          s" n_bytes - frame_idx * $frame) as int))," +
+          s" i -> ascii(substring(text, cast(frame_idx * $frame as int) + i, 1)))," +
+          s" cast(0 as bigint), (acc, v) -> acc + v)").as("energy"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Exact media dedup: payloads grouped by content digest — the
     * storage-dedup / hash-matching pass every media lake runs before
     * any expensive perceptual comparison. Map-side md5 over the

@@ -230,6 +230,24 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_frame_energy: per-frame byte sums recompute; frames tile the payload exactly") {
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = operators.Multimodal.mmFrameEnergy(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (id, frames) =>
+      val t = texts(id)
+      assert(frames.map(_._3).sum == t.length.toLong, s"doc $id frames must tile the payload")
+      frames.foreach { case (_, idx, len, energy) =>
+        val slice = t.slice((idx * 8).toInt, (idx * 8 + len).toInt)
+        assert(slice.length.toLong == len)
+        assert(energy == slice.map(_.toLong).sum, s"doc $id frame $idx energy")
+      }
+    }
+    assert(rows.map(_._1).distinct.length == 500, "every doc profiled")
+  }
+
   test("txt_yule_k: repeat-rate rational recomputes; consistency with simpson's S2") {
     val rows = operators.TextAnalysis.txtYuleK(spark, sf0001).collect()
     assert(rows.nonEmpty)
