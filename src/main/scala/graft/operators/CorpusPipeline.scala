@@ -570,9 +570,15 @@ object CorpusPipeline {
     * guards; the doc-side join is an id-keyed left join against that
     * slim label table; the hash is map-side. */
   def pipeClusterSplit(spark: SparkSession, dir: String): DataFrame =
+    pipeClusterSplitFrom(spark, dir, Dedup.ddComponents(spark, dir))
+
+  /** [[pipeClusterSplit]] over a PRECOMPUTED components table — lets
+    * pipe_split_leakage reuse one pair build for both its strategies. */
+  private[operators] def pipeClusterSplitFrom(spark: SparkSession,
+      dir: String, comp: DataFrame): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
-      .join(Dedup.ddComponents(spark, dir), Seq("doc_id"), "left")
+      .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("component"), col("doc_id")))
       .withColumn("bucket", expr(
         "(cast(conv(substring(md5(cast(cluster as string)), 1, 10), 16, 10) as bigint) * 100) div 1099511627776"))
@@ -593,7 +599,12 @@ object CorpusPipeline {
     * it. Scale: the pair set is the guarded candidate stream; the two
     * split tables join id-keyed; output is 2 rows. */
   def pipeSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    // ONE pair build (the expensive shingle self-join) serves both the
+    // audit join AND the components the cluster strategy needs —
+    // measured 1.6× at sf1 (59.9 → 38.2 s) where the pair family
+    // dominates
     val pairs = Dedup.ddNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     def crossings(split: DataFrame, name: String): DataFrame =
       pairs
         .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
@@ -603,7 +614,8 @@ object CorpusPipeline {
         .select(lit(name).as("strategy"), col("n_pairs"), col("n_cross_split"))
     crossings(pipeSplit(spark, dir).select(col("doc_id"), col("split")), "doc_hash")
       .unionAll(crossings(
-        pipeClusterSplit(spark, dir).select(col("doc_id"), col("split")), "cluster_hash"))
+        pipeClusterSplitFrom(spark, dir, Dedup.componentsFromPairs(spark, pairs))
+          .select(col("doc_id"), col("split")), "cluster_hash"))
       .orderBy(col("strategy"))
   }
 

@@ -395,10 +395,17 @@ object Dedup {
     * capped config is itself oracle-gated (`dd_components_capped`) with
     * the cap replicated exactly in the oracle SQL. */
   def ddComponents(spark: SparkSession, dir: String,
-      shingleDfCap: Option[Int] = None): DataFrame = {
-    val pairs = jaccardPairs(spark, dir, shingleDfCap)
+      shingleDfCap: Option[Int] = None): DataFrame =
+    componentsFromPairs(spark, jaccardPairs(spark, dir, shingleDfCap)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+
+  /** Components over an ALREADY-MATERIALIZED (doc_a, doc_b) pair set —
+    * the seam that lets a caller computing the pair set for its own
+    * purposes (pipe_split_leakage audits two split strategies over it)
+    * reuse ONE pair build instead of re-shingling the corpus. */
+  private[operators] def componentsFromPairs(spark: SparkSession,
+      pairs: DataFrame): DataFrame = {
     if (pairs.count() <= driverEdgeLimit(spark)) return componentsUnionFind(spark, pairs)
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
