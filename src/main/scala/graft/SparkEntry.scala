@@ -88,6 +88,7 @@ object SparkEntry {
     "q161_jonckheere" -> (Analytics.q161Jonckheere _),
     "txt_yule_k" -> (TextAnalysis.txtYuleK _),
     "mm_frame_energy" -> ((s: SparkSession, d: String) => Multimodal.mmFrameEnergy(s, d)),
+    "q162_cochran_armitage" -> (Analytics.q162CochranArmitage _),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
@@ -4283,6 +4284,21 @@ object SparkEntry {
         |   * (cast(abs(kl_ba_num) as hugeint) * 1000000
         |      // (cast(n_b + v_glob as hugeint) * 1048576)) as bigint) AS kl_ba_micro
         |FROM k ORDER BY lang_a, lang_b""").stripMargin,
+    // Cochran-Armitage: exact centered trend terms across the ordered
+    // priority groups, binary outcome = fulfilled status
+    "q162_cochran_armitage" ->
+      """WITH g AS (
+        | SELECT o_orderpriority, cast(substring(o_orderpriority, 1, 1) as bigint) w,
+        |  cast(count(*) as bigint) n_g,
+        |  cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) n1_g
+        | FROM orders GROUP BY 1, 2
+        |), t AS (
+        | SELECT cast(sum(n_g) as bigint) n_total, cast(sum(n1_g) as bigint) n1_total FROM g
+        |)
+        |SELECT o_orderpriority, w, n_g, n1_g, n_total, n1_total,
+        | cast(cast(w as hugeint) * (cast(n1_g as hugeint) * n_total
+        |   - cast(n_g as hugeint) * n1_total) as varchar) AS t_term
+        |FROM g CROSS JOIN t ORDER BY w""".stripMargin,
     // frame energy: byte values as samples over 8-byte frames; ascii()
     // agrees byte-for-byte on the ASCII corpus in both engines
     "mm_frame_energy" ->

@@ -3731,6 +3731,30 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Cochran–Armitage trend inputs — trend in a BINARY outcome across
+    * ordered groups (the dose-response / funnel-stage test; here:
+    * fulfilled-order rate across the 1-URGENT→5-LOW priority order,
+    * scores w = 1..5): per group the exact centered trend term
+    * t_term = w·(n1_g·N − n_g·N1), so T = Σ t_term is the statistic's
+    * exact integer numerator (N²-class → STRING path) and the variance
+    * pieces (N1, N, Σw·n_g, Σw²·n_g) all ride along as exact integers.
+    * One map-side two-flag aggregate + a broadcast 1-row total — fuses
+    * into the scan at any scale. */
+  def q162CochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .select(expr("cast(substring(o_orderpriority, 1, 1) as bigint)").as("w"),
+        $"o_orderpriority",
+        when($"o_orderstatus" === "F", 1L).otherwise(0L).as("hit"))
+      .groupBy($"o_orderpriority", $"w")
+      .agg(count(lit(1)).as("n_g"), sum($"hit").as("n1_g"))
+    val tot = g.agg(sum($"n_g").as("n_total"), sum($"n1_g").as("n1_total"))
+    g.crossJoin(broadcast(tot))
+      .select($"o_orderpriority", $"w", $"n_g", $"n1_g", $"n_total", $"n1_total",
+        expr("cast(cast(w as decimal(38,0)) * (cast(n1_g as decimal(38,0)) * n_total" +
+          " - cast(n_g as decimal(38,0)) * n1_total) as string)").as("t_term"))
+      .orderBy($"w")
+  }
+
   /** Jonckheere–Terpstra ORDERED-trend inputs — the directional
     * sibling of [[q160KruskalWallis]] (KW asks "do the k groups
     * differ?", JT asks "do they INCREASE along the given order?" —

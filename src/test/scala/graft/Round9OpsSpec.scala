@@ -230,6 +230,31 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q162_cochran_armitage: trend terms recompute; centering identity holds") {
+    val rows = operators.Analytics.q162CochranArmitage(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), BigInt(r.getString(6))))
+    assert(rows.length == 5)
+    val orders = Tables.orders(spark, sf0001)
+      .select(expr("substring(o_orderpriority, 1, 1)").as("g"),
+        (col("o_orderstatus") === "F").as("hit"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val n = orders.length.toLong
+    val n1 = orders.count(_._2).toLong
+    rows.foreach { case (_, w, nG, n1G, nTot, n1Tot, tTerm) =>
+      val mine = orders.filter(_._1 == w.toString)
+      assert(nG == mine.length.toLong && n1G == mine.count(_._2).toLong)
+      assert(nTot == n && n1Tot == n1)
+      assert(tTerm == BigInt(w) * (BigInt(n1G) * n - BigInt(nG) * n1))
+    }
+    // centering: with w replaced by a CONSTANT the sum is 0, so
+    // Σ t_term = Σ (w - c)·(...) for any c — check via w and w-3
+    val t = rows.map(_._7).sum
+    val tShift = rows.map { case (_, w, nG, n1G, _, _, _) =>
+      BigInt(w - 3) * (BigInt(n1G) * n - BigInt(nG) * n1) }.sum
+    assert(t == tShift, "trend statistic must be invariant to score shift")
+  }
+
   test("mm_frame_energy: per-frame byte sums recompute; frames tile the payload exactly") {
     val texts = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()
