@@ -89,6 +89,7 @@ object SparkEntry {
     "txt_yule_k" -> (TextAnalysis.txtYuleK _),
     "mm_frame_energy" -> ((s: SparkSession, d: String) => Multimodal.mmFrameEnergy(s, d)),
     "q162_cochran_armitage" -> (Analytics.q162CochranArmitage _),
+    "q163_page_trend" -> (Analytics.q163PageTrend _),
     "txt_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.txtTopTerms(s, d)),
     "sim_topk_bruteforce" -> (Similarity.simTopkBruteforce _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
@@ -4284,6 +4285,34 @@ object SparkEntry {
         |   * (cast(abs(kl_ba_num) as hugeint) * 1000000
         |      // (cast(n_b + v_glob as hugeint) * 1048576)) as bigint) AS kl_ba_micro
         |FROM k ORDER BY lang_a, lang_b""").stripMargin,
+    // Page's L over the Friedman doubled rank sums, with the
+    // permutation-null mean b*(k+1)*k(k+1)/2 riding along
+    "q163_page_trend" ->
+      """WITH weekly AS (
+        | SELECT o_orderpriority,
+        |  date_diff('day', DATE '1970-01-01', cast(o_orderdate as date)) // 7 AS wk,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), complete AS (
+        | SELECT wk FROM weekly GROUP BY wk HAVING count(*) = 5
+        |), wv AS (SELECT w.* FROM weekly w JOIN complete USING (wk)),
+        |ranks AS (
+        | SELECT a.o_orderpriority, a.wk,
+        |  cast(sum(CASE WHEN b.cents < a.cents THEN 2 ELSE 0 END)
+        |   + sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) + 1 as bigint) r2
+        | FROM wv a JOIN wv b ON a.wk = b.wk
+        | GROUP BY 1, 2
+        |), f AS (
+        | SELECT o_orderpriority,
+        |  cast(substring(o_orderpriority, 1, 1) as bigint) AS prio_idx,
+        |  count(*) AS n_blocks, cast(sum(r2) as bigint) AS sum_r2
+        | FROM ranks GROUP BY 1
+        |)
+        |SELECT count(*) AS k, cast(max(n_blocks) as bigint) AS n_blocks,
+        | cast(sum(cast(prio_idx as hugeint) * sum_r2) as varchar) AS l2,
+        | cast(max(n_blocks) * (count(*) + 1) * (count(*) * (count(*) + 1) // 2) as bigint)
+        |  AS l2_null_mean
+        |FROM f""".stripMargin,
     // Cochran-Armitage: exact centered trend terms across the ordered
     // priority groups, binary outcome = fulfilled status
     "q162_cochran_armitage" ->

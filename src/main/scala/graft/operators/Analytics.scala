@@ -3731,6 +3731,24 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Page's L ORDERED-trend statistic over the Friedman blocks — the
+    * blocked sibling of [[q161Jonckheere]] (Friedman asks "do the
+    * treatments differ within blocks?", Page asks "do they INCREASE
+    * along the given order?"): L = Σ_j j·R_j over the per-priority
+    * within-week rank sums [[q152Friedman]] already computes; with the
+    * shared DOUBLED midranks, 2L stays integral and its within-block
+    * permutation-null mean is b·(k+1)·k(k+1)/2 — emitted alongside so
+    * the trend direction is a subtraction away. One 5-row aggregate on
+    * top of the Friedman plan; nothing new shuffles. */
+  def q163PageTrend(spark: SparkSession, dir: String): DataFrame =
+    q152Friedman(spark, dir)
+      .agg(count(lit(1)).as("k"), max($"n_blocks").as("n_blocks"),
+        sum(expr("cast(prio_idx as decimal(38,0)) * sum_r2")).as("_l2"))
+      .select($"k", $"n_blocks",
+        $"_l2".cast("string").as("l2"),
+        expr("cast(n_blocks * (k + 1) * (k * (k + 1) div 2) as bigint)")
+          .as("l2_null_mean"))
+
   /** Cochran–Armitage trend inputs — trend in a BINARY outcome across
     * ordered groups (the dose-response / funnel-stage test; here:
     * fulfilled-order rate across the 1-URGENT→5-LOW priority order,

@@ -230,6 +230,24 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q163_page_trend: L recomputes from the Friedman rank sums; null mean is exact") {
+    val f = operators.Analytics.q152Friedman(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = operators.Analytics.q163PageTrend(spark, sf0001).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == f.map(_._2).max)
+    assert(f.map(_._2).distinct.length == 1, "complete blocks: equal counts per treatment")
+    val l2 = f.map { case (j, _, r2) => BigInt(j) * r2 }.sum
+    assert(BigInt(r.getString(2)) == l2)
+    val b = r.getLong(1)
+    assert(r.getLong(3) == b * 6 * 15, "null mean b*(k+1)*k(k+1)/2 for k=5")
+    // the doubled rank sums themselves total b*k*(k+1) per the midrank
+    // identity, so L2 is bounded by j-weighted extremes
+    val tot = f.map(_._3).sum
+    assert(BigInt(tot) == BigInt(b) * 5 * 6, "midrank totals close")
+  }
+
   test("q162_cochran_armitage: trend terms recompute; centering identity holds") {
     val rows = operators.Analytics.q162CochranArmitage(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
