@@ -78,6 +78,7 @@ object SparkEntry {
     "dd_components_capped" ->
       ((s: SparkSession, d: String) => Dedup.ddComponents(s, d, shingleDfCap = Some(100))),
     "dd_edit_distance" -> (Dedup.ddEditDistance _),
+    "dd_edit_gate" -> ((s: SparkSession, d: String) => Dedup.ddEditGate(s, d)),
     "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
     "sim_hard_negatives_ivf" -> ((s: SparkSession, d: String) => Similarity.simHardNegativesIvf(s, d)),
@@ -334,6 +335,7 @@ object SparkEntry {
     "q154_grubbs_inputs" -> (Analytics.q154GrubbsInputs _),
     "dd_lsh_precision" -> (Dedup.ddLshPrecision _),
     "sim_norm2_hist" -> ((s: SparkSession, d: String) => Similarity.simNorm2Hist(s, d)),
+    "sim_maxsim" -> ((s: SparkSession, d: String) => Similarity.simMaxsim(s, d)),
     "q155_binary_seg" -> (Analytics.q155BinarySeg _),
     "txt_fertility" -> (TextAnalysis.txtFertility _),
     "sim_ivf_probe_curve" -> ((s: SparkSession, d: String) => Similarity.simIvfProbeCurve(s, d)),
@@ -2454,6 +2456,39 @@ object SparkEntry {
         |  / CASE WHEN prev_yr = yr - 1 THEN prev_cents END, 6) AS yoy_growth
         |FROM l ORDER BY yr, mo""".stripMargin,
     "dd_incremental" -> incrementalDedupOracle,
+    // per-doc verdict rollup of the incremental candidates: same band
+    // CTEs, then the Levenshtein verify tier and a min() per new doc
+    "dd_edit_gate" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), sig AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')) m
+        | FROM sh
+        |), bands AS (
+        | SELECT doc_id, b, md5(m[2*b+1] || m[2*b+2] || ':' || cast(b as varchar)) bh
+        | FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |), p AS (
+        | SELECT n.doc_id doc_new, h.doc_id doc_old
+        | FROM bands n JOIN bands h ON n.bh = h.bh AND n.b = h.b
+        | WHERE n.doc_id >= 400 AND h.doc_id < 400
+        | GROUP BY 1, 2
+        |), v AS (
+        | SELECT d.doc_id doc_new, d.lang, p.doc_old,
+        |  cast(levenshtein(d.text, t.text) as bigint) * 1000000
+        |   // greatest(length(d.text), length(t.text)) dist_micro
+        | FROM documents d
+        | LEFT JOIN p ON p.doc_new = d.doc_id
+        | LEFT JOIN documents t ON t.doc_id = p.doc_old
+        | WHERE d.doc_id >= 400
+        |)
+        |SELECT doc_new, lang, cast(count(DISTINCT doc_old) as bigint) AS n_cand,
+        | min(dist_micro) AS best_micro,
+        | coalesce(min(dist_micro) <= 400000, false) AS is_dup
+        |FROM v GROUP BY 1, 2 ORDER BY doc_new""".stripMargin,
     // the lake flow materializes history signatures to parquet first,
     // but the PAIRS it yields are identical to the recompute path
     "dd_incremental_lake" -> incrementalDedupOracle,
@@ -6184,6 +6219,28 @@ object SparkEntry {
         | cast(min(n2_micro) as bigint) AS min_n2_micro,
         | cast(max(n2_micro) as bigint) AS max_n2_micro
         |FROM n2 CROSS JOIN b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // MaxSim: the per-sub maxima are floored to micro BEFORE the sum, so
+    // the score is an order-free integer sum of 4 longs; only the pair
+    // cosines are doubles, computed with the same left-to-right fold as
+    // sim_topk_bruteforce (slice indexing s*16+i here ≡ the operator's
+    // slice-then-fold — identical product sequence)
+    "sim_maxsim" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        | SELECT q.qid, e.vec_id,
+        |  cast(list_sum(list_transform(range(0, 4), s ->
+        |   cast(floor(1000000 * list_max(list_transform(range(0, 4), t ->
+        |    list_sum(list_transform(range(1, 17), i -> cast(qe[s*16+i] as double) * cast(e.embedding[t*16+i] as double))) /
+        |    (sqrt(list_sum(list_transform(range(1, 17), i -> cast(qe[s*16+i] as double) * cast(qe[s*16+i] as double)))) *
+        |     sqrt(list_sum(list_transform(range(1, 17), i -> cast(e.embedding[t*16+i] as double) * cast(e.embedding[t*16+i] as double)))))))) as bigint))) as bigint) score_micro
+        | FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+        |), r AS (
+        | SELECT qid query_id, vec_id, score_micro,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, vec_id) rnk FROM s
+        |)
+        |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, score_micro
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q155_binary_seg" ->
       """WITH daily AS (

@@ -156,16 +156,21 @@ object Dedup {
     * batch tokenizes; the join is band-keyed with history's band side
     * ~4 rows/doc. This is the shape that keeps nightly dedup O(batch)
     * instead of O(corpus) at 100 TB. */
+  /** Band hashes reconstructed FROM a signature table — the shared
+    * history side of the incremental dedup flows (recompute, lake, and
+    * the streaming edit gate's lake write). */
+  private[graft] def bandsFromSigs(sigs: DataFrame): DataFrame = sigs
+    .select(col("doc_id").as("doc_old"),
+      expr("split(signature, ',')").as("s"),
+      explode(expr("sequence(0, 3)")).as("b"))
+    .select(col("doc_old"), col("b"),
+      expr("md5(concat(element_at(s, 2 * b + 1), element_at(s, 2 * b + 2), ':', cast(b as string)))").as("bh"))
+
   def ddIncremental(spark: SparkSession, dir: String,
       splitId: Long = 400L): DataFrame = {
     // history side: band hashes reconstructed FROM the signature table
-    val histBands = ddMinhashSigs(spark, dir)
-      .filter(col("doc_id") < splitId)
-      .select(col("doc_id").as("doc_old"),
-        expr("split(signature, ',')").as("s"),
-        explode(expr("sequence(0, 3)")).as("b"))
-      .select(col("doc_old"), col("b"),
-        expr("md5(concat(element_at(s, 2 * b + 1), element_at(s, 2 * b + 2), ':', cast(b as string)))").as("bh"))
+    val histBands = bandsFromSigs(
+      ddMinhashSigs(spark, dir).filter(col("doc_id") < splitId))
     // new batch: shingle + band natively (the only side touching text)
     val newBands = TextOps.balanced(Tables.documents(spark, dir))
       .filter(col("doc_id") >= splitId)
@@ -188,13 +193,8 @@ object Dedup {
     * that are ~100 bytes/doc. */
   def ddIncrementalFromLake(spark: SparkSession, dir: String,
       sigTablePath: String, splitId: Long = 400L): DataFrame = {
-    val histBands = spark.read.parquet(sigTablePath)
-      .filter(col("doc_id") < splitId)
-      .select(col("doc_id").as("doc_old"),
-        expr("split(signature, ',')").as("s"),
-        explode(expr("sequence(0, 3)")).as("b"))
-      .select(col("doc_old"), col("b"),
-        expr("md5(concat(element_at(s, 2 * b + 1), element_at(s, 2 * b + 2), ':', cast(b as string)))").as("bh"))
+    val histBands = bandsFromSigs(
+      spark.read.parquet(sigTablePath).filter(col("doc_id") < splitId))
     val newBands = TextOps.balanced(Tables.documents(spark, dir))
       .filter(col("doc_id") >= splitId)
       .select(col("doc_id").as("doc_new"), TextOps.shingleArray("text").as("sh"))
@@ -485,6 +485,43 @@ object Dedup {
         levenshtein(col("text_a"), col("text_b")).cast("long").as("dist"))
       .withColumn("dist_micro", expr("dist * 1000000 div greatest(len_a, len_b)"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Nightly-batch EDIT-DISTANCE DEDUP GATE — the per-DOCUMENT verdict
+    * rollup of the incremental flow: every new doc (id ≥ splitId) gets
+    * its LSH band candidates against the history (the exact
+    * [[ddIncremental]] pair semantics), each candidate is verified with
+    * full character Levenshtein, and the doc's verdict is the MINIMUM
+    * normalized distance dist·10⁶ div max(len) against any history
+    * candidate — `is_dup` iff that best ratio is ≤ maxDistMicro. Docs
+    * with zero candidates (including too-short-to-shingle docs) pass
+    * with n_cand = 0 / best_micro NULL. This is the batch twin of
+    * [[graft.streaming.Streams.editGateStream]] (same verdict per doc,
+    * spec-pinned). 100 TB shape: candidates are the band-keyed join
+    * (never all-pairs), the candidate pair list is ≪ the batch and
+    * broadcasts back onto it, and the O(len²) verify runs only on
+    * candidate-matched rows. */
+  def ddEditGate(spark: SparkSession, dir: String, splitId: Long = 400L,
+      maxDistMicro: Long = 400000L): DataFrame = {
+    val pairs = ddIncremental(spark, dir, splitId)
+      .select(col("doc_new"), col("doc_old"))
+    val docs = Tables.documents(spark, dir)
+    val newDocs = docs.filter(col("doc_id") >= splitId)
+      .select(col("doc_id").as("doc_new"), col("lang"),
+        col("text").as("text_new"))
+    newDocs
+      .join(broadcast(pairs), Seq("doc_new"), "left")
+      .join(docs.select(col("doc_id").as("doc_old"), col("text").as("text_old")),
+        Seq("doc_old"), "left")
+      .withColumn("dist_micro", expr(
+        "cast(levenshtein(text_new, text_old) as bigint) * 1000000" +
+          " div greatest(length(text_new), length(text_old))"))
+      .groupBy(col("doc_new"), col("lang"))
+      .agg(countDistinct(col("doc_old")).as("n_cand"),
+        min(col("dist_micro")).as("best_micro"))
+      .withColumn("is_dup",
+        coalesce(col("best_micro") <= maxDistMicro, lit(false)))
+      .orderBy(col("doc_new"))
   }
 
   /** Decontamination: flag training documents that share any word

@@ -872,6 +872,56 @@ object Similarity {
     * (unambiguous nearest-decimal, so both engines land the same
     * integer); buckets are the integer equi-width arithmetic over
     * broadcast exact bounds. Map-side everything, 10-row output. */
+  /** MaxSim late-interaction retrieval (the ColBERT scoring rule) over
+    * MULTI-VECTOR representations: each vector is treated as `subs`
+    * token-level sub-vectors (contiguous `subDim`-wide slices of the
+    * stored embedding — the standard trick for deriving a multi-vector
+    * table from a single-vector lake), and
+    * score(q, d) = Σ_s max_t cos(q_s, d_t): every query sub-vector is
+    * matched to its best doc sub-vector, then the per-sub maxima are
+    * summed. The per-sub maxima are floored to exact micro longs BEFORE
+    * the sum, so the score is an order-free integer and the only
+    * doubles crossing engines are the individual pair cosines (same
+    * left-to-right fold as every other sim_* op).
+    *
+    * 100 TB shape: the query set (|Q|·subs sub-vectors) broadcasts as
+    * ONE row per query carrying its sub-vector array; scoring is a
+    * single map-side pass over the corpus — the whole
+    * max-over-subs/sum-over-subs interaction happens inside one
+    * per-row expression, so there is NO shuffle at corpus cardinality;
+    * TopK.perGroup then prunes each partition to k rows with bounded
+    * heaps and only |partitions|·|Q|·k rows reach the final window. */
+  def simMaxsim(spark: SparkSession, dir: String, k: Int = 10,
+      subs: Int = 4, subDim: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        expr(s"transform(sequence(0, ${subs - 1}), s -> slice(embedding, s * $subDim + 1, $subDim))").as("qsubs"))
+    def dotF(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+    def n2F(a: String) =
+      s"sqrt(aggregate($a, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    val sub = s"slice(embedding, t * $subDim + 1, $subDim)"
+    val scoreExpr = expr(
+      s"""aggregate(transform(sequence(0, ${subs - 1}), s ->
+         |  cast(floor(1000000 * array_max(transform(sequence(0, ${subs - 1}), t ->
+         |    ${dotF("element_at(qsubs, s + 1)", sub)} /
+         |    (${n2F("element_at(qsubs, s + 1)")} * ${n2F(sub)})))) as bigint)),
+         | cast(0 as bigint), (acc, v) -> acc + v)""".stripMargin)
+    val scored = broadcast(q).crossJoin(e)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score_micro", scoreExpr)
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("qid"), Seq("score_micro" -> true, "vec_id" -> false), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score_micro").desc, col("vec_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
+        col("score_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def simNorm2Hist(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
     val n2 = Tables.embeddings(spark, dir)
       .select(expr("cast(cast(round(aggregate(embedding, cast(0 as double)," +

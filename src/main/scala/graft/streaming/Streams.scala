@@ -1018,4 +1018,74 @@ object Streams {
           DriftSnapshot(src, st.n_s, st.n_off, num.toString, micro)
       }
   }
+
+  /** Write half of the EDIT-GATE dedup lake: the history's LSH band
+    * hashes (slim — 4 rows × ~40 bytes per doc, text pruned from the
+    * scan) plus the history texts the verify tier fetches by id. Band
+    * hashes are [[graft.operators.Dedup.bandsFromSigs]] over the same
+    * signatures the batch flows use, so the stream's candidate set is
+    * bit-identical to [[graft.operators.Dedup.ddIncremental]]'s. */
+  def editLakeWrite(spark: SparkSession, dir: String, path: String,
+      splitId: Long = 400L): Unit = {
+    graft.operators.Dedup.bandsFromSigs(
+      graft.operators.Dedup.ddMinhashSigs(spark, dir)
+        .filter(col("doc_id") < splitId))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    graft.Tables.documents(spark, dir).filter(col("doc_id") < splitId)
+      .select(col("doc_id").as("doc_old"), col("text").as("text_old"))
+      .write.mode("overwrite").parquet(s"$path/texts")
+  }
+
+  case class EditGateVerdict(doc_id: Long, lang: String, n_cand: Long,
+      best_micro: Option[Long], is_dup: Boolean)
+
+  /** Streaming EDIT-DISTANCE dedup gate — the deployment twin of
+    * [[graft.operators.Dedup.ddEditGate]]: each arriving doc is banded
+    * with the SAME minhash-band expression as the batch flow, candidate
+    * partners come from a stream-static join against the persisted band
+    * lake ([[editLakeWrite]]), each candidate is verified with full
+    * character Levenshtein against the lake text, and the per-doc
+    * verdict is the minimum normalized distance — `is_dup` iff
+    * best ≤ maxDistMicro. Docs with no candidates (including
+    * too-short-to-shingle docs, kept through posexplode_outer) pass
+    * with n_cand = 0 / best_micro = None — flag-don't-skip, nothing is
+    * silently dropped. The per-doc rollup is the zero-retained-state
+    * flatMapGroupsWithState every gate here uses: a stream-static join
+    * delivers ALL of a doc's candidate rows in its own micro-batch, so
+    * no state outlives the batch and the stream runs forever at any
+    * rate. O(len²) verify cost is bounded by the band-keyed candidate
+    * fan-out, never all-pairs. */
+  def editGateStream(docs: Dataset[DocText], lakePath: String,
+      maxDistMicro: Long = 400000L): Dataset[EditGateVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = spark.read.parquet(s"$lakePath/bands")
+    val texts = spark.read.parquet(s"$lakePath/texts")
+    docs.toDF()
+      .withColumn("sh", graft.functions.TextOps.shingleArray("text"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        posexplode_outer(when(size(col("sh")) > 0,
+          org.apache.spark.sql.graft.TextExpressions.minhashBands(col("sh"), 8, 4)))
+          .as(Seq("b", "bh")))
+      .join(bands, Seq("b", "bh"), "left_outer")
+      .join(texts, Seq("doc_old"), "left_outer")
+      .withColumn("dist_micro", expr(
+        "cast(levenshtein(text, text_old) as bigint) * 1000000" +
+          " div greatest(length(text), length(text_old))"))
+      .select(col("doc_id"), col("lang"), col("doc_old"), col("dist_micro"))
+      .as[(Long, String, Option[Long], Option[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, EditGateVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((docId, lang), rows, _: GroupState[Boolean]) =>
+          val seen = scala.collection.mutable.Set.empty[Long]
+          var best = Option.empty[Long]
+          rows.foreach { case (_, _, oldOpt, dOpt) =>
+            oldOpt.foreach(seen += _)
+            dOpt.foreach(d => if (best.forall(d < _)) best = Some(d))
+          }
+          Iterator.single(EditGateVerdict(docId, lang, seen.size.toLong,
+            best, best.exists(_ <= maxDistMicro)))
+      }
+  }
 }

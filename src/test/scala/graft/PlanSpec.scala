@@ -374,6 +374,26 @@ class PlanSpec extends SparkSpec {
       s"edit-distance verify degenerated to a cross product:\n$p")
   }
 
+  test("dd_edit_gate: the candidate pair list broadcasts onto the new batch") {
+    val p = plan(Dedup.ddEditGate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate pairs should reach the batch as a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"edit gate degenerated to a cross product:\n$p")
+  }
+
+  test("sim_maxsim: whole interaction is one map-side expression + TopKPerGroup") {
+    val p = plan(Similarity.simMaxsim(spark, sf0001))
+    assert(p.contains("TopKPerGroup"),
+      s"maxsim should prune through the bounded-heap operator:\n$p")
+    // the only join is the broadcast of the 5-row query set; the corpus
+    // is never shuffled at its own cardinality before the top-k prune
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"maxsim scoring must not shuffle the corpus:\n$p")
+  }
+
   test("sim_hard_negatives: bounded-heap TopKPerGroup prunes before the exchange") {
     val df = Similarity.simHardNegatives(spark, sf0001)
     val p = plan(df)

@@ -394,6 +394,42 @@ class StreamingSpec extends SparkSpec {
       "weights across the two incarnations equal the batch operator row for row")
   }
 
+  test("streaming edit gate: exactly-once and batch parity across a checkpointed restart") {
+    val lake = Files.createTempDirectory("eg_lake")
+    Streams.editLakeWrite(spark, sf0001, lake.toString)
+    // the stream sees the NEW batch (the batch twin's doc_id >= 400 side)
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("eg_src")
+    val out = Files.createTempDirectory("eg_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("eg_ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(src.toString + "/*")
+        .as[Streams.DocText]
+      val q = Streams.editGateStream(stream, lake.toString)
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src.toString + "/a")
+    runOnce() // first incarnation: only the even docs exist
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src.toString + "/b")
+    runOnce() // restart from the checkpoint: must process ONLY the b files
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))).toMap
+    val batch = graft.operators.Dedup.ddEditGate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))).toMap
+    assert(spark.read.parquet(out).count() == streamed.size,
+      "no doc judged twice across the restart")
+    assert(streamed == batch,
+      "verdicts across the two incarnations equal the batch gate row for row")
+    assert(streamed.valuesIterator.exists(_._4) && streamed.valuesIterator.exists(!_._4),
+      "both verdict classes live in the fixture")
+  }
+
   test("streaming KN-trigram gate: exactly-once and batch parity across a checkpointed restart") {
     val lake = Files.createTempDirectory("k3r_lake")
     Streams.kn3LmWrite(spark, sf0001, lake.toString)
