@@ -336,6 +336,10 @@ object SparkEntry {
     "dd_lsh_precision" -> (Dedup.ddLshPrecision _),
     "sim_norm2_hist" -> ((s: SparkSession, d: String) => Similarity.simNorm2Hist(s, d)),
     "sim_maxsim" -> ((s: SparkSession, d: String) => Similarity.simMaxsim(s, d)),
+    "q164_kendall_w" -> (Analytics.q164KendallW _),
+    "q165_mood_median" -> (Analytics.q165MoodMedian _),
+    "pipe_t_closeness" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTCloseness(s, d)),
+    "mm_scene_cut" -> ((s: SparkSession, d: String) => Multimodal.mmSceneCut(s, d)),
     "q155_binary_seg" -> (Analytics.q155BinarySeg _),
     "txt_fertility" -> (TextAnalysis.txtFertility _),
     "sim_ivf_probe_curve" -> ((s: SparkSession, d: String) => Similarity.simIvfProbeCurve(s, d)),
@@ -6241,6 +6245,119 @@ object SparkEntry {
         |)
         |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, score_micro
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Kendall's W: exact integer pieces off the shared Friedman doubled
+    // midranks; dev = R2_j - b(k+1), W = 3*S4 / (b^2 k (k^2-1))
+    "q164_kendall_w" ->
+      """WITH weekly AS (
+        | SELECT o_orderpriority,
+        |  date_diff('day', DATE '1970-01-01', cast(o_orderdate as date)) // 7 AS wk,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), complete AS (
+        | SELECT wk FROM weekly GROUP BY wk HAVING count(*) = 5
+        |), wv AS (SELECT w.* FROM weekly w JOIN complete USING (wk)),
+        |ranks AS (
+        | SELECT a.o_orderpriority, a.wk,
+        |  cast(sum(CASE WHEN b.cents < a.cents THEN 2 ELSE 0 END)
+        |   + sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) + 1 as bigint) r2
+        | FROM wv a JOIN wv b ON a.wk = b.wk
+        | GROUP BY 1, 2
+        |), f AS (
+        | SELECT o_orderpriority,
+        |  cast(substring(o_orderpriority, 1, 1) as bigint) AS prio_idx,
+        |  cast(count(*) as bigint) AS n_blocks, cast(sum(r2) as bigint) AS sum_r2
+        | FROM ranks GROUP BY 1
+        |), per AS (
+        | SELECT o_orderpriority, prio_idx, n_blocks, sum_r2,
+        |  sum_r2 - 6 * n_blocks AS dev
+        | FROM f
+        |), tot AS (
+        | SELECT cast(count(*) as bigint) k, cast(max(n_blocks) as bigint) b,
+        |  cast(sum(cast(dev as hugeint) * dev) as bigint) s4
+        | FROM per
+        |)
+        |SELECT o_orderpriority, prio_idx, n_blocks, sum_r2, dev, s4,
+        | cast(3 * s4 as bigint) AS w_num,
+        | cast(b * b * k * (k * k - 1) as bigint) AS w_den,
+        | cast((3 * cast(s4 as hugeint) * 1000000)
+        |  // (cast(b as hugeint) * b * k * (k * k - 1)) as bigint) AS w_micro
+        |FROM per CROSS JOIN tot ORDER BY o_orderpriority""".stripMargin,
+
+    // Mood's median: doubled grand median m2 = x_(k1) + x_(k2) off the
+    // distinct-value prefix, then the per-priority contingency row
+    "q165_mood_median" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS day,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), tot AS (SELECT cast(count(*) as bigint) n_total FROM daily),
+        |dv AS (SELECT cents, cast(count(*) as bigint) nv FROM daily GROUP BY 1),
+        |cum AS (
+        | SELECT cents, nv, coalesce(sum(nv) OVER (ORDER BY cents
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) c_lt
+        | FROM dv
+        |), med AS (
+        | SELECT cast(min(CASE WHEN c_lt + nv >= (n_total + 1) // 2 THEN cents END)
+        |  + min(CASE WHEN c_lt + nv >= n_total // 2 + 1 THEN cents END) as bigint) m2
+        | FROM cum CROSS JOIN tot
+        |)
+        |SELECT o_orderpriority, cast(count(*) as bigint) AS n_days,
+        | cast(sum(CASE WHEN cents * 2 > m2 THEN 1 ELSE 0 END) as bigint) AS n_above,
+        | cast(sum(CASE WHEN cents * 2 < m2 THEN 1 ELSE 0 END) as bigint) AS n_below,
+        | cast(sum(CASE WHEN cents * 2 = m2 THEN 1 ELSE 0 END) as bigint) AS n_at,
+        | m2
+        |FROM daily CROSS JOIN med GROUP BY o_orderpriority, m2
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // t-closeness: exact variational distance between each class's lang
+    // distribution and the global one over the full lang support
+    "pipe_t_closeness" ->
+      """WITH cls AS (
+        | SELECT source, n_chars // 100 AS len_bucket, lang,
+        |  cast(count(*) as bigint) c
+        | FROM documents GROUP BY 1, 2, 3
+        |), ct AS (
+        | SELECT source, len_bucket, cast(sum(c) as bigint) n_class
+        | FROM cls GROUP BY 1, 2
+        |), g AS (SELECT lang, cast(count(*) as bigint) gc FROM documents GROUP BY 1),
+        |n AS (SELECT cast(count(*) as bigint) n_total FROM documents),
+        |grid AS (
+        | SELECT ct.source, ct.len_bucket, ct.n_class, n.n_total,
+        |  sum(abs(cast(coalesce(cls.c, 0) as hugeint) * n.n_total
+        |   - cast(g.gc as hugeint) * ct.n_class)) sum_abs
+        | FROM ct CROSS JOIN g CROSS JOIN n
+        | LEFT JOIN cls ON cls.source = ct.source
+        |  AND cls.len_bucket = ct.len_bucket AND cls.lang = g.lang
+        | GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT source, cast(len_bucket as bigint) AS len_bucket, n_class,
+        | cast((sum_abs * 1000000) // (2 * cast(n_class as hugeint) * n_total) as bigint) AS t_micro,
+        | (sum_abs * 1000000) // (2 * cast(n_class as hugeint) * n_total) > 300000 AS at_risk
+        |FROM grid ORDER BY source, len_bucket""".stripMargin,
+
+    // scene cuts: per-payload rollup of the full-frame energy deltas
+    "mm_scene_cut" ->
+      """WITH d AS (
+        | SELECT doc_id, text, cast(length(text) as bigint) n_bytes FROM documents
+        |), f AS (
+        | SELECT doc_id, n_bytes, text, unnest(range(0, (n_bytes - 1) // 8 + 1)) frame_idx
+        | FROM d
+        |), e AS (
+        | SELECT doc_id, cast(frame_idx as bigint) frame_idx,
+        |  cast(list_sum(list_transform(range(1, cast(least(8, n_bytes - frame_idx * 8) as int) + 1),
+        |    i -> ascii(substring(text, cast(frame_idx * 8 as int) + i, 1)))) as bigint) energy
+        | FROM f WHERE least(8, n_bytes - frame_idx * 8) = 8
+        |), lagged AS (
+        | SELECT doc_id, frame_idx, energy,
+        |  energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) delta
+        | FROM e
+        |)
+        |SELECT doc_id, cast(count(*) as bigint) AS n_frames,
+        | cast(sum(CASE WHEN abs(delta) >= 150 THEN 1 ELSE 0 END) as bigint) AS n_cuts,
+        | cast(max(abs(delta)) as bigint) AS max_abs_delta,
+        | cast(min(CASE WHEN abs(delta) >= 150 THEN frame_idx END) as bigint) AS first_cut_idx
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q155_binary_seg" ->
       """WITH daily AS (

@@ -3749,6 +3749,70 @@ object Analytics {
         expr("cast(n_blocks * (k + 1) * (k * (k + 1) div 2) as bigint)")
           .as("l2_null_mean"))
 
+  /** Kendall's coefficient of concordance W over the Friedman blocks —
+    * the EFFECT-SIZE readout of [[q152Friedman]] (χ²_F says "the
+    * priorities differ"; W ∈ [0,1] says HOW STRONGLY the weeks agree
+    * on the priority ordering): with the shared DOUBLED midranks,
+    * dev = R2_j − b(k+1) is each priority's exact rank-sum deviation,
+    * S4 = Σdev² = 4S, and W = 3·S4 / (b²·k·(k²−1)) — every piece an
+    * exact integer, the float statistic one edge division away
+    * (micro-floored here). The spec pins the χ²_F = b(k−1)·W identity
+    * numerically. One 5-row rollup + broadcast on the Friedman plan;
+    * nothing new shuffles. */
+  def q164KendallW(spark: SparkSession, dir: String): DataFrame = {
+    val per = q152Friedman(spark, dir)
+      .select($"o_orderpriority", $"prio_idx", $"n_blocks", $"sum_r2",
+        ($"sum_r2" - lit(6L) * $"n_blocks").as("dev"))
+    val tot = per.agg(count(lit(1)).as("k"), max($"n_blocks").as("b"),
+      expr("cast(sum(cast(dev as decimal(38,0)) * dev) as bigint)").as("s4"))
+    per.crossJoin(broadcast(tot))
+      .select($"o_orderpriority", $"prio_idx", $"n_blocks", $"sum_r2",
+        $"dev", $"s4",
+        expr("cast(3 * s4 as bigint)").as("w_num"),
+        expr("cast(b * b * k * (k * k - 1) as bigint)").as("w_den"),
+        expr("cast(cast(3 as decimal(38,0)) * s4 * 1000000" +
+          " div (cast(b as decimal(38,0)) * b * k * (k * k - 1)) as bigint)")
+          .as("w_micro"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Mood's MEDIAN test inputs over the daily revenue series: does each
+    * priority's daily revenue sit above or below the GRAND median of
+    * all priority-days? The grand median uses the doubled-median
+    * device (m2 = x_(k1) + x_(k2), the sum of the two middle order
+    * statistics — exact for even and odd N alike); the order
+    * statistics come from the distinct-value count table with the
+    * distributed two-phase prefix sum, never a corpus-serial window.
+    * Output per priority: the above/below/at-median contingency row
+    * (χ² inputs), all exact integers. One value-collapse, one tiny
+    * prefix pass, one broadcast of the 1-row m2. */
+  def q165MoodMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val byValue = daily.groupBy($"cents").agg(count(lit(1)).as("nv"))
+      .withColumn("_k", lit(1))
+    val tot = daily.agg(count(lit(1)).as("n_total"))
+    val cum = CorpusPipeline.prefixSumExclusive(byValue, "_k",
+      Seq($"cents"), "nv", "c_lt",
+      CorpusPipeline.equiWidthBucket(daily.select($"cents"), "cents"))
+    val med = cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when($"c_lt" + $"nv" >= expr("(n_total + 1) div 2"), $"cents")).as("v1"),
+        min(when($"c_lt" + $"nv" >= expr("n_total div 2 + 1"), $"cents")).as("v2"))
+      .select(($"v1" + $"v2").as("m2"))
+    daily.crossJoin(broadcast(med))
+      .groupBy($"o_orderpriority", $"m2")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"cents" * 2 > $"m2", 1L).otherwise(0L)).as("n_above"),
+        sum(when($"cents" * 2 < $"m2", 1L).otherwise(0L)).as("n_below"),
+        sum(when($"cents" * 2 === $"m2", 1L).otherwise(0L)).as("n_at"))
+      .select($"o_orderpriority", $"n_days", $"n_above", $"n_below",
+        $"n_at", $"m2")
+      .orderBy($"o_orderpriority")
+  }
+
   /** Cochran–Armitage trend inputs — trend in a BINARY outcome across
     * ordered groups (the dose-response / funnel-stage test; here:
     * fulfilled-order rate across the 1-URGENT→5-LOW priority order,

@@ -731,6 +731,45 @@ object CorpusPipeline {
       .withColumn("at_risk", col("l") < 2)
       .orderBy(col("l"))
 
+  /** t-closeness audit — the third rung of the privacy ladder
+    * ([[pipeKAnonymity]] → [[pipeLDiversity]] → this): an equivalence
+    * class can be k-anonymous AND l-diverse yet still leak if its
+    * sensitive-attribute DISTRIBUTION differs sharply from the
+    * corpus-wide one (an attacker learns "docs in this class are
+    * almost surely lang X"). Per quasi-identifier class
+    * (source, length-bucket), the variational distance between the
+    * class's `lang` distribution and the global one — the categorical
+    * form of the t-closeness paper's EMD — as the exact rational
+    * t = Σ_l |c_l·N − g_l·n| / (2·n·N), micro-floored; `at_risk` iff
+    * t > 0.3. The class × language grid is |classes|·|langs| rows
+    * (both tiny aggregates, broadcast), so at 100 TB this is two
+    * map-side-combinable aggregates and a broadcast grid join — the
+    * corpus is scanned once. */
+  def pipeTCloseness(spark: SparkSession, dir: String,
+      tMicro: Long = 300000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cls = docs
+      .groupBy(col("source"), expr("n_chars div 100").as("len_bucket"),
+        col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val classTot = cls.groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("c")).as("n_class"))
+    val globTot = docs.groupBy(col("lang")).agg(count(lit(1)).as("g"))
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    classTot.crossJoin(broadcast(globTot)).crossJoin(broadcast(nTotal))
+      .join(cls, Seq("source", "len_bucket", "lang"), "left")
+      .groupBy(col("source"), col("len_bucket"), col("n_class"),
+        col("n_total"))
+      .agg(sum(expr("abs(cast(coalesce(c, 0) as decimal(38,0)) * n_total" +
+        " - cast(g as decimal(38,0)) * n_class)")).as("sum_abs"))
+      .select(col("source"), col("len_bucket"), col("n_class"),
+        expr("cast(sum_abs * 1000000" +
+          " div (2 * cast(n_class as decimal(38,0)) * n_total) as bigint)")
+          .as("t_micro"))
+      .withColumn("at_risk", col("t_micro") > tMicro)
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
   /** RLHF preference-pair assembly: within each language, pair the
     * i-th longest document (proxy "chosen") with the i-th shortest
     * ("rejected") — the deterministic best-vs-worst layout used to

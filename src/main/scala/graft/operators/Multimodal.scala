@@ -141,6 +141,13 @@ object Multimodal {
     * curve feeds silence trimming / segment selection the way a real
     * loudness gate would. */
   def mmFrameEnergy(spark: SparkSession, dir: String, frame: Int = 8): DataFrame =
+    frameEnergies(spark, dir, frame).orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Unsorted per-frame energy rows — shared by [[mmFrameEnergy]] (adds
+    * the output sort) and [[mmSceneCut]] (whose per-doc window provides
+    * its own doc-keyed ordering, so no global sort is inherited). */
+  private def frameEnergies(spark: SparkSession, dir: String,
+      frame: Int): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         expr("cast(length(text) as bigint)").as("n_bytes"))
@@ -153,7 +160,34 @@ object Multimodal {
           s" n_bytes - frame_idx * $frame) as int))," +
           s" i -> ascii(substring(text, cast(frame_idx * $frame as int) + i, 1)))," +
           s" cast(0 as bigint), (acc, v) -> acc + v)").as("energy"))
-      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Scene/segment CUT detection over the pseudo-video frame stream —
+    * the shot-boundary pass a video pipeline runs right after decode
+    * (here over the same deterministic byte-frame stand-in as
+    * [[mmFrameEnergy]]): a cut wherever the energy of consecutive FULL
+    * frames jumps by ≥ threshold. Per-payload summary row: frame
+    * count, cut count, the largest absolute jump, and the first cut's
+    * frame index (NULL when the payload has no cut — flag-don't-drop).
+    * The lag is a per-doc window above the frame explode (keyed on
+    * doc_id, never corpus-serial), then one map-side-combinable
+    * rollup; payload bytes never shuffle. */
+  def mmSceneCut(spark: SparkSession, dir: String,
+      frame: Int = 8, threshold: Long = 150L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = frameEnergies(spark, dir, frame)
+      .filter(col("frame_len") === frame.toLong)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    full
+      .withColumn("delta", col("energy") - lag(col("energy"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(abs(col("delta")) >= threshold, 1L).otherwise(0L))
+          .as("n_cuts"),
+        max(abs(col("delta"))).as("max_abs_delta"),
+        min(when(abs(col("delta")) >= threshold, col("frame_idx")))
+          .as("first_cut_idx"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Exact media dedup: payloads grouped by content digest — the
     * storage-dedup / hash-matching pass every media lake runs before

@@ -50,6 +50,114 @@ class Round9WidenSpec extends SparkSpec {
     }
   }
 
+  test("q164_kendall_w: exact pieces recompute; chi2_F = b(k-1)W identity; W in [0,1]") {
+    val f = operators.Analytics.q152Friedman(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val rows = operators.Analytics.q164KendallW(spark, sf0001).collect()
+    assert(rows.length == 5)
+    val b = f.map(_._2).max
+    val k = 5L
+    val devs = f.map { case (_, nb, sumR2) => sumR2 - 6L * nb }
+    assert(devs.sum == 0L, "rank-sum deviations must cancel")
+    val s4 = devs.map(d => d * d).sum
+    val wDen = b * b * k * (k * k - 1)
+    rows.foreach { r =>
+      val prio = r.getString(0)
+      val dev = f.find(_._1 == prio).map { case (_, nb, sr) => sr - 6L * nb }.get
+      assert(r.getLong(4) == dev, s"$prio dev")
+      assert(r.getLong(5) == s4 && r.getLong(6) == 3L * s4 && r.getLong(7) == wDen)
+      assert(r.getLong(8) == 3L * s4 * 1000000L / wDen, s"$prio w_micro")
+      assert(r.getLong(6) <= r.getLong(7), "W <= 1")
+    }
+    // chi2_F = b(k-1) * W — the Friedman statistic via the effect size
+    val chi2ViaW = (3.0 * s4 / wDen) * b * (k - 1)
+    val chi2Direct = 3.0 * s4 / (b * k * (k + 1))
+    assert(math.abs(chi2ViaW - chi2Direct) < 1e-9, "chi2_F = b(k-1)W identity")
+  }
+
+  test("q165_mood_median: doubled grand median and contingency recompute") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val sorted = daily.map(_._2).sorted
+    val n = sorted.length
+    val m2 = sorted((n + 1) / 2 - 1) + sorted(n / 2)
+    val rows = operators.Analytics.q165MoodMedian(spark, sf0001).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(1)).sum == n.toLong, "all priority-days counted")
+    rows.foreach { r =>
+      val prio = r.getString(0)
+      val vals = daily.filter(_._1 == prio).map(_._2)
+      assert(r.getLong(5) == m2, "shared doubled median")
+      assert(r.getLong(1) == vals.length.toLong)
+      assert(r.getLong(2) == vals.count(_ * 2 > m2).toLong, s"$prio above")
+      assert(r.getLong(3) == vals.count(_ * 2 < m2).toLong, s"$prio below")
+      assert(r.getLong(4) == vals.count(_ * 2 == m2).toLong, s"$prio at")
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(1))
+    }
+    // the grand median splits the pooled sample roughly in half
+    val above = rows.map(_.getLong(2)).sum
+    val below = rows.map(_.getLong(3)).sum
+    assert(math.abs(above - below) <= n / 2, "median is central")
+  }
+
+  test("pipe_t_closeness: variational distance recomputes; bounds hold") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), expr("n_chars div 100").as("lb"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val nTotal = docs.length.toLong
+    val glob = docs.groupBy(_._3).map { case (l, d) => l -> d.length.toLong }
+    val rows = operators.CorpusPipeline.pipeTCloseness(spark, sf0001).collect()
+    val classes = docs.groupBy(d => (d._1, d._2))
+    assert(rows.length == classes.size, "one row per quasi-id class")
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val members = classes(key)
+      val nClass = members.length.toLong
+      assert(r.getLong(2) == nClass)
+      val cl = members.groupBy(_._3).map { case (l, d) => l -> d.length.toLong }
+      val sumAbs = glob.map { case (l, g) =>
+        math.abs(cl.getOrElse(l, 0L) * nTotal - g * nClass)
+      }.sum
+      val tMicro = sumAbs * 1000000L / (2L * nClass * nTotal)
+      assert(r.getLong(3) == tMicro, s"class $key t_micro")
+      assert(tMicro >= 0L && tMicro <= 1000000L, "TV distance is in [0,1]")
+      assert(r.getBoolean(4) == (tMicro > 300000L))
+    }
+    // a singleton class is maximally skewed: t = (N - g_lang) / N
+    val singles = rows.filter(_.getLong(2) == 1L)
+    assert(singles.nonEmpty, "fixture must contain singleton classes")
+    singles.foreach { r =>
+      val lang = classes((r.getString(0), r.getLong(1))).head._3
+      assert(r.getLong(3) == (nTotal - glob(lang)) * 1000000L / nTotal)
+    }
+  }
+
+  test("mm_scene_cut: cut rollup recomputes from the byte frames") {
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = operators.Multimodal.mmSceneCut(spark, sf0001).collect()
+    assert(rows.length == texts.size, "every payload with a full frame appears")
+    var withCut = 0
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      // char-based frames, matching the operator's substring/ascii walk
+      val energies = t.toCharArray.grouped(8).filter(_.length == 8)
+        .map(_.map(_.toLong).sum).toArray
+      val deltas = energies.zip(energies.drop(1)).map { case (a, b) => b - a }
+      assert(r.getLong(1) == energies.length.toLong, "full-frame count")
+      assert(r.getLong(2) == deltas.count(d => math.abs(d) >= 150L).toLong)
+      if (deltas.nonEmpty)
+        assert(r.getLong(3) == deltas.map(math.abs).max)
+      val firstCut = deltas.indexWhere(d => math.abs(d) >= 150L)
+      if (firstCut < 0) assert(r.isNullAt(4))
+      else { assert(r.getLong(4) == firstCut + 1L); withCut += 1 }
+    }
+    assert(withCut > 0 && withCut < rows.length, "both cut classes live")
+  }
+
   test("dd_edit_gate: verdicts recompute from incremental candidates + DP distances") {
     val texts = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()
