@@ -336,6 +336,7 @@ object SparkEntry {
     "dd_lsh_precision" -> (Dedup.ddLshPrecision _),
     "sim_norm2_hist" -> ((s: SparkSession, d: String) => Similarity.simNorm2Hist(s, d)),
     "sim_maxsim" -> ((s: SparkSession, d: String) => Similarity.simMaxsim(s, d)),
+    "sim_mmr" -> ((s: SparkSession, d: String) => Similarity.simMmr(s, d)),
     "q164_kendall_w" -> (Analytics.q164KendallW _),
     "q165_mood_median" -> (Analytics.q165MoodMedian _),
     "pipe_t_closeness" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTCloseness(s, d)),
@@ -378,6 +379,65 @@ object SparkEntry {
       |FROM bands n JOIN bands h ON n.bh = h.bh AND n.b = h.b
       |WHERE n.doc_id >= 400 AND h.doc_id < 400
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for the MMR diverse top-k: the greedy is unrolled into k
+    * plain CTE stages (pick argmax, fold the pick's sims into every
+    * survivor's running max) — no recursion, no window in a recursive
+    * term. All sims are micro-floored once in `s`/`pr`, so every stage
+    * after is exact integer arithmetic identical to the operator's. */
+  private def mmrOracle(poolK: Int, k: Int): String = {
+    def d64(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($b[i] as double)))"
+    def nrm(a: String) = s"sqrt(${d64(a, a)})"
+    val head =
+      s"""WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+         |s AS (
+         | SELECT q.qid, e.vec_id, e.embedding,
+         |  cast(floor(1000000 * (${d64("qe", "e.embedding")} / (${nrm("qe")} * ${nrm("e.embedding")}))) as bigint) rel_micro
+         | FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+         |), pool AS (
+         | SELECT qid, vec_id, embedding, rel_micro FROM (
+         |  SELECT s.*, row_number() OVER (PARTITION BY qid ORDER BY rel_micro DESC, vec_id) rn FROM s
+         | ) t WHERE rn <= $poolK
+         |), pr AS (
+         | SELECT a.qid, a.vec_id ca, b.vec_id cb,
+         |  cast(floor(1000000 * (${d64("a.embedding", "b.embedding")} / (${nrm("a.embedding")} * ${nrm("b.embedding")}))) as bigint) psim
+         | FROM pool a JOIN pool b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+         |), r0 AS (SELECT qid, vec_id, rel_micro FROM pool),
+         |p1 AS (
+         | SELECT qid, 1 AS step, vec_id, rel_micro, cast(NULL as bigint) msim FROM (
+         |  SELECT r0.*, row_number() OVER (PARTITION BY qid ORDER BY rel_micro DESC, vec_id) rn FROM r0
+         | ) t WHERE rn = 1
+         |)""".stripMargin
+    val stages = (2 to k).map { i =>
+      val rDef =
+        if (i == 2)
+          """r1 AS (
+            | SELECT r.qid, r.vec_id, r.rel_micro, pr.psim AS msim
+            | FROM r0 r JOIN p1 ON p1.qid = r.qid AND r.vec_id <> p1.vec_id
+            | JOIN pr ON pr.qid = r.qid AND pr.ca = r.vec_id AND pr.cb = p1.vec_id
+            |)""".stripMargin
+        else
+          s"""r${i - 1} AS (
+             | SELECT r.qid, r.vec_id, r.rel_micro, greatest(r.msim, pr.psim) AS msim
+             | FROM r${i - 2} r JOIN p${i - 1} ON p${i - 1}.qid = r.qid AND r.vec_id <> p${i - 1}.vec_id
+             | JOIN pr ON pr.qid = r.qid AND pr.ca = r.vec_id AND pr.cb = p${i - 1}.vec_id
+             |)""".stripMargin
+      val pDef =
+        s"""p$i AS (
+           | SELECT qid, $i AS step, vec_id, rel_micro, msim FROM (
+           |  SELECT r${i - 1}.*, row_number() OVER (PARTITION BY qid ORDER BY rel_micro - msim DESC, vec_id) rn FROM r${i - 1}
+           | ) t WHERE rn = 1
+           |)""".stripMargin
+      rDef + ",\n" + pDef
+    }.mkString(",\n")
+    val unions = (1 to k).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")
+    head + ",\n" + stages + "\n" +
+      """SELECT qid AS query_id, cast(step as bigint) AS step, vec_id, rel_micro,
+        | msim AS max_sim_micro, rel_micro - coalesce(msim, 0) AS mmr_micro
+        |FROM (""".stripMargin + unions +
+      ") u ORDER BY query_id, step"
+  }
 
   /** Oracle for the lshBits-refined embedding near-dup: the hyperplanes
     * are regenerated here from the SAME fixed seed the operator uses
@@ -6245,6 +6305,8 @@ object SparkEntry {
         |)
         |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, score_micro
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_mmr" -> mmrOracle(20, 5),
 
     // Kendall's W: exact integer pieces off the shared Friedman doubled
     // midranks; dev = R2_j - b(k+1), W = 3*S4 / (b^2 k (k^2-1))

@@ -922,6 +922,78 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR (Maximal Marginal Relevance) diverse top-k — the
+    * redundancy-penalized re-ranking every retrieval-for-training
+    * pipeline runs so the k selected neighbors aren't k near-copies:
+    * greedily pick argmax_d [λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)]
+    * with λ = ½, which in micro units is the all-integer objective
+    * rel_micro − max_sim_micro (id tie-break — fully deterministic).
+    *
+    * Deployment shape, scalable where it must be: stage 1 (the only
+    * corpus-sized work) is the brute cosine against the broadcast query
+    * set pruned by bounded-heap TopKPerGroup to a poolK-candidate pool;
+    * stage 2 computes the |Q|·poolK² candidate-pair sims; stage 3
+    * unrolls the greedy k times over that tiny pool — the classic
+    * "distributed candidate generation, per-query re-rank" serving
+    * split. All sims are micro-floored once, so the greedy itself is
+    * exact integer arithmetic in both engines. */
+  def simMmr(spark: SparkSession, dir: String, poolK: Int = 20,
+      k: Int = 5): DataFrame = {
+    val c = corpus(spark, dir)
+    val scored = broadcast(queries(c)).crossJoin(c)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rel_micro", floor(lit(1000000) *
+        (VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))))
+      .select(col("qid"), col("vec_id"), col("embedding"), col("nrm"),
+        col("rel_micro"))
+    val pool = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("qid"), Seq("rel_micro" -> true, "vec_id" -> false), poolK)
+    val pairs = pool.select(col("qid"), col("vec_id").as("ca"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(pool.select(col("qid"), col("vec_id").as("cb"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("qid"))
+      .filter(col("ca") =!= col("cb"))
+      .withColumn("psim", floor(lit(1000000) *
+        (VectorOps.dot("ea", "eb") / (col("na") * col("nb")))))
+      .select(col("qid"), col("ca"), col("cb"), col("psim"))
+    val cand0 = pool.select(col("qid"), col("vec_id"), col("rel_micro"))
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("rel_micro").desc, col("vec_id"))
+    val pick1 = cand0.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("qid"), lit(1L).as("step"), col("vec_id"),
+        col("rel_micro"), lit(null).cast("long").as("max_sim_micro"))
+    // drop the picked candidate, fold its sims into every survivor's msim
+    def advance(rem: DataFrame, pick: DataFrame, first: Boolean): DataFrame = {
+      val joined = rem
+        .join(pick.select(col("qid"), col("vec_id").as("_pk")), Seq("qid"))
+        .filter(col("vec_id") =!= col("_pk"))
+        .join(pairs.withColumnRenamed("ca", "vec_id")
+          .withColumnRenamed("cb", "_pk"), Seq("qid", "vec_id", "_pk"))
+      (if (first) joined.withColumn("msim", col("psim"))
+       else joined.withColumn("msim", greatest(col("msim"), col("psim"))))
+        .select(col("qid"), col("vec_id"), col("rel_micro"), col("msim"))
+    }
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy((col("rel_micro") - col("msim")).desc, col("vec_id"))
+    var rem = advance(cand0, pick1, first = true)
+    var out = pick1
+    for (step <- 2 to k) {
+      val pick = rem.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") === 1)
+        .select(col("qid"), lit(step.toLong).as("step"), col("vec_id"),
+          col("rel_micro"), col("msim").as("max_sim_micro"))
+      out = out.unionAll(pick)
+      if (step < k) rem = advance(rem, pick, first = false)
+    }
+    out
+      .withColumn("mmr_micro",
+        col("rel_micro") - coalesce(col("max_sim_micro"), lit(0L)))
+      .select(col("qid").as("query_id"), col("step"), col("vec_id"),
+        col("rel_micro"), col("max_sim_micro"), col("mmr_micro"))
+      .orderBy(col("query_id"), col("step"))
+  }
+
   def simNorm2Hist(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
     val n2 = Tables.embeddings(spark, dir)
       .select(expr("cast(cast(round(aggregate(embedding, cast(0 as double)," +

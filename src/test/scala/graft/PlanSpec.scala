@@ -394,6 +394,14 @@ class PlanSpec extends SparkSpec {
       s"maxsim scoring must not shuffle the corpus:\n$p")
   }
 
+  test("sim_mmr: the corpus-sized stage prunes through TopKPerGroup") {
+    val p = plan(Similarity.simMmr(spark, sf0001))
+    assert(p.contains("TopKPerGroup"),
+      s"the candidate pool must come from the bounded-heap prune:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the greedy stages must stay equi-joined on qid:\n$p")
+  }
+
   test("sim_hard_negatives: bounded-heap TopKPerGroup prunes before the exchange") {
     val df = Similarity.simHardNegatives(spark, sf0001)
     val p = plan(df)

@@ -50,6 +50,54 @@ class Round9WidenSpec extends SparkSpec {
     }
   }
 
+  test("sim_mmr: full greedy recomputes; MMR diverges from pure relevance") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      math.floor(1000000.0 * dot / (math.sqrt(na) * math.sqrt(nb))).toLong
+    }
+    // reference greedy: pool = top-20 by rel, then 5 MMR picks
+    def greedy(qid: Long): Seq[(Long, Long, Long, Option[Long])] = {
+      val rel = e.keys.filter(_ != qid).map(v => v -> cosMicro(e(qid), e(v))).toSeq
+      val pool = rel.sortBy { case (v, r) => (-r, v) }.take(20)
+      var selected = Vector.empty[(Long, Long, Long, Option[Long])] // (step, vec, rel, msim)
+      var remaining = pool
+      for (step <- 1 to 5) {
+        val scoredRem = remaining.map { case (v, r) =>
+          val msim =
+            if (selected.isEmpty) None
+            else Some(selected.map(s => cosMicro(e(v), e(s._2))).max)
+          (v, r, msim)
+        }
+        val (pv, pr, pm) = scoredRem.minBy { case (v, r, m) => (-(r - m.getOrElse(0L)), v) }
+        selected :+= ((step.toLong, pv, pr, pm))
+        remaining = remaining.filterNot(_._1 == pv)
+      }
+      selected
+    }
+    val rows = operators.Similarity.simMmr(spark, sf0001).collect()
+    assert(rows.length == 25)
+    var diverged = false
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val exp = greedy(qid)
+      val got = rs.sortBy(_.getLong(1)).map(r => (r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      assert(got.toSeq == exp, s"query $qid greedy mismatch:\n got $got\n exp $exp")
+      // diversity: does MMR's set differ from the pure-relevance top-5?
+      val relTop = e.keys.filter(_ != qid).map(v => v -> cosMicro(e(qid), e(v)))
+        .toSeq.sortBy { case (v, r) => (-r, v) }.take(5).map(_._1).toSet
+      if (got.map(_._2).toSet != relTop) diverged = true
+    }
+    assert(diverged, "MMR never penalized redundancy on this fixture")
+  }
+
   test("q164_kendall_w: exact pieces recompute; chi2_F = b(k-1)W identity; W in [0,1]") {
     val f = operators.Analytics.q152Friedman(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
