@@ -338,6 +338,7 @@ object SparkEntry {
     "sim_maxsim" -> ((s: SparkSession, d: String) => Similarity.simMaxsim(s, d)),
     "sim_mmr" -> ((s: SparkSession, d: String) => Similarity.simMmr(s, d)),
     "q164_kendall_w" -> (Analytics.q164KendallW _),
+    "q166_page_hinkley" -> (Analytics.q166PageHinkley _),
     "q165_mood_median" -> (Analytics.q165MoodMedian _),
     "pipe_t_closeness" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTCloseness(s, d)),
     "mm_scene_cut" -> ((s: SparkSession, d: String) => Multimodal.mmSceneCut(s, d)),
@@ -6345,6 +6346,42 @@ object SparkEntry {
         | cast((3 * cast(s4 as hugeint) * 1000000)
         |  // (cast(b as hugeint) * b * k * (k * k - 1)) as bigint) AS w_micro
         |FROM per CROSS JOIN tot ORDER BY o_orderpriority""".stripMargin,
+
+    // Page-Hinkley: running mean as exact cent-floored cum // t, the
+    // accumulator and its running min as plain prefix windows
+    "q166_page_hinkley" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), c AS (
+        | SELECT o_orderpriority, "day", cents,
+        |  cast(row_number() OVER (PARTITION BY o_orderpriority ORDER BY "day") as bigint) t,
+        |  cast(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY "day") as bigint) cum
+        | FROM daily
+        |), m AS (
+        | SELECT o_orderpriority, "day",
+        |  cast(sum(cents - cum // t) OVER (PARTITION BY o_orderpriority ORDER BY "day") as bigint) m
+        | FROM c
+        |), p AS (
+        | SELECT o_orderpriority, "day", m,
+        |  cast(min(m) OVER (PARTITION BY o_orderpriority ORDER BY "day") as bigint) runmin,
+        |  m - cast(min(m) OVER (PARTITION BY o_orderpriority ORDER BY "day") as bigint) ph
+        | FROM m
+        |), pick AS (
+        | SELECT o_orderpriority, "day", ph,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY ph DESC, "day") rn
+        | FROM p
+        |), agg AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_days,
+        |  cast(max_by(m, "day") as bigint) m_end, cast(min(m) as bigint) m_min,
+        |  cast(max(ph) as bigint) ph_peak
+        | FROM p GROUP BY 1
+        |)
+        |SELECT a.o_orderpriority, a.n_days, a.m_end, a.m_min, a.ph_peak,
+        | k."day" AS peak_day
+        |FROM agg a JOIN pick k ON k.o_orderpriority = a.o_orderpriority AND k.rn = 1
+        |ORDER BY a.o_orderpriority""".stripMargin,
 
     // Mood's median: doubled grand median m2 = x_(k1) + x_(k2) off the
     // distinct-value prefix, then the per-priority contingency row

@@ -3813,6 +3813,41 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Page–Hinkley changepoint inputs over the daily revenue series —
+    * the ONLINE mean-shift detector (q131's binary-seg is the offline
+    * sibling; this is the form a live monitor runs): m_T = Σ_t (x_t −
+    * x̄_t) with the running mean as the exact integer x̄_t = cum_t div t
+    * (cent-floored — both engines truncate positive div identically),
+    * PH_t = m_t − min_{i≤t} m_i, alarm when PH exceeds λ. Output per
+    * priority: the final accumulator, its running minimum, the PEAK
+    * PH value and the (earliest) day attaining it. All exact integers;
+    * windows are the calendar-serial family (ordered per-priority
+    * above the day-keyed aggregate, never corpus-serial). The
+    * streaming twin [[graft.streaming.Streams.pageHinkleyStream]] is
+    * integer-identical (StreamingSpec parity). */
+  def q166PageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val ph = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"cents").over(w))
+      .withColumn("m", sum($"cents" - expr("cum div t")).over(w))
+      .withColumn("runmin", min($"m").over(w))
+      .withColumn("ph", $"m" - $"runmin")
+    val wPick = Window.partitionBy($"o_orderpriority")
+      .orderBy($"ph".desc, $"day")
+    ph.withColumn("rn", row_number().over(wPick))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_days"),
+        expr("max_by(m, day)").as("m_end"),
+        min($"m").as("m_min"),
+        max($"ph").as("ph_peak"),
+        expr("min_by(day, rn)").as("peak_day"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Cochran–Armitage trend inputs — trend in a BINARY outcome across
     * ordered groups (the dose-response / funnel-stage test; here:
     * fulfilled-order rate across the 1-URGENT→5-LOW priority order,

@@ -1019,6 +1019,45 @@ object Streams {
       }
   }
 
+  case class PhState(n: Long, cum: Long, m: Long, runmin: Long,
+      phPeak: Long, peakDayEpoch: Long)
+  case class PhSnapshot(priority: String, n_days: Long, m_end: Long,
+      m_min: Long, ph_peak: Long, peak_day_epoch: Long)
+
+  /** Streaming Page–Hinkley mean-shift monitor — the stream twin of
+    * the batch [[graft.operators.Analytics.q166PageHinkley]]: state per
+    * priority is SIX longs (count, running sum, accumulator m, its
+    * running min, the peak PH and its day), folded in day order per
+    * trigger; the running mean uses the same exact cent-floored
+    * `cum div t`, so under the day-ordered arrival contract the final
+    * snapshot is integer-identical to the batch operator (StreamingSpec
+    * parity). This is the detector a live revenue monitor actually
+    * deploys — alarm when ph_peak first exceeds λ; O(1) state per key,
+    * runs forever at any rate. */
+  def pageHinkleyStream(daily: Dataset[DailyCents]): Dataset[PhSnapshot] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.priority)
+      .mapGroupsWithState[PhState, PhSnapshot](GroupStateTimeout.NoTimeout) {
+        (p: String, batch: Iterator[DailyCents], state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(
+            PhState(0L, 0L, 0L, Long.MaxValue, Long.MinValue, Long.MinValue))
+          batch.toSeq.sortBy(_.day_epoch).foreach { d =>
+            val n = st.n + 1
+            val cum = st.cum + d.cents
+            val m = st.m + (d.cents - cum / n) // all positive: / == div
+            val runmin = math.min(st.runmin, m)
+            val ph = m - runmin
+            val (peak, peakDay) =
+              if (ph > st.phPeak) (ph, d.day_epoch)
+              else (st.phPeak, st.peakDayEpoch)
+            st = PhState(n, cum, m, runmin, peak, peakDay)
+          }
+          state.update(st)
+          PhSnapshot(p, st.n, st.m, st.runmin, st.phPeak, st.peakDayEpoch)
+      }
+  }
+
   /** Write half of the EDIT-GATE dedup lake: the history's LSH band
     * hashes (slim — 4 rows × ~40 bytes per doc, text pruned from the
     * scan) plus the history texts the verify tier fetches by id. Band

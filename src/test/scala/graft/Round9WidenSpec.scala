@@ -123,6 +123,34 @@ class Round9WidenSpec extends SparkSpec {
     assert(math.abs(chi2ViaW - chi2Direct) < 1e-9, "chi2_F = b(k-1)W identity")
   }
 
+  test("q166_page_hinkley: accumulator, running min, and peak recompute serially") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val rows = operators.Analytics.q166PageHinkley(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val prio = r.getString(0)
+      val series = daily.filter(_._1 == prio).sortBy(_._2.toEpochDay)
+      var cum = 0L; var m = 0L; var runmin = Long.MaxValue
+      var phPeak = Long.MinValue; var peakDay: java.time.LocalDate = null
+      series.zipWithIndex.foreach { case ((_, day, cents), i) =>
+        cum += cents
+        m += cents - cum / (i + 1)
+        runmin = math.min(runmin, m)
+        val ph = m - runmin
+        if (ph > phPeak) { phPeak = ph; peakDay = day }
+      }
+      assert(r.getLong(1) == series.length.toLong, s"$prio n_days")
+      assert(r.getLong(2) == m, s"$prio m_end")
+      assert(r.getLong(3) == runmin, s"$prio m_min")
+      assert(r.getLong(4) == phPeak, s"$prio ph_peak")
+      assert(r.getDate(5).toLocalDate == peakDay, s"$prio peak_day")
+      assert(phPeak >= 0L, "PH is a max-minus-min, never negative")
+    }
+  }
+
   test("q165_mood_median: doubled grand median and contingency recompute") {
     val daily = Tables.orders(spark, sf0001)
       .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))

@@ -830,6 +830,40 @@ class StreamingSpec extends SparkSpec {
       "final streamed MR sufficient statistics must equal the batch control chart")
   }
 
+  test("streaming Page-Hinkley monitor: final snapshot matches the batch detector") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .select(col("priority"),
+        expr("datediff(day, date'1970-01-01')").cast("long").as("day_epoch"), col("cents"))
+    val mid = daily.agg(expr("percentile_approx(day_epoch, 0.5)")).head().getLong(0)
+    val dir = Files.createTempDirectory("ph_stream")
+    daily.filter(col("day_epoch") < mid).coalesce(1).write.parquet(dir.toString + "/a")
+    daily.filter(col("day_epoch") >= mid).coalesce(1).write.parquet(dir.toString + "/b")
+    orderAthenB(dir)
+    val stream = spark.readStream.schema(daily.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .as[Streams.DailyCents]
+    runToMemory(Streams.pageHinkleyStream(stream).toDF(), "ph_stream_t",
+      OutputMode.Update)
+    val streamed = spark.sql(
+      "select priority, n_days, m_end, m_min, ph_peak, peak_day_epoch from (select *," +
+        " row_number() over (partition by priority order by n_days desc) rn" +
+        " from ph_stream_t) where rn = 1")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val batch = graft.operators.Analytics.q166PageHinkley(spark, sf0001)
+      .select(col("o_orderpriority"), col("n_days"), col("m_end"),
+        col("m_min"), col("ph_peak"),
+        expr("datediff(peak_day, date'1970-01-01')").cast("long"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(streamed == batch,
+      "final streamed Page-Hinkley state must equal the batch detector row for row")
+  }
+
   test("streaming PSI drift monitor: final snapshot matches the batch PSI on the reference corpus") {
     val lake = Files.createTempDirectory("drift_lake")
     Streams.driftLmWrite(spark, sf0001, lake.toString)
