@@ -42,13 +42,18 @@ object CleanerBench {
     spark.range(1000).count() // session warmup
 
     val gate = args.lift(2).getOrElse("quality")
-    require(gate == "quality" || gate == "dsir", s"unknown gate '$gate'")
+    require(gate == "quality" || gate == "dsir" || gate == "editgate",
+      s"unknown gate '$gate'")
 
     val uniLake = Files.createTempDirectory("cb_uni").toString
     val knLake = Files.createTempDirectory("cb_kn").toString
     val dsirLake = Files.createTempDirectory("cb_dsir").toString
+    val editLake = Files.createTempDirectory("cb_edit").toString
     val (_, tLakes) = time {
       if (gate == "dsir") Streams.dsirLmWrite(spark, lmDir, dsirLake)
+      else if (gate == "editgate")
+        // the WHOLE lm corpus is the dedup history (splitId past any id)
+        Streams.editLakeWrite(spark, lmDir, editLake, Long.MaxValue)
       else {
         Streams.refLmWrite(spark, lmDir, uniLake)
         Streams.knLmWrite(spark, lmDir, knLake)
@@ -65,6 +70,8 @@ object CleanerBench {
     val gated =
       if (gate == "dsir") Streams.docDsirStream(stream, dsirLake).toDF()
         .withColumnRenamed("selected", "keep")
+      else if (gate == "editgate") Streams.editGateStream(stream, editLake)
+        .toDF().withColumn("keep", !col("is_dup"))
       else Streams.qualityGateStream(stream, uniLake, knLake).toDF()
     val (finished, tStream) = time {
       val q = gated

@@ -79,6 +79,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.ddComponents(s, d, shingleDfCap = Some(100))),
     "dd_edit_distance" -> (Dedup.ddEditDistance _),
     "dd_edit_gate" -> ((s: SparkSession, d: String) => Dedup.ddEditGate(s, d)),
+    "dd_cdc_chunks" -> ((s: SparkSession, d: String) => Dedup.ddCdcChunks(s, d)),
     "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
     "sim_hard_negatives_ivf" -> ((s: SparkSession, d: String) => Similarity.simHardNegativesIvf(s, d)),
@@ -2521,6 +2522,36 @@ object SparkEntry {
         |  / CASE WHEN prev_yr = yr - 1 THEN prev_cents END, 6) AS yoy_growth
         |FROM l ORDER BY yr, mo""".stripMargin,
     "dd_incremental" -> incrementalDedupOracle,
+    // CDC: base-31 window-8 polynomial per position, boundary at
+    // h % 64 = 0; duplicate-chunk rollup (copies >= 2)
+    "dd_cdc_chunks" -> {
+      val pows = Array.iterate(1L, 8)(_ * 31L)
+      val h = (0 until 8)
+        .map(j => s"cast(ascii(substring(text, i - $j, 1)) as bigint) * ${pows(j)}")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text, cast(length(text) as int) n FROM documents),
+         |b AS (
+         | SELECT doc_id, text, n,
+         |  list_filter(list_transform(range(8, greatest(n, 8)), i ->
+         |    CASE WHEN ($h) % 64 = 0 THEN i ELSE -1 END), x -> x <> -1) bnds
+         | FROM d
+         |), a AS (
+         | SELECT doc_id, text, [0] || bnds || [n] AS allb FROM b
+         |), k AS (
+         | SELECT doc_id, text, allb, unnest(range(1, len(allb))) kk FROM a
+         |), c AS (
+         | SELECT doc_id,
+         |  md5(substring(text, cast(allb[kk] + 1 as int), cast(allb[kk + 1] - allb[kk] as int))) chunk_md5,
+         |  cast(allb[kk + 1] - allb[kk] as bigint) chunk_len
+         | FROM k
+         |)
+         |SELECT chunk_md5, min(chunk_len) AS chunk_len,
+         | cast(count(*) as bigint) AS n_copies,
+         | cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+         | min(doc_id) AS keeper_doc
+         |FROM c GROUP BY 1 HAVING count(*) >= 2 ORDER BY chunk_md5""".stripMargin
+    },
+
     // per-doc verdict rollup of the incremental candidates: same band
     // CTEs, then the Levenshtein verify tier and a min() per new doc
     "dd_edit_gate" ->

@@ -524,6 +524,51 @@ object Dedup {
       .orderBy(col("doc_new"))
   }
 
+  /** Content-defined chunking (CDC) dedup — the rolling-hash chunker
+    * every storage/dataset dedup system (rsync, LBFS, FastCDC) runs so
+    * that an insertion near the top of a file does NOT shift every
+    * downstream chunk boundary (the failure mode of fixed-size
+    * blocks): a chunk ends wherever the polynomial hash of the last
+    * `window` characters ≡ 0 (mod `mask`+1), expected chunk ≈ mask+1
+    * chars. Output is the duplicate-chunk table (hash, length, copies,
+    * docs, keeper) — the bytes a chunk store would actually save.
+    * The hash is the plain base-31 window polynomial evaluated
+    * directly per position (integer-exact in both engines; the
+    * rolling O(1) update is the sequential-machine optimization of
+    * the same value). 100 TB shape: chunking + hashing fuse into the
+    * scan map-side; only slim (hash, doc_id, len) rows shuffle on the
+    * chunk hash — the text bytes never move. */
+  def ddCdcChunks(spark: SparkSession, dir: String,
+      window: Int = 8, mask: Int = 63): DataFrame = {
+    val pows = Array.iterate(1L, window)(_ * 31L)
+    val h = (0 until window)
+      .map(j => s"cast(ascii(substring(text, i - $j, 1)) as bigint) * ${pows(j)}")
+      .mkString(" + ")
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("cast(length(text) as int)").as("n"))
+      .withColumn("bnds", expr(
+        s"filter(transform(sequence($window, greatest(n - 1, $window)), i ->" +
+          s" IF(i > n - 1, -1, IF(($h) % ${mask + 1} = 0, i, -1))), x -> x <> -1)"))
+      .withColumn("allb", expr("concat(array(0), bnds, array(n))"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          "transform(sequence(1, size(allb) - 1), k -> named_struct(" +
+            "'start', element_at(allb, k) + 1," +
+            " 'clen', element_at(allb, k + 1) - element_at(allb, k)))")).as("ch"))
+      .select(col("doc_id"),
+        expr("md5(substring(text, ch.start, ch.clen))").as("chunk_md5"),
+        expr("cast(ch.clen as bigint)").as("chunk_len"))
+    chunks
+      .groupBy(col("chunk_md5"))
+      .agg(min(col("chunk_len")).as("chunk_len"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("chunk_md5"))
+  }
+
   /** Decontamination: flag training documents that share any word
     * 5-gram with the held-out benchmark slice (source = 'src0') — the
     * eval-leakage scrub every pretraining pipeline runs before

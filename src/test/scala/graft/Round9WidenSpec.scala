@@ -234,6 +234,43 @@ class Round9WidenSpec extends SparkSpec {
     assert(withCut > 0 && withCut < rows.length, "both cut classes live")
   }
 
+  test("dd_cdc_chunks: chunk table recomputes from a driver-side rolling chunker") {
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val pows = Array.iterate(1L, 8)(_ * 31L)
+    def chunksOf(t: String): Seq[String] = {
+      val n = t.length
+      val bnds = (8 to n - 1).filter { i =>
+        val h = (0 until 8).map(j => t.charAt(i - 1 - j).toLong * pows(j)).sum
+        h % 64 == 0
+      }
+      val allb = 0 +: bnds :+ n
+      allb.sliding(2).map { case Seq(a, b) => t.substring(a, b) }.toSeq
+    }
+    // driver-side duplicate-chunk table
+    val all = texts.flatMap { case (id, t) => chunksOf(t).map(c => (id, c)) }
+    // invariant: chunks reassemble the document exactly
+    texts.foreach { case (_, t) => assert(chunksOf(t).mkString == t) }
+    val expected = all.groupBy(_._2).filter(_._2.length >= 2).map {
+      case (c, hits) =>
+        (c.length.toLong, hits.length.toLong,
+          hits.map(_._1).distinct.length.toLong, hits.map(_._1).min)
+    }.toSeq.sorted
+    val rows = operators.Dedup.ddCdcChunks(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    assert(rows.nonEmpty, "fixture must contain shared chunks")
+    assert(rows == expected, "duplicate-chunk table must match the driver chunker")
+    // CDC's point: boundaries are content-local — a prefix insertion
+    // leaves every chunk after the edit window intact
+    val (_, sample) = texts.maxBy(_._2.length)
+    val shifted = "x" + sample
+    val tailShared = chunksOf(sample).toSet.intersect(chunksOf(shifted).toSet)
+    assert(tailShared.nonEmpty,
+      "a 1-char prefix insertion must not shift every chunk boundary")
+  }
+
   test("dd_edit_gate: verdicts recompute from incremental candidates + DP distances") {
     val texts = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()
