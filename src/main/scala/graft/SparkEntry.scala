@@ -340,6 +340,7 @@ object SparkEntry {
     "sim_mmr" -> ((s: SparkSession, d: String) => Similarity.simMmr(s, d)),
     "q164_kendall_w" -> (Analytics.q164KendallW _),
     "q166_page_hinkley" -> (Analytics.q166PageHinkley _),
+    "txt_rake" -> ((s: SparkSession, d: String) => TextAnalysis.txtRake(s, d)),
     "q165_mood_median" -> (Analytics.q165MoodMedian _),
     "pipe_t_closeness" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTCloseness(s, d)),
     "mm_scene_cut" -> ((s: SparkSession, d: String) => Multimodal.mmSceneCut(s, d)),
@@ -6377,6 +6378,53 @@ object SparkEntry {
         | cast((3 * cast(s4 as hugeint) * 1000000)
         |  // (cast(b as hugeint) * b * k * (k * k - 1)) as bigint) AS w_micro
         |FROM per CROSS JOIN tot ORDER BY o_orderpriority""".stripMargin,
+
+    // RAKE: corpus-derived stoplist (top-10 DF per lang), stopword-free
+    // runs via gaps-and-islands, exact fixed-point word/phrase scores
+    "txt_rake" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), tp AS (
+        | SELECT doc_id, lang, unnest(range(1, len(t) + 1)) pos, t FROM d
+        |), tk AS (
+        | SELECT doc_id, lang, pos, t[pos] term FROM tp
+        |), dfc AS (
+        | SELECT lang, term, count(DISTINCT doc_id) df FROM tk GROUP BY 1, 2
+        |), stop AS (
+        | SELECT lang, term FROM (
+        |  SELECT lang, term, row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) rn FROM dfc
+        | ) s WHERE rn <= 10
+        |), ns AS (
+        | SELECT tk.doc_id, tk.lang, tk.pos, tk.term,
+        |  tk.pos - row_number() OVER (PARTITION BY tk.doc_id ORDER BY tk.pos) run_id
+        | FROM tk LEFT JOIN stop ON tk.lang = stop.lang AND tk.term = stop.term
+        | WHERE stop.term IS NULL
+        |), rl AS (
+        | SELECT doc_id, run_id, cast(count(*) as bigint) run_len FROM ns GROUP BY 1, 2
+        |), occ AS (
+        | SELECT ns.*, rl.run_len FROM ns JOIN rl USING (doc_id, run_id)
+        |), ws AS (
+        | SELECT lang, term, cast(count(*) as bigint) freq,
+        |  cast(sum(run_len) as bigint) deg
+        | FROM occ GROUP BY 1, 2
+        |), w2 AS (
+        | SELECT lang, term, deg * 1000000 // freq AS w_micro FROM ws
+        |), ph AS (
+        | SELECT o.doc_id, o.lang, o.run_id,
+        |  string_agg(o.term, ' ' ORDER BY o.pos) phrase,
+        |  cast(count(*) as bigint) n_words,
+        |  cast(sum(w2.w_micro) as bigint) score_micro
+        | FROM occ o JOIN w2 ON w2.lang = o.lang AND w2.term = o.term
+        | GROUP BY 1, 2, 3
+        |), bp AS (
+        | SELECT lang, phrase, cast(count(*) as bigint) n_occ,
+        |  max(n_words) n_words, max(score_micro) score_micro
+        | FROM ph GROUP BY 1, 2
+        |)
+        |SELECT lang, cast(rn as bigint) AS rank, phrase, n_words, n_occ, score_micro
+        |FROM (
+        | SELECT bp.*, row_number() OVER (PARTITION BY lang ORDER BY score_micro DESC, phrase) rn FROM bp
+        |) f WHERE rn <= 10 ORDER BY lang, rank""".stripMargin,
 
     // Page-Hinkley: running mean as exact cent-floored cum // t, the
     // accumulator and its running min as plain prefix windows

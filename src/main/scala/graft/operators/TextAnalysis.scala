@@ -1825,4 +1825,64 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** RAKE keyphrase extraction (Rapid Automatic Keyword Extraction) —
+    * the unsupervised keyphrase pass a corpus-analysis/tagging pipeline
+    * runs: candidate phrases are the maximal stopword-free token runs,
+    * each word scores degree/frequency over those phrases (degree =
+    * Σ co-occurring phrase length, favoring words that live in long
+    * phrases), and a phrase scores the sum of its words. The stoplist
+    * is corpus-derived (the nStop highest-document-frequency terms per
+    * language — no hardcoded language assumption), runs come from the
+    * classic gaps-and-islands device (run_id = pos − rank among
+    * non-stop tokens, a doc-keyed window), and every score is exact
+    * fixed-point (w_micro = deg·10⁶ div freq, phrase = integer sum).
+    * Output: top-k phrases per language. 100 TB shape: stoplist and
+    * word stats are vocabulary-sized aggregates; the per-doc stages
+    * are doc-keyed windows/joins; final top-k prunes through the
+    * bounded-heap TopKPerGroup. */
+  def txtRake(spark: SparkSession, dir: String, nStop: Int = 10,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
+    val df = toks.groupBy(col("lang"), col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val wStop = Window.partitionBy(col("lang"))
+      .orderBy(col("df").desc, col("term"))
+    val stop = df.withColumn("rn", row_number().over(wStop))
+      .filter(col("rn") <= nStop)
+      .select(col("lang"), col("term"), lit(true).as("is_stop"))
+    val runs = toks.join(broadcast(stop), Seq("lang", "term"), "left")
+      .filter(col("is_stop").isNull)
+      .withColumn("run_id", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val runLen = runs.groupBy(col("doc_id"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+    val occ = runs.join(runLen, Seq("doc_id", "run_id"))
+    val wstat = occ.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("freq"), sum(col("run_len")).as("deg"))
+      .withColumn("w_micro", expr("deg * 1000000 div freq"))
+    val phr = occ
+      .join(wstat.select(col("lang"), col("term"), col("w_micro")),
+        Seq("lang", "term"))
+      .groupBy(col("doc_id"), col("lang"), col("run_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, term)))," +
+        " x -> x.term), ' ')").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("w_micro")).as("score_micro"))
+    val byPhrase = phr.groupBy(col("lang"), col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("n_words")).as("n_words"),
+        max(col("score_micro")).as("score_micro"))
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      byPhrase, Seq("lang"), Seq("score_micro" -> true, "phrase" -> false), k)
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+    pruned.withColumn("rank", row_number().over(wTop).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("phrase"), col("n_words"),
+        col("n_occ"), col("score_micro"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
 }

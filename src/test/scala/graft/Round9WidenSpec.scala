@@ -234,6 +234,58 @@ class Round9WidenSpec extends SparkSpec {
     assert(withCut > 0 && withCut < rows.length, "both cut classes live")
   }
 
+  test("txt_rake: keyphrases recompute from a driver-side RAKE pass") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    // corpus-derived stoplist: top-10 DF terms per lang
+    val stop = docs.flatMap { case (id, lang, ts) => ts.distinct.map(t => (lang, t, id)) }
+      .groupBy(d => (d._1, d._2)).map { case ((l, t), hits) => (l, t, hits.size) }
+      .groupBy(_._1).flatMap { case (_, terms) =>
+        terms.toSeq.sortBy { case (_, t, df) => (-df, t) }.take(10)
+      }.map(d => (d._1, d._2)).toSet
+    // stopword-free runs per doc
+    val runRows = docs.flatMap { case (id, lang, ts) =>
+      val flags = ts.map(t => stop((lang, t)))
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      ts.zip(flags).foreach { case (t, isStop) =>
+        if (isStop) { if (cur.nonEmpty) { runs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty } }
+        else cur += t
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs.map(r => (id, lang, r))
+    }
+    val wstat = runRows.flatMap { case (_, lang, r) => r.map(t => (lang, t, r.length.toLong)) }
+      .groupBy(d => (d._1, d._2)).map { case ((l, t), hits) =>
+        (l, t) -> (hits.map(_._3).sum * 1000000L / hits.size)
+      }
+    val byPhrase = runRows
+      .map { case (_, lang, r) =>
+        (lang, r.mkString(" "), r.length.toLong, r.map(t => wstat((lang, t))).sum)
+      }
+      .groupBy(d => (d._1, d._2)).map { case ((l, p), hits) =>
+        (l, p, hits.head._3, hits.size.toLong, hits.head._4)
+      }
+    val expected = byPhrase.groupBy(_._1).flatMap { case (_, phrases) =>
+      phrases.toSeq.sortBy { case (_, p, _, _, s) => (-s, p) }.take(10)
+        .zipWithIndex.map { case ((l, p, nw, no, s), i) => (l, i + 1L, p, nw, no, s) }
+    }.toSet
+    val rows = operators.TextAnalysis.txtRake(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(rows.nonEmpty && rows == expected,
+      "RAKE top phrases must match the driver recompute")
+    // invariants: no stopword survives into a phrase; deg >= freq
+    rows.foreach { case (lang, _, phrase, nWords, _, score) =>
+      phrase.split(" ").foreach(t => assert(!stop((lang, t)),
+        s"stopword '$t' leaked into phrase '$phrase'"))
+      assert(score >= nWords * 1000000L,
+        "each word scores >= 1.0 (degree >= frequency)")
+    }
+  }
+
   test("dd_cdc_chunks: chunk table recomputes from a driver-side rolling chunker") {
     val texts = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()
