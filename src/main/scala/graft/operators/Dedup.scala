@@ -540,16 +540,16 @@ object Dedup {
     * chunk hash — the text bytes never move. */
   def ddCdcChunks(spark: SparkSession, dir: String,
       window: Int = 8, mask: Int = 63): DataFrame = {
-    val pows = Array.iterate(1L, window)(_ * 31L)
-    val h = (0 until window)
-      .map(j => s"cast(ascii(substring(text, i - $j, 1)) as bigint) * ${pows(j)}")
-      .mkString(" + ")
-    val chunks = Tables.documents(spark, dir)
+    // boundary positions come from the native rolling-hash expression
+    // (one compiled O(n) pass per row; the interpreted per-position HOF
+    // formulation it replaces measured ~10x slower at sf0.1 — the
+    // value is asserted identical against that formulation in spec)
+    val chunks = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"),
         expr("cast(length(text) as int)").as("n"))
-      .withColumn("bnds", expr(
-        s"filter(transform(sequence($window, greatest(n - 1, $window)), i ->" +
-          s" IF(i > n - 1, -1, IF(($h) % ${mask + 1} = 0, i, -1))), x -> x <> -1)"))
+      .withColumn("bnds",
+        org.apache.spark.sql.graft.TextExpressions.cdcBoundaries(
+          col("text"), window, mask))
       .withColumn("allb", expr("concat(array(0), bnds, array(n))"))
       .select(col("doc_id"), col("text"),
         explode(expr(

@@ -70,6 +70,36 @@ object TextNative {
 
   private val EmptyArray = new GenericArrayData(Array.empty[Any])
 
+  /** Content-defined chunk boundaries: the 1-based CHARACTER positions
+    * i in [window, nChars−1] where the base-31 polynomial over the last
+    * `window` code points ≡ 0 (mod mask+1) — value-identical to the
+    * SQL/oracle per-position formulation Σ_j cp(i−j)·31^j, computed
+    * with the O(1) rolling update (h' = (h − dropped·31^{w−1})·31 +
+    * added) instead of O(window) work per position. Code points (not
+    * bytes) because `ascii(substring(text, i, 1))` is the i-th
+    * character's code point in both engines. */
+  def cdcBoundaries(t: UTF8String, window: Int, mask: Int): ArrayData = {
+    val cps = t.toString.codePoints().toArray
+    val n = cps.length
+    if (n <= window) return EmptyArray
+    var bTop = 1L
+    var j = 0
+    while (j < window - 1) { bTop *= 31L; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < window) { h = h * 31L + cps(i); i += 1 }
+    val m = mask + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = window // current 1-based position (window ends at char pos)
+    if (h % m == 0) out += pos
+    while (pos < n - 1) {
+      h = (h - cps(pos - window) * bTop) * 31L + cps(pos)
+      pos += 1
+      if (h % m == 0) out += pos
+    }
+    if (out.isEmpty) EmptyArray else new GenericArrayData(out.toArray)
+  }
+
   /** Word n-gram array (space-joined); empty when fewer than n tokens. */
   def wordNgrams(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
@@ -252,6 +282,25 @@ object TextNative {
   * the HOF cascade it replaces (ddSimhash's 60×tokens interpreted
   * lambda fold), as one compiled pass per row. Null on zero tokens
   * (mirrors the caller's `size(toks) >= 1` filter). */
+case class CdcBoundaries(child: Expression, window: Int, mask: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 1 && mask >= 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override def nullSafeEval(t: Any): Any =
+    TextNative.cdcBoundaries(t.asInstanceOf[UTF8String], window, mask)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextNative.cdcBoundaries($t, $window, $mask);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash60(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -367,4 +416,7 @@ object TextExpressions {
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), nPerms))
   def simhash60(text: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text)))
+  def cdcBoundaries(text: Column, window: Int, mask: Int): Column =
+    ExpressionUtils.column(CdcBoundaries(
+      ExpressionUtils.expression(text), window, mask))
 }

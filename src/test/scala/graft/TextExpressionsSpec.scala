@@ -21,6 +21,27 @@ class TextExpressionsSpec extends SparkSpec {
          |1)""".stripMargin)
   }
 
+  test("cdc_boundaries matches the per-position HOF polynomial over the corpus") {
+    val pows = Array.iterate(1L, 8)(_ * 31L)
+    val h = (0 until 8)
+      .map(j => s"cast(ascii(substring(text, i - $j, 1)) as bigint) * ${pows(j)}")
+      .mkString(" + ")
+    val both = Tables.documents(spark, sf0001)
+      .select(col("text"), expr("cast(length(text) as int)").as("n"))
+      .withColumn("native", TextExpressions.cdcBoundaries(col("text"), 8, 63))
+      .withColumn("hof", expr(
+        s"filter(transform(sequence(8, greatest(n - 1, 8)), i ->" +
+          s" IF(i > n - 1, -1, IF(($h) % 64 = 0, i, -1))), x -> x <> -1)"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0,
+      "native rolling hash must equal the per-position polynomial")
+    assert(both.filter(size(col("native")) > 0).count() > 0,
+      "fixture must produce boundaries")
+    // short strings: no interior boundary possible
+    val edge = spark.sql("SELECT cast(array() as array<int>) e")
+      .select(TextExpressions.cdcBoundaries(lit("tiny"), 8, 63).as("b")).head()
+    assert(edge.getSeq[Int](0).isEmpty)
+  }
+
   test("word_ngrams matches the HOF shape for n=2,3,5 over the corpus") {
     val docs = Tables.documents(spark, sf0001)
     Seq(2, 3, 5).foreach { n =>
