@@ -340,6 +340,9 @@ object SparkEntry {
     "sim_mmr" -> ((s: SparkSession, d: String) => Similarity.simMmr(s, d)),
     "q164_kendall_w" -> (Analytics.q164KendallW _),
     "q166_page_hinkley" -> (Analytics.q166PageHinkley _),
+    "q167_ansari_bradley" -> (Analytics.q167AnsariBradley _),
+    "q168_lpa_step" -> ((s: SparkSession, d: String) => Analytics.q168LpaStep(s, d)),
+    "mm_silence_trim" -> ((s: SparkSession, d: String) => Multimodal.mmSilenceTrim(s, d)),
     "txt_rake" -> ((s: SparkSession, d: String) => TextAnalysis.txtRake(s, d)),
     "q165_mood_median" -> (Analytics.q165MoodMedian _),
     "pipe_t_closeness" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTCloseness(s, d)),
@@ -6378,6 +6381,90 @@ object SparkEntry {
         | cast((3 * cast(s4 as hugeint) * 1000000)
         |  // (cast(b as hugeint) * b * k * (k * k - 1)) as bigint) AS w_micro
         |FROM per CROSS JOIN tot ORDER BY o_orderpriority""".stripMargin,
+
+    // Ansari-Bradley: doubled midranks from both ends toward the middle
+    "q167_ansari_bradley" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW') GROUP BY 1, 2
+        |), tot AS (SELECT cast(count(*) as bigint) n_total FROM daily),
+        |dv AS (
+        | SELECT cents, cast(count(*) as bigint) n_v,
+        |  cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) as bigint) a_urg,
+        |  cast(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) as bigint) a_low
+        | FROM daily GROUP BY 1
+        |), cum AS (
+        | SELECT *, coalesce(sum(n_v) OVER (ORDER BY cents
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) c_lt
+        | FROM dv
+        |), sc AS (
+        | SELECT n_v, a_urg, a_low, n_total,
+        |  least(2 * c_lt + n_v + 1, 2 * (n_total + 1) - (2 * c_lt + n_v + 1)) ab2
+        | FROM cum CROSS JOIN tot
+        |), pooled AS (
+        | SELECT cast(max(n_total) as bigint) n_total,
+        |  cast(sum(n_v * ab2) as bigint) pool_ab2,
+        |  cast(sum(cast(n_v as hugeint) * ab2 * ab2) as bigint) pool_ab2_sq
+        | FROM sc
+        |), g AS (
+        | SELECT '1-URGENT' o_orderpriority, cast(sum(a_urg) as bigint) n_g,
+        |  cast(sum(a_urg * ab2) as bigint) ab2_sum FROM sc
+        | UNION ALL
+        | SELECT '5-LOW', cast(sum(a_low) as bigint), cast(sum(a_low * ab2) as bigint) FROM sc
+        |)
+        |SELECT g.o_orderpriority, g.n_g, g.ab2_sum, p.n_total, p.pool_ab2, p.pool_ab2_sq
+        |FROM g CROSS JOIN pooled p ORDER BY 1""".stripMargin,
+
+    // LPA, two synchronous steps from id seeds over the co-purchase
+    // graph (same edge CTEs as q58); tie -> smallest label
+    "q168_lpa_step" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |), e AS MATERIALIZED (
+        | SELECT a AS src, b2 AS dst FROM pairs UNION ALL SELECT b2, a FROM pairs
+        |), l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |s1 AS (
+        | SELECT node, l AS label, c AS votes FROM (
+        |  SELECT e.src AS node, l0.label AS l, cast(count(*) as bigint) c,
+        |   row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, l0.label) rn
+        |  FROM e JOIN l0 ON e.dst = l0.node GROUP BY e.src, l0.label
+        | ) t WHERE rn = 1
+        |), s2 AS (
+        | SELECT node, l AS label, c AS votes FROM (
+        |  SELECT e.src AS node, s1.label AS l, cast(count(*) as bigint) c,
+        |   row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, s1.label) rn
+        |  FROM e JOIN s1 ON e.dst = s1.node GROUP BY e.src, s1.label
+        | ) t WHERE rn = 1
+        |)
+        |SELECT node, label, votes FROM s2 ORDER BY node""".stripMargin,
+
+    // silence trim: conditional min/max over the full-frame energies
+    "mm_silence_trim" ->
+      """WITH d AS (
+        | SELECT doc_id, text, cast(length(text) as bigint) n_bytes FROM documents
+        |), f AS (
+        | SELECT doc_id, n_bytes, text, unnest(range(0, (n_bytes - 1) // 8 + 1)) frame_idx
+        | FROM d
+        |), e AS (
+        | SELECT doc_id, cast(frame_idx as bigint) frame_idx,
+        |  cast(list_sum(list_transform(range(1, cast(least(8, n_bytes - frame_idx * 8) as int) + 1),
+        |    i -> ascii(substring(text, cast(frame_idx * 8 as int) + i, 1)))) as bigint) energy
+        | FROM f WHERE least(8, n_bytes - frame_idx * 8) = 8
+        |)
+        |SELECT doc_id, cast(count(*) as bigint) AS n_frames,
+        | min(CASE WHEN energy >= 700 THEN frame_idx END) AS first_loud,
+        | max(CASE WHEN energy >= 700 THEN frame_idx END) AS last_loud,
+        | coalesce(max(CASE WHEN energy >= 700 THEN frame_idx END)
+        |   - min(CASE WHEN energy >= 700 THEN frame_idx END) + 1, 0) AS kept_frames,
+        | coalesce(min(CASE WHEN energy >= 700 THEN frame_idx END), count(*)) AS lead_cut,
+        | coalesce(cast(count(*) as bigint) - 1 - max(CASE WHEN energy >= 700 THEN frame_idx END), 0) AS trail_cut,
+        | min(CASE WHEN energy >= 700 THEN frame_idx END) IS NULL AS all_silent
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // RAKE: corpus-derived stoplist (top-10 DF per lang), stopword-free
     // runs via gaps-and-islands, exact fixed-point word/phrase scores

@@ -3848,6 +3848,82 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Ansari–Bradley scale-test inputs — do the extreme priorities
+    * ('1-URGENT' vs '5-LOW') differ in daily-revenue DISPERSION even
+    * when centered alike? AB scores rank from BOTH ends toward the
+    * middle (a = min(r, N+1−r), small scores at the extremes), so a
+    * group holding the tails collects a smaller sum. Shared DOUBLED
+    * midranks keep everything integral under ties:
+    * r2(v) = 2·c_lt + n_v + 1, ab2(v) = min(r2, 2(N+1) − r2), the
+    * statistic is Σ a_g(v)·ab2(v) per group, and the tie-corrected
+    * null-variance pieces (pooled Σ n_v·ab2, Σ n_v·ab2²) ride along
+    * exactly. The value collapse + distributed two-phase prefix keep
+    * the distinct-value table the only ordered structure. */
+  def q167AnsariBradley(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val dv = daily.groupBy($"cents")
+      .agg(count(lit(1)).as("n_v"),
+        sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)).as("a_urg"),
+        sum(when($"o_orderpriority" === "5-LOW", 1L).otherwise(0L)).as("a_low"))
+      .withColumn("_k", lit(1))
+    val tot = daily.agg(count(lit(1)).as("n_total"))
+    val cum = CorpusPipeline.prefixSumExclusive(dv, "_k",
+      Seq($"cents"), "n_v", "c_lt",
+      CorpusPipeline.equiWidthBucket(daily.select($"cents"), "cents"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .withColumn("r2", lit(2L) * $"c_lt" + $"n_v" + lit(1L))
+      .withColumn("ab2", least($"r2", lit(2L) * ($"n_total" + 1L) - $"r2"))
+    val pooled = scored.agg(
+      max($"n_total").as("n_total"),
+      sum($"n_v" * $"ab2").as("pool_ab2"),
+      expr("cast(sum(cast(n_v as decimal(38,0)) * ab2 * ab2) as bigint)").as("pool_ab2_sq"))
+    scored
+      .select(explode(expr(
+        "array(named_struct('o_orderpriority', '1-URGENT', 'a', a_urg)," +
+          " named_struct('o_orderpriority', '5-LOW', 'a', a_low))")).as("e"),
+        $"ab2")
+      .groupBy($"e.o_orderpriority")
+      .agg(sum($"e.a").as("n_g"), sum($"e.a" * $"ab2").as("ab2_sum"))
+      .crossJoin(broadcast(pooled))
+      .select($"o_orderpriority", $"n_g", $"ab2_sum", $"n_total",
+        $"pool_ab2", $"pool_ab2_sq")
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Label propagation, two synchronous steps over the co-purchase
+    * graph — the cheap community-detection pass (GraphX/GraphFrames
+    * `labelPropagation` shape) seeded label(v) = v: each step every
+    * node adopts its neighbors' MOST FREQUENT current label (tie →
+    * smallest label). Step 1 from id-seeds degenerates to min-neighbor
+    * (every vote distinct — that step is still run, not skipped); step
+    * 2 is the real frequency vote, so two steps is the smallest
+    * honest unit. Each step is one edge-keyed join + a (node, label)
+    * count + a per-node argmax window — the synchronous-iteration
+    * template every LPA deployment scales by. */
+  def q168LpaStep(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    val pairs = copurchaseEdges(spark, dir)
+    val e = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    val wPick = Window.partitionBy($"src").orderBy($"c".desc, $"l")
+    for (_ <- 1 to iters) {
+      labels = e.join(labels, $"dst" === $"node")
+        .groupBy($"src", $"label".as("l"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter($"rn" === 1)
+        .select($"src".as("node"), $"l".as("label"), $"c".as("votes"))
+    }
+    materializeAndRelease(spark,
+      labels.select($"node", $"label", $"votes").orderBy($"node"), e)
+  }
+
   /** Cochran–Armitage trend inputs — trend in a BINARY outcome across
     * ordered groups (the dose-response / funnel-stage test; here:
     * fulfilled-order rate across the 1-URGENT→5-LOW priority order,

@@ -189,6 +189,34 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Silence TRIM over the pseudo-audio frame stream — the
+    * leading/trailing low-energy cut every audio-ingest pipeline
+    * applies before feature extraction (here over the same
+    * deterministic byte-frame stand-in as [[mmFrameEnergy]]): frames
+    * below the energy threshold at the head and tail are dropped, the
+    * kept span is reported in frames, and an all-silent payload is
+    * FLAGGED (kept span zero, NULL bounds) rather than dropped. One
+    * conditional min/max rollup per payload above the frame explode —
+    * no window at all; map-side combinable at any scale. */
+  def mmSilenceTrim(spark: SparkSession, dir: String,
+      frame: Int = 8, threshold: Long = 700L): DataFrame =
+    frameEnergies(spark, dir, frame)
+      .filter(col("frame_len") === frame.toLong)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(when(col("energy") >= threshold, col("frame_idx")))
+          .as("first_loud"),
+        max(when(col("energy") >= threshold, col("frame_idx")))
+          .as("last_loud"))
+      .withColumn("kept_frames",
+        coalesce(col("last_loud") - col("first_loud") + 1L, lit(0L)))
+      .withColumn("lead_cut",
+        coalesce(col("first_loud"), col("n_frames")))
+      .withColumn("trail_cut",
+        coalesce(col("n_frames") - 1L - col("last_loud"), lit(0L)))
+      .withColumn("all_silent", col("first_loud").isNull)
+      .orderBy(col("doc_id"))
+
   /** Exact media dedup: payloads grouped by content digest — the
     * storage-dedup / hash-matching pass every media lake runs before
     * any expensive perceptual comparison. Map-side md5 over the

@@ -234,6 +234,102 @@ class Round9WidenSpec extends SparkSpec {
     assert(withCut > 0 && withCut < rows.length, "both cut classes live")
   }
 
+  test("q167_ansari_bradley: doubled AB scores recompute; group sums partition the pool") {
+    val daily = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val n = daily.length.toLong
+    val byVal = daily.groupBy(_._2).toSeq.sortBy(_._1)
+    var cLt = 0L
+    val ab2ByVal = byVal.map { case (v, hits) =>
+      val nv = hits.length.toLong
+      val r2 = 2L * cLt + nv + 1L
+      cLt += nv
+      v -> math.min(r2, 2L * (n + 1L) - r2)
+    }.toMap
+    val expSum = daily.groupBy(_._1).map { case (g, hits) =>
+      g -> ((hits.length.toLong, hits.map(h => ab2ByVal(h._2)).sum))
+    }
+    val rows = operators.Analytics.q167AnsariBradley(spark, sf0001).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (nG, sum) = expSum(r.getString(0))
+      assert(r.getLong(1) == nG && r.getLong(2) == sum, s"${r.getString(0)}")
+      assert(r.getLong(3) == n)
+    }
+    // the two group sums partition the pooled AB mass exactly
+    assert(rows.map(_.getLong(2)).sum == rows.head.getLong(4),
+      "sum over groups = pooled ab2")
+    val pooledSq = byVal.map { case (v, hits) =>
+      hits.length.toLong * ab2ByVal(v) * ab2ByVal(v) }.sum
+    assert(rows.head.getLong(5) == pooledSq, "pooled ab2^2 (tie-corrected variance piece)")
+  }
+
+  test("q168_lpa_step: two-step label propagation recomputes from the raw edges") {
+    val baskets = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val pairs = baskets.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    def step(lab: Map[Long, Long]): Map[Long, (Long, Long)] =
+      adj.map { case (v, ns) =>
+        val votes = ns.groupBy(lab).map { case (l, hits) => (l, hits.size.toLong) }
+        val (l, c) = votes.minBy { case (l, c) => (-c, l) }
+        v -> ((l, c))
+      }
+    val s1 = step(adj.keys.map(v => v -> v).toMap)
+    val s2 = step(s1.map { case (v, (l, _)) => v -> l })
+    val rows = operators.Analytics.q168LpaStep(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == s2, "two-step LPA labels + votes must match the driver recompute")
+    assert(rows.values.map(_._1).toSet.size < rows.size,
+      "propagation must actually merge nodes into communities")
+  }
+
+  test("mm_silence_trim: bounds recompute; the all-silent class fires on synthetic input") {
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = operators.Multimodal.mmSilenceTrim(spark, sf0001).collect()
+    var trimmed = 0
+    rows.foreach { r =>
+      val es = texts(r.getLong(0)).toCharArray.grouped(8)
+        .filter(_.length == 8).map(_.map(_.toLong).sum).toArray
+      val loud = es.zipWithIndex.filter(_._1 >= 700L).map(_._2.toLong)
+      assert(r.getLong(1) == es.length.toLong)
+      if (loud.isEmpty) assert(r.getBoolean(7) && r.getLong(4) == 0L)
+      else {
+        assert(r.getLong(2) == loud.min && r.getLong(3) == loud.max)
+        assert(r.getLong(4) == loud.max - loud.min + 1L)
+        assert(r.getLong(5) == loud.min && r.getLong(6) == es.length - 1L - loud.max)
+        if (loud.min > 0 || loud.max < es.length - 1) trimmed += 1
+      }
+    }
+    assert(trimmed > 0, "fixture must contain payloads with silent edges")
+    // the TRUE all_silent class (vacuity allowlist contract): a payload
+    // of spaces (frame energy 8*32 = 256 < 700) must flag, not drop
+    val dir = java.nio.file.Files.createTempDirectory("silent_docs")
+    val spk = spark
+    import spk.implicits._
+    Seq((1L, " " * 64, "en", "src0", 64L),
+      (2L, "Z" * 64, "en", "src0", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.toString + "/documents.parquet")
+    val syn = operators.Multimodal.mmSilenceTrim(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(syn(1L).getBoolean(7) && syn(1L).getLong(4) == 0L
+      && syn(1L).getLong(5) == 8L && syn(1L).isNullAt(2),
+      "all-silent payload: flagged, kept 0, full lead cut, NULL bounds")
+    assert(!syn(2L).getBoolean(7) && syn(2L).getLong(4) == 8L,
+      "loud payload unaffected")
+  }
+
   test("txt_rake: keyphrases recompute from a driver-side RAKE pass") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("lang"), col("text")).collect()

@@ -25,6 +25,7 @@ ALLOW_MONO = {
     ("pipe_code_mix", "is_code"),        # same signal, per-language rollup
     ("pipe_l_diversity", "at_risk"),     # 2-row audit table
     ("q7_semi_anti", "has_orders"),      # anti class exists only at sf0.1; both halves spec'd
+    ("mm_silence_trim", "all_silent"),   # corpus payloads always have a loud frame; true class spec'd on synthetic silence
 }
 
 
