@@ -939,6 +939,7 @@ object Similarity {
     * exact integer arithmetic in both engines. */
   def simMmr(spark: SparkSession, dir: String, poolK: Int = 20,
       k: Int = 5): DataFrame = {
+    import spark.implicits._
     val c = corpus(spark, dir)
     val scored = broadcast(queries(c)).crossJoin(c)
       .filter(col("vec_id") =!= col("qid"))
@@ -948,49 +949,53 @@ object Similarity {
         col("rel_micro"))
     val pool = org.apache.spark.sql.graft.TopK.perGroup(
       scored, Seq("qid"), Seq("rel_micro" -> true, "vec_id" -> false), poolK)
-    val pairs = pool.select(col("qid"), col("vec_id").as("ca"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      .join(pool.select(col("qid"), col("vec_id").as("cb"),
-        col("embedding").as("eb"), col("nrm").as("nb")), Seq("qid"))
-      .filter(col("ca") =!= col("cb"))
-      .withColumn("psim", floor(lit(1000000) *
-        (VectorOps.dot("ea", "eb") / (col("na") * col("nb")))))
-      .select(col("qid"), col("ca"), col("cb"), col("psim"))
-    val cand0 = pool.select(col("qid"), col("vec_id"), col("rel_micro"))
-    val w1 = Window.partitionBy(col("qid"))
-      .orderBy(col("rel_micro").desc, col("vec_id"))
-    val pick1 = cand0.withColumn("rn", row_number().over(w1))
-      .filter(col("rn") === 1)
-      .select(col("qid"), lit(1L).as("step"), col("vec_id"),
-        col("rel_micro"), lit(null).cast("long").as("max_sim_micro"))
-    // drop the picked candidate, fold its sims into every survivor's msim
-    def advance(rem: DataFrame, pick: DataFrame, first: Boolean): DataFrame = {
-      val joined = rem
-        .join(pick.select(col("qid"), col("vec_id").as("_pk")), Seq("qid"))
-        .filter(col("vec_id") =!= col("_pk"))
-        .join(pairs.withColumnRenamed("ca", "vec_id")
-          .withColumnRenamed("cb", "_pk"), Seq("qid", "vec_id", "_pk"))
-      (if (first) joined.withColumn("msim", col("psim"))
-       else joined.withColumn("msim", greatest(col("msim"), col("psim"))))
-        .select(col("qid"), col("vec_id"), col("rel_micro"), col("msim"))
-    }
-    val wS = Window.partitionBy(col("qid"))
-      .orderBy((col("rel_micro") - col("msim")).desc, col("vec_id"))
-    var rem = advance(cand0, pick1, first = true)
-    var out = pick1
-    for (step <- 2 to k) {
-      val pick = rem.withColumn("rn", row_number().over(wS))
-        .filter(col("rn") === 1)
-        .select(col("qid"), lit(step.toLong).as("step"), col("vec_id"),
-          col("rel_micro"), col("msim").as("max_sim_micro"))
-      out = out.unionAll(pick)
-      if (step < k) rem = advance(rem, pick, first = false)
-    }
-    out
+    // per-query greedy over the pruned pool: one shuffle of poolK
+    // rows/query, the whole O(poolK²·k) interaction local to its group.
+    // Pair sims use the same left-to-right double fold as the SQL/oracle
+    // formulation (floored once to micro), so the greedy is exact
+    // integer arithmetic — value-identical to the k-stage CTE oracle.
+    pool.select(col("qid"), col("vec_id"), col("embedding"), col("nrm"),
+        col("rel_micro"))
+      .as[(Long, Long, Array[Float], Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Array[Float], Double, Long)]) =>
+        val cand = it.toArray
+        def psim(a: Int, b: Int): Long = {
+          val (ea, na) = (cand(a)._3, cand(a)._4)
+          val (eb, nb) = (cand(b)._3, cand(b)._4)
+          var dot = 0.0
+          var i = 0
+          while (i < ea.length) { dot += ea(i).toDouble * eb(i).toDouble; i += 1 }
+          math.floor(1000000.0 * (dot / (na * nb))).toLong
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val msim = Array.fill(cand.length)(Long.MinValue)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Option[Long])]
+        for (step <- 1 to math.min(k, cand.length)) {
+          var best = -1
+          for (i <- cand.indices if !selected.contains(i)) {
+            val obj = cand(i)._5 - (if (step == 1) 0L else msim(i))
+            if (best < 0) best = i
+            else {
+              val bObj = cand(best)._5 - (if (step == 1) 0L else msim(best))
+              if (obj > bObj || (obj == bObj && cand(i)._2 < cand(best)._2))
+                best = i
+            }
+          }
+          out += ((qid, step.toLong, cand(best)._2, cand(best)._5,
+            if (step == 1) None else Some(msim(best))))
+          selected += best
+          for (i <- cand.indices if !selected.contains(i)) {
+            val s = psim(i, best)
+            if (s > msim(i)) msim(i) = s
+          }
+        }
+        out.iterator
+      }
+      .toDF("query_id", "step", "vec_id", "rel_micro", "max_sim_micro")
       .withColumn("mmr_micro",
         col("rel_micro") - coalesce(col("max_sim_micro"), lit(0L)))
-      .select(col("qid").as("query_id"), col("step"), col("vec_id"),
-        col("rel_micro"), col("max_sim_micro"), col("mmr_micro"))
       .orderBy(col("query_id"), col("step"))
   }
 

@@ -1857,9 +1857,11 @@ object TextAnalysis {
       .filter(col("is_stop").isNull)
       .withColumn("run_id", col("pos") - row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-    val runLen = runs.groupBy(col("doc_id"), col("run_id"))
-      .agg(count(lit(1)).as("run_len"))
-    val occ = runs.join(runLen, Seq("doc_id", "run_id"))
+    // run length via an unordered window over (doc_id, run_id): the
+    // run_id window already partitioned by doc_id, so this adds a sort
+    // but NO second shuffle (vs the groupBy + self-join formulation)
+    val occ = runs.withColumn("run_len", count(lit(1)).over(
+      Window.partitionBy(col("doc_id"), col("run_id"))))
     val wstat = occ.groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("freq"), sum(col("run_len")).as("deg"))
       .withColumn("w_micro", expr("deg * 1000000 div freq"))
