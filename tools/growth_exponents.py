@@ -30,6 +30,10 @@ ID_NAMES = {"doc_id", "user_id", "vec_id", "event_id", "bid", "dropped",
             "node", "i", "j",
             # id-VALUED statistics: min/max/kept ids, pair endpoints
             "doc_new", "max_kept", "part_a", "part_b", "key_a", "key_b",
+            # keeper_doc = min(doc_id) over a chunk's holders; an LPA
+            # label IS a node id (min-label tie rule) — both jump by
+            # the replica key offset on the replicated sf1 input
+            "keeper_doc", "label",
             # component labels ARE ids: min(doc_id) over the cluster,
             # so their jump is the replica key offset too; cluster is
             # pipe_cluster_split's coalesce(component, doc_id)
