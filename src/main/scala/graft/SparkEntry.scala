@@ -80,6 +80,9 @@ object SparkEntry {
     "dd_edit_distance" -> (Dedup.ddEditDistance _),
     "dd_edit_gate" -> ((s: SparkSession, d: String) => Dedup.ddEditGate(s, d)),
     "dd_cdc_chunks" -> ((s: SparkSession, d: String) => Dedup.ddCdcChunks(s, d)),
+    "dd_cdc_ingest" -> ((s: SparkSession, d: String) => Dedup.ddCdcIngest(s, d)),
+    "q169_runs_up_down" -> (Analytics.q169RunsUpDown _),
+    "pipe_class_weights" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeClassWeights(s, d)),
     "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
     "sim_hard_negatives_ivf" -> ((s: SparkSession, d: String) => Similarity.simHardNegativesIvf(s, d)),
@@ -2555,6 +2558,83 @@ object SparkEntry {
          | min(doc_id) AS keeper_doc
          |FROM c GROUP BY 1 HAVING count(*) >= 2 ORDER BY chunk_md5""".stripMargin
     },
+
+    // CDC ingest savings: same chunk CTEs, history = distinct hashes of
+    // ids < 400, per-new-doc hit/byte rollup
+    "dd_cdc_ingest" -> {
+      val pows = Array.iterate(1L, 8)(_ * 31L)
+      val h = (0 until 8)
+        .map(j => s"cast(ascii(substring(text, i - $j, 1)) as bigint) * ${pows(j)}")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text, cast(length(text) as int) n FROM documents),
+         |b AS (
+         | SELECT doc_id, text, n,
+         |  list_filter(list_transform(range(8, greatest(n, 8)), i ->
+         |    CASE WHEN ($h) % 64 = 0 THEN i ELSE -1 END), x -> x <> -1) bnds
+         | FROM d
+         |), a AS (
+         | SELECT doc_id, text, [0] || bnds || [n] AS allb FROM b
+         |), k AS (
+         | SELECT doc_id, text, allb, unnest(range(1, len(allb))) kk FROM a
+         |), c AS (
+         | SELECT doc_id,
+         |  md5(substring(text, cast(allb[kk] + 1 as int), cast(allb[kk + 1] - allb[kk] as int))) chunk_md5,
+         |  cast(allb[kk + 1] - allb[kk] as bigint) chunk_len
+         | FROM k
+         |), hist AS (SELECT DISTINCT chunk_md5 FROM c WHERE doc_id < 400),
+         |nw AS (
+         | SELECT c.doc_id, c.chunk_len,
+         |  CASE WHEN hist.chunk_md5 IS NULL THEN 0 ELSE 1 END hit
+         | FROM c LEFT JOIN hist USING (chunk_md5) WHERE c.doc_id >= 400
+         |)
+         |SELECT doc_id, cast(count(*) as bigint) AS n_chunks,
+         | cast(sum(hit) as bigint) AS n_hit,
+         | cast(sum(chunk_len) as bigint) AS bytes_total,
+         | cast(sum(CASE WHEN hit = 1 THEN chunk_len ELSE 0 END) as bigint) AS bytes_saved,
+         | cast(sum(CASE WHEN hit = 1 THEN chunk_len ELSE 0 END) * 1000000 // sum(chunk_len) as bigint) AS saved_micro
+         |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // runs up-and-down: sign changes over the nonzero daily deltas
+    "q169_runs_up_down" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), s0 AS (
+        | SELECT o_orderpriority, "day",
+        |  cents - lag(cents) OVER (PARTITION BY o_orderpriority ORDER BY "day") d
+        | FROM daily
+        |), s1 AS (
+        | SELECT o_orderpriority, "day",
+        |  CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END s
+        | FROM s0 WHERE d IS NOT NULL
+        |), nz AS (
+        | SELECT o_orderpriority, s,
+        |  lag(s) OVER (PARTITION BY o_orderpriority ORDER BY "day") prev_s
+        | FROM s1 WHERE s <> 0
+        |), agg AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) m,
+        |  cast(sum(CASE WHEN prev_s IS NOT NULL AND prev_s <> s THEN 1 ELSE 0 END) as bigint) n_changes
+        | FROM nz GROUP BY 1
+        |), z AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_zero
+        | FROM s1 WHERE s = 0 GROUP BY 1
+        |)
+        |SELECT a.o_orderpriority, a.m, coalesce(z.n_zero, 0) AS n_zero,
+        | cast(a.n_changes + 1 as bigint) AS n_runs,
+        | cast(2 * (a.m + 1) - 1 as bigint) AS mean3,
+        | cast(16 * (a.m + 1) - 29 as bigint) AS var90
+        |FROM agg a LEFT JOIN z USING (o_orderpriority) ORDER BY 1""".stripMargin,
+
+    // inverse-frequency class weights (sklearn 'balanced' convention)
+    "pipe_class_weights" ->
+      """WITH g AS (SELECT lang, cast(count(*) as bigint) n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT cast(sum(n_docs) as bigint) n_total, cast(count(*) as bigint) k FROM g)
+        |SELECT lang, n_docs, n_total,
+        | cast(n_docs * 1000000 // n_total as bigint) AS share_micro,
+        | cast(n_total * 1000000 // (k * n_docs) as bigint) AS weight_micro
+        |FROM g CROSS JOIN t ORDER BY lang""".stripMargin,
 
     // per-doc verdict rollup of the incremental candidates: same band
     // CTEs, then the Levenshtein verify tier and a min() per new doc

@@ -3924,6 +3924,41 @@ object Analytics {
       labels.select($"node", $"label", $"votes").orderBy($"node"), e)
   }
 
+  /** Runs-UP-AND-DOWN test inputs — the randomness screen against
+    * TREND/oscillation (q111's runs-vs-median screen catches level
+    * clustering; this one catches momentum): the sign sequence of
+    * consecutive daily deltas (zero deltas dropped, counted
+    * separately), R = 1 + sign changes, and the exact null pieces
+    * E[R] = (2N−1)/3 and 90·Var[R] = 16N−29 over N = m+1 effective
+    * values ride along as integers (mean3 = numerator of 3·E[R]).
+    * Two serial windows per priority above the day-keyed aggregate —
+    * the calendar-serial family. */
+  def q169RunsUpDown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val signs = daily
+      .withColumn("d", $"cents" - lag($"cents", 1).over(w))
+      .filter($"d".isNotNull)
+      .withColumn("s", signum($"d").cast("long"))
+    val nz = signs.filter($"s" =!= 0L)
+      .withColumn("prev_s", lag($"s", 1).over(w))
+    nz.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("m"),
+        sum(when($"prev_s".isNotNull && $"prev_s" =!= $"s", 1L).otherwise(0L))
+          .as("n_changes"))
+      .join(signs.filter($"s" === 0L).groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_zero")), Seq("o_orderpriority"), "left")
+      .na.fill(0L, Seq("n_zero"))
+      .select($"o_orderpriority", $"m", $"n_zero",
+        ($"n_changes" + 1L).as("n_runs"),
+        (lit(2L) * ($"m" + 1L) - 1L).as("mean3"),
+        (lit(16L) * ($"m" + 1L) - 29L).as("var90"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Cochran–Armitage trend inputs — trend in a BINARY outcome across
     * ordered groups (the dose-response / funnel-stage test; here:
     * fulfilled-order rate across the 1-URGENT→5-LOW priority order,

@@ -770,6 +770,24 @@ object CorpusPipeline {
       .orderBy(col("source"), col("len_bucket"))
   }
 
+  /** Inverse-frequency CLASS WEIGHTS per language — the balancing
+    * weights a training loop feeds its sampler/loss when classes are
+    * skewed: w_g = N / (k·n_g) (sklearn's `balanced` convention —
+    * weights average to 1 across the corpus), exact micro fixed-point.
+    * One tiny aggregate + broadcast total; the audit row carries the
+    * class share so the skew is visible next to its correction. */
+  def pipeClassWeights(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = g.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("k"))
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_total"),
+        expr("n_docs * 1000000 div n_total").as("share_micro"),
+        expr("n_total * 1000000 div (k * n_docs)").as("weight_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** RLHF preference-pair assembly: within each language, pair the
     * i-th longest document (proxy "chosen") with the i-th shortest
     * ("rejected") — the deterministic best-vs-worst layout used to

@@ -538,13 +538,12 @@ object Dedup {
     * the same value). 100 TB shape: chunking + hashing fuse into the
     * scan map-side; only slim (hash, doc_id, len) rows shuffle on the
     * chunk hash — the text bytes never move. */
-  def ddCdcChunks(spark: SparkSession, dir: String,
-      window: Int = 8, mask: Int = 63): DataFrame = {
-    // boundary positions come from the native rolling-hash expression
-    // (one compiled O(n) pass per row; the interpreted per-position HOF
-    // formulation it replaces measured ~10x slower at sf0.1 — the
-    // value is asserted identical against that formulation in spec)
-    val chunks = TextOps.balanced(Tables.documents(spark, dir))
+  /** Per-document CDC chunk rows (doc_id, chunk_md5, chunk_len) —
+    * shared by [[ddCdcChunks]] (corpus-wide duplicate table) and
+    * [[ddCdcIngest]] (new-batch savings vs the history store). */
+  private def cdcChunkRows(spark: SparkSession, dir: String,
+      window: Int, mask: Int): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"),
         expr("cast(length(text) as int)").as("n"))
       .withColumn("bnds",
@@ -559,6 +558,14 @@ object Dedup {
       .select(col("doc_id"),
         expr("md5(substring(text, ch.start, ch.clen))").as("chunk_md5"),
         expr("cast(ch.clen as bigint)").as("chunk_len"))
+
+  def ddCdcChunks(spark: SparkSession, dir: String,
+      window: Int = 8, mask: Int = 63): DataFrame = {
+    // boundary positions come from the native rolling-hash expression
+    // (one compiled O(n) pass per row; the interpreted per-position HOF
+    // formulation it replaces measured ~10x slower at sf0.1 — the
+    // value is asserted identical against that formulation in spec)
+    val chunks = cdcChunkRows(spark, dir, window, mask)
     chunks
       .groupBy(col("chunk_md5"))
       .agg(min(col("chunk_len")).as("chunk_len"),
@@ -567,6 +574,37 @@ object Dedup {
         min(col("doc_id")).as("keeper_doc"))
       .filter(col("n_copies") >= 2)
       .orderBy(col("chunk_md5"))
+  }
+
+  /** CDC INGEST savings report — the per-document answer a chunk store
+    * gives a nightly batch: "how many of this new doc's chunks do we
+    * already hold, and how many bytes does that save?" New docs
+    * (id ≥ splitId) are chunked with the same content-defined
+    * boundaries as [[ddCdcChunks]]; each chunk probes the HISTORY
+    * store (the distinct chunk hashes of ids < splitId — in a
+    * deployment this is the persisted chunk index, the
+    * ddIncrementalFromLake pattern; here recomputed so the oracle can
+    * check values). saved_micro = bytes_saved·10⁶ div bytes_total is
+    * the per-doc dedup ratio an ingest dashboard plots. 100 TB shape:
+    * both sides are slim (hash, len) rows, the probe is one hash-keyed
+    * join, text bytes never shuffle. */
+  def ddCdcIngest(spark: SparkSession, dir: String,
+      window: Int = 8, mask: Int = 63, splitId: Long = 400L): DataFrame = {
+    val chunks = cdcChunkRows(spark, dir, window, mask)
+    val hist = chunks.filter(col("doc_id") < splitId)
+      .select(col("chunk_md5")).distinct()
+      .withColumn("hit", lit(1L))
+    chunks.filter(col("doc_id") >= splitId)
+      .join(hist, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        sum(col("chunk_len")).as("bytes_total"),
+        sum(when(col("hit").isNotNull, col("chunk_len")).otherwise(0L))
+          .as("bytes_saved"))
+      .withColumn("saved_micro",
+        expr("bytes_saved * 1000000 div bytes_total"))
+      .orderBy(col("doc_id"))
   }
 
   /** Decontamination: flag training documents that share any word

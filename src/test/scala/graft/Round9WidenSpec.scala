@@ -330,6 +330,79 @@ class Round9WidenSpec extends SparkSpec {
       "loud payload unaffected")
   }
 
+  test("dd_cdc_ingest: savings recompute; replica docs dedupe near-fully") {
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pows = Array.iterate(1L, 8)(_ * 31L)
+    def chunksOf(t: String): Seq[String] = {
+      val n = t.length
+      val bnds = (8 to n - 1).filter { i =>
+        (0 until 8).map(j => t.charAt(i - 1 - j).toLong * pows(j)).sum % 64 == 0
+      }
+      (0 +: bnds :+ n).sliding(2).map { case Seq(a, b) => t.substring(a, b) }.toSeq
+    }
+    val hist = texts.filter(_._1 < 400L).values.flatMap(chunksOf).toSet
+    val rows = operators.Dedup.ddCdcIngest(spark, sf0001).collect()
+    assert(rows.length == texts.count(_._1 >= 400L))
+    var fullSave = 0
+    rows.foreach { r =>
+      val cs = chunksOf(texts(r.getLong(0)))
+      val hits = cs.filter(hist.contains)
+      assert(r.getLong(1) == cs.length.toLong, s"doc ${r.getLong(0)} n_chunks")
+      assert(r.getLong(2) == hits.length.toLong, s"doc ${r.getLong(0)} n_hit")
+      assert(r.getLong(3) == cs.map(_.length.toLong).sum)
+      assert(r.getLong(4) == hits.map(_.length.toLong).sum)
+      assert(r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(3))
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(4) <= r.getLong(3))
+      if (r.getLong(5) >= 900000L) fullSave += 1
+    }
+    assert(fullSave > 0, "near-replica docs must dedupe (near-)fully against history")
+  }
+
+  test("q169_runs_up_down: runs and null pieces recompute serially") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val rows = operators.Analytics.q169RunsUpDown(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val series = daily.filter(_._1 == r.getString(0)).sortBy(_._2.toEpochDay).map(_._3)
+      val deltas = series.zip(series.tail).map { case (a, b) => b - a }
+      val signs = deltas.map(d => if (d > 0) 1 else if (d < 0) -1 else 0)
+      val nz = signs.filter(_ != 0)
+      val changes = nz.zip(nz.tail).count { case (a, b) => a != b }
+      assert(r.getLong(1) == nz.length.toLong, "m")
+      assert(r.getLong(2) == signs.count(_ == 0).toLong, "n_zero")
+      assert(r.getLong(3) == changes + 1L, "n_runs")
+      assert(r.getLong(4) == 2L * (nz.length + 1L) - 1L, "3*E[R]")
+      assert(r.getLong(5) == 16L * (nz.length + 1L) - 29L, "90*Var[R]")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(1))
+    }
+  }
+
+  test("pipe_class_weights: inverse-frequency weights recompute; mass averages to 1") {
+    val docs = Tables.documents(spark, sf0001).select(col("lang")).collect()
+      .map(_.getString(0))
+    val n = docs.length.toLong
+    val g = docs.groupBy(identity).map { case (l, hits) => l -> hits.length.toLong }
+    val k = g.size.toLong
+    val rows = operators.CorpusPipeline.pipeClassWeights(spark, sf0001).collect()
+    assert(rows.length == k.toInt)
+    var mass = 0L
+    rows.foreach { r =>
+      val nG = g(r.getString(0))
+      assert(r.getLong(1) == nG && r.getLong(2) == n)
+      assert(r.getLong(3) == nG * 1000000L / n)
+      assert(r.getLong(4) == n * 1000000L / (k * nG))
+      mass += nG * r.getLong(4)
+    }
+    // Σ n_g · w_g = N (weights average to 1), up to the k floor losses
+    assert(mass <= n * 1000000L && mass > n * 1000000L - k * 1000000L,
+      s"balanced-weight mass off: $mass vs ${n * 1000000L}")
+  }
+
   test("txt_rake: keyphrases recompute from a driver-side RAKE pass") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("lang"), col("text")).collect()
