@@ -394,6 +394,43 @@ class PlanSpec extends SparkSpec {
       s"maxsim scoring must not shuffle the corpus:\n$p")
   }
 
+  test("round-9 extension ops: no cartesian products anywhere") {
+    val ps = Seq(
+      "dd_cdc_chunks" -> Dedup.ddCdcChunks(spark, sf0001),
+      "dd_cdc_ingest" -> Dedup.ddCdcIngest(spark, sf0001),
+      "pipe_t_closeness" -> graft.operators.CorpusPipeline.pipeTCloseness(spark, sf0001),
+      "q167_ansari_bradley" -> Analytics.q167AnsariBradley(spark, sf0001),
+      "q169_runs_up_down" -> Analytics.q169RunsUpDown(spark, sf0001),
+      "mm_scene_cut" -> graft.operators.Multimodal.mmSceneCut(spark, sf0001),
+      "mm_silence_trim" -> graft.operators.Multimodal.mmSilenceTrim(spark, sf0001))
+    ps.foreach { case (n, df) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$n degenerated to a cross product:\n$p")
+    }
+  }
+
+  test("txt_rake: the corpus-derived stoplist reaches the token stream as a broadcast") {
+    val p = plan(graft.operators.TextAnalysis.txtRake(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"stoplist join should broadcast (10 rows/lang):\n$p")
+    assert(p.contains("TopKPerGroup"),
+      s"final top-k should prune through the bounded heap:\n$p")
+  }
+
+  test("dd_cdc_ingest: the history probe is a hash join on the chunk digest") {
+    val p = plan(Dedup.ddCdcIngest(spark, sf0001))
+    assert(p.contains("chunk_md5"), s"probe key missing:\n$p")
+    assert(p.contains("HashAggregate"), s"per-doc rollup should hash-aggregate:\n$p")
+  }
+
+  test("mm_scene_cut: the frame lag window is doc-keyed, never global") {
+    val p = plan(graft.operators.Multimodal.mmSceneCut(spark, sf0001))
+    val winLines = p.linesIterator.filter(_.contains("Arguments: [lag("))
+      .mkString("\n")
+    assert(winLines.contains("doc_id"),
+      s"lag window must partition by doc_id:\n$winLines")
+  }
+
   test("sim_mmr: the corpus-sized stage prunes through TopKPerGroup") {
     val p = plan(Similarity.simMmr(spark, sf0001))
     assert(p.contains("TopKPerGroup"),
