@@ -539,11 +539,20 @@ object Dedup {
     * scan map-side; only slim (hash, doc_id, len) rows shuffle on the
     * chunk hash — the text bytes never move. */
   /** Per-document CDC chunk rows (doc_id, chunk_md5, chunk_len) —
-    * shared by [[ddCdcChunks]] (corpus-wide duplicate table) and
-    * [[ddCdcIngest]] (new-batch savings vs the history store). */
+    * shared by [[ddCdcChunks]] (corpus-wide duplicate table),
+    * [[ddCdcIngest]] (new-batch savings vs the history store), and the
+    * streaming ingest twin (which feeds a streaming frame through
+    * [[cdcChunkRowsOf]] — same expressions, same values). */
   private def cdcChunkRows(spark: SparkSession, dir: String,
       window: Int, mask: Int): DataFrame =
-    TextOps.balanced(Tables.documents(spark, dir))
+    cdcChunkRowsOf(TextOps.balanced(Tables.documents(spark, dir)),
+      window, mask)
+
+  /** The chunking projection over any (doc_id, text) frame — batch or
+    * streaming. */
+  private[graft] def cdcChunkRowsOf(docs: DataFrame,
+      window: Int, mask: Int): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         expr("cast(length(text) as int)").as("n"))
       .withColumn("bnds",

@@ -1058,6 +1058,56 @@ object Streams {
       }
   }
 
+  /** Write half of the CDC chunk-store lake: the history's DISTINCT
+    * chunk hashes — the persisted index [[cdcIngestStream]] probes.
+    * ~32 B/chunk, text pruned; an ingest run appends its own new
+    * hashes after the probe (the sigLakeUpsert pattern). */
+  def cdcLakeWrite(spark: SparkSession, dir: String, path: String,
+      splitId: Long = 400L): Unit =
+    graft.operators.Dedup.cdcChunkRowsOf(
+      graft.Tables.documents(spark, dir).filter(col("doc_id") < splitId)
+        .select(col("doc_id"), col("text")), 8, 63)
+      .select(col("chunk_md5")).distinct()
+      .write.mode("overwrite").parquet(s"$path/chunks")
+
+  case class CdcIngestReport(doc_id: Long, n_chunks: Long, n_hit: Long,
+      bytes_total: Long, bytes_saved: Long, saved_micro: Long)
+
+  /** Streaming CDC INGEST monitor — the deployment twin of
+    * [[graft.operators.Dedup.ddCdcIngest]]: each arriving doc is
+    * chunked with the SAME native rolling-hash boundaries, every chunk
+    * probes the persisted chunk store ([[cdcLakeWrite]]) via a
+    * stream-static left join on the digest, and the per-doc savings
+    * report (chunks held, bytes saved, dedup ratio) is the
+    * zero-retained-state flatMapGroupsWithState rollup every gate here
+    * uses. Under the snapshot lake the output is row-identical to the
+    * batch operator (StreamingSpec parity + restart exactly-once). */
+  def cdcIngestStream(docs: Dataset[DocText],
+      lakePath: String): Dataset[CdcIngestReport] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = spark.read.parquet(s"$lakePath/chunks")
+      .withColumn("hit", lit(1L))
+    graft.operators.Dedup.cdcChunkRowsOf(
+        docs.toDF().select(col("doc_id"), col("text")), 8, 63)
+      .join(hist, Seq("chunk_md5"), "left_outer")
+      .select(col("doc_id"), col("chunk_len"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, CdcIngestReport](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (docId, rows, _: GroupState[Boolean]) =>
+          var n = 0L; var h = 0L; var bt = 0L; var bs = 0L
+          rows.foreach { case (_, len, hit) =>
+            n += 1; bt += len
+            if (hit == 1L) { h += 1; bs += len }
+          }
+          Iterator.single(CdcIngestReport(docId, n, h, bt, bs,
+            if (bt == 0L) 0L else bs * 1000000L / bt))
+      }
+  }
+
   /** Write half of the EDIT-GATE dedup lake: the history's LSH band
     * hashes (slim — 4 rows × ~40 bytes per doc, text pruned from the
     * scan) plus the history texts the verify tier fetches by id. Band

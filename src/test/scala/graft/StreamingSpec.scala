@@ -430,6 +430,39 @@ class StreamingSpec extends SparkSpec {
       "both verdict classes live in the fixture")
   }
 
+  test("streaming CDC ingest: exactly-once and batch parity across a checkpointed restart") {
+    val lake = Files.createTempDirectory("cdc_lake")
+    Streams.cdcLakeWrite(spark, sf0001, lake.toString)
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("cdc_src")
+    val out = Files.createTempDirectory("cdc_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(src.toString + "/*")
+        .as[Streams.DocText]
+      val q = Streams.cdcIngestStream(stream, lake.toString)
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src.toString + "/a")
+    runOnce() // first incarnation: only the even docs exist
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src.toString + "/b")
+    runOnce() // restart from the checkpoint: must process ONLY the b files
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val batch = graft.operators.Dedup.ddCdcIngest(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(spark.read.parquet(out).count() == streamed.size,
+      "no doc reported twice across the restart")
+    assert(streamed == batch,
+      "savings reports across the two incarnations equal the batch operator row for row")
+  }
+
   test("streaming KN-trigram gate: exactly-once and batch parity across a checkpointed restart") {
     val lake = Files.createTempDirectory("k3r_lake")
     Streams.kn3LmWrite(spark, sf0001, lake.toString)
