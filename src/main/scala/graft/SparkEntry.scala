@@ -82,6 +82,7 @@ object SparkEntry {
     "dd_cdc_chunks" -> ((s: SparkSession, d: String) => Dedup.ddCdcChunks(s, d)),
     "dd_cdc_ingest" -> ((s: SparkSession, d: String) => Dedup.ddCdcIngest(s, d)),
     "q169_runs_up_down" -> (Analytics.q169RunsUpDown _),
+    "q170_mantel_haenszel" -> (Analytics.q170MantelHaenszel _),
     "pipe_class_weights" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeClassWeights(s, d)),
     "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
@@ -2626,6 +2627,22 @@ object SparkEntry {
         | cast(2 * (a.m + 1) - 1 as bigint) AS mean3,
         | cast(16 * (a.m + 1) - 29 as bigint) AS var90
         |FROM agg a LEFT JOIN z USING (o_orderpriority) ORDER BY 1""".stripMargin,
+
+    // Mantel-Haenszel: per-year 2x2 cells + micro-floored ad/n, bc/n
+    "q170_mantel_haenszel" ->
+      """WITH g AS (
+        | SELECT cast(year(cast(o_orderdate as date)) as bigint) yr,
+        |  cast(sum(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) a,
+        |  cast(sum(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) as bigint) b,
+        |  cast(sum(CASE WHEN o_orderpriority = '5-LOW' AND o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) c,
+        |  cast(sum(CASE WHEN o_orderpriority = '5-LOW' AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) as bigint) d
+        | FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        | GROUP BY 1
+        |)
+        |SELECT yr, a, b, c, d, a + b + c + d AS n,
+        | cast(a * d * 1000000 // (a + b + c + d) as bigint) AS ad_micro,
+        | cast(b * c * 1000000 // (a + b + c + d) as bigint) AS bc_micro
+        |FROM g ORDER BY yr""".stripMargin,
 
     // inverse-frequency class weights (sklearn 'balanced' convention)
     "pipe_class_weights" ->

@@ -3959,6 +3959,33 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Mantel–Haenszel stratified-odds-ratio inputs — the confounder-
+    * adjusted 2×2 readout (does URGENT fulfill more often than LOW
+    * once the order YEAR is held fixed?): per stratum (year) the full
+    * 2×2 cell counts plus the exact MH terms ad·10⁶ div n and
+    * bc·10⁶ div n (micro-floored once — both engines truncate
+    * identically), so OR_MH = Σad_micro / Σbc_micro is one float step
+    * downstream and Simpson's-paradox-proof. One conditional
+    * aggregate per stratum + the per-stratum division; fuses into the
+    * scan at any scale. */
+  def q170MantelHaenszel(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .groupBy(year($"o_orderdate").cast("long").as("yr"))
+      .agg(
+        sum(when($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "F", 1L)
+          .otherwise(0L)).as("a"),
+        sum(when($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" =!= "F", 1L)
+          .otherwise(0L)).as("b"),
+        sum(when($"o_orderpriority" === "5-LOW" && $"o_orderstatus" === "F", 1L)
+          .otherwise(0L)).as("c"),
+        sum(when($"o_orderpriority" === "5-LOW" && $"o_orderstatus" =!= "F", 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("n", $"a" + $"b" + $"c" + $"d")
+      .withColumn("ad_micro", expr("a * d * 1000000 div n"))
+      .withColumn("bc_micro", expr("b * c * 1000000 div n"))
+      .orderBy($"yr")
+
   /** Cochran–Armitage trend inputs — trend in a BINARY outcome across
     * ordered groups (the dose-response / funnel-stage test; here:
     * fulfilled-order rate across the 1-URGENT→5-LOW priority order,

@@ -382,6 +382,30 @@ class Round9WidenSpec extends SparkSpec {
     }
   }
 
+  test("q170_mantel_haenszel: 2x2 cells and MH terms recompute per stratum") {
+    val rows2 = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("cast(year(o_orderdate) as long)"), col("o_orderpriority"),
+        col("o_orderstatus")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val out = operators.Analytics.q170MantelHaenszel(spark, sf0001).collect()
+    assert(out.length == rows2.map(_._1).distinct.length, "one row per year")
+    out.foreach { r =>
+      val yr = r.getLong(0)
+      val s = rows2.filter(_._1 == yr)
+      val a = s.count(x => x._2 == "1-URGENT" && x._3 == "F").toLong
+      val b = s.count(x => x._2 == "1-URGENT" && x._3 != "F").toLong
+      val c = s.count(x => x._2 == "5-LOW" && x._3 == "F").toLong
+      val d = s.count(x => x._2 == "5-LOW" && x._3 != "F").toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((a, b, c, d)))
+      assert(r.getLong(5) == a + b + c + d)
+      assert(r.getLong(6) == a * d * 1000000L / (a + b + c + d))
+      assert(r.getLong(7) == b * c * 1000000L / (a + b + c + d))
+    }
+    // both MH sums live: the OR is a real ratio on this fixture
+    assert(out.map(_.getLong(6)).sum > 0L && out.map(_.getLong(7)).sum > 0L)
+  }
+
   test("pipe_class_weights: inverse-frequency weights recompute; mass averages to 1") {
     val docs = Tables.documents(spark, sf0001).select(col("lang")).collect()
       .map(_.getString(0))
