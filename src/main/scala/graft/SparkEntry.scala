@@ -151,7 +151,7 @@ object SparkEntry {
     "q66_gini" -> (Analytics.q66Gini _),
     "q67_abc_class" -> (Analytics.q67AbcClass _),
     "q68_benford" -> (Analytics.q68Benford _),
-    "dd_containment" -> (Dedup.ddContainment _),
+    "dd_containment" -> ((s: SparkSession, d: String) => Dedup.ddContainment(s, d)),
     "txt_readability" -> (TextAnalysis.txtReadability _),
     "txt_kn_counts" -> ((s: SparkSession, d: String) => TextAnalysis.txtKnCounts(s, d)),
     "pipe_span_corruption" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeSpanCorruption(s, d)),
@@ -346,6 +346,7 @@ object SparkEntry {
     "q166_page_hinkley" -> (Analytics.q166PageHinkley _),
     "q167_ansari_bradley" -> (Analytics.q167AnsariBradley _),
     "q168_lpa_step" -> ((s: SparkSession, d: String) => Analytics.q168LpaStep(s, d)),
+    "q168_lpa4" -> ((s: SparkSession, d: String) => Analytics.q168LpaStep(s, d, iters = 4)),
     "mm_silence_trim" -> ((s: SparkSession, d: String) => Multimodal.mmSilenceTrim(s, d)),
     "txt_rake" -> ((s: SparkSession, d: String) => TextAnalysis.txtRake(s, d)),
     "q165_mood_median" -> (Analytics.q165MoodMedian _),
@@ -1100,13 +1101,16 @@ object SparkEntry {
         |), sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
         | FROM toks WHERE len(t) >= 3
-        |), rows_ AS (
+        |), rows_ AS MATERIALIZED (
         | SELECT doc_id, unnest(shingles) s FROM sh
         |), sizes AS (
         | SELECT doc_id, count(*) n FROM rows_ GROUP BY 1
+        |), hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
         |), inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |)
         |SELECT da AS doc_a, db AS doc_b,
         | round(cast(ninter as double) / (sa.n + sb.n - ninter), 6) AS jaccard
@@ -1119,11 +1123,15 @@ object SparkEntry {
         |), sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
         | FROM toks WHERE len(t) >= 3
-        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
         |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
+        |),
         |inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |),
         |pairs AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -1178,9 +1186,13 @@ object SparkEntry {
         | FROM toks WHERE len(t) >= 3
         |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
         |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
+        |),
         |inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |),
         |pairs AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -1204,9 +1216,13 @@ object SparkEntry {
         | FROM toks WHERE len(t) >= 3
         |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
         |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
+        |),
         |inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |),
         |pairs AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -1405,9 +1421,13 @@ object SparkEntry {
         | FROM toks WHERE len(t) >= 3
         |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
         |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
+        |),
         |inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |),
         |pairs AS MATERIALIZED (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -2398,13 +2418,16 @@ object SparkEntry {
         |), sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
         | FROM toks WHERE len(t) >= 3
-        |), rows_ AS (
+        |), rows_ AS MATERIALIZED (
         | SELECT doc_id, unnest(shingles) s FROM sh
         |), sizes AS (
         | SELECT doc_id, count(*) n FROM rows_ GROUP BY 1
+        |), hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
         |), inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |)
         |SELECT da AS doc_a, db AS doc_b,
         | round(cast(ninter as double) / least(sa.n, sb.n), 6) AS containment
@@ -2640,8 +2663,8 @@ object SparkEntry {
         | GROUP BY 1
         |)
         |SELECT yr, a, b, c, d, a + b + c + d AS n,
-        | cast(a * d * 1000000 // (a + b + c + d) as bigint) AS ad_micro,
-        | cast(b * c * 1000000 // (a + b + c + d) as bigint) AS bc_micro
+        | cast(cast(a as hugeint) * d * 1000000 // (a + b + c + d) as bigint) AS ad_micro,
+        | cast(cast(b as hugeint) * c * 1000000 // (a + b + c + d) as bigint) AS bc_micro
         |FROM g ORDER BY yr""".stripMargin,
 
     // inverse-frequency class weights (sklearn 'balanced' convention)
@@ -3191,11 +3214,15 @@ object SparkEntry {
         |), sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
         | FROM toks WHERE len(t) >= 3
-        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
         |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
+        |),
         |inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |),
         |pairs AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -3592,13 +3619,16 @@ object SparkEntry {
         |), shd AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
         | FROM toks WHERE len(t) >= 3
-        |), rows_ AS (
+        |), rows_ AS MATERIALIZED (
         | SELECT doc_id, unnest(shingles) s FROM shd
         |), sizes AS (
         | SELECT doc_id, count(*) n FROM rows_ GROUP BY 1
+        |), hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
         |), inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |), exact AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
@@ -3776,11 +3806,15 @@ object SparkEntry {
         |), sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
         | FROM toks WHERE len(t) >= 3
-        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
         |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
+        |),
         |inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |),
         |pairs AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -6005,11 +6039,15 @@ object SparkEntry {
         |), sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
         | FROM toks WHERE len(t) >= 3
-        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
         |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
+        |),
         |inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |),
         |pairs AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -6230,11 +6268,15 @@ object SparkEntry {
         |), sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
         | FROM toks WHERE len(t) >= 3
-        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
         |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
+        |),
         |inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |),
         |pairs AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -6372,13 +6414,16 @@ object SparkEntry {
         |), shd AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
         | FROM toks WHERE len(t) >= 3
-        |), rows_ AS (
+        |), rows_ AS MATERIALIZED (
         | SELECT doc_id, unnest(shingles) s FROM shd
         |), sizes AS (
         | SELECT doc_id, count(*) n FROM rows_ GROUP BY 1
+        |), hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
         |), inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |), exact AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         | WHERE ninter * 5 >= (sa.n + sb.n - ninter)
@@ -6539,6 +6584,46 @@ object SparkEntry {
         | ) t WHERE rn = 1
         |)
         |SELECT node, label, votes FROM s2 ORDER BY node""".stripMargin,
+
+    // LPA, FOUR synchronous steps — exercises the loop past the
+    // unrolled-2 case (per-iteration localCheckpoint keeps the Spark
+    // plan depth constant; the oracle just unrolls two more stages)
+    "q168_lpa4" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |), e AS MATERIALIZED (
+        | SELECT a AS src, b2 AS dst FROM pairs UNION ALL SELECT b2, a FROM pairs
+        |), l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |s1 AS MATERIALIZED (
+        | SELECT node, l AS label, c AS votes FROM (
+        |  SELECT e.src AS node, l0.label AS l, cast(count(*) as bigint) c,
+        |   row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, l0.label) rn
+        |  FROM e JOIN l0 ON e.dst = l0.node GROUP BY e.src, l0.label
+        | ) t WHERE rn = 1
+        |), s2 AS MATERIALIZED (
+        | SELECT node, l AS label, c AS votes FROM (
+        |  SELECT e.src AS node, s1.label AS l, cast(count(*) as bigint) c,
+        |   row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, s1.label) rn
+        |  FROM e JOIN s1 ON e.dst = s1.node GROUP BY e.src, s1.label
+        | ) t WHERE rn = 1
+        |), s3 AS MATERIALIZED (
+        | SELECT node, l AS label, c AS votes FROM (
+        |  SELECT e.src AS node, s2.label AS l, cast(count(*) as bigint) c,
+        |   row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, s2.label) rn
+        |  FROM e JOIN s2 ON e.dst = s2.node GROUP BY e.src, s2.label
+        | ) t WHERE rn = 1
+        |), s4 AS (
+        | SELECT node, l AS label, c AS votes FROM (
+        |  SELECT e.src AS node, s3.label AS l, cast(count(*) as bigint) c,
+        |   row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, s3.label) rn
+        |  FROM e JOIN s3 ON e.dst = s3.node GROUP BY e.src, s3.label
+        | ) t WHERE rn = 1
+        |)
+        |SELECT node, label, votes FROM s4 ORDER BY node""".stripMargin,
 
     // silence trim: conditional min/max over the full-frame energies
     "mm_silence_trim" ->
@@ -6827,11 +6912,15 @@ object SparkEntry {
         |), sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) shingles
         | FROM toks WHERE len(t) >= 3
-        |), rows_ AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |), rows_ AS MATERIALIZED (SELECT doc_id, unnest(shingles) s FROM sh),
         |sizes AS (SELECT doc_id, count(*) n FROM rows_ GROUP BY 1),
+        |hot AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) > 100),
+        |kept AS MATERIALIZED (
+        | SELECT r.doc_id, r.s FROM rows_ r LEFT JOIN hot h ON r.s = h.s WHERE h.s IS NULL
+        |),
         |inter AS (
         | SELECT a.doc_id da, b.doc_id db, count(*) ninter
-        | FROM rows_ a JOIN rows_ b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
         |),
         |pairs AS (
         | SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db

@@ -3919,9 +3919,17 @@ object Analytics {
         .withColumn("rn", row_number().over(wPick))
         .filter($"rn" === 1)
         .select($"src".as("node"), $"l".as("label"), $"c".as("votes"))
+        // EXECUTOR-side lineage cut per synchronous step (eager
+        // localCheckpoint): plan depth stays CONSTANT in iters (the
+        // pagerank-family discipline), and the per-node label table —
+        // which grows linearly with the graph — never rides through
+        // the driver. After the final step's checkpoint the labels
+        // RDD no longer references the cached edge set, so the
+        // unpersist below is safe.
+        .localCheckpoint(true)
     }
-    materializeAndRelease(spark,
-      labels.select($"node", $"label", $"votes").orderBy($"node"), e)
+    e.unpersist(blocking = true)
+    labels.select($"node", $"label", $"votes").orderBy($"node")
   }
 
   /** Runs-UP-AND-DOWN test inputs — the randomness screen against
@@ -3982,8 +3990,12 @@ object Analytics {
         sum(when($"o_orderpriority" === "5-LOW" && $"o_orderstatus" =!= "F", 1L)
           .otherwise(0L)).as("d"))
       .withColumn("n", $"a" + $"b" + $"c" + $"d")
-      .withColumn("ad_micro", expr("a * d * 1000000 div n"))
-      .withColumn("bc_micro", expr("b * c * 1000000 div n"))
+      // a·d·10⁶ is N²-class: route the product through decimal(38,0)
+      // (the repo's exact-integer convention for N² products — q161/
+      // q162); the QUOTIENT ≤ min(a,d)·10⁶ always fits BIGINT, and
+      // Spark's IntegralDivide returns LONG for decimal operands.
+      .withColumn("ad_micro", expr("cast(a as decimal(38,0)) * d * 1000000 div n"))
+      .withColumn("bc_micro", expr("cast(b as decimal(38,0)) * c * 1000000 div n"))
       .orderBy($"yr")
 
   /** Cochran–Armitage trend inputs — trend in a BINARY outcome across

@@ -15,6 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hot-shingle df-cap DEFAULT — the 100 TB dup-density guard,
+    * ON by default since round 10. Rationale (measured, not guessed):
+    * the sf1 scaling audit saw the uncapped near-dup pair input grow
+    * 128×/decade on a dup-dense corpus (Σ df·(df−1)/2 — a data
+    * property), and the df-capped components ran 3.3× faster at sf1
+    * with gated correctness. A cap of 100 is far above any organic
+    * shingle df at the test scales (observed max 25 at sf0.1) — it
+    * exists to stop the boilerplate-span blowup, not to change
+    * results on healthy corpora. Every oracle-gated consumer
+    * replicates the cap EXACTLY in its oracle SQL, so the gate stays
+    * strict whether or not the cap binds. */
+  private[operators] val ShingleDfCapDefault = 100
+
+  /** Resolve the effective df cap for the near-dup pair family:
+    * an explicit `Some(c > 0)` wins; `Some(c <= 0)` is explicitly
+    * UNCAPPED (the pre-r10 behavior, for invariance specs and corpora
+    * known dup-clean); `None` defers to the session config
+    * `spark.graft.dedup.shingleDfCap` (int; <= 0 disables), which
+    * itself defaults to [[ShingleDfCapDefault]]. */
+  private[operators] def resolveShingleDfCap(spark: SparkSession,
+      cap: Option[Int]): Option[Int] =
+    cap.orElse(spark.conf.getOption("spark.graft.dedup.shingleDfCap")
+      .map(_.trim.toInt).orElse(Some(ShingleDfCapDefault)))
+      .filter(_ > 0)
+
   /** Exact dedup: group by content hash, keep the smallest doc_id.
     * At 100 TB this is the cheapest pass: map-side md5 + one shuffle
     * of (hash, id) pairs, never the payload. */
@@ -297,13 +322,22 @@ object Dedup {
     * containment 1.0). Same single-shuffle shingle self-join core as
     * [[ddNgramJaccard]]; the threshold is the integer test
     * 2·|∩| ≥ min(|A|,|B|), so no float boundary can disagree with
-    * the oracle. */
-  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.balanced(Tables.documents(spark, dir))
+    * the oracle. Carries the same default-ON hot-shingle df cap as
+    * [[jaccardPairs]] (dropping a stop-shingle shrinks |∩|
+    * symmetrically, so containment only decreases — conservative for
+    * the ≥ threshold). */
+  def ddContainment(spark: SparkSession, dir: String,
+      shingleDfCap: Option[Int] = None): DataFrame = {
+    val shAll = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), array_distinct(TextOps.shingleArray("text")).as("shd"))
       .filter(size(col("shd")) > 0)
       .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
         explode(col("shd")).as("s"))
+    val sh = resolveShingleDfCap(spark, shingleDfCap).fold(shAll) { cap =>
+      val hot = shAll.groupBy(col("s"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("s"))
+      shAll.join(broadcast(hot), Seq("s"), "left_anti")
+    }
     sh.as("a").hint("shuffle_hash").join(sh.as("b"),
         expr("a.s = b.s AND a.doc_id < b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -328,8 +362,14 @@ object Dedup {
     * anti-join — hot shingles are FEW by construction (that is what
     * hot means), so the stop-list is kilobytes even on a web corpus.
     * Dropping a stop-shingle can only shrink measured |∩| (both docs
-    * lose it symmetrically, like a stopword cut before jaccard); the
-    * gated query runs uncapped so the oracle stays exact. */
+    * lose it symmetrically, like a stopword cut before jaccard).
+    *
+    * DEFAULT-ON since r10 ([[ShingleDfCapDefault]] = 100): the sf1
+    * audit measured the UNCAPPED pair input growing 128×/decade on a
+    * dup-dense corpus, and the capped components run 3.3× faster at
+    * sf1 — so the production default is the guarded config, with the
+    * cap replicated exactly in every consumer's oracle SQL. Uncapped
+    * is a config away (see [[resolveShingleDfCap]]). */
   private def jaccardPairs(spark: SparkSession, dir: String,
       shingleDfCap: Option[Int] = None): DataFrame = {
     // Per-doc distinct shingles + set size are computed map-side
@@ -346,7 +386,7 @@ object Dedup {
     // hot-shingle stop-list: df per shingle from a partial-aggregated
     // pass, survivors above the cap broadcast back as an anti-join
     // (map-side — the big exploded stream is never reshuffled for it)
-    val sh = shingleDfCap.fold(shAll) { cap =>
+    val sh = resolveShingleDfCap(spark, shingleDfCap).fold(shAll) { cap =>
       val hot = shAll.groupBy(col("s"))
         .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("s"))
       shAll.join(broadcast(hot), Seq("s"), "left_anti")
@@ -474,8 +514,13 @@ object Dedup {
   def ddEditDistance(spark: SparkSession, dir: String): DataFrame = {
     val pairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val texts = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // no forced broadcast of the pair set: on a dup-dense corpus the
+    // candidate graph can reach many millions of rows (the blowup the
+    // shingleDfCap guard exists for), and a forced broadcast would be
+    // a driver/broadcast-limit failure there. AQE's runtime join
+    // selection broadcasts it when it IS small and shuffles otherwise.
     texts.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-      .join(broadcast(pairs), Seq("doc_a"))
+      .join(pairs, Seq("doc_a"))
       .hint("shuffle_hash")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
         Seq("doc_b"))
@@ -549,24 +594,34 @@ object Dedup {
       window, mask)
 
   /** The chunking projection over any (doc_id, text) frame — batch or
-    * streaming. */
+    * streaming. With `keepOuter = true` (the streaming flag-don't-drop
+    * policy) a doc with NULL text — whose boundary array, and hence
+    * chunk list, is NULL — survives as one row with NULL
+    * chunk_md5/chunk_len instead of vanishing in the explode, so the
+    * downstream rollup can report it rather than silently skip it.
+    * Empty text behaves identically in both modes (one zero-length
+    * chunk — the batch convention). */
   private[graft] def cdcChunkRowsOf(docs: DataFrame,
-      window: Int, mask: Int): DataFrame =
-    docs
+      window: Int, mask: Int, keepOuter: Boolean = false): DataFrame = {
+    val chunked = docs
       .select(col("doc_id"), col("text"),
         expr("cast(length(text) as int)").as("n"))
       .withColumn("bnds",
         org.apache.spark.sql.graft.TextExpressions.cdcBoundaries(
           col("text"), window, mask))
       .withColumn("allb", expr("concat(array(0), bnds, array(n))"))
-      .select(col("doc_id"), col("text"),
-        explode(expr(
-          "transform(sequence(1, size(allb) - 1), k -> named_struct(" +
-            "'start', element_at(allb, k) + 1," +
-            " 'clen', element_at(allb, k + 1) - element_at(allb, k)))")).as("ch"))
-      .select(col("doc_id"),
-        expr("md5(substring(text, ch.start, ch.clen))").as("chunk_md5"),
-        expr("cast(ch.clen as bigint)").as("chunk_len"))
+    val chs = expr(
+      "transform(sequence(1, size(allb) - 1), k -> named_struct(" +
+        "'start', element_at(allb, k) + 1," +
+        " 'clen', element_at(allb, k + 1) - element_at(allb, k)))")
+    val exploded =
+      if (keepOuter) chunked.select(col("doc_id"), col("text"),
+        explode_outer(chs).as("ch"))
+      else chunked.select(col("doc_id"), col("text"), explode(chs).as("ch"))
+    exploded.select(col("doc_id"),
+      expr("md5(substring(text, ch.start, ch.clen))").as("chunk_md5"),
+      expr("cast(ch.clen as bigint)").as("chunk_len"))
+  }
 
   def ddCdcChunks(spark: SparkSession, dir: String,
       window: Int = 8, mask: Int = 63): DataFrame = {

@@ -151,6 +151,13 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         expr("cast(length(text) as bigint)").as("n_bytes"))
+      // EMPTY payloads produce NO frames. Without this filter Spark
+      // diverges from the floor-division oracle: `(0-1) div 8`
+      // truncates toward zero (0, not -1), so sequence(0, 0) would
+      // emit a phantom frame 0 — and sequence(1, 0) is DESCENDING in
+      // Spark, so the energy transform would then probe two
+      // out-of-range positions.
+      .filter(col("n_bytes") > 0L)
       .select(col("doc_id"), col("n_bytes"), col("text"),
         explode(expr(s"sequence(cast(0 as bigint), (n_bytes - 1) div $frame)")).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),

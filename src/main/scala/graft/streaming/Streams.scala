@@ -1071,7 +1071,7 @@ object Streams {
       .write.mode("overwrite").parquet(s"$path/chunks")
 
   case class CdcIngestReport(doc_id: Long, n_chunks: Long, n_hit: Long,
-      bytes_total: Long, bytes_saved: Long, saved_micro: Long)
+      bytes_total: Long, bytes_saved: Long, saved_micro: Option[Long])
 
   /** Streaming CDC INGEST monitor — the deployment twin of
     * [[graft.operators.Dedup.ddCdcIngest]]: each arriving doc is
@@ -1080,8 +1080,12 @@ object Streams {
     * stream-static left join on the digest, and the per-doc savings
     * report (chunks held, bytes saved, dedup ratio) is the
     * zero-retained-state flatMapGroupsWithState rollup every gate here
-    * uses. Under the snapshot lake the output is row-identical to the
-    * batch operator (StreamingSpec parity + restart exactly-once). */
+    * uses. Flag-don't-drop: a NULL-text doc survives the chunk
+    * projection (explode_outer) and reports n_chunks = 0; saved_micro
+    * is None whenever bytes_total = 0 — the same NULL the batch
+    * operator's integer `div` yields there. Under the snapshot lake
+    * the output is row-identical to the batch operator (StreamingSpec
+    * parity + restart exactly-once). */
   def cdcIngestStream(docs: Dataset[DocText],
       lakePath: String): Dataset[CdcIngestReport] = {
     val spark = docs.sparkSession
@@ -1089,9 +1093,14 @@ object Streams {
     val hist = spark.read.parquet(s"$lakePath/chunks")
       .withColumn("hit", lit(1L))
     graft.operators.Dedup.cdcChunkRowsOf(
-        docs.toDF().select(col("doc_id"), col("text")), 8, 63)
+        docs.toDF().select(col("doc_id"), col("text")), 8, 63,
+        keepOuter = true)
       .join(hist, Seq("chunk_md5"), "left_outer")
-      .select(col("doc_id"), col("chunk_len"),
+      .select(col("doc_id"),
+        // NULL chunk_len marks the no-chunks row explode_outer kept:
+        // length -1 is the in-band sentinel the rollup skips (chunk
+        // lengths are never negative)
+        coalesce(col("chunk_len"), lit(-1L)).as("chunk_len"),
         coalesce(col("hit"), lit(0L)).as("hit"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
@@ -1100,11 +1109,13 @@ object Streams {
         case (docId, rows, _: GroupState[Boolean]) =>
           var n = 0L; var h = 0L; var bt = 0L; var bs = 0L
           rows.foreach { case (_, len, hit) =>
-            n += 1; bt += len
-            if (hit == 1L) { h += 1; bs += len }
+            if (len >= 0L) {
+              n += 1; bt += len
+              if (hit == 1L) { h += 1; bs += len }
+            }
           }
           Iterator.single(CdcIngestReport(docId, n, h, bt, bs,
-            if (bt == 0L) 0L else bs * 1000000L / bt))
+            if (bt == 0L) None else Some(bs * 1000000L / bt)))
       }
   }
 

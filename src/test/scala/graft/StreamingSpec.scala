@@ -463,6 +463,38 @@ class StreamingSpec extends SparkSpec {
       "savings reports across the two incarnations equal the batch operator row for row")
   }
 
+  test("streaming CDC ingest: flag-don't-drop — a NULL-text doc still yields a report row") {
+    val lake = Files.createTempDirectory("cdcn_lake")
+    Streams.cdcLakeWrite(spark, sf0001, lake.toString)
+    val src = Files.createTempDirectory("cdcn_src")
+    val out = Files.createTempDirectory("cdcn_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("cdcn_ckpt").toString
+    val schema = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).schema
+    Seq((9001L, "en", null: String), (9002L, "en", ""),
+        (9003L, "en", "a real document body with several rolling-hash chunks in it"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(src.toString + "/a")
+    val stream = spark.readStream.schema(schema).parquet(src.toString + "/*")
+      .as[Streams.DocText]
+    val q = Streams.cdcIngestStream(stream, lake.toString)
+      .toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(9001L, 9002L, 9003L),
+      "every input doc must produce a report row — nothing silently dropped")
+    val nullDoc = rows(9001L)
+    assert(nullDoc.getLong(1) == 0L && nullDoc.getLong(3) == 0L,
+      "null text reports zero chunks / zero bytes")
+    assert(nullDoc.isNullAt(5),
+      "saved_micro is NULL on zero bytes — the batch operator's div convention")
+    assert(rows(9002L).isNullAt(5), "empty text: zero bytes => NULL ratio too")
+    assert(!rows(9003L).isNullAt(5), "a real doc gets a real ratio")
+  }
+
   test("streaming KN-trigram gate: exactly-once and batch parity across a checkpointed restart") {
     val lake = Files.createTempDirectory("k3r_lake")
     Streams.kn3LmWrite(spark, sf0001, lake.toString)
