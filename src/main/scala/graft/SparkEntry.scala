@@ -341,6 +341,7 @@ object SparkEntry {
     "dd_lsh_precision" -> (Dedup.ddLshPrecision _),
     "sim_norm2_hist" -> ((s: SparkSession, d: String) => Similarity.simNorm2Hist(s, d)),
     "sim_maxsim" -> ((s: SparkSession, d: String) => Similarity.simMaxsim(s, d)),
+    "sim_maxsim_ragged" -> ((s: SparkSession, d: String) => Similarity.simMaxsimRagged(s, d)),
     "sim_mmr" -> ((s: SparkSession, d: String) => Similarity.simMmr(s, d)),
     "q164_kendall_w" -> (Analytics.q164KendallW _),
     "q166_page_hinkley" -> (Analytics.q166PageHinkley _),
@@ -349,6 +350,7 @@ object SparkEntry {
     "q168_lpa4" -> ((s: SparkSession, d: String) => Analytics.q168LpaStep(s, d, iters = 4)),
     "mm_silence_trim" -> ((s: SparkSession, d: String) => Multimodal.mmSilenceTrim(s, d)),
     "txt_rake" -> ((s: SparkSession, d: String) => TextAnalysis.txtRake(s, d)),
+    "txt_rake_lang" -> ((s: SparkSession, d: String) => TextAnalysis.txtRakeLang(s, d)),
     "q165_mood_median" -> (Analytics.q165MoodMedian _),
     "pipe_t_closeness" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTCloseness(s, d)),
     "mm_scene_cut" -> ((s: SparkSession, d: String) => Multimodal.mmSceneCut(s, d)),
@@ -6484,6 +6486,34 @@ object SparkEntry {
         |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, score_micro
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // Ragged MaxSim: docs carry 2-5 overlapping 16-wide sub-vectors
+    // (stride-13 windows), queries 2-4 (stride 11); every 17th doc is
+    // un-encoded (NULL token list) and must not be retrievable.
+    "sim_maxsim_ragged" ->
+      """WITH q AS (
+        | SELECT vec_id qid, list_transform(range(0, cast(vec_id % 3 as int) + 2), s ->
+        |   embedding[(s*11) % 49 + 1 : (s*11) % 49 + 16]) qsubs
+        | FROM embeddings WHERE vec_id < 5
+        |), d AS (
+        | SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN NULL ELSE
+        |   list_transform(range(0, cast(vec_id % 4 as int) + 2), t ->
+        |     embedding[(t*13) % 49 + 1 : (t*13) % 49 + 16]) END dsubs
+        | FROM embeddings
+        |), s AS (
+        | SELECT q.qid, d.vec_id, cast(len(dsubs) as bigint) n_doc_subs,
+        |  cast(list_sum(list_transform(qsubs, qs ->
+        |   cast(floor(1000000 * list_max(list_transform(dsubs, dt ->
+        |    list_sum(list_transform(range(1, 17), i -> cast(qs[i] as double) * cast(dt[i] as double))) /
+        |    (sqrt(list_sum(list_transform(range(1, 17), i -> cast(qs[i] as double) * cast(qs[i] as double)))) *
+        |     sqrt(list_sum(list_transform(range(1, 17), i -> cast(dt[i] as double) * cast(dt[i] as double)))))))) as bigint))) as bigint) score_micro
+        | FROM q CROSS JOIN d WHERE d.vec_id <> q.qid AND d.dsubs IS NOT NULL
+        |), r AS (
+        | SELECT qid query_id, vec_id, n_doc_subs, score_micro,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, vec_id) rnk FROM s
+        |)
+        |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, n_doc_subs, score_micro
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "sim_mmr" -> mmrOracle(20, 5),
 
     // Kendall's W: exact integer pieces off the shared Friedman doubled
@@ -6694,6 +6724,58 @@ object SparkEntry {
         |FROM (
         | SELECT bp.*, row_number() OVER (PARTITION BY lang ORDER BY score_micro DESC, phrase) rn FROM bp
         |) f WHERE rn <= 10 ORDER BY lang, rank""".stripMargin,
+
+    // Adaptive per-language RAKE: the stoplist is each language's own
+    // mean-df knee (df * n_terms >= sum_df, division-free), candidate
+    // phrases are capped at 4 words (runs longer than the cap are
+    // discarded before word stats — the cap lives HERE in the oracle
+    // too, per the gating contract).
+    "txt_rake_lang" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), tp AS (
+        | SELECT doc_id, lang, unnest(range(1, len(t) + 1)) pos, t FROM d
+        |), tk AS (
+        | SELECT doc_id, lang, pos, t[pos] term FROM tp
+        |), dfc AS (
+        | SELECT lang, term, count(DISTINCT doc_id) df FROM tk GROUP BY 1, 2
+        |), lt AS (
+        | SELECT lang, cast(count(*) as bigint) n_terms, cast(sum(df) as bigint) sum_df FROM dfc GROUP BY 1
+        |), stop AS (
+        | SELECT dfc.lang, term FROM dfc JOIN lt USING (lang) WHERE df * n_terms >= sum_df
+        |), nstop AS (
+        | SELECT lang, cast(count(*) as bigint) n_stop FROM stop GROUP BY 1
+        |), ns AS (
+        | SELECT tk.doc_id, tk.lang, tk.pos, tk.term,
+        |  tk.pos - row_number() OVER (PARTITION BY tk.doc_id ORDER BY tk.pos) run_id
+        | FROM tk LEFT JOIN stop ON tk.lang = stop.lang AND tk.term = stop.term
+        | WHERE stop.term IS NULL
+        |), rl AS (
+        | SELECT doc_id, run_id, cast(count(*) as bigint) run_len FROM ns GROUP BY 1, 2
+        |), occ AS (
+        | SELECT ns.*, rl.run_len FROM ns JOIN rl USING (doc_id, run_id) WHERE rl.run_len <= 4
+        |), ws AS (
+        | SELECT lang, term, cast(count(*) as bigint) freq,
+        |  cast(sum(run_len) as bigint) deg
+        | FROM occ GROUP BY 1, 2
+        |), w2 AS (
+        | SELECT lang, term, deg * 1000000 // freq AS w_micro FROM ws
+        |), ph AS (
+        | SELECT o.doc_id, o.lang, o.run_id,
+        |  string_agg(o.term, ' ' ORDER BY o.pos) phrase,
+        |  cast(count(*) as bigint) n_words,
+        |  cast(sum(w2.w_micro) as bigint) score_micro
+        | FROM occ o JOIN w2 ON w2.lang = o.lang AND w2.term = o.term
+        | GROUP BY 1, 2, 3
+        |), bp AS (
+        | SELECT lang, phrase, cast(count(*) as bigint) n_occ,
+        |  max(n_words) n_words, max(score_micro) score_micro
+        | FROM ph GROUP BY 1, 2
+        |)
+        |SELECT f.lang, cast(rn as bigint) AS rank, phrase, n_words, n_occ, score_micro, n_stop
+        |FROM (
+        | SELECT bp.*, row_number() OVER (PARTITION BY lang ORDER BY score_micro DESC, phrase) rn FROM bp
+        |) f JOIN nstop ON f.lang = nstop.lang WHERE rn <= 10 ORDER BY f.lang, rank""".stripMargin,
 
     // Page-Hinkley: running mean as exact cent-floored cum // t, the
     // accumulator and its running min as plain prefix windows

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -872,6 +872,26 @@ object Similarity {
     * (unambiguous nearest-decimal, so both engines land the same
     * integer); buckets are the integer equi-width arithmetic over
     * broadcast exact bounds. Map-side everything, 10-row output. */
+  /** Shared MaxSim scoring pieces: the left-to-right double folds every
+    * sim_* op uses (so oracle parity holds bit for bit), parameterized
+    * over PRE-HOISTED sub-vector/norm array columns `qsubs`/`qnorms`
+    * (broadcast side) and `dsubs`/`dnorms` (corpus side). The score is
+    * ragged-safe — it iterates `size(qsubs)`/`size(dsubs)`, not a
+    * compile-time constant — so the fixed-slice and ragged operators
+    * share one expression. */
+  private object MaxSimOps {
+    def dotF(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+    def n2F(a: String): String =
+      s"sqrt(aggregate($a, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    val scoreExpr: Column = expr(
+      s"""aggregate(transform(sequence(1, size(qsubs)), s ->
+         |  cast(floor(1000000 * array_max(transform(sequence(1, size(dsubs)), t ->
+         |    ${dotF("element_at(qsubs, s)", "element_at(dsubs, t)")} /
+         |    (element_at(qnorms, s) * element_at(dnorms, t))))) as bigint)),
+         | cast(0 as bigint), (acc, v) -> acc + v)""".stripMargin)
+  }
+
   /** MaxSim late-interaction retrieval (the ColBERT scoring rule) over
     * MULTI-VECTOR representations: each vector is treated as `subs`
     * token-level sub-vectors (contiguous `subDim`-wide slices of the
@@ -897,20 +917,20 @@ object Similarity {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"),
         expr(s"transform(sequence(0, ${subs - 1}), s -> slice(embedding, s * $subDim + 1, $subDim))").as("qsubs"))
-    def dotF(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
-    def n2F(a: String) =
-      s"sqrt(aggregate($a, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
-    val sub = s"slice(embedding, t * $subDim + 1, $subDim)"
-    val scoreExpr = expr(
-      s"""aggregate(transform(sequence(0, ${subs - 1}), s ->
-         |  cast(floor(1000000 * array_max(transform(sequence(0, ${subs - 1}), t ->
-         |    ${dotF("element_at(qsubs, s + 1)", sub)} /
-         |    (${n2F("element_at(qsubs, s + 1)")} * ${n2F(sub)})))) as bigint)),
-         | cast(0 as bigint), (acc, v) -> acc + v)""".stripMargin)
-    val scored = broadcast(q).crossJoin(e)
+      .withColumn("qnorms", expr(s"transform(qsubs, v -> ${MaxSimOps.n2F("v")})"))
+    // Doc sub-vectors and their norms are projected BELOW the broadcast
+    // join (a Project under the stream side of the nested-loop join —
+    // Catalyst cannot collapse it into the score projection above the
+    // join), so each doc's `subs` norm folds run ONCE per corpus row
+    // instead of once per (query, doc, query-sub) evaluation: subs²
+    // norm folds per pair → zero. Query norms materialize once at
+    // broadcast build. The per-pair work is now dots only.
+    val d = e.select(col("vec_id"),
+        expr(s"transform(sequence(0, ${subs - 1}), t -> slice(embedding, t * $subDim + 1, $subDim))").as("dsubs"))
+      .withColumn("dnorms", expr(s"transform(dsubs, v -> ${MaxSimOps.n2F("v")})"))
+    val scored = broadcast(q).crossJoin(d)
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score_micro", scoreExpr)
+      .withColumn("score_micro", MaxSimOps.scoreExpr)
     val pruned = org.apache.spark.sql.graft.TopK.perGroup(
       scored, Seq("qid"), Seq("score_micro" -> true, "vec_id" -> false), k)
     val w = Window.partitionBy(col("qid")).orderBy(col("score_micro").desc, col("vec_id"))
@@ -918,6 +938,56 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
+        col("score_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** MaxSim over a RAGGED multi-vector table — the shape a ColBERT-
+    * style index actually lands in: documents carry a VARIABLE number
+    * of token sub-vectors (here 2–5, derived deterministically as
+    * overlapping `subDim`-wide windows of the stored embedding at
+    * stride 13 mod 49 — offsets differ per position, so no two docs
+    * with different sub-counts see the same slice set), queries carry
+    * 2–4 (stride 11), and some documents are UN-ENCODED (every 17th:
+    * token list NULL). Score is the same Σ_s max_t cosine as
+    * [[simMaxsim]] — the shared [[MaxSimOps.scoreExpr]] iterates the
+    * actual array sizes, so raggedness needs no padding, masking, or
+    * per-width plans. NULL-token docs are not retrievable (a doc with
+    * no encoding has no similarity to anything) and are filtered
+    * BEFORE the join — they never enter the |Q|·|corpus| interaction;
+    * `n_doc_subs` in the output proves the ranked lists mix widths.
+    *
+    * 100 TB shape: identical to [[simMaxsim]] — queries broadcast as
+    * one row each, doc sub-vectors and norms are hoisted into a
+    * Project below the join (norm folds once per corpus row), the
+    * whole interaction is one map-side expression, TopK.perGroup
+    * bounds what reaches the final window. Ragged widths only change
+    * per-row loop trip counts, not the plan. */
+  def simMaxsimRagged(spark: SparkSession, dir: String, k: Int = 10,
+      subDim: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        expr(s"transform(sequence(0, cast(vec_id % 3 as int) + 1), s -> slice(embedding, (s * 11) % 49 + 1, $subDim))").as("qsubs"))
+      .withColumn("qnorms", expr(s"transform(qsubs, v -> ${MaxSimOps.n2F("v")})"))
+    val d = e
+      .select(col("vec_id"),
+        when(col("vec_id") % 17 === 0, lit(null).cast("array<array<float>>"))
+          .otherwise(expr(s"transform(sequence(0, cast(vec_id % 4 as int) + 1), t -> slice(embedding, (t * 13) % 49 + 1, $subDim))"))
+          .as("dsubs"))
+      .filter(col("dsubs").isNotNull)
+      .withColumn("dnorms", expr(s"transform(dsubs, v -> ${MaxSimOps.n2F("v")})"))
+    val scored = broadcast(q).crossJoin(d)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score_micro", MaxSimOps.scoreExpr)
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("qid"), Seq("score_micro" -> true, "vec_id" -> false), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score_micro").desc, col("vec_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
+        size(col("dsubs")).cast("bigint").as("n_doc_subs"),
         col("score_micro"))
       .orderBy(col("query_id"), col("rank"))
   }

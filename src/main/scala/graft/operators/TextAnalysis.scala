@@ -1887,4 +1887,70 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Per-language RAKE with ADAPTIVE stoplist sizing and a phrase-
+    * length cap — the production dial set [[txtRake]]'s fixed
+    * rank-nStop cut lacks: a uniform top-10 underfits languages whose
+    * function-word mass is wider (and overfits narrow ones), so here
+    * the stoplist is each language's own document-frequency knee —
+    * term t is a stopword in language L iff df(t,L) · |vocab(L)| ≥
+    * Σ df(L) (df at or above the language's MEAN df; division-free, so
+    * the cut is exact integer in both engines and the stoplist SIZE
+    * falls out of the distribution per language — `n_stop` in the
+    * output proves the sizes differ). Candidate phrases longer than
+    * `maxLen` words are discarded (classic RAKE's maxWords dial;
+    * unbounded stopword-free runs are junk phrases AND an unbounded
+    * string_agg — the cap is also the scale guard, replicated in the
+    * oracle). Scoring is [[txtRake]]'s exact fixed-point
+    * degree/frequency. 100 TB shape: identical to [[txtRake]] —
+    * vocabulary-sized aggregates (now two: df + the per-language
+    * totals, both broadcast), doc-keyed windows, bounded-heap top-k;
+    * the cap bounds the phrase rollup's group width. */
+  def txtRakeLang(spark: SparkSession, dir: String, maxLen: Int = 4,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
+    val dfc = toks.groupBy(col("lang"), col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val langTot = dfc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("sum_df"))
+    val stop = dfc.join(broadcast(langTot), Seq("lang"))
+      .filter(col("df") * col("n_terms") >= col("sum_df"))
+      .select(col("lang"), col("term"), lit(true).as("is_stop"))
+    val nStop = stop.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_stop"))
+    val runs = toks.join(broadcast(stop), Seq("lang", "term"), "left")
+      .filter(col("is_stop").isNull)
+      .withColumn("run_id", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val occ = runs.withColumn("run_len", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("run_id"))))
+      .filter(col("run_len") <= maxLen)
+    val wstat = occ.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("freq"), sum(col("run_len")).as("deg"))
+      .withColumn("w_micro", expr("deg * 1000000 div freq"))
+    val phr = occ
+      .join(wstat.select(col("lang"), col("term"), col("w_micro")),
+        Seq("lang", "term"))
+      .groupBy(col("doc_id"), col("lang"), col("run_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, term)))," +
+        " x -> x.term), ' ')").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("w_micro")).as("score_micro"))
+    val byPhrase = phr.groupBy(col("lang"), col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("n_words")).as("n_words"),
+        max(col("score_micro")).as("score_micro"))
+    val pruned = org.apache.spark.sql.graft.TopK.perGroup(
+      byPhrase, Seq("lang"), Seq("score_micro" -> true, "phrase" -> false), k)
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+    pruned.withColumn("rank", row_number().over(wTop).cast("bigint"))
+      .filter(col("rank") <= k)
+      .join(broadcast(nStop), Seq("lang"))
+      .select(col("lang"), col("rank"), col("phrase"), col("n_words"),
+        col("n_occ"), col("score_micro"), col("n_stop"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
 }

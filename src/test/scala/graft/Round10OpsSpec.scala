@@ -87,6 +87,85 @@ class Round10OpsSpec extends SparkSpec {
       outer.filter(_.getLong(0) == 1L).map(_.toString).toSeq)
   }
 
+  test("ragged MaxSim: ranked lists mix sub-vector widths and un-encoded docs are never retrieved") {
+    val rows = operators.Similarity.simMaxsimRagged(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val widths = rows.map(_.getAs[Long]("n_doc_subs")).distinct.sorted
+    assert(widths.length > 1 && widths.forall(w => w >= 2 && w <= 5),
+      s"ragged table must surface multiple doc sub-counts in the top-k (got ${widths.toSeq})")
+    assert(!rows.exists(_.getAs[Long]("vec_id") % 17 == 0),
+      "NULL-token (un-encoded) docs must not be retrievable")
+    val perQ = rows.groupBy(_.getAs[Long]("query_id"))
+    perQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length).toSeq)
+      val scores = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score_micro"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rank")
+    }
+  }
+
+  test("MaxSim norm hoist: doc sub-norms project BELOW the broadcast join, once per corpus row") {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def aliases(p: LogicalPlan, name: String): Boolean =
+      p.expressions.exists(_.exists {
+        case a: Alias => a.name == name
+        case _ => false
+      })
+    for (fn <- Seq(
+        () => operators.Similarity.simMaxsim(spark, sf0001),
+        () => operators.Similarity.simMaxsimRagged(spark, sf0001))) {
+      val plan = fn().queryExecution.optimizedPlan
+      val join = plan.collectFirst { case j: Join => j }
+      assert(join.nonEmpty, "plan must contain the broadcast query-corpus join")
+      val below = join.get.children.flatMap(_.collect {
+        case n if aliases(n, "dnorms") => n
+      })
+      assert(below.nonEmpty,
+        "dnorms must be COMPUTED under the join's corpus side (once per doc row)")
+      val everywhere = plan.collect { case n if aliases(n, "dnorms") => n }
+      assert(everywhere.size == below.size,
+        "no dnorms computation may be inlined above the join " +
+          "(per-pair work must be dots only — CollapseProject must not undo the hoist)")
+    }
+  }
+
+  test("adaptive RAKE: stoplist sizes differ per language and no phrase exceeds the cap") {
+    val rows = operators.TextAnalysis.txtRakeLang(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("lang")).distinct.length == 5,
+      "all five corpus languages must produce keyphrases")
+    assert(rows.forall(_.getAs[Long]("n_words") <= 4L),
+      "the maxLen cap must bound every emitted phrase")
+    val stops = rows.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_stop")).distinct
+    assert(stops.map(_._2).distinct.length > 1,
+      s"the mean-df knee must size stoplists per language (got $stops)")
+  }
+
+  test("adaptive RAKE cap binds: uncapped runs longer than maxLen exist and are discarded") {
+    // recompute the candidate-run lengths the operator saw: if no run
+    // exceeded the cap the test fixture proves nothing — guard it
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        posexplode(graft.functions.TextOps.tokens("text")).as(Seq("pos", "term")))
+    val dfc = toks.groupBy(col("lang"), col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val lt = dfc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("sum_df"))
+    val stop = dfc.join(broadcast(lt), Seq("lang"))
+      .filter(col("df") * col("n_terms") >= col("sum_df"))
+      .select(col("lang"), col("term"), lit(true).as("is_stop"))
+    val maxRun = toks.join(broadcast(stop), Seq("lang", "term"), "left")
+      .filter(col("is_stop").isNull)
+      .withColumn("run_id", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("run_len"))
+      .agg(max(col("run_len"))).head().getLong(0)
+    assert(maxRun > 4L,
+      s"fixture must contain runs longer than the cap for the cap to be exercised (max run $maxRun)")
+  }
+
   test("frame energies: an empty payload yields NO frames (no phantom frame 0)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm_empty").toString

@@ -929,6 +929,55 @@ class StreamingSpec extends SparkSpec {
       "final streamed Page-Hinkley state must equal the batch detector row for row")
   }
 
+  test("streaming Page-Hinkley monitor: state survives a checkpointed restart") {
+    // Order-dependent detector, so the split is BY DAY (first half of
+    // the calendar in incarnation 1, second half after the restart) —
+    // the day-ordered arrival contract holds across the checkpoint
+    // boundary exactly as it would for a live daily feed.
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .select(col("priority"),
+        expr("datediff(day, date'1970-01-01')").cast("long").as("day_epoch"), col("cents"))
+    val mid = daily.agg(expr("percentile_approx(day_epoch, 0.5)")).head().getLong(0)
+    val src = Files.createTempDirectory("ph_r_src")
+    val out = Files.createTempDirectory("ph_r_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("ph_r_ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(daily.schema).parquet(src.toString + "/*")
+        .as[Streams.DailyCents]
+      val q = Streams.pageHinkleyStream(stream)
+        .toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    daily.filter(col("day_epoch") < mid).write.mode("overwrite").parquet(src.toString + "/a")
+    runOnce() // first incarnation sees the early half of the calendar
+    daily.filter(col("day_epoch") >= mid).write.mode("overwrite").parquet(src.toString + "/b")
+    runOnce() // restart: the six-long accumulator must resume, not reset
+    val finalRows = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val batch = graft.operators.Analytics.q166PageHinkley(spark, sf0001)
+      .select(col("o_orderpriority"), col("n_days"), col("m_end"),
+        col("m_min"), col("ph_peak"),
+        expr("datediff(peak_day, date'1970-01-01')").cast("long"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    batch.foreach { case (prio, (n, mEnd, mMin, phPeak, peakDay)) =>
+      val (_, gotN, gotM, gotMin, gotPeak, gotDay) = finalRows(prio)
+      assert(gotN == n && gotM == mEnd && gotMin == mMin &&
+        gotPeak == phPeak && gotDay == peakDay,
+        s"priority $prio: post-restart Page-Hinkley state must equal the batch detector")
+    }
+  }
+
   test("streaming PSI drift monitor: final snapshot matches the batch PSI on the reference corpus") {
     val lake = Files.createTempDirectory("drift_lake")
     Streams.driftLmWrite(spark, sf0001, lake.toString)
