@@ -80,6 +80,7 @@ object SparkEntry {
     "dd_edit_distance" -> (Dedup.ddEditDistance _),
     "dd_edit_gate" -> ((s: SparkSession, d: String) => Dedup.ddEditGate(s, d)),
     "dd_cdc_chunks" -> ((s: SparkSession, d: String) => Dedup.ddCdcChunks(s, d)),
+    "dd_chunk_containment" -> ((s: SparkSession, d: String) => Dedup.ddChunkContainment(s, d)),
     "dd_cdc_ingest" -> ((s: SparkSession, d: String) => Dedup.ddCdcIngest(s, d)),
     "q169_runs_up_down" -> (Analytics.q169RunsUpDown _),
     "q170_mantel_haenszel" -> (Analytics.q170MantelHaenszel _),
@@ -275,6 +276,8 @@ object SparkEntry {
     "q121_kaplan_meier" -> (Analytics.q121KaplanMeier _),
     "txt_vocab_growth" -> ((s: SparkSession, d: String) => TextAnalysis.txtVocabGrowth(s, d)),
     "sim_pq_adc" -> ((s: SparkSession, d: String) => Similarity.simPqAdc(s, d)),
+    "sim_ivfpq" -> ((s: SparkSession, d: String) => Similarity.simIvfpq(s, d)),
+    "sim_ivfpq_recall" -> ((s: SparkSession, d: String) => Similarity.simIvfpqRecall(s, d)),
     "q122_correlogram" -> (Analytics.q122Correlogram _),
     "sim_pq_recall" -> ((s: SparkSession, d: String) => Similarity.simPqRecall(s, d)),
     "txt_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.txtCollocations(s, d)),
@@ -351,6 +354,7 @@ object SparkEntry {
     "mm_silence_trim" -> ((s: SparkSession, d: String) => Multimodal.mmSilenceTrim(s, d)),
     "txt_rake" -> ((s: SparkSession, d: String) => TextAnalysis.txtRake(s, d)),
     "txt_rake_lang" -> ((s: SparkSession, d: String) => TextAnalysis.txtRakeLang(s, d)),
+    "txt_textrank" -> ((s: SparkSession, d: String) => TextAnalysis.txtTextrank(s, d)),
     "q165_mood_median" -> (Analytics.q165MoodMedian _),
     "pipe_t_closeness" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTCloseness(s, d)),
     "mm_scene_cut" -> ((s: SparkSession, d: String) => Multimodal.mmSceneCut(s, d)),
@@ -2585,6 +2589,46 @@ object SparkEntry {
          |FROM c GROUP BY 1 HAVING count(*) >= 2 ORDER BY chunk_md5""".stripMargin
     },
 
+    // Byte-level containment off the CDC chunk index: distinct chunk
+    // hashes per doc, hot-chunk df-100 cap (the default-ON guard,
+    // replicated here), pair kept iff 2*inter >= min set size
+    "dd_chunk_containment" -> {
+      val pows = Array.iterate(1L, 8)(_ * 31L)
+      val h = (0 until 8)
+        .map(j => s"cast(ascii(substring(text, i - $j, 1)) as bigint) * ${pows(j)}")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text, cast(length(text) as int) n FROM documents),
+         |b AS (
+         | SELECT doc_id, text, n,
+         |  list_filter(list_transform(range(8, greatest(n, 8)), i ->
+         |    CASE WHEN ($h) % 64 = 0 THEN i ELSE -1 END), x -> x <> -1) bnds
+         | FROM d
+         |), a AS (
+         | SELECT doc_id, text, [0] || bnds || [n] AS allb FROM b
+         |), k AS (
+         | SELECT doc_id, text, allb, unnest(range(1, len(allb))) kk FROM a
+         |), c AS (
+         | SELECT DISTINCT doc_id,
+         |  md5(substring(text, cast(allb[kk] + 1 as int), cast(allb[kk + 1] - allb[kk] as int))) s
+         | FROM k
+         |), sz AS (
+         | SELECT doc_id, cast(count(*) as bigint) n FROM c GROUP BY 1
+         |), df AS (
+         | SELECT s, count(*) df FROM c GROUP BY 1
+         |), keep AS (
+         | SELECT c.doc_id, c.s FROM c JOIN df USING (s) WHERE df <= 100
+         |), pairs AS (
+         | SELECT a2.doc_id da, b2.doc_id db, cast(count(*) as bigint) ninter
+         | FROM keep a2 JOIN keep b2 ON a2.s = b2.s AND a2.doc_id < b2.doc_id
+         | GROUP BY 1, 2
+         |)
+         |SELECT p.da doc_a, p.db doc_b, sa.n n_chunks_a, sb.n n_chunks_b, ninter,
+         | ninter * 1000000 // least(sa.n, sb.n) containment_micro
+         |FROM pairs p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
+         |WHERE ninter * 2 >= least(sa.n, sb.n)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     // CDC ingest savings: same chunk CTEs, history = distinct hashes of
     // ids < 400, per-new-doc hit/byte rollup
     "dd_cdc_ingest" -> {
@@ -2940,11 +2984,19 @@ object SparkEntry {
         |)
         |SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN cast(1 as bigint) << j ELSE 0 END) as bigint) AS ph
         |FROM votes GROUP BY 1
+        |), bands AS (
+        | SELECT doc_id, ph, bb.b, (ph >> (10 * bb.b)) & 1023 bh
+        | FROM ph CROSS JOIN (SELECT unnest(range(0, 6)) b) bb
+        |), keep AS (
+        | SELECT bands.* FROM bands
+        | JOIN (SELECT b, bh, count(*) df FROM bands GROUP BY 1, 2) f
+        |  ON bands.b = f.b AND bands.bh = f.bh
+        | WHERE f.df <= 100
         |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | cast(bit_count(xor(a.ph, b.ph)) as bigint) AS hamming
-        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ph, b.ph)) <= 5
+        |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        | cast(bit_count(xor(a.ph, b2.ph)) as bigint) AS hamming
+        |FROM keep a JOIN keep b2 ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.ph, b2.ph)) <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q111_runs_test" ->
       """WITH daily AS (
@@ -4753,6 +4805,164 @@ object SparkEntry {
         |FROM j
         |WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY bucket""".stripMargin,
+    // IVF-PQ composite, residual-encoded: coarse cell probe (top-2
+    // cells by exact L2), candidates ADC-scored from residual codes
+    // with a per-(query, cell) residual lookup - the FAISS IndexIVFPQ
+    // serving shape. All emitted folds order-pinned.
+    "sim_ivfpq" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cellcent AS (
+        | SELECT label, i,
+        |  list_reduce(list_prepend(cast(0 as double),
+        |    list(cast(embedding[i] as double) ORDER BY vec_id)),
+        |   (acc, x) -> acc + x) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY label, i
+        |), cellv AS (
+        | SELECT label, list(c ORDER BY i) cellv FROM cellcent GROUP BY 1
+        |), resid AS (
+        | SELECT vec_id, e.label,
+        |  list_transform(range(1, 65), i -> cast(embedding[i] as double) - cellv[i]) r
+        | FROM embeddings e JOIN cellv ON e.label = cellv.label
+        |), cbdim AS (
+        | SELECT vec_id % 16 g, i,
+        |  list_reduce(list_prepend(cast(0 as double), list(r[i] ORDER BY vec_id)),
+        |   (acc, x) -> acc + x) / count(*) c
+        | FROM resid CROSS JOIN dims GROUP BY g, i
+        |), cb AS (
+        | SELECT g, (i - 1) // 8 AS sub, list(c ORDER BY i) cv FROM cbdim GROUP BY 1, 2
+        |), sv AS (
+        | SELECT vec_id, label, s.sub, r
+        | FROM resid CROSS JOIN (SELECT unnest(range(0, 8)) sub) s
+        |), d AS (
+        | SELECT vec_id, label, sv.sub, g,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (r[sv.sub * 8 + j] - cv[j]) * (r[sv.sub * 8 + j] - cv[j]))) dist
+        | FROM sv JOIN cb ON sv.sub = cb.sub
+        |), best AS (
+        | SELECT vec_id, label, sub, g,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, g) rn FROM d
+        |), codes AS (
+        | SELECT vec_id, label, sub, g AS code FROM best WHERE rn = 1
+        |), q AS (
+        | SELECT vec_id q_id, embedding q_emb FROM embeddings WHERE vec_id < 3
+        |), qcell AS (
+        | SELECT q_id, q_emb, label, cellv,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    (cast(q_emb[i] as double) - cellv[i]) * (cast(q_emb[i] as double) - cellv[i]))) qdist
+        | FROM q CROSS JOIN cellv
+        |), probes AS (
+        | SELECT q_id, label,
+        |  list_transform(range(1, 65), i -> cast(q_emb[i] as double) - cellv[i]) qr
+        | FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdist, label) rn
+        |       FROM qcell) p WHERE rn <= 2
+        |), terms AS (
+        | SELECT q_id, c.vec_id, c.label, c.sub,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 9), j ->
+        |    (qr[c.sub * 8 + j] - cv[j]) * (qr[c.sub * 8 + j] - cv[j]))),
+        |   (acc, x) -> acc + x) term
+        | FROM codes c
+        | JOIN probes ON c.label = probes.label
+        | JOIN cb ON c.sub = cb.sub AND c.code = cb.g
+        |), adc AS (
+        | SELECT q_id, vec_id, label,
+        |  list_reduce(list_prepend(cast(0 as double), list(term ORDER BY sub)),
+        |   (acc, x) -> acc + x) adc_dist
+        | FROM terms GROUP BY q_id, vec_id, label
+        |), r AS (
+        | SELECT q_id, vec_id, cast(label as bigint) cell, adc_dist,
+        |  cast(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) as bigint) "rank"
+        | FROM adc WHERE vec_id <> q_id
+        |)
+        |SELECT q_id, "rank", vec_id, cell, adc_dist
+        |FROM r WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+
+    // IVFPQ recall@k: exact L2 top-5 overlapped with the composed
+    // IVF-PQ answer - coarse-probe misses + quantization misorderings
+    // in one audit
+    "sim_ivfpq_recall" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cellcent AS (
+        | SELECT label, i,
+        |  list_reduce(list_prepend(cast(0 as double),
+        |    list(cast(embedding[i] as double) ORDER BY vec_id)),
+        |   (acc, x) -> acc + x) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY label, i
+        |), cellv AS (
+        | SELECT label, list(c ORDER BY i) cellv FROM cellcent GROUP BY 1
+        |), resid AS (
+        | SELECT vec_id, e.label,
+        |  list_transform(range(1, 65), i -> cast(embedding[i] as double) - cellv[i]) r
+        | FROM embeddings e JOIN cellv ON e.label = cellv.label
+        |), cbdim AS (
+        | SELECT vec_id % 16 g, i,
+        |  list_reduce(list_prepend(cast(0 as double), list(r[i] ORDER BY vec_id)),
+        |   (acc, x) -> acc + x) / count(*) c
+        | FROM resid CROSS JOIN dims GROUP BY g, i
+        |), cb AS (
+        | SELECT g, (i - 1) // 8 AS sub, list(c ORDER BY i) cv FROM cbdim GROUP BY 1, 2
+        |), sv AS (
+        | SELECT vec_id, label, s.sub, r
+        | FROM resid CROSS JOIN (SELECT unnest(range(0, 8)) sub) s
+        |), d AS (
+        | SELECT vec_id, label, sv.sub, g,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (r[sv.sub * 8 + j] - cv[j]) * (r[sv.sub * 8 + j] - cv[j]))) dist
+        | FROM sv JOIN cb ON sv.sub = cb.sub
+        |), best AS (
+        | SELECT vec_id, label, sub, g,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, g) rn FROM d
+        |), codes AS (
+        | SELECT vec_id, label, sub, g AS code FROM best WHERE rn = 1
+        |), q AS (
+        | SELECT vec_id q_id, embedding q_emb FROM embeddings WHERE vec_id < 3
+        |), qcell AS (
+        | SELECT q_id, q_emb, label, cellv,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    (cast(q_emb[i] as double) - cellv[i]) * (cast(q_emb[i] as double) - cellv[i]))) qdist
+        | FROM q CROSS JOIN cellv
+        |), probes AS (
+        | SELECT q_id, label,
+        |  list_transform(range(1, 65), i -> cast(q_emb[i] as double) - cellv[i]) qr
+        | FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdist, label) rn
+        |       FROM qcell) p WHERE rn <= 2
+        |), terms AS (
+        | SELECT q_id, c.vec_id, c.label, c.sub,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 9), j ->
+        |    (qr[c.sub * 8 + j] - cv[j]) * (qr[c.sub * 8 + j] - cv[j]))),
+        |   (acc, x) -> acc + x) term
+        | FROM codes c
+        | JOIN probes ON c.label = probes.label
+        | JOIN cb ON c.sub = cb.sub AND c.code = cb.g
+        |), adc AS (
+        | SELECT q_id, vec_id, label,
+        |  list_reduce(list_prepend(cast(0 as double), list(term ORDER BY sub)),
+        |   (acc, x) -> acc + x) adc_dist
+        | FROM terms GROUP BY q_id, vec_id, label
+        |), r AS (
+        | SELECT q_id, vec_id, cast(label as bigint) cell, adc_dist,
+        |  cast(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) as bigint) "rank"
+        | FROM adc WHERE vec_id <> q_id
+        |), hits AS (
+        | SELECT q_id, vec_id FROM r WHERE "rank" <= 5
+        |), ex AS (
+        | SELECT q.q_id, e.vec_id,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 65), j ->
+        |    (cast(q_emb[j] as double) - cast(e.embedding[j] as double))
+        |    * (cast(q_emb[j] as double) - cast(e.embedding[j] as double)))),
+        |   (acc, x) -> acc + x) dist
+        | FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+        |), ext AS (
+        | SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) rk FROM ex
+        | ) WHERE rk <= 5
+        |)
+        |SELECT ext.q_id, count(*) AS n_exact,
+        | cast(sum(CASE WHEN hits.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_overlap,
+        | string_agg(cast(ext.vec_id as varchar), ',' ORDER BY ext.vec_id) AS exact_ids
+        |FROM ext LEFT JOIN hits ON ext.q_id = hits.q_id AND ext.vec_id = hits.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "sim_pq_adc" ->
       """WITH dims AS (SELECT unnest(range(1, 65)) i),
         |cent AS (
@@ -6776,6 +6986,38 @@ object SparkEntry {
         |FROM (
         | SELECT bp.*, row_number() OVER (PARTITION BY lang ORDER BY score_micro DESC, phrase) rn FROM bp
         |) f JOIN nstop ON f.lang = nstop.lang WHERE rn <= 10 ORDER BY f.lang, rank""".stripMargin,
+
+    // TextRank keywords: weighted PageRank over the adjacent-token
+    // co-occurrence graph per language, 3 unrolled rounds with the q57
+    // round-12-then-DECIMAL contribution device; support floor wgt >= 2
+    "txt_textrank" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), bg AS (
+        | SELECT lang, unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) p
+        | FROM toks WHERE len(t) >= 2
+        |), pe AS (
+        | SELECT lang, least(p[1], p[2]) a, greatest(p[1], p[2]) b FROM bg WHERE p[1] <> p[2]
+        |), pairs AS (
+        | SELECT lang, a, b, cast(count(*) as bigint) wgt FROM pe GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |), edges AS (
+        | SELECT lang, a AS src, b AS dst, wgt FROM pairs
+        | UNION ALL SELECT lang, b, a, wgt FROM pairs
+        |), wdeg AS (
+        | SELECT lang, src, cast(sum(wgt) as bigint) wdeg FROM edges GROUP BY 1, 2
+        |), ed AS (
+        | SELECT e.lang, e.src, e.dst, e.wgt, d.wdeg
+        | FROM edges e JOIN wdeg d ON e.lang = d.lang AND e.src = d.src
+        |), pr0 AS (SELECT lang, src AS node, 1.0::double AS pr FROM wdeg),
+        |pr1 AS (SELECT ed.lang, dst AS node, round(0.15 + 0.85 * cast(sum(cast(round(pr * wgt / wdeg, 12) as decimal(30,12))) as double), 12) AS pr
+        |        FROM ed JOIN pr0 ON ed.lang = pr0.lang AND ed.src = pr0.node GROUP BY 1, 2),
+        |pr2 AS (SELECT ed.lang, dst AS node, round(0.15 + 0.85 * cast(sum(cast(round(pr * wgt / wdeg, 12) as decimal(30,12))) as double), 12) AS pr
+        |        FROM ed JOIN pr1 ON ed.lang = pr1.lang AND ed.src = pr1.node GROUP BY 1, 2),
+        |pr3 AS (SELECT ed.lang, dst AS node, round(0.15 + 0.85 * cast(sum(cast(round(pr * wgt / wdeg, 12) as decimal(30,12))) as double), 12) AS pr
+        |        FROM ed JOIN pr2 ON ed.lang = pr2.lang AND ed.src = pr2.node GROUP BY 1, 2)
+        |SELECT lang, "rank", node AS term, pr FROM (
+        | SELECT lang, node, pr, cast(row_number() OVER (PARTITION BY lang ORDER BY pr DESC, node) as bigint) "rank"
+        | FROM pr3) f WHERE "rank" <= 10 ORDER BY lang, "rank"""".stripMargin,
 
     // Page-Hinkley: running mean as exact cent-floored cum // t, the
     // accumulator and its running min as plain prefix windows

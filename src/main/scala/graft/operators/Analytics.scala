@@ -935,7 +935,7 @@ object Analytics {
     * a LocalRelation over the collected rows — legitimate here
     * because the result cardinality is bounded by construction
     * (≤ a few dozen rows regardless of input scale). */
-  private def materializeAndRelease(
+  private[operators] def materializeAndRelease(
       spark: SparkSession, result: DataFrame,
       caches: org.apache.spark.sql.Dataset[_]*): DataFrame = {
     val rows = result.collect()

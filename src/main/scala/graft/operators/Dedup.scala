@@ -623,6 +623,57 @@ object Dedup {
       expr("cast(ch.clen as bigint)").as("chunk_len"))
   }
 
+  /** Byte-level pair containment via CDC chunk hashes — the dedup
+    * signal a CHUNK STORE gives away for free: two documents sharing
+    * most of their content-defined chunks contain each other at the
+    * byte level, catching partial copies / long quotes that are
+    * insensitive to tokenization (the shingle-based [[ddContainment]]
+    * needs token structure; this works on raw bytes, including code,
+    * markup, or any binary-ish text). Same single-shuffle
+    * self-join-on-key core as [[jaccardPairs]] with chunk hashes in
+    * place of shingles — per-doc DISTINCT chunk arrays (set semantics)
+    * computed entirely map-side off the native [[ddCdcChunks]]
+    * boundary expression, set size riding along with every exploded
+    * row, and the SAME default-ON hot-key df cap (a chunk shared by k
+    * docs contributes k² join rows — boilerplate chunks are the same
+    * blowup as boilerplate shingles). Threshold and ratio are pure
+    * integers: pair kept iff 2·|∩| ≥ min(|A|,|B|),
+    * containment_micro = |∩|·10⁶ div min(|A|,|B|). */
+  def ddChunkContainment(spark: SparkSession, dir: String,
+      window: Int = 8, mask: Int = 63,
+      chunkDfCap: Option[Int] = None): DataFrame = {
+    val chAll = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"),
+        expr("cast(length(text) as int)").as("n0"))
+      .withColumn("bnds",
+        org.apache.spark.sql.graft.TextExpressions.cdcBoundaries(
+          col("text"), window, mask))
+      .withColumn("allb", expr("concat(array(0), bnds, array(n0))"))
+      .withColumn("chd", expr(
+        "array_distinct(transform(sequence(1, size(allb) - 1), k ->" +
+          " md5(substring(text, element_at(allb, k) + 1," +
+          " element_at(allb, k + 1) - element_at(allb, k)))))"))
+      .filter(size(col("chd")) > 0)
+      .select(col("doc_id"), size(col("chd")).cast("long").as("n"),
+        explode(col("chd")).as("s"))
+    val ch = resolveShingleDfCap(spark, chunkDfCap).fold(chAll) { cap =>
+      val hot = chAll.groupBy(col("s"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("s"))
+      chAll.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    ch.as("a").hint("shuffle_hash").join(ch.as("b"),
+        expr("a.s = b.s AND a.doc_id < b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("ninter"))
+      .filter(expr("ninter * 2 >= least(na, nb)"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("na").as("n_chunks_a"), col("nb").as("n_chunks_b"),
+        col("ninter"),
+        expr("ninter * 1000000 div least(na, nb)").as("containment_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def ddCdcChunks(spark: SparkSession, dir: String,
       window: Int = 8, mask: Int = 63): DataFrame = {
     // boundary positions come from the native rolling-hash expression

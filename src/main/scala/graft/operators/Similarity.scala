@@ -566,6 +566,145 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-PQ composite with RESIDUAL encoding — the full FAISS-style
+    * `IndexIVFPQ` serving shape, composing the two prune axes the
+    * family so far exercises separately: [[simIvfAnn]] bounds WHICH
+    * vectors are scanned (nprobe cells), [[simPqAdc]] bounds WHAT is
+    * read per vector (8 codes, never raw floats). The honest part is
+    * the residual: vectors are PQ-coded as r = x − centroid(cell(x))
+    * (what survives after the coarse quantizer explains the cell —
+    * residuals are near-centered so a shared codebook spends its
+    * codewords on fine structure, the reason real IVFPQ encodes
+    * residuals), and a query's residual DIFFERS PER PROBED CELL
+    * (q − that cell's centroid), so the ADC lookup table is rebuilt
+    * per (query, cell) exactly as FAISS does. The shared residual
+    * codebook is a one-assignment-step quantizer seeded from the
+    * deterministic vec_id%16 grouping (the [[simKmeansStep]] "one
+    * Lloyd iteration" convention — k-means iterated IS this operator's
+    * codebook loop). All emitted distances go through ORDER-PINNED
+    * double folds (vec_id order for means, sub order for the ADC sum),
+    * bit-identical in both engines; argmins absorb their fold order.
+    *
+    * 100 TB shape: cell centroids (#cells rows) and the codebook
+    * (16×8 rows) broadcast; the query probe table (|Q|·nprobe rows,
+    * carrying per-cell query residuals) broadcasts into the code
+    * table, whose join on the cell label IS the inverted-file read —
+    * only probed cells' codes are touched, 8 small ints per candidate;
+    * the raw embedding table is scanned once to build codes and never
+    * again at query time. */
+  def simIvfpq(spark: SparkSession, dir: String, nprobe: Int = 2,
+      k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val pinnedMean = expr(
+      """aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
+        | x -> cast(x.v as double)), cast(0 as double), (acc, y) -> acc + y)""".stripMargin)
+    // coarse quantizer: per-cell centroids, order-pinned (residuals
+    // flow into emitted distances, so no decimal-cast shortcut here)
+    val cellCent = e
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy(col("label"), col("p"))
+      .agg(pinnedMean.as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s") / col("n"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cellv"))
+    // residuals r = x - centroid(cell(x)): array<double>, map-side
+    val resid = e.join(broadcast(cellCent), Seq("label"))
+      .withColumn("r", expr("zip_with(embedding, cellv, (x, c) -> cast(x as double) - c)"))
+      .select(col("vec_id"), col("label"), col("r"))
+    // shared residual codebook: 16 codewords per subspace, vec_id%16 seed
+    val cb = resid
+      .select(expr("vec_id % 16").as("g"), col("vec_id"),
+        posexplode(col("r")).as(Seq("p", "v")))
+      .groupBy(col("g"), col("p"))
+      .agg(pinnedMean.as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s") / col("n"))
+      .groupBy(col("g"), expr("p div 8").as("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cv"))
+    // codes: per (vector, subspace) argmin over the 16 codewords
+    val subRes = resid.select(col("vec_id"), col("label"), col("r"),
+        explode(expr("sequence(0, 7)")).as("sub"))
+      .withColumn("sv", expr("slice(r, sub * 8 + 1, 8)"))
+    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("g"))
+    val codes = subRes.join(broadcast(cb), Seq("sub"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("sub"), col("g").as("code"))
+    // query probe table: top-nprobe cells by exact L2 to the centroid,
+    // each probe carrying the PER-CELL query residual
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("label"))
+    val probes = q.crossJoin(broadcast(cellCent))
+      .withColumn("qdist", expr(
+        """aggregate(zip_with(q_emb, cellv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .withColumn("qr", expr("zip_with(q_emb, cellv, (x, c) -> cast(x as double) - c)"))
+      .select(col("q_id"), col("label"), col("qr"))
+    // ADC over probed cells only: the label join is the inverted-file
+    // read — un-probed cells' codes never leave the scan
+    val terms = codes
+      .join(broadcast(probes), Seq("label"))
+      .join(broadcast(cb.select(col("g").as("code"), col("sub"), col("cv"))),
+        Seq("sub", "code"))
+      .withColumn("term", expr(
+        """aggregate(transform(sequence(1, 8), j ->
+          | (element_at(qr, cast(sub * 8 + j as int)) - element_at(cv, j))
+          | * (element_at(qr, cast(sub * 8 + j as int)) - element_at(cv, j))),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+    val adc = terms.groupBy(col("q_id"), col("vec_id"), col("label"))
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(sub, term))), x -> x.term),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin).as("adc_dist"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(wTop).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("label").cast("bigint").as("cell"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVFPQ recall@k — the end-to-end accuracy audit of the composed
+    * serving path ([[simIvfpq]]): exact L2 top-k per query overlapped
+    * with the IVF-PQ answer, folding BOTH loss sources into one
+    * number — coarse-probe misses (the true neighbor's cell was not
+    * among the nprobe probed) and residual-quantization misorderings
+    * (ADC ranked a worse vector higher). The per-tier audits exist
+    * separately ([[simIvfProbeCurve]] for cell recall, [[simPqRecall]]
+    * for code loss); a deployment tunes nprobe and codebook size
+    * against THIS composite curve. Same scale shape as the other
+    * recall audits: one broadcast-query corpus scan per side, pairs
+    * never materialize beyond queries × corpus. */
+  def simIvfpqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(q_emb, embedding,
+          | (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    val exactTop = exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val annTop = simIvfpq(spark, dir, k = k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exactTop.join(annTop, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        expr("array_join(transform(sort_array(collect_list(vec_id)), x -> cast(x as string)), ',')")
+          .as("exact_ids"))
+      .orderBy(col("q_id"))
+  }
+
   /** PQ recall@k — the accuracy audit that decides whether the ADC
     * tier is usable: exact L2 top-k per query (order-pinned 64-dim
     * fold, broadcast queries, bounded-heap top-k) overlapped with

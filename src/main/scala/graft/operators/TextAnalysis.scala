@@ -1953,4 +1953,61 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** TextRank keywords per language — the graph-ranking sibling of
+    * RAKE (Mihalcea & Tarau's random-walk scoring): nodes are the
+    * language's terms, edges are ADJACENT-token co-occurrences
+    * (window 2) weighted by count, and term importance is weighted
+    * PageRank (pr = 0.15 + 0.85·Σ pr·w/W) iterated a fixed `iters`
+    * rounds. Reuses the q57 bit-stability discipline exactly:
+    * per-edge contributions are rounded to 12 decimals THEN summed as
+    * DECIMAL(30,12) — partition-order-independent, so ranks are
+    * bit-identical across any cluster layout (and to the oracle's
+    * unrolled CTE chain). Edges below `minW` co-occurrences are
+    * pruned (the support floor that keeps a web-scale co-occurrence
+    * graph near-linear in the corpus instead of vocab² — hapax
+    * adjacencies are noise for ranking anyway).
+    *
+    * 100 TB shape: the bigram stream is MAP-SIDE (the shared
+    * [[TextOps.ngramArray]] codegen pass — no doc-keyed window
+    * shuffle); the graph is vocabulary-sized, every iteration is one
+    * edge⋈rank join + one dst-keyed aggregate hashing the SAME
+    * (lang, node) key, so pre-partitioning the persisted edge list
+    * makes all rounds co-partitioned (the q57 exemplar). */
+  def txtTextrank(spark: SparkSession, dir: String, iters: Int = 3,
+      minW: Long = 2L, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.ngramArray("text", 2)).as("b2"))
+      .select(col("lang"),
+        expr("split_part(b2, ' ', 1)").as("t1"),
+        expr("split_part(b2, ' ', 2)").as("t2"))
+      .filter(col("t1") =!= col("t2"))
+    val pairs = bg
+      .select(col("lang"), least(col("t1"), col("t2")).as("a"),
+        greatest(col("t1"), col("t2")).as("b"))
+      .groupBy(col("lang"), col("a"), col("b"))
+      .agg(count(lit(1)).as("wgt"))
+      .filter(col("wgt") >= minW)
+    val edges = pairs.select(col("lang"), col("a").as("src"), col("b").as("dst"), col("wgt"))
+      .unionAll(pairs.select(col("lang"), col("b").as("src"), col("a").as("dst"), col("wgt")))
+    val wdeg = edges.groupBy(col("lang"), col("src")).agg(sum(col("wgt")).as("wdeg"))
+    val ed = edges.join(wdeg, Seq("lang", "src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pr = wdeg.select(col("lang"), col("src").as("node"), lit(1.0).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = ed.join(pr.withColumnRenamed("lang", "plang"),
+          col("src") === col("node") && col("lang") === col("plang"))
+        .groupBy(col("lang"), col("dst"))
+        .agg(expr("cast(sum(cast(round(pr * wgt / wdeg, 12) as decimal(30,12))) as double)").as("s"))
+        .select(col("lang"), col("dst").as("node"),
+          round(lit(0.15) + lit(0.85) * col("s"), 12).as("pr"))
+    }
+    val wTop = Window.partitionBy(col("lang")).orderBy(col("pr").desc, col("node"))
+    val out = pr.withColumn("rank", row_number().over(wTop).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("node").as("term"), col("pr"))
+      .orderBy(col("lang"), col("rank"))
+    graft.operators.Analytics.materializeAndRelease(spark, out, ed)
+  }
+
 }

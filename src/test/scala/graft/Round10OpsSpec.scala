@@ -166,6 +166,157 @@ class Round10OpsSpec extends SparkSpec {
       s"fixture must contain runs longer than the cap for the cap to be exercised (max run $maxRun)")
   }
 
+  test("IVFPQ: full driver recompute — probe cells, residual codes, and ADC top-k are exact") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    // cell centroids: vec_id-ordered left fold (the op's pinned mean)
+    val byCell = e.groupBy(_._3)
+    val cellCent = byCell.map { case (l, vs) =>
+      l -> Array.tabulate(64)(p =>
+        vs.sortBy(_._1).map(_._2(p).toDouble).foldLeft(0.0)(_ + _) / vs.length)
+    }
+    val resid = e.map { case (id, emb, l) =>
+      (id, l, Array.tabulate(64)(p => emb(p).toDouble - cellCent(l)(p)))
+    }
+    val byG = resid.groupBy(t => (t._1 % 16).toInt)
+    val cb = byG.map { case (g, vs) =>
+      g -> Array.tabulate(64)(p => vs.sortBy(_._1).map(_._3(p)).foldLeft(0.0)(_ + _) / vs.length)
+    }
+    def subDist(r: Array[Double], off: Int, cw: Array[Double]): Double =
+      (0 until 8).map(j => (r(off + j) - cw(off + j)) * (r(off + j) - cw(off + j)))
+        .foldLeft(0.0)(_ + _)
+    val codes = resid.map { case (id, l, r) =>
+      (id, l, Array.tabulate(8) { sub =>
+        (0 until 16).minBy(g => (subDist(r, sub * 8, cb(g)), g))
+      })
+    }
+    val expected = e.filter(_._1 < 3).flatMap { case (qid, qemb, _) =>
+      val qd = cellCent.toSeq.map { case (l, cv) =>
+        (l, (0 until 64).map(p => (qemb(p).toDouble - cv(p)) * (qemb(p).toDouble - cv(p)))
+          .foldLeft(0.0)(_ + _))
+      }
+      val probed = qd.sortBy { case (l, d) => (d, l) }.take(2).map(_._1).toSet
+      val cand = codes.filter(c => probed.contains(c._2) && c._1 != qid).map {
+        case (id, l, cd) =>
+          val qr = Array.tabulate(64)(p => qemb(p).toDouble - cellCent(l)(p))
+          val adc = (0 until 8).map(sub => subDist(qr, sub * 8, cb(cd(sub))))
+            .foldLeft(0.0)(_ + _)
+          (id, l, adc)
+      }
+      cand.sortBy { case (id, _, d) => (d, id) }.take(5).zipWithIndex.map {
+        case ((id, l, d), i) => (qid, (i + 1).toLong, id, l.toLong, d)
+      }
+    }.toSet
+    val got = operators.Similarity.simIvfpq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expected,
+      "distributed IVFPQ must equal the sequential recompute bit for bit")
+    assert(got.map(_._4).size > 1 || got.groupBy(_._1).values.exists(_.map(_._4).size > 1)
+      || got.nonEmpty, "fixture sanity")
+  }
+
+  test("chunk containment: a byte-level quote is caught; unrelated docs are not paired") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("cc_fix").toString
+    Seq(
+      (1L, "en", "s0", base),
+      (2L, "en", "s0", base + " tail entirely new words after the shared prefix body"),
+      (3L, "en", "s0", (1 to 40).map(i => s"zeta$i eta$i theta$i").mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Dedup.ddChunkContainment(spark, dir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "doc 1 quoted inside doc 2 must surface as a chunk-containment pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc must not pair with anything")
+    val r12 = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(r12.getAs[Long]("containment_micro") >= 500000L)
+  }
+
+  test("chunk containment: default df cap is result-invariant where no chunk is hot") {
+    val dflt = operators.Dedup.ddChunkContainment(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val uncapped = operators.Dedup.ddChunkContainment(spark, sf0001,
+      chunkDfCap = Some(0)).collect().map(_.toString).toSeq
+    assert(dflt == uncapped && dflt.nonEmpty)
+  }
+
+  test("phash band-bucket cap: mega-families are suppressed, cold pairs survive, dials work") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ph_cap").toString
+    val fam = (1 to 5).map(i =>
+      (i.toLong, "en", "s0", "payload family shared by many identical copies of media"))
+    val pair = Seq(
+      (10L, "en", "s0", "a distinct payload that exists exactly twice in the corpus"),
+      (11L, "en", "s0", "a distinct payload that exists exactly twice in the corpus"))
+    (fam ++ pair).toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairsOf(cap: Option[Int]) =
+      operators.Multimodal.mmPhashDup(spark, dir, bandBucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val famPairs = (for (a <- 1 to 5; b <- 1 to 5 if a < b) yield (a.toLong, b.toLong)).toSet
+    // default cap (100) is far above the family size: nothing suppressed
+    assert(pairsOf(None) == famPairs + ((10L, 11L)))
+    // binding cap: every band of the 5-family is a 5-member bucket -> all
+    // its pairs suppressed; the 2-member payload keeps its pair
+    assert(pairsOf(Some(3)) == Set((10L, 11L)),
+      "a >cap family must vanish from the pair report; cold pairs must survive")
+    // explicit uncapped restores everything
+    assert(pairsOf(Some(0)) == famPairs + ((10L, 11L)))
+    // session-conf dial drives the default
+    spark.conf.set("spark.graft.mm.bandBucketCap", "3")
+    try assert(pairsOf(None) == Set((10L, 11L)), "conf must drive the default cap")
+    finally spark.conf.unset("spark.graft.mm.bandBucketCap")
+    // the suppressed family is exactly what the linear exact-dup pass reports
+    val exact = operators.Multimodal.mmExactDup(spark, dir).collect()
+    assert(exact.exists(r => r.getAs[Long]("n_copies") == 5L),
+      "the mega-family must be visible through mm_exact_dup instead")
+  }
+
+  test("TextRank: full driver recompute — weighted pagerank rounds are bit-identical") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r12(x: Double): JBD = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+    val docs = Tables.documents(spark, sf0001).select(col("lang"), col("text")).collect()
+    val pc = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    docs.foreach { r =>
+      val lang = r.getString(0)
+      val t = Option(r.getString(1)).getOrElse("").split(" ").filter(_.nonEmpty)
+      for (i <- 0 until math.max(0, t.length - 1) if t(i) != t(i + 1)) {
+        val key = if (t(i) < t(i + 1)) (lang, t(i), t(i + 1)) else (lang, t(i + 1), t(i))
+        pc(key) = pc.getOrElse(key, 0L) + 1L
+      }
+    }
+    val edges = pc.filter(_._2 >= 2L).toSeq.flatMap { case ((l, a, b), w) =>
+      Seq((l, a, b, w), (l, b, a, w))
+    }
+    val wdeg = edges.groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._4).sum).toMap
+    var pr = wdeg.keys.map(k => k -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(e => (e._1, e._3)).map { case (dst, es) =>
+        val s = es.map { case (l, src, _, w) =>
+          r12(pr((l, src)) * w.toDouble / wdeg((l, src)).toDouble)
+        }.reduce(_ add _)
+        dst -> r12(0.15 + 0.85 * s.doubleValue).doubleValue
+      }
+      pr = contrib
+    }
+    val expected = pr.groupBy(_._1._1).flatMap { case (lang, m) =>
+      m.toSeq.map { case ((_, node), p) => (node, p) }
+        .sortBy { case (n, p) => (-p, n) }.take(10).zipWithIndex
+        .map { case ((n, p), i) => (lang, (i + 1).toLong, n, p) }
+    }.toSet
+    val got = operators.TextAnalysis.txtTextrank(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got == expected,
+      "distributed TextRank must equal the sequential recompute bit for bit")
+  }
+
   test("frame energies: an empty payload yields NO frames (no phantom frame 0)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm_empty").toString
