@@ -84,6 +84,7 @@ object SparkEntry {
     "dd_cdc_ingest" -> ((s: SparkSession, d: String) => Dedup.ddCdcIngest(s, d)),
     "q169_runs_up_down" -> (Analytics.q169RunsUpDown _),
     "q170_mantel_haenszel" -> (Analytics.q170MantelHaenszel _),
+    "q171_theil_sen" -> (Analytics.q171TheilSen _),
     "pipe_class_weights" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeClassWeights(s, d)),
     "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
@@ -4047,6 +4048,34 @@ object SparkEntry {
         |SELECT total_n AS n, n_rows_dim, n_cols_dim, chi2_cum AS chi2,
         | sqrt(chi2_cum / (total_n * (least(n_rows_dim, n_cols_dim) - 1))) AS cramers_v
         |FROM cum, tot, dims WHERE rn = n_cells""".stripMargin,
+    // Theil-Sen: lower median of pairwise daily-revenue slopes,
+    // sign-split micro quotients (truncation-toward-zero in BOTH
+    // engines); the engine's bucketed two-pass median is internal -
+    // the oracle takes the order statistic directly
+    "q171_theil_sen" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents,
+        |  date_diff('day', DATE '1970-01-01', cast(o_orderdate as date)) AS d
+        | FROM orders GROUP BY 1, 2, 4
+        |), pairs AS (
+        | SELECT a.o_orderpriority,
+        |  (CASE WHEN b.cents < a.cents THEN -1 ELSE 1 END)
+        |   * (abs(b.cents - a.cents) * 1000000 // (b.d - a.d)) sl
+        | FROM daily a JOIN daily b
+        |  ON a.o_orderpriority = b.o_orderpriority AND a.d < b.d
+        |), v AS (
+        | SELECT o_orderpriority, sl, count(*) w FROM pairs GROUP BY 1, 2
+        |), c AS (
+        | SELECT o_orderpriority, sl, w,
+        |  cast(sum(w) OVER (PARTITION BY o_orderpriority ORDER BY sl) as bigint) cw,
+        |  cast(sum(w) OVER (PARTITION BY o_orderpriority) as bigint) m
+        | FROM v
+        |)
+        |SELECT o_orderpriority, cast(max(m) as bigint) AS n_pairs,
+        | cast(min(sl) as bigint) AS ts_slope_micro
+        |FROM c WHERE cw * 2 >= m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q120_hodges_lehmann" ->
       """WITH daily AS (
         | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",

@@ -2396,6 +2396,66 @@ object Analytics {
     materializeAndRelease(spark, result, pairsB)
   }
 
+  /** Theil–Sen robust slope of per-priority daily revenue — the
+    * regression sibling of [[q120HodgesLehmann]] (median of pairwise
+    * SLOPES instead of pairwise sums; up to 29.3% contamination
+    * breakdown vs OLS's zero): ts_slope_micro = the exact LOWER MEDIAN
+    * of per-pair slopes (cⱼ−cᵢ)·10⁶ div (dⱼ−dᵢ), i<j by day,
+    * SIGN-SPLIT (sign · abs-quotient) so Spark's truncate-toward-zero
+    * div and the oracle's floor-div agree on negative slopes — every
+    * value a pure integer, no float boundary. Pair expansion is
+    * calendar-bounded (days², SF-constant — the q118/q120
+    * adjudication) and map-side behind a broadcast; the median reuses
+    * q120's TWO-PASS distributed k-th order statistic (count per
+    * equi-width bucket, then rank only inside the bucket holding
+    * rank ⌈m/2⌉ — the near-distinct slopes never shuffle as groups).
+    * Bucket bounds come from ±cents·10⁶, a superset of any slope
+    * (min day gap is 1), so the bucketing is total; the oracle
+    * computes the same order statistic directly (bucketing is an
+    * internal optimization, not semantics). */
+  def q171TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .withColumn("d", expr("datediff(day, date'1970-01-01')").cast("long"))
+    val later = daily.select($"o_orderpriority".as("p2"),
+      $"d".as("d2"), $"cents".as("cents2"))
+    val bounds = daily.select(($"cents" * 1000000L).as("sl"))
+      .unionAll(daily.select((-$"cents" * 1000000L).as("sl")))
+    val bkt = CorpusPipeline.equiWidthBucket(bounds, "sl")
+    val pairsB = daily
+      .join(broadcast(later), $"o_orderpriority" === $"p2" && $"d" < $"d2")
+      .select($"o_orderpriority",
+        expr("(CASE WHEN cents2 < cents THEN -1 ELSE 1 END)" +
+          " * (abs(cents2 - cents) * 1000000 div (d2 - d))").as("sl"))
+      .withColumn("b", bkt)
+      .persist()
+    val wCum = Window.partitionBy($"o_orderpriority").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val target = pairsB
+      .groupBy($"o_orderpriority", $"b").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("m", sum($"c").over(Window.partitionBy($"o_orderpriority")))
+      .withColumn("k", expr("(m + 1) div 2"))
+      .filter($"cum" >= $"k")
+      .groupBy($"o_orderpriority")
+      .agg(min($"b").as("tb"), expr("min_by(cum - c, b)").as("before"),
+        max($"k").as("k"), max($"m").as("m"))
+    val result = pairsB
+      .join(broadcast(target), Seq("o_orderpriority")).filter($"b" === $"tb")
+      .groupBy($"o_orderpriority", $"sl")
+      .agg(count(lit(1)).as("w"), max($"before").as("before"),
+        max($"k").as("k"), max($"m").as("m"))
+      .withColumn("cw", sum($"w").over(
+        Window.partitionBy($"o_orderpriority").orderBy($"sl")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"before" + $"cw" >= $"k")
+      .groupBy($"o_orderpriority")
+      .agg(max($"m").as("n_pairs"), min($"sl").as("ts_slope_micro"))
+      .orderBy($"o_orderpriority")
+    materializeAndRelease(spark, result, pairsB)
+  }
+
   /** Kaplan–Meier survival curve over customer lifetimes (weeks from
     * first to last order; a lifetime is an observed "death" only when
     * it ended ≥ 8 weeks before the corpus edge, else censored — the

@@ -317,6 +317,33 @@ class Round10OpsSpec extends SparkSpec {
       "distributed TextRank must equal the sequential recompute bit for bit")
   }
 
+  test("Theil-Sen: lower median of sign-split slopes matches a direct recompute") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .select(col("o_orderpriority"),
+        expr("datediff(day, date'1970-01-01')").cast("long"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (p, rows) =>
+      val pts = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield {
+        val dc = pts(j)._2 - pts(i)._2
+        val dd = pts(j)._1 - pts(i)._1
+        (if (dc < 0) -1L else 1L) * (math.abs(dc) * 1000000L / dd)
+      }
+      val s = slopes.sorted
+      p -> ((s.length.toLong, s((s.length + 1) / 2 - 1)))
+    }
+    val got = operators.Analytics.q171TheilSen(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected,
+      "the two-pass distributed order statistic must equal the direct pairwise median")
+    assert(got.values.exists(_._2 < 0) || expected.values.exists(_._2 < 0),
+      "fixture must exercise the negative-slope sign-split branch")
+  }
+
   test("frame energies: an empty payload yields NO frames (no phantom frame 0)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm_empty").toString
