@@ -85,6 +85,7 @@ object SparkEntry {
     "q169_runs_up_down" -> (Analytics.q169RunsUpDown _),
     "q170_mantel_haenszel" -> (Analytics.q170MantelHaenszel _),
     "q171_theil_sen" -> (Analytics.q171TheilSen _),
+    "q172_mad_outliers" -> (Analytics.q172MadOutliers _),
     "pipe_class_weights" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeClassWeights(s, d)),
     "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
@@ -4075,6 +4076,41 @@ object SparkEntry {
         |SELECT o_orderpriority, cast(max(m) as bigint) AS n_pairs,
         | cast(min(sl) as bigint) AS ts_slope_micro
         |FROM c WHERE cw * 2 >= m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Median + MAD + 3-MAD outlier census, all exact integers via the
+    // doubled-median device applied twice; outlier test is the integer
+    // cross-multiplication 2*dev2 > 3*mad4
+    "q172_mad_outliers" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), r1 AS (
+        | SELECT o_orderpriority, cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents, "day") rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) n
+        | FROM daily
+        |), med AS (
+        | SELECT o_orderpriority,
+        |  cast(CASE WHEN count(*) = 1 THEN sum(cents) * 2 ELSE sum(cents) END as bigint) med2,
+        |  cast(max(n) as bigint) n_days
+        | FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1
+        |), dev AS (
+        | SELECT d.o_orderpriority, d."day", abs(2 * d.cents - med2) dev2, med2, n_days
+        | FROM daily d JOIN med USING (o_orderpriority)
+        |), r2 AS (
+        | SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY dev2, "day") rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) n
+        | FROM dev
+        |), mad AS (
+        | SELECT o_orderpriority,
+        |  cast(CASE WHEN count(*) = 1 THEN sum(dev2) * 2 ELSE sum(dev2) END as bigint) mad4
+        | FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1
+        |)
+        |SELECT dev.o_orderpriority, cast(max(n_days) as bigint) AS n_days,
+        | cast(max(med2) as bigint) AS med2_cents, cast(max(mad4) as bigint) AS mad4_cents,
+        | cast(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) as bigint) AS n_outliers
+        |FROM dev JOIN mad USING (o_orderpriority) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q120_hodges_lehmann" ->
       """WITH daily AS (

@@ -2456,6 +2456,49 @@ object Analytics {
     materializeAndRelease(spark, result, pairsB)
   }
 
+  /** Median + MAD (median absolute deviation) robust-scale profile of
+    * per-priority daily revenue, with the 3-MAD outlier census — the
+    * robust twin of the mean±3σ control chart (q138): one extreme day
+    * moves σ arbitrarily but moves MAD not at all (50% breakdown).
+    * EVERYTHING is exact integer via the doubled-median device
+    * (q165's m2 = x_(k1) + x_(k2), exact for even and odd n, applied
+    * TWICE): med2 = doubled median of cents, dev2ᵢ = |2·centsᵢ − med2|
+    * (= 2·|xᵢ − med|, an integer), mad4 = doubled median of dev2
+    * (= 4·MAD), and the outlier test |x−med| > 3·MAD is the integer
+    * cross-multiplication 2·dev2 > 3·mad4 — no float ever appears.
+    * Scale shape: the series is calendar-bounded per priority, so the
+    * two rank windows are O(days) groups at any corpus size; the
+    * census is one more pass over the same day-keyed aggregate. */
+  def q172MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    def doubledMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy(col(valueCol), $"day")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+        .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
+        .groupBy($"o_orderpriority")
+        // n odd -> the single middle row survives both rank tests: double it
+        .agg(when(count(lit(1)) === 1, sum(col(valueCol)) * 2)
+          .otherwise(sum(col(valueCol))).as(outCol),
+          max($"n").as("n_days"))
+    }
+    val med = doubledMedian(daily, "cents", "med2_cents")
+      .select($"o_orderpriority", $"med2_cents", $"n_days")
+    val dev = daily.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("dev2", expr("abs(2 * cents - med2_cents)"))
+    val mad = doubledMedian(dev, "dev2", "mad4_cents")
+      .select($"o_orderpriority", $"mad4_cents")
+    dev.join(broadcast(mad), Seq("o_orderpriority"))
+      .groupBy($"o_orderpriority")
+      .agg(max($"n_days").as("n_days"), max($"med2_cents").as("med2_cents"),
+        max($"mad4_cents").as("mad4_cents"),
+        sum(when(expr("2 * dev2 > 3 * mad4_cents"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Kaplan–Meier survival curve over customer lifetimes (weeks from
     * first to last order; a lifetime is an observed "death" only when
     * it ended ≥ 8 weeks before the corpus edge, else censored — the

@@ -344,6 +344,30 @@ class Round10OpsSpec extends SparkSpec {
       "fixture must exercise the negative-slope sign-split branch")
   }
 
+  test("MAD outliers: doubled medians and the 3-MAD census match a direct recompute") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val expected = daily.groupBy(_._1).map { case (p, rows) =>
+      val cs = rows.map(_._2).toSeq
+      val m2 = med2(cs)
+      val dev2 = cs.map(c => math.abs(2 * c - m2))
+      val m4 = med2(dev2)
+      p -> ((cs.length.toLong, m2, m4, dev2.count(d => 2 * d > 3 * m4).toLong))
+    }
+    val got = operators.Analytics.q172MadOutliers(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._4 > 0L), "fixture must contain 3-MAD outliers")
+    assert(got.values.forall(v => v._4 < v._1), "not everything may be an outlier")
+  }
+
   test("frame energies: an empty payload yields NO frames (no phantom frame 0)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm_empty").toString
