@@ -280,6 +280,7 @@ object SparkEntry {
     "sim_pq_adc" -> ((s: SparkSession, d: String) => Similarity.simPqAdc(s, d)),
     "sim_ivfpq" -> ((s: SparkSession, d: String) => Similarity.simIvfpq(s, d)),
     "sim_ivfpq_recall" -> ((s: SparkSession, d: String) => Similarity.simIvfpqRecall(s, d)),
+    "sim_ivfpq_probe_curve" -> ((s: SparkSession, d: String) => Similarity.simIvfpqProbeCurve(s, d)),
     "q122_correlogram" -> (Analytics.q122Correlogram _),
     "sim_pq_recall" -> ((s: SparkSession, d: String) => Similarity.simPqRecall(s, d)),
     "txt_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.txtCollocations(s, d)),
@@ -5027,6 +5028,98 @@ object SparkEntry {
         | string_agg(cast(ext.vec_id as varchar), ',' ORDER BY ext.vec_id) AS exact_ids
         |FROM ext LEFT JOIN hits ON ext.q_id = hits.q_id AND ext.vec_id = hits.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // IVFPQ recall-vs-nprobe tuning curve: candidates/recall per probe
+    // depth 1..4, probe sets nested so recall is monotone
+    "sim_ivfpq_probe_curve" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cellcent AS (
+        | SELECT label, i,
+        |  list_reduce(list_prepend(cast(0 as double),
+        |    list(cast(embedding[i] as double) ORDER BY vec_id)),
+        |   (acc, x) -> acc + x) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY label, i
+        |), cellv AS (
+        | SELECT label, list(c ORDER BY i) cellv FROM cellcent GROUP BY 1
+        |), resid AS (
+        | SELECT vec_id, e.label,
+        |  list_transform(range(1, 65), i -> cast(embedding[i] as double) - cellv[i]) r
+        | FROM embeddings e JOIN cellv ON e.label = cellv.label
+        |), cbdim AS (
+        | SELECT vec_id % 16 g, i,
+        |  list_reduce(list_prepend(cast(0 as double), list(r[i] ORDER BY vec_id)),
+        |   (acc, x) -> acc + x) / count(*) c
+        | FROM resid CROSS JOIN dims GROUP BY g, i
+        |), cb AS (
+        | SELECT g, (i - 1) // 8 AS sub, list(c ORDER BY i) cv FROM cbdim GROUP BY 1, 2
+        |), sv AS (
+        | SELECT vec_id, label, s.sub, r
+        | FROM resid CROSS JOIN (SELECT unnest(range(0, 8)) sub) s
+        |), d AS (
+        | SELECT vec_id, label, sv.sub, g,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (r[sv.sub * 8 + j] - cv[j]) * (r[sv.sub * 8 + j] - cv[j]))) dist
+        | FROM sv JOIN cb ON sv.sub = cb.sub
+        |), best AS (
+        | SELECT vec_id, label, sub, g,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, g) rn FROM d
+        |), codes AS (
+        | SELECT vec_id, label, sub, g AS code FROM best WHERE rn = 1
+        |), q AS (
+        | SELECT vec_id q_id, embedding q_emb FROM embeddings WHERE vec_id < 3
+        |), qcell AS (
+        | SELECT q_id, q_emb, label, cellv,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    (cast(q_emb[i] as double) - cellv[i]) * (cast(q_emb[i] as double) - cellv[i]))) qdist
+        | FROM q CROSS JOIN cellv
+        |), pp AS (SELECT unnest(range(1, 5)) p
+        |), probes AS (
+        | SELECT pp.p, q_id, rq.label,
+        |  list_transform(range(1, 65), i -> cast(q_emb[i] as double) - cellv[i]) qr
+        | FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdist, label) rn
+        |       FROM qcell) rq CROSS JOIN pp WHERE rn <= pp.p
+        |), terms AS (
+        | SELECT probes.p, q_id, c.vec_id, c.sub,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 9), j ->
+        |    (qr[c.sub * 8 + j] - cv[j]) * (qr[c.sub * 8 + j] - cv[j]))),
+        |   (acc, x) -> acc + x) term
+        | FROM codes c
+        | JOIN probes ON c.label = probes.label
+        | JOIN cb ON c.sub = cb.sub AND c.code = cb.g
+        |), adc AS (
+        | SELECT p, q_id, vec_id,
+        |  list_reduce(list_prepend(cast(0 as double), list(term ORDER BY sub)),
+        |   (acc, x) -> acc + x) adc_dist
+        | FROM terms GROUP BY 1, 2, 3
+        |), r AS (
+        | SELECT p, q_id, vec_id, adc_dist,
+        |  row_number() OVER (PARTITION BY p, q_id ORDER BY adc_dist, vec_id) rk
+        | FROM adc WHERE vec_id <> q_id
+        |), cand AS (
+        | SELECT p, cast(count(*) as bigint) n_candidates FROM r GROUP BY 1
+        |), hits AS (
+        | SELECT p, q_id, vec_id FROM r WHERE rk <= 5
+        |), ex AS (
+        | SELECT q.q_id, e.vec_id,
+        |  list_reduce(list_prepend(cast(0 as double), list_transform(range(1, 65), j ->
+        |    (cast(q_emb[j] as double) - cast(e.embedding[j] as double))
+        |    * (cast(q_emb[j] as double) - cast(e.embedding[j] as double)))),
+        |   (acc, x) -> acc + x) dist
+        | FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+        |), ext AS (
+        | SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) rk FROM ex
+        | ) WHERE rk <= 5
+        |)
+        |SELECT cast(pp.p as bigint) AS nprobe, cand.n_candidates,
+        | cast(count(*) as bigint) AS n_exact,
+        | cast(sum(CASE WHEN hits.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hits,
+        | cast(sum(CASE WHEN hits.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) as bigint) AS recall_micro
+        |FROM ext CROSS JOIN pp
+        |LEFT JOIN hits ON hits.p = pp.p AND ext.q_id = hits.q_id AND ext.vec_id = hits.vec_id
+        |JOIN cand ON cand.p = pp.p
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "sim_pq_adc" ->
       """WITH dims AS (SELECT unnest(range(1, 65)) i),

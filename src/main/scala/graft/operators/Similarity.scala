@@ -592,8 +592,12 @@ object Similarity {
     * only probed cells' codes are touched, 8 small ints per candidate;
     * the raw embedding table is scanned once to build codes and never
     * again at query time. */
-  def simIvfpq(spark: SparkSession, dir: String, nprobe: Int = 2,
-      k: Int = 5): DataFrame = {
+  /** The shared IVFPQ index build — (queries, cell centroids ranked
+    * per query with per-cell query residuals, codebook, codes). Every
+    * expression here is the one [[simIvfpq]] gates; the probe curve
+    * reuses the identical build so the two operators cannot drift. */
+  private def ivfpqIndex(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
     val pinnedMean = expr(
       """aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
@@ -632,19 +636,27 @@ object Similarity {
       .withColumn("rn", row_number().over(wCode))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("sub"), col("g").as("code"))
-    // query probe table: top-nprobe cells by exact L2 to the centroid,
-    // each probe carrying the PER-CELL query residual
+    // query cells ranked by exact L2 to the centroid, each carrying
+    // the PER-CELL query residual (rn = the probe rank; consumers cut
+    // at their nprobe)
     val q = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("label"))
-    val probes = q.crossJoin(broadcast(cellCent))
+    val ranked = q.crossJoin(broadcast(cellCent))
       .withColumn("qdist", expr(
         """aggregate(zip_with(q_emb, cellv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
           | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
       .withColumn("qr", expr("zip_with(q_emb, cellv, (x, c) -> cast(x as double) - c)"))
-      .select(col("q_id"), col("label"), col("qr"))
+      .select(col("q_id"), col("label"), col("qr"), col("rn"))
+    (q, ranked, cb, codes)
+  }
+
+  /** ADC of the probed-cell candidates against a probe table
+    * (q_id, label, qr) — the shared query path of [[simIvfpq]] and
+    * [[simIvfpqProbeCurve]]. */
+  private def ivfpqAdc(codes: DataFrame, cb: DataFrame,
+      probes: DataFrame): DataFrame = {
     // ADC over probed cells only: the label join is the inverted-file
     // read — un-probed cells' codes never leave the scan
     val terms = codes
@@ -656,17 +668,70 @@ object Similarity {
           | (element_at(qr, cast(sub * 8 + j as int)) - element_at(cv, j))
           | * (element_at(qr, cast(sub * 8 + j as int)) - element_at(cv, j))),
           | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
-    val adc = terms.groupBy(col("q_id"), col("vec_id"), col("label"))
+    terms.groupBy(col("q_id"), col("vec_id"), col("label"))
       .agg(expr(
         """aggregate(transform(array_sort(collect_list(struct(sub, term))), x -> x.term),
           | cast(0 as double), (acc, v) -> acc + v)""".stripMargin).as("adc_dist"))
       .filter(col("vec_id") =!= col("q_id"))
+  }
+
+  def simIvfpq(spark: SparkSession, dir: String, nprobe: Int = 2,
+      k: Int = 5): DataFrame = {
+    val (_, ranked, cb, codes) = ivfpqIndex(spark, dir)
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("label"), col("qr"))
+    val adc = ivfpqAdc(codes, cb, probes)
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
     adc.withColumn("rank", row_number().over(wTop).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"),
         col("label").cast("bigint").as("cell"), col("adc_dist"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVFPQ recall-vs-nprobe curve — THE tuning readout for the
+    * composite tier ([[simIvfpqRecall]] audits one operating point;
+    * this sweeps nprobe 1..maxProbe so a deployment picks the probe
+    * depth where recall plateaus against candidate cost). For each
+    * nprobe: candidates = codes in the top-p cells, ADC-ranked top-k,
+    * overlapped with the exact L2 top-k; emits the candidate count
+    * (the COST axis) next to recall (the BENEFIT axis), recall_micro
+    * as the exact integer ratio. Recall is monotone in nprobe by
+    * construction (probe sets are nested) — pinned in spec. Scale
+    * shape: one probe table per p (|Q|·p rows, broadcast), the same
+    * inverted-file label join; the sweep multiplies query-side work
+    * only, never corpus passes. */
+  def simIvfpqProbeCurve(spark: SparkSession, dir: String,
+      maxProbe: Int = 4, k: Int = 5): DataFrame = {
+    val (q, ranked, cb, codes) = ivfpqIndex(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(q_emb, embedding,
+          | (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+    val wEx = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    val exactTop = exact.withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+    (1 to maxProbe).map { p =>
+      val probes = ranked.filter(col("rn") <= p)
+        .select(col("q_id"), col("label"), col("qr"))
+      val adc = ivfpqAdc(codes, cb, probes)
+      val nCand = adc.agg(count(lit(1)).as("n_candidates"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+      val annTop = adc.withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      val hits = exactTop.join(annTop, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      hits.crossJoin(broadcast(nCand))
+        .select(lit(p.toLong).as("nprobe"), col("n_candidates"),
+          col("n_exact"), col("n_hits"),
+          expr("n_hits * 1000000 div n_exact").as("recall_micro"))
+    }.reduce(_ unionAll _).orderBy(col("nprobe"))
   }
 
   /** IVFPQ recall@k — the end-to-end accuracy audit of the composed

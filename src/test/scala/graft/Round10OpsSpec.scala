@@ -368,6 +368,22 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.values.forall(v => v._4 < v._1), "not everything may be an outlier")
   }
 
+  test("IVFPQ probe curve: recall monotone in nprobe, cost rising, p=2 point equals the recall audit") {
+    val rows = operators.Similarity.simIvfpqProbeCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.sliding(2).forall { case Array(a, b) => b._4 >= a._4 },
+      "nested probe sets must make recall monotone non-decreasing")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 > a._2 },
+      "candidate cost must strictly rise with probe depth")
+    val p2hits = rows.find(_._1 == 2L).get._4
+    val audit = operators.Similarity.simIvfpqRecall(spark, sf0001).collect()
+      .map(_.getAs[Long]("n_overlap")).sum
+    assert(p2hits == audit,
+      "the curve's nprobe=2 point must equal sim_ivfpq_recall's total overlap")
+  }
+
   test("frame energies: an empty payload yields NO frames (no phantom frame 0)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm_empty").toString
