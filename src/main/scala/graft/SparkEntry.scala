@@ -2987,18 +2987,17 @@ object SparkEntry {
         |)
         |SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN cast(1 as bigint) << j ELSE 0 END) as bigint) AS ph
         |FROM votes GROUP BY 1
+        |), famed AS (
+        | SELECT ph.* FROM ph
+        | JOIN (SELECT ph, count(*) fam_n FROM ph GROUP BY 1) f USING (ph)
+        | WHERE f.fam_n <= 100
         |), bands AS (
         | SELECT doc_id, ph, bb.b, (ph >> (10 * bb.b)) & 1023 bh
-        | FROM ph CROSS JOIN (SELECT unnest(range(0, 6)) b) bb
-        |), keep AS (
-        | SELECT bands.* FROM bands
-        | JOIN (SELECT b, bh, count(*) df FROM bands GROUP BY 1, 2) f
-        |  ON bands.b = f.b AND bands.bh = f.bh
-        | WHERE f.df <= 100
+        | FROM famed CROSS JOIN (SELECT unnest(range(0, 6)) b) bb
         |)
         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
         | cast(bit_count(xor(a.ph, b2.ph)) as bigint) AS hamming
-        |FROM keep a JOIN keep b2 ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+        |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.ph, b2.ph)) <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q111_runs_test" ->

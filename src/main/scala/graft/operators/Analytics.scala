@@ -2723,17 +2723,22 @@ object Analytics {
     * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — a single exact-integer
     * rational, NO sqrt: the usual two-sided denominator collapses
     * because its factors are equal. Each directed edge joins the
-    * broadcast degree table twice on a node key; sums are
-    * DECIMAL(38,0) (degree products at web scale pass 2⁶³). Emitted
-    * as (num, den) parts + the one edge division. */
+    * degree table twice on a node key — SHUFFLED-hash, not broadcast:
+    * the degree table has one row per distinct node, so it grows with
+    * the corpus and a broadcast hint would become a multi-GB driver
+    * materialization at 100× (both sides hash-partition on the node
+    * key instead; the edge side is the big one and never sorts). Sums
+    * are DECIMAL(38,0) (degree products at web scale pass 2⁶³).
+    * Emitted as (num, den) parts + the one edge division. */
   def q123Assortativity(spark: SparkSession, dir: String): DataFrame = {
     val pairs = copurchaseEdges(spark, dir)
     val edges = pairs.select($"a".as("src"), $"b".as("dst"))
       .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val dd = edges
-      .join(broadcast(deg.select($"src", $"deg".as("dx"))), "src")
-      .join(broadcast(deg.select($"src".as("dst"), $"deg".as("dy"))), "dst")
+      .join(deg.select($"src", $"deg".as("dx")).hint("shuffle_hash"), "src")
+      .join(deg.select($"src".as("dst"), $"deg".as("dy")).hint("shuffle_hash"),
+        "dst")
     dd.agg(count(lit(1)).as("m_edges"),
         sum(expr("cast(dx as decimal(38,0))")).as("sum_x"),
         sum(expr("cast(dx as decimal(38,0)) * dy")).as("sum_xy"),
@@ -2809,8 +2814,11 @@ object Analytics {
     * candidate scorer. Common neighbours come from one length-2 path
     * join (edges ⋈ edges on the middle node — Σ deg² pairs, the same
     * bound as the wedge count in q58); existing edges drop via a
-    * left-anti join and degrees attach by broadcast (node table ≪
-    * edge table at any scale). All counts are exact integers; the
+    * left-anti join and degrees attach by SHUFFLED-hash join on the
+    * node key — the degree table has one row per distinct node, so it
+    * grows with the corpus and must never be broadcast (a hint that is
+    * free at sf1 is a multi-GB driver collect at 100×; the candidate
+    * side hash-partitions on n1/n2 instead). All counts are exact integers; the
     * only double is the final Jaccard ratio. Top-20 by common
     * neighbours with a (n1, n2) tie-break keeps the output bounded. */
   def q130LinkPrediction(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
@@ -2825,8 +2833,10 @@ object Analytics {
       Seq("n1", "n2"), "left_anti")
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     cand
-      .join(broadcast(deg.select($"src".as("n1"), $"deg".as("d1"))), "n1")
-      .join(broadcast(deg.select($"src".as("n2"), $"deg".as("d2"))), "n2")
+      .join(deg.select($"src".as("n1"), $"deg".as("d1")).hint("shuffle_hash"),
+        "n1")
+      .join(deg.select($"src".as("n2"), $"deg".as("d2")).hint("shuffle_hash"),
+        "n2")
       .select($"n1", $"n2", $"common_nbrs",
         ($"d1" + $"d2" - $"common_nbrs").as("union_deg"))
       .withColumn("jaccard",

@@ -40,6 +40,62 @@ object Dedup {
       .map(_.trim.toInt).orElse(Some(ShingleDfCapDefault)))
       .filter(_ > 0)
 
+  /** Hot stop-lists above this size fall back to the anti-join path
+    * instead of an inline literal set (defensive only: hot keys are
+    * few by construction — a 100k-entry stop list means the corpus is
+    * pathological and the broadcast anti-join is the right shape).
+    * Overridable for the red-path spec. */
+  private def hotKeyInlineLimit(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dedup.hotKeyInlineLimit")
+      .map(_.trim.toInt).getOrElse(100000)
+
+  /** Session-lifetime probe cache: (sfDir, family, cap) → collected hot
+    * keys. The census is a pure function of the corpus snapshot, and
+    * FOUR gated consumers sit on the same jaccardPairs stop list — one
+    * probe serves them all (r10 verdict next #2: the census used to run
+    * unconditionally inside every consumer's plan). None = the list
+    * overflowed the inline limit (fall back to the join each time). */
+  private val hotKeyCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Option[Array[Any]]]
+
+  /** Test hook: drop all cached stop lists (e.g. after rewriting a
+    * temp-dir corpus in place). */
+  private[graft] def clearHotKeyCache(): Unit = hotKeyCache.clear()
+
+  /** Two-phase hot-key guard — value-identical to the single-plan
+    * census + broadcast-anti-join formulation, but split so the main
+    * job never pays for a census that finds nothing:
+    *
+    * phase 1 (probe, its own tiny-result job, cached per corpus
+    * snapshot): df per key, keep keys with df > cap, collect them —
+    * hot keys are FEW by construction (that is what hot means), so
+    * this is a handful of values even on a web corpus;
+    * phase 2: if the list is empty, the input passes through UNTOUCHED
+    * (zero guard cost in the main plan — the common case on healthy
+    * corpora); otherwise the stop list becomes an inline NOT-IN filter
+    * (Catalyst folds large IN lists to an InSet probe inside codegen —
+    * no join, no broadcast exchange, the big exploded stream is
+    * scanned exactly once). Lists past [[hotKeyInlineLimit]] keep the
+    * old broadcast anti-join shape. */
+  private[operators] def dropHotKeys(spark: SparkSession, input: DataFrame,
+      keyCol: String, cap: Int, cacheKey: (String, String)): DataFrame = {
+    def census = input.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col(keyCol))
+    val limit = hotKeyInlineLimit(spark)
+    def probe: Option[Array[Any]] = {
+      val rows = census.limit(limit + 1).collect()
+      if (rows.length > limit) None else Some(rows.map(_.get(0)))
+    }
+    val (dir, family) = cacheKey
+    hotKeyCache.getOrElseUpdate((dir, family, cap), probe) match {
+      case Some(keys) if keys.isEmpty => input
+      case Some(keys) =>
+        input.filter(!col(keyCol).isin(keys.toIndexedSeq: _*))
+      case None =>
+        input.join(broadcast(census), Seq(keyCol), "left_anti")
+    }
+  }
+
   /** Exact dedup: group by content hash, keep the smallest doc_id.
     * At 100 TB this is the cheapest pass: map-side md5 + one shuffle
     * of (hash, id) pairs, never the payload. */
@@ -334,9 +390,7 @@ object Dedup {
       .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
         explode(col("shd")).as("s"))
     val sh = resolveShingleDfCap(spark, shingleDfCap).fold(shAll) { cap =>
-      val hot = shAll.groupBy(col("s"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("s"))
-      shAll.join(broadcast(hot), Seq("s"), "left_anti")
+      dropHotKeys(spark, shAll, "s", cap, (dir, "shingle"))
     }
     sh.as("a").hint("shuffle_hash").join(sh.as("b"),
         expr("a.s = b.s AND a.doc_id < b.doc_id"))
@@ -383,13 +437,12 @@ object Dedup {
       .filter(size(col("shd")) > 0)
       .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
         explode(col("shd")).as("s"))
-    // hot-shingle stop-list: df per shingle from a partial-aggregated
-    // pass, survivors above the cap broadcast back as an anti-join
-    // (map-side — the big exploded stream is never reshuffled for it)
+    // hot-shingle stop-list: two-phase probe (dropHotKeys) — the census
+    // runs once per corpus snapshot as its own job; the main plan sees
+    // either nothing (no hot keys — the healthy-corpus case) or a
+    // map-side InSet filter (the big exploded stream never reshuffles)
     val sh = resolveShingleDfCap(spark, shingleDfCap).fold(shAll) { cap =>
-      val hot = shAll.groupBy(col("s"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("s"))
-      shAll.join(broadcast(hot), Seq("s"), "left_anti")
+      dropHotKeys(spark, shAll, "s", cap, (dir, "shingle"))
     }
     // shuffled-hash self-join on the shingle key (measured 2x over
     // sort-merge: small rows, hash beats sorting) — the exchange below
@@ -657,9 +710,7 @@ object Dedup {
       .select(col("doc_id"), size(col("chd")).cast("long").as("n"),
         explode(col("chd")).as("s"))
     val ch = resolveShingleDfCap(spark, chunkDfCap).fold(chAll) { cap =>
-      val hot = chAll.groupBy(col("s"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("s"))
-      chAll.join(broadcast(hot), Seq("s"), "left_anti")
+      dropHotKeys(spark, chAll, "s", cap, (dir, s"chunk:$window:$mask"))
     }
     ch.as("a").hint("shuffle_hash").join(ch.as("b"),
         expr("a.s = b.s AND a.doc_id < b.doc_id"))

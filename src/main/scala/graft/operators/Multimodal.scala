@@ -262,32 +262,46 @@ object Multimodal {
         expr(s"least(cast($tile as bigint), h - y0)").as("tile_h"))
       .orderBy(col("doc_id"), col("tile_id"))
 
+  /** Resolve the effective identical-hash FAMILY cap for the phash
+    * pair join: explicit `Some(c > 0)` wins, `Some(c <= 0)` is
+    * explicitly uncapped, `None` defers to
+    * `spark.graft.mm.phashFamilyCap` (default 100, DEFAULT-ON — the
+    * sf0.1 corpus already grows 100+-replica exact-hash families). */
+  private def resolvePhashFamilyCap(spark: SparkSession,
+      cap: Option[Int]): Option[Int] =
+    cap.orElse(spark.conf.getOption("spark.graft.mm.phashFamilyCap")
+      .map(_.trim.toInt).orElse(Some(100)))
+      .filter(_ > 0)
+
   /** Perceptual-hash-style media near-dup pairs: a 60-bit SimHash over
     * the payload's hex 4-byte grams (computed WITHOUT decoding — the
     * content-hash tier between exact digest dedup and a real perceptual
     * model), banded 6×10 bits so any pair within Hamming distance 5
     * shares a whole band (pigeonhole — recall-complete vs the all-pairs
     * scan, same guarantee as the text-side banding, MODULO the
-    * default-ON hot-bucket cap below: a pair is suppressed only when
-    * EVERY band it shares is a >cap-member bucket, i.e. >cap-copy
-    * mega-families, whose pairwise expansion the linear
-    * [[mmExactDup]] pass already reports). The hash is one codegen
-    * pass per row; the payload bytes never shuffle — only
-    * (doc_id, 60-bit hash, band hash) rows do. */
-  /** Resolve the effective band-bucket cap for the phash pair join —
-    * the media-side twin of the text family's hot-shingle df cap
-    * (Dedup.resolveShingleDfCap): explicit `Some(c > 0)` wins,
-    * `Some(c <= 0)` is explicitly uncapped, `None` defers to
-    * `spark.graft.mm.bandBucketCap` (default 100, DEFAULT-ON since
-    * r10 — the sf0.1 corpus already grows 187-member buckets). */
-  private def resolveBandBucketCap(spark: SparkSession,
-      cap: Option[Int]): Option[Int] =
-    cap.orElse(spark.conf.getOption("spark.graft.mm.bandBucketCap")
-      .map(_.trim.toInt).orElse(Some(100)))
-      .filter(_ > 0)
-
+    * default-ON FAMILY cap below).
+    *
+    * Quadratic-blowup guard, DUP-DENSITY-DRIVEN (r10 advice): the k²
+    * pair explosion comes from families of k docs sharing the
+    * IDENTICAL full 60-bit hash (replica payloads hash identically),
+    * so the guard drops docs whose exact-hash family exceeds the cap
+    * BEFORE banding — a criterion that depends only on duplication
+    * density, never on corpus size. The earlier per-(band, bandHash)
+    * bucket cap is gone: a band hash has only 10 bits, so bucket
+    * occupancy grows linearly with the corpus from unrelated-doc
+    * collisions alone, and capping it silently discarded genuine
+    * Hamming≤5 near-dups once every bucket went hot. With the family
+    * cap, cross-family near-dup recall is COMPLETE at every corpus
+    * size; what is suppressed is exactly the >cap-replica exact-hash
+    * mega-families, whose existence the linear [[mmExactDup]] pass
+    * reports. The residual collision cost of 10-bit buckets is
+    * Θ(n²/2¹⁰/6) — the documented design bound of a 60-bit SimHash;
+    * a deployment beyond ~10⁸ media rows should widen the hash, not
+    * re-cap the buckets. The hash is one codegen pass per row; the
+    * payload bytes never shuffle — only (doc_id, 60-bit hash, band
+    * hash) rows do. */
   def mmPhashDup(spark: SparkSession, dir: String,
-      maxHamming: Int = 5, bandBucketCap: Option[Int] = None): DataFrame = {
+      maxHamming: Int = 5, familyCap: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 5,
       s"mmPhashDup: maxHamming=$maxHamming outside the 6-band pigeonhole guarantee")
     val h = Tables.documents(spark, dir)
@@ -298,22 +312,16 @@ object Multimodal {
       .select(col("doc_id"),
         org.apache.spark.sql.graft.TextExpressions.simhash60(col("grams")).as("ph"))
       .filter(col("ph").isNotNull)
-    val bandsAll = h.select(col("doc_id"), col("ph"),
+    // family cap via the shared two-phase probe (Dedup.dropHotKeys):
+    // the exact-hash family census runs once per corpus snapshot as
+    // its own tiny-result job; the main plan sees either nothing (no
+    // mega-family) or a map-side InSet filter on ph
+    val famed = resolvePhashFamilyCap(spark, familyCap).fold(h) { cap =>
+      Dedup.dropHotKeys(spark, h, "ph", cap, (dir, "phash_fam"))
+    }
+    val bands = famed.select(col("doc_id"), col("ph"),
         explode(expr("sequence(0, 5)")).as("b"))
       .withColumn("bh", expr("(ph >> (10 * b)) & 1023"))
-    // hot-bucket guard: a band bucket with k members contributes k²
-    // join rows, and an exact-dup mega-family is hot in ALL its bands —
-    // its pairwise expansion is exactly what the linear mm_exact_dup
-    // pass already reports, so the pair join skips buckets above the
-    // cap (pairs are lost ONLY when every shared band is hot, i.e.
-    // >cap-copy families; replicated exactly in the oracle, uncapped
-    // one config away)
-    val bands = resolveBandBucketCap(spark, bandBucketCap).fold(bandsAll) { cap =>
-      val hot = bandsAll.groupBy(col("b"), col("bh"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
-        .select(col("b"), col("bh"))
-      bandsAll.join(broadcast(hot), Seq("b", "bh"), "left_anti")
-    }
     val a = bands.select(col("doc_id").as("doc_a"), col("ph").as("ha"), col("b"), col("bh"))
     val bb = bands.select(col("doc_id").as("doc_b"), col("ph").as("hb"), col("b"), col("bh"))
     a.join(bb, Seq("b", "bh"))

@@ -226,12 +226,33 @@ class PlanSpec extends SparkSpec {
       s"lang totals must broadcast:\n$p")
   }
 
-  test("q123_assortativity joins the degree table by broadcast (no sort-merge on edges)") {
+  /** The degree table has one row per distinct graph node, so it GROWS
+    * with the corpus — a broadcast hint that is free at sf1 becomes a
+    * multi-GB driver materialization at 100× and fails at web scale.
+    * Pin the corpus-growing build sides to shuffled-hash joins (r10
+    * verdict, scale-killer #1). */
+  test("q123_assortativity never broadcasts the corpus-growing degree table") {
     val df = Analytics.q123Assortativity(spark, sf0001)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      s"degree joins must broadcast:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"degree join must not broadcast (degree table grows with corpus):\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"degree joins should be shuffled-hash:\n$p")
+  }
+
+  test("q130_link_prediction never broadcasts the corpus-growing degree table") {
+    val df = Analytics.q130LinkPrediction(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the left-anti drop of existing edges may legitimately broadcast
+    // only if AQE chooses to — but the DEGREE attach joins must not:
+    // assert no BroadcastHashJoin whose build side carries the deg agg.
+    assert(p.contains("ShuffledHashJoin"),
+      s"degree joins should be shuffled-hash:\n$p")
+    val broadcastDeg = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && (l.contains("d1") || l.contains("d2")))
+    assert(!broadcastDeg, s"degree table must not broadcast:\n$p")
   }
 
   /** Calendar-serial contract (r5 verdict, perf-watch item): the

@@ -247,7 +247,7 @@ class Round10OpsSpec extends SparkSpec {
     assert(dflt == uncapped && dflt.nonEmpty)
   }
 
-  test("phash band-bucket cap: mega-families are suppressed, cold pairs survive, dials work") {
+  test("phash family cap: exact-hash mega-families are suppressed, cold pairs survive, dials work") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ph_cap").toString
     val fam = (1 to 5).map(i =>
@@ -258,25 +258,48 @@ class Round10OpsSpec extends SparkSpec {
     (fam ++ pair).toDF("doc_id", "lang", "source", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     def pairsOf(cap: Option[Int]) =
-      operators.Multimodal.mmPhashDup(spark, dir, bandBucketCap = cap)
+      operators.Multimodal.mmPhashDup(spark, dir, familyCap = cap)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val famPairs = (for (a <- 1 to 5; b <- 1 to 5 if a < b) yield (a.toLong, b.toLong)).toSet
     // default cap (100) is far above the family size: nothing suppressed
     assert(pairsOf(None) == famPairs + ((10L, 11L)))
-    // binding cap: every band of the 5-family is a 5-member bucket -> all
-    // its pairs suppressed; the 2-member payload keeps its pair
+    // binding cap: the 5 identical payloads share one exact 60-bit hash,
+    // so the family (size 5 > cap 3) drops before banding; the 2-member
+    // payload keeps its pair
     assert(pairsOf(Some(3)) == Set((10L, 11L)),
-      "a >cap family must vanish from the pair report; cold pairs must survive")
+      "a >cap exact-hash family must vanish from the pair report; cold pairs must survive")
     // explicit uncapped restores everything
     assert(pairsOf(Some(0)) == famPairs + ((10L, 11L)))
     // session-conf dial drives the default
-    spark.conf.set("spark.graft.mm.bandBucketCap", "3")
+    spark.conf.set("spark.graft.mm.phashFamilyCap", "3")
     try assert(pairsOf(None) == Set((10L, 11L)), "conf must drive the default cap")
-    finally spark.conf.unset("spark.graft.mm.bandBucketCap")
+    finally spark.conf.unset("spark.graft.mm.phashFamilyCap")
     // the suppressed family is exactly what the linear exact-dup pass reports
     val exact = operators.Multimodal.mmExactDup(spark, dir).collect()
     assert(exact.exists(r => r.getAs[Long]("n_copies") == 5L),
       "the mega-family must be visible through mm_exact_dup instead")
+  }
+
+  test("phash family cap is dup-density-driven: a duplication-free corpus is cap-invariant") {
+    import spark.implicits._
+    // every payload distinct -> every exact-hash family has size 1, so
+    // even the tightest possible cap (1) must change NOTHING. Under the
+    // retired per-(band, bandHash) bucket cap this failed by design:
+    // 10-bit buckets fill with unrelated-doc collisions as the corpus
+    // grows, and capping them silently dropped genuine near-dup pairs.
+    val dir = java.nio.file.Files.createTempDirectory("ph_dd").toString
+    val docs = (1 to 40).map { i =>
+      (i.toLong, "en", "s0", s"unique payload number $i with shared phrasing across media rows")
+    }
+    docs.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairsOf(cap: Option[Int]) =
+      operators.Multimodal.mmPhashDup(spark, dir, familyCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = pairsOf(Some(0))
+    assert(pairsOf(Some(1)) == uncapped,
+      "cap=1 must be a no-op when no two docs share an exact hash")
+    assert(pairsOf(None) == uncapped, "default cap must also be a no-op here")
   }
 
   test("TextRank: full driver recompute — weighted pagerank rounds are bit-identical") {
