@@ -84,11 +84,17 @@ object MonitorBench {
     val phSeen = spark.sql("select sum(n_days) from (select max(n_days) n_days from mb_ph group by priority)")
       .head().getLong(0)
 
+    // throughput over rows actually CONSUMED (psiSeen/phSeen), not the
+    // full input count — on a timeout the stream stops mid-feed and
+    // input/t would overstate the rate (CleanerBench's discipline)
+    if (!psiDone || !phDone)
+      System.err.println("[monitor-bench] WARNING: stream timed out — " +
+        "rates are over partial output; do not record them")
     println(s"""{"metric":"monitor_throughput","psi":{"n_docs":$nDocs,"docs_seen":$psiSeen,""" +
       s""""snapshots":$psiSnaps,"lake_build_sec":${num(tLake)},"stream_sec":${num(tPsi)},""" +
-      s""""docs_per_sec":${num(nDocs / tPsi)},"timed_out":${!psiDone}},""" +
+      s""""docs_per_sec":${num(psiSeen / tPsi)},"timed_out":${!psiDone}},""" +
       s""""ph":{"n_rows":$phRows,"rows_seen":$phSeen,"stream_sec":${num(tPh)},""" +
-      s""""rows_per_sec":${num(phRows / tPh)},"timed_out":${!phDone}},"lm_dir":"$lmDir"}""")
+      s""""rows_per_sec":${num(phSeen / tPh)},"timed_out":${!phDone}},"lm_dir":"$lmDir"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,11 @@ object VectorOps {
   /** |a| for an `array<float>` column — native codegen loop. */
   def norm2(a: String): Column = VectorExpressions.norm(col(a))
 
+  /** Σ (aᵢ−bᵢ)² for float OR double array columns (each side read at
+    * its stored precision) — native codegen loop, bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces. */
+  def l2sq(a: Column, b: Column): Column = VectorExpressions.l2sq(a, b)
+
   /** HOF fallback for arrays of any numeric element type (e.g. the
     * double-typed centroid vectors). */
   def dotHof(a: String, b: String): Column = expr(

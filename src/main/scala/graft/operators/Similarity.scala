@@ -675,6 +675,22 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
   }
 
+  /** Exact L2 top-k ids per query — the shared exact side of the ANN
+    * recall audits: queries broadcast, the corpus scans ONCE, and the
+    * distance fold is the native codegen'd squared-L2 expression
+    * (FloatVecL2Sq — bit-identical to the interpreted
+    * `aggregate(zip_with(...))` HOF it replaced, r10 verdict next #3). */
+  private def exactL2TopK(e: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dist",
+        graft.functions.VectorOps.l2sq(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+  }
+
   def simIvfpq(spark: SparkSession, dir: String, nprobe: Int = 2,
       k: Int = 5): DataFrame = {
     val (_, ranked, cb, codes) = ivfpqIndex(spark, dir)
@@ -696,25 +712,20 @@ object Similarity {
     * nprobe: candidates = codes in the top-p cells, ADC-ranked top-k,
     * overlapped with the exact L2 top-k; emits the candidate count
     * (the COST axis) next to recall (the BENEFIT axis), recall_micro
-    * as the exact integer ratio. Recall is monotone in nprobe by
-    * construction (probe sets are nested) — pinned in spec. Scale
-    * shape: one probe table per p (|Q|·p rows, broadcast), the same
-    * inverted-file label join; the sweep multiplies query-side work
-    * only, never corpus passes. */
+    * as the exact integer ratio. Candidate sets are NESTED in nprobe
+    * (cost is monotone by construction); recall is typically — but
+    * not provably — monotone: a wider candidate set can admit a
+    * quantization-misordered vector whose ADC distance beats a true
+    * neighbor's and push an exact hit out of the ADC top-k, so the
+    * spec pins n_candidates monotone and records recall as an
+    * observation. Scale shape: one probe table per p (|Q|·p rows,
+    * broadcast), the same inverted-file label join; the sweep
+    * multiplies query-side work only, never corpus passes. */
   def simIvfpqProbeCurve(spark: SparkSession, dir: String,
       maxProbe: Int = 4, k: Int = 5): DataFrame = {
     val (q, ranked, cb, codes) = ivfpqIndex(spark, dir)
     val e = Tables.embeddings(spark, dir)
-    val exact = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dist", expr(
-        """aggregate(zip_with(q_emb, embedding,
-          | (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
-          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
-    val wEx = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
-    val exactTop = exact.withColumn("rank", row_number().over(wEx))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"))
+    val exactTop = exactL2TopK(e, q, k)
     (1 to maxProbe).map { p =>
       val probes = ranked.filter(col("rn") <= p)
         .select(col("q_id"), col("label"), col("qr"))
@@ -746,19 +757,13 @@ object Similarity {
     * recall audits: one broadcast-query corpus scan per side, pairs
     * never materialize beyond queries × corpus. */
   def simIvfpqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // the exact side takes its queries from the SAME ivfpqIndex build
+    // the serving path uses (the shared `q` frame — the query
+    // predicate lives in ONE place, so the two sides cannot drift;
+    // r10 advice), and the ANN side IS simIvfpq's gated answer
+    val (q, _, _, _) = ivfpqIndex(spark, dir)
     val e = Tables.embeddings(spark, dir)
-    val queries = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val exact = e.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dist", expr(
-        """aggregate(zip_with(q_emb, embedding,
-          | (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
-          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
-    val exactTop = exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"))
+    val exactTop = exactL2TopK(e, q, k)
     val annTop = simIvfpq(spark, dir, k = k)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     exactTop.join(annTop, Seq("q_id", "vec_id"), "left")
@@ -782,16 +787,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val exact = e.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dist", expr(
-        """aggregate(zip_with(q_emb, embedding,
-          | (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
-          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
-    val exactTop = exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"))
+    val exactTop = exactL2TopK(e, queries, k)
     val adcTop = simPqAdc(spark, dir, k)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     exactTop.join(adcTop, Seq("q_id", "vec_id"), "left")
@@ -913,21 +909,44 @@ object Similarity {
     * output edge below stays DecimalType-free. */
   private def covarianceExact(spark: SparkSession, dir: String): DataFrame = {
     // the d(d+1)/2 index pairs ride a broadcast nested-loop join (no
-    // per-row array-of-structs materialization — the naive
-    // flatten(transform(transform(...))) form allocated 2k nested
-    // structs per row and measured 2.4× slower at sf0.1); the product
-    // is pure codegen behind the broadcast
+    // per-row array materialization: a native build-the-2080-array +
+    // posexplode variant measured 4.7× SLOWER per core — Generate
+    // overhead on 2080 tiny rows loses to the fused NLJ + project —
+    // and the naive flatten(transform(transform(...))) HOF 2.4× slower
+    // still); the product is pure codegen behind the broadcast.
+    //
+    // Parallelism guard (r11 — THE sf1 cost): the embeddings table is
+    // kilobytes-per-megarow ON DISK relative to the expansion it feeds
+    // (5 MB of floats → 41.6M product rows at sf1), so the file scan
+    // arrives in one partition and the whole Gram pass used to run as
+    // ONE task (45.9 s single-thread at sf1). Repartitioning the slim
+    // 64-float rows first is a megabyte-scale shuffle that unlocks
+    // every core for the quadratic expansion — the standard
+    // tiny-input/huge-expansion shape (same reason the pair-explode
+    // dedup ops rebalance first).
     val pairs = spark.range(0, 64).select(col("id").cast("int").as("i"))
       .crossJoin(spark.range(0, 64).select(col("id").cast("int").as("j")))
       .filter(col("j") >= col("i"))
-    Tables.embeddings(spark, dir).crossJoin(broadcast(pairs))
+    val gram = Tables.embeddings(spark, dir)
+      .select(col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(pairs))
       .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
-        expr("round(cast(element_at(embedding, i + 1) as double) * element_at(embedding, j + 1), 6)").as("p"),
-        expr("round(cast(element_at(embedding, i + 1) as double), 6)").as("xi"))
+        expr("round(cast(element_at(embedding, i + 1) as double) * element_at(embedding, j + 1), 6)").as("p"))
       .groupBy(col("dim_i"), col("dim_j"))
       .agg(count(lit(1)).as("n"),
-        expr("cast(sum(cast(p as decimal(38,6))) as decimal(38,6))").as("sum_prod"),
-        expr("cast(sum(cast(xi as decimal(38,6))) as decimal(38,6))").as("sum_i"))
+        expr("cast(sum(cast(p as decimal(38,6))) as decimal(38,6))").as("sum_prod"))
+    // Σ round(xi, 6) depends only on i — a 64-row side aggregate off a
+    // linear posexplode, instead of the former per-(i, j) ride-along
+    // that decimal-summed the SAME per-dim values 2080× each
+    val sums = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(expr("cast(sum(cast(round(cast(v as double), 6) as decimal(38,6))) as decimal(38,6))")
+        .as("sum_i"))
+    gram.join(broadcast(sums.select(col("dim").cast("long").as("dim_i"), col("sum_i"))),
+        "dim_i")
+      .select(col("dim_i"), col("dim_j"), col("n"), col("sum_prod"), col("sum_i"))
   }
 
   def simCovariance(spark: SparkSession, dir: String): DataFrame =

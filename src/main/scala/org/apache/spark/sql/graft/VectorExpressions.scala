@@ -102,10 +102,77 @@ case class FloatVecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Σ (aᵢ − bᵢ)² — squared L2, the exact-distance fold of the ANN recall
+  * audits. Accepts float OR double arrays on each side (centroids and
+  * residuals are double arrays; raw embeddings are float) WITHOUT an
+  * implicit array cast, because a float→double array cast would change
+  * which value is widened and break bit-parity with the HOF fold it
+  * replaces: each element is read at its stored precision and widened
+  * to double exactly where `(cast(x as double) - c)` did. Sequential
+  * left-to-right accumulation — identical IEEE op order to
+  * `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0, +)` on
+  * equal-length arrays (all callers zip fixed-dim vectors). */
+case class FloatVecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_l2sq"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (fx, fy) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $getX - $getY;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def norm(a: Column): Column =
     ExpressionUtils.column(FloatVecNorm(ExpressionUtils.expression(a)))
+  def l2sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVecL2Sq(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -391,13 +391,16 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.values.forall(v => v._4 < v._1), "not everything may be an outlier")
   }
 
-  test("IVFPQ probe curve: recall monotone in nprobe, cost rising, p=2 point equals the recall audit") {
+  test("IVFPQ probe curve: candidate cost monotone in nprobe, p=2 point equals the recall audit") {
     val rows = operators.Similarity.simIvfpqProbeCurve(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
-    assert(rows.sliding(2).forall { case Array(a, b) => b._4 >= a._4 },
-      "nested probe sets must make recall monotone non-decreasing")
+    // candidate sets are nested, so COST is monotone by construction.
+    // Recall is typically but NOT provably monotone (a wider candidate
+    // set can admit a quantization-misordered vector that pushes an
+    // exact hit out of the ADC top-k — r10 advice), so it is recorded,
+    // not asserted
     assert(rows.sliding(2).forall { case Array(a, b) => b._2 > a._2 },
       "candidate cost must strictly rise with probe depth")
     val p2hits = rows.find(_._1 == 2L).get._4

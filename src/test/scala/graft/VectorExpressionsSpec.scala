@@ -32,6 +32,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("native squared-L2 is bit-identical to the HOF fold (float × float)") {
+    val n = embPairs
+      .withColumn("d_native", VectorOps.l2sq(col("ea"), col("eb")))
+      .withColumn("d_hof", expr(
+        """aggregate(zip_with(ea, eb,
+          | (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .filter(col("d_native") =!= col("d_hof"))
+      .count()
+    assert(n == 0)
+  }
+
+  test("native squared-L2 is bit-identical on MIXED float × double sides (no array cast)") {
+    // centroid-style double arrays on one side: each element must be
+    // read at its stored precision (an implicit float-array cast would
+    // change which value is widened and break oracle parity)
+    val e = Tables.embeddings(spark, sf0001)
+    val cent = e.select(col("label"),
+        posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy(col("label"), col("p"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cv"))
+    val n = e.join(cent, "label")
+      .withColumn("d_native", VectorOps.l2sq(col("embedding"), col("cv")))
+      .withColumn("d_hof", expr(
+        """aggregate(zip_with(embedding, cv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .filter(col("d_native") =!= col("d_hof"))
+      .count()
+    assert(n == 0)
+  }
+
   test("null and empty arrays are handled") {
     import spark.implicits._
     val df = Seq(
