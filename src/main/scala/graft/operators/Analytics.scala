@@ -2409,10 +2409,24 @@ object Analytics {
     * q120's TWO-PASS distributed k-th order statistic (count per
     * equi-width bucket, then rank only inside the bucket holding
     * rank ⌈m/2⌉ — the near-distinct slopes never shuffle as groups).
-    * Bucket bounds come from ±cents·10⁶, a superset of any slope
-    * (min day gap is 1), so the bucketing is total; the oracle
-    * computes the same order statistic directly (bucketing is an
-    * internal optimization, not semantics). */
+    * Buckets are LOG-SPACED (sign · ⌊4·log₂(|sl|+1)⌋ — monotone in sl:
+    * Math.log is semi-monotonic by JavaDoc guarantee, and sign-split
+    * keeps the negative side ordered): slopes concentrate orders of
+    * magnitude below their ±cents·10⁶ bound, so the former equi-width
+    * grid put >50% of all pairs in the ONE central bucket and the
+    * "pruned" in-bucket rank pass was really a half-corpus
+    * near-distinct groupBy (the 12 s of the operator). Quarter-power
+    * buckets cap the worst bucket at ~1.7% of a priority's pairs.
+    * The bucketing stays an internal optimization — the oracle
+    * computes the same order statistic directly.
+    *
+    * The pair stream is STREAMED through both passes, never persisted
+    * (r11): the expansion is deterministic map-side arithmetic behind
+    * one broadcast, so recomputing it costs ~1.5 s while caching 14M
+    * rows cost ~2 s to write plus a blocking release — and each pass
+    * reduces it immediately (bucket counts; then only the target
+    * bucket's rows reach the slope aggregate). Same plan shape at any
+    * SF (the expansion is calendar-bounded). */
   def q171TheilSen(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(spark, dir)
       .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
@@ -2420,16 +2434,20 @@ object Analytics {
       .withColumn("d", expr("datediff(day, date'1970-01-01')").cast("long"))
     val later = daily.select($"o_orderpriority".as("p2"),
       $"d".as("d2"), $"cents".as("cents2"))
-    val bounds = daily.select(($"cents" * 1000000L).as("sl"))
-      .unionAll(daily.select((-$"cents" * 1000000L).as("sl")))
-    val bkt = CorpusPipeline.equiWidthBucket(bounds, "sl")
-    val pairsB = daily
+    val bkt = expr(
+      "(CASE WHEN sl < 0 THEN -1 ELSE 1 END) * cast(floor(4 * log2(abs(sl) + 1)) as bigint)")
+    // nullif guards the divisor: without the cache boundary the
+    // optimizer may evaluate the slope expression before the d < d2
+    // join condition inside the fused join stage, and ANSI mode turns
+    // the speculative d2 = d case into a DIVIDE_BY_ZERO; NULL
+    // propagates into rows the condition drops anyway, and surviving
+    // rows see nullif(d2−d, 0) = d2−d exactly
+    def pairsB = daily
       .join(broadcast(later), $"o_orderpriority" === $"p2" && $"d" < $"d2")
       .select($"o_orderpriority",
         expr("(CASE WHEN cents2 < cents THEN -1 ELSE 1 END)" +
-          " * (abs(cents2 - cents) * 1000000 div (d2 - d))").as("sl"))
+          " * (abs(cents2 - cents) * 1000000 div nullif(d2 - d, 0))").as("sl"))
       .withColumn("b", bkt)
-      .persist()
     val wCum = Window.partitionBy($"o_orderpriority").orderBy($"b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val target = pairsB
@@ -2441,8 +2459,14 @@ object Analytics {
       .groupBy($"o_orderpriority")
       .agg(min($"b").as("tb"), expr("min_by(cum - c, b)").as("before"),
         max($"k").as("k"), max($"m").as("m"))
-    val result = pairsB
-      .join(broadcast(target), Seq("o_orderpriority")).filter($"b" === $"tb")
+    pairsB
+      // NULL-SAFE equality on purpose: a plain b === tb would let
+      // InferFiltersFromConstraints derive isnotnull(bucket(sl)) and
+      // push the whole slope+bucket arithmetic into the PAIR-JOIN
+      // condition ahead of the cheap d < d2 test — evaluated per
+      // CANDIDATE pair, it doubled the operator (measured); <=> keeps
+      // identical semantics (tb is never null) without the constraint
+      .join(broadcast(target), Seq("o_orderpriority")).filter($"b" <=> $"tb")
       .groupBy($"o_orderpriority", $"sl")
       .agg(count(lit(1)).as("w"), max($"before").as("before"),
         max($"k").as("k"), max($"m").as("m"))
@@ -2453,7 +2477,6 @@ object Analytics {
       .groupBy($"o_orderpriority")
       .agg(max($"m").as("n_pairs"), min($"sl").as("ts_slope_micro"))
       .orderBy($"o_orderpriority")
-    materializeAndRelease(spark, result, pairsB)
   }
 
   /** Median + MAD (median absolute deviation) robust-scale profile of

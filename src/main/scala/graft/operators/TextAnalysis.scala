@@ -1036,16 +1036,26 @@ object TextAnalysis {
     * (doc, trigram) count pairs that HIT a profile trigram. */
   def txtLidTrigram(spark: SparkSession, dir: String, profileK: Int = 100): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // CASE guard, not greatest(): sequence(1, 0) DESCENDS in Spark —
-    // a sub-3-char doc would fabricate bogus "trigrams"
-    val tri = docs.select(col("doc_id"), col("lang"), explode(expr(
-      "CASE WHEN length(text) >= 3 THEN " +
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) " +
-        "ELSE array() END")).as("tri"))
-    // two corpus passes by DESIGN: caching the corpus-sized (doc, tri)
-    // table to share it between the profile build and the scoring join
-    // measured SLOWER than recomputing the explode (4.6 s vs 3.1 s at
-    // sf0.1 — cache build + eviction outweighs one narrow re-scan)
+    // trigrams come from the native CharNgrams kernel — one O(bytes)
+    // codegen call per row (empty for sub-3-char docs, code-point
+    // safe). The HOF `transform(sequence(...), i -> substring(text,
+    // i, 3))` form it replaces was O(len²) per doc (substring re-scans
+    // the UTF8String per position) and interpreted — it was most of
+    // the operator's 37 s at sf1; value parity is pinned in spec.
+    val tri = docs.select(col("doc_id"), col("lang"),
+      explode(org.apache.spark.sql.graft.TextExpressions.charNgrams(
+        col("text"), 3)).as("tri"))
+    // NO corpus-sized shuffle anywhere (r11 — the sf1 cost was the
+    // (doc, tri) count shuffle, ~50M rows, not the explode):
+    //  - profile pass: explode → partial agg collapses to the trigram
+    //    VOCAB per partition map-side, so the (lang, tri) exchange is
+    //    vocab-bounded;
+    //  - scoring pass: Σ_tri dc·w  =  Σ_occurrences w, so raw trigram
+    //    OCCURRENCES join the broadcast profile directly — no per-doc
+    //    pre-count — and the partial agg collapses to ≤ |langs| rows
+    //    per doc per partition before the only remaining shuffle.
+    // The explode runs once per pass; map-side work beats shuffling
+    // the corpus (pinned in PlanSpec: no exchange keyed by doc & tri).
     val wP = org.apache.spark.sql.expressions.Window
       .partitionBy(col("plang")).orderBy(col("pc").desc, col("tri"))
     val profile = tri.groupBy(col("lang").as("plang"), col("tri"))
@@ -1053,10 +1063,12 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= profileK)
       .select(col("plang"), col("tri"), (lit(profileK + 1) - col("rn")).as("w"))
-    val docTri = tri.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("dc"))
-    val pred = docTri.join(broadcast(profile), "tri")
+    // LONG score sum: score = Σ_occurrences w ≤ 100 · doc length —
+    // nowhere near int64; a DECIMAL accumulator here cost an object
+    // add per hit row (the fanout makes hits ≈ 3× occurrences)
+    val pred = tri.join(broadcast(profile), "tri")
       .groupBy(col("doc_id"), col("plang"))
-      .agg(sum(expr("cast(dc as decimal(38,0)) * w")).as("score"))
+      .agg(sum(expr("cast(w as bigint)")).as("score"))
       .groupBy(col("doc_id"))
       .agg(expr("min_by(plang, named_struct('s', -score, 'l', plang))").as("pred_lang"))
     docs.select(col("doc_id"), col("lang"))

@@ -127,6 +127,37 @@ object TextNative {
     new GenericArrayData(out)
   }
 
+  /** Character n-gram array (sliding window, stride 1): equal to
+    * `transform(sequence(1, numChars − n + 1), i -> substring(text, i, n))`
+    * but ONE O(bytes) pass per row — per-position `substring` re-scans
+    * the UTF8String from byte 0 because character indexing is linear,
+    * making the HOF form O(len²) per document (measured as most of the
+    * LID-trigram operator's cost). Code-point safe: windows advance by
+    * UTF-8 character starts, so multi-byte text slices exactly like
+    * SQL substring. Empty when fewer than n characters. */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val starts = new Array[Int](len + 1)
+    var i = 0
+    var c = 0
+    while (i < len) {
+      starts(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    starts(c) = len
+    if (c < n) return EmptyArray
+    val out = new Array[Any](c - n + 1)
+    var k = 0
+    while (k < out.length) {
+      val off = starts(k)
+      out(k) = UTF8String.fromBytes(bytes, off, starts(k + n) - off)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -323,6 +354,24 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "n must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(t: Any): Any =
+    TextNative.charNgrams(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextNative.charNgrams($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordNgrams(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, "n must be >= 1")
@@ -407,6 +456,8 @@ case class Md5Min(child: Expression)
 object TextExpressions {
   def wordNgrams(text: Column, n: Int): Column =
     ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(text), n))
+  def charNgrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharNgrams(ExpressionUtils.expression(text), n))
   def minhashBands(shingles: Column, nPerms: Int, nBands: Int): Column =
     ExpressionUtils.column(MinHashBands(
       ExpressionUtils.expression(shingles), nPerms, nBands))

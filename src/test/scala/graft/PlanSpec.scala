@@ -255,6 +255,18 @@ class PlanSpec extends SparkSpec {
     assert(!broadcastDeg, s"degree table must not broadcast:\n$p")
   }
 
+  test("txt_lid_trigram: no corpus-sized shuffle (no exchange keyed by doc AND trigram)") {
+    val df = graft.operators.TextAnalysis.txtLidTrigram(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("doc_id")
+        && l.contains("tri#"))
+    assert(!badExchange,
+      s"the raw (doc, trigram) stream must never shuffle — occurrences score " +
+        s"against the broadcast profile map-side:\n$p")
+  }
+
   /** Calendar-serial contract (r5 verdict, perf-watch item): the
     * q118/q120/q131/q138/q155 family runs its per-priority/global
     * ordered windows over the DAILY aggregate — input cardinality is

@@ -26,4 +26,27 @@ class TextNativeUnitSpec extends AnyFunSuite {
     assert(ngrams("alpha beta gamma delta", 3) ==
       Seq("alpha beta gamma", "beta gamma delta"))
   }
+
+  private def chargrams(s: String, n: Int): Seq[String] = {
+    val a = TextNative.charNgrams(UTF8String.fromString(s), n)
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+
+  test("char trigrams: sliding window, stride 1") {
+    assert(chargrams("abcde", 3) == Seq("abc", "bcd", "cde"))
+    assert(chargrams("abc", 3) == Seq("abc"))
+  }
+  test("char trigrams: shorter than n is empty") {
+    assert(chargrams("", 3).isEmpty)
+    assert(chargrams("ab", 3).isEmpty)
+  }
+  test("char trigrams are code-point safe (2-, 3- and 4-byte UTF-8)") {
+    // must slice exactly like SQL substring(text, i, 3): by code point,
+    // never by byte or UTF-16 unit
+    assert(chargrams("héllo", 3) == Seq("hél", "éll", "llo"))
+    assert(chargrams("日本語です", 3) == Seq("日本語", "本語で", "語です"))
+    val emoji = "a😀b😁c" // a😀b😁c — 5 code points
+    assert(chargrams(emoji, 3) ==
+      Seq("a😀b", "😀b😁", "b😁c"))
+  }
 }
