@@ -592,12 +592,13 @@ object Similarity {
     * only probed cells' codes are touched, 8 small ints per candidate;
     * the raw embedding table is scanned once to build codes and never
     * again at query time. */
-  /** The shared IVFPQ index build — (queries, cell centroids ranked
-    * per query with per-cell query residuals, codebook, codes). Every
-    * expression here is the one [[simIvfpq]] gates; the probe curve
-    * reuses the identical build so the two operators cannot drift. */
-  private def ivfpqIndex(spark: SparkSession, dir: String):
-      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** The PERSISTABLE parts of the IVF-PQ index — (cell centroids,
+    * residual codebook, codes). Factored from [[ivfpqIndex]] so the
+    * serving lake ([[graft.streaming.Streams]].ivfpqLakeWrite) writes
+    * EXACTLY the frames the gated batch operator scores with — one
+    * builder, no drift. */
+  private[graft] def ivfpqIndexParts(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
     val pinnedMean = expr(
       """aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
@@ -636,6 +637,17 @@ object Similarity {
       .withColumn("rn", row_number().over(wCode))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("sub"), col("g").as("code"))
+    (cellCent, cb, codes)
+  }
+
+  /** The shared IVFPQ index build — (queries, cell centroids ranked
+    * per query with per-cell query residuals, codebook, codes). Every
+    * expression here is the one [[simIvfpq]] gates; the probe curve
+    * reuses the identical build so the two operators cannot drift. */
+  private def ivfpqIndex(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = Tables.embeddings(spark, dir)
+    val (cellCent, cb, codes) = ivfpqIndexParts(spark, dir)
     // query cells ranked by exact L2 to the centroid, each carrying
     // the PER-CELL query residual (rn = the probe rank; consumers cut
     // at their nprobe)

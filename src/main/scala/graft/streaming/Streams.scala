@@ -1119,6 +1119,113 @@ object Streams {
       }
   }
 
+  /** Write half of the ANN SERVING lake: the IVF-PQ index — coarse
+    * cell centroids, residual codebook, and per-vector codes — built
+    * by [[graft.operators.Similarity.ivfpqIndexParts]], the EXACT
+    * frames the gated batch operator (sim_ivfpq) scores with. This is
+    * the deployment shape for 100 TB: the corpus is scanned once per
+    * snapshot to build the index; query batches afterwards never touch
+    * raw vectors — they read 8-byte codes through the inverted-file
+    * label join. Key types normalize to LONG at the write edge so the
+    * serving side is schema-stable across corpus snapshots. */
+  def ivfpqLakeWrite(spark: SparkSession, dir: String, path: String): Unit = {
+    val (cells, cb, codes) = graft.operators.Similarity.ivfpqIndexParts(spark, dir)
+    cells.select(col("label").cast("long").as("label"), col("cellv"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+    cb.select(col("g").cast("long").as("code"), col("sub").cast("long").as("sub"),
+        col("cv"))
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    codes.select(col("vec_id"), col("label").cast("long").as("label"),
+        col("sub").cast("long").as("sub"), col("code").cast("long").as("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  case class QueryVec(q_id: Long, q_emb: Array[Float])
+  case class AnnHit(q_id: Long, rank: Long, vec_id: Long, cell: Long,
+      adc_dist: Double)
+
+  /** Streaming IVF-PQ serving — the query path of the persisted ANN
+    * lake ([[ivfpqLakeWrite]]): each arriving query vector ranks the
+    * broadcast-scale cell centroids map-side (10 cells × 64 doubles —
+    * a driver map captured by value, the refLm-totals pattern), emits
+    * its top-nprobe (cell, residual) probes, and the candidates come
+    * from a STREAM-STATIC inverted-file join on the cell label — codes
+    * of un-probed cells never leave the scan, and the raw corpus is
+    * never touched at query time. The per-sub ADC term is the SAME SQL
+    * expression the gated batch operator uses (one source of truth);
+    * the per-query rollup (sub-ordered term fold, vec_id ≠ q_id, top-k
+    * by (adc, vec_id)) is the zero-retained-state
+    * flatMapGroupsWithState every gate here uses — a query's candidate
+    * rows all land in its own micro-batch, so no state outlives the
+    * trigger. On the snapshot's own queries the output is
+    * ROW-IDENTICAL to sim_ivfpq, adc_dist bit-for-bit (StreamingSpec
+    * parity + checkpointed-restart exactly-once). */
+  def ivfpqServeStream(queries: Dataset[QueryVec], lakePath: String,
+      nprobe: Int = 2, k: Int = 5): Dataset[AnnHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cells: Array[(Long, Array[Double])] =
+      spark.read.parquet(s"$lakePath/cells").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val codes = spark.read.parquet(s"$lakePath/codes")
+    val cb = spark.read.parquet(s"$lakePath/codebook")
+    // per-query probe fan-out, map-side: exact L2 to each centroid with
+    // the batch fold's exact op order (sequential i-ascending adds over
+    // (x_d − c_d)²), ranked by (dist, label) — identical cell choice
+    val probes = queries.flatMap { q =>
+      val scored = cells.map { case (label, cv) =>
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) {
+          val d = q.q_emb(i).toDouble - cv(i); acc += d * d; i += 1
+        }
+        (label, acc)
+      }
+      scored.sortBy { case (l, dist) => (dist, l) }.take(nprobe).iterator
+        .map { case (label, _) =>
+          val cv = cells.find(_._1 == label).get._2
+          val qr = Array.tabulate(cv.length)(i => q.q_emb(i).toDouble - cv(i))
+          (q.q_id, label, qr)
+        }
+    }.toDF("q_id", "label", "qr")
+    probes
+      .join(codes, Seq("label"))
+      .join(cb, Seq("sub", "code"))
+      // the batch operator's per-sub ADC term, verbatim
+      .withColumn("term", expr(
+        """aggregate(transform(sequence(1, 8), j ->
+          | (element_at(qr, cast(sub * 8 + j as int)) - element_at(cv, j))
+          | * (element_at(qr, cast(sub * 8 + j as int)) - element_at(cv, j))),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .select(col("q_id"), col("vec_id"), col("label"), col("sub"), col("term"))
+      .as[(Long, Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, AnnHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (qId, rows, _: GroupState[Boolean]) =>
+          val byVec = scala.collection.mutable.Map
+            .empty[(Long, Long), scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+          rows.foreach { case (_, vecId, label, sub, term) =>
+            byVec.getOrElseUpdate((vecId, label),
+              scala.collection.mutable.ArrayBuffer.empty) += ((sub, term))
+          }
+          byVec.iterator
+            .filter { case ((vecId, _), _) => vecId != qId }
+            .map { case ((vecId, label), terms) =>
+              // sub-ascending fold — the batch array_sort(struct(sub,
+              // term)) accumulation order, so adc_dist is bit-identical
+              val adc = terms.sortBy(_._1).foldLeft(0.0)((a, t) => a + t._2)
+              (vecId, label, adc)
+            }
+            .toArray
+            .sortBy { case (vecId, _, adc) => (adc, vecId) }
+            .take(k).iterator.zipWithIndex
+            .map { case ((vecId, label, adc), i) =>
+              AnnHit(qId, (i + 1).toLong, vecId, label, adc)
+            }
+      }
+  }
+
   /** Write half of the EDIT-GATE dedup lake: the history's LSH band
     * hashes (slim — 4 rows × ~40 bytes per doc, text pruned from the
     * scan) plus the history texts the verify tier fetches by id. Band

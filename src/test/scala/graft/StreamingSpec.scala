@@ -430,6 +430,40 @@ class StreamingSpec extends SparkSpec {
       "both verdict classes live in the fixture")
   }
 
+  test("IVF-PQ serving lake: stream answers equal sim_ivfpq bit-for-bit across a checkpointed restart") {
+    val lake = Files.createTempDirectory("ann_lake")
+    Streams.ivfpqLakeWrite(spark, sf0001, lake.toString)
+    val qdf = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val src = Files.createTempDirectory("ann_src")
+    val out = Files.createTempDirectory("ann_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("ann_ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(qdf.schema).parquet(src.toString + "/*")
+        .as[Streams.QueryVec]
+      val q = Streams.ivfpqServeStream(stream, lake.toString)
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    qdf.filter(col("q_id") === 0).write.mode("overwrite").parquet(src.toString + "/a")
+    runOnce() // first incarnation: one query
+    qdf.filter(col("q_id") > 0).write.mode("overwrite").parquet(src.toString + "/b")
+    runOnce() // restart: must serve ONLY the two new queries
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val batch = graft.operators.Similarity.simIvfpq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(spark.read.parquet(out).count() == streamed.size,
+      "no query answered twice across the restart")
+    assert(streamed == batch,
+      "served top-k must equal the gated batch operator, adc_dist bit-for-bit")
+    assert(streamed.nonEmpty && qdf.count() == 3)
+  }
+
   test("streaming CDC ingest: exactly-once and batch parity across a checkpointed restart") {
     val lake = Files.createTempDirectory("cdc_lake")
     Streams.cdcLakeWrite(spark, sf0001, lake.toString)
