@@ -294,12 +294,16 @@ object Multimodal {
     * cap, cross-family near-dup recall is COMPLETE at every corpus
     * size; what is suppressed is exactly the >cap-replica exact-hash
     * mega-families, whose existence the linear [[mmExactDup]] pass
-    * reports. The residual collision cost of 10-bit buckets is
-    * Θ(n²/2¹⁰/6) — the documented design bound of a 60-bit SimHash;
-    * a deployment beyond ~10⁸ media rows should widen the hash, not
-    * re-cap the buckets. The hash is one codegen pass per row; the
-    * payload bytes never shuffle — only (doc_id, 60-bit hash, band
-    * hash) rows do. */
+    * reports. The band join itself runs at FAMILY granularity
+    * (distinct hashes, each carrying its ≤cap sorted member array), so
+    * the 10-bit-bucket collision cost is quadratic in DISTINCT hashes
+    * only — Θ((n/r)²/2¹⁰/6) for replica factor r — and the doc-pair
+    * expansion is bounded by the output; a deployment beyond ~10⁸
+    * DISTINCT media payloads should widen the hash. (Explicitly
+    * UNCAPPED configs trade this away: family arrays are then
+    * unbounded, the spec/compat escape hatch only.) The hash is one
+    * codegen pass per row; the payload bytes never shuffle — only
+    * (60-bit hash, member ids, band hash) rows do. */
   def mmPhashDup(spark: SparkSession, dir: String,
       maxHamming: Int = 5, familyCap: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 5,
@@ -319,17 +323,57 @@ object Multimodal {
     val famed = resolvePhashFamilyCap(spark, familyCap).fold(h) { cap =>
       Dedup.dropHotKeys(spark, h, "ph", cap, (dir, "phash_fam"))
     }
-    val bands = famed.select(col("doc_id"), col("ph"),
-        explode(expr("sequence(0, 5)")).as("b"))
+    // FAMILY-granularity banding (r11): the band join runs over
+    // DISTINCT hashes, never doc rows — replica families collapse to
+    // one row each (sorted member array, ≤ cap members under the
+    // default-ON guard), so the 10-bit-bucket collision cost is
+    // quadratic in distinct hashes, not in docs (a 10-replica corpus
+    // pays 1/100th the join work), and the doc-pair expansion
+    // afterwards is bounded by the OUTPUT. Same result set exactly:
+    // cross-family pairs = hash pairs within Hamming≤maxHamming
+    // sharing a band (pigeonhole-complete), expanded to all member
+    // pairs; within-family pairs = C(s,2) at Hamming 0.
+    // localCheckpoint (LAZY): four consumers read fams (two slim band
+    // sides, two member-attach sides), and column pruning gives the
+    // slim sides a DIFFERENT aggregate subtree than the attach sides —
+    // no ReusedExchange possible — so without the checkpoint the
+    // hash+aggregate pass executed per consumer pair. The table is one
+    // slim row per DISTINCT hash (ids ≤ cap under the default-ON
+    // guard); only the lineage is cut, rows stay distributed.
+    val fams = famed.groupBy(col("ph"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint(false)
+    // the self-join carries ONLY the two hash longs — the candidate
+    // stream is collision-sized (tens of millions of rows at 50k
+    // distinct hashes), and dragging the member arrays through it
+    // measured 5× the whole operator; survivors are output-bounded,
+    // so the arrays attach afterwards by two hash joins
+    val bandsSlim = fams.select(col("ph"), explode(expr("sequence(0, 5)")).as("b"))
       .withColumn("bh", expr("(ph >> (10 * b)) & 1023"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("ph").as("ha"), col("b"), col("bh"))
-    val bb = bands.select(col("doc_id").as("doc_b"), col("ph").as("hb"), col("b"), col("bh"))
-    a.join(bb, Seq("b", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    // shuffled-hash, not sort-merge: 6144 distinct (b, bh) keys with
+    // huge per-key multiplicity make SMJ buffer-and-replay each dup
+    // run (measured 10× slower than hash on the identical join)
+    val hashPairs = bandsSlim.select(col("ph").as("ha"), col("b"), col("bh"))
+      .hint("shuffle_hash")
+      .join(bandsSlim.select(col("ph").as("hb"), col("b"), col("bh")), Seq("b", "bh"))
+      .filter(col("ha") < col("hb"))
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+      .select(col("ha"), col("hb"),
         expr("cast(bit_count(ha ^ hb) as bigint)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .dropDuplicates("ha", "hb")
+    val crossFam = hashPairs
+      .join(fams.select(col("ph").as("ha"), col("ids").as("ids_a")), Seq("ha"))
+      .join(fams.select(col("ph").as("hb"), col("ids").as("ids_b")), Seq("hb"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("hamming"))
+    val withinFam = fams.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> named_struct('da', x, 'db', y))))")).as("p"))
+      .select(col("p.da").as("doc_a"), col("p.db").as("doc_b"),
+        lit(0L).as("hamming"))
+    crossFam.unionAll(withinFam)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
