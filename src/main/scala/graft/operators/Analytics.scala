@@ -2364,11 +2364,14 @@ object Analytics {
     // priority domain).
     val bounds = daily.select(($"cents" * 2).as("wsum2"))
     val bkt = CorpusPipeline.equiWidthBucket(bounds, "wsum2")
-    val pairsB = daily
+    // streamed through both passes, never persisted (r11, the q171
+    // treatment): the expansion is deterministic map-side arithmetic
+    // behind one broadcast — recomputing it is cheaper than writing
+    // 14M cached rows and blocking on their release
+    def pairsB = daily
       .join(broadcast(later), $"o_orderpriority" === $"p2" && $"day" < $"day2")
       .select($"o_orderpriority", ($"cents" + $"cents2").as("wsum2"))
       .withColumn("b", bkt)
-      .persist()
     val wCum = Window.partitionBy($"o_orderpriority").orderBy($"b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val target = pairsB
@@ -2380,9 +2383,12 @@ object Analytics {
       .groupBy($"o_orderpriority")
       .agg(min($"b").as("tb"), expr("min_by(cum - c, b)").as("before"),
         max($"k").as("k"), max($"m").as("m"))
-    val result = pairsB
-      .join(broadcast(target),
-        Seq("o_orderpriority")).filter($"b" === $"tb")
+    pairsB
+      .join(broadcast(target), Seq("o_orderpriority"))
+      // null-safe on purpose — the q171 lesson: plain === lets
+      // InferFiltersFromConstraints push isnotnull(bucket-expr) into
+      // the pair-join condition, evaluated per CANDIDATE pair
+      .filter($"b" <=> $"tb")
       .groupBy($"o_orderpriority", $"wsum2")
       .agg(count(lit(1)).as("w"), max($"before").as("before"),
         max($"k").as("k"), max($"m").as("m"))
@@ -2393,7 +2399,6 @@ object Analytics {
       .groupBy($"o_orderpriority")
       .agg(max($"m").as("n_pairs"), min($"wsum2").as("hl2_cents"))
       .orderBy($"o_orderpriority")
-    materializeAndRelease(spark, result, pairsB)
   }
 
   /** Theil–Sen robust slope of per-priority daily revenue — the
