@@ -49,18 +49,46 @@ object Dedup {
     spark.conf.getOption("spark.graft.dedup.hotKeyInlineLimit")
       .map(_.trim.toInt).getOrElse(100000)
 
-  /** Session-lifetime probe cache: (sfDir, family, cap) → collected hot
-    * keys. The census is a pure function of the corpus snapshot, and
-    * FOUR gated consumers sit on the same jaccardPairs stop list — one
-    * probe serves them all (r10 verdict next #2: the census used to run
-    * unconditionally inside every consumer's plan). None = the list
-    * overflowed the inline limit (fall back to the join each time). */
+  /** Process-lifetime probe cache: (sfDir, family, cap) → (corpus
+    * fingerprint, collected hot keys). The census is a pure function of
+    * the corpus snapshot, and FOUR gated consumers sit on the same
+    * jaccardPairs stop list — one probe serves them all (r10 verdict
+    * next #2: the census used to run unconditionally inside every
+    * consumer's plan). The fingerprint (r11 advice) invalidates the
+    * entry when the corpus at the path changes — in-place rewrites,
+    * or another session reusing the path with different data — so a
+    * stale stop list is never silently applied; each entry stores one
+    * (fingerprint, value) pair, so churning snapshots replace rather
+    * than accumulate. `None` value = the list overflowed the inline
+    * limit (fall back to the join each time). */
   private val hotKeyCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Option[Array[Any]]]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), (String, Option[Array[Any]])]
 
-  /** Test hook: drop all cached stop lists (e.g. after rewriting a
-    * temp-dir corpus in place). */
+  /** Test hook: drop all cached stop lists. (The fingerprint key makes
+    * this unnecessary after corpus rewrites; kept for spec isolation.) */
   private[graft] def clearHotKeyCache(): Unit = hotKeyCache.clear()
+
+  /** Fingerprint of the corpus snapshot at `dir`: md5 over the sorted
+    * recursive file listing (path, length, mtime). Parquet writers
+    * produce fresh part-file names on rewrite, so any in-place refresh
+    * changes the digest. Cost: one filesystem listing per gated call —
+    * orders cheaper than the census Spark job it guards, and the lake
+    * layouts this engine writes keep per-table file counts bounded
+    * (partitioned writers, compaction in MERGE). */
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return "absent"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      entries += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
 
   /** Two-phase hot-key guard — value-identical to the single-plan
     * census + broadcast-anti-join formulation, but split so the main
@@ -76,10 +104,18 @@ object Dedup {
     * (Catalyst folds large IN lists to an InSet probe inside codegen —
     * no join, no broadcast exchange, the big exploded stream is
     * scanned exactly once). Lists past [[hotKeyInlineLimit]] keep the
-    * old broadcast anti-join shape. */
+    * old broadcast anti-join shape.
+    *
+    * NULL keys pass through on EVERY path (r11 advice): the anti-join
+    * keeps null-keyed rows (null never equals a build row), so the
+    * inline filter ORs `isNull` in, and the census excludes the NULL
+    * group — a NULL key has no document frequency and is never "hot"
+    * (a NULL in the stop list would also poison the inline NOT-IN:
+    * `key IN (NULL, …)` is UNKNOWN for every non-matching key, so the
+    * negation would silently drop ALL cold rows). */
   private[operators] def dropHotKeys(spark: SparkSession, input: DataFrame,
       keyCol: String, cap: Int, cacheKey: (String, String)): DataFrame = {
-    def census = input.groupBy(col(keyCol))
+    def census = input.filter(col(keyCol).isNotNull).groupBy(col(keyCol))
       .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col(keyCol))
     val limit = hotKeyInlineLimit(spark)
     def probe: Option[Array[Any]] = {
@@ -87,10 +123,19 @@ object Dedup {
       if (rows.length > limit) None else Some(rows.map(_.get(0)))
     }
     val (dir, family) = cacheKey
-    hotKeyCache.getOrElseUpdate((dir, family, cap), probe) match {
+    val fp = corpusFingerprint(spark, dir)
+    val k = (dir, family, cap)
+    val cached = hotKeyCache.get(k) match {
+      case Some((`fp`, v)) => v
+      case _ =>
+        val v = probe
+        hotKeyCache.put(k, (fp, v))
+        v
+    }
+    cached match {
       case Some(keys) if keys.isEmpty => input
       case Some(keys) =>
-        input.filter(!col(keyCol).isin(keys.toIndexedSeq: _*))
+        input.filter(col(keyCol).isNull || !col(keyCol).isin(keys.toIndexedSeq: _*))
       case None =>
         input.join(broadcast(census), Seq(keyCol), "left_anti")
     }

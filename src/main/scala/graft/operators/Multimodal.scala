@@ -291,10 +291,16 @@ object Multimodal {
     * occupancy grows linearly with the corpus from unrelated-doc
     * collisions alone, and capping it silently discarded genuine
     * Hamming≤5 near-dups once every bucket went hot. With the family
-    * cap, cross-family near-dup recall is COMPLETE at every corpus
-    * size; what is suppressed is exactly the >cap-replica exact-hash
-    * mega-families, whose existence the linear [[mmExactDup]] pass
-    * reports. The band join itself runs at FAMILY granularity
+    * cap, recall among the SURVIVING docs is complete at every corpus
+    * size — the criterion that decides survival is dup density, never
+    * corpus size or bucket occupancy. What is suppressed is every pair
+    * touching a >cap-replica exact-hash mega-family: its intra-family
+    * k² expansion AND its Hamming≤5 pairs with docs OUTSIDE the family
+    * (the capped docs are dropped before banding, so they pair with
+    * nothing). The linear [[mmExactDup]] pass reports exactly which
+    * families were capped out, so the suppression is auditable, but a
+    * consumer needing mega-family↔outsider near-dup pairs must re-run
+    * with the cap off. The band join itself runs at FAMILY granularity
     * (distinct hashes, each carrying its ≤cap sorted member array), so
     * the 10-bit-bucket collision cost is quadratic in DISTINCT hashes
     * only — Θ((n/r)²/2¹⁰/6) for replica factor r — and the doc-pair

@@ -1138,6 +1138,15 @@ object Streams {
     codes.select(col("vec_id"), col("label").cast("long").as("label"),
         col("sub").cast("long").as("sub"), col("code").cast("long").as("code"))
       .write.mode("overwrite").parquet(s"$path/codes")
+    // the serving-side read shape (r11 advice): ONE row per vector with
+    // its 8 sub-codes pivoted sub-ascending into an array, so the query
+    // path joins one candidate row per vector instead of 8 term rows —
+    // pivoted ONCE at build time, never per micro-batch
+    codes.groupBy(col("vec_id"), col("label").cast("long").as("label"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, code))), x -> cast(x.code as long))")
+        .as("codevec"))
+      .write.mode("overwrite").parquet(s"$path/codes_wide")
   }
 
   case class QueryVec(q_id: Long, q_emb: Array[Float])
@@ -1151,11 +1160,19 @@ object Streams {
     * its top-nprobe (cell, residual) probes, and the candidates come
     * from a STREAM-STATIC inverted-file join on the cell label — codes
     * of un-probed cells never leave the scan, and the raw corpus is
-    * never touched at query time. The per-sub ADC term is the SAME SQL
-    * expression the gated batch operator uses (one source of truth);
-    * the per-query rollup (sub-ordered term fold, vec_id ≠ q_id, top-k
-    * by (adc, vec_id)) is the zero-retained-state
-    * flatMapGroupsWithState every gate here uses — a query's candidate
+    * never touched at query time. The per-candidate ADC is computed
+    * MAP-SIDE in the batch operator's exact IEEE op order (per-sub
+    * j-ascending squares folded sequentially, then the sub-ascending
+    * term fold — the array_sort(struct(sub, term)) accumulation order),
+    * against the pre-pivoted `codes_wide` lake table (one row per
+    * candidate vector, its 8 sub-codes as an array) and the
+    * driver-collected codebook (8 subs × 16 codewords × 8 doubles —
+    * broadcast-by-value like the centroids). The per-query rollup is
+    * then a BOUNDED top-k heap over one row per candidate (r11 advice:
+    * the previous shape buffered all candidate×8 term rows per query
+    * in an executor map — per-query heap grew with the corpus; now
+    * per-query working memory is O(k) regardless of candidate count),
+    * zero-retained-state flatMapGroupsWithState — a query's candidate
     * rows all land in its own micro-batch, so no state outlives the
     * trigger. On the snapshot's own queries the output is
     * ROW-IDENTICAL to sim_ivfpq, adc_dist bit-for-bit (StreamingSpec
@@ -1167,8 +1184,17 @@ object Streams {
     val cells: Array[(Long, Array[Double])] =
       spark.read.parquet(s"$lakePath/cells").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    val codes = spark.read.parquet(s"$lakePath/codes")
-    val cb = spark.read.parquet(s"$lakePath/codebook")
+    // codebook by value: cbArr(sub)(code) = 8-dim codeword (tiny, fixed)
+    val cbArr: Array[Array[Array[Double]]] = {
+      val rows = spark.read.parquet(s"$lakePath/codebook").collect()
+        .map(r => (r.getLong(1).toInt, r.getLong(0).toInt, r.getSeq[Double](2).toArray))
+      val nSub = rows.map(_._1).max + 1
+      val nCode = rows.map(_._2).max + 1
+      val arr = Array.ofDim[Array[Double]](nSub, nCode)
+      rows.foreach { case (sub, code, cv) => arr(sub)(code) = cv }
+      arr
+    }
+    val codesWide = spark.read.parquet(s"$lakePath/codes_wide")
     // per-query probe fan-out, map-side: exact L2 to each centroid with
     // the batch fold's exact op order (sequential i-ascending adds over
     // (x_d − c_d)²), ranked by (dist, label) — identical cell choice
@@ -1189,37 +1215,49 @@ object Streams {
         }
     }.toDF("q_id", "label", "qr")
     probes
-      .join(codes, Seq("label"))
-      .join(cb, Seq("sub", "code"))
-      // the batch operator's per-sub ADC term, verbatim
-      .withColumn("term", expr(
-        """aggregate(transform(sequence(1, 8), j ->
-          | (element_at(qr, cast(sub * 8 + j as int)) - element_at(cv, j))
-          | * (element_at(qr, cast(sub * 8 + j as int)) - element_at(cv, j))),
-          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
-      .select(col("q_id"), col("vec_id"), col("label"), col("sub"), col("term"))
-      .as[(Long, Long, Long, Long, Double)]
+      // inverted-file read: ONE slim row per candidate vector in a
+      // probed cell (codes of un-probed cells never leave the scan)
+      .join(codesWide, Seq("label"))
+      .select(col("q_id"), col("vec_id"), col("label"), col("qr"), col("codevec"))
+      .as[(Long, Long, Long, Seq[Double], Seq[Long])]
+      .map { case (qId, vecId, label, qrSeq, codevec) =>
+        // the batch ADC bit-for-bit: term_sub = Σ_{j=1..8} (qr[sub·8+j]
+        // − cv[j])² folded j-ascending, terms folded sub-ascending
+        val qr = qrSeq.toArray
+        var adc = 0.0
+        var sub = 0
+        while (sub < codevec.length) {
+          val cw = cbArr(sub)(codevec(sub).toInt)
+          var term = 0.0
+          var j = 0
+          while (j < cw.length) {
+            val d = qr(sub * 8 + j) - cw(j); term += d * d; j += 1
+          }
+          adc += term
+          sub += 1
+        }
+        (qId, vecId, label, adc)
+      }
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, AnnHit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (qId, rows, _: GroupState[Boolean]) =>
-          val byVec = scala.collection.mutable.Map
-            .empty[(Long, Long), scala.collection.mutable.ArrayBuffer[(Long, Double)]]
-          rows.foreach { case (_, vecId, label, sub, term) =>
-            byVec.getOrElseUpdate((vecId, label),
-              scala.collection.mutable.ArrayBuffer.empty) += ((sub, term))
+          // bounded top-k: a size-k max-heap on (adc, vec_id) — each
+          // candidate vector appears exactly once per query (one cell
+          // per vector, distinct probed cells), so evicting the current
+          // worst reproduces sortBy((adc, vec_id)).take(k) exactly
+          val ord = Ordering.by[(Long, Long, Double), (Double, Long)] {
+            case (vecId, _, adc) => (adc, vecId)
           }
-          byVec.iterator
-            .filter { case ((vecId, _), _) => vecId != qId }
-            .map { case ((vecId, label), terms) =>
-              // sub-ascending fold — the batch array_sort(struct(sub,
-              // term)) accumulation order, so adc_dist is bit-identical
-              val adc = terms.sortBy(_._1).foldLeft(0.0)((a, t) => a + t._2)
-              (vecId, label, adc)
+          val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Double)](ord)
+          rows.foreach { case (_, vecId, label, adc) =>
+            if (vecId != qId) {
+              heap.enqueue((vecId, label, adc))
+              if (heap.size > k) heap.dequeue()
             }
-            .toArray
-            .sortBy { case (vecId, _, adc) => (adc, vecId) }
-            .take(k).iterator.zipWithIndex
+          }
+          val topk: Seq[(Long, Long, Double)] = heap.dequeueAll.reverse
+          topk.iterator.zipWithIndex
             .map { case ((vecId, label, adc), i) =>
               AnnHit(qId, (i + 1).toLong, vecId, label, adc)
             }

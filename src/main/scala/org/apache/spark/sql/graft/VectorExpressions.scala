@@ -20,18 +20,28 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * float is widened to double, products accumulate left-to-right in array
   * order — exactly the sequential fold the oracle's
   * `list_sum(list_transform(...))` performs.
+  *
+  * Length-mismatch contract (r11 advice): the binary folds return NULL
+  * when the two arrays differ in length — the same answer the HOF
+  * `aggregate(zip_with(a, b, ...), 0, +)` they replace gives there
+  * (zip_with pads the short side with NULLs and the fold absorbs them) —
+  * so a malformed embedding row surfaces as NULL instead of a plausible
+  * truncated-prefix value.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // NULL on length mismatch (below), regardless of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "float_vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -47,12 +57,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -111,13 +125,18 @@ case class FloatVecNorm(child: Expression)
   * to double exactly where `(cast(x as double) - c)` did. Sequential
   * left-to-right accumulation — identical IEEE op order to
   * `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0, +)` on
-  * equal-length arrays (all callers zip fixed-dim vectors). */
+  * equal-length arrays (all callers zip fixed-dim vectors); on a
+  * length MISMATCH the result is NULL, matching that HOF's answer
+  * (zip_with null-pads, the fold absorbs) — never a silently
+  * truncated prefix distance. */
 case class FloatVecL2Sq(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
       TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
+  // NULL on length mismatch, regardless of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "float_vec_l2sq"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -129,7 +148,8 @@ case class FloatVecL2Sq(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (fx, fy) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -151,13 +171,17 @@ case class FloatVecL2Sq(left: Expression, right: Expression)
       val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $getX - $getY;
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $getX - $getY;
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

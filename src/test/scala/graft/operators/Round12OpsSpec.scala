@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Round-12 hardening specs (r11 ADVICE closures): vector-fold
+  * length-mismatch semantics, hot-key guard null-key parity, and the
+  * probe cache's corpus-snapshot fingerprint. Lives in the operators
+  * package to drive [[Dedup.dropHotKeys]] directly. */
+class Round12OpsSpec extends SparkSpec {
+
+  test("vector folds return NULL on length mismatch, matching the HOF they replace") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),        // equal length
+      (2L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f, 5.0f))   // mismatch
+    ).toDF("id", "a", "b")
+      .withColumn("d_native", VectorOps.dot("a", "b"))
+      .withColumn("d_hof", VectorOps.dotHof("a", "b"))
+      .withColumn("l_native", VectorOps.l2sq(col("a"), col("b")))
+      .withColumn("l_hof", expr(
+        """aggregate(zip_with(a, b,
+          | (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+    val rows = df.orderBy(col("id")).collect()
+    // equal-length row: non-null and bit-identical to the HOF
+    assert(!rows(0).isNullAt(3) && rows(0).getDouble(3) == rows(0).getDouble(4))
+    assert(!rows(0).isNullAt(5) && rows(0).getDouble(5) == rows(0).getDouble(6))
+    // mismatched row: NULL on native AND HOF (zip_with null-pads, the
+    // fold absorbs) — never a truncated-prefix value
+    assert(rows(1).isNullAt(3) && rows(1).isNullAt(4),
+      "dot must be NULL on length mismatch, like the HOF")
+    assert(rows(1).isNullAt(5) && rows(1).isNullAt(6),
+      "l2sq must be NULL on length mismatch, like the HOF")
+  }
+
+  test("dropHotKeys keeps NULL-keyed rows on both phase-2 paths, even with a >cap NULL family") {
+    import spark.implicits._
+    Dedup.clearHotKeyCache()
+    // hot key "h" (5 > cap 3), cold key "c" (2), and FIVE null keys
+    // (a >cap null family must neither be dropped nor poison the
+    // inline NOT-IN list)
+    val rows = (1 to 5).map(i => (Some("h"), i.toLong)) ++
+      Seq((Some("c"), 10L), (Some("c"), 11L)) ++
+      (20 to 24).map(i => (None: Option[String], i.toLong))
+    val input = rows.toDF("k", "v")
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(1)).toSet
+    val expected = Set(10L, 11L) ++ (20L to 24L)
+    // inline path (fresh probe, distinct fingerprint key per dir name)
+    val inline = Dedup.dropHotKeys(spark, input, "k", 3, ("/nonexistent/r12a", "t"))
+    assert(kept(inline) == expected,
+      s"inline path must keep cold + ALL null-keyed rows: ${kept(inline)}")
+    // anti-join fallback path: identical keep-set
+    spark.conf.set("spark.graft.dedup.hotKeyInlineLimit", "0")
+    try {
+      Dedup.clearHotKeyCache()
+      val viaJoin = Dedup.dropHotKeys(spark, input, "k", 3, ("/nonexistent/r12b", "t"))
+      assert(kept(viaJoin) == expected,
+        s"anti-join path must keep the same rows: ${kept(viaJoin)}")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.hotKeyInlineLimit")
+      Dedup.clearHotKeyCache()
+    }
+  }
+
+  test("hot-key probe cache invalidates when the corpus at the path is rewritten in place") {
+    import spark.implicits._
+    Dedup.clearHotKeyCache()
+    val dir = java.nio.file.Files.createTempDirectory("fp_cache").toString
+    val boiler = "common boilerplate navigation header shared across every single page of this site"
+    // corpus A: a 6-strong boilerplate family (hot at cap 3) + a cold pair
+    val a = (1 to 6).map(i => (i.toLong, "en", "s0", s"$boiler unique tail $i")) ++ Seq(
+      (10L, "en", "s0", "a rare pair of documents with their own wording entirely"),
+      (11L, "en", "s0", "a rare pair of documents with their own wording entirely"))
+    a.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairsA = Dedup.ddNgramJaccard(spark, dir, shingleDfCap = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsA == Set((10L, 11L)),
+      s"corpus A: only the cold pair survives the hot stop list: $pairsA")
+    // corpus B rewrites the SAME path: now only two docs share the
+    // boilerplate text (df 2 <= cap — nothing is hot). A stale corpus-A
+    // stop list would strip their shared shingles and suppress the pair;
+    // the snapshot fingerprint must force a fresh census instead.
+    // NOTE: no clearHotKeyCache() here — that is the point.
+    val b = Seq(
+      (20L, "en", "s0", s"$boiler identical twin"),
+      (21L, "en", "s0", s"$boiler identical twin"))
+    b.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairsB = Dedup.ddNgramJaccard(spark, dir, shingleDfCap = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsB == Set((20L, 21L)),
+      s"rewritten corpus must be re-censused (stale stop list would suppress the pair): $pairsB")
+    Dedup.clearHotKeyCache()
+  }
+}
