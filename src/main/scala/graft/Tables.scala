@@ -60,4 +60,27 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame   = normTs(table(spark, dir, "region"))
   def documents(spark: SparkSession, dir: String): DataFrame = normTs(table(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = normTs(table(spark, dir, "embeddings"))
+
+  /** Fingerprint of the data snapshot at `dir`: md5 over the sorted
+    * recursive file listing (path, length, mtime). Parquet writers
+    * produce fresh part-file names on every rewrite, so any in-place
+    * refresh changes the digest. Shared by the snapshot-scoped caches
+    * (Dedup's hot-key probe, Analytics' edge snapshot) so "same path,
+    * different data" can never serve a stale derivation. Cost: one
+    * filesystem listing — orders cheaper than the Spark job each cache
+    * avoids. */
+  def snapshotFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return "absent"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      entries += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
 }

@@ -68,27 +68,9 @@ object Dedup {
     * this unnecessary after corpus rewrites; kept for spec isolation.) */
   private[graft] def clearHotKeyCache(): Unit = hotKeyCache.clear()
 
-  /** Fingerprint of the corpus snapshot at `dir`: md5 over the sorted
-    * recursive file listing (path, length, mtime). Parquet writers
-    * produce fresh part-file names on rewrite, so any in-place refresh
-    * changes the digest. Cost: one filesystem listing per gated call —
-    * orders cheaper than the census Spark job it guards, and the lake
-    * layouts this engine writes keep per-table file counts bounded
-    * (partitioned writers, compaction in MERGE). */
-  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return "absent"
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val s = it.next()
-      entries += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
-    }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-  }
+  // snapshot fingerprint shared with the other snapshot-scoped caches
+  private def corpusFingerprint(spark: SparkSession, dir: String): String =
+    Tables.snapshotFingerprint(spark, dir)
 
   /** Two-phase hot-key guard — value-identical to the single-plan
     * census + broadcast-anti-join formulation, but split so the main

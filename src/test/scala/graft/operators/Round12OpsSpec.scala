@@ -96,4 +96,40 @@ class Round12OpsSpec extends SparkSpec {
       s"rewritten corpus must be re-censused (stale stop list would suppress the pair): $pairsB")
     Dedup.clearHotKeyCache()
   }
+
+  test("edge snapshot: invalidates on corpus rewrite, value-identical to the inline build, releasable") {
+    import spark.implicits._
+    Analytics.releaseEdgeSnapshots(spark)
+    val dir = java.nio.file.Files.createTempDirectory("edge_snap").toString
+    // corpus A: parts (1,2) co-bought in two orders -> one edge
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def nodes(): Set[Long] = Analytics.q57Pagerank(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(nodes() == Set(1L, 2L))
+    // rewrite the SAME path: parts (3,4) now co-bought twice. A stale
+    // edge snapshot would still rank nodes 1,2 — the fingerprint must
+    // rebuild. NOTE: no release call here — that is the point.
+    Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(nodes() == Set(3L, 4L),
+      "rewritten corpus must rebuild the edge snapshot, not serve node ranks of the old graph")
+    // snapshot OFF: inline build, identical values
+    spark.conf.set("spark.graft.graph.edgeSnapshot", "false")
+    try {
+      val inline = Analytics.q57Pagerank(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      spark.conf.unset("spark.graft.graph.edgeSnapshot")
+      val snap = Analytics.q57Pagerank(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(inline == snap,
+        "snapshot path must be value-identical (bit-for-bit ranks) to the inline build")
+    } finally spark.conf.unset("spark.graft.graph.edgeSnapshot")
+    // release deletes the materialized files and empties the store
+    // (the no-leaked-RDD probe itself is Round4OpsSpec's assertion —
+    // the snapshot is parquet, it never touches the block manager)
+    Analytics.releaseEdgeSnapshots(spark)
+  }
 }
