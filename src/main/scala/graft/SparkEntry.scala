@@ -206,6 +206,7 @@ object SparkEntry {
     "dd_lsh_tuning_curve" -> (Dedup.ddLshTuningCurve _),
     "pipe_epoch_shuffle" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeEpochShuffle(s, d)),
     "mm_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mmPhashDup(s, d)),
+    "mm_phash_dup_wide" -> ((s: SparkSession, d: String) => Multimodal.mmPhashDupWide(s, d)),
     "q76_gini_impurity" -> (Analytics.q76GiniImpurity _),
     "q77_hhi" -> (Analytics.q77Hhi _),
     "q79_bollinger" -> (Analytics.q79Bollinger _),
@@ -2999,6 +3000,60 @@ object SparkEntry {
         | cast(bit_count(xor(a.ph, b2.ph)) as bigint) AS hamming
         |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.ph, b2.ph)) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "mm_phash_dup_wide" ->
+      """WITH ph AS (
+        |WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(string_split(
+        |   regexp_replace(hex(cast(text as blob)), '(.{8})', '\1 ', 'g'), ' '),
+        |   x -> x <> '')) t
+        | FROM documents
+        |), hw AS (
+        | SELECT doc_id,
+        |  list_sum(list_transform(range(1, 17), i ->
+        |    cast((strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1) as hugeint)
+        |    * cast(power(16, 16 - i) as hugeint))) hv1,
+        |  list_sum(list_transform(range(17, 33), i ->
+        |    cast((strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1) as hugeint)
+        |    * cast(power(16, 32 - i) as hugeint))) hv2
+        | FROM tok
+        |), votes AS (
+        | SELECT doc_id, w.wi, b.j,
+        |  sum(CASE WHEN ((CASE WHEN w.wi = 1 THEN hv1 ELSE hv2 END) >> b.j) & 1 = 1
+        |      THEN 1 ELSE -1 END) v
+        | FROM hw
+        | CROSS JOIN (SELECT unnest(range(0, 64)) j) b
+        | CROSS JOIN (SELECT unnest([1, 2]) wi) w
+        | GROUP BY 1, 2, 3
+        |), phu AS (
+        | SELECT doc_id,
+        |  sum(CASE WHEN wi = 1 AND v > 0 THEN cast(power(2, j) as hugeint)
+        |      ELSE cast(0 as hugeint) END) u1,
+        |  sum(CASE WHEN wi = 2 AND v > 0 THEN cast(power(2, j) as hugeint)
+        |      ELSE cast(0 as hugeint) END) u2
+        | FROM votes GROUP BY 1
+        |)
+        |SELECT doc_id, u1, u2,
+        | cast(u1 - CASE WHEN u1 >= cast(power(2, 63) as hugeint)
+        |   THEN cast(power(2, 64) as hugeint) ELSE 0 END as bigint) w1s,
+        | cast(u2 - CASE WHEN u2 >= cast(power(2, 63) as hugeint)
+        |   THEN cast(power(2, 64) as hugeint) ELSE 0 END as bigint) w2s
+        |FROM phu
+        |), famed AS (
+        | SELECT ph.* FROM ph
+        | JOIN (SELECT u1, u2, count(*) fam_n FROM ph GROUP BY 1, 2) f USING (u1, u2)
+        | WHERE f.fam_n <= 100
+        |), bands AS (
+        | SELECT doc_id, w1s, w2s, bb.b,
+        |  CASE WHEN bb.b % 3 = 0 THEN (CASE WHEN bb.b < 3 THEN u1 ELSE u2 END) & 4194303
+        |       WHEN bb.b % 3 = 1 THEN ((CASE WHEN bb.b < 3 THEN u1 ELSE u2 END) >> 22) & 2097151
+        |       ELSE ((CASE WHEN bb.b < 3 THEN u1 ELSE u2 END) >> 43) & 2097151 END bh
+        | FROM famed CROSS JOIN (SELECT unnest(range(0, 6)) b) bb
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        | cast(bit_count(xor(a.w1s, b2.w1s)) + bit_count(xor(a.w2s, b2.w2s)) as bigint) AS hamming
+        |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.w1s, b2.w1s)) + bit_count(xor(a.w2s, b2.w2s)) <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q111_runs_test" ->
       """WITH daily AS (

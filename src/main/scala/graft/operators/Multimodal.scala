@@ -383,6 +383,81 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** WIDE perceptual-hash near-dup pairs — the >10⁸-distinct-payload
+    * tier of [[mmPhashDup]]: a 128-bit SimHash (full md5 votes, two
+    * 64-bit words) banded 6×(22/21/21 bits per word), so any pair
+    * within Hamming distance 5 over the full 128 bits shares a whole
+    * band (pigeonhole — same guarantee as the 60-bit tier). The design
+    * bound this tier buys: a 60-bit hash has 10-bit band buckets that
+    * fill with unrelated-doc collisions linearly in DISTINCT payloads
+    * (~10⁸ before every bucket runs hot — the documented r11 limit);
+    * 21/22-bit buckets push the same saturation past ~10¹² distinct
+    * payloads, at the cost of one extra long per row in the slim band
+    * stream. Same scale architecture as the 60-bit tier, verbatim:
+    * identical-full-hash FAMILY capping (dup-density-driven, default
+    * cap shared via `spark.graft.mm.phashFamilyCap`), band join at
+    * FAMILY granularity over distinct hashes, slim two-long candidate
+    * rows with member arrays attached only to output-bounded
+    * survivors. Hamming across both words; pair orientation normalized
+    * by doc_id. Payload bytes never shuffle. */
+  def mmPhashDupWide(spark: SparkSession, dir: String,
+      maxHamming: Int = 5, familyCap: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 5,
+      s"mmPhashDupWide: maxHamming=$maxHamming outside the 6-band pigeonhole guarantee")
+    val h = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("grams", expr("regexp_replace(hex(payload), '(.{8})', '$1 ')"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.simhash128(col("grams")).as("ph"))
+      .filter(col("ph").isNotNull)
+      .select(col("doc_id"), expr("ph[0]").as("w1"), expr("ph[1]").as("w2"))
+      // single-column family key for the shared two-phase probe
+      .withColumn("phk", concat_ws(":", col("w1"), col("w2")))
+    val famed = resolvePhashFamilyCap(spark, familyCap).fold(h) { cap =>
+      Dedup.dropHotKeys(spark, h, "phk", cap, (dir, "phash128_fam"))
+    }
+    val fams = famed.groupBy(col("w1"), col("w2"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint(false)
+    // slim band stream: two hash longs + band id/value only
+    val bandsSlim = fams.select(col("w1"), col("w2"),
+        explode(expr("sequence(0, 5)")).as("b"))
+      .withColumn("w", when(col("b") < 3, col("w1")).otherwise(col("w2")))
+      .withColumn("bh", expr(
+        """CASE WHEN b % 3 = 0 THEN w & 4194303
+          |     WHEN b % 3 = 1 THEN (w >> 22) & 2097151
+          |     ELSE (w >> 43) & 2097151 END""".stripMargin))
+      .select(col("w1"), col("w2"), col("b"), col("bh"))
+    val hashPairs = bandsSlim
+      .select(col("w1").as("w1a"), col("w2").as("w2a"), col("b"), col("bh"))
+      .hint("shuffle_hash")
+      .join(bandsSlim.select(col("w1").as("w1b"), col("w2").as("w2b"),
+        col("b"), col("bh")), Seq("b", "bh"))
+      // one orientation per unordered hash pair (any deterministic
+      // order works: output doc pairs re-normalize by doc_id)
+      .filter(expr("w1a < w1b OR (w1a = w1b AND w2a < w2b)"))
+      .filter(expr(s"bit_count(w1a ^ w1b) + bit_count(w2a ^ w2b) <= $maxHamming"))
+      .select(col("w1a"), col("w2a"), col("w1b"), col("w2b"),
+        expr("cast(bit_count(w1a ^ w1b) + bit_count(w2a ^ w2b) as bigint)").as("hamming"))
+      .dropDuplicates("w1a", "w2a", "w1b", "w2b")
+    val crossFam = hashPairs
+      .join(fams.select(col("w1").as("w1a"), col("w2").as("w2a"),
+        col("ids").as("ids_a")), Seq("w1a", "w2a"))
+      .join(fams.select(col("w1").as("w1b"), col("w2").as("w2b"),
+        col("ids").as("ids_b")), Seq("w1b", "w2b"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("hamming"))
+    val withinFam = fams.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> named_struct('da', x, 'db', y))))")).as("p"))
+      .select(col("p.da").as("doc_a"), col("p.db").as("doc_b"),
+        lit(0L).as("hamming"))
+    crossFam.unionAll(withinFam)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Byte-range chunking of media payloads: fixed-size chunks with
     * exact integer offsets and a per-chunk digest — the layout pass an
     * upload/CDC pipeline runs before moving large media (multipart

@@ -256,6 +256,55 @@ object TextNative {
     new GenericArrayData(out)
   }
 
+  /** 128-bit SimHash over whitespace tokens — the WIDE tier of the
+    * perceptual-hash ladder (the 60-bit tier's band buckets saturate
+    * past ~10⁸ distinct payloads; 21/22-bit bands push that bound past
+    * 10¹²). Per token the FULL md5 digest, split into two 64-bit
+    * big-endian words: w1 = digest bytes 0–7 (hex chars 1–16),
+    * w2 = bytes 8–15 (hex 17–32); a ±1 vote per bit position over all
+    * tokens, bit set iff votes > 0, bit j of a word read LSB-first
+    * ((w >>> j) & 1) — the same conventions as [[simhash60]], just
+    * over both words. Returns [w1, w2] (two's-complement longs — the
+    * oracle mirrors them as hugeints with an explicit 2⁶⁴ wraparound);
+    * null on zero tokens. */
+  def simhash128(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val (offs, nTok) = tokenize(bytes)
+    if (nTok == 0) return null
+    val votes = new Array[Int](128)
+    val md = digestTL.get()
+    var t = 0
+    while (t < nTok) {
+      md.reset()
+      md.update(bytes, offs(2 * t), offs(2 * t + 1))
+      val d = md.digest()
+      var w1 = 0L
+      var w2 = 0L
+      var i = 0
+      while (i < 8) {
+        w1 = (w1 << 8) | (d(i) & 0xffL)
+        w2 = (w2 << 8) | (d(i + 8) & 0xffL)
+        i += 1
+      }
+      var j = 0
+      while (j < 64) {
+        if (((w1 >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        if (((w2 >>> j) & 1L) == 1L) votes(64 + j) += 1 else votes(64 + j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var o1 = 0L
+    var o2 = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) o1 |= (1L << j)
+      if (votes(64 + j) > 0) o2 |= (1L << j)
+      j += 1
+    }
+    new GenericArrayData(Array[Any](o1, o2))
+  }
+
   /** Lexicographically smallest md5 hex over the array's elements
     * (the k=1 winnow fingerprint); null for an empty array. */
   def md5Min(arr: ArrayData): UTF8String = {
@@ -348,6 +397,30 @@ case class SimHash60(child: Expression)
          |java.lang.Long ${ev.value}Box = org.apache.spark.sql.graft.TextNative.simhash60($t);
          |${ev.isNull} = (${ev.value}Box == null);
          |${ev.value} = ${ev.isNull} ? -1L : ${ev.value}Box.longValue();
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash128(text)` — see [[TextNative.simhash128]]; returns
+  * array<bigint> [w1, w2], null on zero tokens. */
+case class SimHash128(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash128"
+
+  override def nullSafeEval(t: Any): Any =
+    TextNative.simhash128(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.TextNative.simhash128($t);
+         |${ev.isNull} = (${ev.value} == null);
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -467,6 +540,8 @@ object TextExpressions {
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), nPerms))
   def simhash60(text: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text)))
+  def simhash128(text: Column): Column =
+    ExpressionUtils.column(SimHash128(ExpressionUtils.expression(text)))
   def cdcBoundaries(text: Column, window: Int, mask: Int): Column =
     ExpressionUtils.column(CdcBoundaries(
       ExpressionUtils.expression(text), window, mask))

@@ -132,4 +132,64 @@ class Round12OpsSpec extends SparkSpec {
     // the snapshot is parquet, it never touches the block manager)
     Analytics.releaseEdgeSnapshots(spark)
   }
+
+  test("simhash128: matches a direct md5-vote reimplementation, nests simhash60 in word 1, null on empty") {
+    val df = graft.Tables.documents(spark, sf0001).limit(50)
+      .select(col("doc_id"), col("text"),
+        org.apache.spark.sql.graft.TextExpressions.simhash128(col("text")).as("ph"),
+        org.apache.spark.sql.graft.TextExpressions.simhash60(col("text")).as("ph60"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) assert(r.isNullAt(2))
+      else {
+        val votes = new Array[Int](128)
+        toks.foreach { t =>
+          md.reset()
+          val d = md.digest(t.getBytes("UTF-8"))
+          var w1 = 0L; var w2 = 0L
+          (0 until 8).foreach { i =>
+            w1 = (w1 << 8) | (d(i) & 0xffL); w2 = (w2 << 8) | (d(i + 8) & 0xffL)
+          }
+          (0 until 64).foreach { j =>
+            votes(j) += (if (((w1 >>> j) & 1L) == 1L) 1 else -1)
+            votes(64 + j) += (if (((w2 >>> j) & 1L) == 1L) 1 else -1)
+          }
+        }
+        var e1 = 0L; var e2 = 0L
+        (0 until 64).foreach { j =>
+          if (votes(j) > 0) e1 |= (1L << j)
+          if (votes(64 + j) > 0) e2 |= (1L << j)
+        }
+        val got = r.getSeq[Long](2)
+        assert(got == Seq(e1, e2), s"doc ${r.getLong(0)}: got $got expected ($e1, $e2)")
+        // word-1 nests the 60-bit tier: simhash60 votes over the top 60
+        // bits of the first digest word (h >>> 4), so its bit j is
+        // word 1's bit j+4 — the two kernels must agree exactly
+        assert(r.getLong(3) == (e1 >>> 4),
+          s"doc ${r.getLong(0)}: simhash60 must equal simhash128 word1 >>> 4")
+      }
+    }
+  }
+
+  test("mm_phash_dup_wide: banded pairs equal the all-pairs 128-bit hamming<=5 answer (pigeonhole)") {
+    val hashes = graft.Tables.documents(spark, sf0001)
+      .withColumn("grams", expr(
+        "regexp_replace(hex(cast(text as binary)), '(.{8})', '$1 ')"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.simhash128(col("grams")).as("ph"))
+      .filter(col("ph").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val allPairs = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha(0) ^ hb(0)) +
+        java.lang.Long.bitCount(ha(1) ^ hb(1)) <= 5
+    } yield (ia, ib)).toSet
+    val banded = Multimodal.mmPhashDupWide(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == allPairs, s"banded=${banded.size} allPairs=${allPairs.size}")
+    assert(banded.nonEmpty, "fixture must exercise the pair path")
+  }
 }
