@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2060,22 +2060,29 @@ object Analytics {
     * rows, and the cumulative weight rides the two-phase distributed
     * prefix sum — no per-group serial window, the same scale shape as
     * the packing family. */
-  def q104WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+  /** q104's (value frame keyed by l_returnflag, bucket column) — shared
+    * by the operator and [[orderStatBucketMass]] (no-drift audit). */
+  private[graft] def q104ValuesBucketed(spark: SparkSession,
+      dir: String): (DataFrame, Column) = {
     val byValue = Tables.lineitem(spark, dir)
       .select($"l_returnflag",
         expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("cents"),
         expr("cast(l_quantity as bigint)").as("wgt"))
       .groupBy($"l_returnflag", $"cents")
       .agg(sum($"wgt").as("w"))
-    val tot = byValue.groupBy($"l_returnflag").agg(sum($"w").as("tw"))
     // bucket bounds from the RAW scan (parquet min/max stats make the
     // agg near-free) — bounding the grouped frame would re-run the
     // groupBy a second time just for the two bounds
     val rawCents = Tables.lineitem(spark, dir)
       .select(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+    (byValue, CorpusPipeline.equiWidthBucket(rawCents, "cents"))
+  }
+
+  def q104WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val (byValue, bkt) = q104ValuesBucketed(spark, dir)
+    val tot = byValue.groupBy($"l_returnflag").agg(sum($"w").as("tw"))
     CorpusPipeline.prefixSumExclusive(byValue, "l_returnflag",
-        Seq($"cents"), "w", "cw_excl",
-        CorpusPipeline.equiWidthBucket(rawCents, "cents"))
+        Seq($"cents"), "w", "cw_excl", bkt)
       .join(broadcast(tot), "l_returnflag")
       .filter(($"cw_excl" + $"w") * 2 >= $"tw")
       .groupBy($"l_returnflag")
@@ -2398,7 +2405,11 @@ object Analytics {
     * near-distinct pairwise sums never shuffle as groups (a full
     * value-collapse measured 19 s at sf0.1; this shape is ~4×
     * faster and touches 1/64 of pairs in the ranking pass). */
-  def q120HodgesLehmann(spark: SparkSession, dir: String): DataFrame = {
+  /** q120's bucketed pair frame (o_orderpriority, wsum2, b) — the
+    * shared source for the operator AND the bucket-mass telemetry
+    * ([[orderStatBucketMass]]), so the health audit can never drift
+    * from the plan it audits. */
+  private[graft] def q120PairsBucketed(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(spark, dir)
       .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
       .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
@@ -2407,24 +2418,57 @@ object Analytics {
     // map-side at full parallelism
     val later = daily.select($"o_orderpriority".as("p2"),
       $"day".as("day2"), $"cents".as("cents2"))
+    val bounds = daily.select(($"cents" * 2).as("wsum2"))
+    val bkt = CorpusPipeline.equiWidthBucket(bounds, "wsum2")
+    daily
+      .join(broadcast(later), $"o_orderpriority" === $"p2" && $"day" < $"day2")
+      .select($"o_orderpriority", ($"cents" + $"cents2").as("wsum2"))
+      .withColumn("b", bkt)
+  }
+
+  /** Bucket-mass health telemetry for the two-pass order-statistic
+    * family (q120/q171 pair medians, q104/q148 prefix-sum order
+    * statistics): per (operator, group key), the fraction of rows the
+    * WORST bucket holds, in exact micro units. The two-pass device
+    * prunes the rank pass to ONE bucket, so a bucket holding >50% of
+    * the rows silently degrades it back to the near-distinct groupBy
+    * it exists to avoid (the q171 equi-width regression class — one
+    * central bucket held >50% of slopes until log-spaced buckets
+    * capped it at ~1.7%). Built from the SAME bucketed frames the
+    * operators consume (q120PairsBucketed / q171PairsBucketed /
+    * q104ValuesBucketed / q148ValuesBucketed), so this audit cannot
+    * drift from the plans it audits; the spec asserts a hard ceiling
+    * instead of eyeballing bench deltas. */
+  private[graft] def orderStatBucketMass(spark: SparkSession, dir: String): DataFrame = {
+    def mass(df: DataFrame, op: String, keyCol: Column, b: Column): DataFrame =
+      df.select(keyCol.cast("string").as("key"), b.as("_b"))
+        .groupBy($"key", $"_b").agg(count(lit(1)).as("c"))
+        .groupBy($"key")
+        .agg(sum($"c").as("n_rows"), max($"c").as("worst_bucket_rows"))
+        .select(lit(op).as("op"), $"key", $"n_rows", $"worst_bucket_rows",
+          expr("worst_bucket_rows * 1000000 div n_rows").as("worst_mass_micro"))
+    val (v104, b104) = q104ValuesBucketed(spark, dir)
+    val (v148, b148) = q148ValuesBucketed(spark, dir)
+    mass(q120PairsBucketed(spark, dir), "q120_hodges_lehmann",
+        $"o_orderpriority", $"b")
+      .unionAll(mass(q171PairsBucketed(spark, dir), "q171_theil_sen",
+        $"o_orderpriority", $"b"))
+      .unionAll(mass(v104, "q104_weighted_median", $"l_returnflag", b104))
+      .unionAll(mass(v148, "q148_qq_decile", $"grp", b148))
+      .orderBy($"op", $"key")
+  }
+
+  def q120HodgesLehmann(spark: SparkSession, dir: String): DataFrame = {
     // two-pass distributed k-th order statistic: pass 1 only COUNTS
     // per equi-width bucket (a ~|priorities|×64-row aggregate — never
     // the n_pairs-group value collapse, which at sf0.1 shuffled 14M
     // near-distinct sums and dominated the whole bench); pass 2 ranks
     // only inside the one bucket holding the median (~1/64 of pairs).
-    // The expansion itself is enumerated ONCE (persisted, released via
-    // materializeAndRelease — the 5-row result is bounded by the
-    // priority domain).
-    val bounds = daily.select(($"cents" * 2).as("wsum2"))
-    val bkt = CorpusPipeline.equiWidthBucket(bounds, "wsum2")
-    // streamed through both passes, never persisted (r11, the q171
+    // Streamed through both passes, never persisted (r11, the q171
     // treatment): the expansion is deterministic map-side arithmetic
     // behind one broadcast — recomputing it is cheaper than writing
     // 14M cached rows and blocking on their release
-    def pairsB = daily
-      .join(broadcast(later), $"o_orderpriority" === $"p2" && $"day" < $"day2")
-      .select($"o_orderpriority", ($"cents" + $"cents2").as("wsum2"))
-      .withColumn("b", bkt)
+    def pairsB = q120PairsBucketed(spark, dir)
     val wCum = Window.partitionBy($"o_orderpriority").orderBy($"b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val target = pairsB
@@ -2485,7 +2529,9 @@ object Analytics {
     * reduces it immediately (bucket counts; then only the target
     * bucket's rows reach the slope aggregate). Same plan shape at any
     * SF (the expansion is calendar-bounded). */
-  def q171TheilSen(spark: SparkSession, dir: String): DataFrame = {
+  /** q171's bucketed slope-pair frame (o_orderpriority, sl, b) — shared
+    * by the operator and [[orderStatBucketMass]] (no-drift audit). */
+  private[graft] def q171PairsBucketed(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(spark, dir)
       .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
       .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
@@ -2500,12 +2546,16 @@ object Analytics {
     // the speculative d2 = d case into a DIVIDE_BY_ZERO; NULL
     // propagates into rows the condition drops anyway, and surviving
     // rows see nullif(d2−d, 0) = d2−d exactly
-    def pairsB = daily
+    daily
       .join(broadcast(later), $"o_orderpriority" === $"p2" && $"d" < $"d2")
       .select($"o_orderpriority",
         expr("(CASE WHEN cents2 < cents THEN -1 ELSE 1 END)" +
           " * (abs(cents2 - cents) * 1000000 div nullif(d2 - d, 0))").as("sl"))
       .withColumn("b", bkt)
+  }
+
+  def q171TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    def pairsB = q171PairsBucketed(spark, dir)
     val wCum = Window.partitionBy($"o_orderpriority").orderBy($"b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val target = pairsB
@@ -3518,17 +3568,24 @@ object Analytics {
     * ⌈n·q/10⌉, tested as the integer cross-multiply 10·cum ≥ q·n over
     * two-phase prefix-summed value counts — no global ntile, no
     * interpolation. */
-  def q148QqDecile(spark: SparkSession, dir: String): DataFrame = {
+  /** q148's (value frame keyed by grp, bucket column) — shared by the
+    * operator and [[orderStatBucketMass]] (no-drift audit). */
+  private[graft] def q148ValuesBucketed(spark: SparkSession,
+      dir: String): (DataFrame, Column) = {
     val base = Tables.orders(spark, dir)
       .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
       .select($"o_orderpriority".as("grp"),
         expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
     val byValue = base.groupBy($"grp", $"cents").agg(count(lit(1)).as("w"))
+    (byValue, CorpusPipeline.equiWidthBucket(base.select($"cents"), "cents"))
+  }
+
+  def q148QqDecile(spark: SparkSession, dir: String): DataFrame = {
+    val (byValue, bkt) = q148ValuesBucketed(spark, dir)
     val tot = byValue.groupBy($"grp").agg(sum($"w").as("n"))
     val qs = spark.range(1, 10).select($"id".as("q"))
     val stats = CorpusPipeline.prefixSumExclusive(byValue, "grp",
-        Seq($"cents"), "w", "cw_excl",
-        CorpusPipeline.equiWidthBucket(base.select($"cents"), "cents"))
+        Seq($"cents"), "w", "cw_excl", bkt)
       .join(broadcast(tot), "grp")
       .crossJoin(broadcast(qs))
       .filter(($"cw_excl" + $"w") * 10 >= $"q" * $"n")

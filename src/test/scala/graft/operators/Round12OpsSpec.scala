@@ -133,6 +133,26 @@ class Round12OpsSpec extends SparkSpec {
     Analytics.releaseEdgeSnapshots(spark)
   }
 
+  test("order-statistic family: worst bucket holds a bounded fraction of rows (asserted, not eyeballed)") {
+    // the q171 regression class: one bucket holding >50% of pairs turns
+    // the pruned rank pass back into the near-distinct groupBy it
+    // replaces. Ceiling 25% = 2x the worst healthy observation with
+    // margin, half the pathological class. Asserted from the SAME
+    // bucketed frames the operators consume (no drift possible).
+    val dirs = Seq(sf0001, "/root/testdata/sf0.01")
+    dirs.foreach { d =>
+      val rows = Analytics.orderStatBucketMass(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+      assert(rows.nonEmpty && rows.map(_._1).distinct.length == 4,
+        "all four family members must report")
+      info(s"$d: " + rows.map(r => s"${r._1}/${r._2}=${r._4 / 10000.0}%").mkString(", "))
+      rows.foreach { case (op, key, n, mass) =>
+        assert(mass <= 250000L,
+          s"$op key=$key: worst bucket holds ${mass / 10000.0}% of $n rows (> 25% ceiling)")
+      }
+    }
+  }
+
   test("simhash128: matches a direct md5-vote reimplementation, nests simhash60 in word 1, null on empty") {
     val df = graft.Tables.documents(spark, sf0001).limit(50)
       .select(col("doc_id"), col("text"),
