@@ -18,6 +18,53 @@ import org.apache.spark.sql.types.{DataType, StringType}
   * (no table rewrite), making re-ingestion of one protocol idempotent
   * while other protocols' rows stay untouched — exactly the reference's
   * contract.
+  *
+  * == Postgres dialect contract (r11 verdict #1) ==
+  * The battery is proven on embedded Derby (JdbcSinkSpec); the
+  * reference's actual target is Postgres (dataimporter.py:238
+  * `psycopg.connect`). The exact dialect assumptions this sink makes,
+  * pinned so a Postgres deployment knows what to check — and an opt-in
+  * integration spec (PostgresIntegrationSpec, `-DpgUrl=...`) exercises
+  * every one of them against a real server when one is available:
+  *
+  *  - '''Identifier quoting: never.''' Table/column names are embedded
+  *    unquoted (validated against `[A-Za-z_][A-Za-z0-9_]*`), so the
+  *    server case-folds them — Postgres to lower, Derby to UPPER. Both
+  *    work because we never mix quoted DDL with unquoted DML: the
+  *    config must name tables the way the server folds them (the
+  *    reference embeds config names unquoted into f-strings the same
+  *    way, dataimporter.py:121,160,193).
+  *  - '''DELETE+append is NOT one transaction.''' [[refreshPartition]]
+  *    deletes on its own connection, then appends on per-partition
+  *    writer connections; a concurrent reader can observe the gap, and
+  *    a failed append leaves the protocol's rows deleted. The recovery
+  *    is re-running the refresh (idempotent by construction). The
+  *    reference has the same shape at archive granularity — its DELETE
+  *    commits before the row loop starts (dataimporter.py:193-201 →
+  *    `self.connection.commit()`), so this is parity, not a regression;
+  *    a deployment needing atomic swap should write to a staging table
+  *    and swap names.
+  *  - '''Commit granularity.''' The reference `executemany`s pages of
+  *    BATCHLIMIT=200k rows on ONE connection and commits at the end of
+  *    each page loop. Spark's JDBC writer sends `batchsize`-row
+  *    `executeBatch` pages but commits ONCE PER PARTITION: a task that
+  *    fails mid-partition rolls back only its partition; a task RETRY
+  *    after its commit landed can duplicate that partition's rows in
+  *    append mode (exactly-once needs the refresh flow or [[upsert]]).
+  *  - '''Type mapping.''' Spark maps StringType→TEXT on Postgres
+  *    natively (no override needed); the Derby VARCHAR override below
+  *    exists only because Derby's CLOB default breaks comparisons —
+  *    Postgres deployments never hit it ([[DerbyVarcharDialect]]
+  *    registers only for `jdbc:derby` URLs). TimestampType maps to
+  *    `timestamp` (no tz) on both, matching the reference's
+  *    `%Y-%m-%d %H:%M:%S.%f` column.
+  *  - '''[[upsert]] is update-else-insert, not ON CONFLICT.''' Safe
+  *    under Spark's same-key-same-partition guarantee within one job;
+  *    racy under CONCURRENT external writers of the same keys (unique
+  *    violation surfaces as an SQLException, by design). Postgres
+  *    deployments can swap the two statements for one
+  *    `INSERT ... ON CONFLICT DO UPDATE` — the partition plumbing
+  *    stays identical.
   */
 object JdbcSink {
 
