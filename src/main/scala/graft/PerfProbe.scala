@@ -18,12 +18,44 @@ object PerfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROBE_STAGES=1 prints per-stage wall/task/GC/spill —
+    // the tool that separates "one stage balloons" from "everything
+    // drifts" when a sample runs hot.
+    if (sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val m = i.taskMetrics
+          val wall = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
+          println(f"[stage] id=${i.stageId}%-4d tasks=${i.numTasks}%-4d wall=${wall / 1e3}%7.2fs " +
+            f"task=${m.executorRunTime / 1e3}%8.2fs gc=${m.jvmGCTime / 1e3}%7.2fs " +
+            f"memSpill=${m.memoryBytesSpilled / 1000000}%6dMB diskSpill=${m.diskBytesSpilled / 1000000}%6dMB " +
+            f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1000000}%6dMB " +
+            i.name.takeWhile(_ != '\n').take(60))
+        }
+      })
+    }
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // SPARK_GRAFT_PROBE_REPEAT > 1 prints every sample — the tool for
+    // separating a bimodal plan (same JVM, samples split into modes)
+    // from host contention (samples drift together).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPEAT", "1").toInt
+    // SPARK_GRAFT_PROBE_ONLY=name,name runs a subset (fresh-JVM isolation
+    // of one stage from the allocation churn of the stages before it).
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
+      if (probeOnly.exists(!_.contains(name))) return
+      var i = 0
+      while (i < repeat) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
+        spark.catalog.clearCache()
+        i += 1
+      }
     }
 
     val docs = TextOps.balanced(Tables.documents(spark, sfDir))
@@ -55,6 +87,9 @@ object PerfProbe {
     }
     time("dd_ngram_jaccard_full") {
       operators.Dedup.ddNgramJaccard(spark, sfDir).count()
+    }
+    time("jaccard_pairs_unsorted") {
+      operators.Dedup.jaccardPairs(spark, sfDir).count()
     }
     time("dd_components_full") {
       operators.Dedup.ddComponents(spark, sfDir).count()

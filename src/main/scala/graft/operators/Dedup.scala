@@ -411,23 +411,103 @@ object Dedup {
     * the ≥ threshold). */
   def ddContainment(spark: SparkSession, dir: String,
       shingleDfCap: Option[Int] = None): DataFrame = {
-    val shAll = TextOps.balanced(Tables.documents(spark, dir))
-      .select(col("doc_id"), array_distinct(TextOps.shingleArray("text")).as("shd"))
-      .filter(size(col("shd")) > 0)
-      .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
-        explode(col("shd")).as("s"))
-    val sh = resolveShingleDfCap(spark, shingleDfCap).fold(shAll) { cap =>
-      dropHotKeys(spark, shAll, "s", cap, (dir, "shingle"))
-    }
-    sh.as("a").hint("shuffle_hash").join(sh.as("b"),
-        expr("a.s = b.s AND a.doc_id < b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("ninter"))
+    // same slim-pair core as jaccardPairs; the conservative bucket
+    // pre-filter is the containment threshold at the size lower bounds
+    // (least(na, nb) ≥ least(2^ba, 2^bb), so failing with the bounds
+    // is a true reject)
+    val surv = shinglePairCounts(spark, dir, shingleDfCap)
+      .filter(expr("ninter * 2 >= least(shiftleft(1L, ba), shiftleft(1L, bb))"))
+    attachPairSizes(spark, dir, surv)
       .filter(expr("ninter * 2 >= least(na, nb)"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         expr("round(cast(ninter as double) / least(na, nb), 6)").as("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared intersection-count core of [[jaccardPairs]] and
+    * [[ddContainment]]: for every ordered doc pair sharing ≥1 surviving
+    * shingle, the exact shared-shingle count plus each side's
+    * floor(log2(set size)) bucket. The r12 redesign of the r11 shape —
+    * same result set, three measured GC killers removed (the old
+    * 4-long-key aggregate over a ~58M-group pair stream ran 10–50 s at
+    * sf1 depending on GC weather; this shape is the slim-pair +
+    * attach-after pattern that cut mm_phash_dup 5×):
+    *
+    *  - SLIM pair rows: the self-join output carries (da, db) plus two
+    *    1-byte size buckets — never the exact sizes. Exact sizes attach
+    *    later, only to output-bounded survivors ([[attachPairSizes]]).
+    *  - NO map-side partial aggregate: the join output is explicitly
+    *    repartitioned on (da, db) BEFORE the groupBy, so the pair
+    *    exchange ships raw slim rows straight from the join (groups
+    *    are ~unique — a pair sharing i shingles appears once in each of
+    *    i different shingle partitions, so the pre-shuffle partial agg
+    *    reduced nothing and built a multi-GB long-lived hash map per
+    *    pass; stage telemetry showed 60+ s of GC in the bad runs).
+    *    Post-shuffle, partitioning satisfies the grouping, so the
+    *    aggregate runs inside the same stage over partition-local rows.
+    *  - MORE, SHORTER-LIVED tasks: the explicit repartition widens the
+    *    pair stage to [[pairShufflePartitions]] (default 4× default
+    *    parallelism) so each aggregation map stays young-gen sized
+    *    instead of 32 concurrent multi-hundred-MB maps.
+    *
+    * The log2 buckets exist so consumers can apply their threshold
+    * CONSERVATIVELY before the exact sizes attach: na ≥ 2^ba, so a pair
+    * failing the threshold with the lower bounds failing is a true
+    * reject. Bucket from `length(bin(n)) - 1` — exact integer floor of
+    * log2, no float boundary. */
+  private def shinglePairCounts(spark: SparkSession, dir: String,
+      shingleDfCap: Option[Int]): DataFrame = {
+    val shAll = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(TextOps.shingleArray("text")).as("shd"))
+      .filter(size(col("shd")) > 0)
+      .select(col("doc_id"),
+        (length(bin(size(col("shd")))) - 1).cast("int").as("lb"),
+        explode(col("shd")).as("s"))
+    // hot-shingle stop-list: two-phase probe (dropHotKeys) — the census
+    // runs once per corpus snapshot as its own job; the main plan sees
+    // either nothing (no hot keys — the healthy-corpus case) or a
+    // map-side InSet filter (the big exploded stream never reshuffles)
+    val sh = resolveShingleDfCap(spark, shingleDfCap).fold(shAll) { cap =>
+      dropHotKeys(spark, shAll, "s", cap, (dir, "shingle"))
+    }
+    // shuffled-hash self-join on the shingle key (measured 2x over
+    // sort-merge: small rows, hash beats sorting) — the exchange below
+    // is identical on both sides, so it's computed once and reused
+    // (widening THIS exchange to the pair-stage width was measured
+    // 1.5-2x SLOWER and noisier: the 32-way s-exchange keeps whole
+    // shingle-df runs task-local for the probe-side stream)
+    sh.as("a").hint("shuffle_hash").join(sh.as("b"),
+        expr("a.s = b.s AND a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.lb").as("ba"), col("b.lb").as("bb"))
+      .repartition(pairShufflePartitions(spark), col("da"), col("db"))
+      .groupBy(col("da"), col("db"), col("ba"), col("bb"))
+      .agg(count(lit(1)).as("ninter"))
+  }
+
+  /** Pair-stage width (see [[shinglePairCounts]]): enough tasks that
+    * each post-shuffle aggregation map dies young. Overridable via
+    * `spark.graft.dedup.pairShufflePartitions`. */
+  private def pairShufflePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dedup.pairShufflePartitions")
+      .map(_.trim.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism * 4)
+
+  /** Attach exact shingle-set sizes to a (da, db, …) pair frame —
+    * AFTER the consumer's conservative bucket filter, so the joins
+    * touch only output-bounded survivors. Two plain hash joins against
+    * the slim (doc_id, n) projection: nothing corpus-growing is
+    * broadcast by construction (AQE picks broadcast at bench scale
+    * because the SURVIVOR side is tiny — the legal direction). */
+  private def attachPairSizes(spark: SparkSession, dir: String,
+      surv: DataFrame): DataFrame = {
+    val sizes = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(TextOps.shingleArray("text")).as("shd"))
+      .filter(size(col("shd")) > 0)
+      .select(col("doc_id"), size(col("shd")).cast("long").as("n"))
+    surv
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
   }
 
   /** The jaccard pair set WITHOUT the presentation sort — internal
@@ -450,35 +530,19 @@ object Dedup {
     * dup-dense corpus, and the capped components run 3.3× faster at
     * sf1 — so the production default is the guarded config, with the
     * cap replicated exactly in every consumer's oracle SQL. Uncapped
-    * is a config away (see [[resolveShingleDfCap]]). */
-  private def jaccardPairs(spark: SparkSession, dir: String,
+    * is a config away (see [[resolveShingleDfCap]]).
+    *
+    * Pair counting and size attachment are the [[shinglePairCounts]] /
+    * [[attachPairSizes]] split; the bucket pre-filter here is the
+    * jaccard threshold evaluated at the size LOWER bounds
+    * (ninter·5 ≥ 2^ba + 2^bb − ninter) — a pair failing it fails the
+    * exact test too (na+nb ≥ 2^ba+2^bb), so the filter is a pure
+    * row-reducer with zero effect on the result set. */
+  private[graft] def jaccardPairs(spark: SparkSession, dir: String,
       shingleDfCap: Option[Int] = None): DataFrame = {
-    // Per-doc distinct shingles + set size are computed map-side
-    // (array_distinct over the shingle array) and the size rides along
-    // with every exploded shingle row — so there is NO separate sizes
-    // aggregate and NO post-join size lookups: the doc sizes come out
-    // of the groupBy key. Shuffles: the self-join on the shingle key
-    // and the pair aggregate, nothing else.
-    val shAll = TextOps.balanced(Tables.documents(spark, dir))
-      .select(col("doc_id"), array_distinct(TextOps.shingleArray("text")).as("shd"))
-      .filter(size(col("shd")) > 0)
-      .select(col("doc_id"), size(col("shd")).cast("long").as("n"),
-        explode(col("shd")).as("s"))
-    // hot-shingle stop-list: two-phase probe (dropHotKeys) — the census
-    // runs once per corpus snapshot as its own job; the main plan sees
-    // either nothing (no hot keys — the healthy-corpus case) or a
-    // map-side InSet filter (the big exploded stream never reshuffles)
-    val sh = resolveShingleDfCap(spark, shingleDfCap).fold(shAll) { cap =>
-      dropHotKeys(spark, shAll, "s", cap, (dir, "shingle"))
-    }
-    // shuffled-hash self-join on the shingle key (measured 2x over
-    // sort-merge: small rows, hash beats sorting) — the exchange below
-    // is identical on both sides, so it's computed once and reused
-    sh.as("a").hint("shuffle_hash").join(sh.as("b"),
-        expr("a.s = b.s AND a.doc_id < b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("ninter"))
+    val surv = shinglePairCounts(spark, dir, shingleDfCap)
+      .filter(expr("ninter * 5 >= shiftleft(1L, ba) + shiftleft(1L, bb) - ninter"))
+    attachPairSizes(spark, dir, surv)
       .filter(expr("ninter * 5 >= (na + nb - ninter)"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         expr("round(cast(ninter as double) / (na + nb - ninter), 6)").as("jaccard"))
