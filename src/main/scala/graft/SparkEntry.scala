@@ -86,6 +86,16 @@ object SparkEntry {
     "q170_mantel_haenszel" -> (Analytics.q170MantelHaenszel _),
     "q171_theil_sen" -> (Analytics.q171TheilSen _),
     "q172_mad_outliers" -> (Analytics.q172MadOutliers _),
+    "txt_theil_u" -> (TextAnalysis.txtTheilU _),
+    "q173_durbin_watson" -> (Analytics.q173DurbinWatson _),
+    "q174_turning_points" -> (Analytics.q174TurningPoints _),
+    "q175_bartels_rank" -> (Analytics.q175BartelsRank _),
+    "q176_kpss" -> (Analytics.q176KpssInputs _),
+    "q177_hits" -> (Analytics.q177Hits _),
+    "dd_bbit_minhash" -> (Dedup.ddBbitMinhash _),
+    "mm_phash_hamming_hist" -> ((s: SparkSession, d: String) => Multimodal.mmPhashHammingHist(s, d)),
+    "sim_bq_rerank" -> ((s: SparkSession, d: String) => Similarity.simBqRerank(s, d)),
+    "sim_kmeanspar_step" -> ((s: SparkSession, d: String) => Similarity.simKmeansParStep(s, d)),
     "pipe_class_weights" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeClassWeights(s, d)),
     "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
@@ -553,6 +563,42 @@ object SparkEntry {
     * `lgvals(x)` CTE of (already shift-reduced) arguments and joins
     * `lg` on x. ONE copy — a recurrence change edits one string.
     * (Pre-stripped so it composes inside stripMargin oracle strings.) */
+  /** Shared perceptual-hash pair SQL (SimHash60 over payload hex
+    * grams, family cap, 10-bit banding) — consumed verbatim by the
+    * mm_phash_dup oracle and wrapped by mm_phash_hamming_hist, so the
+    * two can never drift. */
+  private val MmPhashDupSql: String =
+    """WITH ph AS (
+        |WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(string_split(
+        |   regexp_replace(hex(cast(text as blob)), '(.{8})', '\1 ', 'g'), ' '),
+        |   x -> x <> '')) t
+        | FROM documents
+        |), h AS (
+        | SELECT doc_id, list_sum(list_transform(range(1, 16), i ->
+        |   cast((strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1) as bigint)
+        |   * cast(power(16, 15 - i) as bigint))) hv
+        | FROM tok
+        |), votes AS (
+        | SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        | FROM h CROSS JOIN (SELECT unnest(range(0, 60)) j) GROUP BY 1, 2
+        |)
+        |SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN cast(1 as bigint) << j ELSE 0 END) as bigint) AS ph
+        |FROM votes GROUP BY 1
+        |), famed AS (
+        | SELECT ph.* FROM ph
+        | JOIN (SELECT ph, count(*) fam_n FROM ph GROUP BY 1) f USING (ph)
+        | WHERE f.fam_n <= 100
+        |), bands AS (
+        | SELECT doc_id, ph, bb.b, (ph >> (10 * bb.b)) & 1023 bh
+        | FROM famed CROSS JOIN (SELECT unnest(range(0, 6)) b) bb
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        | cast(bit_count(xor(a.ph, b2.ph)) as bigint) AS hamming
+        |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.ph, b2.ph)) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin
+
   private val LgCte: String =
     """lgit AS (
       | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
@@ -2970,37 +3016,12 @@ object SparkEntry {
         |SELECT cast(epoch as bigint) AS epoch, shard, doc_id,
         | cast(row_number() OVER (PARTITION BY epoch, shard ORDER BY skey, doc_id) as bigint) AS slot
         |FROM s ORDER BY epoch, shard, slot""".stripMargin,
-    "mm_phash_dup" ->
-      """WITH ph AS (
-        |WITH tok AS (
-        | SELECT doc_id, unnest(list_filter(string_split(
-        |   regexp_replace(hex(cast(text as blob)), '(.{8})', '\1 ', 'g'), ' '),
-        |   x -> x <> '')) t
-        | FROM documents
-        |), h AS (
-        | SELECT doc_id, list_sum(list_transform(range(1, 16), i ->
-        |   cast((strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1) as bigint)
-        |   * cast(power(16, 15 - i) as bigint))) hv
-        | FROM tok
-        |), votes AS (
-        | SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
-        | FROM h CROSS JOIN (SELECT unnest(range(0, 60)) j) GROUP BY 1, 2
-        |)
-        |SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN cast(1 as bigint) << j ELSE 0 END) as bigint) AS ph
-        |FROM votes GROUP BY 1
-        |), famed AS (
-        | SELECT ph.* FROM ph
-        | JOIN (SELECT ph, count(*) fam_n FROM ph GROUP BY 1) f USING (ph)
-        | WHERE f.fam_n <= 100
-        |), bands AS (
-        | SELECT doc_id, ph, bb.b, (ph >> (10 * bb.b)) & 1023 bh
-        | FROM famed CROSS JOIN (SELECT unnest(range(0, 6)) b) bb
-        |)
-        |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-        | cast(bit_count(xor(a.ph, b2.ph)) as bigint) AS hamming
-        |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
-        |WHERE bit_count(xor(a.ph, b2.ph)) <= 5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "mm_phash_dup" -> MmPhashDupSql,
+    // the threshold-tuning diagnostic: pair counts per Hamming tier off
+    // the same pair set (oracle wraps the shared phash SQL verbatim)
+    "mm_phash_hamming_hist" ->
+      (s"SELECT hamming, cast(count(*) as bigint) AS n_pairs FROM (\n$MmPhashDupSql\n" +
+        ") GROUP BY 1 ORDER BY 1"),
     "mm_phash_dup_wide" ->
       """WITH ph AS (
         |WITH tok AS (
@@ -4166,6 +4187,245 @@ object SparkEntry {
         | cast(max(med2) as bigint) AS med2_cents, cast(max(mad4) as bigint) AS mad4_cents,
         | cast(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) as bigint) AS n_outliers
         |FROM dev JOIN mad USING (o_orderpriority) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Theil's U: three entropy numerators off one contingency table on
+    // the shared fixed-point-log2 recurrence; I clamped at 0 (floored
+    // logs can push near-independence a few ulps negative)
+    "txt_theil_u" ->
+      ("""WITH RECURSIVE j AS (
+        | SELECT lang, source, cast(count(*) as bigint) c FROM documents GROUP BY 1, 2
+        |), mx AS (SELECT lang, cast(sum(c) as bigint) c FROM j GROUP BY 1),
+        |my AS (SELECT source, cast(sum(c) as bigint) c FROM j GROUP BY 1),
+        |tot AS (SELECT cast(sum(c) as bigint) n FROM j),
+        |rawargs AS (
+        | SELECT c x FROM j UNION ALL SELECT c FROM mx
+        | UNION ALL SELECT c FROM my UNION ALL SELECT n FROM tot
+        |), shargs AS (
+        | SELECT DISTINCT x, greatest(0, length(bin(x)) - 43) sh,
+        |  x // (cast(1 as bigint) << greatest(0, length(bin(x)) - 43)) arg
+        | FROM rawargs
+        |), lgvals(x) AS (SELECT DISTINCT arg FROM shargs),
+        |""" + LgCte + """, lgx AS (
+        | SELECT s.x, l.lg + s.sh * 1048576 lg FROM shargs s JOIN lg l ON l.x = s.arg
+        |), hx AS (
+        | SELECT cast((SELECT cast(t.n as hugeint) * lgx.lg FROM tot t JOIN lgx ON lgx.x = t.n)
+        |  - (SELECT sum(cast(m.c as hugeint) * lgx.lg) FROM mx m JOIN lgx ON lgx.x = m.c) as bigint) h
+        |), hy AS (
+        | SELECT cast((SELECT cast(t.n as hugeint) * lgx.lg FROM tot t JOIN lgx ON lgx.x = t.n)
+        |  - (SELECT sum(cast(m.c as hugeint) * lgx.lg) FROM my m JOIN lgx ON lgx.x = m.c) as bigint) h
+        |), hxy AS (
+        | SELECT cast((SELECT cast(t.n as hugeint) * lgx.lg FROM tot t JOIN lgx ON lgx.x = t.n)
+        |  - (SELECT sum(cast(m.c as hugeint) * lgx.lg) FROM j m JOIN lgx ON lgx.x = m.c) as bigint) h
+        |)
+        |SELECT (SELECT n FROM tot) AS n_docs, hx.h AS h_lang_num, hy.h AS h_source_num,
+        | hxy.h AS h_joint_num,
+        | cast(greatest(0, hx.h + hy.h - hxy.h) as bigint) AS i_num,
+        | cast(cast(greatest(0, hx.h + hy.h - hxy.h) as hugeint) * 1000000 // hx.h as bigint) AS u_lang_micro,
+        | cast(cast(greatest(0, hx.h + hy.h - hxy.h) as hugeint) * 1000000 // hy.h as bigint) AS u_source_micro
+        |FROM hx, hy, hxy""").stripMargin,
+
+    // Durbin-Watson: n-scaled residuals e = n*x - S keep everything
+    // integral; DW ratio is invariant to the shared n^2 factor
+    "q173_durbin_watson" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), tot AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_days,
+        |  cast(sum(cents) as bigint) s_cents
+        | FROM daily GROUP BY 1
+        |), ser AS (
+        | SELECT d.o_orderpriority, t.n_days, t.n_days * d.cents - t.s_cents e,
+        |  lag(t.n_days * d.cents - t.s_cents) OVER (PARTITION BY d.o_orderpriority ORDER BY d."day") prev
+        | FROM daily d JOIN tot t USING (o_orderpriority)
+        |)
+        |SELECT o_orderpriority, cast(max(n_days) as bigint) AS n_days,
+        | cast(sum(CASE WHEN prev IS NOT NULL THEN cast(e - prev as hugeint) * (e - prev) END) as varchar) AS dw_num,
+        | cast(sum(cast(e as hugeint) * e) as varchar) AS dw_den,
+        | cast(CASE WHEN sum(cast(e as hugeint) * e) > 0 THEN
+        |  sum(CASE WHEN prev IS NOT NULL THEN cast(e - prev as hugeint) * (e - prev) END)
+        |   * 1000000 // sum(cast(e as hugeint) * e) END as bigint) AS dw_micro
+        |FROM ser GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Turning points: strict local extrema only (equal neighbors break
+    // no turn); expectation/variance emitted as integer numerators
+    "q174_turning_points" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), ser AS (
+        | SELECT o_orderpriority, cents,
+        |  lag(cents) OVER w prev, lead(cents) OVER w nxt
+        | FROM daily WINDOW w AS (PARTITION BY o_orderpriority ORDER BY "day")
+        |)
+        |SELECT o_orderpriority, cast(count(*) as bigint) AS n_days,
+        | cast(sum(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL AND
+        |  ((cents > prev AND cents > nxt) OR (cents < prev AND cents < nxt))
+        |  THEN 1 ELSE 0 END) as bigint) AS tp_count,
+        | cast(2 * (count(*) - 2) as bigint) AS exp_num3,
+        | cast(16 * count(*) - 29 as bigint) AS var_num90
+        |FROM ser GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bartels rank von Neumann: doubled midranks (q160 device); den
+    // expanded off exact sums: sum(2R)^2 - 2(n+1)*sum(2R) + n(n+1)^2
+    "q175_bartels_rank" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), dv AS (
+        | SELECT o_orderpriority, cents, cast(count(*) as bigint) t FROM daily GROUP BY 1, 2
+        |), rk AS (
+        | SELECT o_orderpriority, cents,
+        |  2 * cast(coalesce(sum(t) OVER (PARTITION BY o_orderpriority ORDER BY cents
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) + t + 1 r2
+        | FROM dv
+        |), ser AS (
+        | SELECT d.o_orderpriority, rk.r2,
+        |  lead(rk.r2) OVER (PARTITION BY d.o_orderpriority ORDER BY d."day") r2nxt
+        | FROM daily d JOIN rk ON d.o_orderpriority = rk.o_orderpriority AND d.cents = rk.cents
+        |)
+        |SELECT o_orderpriority, cast(count(*) as bigint) AS n_days,
+        | cast(sum(CASE WHEN r2nxt IS NOT NULL THEN cast(r2 - r2nxt as hugeint) * (r2 - r2nxt) END) as varchar) AS rvn_num,
+        | cast(sum(cast(r2 as hugeint) * r2)
+        |   - 2 * (count(*) + 1) * cast(sum(r2) as hugeint)
+        |   + cast(count(*) as hugeint) * (count(*) + 1) * (count(*) + 1) as varchar) AS rvn_den,
+        | cast(sum(r2) as bigint) AS rank_sum2
+        |FROM ser GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k-means|| oversampling round: exact cross-multiplied selection
+    // test u*phi < ell*d2*2^40 over md5 40-bit coins
+    "sim_kmeanspar_step" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, clabel cell, cast(round(dist, 6) as decimal(38,6)) d2r,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |), sel AS (SELECT vec_id, cell, d2r FROM best WHERE rn = 1),
+        |phi AS (SELECT sum(d2r) phi FROM sel),
+        |coin AS (
+        | SELECT vec_id, cell, d2r,
+        |  list_sum(list_transform(range(1, 11), i ->
+        |   cast((strpos('0123456789abcdef',
+        |     substring(md5('kmpp:' || cast(vec_id as varchar)), i, 1)) - 1) as bigint)
+        |   * (cast(1 as bigint) << ((10 - i) * 4)))) u40
+        | FROM sel
+        |)
+        |SELECT vec_id, cell, cast(d2r as double) AS d2
+        |FROM coin, phi WHERE u40 * phi < 20 * d2r * 1099511627776
+        |ORDER BY vec_id""".stripMargin,
+
+    // binary-quantized two-stage retrieval: Hamming top-20 candidates
+    // over the sign words, exact cosine re-rank to top-5
+    "sim_bq_rerank" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) i),
+        |codes AS (
+        | SELECT vec_id,
+        |  cast(sum(CASE WHEN i < 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << i ELSE 0 END) as bigint) AS w1,
+        |  cast(sum(CASE WHEN i >= 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << (i - 32) ELSE 0 END) as bigint) AS w2
+        | FROM embeddings CROSS JOIN dims GROUP BY 1
+        |),
+        |probes AS (SELECT vec_id AS qid, w1 AS qw1, w2 AS qw2 FROM codes WHERE vec_id < 5),
+        |hscored AS (
+        | SELECT qid, vec_id,
+        |  cast(bit_count(xor(qw1, w1)) + bit_count(xor(qw2, w2)) as bigint) AS hamming
+        | FROM probes CROSS JOIN codes WHERE vec_id <> qid
+        |),
+        |cand AS (
+        | SELECT qid, vec_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) rnk
+        |  FROM hscored) WHERE rnk <= 20
+        |),
+        |q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        | SELECT c.qid, c.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(q.qe[i] as double) * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(q.qe[i] as double) * cast(q.qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM cand c JOIN q ON q.qid = c.qid JOIN embeddings e ON e.vec_id = c.vec_id
+        |), r AS (
+        | SELECT qid query_id, vec_id, cosim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM s
+        |)
+        |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, round(cosim, 6) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // b-bit minwise (b=1): sketch byte = parity of each per-perm min's
+    // last hex char; estimator numerator 2m-8 stays integer
+    "dd_bbit_minhash" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), sig AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_transform(shingles, s -> md5(cast(i as varchar) || ':' || s)), 'min')) m
+        | FROM sh
+        |), bands AS (
+        | SELECT doc_id, b, md5(m[2*b+1] || m[2*b+2] || ':' || cast(b as varchar)) bh
+        | FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |), cand AS (
+        | SELECT a.doc_id doc_a, b.doc_id doc_b
+        | FROM bands a JOIN bands b ON a.bh = b.bh AND a.b = b.b AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |), bits AS (
+        | SELECT doc_id, cast(list_sum(list_transform(range(0, 8), i ->
+        |   CASE WHEN strpos('13579bdf', substring(m[i+1], 32, 1)) > 0
+        |    THEN (cast(1 as bigint) << i) ELSE 0 END)) as bigint) sketch
+        | FROM sig
+        |)
+        |SELECT c.doc_a, c.doc_b,
+        | cast(8 - bit_count(xor(ba.sketch, bb.sketch)) as bigint) AS m_bits,
+        | cast(2 * (8 - bit_count(xor(ba.sketch, bb.sketch))) - 8 as bigint) AS rho_num8
+        |FROM cand c JOIN bits ba ON ba.doc_id = c.doc_a JOIN bits bb ON bb.doc_id = c.doc_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    // HITS: integer half-iterations a1=indegree, h1, a2 over the
+    // distinct customer->part edge list; top-20 authorities
+    "q177_hits" ->
+      """WITH e AS (
+        | SELECT DISTINCT o.o_custkey c, l.l_partkey p
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), a1 AS (SELECT p, cast(count(*) as bigint) a1 FROM e GROUP BY 1),
+        |h1 AS (SELECT e.c, cast(sum(a1.a1) as bigint) h1 FROM e JOIN a1 USING (p) GROUP BY 1),
+        |a2 AS (SELECT e.p, cast(sum(h1.h1) as bigint) a2 FROM e JOIN h1 USING (c) GROUP BY 1)
+        |SELECT a2.p AS l_partkey, a1.a1 AS a1, a2.a2 AS a2
+        |FROM a2 JOIN a1 USING (p)
+        |ORDER BY a2 DESC, l_partkey LIMIT 20""".stripMargin,
+
+    // KPSS: partial sums of the n-scaled residuals; only the exact
+    // decimal sufficient statistics are emitted (eta*1e6 can pass 38
+    // digits at 100x, so the float ratio stays downstream)
+    "q176_kpss" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), tot AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_days,
+        |  cast(sum(cents) as bigint) s_cents
+        | FROM daily GROUP BY 1
+        |), ser AS (
+        | SELECT d.o_orderpriority, t.n_days,
+        |  t.n_days * d.cents - t.s_cents e,
+        |  sum(t.n_days * d.cents - t.s_cents) OVER (PARTITION BY d.o_orderpriority ORDER BY d."day"
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) p
+        | FROM daily d JOIN tot t USING (o_orderpriority)
+        |)
+        |SELECT o_orderpriority, cast(max(n_days) as bigint) AS n_days,
+        | cast(sum(cast(p as hugeint) * p) as varchar) AS eta_num,
+        | cast(sum(cast(e as hugeint) * e) as varchar) AS s2_num
+        |FROM ser GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q120_hodges_lehmann" ->
       """WITH daily AS (

@@ -4321,4 +4321,171 @@ object Analytics {
       .orderBy($"g_lo", $"g_hi")
   }
 
+  /** Per-priority daily revenue series with n-SCALED detrended
+    * residuals — the shared input of the serial-correlation screens
+    * ([[q173DurbinWatson]] / [[q176KpssInputs]]): e_t = n·x_t − S is
+    * the mean-deviation scaled by n so it stays an exact BIGINT (the
+    * raw deviation x_t − S/n is fractional); every downstream ratio
+    * is scale-invariant because numerator and denominator carry the
+    * same n-power. One groupBy for the series + a 5-row broadcast for
+    * (n, S); the series is calendar-bounded (days × 5 priorities), so
+    * the per-priority lag/cumsum windows are bounded serial work, not
+    * corpus-growing. */
+  private def dailyResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val tot = daily.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_days"), sum($"cents").as("s_cents"))
+    daily.join(broadcast(tot), "o_orderpriority")
+      .withColumn("e", $"n_days" * $"cents" - $"s_cents")
+  }
+
+  /** Durbin–Watson statistic inputs per priority — the classic
+    * lag-1 serial-correlation screen on the daily-revenue residuals
+    * (DW ≈ 2(1−ρ): near 0 = momentum, near 4 = oscillation). With the
+    * n-scaled residuals e_t = n·x_t − S the ratio
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² is unchanged (both sides carry
+    * n²), so dw_num / dw_den are EXACT decimal(38) sums and the float
+    * statistic is one micro-floored division at the edge. Same
+    * calendar-bounded lag window as q85; the statistics differ (q85
+    * is the centered product-moment correlation, DW the
+    * successive-difference ratio von Neumann popularized). */
+  def q173DurbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    dailyResiduals(spark, dir)
+      .withColumn("prev", lag($"e", 1).over(w))
+      .groupBy($"o_orderpriority")
+      .agg(max($"n_days").as("n_days"),
+        sum(when($"prev".isNotNull,
+          expr("cast(e - prev as decimal(38,0)) * (e - prev)"))).as("num"),
+        sum(expr("cast(e as decimal(38,0)) * e")).as("den"))
+      .select($"o_orderpriority", $"n_days",
+        $"num".cast("string").as("dw_num"),
+        $"den".cast("string").as("dw_den"),
+        when($"den" > 0,
+          expr("cast(num * 1000000 div den as bigint)")).as("dw_micro"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Turning-points randomness test inputs per priority: the count of
+    * STRICT local maxima/minima in the daily revenue series (an iid
+    * series has E[T] = 2(n−2)/3, Var = (16n−29)/90 — both emitted as
+    * exact integer numerators with their fixed denominators in the
+    * column names). Equal-neighbor days break no turn by the strict
+    * inequality contract (cents ties are possible but rare; the
+    * strictness is pinned in the oracle). One lag+lead window over
+    * the calendar-bounded series. */
+  def q174TurningPoints(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .withColumn("prev", lag($"cents", 1).over(w))
+      .withColumn("nxt", lead($"cents", 1).over(w))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"prev".isNotNull && $"nxt".isNotNull &&
+          (($"cents" > $"prev" && $"cents" > $"nxt") ||
+           ($"cents" < $"prev" && $"cents" < $"nxt")), 1L)
+          .otherwise(0L)).as("tp_count"))
+      .select($"o_orderpriority", $"n_days", $"tp_count",
+        (lit(2L) * ($"n_days" - 2)).as("exp_num3"),
+        (lit(16L) * $"n_days" - 29).as("var_num90"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Bartels rank von Neumann test inputs per priority — the
+    * rank-based randomness screen (the nonparametric twin of
+    * [[q173DurbinWatson]]: momentum shows as a SMALL successive
+    * rank-difference sum). Ranks are the DOUBLED midranks
+    * 2R_t = 2·c_lt + t_v + 1 (ties stay integral — the q160 device,
+    * here via one calendar-bounded cumsum over the per-priority
+    * distinct-value table), so num = Σ(2R_t − 2R_{t+1})² and
+    * den = Σ(2R_t − (n+1))² are 4× the classical sums and their
+    * ratio is untouched. Both exact decimal(38); the spec pins
+    * Σ2R = n(n+1). */
+  def q175BartelsRank(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val dv = daily.groupBy($"o_orderpriority", $"cents").agg(count(lit(1)).as("t"))
+    val wv = Window.partitionBy($"o_orderpriority").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = dv.withColumn("c_lt", coalesce(sum($"t").over(wv), lit(0L)))
+      .select($"o_orderpriority", $"cents",
+        (lit(2L) * $"c_lt" + $"t" + 1).as("r2"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    daily.join(ranked, Seq("o_orderpriority", "cents"))
+      .withColumn("r2nxt", lead($"r2", 1).over(w))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"r2nxt".isNotNull,
+          expr("cast(r2 - r2nxt as decimal(38,0)) * (r2 - r2nxt)"))).as("num"),
+        sum(expr("cast(r2 as decimal(38,0)) * r2")).as("ssq"),
+        sum($"r2").as("sr2"))
+      // den = Σ(2R − (n+1))² expanded off the exact sums: Σ(2R)² −
+      // 2(n+1)Σ2R + n(n+1)² — avoids a second pass with the mean
+      .select($"o_orderpriority", $"n_days",
+        $"num".cast("string").as("rvn_num"),
+        ($"ssq" - expr("cast(2 * (n_days + 1) as decimal(38,0)) * sr2")
+          + expr("cast(n_days as decimal(38,0)) * (n_days + 1) * (n_days + 1)"))
+          .cast("string").as("rvn_den"),
+        $"sr2".as("rank_sum2"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** HITS hubs/authorities over the customer→part purchase BIPARTITE
+    * graph (Kleinberg's other eigenvector, completing the link-analysis
+    * family beside [[q57Pagerank]]'s part—part random walk): hubs are
+    * customers, authorities parts; with h⁰ = 1 the unrolled
+    * half-iterations are a¹(p) = indegree, h¹(c) = Σ_{p∈c} a¹(p),
+    * a²(p) = Σ_{c→p} h¹(c) — every value an exact integer (the usual
+    * L2 normalization only rescales the ranking, so the integer
+    * iterates preserve the exact order the float version converges
+    * toward). Edge list = DISTINCT (custkey, partkey) off the
+    * orders⋈lineitem fact join — each propagation is one shuffled hash
+    * join + aggregate on a growing key (nothing corpus-growing is
+    * broadcast); output is the top-20 authorities, partkey
+    * tie-broken. */
+  def q177Hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p"))
+      .distinct()
+    val a1 = edges.groupBy($"p").agg(count(lit(1)).as("a1"))
+    val h1 = edges.join(a1, "p").groupBy($"c").agg(sum($"a1").as("h1"))
+    val a2 = edges.join(h1, "c").groupBy($"p").agg(sum($"h1").as("a2"))
+    a2.join(a1, "p")
+      .select($"p".as("l_partkey"), $"a1", $"a2")
+      .orderBy($"a2".desc, $"l_partkey")
+      .limit(20)
+  }
+
+  /** KPSS level-stationarity statistic inputs per priority: partial
+    * sums P_t of the n-scaled residuals (P_n = 0 exactly — pinned in
+    * the spec), eta = ΣP_t² and the lag-0 long-run variance numerator
+    * Σe_t², both exact decimal(38); the classical statistic is
+    * η̂ = ΣP̂²/(n²σ̂²) = ΣP_t²/(n·Σe_t²) after the n-scaling cancels —
+    * left as the one float step downstream (eta·10⁶ can pass 38
+    * digits at 100×, so no micro column here by the headroom@100×
+    * audit's own rule). The cumsum is one calendar-bounded window
+    * over [[dailyResiduals]]. */
+  def q176KpssInputs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dailyResiduals(spark, dir)
+      .withColumn("p", sum($"e").over(w))
+      .groupBy($"o_orderpriority")
+      .agg(max($"n_days").as("n_days"),
+        sum(expr("cast(p as decimal(38,0)) * p")).as("eta"),
+        sum(expr("cast(e as decimal(38,0)) * e")).as("s2"))
+      .select($"o_orderpriority", $"n_days",
+        $"eta".cast("string").as("eta_num"),
+        $"s2".cast("string").as("s2_num"))
+      .orderBy($"o_orderpriority")
+  }
+
 }

@@ -255,6 +255,39 @@ object Dedup {
           .minhashSig(col("sh"), 8), ",").as("signature"))
       .orderBy(col("doc_id"))
 
+  /** b-bit minwise sketches (b = 1, k = 8 perms) scored over the LSH
+    * candidate pairs — the STORAGE tier of the minhash ladder (Li &
+    * König's b-bit minwise hashing): keep only the LOWEST BIT of each
+    * per-perm min, so the 8-perm signature collapses from 8×32 hex
+    * chars to ONE byte and the persisted signature lake shrinks ~64×.
+    * The price is random 1-bit collisions, which the estimator
+    * corrects exactly: for b=1, P[bit match] = ρ + (1−ρ)/2, so
+    * ρ̂ = 2·(m/k) − 1 — emitted as the exact integer numerator
+    * rho_num8 = 2m − 8 over the denominator 8 in the name (no float
+    * division, and no trunc-vs-floor hazard on its negative values).
+    * Bits come map-side off the SAME native minhashSig kernel the
+    * signature lake persists (bit = parity of the min's last hex
+    * char); candidates are the gated [[ddMinhashLsh]] band pairs, so
+    * only slim (id, byte) rows join the bounded pair set. */
+  def ddBbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val bits = TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.shingleArray("text").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.minhashSig(col("sh"), 8).as("sig"))
+      .select(col("doc_id"), expr(
+        "aggregate(transform(sig, (s, i) -> shiftleft(" +
+          "cast(conv(substring(s, 32, 1), 16, 10) as bigint) % 2, i)), " +
+          "cast(0 as bigint), (a, v) -> a + v)").as("sketch"))
+    ddMinhashLsh(spark, dir)
+      .join(bits.select(col("doc_id").as("doc_a"), col("sketch").as("ka")), Seq("doc_a"))
+      .join(bits.select(col("doc_id").as("doc_b"), col("sketch").as("kb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (lit(8L) - expr("cast(bit_count(ka ^ kb) as bigint)")).as("m_bits"))
+      .withColumn("rho_num8", lit(2L) * col("m_bits") - 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** INCREMENTAL dedup: a new batch (doc_id ≥ 400 models the
     * freshly-crawled slice) LSH-checked against corpus HISTORY using
     * only the persisted signature table — history text is never

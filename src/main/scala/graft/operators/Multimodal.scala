@@ -383,6 +383,19 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Hamming-distance histogram of the perceptual near-dup pairs —
+    * the THRESHOLD-TUNING diagnostic for [[mmPhashDup]] (where does
+    * the pair mass sit between exact-dup Hamming 0 and the cut at 5?
+    * a histogram hugging the cut says the threshold is clipping a
+    * real near-dup population; one hugging 0 says the corpus
+    * duplicates exactly and the band join is mostly confirming
+    * [[mmExactDup]]). One ≤6-row aggregate over the gated pair set —
+    * scale rides entirely on the pair operator. */
+  def mmPhashHammingHist(spark: SparkSession, dir: String): DataFrame =
+    mmPhashDup(spark, dir)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+
   /** WIDE perceptual-hash near-dup pairs — the >10⁸-distinct-payload
     * tier of [[mmPhashDup]]: a 128-bit SimHash (full md5 votes, two
     * 64-bit words) banded 6×(22/21/21 bits per word), so any pair

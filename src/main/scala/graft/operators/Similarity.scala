@@ -889,6 +889,74 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** One k-means‖ (scalable k-means++) OVERSAMPLING round — the
+    * distributed seeding step (Bahmani et al.) that replaces
+    * k-means++'s inherently serial one-point-at-a-time d²-sampling:
+    * given the current centroids, every vector is selected
+    * independently with probability ℓ·d²(x)/φ (φ = Σd² — one exact
+    * rollup), so a round costs one broadcast-assign pass and yields
+    * ~ℓ candidates regardless of corpus size. Determinism contract:
+    * the coin is the 40-bit md5 integer u(x) and selection is the
+    * EXACT cross-multiplied integer/decimal test
+    * u·φ < ℓ·d²ᵣ·2⁴⁰ (d²ᵣ = per-row distance rounded to 6, the
+    * sim_inertia float discipline: fixed-order double fold per row,
+    * exact decimal across rows) — no float boundary can disagree with
+    * the oracle. Centroids are the deterministic label-mean seeds
+    * [[simKmeansStep]] assigns against. */
+  def simKmeansParStep(spark: SparkSession, dir: String, ell: Int = 20): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("clabel"))
+    val best = e.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(embedding, cv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"),
+        expr("cast(round(dist, 6) as decimal(38,6))").as("d2r"))
+    val phi = best.agg(sum(col("d2r")).as("phi"))
+    best.crossJoin(broadcast(phi))
+      .withColumn("u40", expr(
+        "cast(conv(substring(md5(concat('kmpp:', cast(vec_id as string))), 1, 10), 16, 10) as bigint)"))
+      .filter(expr(s"u40 * phi < $ell * d2r * 1099511627776"))
+      .select(col("vec_id"), col("cell"), expr("cast(d2r as double)").as("d2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Two-stage BINARY-quantized retrieval: sign-bit Hamming candidate
+    * generation RE-RANKED exact — the query path of the 64×-compressed
+    * tier (FAISS's IndexBinaryFlat + float refine), completing the
+    * compression ladder symmetrically with [[simPqRerank]] on the PQ
+    * side. Stage 1 scans only the two 64-bit sign words per vector
+    * ([[simHammingTopk]], candK per query); stage 2 reads raw floats
+    * for just |Q|·candK candidates and re-scores exact cosine — at
+    * 100 TB the full-precision corpus is touched at candidate
+    * granularity only, the scan cost is the binary codes. Rank ties
+    * broken by vec_id in both stages. */
+  def simBqRerank(spark: SparkSession, dir: String,
+      candK: Int = 20, k: Int = 5): DataFrame = {
+    val c = corpus(spark, dir)
+    val cand = simHammingTopk(spark, dir, candK)
+      .select(col("query_id").as("qid"), col("vec_id"))
+    cand
+      .join(broadcast(queries(c)), Seq("qid"))
+      .join(c.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+      .withColumn("cosim",
+        VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
+        round(col("cosim"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Hubness audit of the k-NN graph: the in-degree histogram — how
     * many nodes appear in d other nodes' top-k lists. High-hubness
     * distributions are the classic failure mode of high-dimensional

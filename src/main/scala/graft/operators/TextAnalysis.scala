@@ -2022,4 +2022,44 @@ object TextAnalysis {
     graft.operators.Analytics.materializeAndRelease(spark, out, ed)
   }
 
+  /** Theil's uncertainty coefficient between the lang and source
+    * columns — the normalized mutual-information audit ("how much does
+    * knowing the crawl source tell you about the language?") on the
+    * same exact fixed-point-log2 device as [[txtPerplexity]]: each
+    * entropy numerator is H·N·2²⁰ = N·lg(N) − Σ c·lg(c) over the
+    * (lang × source) contingency table — a ≤(langs·sources)-row
+    * aggregate after ONE corpus scan, so the statistic costs a
+    * groupBy and three tiny rollups. U(X|Y) = I/H(X) with
+    * I = H(X)+H(Y)−H(X,Y); the micro ratios divide the exact
+    * integers in decimal(38) (the numerators are N·lg-scale, which
+    * passes int64 × 10⁶ near 10⁶ docs — the decimal path keeps the
+    * division exact at any corpus size). */
+  def txtTheilU(spark: SparkSession, dir: String): DataFrame = {
+    val joint = TextOps.balanced(Tables.documents(spark, dir))
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+    def hnum(counts: DataFrame): DataFrame = counts
+      .agg(sum(col("c")).as("n"),
+        sum(expr(s"cast(c as decimal(38,0)) * ${lgShift("c")}")).as("_sclg"))
+      .select(col("n"),
+        expr(s"cast(cast(n as decimal(38,0)) * ${lgShift("n")} - _sclg as bigint)").as("h"))
+    val hx = hnum(joint.groupBy(col("lang")).agg(sum(col("c")).as("c")))
+      .select(col("n").as("n_docs"), col("h").as("h_lang_num"))
+    val hy = hnum(joint.groupBy(col("source")).agg(sum(col("c")).as("c")))
+      .select(col("h").as("h_source_num"))
+    val hxy = hnum(joint).select(col("h").as("h_joint_num"))
+    // I is clamped at 0: mutual information is nonnegative, but the
+    // FLOORED fixed-point logs can push a near-independent table a few
+    // ulps negative, where trunc-vs-floor division would diverge
+    // between engines — the clamp pins both to the defined domain
+    hx.crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
+      .withColumn("i_num",
+        greatest(lit(0L), col("h_lang_num") + col("h_source_num") - col("h_joint_num")))
+      .select(col("n_docs"), col("h_lang_num"), col("h_source_num"),
+        col("h_joint_num"), col("i_num"),
+        expr("cast(cast(i_num as decimal(38,0)) * 1000000 div h_lang_num as bigint)")
+          .as("u_lang_micro"),
+        expr("cast(cast(i_num as decimal(38,0)) * 1000000 div h_source_num as bigint)")
+          .as("u_source_micro"))
+  }
+
 }
