@@ -96,6 +96,11 @@ object SparkEntry {
     "mm_phash_hamming_hist" -> ((s: SparkSession, d: String) => Multimodal.mmPhashHammingHist(s, d)),
     "sim_bq_rerank" -> ((s: SparkSession, d: String) => Similarity.simBqRerank(s, d)),
     "sim_kmeanspar_step" -> ((s: SparkSession, d: String) => Similarity.simKmeansParStep(s, d)),
+    "q178_gamma_somers" -> (Analytics.q178GammaSomers _),
+    "q179_cliffs_delta" -> (Analytics.q179CliffsDelta _),
+    "q180_ljung_box" -> (Analytics.q180LjungBox _),
+    "q181_sign_test" -> (Analytics.q181SignTest _),
+    "sim_ivf_imbalance" -> (Similarity.simIvfImbalance _),
     "pipe_class_weights" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeClassWeights(s, d)),
     "pipe_cluster_split" -> (CorpusPipeline.pipeClusterSplit _),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.simHardNegatives(s, d)),
@@ -4294,6 +4299,125 @@ object SparkEntry {
         |   + cast(count(*) as hugeint) * (count(*) + 1) * (count(*) + 1) as varchar) AS rvn_den,
         | cast(sum(r2) as bigint) AS rank_sum2
         |FROM ser GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Goodman-Kruskal gamma / Somers' D: cell-pair products over the
+    // priority x price-band contingency table; sign-split micros
+    "q178_gamma_somers" ->
+      """WITH cells AS (
+        | SELECT cast(substring(o_orderpriority, 1, 1) as bigint) x,
+        |  least(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) // 5000000, 9) y,
+        |  cast(count(*) as bigint) a
+        | FROM orders GROUP BY 1, 2
+        |), p AS (
+        | SELECT a.x xa, a.y ya, a.a na, b.x xb, b.y yb, b.a nb
+        | FROM cells a CROSS JOIN cells b
+        | WHERE a.x < b.x OR (a.x = b.x AND a.y < b.y)
+        |), agg AS (
+        | SELECT
+        |  cast(sum(CASE WHEN xa < xb AND ya < yb THEN na * nb ELSE 0 END) as bigint) c_pairs,
+        |  cast(sum(CASE WHEN xa < xb AND ya > yb THEN na * nb ELSE 0 END) as bigint) d_pairs,
+        |  cast(sum(CASE WHEN xa = xb AND ya <> yb THEN na * nb ELSE 0 END) as bigint) tx_pairs,
+        |  cast(sum(CASE WHEN xa < xb AND ya = yb THEN na * nb ELSE 0 END) as bigint) ty_pairs
+        | FROM p
+        |)
+        |SELECT (SELECT cast(sum(a) as bigint) FROM cells) AS n,
+        | c_pairs, d_pairs, tx_pairs, ty_pairs,
+        | cast(CASE WHEN c_pairs >= d_pairs
+        |  THEN cast(c_pairs - d_pairs as hugeint) * 1000000 // (c_pairs + d_pairs)
+        |  ELSE -(cast(d_pairs - c_pairs as hugeint) * 1000000 // (c_pairs + d_pairs)) END as bigint) AS gamma_micro,
+        | cast(CASE WHEN c_pairs >= d_pairs
+        |  THEN cast(c_pairs - d_pairs as hugeint) * 1000000 // (c_pairs + d_pairs + ty_pairs)
+        |  ELSE -(cast(d_pairs - c_pairs as hugeint) * 1000000 // (c_pairs + d_pairs + ty_pairs)) END as bigint) AS somers_d_micro
+        |FROM agg""".stripMargin,
+
+    // Cliff's delta: distinct-value cumulative pairing, sign-split micro
+    "q179_cliffs_delta" ->
+      """WITH d AS (
+        | SELECT cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'b' ELSE 'r' END g
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        |), cells AS (
+        | SELECT cents,
+        |  cast(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) as bigint) ab,
+        |  cast(sum(CASE WHEN g = 'r' THEN 1 ELSE 0 END) as bigint) ar
+        | FROM d GROUP BY 1
+        |), cum AS (
+        | SELECT cents, ab, ar,
+        |  cast(coalesce(sum(ar) OVER (ORDER BY cents
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) cr_lt
+        | FROM cells
+        |), tot AS (SELECT cast(sum(ab) as bigint) n_b, cast(sum(ar) as bigint) n_r FROM cells),
+        |agg AS (
+        | SELECT max(t.n_b) n_b, max(t.n_r) n_r,
+        |  cast(sum(ab * cr_lt) as bigint) n_gt,
+        |  cast(sum(ab * (t.n_r - cr_lt - ar)) as bigint) n_lt,
+        |  cast(sum(ab * ar) as bigint) n_eq
+        | FROM cum CROSS JOIN tot t
+        |)
+        |SELECT n_b, n_r, n_gt, n_lt, n_eq,
+        | cast(CASE WHEN n_gt >= n_lt
+        |  THEN cast(n_gt - n_lt as hugeint) * 1000000 // (cast(n_b as hugeint) * n_r)
+        |  ELSE -(cast(n_lt - n_gt as hugeint) * 1000000 // (cast(n_b as hugeint) * n_r)) END as bigint) AS delta_micro
+        |FROM agg""".stripMargin,
+
+    // Ljung-Box inputs: lag-1..7 autocovariance numerators over the
+    // n-scaled residuals beside the lag-0 denominator
+    "q180_ljung_box" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), tot AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_days,
+        |  cast(sum(cents) as bigint) s_cents
+        | FROM daily GROUP BY 1
+        |), res AS (
+        | SELECT d.o_orderpriority, t.n_days, t.n_days * d.cents - t.s_cents e,
+        |  row_number() OVER (PARTITION BY d.o_orderpriority ORDER BY d."day") rn
+        | FROM daily d JOIN tot t USING (o_orderpriority)
+        |), den AS (
+        | SELECT o_orderpriority, max(n_days) n_days,
+        |  sum(cast(e as hugeint) * e) den
+        | FROM res GROUP BY 1
+        |), lagged AS (
+        | SELECT a.o_orderpriority, l.lag, a.e, b.e e2
+        | FROM res a CROSS JOIN (SELECT unnest(range(1, 8)) lag) l
+        | JOIN res b ON b.o_orderpriority = a.o_orderpriority AND b.rn = a.rn - l.lag
+        |), num AS (
+        | SELECT o_orderpriority, lag, cast(count(*) as bigint) n_pairs,
+        |  sum(cast(e as hugeint) * e2) num
+        | FROM lagged GROUP BY 1, 2
+        |)
+        |SELECT num.o_orderpriority, cast(num.lag as bigint) AS lag, n_pairs,
+        | den.n_days, cast(num.num as varchar) AS rho_num, cast(den.den as varchar) AS rho_den
+        |FROM num JOIN den USING (o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // paired sign test: direction counts incl. explicit zeros
+    "q181_sign_test" ->
+      """WITH y AS (
+        | SELECT o_custkey,
+        |  sum(CASE WHEN year(o_orderdate) = 1995 THEN cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) END) c95,
+        |  sum(CASE WHEN year(o_orderdate) = 1996 THEN cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) END) c96
+        | FROM orders WHERE o_orderdate < date '1997-01-01' GROUP BY 1
+        |)
+        |SELECT c_mktsegment AS seg, cast(count(*) as bigint) AS n_pairs,
+        | cast(sum(CASE WHEN c96 > c95 THEN 1 ELSE 0 END) as bigint) AS n_pos,
+        | cast(sum(CASE WHEN c96 < c95 THEN 1 ELSE 0 END) as bigint) AS n_neg,
+        | cast(sum(CASE WHEN c96 = c95 THEN 1 ELSE 0 END) as bigint) AS n_zero
+        |FROM y JOIN customer ON o_custkey = c_custkey
+        |WHERE c95 IS NOT NULL AND c96 IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // IVF imbalance factor: k*sum(n_c^2)/n^2 in exact integers
+    "sim_ivf_imbalance" ->
+      """WITH c AS (SELECT label, cast(count(*) as bigint) nc FROM embeddings GROUP BY 1)
+        |SELECT cast(count(*) as bigint) AS k, cast(sum(nc) as bigint) AS n,
+        | cast(min(nc) as bigint) AS min_cell, cast(max(nc) as bigint) AS max_cell,
+        | cast(sum(nc * nc) as bigint) AS sum_sq,
+        | cast(cast(count(*) as hugeint) * sum(nc * nc) * 1000000
+        |  // (cast(sum(nc) as hugeint) * sum(nc)) as bigint) AS imbalance_micro
+        |FROM c""".stripMargin,
 
     // k-means|| oversampling round: exact cross-multiplied selection
     // test u*phi < ell*d2*2^40 over md5 40-bit coins

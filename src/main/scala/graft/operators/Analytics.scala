@@ -4435,6 +4435,130 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Goodman–Kruskal gamma and Somers' D(Y|X) sufficient pairs — the
+    * ordinal-association effect sizes between order priority (1–5)
+    * and the fixed 5M-cent total-price band (0–9): concordant /
+    * discordant / tied pair counts computed over the ≤55-cell
+    * contingency table's CELL PAIRS (n_a·n_b products — never a row
+    * self-join; the corpus is touched once for the cell counts).
+    * gamma = (C−D)/(C+D), Somers' D(Y|X) = (C−D)/(C+D+T_Y); both
+    * micro ratios are SIGN-SPLIT floored (truncate-toward-zero in
+    * both engines — the q171 device) since C−D can be negative.
+    * Pair counts are n²-class → decimal path for the ×10⁶ products. */
+  def q178GammaSomers(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(expr("cast(substring(o_orderpriority, 1, 1) as bigint)").as("x"),
+        expr("least(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 5000000, 9)").as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("a"))
+    val pairs = cells.as("a").crossJoin(broadcast(cells.as("b")))
+      .filter(expr("a.x < b.x OR (a.x = b.x AND a.y < b.y)"))
+      .select(col("a.x").as("xa"), col("a.y").as("ya"), col("a.a").as("na"),
+        col("b.x").as("xb"), col("b.y").as("yb"), col("b.a").as("nb"))
+    val agg = pairs.agg(
+      sum(when($"xa" < $"xb" && $"ya" < $"yb", $"na" * $"nb").otherwise(0L)).as("c_pairs"),
+      sum(when($"xa" < $"xb" && $"ya" > $"yb", $"na" * $"nb").otherwise(0L)).as("d_pairs"),
+      sum(when($"xa" === $"xb" && $"ya" =!= $"yb", $"na" * $"nb").otherwise(0L)).as("tx_pairs"),
+      sum(when($"xa" < $"xb" && $"ya" === $"yb", $"na" * $"nb").otherwise(0L)).as("ty_pairs"))
+    val n = cells.agg(sum($"a").as("n"))
+    n.crossJoin(broadcast(agg))
+      .select($"n", $"c_pairs", $"d_pairs", $"tx_pairs", $"ty_pairs",
+        expr("cast(CASE WHEN c_pairs >= d_pairs THEN" +
+          " cast(c_pairs - d_pairs as decimal(38,0)) * 1000000 div (c_pairs + d_pairs)" +
+          " ELSE -(cast(d_pairs - c_pairs as decimal(38,0)) * 1000000 div (c_pairs + d_pairs)) END as bigint)")
+          .as("gamma_micro"),
+        expr("cast(CASE WHEN c_pairs >= d_pairs THEN" +
+          " cast(c_pairs - d_pairs as decimal(38,0)) * 1000000 div (c_pairs + d_pairs + ty_pairs)" +
+          " ELSE -(cast(d_pairs - c_pairs as decimal(38,0)) * 1000000 div (c_pairs + d_pairs + ty_pairs)) END as bigint)")
+          .as("somers_d_micro"))
+  }
+
+  /** Cliff's delta — the nonparametric dominance EFFECT SIZE the
+    * Mann–Whitney family's p-value machinery (q112/q133) doesn't
+    * report: δ = (#(x>y) − #(x<y))/(n₁n₂) between BUILDING-segment
+    * and all-other order totals. Counts come from the distinct-value
+    * two-phase prefix sum (never a row×row join): per distinct cent
+    * value, the BUILDING count times the exclusive/complementary
+    * rest-count cumulatives. δ micro is sign-split floored; the
+    * n₁n₂ denominator crosses int64×10⁶ at ~100× so the division
+    * runs in decimal. */
+  def q179CliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"),
+        when($"c_mktsegment" === "BUILDING", lit("b")).otherwise(lit("r")).as("g"))
+    val cells = d.groupBy($"cents")
+      .agg(sum(when($"g" === "b", 1L).otherwise(0L)).as("ab"),
+        sum(when($"g" === "r", 1L).otherwise(0L)).as("ar"))
+      .withColumn("k", lit(1))
+    val cum = CorpusPipeline.prefixSumExclusive(cells, "k", Seq($"cents"), "ar",
+      "cr_lt", CorpusPipeline.equiWidthBucket(cells, "cents"))
+    val tot = cum.agg(sum($"ab").as("n_b"), sum($"ar").as("n_r"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max($"n_b").as("n_b"), max($"n_r").as("n_r"),
+        sum($"ab" * $"cr_lt").as("n_gt"),
+        sum($"ab" * ($"n_r" - $"cr_lt" - $"ar")).as("n_lt"),
+        sum($"ab" * $"ar").as("n_eq"))
+      .select($"n_b", $"n_r", $"n_gt", $"n_lt", $"n_eq",
+        expr("cast(CASE WHEN n_gt >= n_lt THEN" +
+          " cast(n_gt - n_lt as decimal(38,0)) * 1000000 div (cast(n_b as decimal(38,0)) * n_r)" +
+          " ELSE -(cast(n_lt - n_gt as decimal(38,0)) * 1000000 div (cast(n_b as decimal(38,0)) * n_r)) END as bigint)")
+          .as("delta_micro"))
+  }
+
+  /** Ljung–Box portmanteau inputs per priority — the multi-lag
+    * whiteness screen above [[q173DurbinWatson]]'s single lag: for
+    * k = 1..7, the exact autocovariance numerator Σ_{t>k} e_t·e_{t−k}
+    * over the shared n-scaled residuals, beside the lag-0 denominator
+    * Σe² (constant per priority, riding every row) — the statistic
+    * n(n+2)·Σ ρ̂_k²/(n−k) is float steps downstream of these exact
+    * decimal(38) pieces. Same rn-join lag expansion as q122 (7 slim
+    * rows per day, calendar-bounded). */
+  def q180LjungBox(spark: SparkSession, dir: String): DataFrame = {
+    val res = dailyResiduals(spark, dir)
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val rn = res.withColumn("rn", row_number().over(w).cast("long"))
+    val prior = rn.select($"o_orderpriority".as("p2"), $"rn".as("rn2"), $"e".as("e2"))
+    val den = res.groupBy($"o_orderpriority")
+      .agg(max($"n_days").as("n_days"),
+        sum(expr("cast(e as decimal(38,0)) * e")).as("den"))
+    rn.select($"o_orderpriority", $"rn", $"e", explode(expr("sequence(1, 7)")).as("lag"))
+      .join(prior, $"o_orderpriority" === $"p2" && $"rn2" === $"rn" - $"lag")
+      .groupBy($"o_orderpriority", $"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(e as decimal(38,0)) * e2")).as("num"))
+      .join(broadcast(den), "o_orderpriority")
+      .select($"o_orderpriority", $"lag".cast("bigint").as("lag"), $"n_pairs",
+        $"n_days",
+        $"num".cast("string").as("rho_num"),
+        $"den".cast("string").as("rho_den"))
+      .orderBy($"o_orderpriority", $"lag")
+  }
+
+  /** Paired sign test per segment — the assumption-free sibling of
+    * the Wilcoxon signed-rank readout (q132 needs symmetric
+    * differences; the sign test only needs independent pairs):
+    * customers active in BOTH 1995 and 1996, counted by spend
+    * direction. Zero-difference pairs are REPORTED (n_zero), not
+    * silently dropped — the binomial test downstream chooses its
+    * zero policy explicitly. One aggregate over the q132 pairing. */
+  def q181SignTest(spark: SparkSession, dir: String): DataFrame = {
+    val y = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1997-01-01").cast("date"))
+      .select($"o_custkey", year($"o_orderdate").as("yr"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .groupBy($"o_custkey")
+      .agg(sum(when($"yr" === 1995, $"cents")).as("c95"),
+        sum(when($"yr" === 1996, $"cents")).as("c96"))
+      .filter($"c95".isNotNull && $"c96".isNotNull)
+    y.join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("seg"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"c96" > $"c95", 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"c96" < $"c95", 1L).otherwise(0L)).as("n_neg"),
+        sum(when($"c96" === $"c95", 1L).otherwise(0L)).as("n_zero"))
+      .orderBy($"seg")
+  }
+
   /** HITS hubs/authorities over the customer→part purchase BIPARTITE
     * graph (Kleinberg's other eigenvector, completing the link-analysis
     * family beside [[q57Pagerank]]'s part—part random walk): hubs are

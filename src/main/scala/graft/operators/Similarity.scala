@@ -889,6 +889,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF inverted-list IMBALANCE FACTOR — Jégou's balance metric
+    * λ = k·Σn_c²/n² (1.0 = perfectly balanced lists; λ ≈ 2 means
+    * probing costs ~2× the balanced ideal because hot cells dominate
+    * the candidate volume): the one-aggregate audit you run before
+    * trusting any nprobe tuning, completing the IVF family's ops
+    * surface beside the probe/recall curves. Exact integers end to
+    * end; the ×10⁶ product runs in decimal (n² alone is fine in
+    * int64, but k·Σn_c²·10⁶ passes it at ~10⁸ vectors). */
+  def simIvfImbalance(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("nc"))
+      .agg(count(lit(1)).as("k"), sum(col("nc")).as("n"),
+        min(col("nc")).as("min_cell"), max(col("nc")).as("max_cell"),
+        sum(col("nc") * col("nc")).as("sum_sq"))
+      .select(col("k"), col("n"), col("min_cell"), col("max_cell"), col("sum_sq"),
+        expr("cast(cast(k as decimal(38,0)) * sum_sq * 1000000" +
+          " div (cast(n as decimal(38,0)) * n) as bigint)").as("imbalance_micro"))
+
   /** One k-means‖ (scalable k-means++) OVERSAMPLING round — the
     * distributed seeding step (Bahmani et al.) that replaces
     * k-means++'s inherently serial one-point-at-a-time d²-sampling:

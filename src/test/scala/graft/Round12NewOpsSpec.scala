@@ -121,6 +121,54 @@ class Round12NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q178 gamma/Somers: pair classes partition n(n-1)/2 (with the y-tie complement) and |gamma| >= |Somers D|") {
+    val r = Analytics.q178GammaSomers(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n")
+    val c = r.getAs[Long]("c_pairs"); val d = r.getAs[Long]("d_pairs")
+    val tx = r.getAs[Long]("tx_pairs"); val ty = r.getAs[Long]("ty_pairs")
+    // C + D + T_x + T_y(+both-tied) = n(n-1)/2; the both-tied residue
+    // is what's left inside cells
+    assert(c + d + tx + ty <= n * (n - 1) / 2)
+    assert(math.abs(r.getAs[Long]("gamma_micro")) >=
+      math.abs(r.getAs[Long]("somers_d_micro")),
+      "Somers' D has the larger denominator, so it can't exceed gamma")
+  }
+
+  test("q179 Cliff's delta: gt+lt+eq = n_b*n_r exactly and |delta| <= 1e6 micro") {
+    val r = Analytics.q179CliffsDelta(spark, sf0001).collect().head
+    val prod = r.getAs[Long]("n_b") * r.getAs[Long]("n_r")
+    assert(r.getAs[Long]("n_gt") + r.getAs[Long]("n_lt") + r.getAs[Long]("n_eq") == prod,
+      s"pair classes must partition the cross product: $r")
+    assert(math.abs(r.getAs[Long]("delta_micro")) <= 1000000)
+  }
+
+  test("q180 Ljung-Box inputs: 7 lags per priority, |num| <= den (Cauchy-Schwarz), n_pairs = n - lag") {
+    val rows = Analytics.q180LjungBox(spark, sf0001).collect()
+    assert(rows.length == 35)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == r.getAs[Long]("n_days") - r.getAs[Long]("lag"))
+      assert(BigInt(r.getAs[String]("rho_num")).abs <= BigInt(r.getAs[String]("rho_den")),
+        s"autocovariance can't exceed the lag-0 variance: $r")
+    }
+  }
+
+  test("q181 sign test: direction counts partition the pair count") {
+    Analytics.q181SignTest(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") + r.getAs[Long]("n_zero")
+        == r.getAs[Long]("n_pairs"), s"directions must partition: $r")
+    }
+  }
+
+  test("sim_ivf_imbalance: lambda >= 1 exactly (Cauchy-Schwarz) with equality only when balanced") {
+    val r = Similarity.simIvfImbalance(spark, sf0001).collect().head
+    val k = r.getAs[Long]("k"); val n = r.getAs[Long]("n")
+    val ss = r.getAs[Long]("sum_sq")
+    assert(BigInt(k) * BigInt(ss) >= BigInt(n) * BigInt(n),
+      "k*sum(n_c^2) >= n^2 always")
+    assert(r.getAs[Long]("imbalance_micro") >= 1000000)
+    assert(r.getAs[Long]("min_cell") <= r.getAs[Long]("max_cell"))
+  }
+
   test("sim_kmeanspar_step: selection is the exact d2-proportional coin (replayable row by row)") {
     import org.apache.spark.sql.functions._
     val sel = Similarity.simKmeansParStep(spark, sf0001)
