@@ -53,7 +53,10 @@ object PerfProbe {
         val t0 = System.nanoTime()
         val n = f
         println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
-        spark.catalog.clearCache()
+        // clear only BETWEEN repeats: repeat>1 mode wants cold samples,
+        // but default single-run mode must keep cache reuse across
+        // probes so its timings stay comparable to historical records
+        if (i + 1 < repeat) spark.catalog.clearCache()
         i += 1
       }
     }

@@ -4225,8 +4225,8 @@ object SparkEntry {
         |SELECT (SELECT n FROM tot) AS n_docs, hx.h AS h_lang_num, hy.h AS h_source_num,
         | hxy.h AS h_joint_num,
         | cast(greatest(0, hx.h + hy.h - hxy.h) as bigint) AS i_num,
-        | cast(cast(greatest(0, hx.h + hy.h - hxy.h) as hugeint) * 1000000 // hx.h as bigint) AS u_lang_micro,
-        | cast(cast(greatest(0, hx.h + hy.h - hxy.h) as hugeint) * 1000000 // hy.h as bigint) AS u_source_micro
+        | CASE WHEN hx.h > 0 THEN cast(cast(greatest(0, hx.h + hy.h - hxy.h) as hugeint) * 1000000 // hx.h as bigint) END AS u_lang_micro,
+        | CASE WHEN hy.h > 0 THEN cast(cast(greatest(0, hx.h + hy.h - hxy.h) as hugeint) * 1000000 // hy.h as bigint) END AS u_source_micro
         |FROM hx, hy, hxy""").stripMargin,
 
     // Durbin-Watson: n-scaled residuals e = n*x - S keep everything

@@ -4350,7 +4350,13 @@ object Analytics {
     * statistic is one micro-floored division at the edge. Same
     * calendar-bounded lag window as q85; the statistics differ (q85
     * is the centered product-moment correlation, DW the
-    * successive-difference ratio von Neumann popularized). */
+    * successive-difference ratio von Neumann popularized).
+    * CEILING (documented, q176-style): dw_micro's num×10⁶
+    * intermediate must fit decimal(38,0), i.e. num ≤ ~10³², which the
+    * n-scaled residuals reach near ~500× test scale (num grows ~n³:
+    * n² from the e = n·x − S scaling, n from the sum length). Past
+    * that Spark returns NULL for dw_micro while the exact dw_num /
+    * dw_den strings stay correct — recompute the ratio downstream. */
   def q173DurbinWatson(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
     dailyResiduals(spark, dir)
@@ -4454,21 +4460,29 @@ object Analytics {
       .filter(expr("a.x < b.x OR (a.x = b.x AND a.y < b.y)"))
       .select(col("a.x").as("xa"), col("a.y").as("ya"), col("a.a").as("na"),
         col("b.x").as("xb"), col("b.y").as("yb"), col("b.a").as("nb"))
+    // the na*nb products and their sums are n²-class: at ~3e9 rows a
+    // cell product alone reaches int64 range, where non-ANSI Spark
+    // would wrap SILENTLY while the oracle errors — so accumulate in
+    // decimal(38,0) and cast back at the edge (outputs stay BIGINT;
+    // n² ≤ 9.2e18 holds to n ≈ 3e9 rows, far past 100× test scale)
+    val pp = expr("cast(na as decimal(38,0)) * nb")
     val agg = pairs.agg(
-      sum(when($"xa" < $"xb" && $"ya" < $"yb", $"na" * $"nb").otherwise(0L)).as("c_pairs"),
-      sum(when($"xa" < $"xb" && $"ya" > $"yb", $"na" * $"nb").otherwise(0L)).as("d_pairs"),
-      sum(when($"xa" === $"xb" && $"ya" =!= $"yb", $"na" * $"nb").otherwise(0L)).as("tx_pairs"),
-      sum(when($"xa" < $"xb" && $"ya" === $"yb", $"na" * $"nb").otherwise(0L)).as("ty_pairs"))
+      sum(when($"xa" < $"xb" && $"ya" < $"yb", pp).otherwise(lit(0))).as("c_d"),
+      sum(when($"xa" < $"xb" && $"ya" > $"yb", pp).otherwise(lit(0))).as("d_d"),
+      sum(when($"xa" === $"xb" && $"ya" =!= $"yb", pp).otherwise(lit(0))).as("tx_d"),
+      sum(when($"xa" < $"xb" && $"ya" === $"yb", pp).otherwise(lit(0))).as("ty_d"))
     val n = cells.agg(sum($"a").as("n"))
     n.crossJoin(broadcast(agg))
-      .select($"n", $"c_pairs", $"d_pairs", $"tx_pairs", $"ty_pairs",
-        expr("cast(CASE WHEN c_pairs >= d_pairs THEN" +
-          " cast(c_pairs - d_pairs as decimal(38,0)) * 1000000 div (c_pairs + d_pairs)" +
-          " ELSE -(cast(d_pairs - c_pairs as decimal(38,0)) * 1000000 div (c_pairs + d_pairs)) END as bigint)")
+      .select($"n",
+        $"c_d".cast("bigint").as("c_pairs"), $"d_d".cast("bigint").as("d_pairs"),
+        $"tx_d".cast("bigint").as("tx_pairs"), $"ty_d".cast("bigint").as("ty_pairs"),
+        expr("cast(CASE WHEN c_d >= d_d THEN" +
+          " (c_d - d_d) * 1000000 div (c_d + d_d)" +
+          " ELSE -((d_d - c_d) * 1000000 div (c_d + d_d)) END as bigint)")
           .as("gamma_micro"),
-        expr("cast(CASE WHEN c_pairs >= d_pairs THEN" +
-          " cast(c_pairs - d_pairs as decimal(38,0)) * 1000000 div (c_pairs + d_pairs + ty_pairs)" +
-          " ELSE -(cast(d_pairs - c_pairs as decimal(38,0)) * 1000000 div (c_pairs + d_pairs + ty_pairs)) END as bigint)")
+        expr("cast(CASE WHEN c_d >= d_d THEN" +
+          " (c_d - d_d) * 1000000 div (c_d + d_d + ty_d)" +
+          " ELSE -((d_d - c_d) * 1000000 div (c_d + d_d + ty_d)) END as bigint)")
           .as("somers_d_micro"))
   }
 
@@ -4493,15 +4507,20 @@ object Analytics {
     val cum = CorpusPipeline.prefixSumExclusive(cells, "k", Seq($"cents"), "ar",
       "cr_lt", CorpusPipeline.equiWidthBucket(cells, "cents"))
     val tot = cum.agg(sum($"ab").as("n_b"), sum($"ar").as("n_r"))
+    // n²-class pair sums in decimal(38,0) (the q178 wrap-vs-error
+    // guard: non-ANSI Spark wraps int64 silently, the oracle errors);
+    // the BIGINT output casts keep the gate schema, valid to n ≈ 3e9
     cum.crossJoin(broadcast(tot))
       .agg(max($"n_b").as("n_b"), max($"n_r").as("n_r"),
-        sum($"ab" * $"cr_lt").as("n_gt"),
-        sum($"ab" * ($"n_r" - $"cr_lt" - $"ar")).as("n_lt"),
-        sum($"ab" * $"ar").as("n_eq"))
-      .select($"n_b", $"n_r", $"n_gt", $"n_lt", $"n_eq",
-        expr("cast(CASE WHEN n_gt >= n_lt THEN" +
-          " cast(n_gt - n_lt as decimal(38,0)) * 1000000 div (cast(n_b as decimal(38,0)) * n_r)" +
-          " ELSE -(cast(n_lt - n_gt as decimal(38,0)) * 1000000 div (cast(n_b as decimal(38,0)) * n_r)) END as bigint)")
+        sum(expr("cast(ab as decimal(38,0)) * cr_lt")).as("gt_d"),
+        sum(expr("cast(ab as decimal(38,0)) * (n_r - cr_lt - ar)")).as("lt_d"),
+        sum(expr("cast(ab as decimal(38,0)) * ar")).as("eq_d"))
+      .select($"n_b", $"n_r",
+        $"gt_d".cast("bigint").as("n_gt"), $"lt_d".cast("bigint").as("n_lt"),
+        $"eq_d".cast("bigint").as("n_eq"),
+        expr("cast(CASE WHEN gt_d >= lt_d THEN" +
+          " (gt_d - lt_d) * 1000000 div (cast(n_b as decimal(38,0)) * n_r)" +
+          " ELSE -((lt_d - gt_d) * 1000000 div (cast(n_b as decimal(38,0)) * n_r)) END as bigint)")
           .as("delta_micro"))
   }
 

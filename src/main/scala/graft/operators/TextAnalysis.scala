@@ -2056,9 +2056,15 @@ object TextAnalysis {
         greatest(lit(0L), col("h_lang_num") + col("h_source_num") - col("h_joint_num")))
       .select(col("n_docs"), col("h_lang_num"), col("h_source_num"),
         col("h_joint_num"), col("i_num"),
-        expr("cast(cast(i_num as decimal(38,0)) * 1000000 div h_lang_num as bigint)")
+        // zero-entropy guard: a single-language (or single-source)
+        // corpus makes H = 0, where Spark's div returns NULL but the
+        // oracle's // raises — the explicit NULL pins both engines to
+        // the same degenerate-corpus answer (oracle mirrors the CASE)
+        when(col("h_lang_num") > 0,
+          expr("cast(cast(i_num as decimal(38,0)) * 1000000 div h_lang_num as bigint)"))
           .as("u_lang_micro"),
-        expr("cast(cast(i_num as decimal(38,0)) * 1000000 div h_source_num as bigint)")
+        when(col("h_source_num") > 0,
+          expr("cast(cast(i_num as decimal(38,0)) * 1000000 div h_source_num as bigint)"))
           .as("u_source_micro"))
   }
 
