@@ -253,6 +253,7 @@ object SparkEntry {
     "pipe_token_budget" -> ((s: SparkSession, d: String) => CorpusPipeline.pipeTokenBudget(s, d)),
     "dd_lsh_recall" -> (Dedup.ddLshRecall _),
     "txt_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.txtBpePairs(s, d)),
+    "txt_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalysis.txtBpeMerges(s, d)),
     "q93_time_range_frame" -> (Analytics.q93TimeRangeFrame _),
     "q94_typed_avg" -> (Analytics.q94TypedAvg _),
     "q95_sql_front_door" -> (Analytics.q95SqlFrontDoor _),
@@ -3801,6 +3802,52 @@ object SparkEntry {
         |)
         |SELECT pair, freq FROM r WHERE rn <= 20
         |ORDER BY freq DESC, pair""".stripMargin,
+
+    // BPE training, 3 unrolled merge rounds as CTE stages; segs ride as
+    // '(s1)(s2)...' strings so applying a merge is one literal replace
+    // whose left-to-right non-overlap IS greedy BPE order; argmax
+    // tie-break = freq DESC, (a,b) lexical in both engines
+    "txt_bpe_merges" ->
+      """WITH toks AS (
+        | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents
+        |), words AS MATERIALIZED (
+        | SELECT cast(count(*) as bigint) cnt, regexp_replace(w, '(.)', '(\1)', 'g') seg
+        | FROM toks WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+        | GROUP BY w
+        |), pc1 AS (
+        | SELECT p.a a, p.b b, cast(sum(cnt) as bigint) freq FROM (
+        |  SELECT cnt, unnest(list_transform(range(1, len(sy)),
+        |    i -> struct_pack(a := sy[i], b := sy[i+1]))) p
+        |  FROM (SELECT cnt, string_split(trim(seg, '()'), ')(') sy FROM words)
+        | ) GROUP BY 1, 2
+        |), m1 AS (SELECT a, b, freq FROM pc1 ORDER BY freq DESC, a, b LIMIT 1),
+        |s1 AS (
+        | SELECT cnt, replace(seg,
+        |   '(' || (SELECT a FROM m1) || ')(' || (SELECT b FROM m1) || ')',
+        |   '(' || (SELECT a FROM m1) || (SELECT b FROM m1) || ')') seg FROM words
+        |), pc2 AS (
+        | SELECT p.a a, p.b b, cast(sum(cnt) as bigint) freq FROM (
+        |  SELECT cnt, unnest(list_transform(range(1, len(sy)),
+        |    i -> struct_pack(a := sy[i], b := sy[i+1]))) p
+        |  FROM (SELECT cnt, string_split(trim(seg, '()'), ')(') sy FROM s1)
+        | ) GROUP BY 1, 2
+        |), m2 AS (SELECT a, b, freq FROM pc2 ORDER BY freq DESC, a, b LIMIT 1),
+        |s2 AS (
+        | SELECT cnt, replace(seg,
+        |   '(' || (SELECT a FROM m2) || ')(' || (SELECT b FROM m2) || ')',
+        |   '(' || (SELECT a FROM m2) || (SELECT b FROM m2) || ')') seg FROM s1
+        |), pc3 AS (
+        | SELECT p.a a, p.b b, cast(sum(cnt) as bigint) freq FROM (
+        |  SELECT cnt, unnest(list_transform(range(1, len(sy)),
+        |    i -> struct_pack(a := sy[i], b := sy[i+1]))) p
+        |  FROM (SELECT cnt, string_split(trim(seg, '()'), ')(') sy FROM s2)
+        | ) GROUP BY 1, 2
+        |), m3 AS (SELECT a, b, freq FROM pc3 ORDER BY freq DESC, a, b LIMIT 1)
+        |SELECT cast(1 as bigint) AS round, a AS left_sym, b AS right_sym,
+        |  a || b AS merged, freq FROM m1
+        |UNION ALL SELECT cast(2 as bigint), a, b, a || b, freq FROM m2
+        |UNION ALL SELECT cast(3 as bigint), a, b, a || b, freq FROM m3
+        |ORDER BY round""".stripMargin,
     "q93_time_range_frame" ->
       """WITH daily AS (
         | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",

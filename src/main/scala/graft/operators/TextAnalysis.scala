@@ -2068,4 +2068,58 @@ object TextAnalysis {
           .as("u_source_micro"))
   }
 
+  /** BPE tokenizer TRAINING — `rounds` unrolled argmax-merge/re-count
+    * iterations (the q57 discipline), completing the tokenizer tier
+    * above [[txtBpePairs]] (which is exactly ONE round's count stage).
+    * The corpus is scanned ONCE into the persisted word-frequency
+    * table (the classical BPE training input: distinct word types ×
+    * counts — at 100 TB that's the vocabulary, millions of rows, not
+    * the corpus); every training round then costs one vocab-scale
+    * pair count, a 1-row argmax (freq DESC, then (left,right) lexical
+    * — the deterministic tie-break both engines share), and one
+    * broadcast-merge map over the segmentations. Segmentations ride
+    * as delimiter-wrapped strings `(s1)(s2)…`: applying merge (a,b)
+    * is one literal `replace(seg, '(a)(b)', '(ab)')`, whose
+    * left-to-right non-overlapping scan IS greedy BPE merge order
+    * ('aaa' → ['aa','a'], never the overlapping double-count).
+    * Training words are alphabetic types only (standard BPE
+    * pre-tokenization splits letters from punctuation/digits; it also
+    * makes the paren delimiters collision-free by construction). */
+  def txtBpeMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val words = TextOps.balanced(Tables.documents(spark, dir))
+      .select(explode(TextOps.tokens("text")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), regexp_replace(col("w"), "(.)", "($1)").as("seg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // one training round's count+argmax over the current segmentations
+    def bestPair(segs: DataFrame, r: Int): DataFrame = segs
+      .select(col("cnt"), split(expr("trim(BOTH '()' FROM seg)"), "\\)\\(").as("sy"))
+      // single-symbol words contribute no pairs (and sequence(1,0)
+      // would run DOWNWARD in Spark — the filter is load-bearing)
+      .filter(size(col("sy")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(sy) - 1)," +
+          " i -> named_struct('a', element_at(sy, i), 'b', element_at(sy, i + 1)))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("freq"))
+      .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
+      .select(lit(r.toLong).as("round"), col("a"), col("b"), col("freq"))
+
+    var segs = words
+    val merges = (1 to rounds).map { r =>
+      val best = bestPair(segs, r)
+      segs = segs.crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+        .select(col("cnt"), expr(
+          "replace(seg, concat('(', ma, ')(', mb, ')'), concat('(', ma, mb, ')'))").as("seg"))
+      best
+    }
+    val out = merges.reduce(_ unionAll _)
+      .select(col("round"), col("a").as("left_sym"), col("b").as("right_sym"),
+        concat(col("a"), col("b")).as("merged"), col("freq"))
+      .orderBy(col("round"))
+    graft.operators.Analytics.materializeAndRelease(spark, out, words)
+  }
+
 }

@@ -134,6 +134,12 @@ object TopKPerGroupRewrite extends org.apache.spark.sql.catalyst.rules.Rule[Logi
     case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k.toLong - 1)
     case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k.toLong)
     case GreaterThan(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k.toLong - 1)
+    // rn = k (k=1 is the argmax/latest-per-key idiom, the most common
+    // call-site shape): running the child through top-k first is
+    // selection-identical for ANY k because the kept Window re-ranks
+    // the k survivors 1..k, so the Filter still picks exactly rank k
+    case EqualTo(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k.toLong)
+    case EqualTo(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k.toLong)
     case _ => None
   }
 

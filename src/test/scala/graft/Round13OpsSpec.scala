@@ -1,0 +1,165 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Round-13 specs. The headline is the txt_bpe_merges driver-recompute:
+  * an INDEPENDENT plain-Scala BPE trainer (token lists, no string-
+  * replace device, no Spark) must reproduce the operator's merge table
+  * exactly — the discipline that caught the q57-family drift classes
+  * the value gate can't localize. */
+class Round13OpsSpec extends SparkSpec {
+
+  /** Reference BPE trainer on the driver: word-frequency map, argmax
+    * adjacent-pair count (freq desc, then (a,b) lexical), greedy
+    * left-to-right merge application on symbol VECTORS. */
+  private def referenceBpe(texts: Seq[String], rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    val words: Map[Vector[String], Long] = texts
+      .flatMap(_.split(' ').filter(_.nonEmpty))
+      .filter(w => w.length >= 2 && w.forall(c => c >= 'a' && c <= 'z'))
+      .groupBy(identity).map { case (w, ws) => (w.map(_.toString).toVector, ws.size.toLong) }
+    var segs = words
+    (1 to rounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (sy, cnt) =>
+        sy.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + cnt
+        }
+      }
+      val ((a, b), freq) = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }
+      segs = segs.map { case (sy, cnt) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        sy.foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+          else out += s
+        }
+        (out.toVector, cnt)
+      }
+      (r.toLong, a, b, a + b, freq)
+    }
+  }
+
+  test("txt_bpe_merges: driver-recomputed BPE training reproduces the merge table exactly") {
+    val texts = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val expected = referenceBpe(texts, 3)
+    val got = TextAnalysis.txtBpeMerges(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"), r.getAs[Long]("freq")))
+      .toSeq
+    assert(got == expected, s"merge tables diverge:\n got=$got\n exp=$expected")
+  }
+
+  test("txt_bpe_merges: greedy left-to-right replace never overlaps ('aaa' class)") {
+    // the device itself: literal replace on the wrapped form must merge
+    // 'aaa' to ['aa','a'] (2 pair occurrences in the count, ONE merge
+    // applied), pinning the non-overlap contract the operator rides
+    import spark.implicits._
+    val seg = Seq("(a)(a)(a)").toDF("seg")
+      .selectExpr("replace(seg, '(a)(a)', '(aa)') AS m").head().getString(0)
+    assert(seg == "(aa)(a)", s"greedy merge broke: $seg")
+    val seg4 = Seq("(a)(a)(a)(a)").toDF("seg")
+      .selectExpr("replace(seg, '(a)(a)', '(aa)') AS m").head().getString(0)
+    assert(seg4 == "(aa)(aa)", s"greedy merge broke on even run: $seg4")
+  }
+
+  test("txt_bpe_merges: rounds are distinct merges with non-increasing achievable freq") {
+    val rows = TextAnalysis.txtBpeMerges(spark, sf0001).collect()
+    assert(rows.length == 3)
+    val merged = rows.map(_.getAs[String]("merged"))
+    assert(merged.distinct.length == 3, s"a merge repeated: ${merged.toSeq}")
+    rows.foreach(r => assert(r.getAs[Long]("freq") > 0))
+    // merging can only shrink existing pair counts, and every pair the
+    // new symbol participates in is bounded by the merged pair's count
+    val freqs = rows.sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("freq")).toSeq
+    assert(freqs == freqs.sorted.reverse, s"argmax freq increased across rounds: $freqs")
+  }
+
+  test("TopKPerGroupRewrite: the rn === 1 argmax shape (q32_latest_per_key) plans through TopKPerGroupExec, result-identical") {
+    // q32 is one of the 12 `rn === 1` call sites: the high-cardinality
+    // per-user latest-snapshot — exactly where the bounded-heap combiner
+    // beats the full per-group window sort at scale
+    import org.apache.spark.sql.graft.{TopKPerGroupRewrite, TopKPerGroupStrategy}
+    val plain = graft.operators.Analytics.q32LatestPerKey(spark, sf0001).collect()
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TopKPerGroupRewrite
+    try {
+      val df = graft.operators.Analytics.q32LatestPerKey(spark, sf0001)
+      val rewritten = df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        s"rule did not fire on the rn === 1 shape:\n${df.queryExecution.executedPlan}")
+      assert(rewritten.map(_.toString).toSeq == plain.map(_.toString).toSeq,
+        "rn === 1 rewrite must be result-identical")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKPerGroupRewrite)
+    }
+  }
+
+  test("q177 bipartite edge snapshot: invalidates on corpus rewrite, value-identical to the inline build, releasable") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    Analytics.releaseEdgeSnapshots(spark)
+    val dir = java.nio.file.Files.createTempDirectory("bip_snap").toString
+    def write(custParts: Seq[(Long, Long)]): Unit = {
+      custParts.map { case (c, p) => (c * 10, c) }.distinct
+        .toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      custParts.map { case (c, p) => (c * 10, p) }
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+    def topParts(): Seq[Long] =
+      Analytics.q177Hits(spark, dir).collect().map(_.getLong(0)).toSeq
+    write(Seq((1L, 100L), (1L, 101L), (2L, 100L)))
+    assert(topParts().toSet == Set(100L, 101L))
+    // rewrite the SAME path with different parts: a stale snapshot
+    // would still rank 100/101 — the fingerprint must rebuild
+    write(Seq((1L, 200L), (2L, 201L)))
+    assert(topParts().toSet == Set(200L, 201L),
+      "rewritten corpus must rebuild the bipartite snapshot")
+    // snapshot OFF: inline build, identical values
+    spark.conf.set("spark.graft.graph.edgeSnapshot", "false")
+    try {
+      val inline = Analytics.q177Hits(spark, dir).collect().map(_.toString).toSeq
+      spark.conf.unset("spark.graft.graph.edgeSnapshot")
+      val snap = Analytics.q177Hits(spark, dir).collect().map(_.toString).toSeq
+      assert(inline == snap, "snapshot path must be value-identical to the inline build")
+    } finally spark.conf.unset("spark.graft.graph.edgeSnapshot")
+    Analytics.releaseEdgeSnapshots(spark)
+  }
+
+  test("TopKPerGroupRewrite: rn === k for k > 1 keeps exactly the rank-k row (Window re-ranks the k survivors)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{TopKPerGroupRewrite, TopKPerGroupStrategy}
+    import org.apache.spark.sql.functions._
+    def rank2() = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") === 2)
+      .orderBy(col("o_orderpriority"))
+    val plain = rank2().collect()
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TopKPerGroupRewrite
+    try {
+      val df = rank2()
+      val rewritten = df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        s"rule did not fire on rn === 2:\n${df.queryExecution.executedPlan}")
+      assert(rewritten.map(_.toString).toSeq == plain.map(_.toString).toSeq,
+        "rn === 2 must still select exactly the rank-2 row per group")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKPerGroupRewrite)
+    }
+  }
+}
