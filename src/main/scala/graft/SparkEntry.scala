@@ -238,6 +238,7 @@ object SparkEntry {
     "txt_hapax" -> (TextAnalysis.txtHapax _),
     "pipe_curriculum" -> (CorpusPipeline.pipeCurriculum _),
     "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.simKnnGraph(s, d)),
+    "sim_nsw_topk" -> ((s: SparkSession, d: String) => Similarity.simNswTopk(s, d)),
     "dd_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.ddSimhashPairs(s, d)),
     "q87_median_gap" -> (Analytics.q87MedianGap _),
     "txt_repetition" -> (TextAnalysis.txtRepetition _),
@@ -503,6 +504,64 @@ object SparkEntry {
        |)
        |SELECT va AS vec_a, vb AS vec_b, round(cosim, 6) AS score
        |FROM s WHERE cosim >= 0.3 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Oracle for the NSW graph-ANN search: the knn graph (k=3, the
+    * sim_knn_graph formulation), per-label min-vec_id entry points,
+    * then the operator's unrolled traversal — seed scoring → beam-8,
+    * two expand/re-score/re-prune hops, final top-5 — as plain CTE
+    * stages with the same (cosim DESC, vec_id) total order at every
+    * pruning. */
+  private def nswOracle(beam: Int, k: Int, graphK: Int): String = {
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($b[i] as double))) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($a[i] as double)))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cast($b[i] as double) * cast($b[i] as double)))))""".stripMargin
+    def hop(prev: String, xi: String, sci: String, bi: String) =
+      s""", $xi AS (
+         | SELECT DISTINCT qid, vec_id FROM (
+         |  SELECT b.qid, g.dst_id vec_id FROM $prev b JOIN g ON g.src_id = b.vec_id
+         |  WHERE g.dst_id <> b.qid
+         |  UNION ALL SELECT qid, vec_id FROM $prev
+         | )
+         |), $sci AS (
+         | SELECT x.qid, x.vec_id, ${cos("q.qe", "e.embedding")} cosim
+         | FROM $xi x JOIN e ON e.vec_id = x.vec_id JOIN q ON q.qid = x.qid
+         |), $bi AS (
+         | SELECT qid, vec_id, cosim FROM (
+         |  SELECT qid, vec_id, cosim,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM $sci
+         | ) WHERE rn <= $beam
+         |)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |q AS (SELECT vec_id qid, embedding qe FROM e WHERE vec_id < 5),
+       |s AS (
+       | SELECT a.vec_id src_id, b.vec_id dst_id, ${cos("a.embedding", "b.embedding")} cosim
+       | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |), g AS (
+       | SELECT src_id, dst_id FROM (
+       |  SELECT src_id, dst_id,
+       |   row_number() OVER (PARTITION BY src_id ORDER BY cosim DESC, dst_id) rnk FROM s
+       | ) WHERE rnk <= $graphK
+       |), entries AS (
+       | SELECT vec_id FROM (
+       |  SELECT vec_id, row_number() OVER (PARTITION BY label ORDER BY vec_id) rn FROM e
+       | ) WHERE rn = 1
+       |), sc0 AS (
+       | SELECT q.qid, e.vec_id, ${cos("q.qe", "e.embedding")} cosim
+       | FROM q CROSS JOIN entries en JOIN e ON e.vec_id = en.vec_id
+       | WHERE en.vec_id <> q.qid
+       |), b0 AS (
+       | SELECT qid, vec_id, cosim FROM (
+       |  SELECT qid, vec_id, cosim,
+       |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM sc0
+       | ) WHERE rn <= $beam
+       |)${hop("b0", "x1", "sc1", "b1")}${hop("b1", "x2", "sc2", "b2")}${hop("b2", "x3", "sc3", "b3")}
+       |SELECT qid AS query_id, cast(rn as bigint) AS rank, vec_id, round(cosim, 6) AS score
+       |FROM (
+       | SELECT qid, vec_id, cosim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM b3
+       |) WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** Oracle for the IVF probe-count tuning curve: one shared
@@ -3512,6 +3571,7 @@ object SparkEntry {
         |)
         |SELECT src_id, cast(rnk as bigint) AS rank, dst_id, round(cosim, 6) AS score
         |FROM r WHERE rnk <= 3 ORDER BY src_id, rank""".stripMargin,
+    "sim_nsw_topk" -> nswOracle(16, 5, 5),
     "dd_simhash_pairs" ->
       """WITH sim AS (
         |WITH tok AS (

@@ -959,7 +959,7 @@ object Analytics {
   /** Materialize-once-per-corpus-snapshot for a derived table `tag`
     * under `dir`: parquet-backed, fingerprint-invalidated, disabled by
     * the same conf flag as the copurchase store. */
-  private def snapshotTable(spark: SparkSession, dir: String, tag: String)(
+  private[operators] def snapshotTable(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame = {
     if (!edgeSnapshotEnabled(spark)) return build
     val fp = Tables.snapshotFingerprint(spark, dir)

@@ -534,6 +534,13 @@ object Dedup {
     * because the SURVIVOR side is tiny — the legal direction). */
   private def attachPairSizes(spark: SparkSession, dir: String,
       surv: DataFrame): DataFrame = {
+    // NOTE (r13): snapshotting this (doc_id, n) frame through the
+    // per-corpus parquet store was MEASURED a wash-to-regression at
+    // sf0.1 (2.0 → 2.2 s on both consumers): the inline scan fuses
+    // into the attach joins, while the snapshot adds a write job and
+    // an extra scan. The r12 premium lives in the pair-keyed
+    // repartition (the deliberate, documented GC-fix price), not here
+    // — so the inline shape stays.
     val sizes = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), array_distinct(TextOps.shingleArray("text")).as("shd"))
       .filter(size(col("shd")) > 0)

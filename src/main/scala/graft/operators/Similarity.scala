@@ -1405,4 +1405,71 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
+  /** The k-NN edge list behind the graph-ANN rung, materialized once
+    * per corpus snapshot (the Analytics edge-snapshot store): the
+    * graph BUILD is the expensive cell-blocked pairwise pass, and
+    * [[simNswTopk]] traverses it twice per query — at 100 TB the
+    * neighbor graph is an index you persist in the lake, not a
+    * per-query recomputation. */
+  private def knnEdges(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Analytics.snapshotTable(spark, dir, s"knn_edges_$k")(
+      simKnnGraph(spark, dir, k).select(col("src_id"), col("dst_id")))
+
+  /** NSW-style graph-ANN search — the navigable-small-world rung above
+    * [[simKnnGraph]]: per-cell entry points are scored, the best
+    * `beam` survive, and `hops` unrolled beam-search steps expand each
+    * survivor's graph neighbors (≤ beam·graphK candidate ids per query
+    * per hop — never a corpus scan), re-scoring and re-pruning after
+    * each; the final readout is the top-`k` of the last beam. Entry
+    * points are the min-vec_id vector per label cell (deterministic);
+    * every pruning is total-ordered (cosim DESC, vec_id) so the
+    * traversal is reproducible and oracle-checkable. The candidate
+    * frames are |Q|·beam-sized throughout: the only corpus-scale work
+    * is the one-time snapshotted graph build. Recall vs the exact
+    * brute-force ladder is audited in the spec (the sim_recall_report
+    * pattern). */
+  def simNswTopk(spark: SparkSession, dir: String, beam: Int = 16, k: Int = 5,
+      graphK: Int = 5, hops: Int = 3): DataFrame = {
+    val c = corpus(spark, dir)
+    val qb = broadcast(queries(c))
+    val edges = knnEdges(spark, dir, graphK)
+    // min per label via partial-aggregated groupBy — no corpus-wide
+    // window shuffle for a 10-row entry list
+    val entries = c.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"))
+    // candidate-id frames are |Q|·beam-sized: broadcast THEM so the
+    // corpus-side embedding lookup is one map-side scan, never a
+    // corpus shuffle
+    def scoreIds(ids: DataFrame): DataFrame =
+      c.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(broadcast(ids), Seq("vec_id"))
+      .join(qb, Seq("qid"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+      .select(col("qid"), col("vec_id"), col("cosim"))
+    def topB(scored: DataFrame, b: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
+        .select(col("qid"), col("vec_id"), col("cosim"))
+    }
+    val seeds = qb.select(col("qid"))
+      .crossJoin(broadcast(entries))
+      .filter(col("vec_id") =!= col("qid"))
+    var beamF = topB(scoreIds(seeds), beam)
+    for (_ <- 1 to hops) {
+      val expanded = beamF.select(col("qid"), col("vec_id").as("src_id"))
+        .join(edges, Seq("src_id"))
+        .select(col("qid"), col("dst_id").as("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .unionByName(beamF.select(col("qid"), col("vec_id")))
+        .distinct()
+      beamF = topB(scoreIds(expanded), beam)
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
+    beamF.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
+        round(col("cosim"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
 }

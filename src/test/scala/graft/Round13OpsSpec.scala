@@ -99,6 +99,34 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("sim_nsw_topk: recall@5 vs the exact brute-force ladder is audited and non-trivial") {
+    import graft.operators.Similarity
+    val nsw = Similarity.simNswTopk(spark, sf0001).collect()
+    // structure: every query returns exactly 5 ranked rows, ranks 1..5
+    val byQ = nsw.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5, s"expected 5 queries, got ${byQ.keySet}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        s"query $q ranks broken")
+    }
+    // recall@5 vs exact top-5 (the sim_recall_report pattern): the
+    // synthetic labels are WEAK clusters (the IVF ladder's own recall
+    // here is 0.0–0.6 per query, floor-assert 0.15 in SimilaritySpec),
+    // and the cell-blocked graph bounds what any traversal can reach —
+    // measured 0.44 at beam=16 (beam saturates hops: 3 ≡ 8 hops). A
+    // broken traversal (empty beams, stuck at entries) lands near 0;
+    // floor at 0.3 = comfortably above the IVF chance floor, with
+    // margin under the measured point.
+    val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
+      .filter(_.getAs[Long]("rank") <= 5)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val hits = nsw.count(r =>
+      exact((r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))))
+    val recall = hits.toDouble / exact.size
+    info(f"NSW recall@5 = $recall%.2f ($hits/${exact.size})")
+    assert(recall >= 0.3, f"NSW recall@5 collapsed: $recall%.2f")
+  }
+
   test("q177 bipartite edge snapshot: invalidates on corpus rewrite, value-identical to the inline build, releasable") {
     import spark.implicits._
     import graft.operators.Analytics
