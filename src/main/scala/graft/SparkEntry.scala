@@ -239,6 +239,7 @@ object SparkEntry {
     "pipe_curriculum" -> (CorpusPipeline.pipeCurriculum _),
     "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.simKnnGraph(s, d)),
     "sim_nsw_topk" -> ((s: SparkSession, d: String) => Similarity.simNswTopk(s, d)),
+    "sim_nsw_recall" -> ((s: SparkSession, d: String) => Similarity.simNswRecall(s, d)),
     "dd_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.ddSimhashPairs(s, d)),
     "q87_median_gap" -> (Analytics.q87MedianGap _),
     "txt_repetition" -> (TextAnalysis.txtRepetition _),
@@ -255,6 +256,7 @@ object SparkEntry {
     "dd_lsh_recall" -> (Dedup.ddLshRecall _),
     "txt_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.txtBpePairs(s, d)),
     "txt_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalysis.txtBpeMerges(s, d)),
+    "txt_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.txtBpeEncode(s, d)),
     "q93_time_range_frame" -> (Analytics.q93TimeRangeFrame _),
     "q94_typed_avg" -> (Analytics.q94TypedAvg _),
     "q95_sql_front_door" -> (Analytics.q95SqlFrontDoor _),
@@ -506,13 +508,80 @@ object SparkEntry {
        |FROM s WHERE cosim >= 0.3 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Shared CTE prefix of the BPE oracles: the word-frequency table
+    * (alphabetic types, char-wrapped segs) and 3 unrolled training
+    * rounds — pair count (pcN) → argmax merge (mN, freq DESC then
+    * (a,b) lexical) → merge application (sN, one literal replace whose
+    * left-to-right non-overlap IS greedy BPE order). */
+  private val BpeOracleCtes: String = {
+    def round(prev: String, n: Int) =
+      s""", pc$n AS (
+         | SELECT p.a a, p.b b, cast(sum(cnt) as bigint) freq FROM (
+         |  SELECT cnt, unnest(list_transform(range(1, len(sy)),
+         |    i -> struct_pack(a := sy[i], b := sy[i+1]))) p
+         |  FROM (SELECT cnt, string_split(trim(seg, '()'), ')(') sy FROM $prev)
+         | ) GROUP BY 1, 2
+         |), m$n AS (SELECT a, b, freq FROM pc$n ORDER BY freq DESC, a, b LIMIT 1),
+         |s$n AS (
+         | SELECT w, cnt, replace(seg,
+         |   '(' || (SELECT a FROM m$n) || ')(' || (SELECT b FROM m$n) || ')',
+         |   '(' || (SELECT a FROM m$n) || (SELECT b FROM m$n) || ')') seg FROM $prev
+         |)""".stripMargin
+    """WITH toks AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents
+      |), words AS MATERIALIZED (
+      | SELECT w, cast(count(*) as bigint) cnt, regexp_replace(w, '(.)', '(\1)', 'g') seg
+      | FROM toks WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+      | GROUP BY w
+      |)""".stripMargin +
+      round("words", 1) + round("s1", 2) + round("s2", 3)
+  }
+
   /** Oracle for the NSW graph-ANN search: the knn graph (k=3, the
     * sim_knn_graph formulation), per-label min-vec_id entry points,
     * then the operator's unrolled traversal — seed scoring → beam-8,
     * two expand/re-score/re-prune hops, final top-5 — as plain CTE
     * stages with the same (cosim DESC, vec_id) total order at every
     * pruning. */
-  private def nswOracle(beam: Int, k: Int, graphK: Int): String = {
+  private def nswOracle(beam: Int, k: Int, graphK: Int): String =
+    nswOraclePrefix(beam, graphK) +
+      s"""
+         |SELECT qid AS query_id, cast(rn as bigint) AS rank, vec_id, round(cosim, 6) AS score
+         |FROM (
+         | SELECT qid, vec_id, cosim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM b3
+         |) WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** The NSW recall readout: the traversal CTEs plus the brute-force
+    * exact top-k, joined per query (the sim_recall_report final). */
+  private def nswRecallOracle(beam: Int, k: Int, graphK: Int): String = {
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($b[i] as double))) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($a[i] as double)))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cast($b[i] as double) * cast($b[i] as double)))))""".stripMargin
+    nswOraclePrefix(beam, graphK) +
+      s""", nswk AS (
+         | SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM b3
+         | ) WHERE rn <= $k
+         |), es AS (
+         | SELECT q.qid, e.vec_id, ${cos("q.qe", "e.embedding")} cosim
+         | FROM q CROSS JOIN e WHERE e.vec_id <> q.qid
+         |), exact AS (
+         | SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM es
+         | ) WHERE rnk <= $k
+         |)
+         |SELECT x.qid AS query_id, count(*) AS k,
+         | cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hit,
+         | sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double) AS recall_at_k
+         |FROM exact x LEFT JOIN nswk a ON x.qid = a.qid AND x.vec_id = a.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private def nswOraclePrefix(beam: Int, graphK: Int): String = {
     def cos(a: String, b: String) =
       s"""list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($b[i] as double))) /
          |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($a[i] as double)))) *
@@ -556,12 +625,7 @@ object SparkEntry {
        |  SELECT qid, vec_id, cosim,
        |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM sc0
        | ) WHERE rn <= $beam
-       |)${hop("b0", "x1", "sc1", "b1")}${hop("b1", "x2", "sc2", "b2")}${hop("b2", "x3", "sc3", "b3")}
-       |SELECT qid AS query_id, cast(rn as bigint) AS rank, vec_id, round(cosim, 6) AS score
-       |FROM (
-       | SELECT qid, vec_id, cosim,
-       |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM b3
-       |) WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+       |)${hop("b0", "x1", "sc1", "b1")}${hop("b1", "x2", "sc2", "b2")}${hop("b2", "x3", "sc3", "b3")}""".stripMargin
   }
 
   /** Oracle for the IVF probe-count tuning curve: one shared
@@ -3572,6 +3636,7 @@ object SparkEntry {
         |SELECT src_id, cast(rnk as bigint) AS rank, dst_id, round(cosim, 6) AS score
         |FROM r WHERE rnk <= 3 ORDER BY src_id, rank""".stripMargin,
     "sim_nsw_topk" -> nswOracle(16, 5, 5),
+    "sim_nsw_recall" -> nswRecallOracle(16, 5, 5),
     "dd_simhash_pairs" ->
       """WITH sim AS (
         |WITH tok AS (
@@ -3867,47 +3932,27 @@ object SparkEntry {
     // '(s1)(s2)...' strings so applying a merge is one literal replace
     // whose left-to-right non-overlap IS greedy BPE order; argmax
     // tie-break = freq DESC, (a,b) lexical in both engines
-    "txt_bpe_merges" ->
-      """WITH toks AS (
-        | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents
-        |), words AS MATERIALIZED (
-        | SELECT cast(count(*) as bigint) cnt, regexp_replace(w, '(.)', '(\1)', 'g') seg
-        | FROM toks WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
-        | GROUP BY w
-        |), pc1 AS (
-        | SELECT p.a a, p.b b, cast(sum(cnt) as bigint) freq FROM (
-        |  SELECT cnt, unnest(list_transform(range(1, len(sy)),
-        |    i -> struct_pack(a := sy[i], b := sy[i+1]))) p
-        |  FROM (SELECT cnt, string_split(trim(seg, '()'), ')(') sy FROM words)
-        | ) GROUP BY 1, 2
-        |), m1 AS (SELECT a, b, freq FROM pc1 ORDER BY freq DESC, a, b LIMIT 1),
-        |s1 AS (
-        | SELECT cnt, replace(seg,
-        |   '(' || (SELECT a FROM m1) || ')(' || (SELECT b FROM m1) || ')',
-        |   '(' || (SELECT a FROM m1) || (SELECT b FROM m1) || ')') seg FROM words
-        |), pc2 AS (
-        | SELECT p.a a, p.b b, cast(sum(cnt) as bigint) freq FROM (
-        |  SELECT cnt, unnest(list_transform(range(1, len(sy)),
-        |    i -> struct_pack(a := sy[i], b := sy[i+1]))) p
-        |  FROM (SELECT cnt, string_split(trim(seg, '()'), ')(') sy FROM s1)
-        | ) GROUP BY 1, 2
-        |), m2 AS (SELECT a, b, freq FROM pc2 ORDER BY freq DESC, a, b LIMIT 1),
-        |s2 AS (
-        | SELECT cnt, replace(seg,
-        |   '(' || (SELECT a FROM m2) || ')(' || (SELECT b FROM m2) || ')',
-        |   '(' || (SELECT a FROM m2) || (SELECT b FROM m2) || ')') seg FROM s1
-        |), pc3 AS (
-        | SELECT p.a a, p.b b, cast(sum(cnt) as bigint) freq FROM (
-        |  SELECT cnt, unnest(list_transform(range(1, len(sy)),
-        |    i -> struct_pack(a := sy[i], b := sy[i+1]))) p
-        |  FROM (SELECT cnt, string_split(trim(seg, '()'), ')(') sy FROM s2)
-        | ) GROUP BY 1, 2
-        |), m3 AS (SELECT a, b, freq FROM pc3 ORDER BY freq DESC, a, b LIMIT 1)
+    "txt_bpe_merges" -> (BpeOracleCtes +
+      """
         |SELECT cast(1 as bigint) AS round, a AS left_sym, b AS right_sym,
         |  a || b AS merged, freq FROM m1
         |UNION ALL SELECT cast(2 as bigint), a, b, a || b, freq FROM m2
         |UNION ALL SELECT cast(3 as bigint), a, b, a || b, freq FROM m3
-        |ORDER BY round""".stripMargin,
+        |ORDER BY round""".stripMargin),
+
+    // BPE apply: the same 3 training rounds, read out as the
+    // corpus-weighted segmentation compression over the final segs
+    "txt_bpe_encode" -> (BpeOracleCtes +
+      """
+        |SELECT cast(sum(cnt) as bigint) AS n_tokens,
+        | cast(count(*) as bigint) AS n_types,
+        | cast(sum(cnt * length(w)) as bigint) AS n_sym_before,
+        | cast(sum(cnt * len(string_split(trim(seg, '()'), ')('))) as bigint) AS n_sym_after,
+        | cast(sum(CASE WHEN len(string_split(trim(seg, '()'), ')(')) < length(w)
+        |   THEN 1 ELSE 0 END) as bigint) AS n_types_shortened,
+        | cast(cast(sum(cnt * len(string_split(trim(seg, '()'), ')('))) as hugeint)
+        |   * 1000000 // sum(cnt * length(w)) as bigint) AS compression_micro
+        |FROM s3""".stripMargin),
     "q93_time_range_frame" ->
       """WITH daily AS (
         | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",

@@ -1472,4 +1472,25 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall@k of the NSW graph traversal versus the exact brute-force
+    * top-k — [[simRecallReport]] for the graph-ANN rung, so the
+    * navigability loss of the snapshotted k-NN graph is a published,
+    * oracle-checked number per query (not just a spec floor). The
+    * join is on the tiny |Q|·k result sets. */
+  def simNswRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = simTopkBruteforce(spark, dir)
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = simNswTopk(spark, dir)
+      .select(col("query_id").as("qa"), col("vec_id").as("va"))
+    exact
+      .join(approx, col("query_id") === col("qa") && col("vec_id") === col("va"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("va").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("k"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
 }

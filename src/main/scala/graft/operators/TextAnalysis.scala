@@ -2086,11 +2086,25 @@ object TextAnalysis {
     * pre-tokenization splits letters from punctuation/digits; it also
     * makes the paren delimiters collision-free by construction). */
   def txtBpeMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val (words, merges, _) = bpeTrain(spark, dir, rounds)
+    val out = merges.reduce(_ unionAll _)
+      .select(col("round"), col("a").as("left_sym"), col("b").as("right_sym"),
+        concat(col("a"), col("b")).as("merged"), col("freq"))
+      .orderBy(col("round"))
+    graft.operators.Analytics.materializeAndRelease(spark, out, words)
+  }
+
+  /** Shared BPE training core: (persisted word-frequency table, one
+    * 1-row merge frame per round, final segmentations). Callers MUST
+    * route their bounded result through materializeAndRelease(words)
+    * so the persisted vocab table never leaks past the call. */
+  private def bpeTrain(spark: SparkSession, dir: String, rounds: Int)
+      : (DataFrame, Seq[DataFrame], DataFrame) = {
     val words = TextOps.balanced(Tables.documents(spark, dir))
       .select(explode(TextOps.tokens("text")).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), regexp_replace(col("w"), "(.)", "($1)").as("seg"))
+      .select(col("w"), col("cnt"), regexp_replace(col("w"), "(.)", "($1)").as("seg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one training round's count+argmax over the current segmentations
@@ -2111,14 +2125,35 @@ object TextAnalysis {
     val merges = (1 to rounds).map { r =>
       val best = bestPair(segs, r)
       segs = segs.crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
-        .select(col("cnt"), expr(
+        .select(col("w"), col("cnt"), expr(
           "replace(seg, concat('(', ma, ')(', mb, ')'), concat('(', ma, mb, ')'))").as("seg"))
       best
     }
-    val out = merges.reduce(_ unionAll _)
-      .select(col("round"), col("a").as("left_sym"), col("b").as("right_sym"),
-        concat(col("a"), col("b")).as("merged"), col("freq"))
-      .orderBy(col("round"))
+    (words, merges, segs)
+  }
+
+  /** BPE APPLY — the other half of the tokenizer tier: run the
+    * [[txtBpeMerges]]-trained merges over the training vocabulary and
+    * report the corpus-weighted segmentation compression (Σ cnt·|seg|
+    * before = character count, after = symbol count post `rounds`
+    * merges, plus the micro ratio and how many word TYPES shortened).
+    * This is the fertility readout a tokenizer-training pipeline
+    * publishes per merge budget; one aggregate over the final
+    * segmentations, exact integers throughout. */
+  def txtBpeEncode(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val (words, _, segs) = bpeTrain(spark, dir, rounds)
+    val out = segs
+      .select(col("cnt"), length(col("w")).cast("long").as("nb"),
+        size(split(expr("trim(BOTH '()' FROM seg)"), "\\)\\(")).cast("long").as("na"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("cnt") * col("nb")).as("n_sym_before"),
+        sum(col("cnt") * col("na")).as("n_sym_after"),
+        sum(when(col("na") < col("nb"), 1L).otherwise(0L)).as("n_types_shortened"))
+      .select(col("n_tokens"), col("n_types"), col("n_sym_before"),
+        col("n_sym_after"), col("n_types_shortened"),
+        expr("cast(cast(n_sym_after as decimal(38,0)) * 1000000 div n_sym_before as bigint)")
+          .as("compression_micro"))
     graft.operators.Analytics.materializeAndRelease(spark, out, words)
   }
 

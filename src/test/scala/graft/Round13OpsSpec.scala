@@ -99,6 +99,32 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("txt_bpe_encode: savings bounded by the merge freqs; ratio column self-consistent") {
+    val mergeFreqs = TextAnalysis.txtBpeMerges(spark, sf0001).collect()
+      .map(_.getAs[Long]("freq")).sum
+    val r = TextAnalysis.txtBpeEncode(spark, sf0001).collect().head
+    val before = r.getAs[Long]("n_sym_before")
+    val after = r.getAs[Long]("n_sym_after")
+    val saved = before - after
+    assert(saved > 0, s"3 merges must shorten something: $r")
+    // each APPLIED merge removes exactly one symbol; the pair count
+    // can only overcount applications (overlapping pairs like 'aaa'
+    // count twice, merge once), so saved <= sum of winning freqs
+    assert(saved <= mergeFreqs, s"saved $saved > claimed pair mass $mergeFreqs")
+    assert(r.getAs[Long]("compression_micro") == after * 1000000L / before)
+    assert(r.getAs[Long]("n_types_shortened") >= 1 &&
+      r.getAs[Long]("n_types_shortened") <= r.getAs[Long]("n_types"))
+  }
+
+  test("sim_nsw_recall: per-query rows self-consistent and k pinned") {
+    graft.operators.Similarity.simNswRecall(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("k") == 5)
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0 && h <= 5)
+      assert(math.abs(r.getAs[Double]("recall_at_k") - h / 5.0) < 1e-12)
+    }
+  }
+
   test("sim_nsw_topk: recall@5 vs the exact brute-force ladder is audited and non-trivial") {
     import graft.operators.Similarity
     val nsw = Similarity.simNswTopk(spark, sf0001).collect()
