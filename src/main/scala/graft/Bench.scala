@@ -55,6 +55,13 @@ object Bench {
         .join(n.as("b"), org.apache.spark.sql.functions.expr("a.n_nationkey = b.n_nationkey"))
         .count()
       n.groupBy("n_regionkey").count().collect()
+      // warm the window + TopKPerGroup rewrite path (extensions are on,
+      // so rn-filter shapes plan through the custom operator — the
+      // first measured windowed query must not pay its codegen)
+      n.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("n_regionkey").orderBy("n_nationkey")))
+        .filter("rn = 1").count()
       spark.range(1000).selectExpr("sum(id)").collect()
     }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
