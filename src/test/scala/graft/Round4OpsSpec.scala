@@ -10,11 +10,15 @@ class Round4OpsSpec extends SparkSpec {
   test("q57/q58: no cached blocks survive the call (no session-lifetime persist leak)") {
     def cachedCount = spark.sparkContext.getPersistentRDDs.size
     val before = cachedCount
+    // <= not ==: localCheckpoint entries from EARLIER suites are
+    // unpersisted asynchronously by the ContextCleaner, so the count
+    // can legitimately DROP mid-probe (observed once as a full-suite
+    // flake: "leaked -1"). Only an INCREASE is a leak of ours.
     assert(Analytics.q57Pagerank(spark, sf0001).count() > 0)
-    assert(cachedCount == before,
+    assert(cachedCount <= before,
       s"q57 leaked ${cachedCount - before} cached RDD(s)")
     assert(Analytics.q58Triangles(spark, sf0001).count() == 4)
-    assert(cachedCount == before,
+    assert(cachedCount <= before,
       s"q58 leaked ${cachedCount - before} cached RDD(s)")
   }
 
