@@ -350,6 +350,7 @@ object SparkEntry {
     "sim_covariance" -> (Similarity.simCovariance _),
     "txt_sentence_stats" -> (TextAnalysis.txtSentenceStats _),
     "dd_quality_keepers" -> (Dedup.ddQualityKeepers _),
+    "dd_dup_spans" -> ((s: SparkSession, d: String) => Dedup.ddDupSpans(s, d)),
     "q146_levene" -> (Analytics.q146Levene _),
     "q147_open_orders" -> (Analytics.q147OpenOrders _),
     "q148_qq_decile" -> (Analytics.q148QqDecile _),
@@ -6992,6 +6993,38 @@ object SparkEntry {
         | CASE WHEN n_sentences = 0 THEN NULL
         |  ELSE n_words * 1000000 // n_sentences END AS words_per_sent_micro
         |FROM g ORDER BY lang""".stripMargin,
+
+    // ExactSubstr spans: duplicated token 10-grams (>=2 occurrences
+    // corpus-wide) merged into maximal spans per doc (gap <= n); the
+    // lag-NULL first row lands in island 0 in both engines (NULL
+    // comparison -> CASE else 0)
+    "dd_dup_spans" ->
+      """WITH t AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') tl FROM documents
+        |), g AS (
+        | SELECT doc_id, cast(i as bigint) pos, list_aggr(tl[i:i+9], 'string_agg', ' ') gram
+        | FROM t, unnest(range(1, len(tl) - 8)) u(i) WHERE len(tl) >= 10
+        |), dupg AS (
+        | SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        |), h AS (
+        | SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)
+        |), i1 AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+        |   THEN 1 ELSE 0 END ni
+        | FROM h
+        |), i2 AS (
+        | SELECT doc_id, pos,
+        |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) isl
+        | FROM i1
+        |), sp AS (
+        | SELECT doc_id, isl, min(pos) s, max(pos) + 9 e, count(*) ng FROM i2 GROUP BY 1, 2
+        |)
+        |SELECT doc_id, cast(count(*) as bigint) AS n_spans,
+        | cast(sum(e - s + 1) as bigint) AS dup_token_span,
+        | cast(max(e - s + 1) as bigint) AS longest_span,
+        | cast(sum(ng) as bigint) AS n_dup_grams
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dd_quality_keepers" ->
       """WITH RECURSIVE toks AS (

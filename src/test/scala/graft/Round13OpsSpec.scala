@@ -99,6 +99,39 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("dd_dup_spans: driver-recomputed ExactSubstr spans reproduce the per-doc table exactly") {
+    val n = 10
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').filter(_.nonEmpty)))
+    // independent recompute: gram census, duplicated positions, island
+    // merge with gap <= n, per-doc aggregate
+    val grams = docs.flatMap { case (id, tl) =>
+      (0 to tl.length - n).map(i => (id, i + 1L, tl.slice(i, i + n).mkString(" ")))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.length >= 2).keySet
+    val expected = grams.filter(g => dup(g._3))
+      .groupBy(_._1).map { case (id, hs) =>
+        val ps = hs.map(_._2).sorted
+        val islands = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Long]]
+        ps.foreach { p =>
+          if (islands.nonEmpty && p <= islands.last.last + n) islands.last += p
+          else islands += scala.collection.mutable.ArrayBuffer(p)
+        }
+        val lens = islands.map(i => i.last + n - 1 - i.head + 1)
+        (id, (islands.length.toLong, lens.sum, lens.max, ps.length.toLong))
+      }
+    val got = graft.operators.Dedup.ddDupSpans(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("dup_token_span"), r.getAs[Long]("longest_span"),
+        r.getAs[Long]("n_dup_grams")))).toMap
+    assert(got == expected, s"span tables diverge: got ${got.size} docs, expected ${expected.size}")
+    // structural floor: every span covers at least one full n-gram
+    got.values.foreach { case (ns, cov, lg, ng) =>
+      assert(lg >= n && cov >= ns * n && ng >= ns)
+    }
+  }
+
   test("txt_bpe_encode: savings bounded by the merge freqs; ratio column self-consistent") {
     val mergeFreqs = TextAnalysis.txtBpeMerges(spark, sf0001).collect()
       .map(_.getAs[Long]("freq")).sum
