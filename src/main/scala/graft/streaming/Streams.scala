@@ -1333,4 +1333,80 @@ object Streams {
             best, best.exists(_ <= maxDistMicro)))
       }
   }
+
+  /** Write half of the duplicated-gram lake — the ExactSubstr
+    * ([[graft.operators.Dedup.ddDupSpans]]) census persisted once from
+    * the trusted corpus (the refLmWrite/sigLake pattern): every word
+    * `n`-gram with ≥2 occurrences corpus-wide, gram-keyed parquet. */
+  def dupGramLakeWrite(spark: SparkSession, dir: String, path: String,
+      n: Int = 10): Unit =
+    graft.functions.TextOps.balanced(graft.Tables.documents(spark, dir))
+      .select(graft.functions.TextOps.ngramArray("text", n).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(explode(col("g")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("gram"))
+      .write.mode("overwrite").parquet(s"$path/dup_grams")
+
+  case class DocDupSpans(doc_id: Long, lang: String, n_grams: Long,
+      n_dup_grams: Long, n_spans: Long, dup_token_span: Long,
+      longest_span: Long, has_dup: Boolean)
+
+  /** Streaming duplicated-span gate — the in-flight twin of
+    * [[graft.operators.Dedup.ddDupSpans]]: each arriving doc's word
+    * n-gram positions probe the PERSISTED dup-gram lake via a
+    * stream-static left join (gram-keyed, never broadcast, never
+    * re-censused per trigger); the per-doc island merge (gap ≤ n —
+    * exactly the batch operator's span rule) runs in ONE
+    * zero-retained-state flatMapGroupsWithState under the
+    * doc-arrives-whole contract every doc-local twin here uses.
+    * CLEAN DOCS ARE EMITTED with has_dup = false, zero spans — the
+    * flag-don't-drop policy (a decontamination gate must say "clean",
+    * not lose the doc); the batch cut-list equals the has_dup = true
+    * subset row for row on the lake's own corpus (StreamingSpec
+    * parity). Snapshot semantics: a gram the lake never saw counts as
+    * non-duplicated — new dups ACROSS arriving docs are the next lake
+    * rebuild's job (same as-of contract as the LM gates). */
+  def dupSpanGateStream(docs: Dataset[DocText], lakePath: String,
+      n: Int = 10): Dataset[DocDupSpans] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lake = spark.read.parquet(s"$lakePath/dup_grams")
+      .withColumn("hit", lit(1))
+    val grams = docs.flatMap { d =>
+      val t = streamToks(d)
+      (0 to t.length - n).iterator
+        .map(i => (d.doc_id, d.lang, (i + 1).toLong, t.slice(i, i + n).mkString(" ")))
+    }.toDF("doc_id", "lang", "pos", "gram")
+    grams.join(lake, Seq("gram"), "left")
+      .select(col("doc_id"), col("lang"), col("pos"),
+        coalesce(col("hit"), lit(0)).as("hit"))
+      .as[(Long, String, Long, Int)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, DocDupSpans](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((docId, lang), rows, _: GroupState[Boolean]) =>
+          var nGrams = 0L
+          val dups = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.foreach { case (_, _, p, h) =>
+            nGrams += 1
+            if (h == 1) dups += p
+          }
+          val ps = dups.sorted
+          var nSpans = 0L; var covered = 0L; var longest = 0L
+          var s = -1L; var last = -1L
+          def close(): Unit = if (s >= 0) {
+            val len = last + n - 1 - s + 1
+            nSpans += 1; covered += len; if (len > longest) longest = len
+          }
+          ps.foreach { p =>
+            if (s < 0 || p > last + n) { close(); s = p }
+            last = p
+          }
+          close()
+          Iterator.single(DocDupSpans(docId, lang, nGrams, ps.length.toLong,
+            nSpans, covered, longest, ps.nonEmpty))
+      }
+  }
 }

@@ -1104,4 +1104,32 @@ class StreamingSpec extends SparkSpec {
     assert(nS == 2L && nOff == 1L,
       "the off-support doc is counted in n_s and surfaced in n_off, never dropped")
   }
+
+  test("streaming dup-span gate: has_dup subset row-identical to the batch ExactSubstr cut-list; clean docs emitted") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val src = Files.createTempDirectory("dupspan_stream")
+    val lake = Files.createTempDirectory("dupspan_lake")
+    docs.write.mode("overwrite").parquet(src.toString)
+    Streams.dupGramLakeWrite(spark, sf0001, lake.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
+      .as[Streams.DocText]
+    runToMemory(Streams.dupSpanGateStream(stream, lake.toString).toDF(), "dupspan_t")
+    val streamed = spark.sql("select * from dupspan_t where has_dup").collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_spans"),
+        r.getAs[Long]("dup_token_span"), r.getAs[Long]("longest_span"),
+        r.getAs[Long]("n_dup_grams")))).toMap
+    val batch = graft.operators.Dedup.ddDupSpans(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_spans"),
+        r.getAs[Long]("dup_token_span"), r.getAs[Long]("longest_span"),
+        r.getAs[Long]("n_dup_grams")))).toMap
+    assert(streamed == batch,
+      "in-flight dup spans must equal the batch cut-list row for row on the lake's own corpus")
+    // flag-don't-drop: every doc long enough to carry a gram is emitted
+    val emitted = spark.sql("select count(*) from dupspan_t").collect().head.getLong(0)
+    val eligible = docs.collect().count(
+      _.getString(2).split(' ').count(_.nonEmpty) >= 10)
+    assert(emitted == eligible,
+      s"clean docs must be emitted with has_dup=false: $emitted of $eligible")
+  }
 }
