@@ -394,6 +394,12 @@ object SparkEntry {
     "pipe_boilerplate_exposure" -> (CorpusPipeline.pipeBoilerplateExposure _),
     "q159_did_cells" -> (Analytics.q159DidCells _),
     "sim_pq_residual" -> (Similarity.simPqResidual _),
+    "txt_mattr" -> ((s: SparkSession, d: String) => TextAnalysis.txtMattr(s, d)),
+    "dd_oph_sigs" -> (Dedup.ddOphSigs _),
+    "q182_adf_inputs" -> (Analytics.q182AdfInputs _),
+    "q184_brier_cells" -> (Analytics.q184BrierCells _),
+    "sim_rp_tree" -> (Similarity.simRpTree _),
+    "sim_rp_recall" -> (Similarity.simRpRecall _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -508,6 +514,92 @@ object SparkEntry {
        |SELECT va AS vec_a, vb AS vec_b, round(cosim, 6) AS score
        |FROM s WHERE cosim >= 0.3 ORDER BY 1, 2""".stripMargin
   }
+
+  /** Shared CTE prefix of the RP-tree oracles: the three md5-derived
+    * split planes inlined as double literals from
+    * [[graft.operators.Similarity.rpPlane]] (single source of truth;
+    * Double.toString round-trips bit-exactly through DuckDB's
+    * parser), each level's lower median replayed as a row_number
+    * window with the operator's (proj, vec_id) order and
+    * (cnt + 1) // 2 rank, and the child id arithmetic verbatim. */
+  private def rpLeafCtes: String = {
+    def dot(p: Int): String = Similarity.rpPlane(p).zipWithIndex.map {
+      case (v, j) => s"cast(embedding[${j + 1}] as double) * ($v)"
+    }.mkString(" + ")
+    s"""WITH p AS (
+       | SELECT vec_id, embedding,
+       |  (${dot(0)}) proj0, (${dot(1)}) proj1, (${dot(2)}) proj2
+       | FROM embeddings
+       |), m0 AS (
+       | SELECT proj0 thr FROM (
+       |  SELECT proj0, row_number() OVER (ORDER BY proj0, vec_id) rn, count(*) OVER () cnt FROM p
+       | ) WHERE rn = (cnt + 1) // 2
+       |), n1 AS (
+       | SELECT p.*, CASE WHEN proj0 > (SELECT thr FROM m0) THEN 1 ELSE 0 END nd1 FROM p
+       |), m1 AS (
+       | SELECT nd1, proj1 thr FROM (
+       |  SELECT nd1, proj1, row_number() OVER (PARTITION BY nd1 ORDER BY proj1, vec_id) rn,
+       |   count(*) OVER (PARTITION BY nd1) cnt FROM n1
+       | ) WHERE rn = (cnt + 1) // 2
+       |), n2 AS (
+       | SELECT n1.*, nd1 * 2 + CASE WHEN proj1 > m1.thr THEN 1 ELSE 0 END nd2
+       | FROM n1 JOIN m1 USING (nd1)
+       |), m2 AS (
+       | SELECT nd2, proj2 thr FROM (
+       |  SELECT nd2, proj2, row_number() OVER (PARTITION BY nd2 ORDER BY proj2, vec_id) rn,
+       |   count(*) OVER (PARTITION BY nd2) cnt FROM n2
+       | ) WHERE rn = (cnt + 1) // 2
+       |), lf AS (
+       | SELECT n2.vec_id, n2.embedding, nd2 * 2 + CASE WHEN proj2 > m2.thr THEN 1 ELSE 0 END leaf
+       | FROM n2 JOIN m2 USING (nd2)
+       |)""".stripMargin
+  }
+
+  private def rpTreeOracle: String =
+    rpLeafCtes +
+      """, s AS (
+        | SELECT q.vec_id qid, c.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(q.embedding[i] as double) * cast(q.embedding[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(c.embedding[i] as double) * cast(c.embedding[i] as double))))) cosim
+        | FROM lf q JOIN lf c ON q.leaf = c.leaf AND c.vec_id <> q.vec_id
+        | WHERE q.vec_id < 5
+        |), r AS (
+        | SELECT qid query_id, vec_id, cosim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM s
+        |)
+        |SELECT query_id, cast(rnk as bigint) AS rank, vec_id, round(cosim, 6) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def rpRecallOracle: String =
+    rpLeafCtes +
+      """, s AS (
+        | SELECT q.vec_id qid, c.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(q.embedding[i] as double) * cast(q.embedding[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(c.embedding[i] as double) * cast(c.embedding[i] as double))))) cosim
+        | FROM lf q JOIN lf c ON q.leaf = c.leaf AND c.vec_id <> q.vec_id
+        | WHERE q.vec_id < 5
+        |), r AS (
+        | SELECT qid query_id, vec_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM s
+        |), approx AS (SELECT query_id, vec_id FROM r WHERE rnk <= 10),
+        |q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+        |es AS (
+        | SELECT q.qid, e.vec_id,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+        |), er AS (
+        | SELECT qid query_id, vec_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM es
+        |), exact AS (SELECT query_id, vec_id FROM er WHERE rnk <= 10)
+        |SELECT e.query_id, count(*) AS k,
+        | cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hit,
+        | sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double) AS recall_at_k
+        |FROM exact e LEFT JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared CTE prefix of the BPE oracles: the word-frequency table
     * (alphabetic types, char-wrapped segs) and 3 unrolled training
@@ -8212,5 +8304,77 @@ object SparkEntry {
         | cast(sum(cast(floor(dist * 1000000 + 0.5) as bigint)) as bigint) AS energy_micro,
         | cast(max(cast(floor(dist * 1000000 + 0.5) as bigint)) as bigint) AS max_residual_micro
         |FROM best WHERE rn = 1 GROUP BY sub ORDER BY sub""".stripMargin,
+    "txt_mattr" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), w AS (
+        | SELECT doc_id, cast(len(t) as bigint) n_tokens,
+        |  cast(len(t) - 49 as bigint) n_windows,
+        |  cast(list_sum(list_transform(range(1, len(t) - 48), s ->
+        |    len(list_distinct(list_transform(range(s, s + 50), j -> t[j]))))) as bigint) mattr_num
+        | FROM toks WHERE len(t) >= 50
+        |)
+        |SELECT doc_id, n_tokens, n_windows, mattr_num,
+        | cast(mattr_num * 1000000 // (50 * n_windows) as bigint) AS mattr_micro
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "dd_oph_sigs" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), h AS (
+        | SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) hs FROM sh
+        |), r AS (
+        | SELECT doc_id, shingles, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_filter(hs, x -> (strpos('0123456789abcdef', substring(x, 32, 1)) - 1) % 8 = i), 'min')) raw
+        | FROM h
+        |)
+        |SELECT doc_id,
+        | cast(len(list_distinct(shingles)) as bigint) AS n_shingles,
+        | cast(len(list_filter(raw, x -> x IS NULL)) as bigint) AS n_empty,
+        | array_to_string(list_transform(range(0, 8), i ->
+        |   list_filter(list_transform(range(0, 8), j -> raw[cast((i + j) % 8 as int) + 1]), x -> x IS NOT NULL)[1]), ',') AS signature
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q182_adf_inputs" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), l AS (
+        | SELECT o_orderpriority, cents,
+        |  lag(cents) OVER (PARTITION BY o_orderpriority ORDER BY "day") AS prev
+        | FROM daily
+        |), obs AS (
+        | SELECT o_orderpriority, cast(prev as decimal(18,0)) x, cast(cents - prev as decimal(18,0)) d
+        | FROM l WHERE prev IS NOT NULL
+        |), s AS (
+        | SELECT o_orderpriority, count(*) n,
+        |  cast(sum(x) as double) sx, cast(sum(d) as double) sd,
+        |  cast(sum(x * d) as double) sxd, cast(sum(x * x) as double) sxx
+        | FROM obs GROUP BY 1
+        |)
+        |SELECT o_orderpriority, n,
+        | round((n * sxd - sx * sd) / (n * sxx - sx * sx), 6) AS gamma,
+        | round((sd * sxx - sx * sxd) / (n * sxx - sx * sx), 6) AS intercept
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
+    "q184_brier_cells" ->
+      """WITH f AS (
+        | SELECT o_custkey,
+        |  max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) f95,
+        |  max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) f96
+        | FROM orders GROUP BY 1
+        |), c AS (
+        | SELECT c_mktsegment, coalesce(f95, 0) a95, coalesce(f96, 0) a96
+        | FROM customer LEFT JOIN f ON c_custkey = o_custkey
+        |)
+        |SELECT c_mktsegment,
+        | count(*) AS n_cust,
+        | cast(sum(a95) as bigint) AS k_pred,
+        | cast(sum(a96) as bigint) AS k_out,
+        | cast((sum(a95) - sum(a96)) * (sum(a95) - sum(a96)) * 1000000 // count(*) as bigint) AS rel_micro
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_rp_tree" -> rpTreeOracle,
+    "sim_rp_recall" -> rpRecallOracle,
   )
 }

@@ -4643,4 +4643,73 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Dickey–Fuller unit-root test inputs per priority — the
+    * complement of [[q176KpssInputs]] (KPSS null = stationary, ADF
+    * null = unit root; time-series pipelines run both and act on
+    * agreement). Regress Δy_t on y_{t−1} with intercept over the
+    * observed-day revenue series: γ̂ ≈ 0 ⇒ random-walk revenue,
+    * strongly negative ⇒ mean reversion. The four sufficient
+    * statistics (Σx, Σd, Σxd, Σx²) aggregate as EXACT decimals
+    * (partition-order independent — the q74 discipline), cast to
+    * double once, and γ̂/α̂ evaluate as one fixed IEEE closed form.
+    * One groupBy builds the series; the lag window is
+    * calendar-bounded (days × 5 priorities), so everything past the
+    * first aggregate is O(days), not O(orders). */
+  def q182AdfInputs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .withColumn("prev", lag($"cents", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"o_orderpriority",
+        expr("cast(prev as decimal(18,0))").as("x"),
+        expr("cast(cents - prev as decimal(18,0))").as("d"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(x) as double)").as("sx"),
+        expr("cast(sum(d) as double)").as("sd"),
+        expr("cast(sum(x * d) as double)").as("sxd"),
+        expr("cast(sum(x * x) as double)").as("sxx"))
+      .select($"o_orderpriority", $"n",
+        round(($"n" * $"sxd" - $"sx" * $"sd") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("gamma"),
+        round(($"sd" * $"sxx" - $"sx" * $"sxd") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("intercept"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Brier-score (Murphy) decomposition cells: each segment's 1995
+    * active rate is a constant probability FORECAST of customer
+    * activity in 1996; the output is the per-segment calibration
+    * cell — n, forecast numerator k_pred (active 1995), outcome
+    * numerator k_out (active 1996), and the reliability term
+    * n·(p−o)² = (k_pred−k_out)²/n as an exact-integer-derived micro
+    * (squared in decimal(38,0) so the ×10⁶ intermediate can't wrap;
+    * the published micro is ≤ 10⁶·n). Σ rel over cells against the
+    * uncertainty term ō(1−ō) is the reliability/resolution readout a
+    * forecast-calibration QA publishes — the same cells calibrate a
+    * quality-score → keep-rate model at corpus scale. One pass over
+    * orders (per-customer year flags), one broadcast-friendly join to
+    * customer, then cells-sized arithmetic. */
+  def q184BrierCells(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max(when(year($"o_orderdate") === 1995, 1L).otherwise(0L)).as("f95"),
+        max(when(year($"o_orderdate") === 1996, 1L).otherwise(0L)).as("f96"))
+    Tables.customer(spark, dir)
+      .join(flags, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_mktsegment",
+        coalesce($"f95", lit(0L)).as("a95"),
+        coalesce($"f96", lit(0L)).as("a96"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"a95").as("k_pred"),
+        sum($"a96").as("k_out"))
+      .select($"c_mktsegment", $"n_cust", $"k_pred", $"k_out",
+        expr("cast(cast(k_pred - k_out as decimal(38,0)) * (k_pred - k_out)" +
+          " * 1000000 div n_cust as bigint)").as("rel_micro"))
+      .orderBy($"c_mktsegment")
+  }
+
 }

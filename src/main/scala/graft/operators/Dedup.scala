@@ -288,6 +288,38 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** One-permutation MinHash signatures (Li, Owen & Zhang, NIPS 2012)
+    * with rotation densification (Shrivastava & Li, ICML 2014): ONE
+    * md5 per shingle. The hash stream is binned by its own low bits
+    * (last hex digit mod 8) and each bin's min hash is a signature
+    * slot; empty bins borrow circularly from the next non-empty slot
+    * (the densification that keeps the estimator unbiased for short
+    * docs). vs [[ddMinhashSigs]]' k-permutation form — k independent
+    * md5 passes per shingle — this is the k× hashing refund that
+    * matters at corpus scale: at the k = 64–128 widths production
+    * dedup runs, the hash pass dominates signature build, and OPH
+    * makes its cost flat in k. Everything is map-side folds (no
+    * shuffle, no explode); `n_empty` publishes the densification
+    * rate, the short-doc accuracy diagnostic (estimator variance
+    * grows with borrowed slots). */
+  def ddOphSigs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.shingleArray("text").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", expr("transform(sh, s -> md5(s))"))
+      .withColumn("raw", expr(
+        """transform(sequence(0, 7), i -> array_min(filter(hs,
+          |h -> (locate(substring(h, 32, 1), '0123456789abcdef') - 1) % 8 = i)))""".stripMargin))
+      .select(col("doc_id"),
+        size(array_distinct(col("sh"))).cast("long").as("n_shingles"),
+        expr("cast(size(filter(raw, x -> x is null)) as bigint)").as("n_empty"),
+        expr(
+          """array_join(transform(sequence(0, 7), i ->
+            |element_at(filter(transform(sequence(0, 7), j ->
+            |element_at(raw, cast((i + j) % 8 as int) + 1)), x -> x is not null), 1)), ',')""".stripMargin)
+          .as("signature"))
+      .orderBy(col("doc_id"))
+
   /** INCREMENTAL dedup: a new batch (doc_id ≥ 400 models the
     * freshly-crawled slice) LSH-checked against corpus HISTORY using
     * only the persisted signature table — history text is never

@@ -249,6 +249,100 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  /** Deterministic RP-tree split planes — md5-derived like the LSH
+    * hyperplanes but an independent family (the "rp:" tag). Public so
+    * the oracle SQL builder inlines the SAME doubles (Double.toString
+    * round-trips bit-exactly through DuckDB's parser). */
+  def rpPlane(p: Int, dims: Int = 64): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to dims).map { d =>
+      val hex = md.digest(s"rp:$p:$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967295.0 - 0.5
+    }
+  }
+
+  private val RpDepth = 3
+
+  /** Corpus with its random-projection-TREE leaf (depth 3 → 8
+    * leaves): at each level every node splits at the exact lower
+    * MEDIAN of its members' projections onto that level's plane —
+    * the Annoy/RP-tree family (Dasgupta & Freund's data-dependent
+    * splits), and the property sign-LSH can't give: leaves are
+    * BALANCED by construction (|leaf| = n/2^depth ± depth), so probe
+    * cost per query is deterministic n/8 — no hot-bucket skew to cap
+    * (cf. [[Dedup.ddMinhashLsh]]'s bucketCap) and no empty cells.
+    * Build cost is one per-node median exchange per level — the
+    * one-time INDEX build a production system amortizes across query
+    * batches (and computes from a per-node sample once leaves exceed
+    * memory; exact medians here keep the oracle bit-checkable).
+    * Query routing needs only the 2^depth−1 thresholds — a broadcast
+    * frame — and the projections are map-side folds. */
+  private def rpLeafed(spark: SparkSession, dir: String): DataFrame = {
+    var frame = Tables.embeddings(spark, dir)
+      .withColumn("nrm", VectorOps.norm2("embedding"))
+      .withColumn("node", lit(0))
+    for (p <- 0 until RpDepth) {
+      val planeLit = typedLit(rpPlane(p))
+      frame = frame
+        .withColumn("plane", planeLit)
+        .withColumn("proj", expr(
+          """aggregate(zip_with(embedding, plane, (x, wd) -> cast(x as double) * wd),
+            |cast(0 as double), (s, v) -> s + v)""".stripMargin))
+        .drop("plane")
+      val wOrd = Window.partitionBy(col("node")).orderBy(col("proj"), col("vec_id"))
+      val wCnt = Window.partitionBy(col("node"))
+      val th = frame
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wCnt))
+        .filter(expr("rn = (cnt + 1) div 2"))
+        .select(col("node"), col("proj").as("thr"))
+      frame = frame.join(broadcast(th), Seq("node"))
+        .withColumn("node",
+          col("node") * 2 + when(col("proj") > col("thr"), 1).otherwise(0))
+        .drop("thr", "proj")
+    }
+    frame.withColumnRenamed("node", "leaf")
+  }
+
+  /** RP-tree ANN (the tree rung of the ANN ladder, beside IVF /
+    * sign-LSH / NSW): queries probe exactly their own leaf — a
+    * guaranteed n/2^depth slice thanks to the median splits — and
+    * brute-force it. Demo queries are corpus members, so their routed
+    * leaf IS their build-time leaf (same thresholds, same
+    * projections); an out-of-corpus query would route through the
+    * broadcast threshold frame with three map-side plane folds. */
+  def simRpTree(spark: SparkSession, dir: String): DataFrame = {
+    val leafed = rpLeafed(spark, dir)
+    val q = leafed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"), col("leaf"))
+    val scored = broadcast(q)
+      .join(leafed, Seq("leaf"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+    topkPerQuery(scored)
+  }
+
+  /** RP-tree recall@k vs the exact brute-force top-k — the accuracy
+    * audit published next to [[simRecallReport]] (IVF) and
+    * [[simNswRecall]]: one number per query, so the three ANN tiers'
+    * recall/cost trade-offs compare on the same table. */
+  def simRpRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBruteforce(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+    val approx = simRpTree(spark, dir)
+      .select(col("query_id").as("qa"), col("vec_id").as("va"))
+    exact
+      .join(approx, col("query_id") === col("qa") && col("vec_id") === col("va"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("va").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("k"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Matryoshka truncation audit: how much of each embedding's energy
     * (and cosine fidelity) survives keeping only the first `keep`
     * dims — the check run before shipping truncated vectors to a

@@ -2132,6 +2132,36 @@ object TextAnalysis {
     (words, merges, segs)
   }
 
+  /** MATTR — moving-average type-token ratio (Covington & McFall
+    * 2010), window 50, stride 1: the length-robust lexical-diversity
+    * score (plain TTR falls with doc length; [[txtTtr]] keeps that
+    * raw form). Per qualifying doc (≥ 50 tokens) every 50-token
+    * window's distinct-type count is summed — `mattr_num` over the
+    * implicit denominator 50·n_windows, published exactly plus the
+    * floor micro ratio.
+    *
+    * Scale shape: ONE fold per row over sequence/slice/array_distinct
+    * — zero shuffle, zero explode; work is bounded by doc length
+    * (windows ≤ n_tokens), so the operator scales with corpus bytes
+    * exactly like a projection. The naive alternative (posexplode
+    * tokens → window-id expansion → groupBy (doc, window) distinct)
+    * shuffles 50× the token stream; at 100 TB that exchange is the
+    * whole job, and this shape deletes it. */
+  def txtMattr(spark: SparkSession, dir: String, window: Int = 50): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.tokens("text").as("t"))
+      .filter(size(col("t")) >= window)
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - (window - 1)).cast("long").as("n_windows"),
+        expr(
+          s"""aggregate(sequence(1, size(t) - ${window - 1}), cast(0 as bigint),
+             |(acc, s) -> acc + size(array_distinct(slice(t, s, $window))))""".stripMargin)
+          .as("mattr_num"))
+      .withColumn("mattr_micro",
+        expr(s"mattr_num * 1000000 div ($window * n_windows)"))
+      .orderBy(col("doc_id"))
+
   /** BPE APPLY — the other half of the tokenizer tier: run the
     * [[txtBpeMerges]]-trained merges over the training vocabulary and
     * report the corpus-weighted segmentation compression (Σ cnt·|seg|
