@@ -279,30 +279,41 @@ object Similarity {
     * Query routing needs only the 2^depth−1 thresholds — a broadcast
     * frame — and the projections are map-side folds. */
   private def rpLeafed(spark: SparkSession, dir: String): DataFrame = {
-    var frame = Tables.embeddings(spark, dir)
+    // all three projections in ONE map pass (they don't depend on the
+    // tree), so every later stage derives from the same narrow base
+    var base = Tables.embeddings(spark, dir)
       .withColumn("nrm", VectorOps.norm2("embedding"))
-      .withColumn("node", lit(0))
     for (p <- 0 until RpDepth) {
-      val planeLit = typedLit(rpPlane(p))
-      frame = frame
-        .withColumn("plane", planeLit)
-        .withColumn("proj", expr(
+      base = base
+        .withColumn("plane", typedLit(rpPlane(p)))
+        .withColumn(s"proj$p", expr(
           """aggregate(zip_with(embedding, plane, (x, wd) -> cast(x as double) * wd),
             |cast(0 as double), (s, v) -> s + v)""".stripMargin))
         .drop("plane")
-      val wOrd = Window.partitionBy(col("node")).orderBy(col("proj"), col("vec_id"))
+    }
+    var frame = base.withColumn("node", lit(0))
+    for (p <- 0 until RpDepth) {
+      val wOrd = Window.partitionBy(col("node")).orderBy(col(s"proj$p"), col("vec_id"))
       val wCnt = Window.partitionBy(col("node"))
-      val th = frame
+      // the 2^p split thresholds ARE the index — collect them (≤ 4
+      // rows) and re-inject as a literal map, so the next level's
+      // lineage stays a narrow map over `base` instead of a join tree
+      // that re-executes every earlier level per consumer (the
+      // join-chained form measured 62 exchanges at depth 3; this one
+      // keeps one median exchange per level plus the final probe).
+      // lit(double) re-injects the collected threshold bit-exactly.
+      val th: Map[Int, Double] = frame
         .withColumn("rn", row_number().over(wOrd))
         .withColumn("cnt", count(lit(1)).over(wCnt))
         .filter(expr("rn = (cnt + 1) div 2"))
-        .select(col("node"), col("proj").as("thr"))
-      frame = frame.join(broadcast(th), Seq("node"))
-        .withColumn("node",
-          col("node") * 2 + when(col("proj") > col("thr"), 1).otherwise(0))
-        .drop("thr", "proj")
+        .select(col("node"), col(s"proj$p"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val thLit = map(th.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      frame = frame.withColumn("node", col("node") * 2 +
+        when(col(s"proj$p") > element_at(thLit, col("node")), 1).otherwise(0))
     }
-    frame.withColumnRenamed("node", "leaf")
+    frame.drop("proj0", "proj1", "proj2").withColumnRenamed("node", "leaf")
   }
 
   /** RP-tree ANN (the tree rung of the ANN ladder, beside IVF /
