@@ -398,6 +398,16 @@ object SparkEntry {
     "dd_oph_sigs" -> (Dedup.ddOphSigs _),
     "q182_adf_inputs" -> (Analytics.q182AdfInputs _),
     "q184_brier_cells" -> (Analytics.q184BrierCells _),
+    "q183_pacf" -> (Analytics.q183Pacf _),
+    "q185_nelson_aalen" -> (Analytics.q185NelsonAalen _),
+    "q186_mase" -> (Analytics.q186Mase _),
+    "q187_harmonic" -> ((s: SparkSession, d: String) => Analytics.q187Harmonic(s, d)),
+    "sim_ari" -> (Similarity.simAri _),
+    "txt_mtld" -> (TextAnalysis.txtMtld _),
+    "sim_calinski" -> (Similarity.simCalinski _),
+    "sim_cluster_purity" -> (Similarity.simClusterPurity _),
+    "q188_cohens_d" -> (Analytics.q188CohensD _),
+    "q189_gehan" -> (Analytics.q189Gehan _),
     "sim_rp_tree" -> (Similarity.simRpTree _),
     "sim_rp_recall" -> (Similarity.simRpRecall _),
   )
@@ -8346,17 +8356,16 @@ object SparkEntry {
         |  lag(cents) OVER (PARTITION BY o_orderpriority ORDER BY "day") AS prev
         | FROM daily
         |), obs AS (
-        | SELECT o_orderpriority, cast(prev as decimal(18,0)) x, cast(cents - prev as decimal(18,0)) d
+        | SELECT o_orderpriority, cast(prev as hugeint) x, cast(cents - prev as hugeint) d
         | FROM l WHERE prev IS NOT NULL
         |), s AS (
         | SELECT o_orderpriority, count(*) n,
-        |  cast(sum(x) as double) sx, cast(sum(d) as double) sd,
-        |  cast(sum(x * d) as double) sxd, cast(sum(x * x) as double) sxx
+        |  sum(x) sx, sum(d) sd, sum(x * d) sxd, sum(x * x) sxx
         | FROM obs GROUP BY 1
         |)
         |SELECT o_orderpriority, n,
-        | round((n * sxd - sx * sd) / (n * sxx - sx * sx), 6) AS gamma,
-        | round((sd * sxx - sx * sxd) / (n * sxx - sx * sx), 6) AS intercept
+        | round(cast(n * sxd - sx * sd as double) / cast(n * sxx - sx * sx as double), 6) AS gamma,
+        | cast((sd * sxx - sx * sxd) // (n * sxx - sx * sx) as bigint) AS intercept_cents
         |FROM s ORDER BY o_orderpriority""".stripMargin,
     "q184_brier_cells" ->
       """WITH f AS (
@@ -8376,5 +8385,322 @@ object SparkEntry {
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_rp_tree" -> rpTreeOracle,
     "sim_rp_recall" -> rpRecallOracle,
+    "q183_pacf" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), tot AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_days,
+        |  cast(sum(cents) as bigint) s_cents
+        | FROM daily GROUP BY 1
+        |), res AS (
+        | SELECT d.o_orderpriority, t.n_days, t.n_days * d.cents - t.s_cents e,
+        |  row_number() OVER (PARTITION BY d.o_orderpriority ORDER BY d."day") rn
+        | FROM daily d JOIN tot t USING (o_orderpriority)
+        |), r0 AS (
+        | SELECT o_orderpriority, max(n_days) n_days, sum(cast(e as hugeint) * e) r0
+        | FROM res GROUP BY 1
+        |), lagged AS (
+        | SELECT a.o_orderpriority, l.lag, a.e, b.e e2
+        | FROM res a CROSS JOIN (SELECT unnest(range(1, 3)) lag) l
+        | JOIN res b ON b.o_orderpriority = a.o_orderpriority AND b.rn = a.rn - l.lag
+        |), rk AS (
+        | SELECT o_orderpriority,
+        |  sum(CASE WHEN lag = 1 THEN cast(e as hugeint) * e2 END) r1,
+        |  sum(CASE WHEN lag = 2 THEN cast(e as hugeint) * e2 END) r2
+        | FROM lagged GROUP BY 1
+        |)
+        |SELECT rk.o_orderpriority, r0.n_days,
+        | cast(r0.r0 as varchar) AS r0, cast(rk.r1 as varchar) AS r1,
+        | cast(rk.r2 as varchar) AS r2,
+        | round(cast(rk.r1 as double) / cast(r0.r0 as double), 6) AS phi11,
+        | CASE WHEN cast(r0.r0 as double) * cast(r0.r0 as double)
+        |        <> cast(rk.r1 as double) * cast(rk.r1 as double) THEN
+        |  round((cast(rk.r2 as double) * cast(r0.r0 as double)
+        |      - cast(rk.r1 as double) * cast(rk.r1 as double))
+        |    / (cast(r0.r0 as double) * cast(r0.r0 as double)
+        |      - cast(rk.r1 as double) * cast(rk.r1 as double)), 6)
+        | END AS phi22
+        |FROM rk JOIN r0 USING (o_orderpriority) ORDER BY 1""".stripMargin,
+    "q185_nelson_aalen" ->
+      """WITH pc AS (
+        | SELECT o_custkey, min(cast(o_orderdate as date)) first_day,
+        |  max(cast(o_orderdate as date)) last_day
+        | FROM orders GROUP BY 1
+        |), co AS (
+        | SELECT cast(max(cast(o_orderdate as date)) - INTERVAL 56 DAY as date) AS cutoff FROM orders
+        |), byt AS (
+        | SELECT date_diff('day', first_day, last_day) // 7 AS t,
+        |  cast(sum(CASE WHEN last_day <= cutoff THEN 1 ELSE 0 END) as bigint) d,
+        |  cast(sum(CASE WHEN last_day <= cutoff THEN 0 ELSE 1 END) as bigint) cns,
+        |  count(*) m
+        | FROM pc, co GROUP BY 1
+        |), risk AS (
+        | SELECT t, d, cns,
+        |  cast((SELECT sum(m) FROM byt)
+        |   - coalesce(sum(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   as bigint) n_at_risk
+        | FROM byt
+        |), steps AS (
+        | SELECT t AS t_weeks, n_at_risk, d, cns,
+        |  cast(d * 1000000 // n_at_risk as bigint) hazard_micro
+        | FROM risk WHERE d > 0
+        |)
+        |SELECT t_weeks, n_at_risk, d AS n_events, cns AS n_censored, hazard_micro,
+        | cast(sum(hazard_micro) OVER (ORDER BY t_weeks) as bigint) AS cum_hazard_micro
+        |FROM steps ORDER BY t_weeks""".stripMargin,
+    "q186_mase" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), l AS (
+        | SELECT o_orderpriority, cents,
+        |  lag(cents, 7) OVER (PARTITION BY o_orderpriority ORDER BY "day") pred7,
+        |  lag(cents, 1) OVER (PARTITION BY o_orderpriority ORDER BY "day") prev1
+        | FROM daily
+        |), s AS (
+        | SELECT o_orderpriority,
+        |  cast(sum(CASE WHEN pred7 IS NOT NULL THEN 1 END) as bigint) n_eval,
+        |  cast(sum(CASE WHEN pred7 IS NOT NULL THEN abs(cents - pred7) END) as bigint) sae_cents,
+        |  cast(sum(CASE WHEN prev1 IS NOT NULL THEN 1 END) as bigint) n_naive,
+        |  cast(sum(CASE WHEN prev1 IS NOT NULL THEN abs(cents - prev1) END) as bigint) sad_cents
+        | FROM l GROUP BY 1
+        |)
+        |SELECT o_orderpriority, n_eval, sae_cents, n_naive, sad_cents,
+        | CASE WHEN sad_cents > 0 AND n_eval > 0 THEN
+        |  cast(cast(sae_cents as hugeint) * n_naive * 1000000
+        |   // (cast(sad_cents as hugeint) * n_eval) as bigint)
+        | END AS mase_micro
+        |FROM s ORDER BY 1""".stripMargin,
+    "q187_harmonic" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |),
+        |edges AS MATERIALIZED (SELECT a AS src, b2 AS dst FROM pairs
+        |          UNION ALL SELECT b2, a FROM pairs),
+        |deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY 1),
+        |seeds AS MATERIALIZED (SELECT n AS seed FROM deg ORDER BY d DESC, n LIMIT 5),
+        |f1 AS MATERIALIZED (
+        | SELECT DISTINCT s.seed, e.dst AS n FROM edges e JOIN seeds s ON e.src = s.seed
+        | WHERE e.dst <> s.seed),
+        |v1 AS MATERIALIZED (SELECT seed, seed AS n FROM seeds UNION SELECT seed, n FROM f1),
+        |f2 AS MATERIALIZED (
+        | SELECT DISTINCT f.seed, e.dst AS n FROM edges e JOIN f1 f ON e.src = f.n
+        | WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.seed = f.seed AND v1.n = e.dst)),
+        |v2 AS MATERIALIZED (SELECT seed, n FROM v1 UNION SELECT seed, n FROM f2),
+        |f3 AS MATERIALIZED (
+        | SELECT DISTINCT f.seed, e.dst AS n FROM edges e JOIN f2 f ON e.src = f.n
+        | WHERE NOT EXISTS (SELECT 1 FROM v2 WHERE v2.seed = f.seed AND v2.n = e.dst)),
+        |c1 AS (SELECT seed, count(*) n1 FROM f1 GROUP BY 1),
+        |c2 AS (SELECT seed, count(*) n2 FROM f2 GROUP BY 1),
+        |c3 AS (SELECT seed, count(*) n3 FROM f3 GROUP BY 1)
+        |SELECT s.seed, cast(coalesce(c1.n1, 0) as bigint) AS n1,
+        | cast(coalesce(c2.n2, 0) as bigint) AS n2,
+        | cast(coalesce(c3.n3, 0) as bigint) AS n3,
+        | cast(6 * coalesce(c1.n1, 0) + 3 * coalesce(c2.n2, 0)
+        |    + 2 * coalesce(c3.n3, 0) as bigint) AS harmonic_sixths
+        |FROM seeds s
+        |LEFT JOIN c1 ON s.seed = c1.seed
+        |LEFT JOIN c2 ON s.seed = c2.seed
+        |LEFT JOIN c3 ON s.seed = c3.seed
+        |ORDER BY s.seed""".stripMargin,
+    "sim_ari" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, e.label, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, label, clabel new_label,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |), cells AS (
+        | SELECT label, new_label, cast(count(*) as hugeint) nij
+        | FROM best WHERE rn = 1 GROUP BY 1, 2
+        |), sp AS (
+        | SELECT sum(nij * (nij - 1) // 2) sp, sum(nij) n FROM cells
+        |), sa AS (
+        | SELECT sum(ai * (ai - 1) // 2) sa
+        | FROM (SELECT sum(nij) ai FROM cells GROUP BY label)
+        |), sb AS (
+        | SELECT sum(bj * (bj - 1) // 2) sb
+        | FROM (SELECT sum(nij) bj FROM cells GROUP BY new_label)
+        |)
+        |SELECT cast(n as bigint) AS n, cast(sp as bigint) AS sum_pairs,
+        | cast(sa as bigint) AS sum_a, cast(sb as bigint) AS sum_b,
+        | cast(n * (n - 1) // 2 as bigint) AS n_pairs,
+        | CASE WHEN (sa + sb) * (n * (n - 1) // 2) - 2 * sa * sb <> 0 THEN
+        |  cast(2 * (sp * (n * (n - 1) // 2) - sa * sb) * 1000000
+        |   // ((sa + sb) * (n * (n - 1) // 2) - 2 * sa * sb) as bigint)
+        | END AS ari_micro
+        |FROM sp CROSS JOIN sa CROSS JOIN sb""".stripMargin,
+    // NOTE: formulated as a RECURSIVE CTE, not a list_reduce fold — in
+    // DuckDB 1.0.0 a list_reduce lambda that captures an outer column
+    // returns nondeterministically corrupted accumulators when the scan
+    // goes through a view (the oracle harness reads tables as views);
+    // the recursion carries the token list through the working set
+    // instead and is stable.
+    "txt_mtld" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), walk AS (
+        | SELECT doc_id, t, cast(len(t) as bigint) n_tokens,
+        |  cast(0 as bigint) i, cast(0 as bigint) f, cast(1 as bigint) s
+        | FROM toks WHERE len(t) > 0
+        | UNION ALL
+        | SELECT doc_id, t, n_tokens, i + 1,
+        |  CASE WHEN 25 * len(list_distinct(t[s:i+1])) < 18 * (i + 2 - s) THEN f + 1 ELSE f END,
+        |  CASE WHEN 25 * len(list_distinct(t[s:i+1])) < 18 * (i + 2 - s) THEN i + 2 ELSE s END
+        | FROM walk WHERE i < n_tokens
+        |), g AS (
+        | SELECT doc_id, n_tokens, f n_factors, n_tokens - s + 1 tail_len,
+        |  CASE WHEN n_tokens - s + 1 > 0
+        |   THEN cast(len(list_distinct(t[s:n_tokens])) as bigint)
+        |   ELSE cast(0 as bigint) END tail_distinct
+        | FROM walk WHERE i = n_tokens
+        |)
+        |SELECT doc_id, n_tokens, n_factors, tail_len, tail_distinct,
+        | CASE WHEN tail_len > 0 THEN
+        |  CASE WHEN 7 * tail_len * n_factors + 25 * (tail_len - tail_distinct) > 0
+        |   THEN n_tokens * 7 * tail_len * 1000000
+        |        // (7 * tail_len * n_factors + 25 * (tail_len - tail_distinct))
+        |  END
+        | ELSE n_tokens * 1000000 // n_factors END AS mtld_micro
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "sim_calinski" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, e.label, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, round(dist, 6) dist, clabel new_label,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |), win AS (
+        | SELECT cast(count(DISTINCT new_label) as bigint) k,
+        |  cast(sum(cast(cast(round(dist, 6) as decimal(18,6)) * 1000000 as bigint)) as bigint) within_micro
+        | FROM best WHERE rn = 1
+        |), gcent AS (
+        | SELECT i, cast(sum(cast(floor(cast(embedding[i] as double) * 1000000000 + 0.5) as bigint)) as double) / 1000000000 / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1
+        |), gv AS (SELECT list(c ORDER BY i) gv FROM gcent),
+        |tot AS (
+        | SELECT cast(count(*) as bigint) n,
+        |  cast(sum(cast(cast(round(
+        |   list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - gv.gv[i]) * (cast(e.embedding[i] as double) - gv.gv[i]))), 6) as decimal(18,6)) * 1000000 as bigint)) as bigint) total_micro
+        | FROM embeddings e CROSS JOIN gv
+        |)
+        |SELECT n, k, total_micro, within_micro,
+        | total_micro - within_micro AS between_micro,
+        | CASE WHEN within_micro > 0 AND k > 1 THEN
+        |  cast(cast(total_micro - within_micro as hugeint) * (n - k) * 1000000
+        |   // (cast(within_micro as hugeint) * (k - 1)) as bigint)
+        | END AS ch_micro
+        |FROM tot CROSS JOIN win""".stripMargin,
+    "sim_cluster_purity" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, e.label, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, label, clabel new_label,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |), cells AS (
+        | SELECT new_label, label, cast(count(*) as bigint) nij
+        | FROM best WHERE rn = 1 GROUP BY 1, 2
+        |), ranked AS (
+        | SELECT new_label, label, nij,
+        |  row_number() OVER (PARTITION BY new_label ORDER BY nij DESC, label) rn FROM cells
+        |)
+        |SELECT new_label, cast(sum(nij) as bigint) AS n_vecs,
+        | max(CASE WHEN rn = 1 THEN label END) AS top_label,
+        | cast(max(CASE WHEN rn = 1 THEN nij END) as bigint) AS n_top,
+        | cast(max(CASE WHEN rn = 1 THEN nij END) * 1000000 // sum(nij) as bigint) AS purity_micro
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q188_cohens_d" ->
+      """WITH o AS (
+        | SELECT n_name, year(o_orderdate) = 1995 AS is_a,
+        |  cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE year(o_orderdate) IN (1995, 1996)
+        |), s AS (
+        | SELECT n_name,
+        |  cast(sum(CASE WHEN is_a THEN 1 ELSE 0 END) as bigint) n_a,
+        |  cast(sum(CASE WHEN is_a THEN 0 ELSE 1 END) as bigint) n_b,
+        |  sum(CASE WHEN is_a THEN cast(cents as hugeint) END) s_a,
+        |  sum(CASE WHEN NOT is_a THEN cast(cents as hugeint) END) s_b,
+        |  sum(CASE WHEN is_a THEN cast(cents as hugeint) * cents END) q_a,
+        |  sum(CASE WHEN NOT is_a THEN cast(cents as hugeint) * cents END) q_b
+        | FROM o GROUP BY 1
+        |), ss AS (
+        | SELECT n_name, n_a, n_b,
+        |  n_a * q_a - s_a * s_a ss_a, n_b * q_b - s_b * s_b ss_b, s_a, s_b
+        | FROM s WHERE n_a >= 2 AND n_b >= 2
+        |)
+        |SELECT n_name, n_a, n_b,
+        | cast(ss_a as varchar) AS ss_a, cast(ss_b as varchar) AS ss_b,
+        | round((cast(s_a * n_b - s_b * n_a as double) / (cast(n_a as double) * n_b))
+        |  / sqrt((cast(n_b as double) * cast(ss_a as double) / n_a
+        |        + cast(n_a as double) * cast(ss_b as double) / n_b)
+        |     / (cast(n_a as double) * n_b * (n_a + n_b - 2))), 6) AS cohens_d
+        |FROM ss WHERE ss_a + ss_b > 0 ORDER BY n_name""".stripMargin,
+    "q189_gehan" ->
+      """WITH pc AS (
+        | SELECT o_custkey, min(cast(o_orderdate as date)) first_day,
+        |  max(cast(o_orderdate as date)) last_day
+        | FROM orders GROUP BY 1
+        |), co AS (
+        | SELECT cast(max(cast(o_orderdate as date)) - INTERVAL 56 DAY as date) AS cutoff FROM orders
+        |), life AS (
+        | SELECT date_diff('day', first_day, last_day) // 7 AS t,
+        |  CASE WHEN last_day <= cutoff THEN 1 ELSE 0 END ev,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END g1
+        | FROM pc JOIN customer ON o_custkey = c_custkey, co
+        |), byt AS (
+        | SELECT t, count(*) m, cast(sum(g1) as bigint) m1,
+        |  cast(sum(ev) as bigint) d, cast(sum(ev * g1) as bigint) d1
+        | FROM life GROUP BY 1
+        |), risk AS (
+        | SELECT t, d, d1,
+        |  cast((SELECT count(*) FROM life)
+        |   - coalesce(sum(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   as bigint) n_risk,
+        |  cast((SELECT sum(g1) FROM life)
+        |   - coalesce(sum(m1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   as bigint) n1_risk
+        | FROM byt
+        |), steps AS (
+        | SELECT t AS t_weeks, n_risk, n1_risk, d, d1,
+        |  n_risk * d1 - n1_risk * d w_oe,
+        |  CASE WHEN n_risk > 1 THEN
+        |   cast(d as hugeint) * n1_risk * (n_risk - n1_risk) * (n_risk - d)
+        |  ELSE cast(0 as hugeint) END v_num
+        | FROM risk WHERE d > 0
+        |)
+        |SELECT t_weeks, n_risk, n1_risk, d AS n_events, d1 AS n_events_g1,
+        | w_oe, cast(sum(w_oe) OVER (ORDER BY t_weeks) as bigint) AS w_oe_cum,
+        | cast(v_num as varchar) AS v_num,
+        | cast(greatest(n_risk - 1, 1) as bigint) AS v_den
+        |FROM steps ORDER BY t_weeks""".stripMargin,
   )
 }

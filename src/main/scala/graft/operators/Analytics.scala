@@ -4667,15 +4667,22 @@ object Analytics {
         expr("cast(cents - prev as decimal(18,0))").as("d"))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        expr("cast(sum(x) as double)").as("sx"),
-        expr("cast(sum(d) as double)").as("sd"),
-        expr("cast(sum(x * d) as double)").as("sxd"),
-        expr("cast(sum(x * x) as double)").as("sxx"))
+        sum($"x").as("sx"), sum($"d").as("sd"),
+        sum($"x" * $"d").as("sxd"), sum($"x" * $"x").as("sxx"))
+      // closed forms off EXACT decimal numerators/denominators: one
+      // correctly-rounded double division for γ̂ (|γ̂| ~ 1 — 7 sig
+      // digits after round6, ulp-safe), and the cents-scale intercept
+      // as an exact integer floor division (a round6 double here needs
+      // 15+ sig digits where Spark's exact-decimal round and DuckDB's
+      // multiply-based round diverge by an ulp — seen live at sf0.1).
+      // CEILING (documented, q173-style): sd·sxx ~ 5·10³⁸ at 100× test
+      // scale overflows decimal(38) — Spark then yields NULL while the
+      // exact sums in γ̂'s n-scaled forms (~10²⁷) stay good.
       .select($"o_orderpriority", $"n",
-        round(($"n" * $"sxd" - $"sx" * $"sd") /
-          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("gamma"),
-        round(($"sd" * $"sxx" - $"sx" * $"sxd") /
-          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("intercept"))
+        round(expr("cast(cast(n as decimal(38,0)) * sxd - sx * sd as double)") /
+          expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as double)"), 6).as("gamma"),
+        expr("cast((sd * sxx - sx * sxd) div (cast(n as decimal(38,0)) * sxx - sx * sx) as bigint)")
+          .as("intercept_cents"))
       .orderBy($"o_orderpriority")
   }
 
@@ -4710,6 +4717,278 @@ object Analytics {
         expr("cast(cast(k_pred - k_out as decimal(38,0)) * (k_pred - k_out)" +
           " * 1000000 div n_cust as bigint)").as("rel_micro"))
       .orderBy($"c_mktsegment")
+  }
+
+  /** Partial autocorrelation at lags 1–2 per priority via the
+    * Durbin–Levinson closed form — the AR-order diagnostic the ACF
+    * alone can't give (φ22 ≈ 0 ⇒ AR(1) suffices; the PACF cutting off
+    * at lag p is THE textbook AR(p) signature, read beside
+    * [[q122Correlogram]]'s ACF and [[q180LjungBox]]'s portmanteau).
+    * Autocovariance numerators R_k = Σ_{t>k} e_t·e_{t−k} use the
+    * n-scaled residuals e = n·x − S ([[dailyResiduals]]) so they are
+    * EXACT decimal(38,0) sums (R₀ ~ n³x², ~10³¹ at 100× test scale —
+    * inside decimal(38) because the series is calendar-bounded);
+    * φ11 = R₁/R₀ and φ22 = (R₂R₀ − R₁²)/(R₀² − R₁²) evaluate in
+    * double from the exact sums (the q182 discipline — R₀² would
+    * overflow any fixed-point width, and both engines cast the same
+    * exact integers through the same IEEE closed form). The exact
+    * R₀/R₁/R₂ strings ship alongside for downstream re-derivation.
+    * Shape: one groupBy for the series, one row_number window, one
+    * co-partitioned self-join for both lags — O(days), not O(orders),
+    * past the first aggregate. */
+  def q183Pacf(spark: SparkSession, dir: String): DataFrame = {
+    val res = dailyResiduals(spark, dir)
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val rn = res.withColumn("rn", row_number().over(w).cast("long"))
+    val prior = rn.select($"o_orderpriority".as("p2"), $"rn".as("rn2"), $"e".as("e2"))
+    val r0 = res.groupBy($"o_orderpriority")
+      .agg(max($"n_days").as("n_days"),
+        sum(expr("cast(e as decimal(38,0)) * e")).as("r0"))
+    rn.select($"o_orderpriority", $"rn", $"e", explode(expr("sequence(1, 2)")).as("lag"))
+      .join(prior, $"o_orderpriority" === $"p2" && $"rn2" === $"rn" - $"lag")
+      .groupBy($"o_orderpriority")
+      .agg(sum(when($"lag" === 1, expr("cast(e as decimal(38,0)) * e2"))).as("r1"),
+        sum(when($"lag" === 2, expr("cast(e as decimal(38,0)) * e2"))).as("r2"))
+      .join(broadcast(r0), "o_orderpriority")
+      .select($"o_orderpriority", $"n_days",
+        $"r0".cast("string").as("r0"),
+        $"r1".cast("string").as("r1"),
+        $"r2".cast("string").as("r2"),
+        round($"r1".cast("double") / $"r0".cast("double"), 6).as("phi11"),
+        when($"r0".cast("double") * $"r0".cast("double") =!=
+            $"r1".cast("double") * $"r1".cast("double"),
+          round(($"r2".cast("double") * $"r0".cast("double") -
+              $"r1".cast("double") * $"r1".cast("double")) /
+            ($"r0".cast("double") * $"r0".cast("double") -
+              $"r1".cast("double") * $"r1".cast("double")), 6)).as("phi22"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator over the q121 survival
+    * frame (customer lifetime in weeks, right-censored at the 56-day
+    * cutoff) — the hazard-scale twin of Kaplan–Meier: KM multiplies
+    * survival factors, NA SUMS d_i/n_i, so it stays exact in integer
+    * micro-units end-to-end (no float product chain). Per event time:
+    * the risk set n_i (everyone with lifetime ≥ t, from one prior-sum
+    * window over the bounded week grid), events d_i, the increment
+    * ⌊10⁶·d_i/n_i⌋ and the running Σ of those increments (the
+    * published contract is "sum of floored micro increments" —
+    * replicated verbatim in the oracle, so no rounding ambiguity).
+    * The window is unpartitioned but week-bounded (lifetimes in a
+    * 2-year calendar), the same boundedness contract as q121. */
+  def q185NelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(min(to_date($"o_orderdate")).as("first_day"),
+        max(to_date($"o_orderdate")).as("last_day"))
+    val cutoff = Tables.orders(spark, dir)
+      .agg(date_sub(max(to_date($"o_orderdate")), 56).as("cutoff"))
+    val byT = perCust.crossJoin(broadcast(cutoff))
+      .select(expr("datediff(last_day, first_day) div 7").as("t"),
+        ($"last_day" <= $"cutoff").cast("int").as("event"))
+      .groupBy($"t")
+      .agg(sum($"event").as("d"), sum(lit(1) - $"event").as("cns"),
+        count(lit(1)).as("m"))
+    val total = byT.agg(sum($"m").as("n_total"))
+    val wPrior = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk", $"n_total" - coalesce(sum($"m").over(wPrior), lit(0L)))
+      .filter($"d" > 0)
+      .withColumn("hazard_micro", expr("d * 1000000 div n_at_risk"))
+      .select($"t".as("t_weeks"), $"n_at_risk", $"d".as("n_events"),
+        $"cns".as("n_censored"), $"hazard_micro",
+        sum($"hazard_micro").over(wCum).as("cum_hazard_micro"))
+      .orderBy($"t_weeks")
+  }
+
+  /** MASE — mean absolute SCALED error of the lag-7 seasonal-naive
+    * forecast per priority (Hyndman & Koehler): q91's MAE divided by
+    * the in-sample naive-1 MAE, the scale-free forecast score that
+    * lets priorities with different revenue levels share one
+    * accuracy dashboard (and is defined when a day has zero revenue,
+    * where q91's MAPE divides by zero). Everything is exact integer
+    * cents: Σ|e| over the lag-7-scored rows, Σ|Δ| over the lag-1
+    * in-sample pairs, and the statistic ⌊10⁶·(sae·n₁)/(sad·n_eval)⌋
+    * as ONE decimal(38,0) cross-multiplied division (sae·n₁ ~ 10¹⁵
+    * at test scale, ~10²³ at 100× — inside decimal(38); a
+    * constant-revenue degenerate series makes sad = 0 and both
+    * engines then emit NULL via the explicit guard). Both lag
+    * windows ride the SAME partitioned sort — one window shuffle,
+    * calendar-bounded rows. */
+  def q186Mase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .withColumn("pred7", lag($"cents", 7).over(w))
+      .withColumn("prev1", lag($"cents", 1).over(w))
+      .groupBy($"o_orderpriority")
+      .agg(sum(when($"pred7".isNotNull, 1L)).as("n_eval"),
+        sum(when($"pred7".isNotNull, abs($"cents" - $"pred7"))).as("sae_cents"),
+        sum(when($"prev1".isNotNull, 1L)).as("n_naive"),
+        sum(when($"prev1".isNotNull, abs($"cents" - $"prev1"))).as("sad_cents"))
+      .select($"o_orderpriority", $"n_eval", $"sae_cents", $"n_naive", $"sad_cents",
+        when($"sad_cents" > 0 && $"n_eval" > 0,
+          expr("cast(cast(sae_cents as decimal(38,0)) * n_naive * 1000000" +
+            " div (cast(sad_cents as decimal(38,0)) * n_eval) as bigint)"))
+          .as("mase_micro"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Cohen's d — standardized mean difference of order value, 1995 vs
+    * 1996, per nation: the EFFECT-SIZE readout the q135 F-test and
+    * q112 rank test don't give (significance without magnitude is the
+    * classic dashboard trap). Sufficient statistics (n, Σx, Σx² per
+    * group) aggregate as exact decimals off ONE fact pass (the q135
+    * frame with the year as the group axis); the pooled-SD closed
+    * form evaluates in double from the exact sums — identical IEEE
+    * expression trees in both engines, q182 discipline, sqrt-only
+    * parity as in q62 — and the exact SS strings ship alongside.
+    * Group products are computed double-first (cast(n_a) * n_b) so
+    * the 100× n_a·n_b·(n_a+n_b) ~10²¹ intermediate never touches
+    * int64. */
+  def q188CohensD(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", (year($"o_orderdate") === 1995).as("is_a"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .groupBy($"n_name")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"),
+        sum(when($"is_a", expr("cast(cents as decimal(38,0))"))).as("s_a"),
+        sum(when(!$"is_a", expr("cast(cents as decimal(38,0))"))).as("s_b"),
+        sum(when($"is_a", expr("cast(cents as decimal(38,0)) * cents"))).as("q_a"),
+        sum(when(!$"is_a", expr("cast(cents as decimal(38,0)) * cents"))).as("q_b"))
+      .filter($"n_a" >= 2 && $"n_b" >= 2)
+      .withColumn("ss_a", expr("cast(n_a * q_a - s_a * s_a as decimal(38,0))"))
+      .withColumn("ss_b", expr("cast(n_b * q_b - s_b * s_b as decimal(38,0))"))
+      .filter($"ss_a" + $"ss_b" > 0)
+      .select($"n_name", $"n_a", $"n_b",
+        $"ss_a".cast("string").as("ss_a"),
+        $"ss_b".cast("string").as("ss_b"),
+        round(
+          (expr("cast(s_a * n_b - s_b * n_a as double)") /
+            (expr("cast(n_a as double)") * $"n_b")) /
+          sqrt((expr("cast(n_b as double)") * expr("cast(ss_a as double)") / $"n_a" +
+                expr("cast(n_a as double)") * expr("cast(ss_b as double)") / $"n_b") /
+            (expr("cast(n_a as double)") * $"n_b" * ($"n_a" + $"n_b" - 2))), 6)
+          .as("cohens_d"))
+      .orderBy($"n_name")
+  }
+
+  /** Gehan–Breslow generalized Wilcoxon — the early-difference
+    * weighted log-rank (weight = n_at_risk) over the q145 two-group
+    * survival frame (BUILDING vs rest). The weight CANCELS the
+    * per-time denominator, so unlike q145's float terms everything
+    * here is EXACT where int64 allows: per event time
+    * w·(O−E) = n·d₁ − n₁·d is an integer (±n² — 1000×-headroom-clean
+    * at the audit), and the weighted variance numerator
+    * d·n₁·(n−n₁)·(n−d) — which grows ~n⁴ and WOULD silently wrap
+    * int64 ~3× above test scale — publishes as an exact rational
+    * pair per time: v_num as a decimal(38,0) STRING (the rho_num
+    * contract) over v_den = n−1. (A running float variance was tried
+    * and dropped: engines accumulate window SUMs of doubles in
+    * different orders — last-ulp drift from ~70 steps up, seen live
+    * at sf0.01.) Consumers form Z = w_oe_cum / √(Σ vᵢ) at the edge.
+    * Same shape as q145: one fact pass, week-bounded windows. */
+  def q189Gehan(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(min(to_date($"o_orderdate")).as("first_day"),
+        max(to_date($"o_orderdate")).as("last_day"))
+    val cutoff = Tables.orders(spark, dir)
+      .agg(date_sub(max(to_date($"o_orderdate")), 56).as("cutoff"))
+    val seg = Tables.customer(spark, dir)
+      .select($"c_custkey", ($"c_mktsegment" === "BUILDING").cast("int").as("g1"))
+    val life = perCust.join(seg, $"o_custkey" === $"c_custkey")
+      .crossJoin(broadcast(cutoff))
+      .select(expr("datediff(last_day, first_day) div 7").as("t"),
+        ($"last_day" <= $"cutoff").cast("int").as("event"), $"g1")
+    val byT = life.groupBy($"t")
+      .agg(count(lit(1)).as("m"), sum($"g1").as("m1"),
+        sum($"event").as("d"), sum($"event" * $"g1").as("d1"))
+    val tot = life.agg(count(lit(1)).as("n_total"), sum($"g1").as("n1_total"))
+    val wPrior = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk", $"n_total" - coalesce(sum($"m").over(wPrior), lit(0L)))
+      .withColumn("n1_risk", $"n1_total" - coalesce(sum($"m1").over(wPrior), lit(0L)))
+      .filter($"d" > 0)
+      .withColumn("w_oe", $"n_risk" * $"d1" - $"n1_risk" * $"d")
+      // the weighted variance numerator grows ~n⁴ (the sf0.1 headroom
+      // audit measured 57× to int64, i.e. silent wrap ~3× above test
+      // scale — and Spark's `div` itself returns a WRAPPING bigint on
+      // decimal operands): publish it as an exact decimal(38,0) STRING
+      // (the rho_num contract), and the running variance as the
+      // q145-contract ordered-window float sum of exact-term doubles
+      .withColumn("v_num", expr(
+        """CASE WHEN n_risk > 1 THEN
+          | cast(d as decimal(38,0)) * n1_risk * (n_risk - n1_risk) * (n_risk - d)
+          |ELSE cast(0 as decimal(38,0)) END""".stripMargin))
+      .select($"t".as("t_weeks"), $"n_risk", $"n1_risk",
+        $"d".as("n_events"), $"d1".as("n_events_g1"),
+        $"w_oe", sum($"w_oe").over(wCum).as("w_oe_cum"),
+        $"v_num".cast("string").as("v_num"),
+        greatest($"n_risk" - 1, lit(1L)).as("v_den"))
+      .orderBy($"t_weeks")
+  }
+
+  /** Bounded harmonic centrality over the co-purchase graph: for the
+    * top-5 hub nodes (degree desc, node asc — the q126 seed rule
+    * widened to a seed SET), H(s) = Σ_v 1/d(s,v) truncated at 3 hops.
+    * With d ∈ {1,2,3} the reciprocals are EXACT in sixths
+    * (6·n₁ + 3·n₂ + 2·n₃), so the centrality is an integer — no
+    * float. The BFS is the q126 frontier expansion carrying a seed
+    * column: each hop is one join against the shared snapshotted edge
+    * table + a distinct + an anti-join against the visited set, all
+    * keyed by (seed, node) — 5 seeds ride ONE plan, not 5 traversals.
+    * Frontiers localCheckpoint (lazily) for the q126 reason: the
+    * per-hop counts and the next hop's anti-join would otherwise
+    * re-execute the chained lineage per consumer. Truncated-BFS
+    * centrality (Eppstein–Wang style seed sampling) is the standard
+    * 100 TB posture — exact closeness is all-pairs and off the table;
+    * the hop cap bounds state at |reachable ≤ 3|, and the result is a
+    * 5-row frame (materializeAndRelease — the q57 contract). */
+  def q187Harmonic(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
+    val pairs = copurchaseEdges(spark, dir)
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .orderBy($"deg".desc, $"src").limit(5)
+      .select($"src".as("seed"))
+    var visited = seeds.select($"seed", $"seed".as("node"))
+    var frontier = visited
+    val hopCounts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (h <- 1 to hops) {
+      frontier = edges.join(frontier, $"src" === $"node")
+        .select($"seed", $"dst".as("node")).distinct()
+        .join(visited.select($"seed".as("s2"), $"node".as("v")),
+          $"seed" === $"s2" && $"node" === $"v", "left_anti")
+        .localCheckpoint(false)
+      visited = visited.unionAll(frontier)
+      hopCounts += frontier.groupBy($"seed")
+        .agg(lit(h.toLong).as("hop"), count(lit(1)).as("n"))
+    }
+    val counts = hopCounts.reduce(_ unionAll _)
+    val out = seeds
+      .join(counts.filter($"hop" === 1).select($"seed".as("k1"), $"n".as("n1")),
+        $"seed" === $"k1", "left")
+      .join(counts.filter($"hop" === 2).select($"seed".as("k2"), $"n".as("n2")),
+        $"seed" === $"k2", "left")
+      .join(counts.filter($"hop" === 3).select($"seed".as("k3"), $"n".as("n3")),
+        $"seed" === $"k3", "left")
+      .select($"seed",
+        coalesce($"n1", lit(0L)).as("n1"),
+        coalesce($"n2", lit(0L)).as("n2"),
+        coalesce($"n3", lit(0L)).as("n3"))
+      .withColumn("harmonic_sixths", lit(6L) * $"n1" + lit(3L) * $"n2" + lit(2L) * $"n3")
+      .orderBy($"seed")
+    materializeAndRelease(spark, out, edges)
   }
 
 }

@@ -1598,4 +1598,114 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Calinski–Harabasz index (variance-ratio criterion) of the
+    * Lloyd-step assignment — the INTERNAL clustering validation that
+    * reads beside the elbow plot ([[simInertia]] is its denominator):
+    * CH = (B/(k−1)) / (W/(n−k)). Within-SS comes from the assignment's
+    * per-row rounded distances summed in DECIMAL (the inertia
+    * discipline); total-SS is one broadcast join against the GLOBAL
+    * exact-decimal centroid with the identical fixed-order float fold;
+    * between = total − within as integer micros, and CH is one
+    * decimal(38,0) cross-multiplied division (~10²³ at 100× test
+    * scale). Two corpus passes (assignment + total), both
+    * broadcast-joined — nothing shuffles beyond the Lloyd step's own
+    * aggregates. A single-cluster degenerate (k=1) or zero within-SS
+    * emits NULL in both engines via the guard. */
+  def simCalinski(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // global centroid from EXACT integer nanos — floor(v·10⁹ + 0.5) is
+    // pure IEEE arithmetic, so the summed centroid is bit-identical in
+    // both engines. (The per-label family uses cast(float→decimal(18,9)),
+    // whose engine-specific float rounding skews a 500-row mean by
+    // ~3e-10 — summing 500 ROUNDED distances here made one row cross a
+    // micro boundary at sf0.001, seen live in the gate.)
+    val gmean = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(expr(
+        "cast(sum(cast(floor(cast(v as double) * 1000000000 + 0.5) as bigint)) as double) / 1000000000 / count(*)")
+        .as("c"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("gv"))
+    val total = e.crossJoin(broadcast(gmean))
+      .withColumn("gdist", expr(
+        "round(aggregate(zip_with(embedding, gv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), cast(0 as double), (acc, v) -> acc + v), 6)"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(gdist as decimal(38,6))) * 1000000 as bigint)").as("total_micro"))
+    val within = simKmeansStep(spark, dir)
+      .agg(count_distinct(col("new_label")).as("k"),
+        expr("cast(sum(cast(dist as decimal(38,6))) * 1000000 as bigint)").as("within_micro"))
+    total.crossJoin(broadcast(within))
+      .select(col("n"), col("k"), col("total_micro"), col("within_micro"),
+        (col("total_micro") - col("within_micro")).as("between_micro"),
+        expr("""CASE WHEN within_micro > 0 AND k > 1 THEN
+               | cast(cast(total_micro - within_micro as decimal(38,0)) * (n - k)
+               |   * 1000000 div (cast(within_micro as decimal(38,0)) * (k - 1)) as bigint)
+               |END""".stripMargin).as("ch_micro"))
+  }
+
+  /** Per-cluster purity of the Lloyd-step assignment — the EXTERNAL
+    * per-cluster readout (which clusters are clean, which are mixed)
+    * beside the corpus-level chance-corrected [[simAri]]: majority
+    * true label per assigned cluster (deterministic count-desc,
+    * label-asc tie-break) and its share as an exact integer micro.
+    * Everything past the assignment is k²-sized cells; the argmax is
+    * a window over those cells, not over vectors. */
+  def simClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = simKmeansStep(spark, dir)
+      .groupBy(col("new_label"), col("label"))
+      .agg(count(lit(1)).as("nij"))
+    val w = Window.partitionBy(col("new_label")).orderBy(col("nij").desc, col("label"))
+    cells.withColumn("rn", row_number().over(w))
+      .groupBy(col("new_label"))
+      .agg(sum(col("nij")).as("n_vecs"),
+        max(when(col("rn") === 1, col("label"))).as("top_label"),
+        max(when(col("rn") === 1, col("nij"))).as("n_top"))
+      .select(col("new_label"), col("n_vecs"), col("top_label"), col("n_top"),
+        expr("n_top * 1000000 div n_vecs").as("purity_micro"))
+      .orderBy(col("new_label"))
+  }
+
+  /** Adjusted Rand index between the Lloyd-step cluster assignment
+    * ([[simKmeansStep]]'s new_label) and the ground-truth label — the
+    * chance-corrected external clustering validation (Hubert &
+    * Arabie), completing the eval tier beside the internal metrics
+    * (inertia / silhouette / centroid drift). All sufficient
+    * statistics are EXACT integer pair counts off the k×k contingency
+    * table: Σᵢⱼ C(nᵢⱼ,2), row/column-marginal pair sums and C(n,2);
+    * ARI = 2(sp·np − sa·sb) / ((sa+sb)·np − 2·sa·sb) is published as
+    * one decimal(38,0) cross-multiplied micro (products ~10³⁰ at
+    * 100× test scale — inside decimal(38); the all-one-cluster
+    * degenerate makes the denominator 0 and BOTH engines emit NULL
+    * via the explicit guard). Everything past the assignment is
+    * k²-sized — the contingency aggregate is the only corpus-scale
+    * pass, and it rides the assignment's existing shuffle. */
+  def simAri(spark: SparkSession, dir: String): DataFrame = {
+    val assign = simKmeansStep(spark, dir)
+      .select(col("vec_id"), col("label"), col("new_label"))
+    val cells = assign.groupBy(col("label"), col("new_label"))
+      .agg(count(lit(1)).as("nij"))
+    val sp = cells.agg(
+      sum(expr("cast(nij as decimal(38,0)) * (nij - 1) div 2")).as("sum_pairs"),
+      sum(col("nij")).as("n"))
+    val sa = cells.groupBy(col("label"))
+      .agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("cast(ai as decimal(38,0)) * (ai - 1) div 2")).as("sum_a"))
+    val sb = cells.groupBy(col("new_label"))
+      .agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("cast(bj as decimal(38,0)) * (bj - 1) div 2")).as("sum_b"))
+    sp.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("n"),
+        col("sum_pairs").cast("bigint").as("sum_pairs"),
+        col("sum_a").cast("bigint").as("sum_a"),
+        col("sum_b").cast("bigint").as("sum_b"),
+        expr("cast(cast(n as decimal(38,0)) * (n - 1) div 2 as bigint)").as("n_pairs"),
+        expr("""CASE WHEN (sum_a + sum_b) * (cast(n as decimal(38,0)) * (n - 1) div 2)
+               |       - 2 * sum_a * sum_b <> 0 THEN
+               | cast(2 * (sum_pairs * (cast(n as decimal(38,0)) * (n - 1) div 2)
+               |           - sum_a * sum_b) * 1000000
+               |  div ((sum_a + sum_b) * (cast(n as decimal(38,0)) * (n - 1) div 2)
+               |       - 2 * sum_a * sum_b) as bigint)
+               |END""".stripMargin).as("ari_micro"))
+  }
+
 }

@@ -2162,6 +2162,51 @@ object TextAnalysis {
         expr(s"mattr_num * 1000000 div ($window * n_windows)"))
       .orderBy(col("doc_id"))
 
+  /** MTLD — Measure of Textual Lexical Diversity (McCarthy & Jarvis
+    * 2010), forward pass: walk the token stream keeping a running
+    * factor; when the factor's TTR drops below 0.72 the factor
+    * completes and restarts at the next token. MTLD = n_tokens /
+    * (factors + partial) where the trailing partial credits
+    * (1−TTR)/(1−0.72). Unlike the windowed [[txtMattr]] this is
+    * SEQUENTIAL state — the diversity score order-shuffling can't
+    * fake — and it stays exact: the threshold test is the integer
+    * cross-multiply 25·distinct < 18·len, the partial is the rational
+    * 25(l′−d′)/(7l′), and the published score is one integer floor
+    * division (n·7l′·10⁶ div (7l′F + 25(l′−d′))); a doc whose factor
+    * never completes and whose tokens are all distinct has no defined
+    * MTLD and both engines emit NULL via the guard. Scale shape: the
+    * MATTR contract — one fold per row (sequence/slice/
+    * array_distinct), zero shuffle, zero explode, work bounded by
+    * doc length. */
+  def txtMtld(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.tokens("text").as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("acc", expr(
+        """aggregate(sequence(1, size(t)),
+          |  array(cast(0 as bigint), cast(1 as bigint)),
+          |  (acc, i) -> if(25 * size(array_distinct(
+          |        slice(t, cast(acc[1] as int), cast(i - acc[1] + 1 as int))))
+          |      < 18 * cast(i - acc[1] + 1 as int),
+          |    array(acc[0] + 1, cast(i as bigint) + 1), acc))""".stripMargin))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_factors", expr("acc[0]"))
+      .withColumn("tail_len", expr("cast(size(t) as bigint) - acc[1] + 1"))
+      .withColumn("tail_distinct", expr(
+        """if(tail_len > 0, cast(size(array_distinct(
+          |  slice(t, cast(acc[1] as int), cast(tail_len as int)))) as bigint),
+          |  cast(0 as bigint))""".stripMargin))
+      .select(col("doc_id"), col("n_tokens"), col("n_factors"),
+        col("tail_len"), col("tail_distinct"),
+        expr(
+          """CASE WHEN tail_len > 0 THEN
+            | CASE WHEN 7 * tail_len * n_factors + 25 * (tail_len - tail_distinct) > 0
+            |  THEN n_tokens * 7 * tail_len * 1000000
+            |       div (7 * tail_len * n_factors + 25 * (tail_len - tail_distinct))
+            | END
+            |ELSE n_tokens * 1000000 div n_factors END""".stripMargin).as("mtld_micro"))
+      .orderBy(col("doc_id"))
+
   /** BPE APPLY — the other half of the tokenizer tier: run the
     * [[txtBpeMerges]]-trained merges over the training vocabulary and
     * report the corpus-weighted segmentation compression (Σ cnt·|seg|

@@ -157,17 +157,19 @@ class Round13WidenSpec extends SparkSpec {
     val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, series) =>
       val cents = series.sortBy(_._2).map(_._3)
       val obs = cents.sliding(2).map { w => (w(0), w(1) - w(0)) }.toSeq
-      val n = obs.size.toLong
-      val sx = obs.map(_._1).sum.toDouble
-      val sd = obs.map(_._2).sum.toDouble
-      val sxd = obs.map { case (x, d) => x * d }.sum.toDouble
-      val sxx = obs.map { case (x, _) => x * x }.sum.toDouble
+      val n = BigInt(obs.size)
+      val sx = obs.map(_._1).sum
+      val sd = obs.map(_._2).sum
+      val sxd = obs.map { case (x, d) => x * d }.sum
+      val sxx = obs.map { case (x, _) => x * x }.sum
       def r6(v: Double) = java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-      (p, n, r6((n * sxd - sx * sd) / (n * sxx - sx * sx)),
-        r6((sd * sxx - sx * sxd) / (n * sxx - sx * sx)))
+      // gamma: one correctly-rounded double division of EXACT sums;
+      // intercept: exact integer cents (truncated-toward-zero div)
+      (p, n.toLong, r6((n * sxd - sx * sd).toDouble / (n * sxx - sx * sx).toDouble),
+        ((sd * sxx - sx * sxd) / (n * sxx - sx * sx)).toLong)
     }
     val got = Analytics.q182AdfInputs(spark, sf0001).collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
     assert(got == expected)
   }
 
