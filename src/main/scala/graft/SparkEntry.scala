@@ -406,6 +406,8 @@ object SparkEntry {
     "txt_mtld" -> (TextAnalysis.txtMtld _),
     "sim_calinski" -> (Similarity.simCalinski _),
     "sim_cluster_purity" -> (Similarity.simClusterPurity _),
+    "sim_triplets" -> (Similarity.simTriplets _),
+    "sim_dbscan_cores" -> ((s: SparkSession, d: String) => Similarity.simDbscanCores(s, d)),
     "q188_cohens_d" -> (Analytics.q188CohensD _),
     "q189_gehan" -> (Analytics.q189Gehan _),
     "sim_rp_tree" -> (Similarity.simRpTree _),
@@ -8702,5 +8704,46 @@ object SparkEntry {
         | cast(v_num as varchar) AS v_num,
         | cast(greatest(n_risk - 1, 1) as bigint) AS v_den
         |FROM steps ORDER BY t_weeks""".stripMargin,
+    "sim_triplets" ->
+      """WITH q AS (SELECT vec_id qid, label qlabel, embedding qe FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        | SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        |  list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(e.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(qe[i] as double) * cast(qe[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))) cosim
+        | FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+        |), pos AS (
+        | SELECT qid, vec_id pos_id, cosim pos_cos FROM (
+        |  SELECT qid, vec_id, cosim,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn
+        |  FROM s WHERE label = qlabel) WHERE rn = 1
+        |), negs AS (
+        | SELECT s.qid, s.vec_id, s.cosim, pos.pos_id, pos.pos_cos,
+        |  CASE WHEN s.cosim < pos.pos_cos THEN 1 ELSE 0 END in_band
+        | FROM s JOIN pos ON s.qid = pos.qid WHERE s.label <> s.qlabel
+        |), pick AS (
+        | SELECT qid, vec_id, cosim, pos_id, pos_cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY in_band DESC, cosim DESC, vec_id) rn,
+        |  sum(in_band) OVER (PARTITION BY qid) n_band
+        | FROM negs
+        |)
+        |SELECT qid AS anchor_id, pos_id, round(pos_cos, 6) AS pos_score,
+        | vec_id AS neg_id, round(cosim, 6) AS neg_score,
+        | cast(n_band as bigint) AS n_band
+        |FROM pick WHERE rn = 1 ORDER BY anchor_id""".stripMargin,
+    "sim_dbscan_cores" ->
+      """WITH p AS (
+        | SELECT a.vec_id va, a.label,
+        |  sum(CASE WHEN list_sum(list_transform(range(1, 65),
+        |    i -> (cast(a.embedding[i] as double) - cast(b.embedding[i] as double)) * (cast(a.embedding[i] as double) - cast(b.embedding[i] as double)))) <= 1.5
+        |   THEN 1 ELSE 0 END) n_neighbors
+        | FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id <> b.vec_id
+        | GROUP BY 1, 2
+        |)
+        |SELECT va AS vec_id, cast(label as bigint) AS cell,
+        | cast(n_neighbors as bigint) AS n_neighbors,
+        | n_neighbors >= 4 AS is_core
+        |FROM p ORDER BY vec_id""".stripMargin,
   )
 }

@@ -1598,6 +1598,72 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Semi-hard triplet mining (FaceNet's training-data assembly rule)
+    * — for each anchor, the (anchor, positive, negative) triple a
+    * metric-learning batch builder emits: positive = hardest same-label
+    * match (highest cosine, the anchor's own near-dup), negative = the
+    * HARDEST SEMI-HARD foreign vector (max cosine among those with
+    * cosim < pos_score — closer than that band makes the triple
+    * violate before training starts, farther contributes no gradient).
+    * n_band publishes how many candidates the band held; when it's
+    * empty the hardest foreign vector stands in (the standard
+    * fallback, visible as n_band = 0). One broadcast-query scored
+    * pass (the [[simHardNegatives]] shape) feeds both sides; ranks
+    * run over |Q|-keyed windows. */
+  def simTriplets(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+    val wPos = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
+    val pos = scored.filter(col("label") === col("qlabel"))
+      .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select(col("qid").as("aid"), col("vec_id").as("pos_id"), col("cosim").as("pos_cos"))
+    val negs = scored.filter(col("label") =!= col("qlabel"))
+      .join(broadcast(pos), col("qid") === col("aid"))
+      .withColumn("in_band", (col("cosim") < col("pos_cos")).cast("int"))
+    val wNeg = Window.partitionBy(col("qid"))
+      .orderBy(col("in_band").desc, col("cosim").desc, col("vec_id"))
+    val nband = negs.groupBy(col("qid").as("q2"))
+      .agg(sum(col("in_band")).cast("bigint").as("n_band"))
+    negs.withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+      .join(broadcast(nband), col("qid") === col("q2"))
+      .select(col("qid").as("anchor_id"), col("pos_id"),
+        round(col("pos_cos"), 6).as("pos_score"),
+        col("vec_id").as("neg_id"), round(col("cosim"), 6).as("neg_score"),
+        col("n_band"))
+      .orderBy(col("anchor_id"))
+  }
+
+  /** DBSCAN core-point census under the label-cell blocking (the
+    * SemDeDup cell contract): per vector, how many SAME-CELL
+    * neighbours sit within squared-L2 eps², and whether that makes it
+    * a core point (≥ minPts). This is the density profile a
+    * density-based clusterer (or a dedup pass choosing its radius)
+    * reads before committing to eps — and the blocked form is the
+    * 100 TB posture: the ε-neighbour join runs inside cells only
+    * (Σ|cell|² pairs, never corpus²), exactly like the dedup family's
+    * banded joins; the cap is semantic (cross-cell neighbours are out
+    * of contract), replicated verbatim in the oracle. The distance
+    * threshold compares identical IEEE doubles in both engines. */
+  def simDbscanCores(spark: SparkSession, dir: String,
+      eps2: Double = 1.5, minPts: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("label").as("lb"), col("embedding").as("eb"))
+    a.join(b, col("label") === col("lb") && col("va") =!= col("vb"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), cast(0 as double), (acc, v) -> acc + v)"))
+      .groupBy(col("va"), col("label"))
+      .agg(sum(when(col("d2") <= eps2, 1L).otherwise(0L)).as("n_neighbors"))
+      .select(col("va").as("vec_id"), col("label").cast("long").as("cell"),
+        col("n_neighbors"), (col("n_neighbors") >= minPts).as("is_core"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Calinski–Harabasz index (variance-ratio criterion) of the
     * Lloyd-step assignment — the INTERNAL clustering validation that
     * reads beside the elbow plot ([[simInertia]] is its denominator):
@@ -1693,18 +1759,25 @@ object Similarity {
     val sb = cells.groupBy(col("new_label"))
       .agg(sum(col("nij")).as("bj"))
       .agg(sum(expr("cast(bj as decimal(38,0)) * (bj - 1) div 2")).as("sum_b"))
+    // the ARI ratio works on the UNdivided n(n−1) (both sides ×2 — the
+    // truncated quotient is unchanged) and every product runs in
+    // decimal(38,0): the `div 2` pair sums come back as LONGs, and a
+    // long×long chain here ANSI-overflowed at sf1 (20k vectors)
     sp.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
       .select(col("n"),
         col("sum_pairs").cast("bigint").as("sum_pairs"),
         col("sum_a").cast("bigint").as("sum_a"),
         col("sum_b").cast("bigint").as("sum_b"),
         expr("cast(cast(n as decimal(38,0)) * (n - 1) div 2 as bigint)").as("n_pairs"),
-        expr("""CASE WHEN (sum_a + sum_b) * (cast(n as decimal(38,0)) * (n - 1) div 2)
-               |       - 2 * sum_a * sum_b <> 0 THEN
-               | cast(2 * (sum_pairs * (cast(n as decimal(38,0)) * (n - 1) div 2)
-               |           - sum_a * sum_b) * 1000000
-               |  div ((sum_a + sum_b) * (cast(n as decimal(38,0)) * (n - 1) div 2)
-               |       - 2 * sum_a * sum_b) as bigint)
+        expr("""CASE WHEN (cast(sum_a as decimal(38,0)) + sum_b)
+               |        * (cast(n as decimal(38,0)) * (n - 1))
+               |       - 4 * cast(sum_a as decimal(38,0)) * sum_b <> 0 THEN
+               | cast(2 * (cast(sum_pairs as decimal(38,0))
+               |             * (cast(n as decimal(38,0)) * (n - 1))
+               |           - 2 * cast(sum_a as decimal(38,0)) * sum_b) * 1000000
+               |  div ((cast(sum_a as decimal(38,0)) + sum_b)
+               |         * (cast(n as decimal(38,0)) * (n - 1))
+               |       - 4 * cast(sum_a as decimal(38,0)) * sum_b) as bigint)
                |END""".stripMargin).as("ari_micro"))
   }
 

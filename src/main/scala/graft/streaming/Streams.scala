@@ -443,6 +443,44 @@ object Streams {
       }
   }
 
+  case class MaseState(ring: Seq[Long], prev: Long, hasPrev: Boolean,
+      nEval: Long, sae: Long, nNaive: Long, sad: Long)
+  case class MaseSnapshot(priority: String, n_eval: Long, sae_cents: Long,
+      n_naive: Long, sad_cents: Long)
+
+  /** Streaming MASE accumulators — the deployment twin of the batch
+    * q186 forecast-accuracy readout: per priority the state is a
+    * 7-long ring buffer (the lag-7 seasonal-naive predictions) plus
+    * the previous value and four counters (Σ|e| over scored rows,
+    * Σ|Δ| over naive-1 pairs) — O(1) state, ~9 longs. Each trigger
+    * folds its days in order and emits the running sufficient
+    * statistics; consumers form MASE = (sae/n_eval)/(sad/n_naive)
+    * at the edge. Arrival contract as the SPC twin: day-ordered
+    * batches per priority (the lag semantics are ROW-lag over the
+    * observed series, exactly the batch operator's window). */
+  def maseStream(daily: Dataset[DailyCents]): Dataset[MaseSnapshot] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.priority)
+      .mapGroupsWithState[MaseState, MaseSnapshot](GroupStateTimeout.NoTimeout) {
+        (p: String, batch: Iterator[DailyCents], state: GroupState[MaseState]) =>
+          var st = state.getOption.getOrElse(
+            MaseState(Vector.empty, 0L, false, 0L, 0L, 0L, 0L))
+          batch.toSeq.sortBy(_.day_epoch).foreach { d =>
+            if (st.hasPrev)
+              st = st.copy(nNaive = st.nNaive + 1,
+                sad = st.sad + math.abs(d.cents - st.prev))
+            if (st.ring.size == 7)
+              st = st.copy(nEval = st.nEval + 1,
+                sae = st.sae + math.abs(d.cents - st.ring.head))
+            st = st.copy(ring = (st.ring :+ d.cents).takeRight(7),
+              prev = d.cents, hasPrev = true)
+          }
+          state.update(st)
+          MaseSnapshot(p, st.nEval, st.sae, st.nNaive, st.sad)
+      }
+  }
+
   case class DayDelta(day_epoch: Long, delta: Long)
   case class OpenCount(day_epoch: Long, net: Long, n_open: Long)
 

@@ -301,6 +301,69 @@ class Round14OpsSpec extends SparkSpec {
     assert(lr == got.map(t => (t._1, t._2, t._3, t._4, t._5)))
   }
 
+  // ---------------------------------------------------------- sim_triplets
+
+  private def vecs(): Seq[(Long, Int, Array[Float])] =
+    Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .toSeq.sortBy(_._1)
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < x.length) { s += x(j).toDouble * y(j).toDouble; j += 1 }
+      s
+    }
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("sim_triplets: driver-recomputed semi-hard mining matches; band semantics hold") {
+    val all = vecs()
+    val expected = all.filter(_._1 < 5).map { case (qid, qlabel, qe) =>
+      val scored = all.filter(_._1 != qid).map { case (id, l, e) => (id, l, cos(qe, e)) }
+      val (posId, _, posCos) = scored.filter(_._2 == qlabel)
+        .minBy { case (id, _, c) => (-c, id) }
+      val negsAll = scored.filter(_._2 != qlabel)
+      val band = negsAll.filter(_._3 < posCos)
+      val nBand = band.size.toLong
+      val (negId, _, negCos) =
+        (if (band.nonEmpty) band else negsAll).minBy { case (id, _, c) => (-c, id) }
+      (qid, posId, r6(posCos), negId, r6(negCos), nBand)
+    }
+    val got = Similarity.simTriplets(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+        r.getLong(5))).toSeq
+    assert(got == expected)
+    // band semantics: every published negative with n_band > 0 scores
+    // strictly below its positive
+    got.filter(_._6 > 0).foreach(t => assert(t._5 <= t._3))
+  }
+
+  // ------------------------------------------------------ sim_dbscan_cores
+
+  test("sim_dbscan_cores: plain-Scala cell-blocked census matches; both classes live") {
+    val all = vecs()
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) {
+        val d = a(j).toDouble - b(j).toDouble; s += d * d; j += 1
+      }
+      s
+    }
+    val expected = all.map { case (id, l, e) =>
+      val n = all.count { case (id2, l2, e2) =>
+        id2 != id && l2 == l && d2(e, e2) <= 1.5
+      }.toLong
+      (id, l.toLong, n, n >= 4)
+    }
+    val got = Similarity.simDbscanCores(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "eps/minPts must yield BOTH core and non-core points — dead gate otherwise")
+  }
+
   // ------------------------------------------------------------- txt_mtld
 
   test("txt_mtld: driver-replayed sequential factor walk matches exactly") {

@@ -929,6 +929,37 @@ class StreamingSpec extends SparkSpec {
       "final streamed MR sufficient statistics must equal the batch control chart")
   }
 
+  test("streaming MASE accumulators: O(1) state final snapshot matches the batch q186 sums") {
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .select(col("priority"),
+        expr("datediff(day, date'1970-01-01')").cast("long").as("day_epoch"), col("cents"))
+    val mid = daily.agg(expr("percentile_approx(day_epoch, 0.5)")).head().getLong(0)
+    val dir = Files.createTempDirectory("mase_stream")
+    daily.filter(col("day_epoch") < mid).coalesce(1).write.parquet(dir.toString + "/a")
+    daily.filter(col("day_epoch") >= mid).coalesce(1).write.parquet(dir.toString + "/b")
+    orderAthenB(dir)
+    val stream = spark.readStream.schema(daily.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .as[Streams.DailyCents]
+    runToMemory(Streams.maseStream(stream).toDF(), "mase_stream_t",
+      OutputMode.Update)
+    val streamed = spark.sql(
+      "select priority, n_eval, sae_cents, n_naive, sad_cents from (select *," +
+        " row_number() over (partition by priority order by n_eval desc) rn" +
+        " from mase_stream_t) where rn = 1")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batch = graft.operators.Analytics.q186Mase(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed == batch,
+      "final streamed MASE sufficient statistics must equal the batch operator's sums")
+  }
+
   test("streaming Page-Hinkley monitor: final snapshot matches the batch detector") {
     val daily = Tables.orders(spark, sf0001)
       .groupBy(col("o_orderpriority").as("priority"),

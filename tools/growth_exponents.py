@@ -27,7 +27,7 @@ ID_SUFFIXES = ("_id", "_key", "key", "_custkey", "_orderkey")
 ID_NAMES = {"doc_id", "user_id", "vec_id", "event_id", "bid", "dropped",
             "keeper", "nearest_bench", "va", "vb", "vec_a", "vec_b",
             "query_id", "doc_a", "doc_b", "id_a", "id_b", "src", "dst",
-            "node", "i", "j",
+            "node", "seed", "i", "j",
             # id-VALUED statistics: min/max/kept ids, pair endpoints
             "doc_new", "max_kept", "part_a", "part_b", "key_a", "key_b",
             # keeper_doc = min(doc_id) over a chunk's holders; an LPA

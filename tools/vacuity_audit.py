@@ -26,6 +26,7 @@ ALLOW_MONO = {
     ("pipe_l_diversity", "at_risk"),     # 2-row audit table
     ("q7_semi_anti", "has_orders"),      # anti class exists only at sf0.1; both halves spec'd
     ("mm_silence_trim", "all_silent"),   # corpus payloads always have a loud frame; true class spec'd on synthetic silence
+    ("sim_dbscan_cores", "is_core"),     # all-core is the TRUE answer on the dense sf1 replica corpus (cell density grows with SF at fixed eps); both classes spec'd at sf0.001 in Round14OpsSpec
 }
 
 
