@@ -408,6 +408,9 @@ object SparkEntry {
     "sim_cluster_purity" -> (Similarity.simClusterPurity _),
     "sim_triplets" -> (Similarity.simTriplets _),
     "sim_dbscan_cores" -> ((s: SparkSession, d: String) => Similarity.simDbscanCores(s, d)),
+    "q190_pettitt" -> (Analytics.q190Pettitt _),
+    "sim_spherical_step" -> (Similarity.simSphericalStep _),
+    "txt_sichel" -> (TextAnalysis.txtSichel _),
     "q188_cohens_d" -> (Analytics.q188CohensD _),
     "q189_gehan" -> (Analytics.q189Gehan _),
     "sim_rp_tree" -> (Similarity.simRpTree _),
@@ -8745,5 +8748,72 @@ object SparkEntry {
         | cast(n_neighbors as bigint) AS n_neighbors,
         | n_neighbors >= 4 AS is_core
         |FROM p ORDER BY vec_id""".stripMargin,
+    "q190_pettitt" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), cells AS (
+        | SELECT o_orderpriority, cents, cast(count(*) as bigint) c FROM daily GROUP BY 1, 2
+        |), ranked AS (
+        | SELECT o_orderpriority, cents,
+        |  2 * coalesce(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 s
+        | FROM cells
+        |), tot AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_days FROM daily GROUP BY 1
+        |), u AS (
+        | SELECT d.o_orderpriority, d."day", t.n_days,
+        |  row_number() OVER (PARTITION BY d.o_orderpriority ORDER BY d."day") t,
+        |  sum(r.s) OVER (PARTITION BY d.o_orderpriority ORDER BY d."day")
+        |   - row_number() OVER (PARTITION BY d.o_orderpriority ORDER BY d."day") * (t.n_days + 1) u_t
+        | FROM daily d
+        | JOIN ranked r ON d.o_orderpriority = r.o_orderpriority AND d.cents = r.cents
+        | JOIN tot t ON d.o_orderpriority = t.o_orderpriority
+        |), pick AS (
+        | SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY abs(u_t) DESC, "day") rn FROM u
+        |)
+        |SELECT o_orderpriority, n_days, cast(t as bigint) AS t_star,
+        | "day" AS day_star, cast(u_t as bigint) AS u_star,
+        | cast(abs(u_t) as bigint) AS k_stat
+        |FROM pick WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+    "sim_spherical_step" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |nh AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> cast(x as double) /
+        |    sqrt(list_sum(list_transform(embedding, y -> cast(y as double) * cast(y as double))))) nhat
+        | FROM embeddings
+        |), cent AS (
+        | SELECT label, i,
+        |  cast(sum(cast(floor(nhat[i] * 1000000000 + 0.5) as bigint)) as double) / 1000000000 / count(*) c
+        | FROM nh CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT nh.vec_id, nh.label, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> nhat[i] * cv.cv[i])) /
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cv.cv[i] * cv.cv[i]))) cos
+        | FROM nh CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, label, clabel new_label, cos,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) rn FROM d
+        |)
+        |SELECT vec_id, label, new_label, round(cos, 6) AS cos
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "txt_sichel" ->
+      """WITH toks AS (
+        | SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), b AS (
+        | SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) bg
+        | FROM toks WHERE len(t) >= 2
+        |), c AS (
+        | SELECT lang, bg, cast(count(*) as bigint) tf FROM b GROUP BY 1, 2
+        |)
+        |SELECT lang, cast(count(*) as bigint) AS v,
+        | cast(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) as bigint) AS v1,
+        | cast(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) as bigint) AS v2,
+        | cast(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) * 1000000 // count(*) as bigint) AS sichel_micro
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -4937,6 +4937,46 @@ object Analytics {
       .orderBy($"t_weeks")
   }
 
+  /** Pettitt changepoint test per priority — the RANK-based (outlier-
+    * robust) single-changepoint locator beside the mean-based CUSUM
+    * family (q84/q131/q155): U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j),
+    * argmax |U_t|. Uses the closed form U_t = Σ_{i≤t} s_i − t(n+1)
+    * where s_i = 2·ltC + c + 1 is the DOUBLED midrank (an integer even
+    * under ties — the q134 trick), so the whole statistic is exact
+    * integers: one value-ordered window for the midranks, one
+    * day-ordered window for the prefix sums, both over the
+    * calendar-bounded daily series. Tie-break: earliest day. */
+  def q190Pettitt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    val cells = daily.groupBy($"o_orderpriority", $"cents")
+      .agg(count(lit(1)).as("c"))
+    val wVal = Window.partitionBy($"o_orderpriority").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("lt_c", coalesce(sum($"c").over(wVal), lit(0L)))
+      .withColumn("s", lit(2L) * $"lt_c" + $"c" + 1L)
+      .select($"o_orderpriority".as("p2"), $"cents".as("v2"), $"s")
+    val tot = daily.groupBy($"o_orderpriority".as("p3"))
+      .agg(count(lit(1)).as("n_days"))
+    val wDay = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val u = daily
+      .join(ranked, $"o_orderpriority" === $"p2" && $"cents" === $"v2")
+      .join(broadcast(tot), $"o_orderpriority" === $"p3")
+      .withColumn("t", row_number().over(wDay).cast("long"))
+      .withColumn("u_t", sum($"s").over(
+        Window.partitionBy($"o_orderpriority").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, 0)) - $"t" * ($"n_days" + 1L))
+    val wPick = Window.partitionBy($"o_orderpriority")
+      .orderBy(abs($"u_t").desc, $"day")
+    u.withColumn("rn", row_number().over(wPick))
+      .filter($"rn" === 1)
+      .select($"o_orderpriority", $"n_days", $"t".as("t_star"),
+        $"day".as("day_star"), $"u_t".as("u_star"), abs($"u_t").as("k_stat"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Bounded harmonic centrality over the co-purchase graph: for the
     * top-5 hub nodes (degree desc, node asc — the q126 seed rule
     * widened to a seed SET), H(s) = Σ_v 1/d(s,v) truncated at 3 hops.

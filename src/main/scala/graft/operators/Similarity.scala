@@ -1598,6 +1598,44 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Spherical k-means assignment step — the COSINE-geometry Lloyd
+    * step embeddings actually want (L2 k-means over unnormalized
+    * vectors lets magnitude dominate direction; spherical normalizes
+    * first and assigns by cosine — Dhillon & Modha). Vectors
+    * normalize to x̂ = x/‖x‖ in fixed IEEE arithmetic; per-label
+    * centroids of the NORMALIZED vectors use the exact-nanos sum
+    * (floor(x̂ᵢ·10⁹+0.5) as bigint — the [[simCalinski]] hardening:
+    * bit-identical across engines, no float→decimal cast ambiguity);
+    * assignment = max cosine, smallest-label tie-break. Same shape
+    * and scale posture as [[simKmeansStep]]: one corpus×centroid
+    * broadcast pass. */
+  def simSphericalStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nhat", expr(
+        """transform(embedding, x -> cast(x as double) /
+          | sqrt(aggregate(transform(embedding, y -> cast(y as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)))""".stripMargin))
+    val cent = e
+      .select(col("label"), posexplode(col("nhat")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr(
+        "cast(sum(cast(floor(v * 1000000000 + 0.5) as bigint)) as double) / 1000000000 / count(*)")
+        .as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("cos", expr(
+        """aggregate(zip_with(nhat, cv, (x, c) -> x * c), cast(0 as double), (acc, v) -> acc + v) /
+          | sqrt(aggregate(transform(cv, c -> c * c), cast(0 as double), (acc, v) -> acc + v))""".stripMargin))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("clabel"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("new_label"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Semi-hard triplet mining (FaceNet's training-data assembly rule)
     * — for each anchor, the (anchor, positive, negative) triple a
     * metric-learning batch builder emits: positive = hardest same-label

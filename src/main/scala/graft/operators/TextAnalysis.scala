@@ -2162,6 +2162,28 @@ object TextAnalysis {
         expr(s"mattr_num * 1000000 div ($window * n_windows)"))
       .orderBy(col("doc_id"))
 
+  /** Sichel's S — the dislegomena proportion V₂/V per language
+    * (Sichel 1975), over the BIGRAM type spectrum: the
+    * frequency-spectrum constant that stays stable as the corpus
+    * grows where raw TTR collapses, read beside [[txtHapax]] (V₁) and
+    * Yule's K. Bigrams, not unigrams, deliberately: the synthetic
+    * corpus's 31-term unigram vocabulary has NO tf=2 types at any SF
+    * (a dead gate — the round-7 vacuity lesson), while the bigram
+    * spectrum carries live V₁/V₂ mass everywhere. One map-side n-gram
+    * expansion + one aggregate; exact integers, one micro division. */
+  def txtSichel(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.ngramArray("text", 2)).as("bg"))
+      .groupBy(col("lang"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("v"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("v2"))
+      .select(col("lang"), col("v"), col("v1"), col("v2"),
+        expr("v2 * 1000000 div v").as("sichel_micro"))
+      .orderBy(col("lang"))
+
   /** MTLD — Measure of Textual Lexical Diversity (McCarthy & Jarvis
     * 2010), forward pass: walk the token stream keeping a running
     * factor; when the factor's TTR drops below 0.72 the factor

@@ -364,6 +364,84 @@ class Round14OpsSpec extends SparkSpec {
       "eps/minPts must yield BOTH core and non-core points — dead gate otherwise")
   }
 
+  // ---------------------------------------------------------- q190_pettitt
+
+  test("q190_pettitt: driver-recomputed exact rank statistic matches the O(n^2) definition") {
+    val expected = dailySeries().toSeq.sortBy(_._1).map { case (p, series) =>
+      val x = series.sortBy(_._1).map(_._2)
+      val days = series.sortBy(_._1).map(_._1)
+      val n = x.size
+      // direct O(n^2) definition: U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j)
+      val u = (1 to n).map { t =>
+        var s = 0L
+        for (i <- 0 until t; j <- t until n)
+          s += (if (x(i) > x(j)) 1L else if (x(i) < x(j)) -1L else 0L)
+        s
+      }
+      val tStar = (1 to n).minBy(t => (-math.abs(u(t - 1)), t))
+      (p, n.toLong, tStar.toLong, days(tStar - 1), u(tStar - 1), math.abs(u(tStar - 1)))
+    }
+    val got = Analytics.q190Pettitt(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDate(3).toString,
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
+  // ----------------------------------------------------- sim_spherical_step
+
+  test("sim_spherical_step: driver-recomputed cosine assignment matches") {
+    val all = vecs()
+    val nhat = all.map { case (id, l, e) =>
+      var ss = 0.0
+      var j = 0
+      while (j < e.length) { ss += e(j).toDouble * e(j).toDouble; j += 1 }
+      val nrm = math.sqrt(ss)
+      (id, l, e.map(v => v.toDouble / nrm))
+    }
+    val cents = nhat.groupBy(_._2).view.mapValues { vs =>
+      val n = vs.size
+      (0 until 64).map { d =>
+        vs.map(v => math.floor(v._3(d) * 1000000000.0 + 0.5).toLong).sum.toDouble /
+          1000000000.0 / n
+      }.toArray
+    }.toMap
+    val expected = nhat.map { case (id, l, v) =>
+      val scored = cents.toSeq.map { case (cl, cv) =>
+        var dot = 0.0; var cc = 0.0
+        var j = 0
+        while (j < 64) { dot += v(j) * cv(j); cc += cv(j) * cv(j); j += 1 }
+        (cl, dot / math.sqrt(cc))
+      }
+      val (best, cos) = scored.minBy { case (cl, c) => (-c, cl) }
+      (id, l, best, r6(cos))
+    }.sortBy(_._1)
+    val got = Similarity.simSphericalStep(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------ txt_sichel
+
+  test("txt_sichel: driver-recomputed bigram spectrum matches; V1/V2 live") {
+    val bgs = Tables.documents(spark, sf0001)
+      .select("lang", "text").collect()
+      .flatMap { r =>
+        val t = r.getString(1).split(' ').filter(_.nonEmpty)
+        t.sliding(2).filter(_.length == 2).map(w => (r.getString(0), w.mkString(" ")))
+      }
+    val expected = bgs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rows) =>
+      val spectrum = rows.groupBy(_._2).view.mapValues(_.length).values.toSeq
+      val v = spectrum.size.toLong
+      val v1 = spectrum.count(_ == 1).toLong
+      val v2 = spectrum.count(_ == 2).toLong
+      (lang, v, v1, v2, v2 * 1000000L / v)
+    }
+    val got = TextAnalysis.txtSichel(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.map(_._4).sum > 0, "V2 must be live on this corpus (dead gate otherwise)")
+  }
+
   // ------------------------------------------------------------- txt_mtld
 
   test("txt_mtld: driver-replayed sequential factor walk matches exactly") {
