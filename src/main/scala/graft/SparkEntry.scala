@@ -411,6 +411,7 @@ object SparkEntry {
     "q190_pettitt" -> (Analytics.q190Pettitt _),
     "sim_spherical_step" -> (Similarity.simSphericalStep _),
     "txt_sichel" -> (TextAnalysis.txtSichel _),
+    "txt_honore" -> (TextAnalysis.txtHonore _),
     "q188_cohens_d" -> (Analytics.q188CohensD _),
     "q189_gehan" -> (Analytics.q189Gehan _),
     "sim_rp_tree" -> (Similarity.simRpTree _),
@@ -8815,5 +8816,32 @@ object SparkEntry {
         | cast(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) as bigint) AS v2,
         | cast(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) * 1000000 // count(*) as bigint) AS sichel_micro
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_honore" ->
+      ("""WITH RECURSIVE toks AS (
+        | SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), b AS (
+        | SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) bg
+        | FROM toks WHERE len(t) >= 2
+        |), c AS MATERIALIZED (
+        | SELECT lang, bg, cast(count(*) as bigint) tf FROM b GROUP BY 1, 2
+        |), g AS (
+        | SELECT lang, cast(count(*) as bigint) v,
+        |  cast(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) as bigint) v1,
+        |  cast(sum(tf) as bigint) n_bigrams
+        | FROM c GROUP BY 1
+        |), gs AS (
+        | SELECT lang, v, v1, n_bigrams,
+        |  greatest(0, length(bin(n_bigrams)) - 43) sh,
+        |  (n_bigrams) // (cast(1 as bigint) << greatest(0, length(bin(n_bigrams)) - 43)) arg
+        | FROM g
+        |), lgvals(x) AS (
+        | SELECT DISTINCT arg FROM gs
+        |), """ + LgCte + """
+        |SELECT gs.lang, n_bigrams, v, v1,
+        | CASE WHEN v1 < v THEN
+        |  cast(cast(l.lg + gs.sh * 1048576 as hugeint) * 100000 * v
+        |   // ((v - v1) * 1048576) as bigint) END AS honore_lg2_milli
+        |FROM gs JOIN lg l ON l.x = gs.arg
+        |ORDER BY gs.lang""").stripMargin,
   )
 }

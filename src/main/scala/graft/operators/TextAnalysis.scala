@@ -2184,6 +2184,33 @@ object TextAnalysis {
         expr("v2 * 1000000 div v").as("sichel_micro"))
       .orderBy(col("lang"))
 
+  /** Honoré's R per language over the bigram spectrum — the V₁-based
+    * lexical-richness constant completing the spectrum trio beside
+    * [[txtSichel]] (V₂) and Yule's K: classically
+    * R = 100·ln N / (1 − V₁/V). Published in LOG2-space as the exact
+    * integer milli statistic 100·lg₂(N)·V·1000 / ((V−V₁)·2²⁰) off the
+    * fixed-point log2 recurrence ([[txtPerplexity]]'s contract — no
+    * float log forms anywhere); ×ln2 at the consumer recovers the
+    * natural-log classic. Saturated vocabularies (V₁ = V — every type
+    * a hapax, the tiny-corpus degenerate) emit NULL in both engines.
+    * Bigrams for the same reason as Sichel: the 31-term unigram
+    * vocabulary has no live V₁ mass on this corpus. */
+  def txtHonore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.ngramArray("text", 2)).as("bg"))
+      .groupBy(col("lang"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("v"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("v1"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col("lang"), col("n_bigrams"), col("v"), col("v1"),
+        expr(s"""CASE WHEN v1 < v THEN
+                |cast(cast(${lgShift("n_bigrams")} as decimal(38,0)) * 100000 * v
+                |  div ((v - v1) * 1048576) as bigint) END""".stripMargin)
+          .as("honore_lg2_milli"))
+      .orderBy(col("lang"))
+
   /** MTLD — Measure of Textual Lexical Diversity (McCarthy & Jarvis
     * 2010), forward pass: walk the token stream keeping a running
     * factor; when the factor's TTR drops below 0.72 the factor

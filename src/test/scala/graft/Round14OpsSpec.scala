@@ -442,6 +442,34 @@ class Round14OpsSpec extends SparkSpec {
     assert(expected.map(_._4).sum > 0, "V2 must be live on this corpus (dead gate otherwise)")
   }
 
+  // ------------------------------------------------------------ txt_honore
+
+  test("txt_honore: driver-recomputed log2-space richness matches (shared Log2Fixed recurrence)") {
+    val bgs = Tables.documents(spark, sf0001)
+      .select("lang", "text").collect()
+      .flatMap { r =>
+        val t = r.getString(1).split(' ').filter(_.nonEmpty)
+        t.sliding(2).filter(_.length == 2).map(w => (r.getString(0), w.mkString(" ")))
+      }
+    val expected = bgs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rows) =>
+      val spectrum = rows.groupBy(_._2).view.mapValues(_.length).values.toSeq
+      val v = spectrum.size.toLong
+      val v1 = spectrum.count(_ == 1).toLong
+      val n = rows.size.toLong
+      val milli =
+        if (v1 < v)
+          Some((BigInt(org.apache.spark.sql.graft.Log2Fixed.shifted(n)) * 100000 * v /
+            ((v - v1) * 1048576L)).toLong)
+        else None
+      (lang, n, v, v1, milli)
+    }
+    val got = TextAnalysis.txtHonore(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expected)
+    assert(expected.forall(_._5.isDefined), "V1 < V must hold on this corpus (live statistic)")
+  }
+
   // ------------------------------------------------------------- txt_mtld
 
   test("txt_mtld: driver-replayed sequential factor walk matches exactly") {
