@@ -237,6 +237,47 @@ object Similarity {
       .withColumn("nrm", VectorOps.norm2("embedding"))
   }
 
+  /** Leave-one-out k-NN label-consistency accuracy — the
+    * embedding-quality eval a training pipeline runs before trusting
+    * vectors for retrieval (if a vector's nearest neighbours don't
+    * share its label, the space hasn't separated the classes).
+    * Neighbours come from the vector's own sign-LSH bucket — the
+    * LABEL-FREE blocking ([[simKnnGraph]] blocks per label, which
+    * would make self-label accuracy vacuously 1.0), and the same
+    * bucket carve the production ANN tier serves from, so the
+    * accuracy measured IS the deployed tier's. Per vector: top-k
+    * same-bucket cosine neighbours (bounded-heap TopKPerGroup),
+    * majority label (votes DESC, label ASC — total-ordered), compared
+    * to its own; per-label rollup publishes coverage (vectors with
+    * ≥1 same-bucket neighbour) beside the accuracy micro. */
+  def simKnnAccuracy(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val b = lshBucketed(spark, dir)
+    val a = b.select(col("vec_id").as("src"), col("label").as("slabel"),
+      col("embedding").as("ea"), col("nrm").as("na"), col("bucket"))
+    val c2 = b.select(col("vec_id").as("dst"), col("label").as("dlabel"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("bucket"))
+    val scored = a.join(c2, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cosim", VectorOps.dot("ea", "eb") / (col("na") * col("nb")))
+    val top = org.apache.spark.sql.graft.TopK.perGroup(
+      scored, Seq("src"), Seq("cosim" -> true, "dst" -> false), k)
+    val wVote = Window.partitionBy(col("src"))
+      .orderBy(col("votes").desc, col("dlabel"))
+    val pred = top.groupBy(col("src"), col("slabel"), col("dlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(wVote))
+      .filter(col("rn") === 1)
+    val total = b.groupBy(col("label")).agg(count(lit(1)).as("n_vectors"))
+    pred.groupBy(col("slabel").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("dlabel") === col("slabel"), 1L).otherwise(0L)).as("n_correct"))
+      .join(total, Seq("label"))
+      .select(col("label").cast("long").as("label"), col("n_vectors"),
+        col("n_eval"), col("n_correct"),
+        expr("cast(n_correct * 1000000 div n_eval as bigint)").as("acc_micro"))
+      .orderBy(col("label"))
+  }
+
   def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
     val bucketed = lshBucketed(spark, dir)
     val q = bucketed.filter(col("vec_id") < 5)
@@ -1627,6 +1668,21 @@ object Similarity {
     Analytics.snapshotTable(spark, dir, s"knn_edges_$k")(
       simKnnGraph(spark, dir, k).select(col("src_id"), col("dst_id")))
 
+  /** kNN edges with the DESTINATION vector (and its norm) stored
+    * alongside — the vector-adjacent edge store every graph-ANN
+    * system keeps (HNSW lays vectors next to their link lists for
+    * the same reason): a beam hop then expands AND re-scores in one
+    * map-side pass over this table, instead of expanding against the
+    * slim edge list and paying a second corpus join to look the
+    * embeddings up. Storage is n·graphK vectors (~5× the corpus at
+    * k=5) — the standard graph-ANN space/time trade, paid once per
+    * corpus snapshot. */
+  private def knnEdgesEmb(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Analytics.snapshotTable(spark, dir, s"knn_edges_emb_$k")(
+      simKnnGraph(spark, dir, k).select(col("src_id"), col("dst_id"))
+        .join(corpus(spark, dir).select(col("vec_id").as("dst_id"),
+          col("embedding").as("demb"), col("nrm").as("dnrm")), Seq("dst_id")))
+
   /** NSW-style graph-ANN search — the navigable-small-world rung above
     * [[simKnnGraph]]: per-cell entry points are scored, the best
     * `beam` survive, and `hops` unrolled beam-search steps expand each
@@ -1644,40 +1700,73 @@ object Similarity {
       graphK: Int = 5, hops: Int = 3): DataFrame = {
     val c = corpus(spark, dir)
     val qb = broadcast(queries(c))
-    val edges = knnEdges(spark, dir, graphK)
+    // the vector-adjacent edge store: a hop expands AND re-scores in
+    // one map-side pass over this table — the r13 shape expanded
+    // against the slim edge list and paid a SECOND corpus join per
+    // hop to look the candidate embeddings up (2 extra stages/hop,
+    // the verdict's tiny-frame-exchange constant)
+    val edgesEmb = knnEdgesEmb(spark, dir, graphK)
     // min per label via partial-aggregated groupBy — no corpus-wide
     // window shuffle for a 10-row entry list
     val entries = c.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"))
-    // candidate-id frames are |Q|·beam-sized: broadcast THEM so the
-    // corpus-side embedding lookup is one map-side scan, never a
-    // corpus shuffle
-    def scoreIds(ids: DataFrame): DataFrame =
-      c.select(col("vec_id"), col("embedding"), col("nrm"))
-      .join(broadcast(ids), Seq("vec_id"))
-      .join(qb, Seq("qid"))
-      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
-      .select(col("qid"), col("vec_id"), col("cosim"))
+    // every post-score frame is ≤ |Q|·beam·(graphK+1) rows: exchange
+    // it into ONE partition (SinglePartition satisfies the window's
+    // ClusteredDistribution AND the distinct's, so the explicit
+    // repartition(1) REPLACES the 32-partition hash exchanges the
+    // window and the dedup would otherwise insert — the r13 verdict's
+    // ~0.5 s/round tiny-frame constant). repartition, not coalesce:
+    // coalesce(1) would propagate up and collapse the corpus-side
+    // scan of the scoring join to one task.
+    // callers hand topB an already-single-partition frame, so the
+    // rank window (and the hop dedup before it) run exchange-free
     def topB(scored: DataFrame, b: Int): DataFrame = {
       val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
+      scored
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
         .select(col("qid"), col("vec_id"), col("cosim"))
     }
     val seeds = qb.select(col("qid"))
       .crossJoin(broadcast(entries))
       .filter(col("vec_id") =!= col("qid"))
-    var beamF = topB(scoreIds(seeds), beam)
+    // seed scoring is the one corpus lookup (entry points are corpus
+    // rows outside the edge store's dst side)
+    val seedScored = c.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(broadcast(seeds), Seq("vec_id"))
+      .join(qb, Seq("qid"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+      .select(col("qid"), col("vec_id"), col("cosim"))
+    // beams localCheckpoint (lazily, the q126/q187 frontier rule):
+    // each hop both BROADCASTS the beam and unions it back in, and
+    // without the checkpoint every consumer re-executes the whole
+    // chained lineage of all previous hops — plan depth (and the
+    // per-hop broadcast build) stays CONSTANT in hops instead
+    var beamF = topB(seedScored.repartition(1), beam).localCheckpoint(false)
     for (_ <- 1 to hops) {
-      val expanded = beamF.select(col("qid"), col("vec_id").as("src_id"))
-        .join(edges, Seq("src_id"))
-        .select(col("qid"), col("dst_id").as("vec_id"))
-        .filter(col("vec_id") =!= col("qid"))
-        .unionByName(beamF.select(col("qid"), col("vec_id")))
+      // ONE stage: stream the edge store, broadcast the beam, score
+      // the expansion map-side against the broadcast query frame.
+      // cosim for a (qid, vec_id) pair is the same deterministic
+      // double arithmetic wherever the vector copy comes from (the
+      // store holds verbatim copies), so the distinct that merges the
+      // expansion with the already-scored beam collapses duplicates
+      // exactly.
+      val expanded = edgesEmb
+        .join(broadcast(beamF.select(col("qid"), col("vec_id").as("src_id"))),
+          Seq("src_id"))
+        .filter(col("dst_id") =!= col("qid"))
+        .join(qb, Seq("qid"))
+        .withColumn("cosim", VectorOps.dot("qe", "demb") / (col("qnrm") * col("dnrm")))
+        .select(col("qid"), col("dst_id").as("vec_id"), col("cosim"))
+        .unionByName(beamF)
+        .repartition(1)
         .distinct()
-      beamF = topB(scoreIds(expanded), beam)
+      beamF = topB(expanded, beam).localCheckpoint(false)
     }
+    // beamF is already SinglePartition (topB's contract) — the final
+    // rank window runs exchange-free too
     val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
-    beamF.withColumn("rank", row_number().over(w).cast("bigint"))
+    beamF
+      .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
         round(col("cosim"), 6).as("score"))
