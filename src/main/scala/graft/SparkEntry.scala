@@ -418,6 +418,13 @@ object SparkEntry {
     "q189_gehan" -> (Analytics.q189Gehan _),
     "sim_rp_tree" -> (Similarity.simRpTree _),
     "sim_rp_recall" -> (Similarity.simRpRecall _),
+    "q191_jarque_bera" -> (Analytics.q191JarqueBera _),
+    "q192_clustering_coeff" -> ((s: SparkSession, d: String) => Analytics.q192ClusteringCoeff(s, d)),
+    "q193_cox_stuart" -> (Analytics.q193CoxStuart _),
+    "q194_welch_t" -> (Analytics.q194WelchT _),
+    "sim_knn_accuracy" -> ((s: SparkSession, d: String) => Similarity.simKnnAccuracy(s, d)),
+    "dd_oph_lsh" -> (Dedup.ddOphLsh _),
+    "sim_davies_bouldin" -> (Similarity.simDaviesBouldin _),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -8881,5 +8888,205 @@ object SparkEntry {
         |   // ((v - v1) * 1048576) as bigint) END AS honore_lg2_milli
         |FROM gs JOIN lg l ON l.x = gs.arg
         |ORDER BY gs.lang""").stripMargin,
+    "sim_davies_bouldin" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, clabel new_label, round(dist, 6) rd,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |), scat AS (
+        | SELECT new_label, cast(count(*) as bigint) n_vecs,
+        |  cast(sum(cast(round(sqrt(rd), 6) as decimal(38,6))) * 1000000 as hugeint) ssum
+        | FROM best WHERE rn = 1 GROUP BY 1
+        |), s AS (SELECT new_label, n_vecs, cast(ssum // n_vecs as bigint) s_micro FROM scat),
+        |sep AS (
+        | SELECT a.clabel i, b.clabel j,
+        |  cast(cast(round(sqrt(list_sum(list_transform(range(1, 65), k -> (a.cv[k] - b.cv[k]) * (a.cv[k] - b.cv[k])))), 6) as decimal(38,6)) * 1000000 as bigint) d_micro
+        | FROM centv a JOIN centv b ON a.clabel <> b.clabel
+        |), r AS (
+        | SELECT sep.i, max(cast(si.s_micro + sj.s_micro as hugeint) * 1000000 // sep.d_micro) db
+        | FROM sep JOIN s si ON si.new_label = sep.i JOIN s sj ON sj.new_label = sep.j
+        | WHERE sep.d_micro > 0 GROUP BY 1
+        |)
+        |SELECT s.new_label, s.n_vecs, s.s_micro, cast(r.db as bigint) AS db_micro
+        |FROM s LEFT JOIN r ON r.i = s.new_label ORDER BY s.new_label""".stripMargin,
+    "dd_oph_lsh" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), h AS (
+        | SELECT doc_id, list_transform(shingles, s -> md5(s)) hs FROM sh
+        |), r AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_filter(hs, x -> (strpos('0123456789abcdef', substring(x, 32, 1)) - 1) % 8 = i), 'min')) raw
+        | FROM h
+        |), dens AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_filter(list_transform(range(0, 8), j -> raw[cast((i + j) % 8 as int) + 1]), x -> x IS NOT NULL)[1]) sl
+        | FROM r
+        |), bands AS (
+        | SELECT doc_id, b, md5(sl[2*b+1] || sl[2*b+2] || ':' || cast(b as varchar)) bh
+        | FROM dens CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |)
+        |SELECT a.doc_id doc_a, b.doc_id doc_b
+        |FROM bands a JOIN bands b ON a.bh = b.bh AND a.b = b.b AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sim_knn_accuracy" ->
+      """WITH planes AS (
+        | SELECT p, list_transform(range(1, 65), d ->
+        |   cast(list_sum(list_transform(range(1, 9), i ->
+        |     cast((strpos('0123456789abcdef', substring(md5(cast(p as varchar) || ':' || cast(d as varchar)), i, 1)) - 1) as bigint)
+        |     * cast(power(16, 8 - i) as bigint))) as double) / 4294967295.0 - 0.5) w
+        | FROM (SELECT unnest(range(0, 6)) p)
+        |), b AS MATERIALIZED (
+        | SELECT e.vec_id, e.label, e.embedding,
+        |  cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), d -> cast(e.embedding[d] as double) * pl.w[d])) > 0
+        |       THEN cast(1 as bigint) << pl.p ELSE 0 END) as bigint) bucket
+        | FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2, 3
+        |), s AS (
+        | SELECT a.vec_id src, a.label slabel, e2.vec_id dst, e2.label dlabel,
+        |  list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(e2.embedding[i] as double))) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast(a.embedding[i] as double) * cast(a.embedding[i] as double)))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> cast(e2.embedding[i] as double) * cast(e2.embedding[i] as double))))) cosim
+        | FROM b a JOIN b e2 ON e2.bucket = a.bucket AND e2.vec_id <> a.vec_id
+        |), r AS (
+        | SELECT src, slabel, dlabel,
+        |  row_number() OVER (PARTITION BY src ORDER BY cosim DESC, dst) rnk FROM s
+        |), v AS (
+        | SELECT src, slabel, dlabel, count(*) votes FROM r WHERE rnk <= 3 GROUP BY 1, 2, 3
+        |), p AS (
+        | SELECT src, slabel, dlabel,
+        |  row_number() OVER (PARTITION BY src ORDER BY votes DESC, dlabel) rn FROM v
+        |), tot AS (SELECT label, cast(count(*) as bigint) n_vectors FROM b GROUP BY 1)
+        |SELECT cast(p.slabel as bigint) AS label, max(t.n_vectors) AS n_vectors,
+        | count(*) AS n_eval,
+        | cast(sum(CASE WHEN p.dlabel = p.slabel THEN 1 ELSE 0 END) as bigint) AS n_correct,
+        | cast(sum(CASE WHEN p.dlabel = p.slabel THEN 1 ELSE 0 END) * 1000000 // count(*) as bigint) AS acc_micro
+        |FROM p JOIN tot t ON t.label = p.slabel WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q193_cox_stuart" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS cents
+        | FROM orders GROUP BY 1, 2
+        |), r AS (
+        | SELECT o_orderpriority, cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY "day") rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) n
+        | FROM daily
+        |)
+        |SELECT a.o_orderpriority,
+        | cast(max(a.n) as bigint) AS n_days,
+        | count(*) AS n_pairs,
+        | cast(sum(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END) as bigint) AS n_pos,
+        | cast(sum(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END) as bigint) AS n_neg,
+        | cast(sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) as bigint) AS n_zero
+        |FROM r a JOIN r b ON a.o_orderpriority = b.o_orderpriority
+        | AND b.rn = a.rn + (a.n + 1) // 2
+        |WHERE a.rn <= a.n // 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q194_welch_t" ->
+      """WITH o AS (
+        | SELECT n_name, year(o_orderdate) = 1995 AS is_a,
+        |  cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE year(o_orderdate) IN (1995, 1996)
+        |), s AS (
+        | SELECT n_name,
+        |  cast(sum(CASE WHEN is_a THEN 1 ELSE 0 END) as bigint) n_a,
+        |  cast(sum(CASE WHEN is_a THEN 0 ELSE 1 END) as bigint) n_b,
+        |  sum(CASE WHEN is_a THEN cast(cents as hugeint) END) s_a,
+        |  sum(CASE WHEN NOT is_a THEN cast(cents as hugeint) END) s_b,
+        |  sum(CASE WHEN is_a THEN cast(cents as hugeint) * cents END) q_a,
+        |  sum(CASE WHEN NOT is_a THEN cast(cents as hugeint) * cents END) q_b
+        | FROM o GROUP BY 1
+        |), ss AS (
+        | SELECT n_name, n_a, n_b, s_a, s_b,
+        |  n_a * q_a - s_a * s_a ss_a, n_b * q_b - s_b * s_b ss_b
+        | FROM s WHERE n_a >= 2 AND n_b >= 2
+        |), se AS (
+        | SELECT *,
+        |  cast(ss_a as double) / (cast(n_a as double) * n_a * (n_a - 1)) sea,
+        |  cast(ss_b as double) / (cast(n_b as double) * n_b * (n_b - 1)) seb
+        | FROM ss WHERE ss_a > 0 AND ss_b > 0
+        |)
+        |SELECT n_name, n_a, n_b,
+        | cast(ss_a as varchar) AS ss_a, cast(ss_b as varchar) AS ss_b,
+        | round((cast(s_a as double) / n_a - cast(s_b as double) / n_b)
+        |  / sqrt(sea + seb), 6) AS welch_t,
+        | round((sea + seb) * (sea + seb)
+        |  / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 6) AS welch_df
+        |FROM se ORDER BY n_name""".stripMargin,
+    "q191_jarque_bera" ->
+      """WITH c AS (
+        | SELECT o_orderpriority,
+        |  cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) cents
+        | FROM orders
+        |), s AS (
+        | SELECT o_orderpriority, count(*) n,
+        |  sum(cast(cents as hugeint)) s1,
+        |  sum(cast(cents as hugeint) * cents) s2,
+        |  sum(cast(cents as hugeint) * cents * cents) s3,
+        |  sum(cast(cents as hugeint) * cents * cents * cents) s4
+        | FROM c GROUP BY 1
+        |), m AS (
+        | SELECT *, cast(n as double) nd, cast(s1 as double) / n md1,
+        |  cast(s2 as double) / n ds2, cast(s3 as double) / n ds3,
+        |  cast(s4 as double) / n ds4
+        | FROM s WHERE n >= 2
+        |), mm AS (
+        | SELECT *, ds2 - md1 * md1 m2,
+        |  ds3 - 3 * md1 * ds2 + 2 * md1 * md1 * md1 m3,
+        |  ds4 - 4 * md1 * ds3 + 6 * md1 * md1 * ds2 - 3 * md1 * md1 * md1 * md1 m4
+        | FROM m
+        |), sk AS (
+        | SELECT *, m3 / sqrt(m2 * m2 * m2) skew, m4 / (m2 * m2) kurt FROM mm
+        |)
+        |SELECT o_orderpriority, n,
+        | cast(s1 as varchar) AS s1, cast(s2 as varchar) AS s2,
+        | cast(s3 as varchar) AS s3, cast(s4 as varchar) AS s4,
+        | round(skew, 6) AS skew, round(kurt, 6) AS kurt,
+        | round(nd / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4), 6) AS jb
+        |FROM sk ORDER BY o_orderpriority""".stripMargin,
+    "q192_clustering_coeff" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |),
+        |deg AS (
+        | SELECT node, count(*) degree FROM (
+        |  SELECT a node FROM pairs UNION ALL SELECT b2 FROM pairs) GROUP BY 1
+        |),
+        |tri AS (
+        | SELECT ab.a x, ab.b2 y, bc.b2 z
+        | FROM pairs ab JOIN pairs bc ON ab.b2 = bc.a
+        | JOIN pairs ac ON ac.a = ab.a AND ac.b2 = bc.b2
+        |),
+        |tpn AS (
+        | SELECT node, cast(count(*) as bigint) triangles FROM (
+        |  SELECT x node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        | GROUP BY 1
+        |)
+        |SELECT d.node, cast(d.degree as bigint) AS degree,
+        | coalesce(t.triangles, 0) AS triangles,
+        | cast(2 * cast(coalesce(t.triangles, 0) as hugeint) * 1000000
+        |   // (cast(d.degree as hugeint) * (d.degree - 1)) as bigint) AS cc_micro
+        |FROM deg d LEFT JOIN tpn t ON d.node = t.node
+        |WHERE d.degree >= 2
+        |ORDER BY d.degree DESC, d.node LIMIT 20""".stripMargin,
   )
 }

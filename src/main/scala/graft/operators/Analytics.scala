@@ -5041,4 +5041,155 @@ object Analytics {
     materializeAndRelease(spark, out, edges)
   }
 
+  /** Cox–Stuart trend test counts per priority — the assumption-free
+    * sign test FOR TREND (pair the series' first half against its
+    * second half; a drift shows as one sign dominating), the
+    * location-shift sibling of q181's paired sign test and the
+    * simplest member of the q118/q171 trend family. Pairing rule
+    * pinned in both engines: offset c = (n+1) div 2, pairs
+    * t = 1..n div 2 of (x_t, x_{t+c}) — even n pairs everything,
+    * odd n drops the middle day. Zeros REPORTED, not dropped (the
+    * q181 convention: the downstream binomial picks its zero
+    * policy explicitly). One day-ordered window over the
+    * calendar-bounded daily frame + one rn-equijoin — all exact
+    * integers. */
+  def q193CoxStuart(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+    val first = daily.select($"o_orderpriority", $"rn", $"n", $"cents")
+      .filter($"rn" <= $"n" / 2)
+    val second = daily.select($"o_orderpriority".as("p2"),
+      $"rn".as("rn2"), $"cents".as("cents2"))
+    first
+      .join(second, $"o_orderpriority" === $"p2" &&
+        $"rn2" === $"rn" + expr("(n + 1) div 2"))
+      .groupBy($"o_orderpriority")
+      .agg(max($"n").cast("long").as("n_days"),
+        count(lit(1)).as("n_pairs"),
+        sum(when($"cents2" > $"cents", 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"cents2" < $"cents", 1L).otherwise(0L)).as("n_neg"),
+        sum(when($"cents2" === $"cents", 1L).otherwise(0L)).as("n_zero"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Welch's t statistic inputs, 1995 vs 1996 order values per nation
+    * — the UNEQUAL-variance companion of [[q188CohensD]] (same frame,
+    * same exact sufficient statistics; Student's pooled form assumes
+    * equal variances, which q135's variance-ratio screen routinely
+    * rejects on this data). n, Σx, Σx² aggregate as exact decimals
+    * off one fact pass; the exact SS strings ship alongside and
+    * t = (m̄₁−m̄₂)/√(v₁/n₁+v₂/n₂) (and the Welch–Satterthwaite df)
+    * evaluate in double from the exact sums — identical IEEE
+    * expression trees in both engines, the q182/q188 discipline. */
+  def q194WelchT(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", (year($"o_orderdate") === 1995).as("is_a"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .groupBy($"n_name")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"),
+        sum(when($"is_a", expr("cast(cents as decimal(38,0))"))).as("s_a"),
+        sum(when(!$"is_a", expr("cast(cents as decimal(38,0))"))).as("s_b"),
+        sum(when($"is_a", expr("cast(cents as decimal(38,0)) * cents"))).as("q_a"),
+        sum(when(!$"is_a", expr("cast(cents as decimal(38,0)) * cents"))).as("q_b"))
+      .filter($"n_a" >= 2 && $"n_b" >= 2)
+      .withColumn("ss_a", expr("cast(n_a * q_a - s_a * s_a as decimal(38,0))"))
+      .withColumn("ss_b", expr("cast(n_b * q_b - s_b * s_b as decimal(38,0))"))
+      .filter($"ss_a" > 0 && $"ss_b" > 0)
+      // se² terms: vᵢ/nᵢ with vᵢ = SSᵢ/(nᵢ(nᵢ−1)) — evaluate each in
+      // double from the exact pieces, then the shared closed forms
+      .withColumn("sea", expr("cast(ss_a as double) / (cast(n_a as double) * n_a * (n_a - 1))"))
+      .withColumn("seb", expr("cast(ss_b as double) / (cast(n_b as double) * n_b * (n_b - 1))"))
+      .select($"n_name", $"n_a", $"n_b",
+        $"ss_a".cast("string").as("ss_a"),
+        $"ss_b".cast("string").as("ss_b"),
+        round((expr("cast(s_a as double)") / $"n_a" - expr("cast(s_b as double)") / $"n_b")
+          / sqrt($"sea" + $"seb"), 6).as("welch_t"),
+        round(($"sea" + $"seb") * ($"sea" + $"seb")
+          / ($"sea" * $"sea" / ($"n_a" - 1) + $"seb" * $"seb" / ($"n_b" - 1)), 6)
+          .as("welch_df"))
+      .orderBy($"n_name")
+  }
+
+  /** Jarque–Bera normality inputs per priority over ORDER VALUES —
+    * the sample-skewness/kurtosis screen (√b₁, b₂) the location/scale
+    * tests upstream assume away. Raw power sums Σx..Σx⁴ aggregate as
+    * exact decimal(38,0) off one pass (cents ~10⁷ so x⁴ ~10²⁸ and the
+    * 100×-scale sum ~10³⁶ stays inside decimal(38) — headroom
+    * documented; s3/s4 publish as STRING by the 38-digit rule); the
+    * central moments expand from the raw sums ENTIRELY in double
+    * (m₂ = s₂/n − m̄², m₃, m₄ via the binomial forms — s₁³ alone
+    * would burst any fixed width), identical IEEE expression trees in
+    * both engines, q182/q188 discipline; skew/kurt/JB round6. */
+  def q191JarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority",
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(cents as decimal(38,0))")).as("s1"),
+        sum(expr("cast(cents as decimal(38,0)) * cents")).as("s2"),
+        sum(expr("cast(cents as decimal(38,0)) * cents * cents")).as("s3"),
+        sum(expr("cast(cents as decimal(38,0)) * cents * cents * cents")).as("s4"))
+      .filter($"n" >= 2)
+      .withColumn("nd", expr("cast(n as double)"))
+      .withColumn("m1", expr("cast(s1 as double) / nd"))
+      .withColumn("m2", expr("cast(s2 as double) / nd - m1 * m1"))
+      .withColumn("m3", expr("cast(s3 as double) / nd - 3 * m1 * (cast(s2 as double) / nd) + 2 * m1 * m1 * m1"))
+      .withColumn("m4", expr(
+        "cast(s4 as double) / nd - 4 * m1 * (cast(s3 as double) / nd) + 6 * m1 * m1 * (cast(s2 as double) / nd) - 3 * m1 * m1 * m1 * m1"))
+      .withColumn("skew", $"m3" / sqrt($"m2" * $"m2" * $"m2"))
+      .withColumn("kurt", $"m4" / ($"m2" * $"m2"))
+      .select($"o_orderpriority", $"n",
+        $"s1".cast("string").as("s1"),
+        $"s2".cast("string").as("s2"),
+        $"s3".cast("string").as("s3"),
+        $"s4".cast("string").as("s4"),
+        round($"skew", 6).as("skew"),
+        round($"kurt", 6).as("kurt"),
+        round($"nd" / 6 * ($"skew" * $"skew" + ($"kurt" - 3) * ($"kurt" - 3) / 4), 6)
+          .as("jb"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Local clustering coefficient of the top-20 co-purchase hubs —
+    * the per-node transitivity readout beside q58's global ratio
+    * (which hubs sit in tight communities vs star centers):
+    * cc_i = triangles_i / C(deg_i, 2) as an exact micro. Triangles
+    * enumerate ONCE through the q58 three-leg join over the
+    * snapshotted a<b edge list, then each triangle credits its three
+    * corners (one explode + count — never a per-node neighborhood
+    * self-join); degree and triangle tables both grow with the
+    * corpus, so their join stays a shuffled hash (the q123 rule:
+    * never broadcast a corpus-growing table). Top-20 by degree,
+    * total-ordered. */
+  def q192ClusteringCoeff(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val pairs = copurchaseEdges(spark, dir)
+    val deg = pairs.select($"a".as("node")).unionAll(pairs.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    val triPerNode = pairs.as("ab")
+      .join(pairs.as("bc"), col("ab.b") === col("bc.a"))
+      .join(pairs.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(explode(array(col("ab.a"), col("ab.b"), col("bc.b"))).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("triangles"))
+    deg.hint("shuffle_hash")
+      .join(triPerNode.hint("shuffle_hash"), Seq("node"), "left")
+      .withColumn("triangles", coalesce($"triangles", lit(0L)))
+      .filter($"degree" >= 2)
+      .withColumn("cc_micro", expr(
+        "cast(2 * cast(triangles as decimal(38,0)) * 1000000 div (cast(degree as decimal(38,0)) * (degree - 1)) as bigint)"))
+      .orderBy($"degree".desc, $"node")
+      .limit(k)
+      .select($"node", $"degree", $"triangles", $"cc_micro")
+  }
+
 }

@@ -320,6 +320,32 @@ object Dedup {
           .as("signature"))
       .orderBy(col("doc_id"))
 
+  /** LSH banding over the ONE-PERMUTATION signatures — completes the
+    * OPH rung ([[ddOphSigs]] build → band → candidate pairs, the same
+    * 4-band × 2-row layout as [[ddMinhashLsh]]): band hashes fold the
+    * densified slot pairs through the identical md5(s₁‖s₂‖':'‖b)
+    * recipe [[bandsFromSigs]] applies to the k-permutation signature
+    * lake, so a stored OPH signature table feeds this banding
+    * unchanged. The candidate set differs from the k-perm LSH only
+    * through the estimator (slot mins vs per-perm mins) — recall
+    * audited in spec against the exact-Jaccard pair set. Shuffle
+    * volume is docs × 4 fixed-width band rows; pairs expand
+    * bucket-locally, never a self-join. */
+  def ddOphLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandsFromSigs(
+      ddOphSigs(spark, dir).select(col("doc_id"), col("signature")))
+      .withColumnRenamed("doc_old", "doc_id")
+    bands
+      .groupBy(col("b"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** INCREMENTAL dedup: a new batch (doc_id ≥ 400 models the
     * freshly-crawled slice) LSH-checked against corpus HISTORY using
     * only the persisted signature table — history text is never

@@ -182,6 +182,53 @@ object Similarity {
                |    cast(cast(floor(cast(v as double) * 127 / mx + 0.5) as int) as string))), ',')""".stripMargin).as("qvec"))
       .orderBy(col("vec_id"))
 
+  /** Davies–Bouldin index per cluster — the internal validation that
+    * completes the tier (inertia = raw SSE, silhouette = per-point,
+    * Calinski–Harabasz = global ratio; DB is the per-CLUSTER
+    * worst-neighbour readout: which cluster most blurs into another).
+    * DB_i = max_{j≠i} (s_i + s_j)/d_ij with s = mean Euclidean
+    * scatter to the assigned centroid and d = centroid separation.
+    * Numeric discipline: per-row sqrt distances round to 6 FIRST
+    * (sqrt-only parity, the q62 rule), cross-row sums run in exact
+    * DECIMAL over the rounded values (the inertia rule), and every
+    * downstream ratio is integer-micro arithmetic — coincident
+    * centroids (d = 0) drop out of the max and an isolated cluster
+    * publishes NULL in both engines. Everything past the assignment
+    * is k²-sized. */
+  def simDaviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    val scat = simKmeansStep(spark, dir)
+      .withColumn("sd", expr("cast(round(sqrt(dist), 6) as decimal(38,6))"))
+      .groupBy(col("new_label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("cast(sum(sd) * 1000000 as decimal(38,0))").as("ssum_micro"))
+      .select(col("new_label"), col("n_vecs"),
+        expr("cast(ssum_micro div n_vecs as bigint)").as("s_micro"))
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    val a = cent.select(col("label").as("i"), col("cv").as("ca"))
+    val b = cent.select(col("label").as("j"), col("cv").as("cb"))
+    val sep = a.crossJoin(broadcast(b))
+      .filter(col("i") =!= col("j"))
+      .withColumn("d_micro", expr(
+        """cast(cast(round(sqrt(aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),
+          |cast(0 as double), (acc, v) -> acc + v)), 6) as decimal(38,6)) * 1000000 as bigint)""".stripMargin))
+      .filter(col("d_micro") > 0)
+      .select(col("i"), col("j"), col("d_micro"))
+    val si = scat.select(col("new_label").as("i"), col("s_micro").as("si"))
+    val sj = scat.select(col("new_label").as("j"), col("s_micro").as("sj"))
+    val ratios = sep.join(broadcast(si), Seq("i")).join(broadcast(sj), Seq("j"))
+      .withColumn("r_micro", expr(
+        "cast(cast(si + sj as decimal(38,0)) * 1000000 div d_micro as bigint)"))
+      .groupBy(col("i")).agg(max(col("r_micro")).as("db_micro"))
+    scat.join(ratios, col("new_label") === col("i"), "left")
+      .select(col("new_label"), col("n_vecs"), col("s_micro"), col("db_micro"))
+      .orderBy(col("new_label"))
+  }
+
   /** Pairwise cosine between label centroids — the cluster-geometry
     * diagnostic (how separable are the IVF cells). Centroids are exact
     * decimal means as in [[simIvfAnn]]; the pairwise stage is a tiny
