@@ -425,6 +425,28 @@ object SparkEntry {
     "sim_knn_accuracy" -> ((s: SparkSession, d: String) => Similarity.simKnnAccuracy(s, d)),
     "dd_oph_lsh" -> (Dedup.ddOphLsh _),
     "sim_davies_bouldin" -> (Similarity.simDaviesBouldin _),
+    "q195_block_maxima" -> (Analytics.q195BlockMaxima _),
+    "q196_cvar" -> (Analytics.q196Cvar _),
+    "q197_partial_corr" -> (Analytics.q197PartialCorr _),
+    "q198_cronbach_alpha" -> (Analytics.q198CronbachAlpha _),
+    "q199_cooks_distance" -> (Analytics.q199CooksDistance _),
+    "q200_rich_club" -> (Analytics.q200RichClub _),
+    "txt_herdan" -> (TextAnalysis.txtHerdan _),
+    "sim_xie_beni" -> (Similarity.simXieBeni _),
+    "q201_adamic_adar" -> ((s: SparkSession, d: String) => Analytics.q201AdamicAdar(s, d)),
+    "q202_bowker" -> (Analytics.q202Bowker _),
+    "q203_dixon_q" -> (Analytics.q203DixonQ _),
+    "q204_kendall_tau_b" -> (Analytics.q204KendallTauB _),
+    "txt_guiraud" -> (TextAnalysis.txtGuiraud _),
+    "dd_oph_incremental" -> ((s: SparkSession, d: String) => Dedup.ddOphIncremental(s, d)),
+    "q205_anderson_darling" -> (Analytics.q205AndersonDarling _),
+    "q206_quade" -> (Analytics.q206Quade _),
+    "q207_theil_index" -> (Analytics.q207TheilIndex _),
+    "q208_dispersion" -> (Analytics.q208Dispersion _),
+    "txt_dugast" -> (TextAnalysis.txtDugast _),
+    "sim_kmeans_bic" -> (Similarity.simKmeansBic _),
+    "sim_hnsw_topk" -> ((s: SparkSession, d: String) => Similarity.simHnswTopk(s, d)),
+    "sim_hnsw_recall" -> ((s: SparkSession, d: String) => Similarity.simHnswRecall(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -772,6 +794,106 @@ object SparkEntry {
        |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM sc0
        | ) WHERE rn <= $beam
        |)${hop("b0", "x1", "sc1", "b1")}${hop("b1", "x2", "sc2", "b2")}${hop("b2", "x3", "sc3", "b3")}""".stripMargin
+  }
+
+  /** Oracle CTEs for the HNSW hierarchical search: layer-1 member
+    * carve (md5 nibble), both layers' k-NN graphs, the l1Beam
+    * smallest-member entry set, the coarse layer-1 descent (beam
+    * l1Beam × l1 hops over g1), then the layer-0 beam search (beam ×
+    * 2 hops over g) seeded by the layer-1 survivors — the operator's
+    * unrolled traversal with the same (cosim DESC, vec_id) total
+    * order at every pruning. */
+  private def hnswOraclePrefix(beam: Int, graphK: Int, l1Beam: Int): String = {
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($b[i] as double))) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($a[i] as double)))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cast($b[i] as double) * cast($b[i] as double)))))""".stripMargin
+    def hop(prev: String, graph: String, b: Int, xi: String, sci: String, bi: String) =
+      s""", $xi AS (
+         | SELECT DISTINCT qid, vec_id FROM (
+         |  SELECT bb.qid, g2.dst_id vec_id FROM $prev bb JOIN $graph g2 ON g2.src_id = bb.vec_id
+         |  WHERE g2.dst_id <> bb.qid
+         |  UNION ALL SELECT qid, vec_id FROM $prev
+         | )
+         |), $sci AS (
+         | SELECT x.qid, x.vec_id, ${cos("q.qe", "e.embedding")} cosim
+         | FROM $xi x JOIN e ON e.vec_id = x.vec_id JOIN q ON q.qid = x.qid
+         |), $bi AS (
+         | SELECT qid, vec_id, cosim FROM (
+         |  SELECT qid, vec_id, cosim,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM $sci
+         | ) WHERE rn <= $b
+         |)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |q AS (SELECT vec_id qid, embedding qe FROM e WHERE vec_id < 5),
+       |m AS (SELECT * FROM e
+       | WHERE substring(md5('hnsw:' || cast(vec_id as varchar)), 1, 1) = '0'),
+       |s1 AS (
+       | SELECT a.vec_id src_id, b.vec_id dst_id, ${cos("a.embedding", "b.embedding")} cosim
+       | FROM m a JOIN m b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |), g1 AS (
+       | SELECT src_id, dst_id FROM (
+       |  SELECT src_id, dst_id,
+       |   row_number() OVER (PARTITION BY src_id ORDER BY cosim DESC, dst_id) rnk FROM s1
+       | ) WHERE rnk <= $graphK
+       |), s AS (
+       | SELECT a.vec_id src_id, b.vec_id dst_id, ${cos("a.embedding", "b.embedding")} cosim
+       | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |), g AS (
+       | SELECT src_id, dst_id FROM (
+       |  SELECT src_id, dst_id,
+       |   row_number() OVER (PARTITION BY src_id ORDER BY cosim DESC, dst_id) rnk FROM s
+       | ) WHERE rnk <= $graphK
+       |), entries AS (
+       | SELECT vec_id FROM m ORDER BY vec_id LIMIT $l1Beam
+       |), sc0 AS (
+       | SELECT q.qid, e.vec_id, ${cos("q.qe", "e.embedding")} cosim
+       | FROM q CROSS JOIN entries en JOIN e ON e.vec_id = en.vec_id
+       | WHERE en.vec_id <> q.qid
+       |), b0 AS (
+       | SELECT qid, vec_id, cosim FROM (
+       |  SELECT qid, vec_id, cosim,
+       |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM sc0
+       | ) WHERE rn <= $l1Beam
+       |)${hop("b0", "g1", l1Beam, "h1", "hs1", "hb1")}${hop("hb1", "g1", l1Beam, "h2", "hs2", "hb2")}${
+         hop("hb2", "g", beam, "h3", "hs3", "hb3")}${hop("hb3", "g", beam, "h4", "hs4", "hb4")}${
+         hop("hb4", "g", beam, "h5", "hs5", "hb5")}""".stripMargin
+  }
+
+  private def hnswOracle(beam: Int, k: Int, graphK: Int, l1Beam: Int): String =
+    hnswOraclePrefix(beam, graphK, l1Beam) +
+      s"""
+         |SELECT qid AS query_id, cast(rn as bigint) AS rank, vec_id, round(cosim, 6) AS score
+         |FROM (
+         | SELECT qid, vec_id, cosim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM hb5
+         |) WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+
+  private def hnswRecallOracle(beam: Int, k: Int, graphK: Int, l1Beam: Int): String = {
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($b[i] as double))) /
+         |  (sqrt(list_sum(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($a[i] as double)))) *
+         |   sqrt(list_sum(list_transform(range(1, 65), i -> cast($b[i] as double) * cast($b[i] as double)))))""".stripMargin
+    hnswOraclePrefix(beam, graphK, l1Beam) +
+      s""", hnswk AS (
+         | SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rn FROM hb5
+         | ) WHERE rn <= $k
+         |), es AS (
+         | SELECT q.qid, e.vec_id, ${cos("q.qe", "e.embedding")} cosim
+         | FROM q CROSS JOIN e WHERE e.vec_id <> q.qid
+         |), exact AS (
+         | SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vec_id) rnk FROM es
+         | ) WHERE rnk <= $k
+         |)
+         |SELECT x.qid AS query_id, count(*) AS k,
+         | cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hit,
+         | sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / cast(count(*) as double) AS recall_at_k
+         |FROM exact x LEFT JOIN hnswk a ON x.qid = a.qid AND x.vec_id = a.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Oracle for the IVF probe-count tuning curve: one shared
@@ -3783,6 +3905,8 @@ object SparkEntry {
         |FROM r WHERE rnk <= 3 ORDER BY src_id, rank""".stripMargin,
     "sim_nsw_topk" -> nswOracle(16, 5, 5),
     "sim_nsw_recall" -> nswRecallOracle(16, 5, 5),
+    "sim_hnsw_topk" -> hnswOracle(16, 5, 5, 4),
+    "sim_hnsw_recall" -> hnswRecallOracle(16, 5, 5, 4),
     "dd_simhash_pairs" ->
       """WITH sim AS (
         |WITH tok AS (
@@ -9088,5 +9212,594 @@ object SparkEntry {
         |FROM deg d LEFT JOIN tpn t ON d.node = t.node
         |WHERE d.degree >= 2
         |ORDER BY d.degree DESC, d.node LIMIT 20""".stripMargin,
+    "q195_block_maxima" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), blk AS (
+        | SELECT o_orderpriority, date_trunc('week', "day") wk, max(cents) mx
+        | FROM daily GROUP BY 1, 2
+        |), g AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_blocks,
+        |  sum(cast(mx as hugeint)) s1, sum(cast(mx as hugeint) * mx) s2
+        | FROM blk GROUP BY 1
+        |), h AS (
+        | SELECT *, n_blocks * s2 - s1 * s1 ssb FROM g WHERE n_blocks >= 2
+        |), hh AS (
+        | SELECT *, sqrt(cast(ssb as double) / (cast(n_blocks as double) * (n_blocks - 1)))
+        |   * 2.449489742783178 / 3.141592653589793 beta
+        | FROM h WHERE ssb > 0
+        |)
+        |SELECT o_orderpriority, n_blocks,
+        | cast(s1 as varchar) AS s1, cast(s2 as varchar) AS s2,
+        | round(beta, 6) AS gumbel_beta,
+        | round(cast(s1 as double) / n_blocks - 0.5772156649015329 * beta, 6) AS gumbel_mu
+        |FROM hh ORDER BY o_orderpriority""".stripMargin,
+    "q196_cvar" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), r AS (
+        | SELECT o_orderpriority, cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents, "day") rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) n
+        | FROM daily
+        |), s AS (SELECT *, (n * 95 + 99) // 100 r_star FROM r)
+        |SELECT o_orderpriority, cast(max(n) as bigint) AS n_days,
+        | max(CASE WHEN rn = r_star THEN cents END) AS var_cents,
+        | cast(sum(CASE WHEN rn >= r_star THEN 1 ELSE 0 END) as bigint) AS n_tail,
+        | cast(sum(CASE WHEN rn >= r_star THEN cast(cents as hugeint) END)
+        |   // sum(CASE WHEN rn >= r_star THEN 1 ELSE 0 END) as bigint) AS cvar_cents
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q197_partial_corr" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) x,
+        |  cast(count(*) as bigint) y,
+        |  cast(count(DISTINCT o_custkey) as bigint) z
+        | FROM orders GROUP BY 1, 2
+        |), g AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n,
+        |  sum(cast(x as hugeint)) sx, sum(cast(y as hugeint)) sy, sum(cast(z as hugeint)) sz,
+        |  sum(cast(x as hugeint) * x) sxx, sum(cast(y as hugeint) * y) syy,
+        |  sum(cast(z as hugeint) * z) szz, sum(cast(x as hugeint) * y) sxy,
+        |  sum(cast(x as hugeint) * z) sxz, sum(cast(y as hugeint) * z) syz
+        | FROM daily GROUP BY 1
+        |), d AS (
+        | SELECT *, n * sxx - sx * sx dx, n * syy - sy * sy dy, n * szz - sz * sz dz
+        | FROM g WHERE n >= 3
+        |), rr AS (
+        | SELECT *,
+        |  cast(n * sxy - sx * sy as double) / sqrt(cast(dx as double) * cast(dy as double)) rxy,
+        |  cast(n * sxz - sx * sz as double) / sqrt(cast(dx as double) * cast(dz as double)) rxz,
+        |  cast(n * syz - sy * sz as double) / sqrt(cast(dy as double) * cast(dz as double)) ryz
+        | FROM d WHERE dx > 0 AND dy > 0 AND dz > 0
+        |)
+        |SELECT o_orderpriority, n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        | round(ryz, 6) AS r_yz,
+        | round(CASE WHEN (1 - rxz * rxz) * (1 - ryz * ryz) > 0 THEN
+        |  (rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) END, 6) AS partial_r
+        |FROM rr ORDER BY o_orderpriority""".stripMargin,
+    "q198_cronbach_alpha" ->
+      """WITH wk AS (
+        | SELECT o_orderpriority, date_trunc('week', cast(o_orderdate as date)) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) x
+        | FROM orders GROUP BY 1, 2
+        |), kf AS (SELECT cast(count(DISTINCT o_orderpriority) as bigint) k FROM wk
+        |), complete AS MATERIALIZED (
+        | SELECT "day", count(*) np, sum(cast(x as hugeint)) t FROM wk GROUP BY 1
+        | HAVING count(*) = (SELECT k FROM kf)
+        |), items AS (
+        | SELECT sum(ni * qi - si * si) ss_items FROM (
+        |  SELECT w.o_orderpriority, cast(count(*) as hugeint) ni,
+        |   sum(cast(x as hugeint)) si, sum(cast(x as hugeint) * x) qi
+        |  FROM wk w JOIN complete c ON c."day" = w."day" GROUP BY 1
+        | )
+        |), totals AS (
+        | SELECT (SELECT k FROM kf) k, cast(count(*) as bigint) n_weeks,
+        |  sum(t) st, sum(t * t) qt FROM complete
+        |), tt AS (
+        | SELECT k, n_weeks, n_weeks * qt - st * st ss_total FROM totals
+        |)
+        |SELECT tt.k, tt.n_weeks, cast(items.ss_items as varchar) AS ss_items,
+        | cast(tt.ss_total as varchar) AS ss_total,
+        | round(cast(tt.k as double) / (tt.k - 1)
+        |   * (1 - cast(items.ss_items as double) / cast(tt.ss_total as double)), 6) AS alpha
+        |FROM tt, items WHERE tt.k >= 2 AND tt.n_weeks >= 2 AND tt.ss_total > 0""".stripMargin,
+    "q199_cooks_distance" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) y
+        | FROM orders GROUP BY 1, 2
+        |), r AS (
+        | SELECT *, cast(row_number() OVER (PARTITION BY o_orderpriority ORDER BY "day") as bigint) t
+        | FROM daily
+        |), g AS (
+        | SELECT o_orderpriority p, cast(count(*) as bigint) n,
+        |  sum(cast(t as hugeint)) st, sum(cast(t as hugeint) * t) st2,
+        |  sum(cast(y as hugeint)) sy, sum(cast(t as hugeint) * y) sty
+        | FROM r GROUP BY 1
+        |), gg AS (
+        | SELECT *, n * st2 - st * st den, n * sty - st * sy bnum
+        | FROM g WHERE n > 2
+        |), sc AS (
+        | SELECT r.o_orderpriority, r."day", r.y, r.t, gg.n, gg.st, gg.den,
+        |  cast(round(cast(gg.den * (gg.n * r.y - gg.sy) - gg.bnum * (gg.n * r.t - gg.st) as double)
+        |    / (cast(gg.n as double) * cast(gg.den as double)), 0) as bigint) e_r,
+        |  1.0 / gg.n + cast((gg.n * r.t - gg.st) * (gg.n * r.t - gg.st) as double)
+        |    / (cast(gg.n as double) * cast(gg.den as double)) h
+        | FROM r JOIN gg ON gg.p = r.o_orderpriority WHERE gg.den > 0
+        |), se AS (
+        | SELECT *, sum(cast(e_r as hugeint) * e_r) OVER (PARTITION BY o_orderpriority) sum_e2 FROM sc
+        |), ck AS (
+        | SELECT *, cast(sum_e2 as double) / (n - 2) s2 FROM se WHERE sum_e2 > 0
+        |), cc AS (
+        | SELECT *, (cast(e_r as double) * e_r / (2 * s2)) * (h / ((1 - h) * (1 - h))) cook FROM ck
+        |), top AS (
+        | SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY cook DESC, "day") rk FROM cc
+        |)
+        |SELECT o_orderpriority, "day", y AS cents, round(h, 6) AS leverage, round(cook, 6) AS cooks_d
+        |FROM top WHERE rk <= 3 ORDER BY o_orderpriority, "day"""".stripMargin,
+    "q200_rich_club" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |), deg AS (
+        | SELECT n, cast(count(*) as bigint) d FROM (
+        |  SELECT a AS n FROM pairs UNION ALL SELECT b2 FROM pairs) GROUP BY 1
+        |), ks(k) AS (VALUES (1), (2), (4), (8), (16), (32)),
+        |nk AS (
+        | SELECT k, cast(count(*) as bigint) n_nodes FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1
+        |), em AS (
+        | SELECT least(da.d, db.d) m FROM pairs
+        |  JOIN deg da ON da.n = pairs.a JOIN deg db ON db.n = pairs.b2
+        |), ek AS (
+        | SELECT k, cast(count(*) as bigint) n_edges FROM ks JOIN em ON em.m > ks.k GROUP BY 1
+        |)
+        |SELECT cast(ks.k as bigint) AS k, coalesce(nk.n_nodes, 0) AS n_nodes,
+        | coalesce(ek.n_edges, 0) AS n_edges,
+        | CASE WHEN coalesce(nk.n_nodes, 0) >= 2 THEN
+        |  cast(2 * cast(coalesce(ek.n_edges, 0) as hugeint) * 1000000
+        |   // (cast(nk.n_nodes as hugeint) * (nk.n_nodes - 1)) as bigint) END AS phi_micro
+        |FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+        |ORDER BY k""".stripMargin,
+    "txt_herdan" ->
+      ("""WITH RECURSIVE t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term FROM documents
+        |), g AS (
+        | SELECT lang, cast(count(*) as bigint) n_tokens,
+        |  cast(count(DISTINCT term) as bigint) vocab
+        | FROM t GROUP BY 1
+        |), gs AS (
+        | SELECT lang, n_tokens, vocab,
+        |  greatest(0, length(bin(n_tokens)) - 43) shn,
+        |  n_tokens // (cast(1 as bigint) << greatest(0, length(bin(n_tokens)) - 43)) argn,
+        |  greatest(0, length(bin(vocab)) - 43) shv,
+        |  vocab // (cast(1 as bigint) << greatest(0, length(bin(vocab)) - 43)) argv
+        | FROM g
+        |), lgvals(x) AS (
+        | -- explicit DISTINCT subquery: inside WITH RECURSIVE a bare
+        | -- `a UNION b` CTE gets the recursive-union treatment and
+        | -- does NOT dedup across the branches (seen live: 31 landed
+        | -- 5x and fanned the lg join 5x per language)
+        | SELECT DISTINCT x FROM (SELECT argn x FROM gs UNION ALL SELECT argv FROM gs)
+        |), """ + LgCte + """
+        |SELECT gs.lang, n_tokens, vocab,
+        | CASE WHEN n_tokens >= 2 THEN
+        |  cast(cast(lv.lg + gs.shv * 1048576 as hugeint) * 1000000
+        |   // (ln.lg + gs.shn * 1048576) as bigint) END AS herdan_c_micro
+        |FROM gs JOIN lg ln ON ln.x = gs.argn JOIN lg lv ON lv.x = gs.argv
+        |ORDER BY gs.lang""").stripMargin,
+    "sim_xie_beni" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, round(dist, 6) rd,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |), tot AS (
+        | SELECT cast(count(*) as bigint) n_vecs,
+        |  cast(sum(cast(rd as decimal(38,6))) * 1000000 as hugeint) im
+        | FROM best WHERE rn = 1
+        |), sep AS (
+        | SELECT min(cast(cast(round(list_sum(list_transform(range(1, 65), kk -> (a.cv[kk] - b.cv[kk]) * (a.cv[kk] - b.cv[kk]))), 6) as decimal(38,6)) * 1000000 as bigint)) min_sep2_micro
+        | FROM centv a JOIN centv b ON a.clabel <> b.clabel
+        |)
+        |SELECT tot.n_vecs, cast(tot.im as bigint) AS inertia_micro, sep.min_sep2_micro,
+        | CASE WHEN sep.min_sep2_micro > 0 THEN
+        |  cast(tot.im * 1000000 // (cast(tot.n_vecs as hugeint) * sep.min_sep2_micro) as bigint) END AS xb_micro
+        |FROM tot, sep""".stripMargin,
+    "q201_adamic_adar" ->
+      ("""WITH RECURSIVE b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
+        | SELECT a, b2 FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b2, count(*) AS support
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2) WHERE support >= 2
+        |), ed AS MATERIALIZED (
+        | SELECT a s, b2 d FROM pairs UNION ALL SELECT b2, a FROM pairs
+        |), deg AS MATERIALIZED (
+        | SELECT s n, cast(count(*) as bigint) dg FROM ed GROUP BY 1
+        |), lgvals(x) AS (SELECT DISTINCT dg FROM deg),
+        |""" + LgCte + """,
+        |cn AS (
+        | SELECT e1.s n1, e2.d n2, cast(count(*) as bigint) common_nbrs,
+        |  cast(sum(1048576000 // l.lg) as bigint) aa_milli
+        | FROM ed e1 JOIN ed e2 ON e2.s = e1.d AND e1.s < e2.d
+        |  JOIN deg dw ON dw.n = e1.d JOIN lg l ON l.x = dw.dg
+        | GROUP BY 1, 2
+        |)
+        |SELECT cn.n1, cn.n2, cn.common_nbrs, cn.aa_milli
+        |FROM cn LEFT JOIN pairs p ON p.a = cn.n1 AND p.b2 = cn.n2
+        |WHERE p.a IS NULL
+        |ORDER BY aa_milli DESC, n1, n2 LIMIT 20""").stripMargin,
+    "q202_bowker" ->
+      """WITH modal AS (
+        | SELECT o_custkey, year(o_orderdate) yr, o_orderpriority p, count(*) c
+        | FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        | GROUP BY 1, 2, 3
+        |), m AS (
+        | SELECT *, row_number() OVER (PARTITION BY o_custkey, yr ORDER BY c DESC, p) rn
+        | FROM modal
+        |), t AS (
+        | SELECT a.o_custkey, a.p p95, b.p p96
+        | FROM m a JOIN m b ON b.o_custkey = a.o_custkey AND b.yr = 1996 AND b.rn = 1
+        | WHERE a.yr = 1995 AND a.rn = 1
+        |), cells AS MATERIALIZED (
+        | SELECT p95, p96, cast(count(*) as bigint) c FROM t GROUP BY 1, 2
+        |), ps AS (
+        | SELECT DISTINCT p FROM (SELECT p95 p FROM cells UNION ALL SELECT p96 FROM cells)
+        |)
+        |SELECT i.p AS i, j.p AS j,
+        | coalesce(nij.c, 0) AS n_ij, coalesce(nji.c, 0) AS n_ji,
+        | CASE WHEN coalesce(nij.c, 0) + coalesce(nji.c, 0) > 0 THEN
+        |  cast(cast(coalesce(nij.c, 0) - coalesce(nji.c, 0) as hugeint)
+        |   * (coalesce(nij.c, 0) - coalesce(nji.c, 0)) * 1000000
+        |   // (coalesce(nij.c, 0) + coalesce(nji.c, 0)) as bigint) END AS term_micro
+        |FROM ps i JOIN ps j ON i.p < j.p
+        |LEFT JOIN cells nij ON nij.p95 = i.p AND nij.p96 = j.p
+        |LEFT JOIN cells nji ON nji.p95 = j.p AND nji.p96 = i.p
+        |ORDER BY i, j""".stripMargin,
+    "q203_dixon_q" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), r AS (
+        | SELECT o_orderpriority, cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents, "day") ra,
+        |  count(*) OVER (PARTITION BY o_orderpriority) n
+        | FROM daily
+        |), rr AS (SELECT *, n - ra + 1 rd FROM r
+        |), g AS (
+        | SELECT o_orderpriority, cast(max(n) as bigint) n_days,
+        |  max(CASE WHEN ra = 1 THEN cents END) min1,
+        |  max(CASE WHEN ra = 2 THEN cents END) min2,
+        |  max(CASE WHEN rd = 1 THEN cents END) max1,
+        |  max(CASE WHEN rd = 2 THEN cents END) max2
+        | FROM rr GROUP BY 1 HAVING count(*) >= 3
+        |)
+        |SELECT o_orderpriority, n_days, min1, max1,
+        | CASE WHEN max1 > min1 THEN
+        |  cast(cast(min2 - min1 as hugeint) * 1000000 // (max1 - min1) as bigint) END AS q_low_micro,
+        | CASE WHEN max1 > min1 THEN
+        |  cast(cast(max1 - max2 as hugeint) * 1000000 // (max1 - min1) as bigint) END AS q_high_micro
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
+    "q204_kendall_tau_b" ->
+      """WITH base AS (
+        | SELECT cast(substring(o_orderpriority, 1, 1) as bigint) x,
+        |  least(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) // 5000000, 9) y
+        | FROM orders
+        |), cells AS MATERIALIZED (
+        | SELECT x, y, cast(count(*) as bigint) a FROM base GROUP BY 1, 2
+        |), pr AS (
+        | SELECT ca.x xa, ca.y ya, ca.a na, cb.x xb, cb.y yb, cb.a nb
+        | FROM cells ca JOIN cells cb
+        |  ON ca.x < cb.x OR (ca.x = cb.x AND ca.y < cb.y)
+        |), cd AS (
+        | SELECT
+        |  sum(CASE WHEN xa < xb AND ya < yb THEN cast(na as hugeint) * nb ELSE 0 END) c_d,
+        |  sum(CASE WHEN xa < xb AND ya > yb THEN cast(na as hugeint) * nb ELSE 0 END) d_d
+        | FROM pr
+        |), mg AS (SELECT sum(cast(a as hugeint)) n FROM cells
+        |), t1 AS (
+        | SELECT sum(cast(t as hugeint) * (t - 1)) n1_2 FROM (
+        |  SELECT x, sum(a) t FROM cells GROUP BY 1)
+        |), t2 AS (
+        | SELECT sum(cast(t as hugeint) * (t - 1)) n2_2 FROM (
+        |  SELECT y, sum(a) t FROM cells GROUP BY 1)
+        |), f AS (
+        | SELECT mg.n, cd.c_d, cd.d_d, t1.n1_2, t2.n2_2, mg.n * (mg.n - 1) n0_2
+        | FROM mg, cd, t1, t2
+        |)
+        |SELECT cast(n as bigint) AS n,
+        | cast(c_d as bigint) AS c_pairs, cast(d_d as bigint) AS d_pairs,
+        | cast(n1_2 // 2 as bigint) AS n1_pairs, cast(n2_2 // 2 as bigint) AS n2_pairs,
+        | round((cast(c_d as double) - cast(d_d as double))
+        |   / sqrt(cast(n0_2 - n1_2 as double) / 2 * (cast(n0_2 - n2_2 as double) / 2)), 6) AS tau_b
+        |FROM f WHERE n0_2 > n1_2 AND n0_2 > n2_2""".stripMargin,
+    "txt_guiraud" ->
+      """WITH t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term FROM documents
+        |), g AS (
+        | SELECT lang, cast(count(*) as bigint) n_tokens,
+        |  cast(count(DISTINCT term) as bigint) vocab
+        | FROM t GROUP BY 1
+        |)
+        |SELECT lang, n_tokens, vocab,
+        | round(cast(vocab as double) / sqrt(cast(n_tokens as double)), 6) AS guiraud_r
+        |FROM g ORDER BY lang""".stripMargin,
+    "dd_oph_incremental" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t FROM documents
+        |), sh AS (
+        | SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) shingles
+        | FROM toks WHERE len(t) >= 3
+        |), h AS (
+        | SELECT doc_id, list_transform(shingles, s -> md5(s)) hs FROM sh
+        |), r AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_aggregate(list_filter(hs, x -> (strpos('0123456789abcdef', substring(x, 32, 1)) - 1) % 8 = i), 'min')) raw
+        | FROM h
+        |), dens AS (
+        | SELECT doc_id, list_transform(range(0, 8), i ->
+        |   list_filter(list_transform(range(0, 8), j -> raw[cast((i + j) % 8 as int) + 1]), x -> x IS NOT NULL)[1]) sl
+        | FROM r
+        |), bands AS MATERIALIZED (
+        | SELECT doc_id, b, md5(sl[2*b+1] || sl[2*b+2] || ':' || cast(b as varchar)) bh
+        | FROM dens CROSS JOIN (VALUES (0), (1), (2), (3)) v(b)
+        |)
+        |SELECT DISTINCT nw.doc_id AS doc_new, old.doc_id AS doc_old
+        |FROM bands nw JOIN bands old ON old.b = nw.b AND old.bh = nw.bh
+        |WHERE nw.doc_id >= 400 AND old.doc_id < 400
+        |ORDER BY doc_new, doc_old""".stripMargin,
+    "q205_anderson_darling" ->
+      """WITH o AS (
+        | SELECT r.r_name, o.o_orderpriority = '1-URGENT' AS is_a,
+        |  cast(cast(o.o_totalprice as decimal(18,2)) * 100 as bigint) cents
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        | WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+        |), cells AS (
+        | SELECT r_name, cents, cast(count(*) as bigint) c_tot,
+        |  cast(sum(CASE WHEN is_a THEN 1 ELSE 0 END) as bigint) c_a
+        | FROM o GROUP BY 1, 2
+        |), cum AS (
+        | SELECT r_name, cents, c_tot, c_a, c_tot - c_a AS c_b,
+        |  sum(c_tot) OVER w AS bj, sum(c_a) OVER w AS ma, sum(c_tot - c_a) OVER w AS mb
+        | FROM cells
+        | WINDOW w AS (PARTITION BY r_name ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), tot AS (
+        | SELECT r_name, cast(sum(c_a) as bigint) n_a,
+        |  cast(sum(c_tot - c_a) as bigint) n_b, cast(sum(c_tot) as bigint) n_tot
+        | FROM cells GROUP BY 1 HAVING sum(c_a) > 0 AND sum(c_tot - c_a) > 0
+        |), terms AS (
+        | SELECT cum.r_name, t.n_a, t.n_b, t.n_tot,
+        |  sum(CASE WHEN bj < n_tot THEN
+        |   cast(c_tot as hugeint)
+        |    * (cast(n_tot as hugeint) * ma - cast(n_a as hugeint) * bj)
+        |    * (cast(n_tot as hugeint) * ma - cast(n_a as hugeint) * bj)
+        |    * 1000000 // (cast(bj as hugeint) * (n_tot - bj)) ELSE 0 END) ia,
+        |  sum(CASE WHEN bj < n_tot THEN
+        |   cast(c_tot as hugeint)
+        |    * (cast(n_tot as hugeint) * mb - cast(n_b as hugeint) * bj)
+        |    * (cast(n_tot as hugeint) * mb - cast(n_b as hugeint) * bj)
+        |    * 1000000 // (cast(bj as hugeint) * (n_tot - bj)) ELSE 0 END) ib
+        | FROM cum JOIN tot t ON t.r_name = cum.r_name
+        | GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT r_name, n_a, n_b,
+        | cast(ia as varchar) AS inner_a_micro, cast(ib as varchar) AS inner_b_micro,
+        | round((cast(ia as double) / cast(n_a as double)
+        |   + cast(ib as double) / cast(n_b as double))
+        |  / (cast(n_tot as double) * 1e6), 6) AS a2_stat
+        |FROM terms ORDER BY r_name""".stripMargin,
+    "q206_quade" ->
+      """WITH weekly AS (
+        | SELECT o_orderpriority,
+        |  date_diff('day', DATE '1970-01-01', cast(o_orderdate as date)) // 7 AS wk,
+        |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) cents
+        | FROM orders GROUP BY 1, 2
+        |), complete AS (
+        | SELECT wk FROM weekly GROUP BY wk HAVING count(*) = 5
+        |), wv AS (SELECT w.* FROM weekly w JOIN complete USING (wk)),
+        |ranks AS (
+        | SELECT a.o_orderpriority, a.wk,
+        |  cast(sum(CASE WHEN b.cents < a.cents THEN 2 ELSE 0 END)
+        |   + sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) + 1 as bigint) r2
+        | FROM wv a JOIN wv b ON a.wk = b.wk
+        | GROUP BY 1, 2
+        |), ranges AS (
+        | SELECT wk, max(cents) - min(cents) AS rng FROM wv GROUP BY 1
+        |), q2t AS (
+        | SELECT wk, 2 * rank() OVER (ORDER BY rng)
+        |   + count(*) OVER (PARTITION BY rng) - 1 AS q2
+        | FROM ranges
+        |), s4t AS (
+        | SELECT r.o_orderpriority, r.wk, cast(q.q2 * (r.r2 - 6) as bigint) s4
+        | FROM ranks r JOIN q2t q ON q.wk = r.wk
+        |), pt AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_blocks,
+        |  cast(sum(cast(s4 as hugeint)) as hugeint) s4_sum
+        | FROM s4t GROUP BY 1
+        |), a16t AS (
+        | SELECT cast(sum(cast(s4 as hugeint) * s4) as hugeint) a16 FROM s4t
+        |), ft AS (
+        | SELECT max(n_blocks) nb, cast(sum(s4_sum * s4_sum) as hugeint) b16n FROM pt
+        |)
+        |SELECT pt.o_orderpriority, pt.n_blocks,
+        | cast(pt.s4_sum as bigint) AS s4_sum, cast(a16 as varchar) AS a16,
+        | round(CASE WHEN cast(nb as hugeint) * a16 - b16n > 0 THEN
+        |  cast(cast(nb - 1 as hugeint) * b16n as double)
+        |   / cast(cast(nb as hugeint) * a16 - b16n as double) END, 6) AS f_stat
+        |FROM pt, a16t, ft ORDER BY pt.o_orderpriority""".stripMargin,
+    "q207_theil_index" ->
+      ("""WITH RECURSIVE cust AS MATERIALIZED (
+        | SELECT n.n_name,
+        |  cast(sum(cast(cast(o.o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) x
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | GROUP BY n.n_name, o.o_custkey
+        | HAVING sum(cast(cast(o.o_totalprice as decimal(18,2)) * 100 as bigint)) > 0
+        |), grp AS MATERIALIZED (
+        | SELECT n_name g, cast(count(*) as bigint) n_g, cast(sum(x) as bigint) s_g
+        | FROM cust GROUP BY 1
+        |), tot AS MATERIALIZED (
+        | SELECT cast(sum(n_g) as bigint) n_tot, cast(sum(s_g) as bigint) s_tot FROM grp
+        |), shf AS MATERIALIZED (
+        | SELECT v, greatest(0, length(bin(v)) - 43) sh,
+        |  v // (cast(1 as bigint) << greatest(0, length(bin(v)) - 43)) arg
+        | FROM (SELECT DISTINCT v FROM (
+        |   SELECT x v FROM cust UNION ALL SELECT n_g FROM grp
+        |   UNION ALL SELECT s_g FROM grp
+        |   UNION ALL SELECT n_tot FROM tot UNION ALL SELECT s_tot FROM tot))
+        |), lgvals(x) AS (
+        | SELECT DISTINCT arg x FROM shf
+        |), """ + LgCte + """,
+        |lgx AS (
+        | SELECT shf.v, l.lg + shf.sh * 1048576 AS lg FROM shf JOIN lg l ON l.x = shf.arg
+        |), wn AS (
+        | SELECT c.n_name,
+        |  cast(sum(cast(c.x as hugeint) * (lx.lg + ln2.lg - ls2.lg)) as hugeint) wnum
+        | FROM cust c JOIN grp ON grp.g = c.n_name
+        |  JOIN lgx lx ON lx.v = c.x
+        |  JOIN lgx ln2 ON ln2.v = grp.n_g
+        |  JOIN lgx ls2 ON ls2.v = grp.s_g
+        | GROUP BY 1
+        |)
+        |SELECT grp.g AS n_name, grp.n_g AS n_cust, grp.s_g AS revenue_cents,
+        | cast(CASE WHEN wnum * 1000 < 0
+        |      THEN -((-(wnum * 1000)) // (cast(grp.s_g as hugeint) * 1048576))
+        |      ELSE (wnum * 1000) // (cast(grp.s_g as hugeint) * 1048576) END as bigint)
+        |  AS t_within_milli,
+        | cast(CASE WHEN bterm * 1000 < 0
+        |      THEN -((-(bterm * 1000)) // (cast(t.s_tot as hugeint) * 1048576))
+        |      ELSE (bterm * 1000) // (cast(t.s_tot as hugeint) * 1048576) END as bigint)
+        |  AS between_term_milli
+        |FROM grp
+        | JOIN wn ON wn.n_name = grp.g
+        | CROSS JOIN tot t
+        | JOIN lgx lsg ON lsg.v = grp.s_g
+        | JOIN lgx lng ON lng.v = grp.n_g
+        | JOIN lgx lnt ON lnt.v = t.n_tot
+        | JOIN lgx lst ON lst.v = t.s_tot,
+        | LATERAL (SELECT cast(grp.s_g as hugeint) * (lsg.lg + lnt.lg - lng.lg - lst.lg) AS bterm) bt
+        |ORDER BY n_name""").stripMargin,
+    "q208_dispersion" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority, cast(o_orderdate as date) AS "day",
+        |  cast(count(*) as bigint) c
+        | FROM orders GROUP BY 1, 2
+        |), g AS (
+        | SELECT o_orderpriority, cast(count(*) as bigint) n_days,
+        |  cast(sum(c) as bigint) sum_c,
+        |  cast(sum(cast(c as hugeint) * c) as hugeint) sum_c2
+        | FROM daily GROUP BY 1 HAVING count(*) >= 2 AND sum(c) > 0
+        |)
+        |SELECT o_orderpriority, n_days, sum_c,
+        | cast((cast(n_days as hugeint) * sum_c2 - cast(sum_c as hugeint) * sum_c) * 1000000
+        |  // (cast(n_days - 1 as hugeint) * sum_c) as bigint) AS vmr_micro,
+        | cast((cast(n_days as hugeint) * sum_c2 - cast(sum_c as hugeint) * sum_c) * 1000000
+        |  // cast(sum_c as hugeint) as bigint) AS d_stat_micro
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
+    "txt_dugast" ->
+      ("""WITH RECURSIVE t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term FROM documents
+        |), g AS (
+        | SELECT lang, cast(count(*) as bigint) n_tokens,
+        |  cast(count(DISTINCT term) as bigint) vocab
+        | FROM t GROUP BY 1
+        |), gs AS (
+        | SELECT lang, n_tokens, vocab,
+        |  greatest(0, length(bin(n_tokens)) - 43) shn,
+        |  n_tokens // (cast(1 as bigint) << greatest(0, length(bin(n_tokens)) - 43)) argn,
+        |  greatest(0, length(bin(vocab)) - 43) shv,
+        |  vocab // (cast(1 as bigint) << greatest(0, length(bin(vocab)) - 43)) argv
+        | FROM g
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (SELECT argn x FROM gs UNION ALL SELECT argv FROM gs)
+        |), """ + LgCte + """
+        |SELECT gs.lang, n_tokens, vocab,
+        | CASE WHEN n_tokens >= 2
+        |   AND ln.lg + gs.shn * 1048576 > lv.lg + gs.shv * 1048576 THEN
+        |  cast(cast(ln.lg + gs.shn * 1048576 as hugeint)
+        |    * (ln.lg + gs.shn * 1048576) * 1000
+        |   // (cast(1048576 as hugeint)
+        |       * ((ln.lg + gs.shn * 1048576) - (lv.lg + gs.shv * 1048576))) as bigint)
+        | END AS dugast_u_milli
+        |FROM gs JOIN lg ln ON ln.x = gs.argn JOIN lg lv ON lv.x = gs.argv
+        |ORDER BY gs.lang""").stripMargin,
+    "sim_kmeans_bic" ->
+      ("""WITH RECURSIVE dims AS (SELECT unnest(range(1, 65)) i),
+        |cent AS (
+        | SELECT label, i, cast(sum(cast(embedding[i] as decimal(18,9))) as double) / count(*) c
+        | FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+        |), centv AS (SELECT label clabel, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |d AS (
+        | SELECT e.vec_id, cv.clabel,
+        |  list_sum(list_transform(range(1, 65), i -> (cast(e.embedding[i] as double) - cv.cv[i]) * (cast(e.embedding[i] as double) - cv.cv[i]))) dist
+        | FROM embeddings e CROSS JOIN centv cv
+        |), best AS (
+        | SELECT vec_id, clabel new_label, dist,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rn FROM d
+        |), per AS MATERIALIZED (
+        | SELECT new_label, cast(count(*) as bigint) n_j,
+        |  cast(sum(cast(cast(round(dist, 6) as decimal(18,6)) * 1000000 as bigint)) as bigint) sse_j
+        | FROM best WHERE rn = 1 GROUP BY 1
+        |), ag AS MATERIALIZED (
+        | SELECT cast(sum(n_j) as bigint) n, cast(count(*) as bigint) k,
+        |  cast(sum(sse_j) as bigint) sse_micro
+        | FROM per
+        |), dd AS MATERIALIZED (SELECT cast(max(len(embedding)) as bigint) d FROM embeddings),
+        |shf AS MATERIALIZED (
+        | SELECT v, greatest(0, length(bin(v)) - 43) sh,
+        |  v // (cast(1 as bigint) << greatest(0, length(bin(v)) - 43)) arg
+        | FROM (SELECT DISTINCT v FROM (
+        |   SELECT n_j v FROM per UNION ALL SELECT n FROM ag
+        |   UNION ALL SELECT sse_micro FROM ag
+        |   UNION ALL SELECT 1000000 * d * (n - k) FROM ag, dd WHERE n > k))
+        |), lgvals(x) AS (
+        | SELECT DISTINCT arg x FROM shf
+        |), """ + LgCte + """,
+        |lgx AS (
+        | SELECT shf.v, l.lg + shf.sh * 1048576 AS lg FROM shf JOIN lg l ON l.x = shf.arg
+        |), snl AS (
+        | SELECT cast(sum(cast(per.n_j as hugeint) * lx.lg) as hugeint) v
+        | FROM per JOIN lgx lx ON lx.v = per.n_j
+        |), f AS (
+        | SELECT ag.n, ag.k, dd.d, ag.sse_micro,
+        |  CASE WHEN ag.n > ag.k AND ag.sse_micro > 0 THEN
+        |   - cast(ag.n as hugeint) * dd.d
+        |     * (2780295 + (SELECT lg FROM lgx WHERE v = ag.sse_micro)
+        |        - (SELECT lg FROM lgx WHERE v = 1000000 * dd.d * (ag.n - ag.k)))
+        |   - cast(dd.d as hugeint) * (ag.n - ag.k) * 1512775
+        |   + 2 * (SELECT v FROM snl)
+        |   - 2 * cast(ag.n as hugeint) * (SELECT lg FROM lgx WHERE v = ag.n)
+        |  END f2
+        | FROM ag, dd
+        |)
+        |SELECT n AS n_vecs, k, d, sse_micro,
+        | cast(CASE WHEN f2 * 1000 < 0 THEN -((-(f2 * 1000)) // 2097152)
+        |      ELSE (f2 * 1000) // 2097152 END as bigint) AS ll_bits_milli,
+        | cast(CASE WHEN bicf * 1000 < 0 THEN -((-(bicf * 1000)) // 1048576)
+        |      ELSE (bicf * 1000) // 1048576 END as bigint) AS bic_bits_milli,
+        | cast(CASE WHEN aicf * 1000 < 0 THEN -((-(aicf * 1000)) // 1048576)
+        |      ELSE (aicf * 1000) // 1048576 END as bigint) AS aic_bits_milli
+        |FROM f,
+        | LATERAL (SELECT -f2 + cast(k as hugeint) * (d + 1)
+        |    * (SELECT lg FROM lgx WHERE v = f.n) AS bicf,
+        |   -f2 + cast(k as hugeint) * (d + 1) * 2 * 1512775 AS aicf) x2""").stripMargin,
   )
 }

@@ -5192,4 +5192,590 @@ object Analytics {
       .select($"node", $"degree", $"triangles", $"cc_micro")
   }
 
+
+  /** Gumbel method-of-moments inputs over weekly block maxima of
+    * daily revenue per priority — the extreme-value-theory tier the
+    * outlier screens (q30/q92/q154) don't cover: those ask "is this
+    * point extreme", EVT asks "what does the distribution of BLOCK
+    * EXTREMES look like" (capacity planning runs on exactly this).
+    * ISO-Monday weeks pin the blocking in both engines; block maxima
+    * and the sufficient sums n, Σm, Σm² are exact integers/decimals;
+    * β̂ = s·√6/π and μ̂ = m̄ − γ·β̂ evaluate in double from the exact
+    * sums with √6, π and Euler–Mascheroni γ as shared LITERAL doubles
+    * (engine pi()/constant implementations never enter). Degenerate
+    * (n<2 or zero-variance) priorities drop in both engines. */
+  def q195BlockMaxima(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .groupBy($"o_orderpriority", date_trunc("week", $"day").cast("date").as("wk"))
+      .agg(max($"cents").as("mx"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("cast(mx as decimal(38,0))")).as("s1"),
+        sum(expr("cast(mx as decimal(38,0)) * mx")).as("s2"))
+      .filter($"n_blocks" >= 2)
+      .withColumn("ssb", expr("cast(n_blocks * s2 - s1 * s1 as decimal(38,0))"))
+      .filter($"ssb" > 0)
+      .withColumn("beta", expr(
+        "sqrt(cast(ssb as double) / (cast(n_blocks as double) * (n_blocks - 1))) * 2.449489742783178 / 3.141592653589793"))
+      .select($"o_orderpriority", $"n_blocks",
+        $"s1".cast("string").as("s1"), $"s2".cast("string").as("s2"),
+        round($"beta", 6).as("gumbel_beta"),
+        round(expr("cast(s1 as double) / n_blocks - 0.5772156649015329 * beta"), 6)
+          .as("gumbel_mu"))
+      .orderBy($"o_orderpriority")
+
+  /** Expected shortfall (CVaR) of daily revenue per priority — the
+    * tail-severity readout beside the point-percentile q17 family:
+    * VaR is the exact type-1 quantile at rank ⌈0.95·n⌉ in the
+    * (cents, day)-total order, the tail is every day at or above that
+    * rank, and CVaR = ⌊Σtail / n_tail⌋ — exact integers end-to-end,
+    * no interpolation to diverge on. One value-ordered window per
+    * priority over the calendar-bounded daily frame. */
+  def q196Cvar(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"cents", $"day")
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+      .withColumn("r_star", expr("(n * 95 + 99) div 100"))
+      .groupBy($"o_orderpriority")
+      .agg(max($"n").as("n_days"),
+        max(when($"rn" === $"r_star", $"cents")).as("var_cents"),
+        sum(when($"rn" >= $"r_star", 1L).otherwise(0L)).as("n_tail"),
+        sum(when($"rn" >= $"r_star", expr("cast(cents as decimal(38,0))"))).as("tail_sum"))
+      .select($"o_orderpriority", $"n_days", $"var_cents", $"n_tail",
+        expr("cast(tail_sum div n_tail as bigint)").as("cvar_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** First-order partial correlation r(revenue, orders · customers)
+    * per priority over the daily frame — the confound-adjusted
+    * association the raw Pearson (q103's sibling) overstates when a
+    * third series drives both. All three pairwise r's come off ONE
+    * aggregate of exact decimal cross-sums (n, Σx.., Σxy..), each r
+    * = one double division of exact pieces (q182 discipline), and
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) with the
+    * degenerate guards (zero variance, |r|=1 collinearity) → NULL in
+    * both engines. */
+  def q197PartialCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("x"),
+        count(lit(1)).as("y"),
+        countDistinct($"o_custkey").as("z"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(z as decimal(38,0))")).as("sz"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"),
+        sum(expr("cast(z as decimal(38,0)) * z")).as("szz"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * z")).as("sxz"),
+        sum(expr("cast(y as decimal(38,0)) * z")).as("syz"))
+      .filter($"n" >= 3)
+      .withColumn("dx", expr("cast(n * sxx - sx * sx as decimal(38,0))"))
+      .withColumn("dy", expr("cast(n * syy - sy * sy as decimal(38,0))"))
+      .withColumn("dz", expr("cast(n * szz - sz * sz as decimal(38,0))"))
+      .filter($"dx" > 0 && $"dy" > 0 && $"dz" > 0)
+      .withColumn("rxy", expr(
+        "cast(n * sxy - sx * sy as double) / sqrt(cast(dx as double) * cast(dy as double))"))
+      .withColumn("rxz", expr(
+        "cast(n * sxz - sx * sz as double) / sqrt(cast(dx as double) * cast(dz as double))"))
+      .withColumn("ryz", expr(
+        "cast(n * syz - sy * sz as double) / sqrt(cast(dy as double) * cast(dz as double))"))
+      .select($"o_orderpriority", $"n",
+        round($"rxy", 6).as("r_xy"), round($"rxz", 6).as("r_xz"),
+        round($"ryz", 6).as("r_yz"),
+        round(expr(
+          """CASE WHEN (1 - rxz * rxz) * (1 - ryz * ryz) > 0 THEN
+            |(rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) END""".stripMargin), 6)
+          .as("partial_r"))
+      .orderBy($"o_orderpriority")
+
+  /** Cronbach's alpha over the priority "items" measured across the
+    * COMPLETE weeks (ISO weeks where every priority traded — listwise
+    * deletion pinned in both engines; weekly blocking because sparse
+    * small-SF days rarely cover all items, vacuating the gate): the
+    * internal-consistency readout α = k/(k−1)·(1 − Σᵢ SSᵢ/SS_T),
+    * where the per-item and total-score SS are exact decimals off one
+    * pass each and the n(n−1) variance denominators CANCEL (same
+    * complete-week count everywhere) — so α is exact until ONE double
+    * division. Output is a single audited row (the sim_ari shape):
+    * k, n_weeks, the two exact SS strings, and α round6. */
+  def q198CronbachAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority",
+        date_trunc("week", to_date($"o_orderdate")).cast("date").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("x"))
+    val kf = daily.agg(countDistinct($"o_orderpriority").as("k"))
+    val complete = daily.groupBy($"day")
+      .agg(count(lit(1)).as("np"), sum(expr("cast(x as decimal(38,0))")).as("t"))
+      .crossJoin(broadcast(kf))
+      .filter($"np" === $"k")
+    val items = daily.join(broadcast(complete.select($"day")), Seq("day"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("ni"),
+        sum(expr("cast(x as decimal(38,0))")).as("si"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("qi"))
+      .agg(sum(expr("cast(ni * qi - si * si as decimal(38,0))")).as("ss_items"))
+    val totals = complete
+      .agg(max($"k").as("k"), count(lit(1)).as("n_weeks"),
+        sum($"t").as("st"), sum(expr("cast(t * t as decimal(38,0))")).as("qt"))
+      .withColumn("ss_total", expr("cast(n_weeks * qt - st * st as decimal(38,0))"))
+    totals.crossJoin(broadcast(items))
+      .filter($"k" >= 2 && $"n_weeks" >= 2 && $"ss_total" > 0)
+      .select($"k", $"n_weeks",
+        $"ss_items".cast("string").as("ss_items"),
+        $"ss_total".cast("string").as("ss_total"),
+        round(expr(
+          """cast(k as double) / (k - 1)
+            | * (1 - cast(ss_items as double) / cast(ss_total as double))""".stripMargin), 6)
+          .as("alpha"))
+  }
+
+  /** Cook's distance + leverage of the daily-revenue-on-time OLS per
+    * priority, top-3 most influential days — the regression
+    * DIAGNOSTICS tier beside q74's fit: which single days move the
+    * trend line. Exact pieces: den = nΣt²−(Σt)², slope numerator,
+    * and the n·den-scaled residual — all decimal(38,0); the residual
+    * rounds to whole CENTS through one shared double division
+    * (cents-granular e keeps Σe² inside decimal(38) at ≥10⁴× test
+    * scale where a micro-scaled e would burst it), then Σe² runs
+    * exact over the rounded values (the inertia discipline). h_t and
+    * D_t evaluate in double from exact pieces — identical IEEE trees
+    * both engines — and the top-3 window is (D desc, day) inside the
+    * priority partition, calendar-bounded. Perfect-fit (Σe² = 0) and
+    * n ≤ 2 priorities drop in both engines. */
+  def q199CooksDistance(spark: SparkSession, dir: String): DataFrame = {
+    val wDay = Window.partitionBy($"o_orderpriority").orderBy($"day")
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("y"))
+      .withColumn("t", row_number().over(wDay))
+    val sums = daily.groupBy($"o_orderpriority".as("p"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(t as decimal(38,0))")).as("st"),
+        sum(expr("cast(t as decimal(38,0)) * t")).as("st2"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(t as decimal(38,0)) * y")).as("sty"))
+      .filter($"n" > 2)
+      .withColumn("den", expr("cast(n * st2 - st * st as decimal(38,0))"))
+      .withColumn("bnum", expr("cast(n * sty - st * sy as decimal(38,0))"))
+      .filter($"den" > 0)
+    val scored = daily
+      .join(broadcast(sums), $"o_orderpriority" === $"p")
+      .withColumn("e_r", expr(
+        """cast(round(cast(den * (n * y - sy) - bnum * (n * t - st) as double)
+          | / (cast(n as double) * cast(den as double)), 0) as bigint)""".stripMargin))
+      .withColumn("h", expr(
+        """1.0 / n + cast((n * t - st) * (n * t - st) as double)
+          | / (cast(n as double) * cast(den as double))""".stripMargin))
+      .withColumn("sum_e2",
+        sum(expr("cast(e_r as decimal(38,0)) * e_r"))
+          .over(Window.partitionBy($"o_orderpriority")))
+      .filter($"sum_e2" > 0)
+      .withColumn("s2", expr("cast(sum_e2 as double) / (n - 2)"))
+      .withColumn("cook", expr(
+        """(cast(e_r as double) * e_r / (2 * s2))
+          | * (h / ((1 - h) * (1 - h)))""".stripMargin))
+    val wTop = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cook".desc, $"day")
+    scored.withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 3)
+      .select($"o_orderpriority", $"day", $"y".as("cents"),
+        round($"h", 6).as("leverage"), round($"cook", 6).as("cooks_d"))
+      .orderBy($"o_orderpriority", $"day")
+  }
+
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k(N_k−1)) over the
+    * co-purchase graph for a fixed degree ladder — do high-degree
+    * hubs preferentially trade with each other (the Colizza et al.
+    * readout q123's assortativity summarizes to one number). Degrees
+    * join the edge list as a shuffled hash (both sides corpus-growing,
+    * the q123 never-broadcast rule); each edge/node then expands
+    * over the 6 LITERAL ladder rungs and aggregates — the ladder
+    * frames are 6 rows, broadcast back onto the rung spine so every
+    * rung reports even when empty (N_k < 2 → NULL φ, counts stay). */
+  def q200RichClub(spark: SparkSession, dir: String): DataFrame = {
+    val ks = "array(1, 2, 4, 8, 16, 32)"
+    val pairs = copurchaseEdges(spark, dir)
+    val deg = pairs.select($"a".as("node")).unionAll(pairs.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    val spine = spark.range(1).select(explode(expr(ks)).as("k"))
+    val nk = deg.select(explode(expr(ks)).as("k"), $"degree")
+      .filter($"degree" > $"k")
+      .groupBy($"k").agg(count(lit(1)).as("n_nodes"))
+    val ek = pairs
+      .join(deg.select($"node".as("a"), $"degree".as("da")).hint("shuffle_hash"), Seq("a"))
+      .join(deg.select($"node".as("b"), $"degree".as("db")).hint("shuffle_hash"), Seq("b"))
+      .select(least($"da", $"db").as("m"))
+      .select(explode(expr(ks)).as("k"), $"m")
+      .filter($"m" > $"k")
+      .groupBy($"k").agg(count(lit(1)).as("n_edges"))
+    spine.join(broadcast(nk), Seq("k"), "left")
+      .join(broadcast(ek), Seq("k"), "left")
+      .withColumn("n_nodes", coalesce($"n_nodes", lit(0L)))
+      .withColumn("n_edges", coalesce($"n_edges", lit(0L)))
+      .select($"k".cast("long").as("k"), $"n_nodes", $"n_edges",
+        expr("""CASE WHEN n_nodes >= 2 THEN
+               |cast(2 * cast(n_edges as decimal(38,0)) * 1000000
+               |  div (cast(n_nodes as decimal(38,0)) * (n_nodes - 1)) as bigint) END""".stripMargin)
+          .as("phi_micro"))
+      .orderBy($"k")
+  }
+
+  /** Adamic–Adar link scores over the co-purchase graph, top-20
+    * non-edge pairs — the log-damped common-neighbour index beside
+    * [[q130LinkPrediction]]'s raw count + Jaccard (a shared rare
+    * neighbour is evidence, a shared hub is noise; AA downweights by
+    * 1/lg deg). Every wedge contributes the exact integer milli
+    * 2²⁰·1000 div lg₂fixed(deg w) off the shared fixed-point log2
+    * recurrence (the entropy family's function — deg ≥ 2 for any
+    * wedge interior, so the lg is never zero), summed exactly; the
+    * wedge join and the degree attach hash on corpus-growing keys
+    * (q123 never-broadcast rule), candidates anti-join the edge list,
+    * top-20 total-ordered. */
+  def q201AdamicAdar(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val pairs = copurchaseEdges(spark, dir)
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val cn = edges.select($"src".as("n1"), $"dst".as("w"))
+      .join(edges.select($"src".as("w"), $"dst".as("n2")), "w")
+      .filter($"n1" < $"n2")
+      .join(deg.select($"src".as("w"), $"deg".as("dw")).hint("shuffle_hash"), "w")
+      .groupBy($"n1", $"n2")
+      .agg(count(lit(1)).as("common_nbrs"),
+        sum(expr("cast(1048576000 as bigint) div log2_fixed(dw)")).as("aa_milli"))
+    cn.join(pairs.select($"a".as("n1"), $"b".as("n2")), Seq("n1", "n2"), "left_anti")
+      .orderBy($"aa_milli".desc, $"n1", $"n2")
+      .limit(k)
+      .select($"n1", $"n2", $"common_nbrs", $"aa_milli")
+  }
+
+  /** Bowker symmetry terms over the 1995→1996 modal-priority
+    * transition matrix — does customer preference DRIFT have a
+    * direction, or do the i→j and j→i flows balance (the square-table
+    * generalization of q143's McNemar, which this reduces to at
+    * k = 2)? Modal priority per (customer, year) is total-ordered
+    * (count desc, priority asc); the i<j pair spine reports EVERY
+    * off-diagonal pair with both flow counts and the χ² term
+    * (n_ij−n_ji)²·10⁶ div (n_ij+n_ji) as an exact micro — zero-flow
+    * pairs publish NULL, not a dropped row. Everything past the
+    * modal aggregate is k²-sized. */
+  def q202Bowker(spark: SparkSession, dir: String): DataFrame = {
+    val modal = Tables.orders(spark, dir)
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .groupBy($"o_custkey", year($"o_orderdate").as("yr"), $"o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"o_custkey", $"yr").orderBy($"c".desc, $"o_orderpriority")))
+      .filter($"rn" === 1)
+    val m95 = modal.filter($"yr" === 1995)
+      .select($"o_custkey", $"o_orderpriority".as("p95"))
+    val m96 = modal.filter($"yr" === 1996)
+      .select($"o_custkey", $"o_orderpriority".as("p96"))
+    val cells = m95.join(m96, "o_custkey")
+      .groupBy($"p95", $"p96").agg(count(lit(1)).as("c"))
+    val ps = cells.select($"p95".as("p")).unionAll(cells.select($"p96".as("p"))).distinct()
+    ps.select($"p".as("i")).crossJoin(broadcast(ps.select($"p".as("j"))))
+      .filter($"i" < $"j")
+      .join(broadcast(cells.select($"p95".as("i"), $"p96".as("j"), $"c".as("nij"))),
+        Seq("i", "j"), "left")
+      .join(broadcast(cells.select($"p96".as("i"), $"p95".as("j"), $"c".as("nji"))),
+        Seq("i", "j"), "left")
+      .withColumn("n_ij", coalesce($"nij", lit(0L)))
+      .withColumn("n_ji", coalesce($"nji", lit(0L)))
+      .select($"i", $"j", $"n_ij", $"n_ji",
+        expr("""CASE WHEN n_ij + n_ji > 0 THEN
+               |cast(cast(n_ij - n_ji as decimal(38,0)) * (n_ij - n_ji) * 1000000
+               |  div (n_ij + n_ji) as bigint) END""".stripMargin).as("term_micro"))
+      .orderBy($"i", $"j")
+  }
+
+  /** Dixon's Q ratio inputs per priority — the small-sample outlier
+    * screen at both ends of the daily-revenue order statistics
+    * (gap-to-range ratios; the q154 Grubbs sibling that needs no
+    * variance): Q_low = (x₂−x₁)/(xₙ−x₁), Q_high = (xₙ−xₙ₋₁)/(xₙ−x₁),
+    * both exact integer micros off the four extreme order statistics
+    * in the (cents, day) total order. One value-ordered window per
+    * priority (the rank-from-top derives from the same window via
+    * n−rn+1 — no second sort); constant-series (range 0) → NULL in
+    * both engines. */
+  def q203DixonQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"cents", $"day")
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      .withColumn("ra", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+      .withColumn("rd", $"n" - $"ra" + 1)
+      .groupBy($"o_orderpriority")
+      .agg(max($"n").as("n_days"),
+        max(when($"ra" === 1, $"cents")).as("min1"),
+        max(when($"ra" === 2, $"cents")).as("min2"),
+        max(when($"rd" === 1, $"cents")).as("max1"),
+        max(when($"rd" === 2, $"cents")).as("max2"))
+      .filter($"n_days" >= 3)
+      .select($"o_orderpriority", $"n_days", $"min1", $"max1",
+        expr("""CASE WHEN max1 > min1 THEN
+               |cast(cast(min2 - min1 as decimal(38,0)) * 1000000 div (max1 - min1) as bigint) END""".stripMargin)
+          .as("q_low_micro"),
+        expr("""CASE WHEN max1 > min1 THEN
+               |cast(cast(max1 - max2 as decimal(38,0)) * 1000000 div (max1 - min1) as bigint) END""".stripMargin)
+          .as("q_high_micro"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Kendall's τ-b between priority rank and price band — the
+    * tie-corrected rank correlation completing the ordinal family
+    * (q178's γ ignores ties entirely, Somers' D corrects one margin;
+    * τ-b corrects both): C and D from the q178 cell-pair device
+    * (exact decimal cell products, corpus touched once), the tie
+    * terms n₁/n₂ from the MARGINS alone (no pair frame needed), and
+    * τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) as one double expression over
+    * exact sums. All pair counts published exact (n²-class ≤ int64
+    * to ~3e9 rows, the q178 headroom note). */
+  def q204KendallTauB(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(expr("cast(substring(o_orderpriority, 1, 1) as bigint)").as("x"),
+        expr("least(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 5000000, 9)").as("y"))
+    val cells = base.groupBy($"x", $"y").agg(count(lit(1)).as("a"))
+    val pairs = cells.as("a").crossJoin(broadcast(cells.as("b")))
+      .filter(expr("a.x < b.x OR (a.x = b.x AND a.y < b.y)"))
+      .select(col("a.x").as("xa"), col("a.y").as("ya"), col("a.a").as("na"),
+        col("b.x").as("xb"), col("b.y").as("yb"), col("b.a").as("nb"))
+    val pp = expr("cast(na as decimal(38,0)) * nb")
+    val cd = pairs.agg(
+      sum(when($"xa" < $"xb" && $"ya" < $"yb", pp).otherwise(lit(0))).as("c_d"),
+      sum(when($"xa" < $"xb" && $"ya" > $"yb", pp).otherwise(lit(0))).as("d_d"))
+    val margins = cells.agg(sum(expr("cast(a as decimal(38,0))")).as("n"))
+    val tx = cells.groupBy($"x").agg(sum($"a").as("t"))
+      .agg(sum(expr("cast(t as decimal(38,0)) * (t - 1)")).as("n1_2"))
+    val ty = cells.groupBy($"y").agg(sum($"a").as("t"))
+      .agg(sum(expr("cast(t as decimal(38,0)) * (t - 1)")).as("n2_2"))
+    margins.crossJoin(broadcast(cd))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .withColumn("n0_2", expr("n * (n - 1)"))
+      .filter($"n0_2" > $"n1_2" && $"n0_2" > $"n2_2")
+      .select($"n".cast("bigint").as("n"),
+        $"c_d".cast("bigint").as("c_pairs"), $"d_d".cast("bigint").as("d_pairs"),
+        expr("cast(n1_2 div 2 as bigint)").as("n1_pairs"),
+        expr("cast(n2_2 div 2 as bigint)").as("n2_pairs"),
+        round(expr(
+          """(cast(c_d as double) - cast(d_d as double))
+            | / sqrt(cast(n0_2 - n1_2 as double) / 2 * (cast(n0_2 - n2_2 as double) / 2))""".stripMargin), 6)
+          .as("tau_b"))
+  }
+
+  /** Two-sample Anderson–Darling inputs per region (URGENT vs LOW
+    * order totals) — the tail-weighted member completing the EDF
+    * two-sample trio (KS q108 = sup norm, CvM q134 = integrated L²,
+    * AD = the L² weighted by 1/(F(1−F)), the one with power in the
+    * TAILS where pricing anomalies live). Statistic: the
+    * right-continuous-EDF k-sample form (Scholz–Stephens eq. 4
+    * restricted to k = 2) on tie cells, A² = (1/N)·Σ_a (1/n_a)·
+    * Σ_{j: B_j<N} l_j·(N·M_aj − n_a·B_j)²/(B_j·(N−B_j)): every piece
+    * is an exact integer off the q134 cell frame — B/M are INCLUSIVE
+    * cumulative counts from the same two-phase distributed prefix
+    * sums (never a corpus-serial window) — and each cell's term
+    * floors ONCE to micro (numerator nonnegative: squared, so
+    * trunc == floor), summed exactly. The two inner sums publish as
+    * exact decimal TEXT (N³-class at 100×: l·(NM−nB)² ~ N³·micro);
+    * A² evaluates in double from the exact integers as one fixed
+    * expression. Regions missing either sample drop (the statistic
+    * is undefined), matching the oracle's HAVING. */
+  def q205AndersonDarling(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", ($"o_orderpriority" === "1-URGENT").as("is_a"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val cells = o.groupBy($"r_name", $"cents")
+      .agg(count(lit(1)).as("c_tot"),
+        sum(when($"is_a", 1L).otherwise(0L)).as("c_a"))
+      .withColumn("c_b", $"c_tot" - $"c_a")
+    val bkt = CorpusPipeline.equiWidthBucket(cells, "cents")
+    val ranked = Seq(("c_tot", "_ltC"), ("c_a", "_ltA"), ("c_b", "_ltB"))
+      .foldLeft(cells) { case (df, (v, out)) =>
+        CorpusPipeline.prefixSumExclusive(df, "r_name", Seq($"cents"), v, out, bkt)
+      }
+      .withColumn("bj", $"_ltC" + $"c_tot")   // inclusive pooled EDF count
+      .withColumn("ma", $"_ltA" + $"c_a")     // inclusive per-sample counts
+      .withColumn("mb", $"_ltB" + $"c_b")
+      // group totals fall out of the inclusive prefix maxima — no
+      // second pass over the order scan
+      .withColumn("n_tot", max($"bj").over(Window.partitionBy($"r_name")))
+      .withColumn("n_a", max($"ma").over(Window.partitionBy($"r_name")))
+      .withColumn("n_b", max($"mb").over(Window.partitionBy($"r_name")))
+      .filter($"n_a" > 0 && $"n_b" > 0)
+    // per-cell floored micro term: l·(N·M − n·B)²·10⁶ div (B·(N−B));
+    // numerator is a square ⇒ nonnegative ⇒ trunc == floor
+    def inner(m: String, na: String) = expr(
+      s"""sum(CASE WHEN bj < n_tot THEN
+         | cast(c_tot as decimal(38,0))
+         |  * (cast(n_tot as decimal(38,0)) * $m - cast($na as decimal(38,0)) * bj)
+         |  * (cast(n_tot as decimal(38,0)) * $m - cast($na as decimal(38,0)) * bj)
+         |  * 1000000
+         |  div (cast(bj as decimal(38,0)) * (n_tot - bj)) ELSE 0 END)""".stripMargin)
+    ranked
+      .groupBy($"r_name")
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"), max($"n_tot").as("n_tot"),
+        inner("ma", "n_a").as("ia"), inner("mb", "n_b").as("ib"))
+      .select($"r_name", $"n_a", $"n_b",
+        $"ia".cast("string").as("inner_a_micro"),
+        $"ib".cast("string").as("inner_b_micro"),
+        round(expr(
+          """(cast(ia as double) / cast(n_a as double)
+            | + cast(ib as double) / cast(n_b as double))
+            | / (cast(n_tot as double) * 1e6)""".stripMargin), 6).as("a2_stat"))
+      .orderBy($"r_name")
+  }
+
+  /** Quade-test inputs over the Friedman blocks — the blocked-rank
+    * test WEIGHTED by block informativeness (Friedman q152 treats a
+    * $100 week and a $10M week as equal blocks; Quade multiplies each
+    * block's within-ranks by the rank of the block's RANGE, the more
+    * powerful test at small k). Within-block doubled midranks come
+    * from the q152 device verbatim (≤ k² self-join per block, never
+    * corpus-keyed); block-range doubled midranks ride ONE
+    * calendar-bounded window over the weekly frame (≈ 300 rows for
+    * the full TPC-H calendar — the q136/q75 serial-by-design
+    * contract). S4_ij = q2_i·(r2_ij − k − 1) = 4·S_ij stays an exact
+    * integer; per-treatment S4_j and A16 = Σ S4² publish exact, and
+    * the F statistic (n−1)·ΣS4_j² / (n·A16 − ΣS4_j²) is one double
+    * division of exact integers. Degenerate A16·n = ΣS4_j² (all
+    * blocks identically ordered) guards to NULL both engines. */
+  def q206Quade(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority",
+        expr("unix_date(cast(o_orderdate as date)) div 7").as("wk"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("cents"))
+    val complete = weekly.groupBy($"wk").agg(count(lit(1)).as("np"))
+      .filter($"np" === 5).select($"wk")
+    val wv = weekly.join(broadcast(complete), "wk")
+    val other = wv.select($"wk".as("wk2"), $"cents".as("c2"))
+    val r2 = wv.join(other, $"wk" === $"wk2")
+      .groupBy($"o_orderpriority", $"wk")
+      .agg((sum(when($"c2" < $"cents", 2L).otherwise(0L))
+        + sum(when($"c2" === $"cents", 1L).otherwise(0L)) + lit(1L)).as("r2"))
+    val ranges = wv.groupBy($"wk")
+      .agg((max($"cents") - min($"cents")).as("rng"))
+    val wRng = Window.orderBy($"rng")
+    val wTie = Window.partitionBy($"rng")
+    val q2 = ranges
+      .withColumn("q2", lit(2L) * rank().over(wRng) + count(lit(1)).over(wTie) - 1L)
+      .select($"wk".as("wk3"), $"q2")
+    val s4 = r2.join(broadcast(q2), $"wk" === $"wk3")
+      .withColumn("s4", $"q2" * ($"r2" - 6L))
+    val perTreat = s4.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("cast(s4 as decimal(38,0))")).as("s4_sum"))
+    val scal = s4.agg(
+      sum(expr("cast(s4 as decimal(38,0)) * s4")).as("a16"))
+    val fstat = perTreat
+      .agg(max($"n_blocks").as("nb"),
+        sum(expr("cast(s4_sum as decimal(38,0)) * s4_sum")).as("b16n"))
+      .crossJoin(broadcast(scal))
+      .select($"nb", $"b16n", $"a16",
+        expr("""CASE WHEN cast(nb as decimal(38,0)) * a16 - b16n > 0 THEN
+               |cast(cast((nb - 1) as decimal(38,0)) * b16n as double)
+               | / cast(cast(nb as decimal(38,0)) * a16 - b16n as double) END""".stripMargin)
+          .as("f"))
+    perTreat.crossJoin(broadcast(fstat))
+      .select($"o_orderpriority", $"n_blocks",
+        $"s4_sum".cast("bigint").as("s4_sum"),
+        $"a16".cast("string").as("a16"),
+        round($"f", 6).as("f_stat"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Theil T inequality of customer revenue with its between/within
+    * NATION decomposition — the member of the inequality family
+    * (Gini q66, Lorenz q125, Atkinson q128, HHI q77) whose whole
+    * point is additive DECOMPOSABILITY: T = T_between + Σ_g w_g·T_g,
+    * the "how much inequality lives inside vs across markets"
+    * readout. All logs are the shared fixed-point lg₂ recurrence
+    * (the entropy/perplexity contract, base-2 Theil — a constant
+    * factor off natural-log Theil, documented): per customer
+    * x·(lg x + lg n_g − lg S_g) sums exactly in DECIMAL(38); the
+    * published milli values divide once, SIGN-SPLIT because the
+    * fixed-point lg is not exactly additive (a near-uniform nation
+    * can land epsilon-negative, where Spark div truncates but DuckDB
+    * // floors — the q182/ari lesson applied at design time).
+    * Between-terms are genuinely signed (a below-average-revenue
+    * nation contributes negative). One customer-keyed aggregate,
+    * one 25-row nation frame; nothing past the first groupBy scales
+    * with orders. */
+  def q207TheilIndex(spark: SparkSession, dir: String): DataFrame = {
+    def lgS(x: String): String =
+      s"(CASE WHEN ($x) < 8796093022208 THEN log2_fixed($x)" +
+        s" ELSE log2_fixed(($x) div shiftleft(cast(1 as bigint), length(bin($x)) - 43))" +
+        s" + cast(length(bin($x)) - 43 as bigint) * 1048576 END)"
+    def signedDiv(num: String, den: String): String =
+      s"""cast(CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+         |     ELSE ($num) div ($den) END as bigint)""".stripMargin
+    val cust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint)")
+        .as("x"))
+      .filter($"x" > 0)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"x")
+    val grp = cust.groupBy($"n_name".as("g"))
+      .agg(count(lit(1)).as("n_g"), sum($"x").as("s_g"))
+    val within = cust.join(broadcast(grp), $"n_name" === $"g")
+      .groupBy($"n_name")
+      .agg(sum(expr(
+        s"""cast(x as decimal(38,0))
+           | * (${lgS("x")} + ${lgS("n_g")} - ${lgS("s_g")})""".stripMargin)).as("wnum"))
+    val tot = grp.agg(sum($"n_g").as("n_tot"), sum($"s_g").as("s_tot"))
+    grp.join(within, $"g" === $"n_name")
+      .crossJoin(broadcast(tot))
+      .withColumn("bterm", expr(
+        s"""cast(s_g as decimal(38,0))
+           | * (${lgS("s_g")} + ${lgS("n_tot")} - ${lgS("n_g")} - ${lgS("s_tot")})""".stripMargin))
+      .select($"n_name", $"n_g".as("n_cust"), $"s_g".as("revenue_cents"),
+        expr(signedDiv("wnum * 1000", "cast(s_g as decimal(38,0)) * 1048576"))
+          .as("t_within_milli"),
+        expr(signedDiv("bterm * 1000", "cast(s_tot as decimal(38,0)) * 1048576"))
+          .as("between_term_milli"))
+      .orderBy($"n_name")
+  }
+
+  /** Fisher index of dispersion of daily order COUNTS per priority —
+    * the overdispersion screen on arrival counts (VMR = 1 is the
+    * Poisson reference; clumped order flow pushes it up, a regular
+    * feed below — the capacity model's validity check). Over trading
+    * days (days with ≥ 1 order of the priority — documented frame).
+    * VMR = (nΣc²−(Σc)²)/((n−1)·Σc) is an exact nonnegative rational
+    * (Cauchy–Schwarz ⇒ trunc == floor) published at micro scale, and
+    * the χ²-distributed test statistic D = (n−1)·VMR is the same
+    * division without the (n−1): both exact integer micros off ONE
+    * daily aggregate. */
+  def q208Dispersion(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_days"), sum($"c").as("sum_c"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("sum_c2"))
+      .filter($"n_days" >= 2 && $"sum_c" > 0)
+      .withColumn("ssn", expr(
+        "cast(cast(n_days as decimal(38,0)) * sum_c2 - cast(sum_c as decimal(38,0)) * sum_c as decimal(38,0))"))
+      .select($"o_orderpriority", $"n_days", $"sum_c".cast("bigint").as("sum_c"),
+        expr("cast(ssn * 1000000 div (cast((n_days - 1) as decimal(38,0)) * sum_c) as bigint)")
+          .as("vmr_micro"),
+        expr("cast(ssn * 1000000 div cast(sum_c as decimal(38,0)) as bigint)")
+          .as("d_stat_micro"))
+      .orderBy($"o_orderpriority")
 }

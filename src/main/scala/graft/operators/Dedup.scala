@@ -298,18 +298,21 @@ object Dedup {
     * md5 passes per shingle — this is the k× hashing refund that
     * matters at corpus scale: at the k = 64–128 widths production
     * dedup runs, the hash pass dominates signature build, and OPH
-    * makes its cost flat in k. Everything is map-side folds (no
-    * shuffle, no explode); `n_empty` publishes the densification
-    * rate, the short-doc accuracy diagnostic (estimator variance
-    * grows with borrowed slots). */
+    * makes its cost flat in k. The one-md5 pass runs on the native
+    * `oph_slots` kernel (one compiled call per row — r14; the prior
+    * interpreted form materialized every digest string then made 8
+    * slot-filter passes, costing MORE than the k-perm kernel and
+    * hiding in the bench because count() prunes the signature
+    * column); densification over the 8-element slot array stays a
+    * free HOF. Map-side only (no shuffle, no explode); `n_empty`
+    * publishes the densification rate, the short-doc accuracy
+    * diagnostic (estimator variance grows with borrowed slots). */
   def ddOphSigs(spark: SparkSession, dir: String): DataFrame =
     TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), TextOps.shingleArray("text").as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("hs", expr("transform(sh, s -> md5(s))"))
-      .withColumn("raw", expr(
-        """transform(sequence(0, 7), i -> array_min(filter(hs,
-          |h -> (locate(substring(h, 32, 1), '0123456789abcdef') - 1) % 8 = i)))""".stripMargin))
+      .withColumn("raw",
+        org.apache.spark.sql.graft.TextExpressions.ophSlots(col("sh"), 8))
       .select(col("doc_id"),
         size(array_distinct(col("sh"))).cast("long").as("n_shingles"),
         expr("cast(size(filter(raw, x -> x is null)) as bigint)").as("n_empty"),
@@ -1454,4 +1457,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+
+  /** INCREMENTAL dedup over the ONE-PERMUTATION signature tier — the
+    * nightly flow [[ddIncremental]] runs on k-perm signatures, re-run
+    * on the OPH lake: history bands reconstruct FROM the signature
+    * table via the shared [[bandsFromSigs]] recipe (history text is
+    * never touched), the new batch signs through the same native
+    * oph_slots kernel, and candidates are the band-key join. At
+    * production k this is the cheaper nightly loop by the OPH
+    * hashing refund — the batch side hashes each shingle ONCE. */
+  def ddOphIncremental(spark: SparkSession, dir: String,
+      splitId: Long = 400L): DataFrame = {
+    val histBands = bandsFromSigs(
+      ddOphSigs(spark, dir).filter(col("doc_id") < splitId)
+        .select(col("doc_id"), col("signature")))
+    val newBands = bandsFromSigs(
+      ddOphSigs(spark, dir).filter(col("doc_id") >= splitId)
+        .select(col("doc_id"), col("signature")))
+      .withColumnRenamed("doc_old", "doc_new")
+    newBands.join(histBands, Seq("b", "bh"))
+      .select(col("doc_new"), col("doc_old")).distinct()
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
 }

@@ -1841,6 +1841,122 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** HNSW layer-1 membership: a deterministic md5 carve (first hex
+    * nibble of md5("hnsw:" + vec_id) = '0' → 1/16 of the corpus) —
+    * the reproducible analogue of HNSW's geometric level assignment
+    * (p = 1/M per level), the q31 md5-prefix-carve device. */
+  private def hnswL1(c: DataFrame): DataFrame =
+    c.filter(expr(
+      "substring(md5(concat('hnsw:', cast(vec_id as string))), 1, 1) = '0'"))
+
+  /** The hierarchy layer's vector-adjacent edge store: the layer-1
+    * members' k-NN graph with destination vectors alongside (the
+    * [[knnEdgesEmb]] posture one level up), snapshotted per corpus —
+    * 1/16 the rows of the base store, the geometric-series space cost
+    * HNSW pays for its logarithmic descent. */
+  private def hnswL1EdgesEmb(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Analytics.snapshotTable(spark, dir, s"hnsw_l1_edges_emb_$k") {
+      val m = hnswL1(corpus(spark, dir))
+      val a = m.select(col("vec_id").as("src_id"), col("label"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = m.select(col("vec_id").as("dst_id"), col("label"),
+        col("embedding").as("demb"), col("nrm").as("dnrm"))
+      val scored = a.join(b, Seq("label"))
+        .filter(col("src_id") =!= col("dst_id"))
+        .withColumn("cosim", VectorOps.dot("ea", "demb") / (col("na") * col("dnrm")))
+      org.apache.spark.sql.graft.TopK.perGroup(
+        scored, Seq("src_id"), Seq("cosim" -> true, "dst_id" -> false), k)
+        .select(col("src_id"), col("dst_id"), col("demb"), col("dnrm"))
+    }
+
+  /** HNSW-style hierarchical graph-ANN search — the hierarchy rung
+    * completing the graph-ANN ladder above [[simNswTopk]] (Malkov &
+    * Yashunin: NSW's entry-point problem solved by descending a
+    * sparser upper layer first): the l1Beam smallest-id layer-1
+    * members seed a COARSE beam descent (beam l1Beam, l1Hops hops)
+    * over the 1/16-sized layer-1 edge store, and its survivors —
+    * already scored — seed the layer-0 beam search (beam × hops, the
+    * NSW reach) from entries the descent has already pulled near the
+    * answer. On an UNLABELED corpus this matters
+    * more: flat NSW's per-cell entries assume the IVF labels exist;
+    * the hierarchy needs nothing but the graph. Same traversal
+    * contracts as NSW: every frame ≤ |Q|·beam·(graphK+1) rows and
+    * single-partition (the repartition(1) exchange-elision device),
+    * every pruning total-ordered (cosim DESC, vec_id), per-hop
+    * localCheckpoint for constant plan depth; the only corpus-scale
+    * work is the two snapshotted graph builds. Multiple entry points
+    * (not HNSW's single top node) keep every query seeded even when
+    * a query id lands in the entry set itself. */
+  def simHnswTopk(spark: SparkSession, dir: String, beam: Int = 16, k: Int = 5,
+      graphK: Int = 5, hops: Int = 3, l1Beam: Int = 4, l1Hops: Int = 2): DataFrame = {
+    val c = corpus(spark, dir)
+    val qb = broadcast(queries(c))
+    val l1Edges = hnswL1EdgesEmb(spark, dir, graphK)
+    val edgesEmb = knnEdgesEmb(spark, dir, graphK)
+    def topB(scored: DataFrame, b: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
+      scored
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
+        .select(col("qid"), col("vec_id"), col("cosim"))
+    }
+    def descend(start: DataFrame, edges: DataFrame, b: Int, nHops: Int): DataFrame = {
+      var beamF = topB(start.repartition(1), b).localCheckpoint(false)
+      for (_ <- 1 to nHops) {
+        val expanded = edges
+          .join(broadcast(beamF.select(col("qid"), col("vec_id").as("src_id"))),
+            Seq("src_id"))
+          .filter(col("dst_id") =!= col("qid"))
+          .join(qb, Seq("qid"))
+          .withColumn("cosim", VectorOps.dot("qe", "demb") / (col("qnrm") * col("dnrm")))
+          .select(col("qid"), col("dst_id").as("vec_id"), col("cosim"))
+          .unionByName(beamF)
+          .repartition(1)
+          .distinct()
+        beamF = topB(expanded, b).localCheckpoint(false)
+      }
+      beamF
+    }
+    // entry set: the l1Beam smallest layer-1 ids (deterministic; a
+    // bounded sort over the 1/16 member slice, never the corpus)
+    val entries = hnswL1(c).select(col("vec_id")).orderBy(col("vec_id")).limit(l1Beam)
+    val seeds = qb.select(col("qid"))
+      .crossJoin(broadcast(entries))
+      .filter(col("vec_id") =!= col("qid"))
+    val seedScored = c.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(broadcast(seeds), Seq("vec_id"))
+      .join(qb, Seq("qid"))
+      .withColumn("cosim", VectorOps.dot("qe", "embedding") / (col("qnrm") * col("nrm")))
+      .select(col("qid"), col("vec_id"), col("cosim"))
+    val l1Out = descend(seedScored, l1Edges, l1Beam, l1Hops)
+    val beamF = descend(l1Out, edgesEmb, beam, hops)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vec_id"))
+    beamF
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
+        round(col("cosim"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@k of the HNSW hierarchical traversal versus the exact
+    * brute-force top-k — the published navigability audit of the
+    * hierarchy rung (the [[simNswRecall]] readout one rung up). */
+  def simHnswRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = simTopkBruteforce(spark, dir)
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = simHnswTopk(spark, dir)
+      .select(col("query_id").as("qa"), col("vec_id").as("va"))
+    exact
+      .join(approx, col("query_id") === col("qa") && col("vec_id") === col("va"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("va").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("k"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Spherical k-means assignment step — the COSINE-geometry Lloyd
     * step embeddings actually want (L2 k-means over unnormalized
     * vectors lets magnitude dominate direction; spherical normalizes
@@ -2150,4 +2266,100 @@ object Similarity {
                |END""".stripMargin).as("ari_micro"))
   }
 
+
+  /** Xie–Beni index of the Lloyd assignment — the separation-aware
+    * compactness score completing the internal-validation tier
+    * (inertia = compactness only, DB = per-cluster worst pair, CH =
+    * variance ratio; XB = Σd²/(n·min-sep²) is the one that punishes
+    * the single closest centroid pair, the k-selection criterion of
+    * the fuzzy-clustering literature). Numerator = the inertia
+    * device verbatim (per-row rounded-6 squared distances summed in
+    * exact DECIMAL); denominator = n × the minimum squared centroid
+    * separation off the k²-row broadcast frame (round-6-first, exact
+    * micro); XB publishes as one integer-micro division. Coincident
+    * centroids (min sep = 0) → NULL in both engines. */
+  def simXieBeni(spark: SparkSession, dir: String): DataFrame = {
+    val tot = simKmeansStep(spark, dir)
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("cast(sum(cast(dist as decimal(38,6))) * 1000000 as decimal(38,0))")
+          .as("im"))
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("cast(sum(cast(v as decimal(18,9))) as double) / count(*)").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    val a = cent.select(col("label").as("i"), col("cv").as("ca"))
+    val b = cent.select(col("label").as("j"), col("cv").as("cb"))
+    val sep = a.crossJoin(broadcast(b))
+      .filter(col("i") =!= col("j"))
+      .select(expr(
+        """cast(cast(round(aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),
+          |cast(0 as double), (acc, v) -> acc + v), 6) as decimal(38,6)) * 1000000 as bigint)""".stripMargin)
+        .as("sep2_micro"))
+      .agg(min(col("sep2_micro")).as("min_sep2_micro"))
+    tot.crossJoin(broadcast(sep))
+      .select(col("n_vecs"),
+        expr("cast(im as bigint)").as("inertia_micro"),
+        col("min_sep2_micro"),
+        expr("""CASE WHEN min_sep2_micro > 0 THEN
+               |cast(im * 1000000 div (cast(n_vecs as decimal(38,0)) * min_sep2_micro) as bigint) END""".stripMargin)
+          .as("xb_micro"))
+  }
+
+  /** Spherical-Gaussian BIC / AIC of the Lloyd assignment (the
+    * Pelleg–Moore X-means scoring rule) — the k-SELECTION criterion
+    * completing internal validation: inertia/silhouette/CH/DB/XB rank
+    * a FIXED k, BIC is the one you compare ACROSS k (fit +
+    * parameter-count penalty p = k(d+1)). Everything evaluates in
+    * BASE-2 fixed point (the entropy/perplexity contract —
+    * "bits-BIC", a constant lg₂e factor off the nats version,
+    * documented): σ̂² = SSE_micro/(10⁶·d·(n−k)) enters as
+    * lg(SSE_micro) − lg(10⁶·d·(n−k)), the transcendental constants
+    * lg₂(2π) and lg₂(e) are the shared LITERAL integers 2780295 /
+    * 1512775 (⌊2²⁰·c⌋ — engine math libraries never enter), and the
+    * doubled log-likelihood F2 = 2·ll·2²⁰ =
+    * −n·d·(LG2PI + lgσ²) − d·(n−k)·LG2E + 2·Σⱼnⱼ·lg nⱼ − 2·n·lg n
+    * stays an exact integer. BIC_bits = −2·ll + p·lg n and
+    * AIC_bits = −2·ll + 2p·lg₂e publish as SIGN-SPLIT milli
+    * divisions (ll is negative; Spark div truncates, DuckDB //
+    * floors — the q182 lesson). Perfect fit (SSE = 0) or n ≤ k
+    * guard the scores to NULL. One k-row frame past the assignment;
+    * the corpus is touched once by the shared Lloyd pass. */
+  def simKmeansBic(spark: SparkSession, dir: String): DataFrame = {
+    def lgS(x: String): String =
+      s"(CASE WHEN ($x) < 8796093022208 THEN log2_fixed($x)" +
+        s" ELSE log2_fixed(($x) div shiftleft(cast(1 as bigint), length(bin($x)) - 43))" +
+        s" + cast(length(bin($x)) - 43 as bigint) * 1048576 END)"
+    def signedDiv(num: String, den: String): String =
+      s"""cast(CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+         |     ELSE ($num) div ($den) END as bigint)""".stripMargin
+    val dd = Tables.embeddings(spark, dir)
+      .agg(max(size(col("embedding"))).cast("long").as("d"))
+    val per = simKmeansStep(spark, dir)
+      .groupBy(col("new_label"))
+      .agg(count(lit(1)).as("n_j"),
+        expr("cast(sum(cast(dist as decimal(38,6))) * 1000000 as decimal(38,0))").as("sse_j"))
+    per
+      .agg(sum(col("n_j")).as("n"), count(lit(1)).as("k"),
+        expr("cast(sum(sse_j) as bigint)").as("sse_micro"),
+        sum(expr(s"cast(n_j as decimal(38,0)) * ${lgS("n_j")}")).as("snl"))
+      .crossJoin(broadcast(dd))
+      .withColumn("f2", expr(
+        s"""CASE WHEN n > k AND sse_micro > 0 THEN
+           | - cast(n as decimal(38,0)) * d
+           |   * (2780295 + ${lgS("sse_micro")} - ${lgS("1000000 * d * (n - k)")})
+           | - cast(d as decimal(38,0)) * (n - k) * 1512775
+           | + 2 * snl
+           | - 2 * cast(n as decimal(38,0)) * ${lgS("n")} END""".stripMargin))
+      .select(col("n").as("n_vecs"), col("k"), col("d"), col("sse_micro"),
+        expr(signedDiv("f2 * 1000", "cast(2097152 as decimal(38,0))"))
+          .as("ll_bits_milli"),
+        expr(signedDiv(
+          s"(-f2 + cast(k as decimal(38,0)) * (d + 1) * ${lgS("n")}) * 1000",
+          "cast(1048576 as decimal(38,0))")).as("bic_bits_milli"),
+        expr(signedDiv(
+          "(-f2 + cast(k as decimal(38,0)) * (d + 1) * 2 * 1512775) * 1000",
+          "cast(1048576 as decimal(38,0))")).as("aic_bits_milli"))
+  }
 }

@@ -2281,4 +2281,61 @@ object TextAnalysis {
     graft.operators.Analytics.materializeAndRelease(spark, out, words)
   }
 
+
+  /** Herdan's C = lg V / lg N per language — the log-space
+    * type-token ratio (unlike raw TTR it is nearly length-invariant,
+    * the cross-corpus comparable of the richness family): both logs
+    * run on the shared fixed-point log2 recurrence ([[lgShift]], the
+    * same Log2Fixed function every entropy/perplexity operator and
+    * its oracle CTE use), so C is an exact integer ratio of two
+    * 2²⁰-scaled logs — one truncated division, trunc == floor (both
+    * sides nonnegative). Single-token languages (lg N = 0) guard to
+    * NULL in both engines. */
+  def txtHerdan(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("term")).as("vocab"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        expr(s"""CASE WHEN n_tokens >= 2 THEN
+                |cast(cast(${lgShift("vocab")} as decimal(38,0)) * 1000000
+                |  div ${lgShift("n_tokens")} as bigint) END""".stripMargin)
+          .as("herdan_c_micro"))
+      .orderBy(col("lang"))
+
+  /** Guiraud's R = V/√N per language — the root-TTR richness index
+    * (between raw TTR's full length bias and Herdan's log invariance;
+    * the trio TTR/R/C spans the classical length-correction ladder).
+    * One sqrt-only double expression over the exact (V, N) integers —
+    * the q62 sqrt-only parity class — rounded 6. */
+  def txtGuiraud(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("term")).as("vocab"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        round(expr("cast(vocab as double) / sqrt(cast(n_tokens as double))"), 6)
+          .as("guiraud_r"))
+      .orderBy(col("lang"))
+
+  /** Dugast's U = lg²N / (lg N − lg V) per language — the richness
+    * index built to stay finite as TTR's numerator saturates (V → N
+    * sends Herdan's C → 1 uninformatively; U blows up, making
+    * near-total diversity VISIBLE — the complementary failure mode).
+    * Both logs on the shared fixed-point lg₂ recurrence ([[lgShift]]),
+    * so U is one truncated division of 2²⁰-scaled integers —
+    * nonnegative (lg N ≥ lg V), trunc == floor. V = N (the undefined
+    * point) and single-token languages guard to NULL both engines. */
+  def txtDugast(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("term")).as("vocab"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        expr(s"""CASE WHEN n_tokens >= 2 AND ${lgShift("n_tokens")} > ${lgShift("vocab")} THEN
+                |cast(cast(${lgShift("n_tokens")} as decimal(38,0)) * ${lgShift("n_tokens")} * 1000
+                |  div (cast(1048576 as decimal(38,0))
+                |       * (${lgShift("n_tokens")} - ${lgShift("vocab")})) as bigint) END""".stripMargin)
+          .as("dugast_u_milli"))
+      .orderBy(col("lang"))
 }

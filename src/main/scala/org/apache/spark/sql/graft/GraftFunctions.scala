@@ -32,6 +32,10 @@ object GraftFunctions {
     (FunctionIdentifier("md5_min"),
       info("md5_min", "md5_min(arr) - lexicographically smallest md5 hex over array elements; null on empty"),
       (es: Seq[Expression]) => Md5Min(es.head)),
+    (FunctionIdentifier("oph_slots"),
+      info("oph_slots", "oph_slots(shingles, nSlots) - one-permutation minhash slot minima (one md5 per shingle, last-nibble binning); empty bins null"),
+      (es: Seq[Expression]) => OphSlots(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(text) - 60-bit SimHash over whitespace tokens; null on zero tokens"),
       (es: Seq[Expression]) => SimHash60(es.head)),

@@ -256,6 +256,40 @@ object TextNative {
     new GenericArrayData(out)
   }
 
+  /** One-permutation-hashing slot minima: ONE md5 per shingle, binned
+    * by the digest's last hex char mod nSlots (≡ the interpreted form
+    * `(locate(substring(md5(s), 32, 1), '0123456789abcdef') - 1) %
+    * nSlots` — the last hex char is the low nibble of byte 15), each
+    * bin keeping its unsigned-min digest (≡ the lexicographic hex
+    * min). Empty bins stay NULL — the caller densifies (an 8-element
+    * HOF, free) and counts them. This is the kernel that makes OPH's
+    * hashing refund real: the k-perm tier pays nPerms md5 per
+    * shingle, this pays exactly one. */
+  def ophSlots(arr: ArrayData, nSlots: Int): ArrayData = {
+    val nSh = arr.numElements()
+    val md = digestTL.get()
+    val mins = new Array[Array[Byte]](nSlots)
+    var i = 0
+    while (i < nSh) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val slot = (d(15) & 0x0f) % nSlots
+      if (mins(slot) == null || lessUnsigned(d, mins(slot))) mins(slot) = d
+      i += 1
+    }
+    val out = new Array[Any](nSlots)
+    var p = 0
+    while (p < nSlots) {
+      if (mins(p) != null) {
+        val hx = new Array[Byte](32)
+        hex(mins(p), hx, 0)
+        out(p) = UTF8String.fromBytes(hx)
+      }
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 128-bit SimHash over whitespace tokens — the WIDE tier of the
     * perceptual-hash ladder (the 60-bit tier's band buckets saturate
     * past ~10⁸ distinct payloads; 21/22-bit bands push that bound past
@@ -504,6 +538,28 @@ case class MinHashSig(child: Expression, nPerms: Int)
     copy(child = newChild)
 }
 
+/** `oph_slots(shingles, nSlots)` — one-permutation minhash slot
+  * minima in one compiled pass (one md5 per shingle vs the k-perm
+  * kernel's nPerms); NULL slots mark empty bins for the caller's
+  * densification. */
+case class OphSlots(child: Expression, nSlots: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nSlots >= 1, "nSlots must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "oph_slots"
+
+  override def nullSafeEval(a: Any): Any =
+    TextNative.ophSlots(a.asInstanceOf[ArrayData], nSlots)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextNative.ophSlots($a, $nSlots);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `md5_min(arr)` — min md5 hex over array elements; null on empty. */
 case class Md5Min(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -538,6 +594,8 @@ object TextExpressions {
     ExpressionUtils.column(Md5Min(ExpressionUtils.expression(arr)))
   def minhashSig(shingles: Column, nPerms: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), nPerms))
+  def ophSlots(shingles: Column, nSlots: Int): Column =
+    ExpressionUtils.column(OphSlots(ExpressionUtils.expression(shingles), nSlots))
   def simhash60(text: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text)))
   def simhash128(text: Column): Column =

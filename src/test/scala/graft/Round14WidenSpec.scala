@@ -236,6 +236,27 @@ class Round14WidenSpec extends SparkSpec {
       s"OPH LSH missed near-dups: ${nearDups -- cand}")
   }
 
+  // ------------------------------------------------ oph_slots kernel
+
+  test("oph_slots kernel: bit-identical to the interpreted HOF form over the corpus") {
+    val F = org.apache.spark.sql.functions
+    val rows = Tables.documents(spark, sf0001)
+      .select(F.col("doc_id"), graft.functions.TextOps.shingleArray("text").as("sh"))
+      .filter(F.size(F.col("sh")) > 0)
+      .withColumn("k", org.apache.spark.sql.graft.TextExpressions.ophSlots(F.col("sh"), 8))
+      .withColumn("h", F.expr(
+        """transform(sequence(0, 7), i -> array_min(filter(transform(sh, s -> md5(s)),
+          |hh -> (locate(substring(hh, 32, 1), '0123456789abcdef') - 1) % 8 = i)))""".stripMargin))
+      .selectExpr("doc_id",
+        "array_join(transform(k, x -> coalesce(x, '_')), ',') kj",
+        "array_join(transform(h, x -> coalesce(x, '_')), ',') hj")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(1) == r.getString(2), s"doc ${r.getLong(0)}"))
+    // the empty-bin (NULL slot) path must be exercised by the fixture
+    assert(rows.exists(_.getString(1).contains("_")), "no doc exercised an empty bin")
+  }
+
   // --------------------------------------------------- sim_knn_accuracy
 
   private def lshW(p: Int, d: Int): Double = {
@@ -287,5 +308,704 @@ class Round14WidenSpec extends SparkSpec {
     assert(got == expected)
     // the eval must not be vacuous: some vector evaluated, not all correct
     assert(got.map(_._3).sum > 0)
+  }
+
+  // =================================================== batch 2 (r14)
+
+  private def dailyCents(): Seq[(String, String, Long)] =
+    Tables.orders(spark, sf0001)
+      .selectExpr("o_orderpriority", "cast(o_orderdate as date) as day",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as cents")
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case ((p, d), vs) => (p, d, vs.map(_._2).sum) }
+      .sortBy(t => (t._1, t._2))
+
+  /** ISO-Monday week start for a yyyy-mm-dd date string. */
+  private def weekOf(day: String): String =
+    java.time.LocalDate.parse(day)
+      .`with`(java.time.temporal.TemporalAdjusters.previousOrSame(java.time.DayOfWeek.MONDAY))
+      .toString
+
+  // ------------------------------------------------ q195_block_maxima
+
+  test("q195_block_maxima: Gumbel moment inputs off weekly maxima, literal constants") {
+    val expected = dailyCents().groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (p, ds) =>
+      val maxima = ds.groupBy(t => weekOf(t._2)).values.map(_.map(_._3).max).toSeq
+      val n = maxima.size.toLong
+      if (n < 2) None else {
+        val s1 = maxima.map(BigInt(_)).sum
+        val s2 = maxima.map(m => BigInt(m) * m).sum
+        val ssb = n * s2 - s1 * s1
+        if (ssb <= 0) None else {
+          val beta = math.sqrt(ssb.toDouble / (n.toDouble * (n - 1))) *
+            2.449489742783178 / 3.141592653589793
+          Some((p, n, s1.toString, s2.toString, r6(beta),
+            r6(s1.toDouble / n - 0.5772156649015329 * beta)))
+        }
+      }
+    }
+    val got = Analytics.q195BlockMaxima(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------- q196_cvar
+
+  test("q196_cvar: VaR rank and tail mean replay; tail is ~5% of days") {
+    val expected = dailyCents().groupBy(_._1).toSeq.sortBy(_._1).map { case (p, ds) =>
+      val sorted = ds.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.size
+      val rStar = (n * 95 + 99) / 100
+      val tail = sorted.drop(rStar - 1)
+      (p, n.toLong, sorted(rStar - 1), tail.size.toLong,
+        (tail.map(BigInt(_)).sum / tail.size).toLong)
+    }
+    val got = Analytics.q196Cvar(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // CVaR dominates VaR, and the tail is the ceil-5% carve
+    assert(got.forall(r => r._5 >= r._3))
+    assert(got.forall(r => r._4 == r._2 - (r._2 * 95 + 99) / 100 + 1))
+  }
+
+  // ----------------------------------------------- q197_partial_corr
+
+  test("q197_partial_corr: three Pearson r's and the partial off exact sums") {
+    val daily = Tables.orders(spark, sf0001)
+      .selectExpr("o_orderpriority", "cast(o_orderdate as date) as day",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as cents", "o_custkey")
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), (r.getLong(2), r.getAs[Number](3).longValue)))
+      .groupBy(_._1).toSeq
+      .map { case ((p, d), vs) =>
+        (p, d, vs.map(_._2._1).sum, vs.size.toLong, vs.map(_._2._2).distinct.size.toLong)
+      }
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (p, ds) =>
+      val n = ds.size.toLong
+      if (n < 3) None else {
+        val (xs, ys, zs) = (ds.map(d => BigInt(d._3)), ds.map(d => BigInt(d._4)), ds.map(d => BigInt(d._5)))
+        def s(v: Seq[BigInt]) = v.sum
+        def sq(v: Seq[BigInt]) = v.map(a => a * a).sum
+        def cr(a: Seq[BigInt], b: Seq[BigInt]) = a.zip(b).map(t => t._1 * t._2).sum
+        val (sx, sy, sz) = (s(xs), s(ys), s(zs))
+        val dx = n * sq(xs) - sx * sx
+        val dy = n * sq(ys) - sy * sy
+        val dz = n * sq(zs) - sz * sz
+        if (dx <= 0 || dy <= 0 || dz <= 0) None else {
+          val rxy = (n * cr(xs, ys) - sx * sy).toDouble / math.sqrt(dx.toDouble * dy.toDouble)
+          val rxz = (n * cr(xs, zs) - sx * sz).toDouble / math.sqrt(dx.toDouble * dz.toDouble)
+          val ryz = (n * cr(ys, zs) - sy * sz).toDouble / math.sqrt(dy.toDouble * dz.toDouble)
+          val den = (1 - rxz * rxz) * (1 - ryz * ryz)
+          val part = if (den > 0) Some(r6((rxy - rxz * ryz) / math.sqrt(den))) else None
+          Some((p, n, r6(rxy), r6(rxz), r6(ryz), part))
+        }
+      }
+    }
+    val got = Analytics.q197PartialCorr(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    assert(got == expected)
+  }
+
+  // --------------------------------------------- q198_cronbach_alpha
+
+  test("q198_cronbach_alpha: complete-week listwise deletion and exact SS") {
+    val weekly = dailyCents()
+      .map(t => ((t._1, weekOf(t._2)), t._3))
+      .groupBy(_._1).toSeq
+      .map { case ((p, w), vs) => (p, w, BigInt(vs.map(_._2).sum)) }
+    val k = weekly.map(_._1).distinct.size
+    val complete = weekly.groupBy(_._2).filter(_._2.size == k)
+    assert(complete.size >= 2, "fixture needs >= 2 complete weeks")
+    val n = complete.size.toLong
+    val ssItems = weekly.filter(t => complete.contains(t._2))
+      .groupBy(_._1).values.map { vs =>
+        val x = vs.map(_._3)
+        n * x.map(a => a * a).sum - x.sum * x.sum
+      }.sum
+    val totals = complete.values.map(_.map(_._3).sum).toSeq
+    val ssTotal = n * totals.map(a => a * a).sum - totals.sum * totals.sum
+    val alpha = r6(k.toDouble / (k - 1) * (1 - ssItems.toDouble / ssTotal.toDouble))
+    val got = Analytics.q198CronbachAlpha(spark, sf0001).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4)) ==
+      (k.toLong, n, ssItems.toString, ssTotal.toString, alpha))
+  }
+
+  // -------------------------------------------- q199_cooks_distance
+
+  test("q199_cooks_distance: full influence replay (residual, leverage, top-3)") {
+    val expected = dailyCents().groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (p, ds) =>
+      val ys = ds.sortBy(_._2).map(_._3)
+      val n = ys.size.toLong
+      if (n <= 2) Nil else {
+        val ts = (1L to n).toSeq
+        val st = BigInt(ts.sum)
+        val st2 = ts.map(t => BigInt(t) * t).sum
+        val sy = ys.map(BigInt(_)).sum
+        val sty = ts.zip(ys).map { case (t, y) => BigInt(t) * y }.sum
+        val den = n * st2 - st * st
+        val bnum = n * sty - st * sy
+        if (den <= 0) Nil else {
+          val rows = ts.zip(ys).zip(ds.sortBy(_._2)).map { case ((t, y), (_, day, _)) =>
+            val eScaled = den * (n * y - sy) - bnum * (BigInt(n) * t - st)
+            val eR = java.math.BigDecimal.valueOf(
+              eScaled.toDouble / (n.toDouble * den.toDouble))
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+            val h = 1.0 / n + ((BigInt(n) * t - st) * (BigInt(n) * t - st)).toDouble /
+              (n.toDouble * den.toDouble)
+            (day, y, eR, h)
+          }
+          val sumE2 = rows.map(r0 => BigInt(r0._3) * r0._3).sum
+          if (sumE2 <= 0) Nil else {
+            val s2 = sumE2.toDouble / (n - 2)
+            rows.map { case (day, y, eR, h) =>
+              val cook = (eR.toDouble * eR / (2 * s2)) * (h / ((1 - h) * (1 - h)))
+              (p, day, y, r6(h), r6(cook), cook)
+            }.sortBy(r0 => (-r0._6, r0._2)).take(3)
+              .map(r0 => (r0._1, r0._2, r0._3, r0._4, r0._5))
+              .sortBy(r0 => (r0._1, r0._2))
+          }
+        }
+      }
+    }
+    val got = Analytics.q199CooksDistance(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // leverage within (0, 1); cook nonnegative
+    assert(got.forall(r => r._4 > 0 && r._4 < 1 && r._5 >= 0))
+  }
+
+  // ------------------------------------------------- q200_rich_club
+
+  test("q200_rich_club: brute-force degree-ladder replay over the edge set") {
+    val baskets = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted).filter(_.length > 1)
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for (parts <- baskets; i <- parts.indices; j <- i + 1 until parts.length)
+      support((parts(i), parts(j))) = support.getOrElse((parts(i), parts(j)), 0) + 1
+    val edges = support.filter(_._2 >= 2).keySet.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, vs) => n -> vs.size.toLong }
+    val expected = Seq(1L, 2L, 4L, 8L, 16L, 32L).map { k =>
+      val nNodes = deg.values.count(_ > k).toLong
+      val nEdges = edges.count(e => math.min(deg(e._1), deg(e._2)) > k).toLong
+      val phi = if (nNodes >= 2)
+        Some((BigInt(2) * nEdges * 1000000 / (BigInt(nNodes) * (nNodes - 1))).toLong)
+      else None
+      (k, nNodes, nEdges, phi)
+    }
+    val got = Analytics.q200RichClub(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == expected)
+    // monotone: raising the bar can only shrink the club
+    assert(got.sliding(2).forall(w => w(1)._2 <= w(0)._2 && w(1)._3 <= w(0)._3))
+  }
+
+  // ---------------------------------------------------- txt_herdan
+
+  /** Driver replica of Log2Fixed's recurrence (MathExpressions.scala). */
+  private def lgRef14(x: Long): Long = {
+    require(x > 0 && x < (1L << 43))
+    val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var r = (x << 20) >> m
+    var acc = 0L
+    for (_ <- 0 until 20) {
+      r = (r * r) >> 20
+      if (r >= (1L << 21)) { acc = (acc << 1) | 1L; r >>= 1 }
+      else acc <<= 1
+    }
+    m.toLong * (1L << 20) + acc
+  }
+
+  test("txt_herdan: C = lgV/lgN off the shared fixed-point recurrence") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = toks.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ts) =>
+      val n = ts.size.toLong
+      val v = ts.map(_._2).distinct.size.toLong
+      val c = if (n >= 2)
+        Some((BigInt(lgRef14(v)) * 1000000 / BigInt(lgRef14(n))).toLong)
+      else None
+      (lang, n, v, c)
+    }
+    val got = operators.TextAnalysis.txtHerdan(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == expected)
+    // C in (0, 1] scaled: vocab <= tokens so lgV <= lgN
+    assert(got.forall(_._4.forall(c => c >= 0 && c <= 1000000)))
+  }
+
+  // -------------------------------------------------- sim_xie_beni
+
+  test("sim_xie_beni: inertia/min-separation replay off the Lloyd pieces") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val cent = centroids(vecs)
+    val inertiaMicro = vecs.map { case (_, _, e) =>
+      val best = cent.toSeq.map { case (cl, cv) =>
+        var s = 0.0; var j = 0
+        while (j < e.length) { val dfd = e(j).toDouble - cv(j); s += dfd * dfd; j += 1 }
+        (s, cl)
+      }.min._1
+      (BigDecimal(java.math.BigDecimal.valueOf(r6(best))).setScale(6) * 1000000).toBigInt
+    }.sum
+    val minSep = (for {
+      (i, ci) <- cent.toSeq; (j, cj) <- cent.toSeq if i != j
+      ss = ci.zip(cj).foldLeft(0.0)((acc, p) => acc + (p._1 - p._2) * (p._1 - p._2))
+    } yield (BigDecimal(java.math.BigDecimal.valueOf(r6(ss))).setScale(6) * 1000000).toBigInt).min
+    val n = vecs.length.toLong
+    val xb = if (minSep > 0) Some((inertiaMicro * 1000000 / (BigInt(n) * minSep)).toLong) else None
+    val got = Similarity.simXieBeni(spark, sf0001).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3))) ==
+      (n, inertiaMicro.toLong, minSep.toLong, xb))
+  }
+
+  // =================================================== batch 3 (r14)
+
+  private def copurchaseRef(): (Set[(Long, Long)], Map[Long, Long]) = {
+    val baskets = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted).filter(_.length > 1)
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for (parts <- baskets; i <- parts.indices; j <- i + 1 until parts.length)
+      support((parts(i), parts(j))) = support.getOrElse((parts(i), parts(j)), 0) + 1
+    val edges = support.filter(_._2 >= 2).keySet.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, vs) => n -> vs.size.toLong }
+    (edges, deg)
+  }
+
+  // --------------------------------------------------- q201_adamic_adar
+
+  test("q201_adamic_adar: wedge replay with the fixed-point log weight") {
+    val (edges, deg) = copurchaseRef()
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+    val cand = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((w, nbrs) <- adj; n1 <- nbrs; n2 <- nbrs if n1 < n2) {
+      val term = 1048576000L / lgRef14(deg(w))
+      val (c, aa) = cand.getOrElse((n1, n2), (0L, 0L))
+      cand((n1, n2)) = (c + 1, aa + term)
+    }
+    val expected = cand.toSeq
+      .filter { case ((n1, n2), _) => !edges.contains((n1, n2)) }
+      .map { case ((n1, n2), (c, aa)) => (n1, n2, c, aa) }
+      .sortBy { case (n1, n2, _, aa) => (-aa, n1, n2) }.take(20)
+    val got = Analytics.q201AdamicAdar(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  // -------------------------------------------------------- q202_bowker
+
+  test("q202_bowker: modal-transition cells and symmetry terms replay") {
+    val orders = Tables.orders(spark, sf0001)
+      .selectExpr("o_custkey", "year(o_orderdate) as y", "o_orderpriority")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getInt(1), r.getString(2)))
+      .filter(t => t._2 == 1995 || t._2 == 1996)
+    def modal(yr: Int): Map[Long, String] =
+      orders.filter(_._2 == yr).groupBy(_._1).map { case (cust, os) =>
+        cust -> os.groupBy(_._3).toSeq
+          .map { case (p, vs) => (vs.size, p) }
+          .sortBy { case (c, p) => (-c, p) }.head._2
+      }
+    val (m95, m96) = (modal(1995), modal(1996))
+    val cells = m95.keySet.intersect(m96.keySet).toSeq
+      .map(c => (m95(c), m96(c)))
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val ps = cells.keySet.flatMap(k => Seq(k._1, k._2)).toSeq.sorted
+    val expected = (for { i <- ps; j <- ps if i < j } yield {
+      val nij = cells.getOrElse((i, j), 0L)
+      val nji = cells.getOrElse((j, i), 0L)
+      val term = if (nij + nji > 0)
+        Some((BigInt(nij - nji) * (nij - nji) * 1000000 / (nij + nji)).toLong)
+      else None
+      (i, j, nij, nji, term)
+    }).sortBy(t => (t._1, t._2))
+    val got = Analytics.q202Bowker(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------- q203_dixon_q
+
+  test("q203_dixon_q: order-statistic gap ratios replay; Q in [0, 1]") {
+    val expected = dailyCents().groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (p, ds) =>
+      val s = ds.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = s.size
+      if (n < 3) None else {
+        val range = s.last - s.head
+        def q(g: Long) = if (range > 0)
+          Some((BigInt(g) * 1000000 / range).toLong) else None
+        Some((p, n.toLong, s.head, s.last, q(s(1) - s.head), q(s.last - s(n - 2))))
+      }
+    }
+    val got = Analytics.q203DixonQ(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got == expected)
+    assert(got.forall(r => r._5.forall(v => v >= 0 && v <= 1000000) &&
+      r._6.forall(v => v >= 0 && v <= 1000000)))
+  }
+
+  // -------------------------------------------- q204_kendall_tau_b
+
+  test("q204_kendall_tau_b: cell-product concordance and tie margins replay") {
+    val base = Tables.orders(spark, sf0001)
+      .selectExpr("cast(substring(o_orderpriority, 1, 1) as bigint) as x",
+        "least(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 5000000, 9) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cells = base.groupBy(identity).map { case (k, vs) => k -> BigInt(vs.size) }
+    val cs = cells.toSeq
+    var (cC, dD) = (BigInt(0), BigInt(0))
+    for (((xa, ya), na) <- cs; ((xb, yb), nb) <- cs
+         if xa < xb || (xa == xb && ya < yb)) {
+      if (xa < xb && ya < yb) cC += na * nb
+      if (xa < xb && ya > yb) dD += na * nb
+    }
+    val n = cells.values.sum
+    val n12 = cells.groupBy(_._1._1).values
+      .map(m => { val t = m.values.sum; t * (t - 1) }).sum
+    val n22 = cells.groupBy(_._1._2).values
+      .map(m => { val t = m.values.sum; t * (t - 1) }).sum
+    val n02 = n * (n - 1)
+    val tau = r6((cC.toDouble - dD.toDouble) /
+      math.sqrt((n02 - n12).toDouble / 2 * ((n02 - n22).toDouble / 2)))
+    val got = Analytics.q204KendallTauB(spark, sf0001).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getDouble(5)) ==
+      (n.toLong, cC.toLong, dD.toLong, (n12 / 2).toLong, (n22 / 2).toLong, tau))
+    // tau-b bracketed by gamma's support: |tau| <= 1
+    assert(math.abs(r.getDouble(5)) <= 1.0)
+  }
+
+  // --------------------------------------------------- txt_guiraud
+
+  test("txt_guiraud: root-TTR replay; between TTR bias endpoints") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = toks.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ts) =>
+      val n = ts.size.toLong
+      val v = ts.map(_._2).distinct.size.toLong
+      (lang, n, v, r6(v.toDouble / math.sqrt(n.toDouble)))
+    }
+    val got = operators.TextAnalysis.txtGuiraud(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  // --------------------------------------------- dd_oph_incremental
+
+  test("dd_oph_incremental: band join against history replays from the signature table") {
+    val sigs = Dedup.ddOphSigs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(3).split(',')))
+    def bands(filter: Long => Boolean): Map[(Int, String), Seq[Long]] = {
+      val bs = for ((id, s) <- sigs.toSeq if filter(id); b <- 0 until 4)
+        yield ((b, md5hex(s(2 * b) + s(2 * b + 1) + ":" + b)), id)
+      bs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    }
+    val hist = bands(_ < 400L)
+    val neu = bands(_ >= 400L)
+    val expected = (for {
+      (k, newIds) <- neu.toSeq; oldIds <- hist.get(k).toSeq
+      n <- newIds; o <- oldIds
+    } yield (n, o)).distinct.sorted
+    val got = Dedup.ddOphIncremental(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(got.forall(p => p._1 >= 400L && p._2 < 400L))
+  }
+
+  // =================================================== batch 4 (r14)
+
+  /** Shift-extended lgRef14 — the driver replica of the operators'
+    * lgShift fragment (lg(x ≫ s) + s·2²⁰ past the 2⁴³ domain). */
+  private def lgShiftRef(x: Long): Long = {
+    require(x > 0)
+    val s = math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(x)) - 43)
+    lgRef14(x >> s) + s.toLong * (1L << 20)
+  }
+
+  private def ordersCents(): Array[(String, java.sql.Date, Long)] =
+    Tables.orders(spark, sf0001)
+      .selectExpr("o_orderpriority", "cast(o_orderdate as date) as day",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as cents")
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+
+  // ------------------------------------------- q205_anderson_darling
+
+  test("q205_anderson_darling: per-cell floored micro terms replay over pooled EDF cells") {
+    val rows = Tables.orders(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+        .isin("1-URGENT", "5-LOW"))
+      .join(Tables.customer(spark, sf0001),
+        org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
+      .join(Tables.nation(spark, sf0001),
+        org.apache.spark.sql.functions.expr("c_nationkey = n_nationkey"))
+      .join(Tables.region(spark, sf0001),
+        org.apache.spark.sql.functions.expr("n_regionkey = r_regionkey"))
+      .selectExpr("r_name", "o_orderpriority = '1-URGENT' as is_a",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as cents")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (reg, xs) =>
+      val cells = xs.groupBy(_._3).toSeq.sortBy(_._1)
+        .map { case (v, cs) => (v, cs.size.toLong, cs.count(_._2).toLong) }
+      val nTot = cells.map(_._2).sum
+      val nA = cells.map(_._3).sum
+      val nB = nTot - nA
+      if (nA == 0 || nB == 0) None else {
+        var bj = 0L; var ma = 0L; var mb = 0L
+        var ia = BigInt(0); var ib = BigInt(0)
+        for ((_, cTot, cA) <- cells) {
+          bj += cTot; ma += cA; mb += cTot - cA
+          if (bj < nTot) {
+            def term(m: Long, na: Long): BigInt = {
+              val num = BigInt(nTot) * m - BigInt(na) * bj
+              BigInt(cTot) * num * num * 1000000 / (BigInt(bj) * (nTot - bj))
+            }
+            ia += term(ma, nA); ib += term(mb, nB)
+          }
+        }
+        val a2 = r6((ia.toDouble / nA.toDouble + ib.toDouble / nB.toDouble)
+          / (nTot.toDouble * 1e6))
+        Some((reg, nA, nB, ia.toString, ib.toString, a2))
+      }
+    }
+    val got = Analytics.q205AndersonDarling(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // AD is nonnegative and the inner sums are nonnegative integers
+    assert(got.forall(_._6 >= 0))
+  }
+
+  // ------------------------------------------------------ q206_quade
+
+  test("q206_quade: block-range weighting replay (doubled midranks at both levels)") {
+    val weekly = ordersCents()
+      .groupBy(r => (r._1, r._2.toLocalDate.toEpochDay / 7))
+      .map { case ((p, wk), vs) => (p, wk, vs.map(x => BigInt(x._3)).sum.toLong) }.toSeq
+    val complete = weekly.groupBy(_._2).filter(_._2.size == 5).keySet
+    val wv = weekly.filter(w => complete(w._2))
+    val r2 = wv.map { case (p, wk, c) =>
+      val blk = wv.filter(_._2 == wk)
+      ((p, wk), 2L * blk.count(_._3 < c) + blk.count(_._3 == c) + 1L)
+    }.toMap
+    val ranges = wv.groupBy(_._2).map { case (wk, vs) =>
+      (wk, vs.map(_._3).max - vs.map(_._3).min) }.toSeq
+    val q2 = ranges.map { case (wk, rng) =>
+      (wk, 2L * (ranges.count(_._2 < rng) + 1) + ranges.count(_._2 == rng) - 1L)
+    }.toMap
+    val s4 = wv.map { case (p, wk, _) => (p, wk, q2(wk) * (r2((p, wk)) - 6L)) }
+    val a16 = s4.map(x => BigInt(x._3) * x._3).sum
+    val perTreat = s4.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, xs) =>
+      (p, xs.size.toLong, xs.map(x => BigInt(x._3)).sum) }
+    val nb = perTreat.head._2
+    val b16n = perTreat.map(t => t._3 * t._3).sum
+    val f = if (BigInt(nb) * a16 - b16n > 0)
+      Some(r6((BigInt(nb - 1) * b16n).toDouble / (BigInt(nb) * a16 - b16n).toDouble))
+    else None
+    val expected = perTreat.map { case (p, n, s) =>
+      (p, n, s.toLong, a16.toString, f) }
+    val got = Analytics.q206Quade(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == expected)
+    // the doubled-midrank invariant within every complete block:
+    // Σ r2 over the k=5 treatments is k(k+1) = 30 at the 2x scale
+    assert(complete.forall(wk =>
+      wv.filter(_._2 == wk).map(w => r2((w._1, wk))).sum == 30L))
+  }
+
+  // ------------------------------------------------ q207_theil_index
+
+  test("q207_theil_index: within/between decomposition replay in fixed-point lg2") {
+    val byCust = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
+      .join(Tables.nation(spark, sf0001),
+        org.apache.spark.sql.functions.expr("c_nationkey = n_nationkey"))
+      .selectExpr("n_name", "o_custkey",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((nn, _), vs) => (nn, vs.map(v => BigInt(v._3)).sum.toLong) }
+      .filter(_._2 > 0)
+    val grp = byCust.groupBy(_._1).toSeq.sortBy(_._1).map { case (nn, xs) =>
+      (nn, xs.size.toLong, xs.map(x => BigInt(x._2)).sum.toLong) }
+    val nTot = grp.map(_._2).sum
+    val sTot = grp.map(g => BigInt(g._3)).sum.toLong
+    val expected = grp.map { case (nn, ng, sg) =>
+      val wnum = byCust.filter(_._1 == nn).map { case (_, x) =>
+        BigInt(x) * (lgShiftRef(x) + lgShiftRef(ng) - lgShiftRef(sg)) }.sum
+      val bterm = BigInt(sg) *
+        (lgShiftRef(sg) + lgShiftRef(nTot) - lgShiftRef(ng) - lgShiftRef(sTot))
+      // BigInt / truncates toward zero == the operators' sign-split div
+      (nn, ng, sg, (wnum * 1000 / (BigInt(sg) * 1048576)).toLong,
+        (bterm * 1000 / (BigInt(sTot) * 1048576)).toLong)
+    }
+    val got = Analytics.q207TheilIndex(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // decomposability sanity: total between-mass is near-zero-or-positive
+    // (fixed-point lg is not exactly additive; exact-log Theil is >= 0)
+    assert(expected.map(_._5).sum >= -expected.size.toLong)
+  }
+
+  // ------------------------------------------------- q208_dispersion
+
+  test("q208_dispersion: VMR and D are exact rationals off one daily aggregate") {
+    val daily = ordersCents()
+      .groupBy(r => (r._1, r._2)).map { case ((p, d), vs) => (p, d, vs.size.toLong) }
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (p, xs) =>
+      val n = xs.size.toLong
+      val sc = xs.map(_._3).sum
+      val sc2 = xs.map(x => BigInt(x._3) * x._3).sum
+      if (n < 2 || sc <= 0) None else {
+        val ssn = BigInt(n) * sc2 - BigInt(sc) * sc
+        Some((p, n, sc, (ssn * 1000000 / (BigInt(n - 1) * sc)).toLong,
+          (ssn * 1000000 / BigInt(sc)).toLong))
+      }
+    }
+    val got = Analytics.q208Dispersion(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // overdispersed order flow: d = (n-1)*vmr exactly at micro scale
+    assert(got.forall(r => r._4 >= 0 && r._5 >= 0))
+  }
+
+  // ---------------------------------------------------- txt_dugast
+
+  test("txt_dugast: U = lg2N/(lgN - lgV) off the shared recurrence; saturation NULL") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = toks.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ts) =>
+      val n = ts.size.toLong
+      val v = ts.map(_._2).distinct.size.toLong
+      val lgN = lgShiftRef(n); val lgV = lgShiftRef(v)
+      val u = if (n >= 2 && lgN > lgV)
+        Some((BigInt(lgN) * lgN * 1000 / (BigInt(1048576) * (lgN - lgV))).toLong)
+      else None
+      (lang, n, v, u)
+    }
+    val got = operators.TextAnalysis.txtDugast(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == expected)
+    assert(got.forall(_._4.forall(_ > 0)))
+  }
+
+  // ------------------------------------------------- sim_kmeans_bic
+
+  test("sim_kmeans_bic: bits-BIC/AIC replay off the Lloyd pieces and literal constants") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val cent = centroids(vecs)
+    val assigned = vecs.map { case (id, _, e) =>
+      val best = cent.toSeq.map { case (cl, cv) =>
+        var s = 0.0; var j = 0
+        while (j < e.length) { val dfd = e(j).toDouble - cv(j); s += dfd * dfd; j += 1 }
+        (s, cl)
+      }.min
+      (id, best._2, (BigDecimal(java.math.BigDecimal.valueOf(r6(best._1)))
+        .setScale(6) * 1000000).toBigInt)
+    }
+    val per = assigned.groupBy(_._2).map { case (cl, xs) =>
+      (cl, xs.length.toLong, xs.map(_._3).sum) }.toSeq
+    val n = per.map(_._2).sum
+    val k = per.size.toLong
+    val d = vecs.head._3.length.toLong
+    val sse = per.map(_._3).sum.toLong
+    val snl = per.map(p => BigInt(p._2) * lgShiftRef(p._2)).sum
+    val f2 =
+      if (n > k && sse > 0) Some(
+        -BigInt(n) * d * (2780295L + lgShiftRef(sse) - lgShiftRef(1000000L * d * (n - k))) -
+          BigInt(d) * (n - k) * 1512775L + 2 * snl - 2 * BigInt(n) * lgShiftRef(n))
+      else None
+    val expected = (n, k, d, sse,
+      f2.map(v => (v * 1000 / 2097152).toLong),
+      f2.map(v => ((-v + BigInt(k) * (d + 1) * lgShiftRef(n)) * 1000 / 1048576).toLong),
+      f2.map(v => ((-v + BigInt(k) * (d + 1) * 2 * 1512775L) * 1000 / 1048576).toLong))
+    val got = Similarity.simKmeansBic(spark, sf0001).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      if (r.isNullAt(5)) None else Some(r.getLong(5)),
+      if (r.isNullAt(6)) None else Some(r.getLong(6))) == expected)
+    // model-selection sanity at fixed k: BIC penalizes harder than AIC
+    // once lg n > 2 lg e (n >= 8). (ll itself can be POSITIVE here:
+    // a continuous density with per-dim variance < 1 exceeds 1.)
+    if (n >= 8) assert(expected._6.zip(expected._7).forall(p => p._1 >= p._2))
+  }
+
+  // ------------------------------------------------- sim_hnsw_topk
+
+  test("sim_hnsw_topk: structure, carve determinism, and recall@5 vs exact") {
+    val hnsw = Similarity.simHnswTopk(spark, sf0001).collect()
+    val byQ = hnsw.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5, s"expected 5 queries, got ${byQ.keySet}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        s"query $q ranks broken")
+    }
+    // layer-1 carve: deterministic md5 nibble, ~1/16 of the corpus,
+    // nonempty at every SF (the traversal needs an entry set)
+    val members = Tables.embeddings(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0))
+      .filter(id => md5hex("hnsw:" + id).startsWith("0"))
+    assert(members.nonEmpty)
+    // recall@5 vs exact: the hierarchy starts label-agnostic (4 md5
+    // entries, not per-cell seeds), so its floor sits under flat
+    // NSW's 0.3; a collapsed traversal (stuck at entries) lands ~0
+    val exact = Similarity.simTopkBruteforce(spark, sf0001).collect()
+      .filter(_.getAs[Long]("rank") <= 5)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val hits = hnsw.count(r =>
+      exact((r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))))
+    val recall = hits.toDouble / exact.size
+    info(f"HNSW recall@5 = $recall%.2f ($hits/${exact.size})")
+    assert(recall >= 0.2, f"HNSW recall@5 collapsed: $recall%.2f")
+  }
+
+  test("sim_hnsw_recall: per-query rows self-consistent and k pinned") {
+    Similarity.simHnswRecall(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("k") == 5)
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0 && h <= 5)
+      assert(math.abs(r.getAs[Double]("recall_at_k") - h / 5.0) < 1e-12)
+    }
   }
 }

@@ -27,6 +27,7 @@ ALLOW_MONO = {
     ("q7_semi_anti", "has_orders"),      # anti class exists only at sf0.1; both halves spec'd
     ("mm_silence_trim", "all_silent"),   # corpus payloads always have a loud frame; true class spec'd on synthetic silence
     ("sim_dbscan_cores", "is_core"),     # all-core is the TRUE answer on the dense sf1 replica corpus (cell density grows with SF at fixed eps); both classes spec'd at sf0.001 in Round14OpsSpec
+    ("sim_dbscan_cores_capped", "is_core"),  # same true answer one dial finer: the sub-cell carve only removes neighbours, and at sf1 replica density every point still clears minPts=2 inside its sub-cell; the capped config's invariance vs uncapped (and the uncapped both-classes liveness) is spec'd at sf0.001 (Round14WidenSpec subBits=0/finer-carve/plane specs + Round14OpsSpec)
 }
 
 
