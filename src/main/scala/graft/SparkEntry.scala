@@ -447,6 +447,9 @@ object SparkEntry {
     "sim_kmeans_bic" -> (Similarity.simKmeansBic _),
     "sim_hnsw_topk" -> ((s: SparkSession, d: String) => Similarity.simHnswTopk(s, d)),
     "sim_hnsw_recall" -> ((s: SparkSession, d: String) => Similarity.simHnswRecall(s, d)),
+    "q209_brunner_munzel" -> (Analytics.q209BrunnerMunzel _),
+    "txt_summer" -> (TextAnalysis.txtSummer _),
+    "sim_hopkins" -> ((s: SparkSession, d: String) => Similarity.simHopkins(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query key; same aliases, same ORDER BY.
@@ -9801,5 +9804,143 @@ object SparkEntry {
         | LATERAL (SELECT -f2 + cast(k as hugeint) * (d + 1)
         |    * (SELECT lg FROM lgx WHERE v = f.n) AS bicf,
         |   -f2 + cast(k as hugeint) * (d + 1) * 2 * 1512775 AS aicf) x2""").stripMargin,
+    "q209_brunner_munzel" ->
+      """WITH o AS (
+        | SELECT r.r_name, o.o_orderpriority = '1-URGENT' AS is_a,
+        |  cast(cast(o.o_totalprice as decimal(18,2)) * 100 as bigint) cents
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        | WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+        |), cells AS (
+        | SELECT r_name, cents, cast(count(*) as bigint) c_tot,
+        |  cast(sum(CASE WHEN is_a THEN 1 ELSE 0 END) as bigint) c_a
+        | FROM o GROUP BY 1, 2
+        |), cum AS (
+        | SELECT r_name, cents, c_tot, c_a, c_tot - c_a AS c_b,
+        |  2 * (sum(c_tot) OVER w - c_tot) + c_tot + 1 AS r2,
+        |  2 * (sum(c_a) OVER w - c_a) + c_a + 1 AS w2a,
+        |  2 * (sum(c_tot - c_a) OVER w - (c_tot - c_a)) + (c_tot - c_a) + 1 AS w2b
+        | FROM cells
+        | WINDOW w AS (PARTITION BY r_name ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), tot AS (
+        | SELECT r_name, cast(sum(c_a) as bigint) n_a,
+        |  cast(sum(c_tot - c_a) as bigint) n_b,
+        |  cast(sum(cast(c_a as hugeint) * r2) as hugeint) sr2a,
+        |  cast(sum(cast(c_tot - c_a as hugeint) * r2) as hugeint) sr2b
+        | FROM cum GROUP BY 1 HAVING sum(c_a) >= 2 AND sum(c_tot - c_a) >= 2
+        |), dv AS (
+        | SELECT cum.r_name, t.n_a, t.n_b, t.sr2a, t.sr2b,
+        |  sum(cast(c_a as hugeint)
+        |   * (cast(n_a as hugeint) * (r2 - w2a + n_a + 1) - sr2a)
+        |   * (cast(n_a as hugeint) * (r2 - w2a + n_a + 1) - sr2a)) s4na,
+        |  sum(cast(c_b as hugeint)
+        |   * (cast(n_b as hugeint) * (r2 - w2b + n_b + 1) - sr2b)
+        |   * (cast(n_b as hugeint) * (r2 - w2b + n_b + 1) - sr2b)) s4nb
+        | FROM cum JOIN tot t ON t.r_name = cum.r_name
+        | GROUP BY 1, 2, 3, 4, 5
+        |)
+        |SELECT r_name, n_a, n_b,
+        | cast((sr2b - cast(n_b as hugeint) * (n_b + 1)) * 1000000
+        |  // (2 * cast(n_a as hugeint) * n_b) as bigint) AS p_hat_micro,
+        | cast(s4na as varchar) AS s4n_a, cast(s4nb as varchar) AS s4n_b,
+        | round(CASE WHEN s4na + s4nb > 0 THEN
+        |  (cast(n_a as double) * n_b)
+        |   * (cast(sr2b as double) / (2 * cast(n_b as double))
+        |      - cast(sr2a as double) / (2 * cast(n_a as double)))
+        |   / (cast(n_a + n_b as double)
+        |      * sqrt(cast(n_a as double)
+        |         * (cast(s4na as double) / (4 * cast(n_a as double) * n_a * (n_a - 1)))
+        |       + cast(n_b as double)
+        |         * (cast(s4nb as double) / (4 * cast(n_b as double) * n_b * (n_b - 1)))))
+        | END, 6) AS bm_t
+        |FROM dv ORDER BY r_name""".stripMargin,
+    "txt_summer" ->
+      ("""WITH RECURSIVE t AS (
+        | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term FROM documents
+        |), g AS (
+        | SELECT lang, cast(count(*) as bigint) n_tokens,
+        |  cast(count(DISTINCT term) as bigint) vocab
+        | FROM t GROUP BY 1
+        |), gs AS (
+        | SELECT lang, n_tokens, vocab,
+        |  greatest(0, length(bin(n_tokens)) - 43) shn,
+        |  n_tokens // (cast(1 as bigint) << greatest(0, length(bin(n_tokens)) - 43)) argn,
+        |  greatest(0, length(bin(vocab)) - 43) shv,
+        |  vocab // (cast(1 as bigint) << greatest(0, length(bin(vocab)) - 43)) argv
+        | FROM g
+        |), lgvals1(x) AS (
+        | SELECT DISTINCT x FROM (SELECT argn x FROM gs UNION ALL SELECT argv FROM gs)
+        |), lgit1 AS (
+        | SELECT x, cast(length(bin(cast(x as bigint))) - 1 as bigint) m,
+        |  (cast(x as bigint) * 1048576) // (cast(1 as bigint) << (length(bin(cast(x as bigint))) - 1)) r,
+        |  cast(0 as bigint) acc, 0 AS i
+        | FROM lgvals1
+        | UNION ALL
+        | SELECT x, m,
+        |  CASE WHEN (r*r) // 1048576 >= 2097152 THEN ((r*r) // 1048576) // 2 ELSE (r*r) // 1048576 END,
+        |  acc * 2 + CASE WHEN (r*r) // 1048576 >= 2097152 THEN 1 ELSE 0 END, i + 1
+        | FROM lgit1 WHERE i < 20
+        |), lg1 AS (
+        | SELECT x, m * 1048576 + acc AS lg FROM lgit1 WHERE i = 20
+        |), g2 AS (
+        | SELECT gs.lang, gs.n_tokens, gs.vocab,
+        |  ln2.lg + gs.shn * 1048576 AS lgn, lv2.lg + gs.shv * 1048576 AS lgv
+        | FROM gs JOIN lg1 ln2 ON ln2.x = gs.argn JOIN lg1 lv2 ON lv2.x = gs.argv
+        |), lgvals(x) AS (
+        | SELECT DISTINCT x FROM (
+        |  SELECT lgn x FROM g2 WHERE lgn > 1048576
+        |  UNION ALL SELECT lgv FROM g2 WHERE lgv > 1048576)
+        |), """ + LgCte + """
+        |SELECT g2.lang, n_tokens, vocab,
+        | CASE WHEN lgv > 1048576 AND lgn > 1048576
+        |   AND lln.lg - 20971520 > 0 AND llv.lg - 20971520 > 0 THEN
+        |  cast(cast(llv.lg - 20971520 as hugeint) * 1000000
+        |   // (lln.lg - 20971520) as bigint)
+        | END AS summer_s_micro
+        |FROM g2
+        | LEFT JOIN lg lln ON lln.x = g2.lgn
+        | LEFT JOIN lg llv ON llv.x = g2.lgv
+        |ORDER BY g2.lang""").stripMargin,
+    "sim_hopkins" ->
+      """WITH probes AS (
+        | SELECT vec_id, embedding FROM (
+        |  SELECT vec_id, embedding,
+        |   row_number() OVER (ORDER BY md5('hop:' || cast(vec_id as varchar)), vec_id) rn
+        |  FROM embeddings
+        | ) WHERE rn <= 50
+        |), dims AS (SELECT unnest(range(1, 65)) i),
+        |bounds AS (
+        | SELECT i, min(cast(embedding[i] as double)) lo, max(cast(embedding[i] as double)) hi
+        | FROM embeddings CROSS JOIN dims GROUP BY 1
+        |), fracs AS (
+        | SELECT p.s, b.i, b.lo, b.hi,
+        |  list_sum(list_transform(range(1, 9), k ->
+        |   cast(strpos('0123456789abcdef',
+        |     substring(md5('hopu:' || cast(p.s as varchar) || ':' || cast(b.i as varchar)), cast(k as int), 1)) - 1 as double)
+        |   * power(16, 8 - k))) / 4294967296.0 frac
+        | FROM (SELECT unnest(range(0, 50)) s) p CROSS JOIN bounds b
+        |), synth AS (
+        | SELECT s AS probe_id, list(lo + frac * (hi - lo) ORDER BY i) pe FROM fracs GROUP BY 1
+        |), wmin AS (
+        | SELECT p.vec_id,
+        |  cast(floor(1000000 * min(list_sum(list_transform(range(1, 65), i ->
+        |   (cast(p.embedding[i] as double) - cast(e.embedding[i] as double))
+        |   * (cast(p.embedding[i] as double) - cast(e.embedding[i] as double)))))) as bigint) w2
+        | FROM probes p JOIN embeddings e ON e.vec_id <> p.vec_id
+        | GROUP BY 1
+        |), umin AS (
+        | SELECT s.probe_id,
+        |  cast(floor(1000000 * min(list_sum(list_transform(range(1, 65), i ->
+        |   (s.pe[i] - cast(e.embedding[i] as double))
+        |   * (s.pe[i] - cast(e.embedding[i] as double)))))) as bigint) u2
+        | FROM synth s CROSS JOIN embeddings e
+        | GROUP BY 1
+        |)
+        |SELECT (SELECT cast(count(*) as bigint) FROM probes) AS m,
+        | (SELECT cast(sum(w2) as bigint) FROM wmin) AS sum_w2_micro,
+        | (SELECT cast(sum(u2) as bigint) FROM umin) AS sum_u2_micro,
+        | cast((SELECT sum(u2) FROM umin) * 1000000
+        |  // ((SELECT sum(u2) FROM umin) + (SELECT sum(w2) FROM wmin)) as bigint) AS hopkins_micro""".stripMargin,
   )
 }

@@ -5752,6 +5752,82 @@ object Analytics {
       .orderBy($"n_name")
   }
 
+  /** Brunner–Munzel rank inputs per region (URGENT vs LOW order
+    * totals on the q134/q205 frame) — the modern replacement for
+    * Mann–Whitney when the two samples' dispersions differ (q112
+    * assumes exchangeable shapes; BM estimates the relative effect
+    * p̂ = P(X_A < X_B) + ½P(=) with a variance that tolerates
+    * heteroscedasticity — the Behrens–Fisher situation in ranks).
+    * All rank machinery runs at the exact DOUBLED-midrank scale off
+    * the shared two-phase prefix sums (combined AND within-sample
+    * midranks from the same cell pass): p̂ = (ΣR2_B − n_b(n_b+1)) /
+    * (2·n_a·n_b) publishes as an exact nonneg micro; the variance
+    * pieces S4n_i = Σ_j (n_i·(R2_ij − W2_ij + n_i + 1) − ΣR2_i)²
+    * (the n_i-scaled, 4×-scaled deviations — integral, no midrank
+    * halves) publish as exact decimal TEXT (N³-class); the scipy-
+    * convention statistic T = n_a·n_b·(R̄_B − R̄_A)/((n_a+n_b)·
+    * √(n_a·S_A² + n_b·S_B²)) evaluates in double from the exact
+    * integers as one fixed expression. Degenerate zero variance
+    * (all ties) → NULL T in both engines. */
+  def q209BrunnerMunzel(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", ($"o_orderpriority" === "1-URGENT").as("is_a"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val cells = o.groupBy($"r_name", $"cents")
+      .agg(count(lit(1)).as("c_tot"),
+        sum(when($"is_a", 1L).otherwise(0L)).as("c_a"))
+      .withColumn("c_b", $"c_tot" - $"c_a")
+    val bkt = CorpusPipeline.equiWidthBucket(cells, "cents")
+    val ranked = Seq(("c_tot", "_ltC"), ("c_a", "_ltA"), ("c_b", "_ltB"))
+      .foldLeft(cells) { case (df, (v, out)) =>
+        CorpusPipeline.prefixSumExclusive(df, "r_name", Seq($"cents"), v, out, bkt)
+      }
+      // combined and within-sample DOUBLED midranks per tie cell
+      .withColumn("r2", lit(2L) * $"_ltC" + $"c_tot" + 1L)
+      .withColumn("w2a", lit(2L) * $"_ltA" + $"c_a" + 1L)
+      .withColumn("w2b", lit(2L) * $"_ltB" + $"c_b" + 1L)
+      .withColumn("n_a", max($"_ltA" + $"c_a").over(Window.partitionBy($"r_name")))
+      .withColumn("n_b", max($"_ltB" + $"c_b").over(Window.partitionBy($"r_name")))
+      .filter($"n_a" >= 2 && $"n_b" >= 2)
+    // per-sample doubled-rank sums first (needed inside the deviance)
+    val sums = ranked.groupBy($"r_name".as("rs"))
+      .agg(sum(expr("cast(c_a as decimal(38,0)) * r2")).as("sr2a"),
+        sum(expr("cast(c_b as decimal(38,0)) * r2")).as("sr2b"))
+    // per-cell deviance term: c · (n·(r2 − w2 + n + 1) − ΣR2)²
+    def dev(c: String, w2: String, n: String, sr: String) = expr(
+      s"""sum(cast($c as decimal(38,0))
+         | * (cast($n as decimal(38,0)) * (r2 - $w2 + $n + 1) - $sr)
+         | * (cast($n as decimal(38,0)) * (r2 - $w2 + $n + 1) - $sr))""".stripMargin)
+    ranked.join(broadcast(sums), $"r_name" === $"rs")
+      .groupBy($"r_name")
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        max($"sr2a").as("sr2a"), max($"sr2b").as("sr2b"),
+        dev("c_a", "w2a", "n_a", "sr2a").as("s4na"),
+        dev("c_b", "w2b", "n_b", "sr2b").as("s4nb"))
+      .select($"r_name", $"n_a", $"n_b",
+        expr("""cast((sr2b - cast(n_b as decimal(38,0)) * (n_b + 1)) * 1000000
+               | div (2 * cast(n_a as decimal(38,0)) * n_b) as bigint)""".stripMargin)
+          .as("p_hat_micro"),
+        $"s4na".cast("string").as("s4n_a"),
+        $"s4nb".cast("string").as("s4n_b"),
+        round(expr(
+          """CASE WHEN s4na + s4nb > 0 THEN
+            | (cast(n_a as double) * n_b)
+            |  * (cast(sr2b as double) / (2 * cast(n_b as double))
+            |     - cast(sr2a as double) / (2 * cast(n_a as double)))
+            |  / (cast(n_a + n_b as double)
+            |     * sqrt(cast(n_a as double)
+            |        * (cast(s4na as double) / (4 * cast(n_a as double) * n_a * (n_a - 1)))
+            |      + cast(n_b as double)
+            |        * (cast(s4nb as double) / (4 * cast(n_b as double) * n_b * (n_b - 1)))))
+            |END""".stripMargin), 6).as("bm_t"))
+      .orderBy($"r_name")
+  }
+
   /** Fisher index of dispersion of daily order COUNTS per priority —
     * the overdispersion screen on arrival counts (VMR = 1 is the
     * Poisson reference; clumped order flow pushes it up, a regular

@@ -2362,4 +2362,62 @@ object Similarity {
           "(-f2 + cast(k as decimal(38,0)) * (d + 1) * 2 * 1512775) * 1000",
           "cast(1048576 as decimal(38,0))")).as("aic_bits_milli"))
   }
+
+  /** Hopkins statistic of clustering TENDENCY — the missing rung
+    * BEFORE the validation ladder (inertia/CH/DB/XB/BIC all presume
+    * clusters exist; Hopkins asks whether the corpus has any
+    * structure to cluster at all: H → 0.5 on uniform noise, → 1 on
+    * clustered data). Fully deterministic twin of the sampled
+    * statistic: data probes = the m smallest-md5("hop:"+id) vectors
+    * (distributed TakeOrdered, never a corpus-serial window);
+    * synthetic uniform probes = per-dimension min + md5-fraction ·
+    * range (8 hex nibbles / 2³² — exact in double, the q31 carve
+    * family); both nearest-neighbour minima are sqrt-free squared-L2
+    * (the silhouette convention), floored ONCE to micro, summed
+    * exact; H publishes as the exact integer ratio Σu·10⁶ div
+    * (Σu+Σw). Two broadcast corpus passes (2m probe rows against
+    * the scan), one 64-row bounds frame. */
+  def simHopkins(spark: SparkSession, dir: String, m: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.select(col("vec_id"), col("embedding"))
+      .orderBy(expr("md5(concat('hop:', cast(vec_id as string)))"), col("vec_id"))
+      .limit(m)
+    val bounds = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(expr("cast(v as double)")).as("lo"), max(expr("cast(v as double)")).as("hi"))
+    val synth = spark.range(0, m).select(col("id").as("probe_id"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("frac", expr(
+        """cast(conv(substring(md5(concat('hopu:', cast(probe_id as string), ':',
+          |cast(pos + 1 as string))), 1, 8), 16, 10) as double) / 4294967296.0""".stripMargin))
+      .withColumn("coord", expr("lo + frac * (hi - lo)"))
+      .groupBy(col("probe_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, coord))), x -> x.coord)")
+        .as("pe"))
+    val wmin = e.crossJoin(broadcast(probes.select(col("vec_id").as("pid"),
+        col("embedding").as("p_emb"))))
+      .filter(col("vec_id") =!= col("pid"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(p_emb, embedding,
+          |(x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+          |cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .groupBy(col("pid"))
+      .agg(expr("cast(floor(1000000 * min(d2)) as bigint)").as("w2"))
+      .agg(count(lit(1)).as("m_probes"), sum(col("w2")).as("sum_w2"))
+    val umin = e.crossJoin(broadcast(synth))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(pe, embedding,
+          |(x, y) -> (x - cast(y as double)) * (x - cast(y as double))),
+          |cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .groupBy(col("probe_id"))
+      .agg(expr("cast(floor(1000000 * min(d2)) as bigint)").as("u2"))
+      .agg(sum(col("u2")).as("sum_u2"))
+    wmin.crossJoin(broadcast(umin))
+      .select(col("m_probes").as("m"),
+        col("sum_w2").as("sum_w2_micro"),
+        col("sum_u2").as("sum_u2_micro"),
+        expr("cast(cast(sum_u2 as decimal(38,0)) * 1000000 div (cast(sum_u2 as decimal(38,0)) + sum_w2) as bigint)")
+          .as("hopkins_micro"))
+  }
 }

@@ -2338,4 +2338,30 @@ object TextAnalysis {
                 |       * (${lgShift("n_tokens")} - ${lgShift("vocab")})) as bigint) END""".stripMargin)
           .as("dugast_u_milli"))
       .orderBy(col("lang"))
+
+  /** Summer's S = lg lg V / lg lg N per language — the DOUBLE-log
+    * richness index closing the correction ladder (TTR linear →
+    * Guiraud √ → Herdan lg → Summer lg lg: each rung flattens more
+    * of the length dependence; S is the one still discriminative on
+    * corpora orders of magnitude apart). lg lg X composes as
+    * lg₂fixed(lg₂fixed(X)) − 20·2²⁰ (the inner value is 2²⁰-scaled,
+    * so its log carries a +20 the subtraction removes) — the OUTER
+    * log's argument is a ≤ 63·2²⁰ integer, always inside the
+    * recurrence domain. One truncated division, nonnegative
+    * (V ≤ N ⇒ lg lg V ≤ lg lg N), trunc == floor; V ≤ 2 or either
+    * double-log ≤ 0 guards NULL in both engines. */
+  def txtSummer(spark: SparkSession, dir: String): DataFrame =
+    TextOps.balanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("term")).as("vocab"))
+      .withColumn("lgn", expr(lgShift("n_tokens")))
+      .withColumn("lgv", expr(lgShift("vocab")))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        expr("""CASE WHEN lgv > 1048576 AND lgn > 1048576
+               | AND log2_fixed(lgn) - 20971520 > 0 AND log2_fixed(lgv) - 20971520 > 0 THEN
+               |cast(cast(log2_fixed(lgv) - 20971520 as decimal(38,0)) * 1000000
+               |  div (log2_fixed(lgn) - 20971520) as bigint) END""".stripMargin)
+          .as("summer_s_micro"))
+      .orderBy(col("lang"))
 }

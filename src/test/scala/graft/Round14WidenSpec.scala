@@ -1008,4 +1008,134 @@ class Round14WidenSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("recall_at_k") - h / 5.0) < 1e-12)
     }
   }
+
+  // =================================================== batch 6 (r14)
+
+  // -------------------------------------------- q209_brunner_munzel
+
+  test("q209_brunner_munzel: doubled-midrank relative effect and variance replay") {
+    val rows = Tables.orders(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+        .isin("1-URGENT", "5-LOW"))
+      .join(Tables.customer(spark, sf0001),
+        org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
+      .join(Tables.nation(spark, sf0001),
+        org.apache.spark.sql.functions.expr("c_nationkey = n_nationkey"))
+      .join(Tables.region(spark, sf0001),
+        org.apache.spark.sql.functions.expr("n_regionkey = r_regionkey"))
+      .selectExpr("r_name", "o_orderpriority = '1-URGENT' as is_a",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as cents")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (reg, xs) =>
+      val cells = xs.groupBy(_._3).toSeq.sortBy(_._1)
+        .map { case (v, cs) => (v, cs.size.toLong, cs.count(_._2).toLong) }
+      val nA = cells.map(_._3).sum
+      val nB = cells.map(c => c._2 - c._3).sum
+      if (nA < 2 || nB < 2) None else {
+        var ltC = 0L; var ltA = 0L; var ltB = 0L
+        var sr2a = BigInt(0); var sr2b = BigInt(0)
+        val withRanks = cells.map { case (_, cTot, cA) =>
+          val cB = cTot - cA
+          val r2 = 2 * ltC + cTot + 1
+          val w2a = 2 * ltA + cA + 1
+          val w2b = 2 * ltB + cB + 1
+          ltC += cTot; ltA += cA; ltB += cB
+          sr2a += BigInt(cA) * r2; sr2b += BigInt(cB) * r2
+          (cTot, cA, cB, r2, w2a, w2b)
+        }
+        var s4na = BigInt(0); var s4nb = BigInt(0)
+        for ((_, cA, cB, r2, w2a, w2b) <- withRanks) {
+          val da = BigInt(nA) * (r2 - w2a + nA + 1) - sr2a
+          val db = BigInt(nB) * (r2 - w2b + nB + 1) - sr2b
+          s4na += BigInt(cA) * da * da
+          s4nb += BigInt(cB) * db * db
+        }
+        val pHat = ((sr2b - BigInt(nB) * (nB + 1)) * 1000000 /
+          (2 * BigInt(nA) * nB)).toLong
+        val t = if (s4na + s4nb > 0) Some(r6(
+          (nA.toDouble * nB)
+            * (sr2b.toDouble / (2 * nB.toDouble) - sr2a.toDouble / (2 * nA.toDouble))
+            / ((nA + nB).toDouble
+               * math.sqrt(nA.toDouble * (s4na.toDouble / (4 * nA.toDouble * nA * (nA - 1)))
+                 + nB.toDouble * (s4nb.toDouble / (4 * nB.toDouble * nB * (nB - 1)))))))
+        else None
+        Some((reg, nA, nB, pHat, s4na.toString, s4nb.toString, t))
+      }
+    }
+    val got = Analytics.q209BrunnerMunzel(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    assert(got == expected)
+    // relative effect is a probability at micro scale
+    assert(got.forall(r => r._4 >= 0 && r._4 <= 1000000))
+  }
+
+  // ---------------------------------------------------- txt_summer
+
+  test("txt_summer: double-log composition lg(lg X) = lgRef(lgRef X) - 20*2^20") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = toks.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ts) =>
+      val n = ts.size.toLong
+      val v = ts.map(_._2).distinct.size.toLong
+      val lgN = lgShiftRef(n); val lgV = lgShiftRef(v)
+      val s = if (lgV > 1048576 && lgN > 1048576) {
+        val lln = lgRef14(lgN) - 20971520L
+        val llv = lgRef14(lgV) - 20971520L
+        if (lln > 0 && llv > 0) Some((BigInt(llv) * 1000000 / BigInt(lln)).toLong)
+        else None
+      } else None
+      (lang, n, v, s)
+    }
+    val got = operators.TextAnalysis.txtSummer(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == expected)
+    assert(got.forall(_._4.forall(s => s > 0 && s <= 1000000)))
+  }
+
+  // --------------------------------------------------- sim_hopkins
+
+  test("sim_hopkins: deterministic probe/synthetic NN replay; H in (0.5, 1] band sanity") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val m = 50
+    val probes = vecs.sortBy { case (id, _) => (md5hex("hop:" + id), id) }.take(m)
+    val dims = vecs.head._2.length
+    val lo = Array.tabulate(dims)(d => vecs.map(_._2(d).toDouble).min)
+    val hi = Array.tabulate(dims)(d => vecs.map(_._2(d).toDouble).max)
+    def frac(s: Long, i: Int): Double =
+      java.lang.Long.parseLong(md5hex(s"hopu:$s:$i").substring(0, 8), 16)
+        .toDouble / 4294967296.0
+    val synth = (0L until m.toLong).map(s =>
+      Array.tabulate(dims)(d => lo(d) + frac(s, d + 1) * (hi(d) - lo(d))))
+    def d2(a: Array[Double], b: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val df = a(j) - b(j).toDouble; s += df * df; j += 1 }
+      s
+    }
+    val sumW = probes.map { case (pid, pe) =>
+      val pd = pe.map(_.toDouble)
+      val mn = vecs.iterator.filter(_._1 != pid).map(v => d2(pd, v._2)).min
+      math.floor(1000000 * mn).toLong
+    }.sum
+    val sumU = synth.map { pe =>
+      val mn = vecs.iterator.map(v => d2(pe, v._2)).min
+      math.floor(1000000 * mn).toLong
+    }.sum
+    val h = BigInt(sumU) * 1000000 / (BigInt(sumU) + sumW)
+    val got = Similarity.simHopkins(spark, sf0001).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (m.toLong, sumW, sumU, h.toLong))
+    // embeddings are label-clustered, so tendency must clear the
+    // uniform-noise midpoint
+    assert(r.getLong(3) > 500000, s"H = ${r.getLong(3)} not > 0.5")
+  }
 }
