@@ -2155,9 +2155,8 @@ object Analytics {
         sum(when($"grp" === 1, 1L).otherwise(0L)).as("a2"))
       .withColumn("k", lit(1))
     val bkt = CorpusPipeline.equiWidthBucket(s, "cents")
-    val cum = CorpusPipeline.prefixSumExclusive(
-      CorpusPipeline.prefixSumExclusive(s, "k", Seq($"cents"), "a1", "c1x", bkt),
-      "k", Seq($"cents"), "a2", "c2x", bkt)
+    val cum = CorpusPipeline.prefixSumsExclusive(s, "k", Seq($"cents"),
+      Seq("a1" -> "c1x", "a2" -> "c2x"), bkt)
     val tot = s.agg(sum($"a1").as("n1"), sum($"a2").as("n2"))
     cum.crossJoin(broadcast(tot))
       .select($"n1", $"n2",
@@ -2405,48 +2404,34 @@ object Analytics {
   /** Hodges–Lehmann pseudo-median of per-priority daily revenue,
     * emitted as hl2 = the exact LOWER MEDIAN of pairwise sums
     * cᵢ+cⱼ (i<j by day) — twice the HL estimator, a pure integer, so
-    * no .5 ever reaches a float. Pair expansion is calendar-bounded
-    * (days², like q118) and map-side (broadcast join). The median is
-    * a TWO-PASS distributed k-th order statistic: count per
-    * equi-width bucket (tiny aggregate), locate the bucket holding
-    * rank ⌈m/2⌉, then rank values only inside that bucket — the
-    * near-distinct pairwise sums never shuffle as groups (a full
-    * value-collapse measured 19 s at sf0.1; this shape is ~4×
-    * faster and touches 1/64 of pairs in the ranking pass). */
-  /** q120's bucketed pair frame (o_orderpriority, wsum2, b) — the
-    * shared source for the operator AND the bucket-mass telemetry
-    * ([[orderStatBucketMass]]), so the health audit can never drift
-    * from the plan it audits. */
-  private[graft] def q120PairsBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.orders(spark, dir)
-      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
-      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
-    // broadcast right side: an equi-join on priority alone has 5 keys
-    // and would serialize the pair expansion; broadcast keeps it
-    // map-side at full parallelism
-    val later = daily.select($"o_orderpriority".as("p2"),
-      $"day".as("day2"), $"cents".as("cents2"))
-    val bounds = daily.select(($"cents" * 2).as("wsum2"))
-    val bkt = CorpusPipeline.equiWidthBucket(bounds, "wsum2")
-    daily
-      .join(broadcast(later), $"o_orderpriority" === $"p2" && $"day" < $"day2")
-      .select($"o_orderpriority", ($"cents" + $"cents2").as("wsum2"))
-      .withColumn("b", bkt)
-  }
+    * no .5 ever reaches a float. r14 shape: the pair multiset's INPUT
+    * is the calendar-bounded daily series (~2.4k rows per priority at
+    * ANY SF — the q118/q120 adjudication), so the selection collapses
+    * to one per-group expression over the collected daily array
+    * ([[org.apache.spark.sql.graft.PairOrderStats.pairSumLowerMedian]]:
+    * binary search on the value domain with an O(days) two-pointer
+    * rank count — no pair row ever materializes). Replaces the r11
+    * TWO-PASS distributed order statistic that streamed a ~14M-row
+    * map-side pair expansion through two full passes: same exact
+    * integer (oracle unchanged — it still computes the order statistic
+    * from its own pair expansion), but the only shuffle left is the
+    * daily aggregate's (before/after numbers in OPTIMIZATION_r14.md;
+    * the full value-collapse this device originally replaced ran 19 s). */
 
   /** Bucket-mass health telemetry for the two-pass order-statistic
-    * family (q120/q171 pair medians, q104/q148 prefix-sum order
-    * statistics): per (operator, group key), the fraction of rows the
-    * WORST bucket holds, in exact micro units. The two-pass device
-    * prunes the rank pass to ONE bucket, so a bucket holding >50% of
-    * the rows silently degrades it back to the near-distinct groupBy
-    * it exists to avoid (the q171 equi-width regression class — one
-    * central bucket held >50% of slopes until log-spaced buckets
-    * capped it at ~1.7%). Built from the SAME bucketed frames the
-    * operators consume (q120PairsBucketed / q171PairsBucketed /
-    * q104ValuesBucketed / q148ValuesBucketed), so this audit cannot
-    * drift from the plans it audits; the spec asserts a hard ceiling
-    * instead of eyeballing bench deltas. */
+    * family (q104/q148 prefix-sum order statistics): per (operator,
+    * group key), the fraction of rows the WORST bucket holds, in exact
+    * micro units. The two-phase prefix device keys its offsets join on
+    * the bucket, so a bucket holding most of the rows silently
+    * degrades the pass back to the serial window it exists to avoid
+    * (the historical q171 equi-width regression class — one central
+    * bucket held >50% of slopes until log-spaced buckets capped it;
+    * q120/q171 left the family in r14 when their pair medians became
+    * per-group selections over the calendar-bounded daily arrays, see
+    * [[q120HodgesLehmann]]). Built from the SAME bucketed frames the
+    * operators consume (q104ValuesBucketed / q148ValuesBucketed), so
+    * this audit cannot drift from the plans it audits; the spec
+    * asserts a hard ceiling instead of eyeballing bench deltas. */
   private[graft] def orderStatBucketMass(spark: SparkSession, dir: String): DataFrame = {
     def mass(df: DataFrame, op: String, keyCol: Column, b: Column): DataFrame =
       df.select(keyCol.cast("string").as("key"), b.as("_b"))
@@ -2457,52 +2442,22 @@ object Analytics {
           expr("worst_bucket_rows * 1000000 div n_rows").as("worst_mass_micro"))
     val (v104, b104) = q104ValuesBucketed(spark, dir)
     val (v148, b148) = q148ValuesBucketed(spark, dir)
-    mass(q120PairsBucketed(spark, dir), "q120_hodges_lehmann",
-        $"o_orderpriority", $"b")
-      .unionAll(mass(q171PairsBucketed(spark, dir), "q171_theil_sen",
-        $"o_orderpriority", $"b"))
-      .unionAll(mass(v104, "q104_weighted_median", $"l_returnflag", b104))
+    mass(v104, "q104_weighted_median", $"l_returnflag", b104)
       .unionAll(mass(v148, "q148_qq_decile", $"grp", b148))
       .orderBy($"op", $"key")
   }
 
   def q120HodgesLehmann(spark: SparkSession, dir: String): DataFrame = {
-    // two-pass distributed k-th order statistic: pass 1 only COUNTS
-    // per equi-width bucket (a ~|priorities|×64-row aggregate — never
-    // the n_pairs-group value collapse, which at sf0.1 shuffled 14M
-    // near-distinct sums and dominated the whole bench); pass 2 ranks
-    // only inside the one bucket holding the median (~1/64 of pairs).
-    // Streamed through both passes, never persisted (r11, the q171
-    // treatment): the expansion is deterministic map-side arithmetic
-    // behind one broadcast — recomputing it is cheaper than writing
-    // 14M cached rows and blocking on their release
-    def pairsB = q120PairsBucketed(spark, dir)
-    val wCum = Window.partitionBy($"o_orderpriority").orderBy($"b")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val target = pairsB
-      .groupBy($"o_orderpriority", $"b").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum($"c").over(wCum))
-      .withColumn("m", sum($"c").over(Window.partitionBy($"o_orderpriority")))
-      .withColumn("k", expr("(m + 1) div 2"))
-      .filter($"cum" >= $"k")
-      .groupBy($"o_orderpriority")
-      .agg(min($"b").as("tb"), expr("min_by(cum - c, b)").as("before"),
-        max($"k").as("k"), max($"m").as("m"))
-    pairsB
-      .join(broadcast(target), Seq("o_orderpriority"))
-      // null-safe on purpose — the q171 lesson: plain === lets
-      // InferFiltersFromConstraints push isnotnull(bucket-expr) into
-      // the pair-join condition, evaluated per CANDIDATE pair
-      .filter($"b" <=> $"tb")
-      .groupBy($"o_orderpriority", $"wsum2")
-      .agg(count(lit(1)).as("w"), max($"before").as("before"),
-        max($"k").as("k"), max($"m").as("m"))
-      .withColumn("cw", sum($"w").over(
-        Window.partitionBy($"o_orderpriority").orderBy($"wsum2")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter($"before" + $"cw" >= $"k")
-      .groupBy($"o_orderpriority")
-      .agg(max($"m").as("n_pairs"), min($"wsum2").as("hl2_cents"))
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+    daily.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), collect_list($"cents").as("xs"))
+      .filter($"n" >= 2)
+      .select($"o_orderpriority",
+        expr("n * (n - 1) div 2").as("n_pairs"),
+        org.apache.spark.sql.graft.OrderStatFunctions
+          .pairSumLowerMedian($"xs").as("hl2_cents"))
       .orderBy($"o_orderpriority")
   }
 
@@ -2513,85 +2468,31 @@ object Analytics {
     * of per-pair slopes (cⱼ−cᵢ)·10⁶ div (dⱼ−dᵢ), i<j by day,
     * SIGN-SPLIT (sign · abs-quotient) so Spark's truncate-toward-zero
     * div and the oracle's floor-div agree on negative slopes — every
-    * value a pure integer, no float boundary. Pair expansion is
-    * calendar-bounded (days², SF-constant — the q118/q120
-    * adjudication) and map-side behind a broadcast; the median reuses
-    * q120's TWO-PASS distributed k-th order statistic (count per
-    * equi-width bucket, then rank only inside the bucket holding
-    * rank ⌈m/2⌉ — the near-distinct slopes never shuffle as groups).
-    * Buckets are LOG-SPACED (sign · ⌊4·log₂(|sl|+1)⌋ — monotone in sl:
-    * Math.log is semi-monotonic by JavaDoc guarantee, and sign-split
-    * keeps the negative side ordered): slopes concentrate orders of
-    * magnitude below their ±cents·10⁶ bound, so the former equi-width
-    * grid put >50% of all pairs in the ONE central bucket and the
-    * "pruned" in-bucket rank pass was really a half-corpus
-    * near-distinct groupBy (the 12 s of the operator). Quarter-power
-    * buckets cap the worst bucket at ~1.7% of a priority's pairs.
-    * The bucketing stays an internal optimization — the oracle
-    * computes the same order statistic directly.
-    *
-    * The pair stream is STREAMED through both passes, never persisted
-    * (r11): the expansion is deterministic map-side arithmetic behind
-    * one broadcast, so recomputing it costs ~1.5 s while caching 14M
-    * rows cost ~2 s to write plus a blocking release — and each pass
-    * reduces it immediately (bucket counts; then only the target
-    * bucket's rows reach the slope aggregate). Same plan shape at any
-    * SF (the expansion is calendar-bounded). */
-  /** q171's bucketed slope-pair frame (o_orderpriority, sl, b) — shared
-    * by the operator and [[orderStatBucketMass]] (no-drift audit). */
-  private[graft] def q171PairsBucketed(spark: SparkSession, dir: String): DataFrame = {
+    * value a pure integer, no float boundary. r14 shape: the slope
+    * multiset's INPUT is the calendar-bounded daily series, so the
+    * selection is one per-group expression over the collected
+    * (day, cents) array ([[org.apache.spark.sql.graft.PairOrderStats
+    * .theilSenLowerMedianMicro]] — enumerate the days²-bounded slopes
+    * locally, one sort, take rank (m+1) div 2; fail-loud ceiling at
+    * 4096 days). Replaces the r11→r13 two-pass distributed order
+    * statistic (log-spaced buckets over a twice-streamed ~14M-row
+    * broadcast pair expansion): same exact integer (oracle unchanged),
+    * one daily aggregate instead of two expansions — before/after in
+    * OPTIMIZATION_r14.md. */
+  def q171TheilSen(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(spark, dir)
       .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
       .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
       .withColumn("d", expr("datediff(day, date'1970-01-01')").cast("long"))
-    val later = daily.select($"o_orderpriority".as("p2"),
-      $"d".as("d2"), $"cents".as("cents2"))
-    val bkt = expr(
-      "(CASE WHEN sl < 0 THEN -1 ELSE 1 END) * cast(floor(4 * log2(abs(sl) + 1)) as bigint)")
-    // nullif guards the divisor: without the cache boundary the
-    // optimizer may evaluate the slope expression before the d < d2
-    // join condition inside the fused join stage, and ANSI mode turns
-    // the speculative d2 = d case into a DIVIDE_BY_ZERO; NULL
-    // propagates into rows the condition drops anyway, and surviving
-    // rows see nullif(d2−d, 0) = d2−d exactly
-    daily
-      .join(broadcast(later), $"o_orderpriority" === $"p2" && $"d" < $"d2")
+    daily.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        expr("array_sort(collect_list(struct(d, cents)))").as("dc"))
+      .filter($"n" >= 2)
       .select($"o_orderpriority",
-        expr("(CASE WHEN cents2 < cents THEN -1 ELSE 1 END)" +
-          " * (abs(cents2 - cents) * 1000000 div nullif(d2 - d, 0))").as("sl"))
-      .withColumn("b", bkt)
-  }
-
-  def q171TheilSen(spark: SparkSession, dir: String): DataFrame = {
-    def pairsB = q171PairsBucketed(spark, dir)
-    val wCum = Window.partitionBy($"o_orderpriority").orderBy($"b")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val target = pairsB
-      .groupBy($"o_orderpriority", $"b").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum($"c").over(wCum))
-      .withColumn("m", sum($"c").over(Window.partitionBy($"o_orderpriority")))
-      .withColumn("k", expr("(m + 1) div 2"))
-      .filter($"cum" >= $"k")
-      .groupBy($"o_orderpriority")
-      .agg(min($"b").as("tb"), expr("min_by(cum - c, b)").as("before"),
-        max($"k").as("k"), max($"m").as("m"))
-    pairsB
-      // NULL-SAFE equality on purpose: a plain b === tb would let
-      // InferFiltersFromConstraints derive isnotnull(bucket(sl)) and
-      // push the whole slope+bucket arithmetic into the PAIR-JOIN
-      // condition ahead of the cheap d < d2 test — evaluated per
-      // CANDIDATE pair, it doubled the operator (measured); <=> keeps
-      // identical semantics (tb is never null) without the constraint
-      .join(broadcast(target), Seq("o_orderpriority")).filter($"b" <=> $"tb")
-      .groupBy($"o_orderpriority", $"sl")
-      .agg(count(lit(1)).as("w"), max($"before").as("before"),
-        max($"k").as("k"), max($"m").as("m"))
-      .withColumn("cw", sum($"w").over(
-        Window.partitionBy($"o_orderpriority").orderBy($"sl")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter($"before" + $"cw" >= $"k")
-      .groupBy($"o_orderpriority")
-      .agg(max($"m").as("n_pairs"), min($"sl").as("ts_slope_micro"))
+        expr("n * (n - 1) div 2").as("n_pairs"),
+        org.apache.spark.sql.graft.OrderStatFunctions.theilSenLowerMedianMicro(
+          expr("transform(dc, x -> x.d)"),
+          expr("transform(dc, x -> x.cents)")).as("ts_slope_micro"))
       .orderBy($"o_orderpriority")
   }
 
@@ -3137,10 +3038,8 @@ object Analytics {
         sum(when($"is_a", 1L).otherwise(0L)).as("c_a"))
       .withColumn("c_b", $"c_tot" - $"c_a")
     val bkt = CorpusPipeline.equiWidthBucket(cells, "cents")
-    val ranked = Seq(("c_tot", "_ltC"), ("c_a", "_ltA"), ("c_b", "_ltB"))
-      .foldLeft(cells) { case (df, (v, out)) =>
-        CorpusPipeline.prefixSumExclusive(df, "r_name", Seq($"cents"), v, out, bkt)
-      }
+    val ranked = CorpusPipeline.prefixSumsExclusive(cells, "r_name", Seq($"cents"),
+        Seq("c_tot" -> "_ltC", "c_a" -> "_ltA", "c_b" -> "_ltB"), bkt)
       .withColumn("mr2", lit(2L) * $"_ltC" + $"c_tot" + 1L)
     // closed-form Σ_{d=1..c}(a−2d)² per tie cell, in DECIMAL(38)
     def cellTerm(c: String, lt: String): org.apache.spark.sql.Column = expr(
@@ -4303,29 +4202,49 @@ object Analytics {
         expr("substring(o_orderpriority, 1, 1)").as("g"))
       .groupBy($"cents")
       .agg(aggs.head, aggs.tail: _*)
-    // unpivot FIRST: the pivot guarantees a row (with a = 0) for every
-    // (group, distinct value), so ONE group-keyed prefix pass yields
-    // every group's exclusive cumulative at every value — not five
-    // chained passes re-deriving the aggregate each time (measured
-    // 4.5× on the bench: 20.8 s → 4.7 s). localCheckpoint materializes
-    // the tiny distinct table once for the self-join's two readers.
-    val u0 = groups.map(g =>
-      p0.select($"cents", lit(g).as("g"), col(s"a$g").as("a")))
-      .reduce(_ unionAll _)
-      .localCheckpoint(true)
-    val cum = CorpusPipeline.prefixSumExclusive(u0, "g", Seq($"cents"), "a",
-      "c", CorpusPipeline.equiWidthBucket(u0, "cents"))
-      .localCheckpoint(true)
-    val tot = cum.groupBy($"g").agg(sum($"a").as("n"))
-    cum.as("lo").join(cum.as("hi"),
-        expr("lo.cents = hi.cents AND lo.g < hi.g"))
-      .groupBy(col("lo.g").as("g_lo"), col("hi.g").as("g_hi"))
-      .agg(sum(expr("2 * cast(hi.a as decimal(38,0)) * lo.c" +
-        " + cast(lo.a as decimal(38,0)) * hi.a")).as("u2"))
-      .join(broadcast(tot.select($"g".as("g_lo"), $"n".as("n_lo"))), Seq("g_lo"))
-      .join(broadcast(tot.select($"g".as("g_hi"), $"n".as("n_hi"))), Seq("g_hi"))
-      .select($"g_lo", $"g_hi", $"n_lo", $"n_hi",
-        $"u2".cast("string").as("u2"))
+    // r14: stay PIVOTED end to end. The r13 shape unpivoted the 5-wide
+    // distinct-value table to ride the group-keyed prefix device, then
+    // self-joined on cents to pair the groups back up — 5× the rows,
+    // two localCheckpoints, and a value-keyed join carrying both
+    // sides. But the pivot row already holds ALL five groups' counts
+    // at each value, so: one wide two-phase exclusive prefix (5 sum
+    // columns sharing ONE within-bucket window; bucket offsets from a
+    // ≤64-row rollup) gives every group's exclusive cumulative, and
+    // the ten ordered-pair 2·U sums are ten aggregate expressions over
+    // the SAME pass — no unpivot, no self-join, no checkpoint.
+    // Identical integers: term(lo,hi) at value v = 2·a_hi·c_lo +
+    // a_lo·a_hi is the r13 join term verbatim (before/after plans in
+    // plans/r14/, numbers in OPTIMIZATION_r14.md).
+    val bkt = CorpusPipeline.equiWidthBucket(p0, "cents")
+    val b = p0.withColumn("_bkt", bkt)
+    // bucket-level offsets: ≤64 rows — bounded serial window by the
+    // bucket dial, never corpus-shaped
+    val offAggs = groups.map(g => sum(col(s"a$g")).as(s"s$g"))
+    val wOff = Window.orderBy($"_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = groups.foldLeft(
+        b.groupBy($"_bkt").agg(offAggs.head, offAggs.tail: _*)) { (df, g) =>
+        df.withColumn(s"o$g", coalesce(sum(col(s"s$g")).over(wOff), lit(0L)))
+      }
+      .select(($"_bkt" +: groups.map(g => col(s"o$g"))): _*)
+    val wIn = Window.partitionBy($"_bkt").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = groups.foldLeft(b.join(broadcast(offsets), Seq("_bkt"))) { (df, g) =>
+      df.withColumn(s"c$g",
+        coalesce(sum(col(s"a$g")).over(wIn), lit(0L)) + col(s"o$g"))
+    }
+    val pairs = for { lo <- groups; hi <- groups if lo < hi } yield (lo, hi)
+    val pairAggs = pairs.map { case (lo, hi) =>
+      sum(expr(s"2 * cast(a$hi as decimal(38,0)) * c$lo" +
+        s" + cast(a$lo as decimal(38,0)) * a$hi")).as(s"u2_${lo}_$hi")
+    }
+    val totAggs = groups.map(g => sum(col(s"a$g")).as(s"n$g"))
+    val allAggs = pairAggs ++ totAggs
+    val wide = cum.agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = pairs.map { case (lo, hi) =>
+      s"'$lo', '$hi', n$lo, n$hi, cast(u2_${lo}_$hi as string)"
+    }.mkString(", ")
+    wide.selectExpr(
+        s"stack(${pairs.size}, $stackArgs) AS (g_lo, g_hi, n_lo, n_hi, u2)")
       .orderBy($"g_lo", $"g_hi")
   }
 
@@ -5603,10 +5522,8 @@ object Analytics {
         sum(when($"is_a", 1L).otherwise(0L)).as("c_a"))
       .withColumn("c_b", $"c_tot" - $"c_a")
     val bkt = CorpusPipeline.equiWidthBucket(cells, "cents")
-    val ranked = Seq(("c_tot", "_ltC"), ("c_a", "_ltA"), ("c_b", "_ltB"))
-      .foldLeft(cells) { case (df, (v, out)) =>
-        CorpusPipeline.prefixSumExclusive(df, "r_name", Seq($"cents"), v, out, bkt)
-      }
+    val ranked = CorpusPipeline.prefixSumsExclusive(cells, "r_name", Seq($"cents"),
+        Seq("c_tot" -> "_ltC", "c_a" -> "_ltA", "c_b" -> "_ltB"), bkt)
       .withColumn("bj", $"_ltC" + $"c_tot")   // inclusive pooled EDF count
       .withColumn("ma", $"_ltA" + $"c_a")     // inclusive per-sample counts
       .withColumn("mb", $"_ltB" + $"c_b")
@@ -5782,10 +5699,8 @@ object Analytics {
         sum(when($"is_a", 1L).otherwise(0L)).as("c_a"))
       .withColumn("c_b", $"c_tot" - $"c_a")
     val bkt = CorpusPipeline.equiWidthBucket(cells, "cents")
-    val ranked = Seq(("c_tot", "_ltC"), ("c_a", "_ltA"), ("c_b", "_ltB"))
-      .foldLeft(cells) { case (df, (v, out)) =>
-        CorpusPipeline.prefixSumExclusive(df, "r_name", Seq($"cents"), v, out, bkt)
-      }
+    val ranked = CorpusPipeline.prefixSumsExclusive(cells, "r_name", Seq($"cents"),
+        Seq("c_tot" -> "_ltC", "c_a" -> "_ltA", "c_b" -> "_ltB"), bkt)
       // combined and within-sample DOUBLED midranks per tie cell
       .withColumn("r2", lit(2L) * $"_ltC" + $"c_tot" + 1L)
       .withColumn("w2a", lit(2L) * $"_ltA" + $"c_a" + 1L)

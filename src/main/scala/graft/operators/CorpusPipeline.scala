@@ -59,20 +59,41 @@ object CorpusPipeline {
     * arithmetic; preserve that when adding callers. */
   private[graft] def prefixSumExclusive(df: DataFrame, keyCol: String,
       orderCols: Seq[Column], valCol: String, outCol: String,
+      bucket: Column): DataFrame =
+    prefixSumsExclusive(df, keyCol, orderCols, Seq(valCol -> outCol), bucket)
+
+  /** Multi-column form of [[prefixSumExclusive]] — N exclusive running
+    * sums along the SAME (key, ordering, bucket) in ONE two-phase pass:
+    * one per-(key, bucket) subtotal aggregate carrying every value
+    * column, one offsets window, one within-bucket window whose N sum
+    * expressions share the single Window node. The r13 shape chained
+    * the single-column helper (q205/q209 ran the whole
+    * aggregate+window+join machinery three times over the same frame);
+    * bit-identical outputs, N× less prefix machinery (r14, guide §2.4:
+    * operations keyed the same way share one exchange). */
+  private[graft] def prefixSumsExclusive(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valOuts: Seq[(String, String)],
       bucket: Column): DataFrame = {
     val b = df.withColumn("_bkt", bucket)
     val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = b.groupBy(col(keyCol), col("_bkt"))
-      .agg(sum(col(valCol)).as("_psum"))
-      .withColumn("_off", coalesce(sum(col("_psum")).over(wOff), lit(0L)))
-      .select(col(keyCol), col("_bkt"), col("_off"))
+    val subAggs = valOuts.map { case (v, _) => sum(col(v)).as(s"_psum_$v") }
+    val offsets = valOuts.foldLeft(
+        b.groupBy(col(keyCol), col("_bkt")).agg(subAggs.head, subAggs.tail: _*)) {
+        case (d, (v, _)) =>
+          d.withColumn(s"_off_$v",
+            coalesce(sum(col(s"_psum_$v")).over(wOff), lit(0L)))
+      }
+      .select((col(keyCol) +: col("_bkt") +:
+        valOuts.map { case (v, _) => col(s"_off_$v") }): _*)
     val wIn = Window.partitionBy(col(keyCol), col("_bkt")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    b.join(broadcast(offsets), Seq(keyCol, "_bkt"))
-      .withColumn(outCol,
-        coalesce(sum(col(valCol)).over(wIn), lit(0L)) + col("_off"))
-      .drop("_bkt", "_psum", "_off")
+    valOuts.foldLeft(b.join(broadcast(offsets), Seq(keyCol, "_bkt"))) {
+        case (d, (v, out)) =>
+          d.withColumn(out,
+            coalesce(sum(col(v)).over(wIn), lit(0L)) + col(s"_off_$v"))
+      }
+      .drop(("_bkt" +: valOuts.map { case (v, _) => s"_off_$v" }): _*)
   }
 
   /** Exclusive running MAX per key along `orderCols` — the prefix-max

@@ -925,18 +925,20 @@ object Similarity {
       .withColumn("c", col("s") / col("n"))
       .groupBy(col("g"), expr("p div 8").as("sub"))
       .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cv"))
-    // codes: per (vector, subspace) argmin over the 16 codewords
+    // codes: per (vector, subspace) argmin over the 16 codewords —
+    // r14: min_by over struct(dist, g) instead of the r13 row_number
+    // window (same (dist, g) tie-break, same argmin), so the 16-way
+    // candidate expansion partial-aggregates map-side inside the join
+    // stage instead of shuffling all candidates into a sort
     val subRes = resid.select(col("vec_id"), col("label"), col("r"),
         explode(expr("sequence(0, 7)")).as("sub"))
       .withColumn("sv", expr("slice(r, sub * 8 + 1, 8)"))
-    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist"), col("g"))
     val codes = subRes.join(broadcast(cb), Seq("sub"))
       .withColumn("dist", expr(
         "aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), cast(0 as double), (acc, v) -> acc + v)"))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("sub"), col("g").as("code"))
+      .groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(expr("min_by(g, struct(dist, g))").as("code"))
+      .select(col("vec_id"), col("label"), col("sub"), col("code"))
     (cellCent, cb, codes)
   }
 
@@ -970,7 +972,11 @@ object Similarity {
   private def ivfpqAdc(codes: DataFrame, cb: DataFrame,
       probes: DataFrame): DataFrame = {
     // ADC over probed cells only: the label join is the inverted-file
-    // read — un-probed cells' codes never leave the scan
+    // read — un-probed cells' codes never leave the scan. When the
+    // probe table carries its probe rank `rn` (the r14 probe-curve
+    // shape: ONE ADC pass at maxProbe, sliced by rank downstream), the
+    // rank rides the rollup as `prn` — constant within a (q_id, label)
+    // probe, so max() is pure carry-through.
     val terms = codes
       .join(broadcast(probes), Seq("label"))
       .join(broadcast(cb.select(col("g").as("code"), col("sub"), col("cv"))),
@@ -980,11 +986,17 @@ object Similarity {
           | (element_at(qr, cast(sub * 8 + j as int)) - element_at(cv, j))
           | * (element_at(qr, cast(sub * 8 + j as int)) - element_at(cv, j))),
           | cast(0 as double), (acc, v) -> acc + v)""".stripMargin))
-    terms.groupBy(col("q_id"), col("vec_id"), col("label"))
-      .agg(expr(
-        """aggregate(transform(array_sort(collect_list(struct(sub, term))), x -> x.term),
-          | cast(0 as double), (acc, v) -> acc + v)""".stripMargin).as("adc_dist"))
-      .filter(col("vec_id") =!= col("q_id"))
+    val distAgg = expr(
+      """aggregate(transform(array_sort(collect_list(struct(sub, term))), x -> x.term),
+        | cast(0 as double), (acc, v) -> acc + v)""".stripMargin).as("adc_dist")
+    val rolled =
+      if (probes.columns.contains("rn"))
+        terms.groupBy(col("q_id"), col("vec_id"), col("label"))
+          .agg(distAgg, max(col("rn")).as("prn"))
+      else
+        terms.groupBy(col("q_id"), col("vec_id"), col("label"))
+          .agg(distAgg)
+    rolled.filter(col("vec_id") =!= col("q_id"))
   }
 
   /** Exact L2 top-k ids per query — the shared exact side of the ANN
@@ -1038,23 +1050,36 @@ object Similarity {
     val (q, ranked, cb, codes) = ivfpqIndex(spark, dir)
     val e = Tables.embeddings(spark, dir)
     val exactTop = exactL2TopK(e, q, k)
-    (1 to maxProbe).map { p =>
-      val probes = ranked.filter(col("rn") <= p)
-        .select(col("q_id"), col("label"), col("qr"))
-      val adc = ivfpqAdc(codes, cb, probes)
-      val nCand = adc.agg(count(lit(1)).as("n_candidates"))
-      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
-      val annTop = adc.withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-      val hits = exactTop.join(annTop, Seq("q_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      hits.crossJoin(broadcast(nCand))
-        .select(lit(p.toLong).as("nprobe"), col("n_candidates"),
-          col("n_exact"), col("n_hits"),
-          expr("n_hits * 1000000 div n_exact").as("recall_micro"))
-    }.reduce(_ unionAll _).orderBy(col("nprobe"))
+    // r14: candidate sets are NESTED in nprobe (a cell probed at rank
+    // r is probed at every p >= r), so ONE ADC pass at maxProbe with
+    // the probe rank carried replaces the r13 per-p loop that re-ran
+    // the codes⋈probes⋈codebook term join maxProbe times. Each
+    // candidate explodes to the p values that see it (≤ maxProbe tiny
+    // rows), and the per-p counts / ADC top-k / recall overlaps are
+    // per-(q_id, p) windows over that one table — identical values at
+    // every operating point (before/after in OPTIMIZATION_r14.md).
+    val probes = ranked.filter(col("rn") <= maxProbe)
+      .select(col("q_id"), col("label"), col("qr"), col("rn"))
+    val adc = ivfpqAdc(codes, cb, probes)
+    val adcp = adc.withColumn("p", explode(expr(s"sequence(prn, $maxProbe)")))
+    val nCand = adcp.groupBy(col("p")).agg(count(lit(1)).as("n_candidates"))
+    val wTop = Window.partitionBy(col("q_id"), col("p"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    val annTop = adcp.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("p"), col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val exactAll = exactTop
+      .withColumn("p", explode(expr(s"sequence(1, $maxProbe)")))
+    exactAll.join(annTop, Seq("p", "q_id", "vec_id"), "left")
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(broadcast(nCand), Seq("p"), "left")
+      .select(col("p").cast("bigint").as("nprobe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_exact"), col("n_hits"),
+        expr("n_hits * 1000000 div n_exact").as("recall_micro"))
+      .orderBy(col("nprobe"))
   }
 
   /** IVFPQ recall@k — the end-to-end accuracy audit of the composed

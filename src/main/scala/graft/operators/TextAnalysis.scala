@@ -1604,13 +1604,22 @@ object TextAnalysis {
   private[graft] def knLmBits(docBg: DataFrame): DataFrame = {
     val counts = docBg.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(sum(col("c_d")).as("c"))
-    val prefix = counts.groupBy(col("lang"), col("w1"))
-      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n_follow"))
-    val contin = counts.groupBy(col("lang"), col("w2"))
-      .agg(count(lit(1)).as("n_precede"))
+    // r14: the prefix and continuation marginals are WHOLE-PARTITION
+    // windows over the type table instead of groupBy+join-back pairs —
+    // identical values (sum/count over the (lang,w1) / (lang,w2)
+    // partitions), and the type table crosses the wire once per
+    // marginal instead of twice (guide §2.4: same-keyed operations
+    // share the exchange). Partition width = vocab fanout per word,
+    // the same bound the old (lang,w2) marginal aggregate carried.
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("w1"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("w2"))
     val btot = counts.groupBy(col("lang")).agg(count(lit(1)).as("b_types"))
     counts
-      .join(prefix, Seq("lang", "w1")).join(contin, Seq("lang", "w2"))
+      .withColumn("cw1", sum(col("c")).over(w1))
+      .withColumn("n_follow", count(lit(1)).over(w1))
+      .withColumn("n_precede", count(lit(1)).over(w2))
       .join(broadcast(btot), Seq("lang"))
       .select(col("lang"), col("w1"), col("w2"),
         // fail-loud past the documented c·B < 2⁶¹ ceiling: the plain
@@ -1755,22 +1764,44 @@ object TextAnalysis {
   private[graft] def kn3LmBits(docTg: DataFrame): DataFrame = {
     val counts = docTg.groupBy(col("lang"), col("w1"), col("w2"), col("w3"))
       .agg(sum(col("c_d")).as("c"))
-    val prefix12 = counts.groupBy(col("lang"), col("w1"), col("w2"))
-      .agg(sum(col("c")).as("cw12"), count(lit(1)).as("n1f12"))
-    // continuation-bigram counts: rows of `counts` are distinct
-    // (w1,w2,w3) types, so count(*) per (w2,w3) IS N1+(.,w2,w3)
-    val cont23 = counts.groupBy(col("lang"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c2p"))
-    val mid2 = cont23.groupBy(col("lang"), col("w2"))
-      .agg(sum(col("c2p")).as("nmid2"), count(lit(1)).as("nf2p"))
-    val cont3 = cont23.groupBy(col("lang"), col("w3"))
-      .agg(count(lit(1)).as("n1p3"))
-    val btot = cont23.groupBy(col("lang")).agg(count(lit(1)).as("b_pairs"))
+    // r14: every marginal is a WHOLE-PARTITION window over the
+    // trigram-type table instead of the r13 groupBy+join-back chain
+    // (five marginal aggregates + a five-way join re-keyed the type
+    // table ~ten times; the windows cross the wire once per distinct
+    // partition key — guide §2.4). The level-2 counts fall out of
+    // first-row MARKS: counts rows are distinct (w1,w2,w3) types, so
+    //   c2p   = N1+(·w2w3)          = count(*)  over (lang,w2,w3)
+    //   mark  = [w1 = min w1 over (lang,w2,w3)] — exactly one per
+    //           distinct (w2,w3), the window-friendly DISTINCT
+    //   nmid2 = N1+(·w2·) = Σ_w3 c2p = count(*) over (lang,w2)
+    //           (each (w2,w3) contributes its distinct-w1 rows)
+    //   nf2p  = N1+'(w2·)            = sum(mark) over (lang,w2)
+    //   n1p3  = N1+(·w3)             = sum(mark) over (lang,w3)
+    // — identical integers to the aggregate formulation, value by
+    // value. Partition width = vocab fanout per word, the same bound
+    // the old (lang,w2)-keyed marginal aggregate carried.
+    val w23 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("w2"), col("w3"))
+    val w12 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("w1"), col("w2"))
+    val w2w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("w2"))
+    val w3w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("w3"))
+    // b_pairs = distinct (w2,w3) per language — re-aggregated from the
+    // counts exchange (tiny, broadcast back)
+    val btot = counts.groupBy(col("lang"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("_one"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("b_pairs"))
     counts
-      .join(prefix12, Seq("lang", "w1", "w2"))
-      .join(cont23, Seq("lang", "w2", "w3"))
-      .join(mid2, Seq("lang", "w2"))
-      .join(cont3, Seq("lang", "w3"))
+      .withColumn("c2p", count(lit(1)).over(w23))
+      .withColumn("mark",
+        when(col("w1") === min(col("w1")).over(w23), 1L).otherwise(0L))
+      .withColumn("cw12", sum(col("c")).over(w12))
+      .withColumn("n1f12", count(lit(1)).over(w12))
+      .withColumn("nmid2", count(lit(1)).over(w2w))
+      .withColumn("nf2p", sum(col("mark")).over(w2w))
+      .withColumn("n1p3", sum(col("mark")).over(w3w))
       .join(broadcast(btot), Seq("lang"))
       .select(col("lang"), col("w1"), col("w2"), col("w3"),
         // fail-loud past the int64 ceiling, as [[knLmBits]]

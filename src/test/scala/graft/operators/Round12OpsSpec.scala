@@ -134,17 +134,20 @@ class Round12OpsSpec extends SparkSpec {
   }
 
   test("order-statistic family: worst bucket holds a bounded fraction of rows (asserted, not eyeballed)") {
-    // the q171 regression class: one bucket holding >50% of pairs turns
-    // the pruned rank pass back into the near-distinct groupBy it
+    // the historical q171 regression class: one bucket holding >50% of
+    // rows turns the pruned/offset pass back into the serial shape it
     // replaces. Ceiling 25% = 2x the worst healthy observation with
     // margin, half the pathological class. Asserted from the SAME
     // bucketed frames the operators consume (no drift possible).
+    // r14: q120/q171 left the family — their pair medians are now
+    // per-group selections over calendar-bounded daily arrays
+    // (PairOrderStats), with no bucketed distributed pass to audit.
     val dirs = Seq(sf0001, "/root/testdata/sf0.01")
     dirs.foreach { d =>
       val rows = Analytics.orderStatBucketMass(spark, d).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
-      assert(rows.nonEmpty && rows.map(_._1).distinct.length == 4,
-        "all four family members must report")
+      assert(rows.nonEmpty && rows.map(_._1).distinct.length == 2,
+        "both family members must report")
       info(s"$d: " + rows.map(r => s"${r._1}/${r._2}=${r._4 / 10000.0}%").mkString(", "))
       rows.foreach { case (op, key, n, mass) =>
         assert(mass <= 250000L,
