@@ -26,7 +26,13 @@ object PlanDump {
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(fn) =>
+          // bounded-result queries collect inside materializeAndRelease
+          // and return a LocalRelation; the hook below makes them dump
+          // the pre-collect pipeline plan as <name>_<tag>_inner.txt
+          System.setProperty("graft.explain.inner",
+            java.nio.file.Paths.get(outDir, s"${n}_${tag}_inner.txt").toString)
           val df = fn(spark, sfDir)
+          System.clearProperty("graft.explain.inner")
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.writeString(

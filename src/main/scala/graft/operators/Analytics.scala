@@ -999,6 +999,16 @@ object Analytics {
   private[operators] def materializeAndRelease(
       spark: SparkSession, result: DataFrame,
       caches: org.apache.spark.sql.Dataset[_]*): DataFrame = {
+    // dev-only plan evidence hook (graft.PlanDump): the returned frame
+    // is a LocalRelation by design, so the REAL pipeline plan is only
+    // visible here, pre-collect. One-shot property, set per query.
+    Option(System.getProperty("graft.explain.inner")).foreach { p =>
+      System.clearProperty("graft.explain.inner")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        result.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      catch { case _: Throwable => () }
+    }
     val rows = result.collect()
     caches.foreach(_.unpersist(blocking = true))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
@@ -2043,8 +2053,14 @@ object Analytics {
           "l_returnflag", Seq(col(valueCol)), "_c", "_lt", bucket)
         .select($"l_returnflag", col(valueCol), ($"_lt" + 1).as(rankName))
     li
-      .join(rankMap("l_quantity", "rq",
-        expr("cast(l_quantity as bigint)")), Seq("l_returnflag", "l_quantity"))
+      // r14: the quantity rank map is DOMAIN-bounded (TPC-H quantities
+      // are 1..50 per flag — a few hundred rows at ANY corpus size), so
+      // it broadcasts; without the hint the map's post-window size
+      // estimate forces a full shuffle of lineitem onto (flag, qty).
+      // The price map is near-distinct (corpus-sized) and keeps the
+      // shuffle join.
+      .join(broadcast(rankMap("l_quantity", "rq",
+        expr("cast(l_quantity as bigint)"))), Seq("l_returnflag", "l_quantity"))
       .join(rankMap("l_extendedprice", "rp",
         expr("cast(floor(l_extendedprice / 512) as bigint)")),
         Seq("l_returnflag", "l_extendedprice"))
@@ -2088,7 +2104,14 @@ object Analytics {
 
   def q104WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val (byValue, bkt) = q104ValuesBucketed(spark, dir)
-    val tot = byValue.groupBy($"l_returnflag").agg(sum($"w").as("tw"))
+    // r14: total weight per flag comes straight off the raw scan — the
+    // old byValue.groupBy re-ran the near-distinct (flag, cents) hash
+    // aggregate a second time just to sum it up to 3 rows; summing the
+    // raw quantities map-side is the same exact integer by
+    // associativity and skips the second wide aggregate.
+    val tot = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(sum(expr("cast(l_quantity as bigint)")).as("tw"))
     CorpusPipeline.prefixSumExclusive(byValue, "l_returnflag",
         Seq($"cents"), "w", "cw_excl", bkt)
       .join(broadcast(tot), "l_returnflag")

@@ -1905,6 +1905,11 @@ object TextAnalysis {
     // but NO second shuffle (vs the groupBy + self-join formulation)
     val occ = runs.withColumn("run_len", count(lit(1)).over(
       Window.partitionBy(col("doc_id"), col("run_id"))))
+    // r14 note: a whole-partition (lang, term) WINDOW for these stats
+    // (one exchange instead of groupBy + join-back) was MEASURED a
+    // regression at sf0.1 (4.18 → 6.22 s subset A/B): the window's
+    // sort of the corpus-sized occurrence stream costs more than the
+    // hash aggregate + hash join it replaces. Kept the agg+join shape.
     val wstat = occ.groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("freq"), sum(col("run_len")).as("deg"))
       .withColumn("w_micro", expr("deg * 1000000 div freq"))
@@ -1970,6 +1975,8 @@ object TextAnalysis {
     val occ = runs.withColumn("run_len", count(lit(1)).over(
         Window.partitionBy(col("doc_id"), col("run_id"))))
       .filter(col("run_len") <= maxLen)
+    // r14: window-stat rewrite measured a regression here too — see
+    // the [[txtRake]] note; agg+join shape kept deliberately
     val wstat = occ.groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("freq"), sum(col("run_len")).as("deg"))
       .withColumn("w_micro", expr("deg * 1000000 div freq"))
@@ -2015,10 +2022,18 @@ object TextAnalysis {
     * shuffle); the graph is vocabulary-sized, every iteration is one
     * edge⋈rank join + one dst-keyed aggregate hashing the SAME
     * (lang, node) key, so pre-partitioning the persisted edge list
-    * makes all rounds co-partitioned (the q57 exemplar). */
+    * makes all rounds co-partitioned (the q57 exemplar). r14: wdeg
+    * rides a whole-partition window over the edge list (one exchange)
+    * instead of a groupBy + join-back pair, and round 1 — where every
+    * rank is the literal 1.0 seed — folds into a direct edge
+    * aggregate, dropping the first rank join entirely; both rewrites
+    * are value-identical (1.0·x = x in IEEE, same rounded terms, same
+    * decimal sums). */
   def txtTextrank(spark: SparkSession, dir: String, iters: Int = 3,
       minW: Long = 2L, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, s"txtTextrank: iters=$iters must be >= 1 " +
+      "(round 1 is fused into the edge aggregate)")
     val bg = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("lang"), explode(TextOps.ngramArray("text", 2)).as("b2"))
       .select(col("lang"),
@@ -2033,11 +2048,18 @@ object TextAnalysis {
       .filter(col("wgt") >= minW)
     val edges = pairs.select(col("lang"), col("a").as("src"), col("b").as("dst"), col("wgt"))
       .unionAll(pairs.select(col("lang"), col("b").as("src"), col("a").as("dst"), col("wgt")))
-    val wdeg = edges.groupBy(col("lang"), col("src")).agg(sum(col("wgt")).as("wdeg"))
-    val ed = edges.join(wdeg, Seq("lang", "src"))
+    val ed = edges.withColumn("wdeg",
+        sum(col("wgt")).over(Window.partitionBy(col("lang"), col("src"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var pr = wdeg.select(col("lang"), col("src").as("node"), lit(1.0).as("pr"))
-    for (_ <- 1 to iters) {
+    // round 1 fused: every node's seed rank is exactly 1.0, so the
+    // first edge⋈rank join degenerates to the edge aggregate itself
+    // (1.0 * wgt / wdeg = wgt / wdeg bit-for-bit)
+    var pr = ed
+      .groupBy(col("lang"), col("dst"))
+      .agg(expr("cast(sum(cast(round(wgt / wdeg, 12) as decimal(30,12))) as double)").as("s"))
+      .select(col("lang"), col("dst").as("node"),
+        round(lit(0.15) + lit(0.85) * col("s"), 12).as("pr"))
+    for (_ <- 2 to iters) {
       pr = ed.join(pr.withColumnRenamed("lang", "plang"),
           col("src") === col("node") && col("lang") === col("plang"))
         .groupBy(col("lang"), col("dst"))
