@@ -2104,14 +2104,14 @@ object Analytics {
 
   def q104WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val (byValue, bkt) = q104ValuesBucketed(spark, dir)
-    // r14: total weight per flag comes straight off the raw scan — the
-    // old byValue.groupBy re-ran the near-distinct (flag, cents) hash
-    // aggregate a second time just to sum it up to 3 rows; summing the
-    // raw quantities map-side is the same exact integer by
-    // associativity and skips the second wide aggregate.
-    val tot = Tables.lineitem(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(sum(expr("cast(l_quantity as bigint)")).as("tw"))
+    // r14 note: deriving tw from a separate raw-scan aggregate
+    // ("skip the second wide aggregate") was MEASURED a regression
+    // (2.8-3.0 → 3.5 s full-run; subset A/B leaned the same way):
+    // THIS formulation's second byValue pass is almost free because
+    // it reuses the (flag, cents) exchange the prefix pass already
+    // shuffles, while a raw-scan total adds an unshared scan stage.
+    // Keep the exchange-reusing shape.
+    val tot = byValue.groupBy($"l_returnflag").agg(sum($"w").as("tw"))
     CorpusPipeline.prefixSumExclusive(byValue, "l_returnflag",
         Seq($"cents"), "w", "cw_excl", bkt)
       .join(broadcast(tot), "l_returnflag")
