@@ -31,8 +31,9 @@ object PlanDump {
           // the pre-collect pipeline plan as <name>_<tag>_inner.txt
           System.setProperty("graft.explain.inner",
             java.nio.file.Paths.get(outDir, s"${n}_${tag}_inner.txt").toString)
-          val df = fn(spark, sfDir)
-          System.clearProperty("graft.explain.inner")
+          val df =
+            try fn(spark, sfDir)
+            finally System.clearProperty("graft.explain.inner")
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.writeString(

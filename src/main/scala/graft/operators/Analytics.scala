@@ -1007,7 +1007,7 @@ object Analytics {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         result.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val rows = result.collect()
     caches.foreach(_.unpersist(blocking = true))

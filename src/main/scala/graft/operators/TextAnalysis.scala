@@ -1331,10 +1331,24 @@ object TextAnalysis {
     * length, never corpus vocab × corpus size). */
   def txtEntropyFilter(spark: SparkSession, dir: String,
       minBitsMicro: Long = 3500000L): DataFrame =
+    entropyFilterFrom(docTermCounts(spark, dir), minBitsMicro)
+
+  /** Per-doc term counts (doc_id, lang, term, c) — the shared head of
+    * the unigram quality tier ([[txtEntropyFilter]],
+    * [[txtDocPerplexity]]); the funnel derives the same frame from its
+    * one tagged n-gram pass. */
+  private[operators] def docTermCounts(spark: SparkSession, dir: String): DataFrame =
     TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), explode(TextOps.tokens("text")).as("term"))
       .groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("c"))
+
+  /** [[txtEntropyFilter]] body over a caller-supplied per-doc term
+    * count frame — ONE definition of the gate arithmetic, whatever
+    * derivation feeds it (the pipe_quality_verdict discipline). */
+  private[operators] def entropyFilterFrom(docTerm: DataFrame,
+      minBitsMicro: Long = 3500000L): DataFrame =
+    docTerm
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_types"),
         sum(col("c")).as("n_tokens"),
@@ -1362,11 +1376,14 @@ object TextAnalysis {
     * join it on (lang, term) — one shuffle on the term key, the
     * lang totals broadcast. */
   def txtDocPerplexity(spark: SparkSession, dir: String,
+      maxBitsMicro: Long = 5000000L): DataFrame =
+    docPerplexityFrom(docTermCounts(spark, dir), maxBitsMicro)
+
+  /** [[txtDocPerplexity]] body over a caller-supplied per-doc term
+    * count frame — one definition of the LM arithmetic for the
+    * standalone operator and the funnel's shared-pass derivation. */
+  private[operators] def docPerplexityFrom(docTerm: DataFrame,
       maxBitsMicro: Long = 5000000L): DataFrame = {
-    val toks = TextOps.balanced(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"), explode(TextOps.tokens("text")).as("term"))
-    val docTerm = toks.groupBy(col("doc_id"), col("lang"), col("term"))
-      .agg(count(lit(1)).as("c"))
     // reference counts RE-AGGREGATE the per-doc counts (identical
     // values, Σc per (lang, term)) so the doc-term exchange appears in
     // both branches and ReusedExchange runs the tokenize scan ONCE —
@@ -1604,22 +1621,22 @@ object TextAnalysis {
   private[graft] def knLmBits(docBg: DataFrame): DataFrame = {
     val counts = docBg.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(sum(col("c_d")).as("c"))
-    // r14: the prefix and continuation marginals are WHOLE-PARTITION
-    // windows over the type table instead of groupBy+join-back pairs —
-    // identical values (sum/count over the (lang,w1) / (lang,w2)
-    // partitions), and the type table crosses the wire once per
-    // marginal instead of twice (guide §2.4: same-keyed operations
-    // share the exchange). Partition width = vocab fanout per word,
-    // the same bound the old (lang,w2) marginal aggregate carried.
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("w1"))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("w2"))
+    // r15: marginals back to groupBy + join-back AGGREGATES — the r14
+    // whole-partition-window form (one exchange per marginal) won at
+    // sf0.1 but REVERSED at sf1 (window 8.2 s vs aggregate 5.3 s,
+    // two runs each, plans/r15): the window ships every type row and
+    // sorts it inside each (lang, w_i) partition, while the aggregate
+    // partial-aggregates map-side and joins back a vocab-sized table —
+    // the shape that keeps winning as the type table grows (guide §2.3
+    // "aggregate before you shuffle"; the r14 VERDICT's flagged skew
+    // risk resolved by measurement, not argument).
+    val prefix = counts.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n_follow"))
+    val contin = counts.groupBy(col("lang"), col("w2"))
+      .agg(count(lit(1)).as("n_precede"))
     val btot = counts.groupBy(col("lang")).agg(count(lit(1)).as("b_types"))
     counts
-      .withColumn("cw1", sum(col("c")).over(w1))
-      .withColumn("n_follow", count(lit(1)).over(w1))
-      .withColumn("n_precede", count(lit(1)).over(w2))
+      .join(prefix, Seq("lang", "w1")).join(contin, Seq("lang", "w2"))
       .join(broadcast(btot), Seq("lang"))
       .select(col("lang"), col("w1"), col("w2"),
         // fail-loud past the documented c·B < 2⁶¹ ceiling: the plain
@@ -1666,11 +1683,17 @@ object TextAnalysis {
     * per-lang B broadcast. The micro division is SIGN-SPLIT: near-
     * deterministic docs can sum a few negative lg-truncation ulps. */
   def txtDocKnPerplexity(spark: SparkSession, dir: String,
+      maxBitsMicro: Long = 5000000L): DataFrame =
+    docKnPerplexityFrom(docBigramCounts(spark, dir), maxBitsMicro)
+
+  /** [[txtDocKnPerplexity]] body over a caller-supplied per-doc bigram
+    * count frame — one definition of the KN gate arithmetic for the
+    * standalone operator and the funnel's shared-pass derivation. */
+  private[operators] def docKnPerplexityFrom(docBg: DataFrame,
       maxBitsMicro: Long = 5000000L): DataFrame = {
     // the reference LM re-aggregates the per-doc counts (identical
     // values) — the doc-bigram exchange appears in both branches and
     // ReusedExchange runs the tokenize scan ONCE (txtDocPerplexity form)
-    val docBg = docBigramCounts(spark, dir)
     val lm = knLmBits(docBg)
     docBg.join(lm, Seq("lang", "w1", "w2"))
       .groupBy(col("doc_id"), col("lang"))
@@ -1764,44 +1787,27 @@ object TextAnalysis {
   private[graft] def kn3LmBits(docTg: DataFrame): DataFrame = {
     val counts = docTg.groupBy(col("lang"), col("w1"), col("w2"), col("w3"))
       .agg(sum(col("c_d")).as("c"))
-    // r14: every marginal is a WHOLE-PARTITION window over the
-    // trigram-type table instead of the r13 groupBy+join-back chain
-    // (five marginal aggregates + a five-way join re-keyed the type
-    // table ~ten times; the windows cross the wire once per distinct
-    // partition key — guide §2.4). The level-2 counts fall out of
-    // first-row MARKS: counts rows are distinct (w1,w2,w3) types, so
-    //   c2p   = N1+(·w2w3)          = count(*)  over (lang,w2,w3)
-    //   mark  = [w1 = min w1 over (lang,w2,w3)] — exactly one per
-    //           distinct (w2,w3), the window-friendly DISTINCT
-    //   nmid2 = N1+(·w2·) = Σ_w3 c2p = count(*) over (lang,w2)
-    //           (each (w2,w3) contributes its distinct-w1 rows)
-    //   nf2p  = N1+'(w2·)            = sum(mark) over (lang,w2)
-    //   n1p3  = N1+(·w3)             = sum(mark) over (lang,w3)
-    // — identical integers to the aggregate formulation, value by
-    // value. Partition width = vocab fanout per word, the same bound
-    // the old (lang,w2)-keyed marginal aggregate carried.
-    val w23 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("w2"), col("w3"))
-    val w12 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("w1"), col("w2"))
-    val w2w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("w2"))
-    val w3w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("w3"))
-    // b_pairs = distinct (w2,w3) per language — re-aggregated from the
-    // counts exchange (tiny, broadcast back)
-    val btot = counts.groupBy(col("lang"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("_one"))
-      .groupBy(col("lang")).agg(count(lit(1)).as("b_pairs"))
+    // r15: marginals back to the groupBy + join-back AGGREGATE chain —
+    // the r14 window form reversed at sf1 (12.1 s window vs 8.8-10.4 s
+    // aggregate; see knLmBits note and plans/r15): map-side partial
+    // aggregation of the vocab-sized marginal tables beats sorting the
+    // whole type table inside each (lang, w_i) window partition as the
+    // table grows. cont23's count(*) per (w2,w3) IS N1+(·w2w3) because
+    // counts rows are distinct (w1,w2,w3) types.
+    val prefix12 = counts.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(sum(col("c")).as("cw12"), count(lit(1)).as("n1f12"))
+    val cont23 = counts.groupBy(col("lang"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c2p"))
+    val mid2 = cont23.groupBy(col("lang"), col("w2"))
+      .agg(sum(col("c2p")).as("nmid2"), count(lit(1)).as("nf2p"))
+    val cont3 = cont23.groupBy(col("lang"), col("w3"))
+      .agg(count(lit(1)).as("n1p3"))
+    val btot = cont23.groupBy(col("lang")).agg(count(lit(1)).as("b_pairs"))
     counts
-      .withColumn("c2p", count(lit(1)).over(w23))
-      .withColumn("mark",
-        when(col("w1") === min(col("w1")).over(w23), 1L).otherwise(0L))
-      .withColumn("cw12", sum(col("c")).over(w12))
-      .withColumn("n1f12", count(lit(1)).over(w12))
-      .withColumn("nmid2", count(lit(1)).over(w2w))
-      .withColumn("nf2p", sum(col("mark")).over(w2w))
-      .withColumn("n1p3", sum(col("mark")).over(w3w))
+      .join(prefix12, Seq("lang", "w1", "w2"))
+      .join(cont23, Seq("lang", "w2", "w3"))
+      .join(mid2, Seq("lang", "w2"))
+      .join(cont3, Seq("lang", "w3"))
       .join(broadcast(btot), Seq("lang"))
       .select(col("lang"), col("w1"), col("w2"), col("w3"),
         // fail-loud past the int64 ceiling, as [[knLmBits]]
@@ -1886,9 +1892,22 @@ object TextAnalysis {
   def txtRake(spark: SparkSession, dir: String, nStop: Int = 10,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r15: ONE tokenize pass for both consumers — the stoplist census
+    // and the scoring pass each read `toks`, and each branch re-ran
+    // the scan + tokenize (two full passes; ReusedExchange cannot
+    // dedup them because column pruning diverges the subtrees — the
+    // census drops `pos`, the prefixSumsExclusive failure mode). The
+    // token stream is PERSISTED instead, pre-partitioned by doc_id so
+    // the doc-keyed run windows ride the cached partitioning with no
+    // further shuffle; output is bounded (languages × k rows), so the
+    // cache releases through materializeAndRelease (the txt_textrank
+    // contract). At 100 TB one cache write of the token stream
+    // replaces a second regex-tokenize pass over the raw corpus.
     val toks = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
+      .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = toks.groupBy(col("lang"), col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val wStop = Window.partitionBy(col("lang"))
@@ -1928,11 +1947,12 @@ object TextAnalysis {
       byPhrase, Seq("lang"), Seq("score_micro" -> true, "phrase" -> false), k)
     val wTop = Window.partitionBy(col("lang"))
       .orderBy(col("score_micro").desc, col("phrase"))
-    pruned.withColumn("rank", row_number().over(wTop).cast("bigint"))
+    val out = pruned.withColumn("rank", row_number().over(wTop).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("lang"), col("rank"), col("phrase"), col("n_words"),
         col("n_occ"), col("score_micro"))
       .orderBy(col("lang"), col("rank"))
+    graft.operators.Analytics.materializeAndRelease(spark, out, toks)
   }
 
   /** Per-language RAKE with ADAPTIVE stoplist sizing and a phrase-
@@ -1956,9 +1976,13 @@ object TextAnalysis {
   def txtRakeLang(spark: SparkSession, dir: String, maxLen: Int = 4,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r15: one persisted tokenize pass shared by the census and the
+    // scoring pass — see the [[txtRake]] note
     val toks = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
+      .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = toks.groupBy(col("lang"), col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val langTot = dfc.groupBy(col("lang"))
@@ -1995,12 +2019,13 @@ object TextAnalysis {
       byPhrase, Seq("lang"), Seq("score_micro" -> true, "phrase" -> false), k)
     val wTop = Window.partitionBy(col("lang"))
       .orderBy(col("score_micro").desc, col("phrase"))
-    pruned.withColumn("rank", row_number().over(wTop).cast("bigint"))
+    val out = pruned.withColumn("rank", row_number().over(wTop).cast("bigint"))
       .filter(col("rank") <= k)
       .join(broadcast(nStop), Seq("lang"))
       .select(col("lang"), col("rank"), col("phrase"), col("n_words"),
         col("n_occ"), col("score_micro"), col("n_stop"))
       .orderBy(col("lang"), col("rank"))
+    graft.operators.Analytics.materializeAndRelease(spark, out, toks)
   }
 
   /** TextRank keywords per language — the graph-ranking sibling of
@@ -2022,13 +2047,18 @@ object TextAnalysis {
     * shuffle); the graph is vocabulary-sized, every iteration is one
     * edge⋈rank join + one dst-keyed aggregate hashing the SAME
     * (lang, node) key, so pre-partitioning the persisted edge list
-    * makes all rounds co-partitioned (the q57 exemplar). r14: wdeg
-    * rides a whole-partition window over the edge list (one exchange)
-    * instead of a groupBy + join-back pair, and round 1 — where every
-    * rank is the literal 1.0 seed — folds into a direct edge
-    * aggregate, dropping the first rank join entirely; both rewrites
-    * are value-identical (1.0·x = x in IEEE, same rounded terms, same
-    * decimal sums). */
+    * makes all rounds co-partitioned (the q57 exemplar). r14 fused
+    * round 1 — where every rank is the literal 1.0 seed — into a
+    * direct edge aggregate, dropping the first rank join entirely
+    * (value-identical: 1.0·x = x in IEEE, same rounded terms, same
+    * decimal sums); r15 put wdeg back on a groupBy + join-back
+    * aggregate after the r14 window form reversed at sf1 (see the
+    * inline note).
+    *
+    * @param iters number of rank iterations, PRECONDITION iters >= 1:
+    *              round 1 is fused into the edge aggregate, so the
+    *              pre-r14 iters=0 call (return the 1.0 seed ranks) is
+    *              no longer expressible and is rejected loudly. */
   def txtTextrank(spark: SparkSession, dir: String, iters: Int = 3,
       minW: Long = 2L, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2048,8 +2078,13 @@ object TextAnalysis {
       .filter(col("wgt") >= minW)
     val edges = pairs.select(col("lang"), col("a").as("src"), col("b").as("dst"), col("wgt"))
       .unionAll(pairs.select(col("lang"), col("b").as("src"), col("a").as("dst"), col("wgt")))
-    val ed = edges.withColumn("wdeg",
-        sum(col("wgt")).over(Window.partitionBy(col("lang"), col("src"))))
+    // r15: wdeg back to groupBy + join-back — the r14 whole-partition
+    // window reversed at sf1 (5.2 s window vs 2.9-4.5 s aggregate, two
+    // runs; same mechanism as the knLmBits note: the window sorts every
+    // edge row inside its (lang, src) partition, the aggregate
+    // partial-aggregates map-side). The r14 round-1 fuse below is KEPT.
+    val wdegAgg = edges.groupBy(col("lang"), col("src")).agg(sum(col("wgt")).as("wdeg"))
+    val ed = edges.join(wdegAgg, Seq("lang", "src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // round 1 fused: every node's seed rank is exactly 1.0, so the
     // first edge⋈rank join degenerates to the edge aggregate itself

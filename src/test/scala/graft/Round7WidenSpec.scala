@@ -146,15 +146,57 @@ class Round7WidenSpec extends SparkSpec {
       "semi and anti halves must partition the crafted corpus")
   }
 
-  test("pipe_quality_funnel: executed plan reuses shared aggregates; no cartesian") {
-    val df = CorpusPipeline.pipeQualityFunnel(spark, sf0001)
-    df.collect() // materialize THIS queryExecution so AQE finalizes it
-    val p = df.queryExecution.executedPlan.toString
-    // the entropy + unigram-ppl components share the doc-term
-    // aggregate, and the KN component re-aggregates its own doc-bigram
-    // counts — both must collapse under AQE instead of re-tokenizing
-    assert(p.contains("ReusedExchange"),
-      "the funnel must exchange-reuse the shared per-doc aggregates")
+  test("pipe_quality_funnel: one persisted gram pass feeds every gate; values match the standalone components") {
+    // r15 shape: ONE tagged n-gram pass (tag 0 spine / 1 unigram /
+    // 2 bigram) is persisted and every gate branch reads it — the plan
+    // must show documents scanned in exactly one place (all Scan
+    // parquet occurrences in the inner-plan tree are reprints of the
+    // SAME cached-build node id) and no cartesian anywhere
+    val tmp = java.nio.file.Files.createTempFile("funnel_plan", ".txt")
+    System.setProperty("graft.explain.inner", tmp.toString)
+    val df =
+      try CorpusPipeline.pipeQualityFunnel(spark, sf0001)
+      finally System.clearProperty("graft.explain.inner")
+    val p = java.nio.file.Files.readString(tmp)
+    assert(p.contains("InMemoryTableScan"),
+      "every funnel branch must read the one persisted gram table")
     assert(!p.contains("CartesianProduct"))
+    val scanIds = """Scan parquet\s*\((\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1,
+      s"documents must be scanned by exactly ONE plan node (ids: $scanIds)")
+    // value parity against the standalone components (the pre-r15
+    // composition): same per-doc booleans => same 9-row funnel
+    val ent = TextAnalysis.txtEntropyFilter(spark, sf0001)
+      .select(col("doc_id"), col("n_tokens"), col("low_entropy"))
+    val uni = TextAnalysis.txtDocPerplexity(spark, sf0001)
+      .select(col("doc_id"), col("high_perplexity").as("high_uni_ppl"))
+    val kn = TextAnalysis.txtDocKnPerplexity(spark, sf0001)
+      .select(col("doc_id"), col("high_perplexity").as("high_kn_ppl"))
+    val m = CorpusPipeline.MinDocTokens
+    val expect = Tables.documents(spark, sf0001).select(col("doc_id"))
+      .join(ent, Seq("doc_id"), "left")
+      .join(uni, Seq("doc_id"), "left")
+      .join(kn, Seq("doc_id"), "left")
+      .select(
+        coalesce(col("n_tokens"), lit(0L)).as("nt"),
+        coalesce(col("low_entropy"), lit(false)).as("le"),
+        coalesce(col("high_uni_ppl"), lit(false)).as("hu"),
+        coalesce(col("high_kn_ppl"), lit(false)).as("hk"))
+      .agg(count(lit(1)), sum(expr(s"if(nt < $m, 1, 0)")),
+        sum(expr("if(le, 1, 0)")), sum(expr("if(hu, 1, 0)")),
+        sum(expr("if(hk, 1, 0)")), sum(expr(s"if(nt >= $m, 1, 0)")),
+        sum(expr(s"if(nt >= $m AND NOT le, 1, 0)")),
+        sum(expr(s"if(nt >= $m AND NOT le AND NOT hu, 1, 0)")),
+        sum(expr(s"if(nt >= $m AND NOT le AND NOT hu AND NOT hk, 1, 0)")))
+      .head()
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = Map(
+      "docs_total" -> expect.getLong(0), "fail_length" -> expect.getLong(1),
+      "fail_low_entropy" -> expect.getLong(2), "fail_unigram_ppl" -> expect.getLong(3),
+      "fail_kn_ppl" -> expect.getLong(4), "pass_length" -> expect.getLong(5),
+      "pass_entropy" -> expect.getLong(6), "pass_unigram_ppl" -> expect.getLong(7),
+      "kept" -> expect.getLong(8))
+    assert(got == exp, "funnel counts must equal the standalone-component composition")
   }
 }
