@@ -2843,8 +2843,15 @@ object Analytics {
     * integers. */
   def q126BfsHops(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
     val pairs = copurchaseEdges(spark, dir)
+    // r15: persist the edge list HASH-PARTITIONED on src (the q57
+    // exemplar this file already documents): every hop joins on
+    // src === node, so the cached partitioning makes each hop's join
+    // edge-side shuffle-free — only the node-sized frontier moves
+    // (guide §2.4 same-keyed ops share one exchange). Before, every
+    // hop re-shuffled the full edge list.
     val edges = pairs.select($"a".as("src"), $"b".as("dst"))
       .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
+      .repartition($"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val hub = deg.orderBy($"deg".desc, $"src").limit(1)
@@ -4947,8 +4954,12 @@ object Analytics {
     * 5-row frame (materializeAndRelease — the q57 contract). */
   def q187Harmonic(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
     val pairs = copurchaseEdges(spark, dir)
+    // r15: edge list persisted hash-partitioned on src — per-hop joins
+    // ride the cached partitioning instead of re-shuffling the edges
+    // (see q126BfsHops / the q57 exemplar)
     val edges = pairs.select($"a".as("src"), $"b".as("dst"))
       .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
+      .repartition($"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       .orderBy($"deg".desc, $"src").limit(5)

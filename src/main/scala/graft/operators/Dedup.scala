@@ -160,6 +160,20 @@ object Dedup {
     * band are candidates for the exact verify pass (ddNgramJaccard). */
   def ddMinhashLsh(spark: SparkSession, dir: String,
       bucketCap: Option[Int] = None): DataFrame = {
+    // r15: the candidate pair set rides the snapshot store like
+    // jaccardPairs — six gated consumers (minhash_lsh, cross_source,
+    // bbit, jaccard_est, lsh_recall, lsh_precision) re-ran the band
+    // build per query. The presentation sort stays OUTSIDE the
+    // snapshot (parquet read-back order is file order, so the gated
+    // output's contract sort must be applied on the read).
+    Analytics.snapshotTable(spark, dir,
+        s"minhash_lsh_${bucketCap.getOrElse(0)}")(
+      minhashLshPairs(spark, dir, bucketCap))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def minhashLshPairs(spark: SparkSession, dir: String,
+      bucketCap: Option[Int]): DataFrame = {
     // The whole signature is computed MAP-SIDE per document, as ONE
     // native codegen call per row (MinHashBands: 8 perm-seeded md5
     // mins folded straight into 4 band hashes, raw-digest comparisons,
@@ -193,7 +207,6 @@ object Dedup {
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Dedup APPLY step: materialize the kept corpus — one surviving row
@@ -638,15 +651,29 @@ object Dedup {
     * jaccard threshold evaluated at the size LOWER bounds
     * (ninter·5 ≥ 2^ba + 2^bb − ninter) — a pair failing it fails the
     * exact test too (na+nb ≥ 2^ba+2^bb), so the filter is a pure
-    * row-reducer with zero effect on the result set. */
+    * row-reducer with zero effect on the result set.
+    *
+    * r15: the pair table rides [[Analytics.snapshotTable]] — TWELVE
+    * gated consumers (components×6, ngram_jaccard, lsh_recall/precision,
+    * edit_distance, split_leakage, cluster_split) each re-ran the
+    * shingle self-join (~1.2–1.8 s/call at sf0.1); the output is
+    * edges ≪ docs by the df-cap guard, exactly the "shared derived
+    * table belongs in the lake" shape the copurchase store set (guide
+    * §6 read once; same conf flag, fingerprint-invalidated, keyed by
+    * the RESOLVED cap so capped/uncapped configs never collide). */
   private[graft] def jaccardPairs(spark: SparkSession, dir: String,
       shingleDfCap: Option[Int] = None): DataFrame = {
-    val surv = shinglePairCounts(spark, dir, shingleDfCap)
-      .filter(expr("ninter * 5 >= shiftleft(1L, ba) + shiftleft(1L, bb) - ninter"))
-    attachPairSizes(spark, dir, surv)
-      .filter(expr("ninter * 5 >= (na + nb - ninter)"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        expr("round(cast(ninter as double) / (na + nb - ninter), 6)").as("jaccard"))
+    val cap = resolveShingleDfCap(spark, shingleDfCap)
+    Analytics.snapshotTable(spark, dir, s"jaccard_pairs_${cap.getOrElse(0)}") {
+      // Some(0) = "explicitly uncapped" downstream (resolveShingleDfCap
+      // filters non-positive to None without re-applying the default)
+      val surv = shinglePairCounts(spark, dir, Some(cap.getOrElse(0)))
+        .filter(expr("ninter * 5 >= shiftleft(1L, ba) + shiftleft(1L, bb) - ninter"))
+      attachPairSizes(spark, dir, surv)
+        .filter(expr("ninter * 5 >= (na + nb - ninter)"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          expr("round(cast(ninter as double) / (na + nb - ninter), 6)").as("jaccard"))
+    }
   }
 
   /** Connected components over the near-dup pair graph (ddNgramJaccard
@@ -1322,12 +1349,20 @@ object Dedup {
     * map-side; only ids and char counts move. */
   def ddDupMassReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    // r15: exactDrop is consumed TWICE (the union into `dropped` and
+    // the n_exact_dropped count) and each reference re-ran the full
+    // md5-of-text + keeper-window pass — persist the slim dropped-id
+    // set instead (bounded by the duplicate count, ids only; guide
+    // §1.2 don't recompute). The 1-row report releases it through
+    // materializeAndRelease. nearDrop re-references are already free:
+    // components returns a driver-built LocalRelation.
     val exactDrop = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("keeper", min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearDrop = ddComponents(spark, dir)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
@@ -1337,10 +1372,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_dropped"), coalesce(sum(col("n_chars")), lit(0L)).as("dropped_chars"))
     val nE = exactDrop.agg(count(lit(1)).as("n_exact_dropped"))
     val nN = nearDrop.agg(count(lit(1)).as("n_near_dropped"))
-    tot.crossJoin(broadcast(dropStats)).crossJoin(broadcast(nE)).crossJoin(broadcast(nN))
+    val out = tot.crossJoin(broadcast(dropStats)).crossJoin(broadcast(nE)).crossJoin(broadcast(nN))
       .select(col("n_docs"), col("total_chars"), col("n_exact_dropped"),
         col("n_near_dropped"), col("n_dropped"), col("dropped_chars"),
         expr("dropped_chars * 1000000 div total_chars").as("dropped_char_micro"))
+    Analytics.materializeAndRelease(spark, out, exactDrop)
   }
 
   /** Near-dup KEEPERS — the APPLY step for near-duplicate dedup: one

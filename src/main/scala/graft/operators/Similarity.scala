@@ -899,6 +899,17 @@ object Similarity {
     * builder, no drift. */
   private[graft] def ivfpqIndexParts(spark: SparkSession, dir: String):
       (DataFrame, DataFrame, DataFrame) = {
+    // r15: the three index frames are PERSISTED — the before-plan
+    // scanned the embeddings parquet 16× because every consumer
+    // reference re-derived its whole subtree (cellCent feeds resid,
+    // resid feeds cb AND codes, cb feeds codes AND the ADC join;
+    // guide §1.2/§2.4 compute once). All three are index-sized, far
+    // smaller than the raw vectors (cells × 64 doubles; 16×8 codebook
+    // rows; 8 small ints per vector — materializing them IS the IVF-PQ
+    // index build). CALLERS OWN THE RELEASE: the gated operators end in
+    // materializeAndRelease(..., cells, cb, codes) (bounded outputs),
+    // the lake writer unpersists after its last write. Lazy persists
+    // cost nothing when a caller never computes a frame.
     val e = Tables.embeddings(spark, dir)
     val pinnedMean = expr(
       """aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
@@ -912,6 +923,7 @@ object Similarity {
       .withColumn("c", col("s") / col("n"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cellv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // residuals r = x - centroid(cell(x)): array<double>, map-side
     val resid = e.join(broadcast(cellCent), Seq("label"))
       .withColumn("r", expr("zip_with(embedding, cellv, (x, c) -> cast(x as double) - c)"))
@@ -925,6 +937,7 @@ object Similarity {
       .withColumn("c", col("s") / col("n"))
       .groupBy(col("g"), expr("p div 8").as("sub"))
       .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // codes: per (vector, subspace) argmin over the 16 codewords —
     // r14: min_by over struct(dist, g) instead of the r13 row_number
     // window (same (dist, g) tie-break, same argmin), so the 16-way
@@ -939,6 +952,7 @@ object Similarity {
       .groupBy(col("vec_id"), col("label"), col("sub"))
       .agg(expr("min_by(g, struct(dist, g))").as("code"))
       .select(col("vec_id"), col("label"), col("sub"), col("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (cellCent, cb, codes)
   }
 
@@ -947,7 +961,7 @@ object Similarity {
     * expression here is the one [[simIvfpq]] gates; the probe curve
     * reuses the identical build so the two operators cannot drift. */
   private def ivfpqIndex(spark: SparkSession, dir: String):
-      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
     val (cellCent, cb, codes) = ivfpqIndexParts(spark, dir)
     // query cells ranked by exact L2 to the centroid, each carrying
@@ -963,7 +977,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .withColumn("qr", expr("zip_with(q_emb, cellv, (x, c) -> cast(x as double) - c)"))
       .select(col("q_id"), col("label"), col("qr"), col("rn"))
-    (q, ranked, cb, codes)
+    (q, ranked, cb, codes, cellCent)
   }
 
   /** ADC of the probed-cell candidates against a probe table
@@ -1017,16 +1031,18 @@ object Similarity {
 
   def simIvfpq(spark: SparkSession, dir: String, nprobe: Int = 2,
       k: Int = 5): DataFrame = {
-    val (_, ranked, cb, codes) = ivfpqIndex(spark, dir)
+    val (_, ranked, cb, codes, cells) = ivfpqIndex(spark, dir)
     val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("q_id"), col("label"), col("qr"))
     val adc = ivfpqAdc(codes, cb, probes)
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
-    adc.withColumn("rank", row_number().over(wTop).cast("bigint"))
+    val out = adc.withColumn("rank", row_number().over(wTop).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"),
         col("label").cast("bigint").as("cell"), col("adc_dist"))
       .orderBy(col("q_id"), col("rank"))
+    // |Q|·k rows — bounded; releases the persisted index frames
+    Analytics.materializeAndRelease(spark, out, cells, cb, codes)
   }
 
   /** IVFPQ recall-vs-nprobe curve — THE tuning readout for the
@@ -1047,7 +1063,7 @@ object Similarity {
     * multiplies query-side work only, never corpus passes. */
   def simIvfpqProbeCurve(spark: SparkSession, dir: String,
       maxProbe: Int = 4, k: Int = 5): DataFrame = {
-    val (q, ranked, cb, codes) = ivfpqIndex(spark, dir)
+    val (q, ranked, cb, codes, cells) = ivfpqIndex(spark, dir)
     val e = Tables.embeddings(spark, dir)
     val exactTop = exactL2TopK(e, q, k)
     // r14: candidate sets are NESTED in nprobe (a cell probed at rank
@@ -1070,7 +1086,7 @@ object Similarity {
       .select(col("p"), col("q_id"), col("vec_id"), lit(1L).as("hit"))
     val exactAll = exactTop
       .withColumn("p", explode(expr(s"sequence(1, $maxProbe)")))
-    exactAll.join(annTop, Seq("p", "q_id", "vec_id"), "left")
+    val out = exactAll.join(annTop, Seq("p", "q_id", "vec_id"), "left")
       .groupBy(col("p"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
@@ -1080,6 +1096,8 @@ object Similarity {
         col("n_exact"), col("n_hits"),
         expr("n_hits * 1000000 div n_exact").as("recall_micro"))
       .orderBy(col("nprobe"))
+    // maxProbe rows — bounded; releases the persisted index frames
+    Analytics.materializeAndRelease(spark, out, cells, cb, codes)
   }
 
   /** IVFPQ recall@k — the end-to-end accuracy audit of the composed
@@ -1098,18 +1116,23 @@ object Similarity {
     // the serving path uses (the shared `q` frame — the query
     // predicate lives in ONE place, so the two sides cannot drift;
     // r10 advice), and the ANN side IS simIvfpq's gated answer
-    val (q, _, _, _) = ivfpqIndex(spark, dir)
+    val (q, _, cb, codes, cells) = ivfpqIndex(spark, dir)
     val e = Tables.embeddings(spark, dir)
     val exactTop = exactL2TopK(e, q, k)
     val annTop = simIvfpq(spark, dir, k = k)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-    exactTop.join(annTop, Seq("q_id", "vec_id"), "left")
+    val out = exactTop.join(annTop, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
         expr("array_join(transform(sort_array(collect_list(vec_id)), x -> cast(x as string)), ',')")
           .as("exact_ids"))
       .orderBy(col("q_id"))
+    // |Q| rows — bounded. This call's own index frames are never
+    // computed (only `q` is used; the ANN side builds and releases its
+    // own inside simIvfpq), so the release is a lazy-persist no-op —
+    // but it must still happen or the marks leak into the session.
+    Analytics.materializeAndRelease(spark, out, cells, cb, codes)
   }
 
   /** PQ recall@k — the accuracy audit that decides whether the ADC
@@ -1405,25 +1428,37 @@ object Similarity {
     // d(d+1)/2 = 2080 rows regardless of corpus scale — the
     // materializeAndRelease rationale applied at the matrix tier.
     val upRows = upper.collect()
-    val mirrored = upRows ++ upRows.collect {
-      case r if r.getLong(0) != r.getLong(1) =>
-        org.apache.spark.sql.Row(r.getLong(1), r.getLong(0), r.getDouble(2))
+    val mirrored = upRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ++
+      upRows.collect {
+        case r if r.getLong(0) != r.getLong(1) =>
+          (r.getLong(1), r.getLong(0), r.getDouble(2))
+      }
+    // r15: the three matrix-vector rounds run DRIVER-SIDE over the
+    // already-collected 64×64 matrix — the DataFrame mul-chain was 24
+    // exchanges / ~7 stage barriers over 64-row frames (measured
+    // barrier-bound: 8-core ratio 0.67 with zero data to parallelize;
+    // a 64-dim matrix is dimension-bounded, never corpus-bounded, so
+    // this is the materializeAndRelease rationale applied to the whole
+    // iteration tier). Operation order is IDENTICAL to the removed SQL:
+    // per row i, terms sorted by j ascending, one left-to-right double
+    // fold (what `aggregate(array_sort(collect_list(...)))` pinned) —
+    // same IEEE sums bit for bit, oracle-gated.
+    val byI = mirrored.groupBy(_._1).map { case (i, rs) =>
+      (i, rs.map(r => (r._2, r._3)).sortBy(_._1))
     }
-    val m = spark.createDataFrame(
-      java.util.Arrays.asList(mirrored: _*), upper.schema)
-    def mul(v: DataFrame, vcol: String, out: String): DataFrame =
-      m.join(broadcast(v.select(col("dim").as("j"), col(vcol))), "j")
-        .groupBy(col("i").as("dim"))
-        .agg(expr(s"aggregate(array_sort(collect_list(named_struct('j', j, 't', g * $vcol)))," +
-          s" cast(0 as double), (acc, x) -> acc + x.t)").as(out))
-    val v1 = m.groupBy(col("i").as("dim"))
-      .agg(expr("aggregate(array_sort(collect_list(named_struct('j', j, 't', g)))," +
-        " cast(0 as double), (acc, x) -> acc + x.t)").as("v1"))
-    val v2 = mul(v1, "v1", "v2")
-    val v3 = mul(v2, "v2", "v3")
-    v1.join(v2, "dim").join(v3, "dim")
-      .select(col("dim"), col("v1"), col("v2"), col("v3"))
-      .orderBy(col("dim"))
+    def mulVec(v: Map[Long, Double]): Map[Long, Double] =
+      byI.map { case (i, rs) =>
+        (i, rs.foldLeft(0.0) { case (acc, (j, g)) => acc + g * v(j) })
+      }
+    val v1 = byI.map { case (i, rs) =>
+      (i, rs.foldLeft(0.0) { case (acc, (_, g)) => acc + g })
+    }
+    val v2 = mulVec(v1)
+    val v3 = mulVec(v2)
+    import spark.implicits._
+    v1.keys.toSeq.sorted
+      .map(d => (d, v1(d), v2(d), v3(d)))
+      .toDF("dim", "v1", "v2", "v3")
   }
 
   /** Centroid drift of one Lloyd step: squared-L2 shift between each

@@ -39,16 +39,22 @@ class Round11OpsSpec extends SparkSpec {
       (11L, "en", "s0", "a rare pair of documents with their own wording entirely"))
     docs.toDF("doc_id", "lang", "source", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val capped = Dedup.ddNgramJaccard(spark, dir, shingleDfCap = Some(3))
-    val p = capped.queryExecution.optimizedPlan.toString
-    assert(!p.contains("LeftAnti"),
-      s"hot guard must be an inline InSet filter, not an anti-join:\n$p")
-    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((10L, 11L)), "cold pair must survive the stop list")
-    // the stop list drops the shared boilerplate shingles, so the
-    // 6-family's pairwise jaccard falls below threshold
-    assert(!pairs.exists(pr => pr._1 <= 6 && pr._2 <= 6),
-      s"boilerplate-only pairs must not pass the jaccard gate: $pairs")
+    // r15: the pair table rides the snapshot store, which would hide
+    // the guard mechanism behind a parquet read — disable it so the
+    // plan probe sees the real build
+    spark.conf.set("spark.graft.graph.edgeSnapshot", "false")
+    try {
+      val capped = Dedup.ddNgramJaccard(spark, dir, shingleDfCap = Some(3))
+      val p = capped.queryExecution.optimizedPlan.toString
+      assert(!p.contains("LeftAnti"),
+        s"hot guard must be an inline InSet filter, not an anti-join:\n$p")
+      val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((10L, 11L)), "cold pair must survive the stop list")
+      // the stop list drops the shared boilerplate shingles, so the
+      // 6-family's pairwise jaccard falls below threshold
+      assert(!pairs.exists(pr => pr._1 <= 6 && pr._2 <= 6),
+        s"boilerplate-only pairs must not pass the jaccard gate: $pairs")
+    } finally spark.conf.unset("spark.graft.graph.edgeSnapshot")
   }
 
   test("two-phase guard probe: oversized stop list falls back to the anti-join path, values unchanged") {
@@ -62,6 +68,12 @@ class Round11OpsSpec extends SparkSpec {
       (11L, "en", "s0", "a rare pair of documents with their own wording entirely"))
     docs.toDF("doc_id", "lang", "source", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // r15: disable the pair-table snapshot for this mechanism probe —
+    // it is keyed by (dir, cap), not by the inline-limit conf (the two
+    // paths are value-identical by design), so the second call would
+    // otherwise read the first call's snapshot and never exercise the
+    // anti-join fallback
+    spark.conf.set("spark.graft.graph.edgeSnapshot", "false")
     val inline = Dedup.ddNgramJaccard(spark, dir, shingleDfCap = Some(3))
       .collect().map(_.toString).toSeq
     Dedup.clearHotKeyCache()
@@ -75,6 +87,7 @@ class Round11OpsSpec extends SparkSpec {
         "fallback path must produce identical values")
     } finally {
       spark.conf.unset("spark.graft.dedup.hotKeyInlineLimit")
+      spark.conf.unset("spark.graft.graph.edgeSnapshot")
       Dedup.clearHotKeyCache()
     }
   }
