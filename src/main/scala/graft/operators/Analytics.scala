@@ -4954,12 +4954,14 @@ object Analytics {
     * 5-row frame (materializeAndRelease — the q57 contract). */
   def q187Harmonic(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
     val pairs = copurchaseEdges(spark, dir)
-    // r15: edge list persisted hash-partitioned on src — per-hop joins
-    // ride the cached partitioning instead of re-shuffling the edges
-    // (see q126BfsHops / the q57 exemplar)
+    // r15 MEASURED DECLINE: persisting these edges hash-partitioned on
+    // src (the q126/q57 shape) was implemented and measured at sf0.1
+    // (full bench ×2): q187 1.80→2.42 s while the identical change
+    // improved q126 (2.23→1.83 s) — REVERTED here. The 5-seed frontier
+    // is 5× the single-hub one, the per-hop joins broadcast it either
+    // way, and the extra cache-build shuffle never pays back.
     val edges = pairs.select($"a".as("src"), $"b".as("dst"))
       .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
-      .repartition($"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       .orderBy($"deg".desc, $"src").limit(5)

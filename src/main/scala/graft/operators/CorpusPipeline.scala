@@ -314,47 +314,31 @@ object CorpusPipeline {
     * gate; docs too short for a bigram score pass the KN gate
     * vacuously (they are already dead at the length gate). */
   def pipeQualityFunnel(spark: SparkSession, dir: String): DataFrame = {
-    // r15: the three gate components each tokenized the corpus
-    // independently (entropy: unigrams; unigram LM: unigrams; KN:
-    // bigrams) — three full scan+tokenize passes plus the doc-id spine
-    // scan. Here ONE tagged n-gram pass (tag 0 = the per-doc spine row,
-    // 1 = unigram, 2 = bigram) builds a persisted per-doc gram-count
-    // table all four consumers read (guide §6: read once; persist
-    // rather than ReusedExchange because the per-tag FILTERS push below
-    // a shared exchange and would diverge the subtrees). The gate
-    // arithmetic is UNCHANGED — entropyFilterFrom / docPerplexityFrom /
-    // docKnPerplexityFrom are the same single-definition bodies the
-    // standalone operators gate, fed value-identical frames: tag-1
-    // counts are exactly docTermCounts, tag-2 counts are exactly
-    // docBigramCounts (bigram string "w1 w2" ↔ (w1,w2) is a bijection —
-    // tokens never contain a space). Output is 9 bounded rows, so the
-    // persisted table releases through materializeAndRelease.
-    val grams = TextOps.balanced(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"), explode(concat(
-        array(struct(lit(0).as("tag"), lit("").as("g"))),
-        coalesce(transform(TextOps.tokens("text"),
-          t => struct(lit(1).as("tag"), t.as("g"))), array()),
-        coalesce(transform(TextOps.ngramArray("text", 2),
-          b => struct(lit(2).as("tag"), b.as("g"))), array()))).as("tg"))
-      .select(col("doc_id"), col("lang"),
-        col("tg.tag").as("tag"), col("tg.g").as("g"))
-      .groupBy(col("doc_id"), col("lang"), col("tag"), col("g"))
-      .agg(count(lit(1)).as("c_d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docTerm = grams.filter(col("tag") === 1)
-      .select(col("doc_id"), col("lang"), col("g").as("term"), col("c_d").as("c"))
-    val docBg = grams.filter(col("tag") === 2)
-      .select(col("doc_id"), col("lang"),
-        expr("split(g, ' ')[0]").as("w1"), expr("split(g, ' ')[1]").as("w2"),
-        col("c_d"))
-    val spine = grams.filter(col("tag") === 0).select(col("doc_id"))
+    // r15: the two UNIGRAM gates (entropy, unigram LM) consume ONE
+    // docTermCounts subtree — the per-doc term-count aggregate is
+    // byte-identical in both branches (all four columns are grouping
+    // keys/aggregates, so column pruning cannot diverge them) and
+    // ReusedExchange computes the tokenize once at runtime. The KN
+    // gate stays the standalone operator (bigrams share nothing with
+    // the unigram pass). Gate arithmetic is unchanged and
+    // single-definition (entropyFilterFrom / docPerplexityFrom — the
+    // same bodies the standalone gated operators call).
+    //
+    // MEASURED DECLINE recorded here (r15): materializing ONE tagged
+    // n-gram pass (spine+unigram+bigram rows in a persisted per-doc
+    // gram table read by all four consumers) was implemented and
+    // measured at sf0.1 (full bench ×2, controls ~1.1× drift): funnel
+    // 4.43→6.85 s — REVERTED. The corpus-sized cache write plus the
+    // serialized cache-build job cost more than the tokenize passes it
+    // removed (the txtRake decline mechanism).
+    val docTerm = TextAnalysis.docTermCounts(spark, dir)
     val ent = TextAnalysis.entropyFilterFrom(docTerm)
       .select(col("doc_id"), col("n_tokens"), col("low_entropy"))
     val uni = TextAnalysis.docPerplexityFrom(docTerm)
       .select(col("doc_id"), col("high_perplexity").as("high_uni_ppl"))
-    val kn = TextAnalysis.docKnPerplexityFrom(docBg)
+    val kn = TextAnalysis.txtDocKnPerplexity(spark, dir)
       .select(col("doc_id"), col("high_perplexity").as("high_kn_ppl"))
-    val out = spine
+    Tables.documents(spark, dir).select(col("doc_id"))
       .join(ent, Seq("doc_id"), "left")
       .join(uni, Seq("doc_id"), "left")
       .join(kn, Seq("doc_id"), "left")
@@ -386,7 +370,6 @@ object CorpusPipeline {
           | 'kept',             s4)
           | AS (stage, n)""".stripMargin)
       .orderBy(col("stage"))
-    Analytics.materializeAndRelease(spark, out, grams)
   }
 
   def pipeMixCorpus(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {

@@ -899,17 +899,21 @@ object Similarity {
     * builder, no drift. */
   private[graft] def ivfpqIndexParts(spark: SparkSession, dir: String):
       (DataFrame, DataFrame, DataFrame) = {
-    // r15: the three index frames are PERSISTED — the before-plan
-    // scanned the embeddings parquet 16× because every consumer
-    // reference re-derived its whole subtree (cellCent feeds resid,
-    // resid feeds cb AND codes, cb feeds codes AND the ADC join;
-    // guide §1.2/§2.4 compute once). All three are index-sized, far
-    // smaller than the raw vectors (cells × 64 doubles; 16×8 codebook
-    // rows; 8 small ints per vector — materializing them IS the IVF-PQ
-    // index build). CALLERS OWN THE RELEASE: the gated operators end in
-    // materializeAndRelease(..., cells, cb, codes) (bounded outputs),
-    // the lake writer unpersists after its last write. Lazy persists
-    // cost nothing when a caller never computes a frame.
+    // r15 MEASURED DECLINE — do not persist these frames: the static
+    // plan scans the embeddings parquet 16× (every consumer reference
+    // re-derives its subtree), so persisting cellCent/cb/codes looked
+    // like an obvious §1.2 win. Implemented and measured at sf0.1
+    // (full interleaved bench, two runs, untouched controls ~1.1×
+    // drift): sim_ivfpq 2.51→3.76 s, sim_ivfpq_probe_curve
+    // 0.72→4.79 s, sim_ivfpq_recall 0.72→4.20 s — a 1.5–6.6×
+    // REGRESSION, reverted. Mechanism: at runtime the duplicated
+    // subtrees were already cheap (AQE reuses the broadcast exchanges;
+    // the branches' stages run CONCURRENTLY inside one job), while
+    // eager cache materialization serializes the DAG into a chain of
+    // cache-build jobs with a barrier each and inserts columnar
+    // conversion boundaries that break whole-stage fusion. The
+    // lake writer (one consumer per frame, terminal writes) never
+    // needed it either.
     val e = Tables.embeddings(spark, dir)
     val pinnedMean = expr(
       """aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
@@ -923,7 +927,6 @@ object Similarity {
       .withColumn("c", col("s") / col("n"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cellv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // residuals r = x - centroid(cell(x)): array<double>, map-side
     val resid = e.join(broadcast(cellCent), Seq("label"))
       .withColumn("r", expr("zip_with(embedding, cellv, (x, c) -> cast(x as double) - c)"))
@@ -937,7 +940,6 @@ object Similarity {
       .withColumn("c", col("s") / col("n"))
       .groupBy(col("g"), expr("p div 8").as("sub"))
       .agg(expr("transform(array_sort(collect_list(struct(p, c))), x -> x.c)").as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // codes: per (vector, subspace) argmin over the 16 codewords —
     // r14: min_by over struct(dist, g) instead of the r13 row_number
     // window (same (dist, g) tie-break, same argmin), so the 16-way
@@ -952,7 +954,6 @@ object Similarity {
       .groupBy(col("vec_id"), col("label"), col("sub"))
       .agg(expr("min_by(g, struct(dist, g))").as("code"))
       .select(col("vec_id"), col("label"), col("sub"), col("code"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (cellCent, cb, codes)
   }
 
@@ -961,7 +962,7 @@ object Similarity {
     * expression here is the one [[simIvfpq]] gates; the probe curve
     * reuses the identical build so the two operators cannot drift. */
   private def ivfpqIndex(spark: SparkSession, dir: String):
-      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
     val (cellCent, cb, codes) = ivfpqIndexParts(spark, dir)
     // query cells ranked by exact L2 to the centroid, each carrying
@@ -977,7 +978,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .withColumn("qr", expr("zip_with(q_emb, cellv, (x, c) -> cast(x as double) - c)"))
       .select(col("q_id"), col("label"), col("qr"), col("rn"))
-    (q, ranked, cb, codes, cellCent)
+    (q, ranked, cb, codes)
   }
 
   /** ADC of the probed-cell candidates against a probe table
@@ -1031,18 +1032,16 @@ object Similarity {
 
   def simIvfpq(spark: SparkSession, dir: String, nprobe: Int = 2,
       k: Int = 5): DataFrame = {
-    val (_, ranked, cb, codes, cells) = ivfpqIndex(spark, dir)
+    val (_, ranked, cb, codes) = ivfpqIndex(spark, dir)
     val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("q_id"), col("label"), col("qr"))
     val adc = ivfpqAdc(codes, cb, probes)
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
-    val out = adc.withColumn("rank", row_number().over(wTop).cast("bigint"))
+    adc.withColumn("rank", row_number().over(wTop).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"),
         col("label").cast("bigint").as("cell"), col("adc_dist"))
       .orderBy(col("q_id"), col("rank"))
-    // |Q|·k rows — bounded; releases the persisted index frames
-    Analytics.materializeAndRelease(spark, out, cells, cb, codes)
   }
 
   /** IVFPQ recall-vs-nprobe curve — THE tuning readout for the
@@ -1063,7 +1062,7 @@ object Similarity {
     * multiplies query-side work only, never corpus passes. */
   def simIvfpqProbeCurve(spark: SparkSession, dir: String,
       maxProbe: Int = 4, k: Int = 5): DataFrame = {
-    val (q, ranked, cb, codes, cells) = ivfpqIndex(spark, dir)
+    val (q, ranked, cb, codes) = ivfpqIndex(spark, dir)
     val e = Tables.embeddings(spark, dir)
     val exactTop = exactL2TopK(e, q, k)
     // r14: candidate sets are NESTED in nprobe (a cell probed at rank
@@ -1086,7 +1085,7 @@ object Similarity {
       .select(col("p"), col("q_id"), col("vec_id"), lit(1L).as("hit"))
     val exactAll = exactTop
       .withColumn("p", explode(expr(s"sequence(1, $maxProbe)")))
-    val out = exactAll.join(annTop, Seq("p", "q_id", "vec_id"), "left")
+    exactAll.join(annTop, Seq("p", "q_id", "vec_id"), "left")
       .groupBy(col("p"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
@@ -1096,8 +1095,6 @@ object Similarity {
         col("n_exact"), col("n_hits"),
         expr("n_hits * 1000000 div n_exact").as("recall_micro"))
       .orderBy(col("nprobe"))
-    // maxProbe rows — bounded; releases the persisted index frames
-    Analytics.materializeAndRelease(spark, out, cells, cb, codes)
   }
 
   /** IVFPQ recall@k — the end-to-end accuracy audit of the composed
@@ -1116,23 +1113,18 @@ object Similarity {
     // the serving path uses (the shared `q` frame — the query
     // predicate lives in ONE place, so the two sides cannot drift;
     // r10 advice), and the ANN side IS simIvfpq's gated answer
-    val (q, _, cb, codes, cells) = ivfpqIndex(spark, dir)
+    val (q, _, _, _) = ivfpqIndex(spark, dir)
     val e = Tables.embeddings(spark, dir)
     val exactTop = exactL2TopK(e, q, k)
     val annTop = simIvfpq(spark, dir, k = k)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-    val out = exactTop.join(annTop, Seq("q_id", "vec_id"), "left")
+    exactTop.join(annTop, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
         expr("array_join(transform(sort_array(collect_list(vec_id)), x -> cast(x as string)), ',')")
           .as("exact_ids"))
       .orderBy(col("q_id"))
-    // |Q| rows — bounded. This call's own index frames are never
-    // computed (only `q` is used; the ANN side builds and releases its
-    // own inside simIvfpq), so the release is a lazy-persist no-op —
-    // but it must still happen or the marks leak into the session.
-    Analytics.materializeAndRelease(spark, out, cells, cb, codes)
   }
 
   /** PQ recall@k — the accuracy audit that decides whether the ADC

@@ -1892,22 +1892,20 @@ object TextAnalysis {
   def txtRake(spark: SparkSession, dir: String, nStop: Int = 10,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // r15: ONE tokenize pass for both consumers — the stoplist census
-    // and the scoring pass each read `toks`, and each branch re-ran
-    // the scan + tokenize (two full passes; ReusedExchange cannot
-    // dedup them because column pruning diverges the subtrees — the
-    // census drops `pos`, the prefixSumsExclusive failure mode). The
-    // token stream is PERSISTED instead, pre-partitioned by doc_id so
-    // the doc-keyed run windows ride the cached partitioning with no
-    // further shuffle; output is bounded (languages × k rows), so the
-    // cache releases through materializeAndRelease (the txt_textrank
-    // contract). At 100 TB one cache write of the token stream
-    // replaces a second regex-tokenize pass over the raw corpus.
+    // r15 MEASURED DECLINE — keep the two fused tokenize passes: the
+    // census and the scoring pass each re-run scan+posexplode, and
+    // ReusedExchange cannot dedup them (column pruning diverges the
+    // subtrees — the census drops `pos`). Persisting one
+    // doc-partitioned token stream for both was implemented and
+    // measured at sf0.1 (full bench ×2, controls ~1.1× drift):
+    // txt_rake 3.12→4.41 s, txt_rake_lang 2.33→4.89 s — REVERTED.
+    // Same mechanism as the r14 rake window decline: materializing the
+    // corpus-sized token stream (cache write + columnar boundary +
+    // serialized cache-build job) costs more than the second map-side
+    // regex-tokenize of the compressed scan, at this SF and at scale.
     val toks = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
-      .repartition(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = toks.groupBy(col("lang"), col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val wStop = Window.partitionBy(col("lang"))
@@ -1947,12 +1945,11 @@ object TextAnalysis {
       byPhrase, Seq("lang"), Seq("score_micro" -> true, "phrase" -> false), k)
     val wTop = Window.partitionBy(col("lang"))
       .orderBy(col("score_micro").desc, col("phrase"))
-    val out = pruned.withColumn("rank", row_number().over(wTop).cast("bigint"))
+    pruned.withColumn("rank", row_number().over(wTop).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("lang"), col("rank"), col("phrase"), col("n_words"),
         col("n_occ"), col("score_micro"))
       .orderBy(col("lang"), col("rank"))
-    graft.operators.Analytics.materializeAndRelease(spark, out, toks)
   }
 
   /** Per-language RAKE with ADAPTIVE stoplist sizing and a phrase-
@@ -1976,13 +1973,11 @@ object TextAnalysis {
   def txtRakeLang(spark: SparkSession, dir: String, maxLen: Int = 4,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // r15: one persisted tokenize pass shared by the census and the
-    // scoring pass — see the [[txtRake]] note
+    // two fused tokenize passes by measurement — see the [[txtRake]]
+    // r15 decline note (the shared persisted stream was 2.1× slower)
     val toks = TextOps.balanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
-      .repartition(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = toks.groupBy(col("lang"), col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val langTot = dfc.groupBy(col("lang"))
@@ -2019,13 +2014,12 @@ object TextAnalysis {
       byPhrase, Seq("lang"), Seq("score_micro" -> true, "phrase" -> false), k)
     val wTop = Window.partitionBy(col("lang"))
       .orderBy(col("score_micro").desc, col("phrase"))
-    val out = pruned.withColumn("rank", row_number().over(wTop).cast("bigint"))
+    pruned.withColumn("rank", row_number().over(wTop).cast("bigint"))
       .filter(col("rank") <= k)
       .join(broadcast(nStop), Seq("lang"))
       .select(col("lang"), col("rank"), col("phrase"), col("n_words"),
         col("n_occ"), col("score_micro"), col("n_stop"))
       .orderBy(col("lang"), col("rank"))
-    graft.operators.Analytics.materializeAndRelease(spark, out, toks)
   }
 
   /** TextRank keywords per language — the graph-ranking sibling of

@@ -1185,9 +1185,6 @@ object Streams {
         "transform(array_sort(collect_list(struct(sub, code))), x -> cast(x.code as long))")
         .as("codevec"))
       .write.mode("overwrite").parquet(s"$path/codes_wide")
-    // the index frames arrive persisted (r15, see ivfpqIndexParts);
-    // the writer owns the release once the last write lands
-    Seq(cells, cb, codes).foreach(_.unpersist(blocking = true))
   }
 
   case class QueryVec(q_id: Long, q_emb: Array[Float])

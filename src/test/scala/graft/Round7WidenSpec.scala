@@ -146,27 +146,20 @@ class Round7WidenSpec extends SparkSpec {
       "semi and anti halves must partition the crafted corpus")
   }
 
-  test("pipe_quality_funnel: one persisted gram pass feeds every gate; values match the standalone components") {
-    // r15 shape: ONE tagged n-gram pass (tag 0 spine / 1 unigram /
-    // 2 bigram) is persisted and every gate branch reads it — the plan
-    // must show documents scanned in exactly one place (all Scan
-    // parquet occurrences in the inner-plan tree are reprints of the
-    // SAME cached-build node id) and no cartesian anywhere
-    val tmp = java.nio.file.Files.createTempFile("funnel_plan", ".txt")
-    System.setProperty("graft.explain.inner", tmp.toString)
-    val df =
-      try CorpusPipeline.pipeQualityFunnel(spark, sf0001)
-      finally System.clearProperty("graft.explain.inner")
-    val p = java.nio.file.Files.readString(tmp)
-    assert(p.contains("InMemoryTableScan"),
-      "every funnel branch must read the one persisted gram table")
+  test("pipe_quality_funnel: the unigram gates share one tokenize; values match the standalone components") {
+    // r15 shape: entropy and unigram-LM both consume ONE docTermCounts
+    // subtree, so the final adaptive plan must show the per-doc
+    // term-count exchange REUSED (one unigram tokenize at runtime);
+    // the KN gate keeps its own bigram pass. The gram-table persist
+    // variant was measured slower and reverted — see the operator.
+    val df = CorpusPipeline.pipeQualityFunnel(spark, sf0001)
+    val rows = df.collect() // materialize so AQE finalizes (skill note)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the two unigram gates must share the doc-term exchange:\n$p")
     assert(!p.contains("CartesianProduct"))
-    val scanIds = """Scan parquet\s*\((\d+)\)""".r
-      .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(scanIds.size == 1,
-      s"documents must be scanned by exactly ONE plan node (ids: $scanIds)")
-    // value parity against the standalone components (the pre-r15
-    // composition): same per-doc booleans => same 9-row funnel
+    // value parity against the standalone components: same per-doc
+    // booleans => same 9-row funnel
     val ent = TextAnalysis.txtEntropyFilter(spark, sf0001)
       .select(col("doc_id"), col("n_tokens"), col("low_entropy"))
     val uni = TextAnalysis.txtDocPerplexity(spark, sf0001)
@@ -190,7 +183,7 @@ class Round7WidenSpec extends SparkSpec {
         sum(expr(s"if(nt >= $m AND NOT le AND NOT hu, 1, 0)")),
         sum(expr(s"if(nt >= $m AND NOT le AND NOT hu AND NOT hk, 1, 0)")))
       .head()
-    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val exp = Map(
       "docs_total" -> expect.getLong(0), "fail_length" -> expect.getLong(1),
       "fail_low_entropy" -> expect.getLong(2), "fail_unigram_ppl" -> expect.getLong(3),
